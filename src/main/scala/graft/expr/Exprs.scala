@@ -1,0 +1,79 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar cleaning expressions (SURVEY.md §2.5 F1–F10).
+  *
+  * Reference behavior: `final project cleaning & upload dag 1.py` — row-wise
+  * pandas lambdas (dag1.py:39-40,88,98,103,106,109,117-118,153). Here each is
+  * a composed Catalyst expression: codegen'd, null-safe, zero per-row Scala
+  * closures, so every one of them stays inside WholeStageCodegen at scale.
+  */
+object Exprs {
+
+  /** F1 — zero-pad a numeric FIPS-style key to `width` digits for
+    * presentation (dag1.py:39-40). Canonical key stays integer (SURVEY §7.4);
+    * this is display-layer only. */
+  def fipsPad(c: Column, width: Int = 5): Column =
+    lpad(c.cast(StringType), width, "0")
+
+  /** F2+F3 — parse a formatted currency string ("$53,990", "(NA)") to double.
+    * `$`/`,` stripped (dag1.py:88), non-numeric → null like pandas
+    * `errors='coerce'` (dag1.py:103). try_cast keeps the semantics regardless
+    * of the session's ANSI posture. */
+  def moneyToDouble(c: Column): Column =
+    regexp_replace(c, "[$,]", "").try_cast(DoubleType)
+
+  /** F3 — lenient cast: invalid input → null, never a runtime error
+    * (pandas `errors='coerce'`, dag1.py:103,118). */
+  def tryDouble(c: Column): Column = c.try_cast(DoubleType)
+
+  /** F3 variant for integers. */
+  def tryLong(c: Column): Column = c.try_cast(LongType)
+
+  /** F4 — strip embedded double-quotes (GeoFIPS ` "00000"`, dag1.py:98). */
+  def stripQuotes(c: Column): Column = translate(c, "\"", "")
+
+  /** F6 — remove every occurrence of the given literal chars
+    * (`*` in GeoName, dag1.py:117). */
+  def stripChars(c: Column, chars: String): Column = translate(c, chars, "")
+
+  /** F5+F4+F6 composite used on GeoName-like columns: drop chars then trim. */
+  def cleanName(c: Column, chars: String = "*\""): Column =
+    trim(translate(c, chars, ""))
+
+  /** F8 — ratio with pandas-mean parity: 0/0 yields NaN for doubles, and
+    * pandas `mean` skips NaN while Spark `avg` only skips null — so NaN is
+    * normalized to null here (dag1.py:153 + dag1.py:164; SURVEY §7.4). */
+  def ratioNanNull(num: Column, den: Column): Column = {
+    val r = num.cast(DoubleType) / den.cast(DoubleType)
+    when(isnan(r), lit(null).cast(DoubleType)).otherwise(r)
+  }
+
+  /** A2 helper — NaN → null so downstream avg matches pandas mean. */
+  def nanToNull(c: Column): Column =
+    when(isnan(c), lit(null).cast(DoubleType)).otherwise(c)
+
+  /** F11/K2 — Spark type → portable ANSI DDL type name
+    * (mirrors map_dtype_to_sql, dag1.py:216-226). */
+  def ddlType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType => "INTEGER"
+    case LongType                           => "BIGINT"
+    case FloatType | DoubleType             => "DOUBLE PRECISION"
+    case _: DecimalType                     => "DECIMAL"
+    case BooleanType                        => "BOOLEAN"
+    case DateType                           => "DATE"
+    case TimestampType                      => "TIMESTAMP"
+    case _                                  => "TEXT"
+  }
+
+  /** K2 — CREATE TABLE DDL from a schema (dag1.py:261-270). */
+  def schemaToDdl(table: String, schema: StructType): String = {
+    val cols = schema.fields
+      .map(f => s""""${f.name}" ${ddlType(f.dataType)}""")
+      .mkString(", ")
+    s"""CREATE TABLE IF NOT EXISTS $table ($cols)"""
+  }
+}

@@ -1,0 +1,48 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.expr.Exprs
+
+/** Sinks (SURVEY.md §2.2 K1–K3).
+  *
+  * Reference sites: CSV persist dag1.py:199-209; DDL synthesis
+  * dag1.py:257-270; DELETE + COPY full refresh dag1.py:272-287.
+  *
+  * Scale notes: CSV sink is distributed (one part-file per partition — no
+  * driver funnel; pass coalesce=1 only for tiny dims). The JDBC full
+  * refresh maps the reference's truncate-and-reload onto Spark's
+  * `overwrite` + `truncate`, writing from all partitions in parallel with
+  * `batchsize` batching. */
+object Sinks {
+
+  /** K1 — CSV sink with header, full-refresh overwrite (dag1.py:199-209). */
+  def csv(df: DataFrame, path: String, coalesce: Int = 0): DataFrame = {
+    val out = if (coalesce > 0) df.coalesce(coalesce) else df
+    out.write.mode(SaveMode.Overwrite).option("header", true).csv(path)
+    df
+  }
+
+  /** K2 — emit the CREATE TABLE DDL that the JDBC writer would synthesize
+    * (dag1.py:261-270); exposed for inspection/tests. */
+  def ddl(df: DataFrame, table: String): String =
+    Exprs.schemaToDdl(table, df.schema)
+
+  /** K3 — full-refresh load: overwrite with TRUNCATE-based refresh when the
+    * table exists (dag1.py:272-287 does DELETE FROM + COPY; truncate is the
+    * set-based equivalent that keeps the DDL). `columnTypes` optionally pins
+    * SQL types (e.g. VARCHAR instead of a dialect's default CLOB) — the
+    * analog of the reference's explicit dtype→DDL map (dag1.py:216-226). */
+  def jdbcFullRefresh(df: DataFrame, url: String, table: String,
+                      props: Map[String, String] = Map.empty,
+                      columnTypes: Option[String] = None,
+                      batchSize: Int = 10000): DataFrame = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    var w = df.write.mode(SaveMode.Overwrite)
+      .option("truncate", true)
+      .option("batchsize", batchSize)
+    columnTypes.foreach(ct => w = w.option("createTableColumnTypes", ct))
+    w.jdbc(url, table, p)
+    df
+  }
+}

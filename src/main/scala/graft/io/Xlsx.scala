@@ -1,0 +1,156 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType, LongType}
+import java.io.InputStream
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+
+/** S1 — minimal xlsx reader (SURVEY.md §7.3: "the one genuine custom
+  * build"). Spark has no built-in Excel source; the reference reads
+  * `UnemploymentReport.xlsx` sheet1 via pandas (dag1.py:24).
+  *
+  * An .xlsx file is a ZIP of XML parts (ECMA-376 / ISO 29500 SpreadsheetML,
+  * publicly documented). This reader parses, with the JDK's built-in StAX —
+  * zero external dependencies:
+  *   - `xl/workbook.xml`            sheet name → rId
+  *   - `xl/_rels/workbook.xml.rels` rId → worksheet part path
+  *   - `xl/sharedStrings.xml`       the shared-string table (`t="s"` cells)
+  *   - `xl/worksheets/sheetN.xml`   rows and cells
+  *
+  * All cell values surface as strings (header surgery + typed casts are
+  * downstream ops, matching the reference's promote-header-then-clean flow,
+  * dag1.py:26-40). Each row carries `__idx` (0-based sheet row) so the
+  * positional ops R1/R2/R4 have an explicit, deterministic order.
+  *
+  * Driver-side by design: spreadsheets are control-plane inputs (the
+  * reference's is 57 rows); fact data arrives via splittable sources. */
+object Xlsx {
+
+  private val factory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f
+  }
+
+  /** Column letters "A".."XFD" → 0-based index. */
+  private[io] def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+  }
+
+  private def parseSharedStrings(in: InputStream): IndexedSeq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val r = factory.createXMLStreamReader(in)
+    var inSi = false
+    val sb = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; sb.clear()
+            case "t" if inSi => sb.append(r.getElementText)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          inSi = false; out += sb.toString
+        case _ =>
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Parse one worksheet part → (0-based row index, cells by column index). */
+  private def parseSheet(in: InputStream, shared: IndexedSeq[String])
+      : Seq[(Long, Map[Int, String])] = {
+    val rows = mutable.ArrayBuffer.empty[(Long, Map[Int, String])]
+    val r = factory.createXMLStreamReader(in)
+    var rowIdx = -1L
+    var cells: mutable.Map[Int, String] = null
+    var cellCol = -1
+    var cellType = ""
+    var value: String = null
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              val rAttr = Option(r.getAttributeValue(null, "r"))
+              rowIdx = rAttr.map(_.toLong - 1).getOrElse(rowIdx + 1)
+              cells = mutable.Map.empty
+            case "c" =>
+              cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex)
+                .getOrElse(if (cells.isEmpty) 0 else cells.keys.max + 1)
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              value = null
+            case "v" => value = r.getElementText
+            case "t" if cellType == "inlineStr" => value = r.getElementText
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "c" if cells != null =>
+              val resolved = cellType match {
+                case "s" if value != null => shared(value.toInt)
+                case "b" if value != null => if (value == "1") "true" else "false"
+                case _                    => value
+              }
+              if (resolved != null) cells(cellCol) = resolved
+            case "row" if cells != null =>
+              rows += ((rowIdx, cells.toMap)); cells = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    rows.toSeq
+  }
+
+  /** Read sheet `sheet` (1-based, default first) of an xlsx file into a
+    * DataFrame of all-string columns `_c0.._cN` plus `__idx` (sheet row
+    * order). */
+  def read(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+    val zip = new ZipFile(path)
+    try {
+      def entryStream(name: String): Option[InputStream] =
+        Option(zip.getEntry(name)).map(zip.getInputStream)
+
+      val shared = entryStream("xl/sharedStrings.xml")
+        .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+
+      // Worksheet part resolution: honor workbook.xml.rels when present,
+      // else fall back to the conventional sheetN.xml naming.
+      val sheetPath = (for {
+        wb   <- entryStream("xl/workbook.xml")
+        rels <- entryStream("xl/_rels/workbook.xml.rels")
+      } yield {
+        val wbXml = new String(wb.readAllBytes(), "UTF-8")
+        val relsXml = new String(rels.readAllBytes(), "UTF-8")
+        val sheetIds = """<sheet [^>]*r:id="([^"]+)"""".r
+          .findAllMatchIn(wbXml).map(_.group(1)).toSeq
+        sheetIds.lift(sheet - 1).flatMap { rid =>
+          (s"""<Relationship [^>]*Id="$rid"[^>]*Target="([^"]+)"""".r
+            .findFirstMatchIn(relsXml) orElse
+           s"""<Relationship [^>]*Target="([^"]+)"[^>]*Id="$rid"""".r
+            .findFirstMatchIn(relsXml))
+            .map(m => "xl/" + m.group(1).stripPrefix("/xl/").stripPrefix("xl/"))
+        }
+      }).flatten.getOrElse(s"xl/worksheets/sheet$sheet.xml")
+
+      val rows = entryStream(sheetPath)
+        .map(parseSheet(_, shared))
+        .getOrElse(throw new java.io.FileNotFoundException(s"$path!$sheetPath"))
+
+      val width = if (rows.isEmpty) 0 else rows.iterator.map(r => if (r._2.isEmpty) 0 else r._2.keys.max + 1).max
+      val schema = StructType(
+        StructField("__idx", LongType, nullable = false) +:
+          (0 until width).map(i => StructField(s"_c$i", StringType, nullable = true)))
+      val data = rows.map { case (idx, cells) =>
+        Row.fromSeq(idx +: (0 until width).map(i => cells.get(i).orNull))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data.toList, 1), schema)
+    } finally zip.close()
+  }
+}

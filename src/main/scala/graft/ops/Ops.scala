@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structural / reshape operators (SURVEY.md §2.3, §2.6, A6).
+  *
+  * Reference sites: header surgery dag1.py:26-38, melts dag1.py:82,96,
+  * dedup dag1.py passim, surrogate key dag1.py:134-135.
+  *
+  * Scale notes: everything here is a narrow transformation or a standard
+  * shuffle Spark already optimizes. The only window functions are over
+  * explicit keys (`row_number` for surrogate ids / keyed dedup) — never a
+  * global unpartitioned window on the fast path. `dropTrailing` is the one
+  * op that needs a global ordering; it is intended for small raw ingest
+  * files (its reference use is a 4-line CSV footer), not for fact tables.
+  */
+object Ops {
+
+  /** P3 — normalize all column names: trim, then literal ' ' and '.' → '_'
+    * (dag1.py:83,97,132,152,247-248; literal-dot semantics per SURVEY §7.4:
+    * `String.replace`, NOT a regex). */
+  def normalizeColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(c => c.trim.replace(" ", "_").replace(".", "_")): _*)
+
+  /** W3 — keyed deduplication, deterministic: keep the first row per key
+    * ordered by `tieBreak` (pandas drop_duplicates keeps first in file
+    * order; Spark dropDuplicates picks an arbitrary row, so we make the
+    * choice explicit). Map-side partial aggregation applies; shuffle is on
+    * the dedup keys only. */
+  def dedupKeys(df: DataFrame, keys: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A6 — deterministic dense surrogate key for the distinct combinations of
+    * `natKey`, ordered by the natural key itself (dag1.py:134-135 uses
+    * pandas reset_index = file order; we need stable, rerunnable ids so we
+    * order by the natural key — documented divergence, SURVEY §7.4).
+    *
+    * The distinct set is expected to be dimension-sized (12 rows in the
+    * reference); `row_number` over a single global window is fine there.
+    * For large domains prefer `zipWithIndex`-style dense ranks per
+    * partition — not needed for parity. */
+  def surrogateKey(df: DataFrame, natKey: Seq[String], idCol: String): DataFrame = {
+    val w = Window.orderBy(natKey.map(col): _*)
+    df.select(natKey.map(col): _*)
+      .distinct()
+      .withColumn(idCol, row_number().over(w) - 1)
+  }
+
+  /** R2 — drop the last `n` rows under an explicit ordering (footer rows,
+    * dag1.py:38,46). Two-pass: count, then rank-filter. Prefer a semantic
+    * footer predicate when one exists (SURVEY §2.3 R2). */
+  def dropTrailing(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(order.map(_.desc): _*)
+    df.withColumn("__rev_rn", row_number().over(w))
+      .filter(col("__rev_rn") > n)
+      .drop("__rev_rn")
+  }
+
+  /** R1 — drop the first `n` rows under an explicit ordering (junk leading
+    * rows in spreadsheet exports, dag1.py:26). */
+  def dropLeading(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(order.map(c => c): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > n)
+      .drop("__rn")
+  }
+
+  /** R4 — promote the first row (ordered by `orderCol`) to be the header
+    * (dag1.py:30-32). Driver-side `head()` is the only sanctioned collect
+    * here (one row). The ordering column itself is kept un-renamed so
+    * downstream positional ops can still use it. */
+  def promoteHeader(df: DataFrame, orderCol: String): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+    val ranked = df.withColumn("__rn", row_number().over(w))
+    val dataCols = df.columns.filterNot(_ == orderCol)
+    val headerRow = ranked.filter(col("__rn") === 1)
+      .select(dataCols.map(col): _*).head()
+    val names = headerRow.toSeq.map(v => if (v == null) "col" else v.toString.trim)
+    val rest = ranked.filter(col("__rn") > 1).drop("__rn")
+    dataCols.zip(names).foldLeft(rest) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+  }
+
+  /** W1/W2 — unpivot/melt: wide year columns → long (Year, value) rows
+    * (dag1.py:82,96). Thin wrapper over Spark's built-in melt with the
+    * reference's semantics: value columns are everything not in `ids`,
+    * variable column parsed to int when `varAsInt`. Null values are dropped
+    * to match pandas melt + downstream dropna/coerce behavior. */
+  def melt(df: DataFrame, ids: Seq[String], varName: String, valueName: String,
+           varAsInt: Boolean = true, dropNulls: Boolean = true): DataFrame = {
+    val valueCols = df.columns.filterNot(ids.contains)
+    var out = df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, varName, valueName)
+    if (varAsInt) out = out.withColumn(varName, col(varName).try_cast(org.apache.spark.sql.types.IntegerType))
+    if (dropNulls) out = out.filter(col(valueName).isNotNull)
+    out
+  }
+}

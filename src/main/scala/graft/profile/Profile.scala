@@ -1,0 +1,166 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset profiling (SURVEY.md §2.13 PR1–PR6) — the engine-side analog of
+  * the reference's per-table ydata-profiling reports
+  * (finalprojectpandasprofiling.py:50-54).
+  *
+  * Design for scale: ALL per-column statistics are computed in a single
+  * `agg(...)` pass (one job, one scan; partial aggregation map-side), never
+  * a per-column loop of actions. Distinct counts use HLL++
+  * (`approx_count_distinct`) by default, with an exact variant for small
+  * dims / oracle checks. Quantiles use `percentile_approx` (GK sketch) by
+  * default with an exact variant. Correlations are a second single pass over
+  * the numeric columns.
+  */
+final case class ColumnProfile(
+    name: String,
+    dataType: String,
+    count: Long,
+    missing: Long,
+    distinct: Long,
+    mean: Option[Double],
+    stddev: Option[Double],
+    min: Option[Double],
+    max: Option[Double],
+    p25: Option[Double],
+    p50: Option[Double],
+    p75: Option[Double])
+
+final case class TableProfile(
+    table: String,
+    rows: Long,
+    columns: Int,
+    duplicateRows: Long,
+    profiles: Seq[ColumnProfile],
+    correlations: Map[(String, String), Double])
+
+object Profile {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** PR1–PR5 in one aggregation pass + PR6 in a second. `exact` switches
+    * the distinct/quantile sketches to exact computation (use for tests /
+    * oracle parity; default approximate for 100 TB runs). */
+  def profile(df: DataFrame, table: String = "df", exact: Boolean = false): TableProfile = {
+    val fields  = df.schema.fields
+    val numeric = fields.filter(f => isNumeric(f.dataType)).map(_.name)
+
+    def distinctAgg(c: String): Column =
+      if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
+    def pct(c: String, p: Double): Column =
+      if (exact) expr(s"percentile(`$c`, $p)")
+      else percentile_approx(col(c), lit(p), lit(10000)).cast(DoubleType)
+
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__rows"),
+          count_distinct(struct(fields.map(f => col(f.name)): _*)).as("__distinct_rows")) ++
+      fields.flatMap { f =>
+        val c = f.name
+        val base = Seq(
+          count(col(c)).as(s"$c::count"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"$c::missing"),
+          distinctAgg(c).as(s"$c::distinct"))
+        val nums =
+          if (isNumeric(f.dataType))
+            Seq(
+              avg(col(c)).cast(DoubleType).as(s"$c::mean"),
+              stddev(col(c)).cast(DoubleType).as(s"$c::std"),
+              min(col(c)).cast(DoubleType).as(s"$c::min"),
+              max(col(c)).cast(DoubleType).as(s"$c::max"),
+              pct(c, 0.25).as(s"$c::p25"),
+              pct(c, 0.5).as(s"$c::p50"),
+              pct(c, 0.75).as(s"$c::p75"))
+          else Seq.empty
+        base ++ nums
+      }
+
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    def get(n: String): Any = row.get(row.fieldIndex(n))
+    def getL(n: String): Long = get(n) match {
+      case null     => 0L
+      case l: Long  => l
+      case i: Int   => i.toLong
+      case other    => other.toString.toLong
+    }
+    def getD(n: String): Option[Double] = get(n) match {
+      case null      => None
+      case d: Double => Some(d)
+      case other     => Some(other.toString.toDouble)
+    }
+
+    val rows = getL("__rows")
+    val profiles = fields.map { f =>
+      val c = f.name
+      val num = isNumeric(f.dataType)
+      ColumnProfile(
+        name = c, dataType = f.dataType.simpleString,
+        count = getL(s"$c::count"), missing = getL(s"$c::missing"),
+        distinct = getL(s"$c::distinct"),
+        mean = if (num) getD(s"$c::mean") else None,
+        stddev = if (num) getD(s"$c::std") else None,
+        min = if (num) getD(s"$c::min") else None,
+        max = if (num) getD(s"$c::max") else None,
+        p25 = if (num) getD(s"$c::p25") else None,
+        p50 = if (num) getD(s"$c::p50") else None,
+        p75 = if (num) getD(s"$c::p75") else None)
+    }
+
+    // PR6 — pairwise correlations over numeric columns, one pass.
+    val corrs: Map[(String, String), Double] =
+      if (numeric.length < 2) Map.empty
+      else {
+        val pairs = for {
+          i <- numeric.indices; j <- (i + 1) until numeric.length
+        } yield (numeric(i), numeric(j))
+        val corrAggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"$a::$b") }
+        val crow = df.agg(corrAggs.head, corrAggs.tail: _*).head()
+        pairs.zipWithIndex.collect {
+          case ((a, b), i) if !crow.isNullAt(i) => (a, b) -> crow.getDouble(i)
+        }.toMap
+      }
+
+    TableProfile(table, rows, fields.length, rows - getL("__distinct_rows"), profiles, corrs)
+  }
+
+  /** K4 — render a profile as a standalone HTML report (the reference's
+    * `<table>_report.html`, finalprojectpandasprofiling.py:52-54). */
+  def toHtml(p: TableProfile): String = {
+    def fmt(o: Option[Double]): String = o.map(d => f"$d%.4f").getOrElse("—")
+    val colRows = p.profiles.map { c =>
+      s"<tr><td>${c.name}</td><td>${c.dataType}</td><td>${c.count}</td>" +
+        s"<td>${c.missing}</td><td>${c.distinct}</td><td>${fmt(c.mean)}</td>" +
+        s"<td>${fmt(c.stddev)}</td><td>${fmt(c.min)}</td><td>${fmt(c.p50)}</td>" +
+        s"<td>${fmt(c.max)}</td></tr>"
+    }.mkString("\n")
+    val corrRows = p.correlations.toSeq.sortBy(_._1).map { case ((a, b), v) =>
+      f"<tr><td>$a</td><td>$b</td><td>$v%.4f</td></tr>"
+    }.mkString("\n")
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${p.table} profile</title>
+       |<style>body{font-family:sans-serif}table{border-collapse:collapse}
+       |td,th{border:1px solid #999;padding:4px 8px}</style></head><body>
+       |<h1>Profile: ${p.table}</h1>
+       |<p>${p.rows} rows × ${p.columns} columns; ${p.duplicateRows} duplicate rows</p>
+       |<h2>Columns</h2>
+       |<table><tr><th>column</th><th>type</th><th>count</th><th>missing</th>
+       |<th>distinct</th><th>mean</th><th>std</th><th>min</th><th>median</th><th>max</th></tr>
+       |$colRows</table>
+       |<h2>Correlations</h2>
+       |<table><tr><th>a</th><th>b</th><th>corr</th></tr>
+       |$corrRows</table>
+       |</body></html>""".stripMargin
+  }
+
+  /** Write the HTML report (K4 sink). */
+  def writeHtml(p: TableProfile, path: String): Unit = {
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.writeString(f.toPath, toHtml(p))
+  }
+}

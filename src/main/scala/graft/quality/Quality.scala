@@ -1,0 +1,70 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates (SURVEY.md §2.8 A3–A5).
+  *
+  * Mirror of the reference's only automated correctness mechanism:
+  * `check_primary_key` (dag1.py:71-79), invoked on all 11 output tables
+  * (dag1.py:91-92,121-123,145-146,172-175) and raising on violation.
+  *
+  * Scale note: one aggregation job per check — null-count and dup-count are
+  * computed in a SINGLE pass (`groupBy(keys)` with a pre-aggregated null
+  * flag), so the gate costs one shuffle on the key columns, partial-agg'd
+  * map-side. No collect of data rows; only two scalar counters come back.
+  */
+final case class PrimaryKeyViolation(table: String, nullKeyRows: Long, duplicateRows: Long)
+  extends RuntimeException(
+    s"Primary-key violation on '$table': $nullKeyRows rows with null key(s), " +
+      s"$duplicateRows excess duplicate-key rows")
+
+object Quality {
+
+  /** A4 — number of rows where any key column is null. */
+  def nullKeyCount(df: DataFrame, keys: Seq[String]): Long =
+    df.filter(keys.map(col(_).isNull).reduce(_ || _)).count()
+
+  /** A3 — number of excess rows sharing a key (sum over groups of count-1). */
+  def duplicateKeyCount(df: DataFrame, keys: Seq[String]): Long = {
+    val grouped = df.groupBy(keys.map(col): _*).count()
+    val row = grouped
+      .agg(coalesce(sum(when(col("count") > 1, col("count") - 1)), lit(0L)).as("dups"))
+      .head()
+    row.getLong(0)
+  }
+
+  /** A3+A4 in one pass: returns (nullKeyRows, duplicateRows). */
+  def keyStats(df: DataFrame, keys: Seq[String]): (Long, Long) = {
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    // Nulls are counted separately and excluded from the dup grouping so a
+    // null key is reported once, not as both null and duplicate.
+    val stats = df
+      .withColumn("__nullkey", anyNull)
+      .groupBy(col("__nullkey") +: keys.map(col): _*)
+      .count()
+      .agg(
+        coalesce(sum(when(col("__nullkey"), col("count"))), lit(0L)).as("nulls"),
+        coalesce(sum(when(!col("__nullkey") && col("count") > 1, col("count") - 1)), lit(0L))
+          .as("dups"))
+      .head()
+    (stats.getLong(0), stats.getLong(1))
+  }
+
+  /** A5 — the gate: throws [[PrimaryKeyViolation]] if `keys` is not a valid
+    * primary key of `df` (any null, or any duplicate). Returns `df` so it
+    * chains inside a pipeline. */
+  def checkPrimaryKey(df: DataFrame, keys: Seq[String], table: String = "df"): DataFrame = {
+    val (nulls, dups) = keyStats(df, keys)
+    if (nulls > 0 || dups > 0) throw PrimaryKeyViolation(table, nulls, dups)
+    df
+  }
+
+  /** Schema assertion: exact column-name/type match (order-insensitive). */
+  def assertSchema(df: DataFrame, expected: Map[String, String]): DataFrame = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    require(actual == expected,
+      s"Schema mismatch: expected $expected, got $actual")
+    df
+  }
+}

@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.streaming.Sessionize
+import graft.text.TextOps
+
+/** LLM-training-data pipeline operators as named queries over the
+  * `documents` / `embeddings` / `events` test tables. SQL-expressible ops
+  * carry a DuckDB oracle; the LSH families (whose outputs are defined by
+  * the bucketing itself) are verified by planted-duplicate construction —
+  * exact-measure filters keep their row sets deterministic — plus ScalaTest
+  * recall checks. */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------------ text
+  private val txtTokenCount: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+
+  private val txtSubwordCount: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.subwordCount(col("text")).as("n_subwords"))
+
+  private val txtQualityScore: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+
+  private val txtLangId: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.langId(col("text")).as("lang_pred"))
+
+  private val txtFingerprint: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+
+  // ----------------------------------------------------------------- dedup
+  /** Exact-dedup groups by normalized-content hash (md5 here so the oracle
+    * can mirror it; the engine default is the 64-bit xxhash fingerprint). */
+  private val ddExactGroups: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Token-set (1-gram) Jaccard between consecutive doc ids — the
+    * SQL-expressible member of the n-gram family. */
+  private val ddNgramJaccard: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val b = d.select((col("doc_id") - 1).as("join_id"), col("text").as("text_b"))
+    d.join(b, col("doc_id") === col("join_id"))
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"),
+        round(Dedup.ngramJaccard(col("text"), col("text_b"), 1), 6).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup detection over planted near-duplicates
+    * (doc_id+100000 carries the original text plus a short tail). The
+    * final row set is defined by the exact Jaccard filter, so it is
+    * deterministic; LSH recall has its own ScalaTest. Rows-only check. */
+  private val ddMinhashLsh: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" near dup tail")).as("text"))
+    Dedup.minHashNearDups(docs.unionByName(planted), "text", "doc_id",
+      threshold = 0.8, bands = 16, rowsPerBand = 4)
+  }
+
+  /** SimHash near-dup detection over planted exact copies. Rows-only. */
+  private val ddSimhash: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zq")).as("text"))
+    Dedup.simHashNearDups(docs.unionByName(planted), "text", "doc_id", maxDist = 3)
+  }
+
+  // ------------------------------------------------------------ similarity
+  /** Exact brute-force cosine top-k (query set = vec_id < 10, broadcast). */
+  private val simCosineTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** LSH-bucketed ANN — the scale path; recall vs brute force is asserted
+    * in ScalaTest. Rows-only check. */
+  private val simLshAnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** Embedding near-dup: planted exact copies (vec_id+10000) must be the
+    * only pairs at cosine ≥ 0.95 (max organic pairwise cosine in the test
+    * data is ~0.51) — LSH buckets find them because identical vectors have
+    * identical signatures. */
+  private val embNearDup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val planted = emb.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding"), col("label"))
+    Similarity.cosineNearDups(emb.unionByName(planted), threshold = 0.95)
+  }
+
+  // ------------------------------------------------------------ multimodal
+  /** Binary payload plumbing: byte length + sha-256 over the payload
+    * column. */
+  private val mmBytes: Q = (s, dir) => {
+    val df = Multimodal.withByteMeta(
+      Multimodal.asPayload(t(s, dir, "documents"), "text"))
+    df.select(col("doc_id"), col("n_bytes"), col("sha"))
+  }
+
+  /** Frame-sampling fan-out shape (1 payload → n frame rows). */
+  private val mmFrameFanout: Q = (s, dir) =>
+    Multimodal.sampleFramesStub(
+        Multimodal.asPayload(t(s, dir, "documents").filter(col("doc_id") < 50), "text"), 3)
+      .select(col("doc_id"), col("frame_no"))
+
+  // ---------------------------------------------------------------- events
+  private val evtJsonExtract: Q = (s, dir) =>
+    t(s, dir, "events").select(col("event_id"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).try_cast(LongType).as("k"))
+
+  private val evtSessionize: Q = (s, dir) =>
+    Sessionize.sessionCounts(t(s, dir, "events"), gapMinutes = 30)
+
+  private val evtWindowCounts: Q = (s, dir) =>
+    Sessionize.windowedCounts(t(s, dir, "events"), "1 hour")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  // ------------------------------------------------------------------- maps
+  val queries: Map[String, Q] = Map(
+    "txt_token_count" -> txtTokenCount,
+    "txt_subword_count" -> txtSubwordCount,
+    "txt_quality_score" -> txtQualityScore,
+    "txt_lang_id" -> txtLangId,
+    "txt_fingerprint" -> txtFingerprint,
+    "dd_exact_groups" -> ddExactGroups,
+    "dd_ngram_jaccard" -> ddNgramJaccard,
+    "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_simhash" -> ddSimhash,
+    "sim_cosine_topk" -> simCosineTopk,
+    "sim_lsh_ann" -> simLshAnn,
+    "emb_near_dup" -> embNearDup,
+    "mm_bytes" -> mmBytes,
+    "mm_frame_fanout" -> mmFrameFanout,
+    "evt_json_extract" -> evtJsonExtract,
+    "evt_sessionize" -> evtSessionize,
+    "evt_window_counts" -> evtWindowCounts)
+
+  /** Oracle SQL mirrors. The lang-id oracle is generated from the same
+    * marker table the Spark expression uses. */
+  val oracle: Map[String, String] = {
+    val langScores = TextOps.markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val terms = ws.map(w =>
+        s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"($terms) AS score_$lang"
+    }.mkString(", ")
+    val langIdSql =
+      s"""SELECT doc_id,
+         | CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         |   WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) THEN 'fr'
+         |   WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+         |   WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+         |   ELSE 'de' END AS lang_pred
+         | FROM (SELECT doc_id, $langScores FROM documents)""".stripMargin
+
+    Map(
+      "txt_token_count" ->
+        """SELECT doc_id,
+          | CASE WHEN length(trim(text)) = 0 THEN 0
+          |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          | END AS n_tokens FROM documents""".stripMargin,
+      "txt_subword_count" ->
+        ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+          "'[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_subwords " +
+          "FROM documents"),
+      "txt_quality_score" ->
+        """SELECT doc_id, ROUND(
+          |   LEAST(nchars / 500.0, 1.0) * 0.25
+          | + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+          | + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+          | + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+          |     THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+          |FROM (SELECT doc_id,
+          |   CAST(length(text) AS DOUBLE) AS nchars,
+          |   CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+          |   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+          |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+          | FROM documents)""".stripMargin,
+      "txt_lang_id" -> langIdSql,
+      "txt_fingerprint" ->
+        """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          | FROM documents""".stripMargin,
+      "dd_exact_groups" ->
+        """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+          | CAST(min(doc_id) AS BIGINT) AS keep_id,
+          | CAST(count(*) AS BIGINT) AS group_size
+          | FROM documents GROUP BY 1""".stripMargin,
+      "dd_ngram_jaccard" ->
+        """WITH s AS (SELECT DISTINCT doc_id,
+          |   unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+          | sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |   FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+          | inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p
+          |   JOIN s sa ON sa.doc_id = p.id_a
+          |   JOIN s sb ON sb.doc_id = p.id_b AND sb.w = sa.w GROUP BY 1, 2)
+          |SELECT p.id_a, p.id_b,
+          | ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+          |   (na.n + nb.n - COALESCE(i.i, 0)), 6) AS jaccard
+          |FROM pairs p
+          |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          |JOIN sizes na ON na.doc_id = p.id_a
+          |JOIN sizes nb ON nb.doc_id = p.id_b""".stripMargin,
+      "sim_cosine_topk" ->
+        """SELECT query_id, cand_id, cosine, rank FROM (
+          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |     CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+          |   CAST(row_number() OVER (PARTITION BY q.vec_id
+          |     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
+          | FROM embeddings q, embeddings c
+          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |WHERE rank <= 5""".stripMargin,
+      "emb_near_dup" ->
+        """SELECT vec_id AS id_a, CAST(vec_id + 10000 AS BIGINT) AS id_b,
+          | CAST(1.0 AS DOUBLE) AS cosine FROM embeddings""".stripMargin,
+      "mm_bytes" ->
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
+      "mm_frame_fanout" ->
+        """SELECT doc_id, f.frame_no FROM documents,
+          | (VALUES (0), (1), (2)) AS f(frame_no) WHERE doc_id < 50""".stripMargin,
+      "evt_json_extract" ->
+        """SELECT event_id,
+          | CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
+          | FROM events""".stripMargin,
+      "evt_sessionize" ->
+        """WITH l AS (SELECT user_id, epoch_us(ts) AS t,
+          |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS p
+          | FROM events),
+          | n AS (SELECT user_id,
+          |   CASE WHEN p IS NULL OR t - p > 1800000000 THEN 1 ELSE 0 END AS s FROM l)
+          |SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions,
+          | CAST(count(*) AS BIGINT) AS n_events FROM n GROUP BY user_id""".stripMargin,
+      "evt_window_counts" ->
+        """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_start_us,
+          | event_type, CAST(count(*) AS BIGINT) AS n_events,
+          | ROUND(SUM(value), 6) AS total_value
+          | FROM events GROUP BY 1, 2""".stripMargin)
+  }
+}

@@ -1,0 +1,629 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.charset.Charset
+import java.nio.file.Files
+import graft.expr.Exprs
+import graft.io.{Sinks, Sources}
+import graft.ops.Ops
+import graft.profile.Profile
+import graft.quality.Quality
+
+/** SURVEY.md §2 operator inventory as named, DuckDB-oracle-checked queries.
+  *
+  * Contract (driver): for every key here, `oracle` holds ANSI SQL DuckDB
+  * runs over the same parquet tables; the driver sorts columns by name and
+  * hash-compares the row sets. Hence every query is row-set deterministic,
+  * column names match the SQL aliases exactly, and floating aggregates are
+  * rounded identically on both sides. */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val derbyProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+  private def derbyUrl(): String = {
+    // keep derby.log out of the repo
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+  }
+
+  // ---------------------------------------------------------------- sources
+  /** S2 (+K1): CSV round-trip with header + schema inference (dag1.py:45,50). */
+  private val s2CsvScan: Q = (s, dir) => {
+    val out = tmpDir("graft_s2")
+    Sinks.csv(t(s, dir, "nation"), s"$out/nation", coalesce = 1)
+    Sources.csv(s, s"$out/nation")
+      .select(col("n_nationkey").cast(IntegerType), col("n_name"),
+        col("n_regionkey").cast(IntegerType))
+  }
+
+  /** S3: charset sniff (chardet analog, dag1.py:54-58) — the file is
+    * windows-1252 with a 0x96 en-dash, invalid as UTF-8. */
+  private val s3CsvCharset: Q = (s, dir) => {
+    val rows = t(s, dir, "nation").select("n_nationkey", "n_name")
+      .orderBy("n_nationkey").collect()  // 25-row dim: driver-side file synth
+    val f = Files.createTempFile("graft_s3", ".csv")
+    val body = "n_nationkey,tagged_name\n" + rows.map { r =>
+      s"${r.getInt(0)},${r.getString(1)}–"
+    }.mkString("\n")
+    Files.write(f, body.getBytes(Charset.forName("windows-1252")))
+    Sources.csvDetect(s, f.toString)
+      .select(col("n_nationkey").cast(IntegerType), col("tagged_name"))
+  }
+
+  /** S4: JSON table decode re-infers dtypes (the XCom analog,
+    * dag1.py:65-68) — ints widen to long, as pandas read_json does. */
+  private val s4JsonTable: Q = (s, dir) => {
+    val json = t(s, dir, "nation").toJSON
+    Sources.jsonTable(s, json)
+      .select("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  /** S5 (+K2/K3): JDBC scan after a full-refresh load into embedded Derby
+    * (profiling.py:33-38 / dag1.py:272-287). */
+  private val s5JdbcScan: Q = (s, dir) => {
+    val url = derbyUrl()
+    Sinks.jdbcFullRefresh(t(s, dir, "supplier"), url, "SUPPLIER", derbyProps,
+      Some("s_name VARCHAR(64)"))
+    Sources.jdbc(s, url, "SUPPLIER", derbyProps)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
+  /** S6: JDBC scan with limit (the serving API's LIMIT n, api.py:24),
+    * deterministic via an explicit key order. */
+  private val s6JdbcLimit: Q = (s, dir) => {
+    val url = derbyUrl()
+    Sinks.jdbcFullRefresh(t(s, dir, "region"), url, "REGION", derbyProps,
+      Some("r_name VARCHAR(64)"))
+    Sources.jdbc(s, url, "REGION", derbyProps)
+      .orderBy("r_regionkey").limit(3)
+      .select("r_regionkey", "r_name")
+  }
+
+  // ------------------------------------------------------------------ sinks
+  /** K1: CSV sink + re-scan round-trip over a fact-sized table
+    * (dag1.py:199-209). Distributed write (no coalesce). */
+  private val k1CsvRoundtrip: Q = (s, dir) => {
+    val out = tmpDir("graft_k1")
+    Sinks.csv(t(s, dir, "customer"), s"$out/customer")
+    Sources.csv(s, s"$out/customer")
+      .select(col("c_custkey").cast(LongType), col("c_name"),
+        col("c_nationkey").cast(IntegerType), col("c_acctbal").cast(DoubleType),
+        col("c_mktsegment"))
+  }
+
+  /** K2/F11: DDL synthesis from the inferred schema (dag1.py:216-226,
+    * 261-270), exposed as (column, ddl_type) rows. */
+  private val k2DdlSynthesis: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders").schema.fields
+      .map(f => (f.name, Exprs.ddlType(f.dataType))).toSeq
+      .toDF("col_name", "ddl_type")
+  }
+
+  /** K3: truncate-and-reload semantics — the second write must replace,
+    * not append (dag1.py:272-287). */
+  private val k3FullRefresh: Q = (s, dir) => {
+    val url = derbyUrl()
+    val region = t(s, dir, "region")
+    Sinks.jdbcFullRefresh(region, url, "REGION", derbyProps, Some("r_name VARCHAR(64)"))
+    Sinks.jdbcFullRefresh(region, url, "REGION", derbyProps, Some("r_name VARCHAR(64)"))
+    Sources.jdbc(s, url, "REGION", derbyProps).select("r_regionkey", "r_name")
+  }
+
+  /** K4 + PR1/PR2: single-pass profile → HTML report sink
+    * (profiling.py:50-54); the count/missing/distinct stats double as the
+    * oracle-checked surface. */
+  private val k4ProfileSink: Q = (s, dir) => {
+    import s.implicits._
+    val p = Profile.profile(t(s, dir, "region"), "region", exact = true)
+    Profile.writeHtml(p, s"${tmpDir("graft_k4")}/region_report.html")
+    p.profiles.map(c => (c.name, c.count, c.missing, c.distinct)).toSeq
+      .toDF("col_name", "cnt", "missing", "n_distinct")
+  }
+
+  // ------------------------------------------------------- row-slicing ops
+  /** R1: skip leading rows under an explicit order (dag1.py:26). */
+  private val r1SkipLeading: Q = (s, dir) =>
+    Ops.dropLeading(t(s, dir, "nation"), 2, Seq(col("n_nationkey")))
+      .select("n_nationkey", "n_name", "n_regionkey")
+
+  /** R2: drop trailing/footer rows (dag1.py:38,46). */
+  private val r2FooterDrop: Q = (s, dir) =>
+    Ops.dropTrailing(t(s, dir, "nation"), 2, Seq(col("n_nationkey")))
+      .select("n_nationkey", "n_name", "n_regionkey")
+
+  /** R3: drop column (dag1.py:28,115). */
+  private val r3DropColumn: Q = (s, dir) =>
+    t(s, dir, "nation").drop("n_regionkey")
+
+  /** R4: promote first row to header (dag1.py:30-32). */
+  private val r4HeaderPromote: Q = (s, dir) => {
+    import s.implicits._
+    val data = t(s, dir, "region").select(
+      (col("r_regionkey") + 1).cast(LongType).as("__idx"),
+      col("r_regionkey").cast(StringType).as("_c0"),
+      col("r_name").as("_c1"))
+    val header = Seq((0L, "key", "name")).toDF("__idx", "_c0", "_c1")
+    Ops.promoteHeader(header.unionByName(data), "__idx").drop("__idx")
+  }
+
+  // ------------------------------------------------ projection/rename/filter
+  /** P1: column subset projection (dag1.py:86-89 etc). */
+  private val p1Projection: Q = (s, dir) =>
+    t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  /** P2: rename columns (dag1.py:36-37,95 etc). */
+  private val p2Rename: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumnRenamed("o_totalprice", "total_price")
+      .withColumnRenamed("o_orderstatus", "status")
+      .select("o_orderkey", "total_price", "status")
+
+  /** P3: normalize all column names (space/dot → underscore, literal;
+    * dag1.py:247-248). */
+  private val p3NormalizeColumns: Q = (s, dir) => {
+    val weird = t(s, dir, "nation")
+      .withColumnRenamed("n_name", " n name ")
+      .withColumnRenamed("n_regionkey", "n.regionkey")
+    Ops.normalizeColumns(weird)
+  }
+
+  /** P4: predicate filter (dag1.py:103,137 implicit). */
+  private val p4Filter: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  // ------------------------------------------------------------ scalar fns
+  /** F1: zero-pad FIPS-style key (dag1.py:39-40). */
+  private val f1FipsPad: Q = (s, dir) =>
+    t(s, dir, "nation").select(col("n_nationkey"),
+      Exprs.fipsPad(col("n_nationkey")).as("fips"))
+
+  /** F2: currency string → double (dag1.py:88): format to "$1,234.56" then
+    * parse back. */
+  private val f2CurrencyParse: Q = (s, dir) =>
+    t(s, dir, "orders").select(col("o_orderkey"),
+      Exprs.moneyToDouble(concat(lit("$"), format_number(col("o_totalprice"), 2)))
+        .as("parsed_price"))
+
+  /** F3: lenient cast — "(NA)" → null (dag1.py:103,118). */
+  private val f3LenientCast: Q = (s, dir) =>
+    t(s, dir, "orders").select(col("o_orderkey"),
+      Exprs.tryDouble(
+        when(col("o_orderkey") % 10 === 0, lit("(NA)"))
+          .otherwise(col("o_totalprice").cast(StringType)))
+        .as("lenient_price"))
+
+  /** F4: strip embedded quotes (dag1.py:98). */
+  private val f4StripQuotes: Q = (s, dir) =>
+    t(s, dir, "nation").select(col("n_nationkey"),
+      Exprs.stripQuotes(concat(lit("\""), col("n_name"), lit("\""))).as("unquoted"))
+
+  /** F5: trim whitespace (dag1.py:106,109). */
+  private val f5Trim: Q = (s, dir) =>
+    t(s, dir, "nation").select(col("n_nationkey"),
+      trim(concat(lit("  "), col("n_name"), lit("  "))).as("trimmed"))
+
+  /** F6: remove literal char — '*' (dag1.py:117). */
+  private val f6StripChars: Q = (s, dir) =>
+    t(s, dir, "nation").select(col("n_nationkey"),
+      Exprs.stripChars(concat(col("n_name"), lit("*")), "*").as("cleaned"))
+
+  /** F7: arithmetic scale ×1e6 (dag1.py:103). */
+  private val f7Scale: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * lit(1e6)).as("price_scaled"))
+
+  /** F8+A2: ratio with 0/0→NaN→null, then a NaN-skipping mean — the
+    * inflation-multiplier trap (dag1.py:153,164). */
+  private val f8RatioNanMean: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val zero = col("l_orderkey") % 7 === 0
+    li.select(col("l_returnflag"),
+        Exprs.ratioNanNull(
+          when(zero, lit(0.0)).otherwise(col("l_discount")),
+          when(zero, lit(0.0)).otherwise(col("l_quantity"))).as("ratio"))
+      .groupBy("l_returnflag")
+      .agg(round(avg(col("ratio")), 6).as("mean_ratio"))
+  }
+
+  /** F9: strict int cast (dag1.py:110). */
+  private val f9IntCast: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast(IntegerType).as("qty_int"))
+
+  /** F10: coalesce backfill after an outer join (dag1.py:113). */
+  private val f10Coalesce: Q = (s, dir) => {
+    val n = t(s, dir, "nation").filter(col("n_regionkey") < 2)
+      .select(col("n_nationkey"), col("n_name"))
+    val c = t(s, dir, "customer").select(col("c_nationkey")).distinct()
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .select(col("c_nationkey"), coalesce(col("n_name"), lit("UNKNOWN")).as("name"))
+  }
+
+  // --------------------------------------------------------------- reshape
+  /** W1: unpivot/melt, unemployment shape (dag1.py:82) — wide per-year
+    * columns back to long rows. */
+  private val w1UnpivotOrders: Q = (s, dir) => {
+    val wide = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .pivot(year(col("o_orderdate")), (1995 to 2001).map(Integer.valueOf))
+      .agg(round(sum(col("o_totalprice")), 2))
+    Ops.melt(wide, Seq("o_custkey"), "yr", "total")
+  }
+
+  /** W2: unpivot/melt, GDP shape (dag1.py:96) — more value columns, long
+    * counts. */
+  private val w2UnpivotLineitem: Q = (s, dir) => {
+    val wide = t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .pivot(year(col("l_shipdate")), (1995 to 2001).map(Integer.valueOf))
+      .agg(count(lit(1)))
+    Ops.melt(wide, Seq("l_suppkey"), "yr", "n")
+  }
+
+  /** W3: full-row dedup (dag1.py drop_duplicates, 15 sites). */
+  private val w3DedupDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+  /** W3 keyed variant: deterministic keep-first-by-tiebreak dedup. */
+  private val w3DedupKeys: Q = (s, dir) =>
+    Ops.dedupKeys(t(s, dir, "orders"), Seq("o_custkey"), Seq(col("o_orderkey")))
+      .select("o_custkey", "o_orderkey")
+
+  // ----------------------------------------------------------------- joins
+  /** J1+F10: full-outer equi-join with coalesce backfill (dag1.py:111-113). */
+  private val j1FullOuter: Q = (s, dir) => {
+    val a = t(s, dir, "nation").filter(col("n_regionkey") < 2)
+      .select(col("n_nationkey").as("k"), col("n_name"))
+    val b = t(s, dir, "customer").filter(col("c_nationkey") >= 5)
+      .select(col("c_nationkey").as("k")).distinct()
+    a.join(b, a("k") === b("k"), "full_outer")
+      .select(coalesce(a("k"), b("k")).as("geo_key"),
+        coalesce(col("n_name"), lit("NONE")).as("name"),
+        b("k").isNotNull.as("in_customers"))
+  }
+
+  /** J2+A6: surrogate-key dim joined back on the 3-col natural key,
+    * broadcast (dag1.py:134-137). */
+  private val j2Broadcast3col: Q = (s, dir) => {
+    val part = t(s, dir, "part")
+    val dim = Ops.surrogateKey(part, Seq("p_brand", "p_type", "p_size"), "sk_id")
+    part.join(broadcast(dim), Seq("p_brand", "p_type", "p_size"))
+      .select("p_partkey", "sk_id")
+  }
+
+  /** J3: inner join on name — location-style dim drops unmatched rows
+    * (dag1.py:139). */
+  private val j3NameJoinCustomer: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val loc = nation.filter(col("n_regionkey") < 3).select("n_name")
+    t(s, dir, "customer")
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+      .join(broadcast(loc), Seq("n_name"))
+      .select("c_custkey", "n_name")
+  }
+
+  /** J4: inner join on name, supplier side (dag1.py:157). */
+  private val j4NameJoinSupplier: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val loc = nation.filter(col("n_regionkey").isin(0, 2, 4)).select("n_name")
+    t(s, dir, "supplier")
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+      .join(broadcast(loc), Seq("n_name"))
+      .select("s_suppkey", "n_name")
+  }
+
+  // ------------------------------------------------------------ aggregates
+  /** A1: group-by mean (dag1.py:164). */
+  private val a1GroupbyMean: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(avg(col("l_quantity")), 6).as("mean_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+
+  /** A3: duplicate-key count (dag1.py:74,78). */
+  private val a3DuplicateCount: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_orderkey").count()
+      .agg(coalesce(sum(when(col("count") > 1, col("count") - 1)), lit(0L))
+        .as("excess_dup_rows"))
+
+  /** A4: null-key existence (dag1.py:72). */
+  private val a4NullKeyCount: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_keys"))
+
+  /** A5: the PK gate itself — query succeeds only if the gate passes
+    * (dag1.py:71-79). */
+  private val a5PkGate: Q = (s, dir) => {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    Quality.checkPrimaryKey(orders, Seq("o_orderkey"), "orders")
+    val (nulls, dups) = Quality.keyStats(orders, Seq("o_orderkey"))
+    Seq(("orders", nulls, dups, orders.count()))
+      .toDF("table_name", "null_keys", "dup_keys", "n_rows")
+  }
+
+  /** A6: deterministic ordinal surrogate key (dag1.py:134-135). */
+  private val a6SurrogateKey: Q = (s, dir) =>
+    Ops.surrogateKey(t(s, dir, "part"), Seq("p_brand", "p_type", "p_size"), "sk_id")
+
+  /** L1: LIMIT with a defining sort (api.py:24; SURVEY §7.4 determinism). */
+  private val l1Limit: Q = (s, dir) =>
+    t(s, dir, "orders").orderBy("o_orderkey").limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  // ------------------------------------------------------------- profiling
+  /** PR1: count / missing (profiling.py:50). */
+  private val pr1Missing: Q = (s, dir) => {
+    val o = t(s, dir, "orders").withColumn("p",
+      when(col("o_orderkey") % 5 === 0, lit(null).cast(DoubleType))
+        .otherwise(col("o_totalprice")))
+    o.agg(count(lit(1)).as("n_rows"), count(col("p")).as("n_present"),
+      sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_missing"))
+  }
+
+  /** PR2: exact distinct counts (HLL variant is Profile's default). */
+  private val pr2Distinct: Q = (s, dir) =>
+    t(s, dir, "customer").agg(
+      count_distinct(col("c_mktsegment")).as("n_segments"),
+      count_distinct(col("c_nationkey")).as("n_nations"))
+
+  /** PR3: moments in one pass (skew/kurt live in Profile; their sample vs
+    * population definitions differ across engines, so the oracle checks
+    * mean/std/min/max). */
+  private val pr3Moments: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      round(avg(col("l_extendedprice")), 6).as("mean_price"),
+      round(stddev(col("l_extendedprice")), 6).as("std_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
+  /** PR4: exact interpolated quantiles. */
+  private val pr4Quantiles: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(round(element_at(col("p"), 1), 6).as("q1"),
+        round(element_at(col("p"), 2), 6).as("q2"),
+        round(element_at(col("p"), 3), 6).as("q3"))
+
+  /** PR5: duplicate full rows. */
+  private val pr5DupRows: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    li.agg((count(lit(1)) -
+      count_distinct(struct(li.columns.map(col): _*))).as("dup_rows"))
+  }
+
+  /** PR6: correlation matrix entries. */
+  private val pr6Correlation: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+      round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
+
+  // ------------------------------------------------------------------- maps
+  val queries: Map[String, Q] = Map(
+    "s2_csv_scan" -> s2CsvScan,
+    "s3_csv_charset" -> s3CsvCharset,
+    "s4_json_table" -> s4JsonTable,
+    "s5_jdbc_scan" -> s5JdbcScan,
+    "s6_jdbc_limit" -> s6JdbcLimit,
+    "k1_csv_roundtrip" -> k1CsvRoundtrip,
+    "k2_ddl_synthesis" -> k2DdlSynthesis,
+    "k3_jdbc_full_refresh" -> k3FullRefresh,
+    "k4_profile_sink" -> k4ProfileSink,
+    "r1_skip_leading" -> r1SkipLeading,
+    "r2_footer_drop" -> r2FooterDrop,
+    "r3_drop_column" -> r3DropColumn,
+    "r4_header_promote" -> r4HeaderPromote,
+    "p1_projection" -> p1Projection,
+    "p2_rename" -> p2Rename,
+    "p3_normalize_columns" -> p3NormalizeColumns,
+    "p4_filter" -> p4Filter,
+    "f1_fips_pad" -> f1FipsPad,
+    "f2_currency_parse" -> f2CurrencyParse,
+    "f3_lenient_cast" -> f3LenientCast,
+    "f4_strip_quotes" -> f4StripQuotes,
+    "f5_trim" -> f5Trim,
+    "f6_strip_chars" -> f6StripChars,
+    "f7_scale" -> f7Scale,
+    "f8_ratio_nan_mean" -> f8RatioNanMean,
+    "f9_int_cast" -> f9IntCast,
+    "f10_coalesce_backfill" -> f10Coalesce,
+    "w1_unpivot_orders" -> w1UnpivotOrders,
+    "w2_unpivot_lineitem" -> w2UnpivotLineitem,
+    "w3_dedup_distinct" -> w3DedupDistinct,
+    "w3_dedup_keys" -> w3DedupKeys,
+    "j1_full_outer_coalesce" -> j1FullOuter,
+    "j2_broadcast_3col_join" -> j2Broadcast3col,
+    "j3_name_join_customer" -> j3NameJoinCustomer,
+    "j4_name_join_supplier" -> j4NameJoinSupplier,
+    "a1_groupby_mean" -> a1GroupbyMean,
+    "a3_duplicate_count" -> a3DuplicateCount,
+    "a4_null_key_count" -> a4NullKeyCount,
+    "a5_pk_gate" -> a5PkGate,
+    "a6_surrogate_key" -> a6SurrogateKey,
+    "l1_limit" -> l1Limit,
+    "pr1_missing" -> pr1Missing,
+    "pr2_distinct" -> pr2Distinct,
+    "pr3_moments" -> pr3Moments,
+    "pr4_quantiles" -> pr4Quantiles,
+    "pr5_dup_rows" -> pr5DupRows,
+    "pr6_correlation" -> pr6Correlation)
+
+  val oracle: Map[String, String] = Map(
+    "s2_csv_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s3_csv_charset" ->
+      "SELECT n_nationkey, n_name || chr(8211) AS tagged_name FROM nation",
+    "s4_json_table" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
+    "s5_jdbc_scan" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "s6_jdbc_limit" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 3",
+    "k1_csv_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "k2_ddl_synthesis" ->
+      """SELECT * FROM (VALUES
+        | ('o_orderkey', 'BIGINT'), ('o_custkey', 'BIGINT'),
+        | ('o_orderstatus', 'TEXT'), ('o_totalprice', 'DOUBLE PRECISION'),
+        | ('o_orderdate', 'TIMESTAMP'), ('o_orderpriority', 'TEXT'))
+        | AS t(col_name, ddl_type)""".stripMargin,
+    "k3_jdbc_full_refresh" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "k4_profile_sink" ->
+      """SELECT 'r_regionkey' AS col_name, CAST(count(r_regionkey) AS BIGINT) AS cnt,
+        | CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+        | CAST(count(DISTINCT r_regionkey) AS BIGINT) AS n_distinct FROM region
+        |UNION ALL
+        |SELECT 'r_name', CAST(count(r_name) AS BIGINT),
+        | CAST(sum(CASE WHEN r_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT r_name) AS BIGINT) FROM region""".stripMargin,
+    "r1_skip_leading" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        | WHERE n_nationkey NOT IN
+        | (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2)""".stripMargin,
+    "r2_footer_drop" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        | WHERE n_nationkey NOT IN
+        | (SELECT n_nationkey FROM nation ORDER BY n_nationkey DESC LIMIT 2)""".stripMargin,
+    "r3_drop_column" ->
+      "SELECT n_nationkey, n_name FROM nation",
+    "r4_header_promote" ->
+      "SELECT CAST(r_regionkey AS VARCHAR) AS key, r_name AS name FROM region",
+    "p1_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    "p2_rename" ->
+      "SELECT o_orderkey, o_totalprice AS total_price, o_orderstatus AS status FROM orders",
+    "p3_normalize_columns" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "p4_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        | WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+    "f1_fips_pad" ->
+      "SELECT n_nationkey, lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS fips FROM nation",
+    "f2_currency_parse" ->
+      "SELECT o_orderkey, o_totalprice AS parsed_price FROM orders",
+    "f3_lenient_cast" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_totalprice END AS lenient_price
+        | FROM orders""".stripMargin,
+    "f4_strip_quotes" ->
+      "SELECT n_nationkey, n_name AS unquoted FROM nation",
+    "f5_trim" ->
+      "SELECT n_nationkey, n_name AS trimmed FROM nation",
+    "f6_strip_chars" ->
+      "SELECT n_nationkey, n_name AS cleaned FROM nation",
+    "f7_scale" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * 1000000.0 AS price_scaled
+        | FROM lineitem""".stripMargin,
+    "f8_ratio_nan_mean" ->
+      """SELECT l_returnflag,
+        | ROUND(AVG(CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |   ELSE l_discount / l_quantity END), 6) AS mean_ratio
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "f9_int_cast" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int
+        | FROM lineitem""".stripMargin,
+    "f10_coalesce_backfill" ->
+      """SELECT c.c_nationkey, COALESCE(n.n_name, 'UNKNOWN') AS name
+        | FROM (SELECT DISTINCT c_nationkey FROM customer) c
+        | LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2) n
+        |   ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "w1_unpivot_orders" ->
+      """SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | ROUND(SUM(o_totalprice), 2) AS total
+        | FROM orders GROUP BY o_custkey, year(o_orderdate)""".stripMargin,
+    "w2_unpivot_lineitem" ->
+      """SELECT l_suppkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+        | CAST(count(*) AS BIGINT) AS n
+        | FROM lineitem GROUP BY l_suppkey, year(l_shipdate)""".stripMargin,
+    "w3_dedup_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "w3_dedup_keys" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        | SELECT o_custkey, o_orderkey,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        | FROM orders) WHERE rn = 1""".stripMargin,
+    "j1_full_outer_coalesce" ->
+      """SELECT COALESCE(a.k, b.k) AS geo_key, COALESCE(a.n_name, 'NONE') AS name,
+        | b.k IS NOT NULL AS in_customers
+        | FROM (SELECT n_nationkey AS k, n_name FROM nation WHERE n_regionkey < 2) a
+        | FULL OUTER JOIN
+        |   (SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_nationkey >= 5) b
+        |   ON a.k = b.k""".stripMargin,
+    "j2_broadcast_3col_join" ->
+      """SELECT p.p_partkey, d.sk_id FROM part p JOIN (
+        | SELECT p_brand, p_type, p_size,
+        |   CAST(row_number() OVER (ORDER BY p_brand, p_type, p_size) - 1 AS INTEGER) AS sk_id
+        | FROM (SELECT DISTINCT p_brand, p_type, p_size FROM part)) d
+        | USING (p_brand, p_type, p_size)""".stripMargin,
+    "j3_name_join_customer" ->
+      """SELECT c_custkey, n.n_name FROM customer c
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | WHERE n.n_regionkey < 3""".stripMargin,
+    "j4_name_join_supplier" ->
+      """SELECT s_suppkey, n.n_name FROM supplier s
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | WHERE n.n_regionkey IN (0, 2, 4)""".stripMargin,
+    "a1_groupby_mean" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(AVG(l_quantity), 6) AS mean_qty,
+        | ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        | CAST(count(*) AS BIGINT) AS n
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a3_duplicate_count" ->
+      """SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS excess_dup_rows FROM
+        | (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey) WHERE cnt > 1""".stripMargin,
+    "a4_null_key_count" ->
+      """SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | AS null_keys FROM orders""".stripMargin,
+    "a5_pk_gate" ->
+      """SELECT 'orders' AS table_name, CAST(0 AS BIGINT) AS null_keys,
+        | CAST(0 AS BIGINT) AS dup_keys, CAST(count(*) AS BIGINT) AS n_rows
+        | FROM orders""".stripMargin,
+    "a6_surrogate_key" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(row_number() OVER (ORDER BY p_brand, p_type, p_size) - 1 AS INTEGER) AS sk_id
+        | FROM (SELECT DISTINCT p_brand, p_type, p_size FROM part)""".stripMargin,
+    "l1_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "pr1_missing" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(p) AS BIGINT) AS n_present,
+        | CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        | FROM (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS p
+        |       FROM orders)""".stripMargin,
+    "pr2_distinct" ->
+      """SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        | CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations FROM customer""".stripMargin,
+    "pr3_moments" ->
+      """SELECT ROUND(AVG(l_extendedprice), 6) AS mean_price,
+        | ROUND(stddev(l_extendedprice), 6) AS std_price,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        | FROM lineitem""".stripMargin,
+    "pr4_quantiles" ->
+      """SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        | ROUND(quantile_cont(l_quantity, 0.5), 6) AS q2,
+        | ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3 FROM lineitem""".stripMargin,
+    "pr5_dup_rows" ->
+      """SELECT CAST((SELECT count(*) FROM lineitem) -
+        | (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem)) AS BIGINT)
+        | AS dup_rows""".stripMargin,
+    "pr6_correlation" ->
+      """SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""".stripMargin)
+}

@@ -1,0 +1,135 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers, as a 100 TB pipeline needs:
+  *   - brute-force cosine top-k: the exact baseline. The query set is
+  *     broadcast (small side), the corpus streams — one map-side pass plus
+  *     a per-query top-k aggregation; no corpus shuffle.
+  *   - LSH-bucketed ANN (random hyperplane signatures): corpus hashed
+  *     map-side into sign-pattern buckets; candidates only within matching
+  *     buckets (multi-probe over bands), then exact rerank. Candidate count
+  *     scales with bucket occupancy, not O(|corpus|·|queries|).
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions over
+  * the array column — no UDF, no per-row JVM boxing beyond the array
+  * itself. */
+object Similarity {
+
+  /** Dot product of two equal-length float vectors (double accumulator). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity; null-safe 0 for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors. `queries` must be the small side — it is broadcast; the
+    * corpus is scanned once, and the per-query top-k runs as a window over
+    * (query, candidate) scores partitioned by query id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 6))
+    // rank on the ROUNDED score so near-ties at double-ulp level resolve to
+    // the deterministic cand_id tie-break (cross-engine reproducible order)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane signature: `bits` sign bits, hyperplane components
+    * derived from a seeded hash of (plane, dimension) — deterministic,
+    * no stored model, identical on every executor. */
+  def rhpSignature(vec: Column, bits: Int = 16, seed: Int = 42): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    array((0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, i) => {
+          // hash → pseudo-random in [-1, 1)
+          val h = xxhash64(i, lit(p), lit(seed))
+          x.cast(DoubleType) * (h.cast(DoubleType) / lit(Long.MaxValue.toDouble))
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    }: _*)
+  }
+
+  /** LSH ANN: signatures split into `bands`; candidate pairs share a band
+    * bucket; exact cosine rerank keeps top-k per query. Recall is tunable
+    * via bits/bands; at 100 TB the bucket join replaces the full cross
+    * product. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
+    val rowsPerBand = bits / bands
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          rhpSignature(col(vecCol), bits, seed).as("sig"))
+        .select(col(id), col(vec),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))))
+            .as("bb"))
+        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+
+    val qb = banded(queries, "query_id", "qvec")
+    val cb = banded(corpus, "cand_id", "cvec")
+    val cand = cb.join(qb.hint("broadcast"),
+        qb("band") === cb("band") && qb("bucket") === cb("bucket") &&
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qvec"), col("cvec"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** Embedding near-dup pairs: all pairs with cosine ≥ threshold found via
+    * LSH buckets + exact verification (the embedding member of the dedup
+    * family). */
+  def cosineNearDups(df: DataFrame, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     bits: Int = 16, bands: Int = 8, seed: Int = 42): DataFrame = {
+    val rowsPerBand = bits / bands
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        rhpSignature(col(vecCol), bits, seed).as("sig"))
+      .select(col("id"), col("vec"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))))
+          .as("bb"))
+      .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All are pure Catalyst expression compositions (no UDFs) — codegen'd,
+  * embarrassingly parallel, no shuffle: they scale linearly with input
+  * splits at 100 TB. */
+object TextOps {
+
+  /** Whitespace tokenization (training-data token accounting baseline). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count via whitespace runs. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(tokens(c))).cast(LongType)
+
+  /** BPE-ish subword count estimate: word-piece regex match — letter runs,
+    * digit runs, single punctuation marks — approximating a byte-level
+    * BPE's pre-tokenizer. Match-based (RE2-compatible pattern, no
+    * lookarounds) so the same regex runs on any engine. */
+  val subwordPattern = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(subwordPattern), lit(0))).cast(LongType)
+
+  /** Character n-gram shingles of the normalized text (basis for MinHash /
+    * Jaccard dedup). Uses sequence+transform — one pass, no UDF. */
+  def charShingles(c: Column, k: Int = 5): Column = {
+    val norm = lower(regexp_replace(c, "\\s+", " "))
+    when(length(norm) < k, array(norm)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(norm) - k + 1),
+        i => norm.substr(i, lit(k)))))
+  }
+
+  /** Word n-grams over whitespace tokens. */
+  def wordNgrams(c: Column, n: Int = 3): Column = {
+    val ts = tokens(c)
+    when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, n))))
+  }
+
+  // Tiny public stopword marker sets per language — the n-gram-heuristic
+  // language identifier scores languages by marker-token hits. Public so
+  // the oracle SQL mirror can be generated from the same table.
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "une"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "una"))
+
+  /** Language-ID heuristic: argmax over marker-token hit counts; 'und'
+    * (undetermined) when nothing matches. Deterministic tie-break by
+    * language code. */
+  def langId(c: Column): Column = {
+    val toks = transform(tokens(lower(c)), t => regexp_replace(t, "[^\\p{L}]", ""))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val score = size(array_intersect(array_distinct(toks), array(ms.map(lit): _*)))
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio, punctuation
+    * ratio and mean word length — the classic cheap pre-filter for web-scale
+    * corpora. */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast(DoubleType)
+    val alpha = length(regexp_replace(c, "[^\\p{L} ]", "")).cast(DoubleType)
+    val punct = length(regexp_replace(c, "[^.,;:!?]", "")).cast(DoubleType)
+    val nTok = tokenCount(c).cast(DoubleType)
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val alphaScore = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val punctScore = when(len > 0, lit(1.0) - least(punct / len * 10, lit(1.0))).otherwise(lit(0.0))
+    val wordLen = when(nTok > 0, len / nTok).otherwise(lit(0.0))
+    val wordScore = when(wordLen.between(3, 12), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.25 + alphaScore * 0.35 + punctScore * 0.2 + wordScore * 0.2, 6)
+  }
+
+  /** Content fingerprint: 64-bit hash of whitespace/case-normalized text —
+    * the exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    xxhash64(lower(regexp_replace(c, "\\s+", " ")))
+
+  /** Rolling-hash winnowing-style fingerprint: the MIN of the shingle
+    * hashes (a 1-permutation MinHash) — robust to small edits, constant
+    * size per document. */
+  def minShingleHash(c: Column, k: Int = 5): Column =
+    array_min(transform(charShingles(c, k), s => xxhash64(s)))
+}
