@@ -1,13 +1,19 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.queries.{ExtensionQueries, RelationalQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    RelationalQueries.queries("a1_groupby_mean")(spark, "/root/testdata/sf0.001")
+  /** One entry per implemented operator from SURVEY.md §2 (+ LLM-pipeline
+    * extensions over documents/embeddings/events). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ ExtensionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. LSH-bucketed ops (dd_minhash_lsh, dd_simhash,
+    * sim_lsh_ann) are rows-only: their output is defined by the bucketing,
+    * so they are verified by planted-duplicate ScalaTest recall checks. */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracle ++ ExtensionQueries.oracle
 }

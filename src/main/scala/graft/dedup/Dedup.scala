@@ -73,7 +73,7 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), b).as("bucket"))))
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("text"), col("bb.band"), col("bb.bucket"))
 
@@ -127,12 +127,12 @@ object Dedup {
         zip_with(
           acc,
           transform(sequence(lit(0), lit(63)),
-            b => when(shiftright(h, b.cast(IntegerType)).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
+            b => when(call_function("shiftright", h, b.cast(IntegerType)).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
           (a, v) => a + v)
       },
       votes => aggregate(
         zip_with(votes, sequence(lit(0), lit(63)),
-          (v, b) => when(v > 0, shiftleft(lit(1L), b.cast(IntegerType))).otherwise(0L)),
+          (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(0L)),
         lit(0L), (a, x) => a + x))
   }
 
@@ -148,7 +148,7 @@ object Dedup {
     val blocked = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("blk"),
-          shiftright(col("sig"), (b * 16).cast(IntegerType)).bitwiseAND(0xFFFFL).as("key"))))
+          call_function("shiftright", col("sig"), (b * 16).cast(IntegerType)).bitwiseAND(0xFFFFL).as("key"))))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.blk"), col("bb.key"))
     val a = blocked.alias("a"); val b = blocked.alias("b")

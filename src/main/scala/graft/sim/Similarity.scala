@@ -87,7 +87,7 @@ object Similarity {
         .select(col(id), col(vec),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
-              concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))))
+              concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
             .as("bb"))
         .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
 
@@ -119,7 +119,7 @@ object Similarity {
       .select(col("id"), col("vec"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))))
+            concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
           .as("bb"))
       .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
     val a = banded.alias("a"); val b = banded.alias("b")

@@ -41,7 +41,7 @@ object TextOps {
     val ts = tokens(c)
     when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(
       transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, n))))
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
   }
 
   // Tiny public stopword marker sets per language — the n-gram-heuristic
