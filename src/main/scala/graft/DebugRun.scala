@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Scratch runner: `runMain graft.DebugRun <sfDir> <query...>` — runs the
+  * named SparkEntry queries eagerly and prints full stack traces. */
+object DebugRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.tail.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        println(s"=== $name OK rows=${df.count()}")
+        df.show(5, truncate = false)
+      } catch {
+        case e: Throwable =>
+          println(s"=== $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          e.printStackTrace(System.out)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -34,22 +34,27 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: `numHashes` permutations approximated by seeded
-    * xxhash64 over the shingle set (standard public construction).
+  /** MinHash signatures for a whole corpus: `numHashes` permutations
+    * approximated by seeded hashing over the shingle set (standard public
+    * construction). Returns (id, sig: array<bigint>).
     *
-    * Single pass over the shingles: each shingle emits its `numHashes`
-    * seeded hashes once and the signature is the element-wise running min.
-    * (The naive per-seed formulation re-evaluates the shingle expression
-    * `numHashes` times after Catalyst's CollapseProject inlines it — 64×
-    * the work at 100 TB.) */
-  def minHashSignature(textCol: Column, numHashes: Int = 64, shingleK: Int = 5): Column =
-    aggregate(
-      TextOps.charShingles(textCol, shingleK),
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
-        (a, b) => least(a, b)))
+    * Cost model matters at 100 TB, so the shape is explode → codegen'd
+    * hash-aggregate, not a higher-order-function fold (HOFs run
+    * interpreted — measured minutes vs seconds on a 500-doc batch):
+    *   - each shingle STRING is hashed exactly once (`xxhash64(s)`); the
+    *     per-permutation values re-hash only that fixed-width 8-byte long,
+    *   - the 64 `min` aggregates are whole-stage-codegen'd with map-side
+    *     partial aggregation, so the shuffle carries ONE 64-long row per
+    *     document, never the exploded shingles. */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))))
+    df.select(col(idCol).as("id"),
+        explode(TextOps.charShingles(col(textCol), shingleK)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .groupBy("id")
+      .agg(array(aggs: _*).as("sig"))
+  }
 
   /** MinHash-LSH candidate pairs: signature split into `bands` bands of
     * rows; docs sharing any band bucket become candidates; candidates are
@@ -63,32 +68,49 @@ object Dedup {
                       threshold: Double = 0.7, bands: Int = 16,
                       rowsPerBand: Int = 4, shingleK: Int = 5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(
-      col(idCol).as("id"),
-      col(textCol).as("text"),
-      minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val sig = minHashSignatures(df, textCol, idCol, numHashes, shingleK)
 
     val banded = sig.select(
-      col("id"), col("text"),
+      col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
         .as("bb"))
-      .select(col("id"), col("text"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
     val a = banded.alias("a")
     val b = banded.alias("b")
+    // Bucket join carries only (id, band, bucket) — texts are joined back
+    // for verification AFTER candidate pruning, so the wide text column
+    // never rides the candidate shuffle.
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // Exact-Jaccard verification, computed distributively: explode each
+    // doc's (distinct) shingle set once, count per-pair intersections with
+    // a codegen'd join+groupBy over the CANDIDATE pairs only. The pairwise
+    // array-expression form (shingleJaccard) re-derives both shingle
+    // arrays per pair in interpreted HOFs — measured 65 s vs <2 s on a
+    // 500-doc batch — and would recompute per long document at scale.
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextOps.charShingles(col(textCol), shingleK)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.toDF("id_a", "sh"), "id_a")
+      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     candidates
-      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b"), shingleK))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .withColumn("jaccard",
+        coalesce(col("i"), lit(0L)).cast(DoubleType) /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -111,29 +133,28 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
-  /** SimHash: 64-bit locality-sensitive signature — per-token hashes vote
-    * ±1 on each bit; sign of the vote sets the bit.
+  /** SimHash signatures for a whole corpus: 64-bit locality-sensitive
+    * signature — per-token hashes vote ±1 on each bit; sign of the vote
+    * sets the bit. Returns (id, sig: bigint).
     *
-    * One pass over the tokens (64-long vote vector as the aggregation
-    * state, bit-packing in the finish lambda) — the per-bit formulation
-    * would rescan the token array 64 times. Map-side only. */
-  def simHash(textCol: Column): Column = {
-    val toks = array_distinct(TextOps.tokens(lower(textCol)))
-    aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(
-          acc,
-          transform(sequence(lit(0), lit(63)),
-            b => when(call_function("shiftright", h, b.cast(IntegerType)).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
-          (a, v) => a + v)
-      },
-      votes => aggregate(
-        zip_with(votes, sequence(lit(0), lit(63)),
-          (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(0L)),
-        lit(0L), (a, x) => a + x))
+    * Same scale shape as [[minHashSignatures]]: explode tokens → hash each
+    * token string once → 64 codegen'd `sum` aggregates (map-side partial),
+    * then pack the sign bits with a bitwise OR fold. The shuffle carries
+    * one 64-long row per document. */
+  def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"b$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.tokens(lower(col(textCol))))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("sig"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -144,11 +165,11 @@ object Dedup {
     * pigeonhole principle), verified by full Hamming distance ≤ maxDist. */
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = simHashSignatures(df, textCol, idCol)
     val blocked = sigs.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("blk"),
-          call_function("shiftright", col("sig"), (b * 16).cast(IntegerType)).bitwiseAND(0xFFFFL).as("key"))))
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.blk"), col("bb.key"))
     val a = blocked.alias("a"); val b = blocked.alias("b")

@@ -48,7 +48,10 @@ object Exprs {
     * pandas `mean` skips NaN while Spark `avg` only skips null — so NaN is
     * normalized to null here (dag1.py:153 + dag1.py:164; SURVEY §7.4). */
   def ratioNanNull(num: Column, den: Column): Column = {
-    val r = num.cast(DoubleType) / den.cast(DoubleType)
+    // try_divide: x/0 → null under any ANSI posture (plain `/` throws with
+    // ANSI on, Spark 4's default); pandas 0/0-NaN rows are likewise skipped
+    // by mean, so null is the faithful aggregate-visible value.
+    val r = try_divide(num.cast(DoubleType), den.cast(DoubleType))
     when(isnan(r), lit(null).cast(DoubleType)).otherwise(r)
   }
 
@@ -65,7 +68,7 @@ object Exprs {
     case _: DecimalType                     => "DECIMAL"
     case BooleanType                        => "BOOLEAN"
     case DateType                           => "DATE"
-    case TimestampType                      => "TIMESTAMP"
+    case TimestampType | TimestampNTZType   => "TIMESTAMP"
     case _                                  => "TEXT"
   }
 

@@ -20,12 +20,19 @@ object Sources {
 
   /** S2 — CSV scan with header + schema inference (dag1.py:45,50). */
   def csv(spark: SparkSession, path: String, header: Boolean = true,
-          inferSchema: Boolean = true, encoding: String = "UTF-8"): DataFrame =
+          inferSchema: Boolean = true, encoding: String = "UTF-8"): DataFrame = {
+    // Spark 4 restricts CSV charsets to a short allowlist unless the legacy
+    // java-charsets conf is on; windows-1252 (the reference's min-wage file,
+    // dag1.py:55-58) needs it.
+    if (!Set("utf-8", "us-ascii", "iso-8859-1", "utf-16", "utf-16be",
+        "utf-16le", "utf-32").contains(encoding.toLowerCase))
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     spark.read
       .option("header", header)
       .option("inferSchema", inferSchema)
       .option("encoding", encoding)
       .csv(path)
+  }
 
   /** S3 — charset auto-detection replacing chardet (dag1.py:54-58): strict
     * UTF-8 decode of a bounded prefix; on failure fall back to

@@ -55,20 +55,22 @@ object StateEconomics {
       .drop("FIPS")
 
     val yearCols = unempSheet.columns.filter(_.matches("\\d{4}"))
-    val unemployment = Ops.melt(
+    val unemployment1 = Ops.melt(
         unempSheet.select((Seq("GeoFIPS", "Name") ++ yearCols).map(col): _*),
         ids = Seq("GeoFIPS", "Name"), varName = "Year", valueName = "Unemployment_Rate")
       .withColumn("Unemployment_Rate", Exprs.tryDouble(col("Unemployment_Rate")))
       .filter(col("Unemployment_Rate").isNotNull)
       .select("GeoFIPS", "Year", "Unemployment_Rate")
-      .dropDuplicates("GeoFIPS", "Year")
+    val unemployment = Ops.dedupKeys(unemployment1, Seq("GeoFIPS", "Year"),
+      Seq(col("Unemployment_Rate")))
 
-    val income = unempSheet
-      .select(col("GeoFIPS"),
-        Exprs.moneyToDouble(col("Median_Household_Income_(2021)"))
-          .as("Median_Household_Income_2021"))
-      .filter(col("Median_Household_Income_2021").isNotNull)
-      .dropDuplicates("GeoFIPS")
+    val income = Ops.dedupKeys(
+      unempSheet
+        .select(col("GeoFIPS"),
+          Exprs.moneyToDouble(col("Median_Household_Income_(2021)"))
+            .as("Median_Household_Income_2021"))
+        .filter(col("Median_Household_Income_2021").isNotNull),
+      Seq("GeoFIPS"), Seq(col("Median_Household_Income_2021")))
 
     // ---- source 2: GDP csv (dag1.py:45-47, 94-123) ---------------------
     val rawGdp = Ops.normalizeColumns(Sources.csv(spark, in.gdpCsv))
@@ -83,22 +85,26 @@ object StateEconomics {
       .withColumn("Description", trim(col("Description")))
 
     val gdpYearCols = gdpBase.columns.filter(_.matches("\\d{4}"))
-    val gdp = Ops.melt(
-        gdpBase.select((Seq("GeoFIPS", "Industry_Code") ++ gdpYearCols).map(col): _*),
-        ids = Seq("GeoFIPS", "Industry_Code"), varName = "Year", valueName = "GDP_In_Millions")
-      .withColumn("GDP", Exprs.tryDouble(col("GDP_In_Millions")) * lit(1e6))
-      .filter(col("GDP").isNotNull)
-      .select("GeoFIPS", "Year", "Industry_Code", "GDP")
-      .dropDuplicates("GeoFIPS", "Year", "Industry_Code")
+    val gdp = Ops.dedupKeys(
+      Ops.melt(
+          gdpBase.select((Seq("GeoFIPS", "Industry_Code") ++ gdpYearCols).map(col): _*),
+          ids = Seq("GeoFIPS", "Industry_Code"), varName = "Year", valueName = "GDP_In_Millions")
+        .withColumn("GDP", Exprs.tryDouble(col("GDP_In_Millions")) * lit(1e6))
+        .filter(col("GDP").isNotNull)
+        .select("GeoFIPS", "Year", "Industry_Code", "GDP"),
+      Seq("GeoFIPS", "Year", "Industry_Code"), Seq(col("GDP")))
 
-    val industry = gdpBase.select(col("Industry_Code"), col("Description"))
-      .dropDuplicates("Industry_Code")
+    val industry = Ops.dedupKeys(
+      gdpBase.select(col("Industry_Code"), col("Description")),
+      Seq("Industry_Code"), Seq(col("Description")))
 
     // ---- location dim: GDP geos ⟗ unemployment geos (dag1.py:108-118) --
-    val gdpGeo = gdpBase.select(col("GeoFIPS"), col("GeoName"), col("Region"))
-      .dropDuplicates("GeoFIPS")
-    val unempGeo = unempSheet.select(col("GeoFIPS"), trim(col("Name")).as("Name"))
-      .dropDuplicates("GeoFIPS")
+    val gdpGeo = Ops.dedupKeys(
+      gdpBase.select(col("GeoFIPS"), col("GeoName"), col("Region")),
+      Seq("GeoFIPS"), Seq(col("GeoName"), col("Region")))
+    val unempGeo = Ops.dedupKeys(
+      unempSheet.select(col("GeoFIPS"), trim(col("Name")).as("Name")),
+      Seq("GeoFIPS"), Seq(col("Name")))
     val location = gdpGeo.join(unempGeo, Seq("GeoFIPS"), "full_outer")
       .select(col("GeoFIPS"),
         coalesce(col("GeoName"), col("Name")).as("GeoName"),   // F10 backfill
@@ -120,7 +126,8 @@ object StateEconomics {
       .select(col("Year").cast(IntegerType).as("Year"), col("GeoFIPS"),
         col("School_Expense_Type_Id"),
         col("Value").cast(IntegerType).as("Expense_Amount"))
-      .dropDuplicates("Year", "GeoFIPS", "School_Expense_Type_Id")
+    val schoolExpensesDeduped = Ops.dedupKeys(schoolExpenses,
+      Seq("Year", "GeoFIPS", "School_Expense_Type_Id"), Seq(col("Expense_Amount")))
 
     // ---- source 4: minimum wage csv, windows-1252 (dag1.py:54-59, 151-180)
     val mw = Ops.normalizeColumns(
@@ -136,7 +143,9 @@ object StateEconomics {
           .as("Small_Business_Min_Wage"),
         Exprs.tryDouble(col("Department_Of_Labor_Cleaned_High_Value"))
           .as("Large_Business_Min_Wage"))
-      .dropDuplicates("Year", "GeoFIPS")
+    val stateMinWageDeduped = Ops.dedupKeys(stateMinWage, Seq("Year", "GeoFIPS"),
+      Seq(col("State_Min_Wage"), col("Small_Business_Min_Wage"),
+        col("Large_Business_Min_Wage")))
 
     // inflation multiplier = 2020$ wage / nominal wage; 0/0 → NaN → null so
     // the Year-mean matches pandas (dag1.py:153,164 + SURVEY §7.4)
@@ -147,11 +156,13 @@ object StateEconomics {
       .agg(avg(col("mult")).as("Inflation_Multiplier_2020"))
       .filter(col("Inflation_Multiplier_2020").isNotNull)
 
-    val cpi = mw.select(col("Year"), Exprs.tryDouble(col("CPI_Average")).as("CPI_Average"))
-      .dropDuplicates("Year")
-    val fedMinWage = mw.select(col("Year"),
-        Exprs.tryDouble(col("Federal_Minimum_Wage")).as("Fed_Min_Wage"))
-      .dropDuplicates("Year")
+    val cpi = Ops.dedupKeys(
+      mw.select(col("Year"), Exprs.tryDouble(col("CPI_Average")).as("CPI_Average")),
+      Seq("Year"), Seq(col("CPI_Average")))
+    val fedMinWage = Ops.dedupKeys(
+      mw.select(col("Year"),
+        Exprs.tryDouble(col("Federal_Minimum_Wage")).as("Fed_Min_Wage")),
+      Seq("Year"), Seq(col("Fed_Min_Wage")))
 
     // ---- PK gates — the reference's 11 checks (dag1.py:71-79 + call sites)
     Map(
@@ -161,8 +172,8 @@ object StateEconomics {
       "table_gdp" -> Quality.checkPrimaryKey(gdp, Seq("GeoFIPS", "Year", "Industry_Code"), "table_gdp"),
       "table_industry" -> Quality.checkPrimaryKey(industry, Seq("Industry_Code"), "table_industry"),
       "table_school_expense_type" -> Quality.checkPrimaryKey(expenseType, Seq("School_Expense_Type_Id"), "table_school_expense_type"),
-      "table_school_expenses" -> Quality.checkPrimaryKey(schoolExpenses, Seq("Year", "GeoFIPS", "School_Expense_Type_Id"), "table_school_expenses"),
-      "table_state_min_wage" -> Quality.checkPrimaryKey(stateMinWage, Seq("Year", "GeoFIPS"), "table_state_min_wage"),
+      "table_school_expenses" -> Quality.checkPrimaryKey(schoolExpensesDeduped, Seq("Year", "GeoFIPS", "School_Expense_Type_Id"), "table_school_expenses"),
+      "table_state_min_wage" -> Quality.checkPrimaryKey(stateMinWageDeduped, Seq("Year", "GeoFIPS"), "table_state_min_wage"),
       "table_inflation" -> Quality.checkPrimaryKey(inflation, Seq("Year"), "table_inflation"),
       "table_CPI" -> Quality.checkPrimaryKey(cpi, Seq("Year"), "table_CPI"),
       "table_fed_min_wage" -> Quality.checkPrimaryKey(fedMinWage, Seq("Year"), "table_fed_min_wage"))

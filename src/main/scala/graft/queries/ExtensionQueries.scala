@@ -21,6 +21,16 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark only reads as raw nanosecond longs (legacy nanosAsLong conf);
+    * convert to a proper microsecond TimestampType at the scan boundary so
+    * every downstream operator sees a normal timestamp column. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   // ------------------------------------------------------------------ text
   private val txtTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(col("doc_id"),
@@ -122,14 +132,14 @@ object ExtensionQueries {
 
   // ---------------------------------------------------------------- events
   private val evtJsonExtract: Q = (s, dir) =>
-    t(s, dir, "events").select(col("event_id"),
+    events(s, dir).select(col("event_id"),
       regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).try_cast(LongType).as("k"))
 
   private val evtSessionize: Q = (s, dir) =>
-    Sessionize.sessionCounts(t(s, dir, "events"), gapMinutes = 30)
+    Sessionize.sessionCounts(events(s, dir), gapMinutes = 30)
 
   private val evtWindowCounts: Q = (s, dir) =>
-    Sessionize.windowedCounts(t(s, dir, "events"), "1 hour")
+    Sessionize.windowedCounts(events(s, dir), "1 hour")
       .select(unix_micros(col("window_start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("total_value"))
 

@@ -24,14 +24,23 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Fixed per-query scratch dir: repeated bench/verify iterations
+    * overwrite instead of accumulating tempdirs. */
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_scratch_$prefix")
+    Files.createDirectories(d)
+    d.toString
+  }
 
   private val derbyProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
-  private def derbyUrl(): String = {
+  /** Fixed per-query in-memory Derby DB, reused across invocations (the
+    * full-refresh sink truncates); a nanoTime-keyed name here would leak one
+    * whole in-memory database per bench iteration. */
+  private def derbyUrl(name: String): String = {
     // keep derby.log out of the repo
     System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
-    s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    s"jdbc:derby:memory:graft_$name;create=true"
   }
 
   // ---------------------------------------------------------------- sources
@@ -49,7 +58,7 @@ object RelationalQueries {
   private val s3CsvCharset: Q = (s, dir) => {
     val rows = t(s, dir, "nation").select("n_nationkey", "n_name")
       .orderBy("n_nationkey").collect()  // 25-row dim: driver-side file synth
-    val f = Files.createTempFile("graft_s3", ".csv")
+    val f = java.nio.file.Paths.get(tmpDir("s3"), "s3.csv")
     val body = "n_nationkey,tagged_name\n" + rows.map { r =>
       s"${r.getInt(0)},${r.getString(1)}–"
     }.mkString("\n")
@@ -69,7 +78,7 @@ object RelationalQueries {
   /** S5 (+K2/K3): JDBC scan after a full-refresh load into embedded Derby
     * (profiling.py:33-38 / dag1.py:272-287). */
   private val s5JdbcScan: Q = (s, dir) => {
-    val url = derbyUrl()
+    val url = derbyUrl("s5")
     Sinks.jdbcFullRefresh(t(s, dir, "supplier"), url, "SUPPLIER", derbyProps,
       Some("s_name VARCHAR(64)"))
     Sources.jdbc(s, url, "SUPPLIER", derbyProps)
@@ -79,7 +88,7 @@ object RelationalQueries {
   /** S6: JDBC scan with limit (the serving API's LIMIT n, api.py:24),
     * deterministic via an explicit key order. */
   private val s6JdbcLimit: Q = (s, dir) => {
-    val url = derbyUrl()
+    val url = derbyUrl("s6")
     Sinks.jdbcFullRefresh(t(s, dir, "region"), url, "REGION", derbyProps,
       Some("r_name VARCHAR(64)"))
     Sources.jdbc(s, url, "REGION", derbyProps)
@@ -111,7 +120,7 @@ object RelationalQueries {
   /** K3: truncate-and-reload semantics — the second write must replace,
     * not append (dag1.py:272-287). */
   private val k3FullRefresh: Q = (s, dir) => {
-    val url = derbyUrl()
+    val url = derbyUrl("k3")
     val region = t(s, dir, "region")
     Sinks.jdbcFullRefresh(region, url, "REGION", derbyProps, Some("r_name VARCHAR(64)"))
     Sinks.jdbcFullRefresh(region, url, "REGION", derbyProps, Some("r_name VARCHAR(64)"))

@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate recall checks for the LSH dedup family — the
+  * verification the rows-only CORRECTNESS entries rely on. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic corpus: 40 docs of ~60 "words" each, plus
+  //   - near-dups: id+1000 = same text with a short appended tail
+  //   - exact dups: id+2000 = identical text
+  private val words =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi".split(" ")
+  private def doc(i: Int): String = {
+    val rnd = new scala.util.Random(i) // seeded per doc — deterministic
+    s"document number $i " +
+      (0 until 60).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+  }
+
+  private lazy val base = (0 until 40).map(i => (i.toLong, doc(i)))
+  private lazy val nearDups = (0 until 40).map(i => ((i + 1000).toLong, doc(i) + " tail bit"))
+  private lazy val exactDups = (0 until 40).map(i => ((i + 2000).toLong, doc(i)))
+
+  test("exactGroups/exactDedup collapse identical normalized text") {
+    val df = (base ++ exactDups).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "text", "doc_id")
+    assert(groups.count() === 40)
+    assert(groups.filter(col("group_size") === 2).count() === 40)
+    val kept = Dedup.exactDedup(df, "text", "doc_id")
+    assert(kept.count() === 40)
+    assert(kept.filter(col("doc_id") >= 2000).count() === 0) // keeps min id
+  }
+
+  test("MinHash-LSH recall = 1.0 on planted near-dups at threshold 0.6") {
+    val df = (base ++ nearDups).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(df, "text", "doc_id",
+      threshold = 0.6, bands = 16, rowsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0 until 40).count(i => pairs.contains((i.toLong, (i + 1000).toLong)))
+    assert(found === 40, s"recall ${found / 40.0} < 1.0; pairs found: ${pairs.size}")
+  }
+
+  test("MinHash-LSH emits no pair below the exact-Jaccard threshold (precision by construction)") {
+    val df = (base ++ nearDups).toDF("doc_id", "text")
+    val bad = Dedup.minHashNearDups(df, "text", "doc_id", threshold = 0.6)
+      .filter(col("jaccard") < 0.6).count()
+    assert(bad === 0)
+  }
+
+  test("SimHash: identical docs at distance 0, near-dups within 3, recall via 16-bit blocks") {
+    val df = (base ++ exactDups).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDups(df, "text", "doc_id", maxDist = 3)
+      .select("id_a", "id_b", "hamming").collect()
+    val planted = pairs.filter(r => r.getLong(1) === r.getLong(0) + 2000)
+    assert(planted.length === 40)
+    assert(planted.forall(_.getInt(2) === 0))
+  }
+
+  test("ngramJaccard: identical = 1, disjoint = 0, and symmetric") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c", "x y z"),
+      ("a b c d", "b c d e")).toDF("x", "y")
+    val j = df.select(round(Dedup.ngramJaccard(col("x"), col("y"), 2), 6).as("j"))
+      .as[Double].collect()
+    assert(j(0) === 1.0)
+    assert(j(1) === 0.0)
+    // bigrams x: {a b, b c, c d}; y: {b c, c d, d e} → 2/4
+    assert(j(2) === 0.5)
+    val jSym = df.select(round(Dedup.ngramJaccard(col("y"), col("x"), 2), 6).as("j"))
+      .as[Double].collect()
+    assert(j.sameElements(jSym))
+  }
+
+  test("shingleJaccard of a text with itself is 1; hammingDistance basics") {
+    val one = Seq(("hello world this is text")).toDF("t")
+      .select(Dedup.shingleJaccard(col("t"), col("t")).as("j")).as[Double].head()
+    assert(one === 1.0)
+    val hd = Seq((0L, 0L), (0L, 1L), (0L, 3L), (-1L, 0L)).toDF("a", "b")
+      .select(Dedup.hammingDistance(col("a"), col("b")).as("h")).as[Int].collect()
+    assert(hd.sameElements(Array(0, 1, 2, 64)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P3 normalizeColumns: trim + literal space/dot → underscore") {
+    val df = Seq((1, 2, 3)).toDF(" a b ", "c.d", "plain")
+    assert(Ops.normalizeColumns(df).columns.sameElements(
+      Array("a_b", "c_d", "plain")))
+  }
+
+  test("W3 dedupKeys keeps exactly the tie-break-first row per key") {
+    val df = Seq((1, "b", 20), (1, "a", 10), (2, "z", 30)).toDF("k", "tb", "v")
+    val out = Ops.dedupKeys(df, Seq("k"), Seq(col("tb")))
+      .orderBy("k").as[(Int, String, Int)].collect()
+    assert(out.sameElements(Array((1, "a", 10), (2, "z", 30))))
+  }
+
+  test("W3 dedupKeys is deterministic across repartitionings") {
+    val df = Seq.tabulate(100)(i => (i % 10, i)).toDF("k", "v")
+    val a = Ops.dedupKeys(df.repartition(7), Seq("k"), Seq(col("v")))
+      .orderBy("k").as[(Int, Int)].collect()
+    val b = Ops.dedupKeys(df.repartition(3), Seq("k"), Seq(col("v")))
+      .orderBy("k").as[(Int, Int)].collect()
+    assert(a.sameElements(b))
+    assert(a.forall { case (k, v) => v === k }) // min v for key k is k itself
+  }
+
+  test("A6 surrogateKey: dense 0-based ids, stable under re-run") {
+    val df = Seq(("x", 1), ("y", 2), ("x", 1), ("z", 3)).toDF("a", "b")
+    val out = Ops.surrogateKey(df, Seq("a", "b"), "id")
+      .orderBy("id").as[(String, Int, Int)].collect()
+    assert(out.sameElements(Array(("x", 1, 0), ("y", 2, 1), ("z", 3, 2))))
+  }
+
+  test("R1/R2 dropLeading + dropTrailing under explicit order") {
+    val df = (1 to 10).toDF("n")
+    assert(Ops.dropLeading(df, 3, Seq(col("n"))).as[Int].collect().sorted
+      .sameElements(4 to 10))
+    assert(Ops.dropTrailing(df, 2, Seq(col("n"))).as[Int].collect().sorted
+      .sameElements(1 to 8))
+  }
+
+  test("R4 promoteHeader renames columns from the first ordered row") {
+    val df = Seq((0L, "key", "name"), (1L, "1", "alpha"), (2L, "2", "beta"))
+      .toDF("__idx", "_c0", "_c1")
+    val out = Ops.promoteHeader(df, "__idx")
+    assert(out.columns.sameElements(Array("__idx", "key", "name")))
+    assert(out.count() === 2)
+    assert(out.orderBy("__idx").drop("__idx").as[(String, String)].collect()
+      .sameElements(Array(("1", "alpha"), ("2", "beta"))))
+  }
+
+  test("W1/W2 melt: wide → long with int var, nulls dropped") {
+    val wide = Seq((1, Some(10.0), None: Option[Double]), (2, Some(20.0), Some(21.0)))
+      .toDF("id", "2001", "2002")
+    val out = Ops.melt(wide, Seq("id"), "Year", "v")
+      .orderBy("id", "Year").as[(Int, Int, Double)].collect()
+    assert(out.sameElements(Array((1, 2001, 10.0), (2, 2001, 20.0), (2, 2002, 21.0))))
+  }
+
+  test("melt round-trips pivot (row count = non-null cells)") {
+    val long = Seq((1, 2001, 1.0), (1, 2002, 2.0), (2, 2001, 3.0))
+      .toDF("id", "yr", "v")
+    val wide = long.groupBy("id").pivot("yr").agg(first("v"))
+    assert(Ops.melt(wide, Seq("id"), "yr", "v").count() === 3)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.quality
+
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A5 checkPrimaryKey passes on a valid key and returns the frame") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(Quality.checkPrimaryKey(df, Seq("k")).count() === 2)
+  }
+
+  test("A5 checkPrimaryKey throws on duplicate keys") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val e = intercept[PrimaryKeyViolation] {
+      Quality.checkPrimaryKey(df, Seq("k"), "t")
+    }
+    assert(e.duplicateRows === 1 && e.nullKeyRows === 0)
+  }
+
+  test("A5 checkPrimaryKey throws on null keys (composite)") {
+    val df = Seq((Some(1), Some(1), "a"), (None, Some(2), "b"), (Some(3), None, "c"))
+      .toDF("k1", "k2", "v")
+    val e = intercept[PrimaryKeyViolation] {
+      Quality.checkPrimaryKey(df, Seq("k1", "k2"), "t")
+    }
+    assert(e.nullKeyRows === 2 && e.duplicateRows === 0)
+  }
+
+  test("A3/A4 keyStats counts nulls and dups separately (null ≠ dup)") {
+    val df = Seq(Some(1), Some(1), Some(1), None, None, Some(2))
+      .toDF("k")
+    val (nulls, dups) = Quality.keyStats(df, Seq("k"))
+    assert(nulls === 2) // both null rows are null-key, NOT duplicates
+    assert(dups === 2)  // three 1s → two excess
+  }
+
+  test("keyStats never throws on a deduped null-free frame (property)") {
+    val df = Seq.tabulate(50)(i => (i % 7, i % 3)).toDF("a", "b")
+      .dropDuplicates("a", "b")
+    assert(Quality.checkPrimaryKey(df, Seq("a", "b")).columns.length === 2)
+  }
+}

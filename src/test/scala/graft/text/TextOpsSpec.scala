@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace runs, empty/blank → 0") {
+    val out = Seq("one two  three", "", "   ", "single", "a\tb\nc")
+      .toDF("t").select(TextOps.tokenCount(col("t")).as("n")).as[Long].collect()
+    assert(out.sameElements(Array(3L, 0L, 0L, 1L, 3L)))
+  }
+
+  test("subwordCount: letter runs + digit runs + single punctuation") {
+    val out = Seq("hello world", "abc123!?", "a,b").toDF("t")
+      .select(TextOps.subwordCount(col("t")).as("n")).as[Long].collect()
+    // "abc123!?" → abc, 123, !, ? = 4 ; "a,b" → a , b = 3
+    assert(out.sameElements(Array(2L, 4L, 3L)))
+  }
+
+  test("charShingles: distinct k-grams of normalized text; short text → whole") {
+    val out = Seq("abcde f", "ab").toDF("t")
+      .select(TextOps.charShingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(out(0).toSet === Set("abc", "bcd", "cde", "de ", "e f"))
+    assert(out(1) === Seq("ab"))
+  }
+
+  test("langId picks the marker-dominant language, und when none") {
+    val out = Seq(
+      "the cat and the dog is in that house with food",
+      "der Hund ist nicht mit der Katze und das ist gut",
+      "le chat et la maison dans les champs est une merveille",
+      "el perro es en la casa que los gatos y las aves",
+      "zzz qqq xxx").toDF("t")
+      .select(TextOps.langId(col("t")).as("l")).as[String].collect()
+    assert(out.sameElements(Array("en", "de", "fr", "es", "und")))
+  }
+
+  test("qualityScore stays in [0,1]; clean prose beats punctuation soup") {
+    val rows = Seq(
+      "This is a reasonably long and well formed english sentence about data pipelines and their operators.",
+      "!!! ,,, ;;; ::: ??? ...",
+      "").toDF("t").select(TextOps.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+    assert(rows(0) > rows(1))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fp = Seq("Hello   World", "hello world", "different").toDF("t")
+      .select(TextOps.fingerprint(col("t")).as("f")).as[Long].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("minShingleHash robust to a small tail edit, unlike fingerprint") {
+    val base = "the quick brown fox jumps over the lazy dog repeatedly and often"
+    val df = Seq((base, base + " x")).toDF("a", "b")
+    val Array((mA, mB, fA, fB)) = df.select(
+      TextOps.minShingleHash(col("a")).as("ma"),
+      TextOps.minShingleHash(col("b")).as("mb"),
+      TextOps.fingerprint(col("a")).as("fa"),
+      TextOps.fingerprint(col("b")).as("fb"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(mA === mB)
+    assert(fA !== fB)
+  }
+}
