@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType, LongType}
 import java.io.InputStream
-import java.util.zip.ZipFile
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 import scala.collection.mutable
 
@@ -152,5 +152,74 @@ object Xlsx {
       }
       spark.createDataFrame(spark.sparkContext.parallelize(data.toList, 1), schema)
     } finally zip.close()
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Write a cell grid as a minimal single-sheet .xlsx (SpreadsheetML zip):
+    * numbers as native numeric cells, everything else as inline strings,
+    * null cells omitted. Driver-side, like the reader — xlsx is a
+    * control-plane format here, not a fact-data sink. */
+  def write(path: String, rows: Seq[Seq[Any]], sheetName: String = "Sheet1"): Unit = {
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    val sheetXml = new StringBuilder(
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    rows.zipWithIndex.foreach { case (cells, r) =>
+      sheetXml.append(s"""<row r="${r + 1}">""")
+      cells.zipWithIndex.foreach { case (v, c) =>
+        val ref = s"${colRef(c)}${r + 1}"
+        v match {
+          case null =>
+          case n: Int    => sheetXml.append(s"""<c r="$ref"><v>$n</v></c>""")
+          case n: Long   => sheetXml.append(s"""<c r="$ref"><v>$n</v></c>""")
+          case n: Double => sheetXml.append(s"""<c r="$ref"><v>$n</v></c>""")
+          case other =>
+            sheetXml.append(
+              s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>""")
+        }
+      }
+      sheetXml.append("</row>")
+    }
+    sheetXml.append("</sheetData></worksheet>")
+
+    val entries = Seq(
+      "[Content_Types].xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+         """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+         """<Default Extension="xml" ContentType="application/xml"/>""" +
+         """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+         """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+         """</Types>"""),
+      "_rels/.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+         """</Relationships>"""),
+      "xl/workbook.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+         """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+         s"""<sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+         """</Relationships>"""),
+      "xl/worksheets/sheet1.xml" -> sheetXml.toString)
+
+    val out = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(path)))
+    try entries.foreach { case (name, content) =>
+      out.putNextEntry(new ZipEntry(name))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    } finally out.close()
   }
 }

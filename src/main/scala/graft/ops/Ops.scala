@@ -94,7 +94,17 @@ object Ops {
   def melt(df: DataFrame, ids: Seq[String], varName: String, valueName: String,
            varAsInt: Boolean = true, dropNulls: Boolean = true): DataFrame = {
     val valueCols = df.columns.filterNot(ids.contains)
-    var out = df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, varName, valueName)
+    // unpivot demands one common value type; pandas melt doesn't. When the
+    // wide columns disagree (e.g. a year column inferred string because of
+    // "(NA)" cells next to clean double years), go through string — the
+    // downstream lenient cast restores numerics (dag1.py:96+103).
+    val valueTypes = df.schema.fields.filter(f => valueCols.contains(f.name))
+      .map(_.dataType).distinct
+    val valueExprs =
+      if (valueTypes.length > 1)
+        valueCols.map(c => col(c).cast(org.apache.spark.sql.types.StringType).as(c))
+      else valueCols.map(col)
+    var out = df.unpivot(ids.map(col).toArray, valueExprs.toArray, varName, valueName)
     if (varAsInt) out = out.withColumn(varName, col(varName).try_cast(org.apache.spark.sql.types.IntegerType))
     if (dropNulls) out = out.filter(col(valueName).isNotNull)
     out

@@ -44,6 +44,22 @@ object RelationalQueries {
   }
 
   // ---------------------------------------------------------------- sources
+  /** S1: xlsx scan (dag1.py:24) — write a workbook from the nation dim,
+    * read it back through the SpreadsheetML reader, promote the header row
+    * (R4) and type the columns, mirroring the reference's sheet surgery. */
+  private val s1XlsxScan: Q = (s, dir) => {
+    val rows = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect()  // 25-row dim: driver-side file synth
+    val f = java.nio.file.Paths.get(tmpDir("s1"), "nation.xlsx")
+    graft.io.Xlsx.write(f.toString,
+      Seq[Seq[Any]](Seq("n_nationkey", "n_name", "n_regionkey")) ++
+        rows.map(r => Seq[Any](r.getInt(0), r.getString(1), r.getInt(2))))
+    val promoted = Ops.promoteHeader(graft.io.Xlsx.read(s, f.toString), "__idx")
+    promoted.drop("__idx")
+      .select(col("n_nationkey").cast(IntegerType), col("n_name"),
+        col("n_regionkey").cast(IntegerType))
+  }
+
   /** S2 (+K1): CSV round-trip with header + schema inference (dag1.py:45,50). */
   private val s2CsvScan: Q = (s, dir) => {
     val out = tmpDir("graft_s2")
@@ -423,6 +439,7 @@ object RelationalQueries {
 
   // ------------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "s1_xlsx_scan" -> s1XlsxScan,
     "s2_csv_scan" -> s2CsvScan,
     "s3_csv_charset" -> s3CsvCharset,
     "s4_json_table" -> s4JsonTable,
@@ -472,6 +489,8 @@ object RelationalQueries {
     "pr6_correlation" -> pr6Correlation)
 
   val oracle: Map[String, String] = Map(
+    "s1_xlsx_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s2_csv_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s3_csv_charset" ->

@@ -1,0 +1,40 @@
+package graft.profile
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, Some(10.0), "a"),
+    (2, Some(20.0), "b"),
+    (3, None, "a"),
+    (3, None, "a"))  // duplicate row
+    .toDF("k", "v", "s")
+
+  test("single-pass profile: counts, missing, distinct, moments, duplicates (PR1-PR5)") {
+    val p = Profile.profile(df, "t", exact = true)
+    assert(p.rows === 4 && p.columns === 3 && p.duplicateRows === 1)
+    val v = p.profiles.find(_.name == "v").get
+    assert(v.count === 2 && v.missing === 2 && v.distinct === 2)
+    assert(v.mean.contains(15.0) && v.min.contains(10.0) && v.max.contains(20.0))
+    assert(v.p50.contains(15.0))
+    val s = p.profiles.find(_.name == "s").get
+    assert(s.count === 4 && s.distinct === 2 && s.mean.isEmpty)
+  }
+
+  test("correlations over numeric pairs (PR6)") {
+    val d = Seq((1, 2.0, 10.0), (2, 4.0, 20.0), (3, 6.0, 31.0))
+      .toDF("a", "b", "c")
+    val p = Profile.profile(d, "t", exact = true)
+    assert(math.abs(p.correlations(("a", "b")) - 1.0) < 1e-12)
+    assert(p.correlations(("b", "c")) > 0.99)
+  }
+
+  test("html report renders all columns and stats (K4)") {
+    val html = Profile.toHtml(Profile.profile(df, "mytable", exact = true))
+    assert(html.contains("<h1>Profile: mytable</h1>"))
+    assert(html.contains("4 rows × 3 columns; 1 duplicate rows"))
+    assert(html.contains("<td>v</td>") && html.contains("<td>s</td>"))
+  }
+}
