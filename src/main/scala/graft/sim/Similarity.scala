@@ -21,21 +21,23 @@ import org.apache.spark.sql.types._
   * itself. */
 object Similarity {
 
-  /** Dot product of two equal-length float vectors (double accumulator). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product — a codegen'd native Expression (graft.functions.VectorDot);
+    * the `aggregate(zip_with(...))` HOF formulation runs interpreted and
+    * dominated pairwise-verification runtime. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = graft.functions.VectorExprs.norm(a)
 
   /** Cosine similarity; null-safe 0 for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b); val na = norm(a); val nb = norm(b)
-    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine(a, b)
+
+  /** Pairwise cosine from a precomputed-norm pair — inside the candidate
+    * verification joins the norms are computed ONCE per vector upstream,
+    * not once per candidate pair. */
+  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors. `queries` must be the small side — it is broadcast; the
@@ -43,10 +45,13 @@ object Similarity {
     * (query, candidate) scores partitioned by query id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("cosine", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
     // rank on the ROUNDED score so near-ties at double-ulp level resolve to
     // the deterministic cand_id tie-break (cross-engine reproducible order)
     val w = Window.partitionBy(col("query_id"))
@@ -107,7 +112,7 @@ object Similarity {
         col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), col("qvec"), col("cvec"))
       .dropDuplicates("query_id", "cand_id")
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))  // codegen'd
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     cand.withColumn("rank", row_number().over(w))
@@ -129,19 +134,20 @@ object Similarity {
     // candidates by ~64×.
     val rowsPerBand = bits / bands
     val banded = rhpSignatures(df, idCol, vecCol, bits, seed)
-      .select(col("id"), col("vec"),
+      .select(col("id"), col("vec"), norm(col("vec")).as("nrm"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
           .as("bb"))
-      .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("vec"), col("nrm"), col("bb.band"), col("bb.bucket"))
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
+        col("a.vec").as("va"), col("b.vec").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
