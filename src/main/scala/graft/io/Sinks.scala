@@ -27,6 +27,19 @@ object Sinks {
   def ddl(df: DataFrame, table: String): String =
     Exprs.schemaToDdl(table, df.schema)
 
+  /** Bucketed, sorted table write — the co-located-join layout: two tables
+    * bucketed by the same keys into the same bucket count join WITHOUT a
+    * shuffle (plan shows SortMergeJoin with no Exchange). The 100 TB story
+    * for repeated fact-to-fact joins on a stable key; see SinksSpec for a
+    * plan-level assertion. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** K3 — full-refresh load: overwrite with TRUNCATE-based refresh when the
     * table exists (dag1.py:272-287 does DELETE FROM + COPY; truncate is the
     * set-based equivalent that keeps the DDL). `columnTypes` optionally pins

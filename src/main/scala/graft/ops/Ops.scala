@@ -86,6 +86,24 @@ object Ops {
     dataCols.zip(names).foldLeft(rest) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
   }
 
+  /** Skew-tolerant equi-join: the large (skewed) side gets a deterministic
+    * salt derived from its full row, the small side is replicated once per
+    * salt value, and the join key becomes (keys, salt) — a hot key's rows
+    * spread over `salts` reducers instead of one. Use when AQE's skew-join
+    * splitting isn't available/enough (e.g. a hot key inside a single
+    * partition-producing stage). Cost: small side × salts, so keep the
+    * replicated side dimension-sized. */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts.toLong))
+        .cast(org.apache.spark.sql.types.IntegerType))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** W1/W2 — unpivot/melt: wide year columns → long (Year, value) rows
     * (dag1.py:82,96). Thin wrapper over Spark's built-in melt with the
     * reference's semantics: value columns are everything not in `ids`,

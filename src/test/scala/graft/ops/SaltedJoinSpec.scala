@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SaltedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Heavy skew: 90% of the large side shares key 1.
+  private def large = (1 to 1000)
+    .map(i => (if (i <= 900) 1 else i % 50, i)).toDF("k", "v")
+  private def dim = (0 until 50).map(i => (i, s"name_$i")).toDF("k", "name")
+
+  test("saltedJoin result equals the plain join (inner)") {
+    val plain = large.join(dim, Seq("k")).orderBy("v")
+      .as[(Int, Int, String)].collect()
+    val salted = Ops.saltedJoin(large, dim, Seq("k"), salts = 8).orderBy("v")
+      .as[(Int, Int, String)].collect()
+    assert(salted.sameElements(plain))
+  }
+
+  test("saltedJoin left join preserves unmatched rows") {
+    val l = Seq((1, "a"), (99, "b")).toDF("k", "v")
+    val out = Ops.saltedJoin(l, dim, Seq("k"), salts = 4, "left")
+      .orderBy("k").select("k", "name").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(1) === "name_1")
+    assert(out(1).isNullAt(1))   // key 99 not in dim, still present
+  }
+
+  test("hot key's rows spread across multiple salt values") {
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(8L)).cast("int"))
+    val spread = salted.filter($"k" === 1).select("__salt").distinct().count()
+    assert(spread >= 6, s"hot key only hit $spread of 8 salts")
+  }
+}
