@@ -350,6 +350,40 @@ object RelationalQueries {
       .select("s_suppkey", "n_name")
   }
 
+  /** J5: skew-tolerant salted join — deterministic row-hash salting, so the
+    * result set equals the plain join (the oracle) while hot keys spread
+    * across reducers. */
+  private val j5SaltedJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    Ops.saltedJoin(li, sup, Seq("l_suppkey"), salts = 8)
+      .select("l_orderkey", "l_suppkey", "l_quantity", "s_name")
+  }
+
+  /** K5: bucketed co-located join — both sides written bucketed on the join
+    * key (Sinks.writeBucketed), joined without an exchange. */
+  private val k5BucketedJoin: Q = (s, dir) => {
+    Seq("graft_bkt_orders", "graft_bkt_cust").foreach { tn =>
+      s.sql(s"DROP TABLE IF EXISTS $tn")
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tn)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sinks.writeBucketed(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_bkt_orders", Seq("o_custkey"), 8, Seq("o_custkey"))
+    Sinks.writeBucketed(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "graft_bkt_cust", Seq("c_custkey"), 8, Seq("c_custkey"))
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_cust"), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+  }
+
   // ------------------------------------------------------------ aggregates
   /** A1: group-by mean (dag1.py:164). */
   private val a1GroupbyMean: Q = (s, dir) =>
@@ -475,6 +509,8 @@ object RelationalQueries {
     "j2_broadcast_3col_join" -> j2Broadcast3col,
     "j3_name_join_customer" -> j3NameJoinCustomer,
     "j4_name_join_supplier" -> j4NameJoinSupplier,
+    "j5_salted_join" -> j5SaltedJoin,
+    "k5_bucketed_join" -> k5BucketedJoin,
     "a1_groupby_mean" -> a1GroupbyMean,
     "a3_duplicate_count" -> a3DuplicateCount,
     "a4_null_key_count" -> a4NullKeyCount,
@@ -607,6 +643,12 @@ object RelationalQueries {
       """SELECT s_suppkey, n.n_name FROM supplier s
         | JOIN nation n ON s.s_nationkey = n.n_nationkey
         | WHERE n.n_regionkey IN (0, 2, 4)""".stripMargin,
+    "j5_salted_join" ->
+      """SELECT l_orderkey, l_suppkey, l_quantity, s_name
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "k5_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        | FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "a1_groupby_mean" ->
       """SELECT l_returnflag, l_linestatus,
         | ROUND(AVG(l_quantity), 6) AS mean_qty,

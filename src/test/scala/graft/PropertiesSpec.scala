@@ -1,0 +1,82 @@
+package graft
+
+import graft.expr.Exprs
+import graft.ops.Ops
+import graft.quality.Quality
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY.md §5): melt/pivot cell counts, dedup
+  * idempotence, PK-gate safety after dedup, currency-parse round-trip,
+  * surrogate-key density. Each property runs bounded Spark jobs on tiny
+  * frames over the shared test session. */
+object PropertiesSpec extends Properties("graft") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  propertyWithSeed("melt row count = non-null wide cells", None) = {
+    val cellGen = Gen.option(Gen.choose(-1e6, 1e6))
+    forAll(cellGen, cellGen, cellGen, cellGen) {
+      (a: Option[Double], b: Option[Double], c: Option[Double], d: Option[Double]) =>
+        val wide = Seq((1, a, b, c, d)).toDF("id", "2001", "2002", "2003", "2004")
+        Ops.melt(wide, Seq("id"), "yr", "v").count() ==
+          Seq(a, b, c, d).count(_.isDefined)
+    }
+  }
+
+  propertyWithSeed("dedupKeys idempotent, one row per key", None) =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000)))) {
+      pairs: List[(Int, Int)] =>
+        pairs.isEmpty || {
+          val df = pairs.toDF("k", "v")
+          val once = Ops.dedupKeys(df, Seq("k"), Seq(col("v")))
+          val a = once.orderBy("k", "v").as[(Int, Int)].collect()
+          val twice = Ops.dedupKeys(once, Seq("k"), Seq(col("v")))
+            .orderBy("k", "v").as[(Int, Int)].collect()
+          a.sameElements(twice) &&
+            a.map(_._1).distinct.length == a.length &&
+            a.length == pairs.map(_._1).distinct.length
+        }
+    }
+
+  propertyWithSeed("checkPrimaryKey safe after dedupKeys on null-free keys", None) =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0, 8), Gen.alphaStr))) {
+      rows: List[(Int, String)] =>
+        rows.isEmpty || {
+          val deduped = Ops.dedupKeys(rows.toDF("k", "v"), Seq("k"), Seq(col("v")))
+          Quality.checkPrimaryKey(deduped, Seq("k"))
+          true
+        }
+    }
+
+  propertyWithSeed("currency format -> moneyToDouble round-trip", None) =
+    forAll(Gen.choose(0.0, 9999999.0)) { amount: Double =>
+      val rounded = math.round(amount * 100) / 100.0
+      val parsed = Seq(rounded).toDF("x")
+        .select(Exprs.moneyToDouble(concat(lit("$"), format_number(col("x"), 2))))
+        .as[Double].head()
+      math.abs(parsed - rounded) < 1e-9
+    }
+
+  propertyWithSeed("surrogate keys dense, 0-based, 1:1 with distinct keys", None) =
+    forAll(Gen.listOfN(25, Gen.choose(0, 6))) { ks: List[Int] =>
+      ks.isEmpty || {
+        val out = Ops.surrogateKey(ks.map(Tuple1(_)).toDF("k"), Seq("k"), "id")
+          .orderBy("id").as[(Int, Int)].collect()
+        out.map(_._2).toSeq == out.indices.toSeq &&
+          out.map(_._1).distinct.length == out.length &&
+          out.length == ks.distinct.length
+      }
+    }
+
+  // ScalaCheck's default 100 cases × 5 properties × Spark job latency is
+  // minutes of wall time for no extra coverage — 20 cases each is plenty
+  // for these structural invariants.
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  // keep Prop import used even if a property is commented out during dev
+  private val _unused: Prop = Prop.passed
+}
