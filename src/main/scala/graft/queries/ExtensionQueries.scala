@@ -138,6 +138,16 @@ object ExtensionQueries {
   private val evtSessionize: Q = (s, dir) =>
     Sessionize.sessionCounts(events(s, dir), gapMinutes = 30)
 
+  /** The session_window code path (the streaming formulation) exercised in
+    * batch mode, oracle-checked against a gaps-and-islands SQL — proves
+    * the two sessionization formulations agree on real data. */
+  private val evtSessionWindow: Q = (s, dir) =>
+    Sessionize.streamingSessions(events(s, dir), gapMinutes = 30)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+
   private val evtWindowCounts: Q = (s, dir) =>
     Sessionize.windowedCounts(events(s, dir), "1 hour")
       .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -161,6 +171,7 @@ object ExtensionQueries {
     "mm_frame_fanout" -> mmFrameFanout,
     "evt_json_extract" -> evtJsonExtract,
     "evt_sessionize" -> evtSessionize,
+    "evt_session_window" -> evtSessionWindow,
     "evt_window_counts" -> evtWindowCounts)
 
   /** Oracle SQL mirrors. The lang-id oracle is generated from the same
@@ -261,6 +272,19 @@ object ExtensionQueries {
           |   CASE WHEN p IS NULL OR t - p > 1800000000 THEN 1 ELSE 0 END AS s FROM l)
           |SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions,
           | CAST(count(*) AS BIGINT) AS n_events FROM n GROUP BY user_id""".stripMargin,
+      "evt_session_window" ->
+        """WITH l AS (SELECT user_id, value, epoch_us(ts) AS t,
+          |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS p
+          | FROM events),
+          | n AS (SELECT user_id, value, t,
+          |   SUM(CASE WHEN p IS NULL OR t - p > 1800000000 THEN 1 ELSE 0 END)
+          |     OVER (PARTITION BY user_id ORDER BY t
+          |           ROWS UNBOUNDED PRECEDING) AS sess
+          | FROM l)
+          |SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | ROUND(SUM(value), 6) AS total_value
+          |FROM n GROUP BY user_id, sess""".stripMargin,
       "evt_window_counts" ->
         """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_start_us,
           | event_type, CAST(count(*) AS BIGINT) AS n_events,
