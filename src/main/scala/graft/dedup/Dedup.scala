@@ -72,6 +72,28 @@ object Dedup {
       .agg(array(aggs: _*).as("sig"))
   }
 
+  /** One-permutation-hashing MinHash (Li/Owen/Zhang 2012, public): each
+    * shingle is hashed ONCE and assigned to one of `numBins` bins by its
+    * high bits; the signature is the per-bin minimum. Per-shingle work is
+    * 1 hash + a (id, bin) group update vs `numBins` hash+min updates for
+    * the classic K-permutation form — the asymptotically right shape for
+    * 100 TB corpora. Empty bins keep the Long.MaxValue sentinel on both
+    * sides (identical docs still collide; near-dup bin agreement is the
+    * standard OPH estimator, and exact-Jaccard verification downstream
+    * filters any extra candidates). Returns (id, sig: array<bigint>). */
+  def minHashSignaturesOPH(df: DataFrame, textCol: String, idCol: String,
+                           numBins: Int = 64, shingleK: Int = 5): DataFrame = {
+    val binMins = shingleRows(df, textCol, idCol, shingleK)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .groupBy(col("id"), pmod(col("h"), lit(numBins.toLong)).cast("int").as("bin"))
+      .agg(min(col("h")).as("mh"))
+    binMins.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("mh")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numBins - 1)),
+          b => coalesce(try_element_at(col("m"), b), lit(Long.MaxValue))).as("sig"))
+  }
+
   /** MinHash-LSH candidate pairs: signature split into `bands` bands of
     * rows; docs sharing any band bucket become candidates; candidates are
     * verified with exact shingle-Jaccard and filtered by `threshold`.
@@ -85,7 +107,7 @@ object Dedup {
                       rowsPerBand: Int = 4, shingleK: Int = 5,
                       minBandMatches: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minHashSignatures(df, textCol, idCol, numHashes, shingleK)
+    val sig = minHashSignaturesOPH(df, textCol, idCol, numHashes, shingleK)
 
     val banded = sig.select(
       col("id"),
@@ -110,6 +132,9 @@ object Dedup {
     // 10k-doc batch. For pairs at J = t the extra miss probability is
     // P[Binom(bands, t^rowsPerBand) < m], e.g. ~0.2% at t=0.8, b=16, r=4 —
     // the same order as the banding scheme's own inherent miss rate.
+    // (A signature-agreement estimate stage was tried here and REMOVED:
+    // without caching, re-referencing `sig` recomputes the signature
+    // pipeline per use, costing more than the pruned verification saved.)
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
