@@ -115,6 +115,28 @@ object ExtensionQueries {
     Similarity.cosineNearDups(emb.unionByName(planted), threshold = 0.95)
   }
 
+  /** Capstone composite: the training-data cleaning pipeline end-to-end —
+    * language-ID → quality gate → exact dedup (keep lowest doc_id per
+    * normalized-content fingerprint) → per-language corpus stats. One lazy
+    * plan: scan → map-only scoring → one dedup shuffle → one agg shuffle. */
+  private val pipeCleanCorpus: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+    val filtered = scored.filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = filtered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    deduped.groupBy("lang_pred").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(avg(col("quality")), 6).as("avg_quality"))
+  }
+
   // ------------------------------------------------------------ multimodal
   /** Binary payload plumbing: byte length + sha-256 over the payload
     * column. */
@@ -160,6 +182,7 @@ object ExtensionQueries {
     "txt_quality_score" -> txtQualityScore,
     "txt_lang_id" -> txtLangId,
     "txt_fingerprint" -> txtFingerprint,
+    "pipe_clean_corpus" -> pipeCleanCorpus,
     "dd_exact_groups" -> ddExactGroups,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash_lsh" -> ddMinhashLsh,
@@ -217,6 +240,40 @@ object ExtensionQueries {
           |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
           | FROM documents)""".stripMargin,
       "txt_lang_id" -> langIdSql,
+      "pipe_clean_corpus" ->
+        raw"""WITH scored AS (
+           | SELECT doc_id,
+           |  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+           |    WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) THEN 'fr'
+           |    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+           |    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+           |    ELSE 'de' END AS lang_pred,
+           |  ROUND(
+           |    LEAST(nchars / 500.0, 1.0) * 0.25
+           |  + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+           |  + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+           |  + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+           |      THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+           |  CAST(ntok AS BIGINT) AS n_tokens,
+           |  fp
+           | FROM (SELECT doc_id, text, $$LANG_SCORES$$,
+           |    CAST(length(text) AS DOUBLE) AS nchars,
+           |    CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok,
+           |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+           |  FROM documents)),
+           | filtered AS (
+           |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred <> 'und'),
+           | deduped AS (
+           |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           |    FROM filtered) WHERE rn = 1)
+           |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           | ROUND(AVG(quality), 6) AS avg_quality
+           |FROM deduped GROUP BY lang_pred""".stripMargin
+          .replace("$LANG_SCORES$", langScores),
       "txt_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
           | FROM documents""".stripMargin,
