@@ -76,8 +76,12 @@ object ExtensionQueries {
     * deterministic; LSH recall has its own ScalaTest. Rows-only check. */
   private val ddMinhashLsh: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
-      concat(col("text"), lit(" near dup tail")).as("text"))
+    // ~10% planted near-dup rate — representative of a real crawl, and the
+    // bench then measures detection over the corpus rather than a corpus
+    // that is 50% duplicates.
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" near dup tail")).as("text"))
     Dedup.minHashNearDups(docs.unionByName(planted), "text", "doc_id",
       threshold = 0.8, bands = 16, rowsPerBand = 4)
   }
@@ -85,8 +89,9 @@ object ExtensionQueries {
   /** SimHash near-dup detection over planted exact copies. Rows-only. */
   private val ddSimhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
-      concat(col("text"), lit(" zq")).as("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
     Dedup.simHashNearDups(docs.unionByName(planted), "text", "doc_id", maxDist = 3)
   }
 
@@ -110,8 +115,9 @@ object ExtensionQueries {
     * identical signatures. */
   private val embNearDup: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val planted = emb.select((col("vec_id") + 10000).as("vec_id"),
-      col("embedding"), col("label"))
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        col("embedding"), col("label"))
     Similarity.cosineNearDups(emb.unionByName(planted), threshold = 0.95)
   }
 
@@ -311,7 +317,8 @@ object ExtensionQueries {
           |WHERE rank <= 5""".stripMargin,
       "emb_near_dup" ->
         """SELECT vec_id AS id_a, CAST(vec_id + 10000 AS BIGINT) AS id_b,
-          | CAST(1.0 AS DOUBLE) AS cosine FROM embeddings""".stripMargin,
+          | CAST(1.0 AS DOUBLE) AS cosine FROM embeddings
+          | WHERE vec_id % 10 = 0""".stripMargin,
       "mm_bytes" ->
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
       "mm_frame_fanout" ->
