@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Streaming over a real file source: the events parquet consumed through
+  * readStream with Trigger.AvailableNow must produce exactly the batch
+  * windowed counts — the "same code, both modes" contract. */
+class FileStreamSpec extends SparkSpec {
+
+  test("readStream parquet → windowedCounts ≡ batch, via AvailableNow") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
+    val dir = Files.createTempDirectory("graft_stream_events")
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def convert(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    val streamed = convert(
+      spark.readStream.schema(schema).parquet(dir.toString))
+    val q = Sessionize.windowedCounts(streamed, "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val batch = Sessionize.windowedCounts(
+        convert(spark.read.parquet(dir.toString)), "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq)
+    val stream = spark.table("win_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq)
+    assert(stream.length === batch.length)
+    assert(stream.toSeq === batch.toSeq)
+  }
+}
