@@ -145,27 +145,27 @@ object Dedup {
       .select("id_a", "id_b")
 
     // Exact-Jaccard verification, computed distributively: explode each
-    // doc's (distinct) shingle set once, count per-pair intersections with
-    // a codegen'd join+groupBy over the CANDIDATE pairs only. The pairwise
+    // doc's (distinct) shingle set, count per-pair intersections with a
+    // codegen'd join+groupBy over the CANDIDATE pairs only. The pairwise
     // array-expression form (shingleJaccard) re-derives both shingle
     // arrays per pair in interpreted HOFs — measured 65 s vs <2 s on a
     // 500-doc batch — and would recompute per long document at scale.
-    // Shingles ride the verification joins as 64-bit hashes, not strings.
+    // Shingles ride the joins as 64-bit hashes; each side's set size rides
+    // along via a window count, so no separate sizes aggregate or final
+    // re-joins are needed. Pairs with ZERO common shingles drop out of the
+    // inner join — sound because they have jaccard 0 < threshold.
+    require(threshold > 0, "minHashNearDups requires a positive threshold")
     val sh = shingleRows(df, textCol, idCol, shingleK)
       .select(col("id"), xxhash64(col("sh")).as("sh"))
       .dropDuplicates("id", "sh")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.toDF("id_a", "sh"), "id_a")
-      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     candidates
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.toDF("id_a", "na"), "id_a")
-      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .join(sh.toDF("id_a", "sh", "na"), "id_a")
+      .join(sh.toDF("id_b", "sh", "nb"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard",
-        coalesce(col("i"), lit(0L)).cast(DoubleType) /
-          (col("na") + col("nb") - coalesce(col("i"), lit(0L))))
+        col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
