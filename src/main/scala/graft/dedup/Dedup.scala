@@ -232,7 +232,10 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // pair-dedup shuffle is equivalent — and the shuffle then carries
+      // only near pairs instead of every block collision.
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 }
