@@ -163,6 +163,13 @@ object ExtensionQueries {
     events(s, dir).select(col("event_id"),
       regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).try_cast(LongType).as("k"))
 
+  /** Schema-on-read JSON decode: `from_json` with an explicit schema — the
+    * typed (and codegen-friendly) alternative to regex extraction. */
+  private val evtJsonStruct: Q = (s, dir) =>
+    events(s, dir).select(col("event_id"),
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k"))
+
   private val evtSessionize: Q = (s, dir) =>
     Sessionize.sessionCounts(events(s, dir), gapMinutes = 30)
 
@@ -199,6 +206,7 @@ object ExtensionQueries {
     "mm_bytes" -> mmBytes,
     "mm_frame_fanout" -> mmFrameFanout,
     "evt_json_extract" -> evtJsonExtract,
+    "evt_json_struct" -> evtJsonStruct,
     "evt_sessionize" -> evtSessionize,
     "evt_session_window" -> evtSessionWindow,
     "evt_window_counts" -> evtWindowCounts)
@@ -327,6 +335,9 @@ object ExtensionQueries {
       "evt_json_extract" ->
         """SELECT event_id,
           | CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
+          | FROM events""".stripMargin,
+      "evt_json_struct" ->
+        """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
           | FROM events""".stripMargin,
       "evt_sessionize" ->
         """WITH l AS (SELECT user_id, epoch_us(ts) AS t,
