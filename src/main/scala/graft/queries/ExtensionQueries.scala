@@ -48,6 +48,10 @@ object ExtensionQueries {
     t(s, dir, "documents").select(col("doc_id"),
       TextOps.langId(col("text")).as("lang_pred"))
 
+  private val txtStopwordRatio: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.stopwordRatio(col("text")).as("sw_ratio"))
+
   private val txtFingerprint: Q = (s, dir) =>
     t(s, dir, "documents").select(col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
@@ -194,6 +198,7 @@ object ExtensionQueries {
     "txt_subword_count" -> txtSubwordCount,
     "txt_quality_score" -> txtQualityScore,
     "txt_lang_id" -> txtLangId,
+    "txt_stopword_ratio" -> txtStopwordRatio,
     "txt_fingerprint" -> txtFingerprint,
     "pipe_clean_corpus" -> pipeCleanCorpus,
     "dd_exact_groups" -> ddExactGroups,
@@ -288,6 +293,17 @@ object ExtensionQueries {
            | ROUND(AVG(quality), 6) AS avg_quality
            |FROM deduped GROUP BY lang_pred""".stripMargin
           .replace("$LANG_SCORES$", langScores),
+      "txt_stopword_ratio" -> {
+        val list = TextOps.markers("en").map(w => s"'$w'").mkString("[", ", ", "]")
+        raw"""SELECT doc_id,
+             | CASE WHEN ntok > 0 THEN ROUND(CAST(hits AS DOUBLE) / ntok, 6)
+             |   ELSE 0.0 END AS sw_ratio
+             | FROM (SELECT doc_id,
+             |   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok,
+             |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |     x -> list_contains($list, regexp_replace(x, '[^\p{L}]', '', 'g')))) AS hits
+             |  FROM documents)""".stripMargin
+      },
       "txt_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
           | FROM documents""".stripMargin,

@@ -66,6 +66,18 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Stopword ratio: fraction of (letter-normalized) tokens that are
+    * stopwords of `lang` (the marker sets double as the stopword lists).
+    * High-signal cheap quality feature — near-0 for gibberish/code, ~0.3–
+    * 0.6 for natural prose. */
+  def stopwordRatio(c: Column, lang: String = "en"): Column = {
+    val ws = markers(lang)
+    val toks = transform(tokens(lower(c)), t => regexp_replace(t, "[^\\p{L}]", ""))
+    val hits = size(filter(toks, t => t.isInCollection(ws)))
+    when(size(toks) > 0, round(hits.cast(DoubleType) / size(toks), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Quality score in [0,1]: blend of length band, alpha ratio, punctuation
     * ratio and mean word length — the classic cheap pre-filter for web-scale
     * corpora. */

@@ -46,6 +46,16 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(0) > rows(1))
   }
 
+  test("stopwordRatio: prose scores high, gibberish zero, empty safe") {
+    val out = Seq(
+      "the cat and the dog is in that house",  // 6 of 9 tokens are markers
+      "zx qv wk pp",
+      "").toDF("t")
+      .select(TextOps.stopwordRatio(col("t")).as("r")).as[Double].collect()
+    assert(math.abs(out(0) - 6.0 / 9) < 1e-6)
+    assert(out(1) === 0.0 && out(2) === 0.0)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fp = Seq("Hello   World", "hello world", "different").toDF("t")
       .select(TextOps.fingerprint(col("t")).as("f")).as[Long].collect()
