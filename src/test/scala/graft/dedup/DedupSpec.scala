@@ -58,6 +58,16 @@ class DedupSpec extends SparkSpec {
     assert(planted.forall(_.getInt(2) === 0))
   }
 
+  test("signatures are partition-count independent (deterministic at any parallelism)") {
+    val df = base.toDF("doc_id", "text")
+    def sigOf(parts: Int) = Dedup.minHashSignaturesOPH(df.repartition(parts), "text", "doc_id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(sigOf(2).toSeq === sigOf(7).toSeq)
+    def simOf(parts: Int) = Dedup.simHashSignatures(df.repartition(parts), "text", "doc_id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(simOf(2).toSeq === simOf(7).toSeq)
+  }
+
   test("ngramJaccard: identical = 1, disjoint = 0, and symmetric") {
     val df = Seq(("a b c d e", "a b c d e"), ("a b c", "x y z"),
       ("a b c d", "b c d e")).toDF("x", "y")

@@ -31,6 +31,16 @@ class ProfileSpec extends SparkSpec {
     assert(p.correlations(("b", "c")) > 0.99)
   }
 
+  test("approximate mode (HLL distinct + GK quantiles) tracks exact closely") {
+    val d = Seq.tabulate(2000)(i => (i, (i % 97).toDouble)).toDF("k", "v")
+    val approx = Profile.profile(d, "t", exact = false)
+    val k = approx.profiles.find(_.name == "k").get
+    assert(math.abs(k.distinct - 2000) < 100)   // HLL++ ~2% error
+    val v = approx.profiles.find(_.name == "v").get
+    assert(v.p50.exists(m => m >= 40 && m <= 56))
+    assert(approx.rows === 2000)
+  }
+
   test("html report renders all columns and stats (K4)") {
     val html = Profile.toHtml(Profile.profile(df, "mytable", exact = true))
     assert(html.contains("<h1>Profile: mytable</h1>"))

@@ -35,6 +35,14 @@ class QualitySpec extends SparkSpec {
     assert(dups === 2)  // three 1s → two excess
   }
 
+  test("assertSchema: order-insensitive exact match, mismatch raises") {
+    val df = Seq((1, "a")).toDF("k", "v")
+    Quality.assertSchema(df, Map("v" -> "string", "k" -> "int"))
+    intercept[IllegalArgumentException] {
+      Quality.assertSchema(df, Map("k" -> "bigint", "v" -> "string"))
+    }
+  }
+
   test("keyStats never throws on a deduped null-free frame (property)") {
     val df = Seq.tabulate(50)(i => (i % 7, i % 3)).toDF("a", "b")
       .dropDuplicates("a", "b")
