@@ -156,6 +156,16 @@ object ExtensionQueries {
     df.select(col("doc_id"), col("n_bytes"), col("sha"))
   }
 
+  /** Per-partition decode plumbing (stubbed codec — deterministic fake
+    * dimensions from the payload hash). Rows-only: the fake dims aren't
+    * SQL-expressible, but the row set is deterministic. */
+  private val mmDecode: Q = (s, dir) =>
+    Multimodal.decodeImageStub(
+        Multimodal.asPayload(t(s, dir, "documents").filter(col("doc_id") < 100), "text"))
+      .select(col("doc_id"), col("media.format").as("fmt"),
+        col("media.width").as("w"), col("media.height").as("h"),
+        col("media.n_bytes").as("n_bytes"))
+
   /** Frame-sampling fan-out shape (1 payload → n frame rows). */
   private val mmFrameFanout: Q = (s, dir) =>
     Multimodal.sampleFramesStub(
@@ -209,6 +219,7 @@ object ExtensionQueries {
     "sim_lsh_ann" -> simLshAnn,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
+    "mm_decode" -> mmDecode,
     "mm_frame_fanout" -> mmFrameFanout,
     "evt_json_extract" -> evtJsonExtract,
     "evt_json_struct" -> evtJsonStruct,
