@@ -110,4 +110,20 @@ class StateEconomicsSpec extends SparkSpec {
       .as[(Int, Double)].collect()
     assert(fed.sameElements(Array((1968, 1.15), (2017, 7.25))))
   }
+
+  test("negative: a null PK in a source makes the matching gate throw (A5)") {
+    // Corrupt the min-wage fixture with an empty Year — dedup keeps
+    // null-keyed rows, so table_CPI's (Year) gate must reject the build,
+    // mirroring the reference's ValueError (dag1.py:71-79).
+    val dir = Files.createTempDirectory("graft_fixtures_bad")
+    val in = Fixtures.writeAll(dir)
+    val mwPath = java.nio.file.Paths.get(in.minWageCsv)
+    val corrupted = new String(Files.readAllBytes(mwPath), "windows-1252") +
+      "\n,Nowhere,1.0,1.0,1.15,8.55,34.8,,1.0,1.0,"
+    Files.write(mwPath, corrupted.getBytes("windows-1252"))
+    val e = intercept[graft.quality.PrimaryKeyViolation] {
+      StateEconomics.build(spark, in).values.foreach(_.count())
+    }
+    assert(e.nullKeyRows > 0)
+  }
 }
