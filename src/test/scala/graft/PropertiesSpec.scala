@@ -71,6 +71,20 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  propertyWithSeed("saltedJoin ≡ plain join for any key distribution", None) =
+    forAll(Gen.listOfN(60, Gen.choose(0, 4)), Gen.choose(1, 8)) {
+      (ks: List[Int], salts: Int) =>
+        ks.isEmpty || {
+          val large = ks.zipWithIndex.toDF("k", "v")
+          val dim = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+          val plain = large.join(dim, Seq("k")).orderBy("v")
+            .collect().map(_.toSeq).toSeq
+          val salted = Ops.saltedJoin(large, dim, Seq("k"), salts).orderBy("v")
+            .collect().map(_.toSeq).toSeq
+          salted == plain
+        }
+    }
+
   // ScalaCheck's default 100 cases × 5 properties × Spark job latency is
   // minutes of wall time for no extra coverage — 20 cases each is plenty
   // for these structural invariants.
