@@ -143,6 +143,15 @@ object RelationalQueries {
     Sources.jdbc(s, url, "REGION", derbyProps).select("r_regionkey", "r_name")
   }
 
+  /** K6: ORC round-trip — the other splittable columnar format Spark
+    * ships; same pushdown/pruning properties as parquet. */
+  private val k6OrcRoundtrip: Q = (s, dir) => {
+    val out = tmpDir("k6")
+    t(s, dir, "supplier").write.mode("overwrite").orc(s"$out/supplier")
+    s.read.orc(s"$out/supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
   /** K4 + PR1/PR2: single-pass profile → HTML report sink
     * (profiling.py:50-54); the count/missing/distinct stats double as the
     * oracle-checked surface. */
@@ -483,6 +492,7 @@ object RelationalQueries {
     "k2_ddl_synthesis" -> k2DdlSynthesis,
     "k3_jdbc_full_refresh" -> k3FullRefresh,
     "k4_profile_sink" -> k4ProfileSink,
+    "k6_orc_roundtrip" -> k6OrcRoundtrip,
     "r1_skip_leading" -> r1SkipLeading,
     "r2_footer_drop" -> r2FooterDrop,
     "r3_drop_column" -> r3DropColumn,
@@ -548,6 +558,8 @@ object RelationalQueries {
         | AS t(col_name, ddl_type)""".stripMargin,
     "k3_jdbc_full_refresh" ->
       "SELECT r_regionkey, r_name FROM region",
+    "k6_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "k4_profile_sink" ->
       """SELECT 'r_regionkey' AS col_name, CAST(count(r_regionkey) AS BIGINT) AS cnt,
         | CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,

@@ -111,6 +111,18 @@ class StateEconomicsSpec extends SparkSpec {
     assert(fed.sameElements(Array((1968, 1.15), (2017, 7.25))))
   }
 
+  test("profiling the built tables (the reference's per-table report DAG)") {
+    // profiling.py:59-79 loops the 11 loaded tables through ProfileReport →
+    // html; here: single-pass Profile over a built table + report render.
+    val p = graft.profile.Profile.profile(tables("table_fed_min_wage"),
+      "table_fed_min_wage", exact = true)
+    assert(p.rows === 2 && p.duplicateRows === 0)
+    val yr = p.profiles.find(_.name == "Year").get
+    assert(yr.min.contains(1968.0) && yr.max.contains(2017.0) && yr.missing === 0)
+    val html = graft.profile.Profile.toHtml(p)
+    assert(html.contains("table_fed_min_wage") && html.contains("Fed_Min_Wage"))
+  }
+
   test("negative: a null PK in a source makes the matching gate throw (A5)") {
     // Corrupt the min-wage fixture with an empty Year — dedup keeps
     // null-keyed rows, so table_CPI's (Year) gate must reject the build,
