@@ -34,18 +34,6 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signatures for a whole corpus: `numHashes` permutations
-    * approximated by seeded hashing over the shingle set (standard public
-    * construction). Returns (id, sig: array<bigint>).
-    *
-    * Cost model matters at 100 TB, so the shape is explode → codegen'd
-    * hash-aggregate, not a higher-order-function fold (HOFs run
-    * interpreted — measured minutes vs seconds on a 500-doc batch):
-    *   - each shingle STRING is hashed exactly once (`xxhash64(s)`); the
-    *     per-permutation values re-hash only that fixed-width 8-byte long,
-    *   - the 64 `min` aggregates are whole-stage-codegen'd with map-side
-    *     partial aggregation, so the shuffle carries ONE 64-long row per
-    *     document, never the exploded shingles. */
   /** Exploded (id, shingle) rows — every stage codegen'd: normalize, emit
     * one row per shingle START POSITION (sequence+explode), then a plain
     * `substr`. The array-building `charShingles` HOF runs interpreted and
@@ -61,6 +49,18 @@ object Dedup {
       .select(col("id"), col("t").substr(col("i"), lit(shingleK)).as("sh"))
   }
 
+  /** MinHash signatures for a whole corpus: `numHashes` permutations
+    * approximated by seeded hashing over the shingle set (standard public
+    * construction). Returns (id, sig: array<bigint>).
+    *
+    * Cost model matters at 100 TB, so the shape is explode → codegen'd
+    * hash-aggregate, not a higher-order-function fold (HOFs run
+    * interpreted — measured minutes vs seconds on a 500-doc batch):
+    *   - each shingle STRING is hashed exactly once (`xxhash64(s)`); the
+    *     per-permutation values re-hash only that fixed-width 8-byte long,
+    *   - the 64 `min` aggregates are whole-stage-codegen'd with map-side
+    *     partial aggregation, so the shuffle carries ONE 64-long row per
+    *     document, never the exploded shingles. */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
     // min over seeded hashes is idempotent under duplicate shingles, so the
@@ -77,10 +77,15 @@ object Dedup {
     * high bits; the signature is the per-bin minimum. Per-shingle work is
     * 1 hash + a (id, bin) group update vs `numBins` hash+min updates for
     * the classic K-permutation form — the asymptotically right shape for
-    * 100 TB corpora. Empty bins keep the Long.MaxValue sentinel on both
-    * sides (identical docs still collide; near-dup bin agreement is the
-    * standard OPH estimator, and exact-Jaccard verification downstream
-    * filters any extra candidates). Returns (id, sig: array<bigint>). */
+    * long documents. Returns (id, sig: array<bigint>).
+    *
+    * CAVEAT — short documents: empty bins keep the Long.MaxValue sentinel,
+    * so docs with fewer distinct shingles than bins share sentinel-heavy
+    * bands and over-generate candidates (degrading toward all-pairs for a
+    * very short corpus). Use for long-document corpora, or add a
+    * densification pass; [[minHashSignatures]] (the default inside
+    * [[minHashNearDups]]) has no such degradation and near-identical
+    * throughput at 64 hashes. */
   def minHashSignaturesOPH(df: DataFrame, textCol: String, idCol: String,
                            numBins: Int = 64, shingleK: Int = 5): DataFrame = {
     val binMins = shingleRows(df, textCol, idCol, shingleK)
@@ -105,9 +110,9 @@ object Dedup {
   def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.7, bands: Int = 16,
                       rowsPerBand: Int = 4, shingleK: Int = 5,
-                      minBandMatches: Int = 2): DataFrame = {
+                      minBandMatches: Int = 1): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minHashSignaturesOPH(df, textCol, idCol, numHashes, shingleK)
+    val sig = minHashSignatures(df, textCol, idCol, numHashes, shingleK)
 
     val banded = sig.select(
       col("id"),
@@ -125,13 +130,14 @@ object Dedup {
     // never rides the candidate shuffle.
     // Band-agreement prefilter, free out of the bucket join: a pair
     // sharing m of `bands` band buckets has estimated Jaccard m-consistent
-    // with threshold t when m is near bands·t^rowsPerBand. Requiring
-    // m ≥ minBandMatches (default 2) prunes the long tail of
-    // moderately-similar organic pairs (m = 1) BEFORE the exact
-    // verification join — measured 380k → ~30k verification pairs on a
-    // 10k-doc batch. For pairs at J = t the extra miss probability is
-    // P[Binom(bands, t^rowsPerBand) < m], e.g. ~0.2% at t=0.8, b=16, r=4 —
-    // the same order as the banding scheme's own inherent miss rate.
+    // with threshold t when m is near bands·t^rowsPerBand. Setting
+    // minBandMatches = 2 prunes the long tail of moderately-similar
+    // organic pairs (m = 1) BEFORE the exact verification join — measured
+    // 380k → ~30k verification pairs on a 10k-doc batch. The extra miss
+    // probability for pairs at J = t is P[Binom(bands, t^rowsPerBand) < m]:
+    // ~0.2% at t=0.8 (b=16, r=4) but ~7.5% at t=0.7 — so the DEFAULT is 1
+    // (the classic any-band-match guarantee) and callers opt in per
+    // threshold.
     // (A signature-agreement estimate stage was tried here and REMOVED:
     // without caching, re-referencing `sig` recomputes the signature
     // pipeline per use, costing more than the pruned verification saved.)

@@ -40,6 +40,20 @@ object Sinks {
     w.saveAsTable(table)
   }
 
+  /** Drop a managed table AND its warehouse directory. The in-memory
+    * catalog forgets tables across JVMs while their directories survive,
+    * and a later CREATE then fails with LOCATION_ALREADY_EXISTS — so both
+    * must go. */
+  def dropManagedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   /** K3 — full-refresh load: overwrite with TRUNCATE-based refresh when the
     * table exists (dag1.py:272-287 does DELETE FROM + COPY; truncate is the
     * set-based equivalent that keeps the DDL). `columnTypes` optionally pins

@@ -154,8 +154,10 @@ object Xlsx {
     } finally zip.close()
   }
 
+  // Quote escaping included: sheetName lands inside an XML ATTRIBUTE value.
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
 
   /** Write a cell grid as a minimal single-sheet .xlsx (SpreadsheetML zip):
     * numbers as native numeric cells, everything else as inline strings,

@@ -96,6 +96,13 @@ object Ops {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // Right/full-outer would emit each UNMATCHED small-side row once per
+    // salt replica — only join types that never preserve unmatched
+    // small-side rows are sound under replication.
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti join types, got '$joinType' " +
+        "(right/full outer would duplicate unmatched small-side rows per salt)")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts.toLong))
         .cast(org.apache.spark.sql.types.IntegerType))

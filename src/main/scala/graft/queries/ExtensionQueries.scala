@@ -87,7 +87,8 @@ object ExtensionQueries {
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" near dup tail")).as("text"))
     Dedup.minHashNearDups(docs.unionByName(planted), "text", "doc_id",
-      threshold = 0.8, bands = 16, rowsPerBand = 4)
+      threshold = 0.8, bands = 16, rowsPerBand = 4,
+      minBandMatches = 2)  // sound at t=0.8: extra miss ~0.2% (see Dedup)
   }
 
   /** SimHash near-dup detection over planted exact copies. Rows-only. */
@@ -371,7 +372,7 @@ object ExtensionQueries {
           |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS p
           | FROM events),
           | n AS (SELECT user_id,
-          |   CASE WHEN p IS NULL OR t - p > 1800000000 THEN 1 ELSE 0 END AS s FROM l)
+          |   CASE WHEN p IS NULL OR t - p >= 1800000000 THEN 1 ELSE 0 END AS s FROM l)
           |SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions,
           | CAST(count(*) AS BIGINT) AS n_events FROM n GROUP BY user_id""".stripMargin,
       "evt_session_window" ->
@@ -379,7 +380,7 @@ object ExtensionQueries {
           |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS p
           | FROM events),
           | n AS (SELECT user_id, value, t,
-          |   SUM(CASE WHEN p IS NULL OR t - p > 1800000000 THEN 1 ELSE 0 END)
+          |   SUM(CASE WHEN p IS NULL OR t - p >= 1800000000 THEN 1 ELSE 0 END)
           |     OVER (PARTITION BY user_id ORDER BY t
           |           ROWS UNBOUNDED PRECEDING) AS sess
           | FROM l)

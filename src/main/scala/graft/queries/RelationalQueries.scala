@@ -373,17 +373,7 @@ object RelationalQueries {
   /** K5: bucketed co-located join — both sides written bucketed on the join
     * key (Sinks.writeBucketed), joined without an exchange. */
   private val k5BucketedJoin: Q = (s, dir) => {
-    Seq("graft_bkt_orders", "graft_bkt_cust").foreach { tn =>
-      s.sql(s"DROP TABLE IF EXISTS $tn")
-      val loc = new java.io.File(
-        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tn)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(loc)
-      }
-    }
+    Seq("graft_bkt_orders", "graft_bkt_cust").foreach(Sinks.dropManagedTable(s, _))
     Sinks.writeBucketed(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
       "graft_bkt_orders", Seq("o_custkey"), 8, Seq("o_custkey"))
     Sinks.writeBucketed(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),

@@ -24,13 +24,19 @@ object Sessionize {
                userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     // microsecond precision so the gap test is exact (and engine-portable),
-    // not truncated to seconds
+    // not truncated to seconds. The boundary uses >= to match Spark's
+    // session_window semantics exactly: a session window is
+    // [start, last + gap) — half-open — so an event arriving at EXACTLY
+    // last + gap starts a new session. Keeping both formulations identical
+    // is what makes the batch ≡ streaming equivalence hold everywhere,
+    // including the boundary (pinned by the evt_session_window oracle and
+    // SessionizeSpec's boundary test).
     val gapUs = gapMinutes * 60L * 1000000L
     events
       .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
       .withColumn("__new_session",
         when(col("__prev").isNull ||
-          unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapUs, 1L)
+          unix_micros(col(tsCol)) - unix_micros(col("__prev")) >= gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_no", sum(col("__new_session")).over(byUser))
       .groupBy(col(userCol), col("session_no"))

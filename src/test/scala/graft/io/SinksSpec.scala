@@ -1,25 +1,16 @@
 package graft.io
 
 import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables join without a shuffle (co-located SortMergeJoin)") {
-    // The in-memory catalog forgets tables across JVMs but their warehouse
-    // dirs survive — drop both and remove orphan locations.
-    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(loc)
-      }
-    }
+    Seq("graft_bkt_a", "graft_bkt_b").foreach(Sinks.dropManagedTable(spark, _))
     val n = 10000
     val facts = (1 to n).map(i => (i % 500, i.toDouble)).toDF("k", "x")
     val other = (1 to n).map(i => (i % 500, s"s$i")).toDF("k", "s")
@@ -28,9 +19,19 @@ class SinksSpec extends SparkSpec {
     val joined = spark.sql(
       """SELECT /*+ MERGE(a) */ a.k, a.x, b.s
         |FROM graft_bkt_a a JOIN graft_bkt_b b ON a.k = b.k""".stripMargin)
-    val exchanges = joined.queryExecution.executedPlan.collect { case e: Exchange => e }
+    // Materialize first: under AQE the executedPlan is an
+    // AdaptiveSparkPlanExec LEAF until execution, so a pre-execution
+    // collect{case e: Exchange} would be vacuously empty.
+    assert(joined.count() === n.toLong * (n / 500))
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan +: allNodes(a.executedPlan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val nodes = allNodes(joined.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"expected SortMergeJoin; plan nodes: ${nodes.map(_.nodeName).distinct}")
+    val exchanges = nodes.filter(_.isInstanceOf[Exchange])
     assert(exchanges.isEmpty,
       s"bucketed join should not shuffle; found: ${exchanges.map(_.nodeName)}")
-    assert(joined.count() === n.toLong * (n / 500))
   }
 }

@@ -31,6 +31,13 @@ class XlsxSpec extends SparkSpec {
     assert(rows(3).isNullAt(1) && rows(3).getString(3) === "end")
   }
 
+  test("sheet name with quotes/ampersands survives attribute escaping") {
+    val f = Files.createTempDirectory("graft_xlsx").resolve("q.xlsx").toString
+    Xlsx.write(f, Seq[Seq[Any]](Seq("a"), Seq("1")), sheetName = """Q1 "final" & more""")
+    val df = Xlsx.read(spark, f)   // parse succeeds → attribute was escaped
+    assert(df.count() === 2)
+  }
+
   test("sparse rows: missing cells in the middle keep column alignment") {
     val f = Files.createTempDirectory("graft_xlsx").resolve("s.xlsx").toString
     Xlsx.write(f, Seq[Seq[Any]](Seq("a", "b", "c"), Seq("x", null, "z")))

@@ -28,6 +28,15 @@ class SaltedJoinSpec extends SparkSpec {
     assert(out(1).isNullAt(1))   // key 99 not in dim, still present
   }
 
+  test("right/full outer join types are rejected (would duplicate unmatched dim rows)") {
+    intercept[IllegalArgumentException] {
+      Ops.saltedJoin(large, dim, Seq("k"), 4, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Ops.saltedJoin(large, dim, Seq("k"), 4, "right")
+    }
+  }
+
   test("hot key's rows spread across multiple salt values") {
     val salted = large.withColumn("__salt",
       pmod(xxhash64(struct(large.columns.map(col): _*)), lit(8L)).cast("int"))

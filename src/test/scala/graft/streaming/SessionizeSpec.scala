@@ -32,13 +32,17 @@ class SessionizeSpec extends SparkSpec {
     assert(c.sameElements(Array((1L, 2L, 3L), (2L, 1L, 1L))))
   }
 
-  test("gap boundary: exactly gapMinutes does NOT split, gap+ε does") {
+  test("gap boundary: exactly gapMinutes splits (session_window's half-open interval)") {
+    // A session window is [start, last+gap): an event at EXACTLY last+gap
+    // is outside it. The batch formulation uses >= to match — verified
+    // against session_window itself below and by the evt_session_window
+    // oracle.
     val df = Seq((1L, ts(0), 1L, "a", 1.0, "{}"),
-      (2L, ts(30), 1L, "a", 1.0, "{}"),  // exactly 30 min → same session
-      (3L, Timestamp.valueOf("2024-01-01 11:00:01"), 1L, "a", 1.0, "{}"))
+      (2L, ts(30), 1L, "a", 1.0, "{}"),  // exactly 30 min → NEW session
+      (3L, Timestamp.valueOf("2024-01-01 10:59:59"), 1L, "a", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val n = Sessionize.sessionCounts(df, 30).select("n_sessions").as[Long].head()
-    assert(n === 2)
+    assert(n === 2)  // {10:00}, {10:30, 10:59:59}
   }
 
   test("streaming sessions via session_window match batch semantics") {
