@@ -14,15 +14,25 @@ object Bench {
     // Warm up scan/codegen paths so the first timed query isn't charged
     // for session initialization.
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // A failed query must FAIL the bench visibly (error on stderr, listed
+    // in "failed", nonzero exit) — a swallowed exception would record a
+    // tiny wall-time and let a regression masquerade as a speedup.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+          Some(e.getClass.getSimpleName)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(_)) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
 }

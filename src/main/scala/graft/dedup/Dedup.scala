@@ -111,10 +111,29 @@ object Dedup {
                       threshold: Double = 0.7, bands: Int = 16,
                       rowsPerBand: Int = 4, shingleK: Int = 5,
                       minBandMatches: Int = 1): DataFrame = {
+    require(threshold > 0, "minHashNearDups requires a positive threshold")
     val numHashes = bands * rowsPerBand
-    val sig = minHashSignatures(df, textCol, idCol, numHashes, shingleK)
 
-    val banded = sig.select(
+    // ONE shingle scan for the whole operator. Every consumer below — the
+    // signature aggregate, the per-doc set sizes, and BOTH sides of the
+    // exact-Jaccard verification join — reads this same per-doc-distinct
+    // (id, h) frame, so the physical plan carries a single exchange on
+    // (id, h) that ReuseExchange serves to all of them: the documents
+    // table is scanned and the shingle explosion (the dominant cost) runs
+    // exactly once, where the previous shape paid it twice.
+    val shingles = shingleRows(df, textCol, idCol, shingleK)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .dropDuplicates("id", "h")
+
+    // `min` over seeded re-hashes is idempotent under duplicate shingles,
+    // so signatures over the distinct frame equal minHashSignatures over
+    // the raw stream. The shingle-set size rides the same aggregate,
+    // replacing the former full-frame window count.
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))))
+    val sigN = shingles.groupBy("id")
+      .agg(array(aggs: _*).as("sig"), count(lit(1)).as("n"))
+
+    val banded = sigN.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -138,9 +157,6 @@ object Dedup {
     // ~0.2% at t=0.8 (b=16, r=4) but ~7.5% at t=0.7 — so the DEFAULT is 1
     // (the classic any-band-match guarantee) and callers opt in per
     // threshold.
-    // (A signature-agreement estimate stage was tried here and REMOVED:
-    // without caching, re-referencing `sig` recomputes the signature
-    // pipeline per use, costing more than the pruned verification saved.)
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -150,26 +166,23 @@ object Dedup {
       .filter(col("m") >= minBandMatches)
       .select("id_a", "id_b")
 
-    // Exact-Jaccard verification, computed distributively: explode each
-    // doc's (distinct) shingle set, count per-pair intersections with a
-    // codegen'd join+groupBy over the CANDIDATE pairs only. The pairwise
-    // array-expression form (shingleJaccard) re-derives both shingle
-    // arrays per pair in interpreted HOFs — measured 65 s vs <2 s on a
-    // 500-doc batch — and would recompute per long document at scale.
-    // Shingles ride the joins as 64-bit hashes; each side's set size rides
-    // along via a window count, so no separate sizes aggregate or final
-    // re-joins are needed. Pairs with ZERO common shingles drop out of the
-    // inner join — sound because they have jaccard 0 < threshold.
-    require(threshold > 0, "minHashNearDups requires a positive threshold")
-    val sh = shingleRows(df, textCol, idCol, shingleK)
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
-      .dropDuplicates("id", "sh")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    // Exact-Jaccard verification, computed distributively: count per-pair
+    // intersections with a codegen'd join+groupBy over the CANDIDATE pairs
+    // only, reading the SAME `shingles` frame as the signature path (the
+    // pairwise array-expression form — shingleJaccard — re-derives both
+    // shingle arrays per pair in interpreted HOFs: measured 65 s vs <2 s
+    // on a 500-doc batch). Shingles ride the joins as 64-bit hashes; set
+    // sizes join on AFTER the intersection aggregate, when the frame is
+    // one row per surviving pair. Pairs with ZERO common shingles drop out
+    // of the inner join — sound because they have jaccard 0 < threshold.
+    val sizes = sigN.select(col("id"), col("n"))
     candidates
-      .join(sh.toDF("id_a", "sh", "na"), "id_a")
-      .join(sh.toDF("id_b", "sh", "nb"), Seq("id_b", "sh"))
+      .join(shingles.toDF("id_a", "h"), "id_a")
+      .join(shingles.toDF("id_b", "h"), Seq("id_b", "h"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
       .withColumn("jaccard",
         col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
