@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs.
   *
-  * The Spark-side contract (schema, partition behavior, batch-friendly
-  * per-partition processing) is real and tested; the actual media decode is
-  * STUBBED with a deterministic fake (this environment ships no codec
-  * libraries). Swap `decodeImageStub` for a real decoder (e.g. a
-  * `mapPartitions` that feeds a JNI codec, or `mapInPandas`+PIL on PySpark
-  * clusters) without touching any schema or caller.
+  * Image decode is REAL — JDK `javax.imageio` (PNG/JPEG/GIF/BMP, zero
+  * external dependencies) inside `mapPartitions`, reading dimensions from
+  * the image header without materializing pixels. Video frame sampling and
+  * resize remain labeled stubs (no codec libraries here): their schema,
+  * partition behavior, and fan-out shape are the real contract; swap the
+  * byte transform for a JNI codec or `mapInPandas`+PIL without touching
+  * any caller.
   *
   * Scale notes: payload bytes live in ONE binary column so Parquet keeps
   * them in a single large column chunk; metadata extraction is columnar and
@@ -39,22 +40,72 @@ object Multimodal {
     df.withColumn("n_bytes", length(col(payloadCol)).cast(LongType))
       .withColumn("sha", sha2(col(payloadCol), 256))
 
-  /** DECODE STUB — deterministic fake image decode: "dimensions" derived
-    * from the payload hash. Runs per-partition so a real decoder's
-    * initialization cost is amortized exactly like the eventual codec. */
-  def decodeImageStub(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+  /** Deterministic PNG payloads synthesized per row with `javax.imageio`:
+    * dimensions are a pure function of the id column (w = id%48+8,
+    * h = id%32+8), so downstream decode results are SQL-expressible and
+    * oracle-checkable. Pixels carry a deterministic gradient — the PNGs are
+    * real, fully-formed images, not magic-number shells. */
+  def synthesizePng(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (id % 48).toInt + 8
+        val h = (id % 32).toInt + 8
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((x * 31 + y * 7 + id.toInt) & 0xFFFFFF))
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL image decode via JDK `javax.imageio`: format name and dimensions
+    * read from the image header (`ImageReader.getWidth/getHeight` — no full
+    * pixel decode for metadata, the scalable shape for 100 TB of payloads).
+    * Runs per-partition so decoder/registry init is amortized; undecodable
+    * or null payloads yield a null media struct instead of failing the
+    * partition. */
+  def decodeImage(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+ StructField("media", mediaMetaSchema))
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { it =>
-      // real decoder init would go here, once per partition
+      javax.imageio.ImageIO.setUseCache(false)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val meta = if (bytes == null) null else {
-          val h = java.util.Arrays.hashCode(bytes)
-          Row("fake/img", math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1,
-            bytes.length.toLong, f"${h}%08x")
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val rd = readers.next()
+            try {
+              rd.setInput(iis)
+              Row(rd.getFormatName.toLowerCase, rd.getWidth(0), rd.getHeight(0),
+                bytes.length.toLong,
+                sha.digest(bytes).map(b => f"$b%02x").mkString)
+            } catch { case _: java.io.IOException => null }
+            finally { rd.dispose(); iis.close() }
+          }
         }
         Row.fromSeq(r.toSeq :+ meta)
       }

@@ -28,7 +28,10 @@ final case class ColumnProfile(
     max: Option[Double],
     p25: Option[Double],
     p50: Option[Double],
-    p75: Option[Double])
+    p75: Option[Double],
+    skewness: Option[Double] = None,
+    kurtosis: Option[Double] = None,
+    histogram: Seq[Long] = Seq.empty)
 
 final case class TableProfile(
     table: String,
@@ -45,9 +48,11 @@ object Profile {
     case _              => false
   }
 
-  /** PR1–PR5 in one aggregation pass + PR6 in a second. `exact` switches
-    * the distinct/quantile sketches to exact computation (use for tests /
-    * oracle parity; default approximate for 100 TB runs). */
+  /** PR1–PR5 (counts, missing, distinct, moments incl. skewness/kurtosis,
+    * quantiles, duplicates) in one aggregation pass, histograms in a second
+    * (bucket bounds need pass-1 min/max), PR6 correlations in a third.
+    * `exact` switches the distinct/quantile sketches to exact computation
+    * (use for tests / oracle parity; default approximate for 100 TB runs). */
   def profile(df: DataFrame, table: String = "df", exact: Boolean = false): TableProfile = {
     val fields  = df.schema.fields
     val numeric = fields.filter(f => isNumeric(f.dataType)).map(_.name)
@@ -76,7 +81,9 @@ object Profile {
               max(col(c)).cast(DoubleType).as(s"$c::max"),
               pct(c, 0.25).as(s"$c::p25"),
               pct(c, 0.5).as(s"$c::p50"),
-              pct(c, 0.75).as(s"$c::p75"))
+              pct(c, 0.75).as(s"$c::p75"),
+              skewness(col(c)).cast(DoubleType).as(s"$c::skew"),
+              kurtosis(col(c)).cast(DoubleType).as(s"$c::kurt"))
           else Seq.empty
         base ++ nums
       }
@@ -96,6 +103,36 @@ object Profile {
     }
 
     val rows = getL("__rows")
+
+    // Histograms need the min/max from pass 1 to place bucket bounds, so
+    // they are a SECOND single aggregation pass over all numeric columns at
+    // once (bins × columns conditional sums — still one job, one scan).
+    val histBins = 10
+    val histTargets = fields.collect {
+      case f if isNumeric(f.dataType)
+        && getD(s"${f.name}::min").isDefined
+        && getD(s"${f.name}::max").exists(_ > getD(s"${f.name}::min").get) =>
+        (f.name, getD(s"${f.name}::min").get, getD(s"${f.name}::max").get)
+    }.toSeq
+    val histograms: Map[String, Seq[Long]] =
+      if (histTargets.isEmpty) Map.empty
+      else {
+        // width_bucket sends x == hi to the overflow bucket bins+1; least()
+        // folds the max value into the last in-range bucket instead.
+        val wb = df.select(histTargets.map { case (c, lo, hi) =>
+          least(width_bucket(col(c).cast(DoubleType), lit(lo), lit(hi), lit(histBins)),
+            lit(histBins.toLong)).as(s"$c::wb")
+        }: _*)
+        val hAggs = histTargets.flatMap { case (c, _, _) =>
+          (1 to histBins).map(b =>
+            sum(when(col(s"$c::wb") === b, 1L).otherwise(0L)).as(s"$c::h$b"))
+        }
+        val hRow = wb.agg(hAggs.head, hAggs.tail: _*).head()
+        histTargets.map { case (c, _, _) =>
+          c -> (1 to histBins).map(b => hRow.getLong(hRow.fieldIndex(s"$c::h$b"))).toSeq
+        }.toMap
+      }
+
     val profiles = fields.map { f =>
       val c = f.name
       val num = isNumeric(f.dataType)
@@ -109,7 +146,10 @@ object Profile {
         max = if (num) getD(s"$c::max") else None,
         p25 = if (num) getD(s"$c::p25") else None,
         p50 = if (num) getD(s"$c::p50") else None,
-        p75 = if (num) getD(s"$c::p75") else None)
+        p75 = if (num) getD(s"$c::p75") else None,
+        skewness = if (num) getD(s"$c::skew") else None,
+        kurtosis = if (num) getD(s"$c::kurt") else None,
+        histogram = histograms.getOrElse(c, Seq.empty))
     }
 
     // PR6 — pairwise correlations over numeric columns, one pass.
@@ -137,7 +177,8 @@ object Profile {
       s"<tr><td>${c.name}</td><td>${c.dataType}</td><td>${c.count}</td>" +
         s"<td>${c.missing}</td><td>${c.distinct}</td><td>${fmt(c.mean)}</td>" +
         s"<td>${fmt(c.stddev)}</td><td>${fmt(c.min)}</td><td>${fmt(c.p50)}</td>" +
-        s"<td>${fmt(c.max)}</td></tr>"
+        s"<td>${fmt(c.max)}</td><td>${fmt(c.skewness)}</td>" +
+        s"<td>${fmt(c.kurtosis)}</td><td>${c.histogram.mkString(" ")}</td></tr>"
     }.mkString("\n")
     val corrRows = p.correlations.toSeq.sortBy(_._1).map { case ((a, b), v) =>
       f"<tr><td>$a</td><td>$b</td><td>$v%.4f</td></tr>"
@@ -149,7 +190,8 @@ object Profile {
        |<p>${p.rows} rows × ${p.columns} columns; ${p.duplicateRows} duplicate rows</p>
        |<h2>Columns</h2>
        |<table><tr><th>column</th><th>type</th><th>count</th><th>missing</th>
-       |<th>distinct</th><th>mean</th><th>std</th><th>min</th><th>median</th><th>max</th></tr>
+       |<th>distinct</th><th>mean</th><th>std</th><th>min</th><th>median</th><th>max</th>
+       |<th>skew</th><th>kurtosis</th><th>histogram</th></tr>
        |$colRows</table>
        |<h2>Correlations</h2>
        |<table><tr><th>a</th><th>b</th><th>corr</th></tr>

@@ -157,15 +157,16 @@ object ExtensionQueries {
     df.select(col("doc_id"), col("n_bytes"), col("sha"))
   }
 
-  /** Per-partition decode plumbing (stubbed codec — deterministic fake
-    * dimensions from the payload hash). Rows-only: the fake dims aren't
-    * SQL-expressible, but the row set is deterministic. */
+  /** Real per-partition image decode (JDK ImageIO): synthesize a true PNG
+    * per doc with dimensions planted as a pure function of doc_id, decode
+    * it back, and emit the header metadata. Because the planted dims are
+    * SQL-expressible, the decode round-trip has a full DuckDB oracle. */
   private val mmDecode: Q = (s, dir) =>
-    Multimodal.decodeImageStub(
-        Multimodal.asPayload(t(s, dir, "documents").filter(col("doc_id") < 100), "text"))
+    Multimodal.decodeImage(
+        Multimodal.synthesizePng(
+          t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id"), "doc_id"))
       .select(col("doc_id"), col("media.format").as("fmt"),
-        col("media.width").as("w"), col("media.height").as("h"),
-        col("media.n_bytes").as("n_bytes"))
+        col("media.width").as("w"), col("media.height").as("h"))
 
   /** Frame-sampling fan-out shape (1 payload → n frame rows). */
   private val mmFrameFanout: Q = (s, dir) =>
@@ -357,6 +358,11 @@ object ExtensionQueries {
           | WHERE vec_id % 10 = 0""".stripMargin,
       "mm_bytes" ->
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
+      "mm_decode" ->
+        """SELECT doc_id, 'png' AS fmt,
+          | CAST(doc_id % 48 + 8 AS INTEGER) AS w,
+          | CAST(doc_id % 32 + 8 AS INTEGER) AS h
+          | FROM documents WHERE doc_id < 100""".stripMargin,
       "mm_frame_fanout" ->
         """SELECT doc_id, f.frame_no FROM documents,
           | (VALUES (0), (1), (2)) AS f(frame_no) WHERE doc_id < 50""".stripMargin,

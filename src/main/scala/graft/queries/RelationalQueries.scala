@@ -439,15 +439,18 @@ object RelationalQueries {
       count_distinct(col("c_mktsegment")).as("n_segments"),
       count_distinct(col("c_nationkey")).as("n_nations"))
 
-  /** PR3: moments in one pass (skew/kurt live in Profile; their sample vs
-    * population definitions differ across engines, so the oracle checks
-    * mean/std/min/max). */
+  /** PR3: moments in one pass, through 3rd and 4th order. Spark's
+    * `skewness`/`kurtosis` are POPULATION definitions (m3/m2^1.5 and
+    * m4/m2^2 - 3), while DuckDB's builtins are sample-corrected — so the
+    * oracle derives the population values from raw central moments. */
   private val pr3Moments: Q = (s, dir) =>
     t(s, dir, "lineitem").agg(
       round(avg(col("l_extendedprice")), 6).as("mean_price"),
       round(stddev(col("l_extendedprice")), 6).as("std_price"),
       min(col("l_extendedprice")).as("min_price"),
-      max(col("l_extendedprice")).as("max_price"))
+      max(col("l_extendedprice")).as("max_price"),
+      round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+      round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"))
 
   /** PR4: exact interpolated quantiles. */
   private val pr4Quantiles: Q = (s, dir) =>
@@ -456,6 +459,16 @@ object RelationalQueries {
       .select(round(element_at(col("p"), 1), 6).as("q1"),
         round(element_at(col("p"), 2), 6).as("q2"),
         round(element_at(col("p"), 3), 6).as("q3"))
+
+  /** PR7: equi-width histogram via `width_bucket` — l_quantity is 1..50, so
+    * 10 buckets of width 5 over [1, 51). The max value would land in
+    * width_bucket's overflow bucket at hi itself, but 50 < 51 so every row
+    * is in range. */
+  private val pr7Histogram: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(width_bucket(col("l_quantity").cast(DoubleType), lit(1.0), lit(51.0), lit(10))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
   /** PR5: duplicate full rows. */
   private val pr5DupRows: Q = (s, dir) => {
@@ -522,6 +535,7 @@ object RelationalQueries {
     "pr3_moments" -> pr3Moments,
     "pr4_quantiles" -> pr4Quantiles,
     "pr5_dup_rows" -> pr5DupRows,
+    "pr7_histogram" -> pr7Histogram,
     "pr6_correlation" -> pr6Correlation)
 
   val oracle: Map[String, String] = Map(
@@ -683,10 +697,18 @@ object RelationalQueries {
       """SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
         | CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations FROM customer""".stripMargin,
     "pr3_moments" ->
-      """SELECT ROUND(AVG(l_extendedprice), 6) AS mean_price,
+      """WITH mu AS (SELECT avg(l_extendedprice) AS m FROM lineitem)
+        |SELECT ROUND(AVG(l_extendedprice), 6) AS mean_price,
         | ROUND(stddev(l_extendedprice), 6) AS std_price,
-        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
-        | FROM lineitem""".stripMargin,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        | ROUND(avg(pow(l_extendedprice - m, 3)) / pow(avg(pow(l_extendedprice - m, 2)), 1.5), 6)
+        |   AS skew_price,
+        | ROUND(avg(pow(l_extendedprice - m, 4)) / pow(avg(pow(l_extendedprice - m, 2)), 2) - 3, 6)
+        |   AS kurt_price
+        | FROM lineitem, mu""".stripMargin,
+    "pr7_histogram" ->
+      """SELECT CAST(FLOOR((l_quantity - 1) / 5) + 1 AS BIGINT) AS bucket,
+        | count(*) AS cnt FROM lineitem GROUP BY 1""".stripMargin,
     "pr4_quantiles" ->
       """SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1,
         | ROUND(quantile_cont(l_quantity, 0.5), 6) AS q2,

@@ -21,17 +21,26 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2).isNullAt(0))   // null payload → null meta, no crash
   }
 
-  test("decodeImageStub: per-partition decode attaches the media struct") {
-    val out = Multimodal.decodeImageStub(Multimodal.asPayload(docs, "txt"))
+  test("synthesizePng + decodeImage: real PNG round-trip recovers planted dims") {
+    val ids = Seq(0L, 1L, 47L, 48L, 95L).toDF("id")
+    val out = Multimodal.decodeImage(Multimodal.synthesizePng(ids, "id"))
     assert(out.schema("media").dataType === Multimodal.mediaMetaSchema)
-    val rows = out.orderBy("id").select("media.format", "media.n_bytes").collect()
-    assert(rows(0).getString(0) === "fake/img" && rows(0).getLong(1) === 13L)
-    assert(rows(2).isNullAt(0)) // null payload → null media
-    // determinism: same payload → same fake dimensions on re-run
-    val again = Multimodal.decodeImageStub(Multimodal.asPayload(docs, "txt"))
-      .orderBy("id").select("media.width", "media.height").collect()
-    val first = out.orderBy("id").select("media.width", "media.height").collect()
-    assert(again.map(_.toSeq).toSeq === first.map(_.toSeq).toSeq)
+    val rows = out.orderBy("id")
+      .select("id", "media.format", "media.width", "media.height", "media.n_bytes")
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === "png")
+      assert(r.getInt(2) === (id % 48).toInt + 8, s"width of id=$id")
+      assert(r.getInt(3) === (id % 32).toInt + 8, s"height of id=$id")
+      assert(r.getLong(4) > 50L) // a real PNG, not a magic-number shell
+    }
+  }
+
+  test("decodeImage: null and undecodable payloads yield null media, no failure") {
+    val out = Multimodal.decodeImage(Multimodal.asPayload(docs, "txt"))
+    val rows = out.orderBy("id").select("media").collect()
+    assert(rows.forall(_.isNullAt(0))) // text bytes aren't an image; null not crash
   }
 
   test("sampleFramesStub: 1 payload → n frame rows with distinct frame hashes") {

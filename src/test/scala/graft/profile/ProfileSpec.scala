@@ -23,6 +23,23 @@ class ProfileSpec extends SparkSpec {
     assert(s.count === 4 && s.distinct === 2 && s.mean.isEmpty)
   }
 
+  test("skewness/kurtosis (population defs) and 10-bucket histogram") {
+    // 0..9 uniform: skew 0, excess kurtosis of discrete uniform(10) =
+    // 6*(n^2+1)/(5*(n^2-1)) negated = -1.2242…; one value per bucket.
+    val d = Seq.tabulate(10)(i => i.toDouble).toDF("v")
+    val p = Profile.profile(d, "t", exact = true).profiles.head
+    assert(p.skewness.exists(s => math.abs(s) < 1e-9))
+    assert(p.kurtosis.exists(k => math.abs(k - (-1.2242424242)) < 1e-6))
+    assert(p.histogram === Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L))
+  }
+
+  test("histogram edge cases: constant column and all-null column are skipped") {
+    val d = Seq((1.0, Option.empty[Double]), (1.0, None)).toDF("c", "n")
+    val p = Profile.profile(d, "t", exact = true)
+    assert(p.profiles.find(_.name == "c").get.histogram.isEmpty) // min == max
+    assert(p.profiles.find(_.name == "n").get.histogram.isEmpty) // no bounds
+  }
+
   test("correlations over numeric pairs (PR6)") {
     val d = Seq((1, 2.0, 10.0), (2, 4.0, 20.0), (3, 6.0, 31.0))
       .toDF("a", "b", "c")
