@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Structural / reshape operators (SURVEY.md §2.3, §2.6, A6).
   *
@@ -43,13 +44,32 @@ object Ops {
     *
     * The distinct set is expected to be dimension-sized (12 rows in the
     * reference); `row_number` over a single global window is fine there.
-    * For large domains prefer `zipWithIndex`-style dense ranks per
-    * partition — not needed for parity. */
+    * For large natural-key domains use [[surrogateKeyScalable]] — same
+    * ids, no single-partition window. */
   def surrogateKey(df: DataFrame, natKey: Seq[String], idCol: String): DataFrame = {
     val w = Window.orderBy(natKey.map(col): _*)
     df.select(natKey.map(col): _*)
       .distinct()
       .withColumn(idCol, row_number().over(w) - 1)
+  }
+
+  /** A6 at scale: the same contract as [[surrogateKey]] — dense 0-based
+    * ids in natural-key order — with NO single-partition window, so it
+    * holds for natural-key domains of any size. Phase 1 range-partitions
+    * and sorts the distinct key set (partitions are in ascending range
+    * order, so partition-then-offset order IS global key order); phase 2
+    * is `zipWithIndex`: one small per-partition count job, then a
+    * map-only offset add. Property-tested equal to the window form. */
+  def surrogateKeyScalable(df: DataFrame, natKey: Seq[String], idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keyCols = natKey.map(col)
+    val sorted = df.select(keyCols: _*).distinct()
+      .repartitionByRange(keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val outSchema = StructType(
+      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** R2 — drop the last `n` rows under an explicit ordering (footer rows,

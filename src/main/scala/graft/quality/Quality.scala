@@ -36,6 +36,13 @@ object Quality {
 
   /** A3+A4 in one pass: returns (nullKeyRows, duplicateRows). */
   def keyStats(df: DataFrame, keys: Seq[String]): (Long, Long) = {
+    val (nulls, dups, _) = keyStatsWithRows(df, keys)
+    (nulls, dups)
+  }
+
+  /** A3+A4+total row count in ONE aggregation job — the shape a gate-then-
+    * report pipeline (a5) needs, so it never scans the table twice. */
+  def keyStatsWithRows(df: DataFrame, keys: Seq[String]): (Long, Long, Long) = {
     val anyNull = keys.map(col(_).isNull).reduce(_ || _)
     // Nulls are counted separately and excluded from the dup grouping so a
     // null key is reported once, not as both null and duplicate.
@@ -46,9 +53,10 @@ object Quality {
       .agg(
         coalesce(sum(when(col("__nullkey"), col("count"))), lit(0L)).as("nulls"),
         coalesce(sum(when(!col("__nullkey") && col("count") > 1, col("count") - 1)), lit(0L))
-          .as("dups"))
+          .as("dups"),
+        coalesce(sum(col("count")), lit(0L)).as("rows"))
       .head()
-    (stats.getLong(0), stats.getLong(1))
+    (stats.getLong(0), stats.getLong(1), stats.getLong(2))
   }
 
   /** A5 — the gate: throws [[PrimaryKeyViolation]] if `keys` is not a valid

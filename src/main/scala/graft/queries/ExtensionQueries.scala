@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 import graft.streaming.Sessionize
 import graft.text.TextOps
 
@@ -105,6 +105,17 @@ object ExtensionQueries {
   private val simCosineTopk: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** IVF ANN probing every cell (nprobe = nlist): provably identical to
+    * exact brute force — every candidate is scored — so the k-means
+    * assignment drops out of the result and the brute-force SQL oracle
+    * hash-checks the whole IVF pipeline (train, assign, probe, rerank).
+    * Partial probing (nprobe < nlist) is the production path; its recall
+    * is pinned by IvfSpec. */
+  private val simIvfTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 8, nprobe = 8)
   }
 
   /** LSH-bucketed ANN — the scale path; recall vs brute force is asserted
@@ -218,6 +229,7 @@ object ExtensionQueries {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_simhash" -> ddSimhash,
     "sim_cosine_topk" -> simCosineTopk,
+    "sim_ivf_topk" -> simIvfTopk,
     "sim_lsh_ann" -> simLshAnn,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
@@ -342,6 +354,19 @@ object ExtensionQueries {
           |JOIN sizes na ON na.doc_id = p.id_a
           |JOIN sizes nb ON nb.doc_id = p.id_b""".stripMargin,
       "sim_cosine_topk" ->
+        """SELECT query_id, cand_id, cosine, rank FROM (
+          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |     CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+          |   CAST(row_number() OVER (PARTITION BY q.vec_id
+          |     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
+          | FROM embeddings q, embeddings c
+          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |WHERE rank <= 5""".stripMargin,
+      // nprobe = nlist probes every cell, so IVF ≡ exact brute force and
+      // shares its oracle.
+      "sim_ivf_topk" ->
         """SELECT query_id, cand_id, cosine, rank FROM (
           | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
           |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

@@ -408,9 +408,11 @@ object RelationalQueries {
   private val a5PkGate: Q = (s, dir) => {
     import s.implicits._
     val orders = t(s, dir, "orders")
-    Quality.checkPrimaryKey(orders, Seq("o_orderkey"), "orders")
-    val (nulls, dups) = Quality.keyStats(orders, Seq("o_orderkey"))
-    Seq(("orders", nulls, dups, orders.count()))
+    // Gate and report from ONE aggregation job — the gate's own stats are
+    // the report, so the table is scanned once, not three times.
+    val (nulls, dups, rows) = Quality.keyStatsWithRows(orders, Seq("o_orderkey"))
+    if (nulls > 0 || dups > 0) throw graft.quality.PrimaryKeyViolation("orders", nulls, dups)
+    Seq(("orders", nulls, dups, rows))
       .toDF("table_name", "null_keys", "dup_keys", "n_rows")
   }
 

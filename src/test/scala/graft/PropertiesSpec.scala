@@ -71,6 +71,19 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  propertyWithSeed("surrogateKeyScalable ≡ window surrogateKey at any parallelism", None) =
+    forAll(Gen.listOfN(30, Gen.choose(0, 9)), Gen.choose(1, 7)) {
+      (ks: List[Int], parts: Int) =>
+        ks.isEmpty || {
+          val df = ks.map(Tuple1(_)).toDF("k").repartition(parts)
+          val win = Ops.surrogateKey(df, Seq("k"), "id")
+            .orderBy("id").as[(Int, Int)].collect().map { case (k, i) => (k, i.toLong) }
+          val scl = Ops.surrogateKeyScalable(df, Seq("k"), "id")
+            .orderBy("id").as[(Int, Long)].collect()
+          win.sameElements(scl)
+        }
+    }
+
   propertyWithSeed("saltedJoin ≡ plain join for any key distribution", None) =
     forAll(Gen.listOfN(60, Gen.choose(0, 4)), Gen.choose(1, 8)) {
       (ks: List[Int], salts: Int) =>

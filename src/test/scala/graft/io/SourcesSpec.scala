@@ -16,6 +16,25 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.detectCharset(w1252.toString) === "windows-1252")
   }
 
+  test("detectCharset reads only the probe prefix on files larger than it") {
+    val f = Files.createTempFile("graft_big", ".csv")
+    val out = Files.newOutputStream(f)
+    val line = "0123456789abcde\n".getBytes("UTF-8")
+    (0 until 512).foreach(_ => out.write(line)) // 8 KiB of clean UTF-8
+    out.write(0x96) // a windows-1252 byte AFTER the probe window
+    out.close()
+    assert(Sources.detectCharset(f.toString, probeBytes = 4096) === "UTF-8")
+    // and with the bad byte inside the window, the fallback still fires
+    assert(Sources.detectCharset(f.toString, probeBytes = 16 * 1024) === "windows-1252")
+  }
+
+  test("detectCharset: probe boundary cutting a multi-byte char is not malformed") {
+    val f = Files.createTempFile("graft_cut", ".csv")
+    Files.write(f, ("a" * 4095 + "é" + "more text").getBytes("UTF-8"))
+    // probe = 4096 ends between é's two bytes
+    assert(Sources.detectCharset(f.toString, probeBytes = 4096) === "UTF-8")
+  }
+
   test("indexedLines: UTF-8 path is distributed, index = file order") {
     val f = Files.createTempFile("graft_lines", ".txt")
     Files.writeString(f, "first\nsecond\nthird")
@@ -24,7 +43,7 @@ class SourcesSpec extends SparkSpec {
     assert(rows.sameElements(Array((0L, "first"), (1L, "second"), (2L, "third"))))
   }
 
-  test("indexedLines: non-UTF-8 path decodes driver-side with same contract") {
+  test("indexedLines: non-UTF-8 path transcodes streaming, same contract") {
     val f = Files.createTempFile("graft_lines", ".txt")
     Files.write(f, "one–dash\nplain".getBytes(Charset.forName("windows-1252")))
     val rows = Sources.indexedLines(spark, f.toString, "windows-1252")
