@@ -178,4 +178,30 @@ object StateEconomics {
       "table_CPI" -> Quality.checkPrimaryKey(cpi, Seq("Year"), "table_CPI"),
       "table_fed_min_wage" -> Quality.checkPrimaryKey(fedMinWage, Seq("Year"), "table_fed_min_wage"))
   }
+
+  /** SURVEY §1.5 incremental variant: table_fed_min_wage derived from a
+    * FILE STREAM of min-wage CSV drops. With `Trigger.AvailableNow` this is
+    * catch-up-then-stop batch semantics over whatever files have landed —
+    * the monthly-full-refresh cadence of the reference, made incremental.
+    *
+    * Same transforms as [[build]]; the keyed dedup is expressed as a
+    * streaming `groupBy(Year).min` — equivalent to `Ops.dedupKeys(_,
+    * Seq("Year"), Seq(col("Fed_Min_Wage")))` here because the tie-break IS
+    * the single value column (windows don't exist in streaming plans).
+    * `schema` comes from the batch reader / catalog: file streams cannot
+    * infer. Run with `.outputMode("complete")` (the aggregate re-emits the
+    * whole small dimension each trigger). */
+  def fedMinWageStream(spark: SparkSession, path: String, schema: StructType,
+                       encoding: String = "UTF-8"): DataFrame = {
+    if (!Set("utf-8", "us-ascii", "iso-8859-1", "utf-16", "utf-16be",
+        "utf-16le", "utf-32").contains(encoding.toLowerCase))
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    val raw = spark.readStream.schema(schema)
+      .option("header", true).option("encoding", encoding)
+      .csv(path)
+    Ops.normalizeColumns(raw)
+      .withColumn("Year", col("Year").cast(IntegerType))
+      .groupBy(col("Year"))
+      .agg(min(Exprs.tryDouble(col("Federal_Minimum_Wage"))).as("Fed_Min_Wage"))
+  }
 }

@@ -111,6 +111,26 @@ class StateEconomicsSpec extends SparkSpec {
     assert(fed.sameElements(Array((1968, 1.15), (2017, 7.25))))
   }
 
+  test("incremental fed-min-wage (AvailableNow file stream) ≡ batch table") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_inc")
+    val in = Fixtures.writeAll(dir)
+    val enc = graft.io.Sources.detectCharset(in.minWageCsv)
+    // schema from the batch reader — a file stream cannot infer
+    val schema = graft.io.Sources.csv(spark, in.minWageCsv, encoding = enc).schema
+    // a file stream source reads a DIRECTORY of arriving files
+    val dropDir = Files.createTempDirectory("graft_inc_drops")
+    Files.copy(java.nio.file.Paths.get(in.minWageCsv),
+      dropDir.resolve("min_wage.csv"))
+    val q = StateEconomics.fedMinWageStream(spark, dropDir.toString, schema, enc)
+      .writeStream.format("memory").queryName("fmw_inc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stream = spark.table("fmw_inc").orderBy("Year").as[(Int, Double)].collect()
+    val batch = tables("table_fed_min_wage").orderBy("Year").as[(Int, Double)].collect()
+    assert(stream.sameElements(batch))
+  }
+
   test("profiling the built tables (the reference's per-table report DAG)") {
     // profiling.py:59-79 loops the 11 loaded tables through ProfileReport →
     // html; here: single-pass Profile over a built table + report render.
