@@ -17,7 +17,14 @@ object Bench {
     // A failed query must FAIL the bench visibly (error on stderr, listed
     // in "failed", nonzero exit) — a swallowed exception would record a
     // tiny wall-time and let a regression masquerade as a speedup.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query filter (repeated-run A/B timing of a
+    // single query without the other 70 clouding the signal).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val results = (1 to reps).flatMap(r => selected.map { case (n, f) =>
+      (if (reps > 1) s"$n#$r" else n) -> f
+    }).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>

@@ -117,21 +117,31 @@ object Dedup {
     // ONE shingle scan for the whole operator. Every consumer below — the
     // signature aggregate, the per-doc set sizes, and BOTH sides of the
     // exact-Jaccard verification join — reads this same per-doc-distinct
-    // (id, h) frame, so the physical plan carries a single exchange on
-    // (id, h) that ReuseExchange serves to all of them: the documents
-    // table is scanned and the shingle explosion (the dominant cost) runs
-    // exactly once, where the previous shape paid it twice.
+    // (id, h) frame. The sharing is enforced with an EXPLICIT persist:
+    // exchange/stage reuse by plan canonicalization is not dependable here
+    // (consumers prune different columns, and AQE's broadcast conversions
+    // give each consumer a structurally different exchange — measured 6
+    // evaluations of the corpus without the persist, 1 with; DedupSpec
+    // pins the single-scan property with an accumulator). MEMORY_AND_DISK:
+    // the frame is ~(distinct shingles × 16 B) ≈ corpus-sized — spilling
+    // it costs about one shuffle write and saves up to five re-explosions.
+    // Both persists stay cached until LRU eviction or catalog clear; at
+    // one frame per operator invocation that is bounded and deliberate.
     val shingles = shingleRows(df, textCol, idCol, shingleK)
       .select(col("id"), xxhash64(col("sh")).as("h"))
       .dropDuplicates("id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // `min` over seeded re-hashes is idempotent under duplicate shingles,
     // so signatures over the distinct frame equal minHashSignatures over
     // the raw stream. The shingle-set size rides the same aggregate,
-    // replacing the former full-frame window count.
+    // replacing the former full-frame window count. Persisted (one narrow
+    // row per doc): four consumers — both self-join sides and both size
+    // joins — would otherwise each recompute the 64-min aggregate.
     val aggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))))
     val sigN = shingles.groupBy("id")
       .agg(array(aggs: _*).as("sig"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigN.select(
       col("id"),

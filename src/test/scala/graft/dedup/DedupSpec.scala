@@ -58,6 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(planted.forall(_.getInt(2) === 0))
   }
 
+  test("minHashNearDups scans the corpus ONCE (shared shingle frame is reused)") {
+    // Empirical single-scan guard: a row-counting UDF below the shingle
+    // explosion fires once per doc per evaluation of the source. If the
+    // signature and verification paths ever stop sharing the (id, h)
+    // exchange, the count doubles — independent of AQE plan rendering.
+    val acc = spark.sparkContext.longAccumulator("graft_doc_scans")
+    val tick = udf { (id: Long) => acc.add(1); true }
+    val df = (base ++ nearDups).toDF("doc_id", "text").filter(tick(col("doc_id")))
+    Dedup.minHashNearDups(df, "text", "doc_id", threshold = 0.6).collect()
+    assert(acc.value === (base.length + nearDups.length).toLong,
+      s"corpus evaluated ${acc.value / (base.length + nearDups.length).toDouble}x, expected 1x")
+  }
+
   test("signatures are partition-count independent (deterministic at any parallelism)") {
     val df = base.toDF("doc_id", "text")
     def sigOf(parts: Int) = Dedup.minHashSignaturesOPH(df.repartition(parts), "text", "doc_id")
