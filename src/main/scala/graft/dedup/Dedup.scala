@@ -249,7 +249,12 @@ object Dedup {
     * pigeonhole principle), verified by full Hamming distance ≤ maxDist. */
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxDist: Int = 3): DataFrame = {
+    // Persisted: the block self-join below consumes `sigs` on both sides,
+    // which without the persist evaluates the 64-sum signature aggregate
+    // (and the corpus scan under it) twice — same finding as the
+    // minHashNearDups accumulator test. One narrow (id, sig) row per doc.
     val sigs = simHashSignatures(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),

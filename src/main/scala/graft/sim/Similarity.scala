@@ -133,8 +133,15 @@ object Similarity {
     // scale. 8-bit bands keep recall ~0.9 at cosine 0.95 while cutting
     // candidates by ~64×.
     val rowsPerBand = bits / bands
-    val banded = rhpSignatures(df, idCol, vecCol, bits, seed)
-      .select(col("id"), col("vec"), norm(col("vec")).as("nrm"),
+    // Persisted: both sides of the bucket self-join read this frame, which
+    // without the persist evaluates the posexplode signature aggregate
+    // (and the corpus scan) twice — plan-canonicalization reuse is not
+    // dependable across AQE's per-consumer rewrites (see Dedup).
+    val sigs = rhpSignatures(df, idCol, vecCol, bits, seed)
+      .withColumn("nrm", norm(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("id"), col("vec"), col("nrm"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))

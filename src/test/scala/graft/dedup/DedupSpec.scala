@@ -71,6 +71,15 @@ class DedupSpec extends SparkSpec {
       s"corpus evaluated ${acc.value / (base.length + nearDups.length).toDouble}x, expected 1x")
   }
 
+  test("simHashNearDups scans the corpus ONCE (signature frame persisted)") {
+    val acc = spark.sparkContext.longAccumulator("graft_simhash_scans")
+    val tick = udf { (id: Long) => acc.add(1); true }
+    val df = (base ++ exactDups).toDF("doc_id", "text").filter(tick(col("doc_id")))
+    Dedup.simHashNearDups(df, "text", "doc_id", maxDist = 3).collect()
+    assert(acc.value === (base.length + exactDups.length).toLong,
+      s"corpus evaluated ${acc.value / (base.length + exactDups.length).toDouble}x, expected 1x")
+  }
+
   test("signatures are partition-count independent (deterministic at any parallelism)") {
     val df = base.toDF("doc_id", "text")
     def sigOf(parts: Int) = Dedup.minHashSignaturesOPH(df.repartition(parts), "text", "doc_id")

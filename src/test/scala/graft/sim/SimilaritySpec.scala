@@ -69,4 +69,13 @@ class SimilaritySpec extends SparkSpec {
       assert(b === a + 10000 && c === 1.0)
     }
   }
+
+  test("cosineNearDups scans the corpus ONCE (signature frame persisted)") {
+    val acc = spark.sparkContext.longAccumulator("graft_rhp_scans")
+    val tick = udf { (id: Long) => acc.add(1); true }
+    val counted = df.filter(tick(col("vec_id")))
+    Similarity.cosineNearDups(counted, threshold = 0.95).collect()
+    val n = (corpus.length + planted.length).toLong
+    assert(acc.value === n, s"corpus evaluated ${acc.value / n.toDouble}x, expected 1x")
+  }
 }
