@@ -22,6 +22,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      // a typo'd filter must not report an empty (vacuously green) bench
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
     val results = (1 to reps).flatMap(r => selected.map { case (n, f) =>
       (if (reps > 1) s"$n#$r" else n) -> f
     }).map { case (name, fn) =>

@@ -18,15 +18,19 @@ import java.nio.file.{Files, Paths}
   * input, not a fact table; big data arrives via CSV/parquet/JDBC. */
 object Sources {
 
-  /** S2 — CSV scan with header + schema inference (dag1.py:45,50). */
-  def csv(spark: SparkSession, path: String, header: Boolean = true,
-          inferSchema: Boolean = true, encoding: String = "UTF-8"): DataFrame = {
-    // Spark 4 restricts CSV charsets to a short allowlist unless the legacy
-    // java-charsets conf is on; windows-1252 (the reference's min-wage file,
-    // dag1.py:55-58) needs it.
+  /** Spark 4 restricts CSV charsets to a short allowlist unless the legacy
+    * java-charsets conf is on; windows-1252 (the reference's min-wage file,
+    * dag1.py:55-58) needs it. Shared by the batch and streaming readers so
+    * the allowlist lives in exactly one place. */
+  def ensureCharsetReadable(spark: SparkSession, encoding: String): Unit =
     if (!Set("utf-8", "us-ascii", "iso-8859-1", "utf-16", "utf-16be",
         "utf-16le", "utf-32").contains(encoding.toLowerCase))
       spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
+  /** S2 — CSV scan with header + schema inference (dag1.py:45,50). */
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+          inferSchema: Boolean = true, encoding: String = "UTF-8"): DataFrame = {
+    ensureCharsetReadable(spark, encoding)
     spark.read
       .option("header", header)
       .option("inferSchema", inferSchema)
@@ -39,13 +43,19 @@ object Sources {
     * windows-1252 (a superset of latin-1 that decodes any byte sequence —
     * matches the reference data, whose only non-ASCII byte is 0x96). */
   def detectCharset(path: String, probeBytes: Int = 1 << 20): String = {
-    // Stream exactly probeBytes — never the whole file — so sniffing a
-    // 100 GB CSV costs 1 MiB of driver heap, not an OOM.
+    // Stream at most probeBytes+1 — never the whole file — so sniffing a
+    // 100 GB CSV costs 1 MiB of driver heap, not an OOM. The +1 sentinel
+    // byte distinguishes "file is exactly probeBytes" (whole file read, no
+    // boundary cut) from "file continues past the probe".
     val in = Files.newInputStream(Paths.get(path))
-    val probe = try in.readNBytes(probeBytes) finally in.close()
-    // A multi-byte UTF-8 sequence may be cut at the probe boundary; don't
-    // let that truncation masquerade as malformed input.
-    val safeLen = if (probe.length < probeBytes) probe.length else {
+    val raw = try in.readNBytes(probeBytes + 1) finally in.close()
+    val truncated = raw.length > probeBytes
+    val probe = if (truncated) java.util.Arrays.copyOf(raw, probeBytes) else raw
+    // Only a truncated probe can cut a multi-byte UTF-8 sequence at the
+    // boundary; trim the dangling partial char so the cut doesn't
+    // masquerade as malformed input. A complete file is decoded verbatim —
+    // trailing high bytes there are genuine evidence of non-UTF-8.
+    val safeLen = if (!truncated) probe.length else {
       var end = probe.length
       while (end > math.max(0, probe.length - 4) && (probe(end - 1) & 0xC0) == 0x80) end -= 1
       if (end > 0 && (probe(end - 1) & 0x80) != 0) end - 1 else end
@@ -81,7 +91,12 @@ object Sources {
     val readPath =
       if (encoding.equalsIgnoreCase("UTF-8")) path
       else {
-        val tmp = Files.createTempFile("graft_transcode_", ".txt")
+        // Deterministic per-source temp name: repeated calls over the same
+        // file overwrite one transcode instead of accumulating copies for
+        // the JVM lifetime.
+        val key = f"${path.hashCode}%08x"
+        val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_transcode_$key.txt")
         tmp.toFile.deleteOnExit()
         val in = new java.io.InputStreamReader(
           Files.newInputStream(Paths.get(path)), Charset.forName(encoding))

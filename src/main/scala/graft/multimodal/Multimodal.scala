@@ -94,18 +94,20 @@ object Multimodal {
         val meta = if (bytes == null) null else {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) null
-          else {
-            val rd = readers.next()
-            try {
-              rd.setInput(iis)
-              Row(rd.getFormatName.toLowerCase, rd.getWidth(0), rd.getHeight(0),
-                bytes.length.toLong,
-                sha.digest(bytes).map(b => f"$b%02x").mkString)
-            } catch { case _: java.io.IOException => null }
-            finally { rd.dispose(); iis.close() }
-          }
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) null
+            else {
+              val rd = readers.next()
+              try {
+                rd.setInput(iis)
+                Row(rd.getFormatName.toLowerCase, rd.getWidth(0), rd.getHeight(0),
+                  bytes.length.toLong,
+                  sha.digest(bytes).map(b => f"$b%02x").mkString)
+              } catch { case _: java.io.IOException => null }
+              finally rd.dispose()
+            }
+          } finally iis.close() // also on the no-reader path — no stream leak
         }
         Row.fromSeq(r.toSeq :+ meta)
       }

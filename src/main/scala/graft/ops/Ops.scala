@@ -45,12 +45,13 @@ object Ops {
     * The distinct set is expected to be dimension-sized (12 rows in the
     * reference); `row_number` over a single global window is fine there.
     * For large natural-key domains use [[surrogateKeyScalable]] — same
-    * ids, no single-partition window. */
+    * ids, no single-partition window. Ids are LongType in BOTH variants so
+    * swapping one for the other never changes the output schema. */
   def surrogateKey(df: DataFrame, natKey: Seq[String], idCol: String): DataFrame = {
     val w = Window.orderBy(natKey.map(col): _*)
     df.select(natKey.map(col): _*)
       .distinct()
-      .withColumn(idCol, row_number().over(w) - 1)
+      .withColumn(idCol, (row_number().over(w) - 1).cast(LongType))
   }
 
   /** A6 at scale: the same contract as [[surrogateKey]] — dense 0-based

@@ -193,15 +193,19 @@ object StateEconomics {
     * whole small dimension each trigger). */
   def fedMinWageStream(spark: SparkSession, path: String, schema: StructType,
                        encoding: String = "UTF-8"): DataFrame = {
-    if (!Set("utf-8", "us-ascii", "iso-8859-1", "utf-16", "utf-16be",
-        "utf-16le", "utf-32").contains(encoding.toLowerCase))
-      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    Sources.ensureCharsetReadable(spark, encoding)
     val raw = spark.readStream.schema(schema)
       .option("header", true).option("encoding", encoding)
       .csv(path)
+    val v = Exprs.tryDouble(col("Federal_Minimum_Wage"))
     Ops.normalizeColumns(raw)
       .withColumn("Year", col("Year").cast(IntegerType))
       .groupBy(col("Year"))
-      .agg(min(Exprs.tryDouble(col("Federal_Minimum_Wage"))).as("Fed_Min_Wage"))
+      // dedupKeys orders ascending NULLS FIRST, so a group containing any
+      // null value resolves to null — count(*)>count(v) reproduces that
+      // here; a bare min() would silently skip nulls and diverge from the
+      // batch table on dirty data.
+      .agg(when(count(lit(1)) > count(v), lit(null).cast(DoubleType))
+        .otherwise(min(v)).as("Fed_Min_Wage"))
   }
 }

@@ -59,12 +59,18 @@ object Quality {
     (stats.getLong(0), stats.getLong(1), stats.getLong(2))
   }
 
+  /** The gate predicate on precomputed stats — the ONE place the violation
+    * semantics live, shared by [[checkPrimaryKey]] and callers that already
+    * hold a [[keyStatsWithRows]] result (so gating costs no extra scan). */
+  def gate(table: String, nulls: Long, dups: Long): Unit =
+    if (nulls > 0 || dups > 0) throw PrimaryKeyViolation(table, nulls, dups)
+
   /** A5 — the gate: throws [[PrimaryKeyViolation]] if `keys` is not a valid
     * primary key of `df` (any null, or any duplicate). Returns `df` so it
     * chains inside a pipeline. */
   def checkPrimaryKey(df: DataFrame, keys: Seq[String], table: String = "df"): DataFrame = {
     val (nulls, dups) = keyStats(df, keys)
-    if (nulls > 0 || dups > 0) throw PrimaryKeyViolation(table, nulls, dups)
+    gate(table, nulls, dups)
     df
   }
 

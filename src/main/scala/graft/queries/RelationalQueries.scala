@@ -411,7 +411,7 @@ object RelationalQueries {
     // Gate and report from ONE aggregation job — the gate's own stats are
     // the report, so the table is scanned once, not three times.
     val (nulls, dups, rows) = Quality.keyStatsWithRows(orders, Seq("o_orderkey"))
-    if (nulls > 0 || dups > 0) throw graft.quality.PrimaryKeyViolation("orders", nulls, dups)
+    Quality.gate("orders", nulls, dups)
     Seq(("orders", nulls, dups, rows))
       .toDF("table_name", "null_keys", "dup_keys", "n_rows")
   }
@@ -650,7 +650,7 @@ object RelationalQueries {
     "j2_broadcast_3col_join" ->
       """SELECT p.p_partkey, d.sk_id FROM part p JOIN (
         | SELECT p_brand, p_type, p_size,
-        |   CAST(row_number() OVER (ORDER BY p_brand, p_type, p_size) - 1 AS INTEGER) AS sk_id
+        |   CAST(row_number() OVER (ORDER BY p_brand, p_type, p_size) - 1 AS BIGINT) AS sk_id
         | FROM (SELECT DISTINCT p_brand, p_type, p_size FROM part)) d
         | USING (p_brand, p_type, p_size)""".stripMargin,
     "j3_name_join_customer" ->
@@ -685,7 +685,7 @@ object RelationalQueries {
         | FROM orders""".stripMargin,
     "a6_surrogate_key" ->
       """SELECT p_brand, p_type, p_size,
-        | CAST(row_number() OVER (ORDER BY p_brand, p_type, p_size) - 1 AS INTEGER) AS sk_id
+        | CAST(row_number() OVER (ORDER BY p_brand, p_type, p_size) - 1 AS BIGINT) AS sk_id
         | FROM (SELECT DISTINCT p_brand, p_type, p_size FROM part)""".stripMargin,
     "l1_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -64,8 +64,8 @@ object PropertiesSpec extends Properties("graft") {
     forAll(Gen.listOfN(25, Gen.choose(0, 6))) { ks: List[Int] =>
       ks.isEmpty || {
         val out = Ops.surrogateKey(ks.map(Tuple1(_)).toDF("k"), Seq("k"), "id")
-          .orderBy("id").as[(Int, Int)].collect()
-        out.map(_._2).toSeq == out.indices.toSeq &&
+          .orderBy("id").as[(Int, Long)].collect()
+        out.map(_._2).toSeq == out.indices.map(_.toLong).toSeq &&
           out.map(_._1).distinct.length == out.length &&
           out.length == ks.distinct.length
       }
@@ -77,7 +77,7 @@ object PropertiesSpec extends Properties("graft") {
         ks.isEmpty || {
           val df = ks.map(Tuple1(_)).toDF("k").repartition(parts)
           val win = Ops.surrogateKey(df, Seq("k"), "id")
-            .orderBy("id").as[(Int, Int)].collect().map { case (k, i) => (k, i.toLong) }
+            .orderBy("id").as[(Int, Long)].collect()
           val scl = Ops.surrogateKeyScalable(df, Seq("k"), "id")
             .orderBy("id").as[(Int, Long)].collect()
           win.sameElements(scl)

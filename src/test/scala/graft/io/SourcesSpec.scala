@@ -35,6 +35,15 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.detectCharset(f.toString, probeBytes = 4096) === "UTF-8")
   }
 
+  test("detectCharset: file EXACTLY probe-sized with a trailing bad byte is not trimmed") {
+    // the boundary trim must fire only when the file continues past the
+    // probe; a complete file's trailing 0x96 is real evidence of w-1252
+    val f = Files.createTempFile("graft_exact", ".csv")
+    Files.write(f, ("a" * 4095).getBytes("UTF-8") ++ Array(0x96.toByte))
+    assert(Files.size(f) === 4096)
+    assert(Sources.detectCharset(f.toString, probeBytes = 4096) === "windows-1252")
+  }
+
   test("indexedLines: UTF-8 path is distributed, index = file order") {
     val f = Files.createTempFile("graft_lines", ".txt")
     Files.writeString(f, "first\nsecond\nthird")

@@ -32,8 +32,8 @@ class OpsSpec extends SparkSpec {
   test("A6 surrogateKey: dense 0-based ids, stable under re-run") {
     val df = Seq(("x", 1), ("y", 2), ("x", 1), ("z", 3)).toDF("a", "b")
     val out = Ops.surrogateKey(df, Seq("a", "b"), "id")
-      .orderBy("id").as[(String, Int, Int)].collect()
-    assert(out.sameElements(Array(("x", 1, 0), ("y", 2, 1), ("z", 3, 2))))
+      .orderBy("id").as[(String, Int, Long)].collect()
+    assert(out.sameElements(Array(("x", 1, 0L), ("y", 2, 1L), ("z", 3, 2L))))
   }
 
   test("R1/R2 dropLeading + dropTrailing under explicit order") {

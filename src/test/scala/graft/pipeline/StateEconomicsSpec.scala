@@ -67,11 +67,11 @@ class StateEconomicsSpec extends SparkSpec {
   test("school expense types: ordinal surrogate keys over natural-key order (A6)") {
     val et = tables("table_school_expense_type")
       .orderBy("School_Expense_Type_Id")
-      .as[(Int, String, String, String)].collect()
+      .as[(Long, String, String, String)].collect()
     assert(et.sameElements(Array(
-      (0, "Private", "4-year", "Fees/Tuition"),
-      (1, "Private", "4-year", "Room/Board"),
-      (2, "Public In-State", "2-year", "Fees/Tuition"))))
+      (0L, "Private", "4-year", "Fees/Tuition"),
+      (1L, "Private", "4-year", "Room/Board"),
+      (2L, "Public In-State", "2-year", "Fees/Tuition"))))
   }
 
   test("school expenses: joined to surrogate ids, non-location states dropped (J2/J3)") {
@@ -129,6 +129,24 @@ class StateEconomicsSpec extends SparkSpec {
     val stream = spark.table("fmw_inc").orderBy("Year").as[(Int, Double)].collect()
     val batch = tables("table_fed_min_wage").orderBy("Year").as[(Int, Double)].collect()
     assert(stream.sameElements(batch))
+  }
+
+  test("incremental fed-min-wage: a Year group with a null wage resolves to null (dedupKeys parity)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // batch dedupKeys orders nulls first, so dirty data must yield null —
+    // a bare streaming min() would skip the null and silently diverge
+    val dropDir = Files.createTempDirectory("graft_inc_nulls")
+    val csv = dropDir.resolve("mw.csv")
+    Files.writeString(csv,
+      "Year,State,Federal.Minimum.Wage\n1970,Alabama,N/A\n1970,Alaska,1.60\n1971,Alabama,1.60\n")
+    val schema = graft.io.Sources.csv(spark, csv.toString).schema
+    val q = StateEconomics.fedMinWageStream(spark, dropDir.toString, schema)
+      .writeStream.format("memory").queryName("fmw_nulls")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("fmw_nulls").orderBy("Year")
+      .as[(Int, Option[Double])].collect()
+    assert(rows.sameElements(Array((1970, None), (1971, Some(1.60)))))
   }
 
   test("profiling the built tables (the reference's per-table report DAG)") {
