@@ -107,6 +107,27 @@ object Ops {
     dataCols.zip(names).foldLeft(rest) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
   }
 
+  /** Deterministic, reproducible train/val/test split for dataset curation:
+    * a multiplicative (Knuth 1973, public) hash of the key picks a bucket
+    * in [0, 1000) and the requested percentages cut it into labels.
+    * Map-only — no shuffle, no stored state, no RNG: the same key lands in
+    * the same split on every run, every cluster, every engine that mirrors
+    * the arithmetic (the property a 100 TB curation pipeline needs for
+    * resumable/incremental splits). The key is reduced mod 1000003 before
+    * the multiply so ANSI-mode Long arithmetic cannot overflow. */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+                         trainPct: Int = 80, valPct: Int = 10,
+                         splitCol: String = "split"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = pmod(
+      pmod(col(keyCol).cast(LongType), lit(1000003L)) * lit(2654435761L), lit(1000L))
+    df.withColumn(splitCol,
+      when(bucket < trainPct * 10, lit("train"))
+        .when(bucket < (trainPct + valPct) * 10, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Skew-tolerant equi-join: the large (skewed) side gets a deterministic
     * salt derived from its full row, the small side is replicated once per
     * salt value, and the join key becomes (keys, salt) — a hot key's rows

@@ -56,6 +56,12 @@ object ExtensionQueries {
     t(s, dir, "documents").select(col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
 
+  /** Gopher-style repetition quality signal: share of tokens taken by the
+    * most frequent token (boilerplate detector). */
+  private val txtTopWordRatio: Q = (s, dir) =>
+    TextOps.topWordRatio(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), round(col("top_word_ratio"), 6).as("top_word_ratio"))
+
   // ----------------------------------------------------------------- dedup
   /** Exact-dedup groups by normalized-content hash (md5 here so the oracle
     * can mirror it; the engine default is the 64-bit xxhash fingerprint). */
@@ -223,6 +229,7 @@ object ExtensionQueries {
     "txt_lang_id" -> txtLangId,
     "txt_stopword_ratio" -> txtStopwordRatio,
     "txt_fingerprint" -> txtFingerprint,
+    "txt_top_word_ratio" -> txtTopWordRatio,
     "pipe_clean_corpus" -> pipeCleanCorpus,
     "dd_exact_groups" -> ddExactGroups,
     "dd_ngram_jaccard" -> ddNgramJaccard,
@@ -332,6 +339,15 @@ object ExtensionQueries {
       "txt_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
           | FROM documents""".stripMargin,
+      "txt_top_word_ratio" ->
+        raw"""SELECT doc_id, ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_ratio
+             |FROM (
+             |  SELECT doc_id, w, count(*) AS c FROM (
+             |    SELECT doc_id,
+             |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             |    FROM documents)
+             |  WHERE w <> '' GROUP BY doc_id, w)
+             |GROUP BY doc_id""".stripMargin,
       "dd_exact_groups" ->
         """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
           | CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -314,6 +314,13 @@ object RelationalQueries {
     Ops.dedupKeys(t(s, dir, "orders"), Seq("o_custkey"), Seq(col("o_orderkey")))
       .select("o_custkey", "o_orderkey")
 
+  /** W4*: deterministic train/val/test split (dataset-curation extension):
+    * multiplicative-hash bucket of the key, cut at 80/10/10 — map-only and
+    * exactly mirrorable in SQL, so the whole assignment is oracle-checked. */
+  private val w4TrainSplit: Q = (s, dir) =>
+    Ops.deterministicSplit(t(s, dir, "orders"), "o_orderkey")
+      .groupBy("split").agg(count(lit(1)).as("cnt"))
+
   // ----------------------------------------------------------------- joins
   /** J1+F10: full-outer equi-join with coalesce backfill (dag1.py:111-113). */
   private val j1FullOuter: Q = (s, dir) => {
@@ -520,6 +527,7 @@ object RelationalQueries {
     "w2_unpivot_lineitem" -> w2UnpivotLineitem,
     "w3_dedup_distinct" -> w3DedupDistinct,
     "w3_dedup_keys" -> w3DedupKeys,
+    "w4_train_split" -> w4TrainSplit,
     "j1_full_outer_coalesce" -> j1FullOuter,
     "j2_broadcast_3col_join" -> j2Broadcast3col,
     "j3_name_join_customer" -> j3NameJoinCustomer,
@@ -640,6 +648,12 @@ object RelationalQueries {
         | SELECT o_custkey, o_orderkey,
         |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
         | FROM orders) WHERE rn = 1""".stripMargin,
+    "w4_train_split" ->
+      """SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |   ELSE 'test' END AS split, count(*) AS cnt
+        |FROM (SELECT ((o_orderkey % 1000003) * 2654435761) % 1000 AS b
+        |      FROM orders)
+        |GROUP BY 1""".stripMargin,
     "j1_full_outer_coalesce" ->
       """SELECT COALESCE(a.k, b.k) AS geo_key, COALESCE(a.n_name, 'NONE') AS name,
         | b.k IS NOT NULL AS in_customers

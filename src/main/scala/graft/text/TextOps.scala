@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -104,4 +104,18 @@ object TextOps {
     * size per document. */
   def minShingleHash(c: Column, k: Int = 5): Column =
     array_min(transform(charShingles(c, k), s => xxhash64(s)))
+
+  /** Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
+    * Models", §A1.1 — public): the fraction of all tokens taken by the
+    * single most frequent token. High values flag boilerplate/template
+    * documents that length or stopword filters miss. Shape: explode →
+    * codegen'd count aggregate → max/sum aggregate — one shuffle on
+    * (doc, token), fixed-width rows only. */
+  def topWordRatio(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_word_ratio"))
 }

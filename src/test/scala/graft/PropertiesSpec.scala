@@ -84,6 +84,23 @@ object PropertiesSpec extends Properties("graft") {
         }
     }
 
+  propertyWithSeed("deterministicSplit: stable, total, and label-correct for any keys", None) =
+    forAll(Gen.listOfN(40, Gen.choose(0L, 1000000L)), Gen.choose(0, 100)) {
+      (ks: List[Long], trainPct: Int) =>
+        ks.isEmpty || {
+          val valPct = (100 - trainPct) / 2
+          val df = ks.map(Tuple1(_)).toDF("k")
+          val once = Ops.deterministicSplit(df, "k", trainPct, valPct)
+            .orderBy("k").as[(Long, String)].collect()
+          val again = Ops.deterministicSplit(df.repartition(3), "k", trainPct, valPct)
+            .orderBy("k").as[(Long, String)].collect()
+          once.sameElements(again) &&                       // run/partition stable
+            once.length == ks.length &&                     // total: every row labeled
+            once.forall(r => Set("train", "val", "test")(r._2)) &&
+            (trainPct > 0 || once.forall(_._2 != "train"))  // 0% train → none
+        }
+    }
+
   propertyWithSeed("saltedJoin ≡ plain join for any key distribution", None) =
     forAll(Gen.listOfN(60, Gen.choose(0, 4)), Gen.choose(1, 8)) {
       (ks: List[Int], salts: Int) =>

@@ -75,4 +75,15 @@ class TextOpsSpec extends SparkSpec {
     assert(mA === mB)
     assert(fA !== fB)
   }
+
+  test("topWordRatio: boilerplate scores high, diverse text low, case-folded") {
+    val df = Seq(
+      (1L, "spam spam spam spam eggs"),       // 4/5
+      (2L, "a b c d e"),                      // 1/5
+      (3L, "The THE the"))                    // case-folded → 3/3
+      .toDF("doc_id", "text")
+    val r = TextOps.topWordRatio(df, "text", "doc_id")
+      .orderBy("doc_id").select("top_word_ratio").as[Double].collect()
+    assert(r(0) === 0.8 && r(1) === 0.2 && r(2) === 1.0)
+  }
 }
