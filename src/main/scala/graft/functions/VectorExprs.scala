@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -75,6 +76,137 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric int8 scalar quantization of a float/double vector — the
+  * storage path for a 100 TB embedding store (4× smaller than float32,
+  * 8× than float64). Output: struct(scale double, q binary) where
+  * scale = max|x| / 127 and q[i] = floor(x[i]/scale + 0.5) as one signed
+  * byte (explicit floor(+0.5) so SQL oracles can mirror the rounding
+  * exactly; Math.round and SQL round() disagree on negative halves).
+  * All-zero vectors quantize to scale 0 + zero bytes. Codegen'd. */
+case class VectorQuantizeI8(child: Expression) extends UnaryExpression {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", BinaryType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"vec_quantize_i8 expects array<float>/array<double>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = elemIsFloat
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val v = math.abs(if (f) x.getFloat(i).toDouble else x.getDouble(i))
+        if (v > maxAbs) maxAbs = v
+      }
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val q = new Array[Byte](n)
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+          q(i) = math.floor(v / scale + 0.5).toByte
+        }
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](scale, q))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val get = if (elemIsFloat) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      s"""
+         |int n = $a.numElements();
+         |double maxAbs = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i)) {
+         |    double v = java.lang.Math.abs($get);
+         |    if (v > maxAbs) maxAbs = v;
+         |  }
+         |}
+         |double scale = maxAbs / 127.0;
+         |byte[] q = new byte[n];
+         |if (scale > 0) {
+         |  for (int i = 0; i < n; i++) {
+         |    if (!$a.isNullAt(i)) {
+         |      q[i] = (byte) java.lang.Math.floor(($get) / scale + 0.5);
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{scale, q});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorQuantizeI8 =
+    copy(child = newChild)
+}
+
+/** Reconstructed inner product of two int8-quantized vectors:
+  * scaleA * scaleB * Σ qa[i]·qb[i]. The inner loop is pure byte
+  * arithmetic accumulated in a long — the MIPS-rerank hot path over
+  * quantized storage, codegen'd; exact for any dim < 2^38. */
+case class VectorDotI8(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isQuantStruct(t: DataType): Boolean = t match {
+    case StructType(Array(StructField(_, DoubleType, _, _), StructField(_, BinaryType, _, _))) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isQuantStruct(left.dataType) && isQuantStruct(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_i8 expects two struct<scale:double,q:binary> inputs " +
+        s"(from vec_quantize_i8), got ${left.dataType.sql} / ${right.dataType.sql}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ra = a.asInstanceOf[InternalRow]
+    val rb = b.asInstanceOf[InternalRow]
+    val qa = ra.getBinary(1)
+    val qb = rb.getBinary(1)
+    val n = math.min(qa.length, qb.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += qa(i).toLong * qb(i).toLong; i += 1 }
+    ra.getDouble(0) * rb.getDouble(0) * s.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |byte[] qa = $a.getBinary(1);
+         |byte[] qb = $b.getBinary(1);
+         |int n = java.lang.Math.min(qa.length, qb.length);
+         |long acc = 0L;
+         |for (int i = 0; i < n; i++) { acc += (long) qa[i] * (long) qb[i]; }
+         |${ev.value} = $a.getDouble(0) * $b.getDouble(0) * (double) acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VectorDotI8 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   /** Codegen'd dot product of two float/double array columns. Resolved via
@@ -92,6 +224,12 @@ object VectorExprs {
     val nb = norm(b)
     when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
   }
+
+  /** Int8 scalar quantization → struct(scale double, q binary). */
+  def quantizeI8(a: Column): Column = call_function("vec_quantize_i8", a)
+
+  /** Reconstructed inner product of two quantized vectors. */
+  def dotI8(a: Column, b: Column): Column = call_function("vec_dot_i8", a, b)
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -105,6 +243,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"vec_dot takes 2 arguments, got ${children.length}")
         VectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_quantize_i8"),
+      new ExpressionInfo(classOf[VectorQuantizeI8].getName, "vec_quantize_i8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"vec_quantize_i8 takes 1 argument, got ${children.length}")
+        VectorQuantizeI8(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[VectorDotI8].getName, "vec_dot_i8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"vec_dot_i8 takes 2 arguments, got ${children.length}")
+        VectorDotI8(children.head, children(1))
       }))
   }
 }

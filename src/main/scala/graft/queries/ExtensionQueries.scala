@@ -124,6 +124,15 @@ object ExtensionQueries {
     Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 8, nprobe = 8)
   }
 
+  /** Int8-quantized MIPS top-k: the quantization arithmetic (scale =
+    * max|x|/127, q = floor(x/scale + 0.5)) and the reconstructed inner
+    * product are both exactly mirrorable in SQL, so the whole quantized
+    * pipeline — native codegen'd expressions included — is hash-checked. */
+  private val simQuantizedTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   /** LSH-bucketed ANN — the scale path; recall vs brute force is asserted
     * in ScalaTest. Rows-only check. */
   private val simLshAnn: Q = (s, dir) => {
@@ -237,6 +246,7 @@ object ExtensionQueries {
     "dd_simhash" -> ddSimhash,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_ivf_topk" -> simIvfTopk,
+    "sim_quantized_topk" -> simQuantizedTopk,
     "sim_lsh_ann" -> simLshAnn,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
@@ -379,6 +389,32 @@ object ExtensionQueries {
           |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
           | FROM embeddings q, embeddings c
           | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |WHERE rank <= 5""".stripMargin,
+      // The quantization arithmetic is mirrored exactly: scale =
+      // max|x|/127 (double), q = floor(x/scale + 0.5), reconstructed
+      // score = sa*sb*Σ qa·qb. Integer-valued doubles stay exact, so the
+      // hash must match bit-for-bit.
+      "sim_quantized_topk" ->
+        """WITH qv AS (
+          | SELECT vec_id,
+          |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127
+          |     AS scale,
+          |   embedding
+          | FROM embeddings),
+          |qz AS (
+          | SELECT vec_id, scale,
+          |   CASE WHEN scale = 0
+          |     THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+          |     ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale + 0.5))
+          |   END AS q
+          | FROM qv)
+          |SELECT query_id, cand_id, score, rank FROM (
+          | SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+          |   ROUND(a.scale * c.scale * list_dot_product(a.q, c.q), 6) AS score,
+          |   CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+          |     ROUND(a.scale * c.scale * list_dot_product(a.q, c.q), 6) DESC,
+          |     c.vec_id) AS INTEGER) AS rank
+          | FROM qz a, qz c WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id)
           |WHERE rank <= 5""".stripMargin,
       // nprobe = nlist probes every cell, so IVF ≡ exact brute force and
       // shares its oracle.

@@ -42,4 +42,42 @@ class VectorExprsSpec extends SparkSpec {
       .as[(Double, Double, Double)].head()
     assert(r === ((5.0, 1.0, 0.0)))
   }
+
+  test("vec_quantize_i8: scale = max|x|/127, extremes map to ±127, zero vector safe") {
+    val df = Seq((Array(1.0f, -2.0f, 0.5f), Array(0.0f, 0.0f, 0.0f))).toDF("a", "z")
+    val r = df.select(VectorExprs.quantizeI8(col("a")).as("qa"),
+        VectorExprs.quantizeI8(col("z")).as("qz"))
+      .selectExpr("qa.scale", "qa.q", "qz.scale", "qz.q").head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 127) < 1e-15)
+    val q = r.getAs[Array[Byte]](1)
+    assert(q(1) === -127.toByte)                    // -max → -127
+    assert(q(0) === math.floor(1.0 / (2.0 / 127) + 0.5).toByte) // 64
+    assert(r.getDouble(2) === 0.0 && r.getAs[Array[Byte]](3).forall(_ === 0))
+  }
+
+  test("vec_dot_i8 reconstructs the exact dot within quantization error") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .select(col("id"), col("v"), VectorExprs.quantizeI8(col("v")).as("qv"))
+    val a = df.alias("a"); val b = df.alias("b")
+    val errs = a.join(b, col("a.id") < col("b.id"))
+      .select((VectorExprs.dotI8(col("a.qv"), col("b.qv")) -
+        VectorExprs.dot(col("a.v"), col("b.v"))).as("e"),
+        VectorExprs.norm(col("a.v")).as("na"), VectorExprs.norm(col("b.v")).as("nb"))
+      .selectExpr("abs(e) / (na * nb)").as[Double].collect()
+    // int8 relative error bound: per-element ≤ scale/2 → relative ~ sqrt(d)/254
+    assert(errs.max < 0.05, s"max relative error ${errs.max}")
+  }
+
+  test("vec_dot_i8 SQL surface and analysis-time rejection of raw arrays") {
+    val one = spark.sql(
+      "SELECT vec_dot_i8(vec_quantize_i8(array(1.0f, 2.0f)), " +
+        "vec_quantize_i8(array(1.0f, 2.0f))) AS s").as[Double].head()
+    assert(math.abs(one - 5.0) < 0.02)   // q=[64,127], recon ≈ 5.0158
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot_i8(array(1.0f), array(1.0f))").collect()
+    }
+    assert(e.getMessage.contains("vec_dot_i8"))
+  }
 }
