@@ -158,6 +158,48 @@ case class VectorQuantizeI8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Inverse of [[VectorQuantizeI8]]: struct(scale, q) → array<float> with
+  * x[i] ≈ q[i]·scale. Codegen'd via `UnsafeArrayData.fromPrimitiveArray`
+  * (no per-element boxing). Completes the storage API: quantize at write,
+  * dequantize on the narrow post-candidate path when full precision is
+  * needed again. */
+case class VectorDequantizeI8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(StructField(_, DoubleType, _, _), StructField(_, BinaryType, _, _))) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_dequantize_i8 expects struct<scale:double,q:binary>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val r = a.asInstanceOf[InternalRow]
+    val scale = r.getDouble(0)
+    val q = r.getBinary(1)
+    val out = new Array[Float](q.length)
+    var i = 0
+    while (i < q.length) { out(i) = (q(i) * scale).toFloat; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |double scale = $a.getDouble(0);
+         |byte[] q = $a.getBinary(1);
+         |float[] out = new float[q.length];
+         |for (int i = 0; i < q.length; i++) { out[i] = (float) (q[i] * scale); }
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorDequantizeI8 =
+    copy(child = newChild)
+}
+
 /** Reconstructed inner product of two int8-quantized vectors:
   * scaleA * scaleB * Σ qa[i]·qb[i]. The inner loop is pure byte
   * arithmetic accumulated in a long — the MIPS-rerank hot path over
@@ -230,6 +272,9 @@ object VectorExprs {
 
   /** Reconstructed inner product of two quantized vectors. */
   def dotI8(a: Column, b: Column): Column = call_function("vec_dot_i8", a, b)
+
+  /** Reconstruct an approximate float vector from its quantized form. */
+  def dequantizeI8(a: Column): Column = call_function("vec_dequantize_i8", a)
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -259,6 +304,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"vec_dot_i8 takes 2 arguments, got ${children.length}")
         VectorDotI8(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dequantize_i8"),
+      new ExpressionInfo(classOf[VectorDequantizeI8].getName, "vec_dequantize_i8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"vec_dequantize_i8 takes 1 argument, got ${children.length}")
+        VectorDequantizeI8(children.head)
       }))
   }
 }

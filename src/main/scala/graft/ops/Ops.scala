@@ -28,13 +28,31 @@ object Ops {
   /** W3 — keyed deduplication, deterministic: keep the first row per key
     * ordered by `tieBreak` (pandas drop_duplicates keeps first in file
     * order; Spark dropDuplicates picks an arbitrary row, so we make the
-    * choice explicit). Map-side partial aggregation applies; shuffle is on
-    * the dedup keys only. */
+    * choice explicit). The window shuffles every row to its key's
+    * partition and sorts — fine at dimension scale; fact tables should
+    * use [[dedupKeysAgg]], which aggregates instead. */
   def dedupKeys(df: DataFrame, keys: Seq[String], tieBreak: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** [[dedupKeys]] as a true aggregate: `min_by(payload, tieBreak)` per
+    * key. Unlike the window form, this gets MAP-SIDE PARTIAL aggregation —
+    * the shuffle carries at most one row per key per input partition
+    * instead of every duplicate — the shape that survives a 100 TB fact
+    * table with heavy duplication. Equivalent to [[dedupKeys]] whenever
+    * the tie-break has a unique minimum per key (property-tested); on
+    * exact ties the two may keep different rows (the window form breaks
+    * ties by sort stability, min_by by encounter order). */
+  def dedupKeysAgg(df: DataFrame, keys: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    val payload = struct(others.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(payload, struct(tieBreak: _*)).as("__row"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__row.`$c`").as(c)): _*)
   }
 
   /** A6 — deterministic dense surrogate key for the distinct combinations of

@@ -314,6 +314,16 @@ object RelationalQueries {
     Ops.dedupKeys(t(s, dir, "orders"), Seq("o_custkey"), Seq(col("o_orderkey")))
       .select("o_custkey", "o_orderkey")
 
+  /** W3 aggregate variant: same keyed dedup via min_by — map-side partial
+    * aggregation instead of a full window sort (the fact-table shape).
+    * o_orderkey is unique, so this provably equals the window form and
+    * shares its oracle. */
+  private val w3DedupKeysAgg: Q = (s, dir) =>
+    Ops.dedupKeysAgg(
+        t(s, dir, "orders").select("o_custkey", "o_orderkey"),
+        Seq("o_custkey"), Seq(col("o_orderkey")))
+      .select("o_custkey", "o_orderkey")
+
   /** W4*: deterministic train/val/test split (dataset-curation extension):
     * multiplicative-hash bucket of the key, cut at 80/10/10 — map-only and
     * exactly mirrorable in SQL, so the whole assignment is oracle-checked. */
@@ -527,6 +537,7 @@ object RelationalQueries {
     "w2_unpivot_lineitem" -> w2UnpivotLineitem,
     "w3_dedup_distinct" -> w3DedupDistinct,
     "w3_dedup_keys" -> w3DedupKeys,
+    "w3_dedup_keys_agg" -> w3DedupKeysAgg,
     "w4_train_split" -> w4TrainSplit,
     "j1_full_outer_coalesce" -> j1FullOuter,
     "j2_broadcast_3col_join" -> j2Broadcast3col,
@@ -644,6 +655,11 @@ object RelationalQueries {
     "w3_dedup_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "w3_dedup_keys" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        | SELECT o_custkey, o_orderkey,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        | FROM orders) WHERE rn = 1""".stripMargin,
+    "w3_dedup_keys_agg" ->
       """SELECT o_custkey, o_orderkey FROM (
         | SELECT o_custkey, o_orderkey,
         |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn

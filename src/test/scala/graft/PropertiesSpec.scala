@@ -84,6 +84,20 @@ object PropertiesSpec extends Properties("graft") {
         }
     }
 
+  propertyWithSeed("dedupKeysAgg ≡ window dedupKeys on unique tie-breaks", None) =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000000)))) {
+      pairs: List[(Int, Int)] =>
+        val uniq = pairs.distinctBy(_._2) // unique tie-break values
+        uniq.isEmpty || {
+          val df = uniq.toDF("k", "v").repartition(3)
+          val win = Ops.dedupKeys(df, Seq("k"), Seq(col("v")))
+            .orderBy("k").as[(Int, Int)].collect()
+          val agg = Ops.dedupKeysAgg(df, Seq("k"), Seq(col("v")))
+            .orderBy("k").as[(Int, Int)].collect()
+          win.sameElements(agg)
+        }
+    }
+
   propertyWithSeed("deterministicSplit: stable, total, and label-correct for any keys", None) =
     forAll(Gen.listOfN(40, Gen.choose(0L, 1000000L)), Gen.choose(0, 100)) {
       (ks: List[Long], trainPct: Int) =>

@@ -70,6 +70,22 @@ class VectorExprsSpec extends SparkSpec {
     assert(errs.max < 0.05, s"max relative error ${errs.max}")
   }
 
+  test("vec_dequantize_i8 round-trip: max relative error ≤ scale/2 per element") {
+    val v = Array(1.0f, -2.0f, 0.5f, 0.0f)
+    val df = Seq(Tuple1(v)).toDF("v")
+    val back = df.select(VectorExprs.dequantizeI8(VectorExprs.quantizeI8(col("v"))).as("r"))
+      .as[Array[Float]].head()
+    assert(back.length === 4)
+    val scale = 2.0 / 127
+    v.zip(back).foreach { case (orig, rec) =>
+      assert(math.abs(orig - rec) <= scale / 2 + 1e-7, s"$orig vs $rec")
+    }
+    // zero vector → zero vector, not NaN
+    val z = df.select(VectorExprs.dequantizeI8(
+      VectorExprs.quantizeI8(expr("array(0.0f, 0.0f)"))).as("r")).as[Array[Float]].head()
+    assert(z.forall(_ === 0.0f))
+  }
+
   test("vec_dot_i8 SQL surface and analysis-time rejection of raw arrays") {
     val one = spark.sql(
       "SELECT vec_dot_i8(vec_quantize_i8(array(1.0f, 2.0f)), " +
