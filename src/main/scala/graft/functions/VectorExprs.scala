@@ -306,6 +306,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorDotI8(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("topk_desc"),
+      new ExpressionInfo(classOf[TopKDesc].getName, "topk_desc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"topk_desc takes 3 arguments (score, id, k), got ${children.length}")
+        TopKDesc(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dequantize_i8"),
       new ExpressionInfo(classOf[VectorDequantizeI8].getName, "vec_dequantize_i8"),
       (children: Seq[Expression]) => {

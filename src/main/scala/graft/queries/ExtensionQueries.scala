@@ -124,6 +124,15 @@ object ExtensionQueries {
     Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 8, nprobe = 8)
   }
 
+  /** Brute-force top-k through the native bounded-heap aggregate
+    * (`topk_desc`) — identical rows to sim_cosine_topk (same oracle), but
+    * the plan aggregates partial heaps map-side instead of window-sorting
+    * every scored pair. */
+  private val simTopkAgg: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   /** Int8-quantized MIPS top-k: the quantization arithmetic (scale =
     * max|x|/127, q = floor(x/scale + 0.5)) and the reconstructed inner
     * product are both exactly mirrorable in SQL, so the whole quantized
@@ -245,6 +254,7 @@ object ExtensionQueries {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_simhash" -> ddSimhash,
     "sim_cosine_topk" -> simCosineTopk,
+    "sim_topk_agg" -> simTopkAgg,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_quantized_topk" -> simQuantizedTopk,
     "sim_lsh_ann" -> simLshAnn,
@@ -380,6 +390,19 @@ object ExtensionQueries {
           |JOIN sizes na ON na.doc_id = p.id_a
           |JOIN sizes nb ON nb.doc_id = p.id_b""".stripMargin,
       "sim_cosine_topk" ->
+        """SELECT query_id, cand_id, cosine, rank FROM (
+          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |     CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+          |   CAST(row_number() OVER (PARTITION BY q.vec_id
+          |     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
+          | FROM embeddings q, embeddings c
+          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |WHERE rank <= 5""".stripMargin,
+      // the heap aggregate keeps (score desc, id asc) — identical to the
+      // window tie-break, so it shares the brute-force oracle.
+      "sim_topk_agg" ->
         """SELECT query_id, cand_id, cosine, rank FROM (
           | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
           |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

@@ -61,6 +61,29 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
+  /** [[bruteForceTopK]] with the per-query top-k as a native bounded-heap
+    * AGGREGATE (`topk_desc`) instead of a window: map-side partial
+    * aggregation caps each partition's shuffle contribution at k rows per
+    * query, where the window form shuffles and sorts EVERY scored
+    * candidate — the difference between |corpus|·|queries| and
+    * |queries|·k·partitions on the wire at 100 TB. Same rounded-score /
+    * cand_id tie-break, so results are identical to the window form. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_desc", col("cosine"), col("cand_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("cand_id"), col("e.score").as("cosine"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** Top-k by RECONSTRUCTED inner product over int8-quantized vectors
     * (MIPS over quantized storage): corpus and queries are quantized with
     * the codegen'd `vec_quantize_i8` (4× smaller than float32 at rest),
