@@ -62,6 +62,20 @@ object ExtensionQueries {
     TextOps.topWordRatio(t(s, dir, "documents"), "text", "doc_id")
       .select(col("doc_id"), round(col("top_word_ratio"), 6).as("top_word_ratio"))
 
+  /** PII redaction over a corpus with planted emails/URLs/long numbers
+    * (the raw documents contain none, so plant deterministic ones). */
+  private val txtRedact: Q = (s, dir) =>
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        TextOps.redact(concat(col("text"),
+          lit(" contact bob@example.com or https://ex.org/x?id=1 ref 123456789012")))
+          .as("redacted"))
+
+  /** Fixed-size chunking fan-out: 256-char windows, 32-char overlap. */
+  private val txtChunk: Q = (s, dir) =>
+    TextOps.chunk(t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
+      .select(col("doc_id"), col("chunk_no"), col("chunk"))
+
   // ----------------------------------------------------------------- dedup
   /** Exact-dedup groups by normalized-content hash (md5 here so the oracle
     * can mirror it; the engine default is the 64-bit xxhash fingerprint). */
@@ -248,6 +262,8 @@ object ExtensionQueries {
     "txt_stopword_ratio" -> txtStopwordRatio,
     "txt_fingerprint" -> txtFingerprint,
     "txt_top_word_ratio" -> txtTopWordRatio,
+    "txt_redact" -> txtRedact,
+    "txt_chunk" -> txtChunk,
     "pipe_clean_corpus" -> pipeCleanCorpus,
     "dd_exact_groups" -> ddExactGroups,
     "dd_ngram_jaccard" -> ddNgramJaccard,
@@ -359,6 +375,24 @@ object ExtensionQueries {
       "txt_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
           | FROM documents""".stripMargin,
+      "txt_redact" ->
+        raw"""SELECT doc_id,
+             | regexp_replace(
+             |   regexp_replace(
+             |     regexp_replace(
+             |       text || ' contact bob@example.com or https://ex.org/x?id=1 ref 123456789012',
+             |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |     'https?://[^\s]+', '<URL>', 'g'),
+             |   '[0-9]{9,}', '<NUM>', 'g') AS redacted
+             | FROM documents WHERE doc_id < 200""".stripMargin,
+      "txt_chunk" ->
+        raw"""SELECT doc_id, c.chunk_no,
+             | substr(text, CAST(c.chunk_no * 224 + 1 AS INTEGER), 256) AS chunk
+             |FROM documents,
+             | LATERAL (SELECT unnest(range(0,
+             |   GREATEST(CAST(CEIL((strlen(text) - 32) / 224.0) AS BIGINT), 1)))
+             |   AS chunk_no) c
+             |WHERE doc_id < 200""".stripMargin,
       "txt_top_word_ratio" ->
         raw"""SELECT doc_id, ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_ratio
              |FROM (

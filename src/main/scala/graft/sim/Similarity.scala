@@ -100,11 +100,13 @@ object Similarity {
       VectorExprs.quantizeI8(col(vecCol)).as("cq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("score", round(VectorExprs.dotI8(col("qq"), col("cq")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("score"), col("rank"))
+    // per-query top-k via the native bounded-heap aggregate — k rows per
+    // query per partition on the shuffle, not every scored candidate
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_desc", col("score"), col("cand_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("cand_id"), col("e.score").as("score"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
   }
 
   /** Random-hyperplane signatures for a whole corpus: `bits` sign bits per

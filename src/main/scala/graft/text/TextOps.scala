@@ -105,6 +105,38 @@ object TextOps {
   def minShingleHash(c: Column, k: Int = 5): Column =
     array_min(transform(charShingles(c, k), s => xxhash64(s)))
 
+  /** PII/noise redaction for training corpora: emails, URLs, then long
+    * digit runs replaced by typed placeholder tokens. The patterns are
+    * deliberately RE2-compatible (no backrefs or lookaround) so any SQL
+    * engine can replay them byte-for-byte. Map-only, codegen'd. */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "[0-9]{9,}", "<NUM>")
+
+  /** Fixed-size character chunking with overlap (training-window prep):
+    * one doc → ⌈(len−overlap)/stride⌉ windows of `size` chars starting
+    * every `stride = size − overlap` chars (short docs → 1 chunk).
+    * Map-only explode fan-out — the same 1→n shape as frame sampling, no
+    * shuffle. */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            size: Int = 256, overlap: Int = 32): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap ≥ 0, got $size/$overlap")
+    val stride = size - overlap
+    val n = greatest(
+      ceil((length(col("t")) - lit(overlap)).cast(DoubleType) / stride).cast(LongType),
+      lit(1L))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), n - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        col("t").substr((col("chunk_no") * stride + 1).cast(IntegerType), lit(size))
+          .as("chunk"))
+  }
+
   /** Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
     * Models", §A1.1 — public): the fraction of all tokens taken by the
     * single most frequent token. High values flag boilerplate/template

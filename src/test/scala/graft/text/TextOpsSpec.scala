@@ -76,6 +76,30 @@ class TextOpsSpec extends SparkSpec {
     assert(fA !== fB)
   }
 
+  test("redact: emails, urls, long digit runs → typed placeholders; short numbers kept") {
+    val r = Seq("mail a.b+c@x-y.co.uk now",
+        "see https://a.b/c?d=e#f end",
+        "id 1234567890123 ok, year 2024 stays")
+      .toDF("t").select(TextOps.redact(col("t"))).as[String].collect()
+    assert(r(0) === "mail <EMAIL> now")
+    assert(r(1) === "see <URL> end")
+    assert(r(2) === "id <NUM> ok, year 2024 stays")
+  }
+
+  test("chunk: overlap windows cover the doc; short doc → one chunk") {
+    val doc = ("x" * 500, 1L)
+    val df = Seq(doc, ("short", 2L)).toDF("text", "doc_id")
+    val chunks = TextOps.chunk(df, "text", "doc_id", size = 256, overlap = 32)
+      .orderBy("doc_id", "chunk_no").as[(Long, Long, String)].collect()
+    // 500 chars, stride 224 → ceil(468/224) = 3 chunks at 0/224/448
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.length === 3)
+    assert(d1(0)._3.length === 256 && d1(1)._3.length === 256 && d1(2)._3.length === 52)
+    // consecutive chunks overlap by exactly `overlap` chars
+    assert(d1(0)._3.takeRight(32) === d1(1)._3.take(32))
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq === Seq("short"))
+  }
+
   test("topWordRatio: boilerplate scores high, diverse text low, case-folded") {
     val df = Seq(
       (1L, "spam spam spam spam eggs"),       // 4/5
