@@ -11,6 +11,37 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * windowed counts — the "same code, both modes" contract. */
 class FileStreamSpec extends SparkSpec {
 
+  test("streaming corpus scoring (lang-id + quality gate + per-lang stats) ≡ batch") {
+    import graft.text.TextOps
+    val src = Paths.get("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graft_stream_docs")
+    Files.copy(src, dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    // the text family is pure stateless expressions + one aggregate, so the
+    // SAME transform runs batch and streaming unchanged
+    def clean(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = clean(spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.format("memory").queryName("corpus_clean")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val batch = clean(spark.read.parquet(dir.toString))
+      .orderBy("lang_pred").collect().map(_.toSeq)
+    val stream = spark.table("corpus_clean")
+      .orderBy("lang_pred").collect().map(_.toSeq)
+    assert(stream.toSeq === batch.toSeq && batch.nonEmpty)
+  }
+
   test("readStream parquet → windowedCounts ≡ batch, via AvailableNow") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get("/root/testdata/sf0.001/events.parquet")
