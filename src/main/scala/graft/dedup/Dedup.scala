@@ -28,10 +28,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
   /** Exact dedup: keep the lowest-id row of each normalized-text group.
-    * Window over the fingerprint — single shuffle, no join back. */
+    * A true aggregate (`min_by` on the id), not a window: map-side partial
+    * aggregation means each input partition ships at most one row per
+    * fingerprint to the shuffle — on a 100 TB corpus with heavy
+    * duplication that is the difference between shuffling the corpus and
+    * shuffling the distinct set. Deterministic: ids are unique. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(payload, col(idCol)).as("__row"))
+      .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
   }
 
   /** Exploded (id, shingle) rows — every stage codegen'd: normalize, emit

@@ -180,7 +180,6 @@ object ExtensionQueries {
     * normalized-content fingerprint) → per-language corpus stats. One lazy
     * plan: scan → map-only scoring → one dedup shuffle → one agg shuffle. */
   private val pipeCleanCorpus: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val scored = t(s, dir, "documents").select(
       col("doc_id"),
       TextOps.langId(col("text")).as("lang_pred"),
@@ -188,9 +187,14 @@ object ExtensionQueries {
       TextOps.tokenCount(col("text")).as("n_tokens"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
     val filtered = scored.filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val deduped = filtered.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // keep min-doc_id per fingerprint as an AGGREGATE (map-side partial),
+    // not a window sort — the dedup shuffle carries the distinct set only
+    val deduped = filtered
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("lang_pred"), col("quality"), col("n_tokens")),
+        col("doc_id")).as("__row"))
+      .select(col("__row.lang_pred").as("lang_pred"),
+        col("__row.quality").as("quality"), col("__row.n_tokens").as("n_tokens"))
     deduped.groupBy("lang_pred").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"),

@@ -1,0 +1,31 @@
+package graft
+
+/** README claims the engine runs identically with ANSI mode on (Spark 4
+  * default) or off, because lenient semantics are expressed with
+  * try_cast/try_divide rather than by relying on silent-null coercion.
+  * Pin that: the cleaning-family queries must produce identical rows
+  * under both settings. */
+class AnsiParitySpec extends SparkSpec {
+
+  private val names = Seq(
+    "f2_currency_parse", "f3_lenient_cast", "f8_ratio_nan_mean",
+    "f9_int_cast", "w4_train_split", "pr3_moments")
+
+  test("cleaning queries produce identical rows with ANSI on and off") {
+    val dir = "/root/testdata/sf0.001"
+    def run(): Map[String, Seq[Seq[Any]]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, dir)
+        .collect().map(_.toSeq.map(String.valueOf): Seq[Any]).sortBy(_.toString).toSeq
+    }.toMap
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true") // Spark 4 default
+    val ansiOn = run()
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val ansiOff = run()
+      names.foreach { n =>
+        assert(ansiOn(n) === ansiOff(n), s"$n differs between ANSI modes")
+        assert(ansiOn(n).nonEmpty, s"$n returned no rows")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+}
