@@ -152,6 +152,20 @@ object RelationalQueries {
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
   }
 
+  /** K7*: partition-pruned scan — facts written `partitionBy(status)`, so
+    * an equality filter on the partition column prunes whole directories
+    * at planning time (visible as the scan's PartitionFilters). This is
+    * the mechanism that lets a 100 TB fact table be read selectively;
+    * SinksSpec asserts the pruning on the physical plan. */
+  private val k7PartitionedScan: Q = (s, dir) => {
+    val out = tmpDir("k7")
+    t(s, dir, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(s"$out/orders_by_status")
+    s.read.parquet(s"$out/orders_by_status")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
   /** K4 + PR1/PR2: single-pass profile → HTML report sink
     * (profiling.py:50-54); the count/missing/distinct stats double as the
     * oracle-checked surface. */
@@ -515,6 +529,7 @@ object RelationalQueries {
     "k3_jdbc_full_refresh" -> k3FullRefresh,
     "k4_profile_sink" -> k4ProfileSink,
     "k6_orc_roundtrip" -> k6OrcRoundtrip,
+    "k7_partitioned_scan" -> k7PartitionedScan,
     "r1_skip_leading" -> r1SkipLeading,
     "r2_footer_drop" -> r2FooterDrop,
     "r3_drop_column" -> r3DropColumn,
@@ -585,6 +600,8 @@ object RelationalQueries {
       "SELECT r_regionkey, r_name FROM region",
     "k6_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "k7_partitioned_scan" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'",
     "k4_profile_sink" ->
       """SELECT 'r_regionkey' AS col_name, CAST(count(r_regionkey) AS BIGINT) AS cnt,
         | CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,

@@ -34,4 +34,26 @@ class SinksSpec extends SparkSpec {
     assert(exchanges.isEmpty,
       s"bucketed join should not shuffle; found: ${exchanges.map(_.nodeName)}")
   }
+
+  test("partitionBy write + partition-column filter prunes directories at plan time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    (1 to 300).map(i => (i.toLong, if (i % 3 == 0) "O" else if (i % 3 == 1) "F" else "P"))
+      .toDF("k", "status").write.mode("overwrite").partitionBy("status").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("status") === "O").select("k")
+    q.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan +: allNodes(a.executedPlan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val scans = allNodes(q.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // the status predicate must be a PARTITION filter (directory pruning),
+    // not a data filter evaluated per row
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "status")),
+      s"expected partition pruning on status; filters: ${scans.head.partitionFilters}")
+    assert(scans.head.relation.location.inputFiles.length > 1) // really partitioned
+  }
 }
