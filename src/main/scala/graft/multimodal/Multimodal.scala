@@ -115,6 +115,112 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Metadata schema for decoded audio payloads. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType)))
+
+  /** Deterministic 16-bit mono PCM WAV payloads: sample rate and frame
+    * count are pure functions of the id (rate = 8000 + id%8*1000,
+    * frames = 800 + id%100), samples a deterministic sine-ish ramp — real,
+    * fully-formed RIFF/WAVE files, decodable by any audio stack. */
+  def synthesizeWav(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val rate = 8000 + (id % 8).toInt * 1000
+        val frames = 800 + (id % 100).toInt
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val s = ((i * 7 + id) % 16384).toShort
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL audio decode via JDK `javax.sound.sampled` (WAV/AIFF/AU, zero
+    * external dependencies): header-only parse — sample rate, channels,
+    * frame count — no PCM materialization. Same per-partition shape and
+    * null-on-undecodable contract as [[decodeImage]]. */
+  def decodeAudio(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("audio", audioMetaSchema))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val meta = if (bytes == null) null else try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = aff.getFormat
+          Row(aff.getType.toString.toLowerCase, f.getSampleRate.toInt,
+            f.getChannels, aff.getFrameLength.toLong)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL image resize via JDK Graphics2D: decode, bilinear-scale to the
+    * target box, re-encode PNG. Per-partition; undecodable payloads pass
+    * through with a null resized payload. */
+  def resizeImage(df: DataFrame, w: Int, h: Int,
+                  payloadCol: String = "payload",
+                  outCol: String = "resized"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, BinaryType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val out: Array[Byte] = if (bytes == null) null else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) null
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", baos)
+            baos.toByteArray
+          }
+        }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling stub: produce `n` evenly spaced "frame" rows per video
     * payload — exercises the explode fan-out shape (1 row → n rows) a real
     * frame sampler has. */

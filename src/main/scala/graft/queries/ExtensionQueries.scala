@@ -221,6 +221,29 @@ object ExtensionQueries {
       .select(col("doc_id"), col("media.format").as("fmt"),
         col("media.width").as("w"), col("media.height").as("h"))
 
+  /** Real audio decode (JDK javax.sound.sampled): synthesize true PCM WAVs
+    * with planted rate/frame-count, decode the headers back. */
+  private val mmAudioDecode: Q = (s, dir) =>
+    Multimodal.decodeAudio(
+        Multimodal.synthesizeWav(
+          t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id"), "doc_id"))
+      .select(col("doc_id"), col("audio.format").as("fmt"),
+        col("audio.sample_rate").as("sample_rate"),
+        col("audio.channels").as("channels"),
+        col("audio.n_frames").as("n_frames"))
+
+  /** Real image resize (JDK Graphics2D): synth PNG → bilinear resize →
+    * decode the resized payload; output dims must be the target box. */
+  private val mmResize: Q = (s, dir) =>
+    Multimodal.decodeImage(
+        Multimodal.resizeImage(
+          Multimodal.synthesizePng(
+            t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id"), "doc_id"),
+          w = 64, h = 48, payloadCol = "payload", outCol = "resized"),
+        payloadCol = "resized")
+      .select(col("doc_id"), col("media.format").as("fmt"),
+        col("media.width").as("w"), col("media.height").as("h"))
+
   /** Frame-sampling fan-out shape (1 payload → n frame rows). */
   private val mmFrameFanout: Q = (s, dir) =>
     Multimodal.sampleFramesStub(
@@ -281,6 +304,8 @@ object ExtensionQueries {
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
     "mm_decode" -> mmDecode,
+    "mm_audio_decode" -> mmAudioDecode,
+    "mm_resize" -> mmResize,
     "mm_frame_fanout" -> mmFrameFanout,
     "evt_json_extract" -> evtJsonExtract,
     "evt_json_struct" -> evtJsonStruct,
@@ -500,6 +525,16 @@ object ExtensionQueries {
         """SELECT doc_id, 'png' AS fmt,
           | CAST(doc_id % 48 + 8 AS INTEGER) AS w,
           | CAST(doc_id % 32 + 8 AS INTEGER) AS h
+          | FROM documents WHERE doc_id < 100""".stripMargin,
+      "mm_audio_decode" ->
+        """SELECT doc_id, 'wave' AS fmt,
+          | CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+          | CAST(1 AS INTEGER) AS channels,
+          | CAST(800 + doc_id % 100 AS BIGINT) AS n_frames
+          | FROM documents WHERE doc_id < 100""".stripMargin,
+      "mm_resize" ->
+        """SELECT doc_id, 'png' AS fmt, CAST(64 AS INTEGER) AS w,
+          | CAST(48 AS INTEGER) AS h
           | FROM documents WHERE doc_id < 100""".stripMargin,
       "mm_frame_fanout" ->
         """SELECT doc_id, f.frame_no FROM documents,

@@ -43,6 +43,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(0))) // text bytes aren't an image; null not crash
   }
 
+  test("synthesizeWav + decodeAudio: real WAV round-trip recovers planted params") {
+    val ids = Seq(0L, 3L, 7L, 99L).toDF("id")
+    val out = Multimodal.decodeAudio(Multimodal.synthesizeWav(ids, "id"))
+      .orderBy("id")
+      .select("id", "audio.format", "audio.sample_rate", "audio.channels", "audio.n_frames")
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === "wave")
+      assert(r.getInt(2) === 8000 + (id % 8).toInt * 1000)
+      assert(r.getInt(3) === 1)
+      assert(r.getLong(4) === 800L + id % 100)
+    }
+  }
+
+  test("decodeAudio: non-audio bytes yield null audio, no failure") {
+    val out = Multimodal.decodeAudio(Multimodal.asPayload(docs, "txt"))
+    assert(out.orderBy("id").select("audio").collect().forall(_.isNullAt(0)))
+  }
+
+  test("resizeImage: real bilinear resize re-encodes to the target box") {
+    val ids = Seq(1L, 50L).toDF("id")
+    val resized = Multimodal.resizeImage(
+      Multimodal.synthesizePng(ids, "id"), w = 32, h = 24)
+    val dims = Multimodal.decodeImage(resized, payloadCol = "resized")
+      .select("media.width", "media.height").collect()
+    assert(dims.forall(r => r.getInt(0) === 32 && r.getInt(1) === 24))
+    // non-image payloads pass through with null resized bytes
+    val nulls = Multimodal.resizeImage(Multimodal.asPayload(docs, "txt"), 8, 8)
+      .select("resized").collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("sampleFramesStub: 1 payload → n frame rows with distinct frame hashes") {
     val out = Multimodal.sampleFramesStub(
       Multimodal.asPayload(docs.filter($"txt".isNotNull), "txt"), 3)
