@@ -31,7 +31,10 @@ object Dedup {
     * aggregation means each input partition ships at most one row per
     * fingerprint to the shuffle — on a 100 TB corpus with heavy
     * duplication that is the difference between shuffling the corpus and
-    * shuffling the distinct set. Deterministic: ids are unique. */
+    * shuffling the distinct set. Deterministic: ids are unique.
+    * CONTRACT: ids must be non-null — min_by skips null ordering values,
+    * so a null-id row is never the kept representative (the old window
+    * form sorted nulls first; an id column should never be null). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(TextOps.fingerprint(col(textCol)).as("__fp"))

@@ -23,7 +23,12 @@ import org.apache.spark.sql.types._
   * cost is an O(log k) bounded-heap insert per row instead of a sort.
   *
   * Ties: (score DESC, id ASC) — identical to the deterministic window
-  * tie-break used across the engine, so results are interchangeable. */
+  * tie-break used across the engine, so results are interchangeable.
+  *
+  * CONTRACT: `id` identifies the row WITHIN its group — duplicate
+  * (score, id) pairs in one group collapse to one kept entry (the buffer
+  * is a set keyed by that pair), where `row_number` would keep each
+  * duplicate. All engine call sites pass a unique row id. */
 case class TopKDesc(
     scoreExpr: Expression,
     idExpr: Expression,
@@ -52,13 +57,18 @@ case class TopKDesc(
     StructField("id", LongType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!kExpr.foldable)
-      TypeCheckResult.TypeCheckFailure("topk_desc k must be a literal")
-    else (scoreExpr.dataType, idExpr.dataType) match {
-      case (DoubleType | FloatType, LongType | IntegerType) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (s, i) => TypeCheckResult.TypeCheckFailure(
-        s"topk_desc expects (double/float score, bigint/int id), got ${s.sql} / ${i.sql}")
+    if (!kExpr.foldable || !Seq(IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure("topk_desc k must be an integer literal")
+    else kExpr.eval(null) match {
+      case null => TypeCheckResult.TypeCheckFailure("topk_desc k must not be null")
+      case v if (v match { case i: Int => i <= 0; case l: Long => l <= 0L }) =>
+        TypeCheckResult.TypeCheckFailure(s"topk_desc k must be positive, got $v")
+      case _ => (scoreExpr.dataType, idExpr.dataType) match {
+        case (DoubleType | FloatType, LongType | IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (s, i) => TypeCheckResult.TypeCheckFailure(
+          s"topk_desc expects (double/float score, bigint/int id), got ${s.sql} / ${i.sql}")
+      }
     }
 
   override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =

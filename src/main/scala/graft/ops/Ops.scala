@@ -47,6 +47,14 @@ object Ops {
     * exact ties the two may keep different rows (the window form breaks
     * ties by sort stability, min_by by encounter order). */
   def dedupKeysAgg(df: DataFrame, keys: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    // ascending-only: a SortOrder (col.desc) can't live inside struct();
+    // reject it loudly instead of failing deep in analysis. For descending
+    // semantics negate a numeric tie-break or use the window form.
+    // (Column.expr is private in Spark 4 — the rendered form is the
+    // stable way to spot an ordering spec.)
+    require(!tieBreak.exists(_.toString.matches(".*\\b(ASC|DESC) NULLS (FIRST|LAST)\\b.*")),
+      "dedupKeysAgg tie-breaks are plain ascending columns; " +
+        "use dedupKeys for .desc/.asc orderings")
     val others = df.columns.filterNot(keys.contains)
     val payload = struct(others.map(col): _*)
     df.groupBy(keys.map(col): _*)
@@ -138,8 +146,14 @@ object Ops {
                          splitCol: String = "split"): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val bucket = pmod(
-      pmod(col(keyCol).cast(LongType), lit(1000003L)) * lit(2654435761L), lit(1000L))
+    // Multiplicative hashing must read the product's HIGH bits: a low-bits
+    // mod would depend only on key % 1000 (2654435761 % 1000 = 761), so
+    // keys stepped by 1000 — sequential ids with gaps, second-granularity
+    // timestamps — would all land in one split. Dividing by 2^20 is an
+    // exact exponent shift in doubles (product < 2^52), so floor() is the
+    // true integer quotient and SQL mirrors it bit-for-bit.
+    val product = pmod(col(keyCol).cast(LongType), lit(1000003L)) * lit(2654435761L)
+    val bucket = pmod(floor(product / lit(1048576.0)).cast(LongType), lit(1000L))
     df.withColumn(splitCol,
       when(bucket < trainPct * 10, lit("train"))
         .when(bucket < (trainPct + valPct) * 10, lit("val"))

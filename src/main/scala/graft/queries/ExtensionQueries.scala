@@ -419,7 +419,7 @@ object ExtensionQueries {
              | substr(text, CAST(c.chunk_no * 224 + 1 AS INTEGER), 256) AS chunk
              |FROM documents,
              | LATERAL (SELECT unnest(range(0,
-             |   GREATEST(CAST(CEIL((strlen(text) - 32) / 224.0) AS BIGINT), 1)))
+             |   GREATEST(CAST(CEIL((length(text) - 32) / 224.0) AS BIGINT), 1)))
              |   AS chunk_no) c
              |WHERE doc_id < 200""".stripMargin,
       "txt_top_word_ratio" ->

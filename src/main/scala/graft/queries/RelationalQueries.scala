@@ -684,7 +684,8 @@ object RelationalQueries {
     "w4_train_split" ->
       """SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
         |   ELSE 'test' END AS split, count(*) AS cnt
-        |FROM (SELECT ((o_orderkey % 1000003) * 2654435761) % 1000 AS b
+        |FROM (SELECT CAST(FLOOR(((o_orderkey % 1000003) * 2654435761) / 1048576.0)
+        |        AS BIGINT) % 1000 AS b
         |      FROM orders)
         |GROUP BY 1""".stripMargin,
     "j1_full_outer_coalesce" ->

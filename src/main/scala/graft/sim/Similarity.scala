@@ -61,6 +61,16 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
+  /** Shared tail of the aggregate top-k paths: per-query bounded-heap
+    * aggregate → posexplode → 1-based rank, keeping the (score desc,
+    * cand_id asc) tie-break of the window formulation. */
+  private def topKExplode(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_desc", col(scoreCol), col("cand_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("cand_id"), col("e.score").as(scoreCol),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+
   /** [[bruteForceTopK]] with the per-query top-k as a native bounded-heap
     * AGGREGATE (`topk_desc`) instead of a window: map-side partial
     * aggregation caps each partition's shuffle contribution at k rows per
@@ -77,11 +87,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(
         cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
-    scored.groupBy(col("query_id"))
-      .agg(call_function("topk_desc", col("cosine"), col("cand_id"), lit(k)).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(col("query_id"), col("e.id").as("cand_id"), col("e.score").as("cosine"),
-        (col("pos") + 1).cast(IntegerType).as("rank"))
+    topKExplode(scored, "cosine", k)
   }
 
   /** Top-k by RECONSTRUCTED inner product over int8-quantized vectors
@@ -100,13 +106,7 @@ object Similarity {
       VectorExprs.quantizeI8(col(vecCol)).as("cq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("score", round(VectorExprs.dotI8(col("qq"), col("cq")), 6))
-    // per-query top-k via the native bounded-heap aggregate — k rows per
-    // query per partition on the shuffle, not every scored candidate
-    scored.groupBy(col("query_id"))
-      .agg(call_function("topk_desc", col("score"), col("cand_id"), lit(k)).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(col("query_id"), col("e.id").as("cand_id"), col("e.score").as("score"),
-        (col("pos") + 1).cast(IntegerType).as("rank"))
+    topKExplode(scored, "score", k)
   }
 
   /** Random-hyperplane signatures for a whole corpus: `bits` sign bits per

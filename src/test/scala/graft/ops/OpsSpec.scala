@@ -29,6 +29,17 @@ class OpsSpec extends SparkSpec {
     assert(a.forall { case (k, v) => v === k }) // min v for key k is k itself
   }
 
+  test("deterministicSplit spreads STRUCTURED keys (stepped by 1000) across splits") {
+    // regression: a low-bits modular hash makes every key ≡ r (mod 1000)
+    // land in ONE split; the high-bits quotient must spread them ~80/10/10
+    val df = (1 to 300).map(i => Tuple1(i * 1000L)).toDF("k")
+    val counts = Ops.deterministicSplit(df, "k")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"),
+      s"structured keys collapsed into: $counts")
+    assert(counts("train") > 200 && counts("train") < 280, s"skewed: $counts")
+  }
+
   test("A6 surrogateKey: dense 0-based ids, stable under re-run") {
     val df = Seq(("x", 1), ("y", 2), ("x", 1), ("z", 3)).toDF("a", "b")
     val out = Ops.surrogateKey(df, Seq("a", "b"), "id")
