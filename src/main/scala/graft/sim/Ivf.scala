@@ -70,10 +70,13 @@ object Ivf {
         when(col("qn") > 0 && col("cn") > 0,
           VectorExprs.dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
           .otherwise(lit(0.0)), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+    // exact rerank via the bounded-heap topk_desc aggregate: partial
+    // map-side heaps cap the rerank shuffle at k rows per query per
+    // partition; (cosine desc, cand_id) tie-break matches the window form
+    cand.groupBy(col("query_id"))
+      .agg(call_function("topk_desc", col("cosine"), col("cand_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("cand_id"), col("e.score").as("cosine"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
   }
 }

@@ -161,10 +161,9 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("qvec"), col("cvec"))
       .dropDuplicates("query_id", "cand_id")
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))  // codegen'd
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // rerank via the bounded-heap aggregate (k rows per query per
+    // partition on the shuffle); same (cosine desc, cand_id) tie-break
+    topKExplode(cand, "cosine", k)
       .select(col("query_id"), col("cand_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
   }
