@@ -115,6 +115,19 @@ object PropertiesSpec extends Properties("graft") {
         }
     }
 
+  propertyWithSeed("chunk is lossless: stride prefixes reassemble the document", None) =
+    forAll(Gen.choose(1, 600), Gen.choose(0L, 1000L)) { (len: Int, seed: Long) =>
+      val rnd = new scala.util.Random(seed)
+      val txt = Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      val chunks = graft.text.TextOps.chunk(
+          Seq((1L, txt)).toDF("doc_id", "text"), "text", "doc_id",
+          size = 64, overlap = 16)
+        .orderBy("chunk_no").select("chunk").as[String].collect()
+      val stride = 64 - 16
+      val rebuilt = chunks.dropRight(1).map(_.take(stride)).mkString + chunks.last
+      rebuilt == txt
+    }
+
   propertyWithSeed("saltedJoin ≡ plain join for any key distribution", None) =
     forAll(Gen.listOfN(60, Gen.choose(0, 4)), Gen.choose(1, 8)) {
       (ks: List[Int], salts: Int) =>

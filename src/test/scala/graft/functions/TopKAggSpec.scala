@@ -21,6 +21,17 @@ class TopKAggSpec extends SparkSpec {
     assert(r(1) === ((2L, Seq(0.5), Seq(20L))))           // fewer than k rows
   }
 
+  test("invalid k rejected at analysis time, not mid-query on an executor") {
+    Seq((1L, 0.5, 10L)).toDF("g", "s", "id").createOrReplaceTempView("tk_bad")
+    Seq("topk_desc(s, id, 0)", "topk_desc(s, id, -3)",
+        "topk_desc(s, id, NULL)", "topk_desc(s, id, 'x')").foreach { call =>
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT g, $call FROM tk_bad GROUP BY g").collect()
+      }
+      assert(e.getMessage.contains("topk_desc"), s"$call: ${e.getMessage}")
+    }
+  }
+
   test("partial + merge: result independent of partitioning") {
     val rows = (0 until 500).map(i => (i % 7L, (i % 83) / 100.0, i.toLong))
     def run(parts: Int) = rows.toDF("g", "s", "id").repartition(parts)
