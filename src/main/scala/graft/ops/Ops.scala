@@ -160,6 +160,47 @@ object Ops {
         .otherwise(lit("test")))
   }
 
+  /** AS-OF join — for each left row, attach the values of the most recent
+    * right row with `right.time <= left.time` within the same key
+    * (inclusive at equal times, like SQL ASOF JOIN); left rows with no
+    * prior right row get nulls.
+    *
+    * Spark has no native ASOF; the standard public composition is used:
+    * tag both sides, union, and carry right values forward with
+    * `last(_, ignoreNulls) OVER (PARTITION BY key ORDER BY time, tag ROWS
+    * UNBOUNDED PRECEDING..CURRENT)` — right rows sort before left rows at
+    * equal time, making the match inclusive. ONE shuffle + sort on the
+    * key, never a range-join product: cost is |left| + |right| rows
+    * through a keyed window, the shape that survives billions of events
+    * per key-partition.
+    *
+    * CONTRACT: `valueCols` exist on `right`, collide with nothing on
+    * `left`, and are non-null (a null right value would be skipped in
+    * favor of an older one). Right rows should be unique per (key, time)
+    * — dedup first (e.g. [[dedupKeysAgg]]) for deterministic output. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.intersect(left.columns).isEmpty,
+      s"valueCols ${valueCols.intersect(left.columns).mkString(",")} collide with left")
+    val l = valueCols.foldLeft(left.withColumn("__tag", lit(1))) { (d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val leftOnly = left.columns.filterNot((keys :+ timeCol).contains)
+    val r = leftOnly.foldLeft(
+        right.select((keys :+ timeCol).map(col) ++ valueCols.map(col): _*)
+          .withColumn("__tag", lit(0))) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(l.unionByName(r)) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__tag") === 1)
+      .drop("__tag")
+  }
+
   /** Skew-tolerant equi-join: the large (skewed) side gets a deterministic
     * salt derived from its full row, the small side is replicated once per
     * salt value, and the join key becomes (keys, salt) — a hot key's rows

@@ -251,6 +251,24 @@ object ExtensionQueries {
       .select(col("doc_id"), col("frame_no"))
 
   // ---------------------------------------------------------------- events
+  /** AS-OF join: every event attaches the user's most recent prior (or
+    * simultaneous) purchase. Purchases are deduped to one per (user, ts)
+    * by max event_id so both engines resolve ties identically; DuckDB's
+    * native ASOF JOIN is the oracle for the window composition. */
+  private val evtAsof: Q = (s, dir) => {
+    val e = events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("last_purchase_id"),
+        col("value").as("last_purchase_value"))
+    val pd = graft.ops.Ops.dedupKeysAgg(p, Seq("user_id", "ts"),
+      Seq(-col("last_purchase_id"))) // min of −id = max id per (user, ts)
+    graft.ops.Ops.asofJoin(
+        e.select("event_id", "user_id", "ts"), pd,
+        Seq("user_id"), "ts", Seq("last_purchase_id", "last_purchase_value"))
+      .select("event_id", "user_id", "last_purchase_id", "last_purchase_value")
+  }
+
   private val evtJsonExtract: Q = (s, dir) =>
     events(s, dir).select(col("event_id"),
       regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).try_cast(LongType).as("k"))
@@ -307,6 +325,7 @@ object ExtensionQueries {
     "mm_audio_decode" -> mmAudioDecode,
     "mm_resize" -> mmResize,
     "mm_frame_fanout" -> mmFrameFanout,
+    "evt_asof" -> evtAsof,
     "evt_json_extract" -> evtJsonExtract,
     "evt_json_struct" -> evtJsonStruct,
     "evt_sessionize" -> evtSessionize,
@@ -539,6 +558,14 @@ object ExtensionQueries {
       "mm_frame_fanout" ->
         """SELECT doc_id, f.frame_no FROM documents,
           | (VALUES (0), (1), (2)) AS f(frame_no) WHERE doc_id < 50""".stripMargin,
+      "evt_asof" ->
+        """WITH p AS (
+          | SELECT user_id, ts, max(event_id) AS last_purchase_id,
+          |   arg_max(value, event_id) AS last_purchase_value
+          | FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT e.event_id, e.user_id, p.last_purchase_id, p.last_purchase_value
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
       "evt_json_extract" ->
         """SELECT event_id,
           | CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k

@@ -29,6 +29,22 @@ class OpsSpec extends SparkSpec {
     assert(a.forall { case (k, v) => v === k }) // min v for key k is k itself
   }
 
+  test("asofJoin: latest prior right row per key, inclusive ties, null before first") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
+        (2L, 10L, "f1"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "t", "v")
+    val out = Ops.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .orderBy("k", "t").select("k", "t", "name", "v")
+      .as[(Long, Long, String, Option[Double])].collect()
+    assert(out.sameElements(Array(
+      (1L, 5L, "e0", None),          // before any right row
+      (1L, 10L, "e1", Some(100.0)),  // tie at t=10 is INCLUSIVE
+      (1L, 20L, "e2", Some(150.0)),  // latest prior (15), not first (10)
+      (2L, 10L, "f1", None))))       // key with no right rows at all
+  }
+
   test("deterministicSplit spreads STRUCTURED keys (stepped by 1000) across splits") {
     // regression: a low-bits modular hash makes every key ≡ r (mod 1000)
     // land in ONE split; the high-bits quotient must spread them ~80/10/10
