@@ -201,6 +201,31 @@ object Ops {
       .drop("__tag")
   }
 
+  /** RANGE join — pair each left row with every right interval containing
+    * its time (`start <= t <= end`) within the same key — WITHOUT a
+    * range-product: time is bucketed at `bucketMicros`, right intervals
+    * explode to one row per covered bucket, candidates come from a plain
+    * equi-join on (key, bucket), and the exact containment filter runs on
+    * candidates only. Cost scales with interval-length/bucket ratio (pick
+    * bucketMicros ≈ the typical interval length, giving ≤ 2 rows per
+    * right interval), never with |left| × |right|.
+    *
+    * CONTRACT: column names are disjoint apart from `keys`; intervals are
+    * non-null with `start <= end`. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                timeCol: String, startCol: String, endCol: String,
+                bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
+    val lb = left.withColumn("__b",
+      floor(unix_micros(col(timeCol)) / bucketMicros))
+    val rb = right.withColumn("__b", explode(sequence(
+      floor(unix_micros(col(startCol)) / bucketMicros),
+      floor(unix_micros(col(endCol)) / bucketMicros))))
+    lb.join(rb, keys :+ "__b")
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) <= col(endCol))
+      .drop("__b")
+  }
+
   /** Skew-tolerant equi-join: the large (skewed) side gets a deterministic
     * salt derived from its full row, the small side is replicated once per
     * salt value, and the join key becomes (keys, salt) — a hot key's rows

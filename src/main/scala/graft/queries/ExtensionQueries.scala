@@ -269,6 +269,21 @@ object ExtensionQueries {
       .select("event_id", "user_id", "last_purchase_id", "last_purchase_value")
   }
 
+  /** RANGE join: label every event falling inside a 5-minute window after
+    * an error by the same user. Bucketed-interval equi-join — candidates
+    * only from matching (user, 5-min bucket) pairs, exact containment
+    * filtered after; oracle is the plain BETWEEN join. */
+  private val evtRange: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val errs = events(s, dir).filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_start"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("err_end"),
+        col("event_id").as("error_id"))
+    graft.ops.Ops.rangeJoin(e, errs, Seq("user_id"),
+        "ts", "err_start", "err_end", bucketMicros = 5L * 60 * 1000000)
+      .select(col("event_id"), col("user_id"), col("error_id"))
+  }
+
   private val evtJsonExtract: Q = (s, dir) =>
     events(s, dir).select(col("event_id"),
       regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).try_cast(LongType).as("k"))
@@ -326,6 +341,7 @@ object ExtensionQueries {
     "mm_resize" -> mmResize,
     "mm_frame_fanout" -> mmFrameFanout,
     "evt_asof" -> evtAsof,
+    "evt_range" -> evtRange,
     "evt_json_extract" -> evtJsonExtract,
     "evt_json_struct" -> evtJsonStruct,
     "evt_sessionize" -> evtSessionize,
@@ -566,6 +582,13 @@ object ExtensionQueries {
           |SELECT e.event_id, e.user_id, p.last_purchase_id, p.last_purchase_value
           |FROM events e ASOF LEFT JOIN p
           |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+      "evt_range" ->
+        """SELECT e.event_id, e.user_id, r.error_id
+          |FROM events e JOIN (
+          |  SELECT user_id, event_id AS error_id, ts AS s,
+          |    ts + INTERVAL 5 MINUTE AS en
+          |  FROM events WHERE event_type = 'error') r
+          |ON e.user_id = r.user_id AND e.ts >= r.s AND e.ts <= r.en""".stripMargin,
       "evt_json_extract" ->
         """SELECT event_id,
           | CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k

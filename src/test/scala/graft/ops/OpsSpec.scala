@@ -45,6 +45,29 @@ class OpsSpec extends SparkSpec {
       (2L, 10L, "f1", None))))       // key with no right rows at all
   }
 
+  test("rangeJoin: inclusive bounds, bucket-crossing intervals, key isolation") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    def t(us: Long) = us
+    val left = Seq((1L, 0L, "a"), (1L, 100L, "b"), (1L, 250L, "c"), (2L, 100L, "d"))
+      .toDF("k", "us", "name")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("name"))
+    // interval [50, 150] crosses the 100-us bucket boundary; [200, 210] doesn't
+    val right = Seq((1L, 50L, 150L, "i1"), (1L, 200L, 210L, "i2"), (2L, 0L, 300L, "i3"))
+      .toDF("k", "s_us", "e_us", "iv")
+      .select(col("k"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"), col("iv"))
+    val out = Ops.rangeJoin(left, right, Seq("k"), "ts", "s", "e", bucketMicros = 100L)
+      .select("name", "iv").as[(String, String)].collect().toSet
+    // b(100) ∈ [50,150] (bucket-crossing); c(250) ∉ either k=1 interval;
+    // d matches only k=2's interval — no cross-key leakage
+    assert(out === Set(("b", "i1"), ("d", "i3")))
+    // boundary inclusivity: t == start and t == end both match
+    val edge = Ops.rangeJoin(
+      Seq((1L, 50L)).toDF("k", "us").select(col("k"), timestamp_micros(col("us")).as("ts")),
+      right.filter(col("iv") === "i1"), Seq("k"), "ts", "s", "e", 100L).count()
+    assert(edge === 1L)
+  }
+
   test("deterministicSplit spreads STRUCTURED keys (stepped by 1000) across splits") {
     // regression: a low-bits modular hash makes every key ≡ r (mod 1000)
     // land in ONE split; the high-bits quotient must spread them ~80/10/10
