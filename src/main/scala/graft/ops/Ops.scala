@@ -174,31 +174,36 @@ object Ops {
     * through a keyed window, the shape that survives billions of events
     * per key-partition.
     *
-    * CONTRACT: `valueCols` exist on `right`, collide with nothing on
-    * `left`, and are non-null (a null right value would be skipped in
-    * favor of an older one). Right rows should be unique per (key, time)
-    * — dedup first (e.g. [[dedupKeysAgg]]) for deterministic output. */
+    * CONTRACT: `valueCols` exist on `right` and collide with nothing on
+    * `left`. Right values are carried as ONE struct, so a null member
+    * rides with its own row (no tearing across rows — matches SQL ASOF
+    * exactly). Right rows with a null key or null time are dropped (SQL:
+    * NULL never matches); right rows should be unique per (key, time) —
+    * dedup first (e.g. [[dedupKeysAgg]]) for deterministic output. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String, valueCols: Seq[String]): DataFrame = {
     require(valueCols.intersect(left.columns).isEmpty,
       s"valueCols ${valueCols.intersect(left.columns).mkString(",")} collide with left")
-    val l = valueCols.foldLeft(left.withColumn("__tag", lit(1))) { (d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
+    val valsType = StructType(valueCols.map(c => right.schema(c).copy(name = c)))
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__vals", lit(null).cast(valsType))
     val leftOnly = left.columns.filterNot((keys :+ timeCol).contains)
     val r = leftOnly.foldLeft(
-        right.select((keys :+ timeCol).map(col) ++ valueCols.map(col): _*)
+        right
+          .filter((keys :+ timeCol).map(col(_).isNotNull).reduce(_ && _))
+          .select((keys :+ timeCol).map(col) :+
+            struct(valueCols.map(col): _*).as("__vals"): _*)
           .withColumn("__tag", lit(0))) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(l.unionByName(r)) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    l.unionByName(r)
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"__vals.`$c`").as(c)): _*)
   }
 
   /** RANGE join — pair each left row with every right interval containing
@@ -211,16 +216,27 @@ object Ops {
     * right interval), never with |left| × |right|.
     *
     * CONTRACT: column names are disjoint apart from `keys`; intervals are
-    * non-null with `start <= end`. */
+    * non-null with `start <= end`. An interval covering more than
+    * `maxBucketsPerInterval` buckets fails the job with a clear error
+    * rather than materializing an unbounded sequence (one rogue
+    * open-ended interval must not OOM an executor) — raise `bucketMicros`
+    * or fix the data. */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 timeCol: String, startCol: String, endCol: String,
-                bucketMicros: Long): DataFrame = {
+                bucketMicros: Long, maxBucketsPerInterval: Int = 1024): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
     val lb = left.withColumn("__b",
       floor(unix_micros(col(timeCol)) / bucketMicros))
-    val rb = right.withColumn("__b", explode(sequence(
-      floor(unix_micros(col(startCol)) / bucketMicros),
-      floor(unix_micros(col(endCol)) / bucketMicros))))
+    val startB = floor(unix_micros(col(startCol)) / bucketMicros)
+    val endB = floor(unix_micros(col(endCol)) / bucketMicros)
+    val guardedEnd = when(endB - startB >= maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"rangeJoin: interval covers > $maxBucketsPerInterval buckets of "),
+          lit(s"$bucketMicros us ("), col(startCol), lit(" .. "), col(endCol),
+          lit("); raise bucketMicros or fix the interval")))
+          .cast(LongType))
+      .otherwise(endB)
+    val rb = right.withColumn("__b", explode(sequence(startB, guardedEnd)))
     lb.join(rb, keys :+ "__b")
       .filter(col(timeCol) >= col(startCol) && col(timeCol) <= col(endCol))
       .drop("__b")

@@ -45,9 +45,28 @@ class OpsSpec extends SparkSpec {
       (2L, 10L, "f1", None))))       // key with no right rows at all
   }
 
+  test("asofJoin: SQL null semantics and atomic multi-column attachment") {
+    // a null right VALUE rides with its own row (no tearing across rows),
+    // and null keys/times on the right never match anything
+    val left = Seq((Some(1L), 10L, "x"), (Option.empty[Long], 10L, "nullkey"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+        (Some(1L), Some(5L), Some(9.0), Some(100L)),
+        (Some(1L), Some(8L), Option.empty[Double], Some(200L)), // newest: null v
+        (Some(1L), Option.empty[Long], Some(777.0), Some(300L)), // null time: dropped
+        (Option.empty[Long], Some(1L), Some(888.0), Some(400L))) // null key: dropped
+      .toDF("k", "t", "v", "rid")
+    val out = Ops.asofJoin(left, right, Seq("k"), "t", Seq("v", "rid"))
+      .orderBy("name").select("name", "v", "rid")
+      .as[(String, Option[Double], Option[Long])].collect()
+    // newest matching row is (t=8, v=null, rid=200): v must be null WITH
+    // rid=200 — not v=9.0 from the older row
+    assert(out(0) === (("nullkey", None, None)))
+    assert(out(1) === (("x", None, Some(200L))))
+  }
+
   test("rangeJoin: inclusive bounds, bucket-crossing intervals, key isolation") {
     import org.apache.spark.sql.functions.timestamp_micros
-    def t(us: Long) = us
     val left = Seq((1L, 0L, "a"), (1L, 100L, "b"), (1L, 250L, "c"), (2L, 100L, "d"))
       .toDF("k", "us", "name")
       .select(col("k"), timestamp_micros(col("us")).as("ts"), col("name"))
@@ -61,11 +80,22 @@ class OpsSpec extends SparkSpec {
     // b(100) ∈ [50,150] (bucket-crossing); c(250) ∉ either k=1 interval;
     // d matches only k=2's interval — no cross-key leakage
     assert(out === Set(("b", "i1"), ("d", "i3")))
-    // boundary inclusivity: t == start and t == end both match
-    val edge = Ops.rangeJoin(
-      Seq((1L, 50L)).toDF("k", "us").select(col("k"), timestamp_micros(col("us")).as("ts")),
+    // boundary inclusivity: t == start AND t == end both match
+    val edges = Ops.rangeJoin(
+      Seq((1L, 50L), (1L, 150L)).toDF("k", "us")
+        .select(col("k"), timestamp_micros(col("us")).as("ts")),
       right.filter(col("iv") === "i1"), Seq("k"), "ts", "s", "e", 100L).count()
-    assert(edge === 1L)
+    assert(edges === 2L)
+    // a rogue interval covering > maxBucketsPerInterval buckets fails
+    // loudly instead of materializing an unbounded sequence
+    val rogue = Seq((1L, 0L, 10_000_000L, "huge")).toDF("k", "s_us", "e_us", "iv")
+      .select(col("k"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"), col("iv"))
+    val err = intercept[Exception] {
+      Ops.rangeJoin(left, rogue, Seq("k"), "ts", "s", "e",
+        bucketMicros = 100L, maxBucketsPerInterval = 16).count()
+    }
+    assert(err.getMessage.contains("rangeJoin"))
   }
 
   test("deterministicSplit spreads STRUCTURED keys (stepped by 1000) across splits") {
