@@ -81,4 +81,53 @@ object Quality {
       s"Schema mismatch: expected $expected, got $actual")
     df
   }
+
+  /** Row-level expectations (the dbt-test / expectations-suite shape the
+    * reference lacks): every named predicate is counted in ONE aggregation
+    * pass — a row violates when the predicate is false OR null (SQL
+    * three-valued logic must not let unknowns pass a gate). Returns one
+    * (expectation, n_violations) row per check, in declaration order. */
+  def expectationReport(df: DataFrame,
+                        checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "expectationReport needs at least one check")
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head() // one scalar row back
+    val spark = df.sparkSession
+    import spark.implicits._
+    checks.map { case (name, _) => (name, row.getAs[Long](name)) }
+      .toDF("expectation", "n_violations")
+  }
+
+  /** The gating form: throws listing every failed expectation (violations
+    * above `tolerated`); returns `df` so it chains like checkPrimaryKey. */
+  def expectAll(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)],
+                tolerated: Long = 0L): DataFrame = {
+    val failed = expectationReport(df, checks)
+      .filter(col("n_violations") > tolerated)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"expectations failed (violations > $tolerated): ${failed.mkString(", ")}")
+    df
+  }
+
+  /** Key-skew diagnostic — the measurement that decides saltedJoin /
+    * AQE-skew settings BEFORE a join melts one reducer: per-key counts
+    * (one partial-agg'd shuffle) → top-N heaviest keys with their share
+    * of all rows. Top-N is a global TakeOrdered over the already-reduced
+    * per-key counts, never the raw rows; ties break on the rendered key
+    * for cross-engine determinism. */
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(
+        concat_ws("|", keys.map(c => col(c).cast("string")): _*).as("key"),
+        col("cnt"),
+        round(col("cnt") / col("__total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
+  }
 }

@@ -447,6 +447,21 @@ object RelationalQueries {
       .toDF("table_name", "null_keys", "dup_keys", "n_rows")
   }
 
+  /** A7*: row-level expectations report — every named predicate counted in
+    * one pass; false OR NULL both violate (three-valued logic must not
+    * let unknowns pass a gate). */
+  private val a7Expectations: Q = (s, dir) =>
+    Quality.expectationReport(t(s, dir, "orders"), Seq(
+      "orderkey_not_null" -> col("o_orderkey").isNotNull,
+      "totalprice_positive" -> (col("o_totalprice") > 0),
+      "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+      "priority_nonempty" -> (length(col("o_orderpriority")) > 0)))
+
+  /** A8*: key-skew diagnostic — heaviest keys + share, the pre-join
+    * measurement behind saltedJoin/AQE-skew decisions. */
+  private val a8KeySkew: Q = (s, dir) =>
+    Quality.keySkewProfile(t(s, dir, "lineitem"), Seq("l_suppkey"), topN = 10)
+
   /** A6: deterministic ordinal surrogate key (dag1.py:134-135). */
   private val a6SurrogateKey: Q = (s, dir) =>
     Ops.surrogateKey(t(s, dir, "part"), Seq("p_brand", "p_type", "p_size"), "sk_id")
@@ -565,6 +580,8 @@ object RelationalQueries {
     "a4_null_key_count" -> a4NullKeyCount,
     "a5_pk_gate" -> a5PkGate,
     "a6_surrogate_key" -> a6SurrogateKey,
+    "a7_expectations" -> a7Expectations,
+    "a8_key_skew" -> a8KeySkew,
     "l1_limit" -> l1Limit,
     "pr1_missing" -> pr1Missing,
     "pr2_distinct" -> pr2Distinct,
@@ -735,6 +752,24 @@ object RelationalQueries {
       """SELECT p_brand, p_type, p_size,
         | CAST(row_number() OVER (ORDER BY p_brand, p_type, p_size) - 1 AS BIGINT) AS sk_id
         | FROM (SELECT DISTINCT p_brand, p_type, p_size FROM part)""".stripMargin,
+    "a7_expectations" ->
+      """SELECT 'orderkey_not_null' AS expectation,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations FROM orders
+        |UNION ALL SELECT 'totalprice_positive',
+        |  CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'status_in_domain',
+        |  CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM orders
+        |UNION ALL SELECT 'priority_nonempty',
+        |  CAST(sum(CASE WHEN length(o_orderpriority) > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM orders""".stripMargin,
+    "a8_key_skew" ->
+      """SELECT CAST(l_suppkey AS VARCHAR) AS key, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / (SELECT count(*) FROM lineitem), 6) AS share
+        |FROM (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM lineitem GROUP BY l_suppkey)
+        |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
     "l1_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | ORDER BY o_orderkey LIMIT 10""".stripMargin,

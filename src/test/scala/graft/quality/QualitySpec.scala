@@ -1,6 +1,7 @@
 package graft.quality
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class QualitySpec extends SparkSpec {
   import spark.implicits._
@@ -25,6 +26,31 @@ class QualitySpec extends SparkSpec {
       Quality.checkPrimaryKey(df, Seq("k1", "k2"), "t")
     }
     assert(e.nullKeyRows === 2 && e.duplicateRows === 0)
+  }
+
+  test("expectationReport: false AND null both violate; expectAll gates") {
+    val df = Seq((Some(1), 5.0), (Some(2), -1.0), (None, 2.0)).toDF("k", "v")
+    val rep = Quality.expectationReport(df, Seq(
+        "k_not_null" -> col("k").isNotNull,
+        "v_positive" -> (col("v") > 0),
+        "k_small" -> (col("k") < 100)))            // null k → violation
+      .as[(String, Long)].collect()
+    assert(rep.sameElements(Array(
+      ("k_not_null", 1L), ("v_positive", 1L), ("k_small", 1L))))
+    val e = intercept[IllegalStateException] {
+      Quality.expectAll(df, Seq("v_positive" -> (col("v") > 0)))
+    }
+    assert(e.getMessage.contains("v_positive=1"))
+    // within tolerance → chains through
+    assert(Quality.expectAll(df, Seq("v_positive" -> (col("v") > 0)),
+      tolerated = 1L).count() === 3)
+  }
+
+  test("keySkewProfile: heaviest keys first with exact shares") {
+    val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ Seq(3)).toDF("k")
+    val prof = Quality.keySkewProfile(df, Seq("k"), topN = 2)
+      .as[(String, Long, Double)].collect()
+    assert(prof.sameElements(Array(("1", 6L, 0.6), ("2", 3L, 0.3))))
   }
 
   test("A3/A4 keyStats counts nulls and dups separately (null ≠ dup)") {
