@@ -165,7 +165,7 @@ object StateEconomics {
       Seq("Year"), Seq(col("Fed_Min_Wage")))
 
     // ---- PK gates — the reference's 11 checks (dag1.py:71-79 + call sites)
-    Map(
+    val tables = Map(
       "table_location" -> Quality.checkPrimaryKey(location, Seq("GeoFIPS"), "table_location"),
       "table_Unemployment" -> Quality.checkPrimaryKey(unemployment, Seq("GeoFIPS", "Year"), "table_Unemployment"),
       "table_HouseholdIncome2021" -> Quality.checkPrimaryKey(income, Seq("GeoFIPS"), "table_HouseholdIncome2021"),
@@ -177,6 +177,16 @@ object StateEconomics {
       "table_inflation" -> Quality.checkPrimaryKey(inflation, Seq("Year"), "table_inflation"),
       "table_CPI" -> Quality.checkPrimaryKey(cpi, Seq("Year"), "table_CPI"),
       "table_fed_min_wage" -> Quality.checkPrimaryKey(fedMinWage, Seq("Year"), "table_fed_min_wage"))
+
+    // ---- row-level expectations beyond the reference's PK-only checks:
+    // domain gates a production load would refuse to ship without. Run
+    // AFTER the PK gates so reference-parity violations surface first.
+    Quality.expectAll(fedMinWage, Seq(
+      "year_in_range" -> col("Year").between(1900, 2100),
+      "wage_non_negative" -> (col("Fed_Min_Wage") >= 0)))
+    Quality.expectAll(location, Seq(
+      "geofips_non_negative" -> (col("GeoFIPS") >= 0)))
+    tables
   }
 
   /** SURVEY §1.5 incremental variant: table_fed_min_wage derived from a
