@@ -90,8 +90,10 @@ object Quality {
   def expectationReport(df: DataFrame,
                         checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(checks.nonEmpty, "expectationReport needs at least one check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      s"duplicate expectation names: ${checks.map(_._1).diff(checks.map(_._1).distinct).mkString(",")}")
     val aggs = checks.map { case (name, pred) =>
-      sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(name)
+      coalesce(sum(when(pred.isNull || !pred, 1L).otherwise(0L)), lit(0L)).as(name)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head() // one scalar row back
     val spark = df.sparkSession
@@ -120,13 +122,16 @@ object Quality {
     * per-key counts, never the raw rows; ties break on the rendered key
     * for cross-engine determinism. */
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("__total"))
-    counts.crossJoin(broadcast(total))
-      .select(
-        concat_ws("|", keys.map(c => col(c).cast("string")): _*).as("key"),
-        col("cnt"),
-        round(col("cnt") / col("__total"), 6).as("share"))
+    // total via one count job (a scalar), not a second aggregation branch
+    // over the counts lineage — exchange reuse across branches is not
+    // dependable. Null key parts render explicitly: concat_ws silently
+    // DROPS nulls, which would collide distinct dirty keys in the report.
+    val total = df.count()
+    val rendered = concat_ws("|",
+      keys.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .select(rendered.as("key"), col("cnt"),
+        round(col("cnt") / lit(total.toDouble), 6).as("share"))
       .orderBy(col("cnt").desc, col("key"))
       .limit(topN)
   }

@@ -53,6 +53,27 @@ class QualitySpec extends SparkSpec {
     assert(prof.sameElements(Array(("1", 6L, 0.6), ("2", 3L, 0.3))))
   }
 
+  test("keySkewProfile: null key parts render distinctly, never collide") {
+    val df = Seq((Option.empty[String], Some("a")), (Some("a"), Option.empty[String]),
+        (Some("a"), Option.empty[String]))
+      .toDF("k1", "k2")
+    val prof = Quality.keySkewProfile(df, Seq("k1", "k2"), topN = 5)
+      .as[(String, Long, Double)].collect()
+    assert(prof.map(_._1).toSet === Set("NULL|a", "a|NULL")) // distinct rows
+    assert(prof.find(_._1 == "a|NULL").get._2 === 2L)
+  }
+
+  test("expectationReport: duplicate names rejected; empty frame → 0 violations") {
+    val df = Seq((1, 2.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Quality.expectationReport(df, Seq("p" -> (col("v") > 0), "p" -> (col("k") > 0)))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    val empty = Quality.expectationReport(df.filter(col("k") > 100),
+      Seq("v_positive" -> (col("v") > 0))).as[(String, Long)].collect()
+    assert(empty.sameElements(Array(("v_positive", 0L))))
+  }
+
   test("A3/A4 keyStats counts nulls and dups separately (null ≠ dup)") {
     val df = Seq(Some(1), Some(1), Some(1), None, None, Some(2))
       .toDF("k")
