@@ -76,7 +76,10 @@ case class TopKDesc(
 
   private def insert(buf: java.util.TreeSet[(Double, Long)], p: (Double, Long)): Unit = {
     if (buf.size < k) buf.add(p)
-    else if (ord.compare(p, buf.last) < 0) { buf.add(p); buf.pollLast() }
+    // Evict the worst entry ONLY when the add actually inserted: for a
+    // duplicate (score, id) pair add() returns false, and polling then
+    // would shrink the kept set below k, silently losing a valid entry.
+    else if (ord.compare(p, buf.last) < 0 && buf.add(p)) buf.pollLast()
   }
 
   override def update(buf: java.util.TreeSet[(Double, Long)],

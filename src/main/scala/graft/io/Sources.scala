@@ -93,8 +93,14 @@ object Sources {
       else {
         // Deterministic per-source temp name: repeated calls over the same
         // file overwrite one transcode instead of accumulating copies for
-        // the JVM lifetime.
-        val key = f"${path.hashCode}%08x"
+        // the JVM lifetime. Keyed by a full digest of the ABSOLUTE path —
+        // a 32-bit hashCode can collide across distinct paths, and because
+        // the returned DataFrame re-reads the temp file lazily, a collision
+        // would make an earlier frame read the wrong file's contents.
+        val abs = Paths.get(path).toAbsolutePath.normalize.toString
+        val key = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(abs.getBytes(StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(32)
         val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft_transcode_$key.txt")
         tmp.toFile.deleteOnExit()

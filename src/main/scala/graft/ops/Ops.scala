@@ -140,7 +140,12 @@ object Ops {
     * the same split on every run, every cluster, every engine that mirrors
     * the arithmetic (the property a 100 TB curation pipeline needs for
     * resumable/incremental splits). The key is reduced mod 1000003 before
-    * the multiply so ANSI-mode Long arithmetic cannot overflow. */
+    * the multiply so ANSI-mode Long arithmetic cannot overflow.
+    *
+    * CONTRACT: a NULL key has no deterministic identity, so its split
+    * label is NULL — never silently "test" (a null-heavy corpus must not
+    * concentrate in one split unnoticed). Filter or fail upstream if null
+    * keys are unexpected; `Quality.expectations` can gate on it. */
   def deterministicSplit(df: DataFrame, keyCol: String,
                          trainPct: Int = 80, valPct: Int = 10,
                          splitCol: String = "split"): DataFrame = {
@@ -154,8 +159,12 @@ object Ops {
     // true integer quotient and SQL mirrors it bit-for-bit.
     val product = pmod(col(keyCol).cast(LongType), lit(1000003L)) * lit(2654435761L)
     val bucket = pmod(floor(product / lit(1048576.0)).cast(LongType), lit(1000L))
+    // A null key yields a null bucket: both thresholds evaluate to null and
+    // the row would silently take the .otherwise branch — make the null
+    // label explicit instead.
     df.withColumn(splitCol,
-      when(bucket < trainPct * 10, lit("train"))
+      when(col(keyCol).isNull, lit(null).cast(org.apache.spark.sql.types.StringType))
+        .when(bucket < trainPct * 10, lit("train"))
         .when(bucket < (trainPct + valPct) * 10, lit("val"))
         .otherwise(lit("test")))
   }

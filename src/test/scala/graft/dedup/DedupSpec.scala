@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
       s"corpus evaluated ${acc.value / (base.length + exactDups.length).toDouble}x, expected 1x")
   }
 
+  test("near-dup operators release corpus-sized caches (bounded residency)") {
+    // Repeated invocations in a long-lived session must not stack cached
+    // corpus-sized frames: after the operator returns, only the pair-sized
+    // RESULT may remain cached; the shingle/signature intermediates are
+    // unpersisted inside the operator.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = (base ++ nearDups).toDF("doc_id", "text")
+    val out = Dedup.minHashNearDups(df, "text", "doc_id", threshold = 0.6)
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1,
+      "only the pair result should stay cached after minHashNearDups")
+    out.unpersist()
+    val out2 = Dedup.simHashNearDups(df, "text", "doc_id", maxDist = 3)
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1,
+      "only the pair result should stay cached after simHashNearDups")
+    out2.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
   test("signatures are partition-count independent (deterministic at any parallelism)") {
     val df = base.toDF("doc_id", "text")
     def sigOf(parts: Int) = Dedup.minHashSignaturesOPH(df.repartition(parts), "text", "doc_id")

@@ -32,6 +32,20 @@ class TopKAggSpec extends SparkSpec {
     }
   }
 
+  test("duplicate (score, id) pairs never shrink the kept set below k") {
+    // Regression: with a full buffer, a duplicate pair's add() returns
+    // false; the old insert still evicted the current worst entry, so each
+    // repeat of a good pair lost one valid top-k entry. 10 copies of the
+    // two best pairs must still leave k=3 entries, with the third-best
+    // (0.1, 99) retained.
+    val rows = Seq.fill(10)(Seq((1L, 0.9, 1L), (1L, 0.8, 2L))).flatten :+ ((1L, 0.1, 99L))
+    val r = rows.toDF("g", "s", "id").repartition(1)
+      .groupBy("g")
+      .agg(call_function("topk_desc", col("s"), col("id"), lit(3)).as("tk"))
+      .selectExpr("tk.score", "tk.id").as[(Seq[Double], Seq[Long])].head()
+    assert(r === ((Seq(0.9, 0.8, 0.1), Seq(1L, 2L, 99L))))
+  }
+
   test("partial + merge: result independent of partitioning") {
     val rows = (0 until 500).map(i => (i % 7L, (i % 83) / 100.0, i.toLong))
     def run(parts: Int) = rows.toDF("g", "s", "id").repartition(parts)

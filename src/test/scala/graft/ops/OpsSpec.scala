@@ -109,6 +109,16 @@ class OpsSpec extends SparkSpec {
     assert(counts("train") > 200 && counts("train") < 280, s"skewed: $counts")
   }
 
+  test("deterministicSplit: null keys get a NULL label, not 'test'") {
+    val df = Seq(Some(42L), None, Some(7L), None).toDF("k")
+    val bySplit = Ops.deterministicSplit(df, "k")
+      .groupBy("split").count().collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    assert(bySplit.getOrElse(null, 0L) === 2L, s"null keys must label null: $bySplit")
+    assert(bySplit.collect { case (k, n) if k != null => n }.sum === 2L,
+      s"null keys leaked into a real split: $bySplit")
+  }
+
   test("A6 surrogateKey: dense 0-based ids, stable under re-run") {
     val df = Seq(("x", 1), ("y", 2), ("x", 1), ("z", 3)).toDF("a", "b")
     val out = Ops.surrogateKey(df, Seq("a", "b"), "id")
