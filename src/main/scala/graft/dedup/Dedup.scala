@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.text.TextOps
+import graft.util.Caching.{materializeAndRelease, releasingOnFailure}
+import graft.util.Guards
 
 /** Deduplication family for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -114,11 +116,25 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     *
     * numHashes = bands * rowsPerBand. The band-bucket join shuffles on
-    * (band index, band hash) — load-balanced, never all-pairs. */
+    * (band index, band hash) — load-balanced, never all-pairs.
+    *
+    * EAGER + caller unpersist: the pipeline runs at call time (the
+    * corpus-sized intermediates it persists internally are materialized
+    * through once and released before returning — bounded residency); the
+    * returned pair frame is persisted, and repeat callers in a long-lived
+    * session should `unpersist()` it when done. For lazy composition use
+    * [[minHashSignatures]], which persists nothing.
+    *
+    * maxBucketOccupancy fail-fast gate: a degenerate corpus (thousands of
+    * IDENTICAL documents) puts them all in the same band buckets and the
+    * candidate join degenerates toward O(n²). The guard errors immediately
+    * instead — run [[exactDedup]] first to collapse identical docs (the
+    * right pipeline order at any scale), or disable with `<= 0`. */
   def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.7, bands: Int = 16,
                       rowsPerBand: Int = 4, shingleK: Int = 5,
-                      minBandMatches: Int = 1): DataFrame = {
+                      minBandMatches: Int = 1,
+                      maxBucketOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0, "minHashNearDups requires a positive threshold")
     val numHashes = bands * rowsPerBand
 
@@ -162,6 +178,14 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+    // Fail-fast occupancy gate, run while sigN is cached (the aggregate
+    // reads the cached narrow rows, so it costs one cheap job); a guard
+    // throw must release the corpus-sized persists it aborts in front of.
+    releasingOnFailure(shingles, sigN) {
+      Guards.checkBucketOccupancy(banded, Seq("band", "bucket"), maxBucketOccupancy,
+        "minHashNearDups", "run exactDedup first to collapse identical documents")
+    }
 
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -211,20 +235,35 @@ object Dedup {
     materializeAndRelease(pairs, shingles, sigN)
   }
 
-  /** Materialize `result` once through the persisted intermediates, then
-    * release them. The pair result is persisted (it is candidate-sized —
-    * orders of magnitude smaller than the corpus-sized intermediates) so
-    * downstream consumers read the cached rows instead of re-deriving the
-    * whole pipeline against now-unpersisted inputs; correctness survives
-    * block eviction either way because the lineage is intact. Callers may
-    * `unpersist()` the returned frame when done with it. */
-  private def materializeAndRelease(result: DataFrame,
-                                    intermediates: DataFrame*): DataFrame = {
-    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
+  /** Per-ROW MinHash signature as a pure expression — no aggregation, no
+    * shuffle — value-identical to [[minHashSignatures]] (same normalize →
+    * shingle → xxhash64(shingle) → min over seeded re-hashes pipeline;
+    * `min` is idempotent under the duplicate shingles the aggregate path
+    * sees, and charShingles dedups them anyway).
+    *
+    * This is the STREAMING-compatible form: the aggregate path's
+    * groupBy(id) is a stateful operator in a stream (holds rows until the
+    * watermark), while this column evaluates map-only per row and
+    * composes with `dropDuplicatesWithinWatermark` as the ONE stateful op
+    * (see `StreamOps.nearDupSuppressWithinWatermark`). Trade-off: the
+    * array HOF runs interpreted, so per-row cost is higher than the
+    * codegen'd aggregate — the right shape for a stream's per-microbatch
+    * row counts, the wrong one for a 100 TB batch backfill (use
+    * [[minHashSignatures]] there). */
+  def minHashSigArray(text: Column, numHashes: Int = 64,
+                      shingleK: Int = 5): Column = {
+    val hs = transform(TextOps.charShingles(text, shingleK), s => xxhash64(s))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hs, h => xxhash64(h, i))))
   }
+
+  /** 64-bit key of [[minHashSigArray]]: equal for signature-identical
+    * docs (exact dups always; near-identical docs with identical shingle
+    * SETS too). The streaming dedup state key — fixed-width, not the
+    * text. */
+  def minHashSigKey(text: Column, numHashes: Int = 64,
+                    shingleK: Int = 5): Column =
+    xxhash64(minHashSigArray(text, numHashes, shingleK))
 
   /** Exact Jaccard over char-shingle sets (the verification measure). */
   def shingleJaccard(a: Column, b: Column, k: Int = 5): Column = {
@@ -273,9 +312,20 @@ object Dedup {
 
   /** SimHash near-dup candidates: docs whose signatures agree on one of the
     * four 16-bit sub-blocks (guaranteeing recall for distance ≤ 3 by the
-    * pigeonhole principle), verified by full Hamming distance ≤ maxDist. */
+    * pigeonhole principle), verified by full Hamming distance ≤ maxDist.
+    *
+    * EAGER + caller unpersist: same residency contract as
+    * [[minHashNearDups]] — runs at call time, releases its corpus-sized
+    * signature cache before returning, and hands back a persisted pair
+    * frame the caller should `unpersist()` when done.
+    *
+    * maxBucketOccupancy: same fail-fast gate as [[minHashNearDups]] — a
+    * corpus of identical documents collapses every 16-bit block key to one
+    * bucket and the self-join goes O(n²); error out and point at
+    * [[exactDedup]] instead. `<= 0` disables. */
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3,
+                      maxBucketOccupancy: Long = 100000L): DataFrame = {
     // Persisted: the block self-join below consumes `sigs` on both sides,
     // which without the persist evaluates the 64-sum signature aggregate
     // (and the corpus scan under it) twice — same finding as the
@@ -290,6 +340,10 @@ object Dedup {
           shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.blk"), col("bb.key"))
+    releasingOnFailure(sigs) {
+      Guards.checkBucketOccupancy(blocked, Seq("blk", "key"), maxBucketOccupancy,
+        "simHashNearDups", "run exactDedup first to collapse identical documents")
+    }
     val a = blocked.alias("a"); val b = blocked.alias("b")
     val pairs = a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))

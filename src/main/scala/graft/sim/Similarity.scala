@@ -170,10 +170,23 @@ object Similarity {
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold found via
     * LSH buckets + exact verification (the embedding member of the dedup
-    * family). */
+    * family).
+    *
+    * EAGER + caller unpersist: same bounded-residency contract as
+    * `Dedup.minHashNearDups` — the pipeline runs at call time, the
+    * corpus-sized signature cache is released before returning, and the
+    * returned (pair-sized) frame is persisted; repeat callers in a
+    * long-lived session should `unpersist()` it when done. For lazy
+    * composition use [[rhpSignatures]], which persists nothing.
+    *
+    * maxBucketOccupancy: fail-fast gate shared with the Dedup LSH family —
+    * a constant embedding column sends every row to one bucket per band
+    * and the self-join goes O(n²); error out immediately instead of
+    * launching a cluster-killing stage. `<= 0` disables. */
   def cosineNearDups(df: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     bits: Int = 32, bands: Int = 4, seed: Int = 42): DataFrame = {
+                     bits: Int = 32, bands: Int = 4, seed: Int = 42,
+                     maxBucketOccupancy: Long = 100000L): DataFrame = {
     // Default 8-bit band buckets: 2-bit buckets (the old 16/8 split) give
     // only 4 buckets/band → candidate pairs ~ n²/4 per band, a quadratic
     // blowup that showed up even at 1k vectors (12 s) and is fatal at
@@ -183,7 +196,8 @@ object Similarity {
     // Persisted: both sides of the bucket self-join read this frame, which
     // without the persist evaluates the posexplode signature aggregate
     // (and the corpus scan) twice — plan-canonicalization reuse is not
-    // dependable across AQE's per-consumer rewrites (see Dedup).
+    // dependable across AQE's per-consumer rewrites (see Dedup). Released
+    // at the end via materializeAndRelease (bounded residency).
     val sigs = rhpSignatures(df, idCol, vecCol, bits, seed)
       .withColumn("nrm", norm(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -194,8 +208,13 @@ object Similarity {
             concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
           .as("bb"))
       .select(col("id"), col("vec"), col("nrm"), col("bb.band"), col("bb.bucket"))
+    graft.util.Caching.releasingOnFailure(sigs) {
+      graft.util.Guards.checkBucketOccupancy(
+        banded.select("band", "bucket"), Seq("band", "bucket"), maxBucketOccupancy,
+        "cosineNearDups", "drop constant/zero embeddings or exact-dedup vectors first")
+    }
     val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+    val pairs = a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.vec").as("va"), col("b.vec").as("vb"),
@@ -204,5 +223,6 @@ object Similarity {
       .withColumn("cosine", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    graft.util.Caching.materializeAndRelease(pairs, sigs)
   }
 }

@@ -35,24 +35,27 @@ class DedupSpec extends SparkSpec {
 
   test("MinHash-LSH recall = 1.0 on planted near-dups at threshold 0.6") {
     val df = (base ++ nearDups).toDF("doc_id", "text")
-    val pairs = Dedup.minHashNearDups(df, "text", "doc_id",
+    val out = Dedup.minHashNearDups(df, "text", "doc_id",
       threshold = 0.6, bands = 16, rowsPerBand = 4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    out.unpersist(blocking = true) // caller obligation — the result is persisted
     val found = (0 until 40).count(i => pairs.contains((i.toLong, (i + 1000).toLong)))
     assert(found === 40, s"recall ${found / 40.0} < 1.0; pairs found: ${pairs.size}")
   }
 
   test("MinHash-LSH emits no pair below the exact-Jaccard threshold (precision by construction)") {
     val df = (base ++ nearDups).toDF("doc_id", "text")
-    val bad = Dedup.minHashNearDups(df, "text", "doc_id", threshold = 0.6)
-      .filter(col("jaccard") < 0.6).count()
+    val out = Dedup.minHashNearDups(df, "text", "doc_id", threshold = 0.6)
+    val bad = out.filter(col("jaccard") < 0.6).count()
+    out.unpersist(blocking = true)
     assert(bad === 0)
   }
 
   test("SimHash: identical docs at distance 0, near-dups within 3, recall via 16-bit blocks") {
     val df = (base ++ exactDups).toDF("doc_id", "text")
-    val pairs = Dedup.simHashNearDups(df, "text", "doc_id", maxDist = 3)
-      .select("id_a", "id_b", "hamming").collect()
+    val out = Dedup.simHashNearDups(df, "text", "doc_id", maxDist = 3)
+    val pairs = out.select("id_a", "id_b", "hamming").collect()
+    out.unpersist(blocking = true)
     val planted = pairs.filter(r => r.getLong(1) === r.getLong(0) + 2000)
     assert(planted.length === 40)
     assert(planted.forall(_.getInt(2) === 0))
@@ -66,7 +69,9 @@ class DedupSpec extends SparkSpec {
     val acc = spark.sparkContext.longAccumulator("graft_doc_scans")
     val tick = udf { (id: Long) => acc.add(1); true }
     val df = (base ++ nearDups).toDF("doc_id", "text").filter(tick(col("doc_id")))
-    Dedup.minHashNearDups(df, "text", "doc_id", threshold = 0.6).collect()
+    val out = Dedup.minHashNearDups(df, "text", "doc_id", threshold = 0.6)
+    out.collect()
+    out.unpersist(blocking = true)
     assert(acc.value === (base.length + nearDups.length).toLong,
       s"corpus evaluated ${acc.value / (base.length + nearDups.length).toDouble}x, expected 1x")
   }
@@ -75,7 +80,9 @@ class DedupSpec extends SparkSpec {
     val acc = spark.sparkContext.longAccumulator("graft_simhash_scans")
     val tick = udf { (id: Long) => acc.add(1); true }
     val df = (base ++ exactDups).toDF("doc_id", "text").filter(tick(col("doc_id")))
-    Dedup.simHashNearDups(df, "text", "doc_id", maxDist = 3).collect()
+    val out = Dedup.simHashNearDups(df, "text", "doc_id", maxDist = 3)
+    out.collect()
+    out.unpersist(blocking = true)
     assert(acc.value === (base.length + exactDups.length).toLong,
       s"corpus evaluated ${acc.value / (base.length + exactDups.length).toDouble}x, expected 1x")
   }
@@ -84,18 +91,66 @@ class DedupSpec extends SparkSpec {
     // Repeated invocations in a long-lived session must not stack cached
     // corpus-sized frames: after the operator returns, only the pair-sized
     // RESULT may remain cached; the shingle/signature intermediates are
-    // unpersisted inside the operator.
-    val before = spark.sparkContext.getPersistentRDDs.size
-    val df = (base ++ nearDups).toDF("doc_id", "text")
+    // unpersisted inside the operator. Accounting is by RDD-id DELTA (not
+    // absolute counts) so caches legitimately left by other suites on the
+    // shared session don't skew the arithmetic, and the corpus text is
+    // unique to this test so cache-manager plan-dedup against an earlier
+    // identical plan can't turn the operator's persist into a no-op.
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val df = (base ++ nearDups).map { case (i, t) => (i, t + " residency probe") }
+      .toDF("doc_id", "text")
     val out = Dedup.minHashNearDups(df, "text", "doc_id", threshold = 0.6)
-    assert(spark.sparkContext.getPersistentRDDs.size === before + 1,
+    assert((cachedIds -- before).size === 1,
       "only the pair result should stay cached after minHashNearDups")
-    out.unpersist()
+    out.unpersist(blocking = true)
     val out2 = Dedup.simHashNearDups(df, "text", "doc_id", maxDist = 3)
-    assert(spark.sparkContext.getPersistentRDDs.size === before + 1,
+    assert((cachedIds -- before).size === 1,
       "only the pair result should stay cached after simHashNearDups")
-    out2.unpersist()
-    assert(spark.sparkContext.getPersistentRDDs.size === before)
+    out2.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty,
+      "caller unpersist returns the session to its cache baseline")
+  }
+
+  test("minHashSigArray (per-row expression) ≡ minHashSignatures (aggregate path)") {
+    // The streaming suppress keys on the per-row form; its subset-of-batch
+    // guarantee rests on the two constructions being value-identical.
+    val df = (base ++ nearDups).toDF("doc_id", "text")
+    val agg = Dedup.minHashSignatures(df, "text", "doc_id").toDF("id", "sig_agg")
+    val row = df.select(col("doc_id").as("id"),
+      Dedup.minHashSigArray(col("text")).as("sig_row"))
+    val mismatches = agg.join(row, "id")
+      .filter(col("sig_agg") =!= col("sig_row")).count()
+    assert(mismatches === 0)
+  }
+
+  test("bucket-occupancy guard errors fast on a degenerate all-identical corpus") {
+    // Identical documents share every band bucket, so the candidate join
+    // would be O(n²); the guard errors before launching it, names the
+    // remedy, and releases the caches it aborts in front of.
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val degenerate = (0 until 300)
+      .map(i => (i.toLong, "the very same document text, repeated verbatim in every row"))
+      .toDF("doc_id", "text")
+    val eMin = intercept[IllegalArgumentException] {
+      Dedup.minHashNearDups(degenerate, "text", "doc_id",
+        threshold = 0.6, maxBucketOccupancy = 50)
+    }
+    assert(eMin.getMessage.contains("minHashNearDups"))
+    assert(eMin.getMessage.contains("exactDedup"))
+    val eSim = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDups(degenerate, "text", "doc_id", maxBucketOccupancy = 50)
+    }
+    assert(eSim.getMessage.contains("simHashNearDups"))
+    assert((cachedIds -- before).isEmpty,
+      "guard abort must leave no cached frames behind")
+    // the gate stays quiet on the planted-dup fixture at the same limit
+    // (bucket occupancy there is pair-scale, far under 50)
+    val ok = Dedup.minHashNearDups((base ++ nearDups).toDF("doc_id", "text"),
+      "text", "doc_id", threshold = 0.6, maxBucketOccupancy = 50)
+    assert(ok.count() > 0)
+    ok.unpersist(blocking = true)
   }
 
   test("signatures are partition-count independent (deterministic at any parallelism)") {

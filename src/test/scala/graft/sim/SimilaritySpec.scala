@@ -62,8 +62,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosineNearDups at 0.95 returns exactly the planted pairs") {
-    val pairs = Similarity.cosineNearDups(df, threshold = 0.95)
-      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val out = Similarity.cosineNearDups(df, threshold = 0.95)
+    val pairs = out.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    out.unpersist(blocking = true) // caller obligation — the result is persisted
     assert(pairs.length === 10)
     pairs.foreach { case (a, b, c) =>
       assert(b === a + 10000 && c === 1.0)
@@ -74,8 +75,50 @@ class SimilaritySpec extends SparkSpec {
     val acc = spark.sparkContext.longAccumulator("graft_rhp_scans")
     val tick = udf { (id: Long) => acc.add(1); true }
     val counted = df.filter(tick(col("vec_id")))
-    Similarity.cosineNearDups(counted, threshold = 0.95).collect()
+    val out = Similarity.cosineNearDups(counted, threshold = 0.95)
+    out.collect()
+    out.unpersist(blocking = true)
     val n = (corpus.length + planted.length).toLong
     assert(acc.value === n, s"corpus evaluated ${acc.value / n.toDouble}x, expected 1x")
+  }
+
+  test("bucket-occupancy guard errors fast on a constant embedding column") {
+    // A rogue constant column sends every row to one bucket per band and
+    // the candidate self-join degenerates to O(n²) — the guard must error
+    // immediately (not launch the join) and must release the caches it
+    // aborts in front of.
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val constant = (0 until 300).map(i => (i.toLong, Array.fill(dim)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDups(constant, threshold = 0.95, maxBucketOccupancy = 50)
+    }
+    assert(e.getMessage.contains("cosineNearDups"))
+    assert(e.getMessage.contains("maxBucketOccupancy=50"))
+    assert((cachedIds -- before).isEmpty,
+      "guard abort must leave no cached frames behind")
+    // and the gate stays quiet on the normal fixture at the same limit
+    val ok = Similarity.cosineNearDups(df, threshold = 0.95, maxBucketOccupancy = 50)
+    assert(ok.count() === 10)
+    ok.unpersist(blocking = true)
+  }
+
+  test("cosineNearDups releases corpus-sized caches (bounded residency)") {
+    // Same contract as the Dedup family: after the operator returns, only
+    // the pair-sized result may remain cached; the signature intermediate
+    // is unpersisted inside the operator. Id-set delta accounting, and a
+    // test-unique label value keeps cache-manager plan-dedup from turning
+    // the operator's persist into a no-op against an earlier cached plan.
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val probe = (corpus ++ planted).map { case (i, v, l) => (i, v, l + 7) }
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineNearDups(probe, threshold = 0.95)
+    assert((cachedIds -- before).size === 1,
+      "only the pair result should stay cached after cosineNearDups")
+    out.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty,
+      "caller unpersist returns the session to its cache baseline")
   }
 }
