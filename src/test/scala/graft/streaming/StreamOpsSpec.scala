@@ -27,4 +27,47 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.sameElements(Array((1L, "a"), (2L, "b"), (3L, "c"))))
     } finally q.stop()
   }
+
+  test("streaming near-dup suppress: kept set ⊆ batch exactDedup keeps, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(i: Int): String = {
+      val rnd = new scala.util.Random(i)
+      s"stream document $i " + (0 until 40).map(_ => rnd.nextInt(100)).mkString(" ")
+    }
+    // base docs, exact dups (+2000, identical text, LATER batch), and a
+    // near-dup (+1000, appended tail — different shingle set, so kept)
+    val base = (0 until 10).map(i => (i.toLong, ts(i), doc(i)))
+    val exactDups = (0 until 10).map(i => ((i + 2000).toLong, ts(i + 20), doc(i)))
+    val nearDup = Seq((1001L, ts(31), doc(1) + " with an appended tail"))
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.nearDupSuppressWithinWatermark(df, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      mem.addData(exactDups ++ nearDup: _*)   // dups arrive in a LATER batch
+      q.processAllAvailable()
+      val streamKept = spark.table("neardup_out")
+        .select("doc_id").as[Long].collect().toSet
+
+      // batch oracle over the same rows: exact dedup keeps min-id per text
+      import spark.implicits._
+      val allRows = (base ++ exactDups ++ nearDup).toDF("doc_id", "ts", "text")
+      val batchKept = graft.dedup.Dedup.exactDedup(allRows, "text", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+
+      // signature-identical suppression can only drop MORE than exact
+      // dedup (same text ⇒ same signature) — never keep an exact dup
+      assert(streamKept.subsetOf(batchKept),
+        s"stream kept non-batch-kept ids: ${streamKept -- batchKept}")
+      // first arrival wins: every base doc kept, every later exact dup dropped
+      assert((0 until 10).forall(i => streamKept.contains(i.toLong)))
+      assert(exactDups.forall { case (id, _, _) => !streamKept.contains(id) })
+      // the near-dup's shingle set differs, so signature-identical keeps it
+      assert(streamKept.contains(1001L))
+    } finally q.stop()
+  }
 }
