@@ -38,10 +38,30 @@ object Sources {
       .csv(path)
   }
 
-  /** S3 — charset auto-detection replacing chardet (dag1.py:54-58): strict
-    * UTF-8 decode of a bounded prefix; on failure fall back to
-    * windows-1252 (a superset of latin-1 that decodes any byte sequence —
-    * matches the reference data, whose only non-ASCII byte is 0x96). */
+  /** Byte-order-mark sniff: the unambiguous prefix signatures from the
+    * Unicode standard (§23.8). UTF-32 must be tested before UTF-16 —
+    * FF FE 00 00 begins with FF FE, and a UTF-16 read of a UTF-32LE file
+    * would interleave NUL characters into every line. BOM'd 16/32-bit
+    * files map to Java's endian-autodetecting decoders ("UTF-16",
+    * "UTF-32"), which consume the BOM; the endian-specific charset names
+    * would leak it into the first field as a ZWNBSP. Returns None when no
+    * BOM is present (then content probing decides). */
+  private def bomCharset(b: Array[Byte]): Option[String] = {
+    def at(i: Int, v: Int) = b.length > i && (b(i) & 0xFF) == v
+    if (at(0, 0x00) && at(1, 0x00) && at(2, 0xFE) && at(3, 0xFF)) Some("UTF-32")
+    else if (at(0, 0xFF) && at(1, 0xFE) && at(2, 0x00) && at(3, 0x00)) Some("UTF-32")
+    else if (at(0, 0xEF) && at(1, 0xBB) && at(2, 0xBF)) Some("UTF-8")
+    else if (at(0, 0xFE) && at(1, 0xFF)) Some("UTF-16")
+    else if (at(0, 0xFF) && at(1, 0xFE)) Some("UTF-16")
+    else None
+  }
+
+  /** S3 — charset auto-detection replacing chardet (dag1.py:54-58): honor
+    * an explicit BOM first (UTF-8/16/32, the generality chardet provides
+    * that a plain decode probe misses), else strict UTF-8 decode of a
+    * bounded prefix; on failure fall back to windows-1252 (a superset of
+    * latin-1 that decodes any byte sequence — matches the reference data,
+    * whose only non-ASCII byte is 0x96). */
   def detectCharset(path: String, probeBytes: Int = 1 << 20): String = {
     // Stream at most probeBytes+1 — never the whole file — so sniffing a
     // 100 GB CSV costs 1 MiB of driver heap, not an OOM. The +1 sentinel
@@ -49,6 +69,12 @@ object Sources {
     // boundary cut) from "file continues past the probe".
     val in = Files.newInputStream(Paths.get(path))
     val raw = try in.readNBytes(probeBytes + 1) finally in.close()
+    bomCharset(raw).getOrElse(probeUtf8(raw, probeBytes))
+  }
+
+  /** Strict-decode content probe (no BOM present): UTF-8 if the prefix
+    * decodes cleanly, else windows-1252. */
+  private def probeUtf8(raw: Array[Byte], probeBytes: Int): String = {
     val truncated = raw.length > probeBytes
     val probe = if (truncated) java.util.Arrays.copyOf(raw, probeBytes) else raw
     // Only a truncated probe can cut a multi-byte UTF-8 sequence at the

@@ -44,6 +44,35 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.detectCharset(f.toString, probeBytes = 4096) === "windows-1252")
   }
 
+  test("detectCharset honors UTF-16/32 BOMs before the content probe") {
+    // chardet generality (dag1.py:55-58): a UTF-16LE file read as UTF-8
+    // fails the strict probe and would mis-fall-back to windows-1252;
+    // the BOM is authoritative. LE and BE both map to Java's
+    // endian-autodetecting decoder so the BOM is consumed, not leaked.
+    def bomFile(enc: String, bom: Array[Int]): String = {
+      val f = Files.createTempFile("graft_bom", ".csv")
+      Files.write(f, bom.map(_.toByte) ++ "a,b\n1,x\n".getBytes(Charset.forName(enc)))
+      f.toString
+    }
+    assert(Sources.detectCharset(bomFile("UTF-16LE", Array(0xFF, 0xFE))) === "UTF-16")
+    assert(Sources.detectCharset(bomFile("UTF-16BE", Array(0xFE, 0xFF))) === "UTF-16")
+    assert(Sources.detectCharset(
+      bomFile("UTF-32LE", Array(0xFF, 0xFE, 0x00, 0x00))) === "UTF-32")
+    assert(Sources.detectCharset(
+      bomFile("UTF-32BE", Array(0x00, 0x00, 0xFE, 0xFF))) === "UTF-32")
+    // UTF-8 BOM is still UTF-8 (the probe alone would also say so, but the
+    // BOM branch must not misroute it to UTF-16/32)
+    val f = Files.createTempFile("graft_bom8", ".csv")
+    Files.write(f, Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ "a,b\n".getBytes("UTF-8"))
+    assert(Sources.detectCharset(f.toString) === "UTF-8")
+    // and the BOM'd charset round-trips through the detected decoder with
+    // the BOM consumed — first char of the decoded text is 'a', not ZWNBSP
+    val le = bomFile("UTF-16LE", Array(0xFF, 0xFE))
+    val decoded = new String(Files.readAllBytes(java.nio.file.Paths.get(le)),
+      Charset.forName(Sources.detectCharset(le)))
+    assert(decoded.startsWith("a,b"), s"BOM leaked: ${decoded.take(3).map(_.toInt)}")
+  }
+
   test("indexedLines: UTF-8 path is distributed, index = file order") {
     val f = Files.createTempFile("graft_lines", ".txt")
     Files.writeString(f, "first\nsecond\nthird")
