@@ -265,6 +265,101 @@ object Dedup {
                     shingleK: Int = 5): Column =
     xxhash64(minHashSigArray(text, numHashes, shingleK))
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS — connected components
+    * over the pair graph — the step that turns any pair generator's output
+    * ([[minHashNearDups]], [[simHashNearDups]], `cosineNearDups`) into
+    * per-document keep/drop decisions: keep `id == cluster` (the minimum
+    * id of the component), drop the rest. Transitivity matters: A~B and
+    * B~C puts A,B,C in ONE cluster even though (A,C) was never emitted as
+    * a pair.
+    *
+    * Returns (id, cluster) for EVERY node — docs in no pair are singleton
+    * clusters of themselves. `nodes` ids must be unique, non-null, and
+    * numeric.
+    *
+    * Algorithm: distributed min-label propagation. Each iteration every
+    * node takes the minimum of its own label and its neighbors' labels —
+    * two shuffles per iteration (edge-label join + per-node min), both
+    * codegen'd with map-side partials. Iterations = graph diameter, which
+    * for near-dup clusters (dense, star/clique-shaped around a template)
+    * is small; pathological path-graphs hit `maxIterations` and throw
+    * rather than loop forever. For adversarial long-chain graphs use the
+    * large-star/small-star construction (Kiveris et al., "Connected
+    * Components in MapReduce", public) — O(log n) rounds — which this
+    * method deliberately trades away for simplicity since dedup graphs
+    * are diameter-bounded in practice.
+    *
+    * Scale mechanics: per-iteration lineage is TRUNCATED (each label
+    * frame is re-rooted as a materialized distributed frame) — without
+    * that the logical plan doubles per iteration (labels appears on both
+    * sides of the propagation join) and analysis cost goes exponential.
+    * Convergence is detected by a one-scalar aggregate: labels only ever
+    * DECREASE, so an unchanged sum(labels) means a fixed point — no
+    * change-count join needed. The sum runs in decimal(38,0): at corpus
+    * scale a sum of 64-bit ids overflows a long, and ANSI mode would
+    * throw.
+    *
+    * Residency: edge and per-iteration label caches are released inside
+    * the operator; the returned final frame is persisted (node-sized, two
+    * longs per row) under the same caller-unpersist contract as the pair
+    * generators. */
+  def duplicateClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIterations: Int = 25): DataFrame = {
+    val spark = nodes.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    def clusterSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+
+    val edges = pairs.select(col("id_a").cast(LongType).as("a"),
+        col("id_b").cast(LongType).as("b"))
+      .union(pairs.select(col("id_b").cast(LongType).as("a"),
+        col("id_a").cast(LongType).as("b")))
+      .persist(lvl)
+    var labels = truncated(nodes.select(col(idCol).cast(LongType).as("id"),
+        col(idCol).cast(LongType).as("cluster")))
+      .persist(lvl)
+    // NOT releasingOnFailure: `labels` is reassigned per iteration, so the
+    // failure path must release the CURRENT frame, not the one captured at
+    // entry.
+    try {
+      var prevSum = clusterSum(labels)
+      var it = 0
+      var converged = false
+      while (!converged) {
+        it += 1
+        if (it > maxIterations) {
+          throw new IllegalStateException(
+            s"duplicateClusters did not converge in $maxIterations iterations — " +
+            "the pair graph has a longer-diameter component than near-dup " +
+            "clusters should produce; raise maxIterations or inspect the " +
+            "pair generator for spurious chains")
+        }
+        val neighborMin = edges.join(labels, col("b") === col("id"))
+          .groupBy(col("a")).agg(min(col("cluster")).as("nmin"))
+        val next = truncated(
+            labels.join(neighborMin, col("id") === col("a"), "left")
+              .select(col("id"),
+                least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+                  .as("cluster")))
+          .persist(lvl)
+        val s = releasingOnFailure(next) { clusterSum(next) }
+        labels.unpersist(blocking = true)
+        labels = next
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      }
+      edges.unpersist(blocking = true)
+      labels
+    } catch {
+      case t: Throwable =>
+        edges.unpersist(blocking = true)
+        labels.unpersist(blocking = true)
+        throw t
+    }
+  }
+
   /** Exact Jaccard over char-shingle sets (the verification measure). */
   def shingleJaccard(a: Column, b: Column, k: Int = 5): Column = {
     val sa = TextOps.charShingles(a, k)

@@ -120,6 +120,28 @@ object ExtensionQueries {
     Dedup.simHashNearDups(docs.unionByName(planted), "text", "doc_id", maxDist = 3)
   }
 
+  /** Duplicate-cluster resolution (connected components) over a planted
+    * pair graph with 3-node CHAINS: every tenth doc i gets two near-dup
+    * generations (i+100000, i+200000) but only ADJACENT generations are
+    * emitted as pairs — the (i, i+200000) relation exists only
+    * transitively, which is exactly what component resolution adds over
+    * the raw pair list. The oracle is a DuckDB recursive CTE computing
+    * min-reachable-id, so the whole iterative propagation loop is
+    * hash-checked. */
+  private val ddComponents: Q = (s, dir) => {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val tens = ids.filter(col("doc_id") % 10 === 0)
+    val nodes = ids
+      .unionByName(tens.select((col("doc_id") + 100000).as("doc_id")))
+      .unionByName(tens.select((col("doc_id") + 200000).as("doc_id")))
+    val pairs = tens
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      .unionByName(tens.select((col("doc_id") + 100000).as("id_a"),
+        (col("doc_id") + 200000).as("id_b")))
+    Dedup.duplicateClusters(nodes, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------ similarity
   /** Exact brute-force cosine top-k (query set = vec_id < 10, broadcast). */
   private val simCosineTopk: Q = (s, dir) => {
@@ -329,6 +351,7 @@ object ExtensionQueries {
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_simhash" -> ddSimhash,
+    "dd_components" -> ddComponents,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_topk_agg" -> simTopkAgg,
     "sim_ivf_topk" -> simIvfTopk,
@@ -471,6 +494,24 @@ object ExtensionQueries {
           | CAST(min(doc_id) AS BIGINT) AS keep_id,
           | CAST(count(*) AS BIGINT) AS group_size
           | FROM documents GROUP BY 1""".stripMargin,
+      // Connected components via recursive min-reachable-id closure — the
+      // declarative mirror of the engine's iterative min-label propagation.
+      // UNION (distinct) terminates the recursion at the closure.
+      "dd_components" ->
+        """WITH RECURSIVE
+          | tens AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+          | nodes AS (SELECT doc_id FROM documents
+          |   UNION ALL SELECT doc_id + 100000 FROM tens
+          |   UNION ALL SELECT doc_id + 200000 FROM tens),
+          | pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM tens
+          |   UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM tens),
+          | edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+          | reach AS (
+          |   SELECT doc_id AS id, doc_id AS lbl FROM nodes
+          |   UNION
+          |   SELECT e.b AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.a = r.id)
+          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+          |FROM reach GROUP BY id""".stripMargin,
       "dd_ngram_jaccard" ->
         """WITH s AS (SELECT DISTINCT doc_id,
           |   unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),

@@ -153,6 +153,58 @@ class DedupSpec extends SparkSpec {
     ok.unpersist(blocking = true)
   }
 
+  test("duplicateClusters: transitive chains collapse, singletons stay, disjoint components separate") {
+    val nodes = (1L to 12L).toDF("id")
+    // component {1,2,3,4} as a path (diameter 3 — needs real propagation),
+    // component {6,7,8} as a star, 5 and 9..12 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L), (6L, 8L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(nodes, "id", pairs)
+    val got = out.as[(Long, Long)].collect().toMap
+    out.unpersist(blocking = true)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L, 10L -> 10L, 11L -> 11L, 12L -> 12L))
+  }
+
+  test("duplicateClusters: empty pair set is a fixed point of singletons") {
+    val nodes = (1L to 5L).toDF("id")
+    val out = Dedup.duplicateClusters(nodes, "id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    val got = out.as[(Long, Long)].collect().toMap
+    out.unpersist(blocking = true)
+    assert(got === (1L to 5L).map(i => i -> i).toMap)
+  }
+
+  test("duplicateClusters: maxIterations exceeded throws instead of looping") {
+    // a 30-node path has diameter 29; cap at 3 iterations
+    val nodes = (0L until 30L).toDF("id")
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(nodes, "id", pairs, maxIterations = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert((cachedIds -- before).isEmpty,
+      "non-convergence abort must release all caches")
+    // and the same graph converges with an adequate cap
+    val out = Dedup.duplicateClusters(nodes, "id", pairs, maxIterations = 40)
+    assert(out.filter(col("cluster") === 0L).count() === 30)
+    out.unpersist(blocking = true)
+  }
+
+  test("duplicateClusters releases its caches (bounded residency)") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val nodes = (100L to 140L).toDF("id")
+    val pairs = Seq((101L, 102L), (102L, 103L), (110L, 111L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(nodes, "id", pairs)
+    assert((cachedIds -- before).size === 1,
+      "only the final label frame should stay cached")
+    out.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty)
+  }
+
   test("signatures are partition-count independent (deterministic at any parallelism)") {
     val df = base.toDF("doc_id", "text")
     def sigOf(parts: Int) = Dedup.minHashSignaturesOPH(df.repartition(parts), "text", "doc_id")
