@@ -133,6 +133,86 @@ object Ops {
     dataCols.zip(names).foldLeft(rest) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
   }
 
+  /** The deterministic bucket in [0, 1000) shared by the split/sample
+    * family: multiplicative (Knuth 1973, public) hash reading the
+    * product's HIGH bits — a low-bits mod would depend only on key % 1000
+    * (2654435761 % 1000 = 761), so keys stepped by 1000 — sequential ids
+    * with gaps, second-granularity timestamps — would all land in one
+    * bucket. The key is reduced mod 1000003 before the multiply so
+    * ANSI-mode Long arithmetic cannot overflow, and dividing by 2^20 is an
+    * exact exponent shift in doubles (product < 2^52), so floor() is the
+    * true integer quotient and SQL mirrors it bit-for-bit. NULL key →
+    * NULL bucket (no deterministic identity).
+    *
+    * `seed` selects an INDEPENDENT bucket stream (the key is shifted
+    * before the multiply, which permutes the residue class and hence the
+    * whole bucket assignment): two ops over the same keys with different
+    * seeds — e.g. a sample and a split — make uncorrelated decisions.
+    * With the SAME seed they correlate completely: a 50%-permille sample
+    * keeps exactly the keys a split would label train-side. */
+  private def hashBucket1000(key: Column, seed: Long = 0L): Column = {
+    val product = pmod(key.cast(LongType) + lit(seed), lit(1000003L)) * lit(2654435761L)
+    pmod(floor(product / lit(1048576.0)).cast(LongType), lit(1000L))
+  }
+
+  /** Deterministic corpus downsample: keep rows whose hash bucket falls
+    * below `permille` — e.g. 250 keeps a reproducible ~25% of rows. The
+    * data-mixing primitive for 100 TB curation (down-weighting an
+    * over-represented source) done RIGHT for scale: map-only, no shuffle,
+    * no RNG state, and the SAME keys survive on every run/cluster/engine
+    * that mirrors the arithmetic, so samples are stable across pipeline
+    * re-runs and resumable backfills (`df.sample` re-draws per run and
+    * per partition layout).
+    *
+    * The default `seed = 1` deliberately differs from the split family's
+    * seed 0: the sample decision is then INDEPENDENT of split labels, so
+    * a sampled corpus still splits ~train/val/test at the requested
+    * rates. (With seed 0 the two would correlate completely — a ≤80%
+    * sample would be all-train; OpsSpec pins the composed behavior.)
+    *
+    * NULL keys are DROPPED (no deterministic identity — null bucket fails
+    * the comparison); gate upstream via `Quality.expectations` if null
+    * keys are unexpected. */
+  def hashSample(df: DataFrame, keyCol: String, permille: Int,
+                 seed: Long = 1L): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0, 1000], got $permille")
+    df.filter(hashBucket1000(col(keyCol), seed) < permille)
+  }
+
+  /** Deterministic stratified sample: the `k` rows with the LOWEST
+    * (hash bucket, key) per stratum — per-stratum rebalancing (equal-sized
+    * source/language mixes) with reproducible membership.
+    *
+    * Scale shape: a bounded-heap aggregate (`topk_desc`) with map-side
+    * partials — each input partition ships at most k rows per stratum to
+    * the shuffle, never the corpus (the `row_number` window form shuffles
+    * and sorts EVERY row). The tiny keep-list (k × strata) then
+    * broadcast-semi-joins back against the corpus, so the corpus itself
+    * is never shuffled at all. Ties cannot occur: the heap orders by
+    * (bucket, key) and keys are unique per the contract (numeric,
+    * non-null, unique); NULL-key rows are dropped as in [[hashSample]].
+    * NULL is a valid STRATUM value, handled null-safely. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       k: Int, seed: Long = 1L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val bucket = hashBucket1000(col(keyCol), seed)
+    // topk_desc keeps (score DESC, id ASC); score = -(bucket) makes that
+    // (bucket ASC, key ASC) — the k lowest buckets, key-tie-broken.
+    val keep = df
+      .select(col(stratumCol).as("__s"), bucket.as("__b"),
+        col(keyCol).cast(LongType).as("__k"))
+      .filter(col("__b").isNotNull)
+      .groupBy(col("__s"))
+      .agg(call_function("topk_desc",
+        -col("__b").cast(org.apache.spark.sql.types.DoubleType),
+        col("__k"), lit(k)).as("tk"))
+      .select(col("__s"), explode(col("tk.id")).as("__k"))
+    df.join(broadcast(keep),
+      col(stratumCol) <=> col("__s") && col(keyCol).cast(LongType) === col("__k"),
+      "left_semi")
+  }
+
   /** Deterministic, reproducible train/val/test split for dataset curation:
     * a multiplicative (Knuth 1973, public) hash of the key picks a bucket
     * in [0, 1000) and the requested percentages cut it into labels.
@@ -151,14 +231,7 @@ object Ops {
                          splitCol: String = "split"): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    // Multiplicative hashing must read the product's HIGH bits: a low-bits
-    // mod would depend only on key % 1000 (2654435761 % 1000 = 761), so
-    // keys stepped by 1000 — sequential ids with gaps, second-granularity
-    // timestamps — would all land in one split. Dividing by 2^20 is an
-    // exact exponent shift in doubles (product < 2^52), so floor() is the
-    // true integer quotient and SQL mirrors it bit-for-bit.
-    val product = pmod(col(keyCol).cast(LongType), lit(1000003L)) * lit(2654435761L)
-    val bucket = pmod(floor(product / lit(1048576.0)).cast(LongType), lit(1000L))
+    val bucket = hashBucket1000(col(keyCol))
     // A null key yields a null bucket: both thresholds evaluate to null and
     // the row would silently take the .otherwise branch — make the null
     // label explicit instead.

@@ -120,6 +120,29 @@ object ExtensionQueries {
     Dedup.simHashNearDups(docs.unionByName(planted), "text", "doc_id", maxDist = 3)
   }
 
+  /** Deterministic ~25% corpus downsample — map-only, no shuffle; the
+    * same doc_ids survive every run (multiplicative-hash bucket, exactly
+    * the w4 split arithmetic, mirrored bit-for-bit in SQL). */
+  private val w5HashSample: Q = (s, dir) =>
+    graft.ops.Ops.hashSample(t(s, dir, "documents"), "doc_id", permille = 250)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** Deterministic stratified sample: 10 lowest-(bucket, id) docs per
+    * source — per-stratum rebalancing via the bounded-heap aggregate
+    * (k rows per stratum per partition on the shuffle) + broadcast
+    * semi-join back (the corpus itself is never shuffled). */
+  private val w6StratifiedSample: Q = (s, dir) =>
+    graft.ops.Ops.stratifiedSample(t(s, dir, "documents"), "source", "doc_id", k = 10)
+      .select(col("doc_id"), col("source"))
+
+  /** Sequence packing (concatenate-and-chop, 512-token windows, 8
+    * shards): per-shard cumulative token layout, window index from the
+    * running sum — the whole layout arithmetic is hash-checked against
+    * the SQL mirror. */
+  private val txtPack: Q = (s, dir) =>
+    TextOps.packByTokenBudget(t(s, dir, "documents"), "text", "doc_id",
+      contextLen = 512, shards = 8)
+
   /** Duplicate-cluster resolution (connected components) over a planted
     * pair graph with 3-node CHAINS: every tenth doc i gets two near-dup
     * generations (i+100000, i+200000) but only ADJACENT generations are
@@ -352,6 +375,9 @@ object ExtensionQueries {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_simhash" -> ddSimhash,
     "dd_components" -> ddComponents,
+    "w5_hash_sample" -> w5HashSample,
+    "w6_stratified_sample" -> w6StratifiedSample,
+    "txt_pack" -> txtPack,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_topk_agg" -> simTopkAgg,
     "sim_ivf_topk" -> simIvfTopk,
@@ -494,6 +520,39 @@ object ExtensionQueries {
           | CAST(min(doc_id) AS BIGINT) AS keep_id,
           | CAST(count(*) AS BIGINT) AS group_size
           | FROM documents GROUP BY 1""".stripMargin,
+      // (doc_id + 1): the sample family's seed-1 bucket stream,
+      // decorrelated from the split family's seed-0 stream (see
+      // Ops.hashBucket1000).
+      "w5_hash_sample" ->
+        """SELECT doc_id, source, n_chars FROM (
+          | SELECT doc_id, source, n_chars,
+          |   CAST(FLOOR((((doc_id + 1) % 1000003) * 2654435761) / 1048576.0)
+          |     AS BIGINT) % 1000 AS b
+          | FROM documents)
+          |WHERE b < 250""".stripMargin,
+      // row_number over (bucket ASC, id ASC) mirrors the bounded-heap
+      // aggregate's (score DESC, id ASC) order with score = -bucket.
+      "w6_stratified_sample" ->
+        """SELECT doc_id, source FROM (
+          | SELECT doc_id, source, row_number() OVER (
+          |   PARTITION BY source
+          |   ORDER BY CAST(FLOOR((((doc_id + 1) % 1000003) * 2654435761) / 1048576.0)
+          |     AS BIGINT) % 1000, doc_id) AS rn
+          | FROM documents)
+          |WHERE rn <= 10""".stripMargin,
+      "txt_pack" ->
+        """SELECT doc_id AS id, n_tokens, shard,
+          | shard * 1000000000 + CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT)
+          |   AS pack_id
+          |FROM (
+          | SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+          |   sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS cum
+          | FROM (
+          |   SELECT doc_id,
+          |     CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          |     END AS n_tokens
+          |   FROM documents))""".stripMargin,
       // Connected components via recursive min-reachable-id closure — the
       // declarative mirror of the engine's iterative min-label propagation.
       // UNION (distinct) terminates the recursion at the closure.

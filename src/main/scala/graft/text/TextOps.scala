@@ -137,6 +137,43 @@ object TextOps {
           .as("chunk"))
   }
 
+  /** Sequence packing for training — the "concatenate and chop" scheme
+    * GPT-style pretraining uses: within a shard, documents are laid out
+    * contiguously in id order and the stream is chopped into fixed
+    * `contextLen` token windows; each document's pack is the window its
+    * FIRST token lands in (a document crossing a boundary straddles into
+    * the next window — the trainer's chop, not the packer's, decides
+    * truncation/continuation). Returns (id, n_tokens, shard, pack_id)
+    * with pack_id globally unique (shard ⊕ per-shard window index).
+    *
+    * Scale shape: layout position is inherently sequential, so the corpus
+    * is first split into `shards` INDEPENDENT id-hash shards and the
+    * cumulative-sum window runs per shard — parallelism = shards, and no
+    * global single-partition window ever exists. Packs never cross
+    * shards, and per-shard results are deterministic at any parallelism.
+    * True reset-accumulator bin packing (no straddling) needs stateful
+    * sequential passes that a 100 TB shuffle should not pay for; the
+    * chop scheme is what large pretraining corpora actually use. */
+  def packByTokenBudget(df: DataFrame, textCol: String, idCol: String,
+                        contextLen: Int = 2048, shards: Int = 64): DataFrame = {
+    require(contextLen > 0 && shards > 0,
+      s"need contextLen > 0 and shards > 0, got $contextLen/$shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("id"))
+    // bin boundary arithmetic on the RUNNING total: doc i's pack is
+    // floor((cum_before) / contextLen) where cum_before excludes the doc
+    // itself — i.e. a doc starts a new pack iff the budget is crossed.
+    // Using (cum - n) keeps the whole computation inside one window agg.
+    df.select(col(idCol).cast(LongType).as("id"),
+        tokenCount(col(textCol)).as("n_tokens"),
+        pmod(col(idCol).cast(LongType), lit(shards.toLong)).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("id"), col("n_tokens"), col("shard"),
+        (col("shard") * lit(1000000000L) +
+          floor((col("cum") - col("n_tokens")) / lit(contextLen.toDouble))
+            .cast(LongType)).as("pack_id"))
+  }
+
   /** Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
     * Models", §A1.1 — public): the fraction of all tokens taken by the
     * single most frequent token. High values flag boilerplate/template

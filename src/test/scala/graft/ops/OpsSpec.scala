@@ -109,6 +109,56 @@ class OpsSpec extends SparkSpec {
     assert(counts("train") > 200 && counts("train") < 280, s"skewed: $counts")
   }
 
+  test("hashSample: deterministic membership, permille bounds, null keys dropped") {
+    val df = ((0L until 1000L).map(Option(_)) :+ None).toDF("k")
+    val s1 = Ops.hashSample(df, "k", 250).as[Long].collect().toSet
+    val s2 = Ops.hashSample(df, "k", 250).as[Long].collect().toSet
+    assert(s1 === s2, "same keys must survive every run")
+    // multiplicative hash over 0..999 is near-uniform; exact count is
+    // deterministic, so pin the observed value tightly around 25%
+    assert(s1.size > 200 && s1.size < 300, s"got ${s1.size}")
+    assert(Ops.hashSample(df, "k", 0).count() === 0)
+    assert(Ops.hashSample(df, "k", 1000).count() === 1000) // null dropped
+    // the default sample seed is decorrelated from the split's bucket
+    // stream, so a sampled corpus still has all three splits at sane rates
+    val bySplit = Ops.deterministicSplit(Ops.hashSample(df, "k", 500), "k")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > 300, s"train starved: $bySplit")
+    // with the split's own seed the two CORRELATE completely: a 50%
+    // sample is all-train — the trap the seed default exists to avoid
+    val correlated = Ops.deterministicSplit(
+      Ops.hashSample(df, "k", 500, seed = 0L), "k")
+      .select("split").distinct().as[String].collect().toSeq
+    assert(correlated === Seq("train"))
+  }
+
+  test("stratifiedSample: exactly k per stratum, small strata whole, null stratum kept") {
+    val rows = (0L until 100L).map(i => (Option("a"), i)) ++
+      (100L until 130L).map(i => (Option("b"), i)) ++
+      (130L until 135L).map(i => (Option.empty[String], i))
+    val df = rows.toDF("src", "id")
+    val out = Ops.stratifiedSample(df, "src", "id", k = 20)
+      .as[(Option[String], Long)].collect()
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc(Some("a")).size === 20)
+    assert(bySrc(Some("b")).size === 20)
+    assert(bySrc(None).size === 5) // stratum smaller than k → all rows
+    // deterministic across invocations
+    assert(Ops.stratifiedSample(df, "src", "id", k = 20)
+      .as[(Option[String], Long)].collect().toSet === out.toSet)
+    // and identical to the row_number window reference formulation
+    // (seed 1 → key shifted by +1 before the multiply)
+    val bucket = pmod(floor(pmod(col("id") + 1L, lit(1000003L)) * lit(2654435761L)
+      / lit(1048576.0)).cast("long"), lit(1000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(bucket, col("id"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20).select("src", "id")
+      .as[(Option[String], Long)].collect().toSet
+    assert(out.toSet === ref)
+  }
+
   test("deterministicSplit: null keys get a NULL label, not 'test'") {
     val df = Seq(Some(42L), None, Some(7L), None).toDF("k")
     val bySplit = Ops.deterministicSplit(df, "k")

@@ -86,6 +86,35 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2) === "id <NUM> ok, year 2024 stays")
   }
 
+  test("packByTokenBudget: concatenate-and-chop layout matches a sequential reference") {
+    // docs with known token counts: doc i has (i % 7) + 1 tokens
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until ((i % 7) + 1).toInt).map(j => s"w$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val out = TextOps.packByTokenBudget(df, "text", "doc_id",
+      contextLen = 10, shards = 4)
+      .select("id", "n_tokens", "shard", "pack_id")
+      .as[(Long, Long, Long, Long)].collect()
+
+    // sequential reference: per shard, running total in id order; a doc's
+    // window is floor(cum_before / L)
+    val expected = docs.groupBy(_._1 % 4).flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, text) =>
+        val n = text.split("\\s+").length.toLong
+        val pack = shard * 1000000000L + cum / 10
+        cum += n
+        (id, n, shard, pack)
+      }
+    }.toSet
+    assert(out.toSet === expected)
+    // packs never cross shards, and per-shard pack ids are contiguous
+    // from the shard base
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.forall(r => r._4 / 1000000000L === shard))
+    }
+  }
+
   test("chunk: overlap windows cover the doc; short doc → one chunk") {
     val doc = ("x" * 500, 1L)
     val df = Seq(doc, ("short", 2L)).toDF("text", "doc_id")
