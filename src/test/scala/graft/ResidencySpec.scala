@@ -8,8 +8,10 @@ package graft
   * the pair-sized results are bounded by the caller-unpersist contract. */
 class ResidencySpec extends SparkSpec {
 
-  // The three registry queries that persist internally (the LSH families).
-  private val names = Seq("dd_minhash_lsh", "dd_simhash", "emb_near_dup")
+  // The registry queries that persist internally: the LSH families plus
+  // the iterative components resolver.
+  private val names = Seq("dd_minhash_lsh", "dd_simhash", "emb_near_dup",
+    "dd_components")
 
   test("repeated near-dup query invocations return the session to its cache baseline") {
     val dir = "/root/testdata/sf0.001"

@@ -159,6 +159,17 @@ class OpsSpec extends SparkSpec {
     assert(out.toSet === ref)
   }
 
+  test("stratifiedSample plan: broadcast semi-join back, corpus not shuffled for the join") {
+    val df = (0L until 200L).map(i => (s"s${i % 4}", i)).toDF("src", "id")
+    val plan = Ops.stratifiedSample(df, "src", "id", k = 5)
+      .queryExecution.executedPlan.toString
+    // the keep-list side is broadcast (LeftSemi BroadcastHashJoin); a
+    // SortMergeJoin here would mean the whole corpus shuffles on the key
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for join:\n$plan")
+  }
+
   test("deterministicSplit: null keys get a NULL label, not 'test'") {
     val df = Seq(Some(42L), None, Some(7L), None).toDF("k")
     val bySplit = Ops.deterministicSplit(df, "k")
