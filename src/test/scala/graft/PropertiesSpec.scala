@@ -1,5 +1,6 @@
 package graft
 
+import graft.dedup.Dedup
 import graft.expr.Exprs
 import graft.ops.Ops
 import graft.quality.Quality
@@ -140,6 +141,38 @@ object PropertiesSpec extends Properties("graft") {
             .collect().map(_.toSeq).toSeq
           salted == plain
         }
+    }
+
+  propertyWithSeed("duplicateClusters ≡ union-find on random pair graphs", None) =
+    forAll(Gen.choose(4, 16),
+           Gen.listOfN(12, Gen.zip(Gen.choose(0, 15), Gen.choose(0, 15)))) {
+      (n: Int, rawPairs: List[(Int, Int)]) =>
+        val pairs = rawPairs.map { case (a, b) => (a.toLong % n, b.toLong % n) }
+          .filter { case (a, b) => a != b }
+        val nodes = (0L until n.toLong).toDF("id")
+        val out = Dedup.duplicateClusters(nodes,
+          "id", pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+            .toDF("id_a", "id_b"))
+        val got = out.as[(Long, Long)].collect().toMap
+        out.unpersist(blocking = true)
+
+        // reference: sequential union-find with path compression
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x; while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val roots = (0 until n).map(find)
+        // canonical label = min member id per component
+        val minOfRoot = (0 until n).groupBy(roots).map { case (r, ms) => r -> ms.min.toLong }
+        val expected = (0 until n).map(i => i.toLong -> minOfRoot(roots(i))).toMap
+        got == expected
     }
 
   // ScalaCheck's default 100 cases × 5 properties × Spark job latency is
