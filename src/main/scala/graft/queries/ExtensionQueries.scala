@@ -143,6 +143,27 @@ object ExtensionQueries {
     TextOps.packByTokenBudget(t(s, dir, "documents"), "text", "doc_id",
       contextLen = 512, shards = 8)
 
+  /** Capstone near-dedup pipeline: ORGANIC similarity pairs (consecutive
+    * docs with token-Jaccard ≥ 0.7 — the corpus has real runs of similar
+    * neighbors, largest component 10 docs / diameter 9 at sf0.01) →
+    * connected components → per-doc keep/drop decision (keep the min id
+    * of each cluster). End-to-end oracle: the DuckDB mirror recomputes
+    * the Jaccard pairs AND the recursive closure, so similarity,
+    * threshold, transitivity, and the keep rule are all hash-checked
+    * together. */
+  private val pipeNearDedup: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val b = d.select((col("doc_id") - 1).as("join_id"), col("text").as("text_b"))
+    val pairs = d.join(b, col("doc_id") === col("join_id"))
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"),
+        Dedup.ngramJaccard(col("text"), col("text_b"), 1).as("j"))
+      .filter(col("j") >= 0.7)
+      .select("id_a", "id_b")
+    Dedup.duplicateClusters(d.select(col("doc_id")), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+        (col("id") === col("cluster")).as("kept"))
+  }
+
   /** Duplicate-cluster resolution (connected components) over a planted
     * pair graph with 3-node CHAINS: every tenth doc i gets two near-dup
     * generations (i+100000, i+200000) but only ADJACENT generations are
@@ -375,6 +396,7 @@ object ExtensionQueries {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_simhash" -> ddSimhash,
     "dd_components" -> ddComponents,
+    "pipe_near_dedup" -> pipeNearDedup,
     "w5_hash_sample" -> w5HashSample,
     "w6_stratified_sample" -> w6StratifiedSample,
     "txt_pack" -> txtPack,
@@ -553,6 +575,35 @@ object ExtensionQueries {
           |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
           |     END AS n_tokens
           |   FROM documents))""".stripMargin,
+      // End-to-end: Jaccard pairs at 0.7 (same arithmetic as
+      // dd_ngram_jaccard, unrounded for the threshold compare, exactly as
+      // the engine filters) + recursive closure + keep-min rule.
+      "pipe_near_dedup" ->
+        """WITH RECURSIVE
+          | s AS (SELECT DISTINCT doc_id,
+          |   unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+          | sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          | cpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |   FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+          | inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM cpairs p
+          |   JOIN s sa ON sa.doc_id = p.id_a
+          |   JOIN s sb ON sb.doc_id = p.id_b AND sb.w = sa.w GROUP BY 1, 2),
+          | jac AS (SELECT p.id_a, p.id_b,
+          |   CAST(COALESCE(i.i, 0) AS DOUBLE) /
+          |     (na.n + nb.n - COALESCE(i.i, 0)) AS j
+          |   FROM cpairs p
+          |   LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          |   JOIN sizes na ON na.doc_id = p.id_a
+          |   JOIN sizes nb ON nb.doc_id = p.id_b),
+          | edges AS (SELECT id_a AS a, id_b AS b FROM jac WHERE j >= 0.7
+          |   UNION ALL SELECT id_b, id_a FROM jac WHERE j >= 0.7),
+          | reach AS (
+          |   SELECT doc_id AS id, doc_id AS lbl FROM documents
+          |   UNION
+          |   SELECT e.b AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.a = r.id)
+          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+          | id = min(lbl) AS kept
+          |FROM reach GROUP BY id""".stripMargin,
       // Connected components via recursive min-reachable-id closure — the
       // declarative mirror of the engine's iterative min-label propagation.
       // UNION (distinct) terminates the recursion at the closure.
