@@ -274,20 +274,22 @@ object Dedup {
     * a pair.
     *
     * Returns (id, cluster) for EVERY node — docs in no pair are singleton
-    * clusters of themselves. `nodes` ids must be unique, non-null, and
-    * numeric.
+    * clusters of themselves. CONTRACT: `nodes` ids are unique, non-null,
+    * and numeric, and every id in `pairs` references a node (an edge to an
+    * unknown id would fabricate a row for it).
     *
-    * Algorithm: distributed min-label propagation. Each iteration every
-    * node takes the minimum of its own label and its neighbors' labels —
-    * two shuffles per iteration (edge-label join + per-node min), both
-    * codegen'd with map-side partials. Iterations = graph diameter, which
-    * for near-dup clusters (dense, star/clique-shaped around a template)
-    * is small; pathological path-graphs hit `maxIterations` and throw
-    * rather than loop forever. For adversarial long-chain graphs use the
-    * large-star/small-star construction (Kiveris et al., "Connected
-    * Components in MapReduce", public) — O(log n) rounds — which this
-    * method deliberately trades away for simplicity since dedup graphs
-    * are diameter-bounded in practice.
+    * Algorithm: distributed min-label propagation with POINTER DOUBLING.
+    * Each round every node takes the minimum of (its own label, its
+    * neighbors' labels, its label's label) — the neighbor step moves a
+    * component's minimum one hop, the label-of-label jump (classic
+    * pointer doubling; labels are node ids, so the label frame self-joins
+    * as a pointer table) halves the remaining distance to it. Rounds =
+    * O(log diameter) instead of O(diameter) — the same bound the
+    * large-star/small-star construction gets (Kiveris et al., "Connected
+    * Components in MapReduce", public) with a simpler round body: one
+    * edge⋈label join + per-node min aggregate + one label self-join, all
+    * codegen'd with map-side partials. Genuinely adversarial graphs still
+    * hit `maxIterations` and throw rather than loop forever.
     *
     * Scale mechanics: per-iteration lineage is TRUNCATED (each label
     * frame is re-rooted as a materialized distributed frame) — without
@@ -320,6 +322,15 @@ object Dedup {
     var labels = truncated(nodes.select(col(idCol).cast(LongType).as("id"),
         col(idCol).cast(LongType).as("cluster")))
       .persist(lvl)
+    // AQE is scoped OFF for the propagation loop: each round is a small
+    // fixed-shape DAG executed many times, and AQE's stage-by-stage
+    // adaptive scheduling adds a blocking job round-trip per exchange —
+    // measured ~2× the wall time of the whole loop at bench scale. The
+    // big scans/joins AQE exists for happen in the CALLER's plans (pair
+    // generation), not inside this loop. Restored in the finally.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
     // NOT releasingOnFailure: `labels` is reassigned per iteration, so the
     // failure path must release the CURRENT frame, not the one captured at
     // entry.
@@ -336,13 +347,25 @@ object Dedup {
             "clusters should produce; raise maxIterations or inspect the " +
             "pair generator for spurious chains")
         }
-        val neighborMin = edges.join(labels, col("b") === col("id"))
-          .groupBy(col("a")).agg(min(col("cluster")).as("nmin"))
+        // The whole round is ONE join + ONE aggregate over a union of
+        // "message" relations (dst ← src means: dst receives src's
+        // current label):
+        //   self    v ← v          keeps the node's own label (and keeps
+        //                          every node present in the output),
+        //   edge    a ← b          the one-hop neighbor step,
+        //   pointer v ← label(v)   the doubling jump (labels are node
+        //                          ids, so a label is a valid src).
+        // next(v) = min over v's messages of label(src). Unions are
+        // shuffle-free, both join inputs read cached frames — minimal
+        // stages per round, which dominates wall time for an iterative
+        // algorithm.
+        val msgs = edges.select(col("a").as("dst"), col("b").as("src"))
+          .union(labels.select(col("id").as("dst"), col("id").as("src")))
+          .union(labels.select(col("id").as("dst"), col("cluster").as("src")))
         val next = truncated(
-            labels.join(neighborMin, col("id") === col("a"), "left")
-              .select(col("id"),
-                least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-                  .as("cluster")))
+            msgs.join(labels, col("src") === col("id"))
+              .groupBy(col("dst")).agg(min(col("cluster")).as("cluster"))
+              .select(col("dst").as("id"), col("cluster")))
           .persist(lvl)
         val s = releasingOnFailure(next) { clusterSum(next) }
         labels.unpersist(blocking = true)
@@ -357,6 +380,8 @@ object Dedup {
         edges.unpersist(blocking = true)
         labels.unpersist(blocking = true)
         throw t
+    } finally {
+      spark.conf.set(aqeKey, aqeWas)
     }
   }
 
@@ -369,13 +394,55 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
-  /** Word n-gram Jaccard similarity (token-level near-dup measure). */
+  /** Word n-gram Jaccard similarity (token-level near-dup measure).
+    *
+    * Per-PAIR array expression: fine when the consumer prunes it or the
+    * pair list is small, but the array HOFs run interpreted and re-derive
+    * both token sets per pair — for an evaluated-for-every-pair corpus
+    * sweep use [[consecutiveTokenJaccardPairs]] (measured 20 s → ~2 s on
+    * the 5k-doc bench corpus). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val sa = array_distinct(TextOps.wordNgrams(a, n))
     val sb = array_distinct(TextOps.wordNgrams(b, n))
     val inter = size(array_intersect(sa, sb)).cast(DoubleType)
     val uni = size(array_union(sa, sb)).cast(DoubleType)
     when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** Token (1-gram) Jaccard for every CONSECUTIVE id pair, computed
+    * distributively: explode distinct tokens once, count intersections
+    * with a codegen'd self-join + aggregate, join set sizes back — the
+    * same shape as [[minHashNearDups]]'s verification step, and
+    * value-identical to `ngramJaccard(_, _, 1)` over the same pairs.
+    * Returns (id_a, id_b = id_a+1, jaccard) for pairs where both ids
+    * exist. Pairs with zero common tokens drop out (their jaccard is 0 —
+    * callers filtering by a positive threshold lose nothing; pass
+    * threshold 0 consumers should not use this).
+    *
+    * EAGER + caller unpersist, like the rest of the family: the token
+    * frame is persisted for its four consumers and released before
+    * returning (bounded residency); the returned pair-sized frame comes
+    * back persisted and repeat callers should `unpersist()` it. */
+  def consecutiveTokenJaccardPairs(df: DataFrame, textCol: String,
+                                   idCol: String,
+                                   threshold: Double): DataFrame = {
+    require(threshold > 0, "consecutiveTokenJaccardPairs needs a positive threshold")
+    val toks = df.select(col(idCol).cast(LongType).as("doc_id"),
+        explode(array_distinct(TextOps.wordNgrams(col(textCol), 1))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = toks.select(col("doc_id").as("id_a"), col("w"))
+    val sb = toks.select((col("doc_id") - 1).as("id_a"), col("w"))
+    val pairs = sa.join(sb, Seq("id_a", "w"))
+      .groupBy("id_a").agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select((col("doc_id") - 1).as("id_a"), col("n").as("nb")), "id_a")
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"),
+        col("jaccard"))
+    materializeAndRelease(pairs, toks)
   }
 
   /** SimHash signatures for a whole corpus: 64-bit locality-sensitive

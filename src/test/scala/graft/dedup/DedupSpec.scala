@@ -153,6 +153,22 @@ class DedupSpec extends SparkSpec {
     ok.unpersist(blocking = true)
   }
 
+  test("consecutiveTokenJaccardPairs ≡ per-pair ngramJaccard expression") {
+    val df = (base ++ nearDups).toDF("doc_id", "text")
+    val out = Dedup.consecutiveTokenJaccardPairs(df, "text", "doc_id", threshold = 0.2)
+    val fast = out.select(col("id_a"), col("id_b"), round(col("jaccard"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    out.unpersist(blocking = true)
+    val shifted = df.select((col("doc_id") - 1).as("id_a"), col("text").as("tb"))
+    val slow = df.join(shifted, col("doc_id") === col("id_a"))
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"),
+        round(Dedup.ngramJaccard(col("text"), col("tb"), 1), 6).as("j"))
+      .filter(col("j") >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast === slow)
+    assert(fast.nonEmpty, "fixture should produce at least one qualifying pair")
+  }
+
   test("duplicateClusters: transitive chains collapse, singletons stay, disjoint components separate") {
     val nodes = (1L to 12L).toDF("id")
     // component {1,2,3,4} as a path (diameter 3 — needs real propagation),
