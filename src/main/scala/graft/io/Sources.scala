@@ -56,12 +56,12 @@ object Sources {
     else None
   }
 
-  /** S3 — charset auto-detection replacing chardet (dag1.py:54-58): honor
-    * an explicit BOM first (UTF-8/16/32, the generality chardet provides
-    * that a plain decode probe misses), else strict UTF-8 decode of a
-    * bounded prefix; on failure fall back to windows-1252 (a superset of
-    * latin-1 that decodes any byte sequence — matches the reference data,
-    * whose only non-ASCII byte is 0x96). */
+  /** S3 — charset auto-detection replacing chardet (dag1.py:54-58), in
+    * precedence order: explicit BOM (UTF-8/16/32), BOM-less UTF-16 by the
+    * alternating-NUL pattern, strict UTF-8 decode of a bounded prefix,
+    * then windows-1252 (a superset of latin-1 that decodes any byte
+    * sequence — matches the reference data, whose only non-ASCII byte is
+    * 0x96). */
   def detectCharset(path: String, probeBytes: Int = 1 << 20): String = {
     // Stream at most probeBytes+1 — never the whole file — so sniffing a
     // 100 GB CSV costs 1 MiB of driver heap, not an OOM. The +1 sentinel
@@ -69,11 +69,37 @@ object Sources {
     // boundary cut) from "file continues past the probe".
     val in = Files.newInputStream(Paths.get(path))
     val raw = try in.readNBytes(probeBytes + 1) finally in.close()
-    bomCharset(raw).getOrElse(probeUtf8(raw, probeBytes))
+    bomCharset(raw)
+      .orElse(probeUtf16(raw, math.min(raw.length, probeBytes)))
+      .getOrElse(probeUtf8(raw, probeBytes))
   }
 
-  /** Strict-decode content probe (no BOM present): UTF-8 if the prefix
-    * decodes cleanly, else windows-1252. */
+  /** BOM-less UTF-16 content heuristic (chardet's null-pattern check):
+    * ASCII-dominant UTF-16 text has a NUL in every other byte — high byte
+    * 0x00 on odd positions for LE, even for BE. This must run BEFORE the
+    * strict UTF-8 probe: U+0000 is a perfectly valid UTF-8 code point, so
+    * a UTF-16LE ASCII file DECODES as "UTF-8" — but genuine UTF-8 text
+    * never contains NULs at all, let alone >60% one-sided, so precedence
+    * is safe. */
+  private def probeUtf16(b: Array[Byte], len: Int): Option[String] = {
+    if (len < 16) None
+    else {
+      val n = len - (len % 2)
+      var evenNul = 0; var oddNul = 0
+      var i = 0
+      while (i < n) {
+        if (b(i) == 0) { if (i % 2 == 0) evenNul += 1 else oddNul += 1 }
+        i += 1
+      }
+      val half = n / 2
+      if (oddNul > half * 0.6 && evenNul < half * 0.1) Some("UTF-16LE")
+      else if (evenNul > half * 0.6 && oddNul < half * 0.1) Some("UTF-16BE")
+      else None
+    }
+  }
+
+  /** Strict-decode content probe (no BOM, not UTF-16-patterned): UTF-8
+    * if the prefix decodes cleanly, else windows-1252. */
   private def probeUtf8(raw: Array[Byte], probeBytes: Int): String = {
     val truncated = raw.length > probeBytes
     val probe = if (truncated) java.util.Arrays.copyOf(raw, probeBytes) else raw
@@ -90,7 +116,9 @@ object Sources {
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
     try { dec.decode(java.nio.ByteBuffer.wrap(probe, 0, safeLen)); "UTF-8" }
-    catch { case _: java.nio.charset.CharacterCodingException => "windows-1252" }
+    catch {
+      case _: java.nio.charset.CharacterCodingException => "windows-1252"
+    }
   }
 
   /** S3 — CSV scan with sniffed charset. */

@@ -73,6 +73,22 @@ class SourcesSpec extends SparkSpec {
     assert(decoded.startsWith("a,b"), s"BOM leaked: ${decoded.take(3).map(_.toInt)}")
   }
 
+  test("detectCharset: BOM-less UTF-16 found by null pattern, w-1252 not misrouted") {
+    // ASCII content encoded UTF-16 without a BOM: fails the UTF-8 probe
+    // (NULs) and must resolve by the alternating-null heuristic, per
+    // endianness — not fall back to windows-1252.
+    val le = Files.createTempFile("graft_nb16", ".csv")
+    Files.write(le, "a,b\n1,hello world\n2,plain ascii\n".getBytes("UTF-16LE"))
+    assert(Sources.detectCharset(le.toString) === "UTF-16LE")
+    val be = Files.createTempFile("graft_nb16", ".csv")
+    Files.write(be, "a,b\n1,hello world\n2,plain ascii\n".getBytes("UTF-16BE"))
+    assert(Sources.detectCharset(be.toString) === "UTF-16BE")
+    // windows-1252 text has no NULs → heuristic declines, fallback holds
+    val w = Files.createTempFile("graft_nb16", ".csv")
+    Files.write(w, "a,b\n1,1968–note\n".getBytes(Charset.forName("windows-1252")))
+    assert(Sources.detectCharset(w.toString) === "windows-1252")
+  }
+
   test("indexedLines: UTF-8 path is distributed, index = file order") {
     val f = Files.createTempFile("graft_lines", ".txt")
     Files.writeString(f, "first\nsecond\nthird")
