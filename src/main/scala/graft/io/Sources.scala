@@ -27,15 +27,61 @@ object Sources {
         "utf-16le", "utf-32").contains(encoding.toLowerCase))
       spark.conf.set("spark.sql.legacy.javaCharsets", "true")
 
-  /** S2 — CSV scan with header + schema inference (dag1.py:45,50). */
+  /** Charsets whose newline is NOT the single byte 0x0A: Hadoop's line
+    * reader splits on raw 0x0A bytes, so a UTF-16/32 file read natively
+    * shreds characters across line boundaries (and Java's BOM-autodetect
+    * decoders only see the BOM on the FIRST line) — verified garbage, not
+    * a hypothetical. These go through the streaming transcode instead. */
+  private def needsTranscode(encoding: String): Boolean =
+    encoding.toUpperCase.startsWith("UTF-16") ||
+      encoding.toUpperCase.startsWith("UTF-32")
+
+  /** S2 — CSV scan with header + schema inference (dag1.py:45,50).
+    * ASCII-newline charsets (UTF-8, latin-1, windows-1252…) use Spark's
+    * distributed reader directly; UTF-16/32 are stream-transcoded to a
+    * UTF-8 temp first (see [[transcodeToUtf8]]) because Hadoop's 0x0A
+    * line splitting is incorrect for them. */
   def csv(spark: SparkSession, path: String, header: Boolean = true,
           inferSchema: Boolean = true, encoding: String = "UTF-8"): DataFrame = {
-    ensureCharsetReadable(spark, encoding)
+    val (readPath, readEnc) =
+      if (needsTranscode(encoding)) (transcodeToUtf8(path, encoding), "UTF-8")
+      else (path, encoding)
+    ensureCharsetReadable(spark, readEnc)
     spark.read
       .option("header", header)
       .option("inferSchema", inferSchema)
-      .option("encoding", encoding)
-      .csv(path)
+      .option("encoding", readEnc)
+      .csv(readPath)
+  }
+
+  /** Stream-transcode a file to a UTF-8 temp file: O(64 KiB) driver heap,
+    * never the whole file; BOM-autodetecting charsets ("UTF-16"/"UTF-32")
+    * consume the BOM so it never reaches the UTF-8 copy. Deterministic
+    * per-source temp name: repeated calls over the same file overwrite one
+    * transcode instead of accumulating copies for the JVM lifetime. Keyed
+    * by a full digest of the ABSOLUTE path — a 32-bit hashCode can collide
+    * across distinct paths, and because readers re-read the temp file
+    * lazily, a collision would make an earlier frame read the wrong
+    * file's contents. On a real cluster the transcode target belongs on
+    * shared storage; the driver-side IO pass is the unavoidable cost of a
+    * charset Spark cannot scan. */
+  private[io] def transcodeToUtf8(path: String, encoding: String): String = {
+    val abs = Paths.get(path).toAbsolutePath.normalize.toString
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(32)
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_transcode_$key.txt")
+    tmp.toFile.deleteOnExit()
+    val in = new java.io.InputStreamReader(
+      Files.newInputStream(Paths.get(path)), Charset.forName(encoding))
+    val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try {
+      val buf = new Array[Char](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally { in.close(); out.close() }
+    tmp.toString
   }
 
   /** Byte-order-mark sniff: the unambiguous prefix signatures from the
@@ -144,30 +190,7 @@ object Sources {
     // pass is the unavoidable cost of a charset Spark cannot scan.
     val readPath =
       if (encoding.equalsIgnoreCase("UTF-8")) path
-      else {
-        // Deterministic per-source temp name: repeated calls over the same
-        // file overwrite one transcode instead of accumulating copies for
-        // the JVM lifetime. Keyed by a full digest of the ABSOLUTE path —
-        // a 32-bit hashCode can collide across distinct paths, and because
-        // the returned DataFrame re-reads the temp file lazily, a collision
-        // would make an earlier frame read the wrong file's contents.
-        val abs = Paths.get(path).toAbsolutePath.normalize.toString
-        val key = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(abs.getBytes(StandardCharsets.UTF_8))
-          .map(b => f"$b%02x").mkString.take(32)
-        val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft_transcode_$key.txt")
-        tmp.toFile.deleteOnExit()
-        val in = new java.io.InputStreamReader(
-          Files.newInputStream(Paths.get(path)), Charset.forName(encoding))
-        val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
-        try {
-          val buf = new Array[Char](1 << 16)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } finally { in.close(); out.close() }
-        tmp.toString
-      }
+      else transcodeToUtf8(path, encoding)
     spark.read.textFile(readPath).rdd.zipWithIndex()
       .map { case (l, i) => (i, l) }.toDF("__idx", "line")
   }

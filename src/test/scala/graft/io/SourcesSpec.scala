@@ -89,6 +89,25 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.detectCharset(w.toString) === "windows-1252")
   }
 
+  test("csvDetect reads UTF-16 CSVs correctly (transcode path, BOM'd and BOM-less)") {
+    // Hadoop's line reader splits on raw 0x0A bytes, which shreds UTF-16
+    // characters (verified: native read returns garbage) — the reader must
+    // go through the UTF-8 transcode. Values, not just schema, must
+    // round-trip; the BOM must not leak into the header.
+    def roundTrip(bytes: Array[Byte]): Seq[Seq[Any]] = {
+      val f = Files.createTempFile("graft_u16csv", ".csv")
+      Files.write(f, bytes)
+      Sources.csvDetect(spark, f.toString).orderBy("a")
+        .collect().map(_.toSeq).toSeq
+    }
+    val expected = Seq(Seq(1, "hello"), Seq(2, "wörld"))
+    val csvText = "a,b\n1,hello\n2,wörld\n"
+    assert(roundTrip(csvText.getBytes("UTF-16LE")) === expected)      // BOM-less LE
+    assert(roundTrip(csvText.getBytes("UTF-16BE")) === expected)      // BOM-less BE
+    assert(roundTrip(Array(0xFF.toByte, 0xFE.toByte) ++
+      csvText.getBytes("UTF-16LE")) === expected)                     // BOM'd
+  }
+
   test("indexedLines: UTF-8 path is distributed, index = file order") {
     val f = Files.createTempFile("graft_lines", ".txt")
     Files.writeString(f, "first\nsecond\nthird")
