@@ -159,6 +159,12 @@ class OpsSpec extends SparkSpec {
     assert(out.toSet === ref)
   }
 
+  test("hashSample plan: map-only — no Exchange anywhere") {
+    val df = (0L until 100L).toDF("k")
+    val plan = Ops.hashSample(df, "k", 250).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+  }
+
   test("stratifiedSample plan: broadcast semi-join back, corpus not shuffled for the join") {
     val df = (0L until 200L).map(i => (s"s${i % 4}", i)).toDF("src", "id")
     val plan = Ops.stratifiedSample(df, "src", "id", k = 5)

@@ -115,6 +115,16 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("packByTokenBudget plan: one shard-partitioned shuffle, no global window") {
+    val df = (0L until 50L).map(i => (i, s"tok$i words here")).toDF("doc_id", "text")
+    val plan = TextOps.packByTokenBudget(df, "text", "doc_id", 64, 8)
+      .queryExecution.executedPlan.toString
+    // exactly one Exchange (hash by shard for the window) — a global
+    // unpartitioned window would show a SinglePartition exchange
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SinglePartition"), s"global window leaked:\n$plan")
+  }
+
   test("chunk: overlap windows cover the doc; short doc → one chunk") {
     val doc = ("x" * 500, 1L)
     val df = Seq(doc, ("short", 2L)).toDF("text", "doc_id")
