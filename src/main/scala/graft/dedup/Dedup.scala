@@ -445,6 +445,34 @@ object Dedup {
     materializeAndRelease(pairs, toks)
   }
 
+  /** Benchmark decontamination: per-document count of distinct word
+    * n-grams shared with a benchmark/eval corpus — the standard LLM
+    * training-data step that keeps eval answers out of the training set
+    * (docs with `overlap >= minOverlap` get dropped/reviewed upstream).
+    *
+    * Scale shape: the benchmark side is eval-set-sized by construction —
+    * its distinct gram list stays small, so the join is broadcast-able
+    * (AQE decides; no hint, so a pathologically large benchmark degrades
+    * to a shuffle join, not an OOM). The corpus side is explode →
+    * distinct-per-doc grams (array_distinct before the explode — set
+    * semantics without a corpus-wide shuffle) → inner join → count
+    * aggregate with map-side partials. Documents shorter than n tokens
+    * contribute their whole text as one gram (the [[ngramJaccard]]
+    * convention, mirrored in the SQL oracle). */
+  def contaminationOverlap(docs: DataFrame, textCol: String, idCol: String,
+                           benchmark: DataFrame, benchTextCol: String,
+                           n: Int = 5, minOverlap: Long = 1L): DataFrame = {
+    require(n > 0 && minOverlap > 0, s"need n > 0, minOverlap > 0; got $n/$minOverlap")
+    def grams(df: DataFrame, text: String, outCols: Column*): DataFrame =
+      df.select(outCols :+
+        explode(array_distinct(TextOps.wordNgrams(col(text), n))).as("g"): _*)
+    val docGrams = grams(docs, textCol, col(idCol).as("id"))
+    val benchGrams = grams(benchmark, benchTextCol).select("g").distinct()
+    docGrams.join(benchGrams, "g")
+      .groupBy("id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** SimHash signatures for a whole corpus: 64-bit locality-sensitive
     * signature — per-token hashes vote ±1 on each bit; sign of the vote
     * sets the bit. Returns (id, sig: bigint).

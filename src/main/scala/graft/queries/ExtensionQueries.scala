@@ -143,6 +143,17 @@ object ExtensionQueries {
     TextOps.packByTokenBudget(t(s, dir, "documents"), "text", "doc_id",
       contextLen = 512, shards = 8)
 
+  /** Benchmark decontamination: every 97th document stands in for an
+    * eval set; docs sharing any distinct 5-gram with it are flagged with
+    * their overlap count (benchmark members flag themselves — expected:
+    * a real pipeline drops them too). */
+  private val txtContamination: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    Dedup.contaminationOverlap(d, "text", "doc_id",
+      d.filter(col("doc_id") % 97 === 0), "text", n = 5, minOverlap = 1L)
+      .select(col("id").as("doc_id"), col("overlap"))
+  }
+
   /** Capstone near-dedup pipeline: ORGANIC similarity pairs (consecutive
     * docs with token-Jaccard ≥ 0.7 — the corpus has real runs of similar
     * neighbors, largest component 10 docs / diameter 9 at sf0.01) →
@@ -398,6 +409,7 @@ object ExtensionQueries {
     "dd_simhash" -> ddSimhash,
     "dd_components" -> ddComponents,
     "pipe_near_dedup" -> pipeNearDedup,
+    "txt_contamination" -> txtContamination,
     "w5_hash_sample" -> w5HashSample,
     "w6_stratified_sample" -> w6StratifiedSample,
     "txt_pack" -> txtPack,
@@ -576,6 +588,22 @@ object ExtensionQueries {
           |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
           |     END AS n_tokens
           |   FROM documents))""".stripMargin,
+      // 5-gram construction: DuckDB list slice [i:i+4] is 1-based
+      // inclusive (5 tokens); short docs contribute the whole text as
+      // one gram (the engine's wordNgrams convention).
+      "txt_contamination" ->
+        """WITH toks AS (SELECT doc_id,
+          |   regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+          | grams AS (
+          |   SELECT DISTINCT doc_id,
+          |     CASE WHEN len(ts) < 5 THEN array_to_string(ts, ' ')
+          |          ELSE array_to_string(ts[i.iv:i.iv+4], ' ') END AS g
+          |   FROM toks, LATERAL (SELECT unnest(range(1, GREATEST(len(ts) - 3, 2)))
+          |     AS iv) i)
+          |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS overlap
+          |FROM grams d
+          |JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) b ON b.g = d.g
+          |GROUP BY 1""".stripMargin,
       // End-to-end: Jaccard pairs at 0.7 (same arithmetic as
       // dd_ngram_jaccard, unrounded for the threshold compare, exactly as
       // the engine filters) + recursive closure + keep-min rule.

@@ -153,6 +153,26 @@ class DedupSpec extends SparkSpec {
     ok.unpersist(blocking = true)
   }
 
+  test("contaminationOverlap flags docs sharing benchmark n-grams, spares clean docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated words describing nothing shared at all"),
+      (3L, "we observed the quick brown fox jumps over fences daily"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox jumps over everything")).toDF("doc_id", "text")
+    val out = Dedup.contaminationOverlap(docs, "text", "doc_id", bench, "text",
+      n = 5, minOverlap = 1L).as[(Long, Long)].collect().toMap
+    // docs 1 and 3 both share "the quick brown fox jumps" and
+    // "quick brown fox jumps over"; 2 and 4 are clean
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L) === 2L && out(3L) === 2L)
+    // a benchmark member inside the corpus flags itself with all its grams
+    val self = Dedup.contaminationOverlap(
+      docs.unionByName(bench), "text", "doc_id", bench, "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(self(99L) === 3L) // 7 tokens → 3 distinct 5-grams
+  }
+
   test("consecutiveTokenJaccardPairs ≡ per-pair ngramJaccard expression") {
     val df = (base ++ nearDups).toDF("doc_id", "text")
     val out = Dedup.consecutiveTokenJaccardPairs(df, "text", "doc_id", threshold = 0.2)
