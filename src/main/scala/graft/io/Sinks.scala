@@ -22,6 +22,16 @@ object Sinks {
     df
   }
 
+  /** JSON-lines sink, full-refresh overwrite — the interchange format of
+    * LLM-corpus tooling (one JSON object per line; splittable, schema
+    * rides with the data). Distributed write, one part-file per
+    * partition. */
+  def jsonLines(df: DataFrame, path: String, coalesce: Int = 0): DataFrame = {
+    val out = if (coalesce > 0) df.coalesce(coalesce) else df
+    out.write.mode(SaveMode.Overwrite).json(path)
+    df
+  }
+
   /** K2 — emit the CREATE TABLE DDL that the JDBC writer would synthesize
     * (dag1.py:261-270); exposed for inspection/tests. */
   def ddl(df: DataFrame, table: String): String =

@@ -143,6 +143,20 @@ object ExtensionQueries {
     TextOps.packByTokenBudget(t(s, dir, "documents"), "text", "doc_id",
       contextLen = 512, shards = 8)
 
+  /** JSON-lines sink + re-scan round-trip over the documents corpus — the
+    * LLM-corpus interchange format. Hash-equality with the parquet source
+    * proves the full write→escape→parse→infer cycle (doc text includes
+    * whatever quoting/whitespace the generator produced). */
+  private val k8JsonRoundtrip: Q = (s, dir) => {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch_k8")
+    java.nio.file.Files.createDirectories(out)
+    graft.io.Sinks.jsonLines(t(s, dir, "documents"), s"$out/documents")
+    s.read.json(s"$out/documents")
+      .select(col("doc_id").cast(LongType), col("text"), col("lang"),
+        col("source"), col("n_chars").cast(LongType))
+  }
+
   /** Benchmark decontamination: every 97th document stands in for an
     * eval set; docs sharing any distinct 5-gram with it are flagged with
     * their overlap count (benchmark members flag themselves — expected:
@@ -410,6 +424,7 @@ object ExtensionQueries {
     "dd_components" -> ddComponents,
     "pipe_near_dedup" -> pipeNearDedup,
     "txt_contamination" -> txtContamination,
+    "k8_json_roundtrip" -> k8JsonRoundtrip,
     "w5_hash_sample" -> w5HashSample,
     "w6_stratified_sample" -> w6StratifiedSample,
     "txt_pack" -> txtPack,
@@ -588,6 +603,8 @@ object ExtensionQueries {
           |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
           |     END AS n_tokens
           |   FROM documents))""".stripMargin,
+      "k8_json_roundtrip" ->
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
       // 5-gram construction: DuckDB list slice [i:i+4] is 1-based
       // inclusive (5 tokens); short docs contribute the whole text as
       // one gram (the engine's wordNgrams convention).
