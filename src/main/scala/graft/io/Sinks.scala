@@ -32,6 +32,24 @@ object Sinks {
     df
   }
 
+  /** Small-file compaction: rewrite a parquet dataset into `targetFiles`
+    * files. The chronic data-lake ailment at scale — a streaming or
+    * per-batch writer leaves thousands of KB-sized files and every
+    * downstream scan pays per-file open/footer costs plus scheduler
+    * pressure; periodic compaction restores healthy file sizes.
+    * `repartition` (round-robin shuffle) balances output sizes even when
+    * the input files are skewed; rows are bit-identical, order is not
+    * (parquet readers don't promise order anyway). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inPath: String, outPath: String,
+                     targetFiles: Int): DataFrame = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val df = spark.read.parquet(inPath)
+    df.repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** K2 — emit the CREATE TABLE DDL that the JDBC writer would synthesize
     * (dag1.py:261-270); exposed for inspection/tests. */
   def ddl(df: DataFrame, table: String): String =

@@ -157,6 +157,26 @@ object ExtensionQueries {
         col("source"), col("n_chars").cast(LongType))
   }
 
+  /** Schema-evolution read: two parquet generations of the corpus — an
+    * early one without `n_chars`, a later one with it — live in one
+    * dataset; `mergeSchema` reconciles them and old rows surface NULL for
+    * the new column. The standard additive-evolution path for a corpus
+    * that gains metadata columns over time. */
+  private val k9SchemaMerge: Q = (s, dir) => {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch_k9")
+    java.nio.file.Files.createDirectories(out)
+    val d = t(s, dir, "documents")
+    d.filter(col("doc_id") < 250).select(col("doc_id"), col("lang"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/docs/gen=a")
+    d.filter(col("doc_id") >= 250).select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/docs/gen=b")
+    s.read.option("mergeSchema", true).parquet(s"$out/docs")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** Benchmark decontamination: every 97th document stands in for an
     * eval set; docs sharing any distinct 5-gram with it are flagged with
     * their overlap count (benchmark members flag themselves — expected:
@@ -425,6 +445,7 @@ object ExtensionQueries {
     "pipe_near_dedup" -> pipeNearDedup,
     "txt_contamination" -> txtContamination,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
+    "k9_schema_merge" -> k9SchemaMerge,
     "w5_hash_sample" -> w5HashSample,
     "w6_stratified_sample" -> w6StratifiedSample,
     "txt_pack" -> txtPack,
@@ -603,6 +624,9 @@ object ExtensionQueries {
           |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
           |     END AS n_tokens
           |   FROM documents))""".stripMargin,
+      "k9_schema_merge" ->
+        ("SELECT doc_id, lang, CASE WHEN doc_id >= 250 THEN n_chars END" +
+          " AS n_chars FROM documents"),
       "k8_json_roundtrip" ->
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
       // 5-gram construction: DuckDB list slice [i:i+4] is 1-based

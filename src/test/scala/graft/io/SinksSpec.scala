@@ -35,6 +35,21 @@ class SinksSpec extends SparkSpec {
       s"bucketed join should not shuffle; found: ${exchanges.map(_.nodeName)}")
   }
 
+  test("compactParquet: many small files become targetFiles, rows identical") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString
+    // the streaming-writer pathology: 32 tiny part-files
+    (0L until 1000L).toDF("v").repartition(32).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(in)
+    def partFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    assert(partFiles(in) === 32)
+    val compacted = Sinks.compactParquet(spark, in, out, targetFiles = 4)
+    assert(partFiles(out) === 4)
+    assert(compacted.as[Long].collect().sorted.sameElements(0L until 1000L))
+  }
+
   test("partitionBy write + partition-column filter prunes directories at plan time") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col
