@@ -314,6 +314,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKDesc(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"bloom_might_contain takes 2 arguments (bloom, key), got ${children.length}")
+        // Spark's own runtime-filter probe expression (codegen'd); the
+        // bloom side is a foldable binary (serialized util.sketch
+        // BloomFilter), the value side a LongType key.
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dequantize_i8"),
       new ExpressionInfo(classOf[VectorDequantizeI8].getName, "vec_dequantize_i8"),
       (children: Seq[Expression]) => {

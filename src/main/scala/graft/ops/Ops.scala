@@ -349,6 +349,115 @@ object Ops {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** CDC snapshot diff: compare two keyed snapshots of the same table and
+    * emit one row per difference with `change_type` ∈ insert/update/delete
+    * plus the old/new value of every compared column. This is the
+    * incremental complement of the reference's truncate-and-reload refresh
+    * (dag1.py:273-287): at 100 TB you ship the diff, not the table.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key (AQE handles
+    * skew); presence is tracked by explicit flags so snapshots containing
+    * null keys still classify correctly (null keys never equi-match, so a
+    * null-keyed row in either snapshot surfaces as its side's
+    * insert/delete). Comparison is null-safe (`<=>`). Unchanged rows are
+    * dropped pre-projection, so the output is diff-sized, not table-sized. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldDf.select(
+      keyCols.map(k => col(k).as(s"__o_$k")) ++
+        compareCols.map(c => col(c).as(s"old_$c")) :+ lit(true).as("__in_old"): _*)
+    val n = newDf.select(
+      keyCols.map(k => col(k).as(s"__n_$k")) ++
+        compareCols.map(c => col(c).as(s"new_$c")) :+ lit(true).as("__in_new"): _*)
+    val cond = keyCols.map(k => col(s"__o_$k") === col(s"__n_$k")).reduce(_ && _)
+    val inOld = coalesce(col("__in_old"), lit(false))
+    val inNew = coalesce(col("__in_new"), lit(false))
+    val changed = compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, cond, "full_outer")
+      .withColumn("change_type",
+        when(!inOld, lit("insert"))
+          .when(!inNew, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(k => coalesce(col(s"__o_$k"), col(s"__n_$k")).as(k)) ++
+        Seq(col("change_type")) ++
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** SCD Type-2 dimension build: collapse a per-key event/snapshot history
+    * into validity intervals of the tracked attribute. Consecutive rows
+    * (ordered by `orderCol`, ties broken by `tieCol`) with an unchanged
+    * attribute merge into one interval; each attribute change opens a new
+    * version. Output: key, version (1-based), attribute, valid_from
+    * (= first orderCol of the run), valid_to (= next run's valid_from,
+    * null for the current version) — the classic warehouse
+    * effective-dating the reference's star schema (pdf p.3) would need for
+    * history.
+    *
+    * Scale shape: one shuffle on the key; the run-detection window, the
+    * (key, version) aggregate and the valid_to lead window all reuse the
+    * same hash(key) partitioning (ClusteredDistribution(key, version) is
+    * satisfied by hash(key)), so Catalyst plans exactly one exchange.
+    * Change detection is null-safe: a null attribute run is a version like
+    * any other. */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String,
+           orderCol: String, tieCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    val runs = df.select(col(keyCol), col(attrCol), col(orderCol), col(tieCol))
+      .withColumn("__chg",
+        when(lag(col(attrCol), 1).over(wOrd) <=> col(attrCol), lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("version", sum(col("__chg"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agg = runs.groupBy(col(keyCol), col("version"))
+      .agg(min(col(attrCol)).as(attrCol),   // attr is constant within a run
+        min(col(orderCol)).as("valid_from"))
+    val wKey = Window.partitionBy(col(keyCol)).orderBy(col("version"))
+    agg.withColumn("valid_to", lead(col("valid_from"), 1).over(wKey))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col("valid_from"), col("valid_to"))
+  }
+
+  /** Probe predicate of [[bloomSemiJoin]], exposed for testing/observation:
+    * builds a Bloom filter over `keys.keyCol` (distributed aggregate; only
+    * the fixed-size sketch reaches the driver) and returns a codegen'd
+    * probe `Column => Column` using Spark's native
+    * `BloomFilterMightContain` expression (registered as
+    * `bloom_might_contain` by [[graft.functions.GraftExtensions]] — no
+    * UDF, stays inside whole-stage codegen). */
+  def bloomProbe(keys: DataFrame, keyCol: String,
+                 expectedItems: Long, fpp: Double): Column => Column = {
+    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+    c => call_function("bloom_might_contain", bloomLit, c.cast(LongType))
+  }
+
+  /** Bloom-pruned semi-join: filter the big side through a compact Bloom
+    * filter of the key set BEFORE the exact semi-join, so the shuffle (or
+    * even the scan's downstream pipeline) carries only rows that can
+    * match, plus an fpp-sized false-positive tail the exact join then
+    * removes. Result is EXACTLY `big SEMI JOIN keys` — the bloom stage is
+    * a pure prune.
+    *
+    * 100 TB math: 100M keys at 1% fpp is a ~114 MB sketch — shipped to
+    * executors once per stage via Spark's broadcast-backed task binaries —
+    * versus shuffling the full big side for the join. With a 1% match
+    * rate the join input drops ~50×. (Spark's own runtime bloom filter
+    * does this automatically only for shuffle-join shapes it recognizes;
+    * this operator makes the prune explicit and composable.) */
+  def bloomSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
+                    keyCol: String, expectedItems: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    val probe = bloomProbe(keys, keyCol, expectedItems, fpp)
+    big.filter(probe(col(bigKey)))
+      .join(keys.select(col(keyCol).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
+  }
+
   /** W1/W2 — unpivot/melt: wide year columns → long (Year, value) rows
     * (dag1.py:82,96). Thin wrapper over Spark's built-in melt with the
     * reference's semantics: value columns are everything not in `ids`,

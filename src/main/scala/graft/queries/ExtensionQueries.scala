@@ -143,6 +143,22 @@ object ExtensionQueries {
     TextOps.packByTokenBudget(t(s, dir, "documents"), "text", "doc_id",
       contextLen = 512, shards = 8)
 
+  /** Gopher-family repetition signals per document (dup-word /
+    * top-bigram / dup-bigram fractions) — the boilerplate detector the
+    * single-token `txt_top_word_ratio` approximates. */
+  private val txtRepetition: Q = (s, dir) =>
+    TextOps.repetitionSignals(t(s, dir, "documents"), "text", "doc_id")
+
+  /** SCD Type-2 dimension build over the event history: per user, the
+    * validity intervals of the (changing) event_type attribute, ordered by
+    * (ts, event_id). Timestamps exported as epoch micros for the oracle
+    * compare; the open (current) version carries a null valid_to. */
+  private val w8Scd2: Q = (s, dir) =>
+    graft.ops.Ops.scd2(events(s, dir), "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("version"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"))
+
   /** JSON-lines sink + re-scan round-trip over the documents corpus — the
     * LLM-corpus interchange format. Hash-equality with the parquet source
     * proves the full write→escape→parse→infer cycle (doc text includes
@@ -434,6 +450,8 @@ object ExtensionQueries {
     "txt_stopword_ratio" -> txtStopwordRatio,
     "txt_fingerprint" -> txtFingerprint,
     "txt_top_word_ratio" -> txtTopWordRatio,
+    "txt_repetition" -> txtRepetition,
+    "w8_scd2" -> w8Scd2,
     "txt_redact" -> txtRedact,
     "txt_chunk" -> txtChunk,
     "pipe_clean_corpus" -> pipeCleanCorpus,
@@ -577,6 +595,47 @@ object ExtensionQueries {
              |   GREATEST(CAST(CEIL((length(text) - 32) / 224.0) AS BIGINT), 1)))
              |   AS chunk_no) c
              |WHERE doc_id < 200""".stripMargin,
+      // Bigrams via list_transform over the token array (1-based index;
+      // range(1, len) yields 1..len-1 = every adjacent pair), mirroring
+      // the engine's lead-window construction.
+      "txt_repetition" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+             | words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+             | wstat AS (SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS dw
+             |   FROM words WHERE w <> '' GROUP BY 1),
+             | bg AS (SELECT doc_id,
+             |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+             |   FROM toks),
+             | bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+             | bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+             |   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM bgc GROUP BY 1)
+             |SELECT w.doc_id,
+             | ROUND(1 - CAST(dw AS DOUBLE) / nw, 6) AS dup_word_frac,
+             | ROUND(COALESCE(CAST(mx AS DOUBLE) / tot, 0), 6) AS top_bigram_frac,
+             | ROUND(COALESCE(CAST(dup AS DOUBLE) / tot, 0), 6) AS dup_bigram_frac
+             |FROM wstat w LEFT JOIN bstat b ON b.doc_id = w.doc_id""".stripMargin,
+      // Run detection (lag), run numbering (running sum), interval collapse
+      // (group), valid_to (lead) — the same three-window construction as
+      // the engine, on epoch-micro timestamps.
+      "w8_scd2" ->
+        """WITH o AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+          |   lag(event_type) OVER (PARTITION BY user_id
+          |     ORDER BY epoch_us(ts), event_id) AS pa
+          | FROM events),
+          | r AS (SELECT user_id, event_type, t,
+          |   SUM(CASE WHEN pa IS NULL OR pa <> event_type THEN 1 ELSE 0 END)
+          |     OVER (PARTITION BY user_id ORDER BY t, event_id
+          |           ROWS UNBOUNDED PRECEDING) AS version
+          | FROM o),
+          | g AS (SELECT user_id, version, min(event_type) AS event_type,
+          |   min(t) AS valid_from_us
+          |   FROM r GROUP BY 1, 2)
+          |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+          | valid_from_us,
+          | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+          |   AS valid_to_us
+          |FROM g""".stripMargin,
       "txt_top_word_ratio" ->
         raw"""SELECT doc_id, ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_ratio
              |FROM (

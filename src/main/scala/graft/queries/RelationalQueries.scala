@@ -531,8 +531,60 @@ object RelationalQueries {
       round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
       round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
 
+  // ------------------------------------------- CDC / scale-join extensions
+  /** J6 — bloom-pruned semi-join: lineitem rows belonging to high-value
+    * orders (~5% selectivity). The big side is pruned by a compact Bloom
+    * filter of the key set before the exact semi-join; the result is
+    * bit-identical to a plain semi-join (the oracle), the plan carries
+    * ~20× fewer rows into the join. */
+  private val j6BloomPrune: Q = (s, dir) => {
+    val keys = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 470000).select("o_orderkey")
+    Ops.bloomSemiJoin(t(s, dir, "lineitem"), keys, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L, fpp = 0.01)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+  }
+
+  /** W7 — CDC snapshot diff. Old/new snapshots are derived
+    * deterministically from `orders`: keys ≡ 0 (mod 100) exist only in the
+    * new snapshot (inserts), ≡ 1 only in the old (deletes), ≡ 2 carry a
+    * ×1.1 price in the new snapshot (updates); everything else is
+    * unchanged and must NOT appear in the diff. */
+  private val w7SnapshotDiff: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val oldSnap = o.filter(col("o_orderkey") % 100 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newSnap = o.filter(col("o_orderkey") % 100 =!= 1)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 100 === 2, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    Ops.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_totalprice"))
+      .select(col("o_orderkey"), col("change_type"),
+        round(col("old_o_totalprice"), 6).as("old_price"),
+        round(col("new_o_totalprice"), 6).as("new_price"))
+  }
+
+  /** F11 — winsorize: clip a numeric column to its exact [p05, p95]
+    * percentiles (outlier handling for downstream stats). The percentile
+    * pair is a single-row aggregate broadcast back over the table — no
+    * global sort, no window. */
+  private val f11Winsorize: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val p = o.agg(
+      percentile(col("o_totalprice"), lit(0.05)).as("p05"),
+      percentile(col("o_totalprice"), lit(0.95)).as("p95"))
+    o.crossJoin(broadcast(p))
+      .select(col("o_orderkey"),
+        round(least(greatest(col("o_totalprice"), col("p05")), col("p95")), 6)
+          .as("price_w"))
+  }
+
   // ------------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "j6_bloom_prune" -> j6BloomPrune,
+    "w7_snapshot_diff" -> w7SnapshotDiff,
+    "f11_winsorize" -> f11Winsorize,
     "s1_xlsx_scan" -> s1XlsxScan,
     "s2_csv_scan" -> s2CsvScan,
     "s3_csv_charset" -> s3CsvCharset,
@@ -592,6 +644,35 @@ object RelationalQueries {
     "pr6_correlation" -> pr6Correlation)
 
   val oracle: Map[String, String] = Map(
+    "j6_bloom_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | ROUND(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 470000)
+        |GROUP BY 1""".stripMargin,
+    "w7_snapshot_diff" ->
+      """WITH olds AS (SELECT o_orderkey, o_totalprice FROM orders
+        |   WHERE o_orderkey % 100 <> 0),
+        | news AS (SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 100 = 2
+        |        THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |        ELSE o_totalprice END AS o_totalprice
+        |   FROM orders WHERE o_orderkey % 100 <> 1)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        | CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |      WHEN n.o_orderkey IS NULL THEN 'delete'
+        |      ELSE 'update' END AS change_type,
+        | ROUND(o.o_totalprice, 6) AS old_price,
+        | ROUND(n.o_totalprice, 6) AS new_price
+        |FROM olds o FULL OUTER JOIN news n ON n.o_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_totalprice <> n.o_totalprice""".stripMargin,
+    "f11_winsorize" ->
+      """WITH p AS (SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+        |   quantile_cont(o_totalprice, 0.95) AS p95 FROM orders)
+        |SELECT o_orderkey,
+        | ROUND(LEAST(GREATEST(o_totalprice, p05), p95), 6) AS price_w
+        |FROM orders, p""".stripMargin,
     "s1_xlsx_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s2_csv_scan" ->

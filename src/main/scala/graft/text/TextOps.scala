@@ -187,4 +187,43 @@ object TextOps {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg((max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_word_ratio"))
+
+  /** Full Gopher-family repetition signals (Rae et al. 2021 §A1.1) per
+    * document: `dup_word_frac` (1 − distinct/total words — the "duplicate
+    * line fraction" analog for newline-free corpora), `top_bigram_frac`
+    * (share of bigram occurrences taken by the most frequent bigram) and
+    * `dup_bigram_frac` (share of bigram occurrences whose bigram appears
+    * more than once). Together they catch looped/template text that
+    * single-token ratios miss.
+    *
+    * Shape: one posexplode of the token stream; word stats are a doc-key
+    * aggregate, bigrams come from a `lead` window over the SAME doc-key
+    * partitioning (no HOF in the evaluated path — explode + window + agg
+    * are all codegen'd), and the (doc, bigram) count reuses the hash(doc)
+    * exchange. Single-word docs get 0.0 bigram signals. */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wStats = words.groupBy("doc_id").agg(
+      count(lit(1)).as("nw"), count_distinct(col("w")).as("dw"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = words
+      .withColumn("nxt", lead(col("w"), 1).over(wOrd))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("g"))
+    val bStats = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c")).as("mx"), sum(col("c")).as("tot"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
+    wStats.join(bStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("dw").cast(DoubleType) / col("nw"), 6)
+          .as("dup_word_frac"),
+        round(coalesce(col("mx").cast(DoubleType) / col("tot"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(coalesce(col("dup").cast(DoubleType) / col("tot"), lit(0.0)), 6)
+          .as("dup_bigram_frac"))
+  }
 }

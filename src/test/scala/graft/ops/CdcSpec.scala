@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** snapshotDiff (CDC), scd2 (slowly-changing dimension) and the
+  * bloom-pruned semi-join. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies insert/update/delete and drops unchanged") {
+    val oldS = Seq((1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"))
+      .toDF("k", "price", "tag")
+    val newS = Seq((1, 10.0, "a"), (2, 22.0, "b"), (4, 40.0, "d"))
+      .toDF("k", "price", "tag")
+    val out = Ops.snapshotDiff(oldS, newS, Seq("k"), Seq("price", "tag"))
+      .orderBy("k")
+      .select("k", "change_type", "old_price", "new_price")
+      .as[(Int, String, Option[Double], Option[Double])].collect()
+    assert(out.sameElements(Array(
+      (2, "update", Some(20.0), Some(22.0)),
+      (3, "delete", Some(30.0), None),
+      (4, "insert", None, Some(40.0)))))
+  }
+
+  test("snapshotDiff is null-safe: null→value is an update, null<=>null is not") {
+    val oldS = Seq((1, None: Option[Double]), (2, None: Option[Double]))
+      .toDF("k", "v")
+    val newS = Seq((1, Some(1.0)), (2, None: Option[Double])).toDF("k", "v")
+    val out = Ops.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .select("k", "change_type").as[(Int, String)].collect()
+    assert(out.sameElements(Array((1, "update"))))
+  }
+
+  test("snapshotDiff: null keys never equi-match — they surface as delete + insert") {
+    val oldS = Seq((Option(1), 10.0), (None: Option[Int], 99.0)).toDF("k", "v")
+    val newS = Seq((Option(1), 10.0), (None: Option[Int], 99.0)).toDF("k", "v")
+    val out = Ops.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .select("change_type").as[String].collect().sorted
+    assert(out.sameElements(Array("delete", "insert")))
+  }
+
+  test("scd2 collapses runs into versions with a valid_from/valid_to chain") {
+    // key 1: A,A,B,A → 3 versions (A recurring later is a NEW version)
+    val e = Seq((1, "A", 10L, 1L), (1, "A", 20L, 2L), (1, "B", 30L, 3L),
+        (1, "A", 40L, 4L), (2, "X", 5L, 5L))
+      .toDF("k", "attr", "ts", "id")
+    val out = Ops.scd2(e, "k", "attr", "ts", "id")
+      .orderBy("k", "version")
+      .select("k", "version", "attr", "valid_from", "valid_to")
+      .as[(Int, Long, String, Long, Option[Long])].collect()
+    assert(out.sameElements(Array(
+      (1, 1L, "A", 10L, Some(30L)),
+      (1, 2L, "B", 30L, Some(40L)),
+      (1, 3L, "A", 40L, None),
+      (2, 1L, "X", 5L, None))))
+  }
+
+  test("scd2 orders ties by tieCol and treats a null-attribute run as a version") {
+    // same ts: id decides order → B before A; then null run, then A
+    val e = Seq((1, "B", 10L, 1L), (1, "A", 10L, 2L),
+        (1, null, 20L, 3L), (1, null, 25L, 4L), (1, "A", 30L, 5L))
+      .toDF("k", "attr", "ts", "id")
+    val out = Ops.scd2(e, "k", "attr", "ts", "id")
+      .orderBy("version")
+      .select("version", "attr", "valid_from")
+      .as[(Long, Option[String], Long)].collect()
+    assert(out.sameElements(Array(
+      (1L, Some("B"), 10L), (2L, Some("A"), 10L),
+      (3L, None, 20L), (4L, Some("A"), 30L))))
+  }
+
+  test("bloomSemiJoin equals the exact semi-join; the probe prunes non-members") {
+    val big = (0L until 10000L).map(i => (i, i % 7)).toDF("k", "payload")
+    val keys = (0L until 10000L by 100L).map(Tuple1(_)).toDF("id")  // 1% match
+    val viaBloom = Ops.bloomSemiJoin(big, keys, "k", "id",
+      expectedItems = 1000L, fpp = 0.01).select("k").as[Long].collect().sorted
+    val exact = big.join(keys.withColumnRenamed("id", "k"), Seq("k"), "left_semi")
+      .select("k").as[Long].collect().sorted
+    assert(viaBloom.sameElements(exact))
+
+    val probe = Ops.bloomProbe(keys, "id", expectedItems = 1000L, fpp = 0.01)
+    val survivors = big.filter(probe(col("k"))).count()
+    // no false negatives (≥ the 100 true members), and the 1% fpp bloom
+    // keeps the false-positive tail far below the non-member count
+    assert(survivors >= 100)
+    assert(survivors < 100 + 1000, s"bloom pruned too little: $survivors")
+  }
+}

@@ -149,4 +149,20 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").select("top_word_ratio").as[Double].collect()
     assert(r(0) === 0.8 && r(1) === 0.2 && r(2) === 1.0)
   }
+
+  test("repetitionSignals: dup-word + bigram fractions; single-word doc → 0") {
+    val df = Seq(
+      (1L, "a a a b"),     // 4 words 2 distinct → dup_word 0.5;
+                           // bigrams: "a a","a a","a b" → top 2/3, dup 2/3
+      (2L, "w x y z"),     // all distinct, all bigrams unique → 0s
+      (3L, "solo"))        // no bigrams → 0.0 bigram signals
+      .toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("dup_word_frac", "top_bigram_frac", "dup_bigram_frac")
+      .as[(Double, Double, Double)].collect()
+    assert(r(0) === ((0.5, 0.666667, 0.666667)))
+    assert(r(1) === ((0.0, 0.333333, 0.0)))  // 3 unique bigrams → top 1/3
+    assert(r(2) === ((0.0, 0.0, 0.0)))
+  }
 }
