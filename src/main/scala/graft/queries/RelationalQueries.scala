@@ -580,8 +580,54 @@ object RelationalQueries {
           .as("price_w"))
   }
 
+  /** J7 — anti-join: customers with NO high-value order. Completes the
+    * join family (inner/outer/semi are covered elsewhere); planned as a
+    * broadcast anti-join over the filtered key set. */
+  private val j7AntiJoin: Q = (s, dir) => {
+    val highValue = t(s, dir, "orders").filter(col("o_totalprice") > 470000)
+      .select(col("o_custkey").as("c_custkey"))
+    t(s, dir, "customer").join(highValue, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** A9 — rollup with grouping ids: subtotal rows at (priority, status),
+    * (priority) and grand-total level, one pass (Spark expands the
+    * grouping sets map-side; one shuffle). */
+  private val a9Rollup: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("total"),
+        grouping_id().cast(LongType).as("gid"))
+
+  /** A10 — moving average: per customer, the mean of the last 3 order
+    * totals in (date, key) order — the standard trailing-window analytic.
+    * One shuffle on the customer key. */
+  private val a10MovingAvg: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "orders").select(col("o_orderkey"),
+      round(avg(col("o_totalprice")).over(w), 6).as("trailing3_avg"))
+  }
+
+  /** W9 — pivot (long → wide): order counts per priority × status, the
+    * inverse of the W1/W2 melts. Explicit pivot values keep the plan a
+    * single pass (no distinct-values pre-query). */
+  private val w9Pivot: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+
   // ------------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "j7_anti_join" -> j7AntiJoin,
+    "a9_rollup" -> a9Rollup,
+    "a10_moving_avg" -> a10MovingAvg,
+    "w9_pivot" -> w9Pivot,
     "j6_bloom_prune" -> j6BloomPrune,
     "w7_snapshot_diff" -> w7SnapshotDiff,
     "f11_winsorize" -> f11Winsorize,
@@ -644,6 +690,29 @@ object RelationalQueries {
     "pr6_correlation" -> pr6Correlation)
 
   val oracle: Map[String, String] = Map(
+    "j7_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 470000)""".stripMargin,
+    // DuckDB GROUPING() returns the same (first arg = MSB) bitmask as
+    // Spark's grouping_id().
+    "a9_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n,
+        | ROUND(sum(o_totalprice), 6) AS total,
+        | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+    "a10_moving_avg" ->
+      """SELECT o_orderkey, ROUND(AVG(o_totalprice) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS trailing3_avg
+        |FROM orders""".stripMargin,
+    "w9_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        | CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+        | CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
     "j6_bloom_prune" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         | ROUND(sum(l_quantity), 6) AS sum_qty
