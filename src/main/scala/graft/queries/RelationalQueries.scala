@@ -580,6 +580,23 @@ object RelationalQueries {
           .as("price_w"))
   }
 
+  /** K10 — z-order layout round-trip: rewrite lineitem along the Morton
+    * curve over (l_partkey, l_suppkey), then answer a filter on the SECOND
+    * curve column from the re-laid-out copy. Correctness = the filter
+    * result is identical to querying the original table (the oracle);
+    * the pruning win itself is asserted in ZorderSpec on row-group
+    * metrics. */
+  private val k10ZorderScan: Q = (s, dir) => {
+    val out = tmpDir("k10") + "/lineitem_z"
+    graft.io.Zorder.write(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+      Seq("l_partkey", "l_suppkey"), out, bits = 10, partitions = 4,
+      blockSize = Some(256 * 1024))
+    s.read.parquet(out).filter(col("l_suppkey") <= 10)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+  }
+
   /** J7 — anti-join: customers with NO high-value order. Completes the
     * join family (inner/outer/semi are covered elsewhere); planned as a
     * broadcast anti-join over the filtered key set. */
@@ -624,6 +641,7 @@ object RelationalQueries {
 
   // ------------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
+    "k10_zorder_scan" -> k10ZorderScan,
     "j7_anti_join" -> j7AntiJoin,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
@@ -690,6 +708,10 @@ object RelationalQueries {
     "pr6_correlation" -> pr6Correlation)
 
   val oracle: Map[String, String] = Map(
+    "k10_zorder_scan" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        | ROUND(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem WHERE l_suppkey <= 10 GROUP BY 1""".stripMargin,
     "j7_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey NOT IN (
