@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over (user, ts, event_type) streams: ordered
+  * conversion funnels and cohort retention — the query shapes an
+  * events-table owner runs daily at warehouse scale.
+  *
+  * Scale shape: every stage is a filtered aggregate or join keyed on the
+  * user — no windows over the full event stream, no per-user collect, no
+  * driver-side loops; the whole funnel is ONE lazy plan whose per-stage
+  * state is a fixed-width row per user. */
+object EventAnalytics {
+
+  /** Ordered funnel with a per-step conversion window: a user reaches step
+    * k if they performed `steps(k)` at-or-after their step-(k−1) conversion
+    * time and within `windowExpr` of it; the user's step-k time is the
+    * EARLIEST such qualifying occurrence (step 1: the user's earliest
+    * `steps(0)` event, unconditionally). Returns one row per step:
+    * (stage, step, n_users), monotonically non-increasing.
+    *
+    * Plan shape: step k is a left join of the per-user state (one row per
+    * surviving user) against the type-`steps(k)` slice of the events,
+    * re-aggregated to one row per user — k user-keyed shuffles of
+    * type-filtered slices; the event stream itself is never windowed or
+    * replicated. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             windowExpr: Column): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(typeCol).as("et"))
+    var cur = ev.filter(col("et") === steps.head)
+      .groupBy("u").agg(min(col("ts")).as("t1"))
+    steps.indices.drop(1).foreach { i =>
+      val prev = s"t$i"
+      // qualifying step-(i+1) event: within [t_i, t_i + window]; null
+      // t_i propagates (condition is null → q null → t_{i+1} null)
+      val stepEv = ev.filter(col("et") === steps(i))
+        .select(col("u"), col("ts").as("__ts2"))
+      val carry = (1 to i).map(j => min(col(s"t$j")).as(s"t$j")) // constant per u
+      cur = cur.join(stepEv, Seq("u"), "left")
+        .withColumn("__q", when(
+          col("__ts2") >= col(prev) && col("__ts2") <= col(prev) + windowExpr,
+          col("__ts2")))
+        .groupBy("u")
+        .agg(carry.head, carry.tail :+ min(col("__q")).as(s"t${i + 1}"): _*)
+    }
+    val stageStructs = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("stage"), lit(st).as("step"),
+        col(s"t${i + 1}").isNotNull.as("r"))
+    }
+    cur.select(explode(array(stageStructs: _*)).as("s"))
+      .groupBy(col("s.stage").as("stage"), col("s.step").as("step"))
+      .agg(count(when(col("s.r"), 1)).as("n_users"))
+  }
+
+  /** Cohort retention: users are cohorted by the day of their first event;
+    * a cohort member is "retained at offset d" if they have any event d
+    * days after their cohort day. Returns (cohort_day, day_offset,
+    * n_users). Two user-keyed shuffles: the first-event aggregate and the
+    * distinct (user, day) activity set; the cohort dim then joins back on
+    * the user key (broadcast-sized at any realistic user count relative
+    * to events). */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstDay = events.groupBy(col(userCol).as("u"))
+      .agg(date_trunc("day", min(col(tsCol))).as("cohort_day"))
+    val activity = events.select(col(userCol).as("u"),
+      date_trunc("day", col(tsCol)).as("active_day")).distinct()
+    activity.join(firstDay, "u")
+      .select(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

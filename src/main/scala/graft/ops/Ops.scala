@@ -387,6 +387,31 @@ object Ops {
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Apply a [[snapshotDiff]] changeset to a base snapshot — the MERGE
+    * (upsert + delete) half of the CDC pair: rows whose keys carry a
+    * delete/update are removed from the base, then insert/update rows are
+    * appended with their new values. By construction
+    * `applyChangeset(old, snapshotDiff(old, new)) == new` (tested as a
+    * round-trip law in CdcSpec).
+    *
+    * Scale shape: one anti-join of the base against the (diff-sized,
+    * usually broadcastable) changed-key set plus a union — the base is
+    * never shuffled on anything but the join key, and at a typical <1%
+    * daily change rate the anti-join broadcasts. This is how a 100 TB
+    * table takes a daily delta without a truncate-and-reload. */
+  def applyChangeset(base: DataFrame, changes: DataFrame,
+                     keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val changedKeys = changes
+      .filter(col("change_type").isin("delete", "update"))
+      .select(keyCols.map(col): _*)
+    val upserts = changes
+      .filter(col("change_type").isin("insert", "update"))
+      .select(keyCols.map(col) ++ valueCols.map(c => col(s"new_$c").as(c)): _*)
+    base.select((keyCols ++ valueCols).map(col): _*)
+      .join(changedKeys, keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+
   /** SCD Type-2 dimension build: collapse a per-key event/snapshot history
     * into validity intervals of the tracked attribute. Consecutive rows
     * (ordered by `orderCol`, ties broken by `tieCol`) with an unchanged

@@ -159,6 +159,19 @@ object ExtensionQueries {
         unix_micros(col("valid_from")).as("valid_from_us"),
         unix_micros(col("valid_to")).as("valid_to_us"))
 
+  /** Ordered conversion funnel view → click → purchase with a 1-hour
+    * per-step window — one lazy plan, per-user fixed-width state. */
+  private val evtFunnel: Q = (s, dir) =>
+    graft.ops.EventAnalytics.funnel(events(s, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), expr("INTERVAL 1 HOUR"))
+
+  /** Cohort retention: users cohorted by first-event day; n distinct
+    * users active at each day offset from their cohort day. */
+  private val evtRetention: Q = (s, dir) =>
+    graft.ops.EventAnalytics.retention(events(s, dir), "user_id", "ts")
+      .select(unix_micros(col("cohort_day")).as("cohort_day_us"),
+        col("day_offset"), col("n_users"))
+
   /** JSON-lines sink + re-scan round-trip over the documents corpus — the
     * LLM-corpus interchange format. Hash-equality with the parquet source
     * proves the full write→escape→parse→infer cycle (doc text includes
@@ -482,6 +495,8 @@ object ExtensionQueries {
     "evt_range" -> evtRange,
     "evt_json_extract" -> evtJsonExtract,
     "evt_json_struct" -> evtJsonStruct,
+    "evt_funnel" -> evtFunnel,
+    "evt_retention" -> evtRetention,
     "evt_sessionize" -> evtSessionize,
     "evt_session_window" -> evtSessionWindow,
     "evt_window_counts" -> evtWindowCounts)
@@ -876,6 +891,35 @@ object ExtensionQueries {
       "evt_json_struct" ->
         """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
           | FROM events""".stripMargin,
+      // Chained first-qualifying-occurrence CTEs — the same per-user state
+      // recursion as the engine's per-step join+re-aggregate.
+      "evt_funnel" ->
+        """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+          |   WHERE event_type = 'view' GROUP BY 1),
+          | s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+          |   JOIN s1 ON s1.u = e.user_id
+          |   WHERE e.event_type = 'click' AND e.ts >= s1.t1
+          |     AND e.ts <= s1.t1 + INTERVAL 1 HOUR GROUP BY 1),
+          | s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+          |   JOIN s2 ON s2.u = e.user_id
+          |   WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+          |     AND e.ts <= s2.t2 + INTERVAL 1 HOUR GROUP BY 1)
+          |SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+          | (SELECT count(*) FROM s1) AS n_users
+          |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+          |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+      "evt_retention" ->
+        """WITH f AS (SELECT user_id AS u,
+          |   CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+          | FROM events GROUP BY 1),
+          | a AS (SELECT DISTINCT user_id AS u,
+          |   CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day FROM events)
+          |SELECT epoch_us(f.cohort_day) AS cohort_day_us,
+          | CAST(date_diff('day', f.cohort_day, a.active_day) AS INTEGER)
+          |   AS day_offset,
+          | CAST(count(*) AS BIGINT) AS n_users
+          |FROM a JOIN f ON f.u = a.u
+          |GROUP BY 1, 2""".stripMargin,
       "evt_sessionize" ->
         """WITH l AS (SELECT user_id, epoch_us(ts) AS t,
           |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS p

@@ -565,6 +565,23 @@ object RelationalQueries {
         round(col("new_o_totalprice"), 6).as("new_price"))
   }
 
+  /** K11 — CDC round-trip: apply the W7 changeset back onto the old
+    * snapshot; the result must be byte-identical to the new snapshot
+    * (which the oracle derives directly). Proves the
+    * snapshotDiff → applyChangeset pair is lossless. */
+  private val k11ChangesetApply: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val oldSnap = o.filter(col("o_orderkey") % 100 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newSnap = o.filter(col("o_orderkey") % 100 =!= 1)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 100 === 2, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val diff = Ops.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_totalprice"))
+    Ops.applyChangeset(oldSnap, diff, Seq("o_orderkey"), Seq("o_totalprice"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 6).as("price"))
+  }
+
   /** F11 — winsorize: clip a numeric column to its exact [p05, p95]
     * percentiles (outlier handling for downstream stats). The percentile
     * pair is a single-row aggregate broadcast back over the table — no
@@ -642,6 +659,7 @@ object RelationalQueries {
   // ------------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "k10_zorder_scan" -> k10ZorderScan,
+    "k11_changeset_apply" -> k11ChangesetApply,
     "j7_anti_join" -> j7AntiJoin,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
@@ -708,6 +726,12 @@ object RelationalQueries {
     "pr6_correlation" -> pr6Correlation)
 
   val oracle: Map[String, String] = Map(
+    "k11_changeset_apply" ->
+      """SELECT o_orderkey,
+        | ROUND(CASE WHEN o_orderkey % 100 = 2
+        |   THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |   ELSE o_totalprice END, 6) AS price
+        |FROM orders WHERE o_orderkey % 100 <> 1""".stripMargin,
     "k10_zorder_scan" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
         | ROUND(sum(l_quantity), 6) AS sum_qty

@@ -70,6 +70,24 @@ class CdcSpec extends SparkSpec {
       (3L, None, 20L), (4L, Some("A"), 30L))))
   }
 
+  test("round-trip law: applyChangeset(old, snapshotDiff(old, new)) == new") {
+    // randomized-ish but deterministic: inserts, deletes, updates, null
+    // values, and untouched rows all present
+    val oldS = (0 until 300).map(i =>
+      (i, if (i % 11 == 0) None else Some(i * 1.5), s"tag${i % 7}"))
+      .toDF("k", "v", "tag")
+    val newS = (0 until 330).filter(_ % 13 != 0).map(i =>
+      (i, if (i % 17 == 0) None else Some(i * (if (i % 5 == 0) 2.5 else 1.5)),
+        s"tag${i % (if (i % 3 == 0) 6 else 7)}"))
+      .toDF("k", "v", "tag")
+    val diff = Ops.snapshotDiff(oldS, newS, Seq("k"), Seq("v", "tag"))
+    val rebuilt = Ops.applyChangeset(oldS, diff, Seq("k"), Seq("v", "tag"))
+      .select("k", "v", "tag").as[(Int, Option[Double], String)].collect().sorted
+    val expected = newS
+      .select("k", "v", "tag").as[(Int, Option[Double], String)].collect().sorted
+    assert(rebuilt.sameElements(expected))
+  }
+
   test("bloomSemiJoin equals the exact semi-join; the probe prunes non-members") {
     val big = (0L until 10000L).map(i => (i, i % 7)).toDF("k", "payload")
     val keys = (0L until 10000L by 100L).map(Tuple1(_)).toDF("id")  // 1% match

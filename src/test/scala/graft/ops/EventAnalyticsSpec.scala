@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("funnel: order matters, window bounds, first qualifying occurrence") {
+    val events = Seq(
+      // u1 completes A→B→C in order, within windows
+      (1L, ts(0), "A"), (1L, ts(10), "B"), (1L, ts(20), "C"),
+      // u2 does B BEFORE A — never reaches stage 2
+      (2L, ts(0), "B"), (2L, ts(10), "A"),
+      // u3 does B too late (window is 30 min)
+      (3L, ts(0), "A"), (3L, ts(45), "B"),
+      // u4 has two Bs: the first qualifying one (t=25) anchors C's window,
+      // so C at t=30 qualifies (25+30≥30)
+      (4L, ts(0), "A"), (4L, ts(25), "B"), (4L, ts(28), "B"), (4L, ts(30), "C"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), expr("INTERVAL 30 MINUTES"))
+      .orderBy("stage").select("stage", "step", "n_users")
+      .as[(Int, String, Long)].collect()
+    assert(out.sameElements(Array(
+      (1, "A", 4L),   // u1..u4 all did A
+      (2, "B", 2L),   // u1, u4 (u2 out of order, u3 out of window)
+      (3, "C", 2L)))) // u1, u4
+  }
+
+  test("funnel counts are monotonically non-increasing on real-shaped data") {
+    val events = (0 until 500).map { i =>
+      (i % 37L, ts(i % 97), Seq("A", "B", "C")(i % 3))
+    }.toDF("user_id", "ts", "event_type")
+    val n = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), expr("INTERVAL 10 MINUTES"))
+      .orderBy("stage").select("n_users").as[Long].collect()
+    assert(n.length === 3 && n(0) >= n(1) && n(1) >= n(2))
+  }
+
+  test("retention: cohort by first day, offsets count distinct active users") {
+    def day(d: Int, h: Int = 3) = new Timestamp((d * 24L + h) * 3600000L)
+    val events = Seq(
+      (1L, day(0)), (1L, day(0, 9)), (1L, day(2)),   // cohort d0, active 0 & 2
+      (2L, day(0)), (2L, day(1)),                    // cohort d0, active 0 & 1
+      (3L, day(1)), (3L, day(2)))                    // cohort d1, active 1 & 2
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.retention(events, "user_id", "ts")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("c"),
+        col("day_offset"), col("n_users"))
+      .orderBy("c", "day_offset")
+      .as[(String, Int, Long)].collect()
+    assert(out.sameElements(Array(
+      ("1970-01-01", 0, 2L), ("1970-01-01", 1, 1L), ("1970-01-01", 2, 1L),
+      ("1970-01-02", 0, 1L), ("1970-01-02", 1, 1L))))
+  }
+}
