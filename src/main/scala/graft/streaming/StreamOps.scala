@@ -1,11 +1,56 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.dedup.Dedup
 
-/** Streaming counterparts of the batch dedup family. */
+/** One first-crossing alert per key (see [[StreamOps.thresholdAlerts]]). */
+case class ThresholdAlert(key: Long, n_events: Long, total: Double)
+
+/** Streaming counterparts of the batch dedup family, plus custom-state
+  * operators built on `flatMapGroupsWithState`. */
 object StreamOps {
+
+  /** Emit-on-transition alerting: for each key, emit EXACTLY ONE row the
+    * first time the running sum of `valueCol` crosses `threshold` —
+    * capturing the event count and total at the crossing. The
+    * budget/fraud/quota alerting shape.
+    *
+    * This is the `flatMapGroupsWithState` escalation point (SURVEY §2.12):
+    * a windowed aggregate in update mode can tell you the total is now
+    * over the threshold, but it re-emits on EVERY later update and cannot
+    * distinguish the crossing from life after it — "fire once, then stay
+    * silent" needs previous-state comparison, i.e. custom state. State per
+    * key is three fixed-width fields (count, sum, alerted); with
+    * NoTimeout it lives for the query lifetime, which is the correct
+    * semantics for a monotone lifetime budget — wire
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `state.setTimeoutDuration`
+    * in the caller's variant when keys must age out. */
+  def thresholdAlerts(events: DataFrame, threshold: Double,
+                      keyCol: String = "user_id",
+                      valueCol: String = "value"): Dataset[ThresholdAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(s"CAST($keyCol AS LONG) AS k",
+        s"CAST($valueCol AS DOUBLE) AS v").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double, Boolean)]) =>
+          var (n, sum, alerted) = state.getOption.getOrElse((0L, 0.0, false))
+          var fired: Option[ThresholdAlert] = None
+          rows.foreach { case (_, v) =>
+            n += 1; sum += v
+            if (!alerted && sum >= threshold) {
+              alerted = true
+              fired = Some(ThresholdAlert(key, n, sum))
+            }
+          }
+          state.update((n, sum, alerted))
+          fired.iterator
+      }
+  }
 
   /** Streaming exact dedup: drop rows whose `keys` were already seen within
     * the watermark horizon. State is evicted once the event-time watermark

@@ -70,4 +70,28 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamKept.contains(1001L))
     } finally q.stop()
   }
+
+  test("thresholdAlerts fires exactly once per key, at the first crossing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = StreamOps.thresholdAlerts(df, threshold = 100.0)
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode("update").start()
+    try {
+      // u1 crosses within batch 1; u2 stays below; u3 accumulates
+      mem.addData((1L, 60.0), (1L, 50.0), (2L, 30.0), (3L, 80.0))
+      q.processAllAvailable()
+      // u2 crosses ACROSS batches; u1 adds more but must NOT re-fire;
+      // u3 crosses exactly at the threshold boundary
+      mem.addData((2L, 75.0), (1L, 999.0), (3L, 20.0))
+      q.processAllAvailable()
+      val out = spark.table("alerts_out").orderBy("key")
+        .select("key", "n_events", "total").as[(Long, Long, Double)].collect()
+      assert(out.sameElements(Array(
+        (1L, 2L, 110.0),   // fired mid-batch-1 at the second event
+        (2L, 2L, 105.0),   // state carried across batches
+        (3L, 2L, 100.0)))) // >= threshold: boundary fires
+    } finally q.stop()
+  }
 }
