@@ -249,6 +249,48 @@ case class VectorDotI8(left: Expression, right: Expression) extends BinaryExpres
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode normalization + accent stripping for corpus canonicalization:
+  * NFD-decompose, drop combining marks (Mn), NFC-recompose — so "café",
+  * "café" and "cafe" all fingerprint identically before dedup.
+  * Spark has no built-in for this; the expression calls the JDK
+  * normalizer through a static helper from generated code, staying inside
+  * whole-stage codegen (one virtual call per row, no interpreted
+  * fallback). */
+case class TextUnaccent(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"text_unaccent expects string, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextUnaccent.strip(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextUnaccent.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextUnaccent =
+    copy(child = newChild)
+}
+
+object TextUnaccent {
+  private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** NFD → strip combining marks → NFC. Static so generated code can call
+    * it directly. */
+  def strip(s: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    val stripped = marks.matcher(nfd).replaceAll("")
+    val nfc = java.text.Normalizer.normalize(stripped, java.text.Normalizer.Form.NFC)
+    org.apache.spark.unsafe.types.UTF8String.fromString(nfc)
+  }
+}
+
 object VectorExprs {
 
   /** Codegen'd dot product of two float/double array columns. Resolved via
@@ -275,6 +317,9 @@ object VectorExprs {
 
   /** Reconstruct an approximate float vector from its quantized form. */
   def dequantizeI8(a: Column): Column = call_function("vec_dequantize_i8", a)
+
+  /** Unicode-canonicalize + strip accents (NFD → drop Mn → NFC). */
+  def unaccent(a: Column): Column = call_function("text_unaccent", a)
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -312,6 +357,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           s"topk_desc takes 3 arguments (score, id, k), got ${children.length}")
         TopKDesc(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("text_unaccent"),
+      new ExpressionInfo(classOf[TextUnaccent].getName, "text_unaccent"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"text_unaccent takes 1 argument, got ${children.length}")
+        TextUnaccent(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),

@@ -159,6 +159,32 @@ object ExtensionQueries {
         unix_micros(col("valid_from")).as("valid_from_us"),
         unix_micros(col("valid_to")).as("valid_to_us"))
 
+  /** Per-domain corpus stats with a blocklist: extract URL hostnames
+    * (planted deterministically — the raw corpus has none), drop
+    * blocklisted domains via anti-join, count distinct docs per domain —
+    * the domain-curation shape of web-crawl pipelines. */
+  private val txtDomains: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast(StringType),
+        lit(".example.org/p ref http://cdn"), (col("doc_id") % 3).cast(StringType),
+        lit(".example.net/x")).as("text"))
+    val blocklist = Seq("site0.example.org", "cdn1.example.net").toDF("domain")
+    docs.select(col("doc_id"), explode(TextOps.extractDomains(col("text"))).as("domain"))
+      .join(blocklist, Seq("domain"), "left_anti")
+      .groupBy("domain").agg(count_distinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Unicode canonicalization: NFD → strip combining marks → NFC via the
+    * native `text_unaccent` expression, over planted accented text (the
+    * pre-dedup canonicalization step for multilingual corpora). */
+  private val txtNormalize: Q = (s, dir) =>
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.unaccent(
+          concat(col("text"), lit(" café naïve são žluťoučký"))).as("norm"))
+
   /** Ordered conversion funnel view → click → purchase with a 1-hour
     * per-step window — one lazy plan, per-user fixed-width state. */
   private val evtFunnel: Q = (s, dir) =>
@@ -464,6 +490,8 @@ object ExtensionQueries {
     "txt_fingerprint" -> txtFingerprint,
     "txt_top_word_ratio" -> txtTopWordRatio,
     "txt_repetition" -> txtRepetition,
+    "txt_domains" -> txtDomains,
+    "txt_normalize" -> txtNormalize,
     "w8_scd2" -> w8Scd2,
     "txt_redact" -> txtRedact,
     "txt_chunk" -> txtChunk,
@@ -630,6 +658,21 @@ object ExtensionQueries {
              | ROUND(COALESCE(CAST(mx AS DOUBLE) / tot, 0), 6) AS top_bigram_frac,
              | ROUND(COALESCE(CAST(dup AS DOUBLE) / tot, 0), 6) AS dup_bigram_frac
              |FROM wstat w LEFT JOIN bstat b ON b.doc_id = w.doc_id""".stripMargin,
+      "txt_domains" ->
+        """WITH d AS (SELECT doc_id, unnest(regexp_extract_all(
+          |   text || ' see https://site' || (doc_id % 7) ||
+          |   '.example.org/p ref http://cdn' || (doc_id % 3) ||
+          |   '.example.net/x',
+          |   'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM documents)
+          |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM d WHERE domain NOT IN ('site0.example.org', 'cdn1.example.net')
+          |GROUP BY 1""".stripMargin,
+      // strip_accents on NFC input ≡ the engine's NFD → drop-Mn → NFC for
+      // canonically-decomposable characters (all planted ones are).
+      "txt_normalize" ->
+        """SELECT doc_id,
+          | strip_accents(text || ' café naïve são žluťoučký') AS norm
+          |FROM documents WHERE doc_id < 200""".stripMargin,
       // Run detection (lag), run numbering (running sum), interval collapse
       // (group), valid_to (lead) — the same three-window construction as
       // the engine, on epoch-micro timestamps.

@@ -188,6 +188,14 @@ object TextOps {
       .groupBy("doc_id")
       .agg((max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_word_ratio"))
 
+  /** Hostnames of every http(s) URL in the text, lowercased — the basis
+    * of domain-level corpus curation (per-domain stats, blocklists,
+    * domain-stratified sampling à la web-crawl pipelines). Match-based
+    * RE2-compatible pattern (engine-portable); map-only. */
+  def extractDomains(c: Column): Column =
+    transform(regexp_extract_all(c, lit("https?://([A-Za-z0-9.-]+)"), lit(1)),
+      d => lower(d))
+
   /** Full Gopher-family repetition signals (Rae et al. 2021 §A1.1) per
     * document: `dup_word_frac` (1 − distinct/total words — the "duplicate
     * line fraction" analog for newline-free corpora), `top_bigram_frac`

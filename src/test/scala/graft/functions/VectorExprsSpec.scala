@@ -96,4 +96,22 @@ class VectorExprsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("vec_dot_i8"))
   }
+
+  test("text_unaccent: strips diacritics, normalizes decomposed forms, keeps ASCII") {
+    val cases = Seq(
+      "café",            // precomposed é
+      "cafe\u0301",      // decomposed e + combining acute — same output
+      "žluťoučký kůň",   // caron/ring diacritics
+      "plain ascii 42!", // untouched
+      "")
+    val out = cases.toDF("s")
+      .select(VectorExprs.unaccent(col("s")).as("n")).as[String].collect()
+    assert(out.sameElements(Array(
+      "cafe", "cafe", "zlutoucky kun", "plain ascii 42!", "")))
+    // SQL surface + null safety
+    assert(spark.sql("SELECT text_unaccent('São_Paulo') AS n")
+      .as[String].head() === "Sao_Paulo")
+    assert(spark.sql("SELECT text_unaccent(CAST(NULL AS STRING)) AS n")
+      .collect().head.isNullAt(0))
+  }
 }

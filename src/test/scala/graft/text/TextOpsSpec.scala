@@ -150,6 +150,16 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0) === 0.8 && r(1) === 0.2 && r(2) === 1.0)
   }
 
+  test("extractDomains: hostnames lowercased, non-URL text ignored") {
+    val out = Seq(
+      "see https://Site.Example.ORG/path?q=1 and http://cdn.example.net/x",
+      "no urls here", "ftp://not.matched/x")
+      .toDF("t").select(TextOps.extractDomains(col("t")).as("d"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("site.example.org", "cdn.example.net"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
   test("repetitionSignals: dup-word + bigram fractions; single-word doc → 0") {
     val df = Seq(
       (1L, "a a a b"),     // 4 words 2 distinct → dup_word 0.5;
