@@ -44,6 +44,36 @@ object Dedup {
       .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
   }
 
+  /** Incremental (delta-batch) exact dedup — the daily-crawl shape: dedup
+    * the NEW batch within itself (keep the lowest id per fingerprint),
+    * then drop any row whose fingerprint already exists in the reference
+    * corpus. Returns the surviving new rows with all their columns.
+    *
+    * This is the operator that makes exact dedup O(|delta|) per ingest
+    * instead of O(|corpus|) re-runs: the reference side reduces to its
+    * DISTINCT fingerprint set (8-byte keys — a 100 TB corpus's
+    * fingerprint set is ~10⁹ rows of one long, trivially shuffled or even
+    * broadcast when the corpus is small), and only the delta's text is
+    * ever scanned. The anti-join shuffles on the fingerprint — both
+    * sides fixed-width.
+    *
+    * `fingerprint` is pluggable (default: the engine's 64-bit normalized
+    * xxhash) so callers can match whatever key their reference store
+    * already holds. */
+  def incrementalDedup(newBatch: DataFrame, reference: DataFrame,
+                       textCol: String, idCol: String,
+                       fingerprint: Column => Column =
+                         TextOps.fingerprint(_)): DataFrame = {
+    val payload = struct(newBatch.columns.map(col): _*)
+    val newKeep = newBatch
+      .groupBy(fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(payload, col(idCol)).as("__row"))
+    val refFps = reference
+      .select(fingerprint(col(textCol)).as("__fp")).distinct()
+    newKeep.join(refFps, Seq("__fp"), "left_anti")
+      .select(newBatch.columns.map(c => col(s"__row.`$c`").as(c)): _*)
+  }
+
   /** Exploded (id, shingle) rows — every stage codegen'd: normalize, emit
     * one row per shingle START POSITION (sequence+explode), then a plain
     * `substr`. The array-building `charShingles` HOF runs interpreted and

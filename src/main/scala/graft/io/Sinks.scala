@@ -50,6 +50,27 @@ object Sinks {
     spark.read.parquet(outPath)
   }
 
+  /** Range-sharded SORTED export — the training-shard layout: rows are
+    * range-partitioned on `sortCol` into `shards` files, each file sorted
+    * internally, so shard N's key range ends before shard N+1's begins.
+    * The layout a data loader wants (deterministic shard → key mapping,
+    * sequential reads in key order) and the layout parquet row-group
+    * min/max stats prune best (a key-range query touches one shard).
+    *
+    * Scale mechanics: `repartitionByRange` drives a RangePartitioner
+    * whose bounds come from a reservoir SAMPLE of the keys — one extra
+    * sampling pass, then one shuffle; shard sizes stay balanced even for
+    * skewed key distributions. `sortWithinPartitions` is a partition-local
+    * sort — NO additional shuffle, unlike a global `orderBy`. */
+  def rangeShardedExport(df: DataFrame, path: String, shards: Int,
+                         sortCol: String): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    df.repartitionByRange(shards, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** K2 — emit the CREATE TABLE DDL that the JDBC writer would synthesize
     * (dag1.py:261-270); exposed for inspection/tests. */
   def ddl(df: DataFrame, table: String): String =

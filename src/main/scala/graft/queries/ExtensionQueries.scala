@@ -185,6 +185,55 @@ object ExtensionQueries {
         graft.functions.VectorExprs.unaccent(
           concat(col("text"), lit(" café naïve são žluťoučký"))).as("norm"))
 
+  /** Corpus-wide heavy hitters: the 20 most frequent tokens — the vocab
+    * head every tokenizer/quality audit starts from. TakeOrdered plan:
+    * bounded per-partition heap, never a global sort. */
+  private val txtHeavyHitters: Q = (s, dir) =>
+    TextOps.heavyHitters(t(s, dir, "documents"), "text", k = 20)
+
+  /** Per-document salient terms: top-3 tokens by tf·idf (rational BM25
+    * idf — log-free, so the score arithmetic is bit-mirrorable in SQL and
+    * the whole tf/df/N pipeline is hash-checked). */
+  private val txtSalientTerms: Q = (s, dir) =>
+    TextOps.salientTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)
+
+  /** Incremental (delta-batch) dedup: every fifth doc stands in for the
+    * newly-crawled batch; the rest is the reference corpus. Batch rows
+    * whose fingerprint already exists in the reference are dropped, the
+    * batch is deduped within itself, survivors keep their columns. md5
+    * fingerprint so the oracle can mirror the key. */
+  private val ddIncremental: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 5 === 4),
+        d.filter(col("doc_id") % 5 =!= 4),
+        "text", "doc_id",
+        c => md5(lower(regexp_replace(c, "\\s+", " "))))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** Per-label embedding centroids, exploded back to (label, n_vecs, pos,
+    * x) so every component is a scalar for the oracle compare. The
+    * aggregate shuffles |labels|×dims fixed-width rows, never vectors. */
+  private val embCentroids: Q = (s, dir) =>
+    Similarity.groupCentroids(t(s, dir, "embeddings"), "label")
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("pos", "x")))
+
+  /** Range-sharded sorted export: the corpus re-laid-out as 8 doc_id-range
+    * shards, each internally sorted (training-shard layout; row-group
+    * stats then prune key-range scans to one shard). Round-trip read
+    * proves the layout preserves content; ShardExportSpec asserts the
+    * per-file range/order contract. */
+  private val k12ShardExport: Q = (s, dir) => {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch_k12")
+    java.nio.file.Files.createDirectories(out)
+    graft.io.Sinks.rangeShardedExport(
+        t(s, dir, "documents"), s"$out/docs", shards = 8, sortCol = "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Ordered conversion funnel view → click → purchase with a 1-hour
     * per-step window — one lazy plan, per-user fixed-width state. */
   private val evtFunnel: Q = (s, dir) =>
@@ -503,6 +552,11 @@ object ExtensionQueries {
     "dd_components" -> ddComponents,
     "pipe_near_dedup" -> pipeNearDedup,
     "txt_contamination" -> txtContamination,
+    "txt_heavy_hitters" -> txtHeavyHitters,
+    "txt_salient_terms" -> txtSalientTerms,
+    "dd_incremental" -> ddIncremental,
+    "emb_centroids" -> embCentroids,
+    "k12_shard_export" -> k12ShardExport,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
     "k9_schema_merge" -> k9SchemaMerge,
     "w5_hash_sample" -> w5HashSample,
@@ -703,6 +757,52 @@ object ExtensionQueries {
              |    FROM documents)
              |  WHERE w <> '' GROUP BY doc_id, w)
              |GROUP BY doc_id""".stripMargin,
+      "txt_heavy_hitters" ->
+        raw"""SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+             | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             | FROM documents)
+             |WHERE term <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin,
+      // score arithmetic mirrored left-to-right: (c * (N - df + 0.5)) /
+      // (df + 0.5); every step integer-or-IEEE-exact, so the hash matches.
+      "txt_salient_terms" ->
+        raw"""WITH words AS (SELECT doc_id,
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |   FROM documents),
+             | tf AS (SELECT doc_id, term, count(*) AS c FROM words
+             |   WHERE term <> '' GROUP BY 1, 2),
+             | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+             |SELECT doc_id, term, score, rank FROM (
+             | SELECT tf.doc_id, tf.term,
+             |   ROUND((tf.c * (nn.n - dfq.df + 0.5)) / (dfq.df + 0.5), 6) AS score,
+             |   CAST(row_number() OVER (PARTITION BY tf.doc_id
+             |     ORDER BY ROUND((tf.c * (nn.n - dfq.df + 0.5)) / (dfq.df + 0.5), 6)
+             |       DESC, tf.term) AS INTEGER) AS rank
+             | FROM tf JOIN dfq USING (term) CROSS JOIN nn)
+             |WHERE rank <= 3""".stripMargin,
+      "dd_incremental" ->
+        raw"""WITH fps AS (SELECT doc_id, source, n_chars,
+             |   md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+             |   FROM documents),
+             | newb AS (SELECT * FROM fps WHERE doc_id % 5 = 4),
+             | ref AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 4),
+             | keep AS (SELECT * FROM (SELECT *, row_number() OVER (
+             |     PARTITION BY fp ORDER BY doc_id) AS rn FROM newb)
+             |   WHERE rn = 1)
+             |SELECT doc_id, source, n_chars FROM keep k
+             |WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = k.fp)""".stripMargin,
+      // positions are 0-based to match posexplode; embedding[pos+1] is
+      // DuckDB's 1-based element access.
+      "emb_centroids" ->
+        """WITH e AS (SELECT label, p.pos, embedding[CAST(p.pos + 1 AS INTEGER)] AS x
+          |   FROM embeddings,
+          |   LATERAL (SELECT unnest(range(0, len(embedding))) AS pos) p)
+          |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+          | CAST(pos AS INTEGER) AS pos,
+          | ROUND(avg(CAST(x AS DOUBLE)), 6) AS x
+          |FROM e GROUP BY label, pos""".stripMargin,
+      "k12_shard_export" ->
+        "SELECT doc_id, source, n_chars FROM documents",
       "dd_exact_groups" ->
         """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
           | CAST(min(doc_id) AS BIGINT) AS keep_id,

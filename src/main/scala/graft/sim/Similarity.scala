@@ -225,4 +225,27 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     graft.util.Caching.materializeAndRelease(pairs, sigs)
   }
+
+  /** Per-group mean embedding (centroids): the aggregate behind dataset
+    * cartography, per-domain/language embedding drift monitoring, and
+    * seeding coarse quantizers. Returns (groupCol, n_vecs,
+    * centroid: array<double> rounded to 6 decimals).
+    *
+    * Scale shape: posexplode the vector → ONE codegen'd (group, pos)
+    * avg/count aggregate with map-side partials — the shuffle carries
+    * |groups| × dims fixed-width rows, never the corpus — then a tiny
+    * second aggregate reassembles components into an array ordered by
+    * position. No vector ever crosses the wire whole; compare a naive
+    * `collect_list(embedding)`-then-average, which ships every vector to
+    * one reducer per group. */
+  def groupCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(avg(col("x").cast(DoubleType)), 6).as("x"),
+        count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(max(col("c")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          e => e.getField("x")).as("centroid"))
 }

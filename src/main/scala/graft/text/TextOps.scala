@@ -234,4 +234,56 @@ object TextOps {
         round(coalesce(col("dup").cast(DoubleType) / col("tot"), lit(0.0)), 6)
           .as("dup_bigram_frac"))
   }
+
+  /** Corpus-wide heavy hitters: the `k` most frequent tokens with their
+    * counts, ties broken by token ascending. Returns (term, n).
+    *
+    * Scale shape: explode → codegen'd count aggregate with map-side
+    * partials (the shuffle carries one row per distinct token per
+    * partition, never the token stream), then `orderBy.limit(k)` which
+    * Spark plans as TakeOrderedAndProject — a bounded per-partition heap
+    * merged on the driver, NOT a global sort: k rows per partition on the
+    * final collect, no full-corpus ordering ever materializes. */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
+  /** Per-document salient terms: top-`k` tokens by tf·idf, the classic
+    * keyword/topic signal for corpus exploration and domain tagging.
+    * Returns (doc_id, term, score, rank).
+    *
+    * idf uses the RATIONAL BM25 form WITHOUT the log,
+    * (N − df + 0.5)/(df + 0.5): strictly monotone in the usual
+    * log-idf, so rankings are identical — and, unlike log, every step
+    * (integer counts, one subtraction/addition, one correctly-rounded
+    * IEEE division) is bit-reproducible across engines, which makes the
+    * whole operator hash-checkable against a SQL oracle.
+    *
+    * Scale shape: tf = one (doc, token) count aggregate; df = a second
+    * aggregate over tf's (already distinct-per-doc) rows; N rides in as a
+    * broadcast one-row aggregate (no driver-side collect); the final
+    * top-k is a doc-keyed window — partitioned by doc_id, so it scales
+    * with documents, never a global sort. Tokens-per-doc is bounded, so
+    * per-key state is too. */
+  def salientTerms(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 3): DataFrame = {
+    val n = df.agg(count(lit(1)).cast(DoubleType).as("N"))
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      // association mirrors SQL's left-to-right parse: (c * idf_num) / idf_den
+      .withColumn("score", round(
+        (col("c") * (col("N") - col("df") + 0.5)) / (col("df") + 0.5), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+  }
 }

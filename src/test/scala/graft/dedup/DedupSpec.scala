@@ -153,6 +153,26 @@ class DedupSpec extends SparkSpec {
     ok.unpersist(blocking = true)
   }
 
+  test("incrementalDedup: drops batch rows known to the reference, dedups within batch, keeps columns") {
+    val reference = Seq(
+      (1L, "alpha doc", "web"),
+      (2L, "beta doc", "web")).toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (10L, "alpha   DOC", "crawl"),  // dup of ref 1 after normalization
+      (11L, "gamma doc", "crawl"),    // genuinely new
+      (12L, "gamma doc", "crawl"),    // in-batch dup of 11 — keep min id
+      (13L, "delta doc", "crawl")).toDF("doc_id", "text", "source")
+    val out = Dedup.incrementalDedup(batch, reference, "text", "doc_id")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(11L, 13L))
+    assert(out.forall(_._3 == "crawl")) // payload columns survive
+    // an empty reference reduces to plain within-batch exact dedup
+    val solo = Dedup.incrementalDedup(batch,
+      reference.filter(lit(false)), "text", "doc_id")
+    assert(solo.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 11L, 13L))
+  }
+
   test("contaminationOverlap flags docs sharing benchmark n-grams, spares clean docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -104,6 +104,24 @@ class SimilaritySpec extends SparkSpec {
     ok.unpersist(blocking = true)
   }
 
+  test("groupCentroids: component-wise means in position order, per-group counts") {
+    val d = Seq(
+      (1L, Array(1f, 2f, 3f), 0),
+      (2L, Array(3f, 4f, 5f), 0),
+      (3L, Array(10f, 20f, 30f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.groupCentroids(d, "label")
+      .as[(Int, Long, Seq[Double])].collect().sortBy(_._1)
+    assert(out(0) === ((0, 2L, Seq(2.0, 3.0, 4.0))))
+    assert(out(1) === ((1, 1L, Seq(10.0, 20.0, 30.0))))
+  }
+
+  test("groupCentroids is partition-count independent") {
+    val d = df
+    def of(parts: Int) = Similarity.groupCentroids(d.repartition(parts), "label")
+      .as[(Int, Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(of(2) === of(7))
+  }
+
   test("cosineNearDups releases corpus-sized caches (bounded residency)") {
     // Same contract as the Dedup family: after the operator returns, only
     // the pair-sized result may remain cached; the signature intermediate

@@ -160,6 +160,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).isEmpty && out(2).isEmpty)
   }
 
+  test("heavyHitters: top-k by count, ties broken by term ascending") {
+    val df = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana date date"),
+      (3L, "Apple elder")) // case-folded
+      .toDF("doc_id", "text")
+    // counts: apple 4, banana 2, date 2, cherry 1, elder 1
+    val top = TextOps.heavyHitters(df, "text", k = 3)
+      .as[(String, Long)].collect()
+    assert(top.toSeq === Seq(("apple", 4L), ("banana", 2L), ("date", 2L)))
+    // k larger than vocab returns the whole vocab
+    assert(TextOps.heavyHitters(df, "text", k = 100).count() === 5)
+  }
+
+  test("salientTerms: doc-specific terms outrank ubiquitous ones; rank ties by term") {
+    // 'common' appears in every doc (df=3 → low idf); each doc has a
+    // unique term (df=1 → high idf) that must rank first.
+    val df = Seq(
+      (1L, "common zebra zebra"),
+      (2L, "common yak"),
+      (3L, "common xerus common"))
+      .toDF("doc_id", "text")
+    val out = TextOps.salientTerms(df, "text", "doc_id", k = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    // idf(df=1) = (3-1+0.5)/1.5 = 5/3; idf(df=3) = 0.5/3.5 = 1/7
+    assert(out(1L) === Seq(("zebra", 3.333333), ("common", 0.142857)))
+    assert(out(2L) === Seq(("yak", 1.666667), ("common", 0.142857)))
+    assert(out(3L) === Seq(("xerus", 1.666667), ("common", 0.285714)))
+  }
+
   test("repetitionSignals: dup-word + bigram fractions; single-word doc → 0") {
     val df = Seq(
       (1L, "a a a b"),     // 4 words 2 distinct → dup_word 0.5;
