@@ -180,6 +180,28 @@ object Ops {
     df.filter(hashBucket1000(col(keyCol), seed) < permille)
   }
 
+  /** Per-stratum deterministic sampling rates — the corpus-mixture
+    * reweighting primitive (up-weight books, down-weight low-quality web,
+    * drop a blocked source outright with rate 0) built on the same
+    * multiplicative-hash bucket as [[hashSample]]: map-only, no shuffle,
+    * no RNG, and the same keys survive on every run/engine. A stratum
+    * absent from `permilleByStratum` (including a NULL stratum) gets
+    * `defaultPermille`. With equal seeds, each stratum's survivors are
+    * EXACTLY `hashSample(stratum slice, rate)` — mixtures compose with
+    * the split/sample family instead of re-rolling it. */
+  def weightedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                     permilleByStratum: Map[String, Int],
+                     defaultPermille: Int, seed: Long = 1L): DataFrame = {
+    val all = permilleByStratum.values.toSeq :+ defaultPermille
+    require(all.forall(p => p >= 0 && p <= 1000),
+      s"permille rates must be in [0, 1000], got ${all.filterNot(p => p >= 0 && p <= 1000)}")
+    val rate = permilleByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (s, p)) =>
+        when(col(stratumCol) === s, lit(p)).otherwise(acc)
+      }
+    df.filter(hashBucket1000(col(keyCol), seed) < rate)
+  }
+
   /** Deterministic stratified sample: the `k` rows with the LOWEST
     * (hash bucket, key) per stratum — per-stratum rebalancing (equal-sized
     * source/language mixes) with reproducible membership.

@@ -234,6 +234,35 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** C4-style boilerplate line removal over planted cross-document lines:
+    * each doc gains one of three boilerplate lines (each repeated ~170×
+    * corpus-wide → removed at minCount 3) plus a doc-unique note line
+    * (count 1 → kept). Line order of the survivors is preserved. */
+  private val txtLineDedup: Q = (s, dir) => {
+    val boiler = array(lit("all rights reserved"),
+      lit("subscribe to our newsletter"), lit("click here to accept cookies"))
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        element_at(boiler, (col("doc_id") % 3 + 1).cast(IntegerType)),
+        lit("\n"), concat(lit("note "), col("doc_id"))).as("text"))
+    TextOps.removeBoilerplateLines(d, "text", "doc_id", minCount = 3)
+  }
+
+  /** Embedding outliers: the 5 vectors least similar to their own label
+    * centroid, per label — the mislabel-audit list. Centroids are the
+    * ROUNDED groupCentroids output, so the whole centroid+score+rank
+    * pipeline is mirrorable in SQL. */
+  private val embOutliers: Q = (s, dir) =>
+    Similarity.centroidOutliers(t(s, dir, "embeddings"), "label", "vec_id", k = 5)
+
+  /** Corpus-mixture reweighting: per-source sampling rates (src0 kept at
+    * 90%, src1 at 10%, src2 dropped, everything else 25%) via the
+    * deterministic hash bucket — map-only, reproducible membership. */
+  private val w10WeightedSample: Q = (s, dir) =>
+    graft.ops.Ops.weightedSample(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 900, "src1" -> 100, "src2" -> 0), defaultPermille = 250)
+      .select(col("doc_id"), col("source"))
+
   /** Ordered conversion funnel view → click → purchase with a 1-hour
     * per-step window — one lazy plan, per-user fixed-width state. */
   private val evtFunnel: Q = (s, dir) =>
@@ -556,7 +585,10 @@ object ExtensionQueries {
     "txt_salient_terms" -> txtSalientTerms,
     "dd_incremental" -> ddIncremental,
     "emb_centroids" -> embCentroids,
+    "emb_outliers" -> embOutliers,
     "k12_shard_export" -> k12ShardExport,
+    "txt_line_dedup" -> txtLineDedup,
+    "w10_weighted_sample" -> w10WeightedSample,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
     "k9_schema_merge" -> k9SchemaMerge,
     "w5_hash_sample" -> w5HashSample,
@@ -803,6 +835,50 @@ object ExtensionQueries {
           |FROM e GROUP BY label, pos""".stripMargin,
       "k12_shard_export" ->
         "SELECT doc_id, source, n_chars FROM documents",
+      "txt_line_dedup" ->
+        raw"""WITH d AS (SELECT doc_id, text || chr(10) ||
+             |   CASE CAST(doc_id % 3 AS INTEGER)
+             |     WHEN 0 THEN 'all rights reserved'
+             |     WHEN 1 THEN 'subscribe to our newsletter'
+             |     ELSE 'click here to accept cookies' END
+             |   || chr(10) || 'note ' || doc_id AS text FROM documents),
+             | l AS (SELECT doc_id, p.pos, ls[CAST(p.pos + 1 AS INTEGER)] AS line
+             |   FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+             |   LATERAL (SELECT unnest(range(0, len(ls))) AS pos) p),
+             | hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+             | kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+             |   FROM l WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = l.line)
+             |   GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(k.cleaned, '') AS cleaned
+             |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+      // centroids are the ROUNDED per-(label, pos) means (same 6-decimal
+      // round as emb_centroids), so both engines score against identical
+      // centroid values; ranking is on the rounded cosine, vec_id ties.
+      "emb_outliers" ->
+        """WITH e AS (SELECT label, p.pos, embedding[CAST(p.pos + 1 AS INTEGER)] AS x
+          |   FROM embeddings,
+          |   LATERAL (SELECT unnest(range(0, len(embedding))) AS pos) p),
+          | c AS (SELECT label, pos, ROUND(avg(CAST(x AS DOUBLE)), 6) AS x
+          |   FROM e GROUP BY 1, 2),
+          | cent AS (SELECT label, list(x ORDER BY pos) AS centroid
+          |   FROM c GROUP BY 1),
+          | sc AS (SELECT m.label, m.vec_id,
+          |   ROUND(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+          |     cent.centroid), 6) AS cosine
+          |   FROM embeddings m JOIN cent USING (label))
+          |SELECT label, vec_id, cosine, rank FROM (
+          | SELECT label, vec_id, cosine,
+          |   CAST(row_number() OVER (PARTITION BY label
+          |     ORDER BY cosine, vec_id) AS INTEGER) AS rank FROM sc)
+          |WHERE rank <= 5""".stripMargin,
+      "w10_weighted_sample" ->
+        """SELECT doc_id, source FROM (
+          | SELECT doc_id, source,
+          |   CAST(FLOOR((((doc_id + 1) % 1000003) * 2654435761) / 1048576.0)
+          |     AS BIGINT) % 1000 AS b
+          | FROM documents)
+          |WHERE b < CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 100
+          |  WHEN 'src2' THEN 0 ELSE 250 END""".stripMargin,
       "dd_exact_groups" ->
         """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
           | CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -248,4 +248,28 @@ object Similarity {
       .agg(max(col("c")).as("n_vecs"),
         transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           e => e.getField("x")).as("centroid"))
+
+  /** Outlier / mislabel detection (dataset-cartography style): each
+    * vector's cosine to its OWN group centroid, keeping the `k` least
+    * similar per group — the rows to audit when a label bucket is
+    * suspected of contamination. Returns (groupCol, idCol, cosine, rank)
+    * with rank 1 = most anomalous.
+    *
+    * Scale shape: centroids are |groups| rows — broadcast back onto the
+    * corpus (map-only scoring with the codegen'd native cosine; the
+    * corpus never shuffles for the join); the per-group bottom-k is a
+    * group-keyed window. Ranking is on the ROUNDED score with an id
+    * tie-break, so results are deterministic and engine-reproducible. */
+  def centroidOutliers(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int, vecCol: String = "embedding"): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .select(col(groupCol), col("centroid"))
+    val scored = df.join(broadcast(cents), groupCol)
+      .withColumn("cosine", round(cosine(col(vecCol), col("centroid")), 6))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cosine").asc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("cosine"), col("rank"))
+  }
 }

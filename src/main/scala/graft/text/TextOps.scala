@@ -235,6 +235,37 @@ object TextOps {
           .as("dup_bigram_frac"))
   }
 
+  /** C4-style boilerplate line removal (Raffel et al. 2020 §2.2, public):
+    * drop every line that occurs at least `minCount` times ACROSS THE
+    * CORPUS (cookie banners, nav menus, legal footers — the cross-document
+    * repetition that per-document signals can't see), preserving the
+    * order of surviving lines. Returns (doc_id, cleaned); a doc whose
+    * every line is boilerplate comes back as the empty string, not a
+    * dropped row.
+    *
+    * Scale shape: posexplode lines → corpus-wide line-count aggregate —
+    * map-side partials collapse each partition's repeats of a hot
+    * boilerplate line to ONE shuffle row, so the very skew that makes a
+    * line boilerplate never skews the shuffle — → anti-join against the
+    * hot set → per-doc reassembly ordered by original position. Two
+    * shuffles total (line key, doc key), both fixed-shape. */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             minCount: Int = 3): DataFrame = {
+    require(minCount > 1, s"minCount must be > 1, got $minCount")
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("line")
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          e => e.getField("line"))).as("cleaned"))
+    df.select(col(idCol).as("doc_id")).join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Corpus-wide heavy hitters: the `k` most frequent tokens with their
     * counts, ties broken by token ascending. Returns (term, n).
     *

@@ -133,6 +133,30 @@ class OpsSpec extends SparkSpec {
     assert(correlated === Seq("train"))
   }
 
+  test("weightedSample: per-stratum rates, each stratum ≡ hashSample at its rate, 0 drops all") {
+    val rows = (0L until 500L).map(i => ("keep", i)) ++
+      (500L until 1000L).map(i => ("thin", i)) ++
+      (1000L until 1500L).map(i => ("drop", i)) ++
+      (1500L until 2000L).map(i => ("other", i))
+    val df = rows.toDF("src", "id")
+    val out = Ops.weightedSample(df, "src", "id",
+      Map("keep" -> 1000, "thin" -> 100, "drop" -> 0), defaultPermille = 500)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("keep") === 500L)
+    assert(!bySrc.contains("drop"))
+    assert(bySrc("thin") > 20 && bySrc("thin") < 180, s"thin off-rate: $bySrc")
+    assert(bySrc("other") > 180 && bySrc("other") < 320, s"default off-rate: $bySrc")
+    // per-stratum survivors are EXACTLY hashSample of that slice (same seed)
+    val thinIds = out.filter(col("src") === "thin").select("id").as[Long].collect().toSet
+    val expect = Ops.hashSample(df.filter(col("src") === "thin"), "id", 100)
+      .select("id").as[Long].collect().toSet
+    assert(thinIds === expect)
+    // rates outside [0, 1000] are rejected
+    intercept[IllegalArgumentException] {
+      Ops.weightedSample(df, "src", "id", Map("keep" -> 1001), 500)
+    }
+  }
+
   test("stratifiedSample: exactly k per stratum, small strata whole, null stratum kept") {
     val rows = (0L until 100L).map(i => (Option("a"), i)) ++
       (100L until 130L).map(i => (Option("b"), i)) ++

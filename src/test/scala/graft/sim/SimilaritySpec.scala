@@ -122,6 +122,24 @@ class SimilaritySpec extends SparkSpec {
     assert(of(2) === of(7))
   }
 
+  test("centroidOutliers: a planted opposite-direction vector ranks most anomalous") {
+    // group 5: tight cluster around (1, 0, ...) plus one inverted vector
+    val cluster = (0 until 20).map { i =>
+      val v = vec(i).map(x => (x * 0.05f)); v(0) = 1f
+      ((100 + i).toLong, v, 5)
+    }
+    val outlier = {
+      val v = Array.fill(dim)(0f); v(0) = -1f
+      (999L, v, 5)
+    }
+    val d = (cluster :+ outlier).toDF("vec_id", "embedding", "label")
+    val top = Similarity.centroidOutliers(d, "label", "vec_id", k = 3)
+      .filter(col("rank") === 1)
+      .select("vec_id", "cosine").as[(Long, Double)].head()
+    assert(top._1 === 999L)
+    assert(top._2 < 0, s"inverted vector should score negative, got ${top._2}")
+  }
+
   test("cosineNearDups releases corpus-sized caches (bounded residency)") {
     // Same contract as the Dedup family: after the operator returns, only
     // the pair-sized result may remain cached; the signature intermediate

@@ -160,6 +160,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).isEmpty && out(2).isEmpty)
   }
 
+  test("removeBoilerplateLines: cross-doc repeated lines go, order kept, all-boiler doc → empty") {
+    val df = Seq(
+      (1L, "intro one\ncookie banner\nbody one"),
+      (2L, "cookie banner\nbody two"),
+      (3L, "body three\ncookie banner\noutro three"),
+      (4L, "cookie banner")) // nothing survives
+      .toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplateLines(df, "text", "doc_id", minCount = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "intro one\nbody one",
+      2L -> "body two",
+      3L -> "body three\noutro three",
+      4L -> ""))
+    // below the threshold nothing is removed
+    val loose = TextOps.removeBoilerplateLines(df, "text", "doc_id", minCount = 5)
+      .as[(Long, String)].collect().toMap
+    assert(loose(1L) === "intro one\ncookie banner\nbody one")
+  }
+
   test("heavyHitters: top-k by count, ties broken by term ascending") {
     val df = Seq(
       (1L, "apple apple banana cherry"),
