@@ -121,6 +121,31 @@ object Quality {
     * of all rows. Top-N is a global TakeOrdered over the already-reduced
     * per-key counts, never the raw rows; ties break on the rendered key
     * for cross-engine determinism. */
+  /** Percentile gate: keep rows whose `scoreCol` is at or above the
+    * dataset's `p`-quantile — the relative form of quality filtering
+    * ("keep the best 25%") that survives score-distribution drift where a
+    * fixed threshold silently starts keeping everything or nothing.
+    *
+    * The threshold rides back onto the rows as a broadcast one-row
+    * aggregate (no driver collect; one lazy plan). `exact = false`
+    * (default) computes it with `percentile_approx` (Greenwald-Khanna
+    * sketch — bounded memory, mergeable, the only sane choice at 100 TB);
+    * `exact = true` uses the exact interpolated percentile (buffers the
+    * column per partition — fine up to ~10⁸ rows, and the mode an
+    * external SQL oracle can reproduce bit-for-bit). */
+  def percentileGate(df: DataFrame, scoreCol: String, p: Double,
+                     exact: Boolean = false): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    val thrAgg =
+      if (exact) expr(s"percentile(`$scoreCol`, $p)")
+      else percentile_approx(col(scoreCol), lit(p), lit(10000))
+        .cast(org.apache.spark.sql.types.DoubleType)
+    val thr = df.agg(thrAgg.as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
     // total via one count job (a scalar), not a second aggregation branch
     // over the counts lineage — exchange reuse across branches is not

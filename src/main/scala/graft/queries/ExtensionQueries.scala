@@ -255,6 +255,16 @@ object ExtensionQueries {
   private val embOutliers: Q = (s, dir) =>
     Similarity.centroidOutliers(t(s, dir, "embeddings"), "label", "vec_id", k = 5)
 
+  /** Relative quality filtering: keep the top quartile of docs by quality
+    * score — percentile threshold computed in-plan (exact mode here so
+    * the oracle can mirror it with quantile_cont; percentile_approx is
+    * the 100 TB path). */
+  private val txtQualityGate: Q = (s, dir) =>
+    graft.quality.Quality.percentileGate(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality")),
+        "quality", p = 0.75, exact = true)
+
   /** Corpus-mixture reweighting: per-source sampling rates (src0 kept at
     * 90%, src1 at 10%, src2 dropped, everything else 25%) via the
     * deterministic hash bucket — map-only, reproducible membership. */
@@ -588,6 +598,7 @@ object ExtensionQueries {
     "emb_outliers" -> embOutliers,
     "k12_shard_export" -> k12ShardExport,
     "txt_line_dedup" -> txtLineDedup,
+    "txt_quality_gate" -> txtQualityGate,
     "w10_weighted_sample" -> w10WeightedSample,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
     "k9_schema_merge" -> k9SchemaMerge,
@@ -871,6 +882,24 @@ object ExtensionQueries {
           |   CAST(row_number() OVER (PARTITION BY label
           |     ORDER BY cosine, vec_id) AS INTEGER) AS rank FROM sc)
           |WHERE rank <= 5""".stripMargin,
+      // same quality arithmetic as txt_quality_score; threshold via
+      // quantile_cont = Spark's exact interpolated percentile (pr4 parity)
+      "txt_quality_gate" ->
+        """WITH scored AS (SELECT doc_id, ROUND(
+          |   LEAST(nchars / 500.0, 1.0) * 0.25
+          | + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+          | + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+          | + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+          |     THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+          | FROM (SELECT doc_id,
+          |    CAST(length(text) AS DOUBLE) AS nchars,
+          |    CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+          |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+          |  FROM documents)),
+          | thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM scored)
+          |SELECT doc_id, quality FROM scored, thr WHERE quality >= t""".stripMargin,
       "w10_weighted_sample" ->
         """SELECT doc_id, source FROM (
           | SELECT doc_id, source,

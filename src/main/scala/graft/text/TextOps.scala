@@ -294,11 +294,15 @@ object TextOps {
     * whole operator hash-checkable against a SQL oracle.
     *
     * Scale shape: tf = one (doc, token) count aggregate; df = a second
-    * aggregate over tf's (already distinct-per-doc) rows; N rides in as a
-    * broadcast one-row aggregate (no driver-side collect); the final
-    * top-k is a doc-keyed window — partitioned by doc_id, so it scales
-    * with documents, never a global sort. Tokens-per-doc is bounded, so
-    * per-key state is too. */
+    * aggregate over tf's (already distinct-per-doc) rows, joined back on
+    * the term (AQE-skew-safe for stopword-grade hot terms, where a
+    * `count over (partition by term)` window would buffer a corpus-sized
+    * partition); N rides in as a broadcast one-row aggregate (no
+    * driver-side collect); the final top-k is a doc-keyed window with
+    * WindowGroupLimit pushdown. Lazy-composition trade: tf feeds both
+    * join sides, so an uncached plan derives it twice — callers running
+    * this ONCE over 100 TB should persist the corpus scan or accept the
+    * second pass; the operator stays lazy (persists nothing) by design. */
   def salientTerms(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3): DataFrame = {
     val n = df.agg(count(lit(1)).cast(DoubleType).as("N"))

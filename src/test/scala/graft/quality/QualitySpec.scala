@@ -90,6 +90,19 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("percentileGate: exact keeps the top (1-p) tail inclusive of the threshold") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    // p=0.75 over 1..100 → exact interpolated threshold 75.25 → keep 76..100
+    val kept = Quality.percentileGate(df, "score", 0.75, exact = true)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === (76L to 100L))
+    // approx mode on the same data lands within one rank of exact
+    val approx = Quality.percentileGate(df, "score", 0.75)
+      .select("id").as[Long].collect().sorted
+    assert(math.abs(approx.length - 25) <= 1, s"approx kept ${approx.length}")
+    intercept[IllegalArgumentException] { Quality.percentileGate(df, "score", 1.0) }
+  }
+
   test("keyStats never throws on a deduped null-free frame (property)") {
     val df = Seq.tabulate(50)(i => (i % 7, i % 3)).toDF("a", "b")
       .dropDuplicates("a", "b")
