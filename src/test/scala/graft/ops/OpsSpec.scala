@@ -189,6 +189,13 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
   }
 
+  test("weightedSample plan: map-only — no Exchange anywhere") {
+    val df = (0L until 100L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    val plan = Ops.weightedSample(df, "src", "id", Map("s0" -> 100), 500)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"weighted sample must not shuffle:\n$plan")
+  }
+
   test("stratifiedSample plan: broadcast semi-join back, corpus not shuffled for the join") {
     val df = (0L until 200L).map(i => (s"s${i % 4}", i)).toDF("src", "id")
     val plan = Ops.stratifiedSample(df, "src", "id", k = 5)

@@ -122,6 +122,15 @@ class SimilaritySpec extends SparkSpec {
     assert(of(2) === of(7))
   }
 
+  test("centroidOutliers plan: centroids broadcast back — scoring joins without shuffling the corpus") {
+    val plan = Similarity.centroidOutliers(df, "label", "vec_id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast the |groups|-row side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the centroid join:\n$plan")
+  }
+
   test("centroidOutliers: a planted opposite-direction vector ranks most anomalous") {
     // group 5: tight cluster around (1, 0, ...) plus one inverted vector
     val cluster = (0 until 20).map { i =>

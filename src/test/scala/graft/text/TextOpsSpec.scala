@@ -194,6 +194,15 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.heavyHitters(df, "text", k = 100).count() === 5)
   }
 
+  test("heavyHitters plan: TakeOrderedAndProject bounded heap, never a global Sort") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.heavyHitters(df, "text", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should plan as a bounded heap:\n$plan")
+    assert(!plan.contains("Sort "), s"no global sort should appear:\n$plan")
+  }
+
   test("salientTerms: doc-specific terms outrank ubiquitous ones; rank ties by term") {
     // 'common' appears in every doc (df=3 → low idf); each doc has a
     // unique term (df=1 → high idf) that must rank first.
