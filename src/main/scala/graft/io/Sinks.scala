@@ -71,6 +71,30 @@ object Sinks {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Dynamic partition overwrite — the lake-maintenance primitive for
+    * reprocessing a slice (one day, one language, one source) of a
+    * partitioned dataset: only the partitions PRESENT IN `df` are
+    * replaced; every other partition's files are untouched. Spark's
+    * default (static) overwrite mode would first delete the WHOLE
+    * dataset — the classic footgun this wrapper exists to avoid — so the
+    * mode is scoped to this one write and restored after.
+    *
+    * At scale this is what makes backfills O(slice) instead of
+    * O(dataset): rewriting one bad day of a year-partitioned 100 TB
+    * table touches 1/365th of the files, and concurrent readers of other
+    * partitions never see a hole. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val was = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally spark.conf.set(key, was)
+  }
+
   /** K2 — emit the CREATE TABLE DDL that the JDBC writer would synthesize
     * (dag1.py:261-270); exposed for inspection/tests. */
   def ddl(df: DataFrame, table: String): String =

@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   * state is a fixed-width row per user. */
 object EventAnalytics {
 
+  /** Volume-anomaly detection: hourly event counts per type, flagging
+    * hours whose count exceeds that type's mean by `sigma` standard
+    * deviations — the pager-rule shape (traffic spike, error burst) run
+    * as one declarative plan. Returns the anomalous
+    * (event_type, window_start, n_events) rows.
+    *
+    * Scale shape: the raw stream collapses to (type, hour) counts in one
+    * map-side-partial aggregate — from then on everything is
+    * |types| × |hours| rows; per-type stats are a second tiny aggregate
+    * broadcast back onto the counts. A type with a single active hour has
+    * NULL sample-stddev and flags nothing (no baseline, no alert). */
+  def hourlyAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                      sigma: Double = 2.0): DataFrame = {
+    require(sigma > 0, s"sigma must be positive, got $sigma")
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("window_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = counts.groupBy("event_type")
+      .agg(avg(col("n_events")).as("__mu"), stddev_samp(col("n_events")).as("__sd"))
+    counts.join(broadcast(stats), "event_type")
+      .filter(col("n_events") > col("__mu") + lit(sigma) * col("__sd"))
+      .select(col("event_type"), col("window_start"), col("n_events"))
+  }
+
   /** Ordered funnel with a per-step conversion window: a user reaches step
     * k if they performed `steps(k)` at-or-after their step-(k−1) conversion
     * time and within `windowExpr` of it; the user's step-k time is the

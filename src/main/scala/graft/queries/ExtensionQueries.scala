@@ -255,6 +255,51 @@ object ExtensionQueries {
   private val embOutliers: Q = (s, dir) =>
     Similarity.centroidOutliers(t(s, dir, "embeddings"), "label", "vec_id", k = 5)
 
+  /** Hourly volume anomalies: hours where a type's event count exceeds
+    * its mean by 2 sample standard deviations — spike/burst detection as
+    * one declarative plan over (type, hour) counts. */
+  private val evtAnomaly: Q = (s, dir) =>
+    graft.ops.EventAnalytics.hourlyAnomalies(events(s, dir), "event_type", "ts")
+      .select(col("event_type"),
+        unix_micros(col("window_start")).as("window_start_us"),
+        col("n_events"))
+
+  /** Dynamic partition overwrite: the corpus lands partitioned by lang,
+    * then ONLY the 'en' partition is reprocessed (n_chars doubled) and
+    * overwritten in place — every other partition's rows survive
+    * untouched, proven by the read-back compare. */
+  private val k13PartitionOverwrite: Q = (s, dir) => {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch_k13")
+    java.nio.file.Files.createDirectories(out)
+    val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang"))
+    d.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang").parquet(s"$out/docs")
+    graft.io.Sinks.overwritePartitions(
+      d.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") * 2),
+      s"$out/docs", Seq("lang"))
+    s.read.parquet(s"$out/docs").select(col("doc_id"), col("n_chars"), col("lang"))
+  }
+
+  /** Priority dedup: keep the HIGHEST-QUALITY row of each duplicate group
+    * (not the lowest id) — the curation keep-rule when duplicates differ
+    * in cleanliness. Planted dups (doc_id+100000) carry doubled spaces:
+    * same normalized fingerprint, different quality score, so the rule is
+    * actually exercised. */
+  private val w11DedupPriority: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"))
+    val scored = d.unionByName(planted).select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    graft.ops.Ops.dedupKeysAgg(scored, Seq("fp"),
+        Seq(-col("quality"), col("doc_id")))
+      .select(col("fp"), col("doc_id").as("keep_id"), col("quality"))
+  }
+
   /** Relative quality filtering: keep the top quartile of docs by quality
     * score — percentile threshold computed in-plan (exact mode here so
     * the oracle can mirror it with quantile_cont; percentile_approx is
@@ -600,6 +645,9 @@ object ExtensionQueries {
     "txt_line_dedup" -> txtLineDedup,
     "txt_quality_gate" -> txtQualityGate,
     "w10_weighted_sample" -> w10WeightedSample,
+    "w11_dedup_priority" -> w11DedupPriority,
+    "evt_anomaly" -> evtAnomaly,
+    "k13_partition_overwrite" -> k13PartitionOverwrite,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
     "k9_schema_merge" -> k9SchemaMerge,
     "w5_hash_sample" -> w5HashSample,
@@ -900,6 +948,47 @@ object ExtensionQueries {
           |  FROM documents)),
           | thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM scored)
           |SELECT doc_id, quality FROM scored, thr WHERE quality >= t""".stripMargin,
+      "evt_anomaly" ->
+        """WITH c AS (SELECT event_type,
+          |   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w,
+          |   CAST(count(*) AS BIGINT) AS n_events
+          | FROM events GROUP BY 1, 2),
+          | st AS (SELECT event_type, avg(n_events) AS mu,
+          |   stddev_samp(n_events) AS sd FROM c GROUP BY 1)
+          |SELECT c.event_type, epoch_us(c.w) AS window_start_us, c.n_events
+          |FROM c JOIN st USING (event_type)
+          |WHERE c.n_events > st.mu + 2.0 * st.sd""".stripMargin,
+      "k13_partition_overwrite" ->
+        """SELECT doc_id,
+          | CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END AS n_chars,
+          | lang FROM documents""".stripMargin,
+      // same quality arithmetic as txt_quality_score over the planted
+      // union; keep rule = (quality DESC, doc_id) per fingerprint.
+      "w11_dedup_priority" ->
+        raw"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+             |   FROM documents WHERE doc_id % 10 = 0),
+             | s AS (SELECT doc_id,
+             |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+             |  ROUND(
+             |    LEAST(nchars / 500.0, 1.0) * 0.25
+             |  + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+             |  + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+             |  + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+             |      THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+             |  FROM (SELECT doc_id, text,
+             |     CAST(length(text) AS DOUBLE) AS nchars,
+             |     CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+             |     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             |     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+             |   FROM all_docs))
+             |SELECT fp, doc_id AS keep_id, quality FROM (
+             | SELECT *, row_number() OVER (PARTITION BY fp
+             |   ORDER BY quality DESC, doc_id) AS rn FROM s)
+             |WHERE rn = 1""".stripMargin,
       "w10_weighted_sample" ->
         """SELECT doc_id, source FROM (
           | SELECT doc_id, source,

@@ -9,6 +9,22 @@ import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
+  test("overwritePartitions replaces only the partitions present in the new frame") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+    val full = Seq((1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40))
+      .toDF("id", "p", "v")
+    full.write.partitionBy("p").parquet(s"$out/t")
+    Sinks.overwritePartitions(Seq((9, "b", 99)).toDF("id", "p", "v"),
+      s"$out/t", Seq("p"))
+    val back = spark.read.parquet(s"$out/t")
+      .select("id", "p", "v").as[(Int, String, Int)].collect().toSet
+    // partition b fully replaced; a and c untouched
+    assert(back === Set((1, "a", 10), (2, "a", 20), (9, "b", 99), (4, "c", 40)))
+    // the session-level overwrite mode is restored after the write
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("static"))
+  }
+
   test("bucketed tables join without a shuffle (co-located SortMergeJoin)") {
     Seq("graft_bkt_a", "graft_bkt_b").foreach(Sinks.dropManagedTable(spark, _))
     val n = 10000

@@ -9,6 +9,25 @@ class EventAnalyticsSpec extends SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(minute * 60000L)
 
+  test("hourlyAnomalies: flags only the burst hour; constant and single-hour types stay quiet") {
+    def hr(h: Int, m: Int) = new Timestamp((h * 60L + m) * 60000L)
+    val rows =
+      // 'burst': 10 events/hour for hours 0..9, then 100 in hour 10
+      (for (h <- 0 until 10; _ <- 0 until 10) yield ("burst", hr(h, 15))) ++
+      (0 until 100).map(_ => ("burst", hr(10, 15))) ++
+      // 'flat': identical count every hour → sd = 0 → nothing exceeds mean
+      (for (h <- 0 until 5; _ <- 0 until 7) yield ("flat", hr(h, 30))) ++
+      // 'lone': one active hour → NULL sample stddev → no baseline, no alert
+      Seq(("lone", hr(3, 0)))
+    val df = rows.toDF("event_type", "ts")
+    val out = EventAnalytics.hourlyAnomalies(df, "event_type", "ts")
+      .select("event_type", "n_events").as[(String, Long)].collect()
+    assert(out.toSeq === Seq(("burst", 100L)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.hourlyAnomalies(df, "event_type", "ts", sigma = 0)
+    }
+  }
+
   test("funnel: order matters, window bounds, first qualifying occurrence") {
     val events = Seq(
       // u1 completes A→B→C in order, within windows
