@@ -91,4 +91,29 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig_key")
       .drop("__sig_key")
+
+  /** Streaming incremental dedup against a STATIC reference corpus — the
+    * live-ingest form of [[graft.dedup.Dedup.incrementalDedup]]: each
+    * micro-batch drops documents whose fingerprint already exists in the
+    * reference (stream-static LEFT ANTI join — stateless, re-planned per
+    * micro-batch), then suppresses repeats WITHIN the stream via the
+    * watermark-bounded dedup. Two concerns, one stateful operator.
+    *
+    * Scale shape: the reference side reduces to its distinct fingerprint
+    * frame once (8-byte keys; Spark broadcasts or shuffles per batch —
+    * callers with a large reference should hand in a pre-computed,
+    * persisted fingerprint frame rather than raw text). Stream state is
+    * one 64-bit key per unseen-in-horizon doc, exactly like
+    * [[dedupWithinWatermark]]. */
+  def incrementalDedupStream(docs: DataFrame, reference: DataFrame,
+                             textCol: String, tsCol: String = "ts",
+                             watermark: String = "1 hour"): DataFrame = {
+    val fp = graft.text.TextOps.fingerprint(col(textCol))
+    val refFps = reference.select(fp.as("__fp")).distinct()
+    docs.withColumn("__fp", fp)
+      .join(refFps, Seq("__fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
 }

@@ -71,6 +71,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream: reference-known docs dropped, in-stream repeats suppressed cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq((100L, "known alpha doc"), (101L, "known beta doc"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.incrementalDedupStream(df, reference, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(0), "KNOWN   alpha doc"),  // dup of reference after normalization
+        (2L, ts(1), "fresh gamma doc"),
+        (3L, ts(2), "fresh gamma doc"))    // in-batch repeat of 2
+      q.processAllAvailable()
+      mem.addData(
+        (4L, ts(3), "fresh gamma doc"),    // cross-batch repeat of 2
+        (5L, ts(4), "known beta doc"),     // reference dup in a later batch
+        (6L, ts(5), "fresh delta doc"))
+      q.processAllAvailable()
+      val out = spark.table("incdedup_out").select("doc_id").as[Long]
+        .collect().sorted
+      assert(out.toSeq === Seq(2L, 6L))
+    } finally q.stop()
+  }
+
   test("thresholdAlerts fires exactly once per key, at the first crossing") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
