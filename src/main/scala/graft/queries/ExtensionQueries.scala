@@ -255,6 +255,45 @@ object ExtensionQueries {
   private val embOutliers: Q = (s, dir) =>
     Similarity.centroidOutliers(t(s, dir, "embeddings"), "label", "vec_id", k = 5)
 
+  /** Word-level tokenizer end-to-end: vocab induced from the corpus
+    * (top-200 tokens by frequency, dense ids), every token encoded
+    * (OOV → 0) in original order — both halves hash-checked in one
+    * query. Restricted to doc_id < 100 to keep the row count bench-sane
+    * (~20k rows); the vocab still comes from the full corpus. */
+  private val txtTokenizeIds: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val vocab = TextOps.vocabulary(d, "text", vocabSize = 200)
+    d.filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(lower(col("text")))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tok_id"), lit(0)).as("tok_id"))
+  }
+
+  /** Curation capstone composing the round-6 family end-to-end in ONE
+    * lazy plan: quality-score the corpus → keep the top half by exact
+    * median gate → reweight the source mixture (src0 whole, src1 10%,
+    * default 50%) → per-language doc/token/quality stats. Every stage is
+    * individually oracle-checked elsewhere; this hash-checks their
+    * COMPOSITION (threshold-on-filtered-set, hash-bucket arithmetic on
+    * gated survivors, aggregate of the mixture). */
+  private val pipeCurateCorpus: Q = (s, dir) => {
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    val gated = graft.quality.Quality.percentileGate(scored, "quality",
+      p = 0.5, exact = true)
+    val mixed = graft.ops.Ops.weightedSample(gated, "source", "doc_id",
+      Map("src0" -> 1000, "src1" -> 100), defaultPermille = 500)
+    mixed.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(avg(col("quality")), 6).as("avg_quality"))
+  }
+
   /** Hourly volume anomalies: hours where a type's event count exceeds
     * its mean by 2 sample standard deviations — spike/burst detection as
     * one declarative plan over (type, hour) counts. */
@@ -648,6 +687,8 @@ object ExtensionQueries {
     "w11_dedup_priority" -> w11DedupPriority,
     "evt_anomaly" -> evtAnomaly,
     "k13_partition_overwrite" -> k13PartitionOverwrite,
+    "txt_tokenize_ids" -> txtTokenizeIds,
+    "pipe_curate_corpus" -> pipeCurateCorpus,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
     "k9_schema_merge" -> k9SchemaMerge,
     "w5_hash_sample" -> w5HashSample,
@@ -948,6 +989,51 @@ object ExtensionQueries {
           |  FROM documents)),
           | thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM scored)
           |SELECT doc_id, quality FROM scored, thr WHERE quality >= t""".stripMargin,
+      // vocab: top-200 by (count DESC, term), dense 1-based ids; encoding:
+      // every non-empty token of docs < 100 in original position, OOV → 0.
+      "txt_tokenize_ids" ->
+        raw"""WITH words_all AS (SELECT
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |   FROM documents),
+             | vocab AS (SELECT term,
+             |   CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS tok_id
+             |   FROM (SELECT term, count(*) AS n FROM words_all
+             |     WHERE term <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 200)),
+             | w AS (SELECT doc_id, p.pos, ts[CAST(p.pos + 1 AS INTEGER)] AS term
+             |   FROM (SELECT doc_id,
+             |       regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |     FROM documents WHERE doc_id < 100),
+             |   LATERAL (SELECT unnest(range(0, len(ts))) AS pos) p)
+             |SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             | COALESCE(v.tok_id, 0) AS tok_id
+             |FROM w LEFT JOIN vocab v USING (term) WHERE term <> ''""".stripMargin,
+      // stage mirrors: quality (txt_quality_score), exact-median gate
+      // (txt_quality_gate), hash-bucket mixture (w10), then the aggregate.
+      "pipe_curate_corpus" ->
+        raw"""WITH scored AS (SELECT doc_id, lang, source, ROUND(
+             |    LEAST(nchars / 500.0, 1.0) * 0.25
+             |  + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+             |  + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+             |  + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+             |      THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+             |  CAST(ntok AS BIGINT) AS n_tokens
+             |  FROM (SELECT doc_id, lang, source,
+             |     CAST(length(text) AS DOUBLE) AS nchars,
+             |     CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+             |     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             |     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+             |   FROM documents)),
+             | thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM scored),
+             | gated AS (SELECT s.* FROM scored s, thr WHERE s.quality >= thr.t),
+             | mixed AS (SELECT * FROM gated
+             |   WHERE CAST(FLOOR((((doc_id + 1) % 1000003) * 2654435761) / 1048576.0)
+             |       AS BIGINT) % 1000
+             |     < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 100 ELSE 500 END)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             | ROUND(avg(quality), 6) AS avg_quality
+             |FROM mixed GROUP BY lang""".stripMargin,
       "evt_anomaly" ->
         """WITH c AS (SELECT event_type,
           |   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w,

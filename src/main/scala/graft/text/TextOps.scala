@@ -282,6 +282,41 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Frequency-rank vocabulary: the `vocabSize` most frequent tokens with
+    * dense 1-based ids assigned by (count DESC, term ASC) — the id 0 is
+    * reserved for OOV. The induction half of a word-level tokenizer.
+    *
+    * The ranking window runs AFTER [[heavyHitters]]' bounded-heap top-k,
+    * so it orders `vocabSize` rows, never the full vocabulary — a single
+    * partition of at most `vocabSize` fixed-width rows. */
+  def vocabulary(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    heavyHitters(df, textCol, vocabSize)
+      .withColumn("tok_id", row_number().over(w))
+      .select(col("term"), col("tok_id"))
+  }
+
+  /** Word-level tokenization to ids: every token mapped through
+    * [[vocabulary]] (OOV → 0), emitted as (doc_id, pos, tok_id) rows in
+    * original token order — the encoding half of the tokenizer, and the
+    * hand-off shape for [[packByTokenBudget]]-style layout.
+    *
+    * Scale shape: the vocab is `vocabSize` rows — broadcast onto the
+    * exploded token stream (map-only lookup; the corpus never shuffles
+    * for the join). A left join keeps OOV tokens as rows (coalesced to
+    * id 0) rather than silently dropping them. */
+  def tokenizeToIds(df: DataFrame, textCol: String, idCol: String,
+                    vocabSize: Int = 1000): DataFrame = {
+    val vocab = vocabulary(df, textCol, vocabSize)
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tok_id"), lit(0)).as("tok_id"))
+  }
+
   /** Per-document salient terms: top-`k` tokens by tf·idf, the classic
     * keyword/topic signal for corpus exploration and domain tagging.
     * Returns (doc_id, term, score, rank).

@@ -220,6 +220,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) === Seq(("xerus", 1.666667), ("common", 0.285714)))
   }
 
+  test("vocabulary + tokenizeToIds: dense frequency-ranked ids, OOV → 0, positions preserved") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry zzz")).toDF("doc_id", "text")
+    // counts: apple 3; banana/cherry/zzz tie at 1 → term-ascending ids,
+    // zzz falls off the size-3 vocab and encodes as OOV 0
+    val vocab = TextOps.vocabulary(df, "text", 3).as[(String, Int)].collect().toMap
+    assert(vocab === Map("apple" -> 1, "banana" -> 2, "cherry" -> 3))
+    val ids = TextOps.tokenizeToIds(df, "text", "doc_id", 3)
+      .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect().toSeq
+    assert(ids === Seq((1L, 0, 1), (1L, 1, 2), (1L, 2, 1),
+      (2L, 0, 1), (2L, 1, 3), (2L, 2, 0)))
+  }
+
   test("repetitionSignals: dup-word + bigram fractions; single-word doc → 0") {
     val df = Seq(
       (1L, "a a a b"),     // 4 words 2 distinct → dup_word 0.5;
