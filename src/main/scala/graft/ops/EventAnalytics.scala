@@ -38,6 +38,30 @@ object EventAnalytics {
       .select(col("event_type"), col("window_start"), col("n_events"))
   }
 
+  /** DAU/MAU engagement: distinct active users per calendar day and per
+    * calendar month, with stickiness = dau/mau per day — the standard
+    * product-health metric. Calendar months (not trailing-30d windows)
+    * keep the distinct-count a plain aggregate; a trailing window needs a
+    * sketch (HLL union per day) at scale, which is a different
+    * fidelity/cost contract.
+    *
+    * Scale shape: two exact distinct aggregates (each a two-phase
+    * hash-aggregate, map-side partial on (bucket, user)), joined on the
+    * month — the month side is |months| rows, broadcast. */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val dau = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count_distinct(col(userCol)).as("dau"))
+    val mau = events
+      .groupBy(date_trunc("month", col(tsCol)).as("month"))
+      .agg(count_distinct(col(userCol)).as("mau"))
+    dau.withColumn("month", date_trunc("month", col("day")))
+      .join(broadcast(mau), "month")
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast(org.apache.spark.sql.types.DoubleType) / col("mau"), 6)
+          .as("stickiness"))
+  }
+
   /** Ordered funnel with a per-step conversion window: a user reaches step
     * k if they performed `steps(k)` at-or-after their step-(k−1) conversion
     * time and within `windowExpr` of it; the user's step-k time is the

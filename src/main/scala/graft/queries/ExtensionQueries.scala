@@ -294,6 +294,24 @@ object ExtensionQueries {
       round(avg(col("quality")), 6).as("avg_quality"))
   }
 
+  /** URL canonicalization over planted crawl URLs (mixed-case scheme and
+    * host, multiple utm_* params, fragment, trailing slash) — the
+    * normalization that makes URL-keyed crawl dedup collapse what it
+    * should. */
+  private val txtUrlCanon: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.canonicalizeUrl(concat(
+        lit("HTTPS://Site"), (col("doc_id") % 7).cast(StringType),
+        lit(".Example.ORG/Path"), (col("doc_id") % 5).cast(StringType),
+        lit("/?utm_source=feed&utm_medium=rss&id="), col("doc_id").cast(StringType),
+        lit("#frag"))).as("url"))
+
+  /** DAU/MAU stickiness per day over the events table. */
+  private val evtDauMau: Q = (s, dir) =>
+    graft.ops.EventAnalytics.stickiness(events(s, dir), "user_id", "ts")
+      .select(unix_micros(col("day")).as("day_us"),
+        col("dau"), col("mau"), col("stickiness"))
+
   /** Hourly volume anomalies: hours where a type's event count exceeds
     * its mean by 2 sample standard deviations — spike/burst detection as
     * one declarative plan over (type, hour) counts. */
@@ -689,6 +707,8 @@ object ExtensionQueries {
     "k13_partition_overwrite" -> k13PartitionOverwrite,
     "txt_tokenize_ids" -> txtTokenizeIds,
     "pipe_curate_corpus" -> pipeCurateCorpus,
+    "txt_url_canon" -> txtUrlCanon,
+    "evt_dau_mau" -> evtDauMau,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
     "k9_schema_merge" -> k9SchemaMerge,
     "w5_hash_sample" -> w5HashSample,
@@ -989,6 +1009,32 @@ object ExtensionQueries {
           |  FROM documents)),
           | thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM scored)
           |SELECT doc_id, quality FROM scored, thr WHERE quality >= t""".stripMargin,
+      // same regex pipeline, DuckDB syntax: 'g' on the utm strip (multiple
+      // params), \1 backreference for the ?-promotion.
+      "txt_url_canon" ->
+        raw"""SELECT doc_id,
+             | lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) || '://' ||
+             | lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]*)', 1)) ||
+             | regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |   regexp_extract(u, '^[A-Za-z]+://[^/?#]*(.*)$$', 1),
+             |   '#.*$$', ''),
+             |   '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+             |   '^([^?]*)&', '\1?'),
+             |   '/$$', '') AS url
+             |FROM (SELECT doc_id,
+             |  'HTTPS://Site' || (doc_id % 7) || '.Example.ORG/Path' ||
+             |  (doc_id % 5) || '/?utm_source=feed&utm_medium=rss&id=' ||
+             |  doc_id || '#frag' AS u FROM documents)""".stripMargin,
+      "evt_dau_mau" ->
+        """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          |   count(DISTINCT user_id) AS dau FROM events GROUP BY 1),
+          | m AS (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+          |   count(DISTINCT user_id) AS mau FROM events GROUP BY 1)
+          |SELECT epoch_us(d.day) AS day_us, CAST(d.dau AS BIGINT) AS dau,
+          | CAST(m.mau AS BIGINT) AS mau,
+          | ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+          |FROM d JOIN m
+          |ON CAST(date_trunc('month', d.day) AS TIMESTAMP) = m.month""".stripMargin,
       // vocab: top-200 by (count DESC, term), dense 1-based ids; encoding:
       // every non-empty token of docs < 100 in original position, OOV → 0.
       "txt_tokenize_ids" ->

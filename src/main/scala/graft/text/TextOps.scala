@@ -196,6 +196,30 @@ object TextOps {
     transform(regexp_extract_all(c, lit("https?://([A-Za-z0-9.-]+)"), lit(1)),
       d => lower(d))
 
+  /** URL canonicalization — the normalization pass that makes URL-keyed
+    * dedup of a web crawl actually collapse what it should: lowercase the
+    * scheme+host (path case is significant, host case is not), drop the
+    * #fragment, strip utm_* tracking parameters (and a now-dangling `?`
+    * or `&`), and remove a trailing slash. Each step is one RE2-safe
+    * `regexp_replace` — no lookarounds, no backrefs — so any engine
+    * replays the exact same bytes; map-only and codegen'd. */
+  def canonicalizeUrl(c: Column): Column = {
+    // scheme and authority lowercase via extract+lower (regexp_replace
+    // can't case-fold a capture); the path/query/fragment tail keeps its
+    // case. Inputs without a scheme pass through unchanged.
+    val scheme = lower(regexp_extract(c, "^([A-Za-z]+)://", 1))
+    val authority = lower(regexp_extract(c, "^[A-Za-z]+://([^/?#]*)", 1))
+    val rest = regexp_extract(c, "^[A-Za-z]+://[^/?#]*(.*)$", 1)
+    val noFragment = regexp_replace(rest, "#.*$", "")
+    val noUtm = regexp_replace(noFragment, "[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
+    // if the stripped params included the leading '?', the first surviving
+    // '&' must be promoted back to '?' (anchored: at most one match)
+    val fixedQuery = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    val noSlash = regexp_replace(fixedQuery, "/$", "")
+    when(scheme === "", c)
+      .otherwise(concat(scheme, lit("://"), authority, noSlash))
+  }
+
   /** Full Gopher-family repetition signals (Rae et al. 2021 §A1.1) per
     * document: `dup_word_frac` (1 − distinct/total words — the "duplicate
     * line fraction" analog for newline-free corpora), `top_bigram_frac`

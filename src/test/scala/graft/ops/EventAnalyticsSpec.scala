@@ -9,6 +9,21 @@ class EventAnalyticsSpec extends SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(minute * 60000L)
 
+  test("stickiness: dau/mau per day within the calendar month") {
+    def day(d: String) = Timestamp.valueOf(s"2024-0$d 09:00:00")
+    val events = Seq(
+      // January: day 1 actives {1,2}, day 2 actives {2,3} → mau 3
+      (1L, day("1-01")), (2L, day("1-01")),
+      (2L, day("1-02")), (3L, day("1-02")), (3L, day("1-02")),
+      // February: one day, one user → stickiness 1.0
+      (9L, day("2-10")))
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.stickiness(events, "user_id", "ts")
+      .orderBy("day")
+      .select("dau", "mau", "stickiness").as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((2L, 3L, 0.666667), (2L, 3L, 0.666667), (1L, 1L, 1.0)))
+  }
+
   test("hourlyAnomalies: flags only the burst hour; constant and single-hour types stay quiet") {
     def hr(h: Int, m: Int) = new Timestamp((h * 60L + m) * 60000L)
     val rows =

@@ -220,6 +220,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) === Seq(("xerus", 1.666667), ("common", 0.285714)))
   }
 
+  test("canonicalizeUrl: host case-folds, fragment/utm/trailing-slash drop, path case kept") {
+    val cases = Seq(
+      ("HTTPS://Example.COM/Path/?utm_source=x&id=1#frag",
+        "https://example.com/Path/?id=1"),
+      ("http://A.B.org/x/", "http://a.b.org/x"),
+      ("https://h.io/p?utm_a=1&utm_b=2", "https://h.io/p"),
+      ("https://h.io/p?id=9&utm_a=1", "https://h.io/p?id=9"),
+      ("HTTP://H.IO", "http://h.io"),
+      ("not a url at all", "not a url at all")) // schemeless passes through
+    val out = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u")).as("c")).as[String].collect()
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got === want, s"canonicalizeUrl($in)")
+    }
+  }
+
   test("vocabulary + tokenizeToIds: dense frequency-ranked ids, OOV → 0, positions preserved") {
     val df = Seq(
       (1L, "apple banana apple"),
