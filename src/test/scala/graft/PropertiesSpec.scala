@@ -175,6 +175,38 @@ object PropertiesSpec extends Properties("graft") {
         got == expected
     }
 
+  propertyWithSeed("canonicalizeUrl is idempotent", None) = {
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.oneOf("Example.COM", "a.b.ORG", "h.io")
+      path <- Gen.oneOf("", "/x", "/X/y/", "/p/")
+      q <- Gen.oneOf("", "?id=1", "?utm_s=1", "?utm_s=1&id=2", "?id=2&utm_m=x")
+      frag <- Gen.oneOf("", "#f", "#Frag/part")
+    } yield s"$scheme://$host$path$q$frag"
+    forAll(urlGen) { u: String =>
+      val once = Seq(u).toDF("u")
+        .select(graft.text.TextOps.canonicalizeUrl(col("u"))).as[String].head()
+      val twice = Seq(once).toDF("u")
+        .select(graft.text.TextOps.canonicalizeUrl(col("u"))).as[String].head()
+      once == twice
+    }
+  }
+
+  propertyWithSeed("tokenizeToIds: ids bounded by vocab, row count = non-empty tokens", None) =
+    forAll(Gen.listOfN(6, Gen.listOfN(5, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")))) {
+      docs: List[List[String]] =>
+        docs.isEmpty || {
+          val df = docs.zipWithIndex
+            .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+            .toDF("doc_id", "text")
+          val vocabSize = 3
+          val out = graft.text.TextOps.tokenizeToIds(df, "text", "doc_id", vocabSize)
+            .as[(Long, Int, Int)].collect()
+          out.length == docs.map(_.size).sum &&
+            out.forall { case (_, _, id) => id >= 0 && id <= vocabSize }
+        }
+    }
+
   // ScalaCheck's default 100 cases × 5 properties × Spark job latency is
   // minutes of wall time for no extra coverage — 20 cases each is plenty
   // for these structural invariants.
