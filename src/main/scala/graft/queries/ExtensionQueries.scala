@@ -149,6 +149,34 @@ object ExtensionQueries {
   private val txtRepetition: Q = (s, dir) =>
     TextOps.repetitionSignals(t(s, dir, "documents"), "text", "doc_id")
 
+  /** Gopher-style structural quality rules per document (word-count and
+    * mean-word-length bands, symbol/bullet/ellipsis ratios, alpha-word
+    * fraction, conjunction flag). All-rational arithmetic — the full
+    * report including the rule flag is hash-checked. */
+  private val txtGopherRules: Q = (s, dir) =>
+    TextOps.gopherSignals(t(s, dir, "documents"), "text", "doc_id")
+      .withColumn("passes", col("passes").cast(IntegerType))
+
+  /** HTML stripping over planted markup (the raw corpus is plain text, so
+    * wrap each doc in a deterministic page skeleton with script/style
+    * blocks, comments, tags and the six common entities). */
+  private val txtHtmlStrip: Q = (s, dir) =>
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), TextOps.stripHtml(concat(
+        lit("<html><head><style type=\"text/css\">p { color: red }</style>" +
+          "<script>var x = 1 < 2;</script></head><body><!-- boiler -->\n<p>"),
+        col("text"),
+        lit("</p>\n<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; " +
+          "it&#39;s&nbsp;done &amp;lt;kept&amp;gt;</div></body></html>")))
+        .as("cleaned"))
+
+  /** Corpus-trained bigram LM score (perplexity-filter analog): the whole
+    * model — bigram counts, context counts, vocabulary size — and the
+    * add-one-smoothed mean log-prob are recomputed by the oracle and
+    * hash-compared. */
+  private val txtLmScore: Q = (s, dir) =>
+    TextOps.ngramLmScore(t(s, dir, "documents"), "text", "doc_id")
+
   /** SCD Type-2 dimension build over the event history: per user, the
     * validity intervals of the (changing) event_type attribute, ordered by
     * (ts, event_id). Timestamps exported as epoch micros for the oracle
@@ -680,6 +708,9 @@ object ExtensionQueries {
     "txt_fingerprint" -> txtFingerprint,
     "txt_top_word_ratio" -> txtTopWordRatio,
     "txt_repetition" -> txtRepetition,
+    "txt_gopher_rules" -> txtGopherRules,
+    "txt_html_strip" -> txtHtmlStrip,
+    "txt_lm_score" -> txtLmScore,
     "txt_domains" -> txtDomains,
     "txt_normalize" -> txtNormalize,
     "w8_scd2" -> w8Scd2,
@@ -864,6 +895,68 @@ object ExtensionQueries {
              | ROUND(COALESCE(CAST(mx AS DOUBLE) / tot, 0), 6) AS top_bigram_frac,
              | ROUND(COALESCE(CAST(dup AS DOUBLE) / tot, 0), 6) AS dup_bigram_frac
              |FROM wstat w LEFT JOIN bstat b ON b.doc_id = w.doc_id""".stripMargin,
+      "txt_gopher_rules" ->
+        raw"""SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+             | bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+             | CAST(n_words BETWEEN 10 AND 100000
+             |   AND mean_word_len BETWEEN 3.0 AND 10.0
+             |   AND symbol_word_ratio <= 0.1
+             |   AND bullet_line_frac <= 0.9
+             |   AND ellipsis_line_frac <= 0.3
+             |   AND alpha_word_frac >= 0.8 AS INT) AS passes
+             |FROM (SELECT doc_id, n_words,
+             |  CASE WHEN n_words > 0 THEN ROUND(nonspace / n_words, 6) ELSE 0.0 END AS mean_word_len,
+             |  CASE WHEN n_words > 0 THEN ROUND(symbols / n_words, 6) ELSE 0.0 END AS symbol_word_ratio,
+             |  ROUND(bullets / n_lines, 6) AS bullet_line_frac,
+             |  ROUND(ellipses / n_lines, 6) AS ellipsis_line_frac,
+             |  CASE WHEN n_words > 0 THEN ROUND(alphaw / n_words, 6) ELSE 0.0 END AS alpha_word_frac
+             | FROM (SELECT doc_id,
+             |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+             |   CAST(len(regexp_split_to_array(text, '\n')) AS BIGINT) AS n_lines,
+             |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+             |   CAST(length(regexp_replace(text, '[^#…]', '', 'g')) AS DOUBLE) AS symbols,
+             |   CAST(len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS DOUBLE) AS bullets,
+             |   CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$$')) AS DOUBLE) AS ellipses,
+             |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |     w -> w <> '' AND regexp_matches(w, '\p{L}'))) AS DOUBLE) AS alphaw
+             |  FROM documents))""".stripMargin,
+      "txt_html_strip" ->
+        raw"""SELECT doc_id, trim(regexp_replace(s6, '\s+', ' ', 'g')) AS cleaned
+             |FROM (SELECT doc_id,
+             |  replace(replace(replace(replace(replace(replace(s4,
+             |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |    '&#39;', ''''), '&amp;', '&') AS s6
+             | FROM (SELECT doc_id,
+             |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+             |     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |     '(?s)<!--.*?-->', ' ', 'g'),
+             |     '<[^>]+>', ' ', 'g') AS s4
+             |  FROM (SELECT doc_id,
+             |    '<html><head><style type="text/css">p { color: red }</style>' ||
+             |    '<script>var x = 1 < 2;</script></head><body><!-- boiler -->' ||
+             |    chr(10) || '<p>' || text || '</p>' || chr(10) ||
+             |    '<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s&nbsp;done ' ||
+             |    '&amp;lt;kept&amp;gt;</div></body></html>' AS raw
+             |   FROM documents WHERE doc_id < 200)))""".stripMargin,
+      "txt_lm_score" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+             | bgf AS (SELECT doc_id, s['w'] AS w, s['nxt'] AS nxt FROM (
+             |   SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |     i -> struct_pack(w := t[i], nxt := t[i + 1]))) AS s FROM toks)),
+             | bgc AS (SELECT w, nxt, count(*) AS cbg FROM bgf GROUP BY 1, 2),
+             | ctx AS (SELECT w, count(*) AS cw FROM bgf GROUP BY 1),
+             | voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS V
+             |   FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> ''),
+             | sc AS (SELECT doc_id, count(*) AS n_bigrams,
+             |   ROUND(avg(ln((cbg + 1) / (cw + V))), 6) AS lm_logp
+             |  FROM bgf JOIN bgc USING (w, nxt) JOIN ctx USING (w) CROSS JOIN voc
+             |  GROUP BY 1)
+             |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             | sc.lm_logp
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
       "txt_domains" ->
         """WITH d AS (SELECT doc_id, unnest(regexp_extract_all(
           |   text || ' see https://site' || (doc_id % 7) ||

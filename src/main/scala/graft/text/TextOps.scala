@@ -341,6 +341,117 @@ object TextOps {
         coalesce(col("tok_id"), lit(0)).as("tok_id"))
   }
 
+  /** Gopher-style STRUCTURAL quality rules (Rae et al. 2021 §A1.1, public)
+    * per document — the rule family [[repetitionSignals]] doesn't cover:
+    * word count band, mean word length band, symbol-to-word ratio
+    * (`#`/`…`), bullet-started and ellipsis-ended line fractions, and the
+    * fraction of words containing at least one letter; `passes` is the
+    * conjunction at the published thresholds. Returns
+    * (doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    * ellipsis_line_frac, alpha_word_frac, passes).
+    *
+    * Every signal is rational arithmetic over integer counts (no
+    * transcendentals), so the whole report — including the boolean — is
+    * bit-reproducible against a SQL oracle. Map-only, codegen'd except the
+    * one array-filter lambda; no shuffle: linear in input splits at
+    * 100 TB. */
+  def gopherSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c = col(textCol)
+    val nWords = tokenCount(c)
+    val nLines = size(split(c, "\n")).cast(LongType)
+    val nonSpace = length(regexp_replace(c, "\\s", "")).cast(DoubleType)
+    val symbols = length(regexp_replace(c, "[^#…]", "")).cast(DoubleType)
+    val bullets = size(regexp_extract_all(c, lit("(?m)^\\s*[-*•]"), lit(0)))
+      .cast(DoubleType)
+    val ellipses = size(regexp_extract_all(c, lit("(?m)(\\.\\.\\.|…)$"), lit(0)))
+      .cast(DoubleType)
+    val alphaWords = size(filter(tokens(c), t => t =!= "" && t.rlike("\\p{L}")))
+      .cast(DoubleType)
+    val meanWordLen = when(nWords > 0, round(nonSpace / nWords, 6)).otherwise(lit(0.0))
+    val symbolRatio = when(nWords > 0, round(symbols / nWords, 6)).otherwise(lit(0.0))
+    val bulletFrac = round(bullets / nLines, 6)   // nLines ≥ 1 always
+    val ellipsisFrac = round(ellipses / nLines, 6)
+    val alphaFrac = when(nWords > 0, round(alphaWords / nWords, 6)).otherwise(lit(0.0))
+    df.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"), bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"))
+      // thresholds compare the ROUNDED signals (identical bytes on any
+      // engine), so the boolean is as hash-stable as the doubles
+      .withColumn("passes",
+        col("n_words").between(10, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8)
+  }
+
+  /** HTML/markup stripping for crawl-derived corpora: drop
+    * `<script>`/`<style>` blocks (content included), comments, then all
+    * tags (replaced by a space so adjacent words don't fuse), decode the
+    * six common entities (`&amp;` LAST, so `&amp;lt;` yields literal
+    * `&lt;` per HTML semantics), and collapse whitespace. Every pattern is
+    * RE2-compatible (non-greedy + inline flags only — no lookarounds or
+    * backrefs) so a SQL engine replays the exact bytes. Map-only,
+    * codegen'd. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) =>
+        regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(r)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Corpus-trained bigram language-model score per document — the
+    * perplexity-filter analog of web-corpus curation (CCNet/KenLM style,
+    * public), self-trained on the corpus so no external model rides in:
+    * mean over the document's bigrams of
+    * `ln((C(w1,w2) + 1) / (C(w1·) + V))` — add-one smoothing, `C(w1·)` =
+    * bigram occurrences starting with w1, `V` = corpus vocabulary size.
+    * Template/boilerplate text scores high (its bigrams dominate the
+    * corpus), organic-but-rare text low — the tails are what curation
+    * inspects. Returns (doc_id, n_bigrams, lm_logp); docs with < 2 tokens
+    * have 0 bigrams and a null score.
+    *
+    * Scale shape: ONE posexplode of the token stream; adjacency via a
+    * doc-keyed `lead` window (same exchange as the per-doc aggregate);
+    * the model is two count aggregates with map-side partials — the
+    * bigram-count table is vocabulary²-bounded, not corpus-bounded — and
+    * V rides in as a broadcast one-row aggregate (no driver collect).
+    * Scoring joins on token keys are AQE-skew-handled (stopword bigrams
+    * are hot). Lazy: like [[salientTerms]], the token stream feeds model
+    * and scoring sides — a one-shot 100 TB run should persist the corpus
+    * scan or accept the second derivation. */
+  def ngramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val bigrams = words
+      .withColumn("nxt", lead(col("w"), 1).over(wOrd))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("w"), col("nxt"))
+    val bgCounts = bigrams.groupBy("w", "nxt").agg(count(lit(1)).as("cbg"))
+    val ctxCounts = bigrams.groupBy("w").agg(count(lit(1)).as("cw"))
+    val vocab = words.agg(count_distinct(col("w")).cast(DoubleType).as("V"))
+    val scored = bigrams
+      .join(bgCounts, Seq("w", "nxt"))
+      .join(ctxCounts, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log((col("cbg") + 1) / (col("cw") + col("V"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("lm_logp"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_logp"))
+  }
+
   /** Per-document salient terms: top-`k` tokens by tf·idf, the classic
     * keyword/topic signal for corpus exploration and domain tagging.
     * Returns (doc_id, term, score, rank).

@@ -265,4 +265,54 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1) === ((0.0, 0.333333, 0.0)))  // 3 unique bigrams → top 1/3
     assert(r(2) === ((0.0, 0.0, 0.0)))
   }
+
+  test("gopherSignals: prose passes; bullets, symbols, ellipses, numbers, empty all fail") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the riverbank today."),
+      (2L, "- one\n- two\n- three\n- four"),
+      (3L, "# # # header heavy markdown doc with tags # # #"),
+      (4L, "to be continued...\nand then...\nthe end"),
+      (5L, ""),
+      (6L, "1 2 3 4 5 6 7 8 9 10 11 12")).toDF("doc_id", "text")
+    val out = TextOps.gopherSignals(df, "text", "doc_id").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(7), "clean prose should pass")
+    assert(out(1L).getLong(1) === 13)                  // n_words
+    assert(out(1L).getDouble(6) === 1.0)               // alpha_word_frac
+    assert(out(1L).getDouble(3) === 0.0)               // symbol ratio
+    assert(out(2L).getDouble(4) === 1.0)               // every line bulleted
+    assert(!out(2L).getBoolean(7))
+    assert(out(3L).getDouble(3) === 0.5)               // 6 '#' / 12 words
+    assert(!out(3L).getBoolean(7))
+    assert(out(4L).getDouble(5) === 0.666667)          // 2 of 3 lines end '…'
+    assert(!out(4L).getBoolean(7))
+    assert(out(5L).getLong(1) === 0L)                  // empty doc: all-zero row
+    assert(!out(5L).getBoolean(7))
+    assert(out(6L).getDouble(6) === 0.0)               // no alphabetic words
+    assert(!out(6L).getBoolean(7))
+  }
+
+  test("stripHtml: script/style/comments/tags removed, entities decoded, &amp; last") {
+    val in = "<html><head><style>p{x}</style><script>var j = 2 > 1;</script>" +
+      "</head><body><!-- note --><p>Hello <b>world</b></p>&nbsp;Tom &amp; " +
+      "Jerry say &quot;hi&quot; it&#39;s &lt;fine&gt; &amp;gt; stays</body></html>"
+    val out = Seq(in).toDF("t").select(TextOps.stripHtml(col("t"))).as[String].head()
+    assert(out === "Hello world Tom & Jerry say \"hi\" it's <fine> &gt; stays")
+    // plain text passes through untouched (modulo whitespace collapse)
+    val plain = Seq("no markup  here").toDF("t")
+      .select(TextOps.stripHtml(col("t"))).as[String].head()
+    assert(plain === "no markup here")
+  }
+
+  test("ngramLmScore: add-one-smoothed bigram mean log-prob, short docs null") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    // corpus: C(a,b)=3 C(b,a)=1 C(b,c)=1; C(a·)=3 C(b·)=2; V=4
+    // doc1 = (2·ln(4/7) + ln(1/3))/3 = −0.739281
+    // doc2 = (ln(4/7) + ln(1/3))/2 = −0.829114
+    val out = TextOps.ngramLmScore(df, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(out(0) === ((1L, 3L, Some(-0.739281))))
+    assert(out(1) === ((2L, 2L, Some(-0.829114))))
+    assert(out(2) === ((3L, 0L, None)))
+  }
 }
