@@ -92,6 +92,46 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__sig_key")
       .drop("__sig_key")
 
+  /** Stream-stream INTERVAL join — the attribution/enrichment shape (click
+    * joined to the impression it followed, error joined to the deploy that
+    * preceded it): inner-join two streams on `keys` where
+    * `rightTs − leftTs ∈ [lowerSec, upperSec]`.
+    *
+    * Both inputs get event-time watermarks, and the time-range predicate is
+    * what makes unbounded state safe: Spark derives, from watermark +
+    * range, how long each side's rows can still find a match, and evicts
+    * state past that horizon — state is bounded by (rows in horizon),
+    * not by stream length. Without the range condition a stream-stream
+    * inner join must hold EVERY row forever; this operator makes the
+    * bounded form the easy path.
+    *
+    * Contract: `leftTs`/`rightTs` must be distinct names; right-side
+    * non-key, non-ts column names must not collide with left's (the output
+    * carries left.* plus right's non-key columns). Works unchanged on
+    * batch frames (`withWatermark` is a no-op in batch), which is how the
+    * spec proves stream ≡ batch. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTs: String, rightTs: String,
+                         lowerSec: Long, upperSec: Long,
+                         leftWatermark: String = "1 hour",
+                         rightWatermark: String = "1 hour"): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must be distinct column names, both are '$leftTs'")
+    require(lowerSec <= upperSec, s"need lowerSec <= upperSec, got $lowerSec/$upperSec")
+    val l = left.withWatermark(leftTs, leftWatermark).alias("l")
+    val r = right.withWatermark(rightTs, rightWatermark).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond =
+      col(s"r.$rightTs") >= org.apache.spark.sql.functions.expr(
+        s"l.$leftTs + INTERVAL $lowerSec SECONDS") &&
+      col(s"r.$rightTs") <= org.apache.spark.sql.functions.expr(
+        s"l.$leftTs + INTERVAL $upperSec SECONDS")
+    val rightCols = right.columns.filterNot(keys.contains)
+      .map(c => col(s"r.$c"))
+    l.join(r, keyCond && timeCond, "inner")
+      .select(col("l.*") +: rightCols: _*)
+  }
+
   /** Streaming incremental dedup against a STATIC reference corpus — the
     * live-ingest form of [[graft.dedup.Dedup.incrementalDedup]]: each
     * micro-batch drops documents whose fingerprint already exists in the

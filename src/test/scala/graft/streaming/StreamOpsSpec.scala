@@ -71,6 +71,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: cross-batch attribution matches the batch join exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // impressions (user, its, ad) ⋈ clicks (user, cts, click) where the
+    // click lands within [0, 600] s of the impression
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val impDf = imps.toDF().toDF("user_id", "its", "ad")
+    val clickDf = clicks.toDF().toDF("user_id", "cts", "click")
+    val q = StreamOps.intervalJoinStream(impDf, clickDf, Seq("user_id"),
+        "its", "cts", lowerSec = 0L, upperSec = 600L)
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    val impRows = Seq((1L, ts(0), "adA"), (2L, ts(5), "adB"), (3L, ts(10), "adC"))
+    val clickRows = Seq(
+      (1L, ts(3), "c1"),    // +3 min after adA → match
+      (2L, ts(20), "c2"),   // +15 min after adB → outside window
+      (1L, ts(8), "c3"),    // +8 min after adA → match
+      (3L, ts(12), "c4"),   // +2 min after adC → match (cross-batch)
+      (9L, ts(1), "c5"))    // no impression for user 9
+    try {
+      imps.addData(impRows.take(2): _*)
+      clicks.addData(clickRows.take(2): _*)
+      q.processAllAvailable()
+      imps.addData(impRows.drop(2): _*)     // adC arrives in a later batch
+      clicks.addData(clickRows.drop(2): _*) // c3/c4 match earlier impressions
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_out")
+        .select("user_id", "ad", "click").as[(Long, String, String)]
+        .collect().toSet
+      // batch oracle: the SAME operator over the full static frames
+      val batch = StreamOps.intervalJoinStream(
+          impRows.toDF("user_id", "its", "ad"),
+          clickRows.toDF("user_id", "cts", "click"),
+          Seq("user_id"), "its", "cts", 0L, 600L)
+        .select("user_id", "ad", "click").as[(Long, String, String)]
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, "adA", "c1"), (1L, "adA", "c3"), (3L, "adC", "c4")))
+    } finally q.stop()
+  }
+
   test("incrementalDedupStream: reference-known docs dropped, in-stream repeats suppressed cross-batch") {
     implicit val sqlCtx = spark.sqlContext
     val reference = Seq((100L, "known alpha doc"), (101L, "known beta doc"))
