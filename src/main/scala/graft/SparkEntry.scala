@@ -11,9 +11,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ExtensionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. LSH-bucketed ops (dd_minhash_lsh, dd_simhash,
-    * sim_lsh_ann) are rows-only: their output is defined by the bucketing,
-    * so they are verified by planted-duplicate ScalaTest recall checks. */
+    * the same parquet tables. Bucketed/quantized-approximation ops
+    * (dd_minhash_lsh, dd_simhash, sim_lsh_ann, sim_pq_topk) are rows-only:
+    * their output is defined by the bucketing/codebooks, so they are
+    * verified by planted-duplicate / exact-recovery ScalaTest checks. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ExtensionQueries.oracle
 }

@@ -548,6 +548,15 @@ object ExtensionQueries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** PQ/ADC ANN top-k — the quantized-index scale tier (64× scan-IO cut at
+    * m=4/16 codes). Approximation is data-defined, so rows-only here; the
+    * exact-recovery equivalence (codebook ⊇ distinct subvectors ⇒ ADC ≡
+    * exact inner product) and clustered-data recall are pinned by PqSpec. */
+  private val simPqTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   /** Embedding near-dup: planted exact copies (vec_id+10000) must be the
     * only pairs at cosine ≥ 0.95 (max organic pairwise cosine in the test
     * data is ~0.51) — LSH buckets find them because identical vectors have
@@ -750,6 +759,7 @@ object ExtensionQueries {
     "sim_ivf_topk" -> simIvfTopk,
     "sim_quantized_topk" -> simQuantizedTopk,
     "sim_lsh_ann" -> simLshAnn,
+    "sim_pq_topk" -> simPqTopk,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
     "mm_decode" -> mmDecode,

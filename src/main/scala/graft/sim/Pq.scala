@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorExprs
+
+/** Product quantization (PQ) ANN — Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search" (public) — the third scale
+  * tier next to [[Similarity.lshTopK]] and [[Ivf]]: the vector is split
+  * into `m` subvectors, each quantized against its own `codebookSize`-entry
+  * k-means codebook, and a candidate's inner product is approximated by
+  * table lookups (ADC — asymmetric distance computation): the query stays
+  * exact, only the corpus side is quantized.
+  *
+  * Storage story at 100 TB: a 64-dim float vector is 256 B; its PQ code is
+  * `m` small ints (m=4, 16 codes → 4 B with byte packing) — a 64× scan-IO
+  * cut, steeper than [[Similarity.quantizedTopK]]'s 4×, at the cost of a
+  * coarser approximation and a training step.
+  *
+  * Execution shape, all Spark-first:
+  *   1. TRAIN: `m` seeded MLlib k-means fits over (optionally sampled)
+  *      subvector slices — centroids are m·codebookSize·(dim/m) floats of
+  *      driver-side constants, broadcast everywhere below.
+  *   2. ENCODE: `m` map-only `model.transform` passes assign each corpus
+  *      vector its m codes — no shuffle; at scale this materializes as the
+  *      stored index.
+  *   3. LUT: each query dots its subvectors against every centroid —
+  *      |queries|·m·codebookSize tiny rows, aggregated into one flat
+  *      lookup array per query.
+  *   4. SCORE: corpus codes ⋈ broadcast LUTs (the corpus never shuffles);
+  *      the ADC score is `m` codegen'd `element_at` lookups summed — no
+  *      interpreted HOF in the hot path — and the per-query top-k is the
+  *      bounded-heap `topk_desc` aggregate (k rows per query per partition
+  *      on the only shuffle).
+  *
+  * Exactness property (pinned by PqSpec): when every subspace has at most
+  * `codebookSize` distinct subvectors, k-means recovers them exactly and
+  * ADC equals the exact inner product — so the whole pipeline is testable
+  * against a brute-force oracle, the same trick [[Ivf]] uses with
+  * nprobe = nlist. */
+object Pq {
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, codebookSize: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             trainFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(m > 0 && codebookSize > 1, s"need m > 0, codebookSize > 1; got $m/$codebookSize")
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // one-row scalar gate (dimension), same sanctioned shape as Quality's
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+
+    // 1. TRAIN — m seeded fits; sample the corpus for training at scale
+    //    (codebooks need representative structure, not every row).
+    val models = (0 until m).map { j =>
+      val fv = corpus.select(
+        array_to_vector(slice(col(vecCol), j * sub + 1, sub)).as("__fv"))
+      val train = if (trainFraction < 1.0)
+        fv.sample(withReplacement = false, trainFraction, seed + j) else fv
+      new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(20)
+        .setFeaturesCol("__fv").setPredictionCol("__code")
+        .fit(train)
+    }
+
+    // 2. ENCODE — m map-only transforms; codes stay as m int columns so the
+    //    scoring expression below is pure codegen (no array HOF).
+    var enc = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    for (j <- 0 until m) {
+      enc = models(j).setPredictionCol(s"__c$j").transform(
+          enc.withColumn("__fv",
+            array_to_vector(slice(col("cvec"), j * sub + 1, sub))))
+        .drop("__fv")
+    }
+    val codes = enc.select(col("cand_id") +: (0 until m).map(j => col(s"__c$j")): _*)
+
+    // 3. LUT — centroids are driver-side constants; each query row builds a
+    //    flat array indexed by j*codebookSize + code.
+    val cents = (for {
+      j <- 0 until m
+      (c, code) <- models(j).clusterCenters.zipWithIndex
+    } yield (j, code, c.toArray.map(_.toFloat))).toDF("__j", "__code", "__cent")
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__partial", VectorExprs.dot(
+        slice(col("qvec"), col("__j") * sub + 1, lit(sub)), col("__cent")))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(
+          (col("__j") * codebookSize + col("__code")).as("i"),
+          col("__partial").as("p")))),
+        e => e.getField("p")).as("__lut"))
+
+    // 4. SCORE — corpus streams once, LUTs broadcast; m element_at lookups.
+    val adc = (0 until m).map(j =>
+        element_at(col("__lut"),
+          (lit(j * codebookSize) + col(s"__c$j") + 1).cast(IntegerType)))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(adc, 6))
+    Similarity.topKExplode(scored, "score", k)
+  }
+}

@@ -64,7 +64,7 @@ object Similarity {
   /** Shared tail of the aggregate top-k paths: per-query bounded-heap
     * aggregate → posexplode → 1-based rank, keeping the (score desc,
     * cand_id asc) tie-break of the window formulation. */
-  private def topKExplode(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+  private[sim] def topKExplode(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(call_function("topk_desc", col(scoreCol), col("cand_id"), lit(k)).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
