@@ -146,6 +146,34 @@ object Quality {
       .drop("__thr")
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL — Spark 4
+    * native `hll_sketch_agg`): one binary sketch per group, storable as a
+    * column and UNION-MERGED later by [[mergeDistinctSketches]].
+    *
+    * This is THE 100 TB pattern for distinct-count rollups: sketch each
+    * day/partition once at ingest (one pass, fixed ~2^lgK bytes per
+    * group), then answer "distinct users this month/quarter/anywhere" by
+    * merging sketches — never by re-scanning raw data. An exact
+    * count_distinct re-shuffles the raw key universe per question asked;
+    * sketches make every later rollup O(groups).
+    *
+    * `lgConfigK = 12` → ~1.6% standard error, 4 KB per sketch. */
+  def distinctSketches(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                       lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("key_sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll sketches up to a coarser grouping: union-merge per group, then
+    * estimate. The input is already one row per fine-grained group, so
+    * this aggregates sketch-count rows, not raw data. */
+  def mergeDistinctSketches(sketches: DataFrame, groupCols: Seq[String],
+                            lgConfigK: Int = 12): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(
+          hll_union_agg(col("key_sketch"), lit(lgConfigK))).as("distinct_est"),
+        sum(col("n_rows")).as("n_rows"))
+
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
     // total via one count job (a scalar), not a second aggregation branch
     // over the counts lineage — exchange reuse across branches is not

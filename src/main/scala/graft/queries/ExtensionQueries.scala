@@ -548,6 +548,24 @@ object ExtensionQueries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** SemDeDup keep/drop decisions over planted exact copies (vec_id+10000,
+    * every tenth vector): the only cosine-≥0.95 pairs in the data are the
+    * planted copies (max organic pairwise cosine ≈ 0.51 — the emb_near_dup
+    * fixture property), so the keep set is defined by the threshold alone
+    * and the whole pipeline — k-means cells, cell-scoped pairs, connected
+    * components, farthest-from-centroid keep rule (tie → min id) — is
+    * hash-checked end to end. centroid_cosine is k-means-dependent and is
+    * not exported. */
+  private val embSemanticDedup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    graft.sim.SemDedup.semanticDedup(emb.unionByName(planted),
+        threshold = 0.95, nlist = 8)
+      .select(col("id").as("vec_id"), col("dup_group"),
+        col("keep").cast(IntegerType).as("keep"))
+  }
+
   /** PQ/ADC ANN top-k — the quantized-index scale tier (64× scan-IO cut at
     * m=4/16 codes). Approximation is data-defined, so rows-only here; the
     * exact-recovery equivalence (codebook ⊇ distinct subvectors ⇒ ADC ≡
@@ -760,6 +778,7 @@ object ExtensionQueries {
     "sim_quantized_topk" -> simQuantizedTopk,
     "sim_lsh_ann" -> simLshAnn,
     "sim_pq_topk" -> simPqTopk,
+    "emb_semantic_dedup" -> embSemanticDedup,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
     "mm_decode" -> mmDecode,
@@ -1421,6 +1440,15 @@ object ExtensionQueries {
         """SELECT vec_id AS id_a, CAST(vec_id + 10000 AS BIGINT) AS id_b,
           | CAST(1.0 AS DOUBLE) AS cosine FROM embeddings
           | WHERE vec_id % 10 = 0""".stripMargin,
+      "emb_semantic_dedup" ->
+        """SELECT vec_id,
+          | CAST(CASE WHEN vec_id >= 10000 THEN vec_id - 10000 ELSE vec_id END
+          |   AS BIGINT) AS dup_group,
+          | CAST(vec_id < 10000 AS INT) AS keep
+          |FROM (SELECT vec_id FROM embeddings
+          |      UNION ALL
+          |      SELECT vec_id + 10000 AS vec_id FROM embeddings
+          |      WHERE vec_id % 10 = 0)""".stripMargin,
       "mm_bytes" ->
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
       "mm_decode" ->

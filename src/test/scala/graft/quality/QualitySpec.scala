@@ -108,4 +108,27 @@ class QualitySpec extends SparkSpec {
       .dropDuplicates("a", "b")
     assert(Quality.checkPrimaryKey(df, Seq("a", "b")).columns.length === 2)
   }
+
+  test("distinct sketches: per-day sketches union-merge to the global distinct count") {
+    // 10 days × 1000 rows; user = i % 1200 → exact global distinct 1200,
+    // exact per-day distinct 1000 (each day covers 1000 consecutive users)
+    val rows = for (d <- 0 until 10; i <- 0 until 1000)
+      yield (s"day$d", (d * 1000 + i) % 1200L)
+    val df = rows.toDF("day", "user_id")
+    val daily = Quality.distinctSketches(df, "user_id", Seq("day"))
+    assert(daily.count() === 10)
+
+    // rollup from the 10 sketch rows only — raw data never re-scanned
+    val global = Quality.mergeDistinctSketches(
+      daily.withColumn("all", org.apache.spark.sql.functions.lit(1)), Seq("all"))
+      .select("distinct_est", "n_rows").as[(Long, Long)].head()
+    assert(global._2 === 10000L)
+    assert(math.abs(global._1 - 1200L) <= 1200 * 0.05,
+      s"merged estimate ${global._1} not within 5% of exact 1200")
+
+    // per-day estimates stay near their exact 1000
+    val perDay = Quality.mergeDistinctSketches(daily, Seq("day"))
+      .select("distinct_est").as[Long].collect()
+    perDay.foreach(e => assert(math.abs(e - 1000L) <= 50, s"per-day est $e"))
+  }
 }

@@ -71,6 +71,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark state survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "payload")
+    def start() = StreamOps.dedupWithinWatermark(df, Seq("event_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("ckpt_dedup_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the dedup state store must remember
+    // keys 1 and 2 — a dup arriving AFTER the restart stays suppressed
+    val q2 = start()
+    try {
+      mem.addData((1L, ts(5), "a-dup-after-restart"), (3L, ts(6), "c"))
+      q2.processAllAvailable()
+      val afterRestart = spark.table("ckpt_dedup_out")
+        .select("event_id", "payload").as[(Long, String)].collect().toSet
+      assert(afterRestart.contains((3L, "c")), "new key must pass after restart")
+      assert(!afterRestart.exists(_._2 == "a-dup-after-restart"),
+        "key seen before the restart must stay suppressed by recovered state")
+    } finally q2.stop()
+  }
+
   test("intervalJoinStream: cross-batch attribution matches the batch join exactly") {
     implicit val sqlCtx = spark.sqlContext
     // impressions (user, its, ad) ⋈ clicks (user, cts, click) where the

@@ -292,6 +292,13 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(6L).getBoolean(7))
   }
 
+  test("gopherSignals plan: map-only — no Exchange anywhere") {
+    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val plan = TextOps.gopherSignals(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherSignals must not shuffle:\n$plan")
+  }
+
   test("stripHtml: script/style/comments/tags removed, entities decoded, &amp; last") {
     val in = "<html><head><style>p{x}</style><script>var j = 2 > 1;</script>" +
       "</head><body><!-- note --><p>Hello <b>world</b></p>&nbsp;Tom &amp; " +
