@@ -545,14 +545,30 @@ object Dedup {
     * [[exactDedup]] instead. `<= 0` disables. */
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxDist: Int = 3,
-                      maxBucketOccupancy: Long = 100000L): DataFrame = {
+                      maxBucketOccupancy: Long = 100000L): DataFrame =
+    signatureNearDups(simHashSignatures(df, textCol, idCol),
+      maxDist, maxBucketOccupancy, "simHashNearDups",
+      "run exactDedup first to collapse identical documents")
+
+  /** Near-dup pairs over ANY (id, sig: bigint) 64-bit locality-sensitive
+    * signature frame — the generic tail shared by [[simHashNearDups]] and
+    * `Multimodal.imageNearDups` (perceptual dHash): 16-bit pigeonhole
+    * blocks (full recall for Hamming distance ≤ 3), bucket self-join,
+    * Hamming filter BEFORE the pair-dedup shuffle. Returns
+    * (id_a, id_b, hamming), id_a < id_b.
+    *
+    * EAGER + caller unpersist, same bounded-residency contract as the rest
+    * of the family: the signature frame is persisted for the self-join's
+    * two sides and released before returning; the pair-sized result comes
+    * back persisted. */
+  def signatureNearDups(signatures: DataFrame, maxDist: Int,
+                        maxBucketOccupancy: Long, opName: String,
+                        remedy: String): DataFrame = {
     // Persisted: the block self-join below consumes `sigs` on both sides,
-    // which without the persist evaluates the 64-sum signature aggregate
-    // (and the corpus scan under it) twice — same finding as the
-    // minHashNearDups accumulator test. One narrow (id, sig) row per doc.
-    // Released at the end via materializeAndRelease, so invocations don't
-    // stack cached frames in a long-lived session.
-    val sigs = simHashSignatures(df, textCol, idCol)
+    // which without the persist evaluates the signature pipeline (and the
+    // corpus scan under it) twice — same finding as the minHashNearDups
+    // accumulator test. One narrow (id, sig) row per doc.
+    val sigs = signatures.select(col("id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
@@ -562,7 +578,7 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.blk"), col("bb.key"))
     releasingOnFailure(sigs) {
       Guards.checkBucketOccupancy(blocked, Seq("blk", "key"), maxBucketOccupancy,
-        "simHashNearDups", "run exactDedup first to collapse identical documents")
+        opName, remedy)
     }
     val a = blocked.alias("a"); val b = blocked.alias("b")
     val pairs = a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&

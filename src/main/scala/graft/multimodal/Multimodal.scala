@@ -221,6 +221,75 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual difference hash (dHash, public construction): decode,
+    * bilinear-scale to a 9×8 grayscale thumbnail, emit 64 bits — bit (x,y)
+    * set iff pixel(x,y) < pixel(x+1,y). Robust to re-encoding, scaling and
+    * uniform brightness shifts (comparisons are unchanged when every pixel
+    * moves by the same amount) — the image member of the dedup family's
+    * signature tier, consumed by [[imageNearDups]] via Hamming distance.
+    * Null/undecodable payloads get a null hash. Per-partition decode, one
+    * long per image on the wire. */
+  def dHash64(df: DataFrame, payloadCol: String = "payload",
+              outCol: String = "dhash"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, LongType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val hash: java.lang.Long = if (bytes == null) null else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) null
+          else {
+            val small = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g = small.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, 9, 8, null)
+            } finally g.dispose()
+            val raster = small.getRaster
+            var bits = 0L
+            var i = 0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (raster.getSample(x, y, 0) < raster.getSample(x + 1, y, 0))
+                  bits |= (1L << i)
+                i += 1; x += 1
+              }
+              y += 1
+            }
+            bits
+          }
+        }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-dup pairs: [[dHash64]] signatures resolved through the
+    * generic 16-bit-pigeonhole candidate generator
+    * ([[graft.dedup.Dedup.signatureNearDups]] — full recall for Hamming
+    * distance ≤ 3, bucket join, never all-pairs). Returns
+    * (id_a, id_b, hamming); undecodable payloads drop out (null signature
+    * can't be a near-dup of anything). Same EAGER + caller-unpersist
+    * residency contract as the text dedup family. */
+  def imageNearDups(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload", maxDist: Int = 3,
+                    maxBucketOccupancy: Long = 100000L): DataFrame =
+    graft.dedup.Dedup.signatureNearDups(
+      dHash64(df, payloadCol, "sig")
+        .select(col(idCol).as("id"), col("sig"))
+        .filter(col("sig").isNotNull),
+      maxDist, maxBucketOccupancy, "imageNearDups",
+      "the corpus contains many visually-identical images; exact-dedup payload bytes first")
+
   /** Frame sampling stub: produce `n` evenly spaced "frame" rows per video
     * payload — exercises the explode fan-out shape (1 row → n rows) a real
     * frame sampler has. */

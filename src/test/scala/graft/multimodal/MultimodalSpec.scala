@@ -91,4 +91,52 @@ class MultimodalSpec extends SparkSpec {
     val r = out.select("resized.width", "resized.height").head()
     assert((r.getInt(0), r.getInt(1)) === ((224, 224)))
   }
+
+  // block-structured grayscale test image: 8×8 blocks, each uniformly one
+  // of two brightness levels chosen by a seeded pattern — structure dHash
+  // preserves through the 9×8 thumbnail
+  private def blockImage(seed: Int, lo: Int = 50, hi: Int = 150,
+                         fmt: String = "png"): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val pattern = Array.fill(8, 8)(rnd.nextBoolean())
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = if (pattern(y / 8)(x / 8)) hi else lo
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  test("dHash64: invariant to uniform brightness and re-encoding, distinct patterns far, null → null") {
+    val rows = Seq(
+      (1L, blockImage(7)),                      // base
+      (2L, blockImage(7, lo = 80, hi = 180)),   // +30 brightness everywhere
+      (3L, blockImage(7, fmt = "bmp")),          // same pixels, BMP encoding
+      (4L, blockImage(99)),                     // different pattern
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.dHash64(rows.toDF("id", "payload")).orderBy("id")
+      .select("dhash").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0) === out(1), "uniform brightness shift must not change dHash")
+    assert(out(0) === out(2), "lossless re-encode must not change dHash")
+    val dist = java.lang.Long.bitCount(out(0).get ^ out(3).get)
+    assert(dist > 10, s"independent patterns should be far apart, got $dist")
+    assert(out(4) === None)
+  }
+
+  test("imageNearDups: same-pattern images pair at distance 0, residency bounded") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    // ids 0..9, pattern key id % 5 → exactly the same-key pairs collapse
+    val rows = (0 until 10).map(i => (i.toLong, blockImage(i % 5)))
+    val out = Multimodal.imageNearDups(rows.toDF("id", "payload"), "id", maxDist = 0)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((cachedIds -- before).size === 1,
+      "only the pair result stays cached after imageNearDups")
+    out.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty)
+    assert(pairs === (0 until 5).map(k => (k.toLong, (k + 5).toLong)).toSet)
+  }
 }
