@@ -177,6 +177,29 @@ object ExtensionQueries {
   private val txtLmScore: Q = (s, dir) =>
     TextOps.ngramLmScore(t(s, dir, "documents"), "text", "doc_id")
 
+  /** FineWeb-style filter-chain capstone: Gopher structural rules AND a
+    * corpus-median LM-score gate, composed in ONE lazy plan, reported per
+    * source. The exact interpolated percentile keeps the threshold
+    * oracle-mirrorable (quantile_cont); the LM median rides back in as a
+    * broadcast one-row aggregate — no driver collect. */
+  private val pipeGopherCurate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val g = TextOps.gopherSignals(docs, "text", "doc_id")
+      .select(col("doc_id"), col("passes"))
+    val lm = TextOps.ngramLmScore(docs, "text", "doc_id")
+      .select(col("doc_id"), col("lm_logp"))
+    val med = lm.agg(expr("percentile(lm_logp, 0.5)").as("__med"))
+    docs.select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .join(g, "doc_id").join(lm, "doc_id")
+      .crossJoin(broadcast(med))
+      .filter(col("passes") && col("lm_logp").isNotNull &&
+        col("lm_logp") >= col("__med"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("lm_logp")), 6).as("avg_lm_logp"))
+  }
+
   /** SCD Type-2 dimension build over the event history: per user, the
     * validity intervals of the (changing) event_type attribute, ordered by
     * (ts, event_id). Timestamps exported as epoch micros for the oracle
@@ -738,6 +761,7 @@ object ExtensionQueries {
     "txt_gopher_rules" -> txtGopherRules,
     "txt_html_strip" -> txtHtmlStrip,
     "txt_lm_score" -> txtLmScore,
+    "pipe_gopher_curate" -> pipeGopherCurate,
     "txt_domains" -> txtDomains,
     "txt_normalize" -> txtNormalize,
     "w8_scd2" -> w8Scd2,
@@ -812,6 +836,53 @@ object ExtensionQueries {
          |   WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
          |   ELSE 'de' END AS lang_pred
          | FROM (SELECT doc_id, $langScores FROM documents)""".stripMargin
+
+    // shared by txt_gopher_rules and the pipe_gopher_curate composite
+    val gopherRulesSql =
+      raw"""SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           | bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           | CAST(n_words BETWEEN 10 AND 100000
+           |   AND mean_word_len BETWEEN 3.0 AND 10.0
+           |   AND symbol_word_ratio <= 0.1
+           |   AND bullet_line_frac <= 0.9
+           |   AND ellipsis_line_frac <= 0.3
+           |   AND alpha_word_frac >= 0.8 AS INT) AS passes
+           |FROM (SELECT doc_id, n_words,
+           |  CASE WHEN n_words > 0 THEN ROUND(nonspace / n_words, 6) ELSE 0.0 END AS mean_word_len,
+           |  CASE WHEN n_words > 0 THEN ROUND(symbols / n_words, 6) ELSE 0.0 END AS symbol_word_ratio,
+           |  ROUND(bullets / n_lines, 6) AS bullet_line_frac,
+           |  ROUND(ellipses / n_lines, 6) AS ellipsis_line_frac,
+           |  CASE WHEN n_words > 0 THEN ROUND(alphaw / n_words, 6) ELSE 0.0 END AS alpha_word_frac
+           | FROM (SELECT doc_id,
+           |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+           |   CAST(len(regexp_split_to_array(text, '\n')) AS BIGINT) AS n_lines,
+           |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+           |   CAST(length(regexp_replace(text, '[^#…]', '', 'g')) AS DOUBLE) AS symbols,
+           |   CAST(len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS DOUBLE) AS bullets,
+           |   CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$$')) AS DOUBLE) AS ellipses,
+           |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           |     w -> w <> '' AND regexp_matches(w, '\p{L}'))) AS DOUBLE) AS alphaw
+           |  FROM documents))""".stripMargin
+
+    // shared by txt_lm_score and the pipe_gopher_curate composite
+    val lmScoreSql =
+      raw"""WITH toks AS (SELECT doc_id,
+           |   regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+           | bgf AS (SELECT doc_id, s['w'] AS w, s['nxt'] AS nxt FROM (
+           |   SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           |     i -> struct_pack(w := t[i], nxt := t[i + 1]))) AS s FROM toks)),
+           | bgc AS (SELECT w, nxt, count(*) AS cbg FROM bgf GROUP BY 1, 2),
+           | ctx AS (SELECT w, count(*) AS cw FROM bgf GROUP BY 1),
+           | voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS V
+           |   FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> ''),
+           | sc AS (SELECT doc_id, count(*) AS n_bigrams,
+           |   ROUND(avg(ln((cbg + 1) / (cw + V))), 6) AS lm_logp
+           |  FROM bgf JOIN bgc USING (w, nxt) JOIN ctx USING (w) CROSS JOIN voc
+           |  GROUP BY 1)
+           |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           | sc.lm_logp
+           |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
 
     Map(
       "txt_token_count" ->
@@ -924,32 +995,7 @@ object ExtensionQueries {
              | ROUND(COALESCE(CAST(mx AS DOUBLE) / tot, 0), 6) AS top_bigram_frac,
              | ROUND(COALESCE(CAST(dup AS DOUBLE) / tot, 0), 6) AS dup_bigram_frac
              |FROM wstat w LEFT JOIN bstat b ON b.doc_id = w.doc_id""".stripMargin,
-      "txt_gopher_rules" ->
-        raw"""SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-             | bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-             | CAST(n_words BETWEEN 10 AND 100000
-             |   AND mean_word_len BETWEEN 3.0 AND 10.0
-             |   AND symbol_word_ratio <= 0.1
-             |   AND bullet_line_frac <= 0.9
-             |   AND ellipsis_line_frac <= 0.3
-             |   AND alpha_word_frac >= 0.8 AS INT) AS passes
-             |FROM (SELECT doc_id, n_words,
-             |  CASE WHEN n_words > 0 THEN ROUND(nonspace / n_words, 6) ELSE 0.0 END AS mean_word_len,
-             |  CASE WHEN n_words > 0 THEN ROUND(symbols / n_words, 6) ELSE 0.0 END AS symbol_word_ratio,
-             |  ROUND(bullets / n_lines, 6) AS bullet_line_frac,
-             |  ROUND(ellipses / n_lines, 6) AS ellipsis_line_frac,
-             |  CASE WHEN n_words > 0 THEN ROUND(alphaw / n_words, 6) ELSE 0.0 END AS alpha_word_frac
-             | FROM (SELECT doc_id,
-             |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
-             |   CAST(len(regexp_split_to_array(text, '\n')) AS BIGINT) AS n_lines,
-             |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
-             |   CAST(length(regexp_replace(text, '[^#…]', '', 'g')) AS DOUBLE) AS symbols,
-             |   CAST(len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS DOUBLE) AS bullets,
-             |   CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$$')) AS DOUBLE) AS ellipses,
-             |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-             |     w -> w <> '' AND regexp_matches(w, '\p{L}'))) AS DOUBLE) AS alphaw
-             |  FROM documents))""".stripMargin,
+      "txt_gopher_rules" -> gopherRulesSql,
       "txt_html_strip" ->
         raw"""SELECT doc_id, trim(regexp_replace(s6, '\s+', ' ', 'g')) AS cleaned
              |FROM (SELECT doc_id,
@@ -969,23 +1015,27 @@ object ExtensionQueries {
              |    '<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s&nbsp;done ' ||
              |    '&amp;lt;kept&amp;gt;</div></body></html>' AS raw
              |   FROM documents WHERE doc_id < 200)))""".stripMargin,
-      "txt_lm_score" ->
-        raw"""WITH toks AS (SELECT doc_id,
-             |   regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-             | bgf AS (SELECT doc_id, s['w'] AS w, s['nxt'] AS nxt FROM (
-             |   SELECT doc_id, unnest(list_transform(range(1, len(t)),
-             |     i -> struct_pack(w := t[i], nxt := t[i + 1]))) AS s FROM toks)),
-             | bgc AS (SELECT w, nxt, count(*) AS cbg FROM bgf GROUP BY 1, 2),
-             | ctx AS (SELECT w, count(*) AS cw FROM bgf GROUP BY 1),
-             | voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS V
-             |   FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> ''),
-             | sc AS (SELECT doc_id, count(*) AS n_bigrams,
-             |   ROUND(avg(ln((cbg + 1) / (cw + V))), 6) AS lm_logp
-             |  FROM bgf JOIN bgc USING (w, nxt) JOIN ctx USING (w) CROSS JOIN voc
-             |  GROUP BY 1)
-             |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-             | sc.lm_logp
-             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+      "txt_lm_score" -> lmScoreSql,
+      "pipe_gopher_curate" ->
+        raw"""WITH gopher AS ($$GOPHER$$),
+             | lm AS ($$LM$$),
+             | tok AS (SELECT doc_id, source,
+             |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+             |     AS n_tokens FROM documents),
+             | med AS (SELECT quantile_cont(lm_logp, 0.5) AS m FROM lm)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             | ROUND(AVG(lm_logp), 6) AS avg_lm_logp
+             |FROM tok
+             | JOIN gopher USING (doc_id)
+             | JOIN lm USING (doc_id)
+             | CROSS JOIN med
+             |WHERE gopher.passes = 1 AND lm.lm_logp IS NOT NULL
+             |  AND lm.lm_logp >= med.m
+             |GROUP BY 1""".stripMargin
+          .replace("$GOPHER$", gopherRulesSql)
+          .replace("$LM$", lmScoreSql),
       "txt_domains" ->
         """WITH d AS (SELECT doc_id, unnest(regexp_extract_all(
           |   text || ' see https://site' || (doc_id % 7) ||
