@@ -291,6 +291,58 @@ object TextUnaccent {
   }
 }
 
+/** Deflate compression ratio of the UTF-8 text — the classic cheap
+  * "information density" quality signal for web corpora (boilerplate,
+  * looped templates and padded spam compress far below organic prose;
+  * near-random noise barely compresses). Ratio = compressed/original
+  * bytes, rounded to 6 decimals; empty string → 1.0.
+  *
+  * Spark has no compression expression; the JDK Deflater is called from
+  * generated code through a static helper, staying inside whole-stage
+  * codegen. Deterministic for a given JDK zlib level (the signal is
+  * thresholded, never hash-compared across engines). */
+case class TextDeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"text_deflate_ratio expects string, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextDeflateRatio.ratio(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextDeflateRatio.ratio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextDeflateRatio =
+    copy(child = newChild)
+}
+
+object TextDeflateRatio {
+  /** Static so generated code can call it directly. Raw deflate (nowrap),
+    * default level; the output bytes are only counted, never kept. */
+  def ratio(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) 1.0
+    else {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        math.rint(total.toDouble / bytes.length * 1e6) / 1e6
+      } finally d.end()
+    }
+  }
+}
+
 object VectorExprs {
 
   /** Codegen'd dot product of two float/double array columns. Resolved via
@@ -320,6 +372,10 @@ object VectorExprs {
 
   /** Unicode-canonicalize + strip accents (NFD → drop Mn → NFC). */
   def unaccent(a: Column): Column = call_function("text_unaccent", a)
+
+  /** Deflate compression ratio (compressed/original bytes) — the
+    * information-density quality signal. */
+  def deflateRatio(a: Column): Column = call_function("text_deflate_ratio", a)
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -365,6 +421,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"text_unaccent takes 1 argument, got ${children.length}")
         TextUnaccent(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("text_deflate_ratio"),
+      new ExpressionInfo(classOf[TextDeflateRatio].getName, "text_deflate_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"text_deflate_ratio takes 1 argument, got ${children.length}")
+        TextDeflateRatio(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),

@@ -452,6 +452,92 @@ object TextOps {
         col("lm_logp"))
   }
 
+  private val BpeSep = "\u0001"
+
+  /** BPE merge induction (Sennrich et al. 2016, "Neural Machine Translation
+    * of Rare Words with Subword Units", public) — the training half of a
+    * real subword tokenizer: starting from characters, repeatedly merge the
+    * globally most frequent adjacent symbol pair. Returns the merge table
+    * (merge_rank, left, right, pair_count), ties broken by (left, right)
+    * ascending for cross-run determinism. Stops early when the best pair
+    * drops below `minPairCount`.
+    *
+    * Scale shape: BPE statistics are over word TYPES weighted by frequency,
+    * so the corpus collapses to its vocabulary table before any iteration
+    * touches it — iterations run over |vocab| rows, not the corpus. Each
+    * round is one codegen'd pair-explode + sum aggregate (map-side
+    * partials) + a driver top-1 scalar, then a map-only merge rewrite
+    * (symbols ride as a U+0001-joined string; the merge is one quoted
+    * regexp_replace — left-to-right non-overlapping, the classic BPE greedy
+    * order). Per-iteration lineage is truncated and re-persisted, exactly
+    * like [[graft.dedup.Dedup.duplicateClusters]], so plan depth stays
+    * constant across merges; all intermediates are released on exit
+    * (bounded residency, nothing survives the call). */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+                minPairCount: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def truncated(d: DataFrame): DataFrame = spark.createDataFrame(d.rdd, d.schema)
+
+    var seg = truncated(
+        df.select(explode(tokens(lower(col(textCol)))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(concat_ws(BpeSep, split(col("word"), "")).as("seg"), col("freq")))
+      .persist(lvl)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var i = 0
+      var done = false
+      while (i < numMerges && !done) {
+        i += 1
+        val syms = split(col("seg"), BpeSep)
+        val top = seg.filter(size(syms) >= 2)
+          .select(col("freq"), explode(
+              transform(sequence(lit(0), size(syms) - 2),
+                j => struct(element_at(syms, j + 1).as("l"),
+                  element_at(syms, j + 2).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getAs[Long]("cnt") < minPairCount) done = true
+        else {
+          val (l, r, cnt) = (top(0).getAs[String]("l"),
+            top(0).getAs[String]("r"), top(0).getAs[Long]("cnt"))
+          merges += ((i, l, r, cnt))
+          val next = truncated(seg.select(
+              regexp_replace(col("seg"),
+                java.util.regex.Pattern.quote(l + BpeSep + r),
+                java.util.regex.Matcher.quoteReplacement(l + r)).as("seg"),
+              col("freq")))
+            .persist(lvl)
+          next.count() // materialize before releasing the parent
+          seg.unpersist(blocking = true)
+          seg = next
+        }
+      }
+    } finally seg.unpersist(blocking = true)
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a learned merge table ([[bpeMerges]] order matters) to a word
+    * column — the encoding half: returns the array of subword segments.
+    * Pure fold of quoted regexp_replace steps; map-only, broadcastable as
+    * part of any projection. */
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
+    val init = concat_ws(BpeSep, split(word, ""))
+    val merged = merges.foldLeft(init) { case (acc, (l, r)) =>
+      regexp_replace(acc,
+        java.util.regex.Pattern.quote(l + BpeSep + r),
+        java.util.regex.Matcher.quoteReplacement(l + r))
+    }
+    split(merged, BpeSep)
+  }
+
   /** Per-document salient terms: top-`k` tokens by tf·idf, the classic
     * keyword/topic signal for corpus exploration and domain tagging.
     * Returns (doc_id, term, score, rank).

@@ -311,6 +311,59 @@ class TextOpsSpec extends SparkSpec {
     assert(plain === "no markup here")
   }
 
+  test("bpeMerges: classic corpus learns (es, est, lo, low); encoding segments lowest → low|est") {
+    // Sennrich et al. running example: low×5 lower×2 newest×6 widest×3.
+    // Hand-computed merge sequence:
+    //   1. (e,s)  count 9 (ties (s,t) 9 → pair-ascending tie-break)
+    //   2. (es,t) count 9
+    //   3. (l,o)  count 7 (ties (o,w) 7)
+    //   4. (lo,w) count 7
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = TextOps.bpeMerges(df, "text", numMerges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+
+    val segs = Seq("lowest").toDF("w")
+      .select(TextOps.bpeSegment(col("w"),
+        merges.map(m => (m._2, m._3))).as("s"))
+      .as[Seq[String]].head()
+    assert(segs === Seq("low", "est"))
+  }
+
+  test("bpeMerges: stops below minPairCount and releases all caches") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val df = Seq((1L, "ab cd")).toDF("id", "text") // every pair count 1
+    val merges = TextOps.bpeMerges(df, "text", numMerges = 5, minPairCount = 2L)
+    assert(merges.count() === 0)
+    val big = Seq.fill(3)((1L, "xy")).toDF("id", "text")
+    assert(TextOps.bpeMerges(big, "text", numMerges = 5)
+      .as[(Int, String, String, Long)].collect().toSeq === Seq((1, "x", "y", 3L)))
+    assert((cachedIds -- before).isEmpty, "bpeMerges must leave nothing cached")
+  }
+
+  test("deflateRatio: boilerplate compresses low, noise high, empty → 1.0") {
+    import graft.functions.VectorExprs
+    val rnd = new scala.util.Random(3)
+    val noise = (0 until 400).map(_ => rnd.nextPrintableChar()).mkString
+    val rows = Seq(
+      ("looped", "buy now! " * 100),
+      ("prose", "The committee reviewed the quarterly results and proposed " +
+        "several changes to the reporting process going forward."),
+      ("noise", noise),
+      ("empty", ""))
+    val out = rows.toDF("kind", "text")
+      .select(col("kind"), VectorExprs.deflateRatio(col("text")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(out("looped") < 0.1, s"looped template should compress hard: ${out("looped")}")
+    assert(out("prose") > out("looped"))
+    assert(out("noise") > 0.5, s"near-random text barely compresses: ${out("noise")}")
+    assert(out("empty") === 1.0)
+  }
+
   test("ngramLmScore: add-one-smoothed bigram mean log-prob, short docs null") {
     val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
     // corpus: C(a,b)=3 C(b,a)=1 C(b,c)=1; C(a·)=3 C(b·)=2; V=4
