@@ -167,11 +167,13 @@ object Quality {
   /** Roll sketches up to a coarser grouping: union-merge per group, then
     * estimate. The input is already one row per fine-grained group, so
     * this aggregates sketch-count rows, not raw data. */
-  def mergeDistinctSketches(sketches: DataFrame, groupCols: Seq[String],
-                            lgConfigK: Int = 12): DataFrame =
+  def mergeDistinctSketches(sketches: DataFrame,
+                            groupCols: Seq[String]): DataFrame =
     sketches.groupBy(groupCols.map(col): _*)
+      // second arg = allowDifferentLgConfigK (the union downgrades to the
+      // smaller K when mixed) — our sketches share one K, so strict false
       .agg(hll_sketch_estimate(
-          hll_union_agg(col("key_sketch"), lit(lgConfigK))).as("distinct_est"),
+          hll_union_agg(col("key_sketch"), lit(false))).as("distinct_est"),
         sum(col("n_rows")).as("n_rows"))
 
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {

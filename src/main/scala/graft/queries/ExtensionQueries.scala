@@ -583,10 +583,15 @@ object ExtensionQueries {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
-    graft.sim.SemDedup.semanticDedup(emb.unionByName(planted),
-        threshold = 0.95, nlist = 8)
-      .select(col("id").as("vec_id"), col("dup_group"),
+    // reshapeAndRelease: the cast/rename projection must itself be the
+    // persisted frame, or a caller's unpersist() silently misses the
+    // operator's cached result (Dataset.unpersist matches exact plans).
+    graft.util.Caching.reshapeAndRelease(
+      graft.sim.SemDedup.semanticDedup(emb.unionByName(planted),
+        threshold = 0.95, nlist = 8)) { sd =>
+      sd.select(col("id").as("vec_id"), col("dup_group"),
         col("keep").cast(IntegerType).as("keep"))
+    }
   }
 
   /** PQ/ADC ANN top-k — the quantized-index scale tier (64× scan-IO cut at
@@ -719,6 +724,23 @@ object ExtensionQueries {
       .select(col("event_id"), col("user_id"), col("error_id"))
   }
 
+  /** Stream-stream interval join exercised in BATCH mode (withWatermark is
+    * a no-op on batch frames): views joined to same-user clicks landing
+    * within 6 hours — the attribution shape. The streaming execution of
+    * the SAME operator (state bounds, cross-batch matching, checkpoint
+    * recovery) is covered by StreamOpsSpec; this entry hash-checks the
+    * join semantics against a plain SQL time-range join. */
+  private val evtIntervalJoin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    graft.streaming.StreamOps.intervalJoinStream(views, clicks, Seq("user_id"),
+        "vts", "cts", lowerSec = 0L, upperSec = 6L * 3600)
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   private val evtJsonExtract: Q = (s, dir) =>
     events(s, dir).select(col("event_id"),
       regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).try_cast(LongType).as("k"))
@@ -811,6 +833,7 @@ object ExtensionQueries {
     "mm_frame_fanout" -> mmFrameFanout,
     "evt_asof" -> evtAsof,
     "evt_range" -> evtRange,
+    "evt_interval_join" -> evtIntervalJoin,
     "evt_json_extract" -> evtJsonExtract,
     "evt_json_struct" -> evtJsonStruct,
     "evt_funnel" -> evtFunnel,
@@ -1534,6 +1557,12 @@ object ExtensionQueries {
           |    ts + INTERVAL 5 MINUTE AS en
           |  FROM events WHERE event_type = 'error') r
           |ON e.user_id = r.user_id AND e.ts >= r.s AND e.ts <= r.en""".stripMargin,
+      "evt_interval_join" ->
+        """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+          |FROM events v JOIN events c
+          |  ON v.user_id = c.user_id
+          | AND v.event_type = 'view' AND c.event_type = 'click'
+          | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin,
       "evt_json_extract" ->
         """SELECT event_id,
           | CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k

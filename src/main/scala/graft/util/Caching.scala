@@ -53,6 +53,19 @@ object Caching {
     }
   }
 
+  /** Re-persist a PROJECTION of a persisted operator result and release
+    * the original. `Dataset.unpersist` only releases the exact cached
+    * plan — a caller that selects/renames/casts on top of a returned
+    * persisted frame and then unpersists the wrapper silently leaks the
+    * original cache entry. Callers that must hand downstream a reshaped
+    * frame use this instead: the projection is materialized through the
+    * original's cache (one cheap pass, no recompute), the original is
+    * released, and the RETURNED frame is the persisted one — so the
+    * family's caller-unpersist contract keeps working. */
+  def reshapeAndRelease(result: DataFrame)
+                       (project: DataFrame => DataFrame): DataFrame =
+    materializeAndRelease(project(result), result)
+
   /** Run `body`, unpersisting `intermediates` if it throws — for guard
     * checks that run between an operator's persist() calls and its
     * materializeAndRelease tail (whose own finally only covers the tail).
