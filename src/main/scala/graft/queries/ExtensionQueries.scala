@@ -770,6 +770,22 @@ object ExtensionQueries {
       .select(unix_micros(col("window_start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Windowed trending: per hour, the top-2 event types by count
+    * (deterministic tie-break on type) — the windowed top-k-per-group
+    * composition every activity dashboard runs. WindowGroupLimit pushes
+    * the rank filter below the sort, so no hour's full ranking ever
+    * materializes beyond k. */
+  private val evtTrending: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start_us"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    Sessionize.windowedCounts(events(s, dir), "1 hour")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+  }
+
   // ------------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "txt_token_count" -> txtTokenCount,
@@ -840,7 +856,8 @@ object ExtensionQueries {
     "evt_retention" -> evtRetention,
     "evt_sessionize" -> evtSessionize,
     "evt_session_window" -> evtSessionWindow,
-    "evt_window_counts" -> evtWindowCounts)
+    "evt_window_counts" -> evtWindowCounts,
+    "evt_trending" -> evtTrending)
 
   /** Oracle SQL mirrors. The lang-id oracle is generated from the same
     * marker table the Spark expression uses. */
@@ -1624,6 +1641,17 @@ object ExtensionQueries {
         """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_start_us,
           | event_type, CAST(count(*) AS BIGINT) AS n_events,
           | ROUND(SUM(value), 6) AS total_value
-          | FROM events GROUP BY 1, 2""".stripMargin)
+          | FROM events GROUP BY 1, 2""".stripMargin,
+      "evt_trending" ->
+        """SELECT window_start_us, event_type, n_events,
+          | CAST(rank AS INT) AS rank
+          |FROM (SELECT window_start_us, event_type, n_events,
+          |  row_number() OVER (PARTITION BY window_start_us
+          |    ORDER BY n_events DESC, event_type) AS rank
+          | FROM (SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP))
+          |     AS window_start_us,
+          |   event_type, CAST(count(*) AS BIGINT) AS n_events
+          |  FROM events GROUP BY 1, 2))
+          |WHERE rank <= 2""".stripMargin)
   }
 }

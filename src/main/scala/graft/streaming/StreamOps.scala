@@ -132,6 +132,71 @@ object StreamOps {
       .select(col("l.*") +: rightCols: _*)
   }
 
+  /** Idempotent per-batch keyed upsert into a JDBC table — the
+    * `foreachBatch` half of [[upsertToJdbc]], usable standalone for batch
+    * backfills. Update-else-insert per row (portable — no MERGE dialect
+    * dependency), one connection per partition, committed per partition.
+    *
+    * CONTRACT: at most one row per key per batch (a streaming aggregation
+    * in update mode satisfies this by construction; dedup upstream
+    * otherwise) — two same-key rows split across partitions would race
+    * their insert. Replaying a batch converges to the same table state
+    * (UPDATE wins on the second pass), which is what makes the streaming
+    * sink exactly-once-in-effect after failure recovery. */
+  def upsertBatch(batch: org.apache.spark.sql.DataFrame, url: String,
+                  table: String, keyCol: String, valueCols: Seq[String],
+                  driver: String): Unit = {
+    val cols = keyCol +: valueCols
+    batch.select(cols.map(col): _*).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          Class.forName(driver)
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val update = conn.prepareStatement(
+              s"UPDATE $table SET ${valueCols.map(c => s"$c = ?").mkString(", ")} " +
+                s"WHERE $keyCol = ?")
+            val insert = conn.prepareStatement(
+              s"INSERT INTO $table (${cols.mkString(", ")}) " +
+                s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+            rows.foreach { r =>
+              valueCols.zipWithIndex.foreach { case (c, i) =>
+                update.setObject(i + 1, r.get(r.fieldIndex(c))) }
+              update.setObject(valueCols.size + 1, r.get(r.fieldIndex(keyCol)))
+              if (update.executeUpdate() == 0) {
+                cols.zipWithIndex.foreach { case (c, i) =>
+                  insert.setObject(i + 1, r.get(r.fieldIndex(c))) }
+                insert.executeUpdate()
+              }
+            }
+            conn.commit()
+          } finally conn.close()
+        }
+    }
+  }
+
+  /** Streaming upsert sink: every micro-batch's changed rows MERGE into a
+    * JDBC serving table via [[upsertBatch]] — the standard
+    * `foreachBatch` + keyed-idempotence pattern that gives a streaming
+    * aggregation an exactly-once-in-effect external sink: checkpoint
+    * recovery may REPLAY a batch, and the keyed upsert makes the replay a
+    * no-op rather than a duplicate. Pair with update-mode aggregations
+    * (one row per key per batch by construction). */
+  def upsertToJdbc(df: DataFrame, url: String, table: String,
+                   keyCol: String, valueCols: Seq[String],
+                   checkpointDir: String,
+                   driver: String = "org.apache.derby.jdbc.EmbeddedDriver")
+                  : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        upsertBatch(batch, url, table, keyCol, valueCols, driver)
+      }
+      .start()
+
   /** Streaming incremental dedup against a STATIC reference corpus — the
     * live-ingest form of [[graft.dedup.Dedup.incrementalDedup]]: each
     * micro-batch drops documents whose fingerprint already exists in the

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit}
 import java.sql.Timestamp
 
 class StreamOpsSpec extends SparkSpec {
@@ -140,6 +141,46 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed === batch)
       assert(streamed === Set((1L, "adA", "c1"), (1L, "adA", "c3"), (3L, "adC", "c4")))
     } finally q.stop()
+  }
+
+  test("upsertToJdbc: update-mode aggregation upserts per batch; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val url = "jdbc:derby:memory:graft_upsert;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(driver)
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().execute(
+        "CREATE TABLE user_counts (user_id BIGINT PRIMARY KEY, n BIGINT)")
+      finally c.close()
+    }
+    def table(): Map[Long, Long] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT user_id, n FROM user_counts")
+        val b = scala.collection.mutable.Map.empty[Long, Long]
+        while (rs.next()) b += rs.getLong(1) -> rs.getLong(2)
+        b.toMap
+      } finally c.close()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    val mem = MemoryStream[(Long, Timestamp)]
+    val counts = mem.toDF().toDF("user_id", "ts")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val q = StreamOps.upsertToJdbc(counts, url, "user_counts", "user_id", Seq("n"), ckpt)
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+      q.processAllAvailable()
+      assert(table() === Map(1L -> 2L, 2L -> 1L))
+      mem.addData((1L, ts(3)), (3L, ts(4)))   // u1 updates, u3 inserts
+      q.processAllAvailable()
+      assert(table() === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+    // failure-recovery semantics: replaying already-applied rows is a no-op
+    val replay = Seq((1L, 3L), (3L, 1L)).toDF("user_id", "n")
+    StreamOps.upsertBatch(replay, url, "user_counts", "user_id", Seq("n"), driver)
+    assert(table() === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
   test("incrementalDedupStream: reference-known docs dropped, in-stream repeats suppressed cross-batch") {
