@@ -770,6 +770,43 @@ object ExtensionQueries {
       .select(unix_micros(col("window_start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Calendar gap-fill: one row for EVERY (hour, event_type) cell between
+    * the corpus's first and last hour, zero-filled where no events landed —
+    * the spine join every time-series consumer needs before resampling
+    * (missing hours are invisible to a plain groupBy). Scale shape: counts
+    * aggregate first (map-side partials); the spine is hours × types —
+    * tiny — and joins the aggregated counts, never raw events. */
+  private val evtGapFill: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val counts = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(types)
+    spine.join(counts, Seq("h", "event_type"), "left")
+      .select(unix_micros(col("h")).as("hour_us"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Last-observation-carried-forward imputation over planted nulls
+    * (event_id % 7 → null): per user in (ts, event_id) order, nulls take
+    * the most recent non-null value; leading nulls stay null. One
+    * user-keyed window — the standard sensor/price-series repair. */
+  private val f12Locf: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"),
+        round(last(col("v"), ignoreNulls = true).over(w), 6).as("v_filled"))
+  }
+
   /** Windowed trending: per hour, the top-2 event types by count
     * (deterministic tie-break on type) — the windowed top-k-per-group
     * composition every activity dashboard runs. WindowGroupLimit pushes
@@ -857,7 +894,9 @@ object ExtensionQueries {
     "evt_sessionize" -> evtSessionize,
     "evt_session_window" -> evtSessionWindow,
     "evt_window_counts" -> evtWindowCounts,
-    "evt_trending" -> evtTrending)
+    "evt_trending" -> evtTrending,
+    "evt_gap_fill" -> evtGapFill,
+    "f12_locf" -> f12Locf)
 
   /** Oracle SQL mirrors. The lang-id oracle is generated from the same
     * marker table the Spark expression uses. */
@@ -1642,6 +1681,23 @@ object ExtensionQueries {
           | event_type, CAST(count(*) AS BIGINT) AS n_events,
           | ROUND(SUM(value), 6) AS total_value
           | FROM events GROUP BY 1, 2""".stripMargin,
+      "evt_gap_fill" ->
+        """WITH c AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+          |   event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+          | b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+          |   CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi FROM events),
+          | spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h,
+          |   t.event_type FROM b, (SELECT DISTINCT event_type FROM events) t)
+          |SELECT epoch_us(s.h) AS hour_us, s.event_type,
+          | COALESCE(c.n, 0) AS n_events
+          |FROM spine s LEFT JOIN c ON c.h = s.h AND c.event_type = s.event_type""".stripMargin,
+      "f12_locf" ->
+        """SELECT event_id, user_id,
+          | ROUND(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          |   ORDER BY ts, event_id
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+          |FROM (SELECT event_id, user_id, ts,
+          |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)""".stripMargin,
       "evt_trending" ->
         """SELECT window_start_us, event_type, n_events,
           | CAST(rank AS INT) AS rank

@@ -64,7 +64,9 @@ object Pq {
         array_to_vector(slice(col(vecCol), j * sub + 1, sub)).as("__fv"))
       val train = if (trainFraction < 1.0)
         fv.sample(withReplacement = false, trainFraction, seed + j) else fv
-      new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(20)
+      // maxIter 10, like Ivf: codebooks converge in a few iterations on
+      // clustered data, and training is the dominant cost of the operator
+      new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(10)
         .setFeaturesCol("__fv").setPredictionCol("__code")
         .fit(train)
     }
