@@ -54,6 +54,30 @@ object Sources {
       .csv(readPath)
   }
 
+  /** CSV scan with malformed-row CAPTURE (production ingest contract): rows
+    * that don't parse against `schemaDdl` land in a `_corrupt` column with
+    * their raw text instead of poisoning the job (PERMISSIVE) or silently
+    * vanishing (DROPMALFORMED) — the quarantine-and-audit shape every real
+    * feed needs. Returns the typed frame; `df.filter($"_corrupt".isNotNull)`
+    * is the quarantine split. Schema is explicit by design: corrupt-record
+    * capture composes with inference badly (inference reads bad rows as
+    * strings and never flags them). Spark caveat: a query referencing ONLY
+    * `_corrupt` over the raw scan is disallowed
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — keep a data column in quarantine
+    * reads, or cache the frame first. */
+  def csvWithCorruptCapture(spark: SparkSession, path: String,
+                            schemaDdl: String, header: Boolean = true,
+                            encoding: String = "UTF-8"): DataFrame = {
+    ensureCharsetReadable(spark, encoding)
+    spark.read
+      .option("header", header)
+      .option("encoding", encoding)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schemaDdl + ", _corrupt STRING")
+      .csv(path)
+  }
+
   /** Stream-transcode a file to a UTF-8 temp file: O(64 KiB) driver heap,
     * never the whole file; BOM-autodetecting charsets ("UTF-16"/"UTF-32")
     * consume the BOM so it never reaches the UTF-8 copy. Deterministic

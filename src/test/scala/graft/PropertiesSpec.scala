@@ -207,6 +207,38 @@ object PropertiesSpec extends Properties("graft") {
         }
     }
 
+  propertyWithSeed("bpeSegment never loses characters: segments concat back to the word", None) = {
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('l', 'o', 'w', 'e', 's', 't'))
+      .map(_.mkString).map(_.take(12))
+    forAll(Gen.listOfN(4, wordGen)) { words: List[String] =>
+      words.isEmpty || {
+        val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("id", "text")
+        val merges = graft.text.TextOps.bpeMerges(df, "text", numMerges = 3,
+            minPairCount = 1L)
+          .as[(Int, String, String, Long)].collect()
+          .map(m => (m._2, m._3)).toSeq
+        val out = words.toDF("w")
+          .select(concat_ws("", graft.text.TextOps.bpeSegment(col("w"), merges)))
+          .as[String].collect()
+        out.toSeq == words
+      }
+    }
+  }
+
+  propertyWithSeed("ngramLmScore: smoothed mean log-prob is never positive", None) = {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    forAll(Gen.listOfN(5, Gen.listOfN(6, wordGen))) { docs: List[List[String]] =>
+      docs.isEmpty || {
+        val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        graft.text.TextOps.ngramLmScore(df, "text", "doc_id")
+          .as[(Long, Long, Option[Double])].collect()
+          .forall { case (_, n, s) => (n == 0 && s.isEmpty) || s.exists(_ <= 0.0) }
+      }
+    }
+  }
+
   // ScalaCheck's default 100 cases × 5 properties × Spark job latency is
   // minutes of wall time for no extra coverage — 20 cases each is plenty
   // for these structural invariants.

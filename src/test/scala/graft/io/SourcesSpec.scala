@@ -131,4 +131,20 @@ class SourcesSpec extends SparkSpec {
     assert(out.orderBy("k").as[(Long, String)].collect()
       .sameElements(Array((1L, "x"), (2L, "y"))))
   }
+
+  test("csvWithCorruptCapture: bad rows quarantine with raw text, good rows stay typed") {
+    val f = Files.createTempFile("graft_corrupt", ".csv")
+    Files.writeString(f, "id,v\n1,1.5\nnot_an_int,oops\n3,2.25\n")
+    val out = Sources.csvWithCorruptCapture(spark, f.toString, "id INT, v DOUBLE")
+    val good = out.filter($"_corrupt".isNull).orderBy("id")
+      .select("id", "v").as[(Int, Double)].collect()
+    assert(good.sameElements(Array((1, 1.5), (3, 2.25))))
+    // Spark disallows queries referencing ONLY the corrupt column of a raw
+    // scan — quarantine reads keep a data column alongside (documented)
+    val bad = out.filter($"_corrupt".isNotNull)
+      .select("id", "_corrupt").as[(Option[Int], String)].collect()
+    assert(bad.sameElements(Array((None, "not_an_int,oops"))))
+    // the quarantine split loses nothing: good + bad = all lines
+    assert(out.count() === 3)
+  }
 }
