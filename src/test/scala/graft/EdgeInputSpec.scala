@@ -1,0 +1,62 @@
+package graft
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Edge-input robustness: empty corpora and null text must not crash the
+  * library surface. The exact behaviors asserted here ARE the contracts —
+  * a caller feeding a filtered-to-empty frame or a crawl with null bodies
+  * gets defined results, not exceptions. */
+class EdgeInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("empty corpus: dedup family returns 0 rows, leaves no caches") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    assert(Dedup.exactGroups(empty, "text", "doc_id").count() === 0)
+    assert(Dedup.exactDedup(empty, "text", "doc_id").count() === 0)
+    val mh = Dedup.minHashNearDups(empty, "text", "doc_id", threshold = 0.5)
+    assert(mh.count() === 0); mh.unpersist(blocking = true)
+    val sh = Dedup.simHashNearDups(empty, "text", "doc_id")
+    assert(sh.count() === 0); sh.unpersist(blocking = true)
+    val tj = Dedup.consecutiveTokenJaccardPairs(empty, "text", "doc_id", 0.5)
+    assert(tj.count() === 0); tj.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty)
+  }
+
+  test("empty corpus: text analysis returns 0 rows; BPE learns no merges") {
+    assert(TextOps.gopherSignals(empty, "text", "doc_id").count() === 0)
+    assert(TextOps.ngramLmScore(empty, "text", "doc_id").count() === 0)
+    assert(TextOps.heavyHitters(empty, "text", 5).count() === 0)
+    assert(TextOps.repetitionSignals(empty, "text", "doc_id").count() === 0)
+    assert(TextOps.removeBoilerplateLines(empty, "text", "doc_id").count() === 0)
+    assert(TextOps.bpeMerges(empty, "text", numMerges = 3).count() === 0)
+  }
+
+  test("null text: defined null-propagating results, no crash") {
+    val df = Seq((1L, "real words here today"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // gopherSignals: a null body yields null counts but a FALSE flag (the
+    // 0.0-defaulted ratios fail the rule bands) — null-body docs are
+    // dropped by the standard `filter(passes)` gate with no null handling
+    val g = TextOps.gopherSignals(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(!g(1).isNullAt(0) && g(1).isNullAt(1) && !g(1).getBoolean(7),
+      s"null text row: null n_words, passes=false: ${g(1)}")
+    // ngramLmScore: a null body has no tokens → 0 bigrams, null score
+    val lm = TextOps.ngramLmScore(df, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(lm(1) === ((2L, 0L, None)))
+    // exact dedup: null-text rows share the null fingerprint GROUP — they
+    // collapse to one representative, like SQL GROUP BY over null keys;
+    // pre-filter nulls when that is not the intent
+    val dd = Dedup.exactDedup(
+      df.union(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text")),
+      "text", "doc_id")
+    assert(dd.count() === 2)
+    assert(dd.filter(col("text").isNull).select("doc_id").as[Long].head() === 2L)
+  }
+}
