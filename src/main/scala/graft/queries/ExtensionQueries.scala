@@ -502,8 +502,13 @@ object ExtensionQueries {
     val out = Dedup.duplicateClusters(d.select(col("doc_id")), "doc_id",
       pairs.select("id_a", "id_b"))
     pairs.unpersist(blocking = true) // edges were materialized by the loop
-    out.select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
-      (col("id") === col("cluster")).as("kept"))
+    // reshapeAndRelease: the computed `kept` column makes this projection
+    // NOT a canonical no-op, so unpersisting the wrapper would miss the
+    // persisted label frame (the emb_semantic_dedup leak class)
+    graft.util.Caching.reshapeAndRelease(out) { labels =>
+      labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+        (col("id") === col("cluster")).as("kept"))
+    }
   }
 
   /** Duplicate-cluster resolution (connected components) over a planted
@@ -524,8 +529,13 @@ object ExtensionQueries {
       .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
       .unionByName(tens.select((col("doc_id") + 100000).as("id_a"),
         (col("doc_id") + 200000).as("id_b")))
-    Dedup.duplicateClusters(nodes, "doc_id", pairs)
-      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    // rename-only projections happen to canonicalize to a no-op (so the
+    // wrapper's unpersist finds the cached plan), but that is a fragile
+    // subtlety to depend on — reshape explicitly like the rest
+    graft.util.Caching.reshapeAndRelease(
+      Dedup.duplicateClusters(nodes, "doc_id", pairs)) { labels =>
+      labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    }
   }
 
   // ------------------------------------------------------------ similarity

@@ -11,7 +11,7 @@ class ResidencySpec extends SparkSpec {
   // The registry queries that persist internally: the LSH families, the
   // iterative components resolver, and the cluster-scoped semantic dedup.
   private val names = Seq("dd_minhash_lsh", "dd_simhash", "emb_near_dup",
-    "dd_components", "emb_semantic_dedup")
+    "dd_components", "emb_semantic_dedup", "pipe_near_dedup")
 
   test("repeated near-dup query invocations return the session to its cache baseline") {
     val dir = "/root/testdata/sf0.001"
