@@ -143,6 +143,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data and ACCOUNTS for it (numRowsDroppedByWatermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "payload")
+    val q = StreamOps.dedupWithinWatermark(df, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("late_drop_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to 11:50 (max 12:00 − 10 min)
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "early"),
+        (2L, Timestamp.valueOf("2024-01-01 12:00:00"), "late-edge"))
+      q.processAllAvailable()
+      // batch 2: an UNSEEN key behind the watermark must be dropped — and
+      // the drop must be observable in the state-operator metrics, not
+      // silent (the ops answer to "where did my rows go?")
+      mem.addData((3L, Timestamp.valueOf("2024-01-01 09:00:00"), "too-late"))
+      q.processAllAvailable()
+      val out = spark.table("late_drop_out")
+        .select("event_id").as[Long].collect().toSet
+      assert(out === Set(1L, 2L), s"late row must not appear, got $out")
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, "the drop must be accounted in progress metrics")
+    } finally q.stop()
+  }
+
   test("upsertToJdbc: update-mode aggregation upserts per batch; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
