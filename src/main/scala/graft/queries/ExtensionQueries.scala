@@ -76,6 +76,16 @@ object ExtensionQueries {
     TextOps.chunk(t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
       .select(col("doc_id"), col("chunk_no"), col("chunk"))
 
+  /** Sentence segmentation fan-out over planted punctuation (the raw
+    * corpus is sentence-free, so append a deterministic terminated tail). */
+  private val txtSentences: Q = (s, dir) =>
+    TextOps.sentences(
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"), lit(". Second sentence here! And a tail"))
+            .as("text")),
+      "text", "doc_id")
+
   // ----------------------------------------------------------------- dedup
   /** Exact-dedup groups by normalized-content hash (md5 here so the oracle
     * can mirror it; the engine default is the 64-bit xxhash fingerprint). */
@@ -852,6 +862,7 @@ object ExtensionQueries {
     "w8_scd2" -> w8Scd2,
     "txt_redact" -> txtRedact,
     "txt_chunk" -> txtChunk,
+    "txt_sentences" -> txtSentences,
     "pipe_clean_corpus" -> pipeCleanCorpus,
     "dd_exact_groups" -> ddExactGroups,
     "dd_ngram_jaccard" -> ddNgramJaccard,
@@ -1064,6 +1075,14 @@ object ExtensionQueries {
              |   GREATEST(CAST(CEIL((length(text) - 32) / 224.0) AS BIGINT), 1)))
              |   AS chunk_no) c
              |WHERE doc_id < 200""".stripMargin,
+      "txt_sentences" ->
+        raw"""SELECT doc_id, CAST(i - 1 AS INT) AS sent_no, trim(s) AS sentence
+             |FROM (SELECT doc_id, unnest(l) AS s, generate_subscripts(l, 1) AS i
+             |  FROM (SELECT doc_id, regexp_extract_all(
+             |      text || '. Second sentence here! And a tail',
+             |      '[^.!?]+[.!?]+|[^.!?]+$$') AS l
+             |    FROM documents WHERE doc_id < 200))
+             |WHERE trim(s) <> ''""".stripMargin,
       // Bigrams via list_transform over the token array (1-based index;
       // range(1, len) yields 1..len-1 = every adjacent pair), mirroring
       // the engine's lead-window construction.

@@ -137,6 +137,22 @@ object TextOps {
           .as("chunk"))
   }
 
+  /** Sentence segmentation: split into runs terminated by `.!?` (plus an
+    * unterminated tail), one row per sentence with its ORIGINAL position
+    * (positions are assigned before empty-after-trim filtering, so they
+    * are stable document offsets). Match-based RE2-safe pattern — no
+    * lookbehind — so a SQL engine replays the same segmentation. Map-only
+    * explode fan-out, like [[chunk]]. Heuristic by design (abbreviations
+    * split); the training-data uses — sentence-level dedup, quality
+    * sampling, context windowing — want cheap and reproducible over
+    * linguistically perfect. */
+  def sentences(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))).as(Seq("sent_no", "s")))
+      .select(col("doc_id"), col("sent_no"), trim(col("s")).as("sentence"))
+      .filter(col("sentence") =!= "")
+
   /** Sequence packing for training — the "concatenate and chop" scheme
     * GPT-style pretraining uses: within a shard, documents are laid out
     * contiguously in id order and the stream is chopped into fixed

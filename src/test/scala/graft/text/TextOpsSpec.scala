@@ -311,6 +311,19 @@ class TextOpsSpec extends SparkSpec {
     assert(plain === "no markup here")
   }
 
+  test("sentences: terminator runs split, unterminated tail kept, positions stable") {
+    val df = Seq(
+      (1L, "First one. Second!? Third without end"),
+      (2L, "..."),           // punctuation only → no sentences
+      (3L, "one. two.  "))   // trailing blank tail filtered, positions keep gaps
+      .toDF("doc_id", "text")
+    val out = TextOps.sentences(df, "text", "doc_id")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      (1L, 0, "First one."), (1L, 1, "Second!?"), (1L, 2, "Third without end"),
+      (3L, 0, "one."), (3L, 1, "two.")))
+  }
+
   test("bpeMerges: classic corpus learns (es, est, lo, low); encoding segments lowest → low|est") {
     // Sennrich et al. running example: low×5 lower×2 newest×6 widest×3.
     // Hand-computed merge sequence:
