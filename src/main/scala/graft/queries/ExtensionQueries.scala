@@ -281,6 +281,24 @@ object ExtensionQueries {
       .select(col("label"), col("n_vecs"),
         posexplode(col("centroid")).as(Seq("pos", "x")))
 
+  /** Per-group embedding DRIFT: cosine between the even-id-half and
+    * odd-id-half centroids of each label group — the split-half
+    * consistency monitor a training pipeline runs per corpus version
+    * (a label whose two halves disagree is contaminated or mislabeled).
+    * Both centroid sets ride the [[Similarity.groupCentroids]] shape
+    * (vectors never shuffle whole); the final frame is |labels| rows. */
+  private val embDrift: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    def cents(f: org.apache.spark.sql.DataFrame, out: String) =
+      Similarity.groupCentroids(f, "label")
+        .select(col("label"), col("centroid").as(out))
+    cents(emb.filter(col("vec_id") % 2 === 0), "ca")
+      .join(cents(emb.filter(col("vec_id") % 2 === 1), "cb"), "label")
+      .select(col("label"),
+        round(graft.functions.VectorExprs.cosine(col("ca"), col("cb")), 6)
+          .as("drift_cosine"))
+  }
+
   /** Range-sharded sorted export: the corpus re-laid-out as 8 doc_id-range
     * shards, each internally sorted (training-shard layout; row-group
     * stats then prune key-range scans to one shard). Round-trip read
@@ -876,6 +894,7 @@ object ExtensionQueries {
     "dd_incremental" -> ddIncremental,
     "emb_centroids" -> embCentroids,
     "emb_outliers" -> embOutliers,
+    "emb_drift" -> embDrift,
     "k12_shard_export" -> k12ShardExport,
     "txt_line_dedup" -> txtLineDedup,
     "txt_quality_gate" -> txtQualityGate,
@@ -1233,6 +1252,22 @@ object ExtensionQueries {
           | CAST(pos AS INTEGER) AS pos,
           | ROUND(avg(CAST(x AS DOUBLE)), 6) AS x
           |FROM e GROUP BY label, pos""".stripMargin,
+      "emb_drift" ->
+        """WITH e AS (SELECT label, vec_id, p.pos,
+          |   CAST(embedding[CAST(p.pos + 1 AS INTEGER)] AS DOUBLE) AS x
+          |  FROM embeddings,
+          |  LATERAL (SELECT unnest(range(0, len(embedding))) AS pos) p),
+          | ca AS (SELECT label, pos, ROUND(avg(x), 6) AS x FROM e
+          |   WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+          | cb AS (SELECT label, pos, ROUND(avg(x), 6) AS x FROM e
+          |   WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+          | j AS (SELECT ca.label, sum(ca.x * cb.x) AS d,
+          |   sum(ca.x * ca.x) AS na2, sum(cb.x * cb.x) AS nb2
+          |  FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
+          |  GROUP BY 1)
+          |SELECT label, ROUND(CASE WHEN na2 > 0 AND nb2 > 0
+          |  THEN d / (sqrt(na2) * sqrt(nb2)) ELSE 0.0 END, 6) AS drift_cosine
+          |FROM j""".stripMargin,
       "k12_shard_export" ->
         "SELECT doc_id, source, n_chars FROM documents",
       "txt_line_dedup" ->
