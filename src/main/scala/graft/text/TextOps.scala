@@ -554,6 +554,55 @@ object TextOps {
     split(merged, BpeSep)
   }
 
+  /** Subword vocabulary induced by a learned merge table: segment the
+    * word-TYPE table with [[bpeSegment]], aggregate weighted symbol
+    * frequencies, assign dense 1-based ids by (frequency desc, symbol asc)
+    * — id 0 stays reserved for OOV, matching [[vocabulary]]'s contract.
+    * Returns (sym, n, tok_id). The ranking window runs over the symbol
+    * set — bounded by (distinct characters + merges), never corpus-sized. */
+  def bpeVocabulary(df: DataFrame, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("sym"))
+    words.select(explode(bpeSegment(col("word"), merges)).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum(col("freq")).as("n"))
+      .withColumn("tok_id", row_number().over(w))
+  }
+
+  /** Full BPE encoding to ids — the subword counterpart of
+    * [[tokenizeToIds]]: words segmented by the merge table, segments
+    * mapped through [[bpeVocabulary]] (symbols unseen at train time → 0).
+    * Emits (doc_id, word_pos, seg_pos, tok_id) — the two positions order
+    * segments exactly without any global window. Obtain `merges` from
+    * [[bpeMerges]] (`.collect` of its numMerges-bounded output is
+    * driver-safe by construction).
+    *
+    * Scale shape: training statistics came from the word-TYPE table
+    * ([[bpeMerges]]); encoding is map-only — segment expression + one
+    * broadcast vocab join — so the corpus never shuffles to be encoded. */
+  def bpeTokenizeToIds(df: DataFrame, textCol: String, idCol: String,
+                       merges: Seq[(String, String)]): DataFrame =
+    bpeTokenizeToIds(df, textCol, idCol, merges,
+      bpeVocabulary(df, textCol, merges))
+
+  /** [[bpeTokenizeToIds]] against a FIXED vocabulary — the inference-time
+    * shape: vocab trained once on the corpus, new documents encoded
+    * against it (symbols outside the trained vocab → OOV 0). */
+  def bpeTokenizeToIds(df: DataFrame, textCol: String, idCol: String,
+                       merges: Seq[(String, String)],
+                       vocab: DataFrame): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), col("word_pos"),
+        posexplode(bpeSegment(col("word"), merges)).as(Seq("seg_pos", "sym")))
+      .join(broadcast(vocab.select("sym", "tok_id")), Seq("sym"), "left")
+      .select(col("doc_id"), col("word_pos"), col("seg_pos"),
+        coalesce(col("tok_id"), lit(0)).as("tok_id"))
+
   /** Per-document salient terms: top-`k` tokens by tf·idf, the classic
     * keyword/topic signal for corpus exploration and domain tagging.
     * Returns (doc_id, term, score, rank).

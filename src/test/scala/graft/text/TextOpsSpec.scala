@@ -346,6 +346,34 @@ class TextOpsSpec extends SparkSpec {
     assert(segs === Seq("low", "est"))
   }
 
+  test("bpeVocabulary + bpeTokenizeToIds: subword ids, OOV symbols → 0") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val train = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = TextOps.bpeMerges(train, "text", numMerges = 4)
+      .as[(Int, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+    // segmented corpus symbols: low(5): low | lower(2): low,e,r |
+    // newest(6): n,e,w,est | widest(3): w,i,d,est
+    val vocab = TextOps.bpeVocabulary(train, "text", merges)
+      .as[(String, Long, Int)].collect().map(v => v._1 -> (v._2, v._3)).toMap
+    assert(vocab("est") === ((9L, 1)))        // most frequent symbol
+    assert(vocab("w")._1 === 9L)              // newest(6) + widest(3)
+    assert(vocab("low")._1 === 7L)
+    // encode an unseen doc AGAINST THE TRAIN VOCAB (inference shape):
+    // 'h' was never in the training corpus → OOV
+    val ids = TextOps.bpeTokenizeToIds(
+        Seq((99L, "the lowest")).toDF("doc_id", "text"), "text", "doc_id",
+        merges, TextOps.bpeVocabulary(train, "text", merges))
+      .orderBy("word_pos", "seg_pos")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    // "the" → t,h,e ; "lowest" → low,est (merges apply)
+    assert(ids.map(_._2).distinct === Seq(0, 1))
+    assert(ids.count(_._2 == 0) === 3)
+    assert(ids.filter(_._2 == 1).map(_._4) ===
+      Seq(vocab("low")._2, vocab("est")._2))
+    assert(ids.filter(_._2 == 0)(1)._4 === 0, "'h' is OOV → id 0")
+  }
+
   test("bpeMerges: stops below minPairCount and releases all caches") {
     def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
     val before = cachedIds
