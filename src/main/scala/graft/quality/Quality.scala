@@ -176,6 +176,35 @@ object Quality {
           hll_union_agg(col("key_sketch"), lit(false))).as("distinct_est"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Mergeable FREQUENCY sketches (Spark's native `count_min_sketch`
+    * aggregate): one serialized CMS per group, storable as a binary
+    * column — the frequency counterpart of [[distinctSketches]] and the
+    * third member of the mergeable-sketch triad (HLL distinct, Bloom
+    * membership, CMS frequency). Point-lookup guarantees:
+    * estimate ≥ true count, and ≤ true + eps·N with probability ≥
+    * `confidence`. At 100 TB: sketch per ingest partition once, answer
+    * "how often did key k appear in any time range" by merging the
+    * covered sketches — never by re-scanning raw rows. */
+  def freqSketches(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"count_min_sketch(`$keyCol`, ${eps}d, ${confidence}d, $seed)")
+        .as("key_cms"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge serialized CMS rows (same eps/confidence/seed family) into one
+    * queryable sketch. The inputs are |groups| small binaries — a
+    * driver-side fold is the right tool; probing is
+    * `merged.estimateCount(key)`. */
+  def mergeFreqSketches(sketches: Seq[Array[Byte]])
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    require(sketches.nonEmpty, "mergeFreqSketches needs at least one sketch")
+    sketches.map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
     // total via one count job (a scalar), not a second aggregation branch
     // over the counts lineage — exchange reuse across branches is not

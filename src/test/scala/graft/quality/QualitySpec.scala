@@ -131,4 +131,23 @@ class QualitySpec extends SparkSpec {
       .select("distinct_est").as[Long].collect()
     perDay.foreach(e => assert(math.abs(e - 1000L) <= 50, s"per-day est $e"))
   }
+
+  test("frequency sketches: per-day CMS merge answers global point lookups within eps·N") {
+    // 10 days × 1000 rows; key = i % 100 → every key appears exactly 100×
+    // globally, plus key 7 planted 50 extra times on day 3
+    val rows = (for (d <- 0 until 10; i <- 0 until 1000)
+      yield (s"day$d", (i % 100).toLong)) ++ Seq.fill(50)(("day3", 7L))
+    val daily = Quality.freqSketches(rows.toDF("day", "user_id"),
+      "user_id", Seq("day"), eps = 0.001, confidence = 0.99)
+    assert(daily.count() === 10)
+    val merged = Quality.mergeFreqSketches(
+      daily.select("key_cms").as[Array[Byte]].collect().toSeq)
+    val n = 10050L
+    val slack = (0.001 * n).ceil.toLong
+    val est7 = merged.estimateCount(7L)
+    val est3 = merged.estimateCount(3L)
+    assert(est7 >= 150L && est7 <= 150L + slack, s"key 7 estimate $est7")
+    assert(est3 >= 100L && est3 <= 100L + slack, s"key 3 estimate $est3")
+    assert(merged.estimateCount(9999L) <= slack, "absent key stays near zero")
+  }
 }
