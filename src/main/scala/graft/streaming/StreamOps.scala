@@ -140,9 +140,12 @@ object StreamOps {
     * CONTRACT: at most one row per key per batch (a streaming aggregation
     * in update mode satisfies this by construction; dedup upstream
     * otherwise) — two same-key rows split across partitions would race
-    * their insert. Replaying a batch converges to the same table state
-    * (UPDATE wins on the second pass), which is what makes the streaming
-    * sink exactly-once-in-effect after failure recovery. */
+    * their insert. Values are bound with `setObject` and must be non-null
+    * (aggregates in update mode never emit null counts/sums; drivers like
+    * Derby reject untyped null binds). Replaying a batch converges to the
+    * same table state (UPDATE wins on the second pass), which is what
+    * makes the streaming sink exactly-once-in-effect after failure
+    * recovery. */
   def upsertBatch(batch: org.apache.spark.sql.DataFrame, url: String,
                   table: String, keyCol: String, valueCols: Seq[String],
                   driver: String): Unit = {
