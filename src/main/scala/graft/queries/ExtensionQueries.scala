@@ -76,6 +76,13 @@ object ExtensionQueries {
     TextOps.chunk(t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
       .select(col("doc_id"), col("chunk_no"), col("chunk"))
 
+  /** Feature-hashed text embeddings, exploded to (doc_id, pos, x) scalars
+    * for the compare — md5-character bucket arithmetic replays in any
+    * engine, values are exact small integers in doubles (no rounding). */
+  private val txtHashEmbed: Q = (s, dir) =>
+    TextOps.hashEmbed(t(s, dir, "documents"), "text", "doc_id", dim = 64)
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+
   /** Sentence segmentation fan-out over planted punctuation (the raw
     * corpus is sentence-free, so append a deterministic terminated tail). */
   private val txtSentences: Q = (s, dir) =>
@@ -881,6 +888,7 @@ object ExtensionQueries {
     "txt_redact" -> txtRedact,
     "txt_chunk" -> txtChunk,
     "txt_sentences" -> txtSentences,
+    "txt_hash_embed" -> txtHashEmbed,
     "pipe_clean_corpus" -> pipeCleanCorpus,
     "dd_exact_groups" -> ddExactGroups,
     "dd_ngram_jaccard" -> ddNgramJaccard,
@@ -1094,6 +1102,26 @@ object ExtensionQueries {
              |   GREATEST(CAST(CEIL((length(text) - 32) / 224.0) AS BIGINT), 1)))
              |   AS chunk_no) c
              |WHERE doc_id < 200""".stripMargin,
+      "txt_hash_embed" ->
+        raw"""WITH w AS (SELECT doc_id,
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             |  FROM documents),
+             | h AS (SELECT doc_id,
+             |   CAST((((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1 AS BIGINT)
+             |     % 64 AS b,
+             |   CASE WHEN (strpos('0123456789abcdef', substr(md5(w), 5, 1)) - 1) % 2 = 0
+             |     THEN 1.0 ELSE -1.0 END AS s
+             |  FROM w WHERE w <> ''),
+             | v AS (SELECT doc_id, b, SUM(s) AS x FROM h GROUP BY 1, 2),
+             | spine AS (SELECT d.doc_id, p.pos FROM documents d,
+             |   (SELECT unnest(range(0, 64)) AS pos) p)
+             |SELECT spine.doc_id, CAST(spine.pos AS INT) AS pos,
+             | COALESCE(v.x, 0.0) AS x
+             |FROM spine LEFT JOIN v
+             |  ON v.doc_id = spine.doc_id AND v.b = spine.pos""".stripMargin,
       "txt_sentences" ->
         raw"""SELECT doc_id, CAST(i - 1 AS INT) AS sent_no, trim(s) AS sentence
              |FROM (SELECT doc_id, unnest(l) AS s, generate_subscripts(l, 1) AS i

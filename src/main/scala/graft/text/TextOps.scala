@@ -357,6 +357,42 @@ object TextOps {
         coalesce(col("tok_id"), lit(0)).as("tok_id"))
   }
 
+  /** Feature-hashed text "embedding" — the hashing trick (Weinberger et
+    * al. 2009, public): a signed token-count vector in `dim` buckets.
+    * Bucket and sign derive from md5 CHARACTER arithmetic (no
+    * engine-specific hash function), so the whole vector is SQL-mirrorable
+    * and the signed construction keeps collision noise zero-mean. This is
+    * the no-model bridge from raw text to the similarity tier: cosine /
+    * ANN / near-dup operators consume the output like any embedding
+    * column. Values are small integer counts held in doubles — bit-exact
+    * across engines, no rounding needed. Docs with no tokens get the zero
+    * vector. Returns (doc_id, embedding: array<double>).
+    *
+    * Shape: explode → codegen'd (doc, bucket) sum with map-side partials —
+    * the shuffle carries at most `dim` fixed-width rows per doc — then a
+    * per-doc assembly into a dense array. */
+  def hashEmbed(df: DataFrame, textCol: String, idCol: String,
+                dim: Int = 64): DataFrame = {
+    require(dim > 0 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
+    def hx(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(md5(w), $i, 1)) - 1")
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+    val bucket = pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4),
+      lit(dim)).cast(IntegerType)
+    val sign = when(hx(5) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    val sums = words.select(col("doc_id"), bucket.as("b"), sign.as("s"))
+      .groupBy("doc_id", "b").agg(sum(col("s")).as("x"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("x")))).as("m"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          b => coalesce(try_element_at(col("m"), b), lit(0.0))).as("embedding"))
+  }
+
   /** Gopher-style STRUCTURAL quality rules (Rae et al. 2021 §A1.1, public)
     * per document — the rule family [[repetitionSignals]] doesn't cover:
     * word count band, mean word length band, symbol-to-word ratio

@@ -311,6 +311,18 @@ class TextOpsSpec extends SparkSpec {
     assert(plain === "no markup here")
   }
 
+  test("hashEmbed: deterministic signed bucket counts; empty text → zero vector") {
+    val df = Seq((1L, "hello hello"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.hashEmbed(df, "text", "doc_id", dim = 64)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    // md5("hello") = 5d41402a…: bucket = ((5·16+13)·16+4)·16+1 = 23873 % 64
+    // = 1; 5th hex char '4' is even → sign +1; two occurrences → +2
+    assert(out(0)._2.length === 64)
+    assert(out(0)._2(1) === 2.0)
+    assert(out(0)._2.map(math.abs).sum === 2.0)
+    assert(out(1)._2.forall(_ === 0.0))
+  }
+
   test("sentences: terminator runs split, unterminated tail kept, positions stable") {
     val df = Seq(
       (1L, "First one. Second!? Third without end"),
