@@ -83,25 +83,34 @@ object Pq {
     val codes = enc.select(col("cand_id") +: (0 until m).map(j => col(s"__c$j")): _*)
 
     // 3. LUT — centroids are driver-side constants; each query row builds a
-    //    flat array indexed by j*codebookSize + code.
+    //    flat array. K-means can legitimately return FEWER than
+    //    `codebookSize` centers when a subspace has fewer distinct points
+    //    (exactly the exact-recovery regime), so the flat index uses
+    //    per-subspace offsets computed from the ACTUAL center counts — a
+    //    constant j*codebookSize stride would silently misalign every
+    //    subspace after a deficient one.
+    val offsets = models.map(_.clusterCenters.length).scanLeft(0)(_ + _)
     val cents = (for {
       j <- 0 until m
       (c, code) <- models(j).clusterCenters.zipWithIndex
     } yield (j, code, c.toArray.map(_.toFloat))).toDF("__j", "__code", "__cent")
+    val offCol = (0 until m).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case (j, other) => when(col("__j") === j, lit(offsets(j))).otherwise(other)
+    }
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("__partial", VectorExprs.dot(
         slice(col("qvec"), col("__j") * sub + 1, lit(sub)), col("__cent")))
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(
-          (col("__j") * codebookSize + col("__code")).as("i"),
+          (offCol + col("__code")).as("i"),
           col("__partial").as("p")))),
         e => e.getField("p")).as("__lut"))
 
     // 4. SCORE — corpus streams once, LUTs broadcast; m element_at lookups.
     val adc = (0 until m).map(j =>
         element_at(col("__lut"),
-          (lit(j * codebookSize) + col(s"__c$j") + 1).cast(IntegerType)))
+          (lit(offsets(j)) + col(s"__c$j") + 1).cast(IntegerType)))
       .reduce(_ + _)
     val scored = codes.crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("cand_id"))

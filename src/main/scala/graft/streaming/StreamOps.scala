@@ -146,21 +146,34 @@ object StreamOps {
     * same table state (UPDATE wins on the second pass), which is what
     * makes the streaming sink exactly-once-in-effect after failure
     * recovery. */
+  // Table/column names are interpolated into SQL text (placeholders can't
+  // bind identifiers), so restrict them to plain identifiers — anything
+  // else (quotes, spaces, semicolons) is rejected before a statement is
+  // built, closing the injection door if names ever come from user input.
+  private def requireIdentifier(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"illegal SQL identifier: '$name' (expected [A-Za-z_][A-Za-z0-9_]*)")
+    name
+  }
+
   def upsertBatch(batch: org.apache.spark.sql.DataFrame, url: String,
                   table: String, keyCol: String, valueCols: Seq[String],
                   driver: String): Unit = {
+    (table +: keyCol +: valueCols).foreach(requireIdentifier)
     val cols = keyCol +: valueCols
     batch.select(cols.map(col): _*).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           Class.forName(driver)
           val conn = java.sql.DriverManager.getConnection(url)
+          var update: java.sql.PreparedStatement = null
+          var insert: java.sql.PreparedStatement = null
           try {
             conn.setAutoCommit(false)
-            val update = conn.prepareStatement(
+            update = conn.prepareStatement(
               s"UPDATE $table SET ${valueCols.map(c => s"$c = ?").mkString(", ")} " +
                 s"WHERE $keyCol = ?")
-            val insert = conn.prepareStatement(
+            insert = conn.prepareStatement(
               s"INSERT INTO $table (${cols.mkString(", ")}) " +
                 s"VALUES (${cols.map(_ => "?").mkString(", ")})")
             rows.foreach { r =>
@@ -174,7 +187,11 @@ object StreamOps {
               }
             }
             conn.commit()
-          } finally conn.close()
+          } finally {
+            if (update != null) update.close()
+            if (insert != null) insert.close()
+            conn.close()
+          }
         }
     }
   }

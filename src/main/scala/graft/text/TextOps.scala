@@ -506,6 +506,19 @@ object TextOps {
 
   private val BpeSep = "\u0001"
 
+  /** Boundary-anchored pattern for applying merge (l, r): the pair must
+    * align on WHOLE symbols — left edge at start-of-word or just after a
+    * separator, right edge at end-of-word or just before one. Without the
+    * anchors the pair also matches where `l` is the suffix of a longer
+    * symbol (after an earlier (t,h) merge, "the" is segmented "th|e" and
+    * would wrongly fuse under merge (h,e) even though its adjacent pair
+    * is (th,e)). The anchors are non-consuming lookarounds, so adjacent
+    * occurrences that share a separator all merge in one left-to-right
+    * pass — the classic BPE greedy order ("a|a|a" under (a,a) → "aa|a"). */
+  private def mergePattern(l: String, r: String): String =
+    "(?:^|(?<=" + BpeSep + "))" + java.util.regex.Pattern.quote(l) + BpeSep +
+      java.util.regex.Pattern.quote(r) + "(?=$|" + BpeSep + ")"
+
   /** BPE merge induction (Sennrich et al. 2016, "Neural Machine Translation
     * of Rare Words with Subword Units", public) — the training half of a
     * real subword tokenizer: starting from characters, repeatedly merge the
@@ -562,8 +575,7 @@ object TextOps {
             top(0).getAs[String]("r"), top(0).getAs[Long]("cnt"))
           merges += ((i, l, r, cnt))
           val next = truncated(seg.select(
-              regexp_replace(col("seg"),
-                java.util.regex.Pattern.quote(l + BpeSep + r),
+              regexp_replace(col("seg"), mergePattern(l, r),
                 java.util.regex.Matcher.quoteReplacement(l + r)).as("seg"),
               col("freq")))
             .persist(lvl)
@@ -583,8 +595,7 @@ object TextOps {
   def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
     val init = concat_ws(BpeSep, split(word, ""))
     val merged = merges.foldLeft(init) { case (acc, (l, r)) =>
-      regexp_replace(acc,
-        java.util.regex.Pattern.quote(l + BpeSep + r),
+      regexp_replace(acc, mergePattern(l, r),
         java.util.regex.Matcher.quoteReplacement(l + r))
     }
     split(merged, BpeSep)

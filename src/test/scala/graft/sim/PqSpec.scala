@@ -67,6 +67,31 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("PQ stays exact when a subspace yields FEWER centers than codebookSize") {
+    // Subspace 0 has only 2 distinct subvectors while codebookSize = 4 —
+    // k-means may return fewer than k centers there. A constant
+    // j*codebookSize LUT stride would misalign every later subspace;
+    // offsets from actual center counts must keep ADC ≡ exact.
+    def defVec(i: Int): Array[Float] =
+      (0 until 4).flatMap(j =>
+        if (j == 0) alphabet(i % 2) else alphabet((i + j) % 4)).toArray
+    val corpus = (0 until 48).map(i => (i.toLong, defVec(i))).toDF("vec_id", "embedding")
+    val queries = (100 until 104).map(i => (i.toLong, defVec(i))).toDF("vec_id", "embedding")
+
+    val pq = Pq.pqTopK(corpus, queries, k = 5, m = 4, codebookSize = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+
+    val exactScored = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(VectorExprs.dot(col("qv"), col("cv")), 6))
+    val exact = Similarity.topKExplode(exactScored, "score", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+
+    assert(pq.sorted === exact.sorted)
+  }
+
   test("pqTopK validates m / codebook / dim compatibility") {
     val corpus = (0 until 4).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

@@ -386,6 +386,36 @@ class TextOpsSpec extends SparkSpec {
     assert(ids.filter(_._2 == 0)(1)._4 === 0, "'h' is OOV → id 0")
   }
 
+  test("bpe merge application is symbol-boundary anchored (suffix collision)") {
+    // Hand-designed collision: "th"×10 + "the"×3 + "he"×6.
+    //   merge 1: (t,h) 13  →  the = th|e, he = h|e
+    //   merge 2: (h,e) 6   —  must NOT touch th|e (its pair is (th,e)!)
+    //   merge 3: (th,e) 3  —  only exists if merge 2 left th|e intact
+    // An unanchored pattern "h<sep>e" also matches inside "th<sep>e",
+    // wrongly fusing "the" at merge 2 and erasing merge 3 entirely.
+    val words = Seq.fill(10)("th") ++ Seq.fill(3)("the") ++ Seq.fill(6)("he")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = TextOps.bpeMerges(df, "text", numMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq((1, "t", "h", 13L), (2, "h", "e", 6L), (3, "th", "e", 3L)))
+
+    val table = Seq(("t", "h"), ("h", "e"))
+    val segs = Seq("the", "he", "th").toDF("w")
+      .select(TextOps.bpeSegment(col("w"), table).as("s")).as[Seq[String]].collect()
+    assert(segs(0) === Seq("th", "e"), "merge (h,e) must not fire inside th|e")
+    assert(segs(1) === Seq("he"))
+    assert(segs(2) === Seq("th"))
+  }
+
+  test("bpe merge fuses adjacent repeats left-to-right in one pass") {
+    // classic greedy order: a|a|a under (a,a) → aa|a, and a|a|a|a → aa|aa
+    val segs = Seq("aaa", "aaaa").toDF("w")
+      .select(TextOps.bpeSegment(col("w"), Seq(("a", "a"))).as("s"))
+      .as[Seq[String]].collect()
+    assert(segs(0) === Seq("aa", "a"))
+    assert(segs(1) === Seq("aa", "aa"))
+  }
+
   test("bpeMerges: stops below minPairCount and releases all caches") {
     def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
     val before = cachedIds
