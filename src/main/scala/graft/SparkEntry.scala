@@ -14,7 +14,11 @@ object SparkEntry {
     * the same parquet tables. Bucketed/quantized-approximation ops
     * (dd_minhash_lsh, dd_simhash, sim_lsh_ann, sim_pq_topk) are rows-only:
     * their output is defined by the bucketing/codebooks, so they are
-    * verified by planted-duplicate / exact-recovery ScalaTest checks. */
+    * verified by planted-duplicate / exact-recovery ScalaTest checks —
+    * AND each has an exactness-pinned oracle twin that closes the loop in
+    * SQL (dd_minhash_verified, dd_simhash_exact, sim_lsh_exact,
+    * sim_pq_exact: guaranteed-recall / universal-bucket / grid-recovery
+    * parameterizations of the same operators). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ExtensionQueries.oracle
 }

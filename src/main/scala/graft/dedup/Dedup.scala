@@ -511,21 +511,40 @@ object Dedup {
     * token string once → 64 codegen'd `sum` aggregates (map-side partial),
     * then pack the sign bits with a bitwise OR fold. The shuffle carries
     * one 64-long row per document. */
-  def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val votes = (0 until 64).map { b =>
+  def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simHashSignatures(df, textCol, idCol, c => xxhash64(c), 64)
+
+  /** [[simHashSignatures]] over a caller-chosen token hash and bit width.
+    * The default 64-bit xxhash64 is the fast path; passing
+    * [[portableHash60]] (md5-derived, 60 bits) yields signatures any SQL
+    * engine can recompute exactly — the oracle bridge that makes the
+    * near-dup output hash-checkable end to end, organic pairs included. */
+  def simHashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        hashFn: Column => Column, bits: Int): DataFrame = {
+    require(bits > 0 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    val votes = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"b$b")
     }
-    val packed = (0 until 64)
+    val packed = (0 until bits)
       .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
     df.select(col(idCol).as("id"),
         explode(array_distinct(TextOps.tokens(lower(col(textCol))))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), hashFn(col("t")).as("h"))
       .groupBy("id")
       .agg(votes.head, votes.tail: _*)
       .select(col("id"), packed.as("sig"))
   }
+
+  /** 60-bit md5-derived hash — bit-for-bit reproducible in any SQL engine
+    * that has md5 (the last hex char of the 16-char prefix is dropped so
+    * the value fits a SIGNED 64-bit integer in every dialect, no unsigned
+    * overflow). Slower than xxhash64 (md5 is not codegen-trivial) — use
+    * only where cross-engine replay matters, e.g. oracle-checked simhash
+    * signatures or portable fingerprints shared with a warehouse. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Hamming distance between two 64-bit signatures. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -648,6 +648,66 @@ object ExtensionQueries {
     graft.sim.Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** [[simLshAnn]]'s exactness pin: bits = 0 probes one universal bucket
+    * (every pair is a candidate — the IVF nprobe = nlist analog), so the
+    * whole LSH plumbing — banding, bucket join, candidate dedup, heap
+    * rerank — must reproduce brute force bit-for-bit and shares its SQL
+    * oracle. Production recall at bits > 0 stays pinned by ScalaTest. */
+  private val simLshExact: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      bits = 0, bands = 1)
+  }
+
+  /** [[simPqTopk]]'s exactness pin: vectors on a small integer grid derived
+    * from vec_id (8 distinct subvectors per subspace ≤ codebookSize), so
+    * k-means recovers every subvector exactly and ADC ≡ exact inner
+    * product (PqSpec's exact-recovery property as a registry entry). The
+    * grid arithmetic is integer-exact in doubles, so DuckDB mirrors the
+    * construction and the brute-force scores bit-for-bit. */
+  private val simPqExact: Q = (s, dir) => {
+    val grid = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => (((col("vec_id") % 8) * 13 + d * 7) % 11 - 5)
+          .cast(DoubleType)).as("embedding"))
+    graft.sim.Pq.pqTopK(grid, grid.filter(col("vec_id") < 10), k = 5,
+      m = 4, codebookSize = 8)
+  }
+
+  /** [[ddMinhashLsh]]'s oracle-closed twin: threshold 1.0 keeps exactly
+    * the pairs with IDENTICAL shingle sets — and identical sets have
+    * identical MinHash signatures, so every band collides and LSH recall
+    * is GUARANTEED rather than probabilistic. Planted exact copies make
+    * the output non-trivial; DuckDB recomputes the same pair set by
+    * grouping on a canonical sorted-shingle-list digest (no pairwise
+    * shingle join needed). */
+  private val ddMinhashVerified: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    Dedup.minHashNearDups(docs.unionByName(planted), "text", "doc_id",
+      threshold = 1.0, bands = 16, rowsPerBand = 4)
+  }
+
+  /** [[ddSimhash]]'s oracle-closed twin over the PORTABLE 60-bit
+    * md5-derived token hash ([[Dedup.portableHash60]]): every stage —
+    * per-token hash, per-bit votes, sign packing, pigeonhole blocking
+    * (full recall at dist ≤ 3), Hamming filter — is recomputed exactly by
+    * the generated DuckDB oracle, so the production-shaped output at
+    * maxDist = 3, ORGANIC near-collisions included, hash-checks end to
+    * end. */
+  private val ddSimhashExact: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    Dedup.signatureNearDups(
+      Dedup.simHashSignatures(docs.unionByName(planted), "text", "doc_id",
+        Dedup.portableHash60, bits = 60),
+      maxDist = 3, maxBucketOccupancy = 100000L, "ddSimhashExact",
+      "run exactDedup first to collapse identical documents")
+  }
+
   /** Embedding near-dup: planted exact copies (vec_id+10000) must be the
     * only pairs at cosine ≥ 0.95 (max organic pairwise cosine in the test
     * data is ~0.51) — LSH buckets find them because identical vectors have
@@ -925,6 +985,10 @@ object ExtensionQueries {
     "sim_quantized_topk" -> simQuantizedTopk,
     "sim_lsh_ann" -> simLshAnn,
     "sim_pq_topk" -> simPqTopk,
+    "sim_lsh_exact" -> simLshExact,
+    "sim_pq_exact" -> simPqExact,
+    "dd_minhash_verified" -> ddMinhashVerified,
+    "dd_simhash_exact" -> ddSimhashExact,
     "emb_semantic_dedup" -> embSemanticDedup,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
@@ -948,6 +1012,34 @@ object ExtensionQueries {
 
   /** Oracle SQL mirrors. The lang-id oracle is generated from the same
     * marker table the Spark expression uses. */
+  /** Generated oracle for dd_simhash_exact: reconstructs the portable
+    * 60-bit md5 token hash arithmetically (strpos over hex digits, integer
+    * shifts — no float exponent, so every value is exact), unrolls the 60
+    * per-bit vote sums and the sign packing, then emits all pairs at
+    * Hamming ≤ 3. Mechanical but fully declarative — the whole engine
+    * pipeline replayed in SQL. */
+  private def ddSimhashExactOracle: String = {
+    val votes = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val pack = (0 until 60).map(b =>
+      s"(CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END)").mkString(" + ")
+    raw"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 100000, concat(text, ' zq') FROM documents
+         |   WHERE doc_id % 10 = 0),
+         |tok AS (SELECT DISTINCT doc_id,
+         |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t FROM corpus),
+         |th AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 15), i ->
+         |  CAST(strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1 AS BIGINT)
+         |    << ((15 - i) * 4))) AS BIGINT) AS h FROM tok),
+         |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS s FROM votes)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.s, b.s)) <= 3""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     val langScores = TextOps.markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       val terms = ws.map(w =>
@@ -1644,6 +1736,54 @@ object ExtensionQueries {
           |     c.vec_id) AS INTEGER) AS rank
           | FROM qz a, qz c WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id)
           |WHERE rank <= 5""".stripMargin,
+      // bits = 0 puts every vector in one universal bucket, so LSH ≡ exact
+      // brute force and shares its oracle (the nprobe = nlist analog).
+      "sim_lsh_exact" ->
+        """SELECT query_id, cand_id, cosine, rank FROM (
+          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |     CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+          |   CAST(row_number() OVER (PARTITION BY q.vec_id
+          |     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
+          | FROM embeddings q, embeddings c
+          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |WHERE rank <= 5""".stripMargin,
+      // Grid vectors (≤ 8 distinct subvectors per subspace, codebook 8) ⇒
+      // k-means recovers every subvector ⇒ ADC ≡ exact inner product; the
+      // integer grid is exact in doubles, so brute force mirrors PQ.
+      "sim_pq_exact" ->
+        """WITH g AS (SELECT vec_id,
+          |  list_transform(generate_series(0, 15),
+          |    d -> CAST(((vec_id % 8) * 13 + d * 7) % 11 - 5 AS DOUBLE)) AS v
+          |  FROM embeddings)
+          |SELECT query_id, cand_id, score, rank FROM (
+          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          |   ROUND(list_dot_product(q.v, c.v), 6) AS score,
+          |   CAST(row_number() OVER (PARTITION BY q.vec_id
+          |     ORDER BY ROUND(list_dot_product(q.v, c.v), 6) DESC,
+          |     c.vec_id) AS INTEGER) AS rank
+          | FROM g q, g c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |WHERE rank <= 5""".stripMargin,
+      // Threshold 1.0 keeps exactly the identical-shingle-set pairs, whose
+      // identical signatures guarantee LSH recall; the oracle groups docs
+      // by a canonical sorted-shingle-list digest — no pairwise join.
+      "dd_minhash_verified" ->
+        raw"""WITH corpus AS (
+             | SELECT doc_id, text FROM documents
+             | UNION ALL SELECT doc_id + 100000, text FROM documents
+             |   WHERE doc_id % 10 = 0),
+             |n AS (SELECT doc_id,
+             |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus),
+             |ss AS (SELECT doc_id, md5(CAST(list_sort(list_distinct(
+             |    CASE WHEN len(t) < 5 THEN [t]
+             |    ELSE list_transform(generate_series(1, len(t) - 4),
+             |      i -> substring(t, i, 5)) END)) AS VARCHAR)) AS d
+             |  FROM n)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             | CAST(1.0 AS DOUBLE) AS jaccard
+             |FROM ss a JOIN ss b ON a.d = b.d AND a.doc_id < b.doc_id""".stripMargin,
+      "dd_simhash_exact" -> ddSimhashExactOracle,
       // nprobe = nlist probes every cell, so IVF ≡ exact brute force and
       // shares its oracle.
       "sim_ivf_topk" ->

@@ -139,13 +139,26 @@ object Similarity {
   /** LSH ANN: signatures split into `bands`; candidate pairs share a band
     * bucket; exact cosine rerank keeps top-k per query. Recall is tunable
     * via bits/bands; at 100 TB the bucket join replaces the full cross
-    * product. */
+    * product.
+    *
+    * `bits = 0` is the EXACTNESS mode (the [[Ivf]] `nprobe = nlist`
+    * analog): zero hyperplanes put every vector in one universal bucket,
+    * so every pair is a candidate and the result is provably identical to
+    * brute force — while the whole LSH plumbing (banding, bucket join,
+    * candidate dedup, heap rerank) still runs. That makes the operator
+    * hash-checkable against a brute-force SQL oracle; production recall
+    * at bits > 0 is pinned separately by SimilaritySpec. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
+    require(bits >= 0 && bands > 0 && bits % bands == 0,
+      s"need bits >= 0 divisible by bands > 0; got bits=$bits bands=$bands")
     val rowsPerBand = bits / bands
     def banded(df: DataFrame, id: String, vec: String) =
-      rhpSignatures(df, idCol, vecCol, bits, seed)
+      if (bits == 0)
+        df.select(col(idCol).as(id), col(vecCol).as(vec),
+          lit(0).as("band"), lit("").as("bucket"))
+      else rhpSignatures(df, idCol, vecCol, bits, seed)
         .select(col("id").as(id), col("vec").as(vec),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
@@ -160,12 +173,12 @@ object Similarity {
         col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), col("qvec"), col("cvec"))
       .dropDuplicates("query_id", "cand_id")
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))  // codegen'd
+      // round BEFORE ranking, like bruteForceTopK: near-ties at double-ulp
+      // level resolve to the deterministic cand_id tie-break
+      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 6))  // codegen'd
     // rerank via the bounded-heap aggregate (k rows per query per
     // partition on the shuffle); same (cosine desc, cand_id) tie-break
     topKExplode(cand, "cosine", k)
-      .select(col("query_id"), col("cand_id"), round(col("cosine"), 6).as("cosine"),
-        col("rank"))
   }
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold found via

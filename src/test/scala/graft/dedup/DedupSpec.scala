@@ -293,4 +293,33 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.hammingDistance(col("a"), col("b")).as("h")).as[Int].collect()
     assert(hd.sameElements(Array(0, 1, 2, 64)))
   }
+
+  test("portableHash60 = first 15 md5 hex digits, always in [0, 2^60)") {
+    val inputs = Seq("hello", "", "zq", "the quick brown fox")
+    val got = inputs.toDF("t")
+      .select(Dedup.portableHash60(col("t")).as("h")).as[Long].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    inputs.zip(got).foreach { case (s, h) =>
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h === new java.math.BigInteger(hex.take(15), 16).longValueExact())
+      assert(h >= 0L && h < (1L << 60))
+    }
+  }
+
+  test("portable simhash (md5, 60 bits) near-dups ≡ xxhash variant's planted recall") {
+    val df = (base ++ exactDups).toDF("doc_id", "text")
+    val pairs = Dedup.signatureNearDups(
+      Dedup.simHashSignatures(df, "text", "doc_id", Dedup.portableHash60, bits = 60),
+      maxDist = 0, maxBucketOccupancy = 100000L, "test", "n/a")
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs.unpersist(blocking = true)
+    // identical texts ⇒ identical token sets ⇒ identical portable simhash
+    (0 until 40).foreach { i =>
+      assert(got.contains((i.toLong, (i + 2000).toLong)), s"exact dup $i missed")
+    }
+    // signatures stay inside the declared 60 bits
+    val sigs = Dedup.simHashSignatures(df, "text", "doc_id",
+      Dedup.portableHash60, bits = 60).select("sig").as[Long].collect()
+    sigs.foreach(s => assert(s >= 0L && s < (1L << 60)))
+  }
 }

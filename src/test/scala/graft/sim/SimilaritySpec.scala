@@ -61,6 +61,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall $recall")
   }
 
+  test("lshTopK with bits = 0 (universal bucket) ≡ brute force exactly") {
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val lsh = Similarity.lshTopK(df, queries, k = 5, bits = 0, bands = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(lsh === exact)
+  }
+
+  test("lshTopK validates bits/bands compatibility") {
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(df, df, k = 1, bits = 10, bands = 4) // 10 % 4 != 0
+    }
+  }
+
   test("cosineNearDups at 0.95 returns exactly the planted pairs") {
     val out = Similarity.cosineNearDups(df, threshold = 0.95)
     val pairs = out.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
