@@ -7,13 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs.
   *
-  * Image decode is REAL — JDK `javax.imageio` (PNG/JPEG/GIF/BMP, zero
-  * external dependencies) inside `mapPartitions`, reading dimensions from
-  * the image header without materializing pixels. Video frame sampling and
-  * resize remain labeled stubs (no codec libraries here): their schema,
-  * partition behavior, and fan-out shape are the real contract; swap the
-  * byte transform for a JNI codec or `mapInPandas`+PIL without touching
-  * any caller.
+  * Image decode, resize, dHash, audio decode AND video frame sampling are
+  * all REAL — JDK `javax.imageio` / `javax.sound.sampled` (PNG/JPEG/GIF/
+  * BMP, WAV/AIFF/AU, multi-frame animated GIF; zero external
+  * dependencies) inside `mapPartitions`. Codecs the JDK lacks (MP4/H.264,
+  * MP3, …) plug into the same shapes — [[sampleFrames]]'s per-frame
+  * fan-out and [[decodeImage]]'s null-on-undecodable contract — via a
+  * JNI codec or `mapInPandas`+PIL without touching any caller.
   *
   * Scale notes: payload bytes live in ONE binary column so Parquet keeps
   * them in a single large column chunk; metadata extraction is columnar and
@@ -229,6 +229,34 @@ object Multimodal {
     * signature tier, consumed by [[imageNearDups]] via Hamming distance.
     * Null/undecodable payloads get a null hash. Per-partition decode, one
     * long per image on the wire. */
+  /** dHash of one decoded image — the shared kernel of [[dHash64]] and
+    * [[sampleFrames]]: bilinear-scale to a 9×8 grayscale thumbnail, bit
+    * (x,y) set iff pixel(x,y) < pixel(x+1,y). */
+  private def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    val raster = small.getRaster
+    var bits = 0L
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (raster.getSample(x, y, 0) < raster.getSample(x + 1, y, 0))
+          bits |= (1L << i)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   def dHash64(df: DataFrame, payloadCol: String = "payload",
               outCol: String = "dhash"): DataFrame = {
     val spark = df.sparkSession
@@ -241,31 +269,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val hash: java.lang.Long = if (bytes == null) null else {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          if (img == null) null
-          else {
-            val small = new java.awt.image.BufferedImage(
-              9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val g = small.createGraphics()
-            try {
-              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(img, 0, 0, 9, 8, null)
-            } finally g.dispose()
-            val raster = small.getRaster
-            var bits = 0L
-            var i = 0
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                if (raster.getSample(x, y, 0) < raster.getSample(x + 1, y, 0))
-                  bits |= (1L << i)
-                i += 1; x += 1
-              }
-              y += 1
-            }
-            bits
-          }
+          if (img == null) null else dhashOf(img)
         }
         Row.fromSeq(r.toSeq :+ hash)
       }
@@ -290,19 +294,115 @@ object Multimodal {
       maxDist, maxBucketOccupancy, "imageNearDups",
       "the corpus contains many visually-identical images; exact-dedup payload bytes first")
 
-  /** Frame sampling stub: produce `n` evenly spaced "frame" rows per video
-    * payload — exercises the explode fan-out shape (1 row → n rows) a real
-    * frame sampler has. */
-  def sampleFramesStub(df: DataFrame, n: Int, payloadCol: String = "payload"): DataFrame =
-    df.withColumn("frame_no", explode(sequence(lit(0), lit(n - 1))))
-      .withColumn("frame_sha",
-        sha2(concat(col(payloadCol), col("frame_no").cast(StringType).cast(BinaryType)), 256))
+  /** Deterministic multi-frame animated-GIF payloads — the container the
+    * frame-decode tier runs on without external codec libraries (GIF is
+    * the one multi-frame format the JDK writes AND reads natively). Frame
+    * count and dimensions are pure functions of the id column (frames =
+    * id%4+2, w = id%16+8, h = id%12+8), so frame fan-out is
+    * SQL-expressible and oracle-checkable; each frame carries a distinct
+    * deterministic gradient (frames within one payload differ — a real
+    * "video", not n copies of one image). Pass `fixedFrames >= 0` to
+    * override the id-derived frame count with a constant. */
+  def synthesizeGif(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload",
+                    fixedFrames: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (id % 16).toInt + 8
+        val h = (id % 12).toInt + 8
+        val n = if (fixedFrames >= 0) fixedFrames else (id % 4).toInt + 2
+        val baos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((x * 31 + y * 7 + id.toInt + f * 101) & 0xFFFFFF))
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose()
+          ios.close()
+        }
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 
-  /** Resize stub: records the requested target box alongside the payload
-    * (a real implementation transforms bytes; the schema contract is what
-    * downstream relies on). */
-  def resizeStub(df: DataFrame, w: Int, h: Int, payloadCol: String = "payload"): DataFrame =
-    df.withColumn("resized",
-      struct(lit(w).as("width"), lit(h).as("height"),
-        sha2(col(payloadCol), 256).as("sha")))
+  /** Per-frame metadata schema of [[sampleFrames]]. */
+  val frameMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dhash", LongType)))
+
+  /** REAL video frame sampling via JDK `javax.imageio`: open the
+    * multi-frame container (animated GIF — the codec the JDK ships),
+    * decode every `stride`-th frame, and emit one row per sampled frame
+    * with (frame_no, width, height, perceptual dHash). The 1 → n fan-out
+    * runs inside `mapPartitions` (decoder init amortized, no shuffle —
+    * the same map-only explode shape as [[graft.text.TextOps.chunk]]);
+    * the per-frame dHash composes directly with [[imageNearDups]]'s
+    * signature machinery for cross-video near-dup frames. Null or
+    * undecodable payloads contribute zero frame rows (the flatMap analog
+    * of the null-media contract). */
+  def sampleFrames(df: DataFrame, payloadCol: String = "payload",
+                   stride: Int = 1): DataFrame = {
+    require(stride > 0, s"stride must be > 0, got $stride")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("frame_no", IntegerType) :+
+      StructField("frame", frameMetaSchema))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val rd = readers.next()
+              try {
+                rd.setInput(iis)
+                val n = rd.getNumImages(true) // allowSearch: count by scan
+                (0 until n by stride).iterator.map { f =>
+                  val img = rd.read(f)
+                  Row.fromSeq(r.toSeq :+ f :+
+                    Row(img.getWidth, img.getHeight, dhashOf(img)))
+                }.toVector // materialize BEFORE disposing the reader
+              } catch { case _: java.io.IOException => Iterator.empty }
+              finally rd.dispose()
+            }
+          } finally iis.close()
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -789,11 +789,29 @@ object ExtensionQueries {
       .select(col("doc_id"), col("media.format").as("fmt"),
         col("media.width").as("w"), col("media.height").as("h"))
 
-  /** Frame-sampling fan-out shape (1 payload → n frame rows). */
+  /** Frame-sampling fan-out (1 payload → n frame rows) over REAL 3-frame
+    * animated GIFs: synthesize, then decode every frame back via the JDK
+    * ImageReader — the fan-out count the oracle checks comes out of the
+    * actual container scan, not an explode constant. */
   private val mmFrameFanout: Q = (s, dir) =>
-    Multimodal.sampleFramesStub(
-        Multimodal.asPayload(t(s, dir, "documents").filter(col("doc_id") < 50), "text"), 3)
+    Multimodal.sampleFrames(
+        Multimodal.synthesizeGif(
+          t(s, dir, "documents").filter(col("doc_id") < 50).select("doc_id"),
+          "doc_id", fixedFrames = 3))
       .select(col("doc_id"), col("frame_no"))
+
+  /** REAL video frame decode end-to-end: id-derived multi-frame GIFs
+    * (frames = id%4+2, w = id%16+8, h = id%12+8), every frame decoded and
+    * measured — frame count AND per-frame dimensions are checked by the
+    * SQL oracle; the per-frame perceptual dHash (not SQL-expressible) is
+    * pinned by MultimodalSpec instead. */
+  private val mmFrameDecode: Q = (s, dir) =>
+    Multimodal.sampleFrames(
+        Multimodal.synthesizeGif(
+          t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id"))
+      .select(col("doc_id"), col("frame_no"),
+        col("frame.width").as("w"), col("frame.height").as("h"))
 
   // ---------------------------------------------------------------- events
   /** AS-OF join: every event attaches the user's most recent prior (or
@@ -996,6 +1014,7 @@ object ExtensionQueries {
     "mm_audio_decode" -> mmAudioDecode,
     "mm_resize" -> mmResize,
     "mm_frame_fanout" -> mmFrameFanout,
+    "mm_frame_decode" -> mmFrameDecode,
     "evt_asof" -> evtAsof,
     "evt_range" -> evtRange,
     "evt_interval_join" -> evtIntervalJoin,
@@ -1830,6 +1849,15 @@ object ExtensionQueries {
       "mm_frame_fanout" ->
         """SELECT doc_id, f.frame_no FROM documents,
           | (VALUES (0), (1), (2)) AS f(frame_no) WHERE doc_id < 50""".stripMargin,
+      // frames = id%4+2 per payload; width/height are the id-derived
+      // synthesis dims, re-measured from the DECODED frames engine-side.
+      "mm_frame_decode" ->
+        """SELECT doc_id,
+          | CAST(unnest(generate_series(0, CAST(doc_id % 4 + 1 AS INTEGER)))
+          |   AS INTEGER) AS frame_no,
+          | CAST(doc_id % 16 + 8 AS INTEGER) AS w,
+          | CAST(doc_id % 12 + 8 AS INTEGER) AS h
+          |FROM documents WHERE doc_id < 100""".stripMargin,
       "evt_asof" ->
         """WITH p AS (
           | SELECT user_id, ts, max(event_id) AS last_purchase_id,

@@ -76,20 +76,53 @@ class MultimodalSpec extends SparkSpec {
     assert(nulls.forall(_.isNullAt(0)))
   }
 
-  test("sampleFramesStub: 1 payload → n frame rows with distinct frame hashes") {
-    val out = Multimodal.sampleFramesStub(
-      Multimodal.asPayload(docs.filter($"txt".isNotNull), "txt"), 3)
-    assert(out.count() === 6)
-    assert(out.select("frame_no").distinct().count() === 3)
-    val hashes = out.filter($"id" === 1).select("frame_sha").as[String].collect()
-    assert(hashes.distinct.length === 3) // frame hash varies per frame_no
+  test("synthesizeGif + sampleFrames: real multi-frame decode, planted counts and dims") {
+    val ids = Seq(0L, 1L, 3L, 17L, 99L).toDF("id")
+    val out = Multimodal.sampleFrames(Multimodal.synthesizeGif(ids, "id"))
+    assert(out.schema("frame").dataType === Multimodal.frameMetaSchema)
+    val rows = out.select("id", "frame_no", "frame.width", "frame.height")
+      .as[(Long, Int, Int, Int)].collect()
+    val byId = rows.groupBy(_._1)
+    byId.foreach { case (id, fs) =>
+      assert(fs.length === (id % 4).toInt + 2, s"frame count of id=$id")
+      assert(fs.map(_._2).sorted.toSeq === (0 until fs.length), s"frame numbering of id=$id")
+      fs.foreach { f =>
+        assert(f._3 === (id % 16).toInt + 8 && f._4 === (id % 12).toInt + 8,
+          s"frame dims of id=$id")
+      }
+    }
+    // frames within one payload are DISTINCT images (a video, not n
+    // copies): at least one per-frame dHash differs
+    val hashes = Multimodal.sampleFrames(Multimodal.synthesizeGif(
+        Seq(99L).toDF("id"), "id"))
+      .select("frame.dhash").as[Long].collect()
+    assert(hashes.distinct.length > 1, "per-frame content must differ")
   }
 
-  test("resizeStub: records target box without touching payload schema") {
-    val out = Multimodal.resizeStub(
-      Multimodal.asPayload(docs.filter($"txt".isNotNull), "txt"), 224, 224)
-    val r = out.select("resized.width", "resized.height").head()
-    assert((r.getInt(0), r.getInt(1)) === ((224, 224)))
+  test("sampleFrames: stride sampling, null/undecodable → zero rows") {
+    val strided = Multimodal.sampleFrames(
+      Multimodal.synthesizeGif(Seq(3L).toDF("id"), "id"), stride = 2)
+    // id=3 → 5 frames; stride 2 keeps frames 0, 2, 4
+    assert(strided.select("frame_no").as[Int].collect().sorted.toSeq === Seq(0, 2, 4))
+    val bad = Multimodal.sampleFrames(
+      Multimodal.asPayload(docs, "txt")) // text bytes + a null payload
+    assert(bad.count() === 0)
+  }
+
+  test("sampleFrames dHash composes with imageNearDups: same-content frames pair up") {
+    // same id → same per-frame pixels: frame f of copy A == frame f of copy B
+    val a = Multimodal.sampleFrames(Multimodal.synthesizeGif(Seq(7L).toDF("id"), "id"))
+      .select((col("frame_no")).as("id"), col("frame.dhash").as("sig"))
+    val b = Multimodal.sampleFrames(Multimodal.synthesizeGif(Seq(7L).toDF("id"), "id"))
+      .select((col("frame_no") + 100).as("id"), col("frame.dhash").as("sig"))
+    val pairs = graft.dedup.Dedup.signatureNearDups(
+      a.unionByName(b), maxDist = 0, maxBucketOccupancy = 0L, "test", "n/a")
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs.unpersist(blocking = true)
+    // id=7 → 5 frames: every frame pairs with its twin at +100
+    (0 until 5).foreach { f =>
+      assert(got.contains((f.toLong, (f + 100).toLong)), s"frame $f twin missed")
+    }
   }
 
   // block-structured grayscale test image: 8×8 blocks, each uniformly one
