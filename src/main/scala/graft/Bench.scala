@@ -43,7 +43,14 @@ object Bench {
     val failed = results.collect { case (k, _, Some(_)) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's log tail truncates the stdout line on big registries, so
+    // ALSO write the complete per-query map to a stable file — cross-round
+    // perf diffs read this instead of scraping logs.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }

@@ -152,6 +152,25 @@ object ExtensionQueries {
     graft.ops.Ops.stratifiedSample(t(s, dir, "documents"), "source", "doc_id", k = 10)
       .select(col("doc_id"), col("source"))
 
+  /** BPE segmentation under a FIXED merge table — the inference half of
+    * the subword tokenizer as a registry query: every word split to
+    * characters, the four classic Sennrich merges applied in rank order,
+    * one row per (doc, word, segment). The merge table is hand-verified
+    * collision-free (no symbol is a proper suffix/prefix of another at
+    * any step), so the oracle's plain left-to-right regexp replay equals
+    * the engine's boundary-anchored application — segmentation is
+    * deterministic and fully hash-checked. Map-only: tokenize → segment
+    * expression → two posexplodes, no shuffle. */
+  private val txtBpeSegment: Q = (s, dir) => {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(lower(col("text")))).as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), col("word_pos"),
+        posexplode(TextOps.bpeSegment(col("word"), merges)).as(Seq("seg_pos", "sym")))
+  }
+
   /** Sequence packing (concatenate-and-chop, 512-token windows, 8
     * shards): per-shard cumulative token layout, window index from the
     * running sum — the whole layout arithmetic is hash-checked against
@@ -989,6 +1008,7 @@ object ExtensionQueries {
     "evt_anomaly" -> evtAnomaly,
     "k13_partition_overwrite" -> k13PartitionOverwrite,
     "txt_tokenize_ids" -> txtTokenizeIds,
+    "txt_bpe_segment" -> txtBpeSegment,
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
@@ -1507,6 +1527,31 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(pos AS INTEGER) AS pos,
              | COALESCE(v.tok_id, 0) AS tok_id
              |FROM w LEFT JOIN vocab v USING (term) WHERE term <> ''""".stripMargin,
+      // BPE replay: chr(1)-joined characters, the four merges applied in
+      // rank order as global left-to-right regexp replaces (equivalent to
+      // the engine's anchored application because the fixed table is
+      // collision-free), then split back and posexplode.
+      "txt_bpe_segment" ->
+        raw"""WITH w AS (SELECT doc_id, CAST(p.pos AS INTEGER) AS word_pos,
+             |   ts[CAST(p.pos + 1 AS INTEGER)] AS word
+             | FROM (SELECT doc_id,
+             |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |   FROM documents WHERE doc_id < 200),
+             | LATERAL (SELECT unnest(range(0, len(ts))) AS pos) p),
+             |seg AS (SELECT doc_id, word_pos,
+             |  string_split(
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      array_to_string(list_transform(generate_series(1, length(word)),
+             |        i -> word[i]), chr(1)),
+             |      'e' || chr(1) || 's', 'es', 'g'),
+             |      'es' || chr(1) || 't', 'est', 'g'),
+             |      'l' || chr(1) || 'o', 'lo', 'g'),
+             |      'lo' || chr(1) || 'w', 'low', 'g'),
+             |    chr(1)) AS segs
+             |  FROM w WHERE word <> '')
+             |SELECT doc_id, word_pos, CAST(p.pos AS INTEGER) AS seg_pos,
+             | segs[CAST(p.pos + 1 AS INTEGER)] AS sym
+             |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin,
       // stage mirrors: quality (txt_quality_score), exact-median gate
       // (txt_quality_gate), hash-bucket mixture (w10), then the aggregate.
       "pipe_curate_corpus" ->

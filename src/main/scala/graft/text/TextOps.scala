@@ -537,7 +537,16 @@ object TextOps {
     * order). Per-iteration lineage is truncated and re-persisted, exactly
     * like [[graft.dedup.Dedup.duplicateClusters]], so plan depth stays
     * constant across merges; all intermediates are released on exit
-    * (bounded residency, nothing survives the call). */
+    * (bounded residency, nothing survives the call).
+    *
+    * COST MODEL: one Spark job (top-1 aggregate + map-only rewrite) PER
+    * MERGE — O(numMerges) driver round-trips over the |vocab|-row type
+    * table. Right-sized for the hundreds-to-few-thousand merges a
+    * pipeline-local subword vocab needs; a 32k-merge production
+    * tokenizer wants a dedicated trainer (batching non-overlapping
+    * merges per pass cuts rounds ~5× but stays O(numMerges) jobs) —
+    * train once, then encode with [[bpeSegment]]/[[bpeTokenizeToIds]],
+    * which are map-only and corpus-scale. */
   def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
                 minPairCount: Long = 2L): DataFrame = {
     require(numMerges > 0, s"numMerges must be > 0, got $numMerges")

@@ -132,6 +132,36 @@ class SourcesSpec extends SparkSpec {
       .sameElements(Array((1L, "x"), (2L, "y"))))
   }
 
+  test("jdbc scan pushes filters into the remote query (PushedFilters in plan)") {
+    // the profiling-over-JDBC path: a filtered scan must ship the predicate
+    // to the database, not pull the whole table and filter in Spark
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val url = "jdbc:derby:memory:graft_pushdown;create=true"
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE t (id INT, v DOUBLE)")
+      (1 to 20).foreach(i => st.executeUpdate(s"INSERT INTO t VALUES ($i, $i.5)"))
+      st.close()
+    } finally conn.close()
+
+    val filtered = Sources.jdbc(spark, url, "t").filter($"id" > 15)
+    assert(filtered.count() === 5)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThan(ID,15)"),
+      s"filter must reach the JDBC relation as a pushed filter:\n$plan")
+    // column pruning reaches the remote query too: a 1-column projection
+    // must not list the other column in the relation's read schema
+    val pruned = Sources.jdbc(spark, url, "t").select("v")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("[V#") || prunedPlan.contains("ReadSchema: struct<V:double>"),
+      s"projection must prune to V only:\n$prunedPlan")
+    assert(!prunedPlan.replaceAll("\\s", "").matches("(?s).*JDBCRelation.*ID.*"),
+      s"pruned JDBC scan must not read ID:\n$prunedPlan")
+  }
+
   test("csvWithCorruptCapture: bad rows quarantine with raw text, good rows stay typed") {
     val f = Files.createTempFile("graft_corrupt", ".csv")
     Files.writeString(f, "id,v\n1,1.5\nnot_an_int,oops\n3,2.25\n")
