@@ -704,8 +704,12 @@ object ExtensionQueries {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    // minBandMatches = bands is LOSSLESS at threshold 1.0: identical
+    // shingle sets ⇒ identical signatures ⇒ ALL bands collide, so
+    // requiring every band prunes the moderately-similar organic
+    // candidates BEFORE the exact-verification join for free.
     Dedup.minHashNearDups(docs.unionByName(planted), "text", "doc_id",
-      threshold = 1.0, bands = 16, rowsPerBand = 4)
+      threshold = 1.0, bands = 16, rowsPerBand = 4, minBandMatches = 16)
   }
 
   /** [[ddSimhash]]'s oracle-closed twin over the PORTABLE 60-bit
