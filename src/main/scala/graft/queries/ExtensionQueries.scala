@@ -472,6 +472,21 @@ object ExtensionQueries {
           TextOps.qualityScore(col("text")).as("quality")),
         "quality", p = 0.75, exact = true)
 
+  /** [[txtQualityGate]] through the 100 TB path: the SAME percentile gate
+    * with the Greenwald-Khanna sketch threshold (`percentile_approx`,
+    * bounded memory, mergeable) instead of the exact buffered percentile.
+    * Rows-only in the registry — the sketch's returned element is
+    * implementation-defined within its rank-error window, so no SQL
+    * engine reproduces it bit-for-bit — and QualitySpec pins the GK
+    * guarantee instead: the approx threshold sits inside the rank-error
+    * value window of the sorted scores, and the kept set is sandwiched
+    * between the exact gates at p ± the rank error. */
+  private val txtQualityGateApprox: Q = (s, dir) =>
+    graft.quality.Quality.percentileGate(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality")),
+        "quality", p = 0.75, exact = false)
+
   /** Corpus-mixture reweighting: per-source sampling rates (src0 kept at
     * 90%, src1 at 10%, src2 dropped, everything else 25%) via the
     * deterministic hash bucket — map-only, reproducible membership. */
@@ -1007,6 +1022,7 @@ object ExtensionQueries {
     "k12_shard_export" -> k12ShardExport,
     "txt_line_dedup" -> txtLineDedup,
     "txt_quality_gate" -> txtQualityGate,
+    "txt_quality_gate_approx" -> txtQualityGateApprox,
     "w10_weighted_sample" -> w10WeightedSample,
     "w11_dedup_priority" -> w11DedupPriority,
     "evt_anomaly" -> evtAnomaly,

@@ -103,6 +103,32 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException] { Quality.percentileGate(df, "score", 1.0) }
   }
 
+  test("percentileGate approx: GK threshold inside the rank-error value window") {
+    // skewed, duplicate-heavy scores — the shape GK sketches actually face
+    val n = 20000
+    val scores = (0 until n).map(i => (i.toLong, ((i * i) % 997).toDouble / 997.0))
+    val df = scores.toDF("id", "score")
+    val p = 0.75
+    val accuracy = 10000 // percentileGate's pinned GK accuracy
+    val kept = Quality.percentileGate(df, "score", p)
+      .select("score").as[Double].collect()
+    val thr = kept.min
+
+    // GK guarantee: the returned element's rank is within n/accuracy of
+    // the target rank, so the threshold must lie inside the sorted-score
+    // window around rank p*n
+    val sorted = scores.map(_._2).sorted
+    val rankErr = math.ceil(n.toDouble / accuracy).toInt
+    val target = (p * n).toInt
+    val lo = sorted(math.max(target - rankErr - 1, 0))
+    val hi = sorted(math.min(target + rankErr, n - 1))
+    assert(thr >= lo && thr <= hi, s"GK threshold $thr outside [$lo, $hi]")
+
+    // and the kept set is exactly the >= thr tail (the gate filters on
+    // the broadcast threshold, nothing else)
+    assert(kept.length === scores.count(_._2 >= thr))
+  }
+
   test("keyStats never throws on a deduped null-free frame (property)") {
     val df = Seq.tabulate(50)(i => (i % 7, i % 3)).toDF("a", "b")
       .dropDuplicates("a", "b")
