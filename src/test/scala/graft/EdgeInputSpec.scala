@@ -37,6 +37,52 @@ class EdgeInputSpec extends SparkSpec {
     assert(TextOps.bpeMerges(empty, "text", numMerges = 3).count() === 0)
   }
 
+  test("empty/degenerate inputs: round-7 operators stay defined") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    // portable simhash over an empty corpus: 0 pairs, nothing cached
+    val sh = Dedup.signatureNearDups(
+      Dedup.simHashSignatures(empty, "text", "doc_id", Dedup.portableHash60, 60),
+      maxDist = 0, maxBucketOccupancy = 100000L, "edge", "n/a")
+    assert(sh.count() === 0); sh.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty)
+    // minhash at threshold 1.0 with all-band agreement on an empty corpus
+    val mh = Dedup.minHashNearDups(empty, "text", "doc_id",
+      threshold = 1.0, minBandMatches = 16)
+    assert(mh.count() === 0); mh.unpersist(blocking = true)
+    // lshTopK exactness mode with an empty corpus / empty query set
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    assert(graft.sim.Similarity.lshTopK(emptyVec, vecs, k = 3, bits = 0, bands = 1)
+      .count() === 0)
+    assert(graft.sim.Similarity.lshTopK(vecs, emptyVec, k = 3, bits = 0, bands = 1)
+      .count() === 0)
+    // bpeSegment under an EMPTY merge table = plain character split
+    val segs = Seq("abc").toDF("w")
+      .select(TextOps.bpeSegment(col("w"), Seq.empty).as("s"))
+      .as[Seq[String]].head()
+    assert(segs === Seq("a", "b", "c"))
+  }
+
+  test("sampleFrames: corrupt containers and empty frames stay defined") {
+    import graft.multimodal.Multimodal
+    // truncated GIF: cut a real multi-frame payload in half — frames
+    // decoded before the cut may survive; the row set is still defined
+    // and the partition must not fail
+    val whole = Multimodal.synthesizeGif(Seq(3L).toDF("id"), "id")
+      .select("payload").as[Array[Byte]].head()
+    val truncated = whole.take(whole.length / 2)
+    val out = Multimodal.sampleFrames(
+      Seq((1L, truncated), (2L, Array[Byte](1, 2, 3)),
+        (3L, null.asInstanceOf[Array[Byte]]), (4L, whole))
+        .toDF("id", "payload"))
+    val byId = out.select("id", "frame_no").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byId.getOrElse(2L, 0) === 0, "garbage bytes decode no frames")
+    assert(byId.getOrElse(3L, 0) === 0, "null payload decodes no frames")
+    assert(byId(4L) === 5, "intact payload decodes all frames")
+  }
+
   test("null text: defined null-propagating results, no crash") {
     val df = Seq((1L, "real words here today"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
