@@ -239,6 +239,48 @@ object PropertiesSpec extends Properties("graft") {
     }
   }
 
+  propertyWithSeed("bpeSegment ≡ classic greedy merge on symbol arrays", None) = {
+    // Independent reference implementation of BPE merge application: fold
+    // each merge over the symbol ARRAY, fusing adjacent (l, r) occurrences
+    // left-to-right non-overlapping. The engine's anchored regexp form
+    // must agree for ANY word and merge table — the unanchored form fails
+    // this on suffix collisions (e.g. word "aba" after (a,b) under (b,a)).
+    def refSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val wordGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val symGen = Gen.oneOf("a", "b", "aa", "ab", "ba", "bb")
+    val mergesGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(symGen, symGen)))
+    forAll(wordGen, mergesGen) { (word: String, merges: List[(String, String)]) =>
+      val got = Seq(word).toDF("w")
+        .select(graft.text.TextOps.bpeSegment(col("w"), merges).as("s"))
+        .as[Seq[String]].head()
+      got == refSegment(word, merges) && got.mkString == word
+    }
+  }
+
+  propertyWithSeed("portableHash60 stays in [0, 2^60) for arbitrary strings", None) =
+    forAll(Gen.listOfN(8, Gen.asciiPrintableStr)) { ss: List[String] =>
+      ss.isEmpty || {
+        val hs = ss.toDF("t")
+          .select(Dedup.portableHash60(col("t")).as("h")).as[Long].collect()
+        hs.forall(h => h >= 0L && h < (1L << 60))
+      }
+    }
+
   // ScalaCheck's default 100 cases × 5 properties × Spark job latency is
   // minutes of wall time for no extra coverage — 20 cases each is plenty
   // for these structural invariants.
