@@ -265,6 +265,79 @@ object Dedup {
     materializeAndRelease(pairs, shingles, sigN)
   }
 
+  /** Incremental near-dup detection — the daily-crawl shape for MINHASH,
+    * completing the incremental story [[incrementalDedup]] starts for
+    * exact dedup: find near-duplicates of a NEW batch against a reference
+    * corpus represented ONLY by its precomputed signature index
+    * (id, sig: array<bigint> — built once by [[minHashSignatures]] and
+    * stored alongside the corpus), so each ingest costs
+    * O(|delta| shingling + index band-probe), never a reference re-scan.
+    *
+    * Verification is by SIGNATURE AGREEMENT — estimated Jaccard = fraction
+    * of agreeing minhash positions (the standard index-only estimate:
+    * P[minhash_i(A) = minhash_i(B)] = J(A,B)) — because the index carries
+    * no shingle sets to verify exactly against. The estimate is unbiased
+    * with σ = √(J(1−J)/numHashes) ≈ 0.05 at J = 0.7, numHashes = 64;
+    * pairs near the threshold can flip either way (set the threshold with
+    * that band in mind, or re-verify survivors against stored text
+    * downstream). Note that even threshold 1.0 is NOT an identical-sets
+    * check: near-identical sets fully agree on all 64 positions with
+    * probability J^64 (≈ 0.27 at J = 0.98 — observed on the test corpus),
+    * so the output at 1.0 is a superset of the identical-set pairs. When
+    * exactness matters, keep the reference TEXT available and re-verify
+    * with [[minHashNearDups]]'s exact-Jaccard machinery.
+    *
+    * Returns (new_id, ref_id, est_jaccard), one row per (delta doc,
+    * reference doc) candidate pair at est_jaccard ≥ threshold.
+    *
+    * Scale shape: delta signatures via the codegen'd aggregate (one scan
+    * of the delta text); band keys explode on BOTH sides (index rows are
+    * fixed-width — the explode is cheap); the bucket join shuffles
+    * (band, bucket) keys, never all-pairs; the agreement estimate runs
+    * only on candidate pairs (the interpreted zip is bounded by the
+    * candidate count, not the corpus). The delta side is persisted for
+    * its two consumers and released before returning (same bounded
+    * residency as the family). */
+  def incrementalNearDups(newBatch: DataFrame, refSignatures: DataFrame,
+                          textCol: String, idCol: String,
+                          threshold: Double = 0.7, bands: Int = 16,
+                          rowsPerBand: Int = 4, shingleK: Int = 5,
+                          maxBucketOccupancy: Long = 100000L): DataFrame = {
+    require(threshold > 0, "incrementalNearDups requires a positive threshold")
+    val numHashes = bands * rowsPerBand
+    val deltaSigs = minHashSignatures(newBatch, textCol, idCol, numHashes, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def banded(sigs: DataFrame, id: String): DataFrame =
+      sigs.select(col("id").as(id), col("sig").as(s"__sig_$id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)
+              .as("bucket")))).as("bb"))
+        .select(col(id), col(s"__sig_$id"), col("bb.band"), col("bb.bucket"))
+
+    val d = banded(deltaSigs, "new_id")
+    val r = banded(refSignatures.select(col("id"), col("sig")), "ref_id")
+    releasingOnFailure(deltaSigs) {
+      Guards.checkBucketOccupancy(d, Seq("band", "bucket"), maxBucketOccupancy,
+        "incrementalNearDups", "exact-dedup the batch first to collapse identical documents")
+    }
+    // delta × reference bucket join only — delta-internal pairs are
+    // minHashNearDups' job on the batch itself
+    val agree = size(filter(zip_with(col("__sig_new_id"), col("__sig_ref_id"),
+      (x, y) => x === y), e => e))
+    val pairs = d.join(r,
+        d("band") === r("band") && d("bucket") === r("bucket"))
+      .select(col("new_id"), col("ref_id"), col("__sig_new_id"), col("__sig_ref_id"))
+      .dropDuplicates("new_id", "ref_id")
+      .withColumn("est_jaccard",
+        round(agree.cast(DoubleType) / numHashes, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("est_jaccard"))
+    materializeAndRelease(pairs, deltaSigs)
+  }
+
   /** Per-ROW MinHash signature as a pure expression — no aggregation, no
     * shuffle — value-identical to [[minHashSignatures]] (same normalize →
     * shingle → xxhash64(shingle) → min over seeded re-hashes pipeline;

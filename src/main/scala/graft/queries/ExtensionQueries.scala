@@ -137,6 +137,24 @@ object ExtensionQueries {
     Dedup.simHashNearDups(docs.unionByName(planted), "text", "doc_id", maxDist = 3)
   }
 
+  /** Incremental near-dup (the daily-crawl shape): a delta batch of
+    * planted exact copies probed against the reference corpus's
+    * PRECOMPUTED signature index — no reference re-scan. Rows-only BY
+    * NECESSITY: the output is defined by signature agreement, and full
+    * 64-position agreement does not imply identical shingle sets (a pair
+    * at true J = 0.98 fully agrees with probability 0.98^64 ≈ 0.27 —
+    * measured 52 agreement pairs vs 50 identical-set pairs on this very
+    * corpus), so no set-based SQL oracle is sound. DedupSpec pins the
+    * semantics with planted exact/near/novel delta docs. */
+  private val ddIncrementalNeardup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val refIndex = Dedup.minHashSignatures(docs, "text", "doc_id")
+    Dedup.incrementalNearDups(delta, refIndex, "text", "doc_id",
+      threshold = 0.9, bands = 16, rowsPerBand = 4)
+  }
+
   /** Deterministic ~25% corpus downsample — map-only, no shuffle; the
     * same doc_ids survive every run (multiplicative-hash bucket, exactly
     * the w4 split arithmetic, mirrored bit-for-bit in SQL). */
@@ -1047,6 +1065,7 @@ object ExtensionQueries {
     "sim_pq_exact" -> simPqExact,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash_exact" -> ddSimhashExact,
+    "dd_incremental_neardup" -> ddIncrementalNeardup,
     "emb_semantic_dedup" -> embSemanticDedup,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
@@ -1868,6 +1887,13 @@ object ExtensionQueries {
              | CAST(1.0 AS DOUBLE) AS jaccard
              |FROM ss a JOIN ss b ON a.d = b.d AND a.doc_id < b.doc_id""".stripMargin,
       "dd_simhash_exact" -> ddSimhashExactOracle,
+      // dd_incremental_neardup is deliberately rows-only: its output is
+      // defined by SIGNATURE agreement, and full 64-position agreement
+      // does NOT imply identical shingle sets (a pair at true J = 0.98
+      // fully agrees with probability 0.98^64 ≈ 0.27) — measured: 52
+      // engine pairs vs 50 identical-set pairs at sf0.01. An exact-set
+      // SQL oracle is therefore UNSOUND for this operator; DedupSpec's
+      // planted exact/near/novel delta tests pin the semantics instead.
       // nprobe = nlist probes every cell, so IVF ≡ exact brute force and
       // shares its oracle.
       "sim_ivf_topk" ->

@@ -294,6 +294,46 @@ class DedupSpec extends SparkSpec {
     assert(hd.sameElements(Array(0, 1, 2, 64)))
   }
 
+  test("incrementalNearDups: delta probes the reference index, no corpus re-scan state") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val ref = base.toDF("doc_id", "text")
+    val refIndex = Dedup.minHashSignatures(ref, "text", "doc_id")
+    // delta: exact copy of doc 3, near-dup of doc 7 (short tail), one
+    // novel doc that matches nothing
+    val delta = Seq(
+      (9003L, doc(3)),
+      (9007L, doc(7) + " tail bit"),
+      (9999L, "completely different text about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(delta, refIndex, "text", "doc_id",
+      threshold = 0.5)
+    val pairs = out.as[(Long, Long, Double)].collect()
+    out.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty, "bounded residency")
+
+    val byNew = pairs.groupBy(_._1)
+    assert(byNew(9003L).exists(p => p._2 === 3L && p._3 === 1.0),
+      "exact copy must fully agree with its source")
+    assert(byNew(9007L).exists(_._2 === 7L), "near-dup of doc 7 missed")
+    // the near-dup estimate is high but below the exact copy's 1.0
+    byNew(9007L).filter(_._2 === 7L).foreach(p => assert(p._3 > 0.5 && p._3 <= 1.0))
+    assert(!byNew.contains(9999L), "novel text must match nothing")
+  }
+
+  test("incrementalNearDups at threshold 1.0 keeps only full-agreement pairs") {
+    val ref = (base ++ exactDups).toDF("doc_id", "text") // each text twice
+    val refIndex = Dedup.minHashSignatures(ref, "text", "doc_id")
+    val delta = Seq((9005L, doc(5)), (9006L, doc(6) + " tail")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(delta, refIndex, "text", "doc_id",
+      threshold = 1.0)
+    val pairs = out.as[(Long, Long, Double)].collect().toSet
+    out.unpersist(blocking = true)
+    // doc(5) matches BOTH identical-text reference rows; the tailed doc 6
+    // is a near-dup, not an exact one — excluded at 1.0
+    assert(pairs === Set((9005L, 5L, 1.0), (9005L, 2005L, 1.0)))
+  }
+
   test("portableHash60 = first 15 md5 hex digits, always in [0, 2^60)") {
     val inputs = Seq("hello", "", "zq", "the quick brown fox")
     val got = inputs.toDF("t")
