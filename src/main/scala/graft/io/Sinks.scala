@@ -50,6 +50,37 @@ object Sinks {
     spark.read.parquet(outPath)
   }
 
+  /** [[compactParquet]] with the file count derived from the ACTUAL bytes
+    * on storage — "compact this landing directory to ~128 MB files" with
+    * no manual counting, the operational form a nightly compaction job
+    * wants. Input size = sum of the source parquet file lengths from the
+    * file-system listing (ground truth, not an optimizer row-count
+    * estimate, which post-filter selectivity guessing can distort by
+    * orders of magnitude); targetFiles = ceil(bytes / targetFileBytes),
+    * clamped to [1, maxFiles]. Output files land near the target when the
+    * output codec matches the input (the default); a codec change shifts
+    * sizes by the compression-ratio delta, not the file count.
+    * Returns the re-read compacted frame, like [[compactParquet]]. */
+  def compactParquetToSize(spark: org.apache.spark.sql.SparkSession,
+                           inPath: String, outPath: String,
+                           targetFileBytes: Long = 128L * 1024 * 1024,
+                           maxFiles: Int = 100000): DataFrame = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytesUnder(path: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(path).map { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) 0L // metadata/hidden
+        else if (st.isDirectory) bytesUnder(st.getPath)
+        else st.getLen
+      }.sum
+    val bytes = bytesUnder(p)
+    val targetFiles = math.min(maxFiles.toLong,
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
+    compactParquet(spark, inPath, outPath, targetFiles)
+  }
+
   /** Range-sharded SORTED export — the training-shard layout: rows are
     * range-partitioned on `sortCol` into `shards` files, each file sorted
     * internally, so shard N's key range ends before shard N+1's begins.

@@ -66,6 +66,32 @@ class SinksSpec extends SparkSpec {
     assert(compacted.as[Long].collect().sorted.sameElements(0L until 1000L))
   }
 
+  test("compactParquetToSize: file count from actual bytes, clamped, rows identical") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_csize_in").toString
+    val out1 = java.nio.file.Files.createTempDirectory("graft_csize_out1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_csize_out2").toString
+    (0L until 2000L).map(i => (i, s"payload_$i")).toDF("v", "s")
+      .repartition(16).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(in)
+    def partFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.length).sum
+    // target a third of the input → ceil gives 3-4 files
+    val c1 = Sinks.compactParquetToSize(spark, in, out1, targetFileBytes = inBytes / 3)
+    assert(partFiles(out1) === 3 || partFiles(out1) === 4, s"got ${partFiles(out1)}")
+    assert(c1.count() === 2000)
+    // target far above the input → exactly one file; maxFiles clamps too
+    val c2 = Sinks.compactParquetToSize(spark, in, out2,
+      targetFileBytes = inBytes * 100)
+    assert(partFiles(out2) === 1)
+    assert(c2.as[(Long, String)].collect().map(_._1).sorted
+      .sameElements(0L until 2000L))
+    intercept[IllegalArgumentException] {
+      Sinks.compactParquetToSize(spark, in, out2, targetFileBytes = 0)
+    }
+  }
+
   test("partitionBy write + partition-column filter prunes directories at plan time") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col
