@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.dedup.Dedup
 
@@ -240,5 +240,54 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+  }
+
+  /** Streaming incremental NEAR-dup matching against a static reference
+    * signature index — the live-ingest form of
+    * [[graft.dedup.Dedup.incrementalNearDups]]: each arriving document is
+    * signed per-row ([[graft.dedup.Dedup.minHashSigArray]], map-only),
+    * its band keys exploded, and matched against the banded index via a
+    * STATELESS stream-static equi-join; pairs at signature agreement ≥
+    * `threshold` are emitted as (stream columns…, ref_id, est_jaccard).
+    *
+    * Statelessness is the design point: no watermark-held state, no
+    * stream-side aggregation — every operator re-plans per micro-batch,
+    * so throughput scales with batch size, not stream history. The cost
+    * of that: a pair matching in k bands emits k IDENTICAL rows (bounded
+    * by `bands`). Pair with an idempotent keyed sink ([[upsertToJdbc]] on
+    * (id, ref_id)) or a downstream `dropDuplicatesWithinWatermark`,
+    * exactly the replay-idempotence story the upsert sink already
+    * implements. Batch frames work unchanged (the spec proves stream ≡
+    * batch ≡ [[graft.dedup.Dedup.incrementalNearDups]] after dedup). */
+  def incrementalNearDupStream(docs: DataFrame, refSignatures: DataFrame,
+                               textCol: String, idCol: String,
+                               threshold: Double = 0.7, bands: Int = 16,
+                               rowsPerBand: Int = 4,
+                               shingleK: Int = 5): DataFrame = {
+    require(threshold > 0, "incrementalNearDupStream requires a positive threshold")
+    val numHashes = bands * rowsPerBand
+    def bandStructs(sig: Column): Column =
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
+    val streamSide = docs
+      .withColumn("__sig", Dedup.minHashSigArray(col(textCol), numHashes, shingleK))
+      .withColumn("bb", bandStructs(col("__sig")))
+      .select(docs.columns.map(col) :+ col("__sig") :+
+        col("bb.band").as("__band") :+ col("bb.bucket").as("__bucket"): _*)
+    val refSide = refSignatures
+      .select(col("id").as("ref_id"), col("sig").as("__ref_sig"))
+      .withColumn("bb", bandStructs(col("__ref_sig")))
+      .select(col("ref_id"), col("__ref_sig"),
+        col("bb.band").as("__band"), col("bb.bucket").as("__bucket"))
+    val agree = size(filter(zip_with(col("__sig"), col("__ref_sig"),
+      (x, y) => x === y), e => e))
+    streamSide.join(refSide, Seq("__band", "__bucket"))
+      .withColumn("est_jaccard",
+        round(agree.cast(org.apache.spark.sql.types.DoubleType) / numHashes, 6))
+      .filter(col("est_jaccard") >= threshold &&
+        col(idCol) =!= col("ref_id"))
+      .select(docs.columns.map(col) :+ col("ref_id") :+ col("est_jaccard"): _*)
   }
 }

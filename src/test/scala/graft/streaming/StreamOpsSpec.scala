@@ -235,6 +235,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalNearDupStream ≡ batch incrementalNearDups after pair dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(i: Int): String = {
+      val rnd = new scala.util.Random(i)
+      s"reference document $i " + (0 until 50).map(_ =>
+        "alpha beta gamma delta".split(" ")(rnd.nextInt(4))).mkString(" ")
+    }
+    val reference = (0 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val refIndex = graft.dedup.Dedup.minHashSignatures(reference, "text", "doc_id")
+      .persist()
+    refIndex.count()
+    try {
+      // delta: exact copy of 3, near-dup of 7, one novel doc — across 2 batches
+      val delta = Seq(
+        (903L, ts(0), doc(3)),
+        (907L, ts(1), doc(7) + " tail bit"),
+        (999L, ts(2), "entirely novel content matching nothing at all here"))
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val df = mem.toDF().toDF("doc_id", "ts", "text")
+      val q = StreamOps.incrementalNearDupStream(df, refIndex, "text", "doc_id",
+          threshold = 0.5)
+        .select("doc_id", "ref_id", "est_jaccard")
+        .writeStream.format("memory").queryName("incneardup_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(delta.take(2))
+        q.processAllAvailable()
+        mem.addData(delta.drop(2))
+        q.processAllAvailable()
+        // stateless join may emit one row per matching band — dedup pairs
+        val streamPairs = spark.table("incneardup_out")
+          .as[(Long, Long, Double)].collect().toSet
+
+        val batch = graft.dedup.Dedup.incrementalNearDups(
+          delta.map(d => (d._1, d._3)).toDF("doc_id", "text"),
+          refIndex, "text", "doc_id", threshold = 0.5)
+        val batchPairs = batch.as[(Long, Long, Double)].collect().toSet
+        batch.unpersist(blocking = true)
+
+        assert(streamPairs === batchPairs, "stream pairs must equal batch pairs")
+        assert(streamPairs.exists(p => p._1 === 903L && p._2 === 3L && p._3 === 1.0))
+        assert(streamPairs.exists(p => p._1 === 907L && p._2 === 7L))
+        assert(!streamPairs.exists(_._1 === 999L))
+      } finally q.stop()
+    } finally refIndex.unpersist(blocking = true)
+  }
+
   test("thresholdAlerts fires exactly once per key, at the first crossing") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
