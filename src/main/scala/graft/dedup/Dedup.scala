@@ -333,7 +333,9 @@ object Dedup {
       .dropDuplicates("new_id", "ref_id")
       .withColumn("est_jaccard",
         round(agree.cast(DoubleType) / numHashes, 6))
-      .filter(col("est_jaccard") >= threshold)
+      // a delta row re-ingesting an id the reference already holds is not
+      // a "near-dup pair" — same exclusion as the streaming form
+      .filter(col("est_jaccard") >= threshold && col("new_id") =!= col("ref_id"))
       .select(col("new_id"), col("ref_id"), col("est_jaccard"))
     materializeAndRelease(pairs, deltaSigs)
   }
