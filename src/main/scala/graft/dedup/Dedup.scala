@@ -139,6 +139,32 @@ object Dedup {
           b => coalesce(try_element_at(col("m"), b), lit(Long.MaxValue))).as("sig"))
   }
 
+  /** Banded LSH bucket structs for a minhash signature column: one
+    * (band, bucket) struct per band, bucket = seeded hash of the band's
+    * signature slice. THE single shared construction — [[minHashNearDups]],
+    * [[incrementalNearDups]] and `StreamOps.incrementalNearDupStream` must
+    * hash buckets identically, or index compatibility and the
+    * stream ≡ batch equivalence silently break. */
+  def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    explode(transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
+
+  /** One-row probe asserting a signature index was built with the SAME
+    * numHashes as the probing operator expects — a mismatched index zips
+    * short, caps the agreement estimate below the threshold, and returns
+    * silently empty results instead of an error. */
+  private[graft] def requireIndexWidth(refSignatures: DataFrame, numHashes: Int,
+                                       op: String): Unit =
+    refSignatures.select(size(col("sig")).as("w")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == numHashes,
+          s"$op: reference index signatures have ${r.getInt(0)} hashes; " +
+            s"expected bands * rowsPerBand = $numHashes — rebuild the index " +
+            "or pass matching band parameters")
+      }
+
   /** MinHash-LSH candidate pairs: signature split into `bands` bands of
     * rows; docs sharing any band bucket become candidates; candidates are
     * verified with exact shingle-Jaccard and filtered by `threshold`.
@@ -200,13 +226,8 @@ object Dedup {
       .agg(array(aggs: _*).as("sig"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigN.select(
-      col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
-        .as("bb"))
+    val banded = sigN
+      .select(col("id"), bandBuckets(col("sig"), bands, rowsPerBand).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
     // Fail-fast occupancy gate, run while sigN is cached (the aggregate
@@ -305,16 +326,13 @@ object Dedup {
                           maxBucketOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0, "incrementalNearDups requires a positive threshold")
     val numHashes = bands * rowsPerBand
+    requireIndexWidth(refSignatures, numHashes, "incrementalNearDups")
     val deltaSigs = minHashSignatures(newBatch, textCol, idCol, numHashes, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def banded(sigs: DataFrame, id: String): DataFrame =
       sigs.select(col("id").as(id), col("sig").as(s"__sig_$id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(concat_ws(",",
-              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)
-              .as("bucket")))).as("bb"))
+        bandBuckets(col("sig"), bands, rowsPerBand).as("bb"))
         .select(col(id), col(s"__sig_$id"), col("bb.band"), col("bb.bucket"))
 
     val d = banded(deltaSigs, "new_id")
@@ -322,6 +340,12 @@ object Dedup {
     releasingOnFailure(deltaSigs) {
       Guards.checkBucketOccupancy(d, Seq("band", "bucket"), maxBucketOccupancy,
         "incrementalNearDups", "exact-dedup the batch first to collapse identical documents")
+      // the REFERENCE side can be degenerate too (an index over a corpus
+      // of identical docs collapses every band to one bucket and the
+      // delta × ref join blows up per matching delta doc) — same gate
+      Guards.checkBucketOccupancy(r, Seq("band", "bucket"), maxBucketOccupancy,
+        "incrementalNearDups(reference index)",
+        "exact-dedup the reference corpus before building its signature index")
     }
     // delta × reference bucket join only — delta-internal pairs are
     // minHashNearDups' job on the batch itself

@@ -396,8 +396,12 @@ object Multimodal {
                   Row.fromSeq(r.toSeq :+ f :+
                     Row(img.getWidth, img.getHeight, dhashOf(img)))
                 }.toVector // materialize BEFORE disposing the reader
-              } catch { case _: java.io.IOException => Iterator.empty }
-              finally rd.dispose()
+              } catch {
+                // JDK readers throw RuntimeExceptions (not just
+                // IOException) on fuzzed/truncated containers; one bad
+                // payload must not kill the job — zero rows, as documented
+                case scala.util.control.NonFatal(_) => Iterator.empty
+              } finally rd.dispose()
             }
           } finally iis.close()
         }

@@ -90,20 +90,21 @@ object Pq {
     //    constant j*codebookSize stride would silently misalign every
     //    subspace after a deficient one.
     val offsets = models.map(_.clusterCenters.length).scanLeft(0)(_ + _)
+    // the flat LUT index is a pure driver-side constant per centroid row —
+    // precompute it into the broadcast frame rather than re-deriving it
+    // with a per-row conditional in the crossJoin
     val cents = (for {
       j <- 0 until m
       (c, code) <- models(j).clusterCenters.zipWithIndex
-    } yield (j, code, c.toArray.map(_.toFloat))).toDF("__j", "__code", "__cent")
-    val offCol = (0 until m).foldRight(lit(-1): org.apache.spark.sql.Column) {
-      case (j, other) => when(col("__j") === j, lit(offsets(j))).otherwise(other)
-    }
+    } yield (j, code, offsets(j) + code, c.toArray.map(_.toFloat)))
+      .toDF("__j", "__code", "__flat", "__cent")
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("__partial", VectorExprs.dot(
         slice(col("qvec"), col("__j") * sub + 1, lit(sub)), col("__cent")))
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(
-          (offCol + col("__code")).as("i"),
+          col("__flat").as("i"),
           col("__partial").as("p")))),
         e => e.getField("p")).as("__lut"))
 

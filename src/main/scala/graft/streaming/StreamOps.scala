@@ -150,16 +150,26 @@ object StreamOps {
   // bind identifiers), so restrict them to plain identifiers — anything
   // else (quotes, spaces, semicolons) is rejected before a statement is
   // built, closing the injection door if names ever come from user input.
+  // Tables may be schema-qualified (each dot-separated part validated
+  // separately); columns must be single identifiers.
   private def requireIdentifier(name: String): String = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"illegal SQL identifier: '$name' (expected [A-Za-z_][A-Za-z0-9_]*)")
     name
   }
 
+  private def requireTableName(name: String): String = {
+    val parts = name.split("\\.", -1)
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"illegal SQL table name: '$name' (expected ident or schema.ident)")
+    name
+  }
+
   def upsertBatch(batch: org.apache.spark.sql.DataFrame, url: String,
                   table: String, keyCol: String, valueCols: Seq[String],
                   driver: String): Unit = {
-    (table +: keyCol +: valueCols).foreach(requireIdentifier)
+    requireTableName(table)
+    (keyCol +: valueCols).foreach(requireIdentifier)
     val cols = keyCol +: valueCols
     batch.select(cols.map(col): _*).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -266,11 +276,11 @@ object StreamOps {
                                shingleK: Int = 5): DataFrame = {
     require(threshold > 0, "incrementalNearDupStream requires a positive threshold")
     val numHashes = bands * rowsPerBand
+    // static side — safe to probe once at plan time; a mismatched index
+    // would otherwise zip short and silently emit nothing
+    Dedup.requireIndexWidth(refSignatures, numHashes, "incrementalNearDupStream")
     def bandStructs(sig: Column): Column =
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
+      Dedup.bandBuckets(sig, bands, rowsPerBand)
     val streamSide = docs
       .withColumn("__sig", Dedup.minHashSigArray(col(textCol), numHashes, shingleK))
       .withColumn("bb", bandStructs(col("__sig")))

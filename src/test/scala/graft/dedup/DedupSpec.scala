@@ -321,6 +321,16 @@ class DedupSpec extends SparkSpec {
     assert(!byNew.contains(9999L), "novel text must match nothing")
   }
 
+  test("incrementalNearDups rejects an index built with a different numHashes") {
+    val ref = base.toDF("doc_id", "text")
+    val narrowIndex = Dedup.minHashSignatures(ref, "text", "doc_id", numHashes = 32)
+    val delta = Seq((9003L, doc(3))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(delta, narrowIndex, "text", "doc_id") // expects 64
+    }
+    assert(e.getMessage.contains("32") && e.getMessage.contains("64"))
+  }
+
   test("incrementalNearDups at threshold 1.0 keeps only full-agreement pairs") {
     val ref = (base ++ exactDups).toDF("doc_id", "text") // each text twice
     val refIndex = Dedup.minHashSignatures(ref, "text", "doc_id")

@@ -207,6 +207,16 @@ class StreamOpsSpec extends SparkSpec {
     val replay = Seq((1L, 3L), (3L, 1L)).toDF("user_id", "n")
     StreamOps.upsertBatch(replay, url, "user_counts", "user_id", Seq("n"), driver)
     assert(table() === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    // schema-qualified table names are legal (Derby's default schema is
+    // APP); injection-shaped names are rejected before any SQL is built
+    StreamOps.upsertBatch(replay, url, "APP.user_counts", "user_id", Seq("n"), driver)
+    assert(table() === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    intercept[IllegalArgumentException] {
+      StreamOps.upsertBatch(replay, url, "t; DROP TABLE x", "user_id", Seq("n"), driver)
+    }
+    intercept[IllegalArgumentException] {
+      StreamOps.upsertBatch(replay, url, "user_counts", "user_id", Seq("n = 0 --"), driver)
+    }
   }
 
   test("incrementalDedupStream: reference-known docs dropped, in-stream repeats suppressed cross-batch") {
