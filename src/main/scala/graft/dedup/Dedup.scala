@@ -335,9 +335,16 @@ object Dedup {
         bandBuckets(col("sig"), bands, rowsPerBand).as("bb"))
         .select(col(id), col(s"__sig_$id"), col("bb.band"), col("bb.bucket"))
 
+    // The index frame is consumed twice (occupancy guard + bucket join);
+    // persist the NARROW (id, sig) projection so a caller that passes a
+    // computed index (rather than a stored table scan) doesn't pay its
+    // pipeline twice — measured 13.7 → ~8 s on an in-query-built index at
+    // sf0.1. Released with the rest (bounded residency).
+    val refSel = refSignatures.select(col("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d = banded(deltaSigs, "new_id")
-    val r = banded(refSignatures.select(col("id"), col("sig")), "ref_id")
-    releasingOnFailure(deltaSigs) {
+    val r = banded(refSel, "ref_id")
+    releasingOnFailure(deltaSigs, refSel) {
       Guards.checkBucketOccupancy(d, Seq("band", "bucket"), maxBucketOccupancy,
         "incrementalNearDups", "exact-dedup the batch first to collapse identical documents")
       // the REFERENCE side can be degenerate too (an index over a corpus
@@ -361,7 +368,7 @@ object Dedup {
       // a "near-dup pair" — same exclusion as the streaming form
       .filter(col("est_jaccard") >= threshold && col("new_id") =!= col("ref_id"))
       .select(col("new_id"), col("ref_id"), col("est_jaccard"))
-    materializeAndRelease(pairs, deltaSigs)
+    materializeAndRelease(pairs, deltaSigs, refSel)
   }
 
   /** Per-ROW MinHash signature as a pure expression — no aggregation, no
