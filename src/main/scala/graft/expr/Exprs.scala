@@ -72,10 +72,17 @@ object Exprs {
     case _                                  => "TEXT"
   }
 
-  /** K2 — CREATE TABLE DDL from a schema (dag1.py:261-270). */
+  /** K2 — CREATE TABLE DDL from a schema (dag1.py:261-270). Column names
+    * arrive verbatim from data (spreadsheet headers), so embedded double
+    * quotes are doubled per the SQL quoting rule; the table name is
+    * interpolated unquoted into executable DDL ([[graft.io.Sinks]]), so it
+    * must be a plain or schema-qualified identifier — anything else is
+    * rejected rather than injected. */
   def schemaToDdl(table: String, schema: StructType): String = {
+    require(table.split("\\.", -1).forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"illegal table name for DDL: '$table' (expected ident or schema.ident)")
     val cols = schema.fields
-      .map(f => s""""${f.name}" ${ddlType(f.dataType)}""")
+      .map(f => s""""${f.name.replace("\"", "\"\"")}" ${ddlType(f.dataType)}""")
       .mkString(", ")
     s"""CREATE TABLE IF NOT EXISTS $table ($cols)"""
   }

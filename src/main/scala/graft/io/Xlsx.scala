@@ -45,17 +45,26 @@ object Xlsx {
     val out = mutable.ArrayBuffer.empty[String]
     val r = factory.createXMLStreamReader(in)
     var inSi = false
+    // phonetic guide runs (<rPh>, Japanese furigana) carry their own <t>
+    // elements that are NOT part of the cell text — collecting them would
+    // concatenate the reading onto the value ("東京" → "東京トウキョウ")
+    var inPhonetic = false
     val sb = new StringBuilder
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "si" => inSi = true; sb.clear()
-            case "t" if inSi => sb.append(r.getElementText)
+            case "si" => inSi = true; inPhonetic = false; sb.clear()
+            case "rPh" => inPhonetic = true
+            case "t" if inSi && !inPhonetic => sb.append(r.getElementText)
             case _ =>
           }
-        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
-          inSi = false; out += sb.toString
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = false; out += sb.toString
+            case "rPh" => inPhonetic = false
+            case _ =>
+          }
         case _ =>
       }
     }
@@ -72,6 +81,7 @@ object Xlsx {
     var cellCol = -1
     var cellType = ""
     var value: String = null
+    var inPhonetic = false // <rPh> furigana runs are not cell text
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
@@ -85,12 +95,19 @@ object Xlsx {
                 .getOrElse(if (cells.isEmpty) 0 else cells.keys.max + 1)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
               value = null
+              inPhonetic = false
+            case "rPh" => inPhonetic = true
             case "v" => value = r.getElementText
-            case "t" if cellType == "inlineStr" => value = r.getElementText
+            case "t" if cellType == "inlineStr" && !inPhonetic =>
+              // rich-text inline cells carry one <t> per formatting run —
+              // APPEND runs (Excel emits several when part of a cell is
+              // styled); overwriting would keep only the last run
+              value = (if (value == null) "" else value) + r.getElementText
             case _ =>
           }
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case "rPh" => inPhonetic = false
             case "c" if cells != null =>
               val resolved = cellType match {
                 case "s" if value != null => shared(value.toInt)
@@ -180,7 +197,10 @@ object Xlsx {
           case null =>
           case n: Int    => sheetXml.append(s"""<c r="$ref"><v>$n</v></c>""")
           case n: Long   => sheetXml.append(s"""<c r="$ref"><v>$n</v></c>""")
-          case n: Double => sheetXml.append(s"""<c r="$ref"><v>$n</v></c>""")
+          // NaN/Infinity are not valid SpreadsheetML numbers (Excel flags
+          // the workbook corrupt) — emit them as inline strings instead
+          case n: Double if java.lang.Double.isFinite(n) =>
+            sheetXml.append(s"""<c r="$ref"><v>$n</v></c>""")
           case other =>
             sheetXml.append(
               s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>""")

@@ -48,6 +48,17 @@ object Profile {
     case _              => false
   }
 
+  private def isFloating(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case _                      => false
+  }
+
+  // Backtick-quoted column reference: a plain col(name) parses dots as
+  // nested-field access, so a header like "U.S._Rate" (promoted verbatim
+  // from a spreadsheet) would crash every aggregation pass. Embedded
+  // backticks are doubled per Spark's quoting rule.
+  private def q(c: String): Column = col("`" + c.replace("`", "``") + "`")
+
   /** PR1–PR5 (counts, missing, distinct, moments incl. skewness/kurtosis,
     * quantiles, duplicates) in one aggregation pass, histograms in a second
     * (bucket bounds need pass-1 min/max), PR6 correlations in a third.
@@ -57,33 +68,45 @@ object Profile {
     val fields  = df.schema.fields
     val numeric = fields.filter(f => isNumeric(f.dataType)).map(_.name)
 
+    // NaN poisons mean/stddev/max (Spark sorts NaN greatest) where
+    // ydata-profiling skips it — normalize floating columns through
+    // nanToNull so statistics mean what the reference's reports mean.
+    def numc(f: StructField): Column =
+      if (isFloating(f.dataType)) graft.expr.Exprs.nanToNull(q(f.name)) else q(f.name)
     def distinctAgg(c: String): Column =
-      if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
-    def pct(c: String, p: Double): Column =
-      if (exact) expr(s"percentile(`$c`, $p)")
-      else percentile_approx(col(c), lit(p), lit(10000)).cast(DoubleType)
+      if (exact) count_distinct(q(c)) else approx_count_distinct(q(c))
+    def pct(f: StructField, p: Double): Column =
+      if (exact) call_function("percentile", numc(f), lit(p)).cast(DoubleType)
+      else percentile_approx(numc(f), lit(p), lit(10000)).cast(DoubleType)
+    // the full-row distinct also honors `exact`: an exact distinct over
+    // every column is the single most expensive aggregate in the pass —
+    // precisely what approximate mode exists to avoid at scale
+    def rowDistinct: Column = {
+      val all = struct(fields.map(f => q(f.name)): _*)
+      if (exact) count_distinct(all) else approx_count_distinct(all)
+    }
 
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("__rows"),
-          count_distinct(struct(fields.map(f => col(f.name)): _*)).as("__distinct_rows")) ++
+          rowDistinct.as("__distinct_rows")) ++
       fields.flatMap { f =>
         val c = f.name
         val base = Seq(
-          count(col(c)).as(s"$c::count"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"$c::missing"),
+          count(q(c)).as(s"$c::count"),
+          sum(when(q(c).isNull, 1L).otherwise(0L)).as(s"$c::missing"),
           distinctAgg(c).as(s"$c::distinct"))
         val nums =
           if (isNumeric(f.dataType))
             Seq(
-              avg(col(c)).cast(DoubleType).as(s"$c::mean"),
-              stddev(col(c)).cast(DoubleType).as(s"$c::std"),
-              min(col(c)).cast(DoubleType).as(s"$c::min"),
-              max(col(c)).cast(DoubleType).as(s"$c::max"),
-              pct(c, 0.25).as(s"$c::p25"),
-              pct(c, 0.5).as(s"$c::p50"),
-              pct(c, 0.75).as(s"$c::p75"),
-              skewness(col(c)).cast(DoubleType).as(s"$c::skew"),
-              kurtosis(col(c)).cast(DoubleType).as(s"$c::kurt"))
+              avg(numc(f)).cast(DoubleType).as(s"$c::mean"),
+              stddev(numc(f)).cast(DoubleType).as(s"$c::std"),
+              min(numc(f)).cast(DoubleType).as(s"$c::min"),
+              max(numc(f)).cast(DoubleType).as(s"$c::max"),
+              pct(f, 0.25).as(s"$c::p25"),
+              pct(f, 0.5).as(s"$c::p50"),
+              pct(f, 0.75).as(s"$c::p75"),
+              skewness(numc(f)).cast(DoubleType).as(s"$c::skew"),
+              kurtosis(numc(f)).cast(DoubleType).as(s"$c::kurt"))
           else Seq.empty
         base ++ nums
       }
@@ -119,13 +142,19 @@ object Profile {
       else {
         // width_bucket sends x == hi to the overflow bucket bins+1; least()
         // folds the max value into the last in-range bucket instead.
+        val fieldByName = fields.map(f => f.name -> f).toMap
         val wb = df.select(histTargets.map { case (c, lo, hi) =>
-          least(width_bucket(col(c).cast(DoubleType), lit(lo), lit(hi), lit(histBins)),
-            lit(histBins.toLong)).as(s"$c::wb")
+          // NaN-normalized like the stats pass; the x == hi overflow bin
+          // folds into the last in-range bucket with a NULL-PRESERVING
+          // cap — least() would resurrect null/NaN rows as bucket `bins`
+          // (Spark's least skips nulls) and inflate the tail
+          val raw = width_bucket(numc(fieldByName(c)).cast(DoubleType),
+            lit(lo), lit(hi), lit(histBins))
+          when(raw > histBins, lit(histBins.toLong)).otherwise(raw).as(s"$c::wb")
         }: _*)
         val hAggs = histTargets.flatMap { case (c, _, _) =>
           (1 to histBins).map(b =>
-            sum(when(col(s"$c::wb") === b, 1L).otherwise(0L)).as(s"$c::h$b"))
+            sum(when(q(s"$c::wb") === b, 1L).otherwise(0L)).as(s"$c::h$b"))
         }
         val hRow = wb.agg(hAggs.head, hAggs.tail: _*).head()
         histTargets.map { case (c, _, _) =>
@@ -159,7 +188,7 @@ object Profile {
         val pairs = for {
           i <- numeric.indices; j <- (i + 1) until numeric.length
         } yield (numeric(i), numeric(j))
-        val corrAggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"$a::$b") }
+        val corrAggs = pairs.map { case (a, b) => corr(q(a), q(b)).as(s"$a::$b") }
         val crow = df.agg(corrAggs.head, corrAggs.tail: _*).head()
         pairs.zipWithIndex.collect {
           case ((a, b), i) if !crow.isNullAt(i) => (a, b) -> crow.getDouble(i)
@@ -172,21 +201,29 @@ object Profile {
   /** K4 — render a profile as a standalone HTML report (the reference's
     * `<table>_report.html`, finalprojectpandasprofiling.py:52-54). */
   def toHtml(p: TableProfile): String = {
-    def fmt(o: Option[Double]): String = o.map(d => f"$d%.4f").getOrElse("—")
+    // Locale.ROOT: the f-interpolator formats through the JVM default
+    // locale, turning 15.0 into "15,0000" on FR/DE machines; report
+    // output must not depend on where it renders. Names/types are
+    // escaped — headers arrive verbatim from spreadsheet cells.
+    def fmt(o: Option[Double]): String =
+      o.map(d => String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(d))).getOrElse("—")
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
     val colRows = p.profiles.map { c =>
-      s"<tr><td>${c.name}</td><td>${c.dataType}</td><td>${c.count}</td>" +
+      s"<tr><td>${esc(c.name)}</td><td>${esc(c.dataType)}</td><td>${c.count}</td>" +
         s"<td>${c.missing}</td><td>${c.distinct}</td><td>${fmt(c.mean)}</td>" +
         s"<td>${fmt(c.stddev)}</td><td>${fmt(c.min)}</td><td>${fmt(c.p50)}</td>" +
         s"<td>${fmt(c.max)}</td><td>${fmt(c.skewness)}</td>" +
         s"<td>${fmt(c.kurtosis)}</td><td>${c.histogram.mkString(" ")}</td></tr>"
     }.mkString("\n")
     val corrRows = p.correlations.toSeq.sortBy(_._1).map { case ((a, b), v) =>
-      f"<tr><td>$a</td><td>$b</td><td>$v%.4f</td></tr>"
+      s"<tr><td>${esc(a)}</td><td>${esc(b)}</td><td>${fmt(Some(v))}</td></tr>"
     }.mkString("\n")
-    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${p.table} profile</title>
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(p.table)} profile</title>
        |<style>body{font-family:sans-serif}table{border-collapse:collapse}
        |td,th{border:1px solid #999;padding:4px 8px}</style></head><body>
-       |<h1>Profile: ${p.table}</h1>
+       |<h1>Profile: ${esc(p.table)}</h1>
        |<p>${p.rows} rows × ${p.columns} columns; ${p.duplicateRows} duplicate rows</p>
        |<h2>Columns</h2>
        |<table><tr><th>column</th><th>type</th><th>count</th><th>missing</th>

@@ -20,7 +20,12 @@ final class QueryService(tables: Map[String, () => DataFrame],
 
   /** The `{table, limit}` query: whitelisted lookup, deterministic order,
     * bounded rows. Unknown table → IllegalArgumentException (the analog of
-    * the API's error path). */
+    * the API's error path).
+    *
+    * Determinism holds even when the declared sort keys are NOT a unique
+    * key: the remaining columns are appended as tiebreakers, so
+    * orderBy + limit never returns an arbitrary subset of tied rows
+    * (which partitioning or AQE could otherwise reorder between calls). */
   def getData(table: String, limit: Int): DataFrame = {
     require(limit >= 0, s"limit must be >= 0, got $limit")
     val df = tables.getOrElse(table,
@@ -28,7 +33,11 @@ final class QueryService(tables: Map[String, () => DataFrame],
         s"unknown table '$table'; known: ${tables.keys.toSeq.sorted.mkString(", ")}"))
       .apply()
     val sorted = sortKeys.get(table).filter(_.nonEmpty)
-      .map(ks => df.orderBy(ks.map(col): _*)).getOrElse(df)
+      .map { ks =>
+        val tiebreak = df.columns.filterNot(ks.contains)
+        df.orderBy((ks ++ tiebreak).map(df(_)): _*)
+      }
+      .getOrElse(df)
     sorted.limit(limit)
   }
 }

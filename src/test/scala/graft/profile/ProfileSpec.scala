@@ -64,4 +64,35 @@ class ProfileSpec extends SparkSpec {
     assert(html.contains("4 rows × 3 columns; 1 duplicate rows"))
     assert(html.contains("<td>v</td>") && html.contains("<td>s</td>"))
   }
+
+  test("dotted column names and NaN values do not crash or poison statistics") {
+    val messy = Seq(
+      (1, 10.0), (2, 20.0), (3, Double.NaN))
+      .toDF("U.S._id", "U.S._Rate")
+    val p = Profile.profile(messy, "messy", exact = true)
+    val rate = p.profiles.find(_.name == "U.S._Rate").get
+    // NaN is skipped like ydata-profiling, not propagated
+    assert(rate.count === 3)          // count() counts NaN rows (non-null)
+    assert(rate.mean === Some(15.0))  // mean over {10, 20}
+    assert(rate.max === Some(20.0))   // NaN must not sort greatest
+    assert(rate.histogram.sum === 2)  // histogram over the finite values
+    // dotted names render escaped in the HTML report
+    val html = Profile.toHtml(p)
+    assert(html.contains("U.S._Rate"))
+  }
+
+  test("html report escapes markup-bearing names; locale-stable numbers") {
+    val tricky = Seq((1, 2.0)).toDF("a<b&c", "v")
+    val html = Profile.toHtml(Profile.profile(tricky, "t<able", exact = true))
+    assert(html.contains("a&lt;b&amp;c"), "column name must be escaped")
+    assert(html.contains("t&lt;able"), "table name must be escaped")
+    assert(!html.contains("<td>a<b&c</td>"))
+    val default = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      val fr = Profile.toHtml(Profile.profile(tricky, "x", exact = true))
+      assert(fr.contains("2.0000") && !fr.contains("2,0000"),
+        "number formatting must not follow the JVM default locale")
+    } finally java.util.Locale.setDefault(default)
+  }
 }
