@@ -64,9 +64,11 @@ object EventAnalytics {
 
   /** Ordered funnel with a per-step conversion window: a user reaches step
     * k if they performed `steps(k)` at-or-after their step-(k−1) conversion
-    * time and within `windowExpr` of it; the user's step-k time is the
-    * EARLIEST such qualifying occurrence (step 1: the user's earliest
-    * `steps(0)` event, unconditionally). Returns one row per step:
+    * time and within `windowExpr` of it (a step REPEATED consecutively
+    * requires a strictly later event — one purchase cannot satisfy
+    * "purchase, purchase"); the user's step-k time is the EARLIEST such
+    * qualifying occurrence (step 1: the user's earliest `steps(0)` event,
+    * unconditionally). Returns one row per step:
     * (stage, step, n_users), monotonically non-increasing.
     *
     * Plan shape: step k is a left join of the per-user state (one row per
@@ -89,9 +91,17 @@ object EventAnalytics {
       val stepEv = ev.filter(col("et") === steps(i))
         .select(col("u"), col("ts").as("__ts2"))
       val carry = (1 to i).map(j => min(col(s"t$j")).as(s"t$j")) // constant per u
+      // a REPEATED step must be a strictly later event: with >= the very
+      // occurrence that established t_i would also qualify for step i+1,
+      // letting one purchase satisfy "purchase, purchase". Distinct
+      // consecutive steps keep the at-or-after semantics (a different
+      // event type at the same timestamp legitimately converts).
+      val lower =
+        if (steps(i) == steps(i - 1)) col("__ts2") > col(prev)
+        else col("__ts2") >= col(prev)
       cur = cur.join(stepEv, Seq("u"), "left")
         .withColumn("__q", when(
-          col("__ts2") >= col(prev) && col("__ts2") <= col(prev) + windowExpr,
+          lower && col("__ts2") <= col(prev) + windowExpr,
           col("__ts2")))
         .groupBy("u")
         .agg(carry.head, carry.tail :+ min(col("__q")).as(s"t${i + 1}"): _*)

@@ -130,7 +130,13 @@ object Ops {
       .select(dataCols.map(col): _*).head()
     val names = headerRow.toSeq.map(v => if (v == null) "col" else v.toString.trim)
     val rest = ranked.filter(col("__rn") > 1).drop("__rn")
-    dataCols.zip(names).foldLeft(rest) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+    // one atomic select, not a rename fold: sequential withColumnRenamed
+    // corrupts columns when a header VALUE equals another original column
+    // name (the intermediate frame briefly holds two columns of that name
+    // and the later rename hits both)
+    val renames = dataCols.zip(names).toMap
+    rest.select(rest.columns.map(c =>
+      renames.get(c).map(n => col(c).as(n)).getOrElse(col(c))): _*)
   }
 
   /** The deterministic bucket in [0, 1000) shared by the split/sample
@@ -151,7 +157,14 @@ object Ops {
     * With the SAME seed they correlate completely: a 50%-permille sample
     * keeps exactly the keys a split would label train-side. */
   private def hashBucket1000(key: Column, seed: Long = 0L): Column = {
-    val product = pmod(key.cast(LongType) + lit(seed), lit(1000003L)) * lit(2654435761L)
+    // reduce the KEY mod p before adding the (reduced) seed: adding first
+    // can overflow ANSI Long arithmetic for keys near Long.MaxValue
+    // (xxhash64-derived ids span the full range). Same residue — and so
+    // bit-identical buckets/oracles — wherever the old form didn't
+    // overflow: ((k mod p) + (s mod p)) mod p = (k + s) mod p.
+    val shifted = pmod(pmod(key.cast(LongType), lit(1000003L)) + lit(seed % 1000003L),
+      lit(1000003L))
+    val product = shifted * lit(2654435761L)
     pmod(floor(product / lit(1048576.0)).cast(LongType), lit(1000L))
   }
 
@@ -363,8 +376,13 @@ object Ops {
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/semi/anti join types, got '$joinType' " +
         "(right/full outer would duplicate unmatched small-side rows per salt)")
+    // round-robin within each partition: a content-derived salt would
+    // hash EXACT-DUPLICATE rows of the hot key (the common pre-dedup
+    // ingest shape) to one salt and spread nothing; the row counter
+    // spreads them evenly, and the salt never reaches the output so
+    // results stay deterministic
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts.toLong))
+      pmod(monotonically_increasing_id(), lit(salts.toLong))
         .cast(org.apache.spark.sql.types.IntegerType))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
@@ -429,8 +447,14 @@ object Ops {
     val upserts = changes
       .filter(col("change_type").isin("insert", "update"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"new_$c").as(c)): _*)
+    // NULL-SAFE anti-join: snapshotDiff legitimately emits null-keyed
+    // delete rows (null keys never equi-match, so each side's null rows
+    // classify as insert/delete) — a plain equi anti-join would leave the
+    // stale null-keyed base rows in place and break the round-trip law
+    val ck = changedKeys.select(keyCols.map(k => col(k).as(s"__ck_$k")): _*)
+    val anti = keyCols.map(k => col(k) <=> col(s"__ck_$k")).reduce(_ && _)
     base.select((keyCols ++ valueCols).map(col): _*)
-      .join(changedKeys, keyCols, "left_anti")
+      .join(ck, anti, "left_anti")
       .unionByName(upserts)
   }
 
@@ -449,13 +473,17 @@ object Ops {
     * same hash(key) partitioning (ClusteredDistribution(key, version) is
     * satisfied by hash(key)), so Catalyst plans exactly one exchange.
     * Change detection is null-safe: a null attribute run is a version like
-    * any other. */
+    * any other — including a history that STARTS with a null attribute
+    * (the first row of a key is always version 1, pinned explicitly
+    * rather than via lag's null default, which would satisfy the
+    * null-safe equality and start the count at 0). */
   def scd2(df: DataFrame, keyCol: String, attrCol: String,
            orderCol: String, tieCol: String): DataFrame = {
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
     val runs = df.select(col(keyCol), col(attrCol), col(orderCol), col(tieCol))
       .withColumn("__chg",
-        when(lag(col(attrCol), 1).over(wOrd) <=> col(attrCol), lit(0L))
+        when(row_number().over(wOrd) === 1, lit(1L))
+          .when(lag(col(attrCol), 1).over(wOrd) <=> col(attrCol), lit(0L))
           .otherwise(lit(1L)))
       .withColumn("version", sum(col("__chg"))
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -477,11 +505,17 @@ object Ops {
     * UDF, stays inside whole-stage codegen). */
   def bloomProbe(keys: DataFrame, keyCol: String,
                  expectedItems: Long, fpp: Double): Column => Column = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    // Hash keys of ANY type into one shared 64-bit domain on BOTH sides:
+    // stat.bloomFilter inserts strings via their bytes while the
+    // BloomFilterMightContain probe hashes a LONG — mismatched domains
+    // would turn the "pure prune" into ~fpp recall for string keys (and
+    // ANSI mode fails the cast outright on non-numeric strings).
+    val bf = keys.select(xxhash64(col(keyCol)).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val bloomLit = lit(bos.toByteArray)
-    c => call_function("bloom_might_contain", bloomLit, c.cast(LongType))
+    c => call_function("bloom_might_contain", bloomLit, xxhash64(c))
   }
 
   /** Bloom-pruned semi-join: filter the big side through a compact Bloom

@@ -115,12 +115,6 @@ object Quality {
     df
   }
 
-  /** Key-skew diagnostic — the measurement that decides saltedJoin /
-    * AQE-skew settings BEFORE a join melts one reducer: per-key counts
-    * (one partial-agg'd shuffle) → top-N heaviest keys with their share
-    * of all rows. Top-N is a global TakeOrdered over the already-reduced
-    * per-key counts, never the raw rows; ties break on the rendered key
-    * for cross-engine determinism. */
   /** Percentile gate: keep rows whose `scoreCol` is at or above the
     * dataset's `p`-quantile — the relative form of quality filtering
     * ("keep the best 25%") that survives score-distribution drift where a
@@ -205,6 +199,12 @@ object Quality {
       .reduce { (a, b) => a.mergeInPlace(b); a }
   }
 
+  /** Key-skew diagnostic — the measurement that decides saltedJoin /
+    * AQE-skew settings BEFORE a join melts one reducer: per-key counts
+    * (one partial-agg'd shuffle) → top-N heaviest keys with their share
+    * of all rows. Top-N is a global TakeOrdered over the already-reduced
+    * per-key counts, never the raw rows; ties break on the rendered key
+    * for cross-engine determinism. */
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
     // total via one count job (a scalar), not a second aggregation branch
     // over the counts lineage — exchange reuse across branches is not

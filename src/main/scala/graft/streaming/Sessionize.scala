@@ -19,9 +19,13 @@ object Sessionize {
 
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity per user. Returns one row per session with bounds and
-    * counts. */
+    * counts. `session_end` is the LAST EVENT time (max ts) — the
+    * streaming form's `last_event` column; its `session_end` is the
+    * half-open window end (last event + gap, Spark's session_window
+    * definition). Compare the two forms on (start, last event, counts). */
   def sessions(events: DataFrame, gapMinutes: Int = 30,
-               userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+               userCol: String = "user_id", tsCol: String = "ts",
+               valueCol: String = "value"): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     // microsecond precision so the gap test is exact (and engine-portable),
     // not truncated to seconds. The boundary uses >= to match Spark's
@@ -44,7 +48,7 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        sum(col(valueCol)).as("total_value"))
   }
 
   /** Per-user session counts (the compact oracle-friendly shape). */
@@ -54,20 +58,27 @@ object Sessionize {
       .agg(count(lit(1)).as("n_sessions"),
            sum(col("n_events")).as("n_events"))
 
-  /** Streaming sessionization: identical semantics via the built-in
-    * session_window with watermark-based state eviction. Feed with
-    * `spark.readStream` and finish with `writeStream` + a mode of
-    * `update`/`append`; state lives in the state store keyed by
-    * (user_id, session window). */
+  /** Streaming sessionization: the same session MEMBERSHIP as [[sessions]]
+    * via the built-in session_window with watermark-based state eviction.
+    * Column semantics differ by definition on the end bound:
+    * `session_end` here is the half-open WINDOW end (last event + gap —
+    * Spark's session_window contract), while the batch form's
+    * `session_end` is the last event itself; `last_event` (max ts) is
+    * emitted too and equals the batch column exactly — compare the forms
+    * on (start, last_event, counts). Feed with `spark.readStream` and
+    * finish with `writeStream` + a mode of `update`/`append`; state lives
+    * in the state store keyed by (user_id, session window). */
   def streamingSessions(events: DataFrame, gapMinutes: Int = 30,
                         watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+        max(col("ts")).as("last_event"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
+        col("last_event"),
         col("n_events"), col("total_value"))
 
   /** Tumbling-window event rates (the standard streaming agg; batch-callable

@@ -88,6 +88,43 @@ class CdcSpec extends SparkSpec {
     assert(rebuilt.sameElements(expected))
   }
 
+  test("scd2: a history STARTING with a null attribute is still version 1") {
+    val e = Seq((1, null, 10L, 1L), (1, "A", 20L, 2L), (2, null, 5L, 3L))
+      .toDF("k", "attr", "ts", "id")
+    val out = Ops.scd2(e, "k", "attr", "ts", "id")
+      .orderBy("k", "version")
+      .select("k", "version", "attr")
+      .as[(Int, Long, Option[String])].collect()
+    assert(out.sameElements(Array(
+      (1, 1L, None), (1, 2L, Some("A")), (2, 1L, None))),
+      "lag's null default must not collapse the first null run to version 0")
+  }
+
+  test("round-trip law holds with NULL keys in both snapshots") {
+    val oldS = Seq((Option(1), 10.0), (None: Option[Int], 99.0),
+      (Option(2), 20.0)).toDF("k", "v")
+    val newS = Seq((Option(1), 10.0), (None: Option[Int], 77.0)).toDF("k", "v")
+    val diff = Ops.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+    val rebuilt = Ops.applyChangeset(oldS, diff, Seq("k"), Seq("v"))
+      .select("k", "v").as[(Option[Int], Double)].collect().sortBy(r => (r._1, r._2))
+    val expected = newS
+      .select("k", "v").as[(Option[Int], Double)].collect().sortBy(r => (r._1, r._2))
+    assert(rebuilt.sameElements(expected),
+      "null-keyed deletes need the null-safe anti-join to take effect")
+  }
+
+  test("bloomSemiJoin is exact for STRING keys (shared 64-bit probe domain)") {
+    val big = (0 until 5000).map(i => (s"id_$i", i)).toDF("k", "payload")
+    val keys = (0 until 5000 by 50).map(i => Tuple1(s"id_$i")).toDF("id")
+    val viaBloom = Ops.bloomSemiJoin(big, keys, "k", "id",
+      expectedItems = 1000L, fpp = 0.01).select("k").as[String].collect().sorted
+    val exact = big.join(keys.withColumnRenamed("id", "k"), Seq("k"), "left_semi")
+      .select("k").as[String].collect().sorted
+    assert(viaBloom.sameElements(exact),
+      "string keys must not fall into the build-string/probe-long domain split")
+    assert(viaBloom.length === 100)
+  }
+
   test("bloomSemiJoin equals the exact semi-join; the probe prunes non-members") {
     val big = (0L until 10000L).map(i => (i, i % 7)).toDF("k", "payload")
     val keys = (0L until 10000L by 100L).map(Tuple1(_)).toDF("id")  // 1% match

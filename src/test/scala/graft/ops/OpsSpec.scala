@@ -242,6 +242,15 @@ class OpsSpec extends SparkSpec {
       .sameElements(Array(("1", "alpha"), ("2", "beta"))))
   }
 
+  test("promoteHeader survives a header value that equals another column name") {
+    // header renames _c0 → "_c1": a sequential rename fold would briefly
+    // hold two _c1 columns and corrupt the second rename
+    val df = Seq((0L, "_c1", "v"), (1L, "a", "b")).toDF("__idx", "_c0", "_c1")
+    val out = Ops.promoteHeader(df, "__idx")
+    assert(out.columns.sameElements(Array("__idx", "_c1", "v")))
+    assert(out.select("_c1", "v").as[(String, String)].head() === (("a", "b")))
+  }
+
   test("W1/W2 melt: wide → long with int var, nulls dropped") {
     val wide = Seq((1, Some(10.0), None: Option[Double]), (2, Some(20.0), Some(21.0)))
       .toDF("id", "2001", "2002")
