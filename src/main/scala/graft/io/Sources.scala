@@ -68,14 +68,20 @@ object Sources {
   def csvWithCorruptCapture(spark: SparkSession, path: String,
                             schemaDdl: String, header: Boolean = true,
                             encoding: String = "UTF-8"): DataFrame = {
-    ensureCharsetReadable(spark, encoding)
+    // UTF-16/32 must take the same transcode path as csv(): Hadoop's 0x0A
+    // line splitting shreds them, which would quarantine EVERY row instead
+    // of the genuinely malformed ones
+    val (readPath, readEnc) =
+      if (needsTranscode(encoding)) (transcodeToUtf8(path, encoding), "UTF-8")
+      else (path, encoding)
+    ensureCharsetReadable(spark, readEnc)
     spark.read
       .option("header", header)
-      .option("encoding", encoding)
+      .option("encoding", readEnc)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .schema(schemaDdl + ", _corrupt STRING")
-      .csv(path)
+      .csv(readPath)
   }
 
   /** Stream-transcode a file to a UTF-8 temp file: O(64 KiB) driver heap,
@@ -88,23 +94,34 @@ object Sources {
     * lazily, a collision would make an earlier frame read the wrong
     * file's contents. On a real cluster the transcode target belongs on
     * shared storage; the driver-side IO pass is the unavoidable cost of a
-    * charset Spark cannot scan. */
+    * charset Spark cannot scan.
+    *
+    * The digest keys on (path, ENCODING): the same file read under two
+    * encodings must not share a temp (the second call would silently
+    * change the bytes under the first, lazily-evaluated frame). The
+    * transcode lands in a unique scratch file first and MOVEs into place
+    * atomically, so a concurrent reader of the final path never observes
+    * a half-written transcode. */
   private[io] def transcodeToUtf8(path: String, encoding: String): String = {
     val abs = Paths.get(path).toAbsolutePath.normalize.toString
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(abs.getBytes(StandardCharsets.UTF_8))
+      .digest(s"$abs\u0000${encoding.toUpperCase}".getBytes(StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString.take(32)
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_transcode_$key.txt")
     tmp.toFile.deleteOnExit()
+    val scratch = Files.createTempFile("graft_transcode_part", ".tmp")
     val in = new java.io.InputStreamReader(
       Files.newInputStream(Paths.get(path)), Charset.forName(encoding))
-    val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    val out = Files.newBufferedWriter(scratch, StandardCharsets.UTF_8)
     try {
       val buf = new Array[Char](1 << 16)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
     } finally { in.close(); out.close() }
+    Files.move(scratch, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     tmp.toString
   }
 
@@ -206,6 +223,15 @@ object Sources {
     * file order. */
   def indexedLines(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame = {
     import spark.implicits._
+    // SINGLE-FILE contract, enforced: over multiple files Spark's scan
+    // orders splits by descending file SIZE, not file order, so __idx
+    // would number the biggest file's lines first and the positional ops
+    // built on it (R1/R2/R4) would slice the wrong rows — fail fast
+    // instead of returning silently misnumbered lines.
+    val p = java.nio.file.Paths.get(path)
+    require(!java.nio.file.Files.isDirectory(p),
+      s"indexedLines reads ONE file (its row order IS the contract); " +
+        s"'$path' is a directory — concatenate parts first or index per file")
     // Spark's text source is UTF-8-only, so non-UTF-8 files are
     // stream-transcoded to a UTF-8 temp file (O(64 KiB) driver heap, never
     // the whole file) and both encodings then share the distributed reader

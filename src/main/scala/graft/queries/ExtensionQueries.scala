@@ -1478,7 +1478,8 @@ object ExtensionQueries {
              | l AS (SELECT doc_id, p.pos, ls[CAST(p.pos + 1 AS INTEGER)] AS line
              |   FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
              |   LATERAL (SELECT unnest(range(0, len(ls))) AS pos) p),
-             | hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+             | hot AS (SELECT line FROM l WHERE trim(line) <> ''
+             |   GROUP BY line HAVING count(*) >= 3),
              | kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
              |   FROM l WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = l.line)
              |   GROUP BY doc_id)
@@ -1524,20 +1525,28 @@ object ExtensionQueries {
           |SELECT doc_id, quality FROM scored, thr WHERE quality >= t""".stripMargin,
       // same regex pipeline, DuckDB syntax: 'g' on the utm strip (multiple
       // params), \1 backreference for the ?-promotion.
+      // '&'→'?' repair is CONDITIONAL (only when the utm strip removed the
+      // leading '?') and promotes the FIRST surviving separator ([^?&]*),
+      // mirroring the engine exactly.
       "txt_url_canon" ->
         raw"""SELECT doc_id,
              | lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) || '://' ||
              | lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]*)', 1)) ||
-             | regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             |   regexp_extract(u, '^[A-Za-z]+://[^/?#]*(.*)$$', 1),
-             |   '#.*$$', ''),
-             |   '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
-             |   '^([^?]*)&', '\1?'),
+             | regexp_replace(
+             |   CASE WHEN strpos(nofrag, '?') > 0 AND strpos(noutm, '?') = 0
+             |     THEN regexp_replace(noutm, '^([^?&]*)&', '\1?')
+             |     ELSE noutm END,
              |   '/$$', '') AS url
-             |FROM (SELECT doc_id,
-             |  'HTTPS://Site' || (doc_id % 7) || '.Example.ORG/Path' ||
-             |  (doc_id % 5) || '/?utm_source=feed&utm_medium=rss&id=' ||
-             |  doc_id || '#frag' AS u FROM documents)""".stripMargin,
+             |FROM (SELECT doc_id, u, nofrag,
+             |  regexp_replace(nofrag, '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '', 'g') AS noutm
+             | FROM (SELECT doc_id, u,
+             |   regexp_replace(
+             |     regexp_extract(u, '^[A-Za-z]+://[^/?#]*(.*)$$', 1),
+             |     '#.*$$', '') AS nofrag
+             |  FROM (SELECT doc_id,
+             |   'HTTPS://Site' || (doc_id % 7) || '.Example.ORG/Path' ||
+             |   (doc_id % 5) || '/?utm_source=feed&utm_medium=rss&id=' ||
+             |   doc_id || '#frag' AS u FROM documents)))""".stripMargin,
       "evt_dau_mau" ->
         """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
           |   count(DISTINCT user_id) AS dau FROM events GROUP BY 1),

@@ -48,6 +48,11 @@ object SemDedup {
                     trainFraction: Double = 1.0, seed: Long = 42L,
                     maxCellOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // the id rides as a Long; a silent cast would turn string ids into
+    // nulls and report every duplicate as unique with no error
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"semanticDedup needs a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — map ids to longs first")
     val spark = df.sparkSession
     import spark.implicits._
 

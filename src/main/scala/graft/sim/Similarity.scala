@@ -42,7 +42,14 @@ object Similarity {
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors. `queries` must be the small side — it is broadcast; the
     * corpus is scanned once, and the per-query top-k runs as a window over
-    * (query, candidate) scores partitioned by query id. */
+    * (query, candidate) scores partitioned by query id.
+    *
+    * ID-SPACE CONTRACT (whole topK family — [[bruteForceTopKAgg]],
+    * [[quantizedTopK]], [[lshTopK]], [[Ivf]], [[Pq]]): a candidate whose
+    * id EQUALS the query's id is excluded — the self-match filter for the
+    * standard queries-drawn-from-the-corpus shape. If corpus and queries
+    * are independent tables with overlapping id spaces, remap one side's
+    * ids first, or the same-id candidate is silently dropped. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
@@ -200,6 +207,12 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bits: Int = 32, bands: Int = 4, seed: Int = 42,
                      maxBucketOccupancy: Long = 100000L): DataFrame = {
+    // same band-config validation as lshTopK: rowsPerBand = 0 would send
+    // every row to one empty bucket (a misleading "degenerate corpus"
+    // guard failure on healthy data), and a non-dividing bands count
+    // silently ignores the trailing signature bits
+    require(bits > 0 && bands > 0 && bits % bands == 0,
+      s"need bits > 0 divisible by bands > 0; got bits=$bits bands=$bands")
     // Default 8-bit band buckets: 2-bit buckets (the old 16/8 split) give
     // only 4 buckets/band → candidate pairs ~ n²/4 per band, a quadratic
     // blowup that showed up even at 1k vectors (12 s) and is fatal at

@@ -174,6 +174,12 @@ object TextOps {
                         contextLen: Int = 2048, shards: Int = 64): DataFrame = {
     require(contextLen > 0 && shards > 0,
       s"need contextLen > 0 and shards > 0, got $contextLen/$shards")
+    // shard key and pack order both come from the id as a Long; a silent
+    // cast would null string ids, collapsing every doc into one null
+    // shard with arbitrary (nondeterministic) pack order
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"packByTokenBudget needs a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — map ids to longs first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("id"))
     // bin boundary arithmetic on the RUNNING total: doc i's pack is
@@ -228,9 +234,16 @@ object TextOps {
     val rest = regexp_extract(c, "^[A-Za-z]+://[^/?#]*(.*)$", 1)
     val noFragment = regexp_replace(rest, "#.*$", "")
     val noUtm = regexp_replace(noFragment, "[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
-    // if the stripped params included the leading '?', the first surviving
-    // '&' must be promoted back to '?' (anchored: at most one match)
-    val fixedQuery = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    // '&' → '?' repair, applied ONLY when the utm strip actually removed
+    // the leading '?' (original tail had one, survivor doesn't) — '&' is a
+    // legal path character, so an unconditional rewrite would corrupt
+    // query-less URLs like /a&b. The pattern char class excludes '&' so
+    // the FIRST surviving separator is promoted (a greedy [^?]* would
+    // backtrack to the last one).
+    val promoted = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    val fixedQuery = when(
+      instr(noFragment, "?") > 0 && instr(noUtm, "?") === 0, promoted)
+      .otherwise(noUtm)
     val noSlash = regexp_replace(fixedQuery, "/$", "")
     when(scheme === "", c)
       .otherwise(concat(scheme, lit("://"), authority, noSlash))
@@ -294,7 +307,11 @@ object TextOps {
     require(minCount > 1, s"minCount must be > 1, got $minCount")
     val lines = df.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val hot = lines.groupBy("line").agg(count(lit(1)).as("c"))
+    // blank/whitespace-only lines are structure (paragraph breaks), not
+    // boilerplate — any corpus has ≥ minCount of them, and removing them
+    // would strip every paragraph break from every document
+    val hot = lines.filter(trim(col("line")) =!= "")
+      .groupBy("line").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select("line")
     val kept = lines.join(hot, Seq("line"), "left_anti")
