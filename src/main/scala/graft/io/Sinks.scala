@@ -117,13 +117,14 @@ object Sinks {
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val was = spark.conf.get(key, "STATIC")
-    spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite)
+    // the PER-WRITE option, not a session-conf mutation: toggling the
+    // session key races concurrent writers (another thread's static full
+    // refresh would silently become dynamic, and interleaved save/restore
+    // pairs corrupt each other's saved values); the write option takes
+    // precedence over the session conf and is scoped to this one write
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*).parquet(path)
-    finally spark.conf.set(key, was)
   }
 
   /** K2 — emit the CREATE TABLE DDL that the JDBC writer would synthesize
@@ -138,6 +139,8 @@ object Sinks {
     * plan-level assertion. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     var w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
@@ -150,8 +153,17 @@ object Sinks {
     * must go. */
   def dropManagedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    // mirror the catalog's directory layout: identifiers are stored
+    // LOWERCASED, and a db-qualified table lives under <db>.db/<table> —
+    // deleting the verbatim name would miss the real directory on a
+    // case-sensitive FS and the next CREATE would still hit
+    // LOCATION_ALREADY_EXISTS
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val rel = table.toLowerCase.split("\\.") match {
+      case Array(db, t) => s"$db.db/$t"
+      case _            => table.toLowerCase
+    }
+    val loc = new java.io.File(warehouse, rel)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }

@@ -32,7 +32,7 @@ object Sources {
     * shreds characters across line boundaries (and Java's BOM-autodetect
     * decoders only see the BOM on the FIRST line) — verified garbage, not
     * a hypothetical. These go through the streaming transcode instead. */
-  private def needsTranscode(encoding: String): Boolean =
+  private[graft] def needsTranscode(encoding: String): Boolean =
     encoding.toUpperCase.startsWith("UTF-16") ||
       encoding.toUpperCase.startsWith("UTF-32")
 

@@ -29,6 +29,7 @@ object Zorder {
   def interleave(buckets: Seq[Column], bits: Int): Column = {
     val n = buckets.length
     require(n > 0, "interleave needs at least one column")
+    require(bits > 0, s"bits must be positive, got $bits")
     require(n * bits <= 62, s"n*bits must fit a long, got $n x $bits")
     val terms = for {
       i <- 0 until bits
@@ -75,6 +76,10 @@ object Zorder {
   def write(df: DataFrame, zCols: Seq[String], path: String,
             bits: Int = 12, partitions: Int = 8,
             blockSize: Option[Int] = None): Unit = {
+    // the scratch column must not shadow (and then silently delete) a
+    // real user column of the same name on its way to the sink
+    require(!df.columns.contains("__z"),
+      "Zorder.write uses '__z' as a scratch column; rename the existing one")
     val z = zValue(df, zCols, bits)
     var w = df.withColumn("__z", z)
       .repartitionByRange(partitions, col("__z"))

@@ -110,9 +110,20 @@ object EventAnalytics {
       struct(lit(i + 1).as("stage"), lit(st).as("step"),
         col(s"t${i + 1}").isNotNull.as("r"))
     }
-    cur.select(explode(array(stageStructs: _*)).as("s"))
+    val counts = cur.select(explode(array(stageStructs: _*)).as("s"))
       .groupBy(col("s.stage").as("stage"), col("s.step").as("step"))
       .agg(count(when(col("s.r"), 1)).as("n_users"))
+    // "one row per step" holds even when NO user performs the first step
+    // (empty day, typo'd event name): join the counts back onto the
+    // static step list so missing stages surface as explicit zeros, not
+    // an empty frame indistinguishable from a query error
+    val spark = events.sparkSession
+    import spark.implicits._
+    val allSteps = steps.zipWithIndex
+      .map { case (st, i) => (i + 1, st) }.toDF("stage", "step")
+    allSteps.join(counts, Seq("stage", "step"), "left")
+      .select(col("stage"), col("step"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
   /** Cohort retention: users are cohorted by the day of their first event;

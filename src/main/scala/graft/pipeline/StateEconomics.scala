@@ -123,16 +123,19 @@ object StateEconomics {
         school("Expense") === expenseType("Expense_Type"))
       .join(broadcast(location.select(col("GeoFIPS"), col("GeoName"))),
         school("State") === col("GeoName"))  // inner: drops non-location rows
-      .select(col("Year").cast(IntegerType).as("Year"), col("GeoFIPS"),
+      // try_cast, not cast: ANSI mode (Spark 4 default) makes a hard cast
+      // THROW on junk cells like '(NA)' — lenient parse-to-null is this
+      // pipeline's documented contract (same as every Exprs.try* site)
+      .select(col("Year").try_cast(IntegerType).as("Year"), col("GeoFIPS"),
         col("School_Expense_Type_Id"),
-        col("Value").cast(IntegerType).as("Expense_Amount"))
+        col("Value").try_cast(IntegerType).as("Expense_Amount"))
     val schoolExpensesDeduped = Ops.dedupKeys(schoolExpenses,
       Seq("Year", "GeoFIPS", "School_Expense_Type_Id"), Seq(col("Expense_Amount")))
 
     // ---- source 4: minimum wage csv, windows-1252 (dag1.py:54-59, 151-180)
     val mw = Ops.normalizeColumns(
       Sources.csv(spark, in.minWageCsv, encoding = Sources.detectCharset(in.minWageCsv)))
-      .withColumn("Year", col("Year").cast(IntegerType))
+      .withColumn("Year", col("Year").try_cast(IntegerType))
 
     val stateMinWage = mw
       .join(broadcast(location.select(col("GeoFIPS"), col("GeoName"))),
@@ -203,13 +206,19 @@ object StateEconomics {
     * whole small dimension each trigger). */
   def fedMinWageStream(spark: SparkSession, path: String, schema: StructType,
                        encoding: String = "UTF-8"): DataFrame = {
+    // the batch csv() path stream-transcodes UTF-16/32 to a temp file; a
+    // file STREAM watches a directory and cannot, so fail fast instead of
+    // letting Hadoop's 0x0A splitter shred those encodings silently
+    require(!Sources.needsTranscode(encoding),
+      s"fedMinWageStream cannot read $encoding (file streams can't " +
+        "transcode); convert the feed to UTF-8 first")
     Sources.ensureCharsetReadable(spark, encoding)
     val raw = spark.readStream.schema(schema)
       .option("header", true).option("encoding", encoding)
       .csv(path)
     val v = Exprs.tryDouble(col("Federal_Minimum_Wage"))
     Ops.normalizeColumns(raw)
-      .withColumn("Year", col("Year").cast(IntegerType))
+      .withColumn("Year", col("Year").try_cast(IntegerType))
       .groupBy(col("Year"))
       // dedupKeys orders ascending NULLS FIRST, so a group containing any
       // null value resolves to null — count(*)>count(v) reproduces that
