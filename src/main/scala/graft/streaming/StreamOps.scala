@@ -32,8 +32,14 @@ object StreamOps {
                       valueCol: String = "value"): Dataset[ThresholdAlert] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // drop rows whose key or value is (or casts to) null BEFORE the typed
+    // encoder: decoding null into the primitive tuple fields would throw
+    // and terminate the whole long-running alerting query over one
+    // poisoned event
     events.selectExpr(s"CAST($keyCol AS LONG) AS k",
-        s"CAST($valueCol AS DOUBLE) AS v").as[(Long, Double)]
+        s"CAST($valueCol AS DOUBLE) AS v")
+      .filter(col("k").isNotNull && col("v").isNotNull)
+      .as[(Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[(Long, Double)],
@@ -178,6 +184,7 @@ object StreamOps {
           val conn = java.sql.DriverManager.getConnection(url)
           var update: java.sql.PreparedStatement = null
           var insert: java.sql.PreparedStatement = null
+          var committed = false
           try {
             conn.setAutoCommit(false)
             update = conn.prepareStatement(
@@ -186,18 +193,41 @@ object StreamOps {
             insert = conn.prepareStatement(
               s"INSERT INTO $table (${cols.mkString(", ")}) " +
                 s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+            // the projection above fixes the schema, so field positions
+            // are constant — resolve them once, not per column per row
+            var valueIdx: Array[Int] = null
+            var keyIdx = -1
+            var colIdx: Array[Int] = null
             rows.foreach { r =>
-              valueCols.zipWithIndex.foreach { case (c, i) =>
-                update.setObject(i + 1, r.get(r.fieldIndex(c))) }
-              update.setObject(valueCols.size + 1, r.get(r.fieldIndex(keyCol)))
+              if (valueIdx == null) {
+                valueIdx = valueCols.map(r.fieldIndex).toArray
+                keyIdx = r.fieldIndex(keyCol)
+                colIdx = cols.map(r.fieldIndex).toArray
+              }
+              var i = 0
+              while (i < valueIdx.length) {
+                update.setObject(i + 1, r.get(valueIdx(i))); i += 1
+              }
+              update.setObject(valueIdx.length + 1, r.get(keyIdx))
               if (update.executeUpdate() == 0) {
-                cols.zipWithIndex.foreach { case (c, i) =>
-                  insert.setObject(i + 1, r.get(r.fieldIndex(c))) }
+                var j = 0
+                while (j < colIdx.length) {
+                  insert.setObject(j + 1, r.get(colIdx(j))); j += 1
+                }
                 insert.executeUpdate()
               }
             }
             conn.commit()
+            committed = true
           } finally {
+            // ROLL BACK uncommitted work before close: Derby refuses to
+            // close a connection with an active transaction, which would
+            // replace the real failure with a close error (and other
+            // drivers may COMMIT the half-written partition on close)
+            if (!committed) {
+              try conn.rollback()
+              catch { case _: java.sql.SQLException => () }
+            }
             if (update != null) update.close()
             if (insert != null) insert.close()
             conn.close()
@@ -273,7 +303,8 @@ object StreamOps {
                                textCol: String, idCol: String,
                                threshold: Double = 0.7, bands: Int = 16,
                                rowsPerBand: Int = 4,
-                               shingleK: Int = 5): DataFrame = {
+                               shingleK: Int = 5,
+                               maxBucketOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0, "incrementalNearDupStream requires a positive threshold")
     val numHashes = bands * rowsPerBand
     // static side — safe to probe once at plan time; a mismatched index
@@ -291,6 +322,17 @@ object StreamOps {
       .withColumn("bb", bandStructs(col("__ref_sig")))
       .select(col("ref_id"), col("__ref_sig"),
         col("bb.band").as("__band"), col("bb.bucket").as("__bucket"))
+    // the reference is STATIC, so the degenerate-index gate the batch twin
+    // applies runs here once at plan time too: without it, every doc that
+    // hits a hot bucket (an index over thousands of identical texts) joins
+    // against all its occupants and each micro-batch degenerates toward
+    // O(|batch| x |ref|) — surfacing as unbounded trigger latency instead
+    // of this actionable error
+    graft.util.Guards.checkBucketOccupancy(
+      refSide.select(col("__band").as("band"), col("__bucket").as("bucket")),
+      Seq("band", "bucket"), maxBucketOccupancy,
+      "incrementalNearDupStream(reference index)",
+      "exact-dedup the reference corpus before building its signature index")
     val agree = size(filter(zip_with(col("__sig"), col("__ref_sig"),
       (x, y) => x === y), e => e))
     streamSide.join(refSide, Seq("__band", "__bucket"))
