@@ -18,6 +18,13 @@ import graft.text.TextOps
 object ExtensionQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-JVM scratch root for the round-trip sink queries (k8/k9/k12/k13):
+    * a fixed tmpdir path would let two concurrent sessions running the
+    * registry overwrite each other's sink mid-read. Unique per process,
+    * stable within it (repeat runs in one session reuse the same dirs). */
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_scratch_").toString
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -350,7 +357,7 @@ object ExtensionQueries {
     * per-file range/order contract. */
   private val k12ShardExport: Q = (s, dir) => {
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scratch_k12")
+      scratchRoot, "graft_scratch_k12")
     java.nio.file.Files.createDirectories(out)
     graft.io.Sinks.rangeShardedExport(
         t(s, dir, "documents"), s"$out/docs", shards = 8, sortCol = "doc_id")
@@ -450,7 +457,7 @@ object ExtensionQueries {
     * untouched, proven by the read-back compare. */
   private val k13PartitionOverwrite: Q = (s, dir) => {
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scratch_k13")
+      scratchRoot, "graft_scratch_k13")
     java.nio.file.Files.createDirectories(out)
     val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang"))
     d.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -532,7 +539,7 @@ object ExtensionQueries {
     * whatever quoting/whitespace the generator produced). */
   private val k8JsonRoundtrip: Q = (s, dir) => {
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scratch_k8")
+      scratchRoot, "graft_scratch_k8")
     java.nio.file.Files.createDirectories(out)
     graft.io.Sinks.jsonLines(t(s, dir, "documents"), s"$out/documents")
     s.read.json(s"$out/documents")
@@ -547,7 +554,7 @@ object ExtensionQueries {
     * that gains metadata columns over time. */
   private val k9SchemaMerge: Q = (s, dir) => {
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scratch_k9")
+      scratchRoot, "graft_scratch_k9")
     java.nio.file.Files.createDirectories(out)
     val d = t(s, dir, "documents")
     d.filter(col("doc_id") < 250).select(col("doc_id"), col("lang"))
@@ -893,8 +900,10 @@ object ExtensionQueries {
     * only from matching (user, 5-min bucket) pairs, exact containment
     * filtered after; oracle is the plain BETWEEN join. */
   private val evtRange: Q = (s, dir) => {
-    val e = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-    val errs = events(s, dir).filter(col("event_type") === "error")
+    val ev = events(s, dir) // one frame, both sides — a second call builds
+                            // an independent scan of the same parquet
+    val e = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val errs = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("err_start"),
         (col("ts") + expr("INTERVAL 5 MINUTES")).as("err_end"),
         col("event_id").as("error_id"))
@@ -1090,6 +1099,29 @@ object ExtensionQueries {
 
   /** Oracle SQL mirrors. The lang-id oracle is generated from the same
     * marker table the Spark expression uses. */
+  /** Shared brute-force cosine oracle (sim_cosine_topk ≡ sim_topk_agg ≡
+    * sim_ivf_topk at nprobe=nlist ≡ sim_lsh_exact at bits=0). The zero-
+    * vector guard mirrors the engine's null-safe cosine (0.0): DuckDB's
+    * list_cosine_similarity returns -1.0 for a zero vector, which would
+    * silently reorder the top-k if the fixture ever gains one. */
+  private val bruteForceCosineOracle: String =
+    raw"""WITH sc AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |   ROUND(CASE WHEN list_dot_product(CAST(q.embedding AS DOUBLE[]),
+         |       CAST(q.embedding AS DOUBLE[])) = 0
+         |     OR list_dot_product(CAST(c.embedding AS DOUBLE[]),
+         |       CAST(c.embedding AS DOUBLE[])) = 0 THEN 0.0
+         |     ELSE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |       CAST(c.embedding AS DOUBLE[])) END, 6) AS cosine
+         | FROM embeddings q, embeddings c
+         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, cand_id, cosine, rank FROM (
+         | SELECT query_id, cand_id, cosine,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+         | FROM sc)
+         |WHERE rank <= 5""".stripMargin
+
   /** Generated oracle for dd_simhash_exact: reconstructs the portable
     * 60-bit md5 token hash arithmetically (strpos over hex digits, integer
     * shifts — no float exponent, so every value is exact), unrolls the 60
@@ -1119,12 +1151,20 @@ object ExtensionQueries {
   }
 
   val oracle: Map[String, String] = {
+    // marker membership mirrors the ENGINE's token normalization exactly:
+    // tokens are stripped of non-letters before the marker-set intersect
+    // (langId strips [^\p{L}]), so "is." still counts as marker 'is' —
+    // a raw LIKE '% w %' would miss every punctuation-adjacent marker
     val langScores = TextOps.markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       val terms = ws.map(w =>
-        s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+        s"""(CASE WHEN list_contains(__toks, '$w') THEN 1 ELSE 0 END)""")
         .mkString(" + ")
       s"($terms) AS score_$lang"
     }.mkString(", ")
+    val langToks =
+      raw"""list_distinct(list_transform(
+           |   regexp_split_to_array(trim(lower(text)), '\s+'),
+           |   t -> regexp_replace(t, '[^\p{L}]', '', 'g'))) AS __toks""".stripMargin
     val langIdSql =
       s"""SELECT doc_id,
          | CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
@@ -1132,7 +1172,8 @@ object ExtensionQueries {
          |   WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
          |   WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
          |   ELSE 'de' END AS lang_pred
-         | FROM (SELECT doc_id, $langScores FROM documents)""".stripMargin
+         | FROM (SELECT doc_id, $langScores
+         |   FROM (SELECT doc_id, $langToks FROM documents))""".stripMargin
 
     // shared by txt_gopher_rules and the pipe_gopher_curate composite
     val gopherRulesSql =
@@ -1222,14 +1263,16 @@ object ExtensionQueries {
            |      THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
            |  CAST(ntok AS BIGINT) AS n_tokens,
            |  fp
-           | FROM (SELECT doc_id, text, $$LANG_SCORES$$,
+           | FROM (SELECT doc_id, $$LANG_SCORES$$,
+           |    nchars, alpha, punct, ntok, fp
+           |  FROM (SELECT doc_id, $$LANG_TOKS$$,
            |    CAST(length(text) AS DOUBLE) AS nchars,
            |    CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
            |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
            |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
            |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok,
            |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-           |  FROM documents)),
+           |  FROM documents))),
            | filtered AS (
            |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred <> 'und'),
            | deduped AS (
@@ -1239,7 +1282,8 @@ object ExtensionQueries {
            | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            | ROUND(AVG(quality), 6) AS avg_quality
            |FROM deduped GROUP BY lang_pred""".stripMargin
-          .replace("$LANG_SCORES$", langScores),
+          .replace("$LANG_SCORES$", langScores)
+          .replace("$LANG_TOKS$", langToks),
       "txt_stopword_ratio" -> {
         val list = TextOps.markers("en").map(w => s"'$w'").mkString("[", ", ", "]")
         raw"""SELECT doc_id,
@@ -1366,9 +1410,10 @@ object ExtensionQueries {
           |   text || ' see https://site' || (doc_id % 7) ||
           |   '.example.org/p ref http://cdn' || (doc_id % 3) ||
           |   '.example.net/x',
-          |   'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM documents)
+          |   'https?://([A-Za-z0-9.-]+)', 1)) AS raw_domain FROM documents)
           |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-          |FROM d WHERE domain NOT IN ('site0.example.org', 'cdn1.example.net')
+          |FROM (SELECT doc_id, lower(raw_domain) AS domain FROM d)
+          |WHERE domain NOT IN ('site0.example.org', 'cdn1.example.net')
           |GROUP BY 1""".stripMargin,
       // strip_accents on NFC input ≡ the engine's NFD → drop-Mn → NFC for
       // canonically-decomposable characters (all planted ones are).
@@ -1379,13 +1424,20 @@ object ExtensionQueries {
       // Run detection (lag), run numbering (running sum), interval collapse
       // (group), valid_to (lead) — the same three-window construction as
       // the engine, on epoch-micro timestamps.
+      // change detection is NULL-SAFE like the engine's (<=> + first-row
+      // pin): rn = 1 pins version 1 explicitly, IS DISTINCT FROM makes
+      // x→NULL a change and NULL→NULL not one — `pa IS NULL OR pa <>`
+      // conflates "no previous row" with "previous attr was null"
       "w8_scd2" ->
         """WITH o AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
           |   lag(event_type) OVER (PARTITION BY user_id
-          |     ORDER BY epoch_us(ts), event_id) AS pa
+          |     ORDER BY epoch_us(ts), event_id) AS pa,
+          |   row_number() OVER (PARTITION BY user_id
+          |     ORDER BY epoch_us(ts), event_id) AS rn
           | FROM events),
           | r AS (SELECT user_id, event_type, t,
-          |   SUM(CASE WHEN pa IS NULL OR pa <> event_type THEN 1 ELSE 0 END)
+          |   SUM(CASE WHEN rn = 1 OR pa IS DISTINCT FROM event_type
+          |     THEN 1 ELSE 0 END)
           |     OVER (PARTITION BY user_id ORDER BY t, event_id
           |           ROWS UNBOUNDED PRECEDING) AS version
           | FROM o),
@@ -1497,8 +1549,11 @@ object ExtensionQueries {
           | cent AS (SELECT label, list(x ORDER BY pos) AS centroid
           |   FROM c GROUP BY 1),
           | sc AS (SELECT m.label, m.vec_id,
-          |   ROUND(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
-          |     cent.centroid), 6) AS cosine
+          |   ROUND(CASE WHEN list_dot_product(CAST(m.embedding AS DOUBLE[]),
+          |       CAST(m.embedding AS DOUBLE[])) = 0
+          |     OR list_dot_product(cent.centroid, cent.centroid) = 0 THEN 0.0
+          |     ELSE list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+          |       cent.centroid) END, 6) AS cosine
           |   FROM embeddings m JOIN cent USING (label))
           |SELECT label, vec_id, cosine, rank FROM (
           | SELECT label, vec_id, cosine,
@@ -1799,29 +1854,11 @@ object ExtensionQueries {
           |JOIN sizes na ON na.doc_id = p.id_a
           |JOIN sizes nb ON nb.doc_id = p.id_b""".stripMargin,
       "sim_cosine_topk" ->
-        """SELECT query_id, cand_id, cosine, rank FROM (
-          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-          |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |     CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-          |   CAST(row_number() OVER (PARTITION BY q.vec_id
-          |     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
-          | FROM embeddings q, embeddings c
-          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-          |WHERE rank <= 5""".stripMargin,
+bruteForceCosineOracle,
       // the heap aggregate keeps (score desc, id asc) — identical to the
       // window tie-break, so it shares the brute-force oracle.
       "sim_topk_agg" ->
-        """SELECT query_id, cand_id, cosine, rank FROM (
-          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-          |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |     CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-          |   CAST(row_number() OVER (PARTITION BY q.vec_id
-          |     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
-          | FROM embeddings q, embeddings c
-          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-          |WHERE rank <= 5""".stripMargin,
+bruteForceCosineOracle,
       // The quantization arithmetic is mirrored exactly: scale =
       // max|x|/127 (double), q = floor(x/scale + 0.5), reconstructed
       // score = sa*sb*Σ qa·qb. Integer-valued doubles stay exact, so the
@@ -1851,16 +1888,7 @@ object ExtensionQueries {
       // bits = 0 puts every vector in one universal bucket, so LSH ≡ exact
       // brute force and shares its oracle (the nprobe = nlist analog).
       "sim_lsh_exact" ->
-        """SELECT query_id, cand_id, cosine, rank FROM (
-          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-          |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |     CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-          |   CAST(row_number() OVER (PARTITION BY q.vec_id
-          |     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
-          | FROM embeddings q, embeddings c
-          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-          |WHERE rank <= 5""".stripMargin,
+bruteForceCosineOracle,
       // Grid vectors (≤ 8 distinct subvectors per subspace, codebook 8) ⇒
       // k-means recovers every subvector ⇒ ADC ≡ exact inner product; the
       // integer grid is exact in doubles, so brute force mirrors PQ.
@@ -1906,16 +1934,7 @@ object ExtensionQueries {
       // nprobe = nlist probes every cell, so IVF ≡ exact brute force and
       // shares its oracle.
       "sim_ivf_topk" ->
-        """SELECT query_id, cand_id, cosine, rank FROM (
-          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-          |   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |     CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-          |   CAST(row_number() OVER (PARTITION BY q.vec_id
-          |     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |       CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INTEGER) AS rank
-          | FROM embeddings q, embeddings c
-          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-          |WHERE rank <= 5""".stripMargin,
+bruteForceCosineOracle,
       "emb_near_dup" ->
         """SELECT vec_id AS id_a, CAST(vec_id + 10000 AS BIGINT) AS id_b,
           | CAST(1.0 AS DOUBLE) AS cosine FROM embeddings
@@ -2023,13 +2042,17 @@ object ExtensionQueries {
           |   CASE WHEN p IS NULL OR t - p >= 1800000000 THEN 1 ELSE 0 END AS s FROM l)
           |SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions,
           | CAST(count(*) AS BIGINT) AS n_events FROM n GROUP BY user_id""".stripMargin,
+      // the running sum's frame carries the SAME event_id tie-break as the
+      // lag CTE: without it, duplicate (user_id, ts) rows at a gap
+      // boundary could sum in either order and split a session Spark's
+      // session_window necessarily keeps whole
       "evt_session_window" ->
-        """WITH l AS (SELECT user_id, value, epoch_us(ts) AS t,
+        """WITH l AS (SELECT user_id, value, event_id, epoch_us(ts) AS t,
           |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS p
           | FROM events),
           | n AS (SELECT user_id, value, t,
           |   SUM(CASE WHEN p IS NULL OR t - p >= 1800000000 THEN 1 ELSE 0 END)
-          |     OVER (PARTITION BY user_id ORDER BY t
+          |     OVER (PARTITION BY user_id ORDER BY t, event_id
           |           ROWS UNBOUNDED PRECEDING) AS sess
           | FROM l)
           |SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
