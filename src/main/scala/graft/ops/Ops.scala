@@ -359,13 +359,16 @@ object Ops {
       .drop("__b")
   }
 
-  /** Skew-tolerant equi-join: the large (skewed) side gets a deterministic
-    * salt derived from its full row, the small side is replicated once per
-    * salt value, and the join key becomes (keys, salt) — a hot key's rows
-    * spread over `salts` reducers instead of one. Use when AQE's skew-join
-    * splitting isn't available/enough (e.g. a hot key inside a single
-    * partition-producing stage). Cost: small side × salts, so keep the
-    * replicated side dimension-sized. */
+  /** Skew-tolerant equi-join: the large (skewed) side gets a round-robin
+    * row-counter salt (NOT a content hash — exact-duplicate rows of the
+    * hot key would all hash to one salt and spread nothing), the small
+    * side is replicated once per salt value, and the join key becomes
+    * (keys, salt) — a hot key's rows spread over `salts` reducers instead
+    * of one. The salt never reaches the output, so results are
+    * deterministic. Use when AQE's skew-join splitting isn't
+    * available/enough (e.g. a hot key inside a single partition-producing
+    * stage). Cost: small side × salts, so keep the replicated side
+    * dimension-sized. */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")

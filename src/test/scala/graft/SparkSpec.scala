@@ -7,6 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * startup dominates test wall time otherwise). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Walk an EXECUTED physical plan through every AQE wrapper: both
+    * `AdaptiveSparkPlanExec` and the `QueryStageExec` family
+    * (Shuffle/Broadcast/ResultQueryStage) are LEAF nodes whose real
+    * subtree hangs off a field, not `children` — a naive walker sees
+    * only the wrapper and makes any exists/isEmpty assertion on plan
+    * nodes silently vacuous. ONE shared implementation so a new wrapper
+    * node gets fixed in one place. */
+  def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: allPlanNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: allPlanNodes(q.plan)
+    case other => other +: other.children.flatMap(allPlanNodes)
+  }
 }
 
 object SparkSpec {

@@ -61,6 +61,34 @@ class DedupSpec extends SparkSpec {
     assert(planted.forall(_.getInt(2) === 0))
   }
 
+  test("signatureNearDups finds pairs at every Hamming distance ≤ maxDist (pigeonhole recall)") {
+    // hand-crafted 64-bit signatures at known distances from a base value:
+    // distance 1-3 pairs must ALL surface (the 16-bit block decomposition
+    // guarantees a shared block for distance ≤ 3); distance 4 spread one
+    // bit per block shares NO block and is legitimately out of contract
+    val base = 0x0123456789ABCDEFL
+    def flip(bits: Int*): Long = bits.foldLeft(base)((v, b) => v ^ (1L << b))
+    val sigs = Seq(
+      (0L, base),
+      (1L, flip(0)),             // distance 1
+      (2L, flip(0, 17)),         // distance 2, two blocks
+      (3L, flip(0, 17, 33)),     // distance 3, three blocks
+      (4L, flip(0, 17, 33, 49))) // distance 4, one bit in EVERY block
+      .toDF("id", "sig")
+    val out = Dedup.signatureNearDups(sigs, maxDist = 3,
+      maxBucketOccupancy = 0L, "test", "n/a")
+    val got = out.select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    out.unpersist(blocking = true)
+    assert(got.contains((0L, 1L, 1)), "distance-1 pair missed")
+    assert(got.contains((0L, 2L, 2)), "distance-2 pair missed")
+    assert(got.contains((0L, 3L, 3)), "distance-3 pair missed")
+    assert(!got.exists(p => p._1 === 0L && p._2 === 4L),
+      "distance-4 all-blocks-differ pair is outside the pigeonhole contract")
+    // pairs among the flipped variants also obey the threshold
+    assert(got.forall(_._3 <= 3))
+  }
+
   test("minHashNearDups scans the corpus ONCE (shared shingle frame is reused)") {
     // Empirical single-scan guard: a row-counting UDF below the shingle
     // explosion fires once per doc per evaluation of the source. If the
@@ -119,9 +147,11 @@ class DedupSpec extends SparkSpec {
     val agg = Dedup.minHashSignatures(df, "text", "doc_id").toDF("id", "sig_agg")
     val row = df.select(col("doc_id").as("id"),
       Dedup.minHashSigArray(col("text")).as("sig_row"))
-    val mismatches = agg.join(row, "id")
-      .filter(col("sig_agg") =!= col("sig_row")).count()
-    assert(mismatches === 0)
+    val joined = agg.join(row, "id")
+    // anti-vacuous: the join must cover every doc, or 0 mismatches could
+    // mean 0 joined rows (e.g. a renamed id column) rather than equality
+    assert(joined.count() === 80)
+    assert(joined.filter(col("sig_agg") =!= col("sig_row")).count() === 0)
   }
 
   test("bucket-occupancy guard errors fast on a degenerate all-identical corpus") {

@@ -35,15 +35,12 @@ class SinksSpec extends SparkSpec {
     val joined = spark.sql(
       """SELECT /*+ MERGE(a) */ a.k, a.x, b.s
         |FROM graft_bkt_a a JOIN graft_bkt_b b ON a.k = b.k""".stripMargin)
-    // Materialize first: under AQE the executedPlan is an
-    // AdaptiveSparkPlanExec LEAF until execution, so a pre-execution
-    // collect{case e: Exchange} would be vacuously empty.
-    assert(joined.count() === n.toLong * (n / 500))
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan +: allNodes(a.executedPlan)
-      case other => other +: other.children.flatMap(allNodes)
-    }
-    val nodes = allNodes(joined.queryExecution.executedPlan)
+    // Materialize THIS Dataset's queryExecution first: count() builds a
+    // separate groupBy().count() execution and would leave joined's own
+    // adaptive plan un-executed (the no-shuffle walk would then inspect
+    // the initial plan, missing runtime-introduced exchanges).
+    assert(joined.collect().length === n * (n / 500))
+    val nodes = allPlanNodes(joined.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       s"expected SortMergeJoin; plan nodes: ${nodes.map(_.nodeName).distinct}")
     val exchanges = nodes.filter(_.isInstanceOf[Exchange])
@@ -100,11 +97,7 @@ class SinksSpec extends SparkSpec {
       .toDF("k", "status").write.mode("overwrite").partitionBy("status").parquet(dir)
     val q = spark.read.parquet(dir).filter(col("status") === "O").select("k")
     q.collect()
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan +: allNodes(a.executedPlan)
-      case other => other +: other.children.flatMap(allNodes)
-    }
-    val scans = allNodes(q.queryExecution.executedPlan)
+    val scans = allPlanNodes(q.queryExecution.executedPlan)
       .collect { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty)
     // the status predicate must be a PARTITION filter (directory pruning),

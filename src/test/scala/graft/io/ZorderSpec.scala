@@ -8,15 +8,10 @@ import org.apache.spark.sql.functions._
 class ZorderSpec extends SparkSpec {
   import spark.implicits._
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a.executedPlan +: allNodes(a.executedPlan)
-    case other => other +: other.children.flatMap(allNodes)
-  }
-
   /** Rows the parquet scan actually emitted (post row-group/page pruning). */
   private def rowsScanned(df: org.apache.spark.sql.DataFrame): Long = {
     df.collect()
-    val scans = allNodes(df.queryExecution.executedPlan)
+    val scans = allPlanNodes(df.queryExecution.executedPlan)
       .collect { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty, "no FileSourceScanExec in plan")
     scans.map(_.metrics("numOutputRows").value).sum

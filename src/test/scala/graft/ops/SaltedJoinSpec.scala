@@ -37,10 +37,22 @@ class SaltedJoinSpec extends SparkSpec {
     }
   }
 
-  test("hot key's rows spread across multiple salt values") {
-    val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(8L)).cast("int"))
-    val spread = salted.filter($"k" === 1).select("__salt").distinct().count()
-    assert(spread >= 6, s"hot key only hit $spread of 8 salts")
+  test("hot key's rows spread across multiple salt values — even exact duplicates") {
+    // the implementation's round-robin counter salt, exercised on the
+    // WORST case for the old content-hash design: exact-duplicate rows
+    // (identical content must still spread — a content hash sends them
+    // all to one salt)
+    val dupes = Seq.fill(800)((1, "same-payload")).toDF("k", "v")
+    val salted = dupes.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+    val spread = salted.select("__salt").distinct().count()
+    assert(spread === 8, s"duplicate hot-key rows hit only $spread of 8 salts")
+    // and through the REAL operator: the join result over a duplicate-row
+    // hot key matches the unsalted join exactly (salt is invisible)
+    val dim = Seq((1, "one"), (2, "two")).toDF("k", "name")
+    val viaSalted = Ops.saltedJoin(dupes, dim, Seq("k"), salts = 8)
+      .select("k", "v", "name").collect()
+    assert(viaSalted.length === 800)
+    assert(viaSalted.forall(r => r.getString(2) == "one"))
   }
 }

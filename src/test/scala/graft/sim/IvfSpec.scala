@@ -72,11 +72,16 @@ class IvfSpec extends SparkSpec {
     assert(probed2 === fused2)
 
     // a probe of few cells against the stored layout PRUNES partitions:
-    // the scan must read fewer than all 8 cell directories
+    // the cell predicate must be a PARTITION filter on the scan node
+    // (directory pruning), not a per-row data filter — asserted on the
+    // typed plan node, not a string match a data filter would also pass
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val pruned = stored.assigned.filter(col("cell") === 0)
     pruned.collect()
-    val scan = pruned.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") || scan.contains("cell"),
-      s"cell filter should prune partitions:\n$scan")
+    val scans = allPlanNodes(pruned.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"expected partition pruning on cell; filters: ${scans.head.partitionFilters}")
   }
 }

@@ -43,7 +43,12 @@ class FileStreamSpec extends SparkSpec {
   }
 
   test("readStream parquet → windowedCounts ≡ batch, via AvailableNow") {
+    // restore after: this is the shared JVM-wide session, and leaving the
+    // legacy nanos conf on would silently change how LATER suites read
+    // nanosecond-timestamp parquet (suite-order-dependent results)
+    val nanosWas = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
     val src = Paths.get("/root/testdata/sf0.001/events.parquet")
     val dir = Files.createTempDirectory("graft_stream_events")
     Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -73,5 +78,11 @@ class FileStreamSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(stream.length === batch.length)
     assert(stream.toSeq === batch.toSeq)
+    } finally {
+      nanosWas match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
   }
 }
