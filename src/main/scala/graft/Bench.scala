@@ -27,9 +27,8 @@ object Bench {
       // a typo'd filter must not report an empty (vacuously green) bench
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
     }
-    val results = (1 to reps).flatMap(r => selected.map { case (n, f) =>
-      (if (reps > 1) s"$n#$r" else n) -> f
-    }).map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>
@@ -38,12 +37,26 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    val results = (1 to reps).flatMap(r => selected.map { case (n, f) =>
+      (if (reps > 1) s"$n#$r" else n) -> f
+    }).map { case (name, fn) => timeOne(name, fn) }
+    // Second WARM iteration per query (after the full cold sweep, so each
+    // query's JIT/classload/page-cache state is steady): cross-round diffs
+    // can then separate real regressions from cold-start noise (the round-7
+    // sim_topk_agg 0.37->0.55 s blip was unclassifiable without this).
+    // Cold times remain the headline "queries"/"total" — the driver
+    // contract is unchanged. Skipped when reps>1 (reps already repeats).
+    val warmOn = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") == "1" && reps == 1
+    val warm = if (warmOn) selected.toSeq.map { case (n, f) => timeOne(n, f) } else Nil
     val qs = results.map { case (k, v, err) =>
       s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(_)) => s"\"$k\"" }
+    val warmQs = warm.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }.mkString("{", ",", "}")
+    val failed = (results ++ warm).collect { case (k, _, Some(_)) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val warmField = if (warmOn) s""","warm":$warmQs""" else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmField,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver's log tail truncates the stdout line on big registries, so
     // ALSO write the complete per-query map to a stable file — cross-round
@@ -55,10 +68,13 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: Paths.get throws InvalidPathException
+      // and Files.write can throw SecurityException — none of which should
+      // fail an otherwise-green bench (the authoritative line already printed).
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench_full.json not written: ${e.getMessage}")
     }
     spark.stop()
-    if (results.exists(_._3.nonEmpty)) sys.exit(1)
+    if ((results ++ warm).exists(_._3.nonEmpty)) sys.exit(1)
   }
 }

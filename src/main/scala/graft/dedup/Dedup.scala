@@ -151,18 +151,28 @@ object Dedup {
         xxhash64(concat_ws(",",
           slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
 
-  /** One-row probe asserting a signature index was built with the SAME
-    * numHashes as the probing operator expects — a mismatched index zips
-    * short, caps the agreement estimate below the threshold, and returns
-    * silently empty results instead of an error. */
+  /** Asserts a signature index was built with the SAME numHashes as the
+    * probing operator expects — a mismatched index zips short, caps the
+    * agreement estimate below the threshold, and returns silently empty
+    * results instead of an error. One aggregate checks min == max ==
+    * numHashes, so a MIXED-width index (e.g. a union of two
+    * differently-parameterized builds) fails too, not just a uniformly
+    * wrong one — a single-row probe would pass whichever row it sampled.
+    * Cost: one map-side min/max pass over the (fixed-width, id+sig) index
+    * frame — cheap relative to the probe join it protects, and run once
+    * per operator call (static side only in streaming). */
   private[graft] def requireIndexWidth(refSignatures: DataFrame, numHashes: Int,
                                        op: String): Unit =
-    refSignatures.select(size(col("sig")).as("w")).limit(1).collect()
-      .foreach { r =>
-        require(r.getInt(0) == numHashes,
-          s"$op: reference index signatures have ${r.getInt(0)} hashes; " +
-            s"expected bands * rowsPerBand = $numHashes — rebuild the index " +
-            "or pass matching band parameters")
+    refSignatures.agg(min(size(col("sig"))).as("lo"), max(size(col("sig"))).as("hi"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(0)) { // null ⇔ empty index: nothing to zip against, valid
+          val (lo, hi) = (r.getInt(0), r.getInt(1))
+          require(lo == numHashes && hi == numHashes,
+            s"$op: reference index signature widths span [$lo, $hi]; " +
+              s"expected bands * rowsPerBand = $numHashes uniformly — rebuild " +
+              "the index or pass matching band parameters (a mixed-width index " +
+              "usually means two differently-parameterized builds were unioned)")
+        }
       }
 
   /** MinHash-LSH candidate pairs: signature split into `bands` bands of

@@ -228,8 +228,12 @@ object Sources {
     // would number the biggest file's lines first and the positional ops
     // built on it (R1/R2/R4) would slice the wrong rows — fail fast
     // instead of returning silently misnumbered lines.
-    val p = java.nio.file.Paths.get(path)
-    require(!java.nio.file.Files.isDirectory(p),
+    // Resolve through Hadoop's FileSystem (not java.nio, which only sees
+    // the local FS): a directory on hdfs:// or s3a:// must hit the same
+    // fail-fast, not silently bypass it.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!(fs.exists(p) && fs.getFileStatus(p).isDirectory),
       s"indexedLines reads ONE file (its row order IS the contract); " +
         s"'$path' is a directory — concatenate parts first or index per file")
     // Spark's text source is UTF-8-only, so non-UTF-8 files are

@@ -310,13 +310,21 @@ object Multimodal {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType))
     val idIdx = inSchema.fieldIndex(idCol)
+    // Fail fast at plan time, not as a per-row ClassCastException mid-job:
+    // getLong below requires a LongType id.
+    require(inSchema(idIdx).dataType == LongType,
+      s"synthesizeGif: id column '$idCol' must be LongType, got " +
+        s"${inSchema(idIdx).dataType.simpleString} — cast it first")
     val rdd = df.rdd.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(idIdx)
-        val w = (id % 16).toInt + 8
-        val h = (id % 12).toInt + 8
-        val n = if (fixedFrames >= 0) fixedFrames else (id % 4).toInt + 2
+        // floorMod, not %: a negative id must still yield positive
+        // dimensions/frame counts (Java % is sign-preserving and would make
+        // the BufferedImage constructor throw mid-job).
+        val w = Math.floorMod(id, 16L).toInt + 8
+        val h = Math.floorMod(id, 12L).toInt + 8
+        val n = if (fixedFrames >= 0) fixedFrames else Math.floorMod(id, 4L).toInt + 2
         val baos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()

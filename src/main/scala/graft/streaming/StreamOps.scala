@@ -306,6 +306,14 @@ object StreamOps {
                                shingleK: Int = 5,
                                maxBucketOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0, "incrementalNearDupStream requires a positive threshold")
+    // Internal scratch + output columns must not collide with the stream's
+    // own schema: a `docs` that already carries e.g. ref_id would otherwise
+    // fail with an ambiguous reference (or silently select the wrong one).
+    val reserved = Set("__sig", "__band", "__bucket", "bb", "ref_id", "est_jaccard")
+    val clashes = docs.columns.filter(reserved)
+    require(clashes.isEmpty,
+      s"incrementalNearDupStream reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")} — rename them first")
     val numHashes = bands * rowsPerBand
     // static side — safe to probe once at plan time; a mismatched index
     // would otherwise zip short and silently emit nothing

@@ -361,6 +361,21 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("32") && e.getMessage.contains("64"))
   }
 
+  test("incrementalNearDups rejects a MIXED-width index (union of two builds)") {
+    // A union of a 32-hash and a 64-hash build: some rows match the probe
+    // width, so a single-row probe could sample a valid row and pass — the
+    // min/max aggregate must still reject it.
+    val ref = base.toDF("doc_id", "text")
+    val mixed = Dedup.minHashSignatures(ref, "text", "doc_id", numHashes = 64)
+      .union(Dedup.minHashSignatures(
+        ref.withColumn("doc_id", $"doc_id" + 5000L), "text", "doc_id", numHashes = 32))
+    val delta = Seq((9003L, doc(3))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(delta, mixed, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("[32, 64]") && e.getMessage.contains("mixed-width"))
+  }
+
   test("incrementalNearDups at threshold 1.0 keeps only full-agreement pairs") {
     val ref = (base ++ exactDups).toDF("doc_id", "text") // each text twice
     val refIndex = Dedup.minHashSignatures(ref, "text", "doc_id")

@@ -99,6 +99,21 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes.distinct.length > 1, "per-frame content must differ")
   }
 
+  test("synthesizeGif: negative ids yield valid dims; non-long id fails fast") {
+    // floorMod arithmetic: a negative id must still produce positive
+    // dimensions and frame counts, not a BufferedImage constructor throw.
+    val neg = Multimodal.sampleFrames(Multimodal.synthesizeGif(
+      Seq(-5L, -17L).toDF("id"), "id"))
+      .select("frame.width", "frame.height").as[(Int, Int)].collect()
+    assert(neg.nonEmpty && neg.forall { case (w, h) => w >= 8 && h >= 8 })
+    // a non-LongType id column fails at plan time with an actionable
+    // message, not per-row ClassCastExceptions mid-job
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.synthesizeGif(Seq(1, 2).toDF("id"), "id")
+    }
+    assert(e.getMessage.contains("LongType") && e.getMessage.contains("int"))
+  }
+
   test("sampleFrames: stride sampling, null/undecodable → zero rows") {
     val strided = Multimodal.sampleFrames(
       Multimodal.synthesizeGif(Seq(3L).toDF("id"), "id"), stride = 2)

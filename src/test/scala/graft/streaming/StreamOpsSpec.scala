@@ -292,6 +292,18 @@ class StreamOpsSpec extends SparkSpec {
     } finally refIndex.unpersist(blocking = true)
   }
 
+  test("incrementalNearDupStream rejects input columns that collide with its outputs") {
+    // A stream already carrying ref_id would otherwise produce an ambiguous
+    // reference (or silently select the wrong column) at join time.
+    val refIndex = graft.dedup.Dedup.minHashSignatures(
+      Seq((1L, "some reference text here")).toDF("doc_id", "text"), "text", "doc_id")
+    val clashing = Seq((2L, "probe text", 7L)).toDF("doc_id", "text", "ref_id")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.incrementalNearDupStream(clashing, refIndex, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("ref_id") && e.getMessage.contains("rename"))
+  }
+
   test("thresholdAlerts fires exactly once per key, at the first crossing") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
