@@ -28,6 +28,25 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM stored-index registry for the probe-only queries: each key
+    * builds its index ONCE, writes it under the scratch root, and every
+    * later invocation only READS and probes. This is the production
+    * train-nightly/probe-all-day cost split made measurable: the bench's
+    * warm pass times the steady-state probe (index already on storage)
+    * where the self-contained build+probe forms re-pay the build each
+    * call. computeIfAbsent also makes concurrent sessions in one JVM
+    * build at most once. */
+  private val storedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storedIndexPath(key: String, dir: String)(build: String => Unit): String =
+    storedIndexes.computeIfAbsent(s"$key|$dir", { _ =>
+      val out = java.nio.file.Paths.get(scratchRoot,
+        s"graft_index_${key}_" + Integer.toHexString(dir.hashCode)).toString
+      build(out)
+      out
+    })
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark only reads as raw nanosecond longs (legacy nanosAsLong conf);
     * convert to a proper microsecond TimestampType at the scan boundary so
@@ -159,6 +178,29 @@ object ExtensionQueries {
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val refIndex = Dedup.minHashSignatures(docs, "text", "doc_id")
     Dedup.incrementalNearDups(delta, refIndex, "text", "doc_id",
+      threshold = 0.9, bands = 16, rowsPerBand = 4)
+  }
+
+  /** Stored-index near-dup probe — the STEADY-STATE form of
+    * dd_incremental_neardup: the reference signature index is built once
+    * per JVM, persisted to parquet, and every invocation reads it back
+    * and probes the delta against it — O(delta + band probe), the index
+    * build amortized to zero across ingests (the cost a production
+    * deployment actually pays per batch; dd_incremental_neardup's
+    * in-query rebuild is the self-contained registry form). Same delta,
+    * parameters and banding (shared [[Dedup.bandBuckets]]) as the rebuild
+    * form, so the outputs are identical — pinned by DedupSpec's stored ≡
+    * in-memory test; rows-only here for the same signature-agreement
+    * reason as its twin. */
+  private val ddIndexProbe: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val path = storedIndexPath("mh", dir) { out =>
+      Dedup.minHashSignatures(docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(out)
+    }
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    Dedup.incrementalNearDups(delta, s.read.parquet(path), "text", "doc_id",
       threshold = 0.9, bands = 16, rowsPerBand = 4)
   }
 
@@ -650,6 +692,28 @@ object ExtensionQueries {
     Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 8, nprobe = 8)
   }
 
+  /** Stored-index IVF probe — the STEADY-STATE form of sim_ivf_topk: the
+    * index is trained once per JVM, `assigned` written PARTITIONED BY
+    * cell (the 100 TB layout — a partial probe prunes whole partitions at
+    * the scan), `centroids` as a one-file lookup; every invocation reads
+    * both back and probes without retraining. nprobe = nlist probes every
+    * cell, so the result is provably exact and the brute-force oracle
+    * hash-checks the ENTIRE stored path: write, partitioned read-back,
+    * centroid scoring, cell join, heap rerank. The bench's warm pass
+    * times the probe alone — the number a serving deployment pays. */
+  private val simIvfProbe: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val root = storedIndexPath("ivf", dir) { out =>
+      val idx = Ivf.buildIndex(emb, nlist = 8)
+      idx.assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$out/assigned")
+      idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    }
+    val stored = graft.sim.IvfIndex(
+      s.read.parquet(s"$root/centroids"), s.read.parquet(s"$root/assigned"))
+    Ivf.probeTopK(stored, emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+  }
+
   /** Brute-force top-k through the native bounded-heap aggregate
     * (`topk_desc`) — identical rows to sim_cosine_topk (same oracle), but
     * the plan aggregates partial heaps map-side instead of window-sorting
@@ -1067,6 +1131,7 @@ object ExtensionQueries {
     "sim_cosine_topk" -> simCosineTopk,
     "sim_topk_agg" -> simTopkAgg,
     "sim_ivf_topk" -> simIvfTopk,
+    "sim_ivf_probe" -> simIvfProbe,
     "sim_quantized_topk" -> simQuantizedTopk,
     "sim_lsh_ann" -> simLshAnn,
     "sim_pq_topk" -> simPqTopk,
@@ -1075,6 +1140,7 @@ object ExtensionQueries {
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash_exact" -> ddSimhashExact,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
+    "dd_index_probe" -> ddIndexProbe,
     "emb_semantic_dedup" -> embSemanticDedup,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
@@ -1931,9 +1997,16 @@ bruteForceCosineOracle,
       // engine pairs vs 50 identical-set pairs at sf0.01. An exact-set
       // SQL oracle is therefore UNSOUND for this operator; DedupSpec's
       // planted exact/near/novel delta tests pin the semantics instead.
+      // dd_index_probe is rows-only for the same reason (identical output
+      // to dd_incremental_neardup by construction; DedupSpec pins
+      // stored ≡ in-memory).
       // nprobe = nlist probes every cell, so IVF ≡ exact brute force and
-      // shares its oracle.
+      // shares its oracle — including the STORED-index probe, whose
+      // write → partitioned read-back → probe path must also reproduce
+      // brute force bit-for-bit.
       "sim_ivf_topk" ->
+bruteForceCosineOracle,
+      "sim_ivf_probe" ->
 bruteForceCosineOracle,
       "emb_near_dup" ->
         """SELECT vec_id AS id_a, CAST(vec_id + 10000 AS BIGINT) AS id_b,

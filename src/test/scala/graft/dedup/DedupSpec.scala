@@ -376,6 +376,31 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("[32, 64]") && e.getMessage.contains("mixed-width"))
   }
 
+  test("incrementalNearDups: probing a parquet-stored index ≡ the in-memory index") {
+    // The steady-state path (dd_index_probe): write the signature index,
+    // read it back, probe — results must be bit-identical to probing the
+    // frame that never touched storage.
+    val ref = base.toDF("doc_id", "text")
+    val index = Dedup.minHashSignatures(ref, "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
+    index.write.mode("overwrite").parquet(dir)
+    val delta = Seq(
+      (9003L, doc(3)),
+      (9007L, doc(7) + " tail bit"),
+      (9999L, "completely different text about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    def probe(idx: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+      val out = Dedup.incrementalNearDups(delta, idx, "text", "doc_id",
+        threshold = 0.5)
+      val pairs = out.as[(Long, Long, Double)].collect().toSet
+      out.unpersist(blocking = true)
+      pairs
+    }
+    val stored = probe(spark.read.parquet(dir))
+    assert(stored === probe(index), "stored round-trip must not change the pairs")
+    assert(stored.exists(p => p._1 === 9003L && p._2 === 3L && p._3 === 1.0))
+  }
+
   test("incrementalNearDups at threshold 1.0 keeps only full-agreement pairs") {
     val ref = (base ++ exactDups).toDF("doc_id", "text") // each text twice
     val refIndex = Dedup.minHashSignatures(ref, "text", "doc_id")
