@@ -143,38 +143,61 @@ object Similarity {
       .select(col("id"), col("vec"), signBits.as("sig"))
   }
 
-  /** LSH ANN: signatures split into `bands`; candidate pairs share a band
-    * bucket; exact cosine rerank keeps top-k per query. Recall is tunable
-    * via bits/bands; at 100 TB the bucket join replaces the full cross
-    * product.
-    *
-    * `bits = 0` is the EXACTNESS mode (the [[Ivf]] `nprobe = nlist`
-    * analog): zero hyperplanes put every vector in one universal bucket,
-    * so every pair is a candidate and the result is provably identical to
-    * brute force — while the whole LSH plumbing (banding, bucket join,
-    * candidate dedup, heap rerank) still runs. That makes the operator
-    * hash-checkable against a brute-force SQL oracle; production recall
-    * at bits > 0 is pinned separately by SimilaritySpec. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
-    require(bits >= 0 && bands > 0 && bits % bands == 0,
-      s"need bits >= 0 divisible by bands > 0; got bits=$bits bands=$bands")
-    val rowsPerBand = bits / bands
-    def banded(df: DataFrame, id: String, vec: String) =
-      if (bits == 0)
-        df.select(col(idCol).as(id), col(vecCol).as(vec),
-          lit(0).as("band"), lit("").as("bucket"))
-      else rhpSignatures(df, idCol, vecCol, bits, seed)
-        .select(col("id").as(id), col("vec").as(vec),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"),
-              concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
-            .as("bb"))
-        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+  /** PORTABLE random-hyperplane signatures — the oracle bridge for the
+    * LSH recall metric (`sim_lsh_recall`), with the same banded-LSH
+    * statistics as [[rhpSignatures]] but every arithmetic step exactly
+    * reproducible in any SQL engine with md5:
+    *   - plane(pos, p) = h/2^51 − 1 ∈ [−1, 1), where h is the first 13
+    *     hex chars of md5("pos_p_seed") — 52 bits, exactly representable
+    *     in a double, and integer-by-power-of-two division is exact;
+    *   - each projection term is quantized to an INTEGER,
+    *     floor(x·plane·2^20 + 0.5) as a long, and the per-bit projection
+    *     is the long SUM of those terms. Integer addition is
+    *     order-independent, so Spark's unordered partial aggregation and
+    *     a SQL engine's group sum produce identical sign bits — the float
+    *     sum in [[rhpSignatures]] is order-dependent at the ulp level and
+    *     therefore unsound to hash-compare.
+    * The 2^-20 term quantization only perturbs hyperplane directions
+    * (recall statistics are unchanged); [[rhpSignatures]] (xxhash64,
+    * float sums, no md5 cost) stays the fast production default. Same
+    * scale shape: posexplode → `bits` codegen'd long-sum aggregates with
+    * map-side partials, one row per vector on the shuffle. */
+  def rhpSignaturesPortable(df: DataFrame, idCol: String, vecCol: String,
+                            bits: Int = 16, seed: Int = 42): DataFrame = {
+    val projAggs = (0 until bits).map { p =>
+      val h = conv(substring(md5(
+        concat_ws("_", col("pos"), lit(p), lit(seed))), 1, 13), 16, 10)
+        .cast(LongType).cast(DoubleType)
+      val plane = h / lit(2251799813685248.0) - lit(1.0) // h/2^51 − 1
+      sum(floor(col("x") * plane * lit(1048576.0) + lit(0.5)).cast(LongType))
+        .as(s"p$p")
+    }
+    val signBits = array((0 until bits).map(p =>
+      when(col(s"p$p") >= 0, lit(1)).otherwise(lit(0))): _*)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"), posexplode(col("vec")).as(Seq("pos", "x0")))
+      .select(col("id"), col("vec"), col("pos"), col("x0").cast(DoubleType).as("x"))
+      .groupBy("id")
+      .agg(first(col("vec")).as("vec"), projAggs: _*)
+      .select(col("id"), col("vec"), signBits.as("sig"))
+  }
 
-    val qb = banded(queries, "query_id", "qvec")
-    val cb = banded(corpus, "cand_id", "cvec")
+  /** Banding + bucket join + exact rerank over PRECOMPUTED (id, vec, sig)
+    * frames — the shared tail of [[lshTopK]] (xxhash signatures) and
+    * [[lshTopKPortable]] (md5-derived portable signatures). Both sig
+    * frames must come from the same signature family and seed. */
+  private[sim] def lshTopKFromSigs(corpusSigs: DataFrame, querySigs: DataFrame,
+                                   k: Int, bits: Int, bands: Int): DataFrame = {
+    val rowsPerBand = bits / bands
+    def banded(sigs: DataFrame, id: String, vec: String) =
+      sigs.select(col("id").as(id), col("vec").as(vec),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+          .as("bb"))
+        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+    val qb = banded(querySigs, "query_id", "qvec")
+    val cb = banded(corpusSigs, "cand_id", "cvec")
     val cand = cb.join(qb.hint("broadcast"),
         qb("band") === cb("band") && qb("bucket") === cb("bucket") &&
         col("query_id") =!= col("cand_id"))
@@ -186,6 +209,77 @@ object Similarity {
     // rerank via the bounded-heap aggregate (k rows per query per
     // partition on the shuffle); same (cosine desc, cand_id) tie-break
     topKExplode(cand, "cosine", k)
+  }
+
+  /** LSH ANN: signatures split into `bands`; candidate pairs share a band
+    * bucket; exact cosine rerank keeps top-k per query. Recall is tunable
+    * via bits/bands; at 100 TB the bucket join replaces the full cross
+    * product.
+    *
+    * `bits = 0` is the EXACTNESS mode (the [[Ivf]] `nprobe = nlist`
+    * analog): zero hyperplanes put every vector in one universal bucket,
+    * so every pair is a candidate and the result is provably identical to
+    * brute force — while the whole LSH plumbing (banding, bucket join,
+    * candidate dedup, heap rerank) still runs. That makes the operator
+    * hash-checkable against a brute-force SQL oracle; production recall
+    * at bits > 0 is pinned numerically by `sim_lsh_recall` (portable
+    * twin) and by SimilaritySpec floors. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
+    require(bits >= 0 && bands > 0 && bits % bands == 0,
+      s"need bits >= 0 divisible by bands > 0; got bits=$bits bands=$bands")
+    if (bits == 0) {
+      def universal(df: DataFrame, id: String, vec: String) =
+        df.select(col(idCol).as(id), col(vecCol).as(vec),
+          lit(0).as("band"), lit("").as("bucket"))
+      val qb = universal(queries, "query_id", "qvec")
+      val cb = universal(corpus, "cand_id", "cvec")
+      val cand = cb.join(qb.hint("broadcast"),
+          qb("band") === cb("band") && qb("bucket") === cb("bucket") &&
+          col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("qvec"), col("cvec"))
+        .dropDuplicates("query_id", "cand_id")
+        .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 6))
+      topKExplode(cand, "cosine", k)
+    } else lshTopKFromSigs(
+      rhpSignatures(corpus, idCol, vecCol, bits, seed),
+      rhpSignatures(queries, idCol, vecCol, bits, seed), k, bits, bands)
+  }
+
+  /** [[lshTopK]] over the PORTABLE signature family — the form whose
+    * recall against brute force is a hash-checkable number (every
+    * arithmetic step replays exactly in SQL; see
+    * [[rhpSignaturesPortable]]). */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
+    require(bits > 0 && bands > 0 && bits % bands == 0,
+      s"need bits > 0 divisible by bands > 0; got bits=$bits bands=$bands")
+    lshTopKFromSigs(
+      rhpSignaturesPortable(corpus, idCol, vecCol, bits, seed),
+      rhpSignaturesPortable(queries, idCol, vecCol, bits, seed), k, bits, bands)
+  }
+
+  /** Overlap@k recall of an ANN top-k result against the exact top-k:
+    * ONE row (k, n_queries, n_hits, mean_recall). Both inputs are
+    * (query_id, cand_id, …) frames; n_queries comes from the EXACT side,
+    * so a query the ANN lost entirely still counts k misses.
+    * mean_recall = n_hits / (n_queries · k) rounded to 6 — an
+    * all-integer ratio, hash-comparable cross-engine. This is the metric
+    * that turns "recall is pinned by a ScalaTest floor" into a NUMBER the
+    * oracle checks every round. */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"recallAtK requires k > 0, got $k")
+    val hits = ann.select(col("query_id"), col("cand_id"))
+      .join(exact.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
+    nq.crossJoin(hits)
+      .select(lit(k).as("k"), col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / (col("n_queries") * lit(k)), 6)
+          .as("mean_recall"))
   }
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold found via
