@@ -797,6 +797,40 @@ object ExtensionQueries {
       m = 4, codebookSize = 8)
   }
 
+  /** ANN recall@k as a NUMBER the oracle checks every round: overlap of
+    * [[Similarity.lshTopKPortable]]'s top-5 (production parameters —
+    * bits = 16, bands = 4, the same banding statistics as `sim_lsh_ann`)
+    * against the exact brute-force top-5, reduced by
+    * [[Similarity.recallAtK]] to one all-integer row (k, n_queries,
+    * n_hits, mean_recall). The portable signature family replays every
+    * arithmetic step in SQL (md5-derived hyperplanes, integer-quantized
+    * projections, order-independent long sums — see
+    * [[Similarity.rhpSignaturesPortable]]), so the DuckDB oracle
+    * recomputes signatures, banding, the bucket join, the cosine rerank,
+    * AND the recall ratio — closing the loop that ScalaTest floors only
+    * bound: approximate-regime LSH recall is hash-checked end to end. */
+  private val simLshRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.recallAtK(
+      Similarity.lshTopKPortable(emb, q, k = 5, bits = 16, bands = 4),
+      Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+  }
+
+  /** PQ analog of [[simLshRecall]]: recall@5 of [[Pq.pqTopKPortable]]
+    * (deterministic id-strided codebooks, same encode/ADC arithmetic as
+    * the trained form) against exact brute force — the approximate-regime
+    * PQ quality number, hash-checked because codebook selection,
+    * squared-L2 assignment, and LUT scoring all replay exactly in SQL. */
+  private val simPqRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.recallAtK(
+      graft.sim.Pq.pqTopKPortable(emb, q, k = 5, m = 4, codebookSize = 16,
+        stride = 29),
+      Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+  }
+
   /** [[ddMinhashLsh]]'s oracle-closed twin: threshold 1.0 keeps exactly
     * the pairs with IDENTICAL shingle sets — and identical sets have
     * identical MinHash signatures, so every band collides and LSH recall
@@ -1137,6 +1171,8 @@ object ExtensionQueries {
     "sim_pq_topk" -> simPqTopk,
     "sim_lsh_exact" -> simLshExact,
     "sim_pq_exact" -> simPqExact,
+    "sim_lsh_recall" -> simLshRecall,
+    "sim_pq_recall" -> simPqRecall,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash_exact" -> ddSimhashExact,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
@@ -1214,6 +1250,115 @@ object ExtensionQueries {
          | CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |  AND bit_count(xor(a.s, b.s)) <= 3""".stripMargin
+  }
+
+  /** Generated oracle for sim_lsh_recall: replays the PORTABLE
+    * random-hyperplane LSH pipeline — md5-derived hyperplanes (first 13
+    * hex chars parsed arithmetically, /2^51 − 1), integer-quantized
+    * projection terms (floor(x·plane·2^20 + 0.5) as BIGINT, summed —
+    * order-independent), sign packing into a bit string, 4×4-bit banding,
+    * the bucket join, the rounded-cosine rerank — then reduces ANN∩exact
+    * overlap to the same one-row recall ratio recallAtK emits. */
+  private def simLshRecallOracle: String = {
+    val bits = 16; val bands = 4; val rpb = bits / bands; val k = 5; val seed = 42
+    def plane(p: Int) =
+      "(CAST(list_sum(list_transform(generate_series(1,13), j -> " +
+        "CAST(strpos('0123456789abcdef', substring(md5(CAST(i - 1 AS VARCHAR) || " +
+        s"'_${p}_$seed'), j, 1)) - 1 AS BIGINT) << ((13 - j) * 4))) AS BIGINT) " +
+        "/ 2251799813685248.0 - 1.0)"
+    val projs = (0 until bits).map(p =>
+      s"CAST(list_sum(list_transform(generate_series(1, len(v)), i -> " +
+        s"CAST(floor(v[i] * ${plane(p)} * 1048576.0 + 0.5) AS BIGINT))) AS BIGINT) AS p$p")
+      .mkString(", ")
+    val sigStr = (0 until bits).map(p =>
+      s"(CASE WHEN p$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val bandCond = (0 until bands).map(b =>
+      s"substring(q.s, ${b * rpb + 1}, $rpb) = substring(c.s, ${b * rpb + 1}, $rpb)")
+      .mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (SELECT vec_id, v, $projs FROM e),
+       |sig AS (SELECT vec_id, $sigStr AS s FROM proj),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM sig q JOIN sig c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |    AND ($bandCond)),
+       |cs AS (SELECT cd.query_id, cd.cand_id,
+       |   ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |       OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
+       |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+       |    JOIN e c ON c.vec_id = cd.cand_id),
+       |ann AS (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank FROM cs) WHERE rank <= $k),
+       |ex AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+       |      c.vec_id) AS rank
+       |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $k),
+       |hits AS (SELECT count(*) AS n_hits FROM ann
+       |  JOIN ex USING (query_id, cand_id)),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex)
+       |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
+       |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
+       |FROM nq, hits""".stripMargin
+  }
+
+  /** Generated oracle for sim_pq_recall: replays portable PQ — the
+    * id-strided codebook sample (row_number over vec_id % stride = 0),
+    * per-subspace rounded squared-L2 assignment with the (dist, code)
+    * tie-break, ADC scoring as m left-to-right list_dot_product partials
+    * against the chosen centroids — then the same recall reduction vs
+    * exact brute force. */
+  private def simPqRecallOracle: String = {
+    val m = 4; val cbSize = 16; val stride = 29; val k = 5; val sub = 16
+    val joins = (0 until m).map(j =>
+      s"  JOIN enc e$j ON e$j.j = $j" +
+        (if (j == 0) "" else s" AND e$j.cand_id = e0.cand_id")).mkString("\n")
+    val adcSum = (0 until m).map(j =>
+      s"list_dot_product(list_slice(q.v, ${j * sub + 1}, ${j * sub + sub}), e$j.cent)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $stride = 0
+       |        ORDER BY vec_id LIMIT $cbSize)),
+       |cb AS (SELECT j, code, list_slice(v, j * $sub + 1, j * $sub + $sub) AS cent
+       |  FROM cbv, (SELECT unnest(generate_series(0, ${m - 1})) AS j)),
+       |exp AS (SELECT ce.vec_id AS cand_id, cb.j, cb.code, cb.cent,
+       |    list_slice(ce.v, cb.j * $sub + 1, cb.j * $sub + $sub) AS sv
+       |  FROM e ce, cb),
+       |dists AS (SELECT cand_id, j, code, cent,
+       |    ROUND(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
+       |      + list_dot_product(cent, cent), 6) AS d
+       |  FROM exp),
+       |enc AS (SELECT cand_id, j, cent FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY cand_id, j ORDER BY d, code) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |sc AS (SELECT q.vec_id AS query_id, e0.cand_id, ROUND($adcSum, 6) AS score
+       |  FROM e q
+       |$joins
+       |  WHERE q.vec_id < 10 AND e0.cand_id <> q.vec_id),
+       |ann AS (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS rank FROM sc) WHERE rank <= $k),
+       |ex AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+       |      c.vec_id) AS rank
+       |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $k),
+       |hits AS (SELECT count(*) AS n_hits FROM ann
+       |  JOIN ex USING (query_id, cand_id)),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex)
+       |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
+       |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
+       |FROM nq, hits""".stripMargin
   }
 
   val oracle: Map[String, String] = {
@@ -1990,6 +2135,11 @@ bruteForceCosineOracle,
              | CAST(1.0 AS DOUBLE) AS jaccard
              |FROM ss a JOIN ss b ON a.d = b.d AND a.doc_id < b.doc_id""".stripMargin,
       "dd_simhash_exact" -> ddSimhashExactOracle,
+      // approximate-regime recall metrics: the ANN pipeline AND the
+      // overlap ratio replay in SQL (portable signature / codebook
+      // families), so recall@5 is a hash-checked number, not a floor.
+      "sim_lsh_recall" -> simLshRecallOracle,
+      "sim_pq_recall" -> simPqRecallOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is
       // defined by SIGNATURE agreement, and full 64-position agreement
       // does NOT imply identical shingle sets (a pair at true J = 0.98

@@ -118,4 +118,96 @@ object Pq {
       .withColumn("score", round(adc, 6))
     Similarity.topKExplode(scored, "score", k)
   }
+
+  /** PORTABLE PQ — the oracle bridge of the PQ family (`sim_pq_recall`):
+    * identical encode (nearest-codebook-entry per subspace, squared-L2,
+    * ties to the lowest code) and ADC scoring arithmetic as [[pqTopK]],
+    * with the k-means training replaced by a DETERMINISTIC id-strided
+    * codebook sample — entry `c` of subspace `j` is the subvector of the
+    * corpus row with the (c+1)-th smallest id among ids divisible by
+    * `stride`. Sampling-as-training is the k-means init step run for zero
+    * Lloyd iterations (random codeword selection, Jégou et al. 2011 §III);
+    * recall is a bit lower than trained codebooks, but every arithmetic
+    * step — codebook selection, the squared-L2 assignment
+    * (round(‖x‖² − 2·x·c + ‖c‖², 6), compared with a (dist, code)
+    * lexicographic tie-break), the per-subspace LUT dot products, and the
+    * left-to-right partial sum — replays exactly in SQL, which makes
+    * recall@k of a REAL approximate-regime PQ a hash-checkable number
+    * (`sim_pq_recall`); [[pqTopK]] (trained codebooks) stays the
+    * production default, its recall floor pinned by PqSpec.
+    *
+    * Scale shape is [[pqTopK]]'s: the codebook is m·codebookSize
+    * driver-side constant rows (the sanctioned `clusterCenters` analog,
+    * fetched with an orderBy(id).limit — a TakeOrderedAndProject, no
+    * global sort), assignment is a broadcast crossJoin + one groupBy
+    * shuffle carrying one row per (vector, subspace), LUTs broadcast,
+    * scoring is codegen'd `element_at` lookups, and the only corpus-sized
+    * shuffle is the bounded-heap top-k. */
+  def pqTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+                     m: Int = 4, codebookSize: Int = 16, stride: Int = 29,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && codebookSize > 1, s"need m > 0, codebookSize > 1; got $m/$codebookSize")
+    require(stride > 0, s"stride must be > 0, got $stride")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+
+    // TRAIN (deterministic sample): codebookSize whole vectors, sliced
+    // driver-side into m per-subspace entries. orderBy+limit collapses to
+    // TakeOrderedAndProject — constant-size driver result, like Pq's
+    // clusterCenters.
+    val sampled = corpus.filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    require(sampled.length == codebookSize,
+      s"corpus has only ${sampled.length} ids divisible by stride=$stride; " +
+        s"need codebookSize=$codebookSize (lower stride or codebookSize)")
+    val cents = (for {
+      j <- 0 until m
+      (v, code) <- sampled.zipWithIndex
+    } yield (j, code, j * codebookSize + code, v.slice(j * sub, (j + 1) * sub)))
+      .toDF("__j", "__code", "__flat", "__cent")
+
+    // ENCODE: broadcast crossJoin against the m·codebookSize constant rows,
+    // per-(vector, subspace) argmin on the ROUNDED squared-L2 with a
+    // (dist, code) lexicographic min — deterministic and SQL-replayable,
+    // unlike min_by's arbitrary tie resolution. One shuffle, one row per
+    // (vector, subspace); the centroid rides the struct (never compared:
+    // equal (dist, code) implies the same entry).
+    val sv = slice(col("cvec"), col("__j") * sub + 1, lit(sub))
+    val dist = round(
+      VectorExprs.dot(sv, sv) - lit(2.0) * VectorExprs.dot(sv, col("__cent")) +
+        VectorExprs.dot(col("__cent"), col("__cent")), 6)
+    val codes = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(cents))
+      .select(col("cand_id"), col("__j"),
+        struct(dist.as("d"), col("__code").as("c")).as("__dc"))
+      .groupBy("cand_id")
+      .agg((0 until m).map(j =>
+          min(when(col("__j") === j, col("__dc"))).getField("c").as(s"__c$j")).head,
+        (1 until m).map(j =>
+          min(when(col("__j") === j, col("__dc"))).getField("c").as(s"__c$j")): _*)
+
+    // LUT + SCORE: exactly pqTopK's tail (constant j*codebookSize offsets —
+    // the sampled codebook is never deficient).
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__partial", VectorExprs.dot(
+        slice(col("qvec"), col("__j") * sub + 1, lit(sub)), col("__cent")))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(
+          col("__flat").as("i"),
+          col("__partial").as("p")))),
+        e => e.getField("p")).as("__lut"))
+    val adc = (0 until m).map(j =>
+        element_at(col("__lut"),
+          (lit(j * codebookSize) + col(s"__c$j") + 1).cast(IntegerType)))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(adc, 6))
+    Similarity.topKExplode(scored, "score", k)
+  }
 }

@@ -92,6 +92,39 @@ class PqSpec extends SparkSpec {
     assert(pq.sorted === exact.sorted)
   }
 
+  test("portable PQ with codebook ⊇ distinct subvectors ≡ exact inner-product top-k") {
+    // stride = 1 samples ids 0..3 — the full period of vec(i), so every
+    // subspace's codebook contains every distinct subvector and ADC must
+    // recover the exact inner product (the pqTopK exact-recovery property,
+    // replayed through the deterministic sampled-codebook trainer).
+    val corpus = (0 until 48).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (100 until 105).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+    val pq = Pq.pqTopKPortable(corpus, queries, k = 5, m = 4, codebookSize = 4,
+      stride = 1).as[(Long, Long, Double, Int)].collect().toSeq
+
+    val exactScored = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(VectorExprs.dot(col("qv"), col("cv")), 6))
+    val exact = Similarity.topKExplode(exactScored, "score", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+
+    assert(pq.sorted === exact.sorted)
+  }
+
+  test("portable PQ fails fast when the stride can't fill the codebook") {
+    val corpus = (0 until 8).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.pqTopKPortable(corpus, corpus, k = 1, m = 4, codebookSize = 16, stride = 29)
+    }
+    assert(e.getMessage.contains("stride"))
+    intercept[IllegalArgumentException] {
+      Pq.pqTopKPortable(corpus, corpus, k = 1, m = 4, codebookSize = 4, stride = 0)
+    }
+  }
+
   test("pqTopK validates m / codebook / dim compatibility") {
     val corpus = (0 until 4).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

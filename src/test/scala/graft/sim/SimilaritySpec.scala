@@ -74,6 +74,51 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.lshTopK(df, df, k = 1, bits = 10, bands = 4) // 10 % 4 != 0
     }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKPortable(df, df, k = 1, bits = 0, bands = 1) // needs bits > 0
+    }
+  }
+
+  test("portable LSH finds every planted duplicate (identical sig ⇒ same buckets)") {
+    val queries = df.filter(col("vec_id") < 10)
+    val res = Similarity.lshTopKPortable(df, queries, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    (0 until 10).foreach { q =>
+      assert(res.contains((q.toLong, (q + 10000).toLong)),
+        s"planted dup of $q missed by portable LSH")
+    }
+  }
+
+  test("portable and xxhash signature families have matching recall statistics") {
+    // The portable family only changes the hyperplane DERIVATION (md5 vs
+    // xxhash64, integer-quantized terms) — both are random hyperplanes, so
+    // recall@5 on the same corpus must sit in the same regime. This is the
+    // spec-side pin behind sim_lsh_recall's oracle-side number.
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(ann, exact, k = 5)
+        .select("mean_recall").as[Double].head()
+    val portable = recallOf(Similarity.lshTopKPortable(df, queries, k = 5))
+    val fast = recallOf(Similarity.lshTopK(df, queries, k = 5))
+    assert(portable >= 0.6, s"portable-LSH recall $portable")
+    assert(fast >= 0.6, s"xxhash-LSH recall $fast")
+    assert(math.abs(portable - fast) <= 0.2,
+      s"signature families diverged: portable=$portable xxhash=$fast")
+  }
+
+  test("recallAtK: all-integer ratio; a query the ANN lost still counts k misses") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "cand_id")
+    val ann = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "cand_id") // query 2 lost
+    val row = Similarity.recallAtK(ann, exact, k = 2)
+      .as[(Int, Long, Long, Double)].head()
+    assert(row === ((2, 2L, 1L, 0.25)))
+    // and perfect overlap is exactly 1.0
+    val full = Similarity.recallAtK(exact, exact, k = 2)
+      .select("mean_recall").as[Double].head()
+    assert(full === 1.0)
+    intercept[IllegalArgumentException] { Similarity.recallAtK(ann, exact, k = 0) }
   }
 
   test("cosineNearDups at 0.95 returns exactly the planted pairs") {
