@@ -39,10 +39,17 @@ object ExtensionQueries {
   private val storedIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Monotonic suffix for stored-index output dirs: two distinct data
+    * dirs whose hashCodes collide would otherwise share one on-disk path
+    * — the second build silently overwriting the first while both
+    * registry keys keep serving it. A counter is collision-free by
+    * construction (the registry key, not the path, carries identity). */
+  private val storedIndexSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def storedIndexPath(key: String, dir: String)(build: String => Unit): String =
     storedIndexes.computeIfAbsent(s"$key|$dir", { _ =>
       val out = java.nio.file.Paths.get(scratchRoot,
-        s"graft_index_${key}_" + Integer.toHexString(dir.hashCode)).toString
+        s"graft_index_${key}_" + storedIndexSeq.getAndIncrement()).toString
       build(out)
       out
     })
@@ -788,13 +795,39 @@ object ExtensionQueries {
     * product (PqSpec's exact-recovery property as a registry entry). The
     * grid arithmetic is integer-exact in doubles, so DuckDB mirrors the
     * construction and the brute-force scores bit-for-bit. */
-  private val simPqExact: Q = (s, dir) => {
-    val grid = t(s, dir, "embeddings").select(col("vec_id"),
+  private def gridEmbeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
       transform(sequence(lit(0), lit(15)),
         d => (((col("vec_id") % 8) * 13 + d * 7) % 11 - 5)
           .cast(DoubleType)).as("embedding"))
+
+  private val simPqExact: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
     graft.sim.Pq.pqTopK(grid, grid.filter(col("vec_id") < 10), k = 5,
       m = 4, codebookSize = 8)
+  }
+
+  /** Stored-index PQ probe — the STEADY-STATE form of [[simPqExact]]'s
+    * parameterization and the [[simIvfProbe]] analog: codebooks AND the
+    * encoded corpus (m small ints per vector — the 64× compressed
+    * representation that IS the PQ index at scale) are written to parquet
+    * once, read back, and probed without retraining or re-encoding — the
+    * serving scan never touches a raw float vector. The grid corpus keeps
+    * exact recovery (codebook ⊇ distinct subvectors ⇒ ADC ≡ exact inner
+    * product), so the brute-force oracle hash-checks the ENTIRE stored
+    * path: codebook/code write, read-back, LUT build, ADC scoring, heap
+    * rerank. The bench's warm pass times the probe alone — the cost a
+    * serving deployment pays after nightly training. */
+  private val simPqProbe: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val root = storedIndexPath("pq", dir) { out =>
+      val idx = graft.sim.Pq.buildIndex(grid, m = 4, codebookSize = 8)
+      idx.codebooks.write.mode("overwrite").parquet(s"$out/codebooks")
+      idx.codes.write.mode("overwrite").parquet(s"$out/codes")
+    }
+    val stored = graft.sim.PqIndex(
+      s.read.parquet(s"$root/codebooks"), s.read.parquet(s"$root/codes"))
+    graft.sim.Pq.probeTopK(stored, grid.filter(col("vec_id") < 10), k = 5)
   }
 
   /** ANN recall@k as a NUMBER the oracle checks every round: overlap of
@@ -1173,6 +1206,7 @@ object ExtensionQueries {
     "sim_pq_exact" -> simPqExact,
     "sim_lsh_recall" -> simLshRecall,
     "sim_pq_recall" -> simPqRecall,
+    "sim_pq_probe" -> simPqProbe,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash_exact" -> ddSimhashExact,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
@@ -1251,6 +1285,24 @@ object ExtensionQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |  AND bit_count(xor(a.s, b.s)) <= 3""".stripMargin
   }
+
+  /** Shared grid-PQ exactness oracle (sim_pq_exact ≡ sim_pq_probe): the
+    * integer grid is exact in doubles and the codebook recovers every
+    * distinct subvector, so ADC equals the exact inner product and brute
+    * force mirrors the whole PQ pipeline. */
+  private val pqGridExactOracle: String =
+    """WITH g AS (SELECT vec_id,
+      |  list_transform(generate_series(0, 15),
+      |    d -> CAST(((vec_id % 8) * 13 + d * 7) % 11 - 5 AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT query_id, cand_id, score, rank FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |   ROUND(list_dot_product(q.v, c.v), 6) AS score,
+      |   CAST(row_number() OVER (PARTITION BY q.vec_id
+      |     ORDER BY ROUND(list_dot_product(q.v, c.v), 6) DESC,
+      |     c.vec_id) AS INTEGER) AS rank
+      | FROM g q, g c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |WHERE rank <= 5""".stripMargin
 
   /** Generated oracle for sim_lsh_recall: replays the PORTABLE
     * random-hyperplane LSH pipeline — md5-derived hyperplanes (first 13
@@ -2102,20 +2154,12 @@ bruteForceCosineOracle,
 bruteForceCosineOracle,
       // Grid vectors (≤ 8 distinct subvectors per subspace, codebook 8) ⇒
       // k-means recovers every subvector ⇒ ADC ≡ exact inner product; the
-      // integer grid is exact in doubles, so brute force mirrors PQ.
-      "sim_pq_exact" ->
-        """WITH g AS (SELECT vec_id,
-          |  list_transform(generate_series(0, 15),
-          |    d -> CAST(((vec_id % 8) * 13 + d * 7) % 11 - 5 AS DOUBLE)) AS v
-          |  FROM embeddings)
-          |SELECT query_id, cand_id, score, rank FROM (
-          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-          |   ROUND(list_dot_product(q.v, c.v), 6) AS score,
-          |   CAST(row_number() OVER (PARTITION BY q.vec_id
-          |     ORDER BY ROUND(list_dot_product(q.v, c.v), 6) DESC,
-          |     c.vec_id) AS INTEGER) AS rank
-          | FROM g q, g c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-          |WHERE rank <= 5""".stripMargin,
+      // integer grid is exact in doubles, so brute force mirrors PQ —
+      // including the STORED-index probe, whose codebook/code write →
+      // read-back → LUT → ADC path must also reproduce brute force
+      // bit-for-bit.
+      "sim_pq_exact" -> pqGridExactOracle,
+      "sim_pq_probe" -> pqGridExactOracle,
       // Threshold 1.0 keeps exactly the identical-shingle-set pairs, whose
       // identical signatures guarantee LSH recall; the oracle groups docs
       // by a canonical sorted-shingle-list digest — no pairwise join.

@@ -41,12 +41,31 @@ import graft.functions.VectorExprs
   * ADC equals the exact inner product — so the whole pipeline is testable
   * against a brute-force oracle, the same trick [[Ivf]] uses with
   * nprobe = nlist. */
+/** Storable PQ index ([[Pq.buildIndex]] → [[Pq.probeTopK]]), the [[IvfIndex]]
+  * analog: `codebooks` = (j, code, flat, cent) — m·codebookSize constant
+  * rows; `codes` = (cand_id, __c0..__c{m-1}) — the encoded corpus, m small
+  * ints per vector (the 64× compressed serving representation). */
+case class PqIndex(codebooks: DataFrame, codes: DataFrame)
+
 object Pq {
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, codebookSize: Int = 16,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             trainFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+             trainFraction: Double = 1.0, seed: Long = 42L): DataFrame =
+    probeTopK(buildIndex(corpus, m, codebookSize, idCol, vecCol,
+      trainFraction, seed), queries, k, idCol, vecCol)
+
+  /** TRAIN + ENCODE — the storable halves of [[pqTopK]] (steps 1–2 of the
+    * scaladoc above). `codebooks` is m·codebookSize constant-sized rows
+    * (j, code, flat, cent); `codes` is the ENCODED CORPUS — one row of m
+    * small ints per vector, the 64× compressed representation that IS the
+    * PQ index at 100 TB (the serving scan reads codes, never raw floats).
+    * Both are plain DataFrames so they persist to parquet and read back;
+    * [[probeTopK]] consumes either the in-memory or the read-back form. */
+  def buildIndex(corpus: DataFrame, m: Int = 4, codebookSize: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 trainFraction: Double = 1.0, seed: Long = 42L): PqIndex = {
     require(m > 0 && codebookSize > 1, s"need m > 0, codebookSize > 1; got $m/$codebookSize")
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
@@ -72,7 +91,7 @@ object Pq {
     }
 
     // 2. ENCODE — m map-only transforms; codes stay as m int columns so the
-    //    scoring expression below is pure codegen (no array HOF).
+    //    ADC scoring expression is pure codegen (no array HOF).
     var enc = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
     for (j <- 0 until m) {
       enc = models(j).setPredictionCol(s"__c$j").transform(
@@ -82,24 +101,51 @@ object Pq {
     }
     val codes = enc.select(col("cand_id") +: (0 until m).map(j => col(s"__c$j")): _*)
 
-    // 3. LUT — centroids are driver-side constants; each query row builds a
-    //    flat array. K-means can legitimately return FEWER than
-    //    `codebookSize` centers when a subspace has fewer distinct points
-    //    (exactly the exact-recovery regime), so the flat index uses
-    //    per-subspace offsets computed from the ACTUAL center counts — a
-    //    constant j*codebookSize stride would silently misalign every
-    //    subspace after a deficient one.
+    // K-means can legitimately return FEWER than `codebookSize` centers
+    // when a subspace has fewer distinct points (exactly the exact-recovery
+    // regime), so the flat LUT index uses per-subspace offsets computed
+    // from the ACTUAL center counts — a constant j*codebookSize stride
+    // would silently misalign every subspace after a deficient one.
     val offsets = models.map(_.clusterCenters.length).scanLeft(0)(_ + _)
-    // the flat LUT index is a pure driver-side constant per centroid row —
-    // precompute it into the broadcast frame rather than re-deriving it
-    // with a per-row conditional in the crossJoin
     val cents = (for {
       j <- 0 until m
       (c, code) <- models(j).clusterCenters.zipWithIndex
     } yield (j, code, offsets(j) + code, c.toArray.map(_.toFloat)))
       .toDF("__j", "__code", "__flat", "__cent")
+    PqIndex(cents, codes)
+  }
+
+  /** LUT + SCORE over a PREBUILT index (steps 3–4) — the steady-state
+    * serving path: the codebook geometry (subspace count, subvector width,
+    * flat-LUT offsets) is re-derived from the index's own rows, so a
+    * parquet round-trip of both frames probes bit-identically to the
+    * in-memory build (`sim_pq_probe` pins this against the brute-force
+    * oracle in the exact-recovery regime; PqSpec pins stored ≡ in-memory
+    * on trained codebooks). The corpus never appears: scoring reads the
+    * encoded codes — the m-small-ints-per-vector frame that is the whole
+    * point of PQ at 100 TB — joins the broadcast per-query LUTs, and
+    * reduces through the bounded-heap top-k. */
+  def probeTopK(index: PqIndex, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // codebook geometry from the (constant-sized) codebook rows — the
+    // stored form carries everything probe needs, like Ivf's centroids
+    val cb = index.codebooks.select(col("__j"), col("__code"), col("__flat"),
+        col("__cent")).collect()
+    require(cb.nonEmpty, "probeTopK: empty codebook frame")
+    val m = cb.iterator.map(_.getInt(0)).max + 1
+    val sub = cb.head.getSeq[Float](3).length
+    require(cb.forall(_.getSeq[Float](3).length == sub),
+      "probeTopK: codebook entries disagree on subvector width")
+    val flats = cb.map(_.getInt(2)).sorted
+    require(flats.sameElements(cb.indices),
+      s"probeTopK: flat LUT indices not contiguous 0..${cb.length - 1}")
+    val offsets = (0 until m).map(j =>
+      cb.iterator.filter(_.getInt(0) == j).map(_.getInt(2)).min)
+
+    // 3. LUT — each query row dots its subvectors against every centroid;
+    //    m·codebookSize tiny rows per query, folded into one flat array.
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(index.codebooks))
       .withColumn("__partial", VectorExprs.dot(
         slice(col("qvec"), col("__j") * sub + 1, lit(sub)), col("__cent")))
       .groupBy("query_id")
@@ -108,12 +154,12 @@ object Pq {
           col("__partial").as("p")))),
         e => e.getField("p")).as("__lut"))
 
-    // 4. SCORE — corpus streams once, LUTs broadcast; m element_at lookups.
+    // 4. SCORE — codes stream once, LUTs broadcast; m element_at lookups.
     val adc = (0 until m).map(j =>
         element_at(col("__lut"),
           (lit(offsets(j)) + col(s"__c$j") + 1).cast(IntegerType)))
       .reduce(_ + _)
-    val scored = codes.crossJoin(broadcast(lut))
+    val scored = index.codes.crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(adc, 6))
     Similarity.topKExplode(scored, "score", k)

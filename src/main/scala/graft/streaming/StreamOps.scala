@@ -309,7 +309,8 @@ object StreamOps {
     // Internal scratch + output columns must not collide with the stream's
     // own schema: a `docs` that already carries e.g. ref_id would otherwise
     // fail with an ambiguous reference (or silently select the wrong one).
-    val reserved = Set("__sig", "__band", "__bucket", "bb", "ref_id", "est_jaccard")
+    val reserved =
+      Set("__sig", "__ref_sig", "__band", "__bucket", "bb", "ref_id", "est_jaccard")
     val clashes = docs.columns.filter(reserved)
     require(clashes.isEmpty,
       s"incrementalNearDupStream reserves columns ${reserved.mkString(", ")}; " +

@@ -92,6 +92,51 @@ class PqSpec extends SparkSpec {
     assert(pq.sorted === exact.sorted)
   }
 
+  test("stored PQ index (parquet round-trip) probes bit-identically to the in-memory build") {
+    // Trained (k-means) codebooks on the clustered fixture — the regime
+    // where a geometry-rederivation bug (wrong sub width, misaligned flat
+    // offsets) would actually corrupt scores. The registry's sim_pq_probe
+    // pins the stored path against the brute-force oracle in the
+    // exact-recovery regime; this pins stored ≡ in-memory on REAL trained
+    // codebooks, deficient-center offsets included.
+    val rnd = new scala.util.Random(11)
+    val anchors = (0 until 8).map(a =>
+      Array.tabulate(16)(d => if (d % 8 == a % 8) 10f * (1 + a / 8 + 1) else 0f))
+    def jittered(a: Int): Array[Float] =
+      anchors(a).map(x => x + (rnd.nextInt(11) - 5) * 0.1f)
+    val corpus = (0 until 120).map(i => (i.toLong, jittered(i % 8)))
+      .toDF("vec_id", "embedding")
+    val queries = (1000 until 1003).map(i => (i.toLong, jittered(i % 8)))
+      .toDF("vec_id", "embedding")
+
+    val idx = Pq.buildIndex(corpus, m = 4, codebookSize = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    idx.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val stored = PqIndex(
+      spark.read.parquet(s"$dir/codebooks"), spark.read.parquet(s"$dir/codes"))
+
+    val inMem = Pq.probeTopK(idx, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val roundTrip = Pq.probeTopK(stored, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(roundTrip === inMem)
+    assert(inMem.nonEmpty)
+  }
+
+  test("probeTopK fails fast on an empty or non-contiguous codebook frame") {
+    val corpus = (0 until 8).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val idx = Pq.buildIndex(corpus, m = 4, codebookSize = 4)
+    intercept[IllegalArgumentException] {
+      Pq.probeTopK(PqIndex(idx.codebooks.limit(0), idx.codes), corpus, k = 1)
+    }
+    // dropping one codebook row leaves a hole in the flat LUT index space
+    intercept[IllegalArgumentException] {
+      Pq.probeTopK(PqIndex(idx.codebooks.filter(col("__flat") =!= 2), idx.codes),
+        corpus, k = 1)
+    }
+  }
+
   test("portable PQ with codebook ⊇ distinct subvectors ≡ exact inner-product top-k") {
     // stride = 1 samples ids 0..3 — the full period of vec(i), so every
     // subspace's codebook contains every distinct subvector and ADC must

@@ -302,6 +302,13 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.incrementalNearDupStream(clashing, refIndex, "text", "doc_id")
     }
     assert(e.getMessage.contains("ref_id") && e.getMessage.contains("rename"))
+    // __ref_sig is introduced on the REF side but referenced bare after the
+    // join — a docs frame already carrying it hits the same ambiguity
+    val sigClash = Seq((2L, "probe text", Array(1L))).toDF("doc_id", "text", "__ref_sig")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.incrementalNearDupStream(sigClash, refIndex, "text", "doc_id")
+    }
+    assert(e2.getMessage.contains("__ref_sig"))
   }
 
   test("thresholdAlerts fires exactly once per key, at the first crossing") {
