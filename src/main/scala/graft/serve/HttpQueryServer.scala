@@ -1,0 +1,104 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Minimal HTTP front-end over [[QueryService]] — the engine analog of the
+  * reference's Flask endpoint (`POST /get_data {table, limit}`,
+  * finalprojectapi.py:17-42): same route, same two-field request, JSON
+  * response instead of the reference's stringified-tuples text.
+  *
+  * Hardening the reference lacks, by construction:
+  *   - the table name never reaches SQL — it is a registry (whitelist)
+  *     lookup in [[QueryService.getData]]; the reference concatenates it
+  *     into a query string (finalprojectapi.py:24);
+  *   - the limit is parsed as digits and CAPPED at `maxLimit`, so a
+  *     request can never pull an unbounded result set onto one JVM;
+  *   - an unknown table or malformed body is a 400 with a JSON error, not
+  *     a stack trace.
+  *
+  * Serving shape: the bounded `limit` makes the per-request `collect()`
+  * driver-safe (rows ≤ maxLimit by construction); the DataFrame plan
+  * still pushes the limit into the scan. Zero dependencies — the JDK's
+  * built-in HTTP server, so the library stays pure Spark. Field
+  * extraction is two anchored regexes over the (tiny) request body — the
+  * contract is exactly two scalar fields, not arbitrary JSON. */
+final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000) {
+  require(maxLimit > 0, s"maxLimit must be > 0, got $maxLimit")
+
+  @volatile private var server: HttpServer = _
+
+  /** Bind (port 0 → ephemeral) and serve; returns the bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    require(server == null, "server already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/get_data", handler)
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // table restricted to identifier chars (defense in depth in FRONT of the
+  // registry whitelist); limit accepted bare or quoted (the reference's
+  // client sends it as a string) but digits-only either way
+  private val TableRe = """"table"\s*:\s*"([A-Za-z0-9_]+)"""".r
+  private val LimitRe = """"limit"\s*:\s*"?(\d{1,9})"?""".r
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def handler: HttpHandler = (ex: HttpExchange) =>
+    try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST only"}""")
+      else {
+        val body =
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        (TableRe.findFirstMatchIn(body), LimitRe.findFirstMatchIn(body)) match {
+          case (Some(t), Some(l)) =>
+            val table = t.group(1)
+            val limit = math.min(l.group(1).toLong, maxLimit.toLong).toInt
+            try {
+              val df = service.getData(table, limit)
+              val cols = df.columns
+                .map(c => "\"" + jsonEscape(c) + "\"").mkString("[", ",", "]")
+              // toJSON: per-row JSON objects rendered by Spark (typed,
+              // null-safe); bounded by the capped limit, so collecting to
+              // the serving JVM is safe by construction.
+              val rows = df.toJSON.collect().mkString("[", ",", "]")
+              respond(ex, 200, s"""{"table":"${jsonEscape(table)}",""" +
+                s""""limit_applied":$limit,"columns":$cols,"rows":$rows}""")
+            } catch {
+              case e: IllegalArgumentException =>
+                respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+            }
+          case _ =>
+            respond(ex, 400,
+              """{"error":"body must carry a string 'table' and an integer 'limit'"}""")
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally ex.close()
+}
