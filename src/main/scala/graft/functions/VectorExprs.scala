@@ -415,6 +415,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKDesc(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("topk_desc_str"),
+      new ExpressionInfo(classOf[TopKDescStr].getName, "topk_desc_str"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"topk_desc_str takes 3 arguments (score, id, k), got ${children.length}")
+        TopKDescStr(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("text_unaccent"),
       new ExpressionInfo(classOf[TextUnaccent].getName, "text_unaccent"),
       (children: Seq[Expression]) => {

@@ -31,7 +31,8 @@ final case class ColumnProfile(
     p75: Option[Double],
     skewness: Option[Double] = None,
     kurtosis: Option[Double] = None,
-    histogram: Seq[Long] = Seq.empty)
+    histogram: Seq[Long] = Seq.empty,
+    frequent: Seq[(String, Long)] = Seq.empty)
 
 final case class TableProfile(
     table: String,
@@ -64,7 +65,43 @@ object Profile {
     * (bucket bounds need pass-1 min/max), PR6 correlations in a third.
     * `exact` switches the distinct/quantile sketches to exact computation
     * (use for tests / oracle parity; default approximate for 100 TB runs). */
-  def profile(df: DataFrame, table: String = "df", exact: Boolean = false): TableProfile = {
+  /** Per-column top-N frequent values (the ydata-profiling "Most frequent
+    * values" block, finalprojectpandasprofiling.py:50) as a DISTRIBUTED
+    * frame: (col_name, value, cnt, rank), rank 1 = most frequent, ties
+    * broken by value ascending (binary string order — replayable in SQL).
+    * Values are stringified; nulls are excluded (missing is its own
+    * statistic in [[profile]]).
+    *
+    * Scale shape: one posexplode pass turns the table into (colIdx, value)
+    * cells, ONE exact groupBy count over (colIdx, value) — map-side
+    * partials, the same shuffle a single-column value_counts would pay,
+    * amortized over every column at once — then the bounded-heap
+    * `topk_desc_str` aggregate reduces each column to N rows with map-side
+    * partial heaps: the second shuffle carries ≤ N rows per column per
+    * partition, never the distinct-value set of a high-cardinality column. */
+  def frequentValues(df: DataFrame, topN: Int = 5): DataFrame = {
+    require(topN > 0, s"topN must be > 0, got $topN")
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "frequentValues needs at least one column")
+    val nameMap = map(fields.zipWithIndex.flatMap { case (f, i) =>
+      Seq(lit(i), lit(f.name)) }: _*)
+    df.select(posexplode(array(fields.map(f => q(f.name).cast(StringType)): _*))
+        .as(Seq("__ci", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__ci"), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("__ci"))
+      .agg(call_function("topk_desc_str",
+        col("__cnt").cast(DoubleType), col("__v"), lit(topN)).as("__tk"))
+      .select(col("__ci"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(element_at(nameMap, col("__ci")).as("col_name"),
+        col("__e.id").as("value"),
+        col("__e.score").cast(LongType).as("cnt"),
+        (col("__pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  def profile(df: DataFrame, table: String = "df", exact: Boolean = false,
+              topFrequent: Int = 5): TableProfile = {
     val fields  = df.schema.fields
     val numeric = fields.filter(f => isNumeric(f.dataType)).map(_.name)
 
@@ -162,6 +199,17 @@ object Profile {
         }.toMap
       }
 
+    // Frequent values: its own two-shuffle pass (groupBy value needs a
+    // shuffle no agg() can absorb); the collected result is bounded at
+    // columns × topFrequent rows. `topFrequent <= 0` disables.
+    val freq: Map[String, Seq[(String, Long)]] =
+      if (topFrequent <= 0) Map.empty
+      else frequentValues(df, topFrequent).collect()
+        .groupBy(_.getString(0))
+        .map { case (c, rs) =>
+          c -> rs.sortBy(_.getInt(3)).map(r => (r.getString(1), r.getLong(2))).toSeq
+        }
+
     val profiles = fields.map { f =>
       val c = f.name
       val num = isNumeric(f.dataType)
@@ -178,7 +226,8 @@ object Profile {
         p75 = if (num) getD(s"$c::p75") else None,
         skewness = if (num) getD(s"$c::skew") else None,
         kurtosis = if (num) getD(s"$c::kurt") else None,
-        histogram = histograms.getOrElse(c, Seq.empty))
+        histogram = histograms.getOrElse(c, Seq.empty),
+        frequent = freq.getOrElse(c, Seq.empty))
     }
 
     // PR6 — pairwise correlations over numeric columns, one pass.
@@ -210,12 +259,20 @@ object Profile {
         Double.box(d))).getOrElse("—")
     def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
+    // frequent values render truncated — a "frequent" TEXT column could
+    // otherwise paste whole documents into the report
+    def freqCell(c: ColumnProfile): String =
+      c.frequent.map { case (v, n) =>
+        val shown = if (v.length > 40) v.take(40) + "…" else v
+        s"${esc(shown)} (${n})"
+      }.mkString(", ")
     val colRows = p.profiles.map { c =>
       s"<tr><td>${esc(c.name)}</td><td>${esc(c.dataType)}</td><td>${c.count}</td>" +
         s"<td>${c.missing}</td><td>${c.distinct}</td><td>${fmt(c.mean)}</td>" +
         s"<td>${fmt(c.stddev)}</td><td>${fmt(c.min)}</td><td>${fmt(c.p50)}</td>" +
         s"<td>${fmt(c.max)}</td><td>${fmt(c.skewness)}</td>" +
-        s"<td>${fmt(c.kurtosis)}</td><td>${c.histogram.mkString(" ")}</td></tr>"
+        s"<td>${fmt(c.kurtosis)}</td><td>${c.histogram.mkString(" ")}</td>" +
+        s"<td>${freqCell(c)}</td></tr>"
     }.mkString("\n")
     val corrRows = p.correlations.toSeq.sortBy(_._1).map { case ((a, b), v) =>
       s"<tr><td>${esc(a)}</td><td>${esc(b)}</td><td>${fmt(Some(v))}</td></tr>"
@@ -228,7 +285,7 @@ object Profile {
        |<h2>Columns</h2>
        |<table><tr><th>column</th><th>type</th><th>count</th><th>missing</th>
        |<th>distinct</th><th>mean</th><th>std</th><th>min</th><th>median</th><th>max</th>
-       |<th>skew</th><th>kurtosis</th><th>histogram</th></tr>
+       |<th>skew</th><th>kurtosis</th><th>histogram</th><th>frequent</th></tr>
        |$colRows</table>
        |<h2>Correlations</h2>
        |<table><tr><th>a</th><th>b</th><th>corr</th></tr>

@@ -518,6 +518,17 @@ object RelationalQueries {
         .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** PR8: per-column frequent values (ydata-profiling's "Most frequent
+    * values" block, finalprojectpandasprofiling.py:50) — the exact
+    * distributed form: one (colIdx, value) cell pass, one exact groupBy
+    * count, bounded-heap `topk_desc_str` per column. Deterministic
+    * (cnt DESC, value ASC) tie-break, so the DuckDB row_number mirror
+    * hash-checks both the counts and the ordering. */
+  private val pr8Frequent: Q = (s, dir) =>
+    graft.profile.Profile.frequentValues(
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")),
+      topN = 5)
+
   /** PR5: duplicate full rows. */
   private val pr5DupRows: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
@@ -729,7 +740,8 @@ object RelationalQueries {
     "pr4_quantiles" -> pr4Quantiles,
     "pr5_dup_rows" -> pr5DupRows,
     "pr7_histogram" -> pr7Histogram,
-    "pr6_correlation" -> pr6Correlation)
+    "pr6_correlation" -> pr6Correlation,
+    "pr8_frequent" -> pr8Frequent)
 
   val oracle: Map[String, String] = Map(
     "k11_changeset_apply" ->
@@ -1012,5 +1024,19 @@ object RelationalQueries {
         | AS dup_rows""".stripMargin,
     "pr6_correlation" ->
       """SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        | ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""".stripMargin)
+        | ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""".stripMargin,
+    "pr8_frequent" ->
+      """WITH cells AS (
+        | SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value
+        |   FROM customer WHERE c_mktsegment IS NOT NULL
+        | UNION ALL
+        | SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        |   FROM customer WHERE c_nationkey IS NOT NULL),
+        |counts AS (SELECT col_name, value, count(*) AS cnt
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT col_name, value, cnt, rank FROM (
+        | SELECT col_name, value, cnt,
+        |   CAST(row_number() OVER (PARTITION BY col_name
+        |     ORDER BY cnt DESC, value) AS INTEGER) AS rank
+        | FROM counts) WHERE rank <= 5""".stripMargin)
 }

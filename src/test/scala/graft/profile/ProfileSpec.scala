@@ -58,6 +58,34 @@ class ProfileSpec extends SparkSpec {
     assert(approx.rows === 2000)
   }
 
+  test("frequent values: planted skew, exact counts, deterministic tie-break (PR8)") {
+    // 'x' dominates, 'b'/'c' tie at 2 → tie broken by value ascending;
+    // nulls excluded (they are the `missing` statistic, not a value)
+    val skewed = (Seq.fill(5)("x") ++ Seq("b", "b", "c", "c") ++ Seq(null))
+      .zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "cat")
+    val rows = Profile.frequentValues(skewed.select($"cat"), topN = 2)
+      .as[(String, String, Long, Int)].collect().sortBy(_._4)
+    assert(rows.toSeq === Seq(("cat", "x", 5L, 1), ("cat", "b", 2L, 2)))
+    // and the profile() integration carries the same pairs per column
+    val p = Profile.profile(skewed, "t", exact = true, topFrequent = 2)
+    assert(p.profiles.find(_.name == "cat").get.frequent ===
+      Seq(("x", 5L), ("b", 2L)))
+    // numeric columns are stringified cells like ydata's value tables
+    assert(p.profiles.find(_.name == "id").get.frequent.length === 2)
+    intercept[IllegalArgumentException] {
+      Profile.frequentValues(skewed, topN = 0)
+    }
+  }
+
+  test("frequent values partition-count independent (map-side heap partials)") {
+    val d = (0 until 200).map(i => (i, if (i % 3 == 0) "t" else s"v${i % 7}"))
+      .toDF("id", "cat").select($"cat")
+    def of(parts: Int) =
+      Profile.frequentValues(d.repartition(parts), topN = 3)
+        .as[(String, String, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(of(1) === of(13))
+  }
+
   test("html report renders all columns and stats (K4)") {
     val html = Profile.toHtml(Profile.profile(df, "mytable", exact = true))
     assert(html.contains("<h1>Profile: mytable</h1>"))
