@@ -119,13 +119,12 @@ object Dedup {
     * the classic K-permutation form — the asymptotically right shape for
     * long documents. Returns (id, sig: array<bigint>).
     *
-    * CAVEAT — short documents: empty bins keep the Long.MaxValue sentinel,
-    * so docs with fewer distinct shingles than bins share sentinel-heavy
-    * bands and over-generate candidates (degrading toward all-pairs for a
-    * very short corpus). Use for long-document corpora, or add a
-    * densification pass; [[minHashSignatures]] (the default inside
-    * [[minHashNearDups]]) has no such degradation and near-identical
-    * throughput at 64 hashes. */
+    * SHORT DOCUMENTS: empty bins keep the Long.MaxValue sentinel, so docs
+    * with fewer distinct shingles than bins share sentinel-heavy bands and
+    * over-generate candidates (degrading toward all-pairs for a very short
+    * corpus) — run [[densifyOPH]] over the result to repair exactly this.
+    * [[minHashSignatures]] (the default inside [[minHashNearDups]]) has no
+    * such degradation and near-identical throughput at 64 hashes. */
   def minHashSignaturesOPH(df: DataFrame, textCol: String, idCol: String,
                            numBins: Int = 64, shingleK: Int = 5): DataFrame = {
     val binMins = shingleRows(df, textCol, idCol, shingleK)
@@ -137,6 +136,44 @@ object Dedup {
       .select(col("id"),
         transform(sequence(lit(0), lit(numBins - 1)),
           b => coalesce(try_element_at(col("m"), b), lit(Long.MaxValue))).as("sig"))
+  }
+
+  /** Rotation densification for [[minHashSignaturesOPH]] (Shrivastava &
+    * Li 2014, "Densifying One Permutation Hashing", public): every empty
+    * bin borrows the value of the NEAREST NON-EMPTY bin to its right
+    * (circularly), mixed with the borrow distance —
+    * `densified[b] = xxhash64(sig[(b+j) mod k], j)` for the smallest j > 0
+    * with a non-empty source (non-empty bins keep their raw value, so
+    * long-document signatures are unchanged bit-for-bit). The hash mix
+    * plays the `+ j·C` role of the paper (two borrowed positions agree iff
+    * source value AND distance agree) without the long-overflow a raw
+    * `+ j·C` would risk under ANSI arithmetic.
+    *
+    * This removes the short-document caveat: unrelated short docs no
+    * longer agree on shared sentinel positions (the all-pairs degradation
+    * mode), while genuinely identical shingle sets still densify to
+    * identical signatures, keeping banded-LSH recall guarantees.
+    *
+    * Shape: map-only (one transform over a fixed-width array — no
+    * shuffle, no join). The nearest-bin search is O(k) per position worst
+    * case (interpreted HOF over k=64 → ≤4096 tiny steps per DOC, paid
+    * once per signature build, orders of magnitude under the shingling
+    * cost it follows); an all-empty signature (no shingles survived)
+    * stays all-sentinel rather than erroring. */
+  def densifyOPH(sigs: DataFrame, numBins: Int = 64): DataFrame = {
+    require(numBins > 0, s"numBins must be > 0, got $numBins")
+    val sentinel = Long.MaxValue
+    val ext = concat(col("sig"), col("sig")) // circular indexing, branch-free
+    val dense = transform(sequence(lit(0), lit(numBins - 1)), b => {
+      val j = element_at(
+        filter(sequence(lit(1), lit(numBins - 1)),
+          jj => element_at(ext, b + jj + 1) =!= sentinel), 1)
+      when(element_at(col("sig"), b + 1) =!= sentinel,
+          element_at(col("sig"), b + 1))
+        .otherwise(when(j.isNotNull,
+          xxhash64(element_at(ext, b + j + 1), j)).otherwise(lit(sentinel)))
+    })
+    sigs.select(col("id"), dense.as("sig"))
   }
 
   /** Banded LSH bucket structs for a minhash signature column: one

@@ -291,6 +291,67 @@ class DedupSpec extends SparkSpec {
     assert((cachedIds -- before).isEmpty)
   }
 
+  test("densifyOPH: long docs unchanged, short docs lose shared-sentinel false agreement") {
+    // Long documents fill every bin → densification is the identity.
+    val long = base.toDF("doc_id", "text")
+    val raw = Dedup.minHashSignaturesOPH(long, "text", "doc_id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val dense = Dedup.densifyOPH(Dedup.minHashSignaturesOPH(long, "text", "doc_id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    if (raw.forall(!_._2.contains(Long.MaxValue)))
+      assert(dense.toSeq === raw.toSeq)
+
+    // Two UNRELATED short docs: raw OPH agrees on every shared-empty bin
+    // (the all-pairs degradation mode); densified signatures must not.
+    val shorts = Seq((1L, "alpha beta gamma delta"), (2L, "omega psi chi rho"))
+      .toDF("doc_id", "text")
+    def agreement(sigs: Array[(Long, Seq[Long])]): Int =
+      sigs(0)._2.zip(sigs(1)._2).count { case (a, b) => a == b }
+    val rawShort = Dedup.minHashSignaturesOPH(shorts, "text", "doc_id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val denseShort = Dedup.densifyOPH(Dedup.minHashSignaturesOPH(shorts, "text", "doc_id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(rawShort.forall(_._2.contains(Long.MaxValue)),
+      "fixture docs must actually leave empty bins")
+    assert(agreement(rawShort) > 32, "raw OPH shares sentinel positions")
+    assert(agreement(denseShort) === 0, "unrelated docs must not agree densified")
+    assert(denseShort.forall(!_._2.contains(Long.MaxValue)),
+      "densification must fill every bin")
+
+    // Identical shingle sets still densify to IDENTICAL signatures (the
+    // LSH full-recall guarantee survives densification).
+    val twins = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val denseTwins = Dedup.densifyOPH(Dedup.minHashSignaturesOPH(twins, "text", "doc_id"))
+      .orderBy("id").collect().map(r => r.getSeq[Long](1))
+    assert(denseTwins(0) === denseTwins(1))
+    intercept[IllegalArgumentException] {
+      Dedup.densifyOPH(Dedup.minHashSignaturesOPH(twins, "text", "doc_id"), numBins = 0)
+    }
+  }
+
+  test("densified OPH tracks K-permutation MinHash as a Jaccard estimator") {
+    // Mid-similarity pair, short enough that OPH leaves empty bins (so
+    // densification actually runs): both estimators' agreement fraction
+    // estimates the same Jaccard, so they must land in the same regime
+    // (Shrivastava & Li 2014's unbiasedness claim as a property test).
+    val shared = "common core content that both documents fully share here"
+    val pair = Seq((1L, s"first unique prefix $shared"),
+      (2L, s"$shared second unique suffix tail")).toDF("doc_id", "text")
+    def agreement(sigs: Array[Seq[Long]]): Double =
+      sigs(0).zip(sigs(1)).count { case (a, b) => a == b } / 64.0
+    val raw = Dedup.minHashSignaturesOPH(pair, "text", "doc_id")
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(raw.exists(_.contains(Long.MaxValue)), "pair must exercise densification")
+    val oph = agreement(Dedup.densifyOPH(Dedup.minHashSignaturesOPH(pair, "text", "doc_id"))
+      .orderBy("id").collect().map(_.getSeq[Long](1)))
+    val kperm = agreement(Dedup.minHashSignatures(pair, "text", "doc_id")
+      .orderBy("id").collect().map(_.getSeq[Long](1)))
+    assert(oph > 0.1 && oph < 0.9, s"densified agreement $oph should be mid-range")
+    assert(math.abs(oph - kperm) <= 0.3,
+      s"densified-OPH ($oph) and K-perm ($kperm) estimate the same Jaccard")
+  }
+
   test("signatures are partition-count independent (deterministic at any parallelism)") {
     val df = base.toDF("doc_id", "text")
     def sigOf(parts: Int) = Dedup.minHashSignaturesOPH(df.repartition(parts), "text", "doc_id")
