@@ -159,7 +159,8 @@ object Dedup {
     * case (interpreted HOF over k=64 → ≤4096 tiny steps per DOC, paid
     * once per signature build, orders of magnitude under the shingling
     * cost it follows); an all-empty signature (no shingles survived)
-    * stays all-sentinel rather than erroring. */
+    * stays all-sentinel rather than erroring. Rewrites `sig` in place;
+    * all other columns pass through. */
   def densifyOPH(sigs: DataFrame, numBins: Int = 64): DataFrame = {
     require(numBins > 0, s"numBins must be > 0, got $numBins")
     val sentinel = Long.MaxValue
@@ -173,7 +174,7 @@ object Dedup {
         .otherwise(when(j.isNotNull,
           xxhash64(element_at(ext, b + j + 1), j)).otherwise(lit(sentinel)))
     })
-    sigs.select(col("id"), dense.as("sig"))
+    sigs.withColumn("sig", dense)
   }
 
   /** Banded LSH bucket structs for a minhash signature column: one
@@ -237,7 +238,8 @@ object Dedup {
                       threshold: Double = 0.7, bands: Int = 16,
                       rowsPerBand: Int = 4, shingleK: Int = 5,
                       minBandMatches: Int = 1,
-                      maxBucketOccupancy: Long = 100000L): DataFrame = {
+                      maxBucketOccupancy: Long = 100000L,
+                      ophDensified: Boolean = false): DataFrame = {
     require(threshold > 0, "minHashNearDups requires a positive threshold")
     val numHashes = bands * rowsPerBand
 
@@ -268,9 +270,33 @@ object Dedup {
     // replacing the former full-frame window count. Persisted (one narrow
     // row per doc): four consumers — both self-join sides and both size
     // joins — would otherwise each recompute the 64-min aggregate.
+    //
+    // ophDensified = true swaps CANDIDATE GENERATION to the
+    // one-permutation family ([[minHashSignaturesOPH]] semantics over the
+    // same distinct shingle frame, then [[densifyOPH]]) — 1 hash + group
+    // update per shingle instead of numHashes hash+min updates, the
+    // asymptotically right build for long documents. Exact-Jaccard
+    // verification below is UNCHANGED, so the output contract (pairs at
+    // true Jaccard ≥ threshold among candidates) is family-independent;
+    // identical shingle sets still produce identical densified signatures,
+    // so threshold-1.0 recall stays guaranteed (dd_oph_verified pins it
+    // against the identical-set oracle in SQL).
     val aggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))))
-    val sigN = shingles.groupBy("id")
-      .agg(array(aggs: _*).as("sig"), count(lit(1)).as("n"))
+    val sigN = (if (!ophDensified)
+        shingles.groupBy("id")
+          .agg(array(aggs: _*).as("sig"), count(lit(1)).as("n"))
+      else {
+        val binMins = shingles.groupBy(col("id"),
+            pmod(col("h"), lit(numHashes.toLong)).cast("int").as("bin"))
+          .agg(min(col("h")).as("mh"), count(lit(1)).as("c"))
+        densifyOPH(binMins.groupBy("id")
+          .agg(map_from_entries(collect_list(struct(col("bin"), col("mh")))).as("m"),
+            sum(col("c")).as("n"))
+          .select(col("id"),
+            transform(sequence(lit(0), lit(numHashes - 1)),
+              b => coalesce(try_element_at(col("m"), b), lit(Long.MaxValue))).as("sig"),
+            col("n")), numHashes)
+      })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigN

@@ -883,6 +883,23 @@ object ExtensionQueries {
       threshold = 1.0, bands = 16, rowsPerBand = 4, minBandMatches = 16)
   }
 
+  /** [[ddMinhashVerified]] through the ONE-PERMUTATION + rotation-
+    * densification family (`ophDensified = true`): candidates come from
+    * densified OPH signatures (1 hash per shingle instead of 64 — the
+    * long-document build), verification is the same exact Jaccard.
+    * Identical shingle sets produce identical bin minima, hence identical
+    * densified signatures, so all bands collide and threshold-1.0 recall
+    * stays guaranteed — the whole OPH + densification pipeline shares the
+    * identical-set digest oracle and hash-checks end to end. */
+  private val ddOphVerified: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    Dedup.minHashNearDups(docs.unionByName(planted), "text", "doc_id",
+      threshold = 1.0, bands = 16, rowsPerBand = 4, minBandMatches = 16,
+      ophDensified = true)
+  }
+
   /** [[ddSimhash]]'s oracle-closed twin over the PORTABLE 60-bit
     * md5-derived token hash ([[Dedup.portableHash60]]): every stage —
     * per-token hash, per-bit votes, sign packing, pigeonhole blocking
@@ -1208,6 +1225,7 @@ object ExtensionQueries {
     "sim_pq_recall" -> simPqRecall,
     "sim_pq_probe" -> simPqProbe,
     "dd_minhash_verified" -> ddMinhashVerified,
+    "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_index_probe" -> ddIndexProbe,
@@ -1285,6 +1303,25 @@ object ExtensionQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |  AND bit_count(xor(a.s, b.s)) <= 3""".stripMargin
   }
+
+  /** Shared identical-shingle-set oracle (dd_minhash_verified ≡
+    * dd_oph_verified at threshold 1.0): groups docs by a canonical
+    * sorted-shingle-list digest — no pairwise join. */
+  private val minhashVerifiedOracle: String =
+    raw"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 100000, text FROM documents
+         |   WHERE doc_id % 10 = 0),
+         |n AS (SELECT doc_id,
+         |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus),
+         |ss AS (SELECT doc_id, md5(CAST(list_sort(list_distinct(
+         |    CASE WHEN len(t) < 5 THEN [t]
+         |    ELSE list_transform(generate_series(1, len(t) - 4),
+         |      i -> substring(t, i, 5)) END)) AS VARCHAR)) AS d
+         |  FROM n)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM ss a JOIN ss b ON a.d = b.d AND a.doc_id < b.doc_id""".stripMargin
 
   /** Shared grid-PQ exactness oracle (sim_pq_exact ≡ sim_pq_probe): the
     * integer grid is exact in doubles and the codebook recovers every
@@ -2163,21 +2200,10 @@ bruteForceCosineOracle,
       // Threshold 1.0 keeps exactly the identical-shingle-set pairs, whose
       // identical signatures guarantee LSH recall; the oracle groups docs
       // by a canonical sorted-shingle-list digest — no pairwise join.
-      "dd_minhash_verified" ->
-        raw"""WITH corpus AS (
-             | SELECT doc_id, text FROM documents
-             | UNION ALL SELECT doc_id + 100000, text FROM documents
-             |   WHERE doc_id % 10 = 0),
-             |n AS (SELECT doc_id,
-             |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus),
-             |ss AS (SELECT doc_id, md5(CAST(list_sort(list_distinct(
-             |    CASE WHEN len(t) < 5 THEN [t]
-             |    ELSE list_transform(generate_series(1, len(t) - 4),
-             |      i -> substring(t, i, 5)) END)) AS VARCHAR)) AS d
-             |  FROM n)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             | CAST(1.0 AS DOUBLE) AS jaccard
-             |FROM ss a JOIN ss b ON a.d = b.d AND a.doc_id < b.doc_id""".stripMargin,
+      // Shared by the K-permutation and OPH+densified candidate families:
+      // exact verification makes the output family-independent at 1.0.
+      "dd_minhash_verified" -> minhashVerifiedOracle,
+      "dd_oph_verified" -> minhashVerifiedOracle,
       "dd_simhash_exact" -> ddSimhashExactOracle,
       // approximate-regime recall metrics: the ANN pipeline AND the
       // overlap ratio replay in SQL (portable signature / codebook
