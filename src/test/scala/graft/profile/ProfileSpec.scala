@@ -77,6 +77,17 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("frequentValues plan: heap aggregate runs with map-side partials, no sort") {
+    // The scale contract: the per-column top-k is a PARTIAL ObjectHashAggregate
+    // (each partition ships ≤ N rows per column), not a window sort over the
+    // full (column, value) count frame.
+    val plan = Profile.frequentValues(df.select($"s"), topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkdescstr") || plan.contains("partial_topk_desc_str"),
+      s"expected partial heap aggregation in:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
+  }
+
   test("frequent values partition-count independent (map-side heap partials)") {
     val d = (0 until 200).map(i => (i, if (i % 3 == 0) "t" else s"v${i % 7}"))
       .toDF("id", "cat").select($"cat")

@@ -124,6 +124,20 @@ class PqSpec extends SparkSpec {
     assert(inMem.nonEmpty)
   }
 
+  test("probeTopK plan: codes stream map-side — LUTs broadcast, no code shuffle before the heap") {
+    // The serving contract: the encoded corpus joins the per-query LUTs via
+    // BROADCAST (never a shuffle of the codes), and the only exchange is the
+    // bounded-heap top-k aggregation.
+    val corpus = (0 until 48).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val idx = Pq.buildIndex(corpus, m = 4, codebookSize = 4)
+    val plan = Pq.probeTopK(idx, corpus.filter(col("vec_id") < 3), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"LUT side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"codes must not shuffle for the LUT join:\n$plan")
+  }
+
   test("probeTopK fails fast on an empty or non-contiguous codebook frame") {
     val corpus = (0 until 8).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
     val idx = Pq.buildIndex(corpus, m = 4, codebookSize = 4)

@@ -107,6 +107,14 @@ class SimilaritySpec extends SparkSpec {
       s"signature families diverged: portable=$portable xxhash=$fast")
   }
 
+  test("portable signatures plan: ONE shuffle, plane table as literals (no per-row md5)") {
+    val plan = Similarity.rhpSignaturesPortable(df, "vec_id", "embedding", bits = 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"posexplode → single aggregate shuffle expected:\n$plan")
+    assert(!plan.contains("md5"), s"plane table must be precomputed literals:\n$plan")
+  }
+
   test("recallAtK: all-integer ratio; a query the ANN lost still counts k misses") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "cand_id")
