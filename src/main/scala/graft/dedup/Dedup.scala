@@ -166,9 +166,12 @@ object Dedup {
     val sentinel = Long.MaxValue
     val ext = concat(col("sig"), col("sig")) // circular indexing, branch-free
     val dense = transform(sequence(lit(0), lit(numBins - 1)), b => {
-      val j = element_at(
+      // try_element_at: an ALL-sentinel signature filters to an empty
+      // offset list, and ANSI element_at(empty, 1) throws instead of
+      // returning the null the otherwise-branch handles
+      val j = try_element_at(
         filter(sequence(lit(1), lit(numBins - 1)),
-          jj => element_at(ext, b + jj + 1) =!= sentinel), 1)
+          jj => element_at(ext, b + jj + 1) =!= sentinel), lit(1))
       when(element_at(col("sig"), b + 1) =!= sentinel,
           element_at(col("sig"), b + 1))
         .otherwise(when(j.isNotNull,

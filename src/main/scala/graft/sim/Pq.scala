@@ -71,8 +71,13 @@ object Pq {
       s"trainFraction must be in (0, 1], got $trainFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // one-row scalar gate (dimension), same sanctioned shape as Quality's
-    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).head().getInt(0)
+    // one-row scalar gate (dimension), same sanctioned shape as Quality's;
+    // an empty corpus is an explicit argument error, not a bare
+    // NoSuchElementException out of the probe
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "buildIndex: empty corpus — nothing to train codebooks on"))
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
 
@@ -196,7 +201,10 @@ object Pq {
     require(stride > 0, s"stride must be > 0, got $stride")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).head().getInt(0)
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "pqTopKPortable: empty corpus — nothing to sample codebooks from"))
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
 

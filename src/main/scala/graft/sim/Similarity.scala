@@ -295,7 +295,10 @@ object Similarity {
     val nq = exact.agg(countDistinct(col("query_id")).as("n_queries"))
     nq.crossJoin(hits)
       .select(lit(k).as("k"), col("n_queries"), col("n_hits"),
-        round(col("n_hits").cast(DoubleType) / (col("n_queries") * lit(k)), 6)
+        // zero queries → recall undefined (null), not an ANSI
+        // divide-by-zero crash on a filtered-to-empty exact side
+        round(when(col("n_queries") > 0,
+          col("n_hits").cast(DoubleType) / (col("n_queries") * lit(k))), 6)
           .as("mean_recall"))
   }
 

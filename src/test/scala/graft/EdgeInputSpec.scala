@@ -64,6 +64,47 @@ class EdgeInputSpec extends SparkSpec {
     assert(segs === Seq("a", "b", "c"))
   }
 
+  test("empty/degenerate inputs: round-9 operators stay defined") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    // portable LSH: empty corpus / empty queries → 0 rows, no crash
+    assert(graft.sim.Similarity.lshTopKPortable(emptyVec, vecs, k = 3).count() === 0)
+    assert(graft.sim.Similarity.lshTopKPortable(vecs, emptyVec, k = 3).count() === 0)
+    // recallAtK with an empty ANN side: hits 0, n_queries from exact
+    val exact = Seq((1L, 2L), (1L, 3L)).toDF("query_id", "cand_id")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("query_id", "cand_id")
+    val r = graft.sim.Similarity.recallAtK(emptyPairs, exact, k = 2)
+      .as[(Int, Long, Long, Double)].head()
+    assert(r === ((2, 1L, 0L, 0.0)))
+    // and an empty EXACT side: 0 queries → recall undefined (null mean),
+    // not an ANSI divide-by-zero (the bug this test originally caught)
+    val r2 = graft.sim.Similarity.recallAtK(exact, emptyPairs, k = 2).collect()
+    assert(r2.length === 1 && r2(0).getLong(1) === 0L && r2(0).isNullAt(3))
+    // portable PQ: empty corpus fails the codebook-sample gate EXPLICITLY
+    intercept[IllegalArgumentException] {
+      graft.sim.Pq.pqTopKPortable(emptyVec, vecs, k = 3, m = 2, codebookSize = 4)
+    }
+    // frequentValues: empty frame → 0 rows; all-null column → 0 rows
+    assert(graft.profile.Profile.frequentValues(empty, topN = 3).count() === 0)
+    val allNull = Seq((1L, null: String), (2L, null: String)).toDF("id", "t")
+    assert(graft.profile.Profile.frequentValues(allNull.select($"t"), topN = 3)
+      .count() === 0)
+    // OPH densification of an all-empty signature stays all-sentinel
+    val sent = Seq((1L, Seq.fill(8)(Long.MaxValue))).toDF("id", "sig")
+    val dsig = Dedup.densifyOPH(sent, numBins = 8)
+      .as[(Long, Seq[Long])].head()._2
+    assert(dsig.forall(_ === Long.MaxValue))
+    // OPH-densified near-dup over an empty corpus: 0 rows, no caches left
+    val mh = Dedup.minHashNearDups(empty, "text", "doc_id",
+      threshold = 1.0, minBandMatches = 16, ophDensified = true)
+    assert(mh.count() === 0); mh.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty)
+  }
+
   test("sampleFrames: corrupt containers and empty frames stay defined") {
     import graft.multimodal.Multimodal
     // truncated GIF: cut a real multi-frame payload in half — frames
