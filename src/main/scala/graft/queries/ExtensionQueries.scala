@@ -681,6 +681,15 @@ object ExtensionQueries {
     }
   }
 
+  /** Sequence packing (concatenation layout for pretraining): per-shard
+    * head-to-tail document placement with boundaries every 512 tokens.
+    * Window cumsum + integer arithmetic — fully replayed by the DuckDB
+    * oracle, so shard assignment, ordering, boundary spans, and the
+    * zero-token convention are all hash-checked. */
+  private val txtPackSequences: Q = (s, dir) =>
+    TextOps.packSequences(t(s, dir, "documents"), "text", "doc_id",
+      seqLen = 512, nShards = 8)
+
   // ------------------------------------------------------------ similarity
   /** Exact brute-force cosine top-k (query set = vec_id < 10, broadcast). */
   private val simCosineTopk: Q = (s, dir) => {
@@ -1162,6 +1171,7 @@ object ExtensionQueries {
   // ------------------------------------------------------------------- maps
   val queries: Map[String, Q] = Map(
     "txt_token_count" -> txtTokenCount,
+    "txt_pack_sequences" -> txtPackSequences,
     "txt_subword_count" -> txtSubwordCount,
     "txt_quality_score" -> txtQualityScore,
     "txt_lang_id" -> txtLangId,
@@ -1532,6 +1542,21 @@ object ExtensionQueries {
         ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
           "'[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_subwords " +
           "FROM documents"),
+      "txt_pack_sequences" ->
+        raw"""WITH tok AS (SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             |  END AS n_tokens FROM documents),
+             |packed AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             |  SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM tok)
+             |SELECT doc_id AS id, CAST(shard AS BIGINT) AS shard, n_tokens,
+             | CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS start_seq,
+             | CAST((cum - n_tokens) % 512 AS BIGINT) AS start_off,
+             | CAST(FLOOR((CASE WHEN n_tokens > 0 THEN cum - 1
+             |   ELSE cum - n_tokens END) / 512) AS BIGINT) AS end_seq
+             |FROM packed""".stripMargin,
       "txt_quality_score" ->
         """SELECT doc_id, ROUND(
           |   LEAST(nchars / 500.0, 1.0) * 0.25

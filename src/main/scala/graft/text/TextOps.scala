@@ -18,6 +18,42 @@ object TextOps {
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, 0).otherwise(size(tokens(c))).cast(LongType)
 
+  /** Sequence packing for LLM pretraining (concatenation packing):
+    * documents are laid head-to-tail per SHARD in deterministic id order;
+    * training-sequence boundaries fall every `seqLen` tokens, and a
+    * document may span a boundary — the standard pack-then-attention-mask
+    * pretraining layout. Returns one row per document:
+    * (id, shard, n_tokens, start_seq, start_off, end_seq) — the 0-based
+    * within-shard sequence indices covering the document's tokens and the
+    * offset inside the first one. A zero-token document occupies no
+    * positions (start_seq = end_seq at its start offset) but keeps a
+    * defined row.
+    *
+    * Scale shape: the ONLY ordered pass is a running-sum window
+    * PARTITIONED BY shard (`pmod(id, nShards)` — replayable arithmetic;
+    * pre-hash ids upstream if the id space is clustered), so no global
+    * sort ever happens and each shard packs independently — exactly how a
+    * 1000-executor job lays out per-shard token files. Token counting is
+    * the map-only [[tokenCount]]. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    seqLen: Int = 2048, nShards: Int = 16): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("id"))
+    df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard", pmod(col("id"), lit(nShards.toLong)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / seqLen).cast(LongType)
+          .as("start_seq"),
+        ((col("cum") - col("n_tokens")) % seqLen).cast(LongType)
+          .as("start_off"),
+        floor(when(col("n_tokens") > 0, col("cum") - 1)
+            .otherwise(col("cum") - col("n_tokens")) / seqLen).cast(LongType)
+          .as("end_seq"))
+  }
+
   /** BPE-ish subword count estimate: word-piece regex match — letter runs,
     * digit runs, single punctuation marks — approximating a byte-level
     * BPE's pre-tokenizer. Match-based (RE2-compatible pattern, no

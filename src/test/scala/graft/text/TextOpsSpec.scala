@@ -12,6 +12,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out.sameElements(Array(3L, 0L, 0L, 1L, 3L)))
   }
 
+  test("packSequences: hand-computed layout, boundary spans, zero-token rows") {
+    // One shard, seqLen 4; token counts 3,5,4,0,2,7 → cum 3,8,12,12,14,21.
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(3, 5, 4, 0, 2, 7).zipWithIndex
+      .map { case (n, i) => (i.toLong, words(n)) }.toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, "text", "doc_id", seqLen = 4, nShards = 1)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 3L, 0L, 0L, 0L),   // tokens 0-2 in seq 0
+      (1L, 0L, 5L, 0L, 3L, 1L),   // spans the seq-0/1 boundary
+      (2L, 0L, 4L, 2L, 0L, 2L),   // exactly fills seq 2
+      (3L, 0L, 0L, 3L, 0L, 3L),   // zero tokens: defined empty span
+      (4L, 0L, 2L, 3L, 0L, 3L),
+      (5L, 0L, 7L, 3L, 2L, 5L)))  // spans seqs 3..5
+    // shards pack independently: per-doc layout depends only on the docs
+    // in the SAME shard (doc 7 lands in shard 1 and must not shift shard 0)
+    val twoShards = TextOps.packSequences(
+      docs.union(Seq((7L, words(9))).toDF("doc_id", "text")),
+      "text", "doc_id", seqLen = 4, nShards = 2)
+    val even = twoShards.filter(col("shard") === 0).orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(even === Seq(
+      (0L, 0L, 3L, 0L, 0L, 0L),
+      (2L, 0L, 4L, 0L, 3L, 1L),
+      (4L, 0L, 2L, 1L, 3L, 2L)))
+    intercept[IllegalArgumentException] {
+      TextOps.packSequences(docs, "text", "doc_id", seqLen = 0)
+    }
+  }
+
   test("subwordCount: letter runs + digit runs + single punctuation") {
     val out = Seq("hello world", "abc123!?", "a,b").toDF("t")
       .select(TextOps.subwordCount(col("t")).as("n")).as[Long].collect()
