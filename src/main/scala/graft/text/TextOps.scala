@@ -39,9 +39,16 @@ object TextOps {
                     seqLen: Int = 2048, nShards: Int = 16): DataFrame = {
     require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
     require(nShards > 0, s"nShards must be > 0, got $nShards")
+    // shard key and pack order both come from the id as a Long; a silent
+    // cast would null string ids, collapsing every doc into one null
+    // shard with arbitrary (nondeterministic) pack order
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"packSequences needs a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — map ids to longs first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("id"))
-    df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"))
+    df.select(col(idCol).cast(LongType).as("id"),
+        tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("shard", pmod(col("id"), lit(nShards.toLong)))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("id"), col("shard"), col("n_tokens"),
@@ -207,30 +214,14 @@ object TextOps {
     * sequential passes that a 100 TB shuffle should not pay for; the
     * chop scheme is what large pretraining corpora actually use. */
   def packByTokenBudget(df: DataFrame, textCol: String, idCol: String,
-                        contextLen: Int = 2048, shards: Int = 64): DataFrame = {
-    require(contextLen > 0 && shards > 0,
-      s"need contextLen > 0 and shards > 0, got $contextLen/$shards")
-    // shard key and pack order both come from the id as a Long; a silent
-    // cast would null string ids, collapsing every doc into one null
-    // shard with arbitrary (nondeterministic) pack order
-    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
-      s"packByTokenBudget needs a numeric id column; '$idCol' is " +
-        s"${df.schema(idCol).dataType.simpleString} — map ids to longs first")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("id"))
-    // bin boundary arithmetic on the RUNNING total: doc i's pack is
-    // floor((cum_before) / contextLen) where cum_before excludes the doc
-    // itself — i.e. a doc starts a new pack iff the budget is crossed.
-    // Using (cum - n) keeps the whole computation inside one window agg.
-    df.select(col(idCol).cast(LongType).as("id"),
-        tokenCount(col(textCol)).as("n_tokens"),
-        pmod(col(idCol).cast(LongType), lit(shards.toLong)).as("shard"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+                        contextLen: Int = 2048, shards: Int = 64): DataFrame =
+    // one layout implementation: [[packSequences]] computes the per-shard
+    // cumulative layout; this view keeps the historical output shape —
+    // a single globally-unique pack_id (shard ⊕ the window the doc's
+    // FIRST token lands in)
+    packSequences(df, textCol, idCol, contextLen, shards)
       .select(col("id"), col("n_tokens"), col("shard"),
-        (col("shard") * lit(1000000000L) +
-          floor((col("cum") - col("n_tokens")) / lit(contextLen.toDouble))
-            .cast(LongType)).as("pack_id"))
-  }
+        (col("shard") * lit(1000000000L) + col("start_seq")).as("pack_id"))
 
   /** Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
     * Models", §A1.1 — public): the fraction of all tokens taken by the
