@@ -9,7 +9,11 @@ class AnsiParitySpec extends SparkSpec {
 
   private val names = Seq(
     "f2_currency_parse", "f3_lenient_cast", "f8_ratio_nan_mean",
-    "f9_int_cast", "w4_train_split", "pr3_moments")
+    "f9_int_cast", "w4_train_split", "pr3_moments",
+    // round-9 additions with division/element_at arithmetic that ANSI
+    // treats differently when misused — parity proves they don't rely on
+    // silent-null coercion either way
+    "sim_lsh_recall", "pr8_frequent", "txt_pack_sequences")
 
   test("cleaning queries produce identical rows with ANSI on and off") {
     val dir = "/root/testdata/sf0.001"
