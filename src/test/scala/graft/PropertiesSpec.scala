@@ -272,6 +272,52 @@ object PropertiesSpec extends Properties("graft") {
     }
   }
 
+  propertyWithSeed("packSequences layout: contiguous, in-range offsets, ordered spans", None) = {
+    val countsGen = Gen.listOfN(12, Gen.choose(0, 9))
+    forAll(countsGen, Gen.choose(1, 6)) { (counts: List[Int], seqLen: Int) =>
+      counts.isEmpty || {
+        val docs = counts.zipWithIndex
+          .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+          .toDF("doc_id", "text")
+        val rows = graft.text.TextOps
+          .packSequences(docs, "text", "doc_id", seqLen = seqLen, nShards = 2)
+          .orderBy("shard", "id")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+        val perShard = rows.groupBy(_._2).values.forall { sh =>
+          // positions are contiguous: each doc starts where the previous ended
+          sh.sliding(2).forall {
+            case Seq((_, _, n1, s1, o1, _), (_, _, _, s2, o2, _)) =>
+              s2 * seqLen + o2 == s1 * seqLen + o1 + n1
+            case _ => true
+          }
+        }
+        perShard && rows.forall { case (_, _, n, s, o, e) =>
+          o >= 0 && o < seqLen && e >= s && n >= 0 &&
+            // a doc's last token lands in end_seq
+            (n == 0 || e * seqLen <= s * seqLen + o + n - 1)
+        }
+      }
+    }
+  }
+
+  propertyWithSeed("densifyOPH is idempotent and sentinel-free on non-empty signatures", None) = {
+    val sigGen = Gen.listOfN(8,
+      Gen.oneOf(Gen.const(Long.MaxValue), Gen.choose(Long.MinValue, Long.MaxValue - 1)))
+    forAll(Gen.listOfN(4, sigGen)) { sigs: List[List[Long]] =>
+      sigs.isEmpty || {
+        val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
+        val once = Dedup.densifyOPH(df, numBins = 8)
+          .orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+        val twice = Dedup.densifyOPH(Dedup.densifyOPH(df, numBins = 8), numBins = 8)
+          .orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+        once == twice && once.zip(sigs).forall { case ((_, d), raw) =>
+          // any non-sentinel bin ⇒ the densified signature has no sentinels
+          raw.forall(_ == Long.MaxValue) || d.forall(_ != Long.MaxValue)
+        }
+      }
+    }
+  }
+
   propertyWithSeed("portableHash60 stays in [0, 2^60) for arbitrary strings", None) =
     forAll(Gen.listOfN(8, Gen.asciiPrintableStr)) { ss: List[String] =>
       ss.isEmpty || {
