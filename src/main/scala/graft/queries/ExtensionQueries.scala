@@ -892,6 +892,20 @@ object ExtensionQueries {
       threshold = 1.0, bands = 16, rowsPerBand = 4, minBandMatches = 16)
   }
 
+  /** IVF member of the recall triad ([[simLshRecall]], [[simPqRecall]]):
+    * recall@5 of [[Ivf.ivfTopKPortable]] at a PARTIAL probe (nprobe 2 of
+    * nlist 8 — the approximation regime `sim_ivf_topk`'s exactness pin
+    * can't exercise) against brute force. Deterministic sampled centroids
+    * and rounded-L2 cell ranking replay exactly in SQL, so partial-probe
+    * IVF recall is a hash-checked number. */
+  private val simIvfRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.recallAtK(
+      Ivf.ivfTopKPortable(emb, q, k = 5, nlist = 8, nprobe = 2, stride = 29),
+      Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+  }
+
   /** [[ddMinhashVerified]] through the ONE-PERMUTATION + rotation-
     * densification family (`ophDensified = true`): candidates come from
     * densified OPH signatures (1 hash per shingle instead of 64 — the
@@ -1233,6 +1247,7 @@ object ExtensionQueries {
     "sim_pq_exact" -> simPqExact,
     "sim_lsh_recall" -> simLshRecall,
     "sim_pq_recall" -> simPqRecall,
+    "sim_ivf_recall" -> simIvfRecall,
     "sim_pq_probe" -> simPqProbe,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
@@ -1443,6 +1458,58 @@ object ExtensionQueries {
        |ann AS (SELECT query_id, cand_id FROM (
        |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, cand_id) AS rank FROM sc) WHERE rank <= $k),
+       |ex AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+       |      c.vec_id) AS rank
+       |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $k),
+       |hits AS (SELECT count(*) AS n_hits FROM ann
+       |  JOIN ex USING (query_id, cand_id)),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex)
+       |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
+       |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
+       |FROM nq, hits""".stripMargin
+  }
+
+  /** Generated oracle for sim_ivf_recall: replays portable IVF — the
+    * id-strided centroid sample, rounded-squared-L2 cell assignment and
+    * query probing with (dist, cell) tie-breaks, candidate membership,
+    * rounded-cosine rerank — then the same recall reduction vs exact
+    * brute force. */
+  private def simIvfRecallOracle: String = {
+    val nlist = 8; val nprobe = 2; val stride = 29; val k = 5
+    def d2(v: String) =
+      s"ROUND(list_dot_product($v, $v) - 2.0 * list_dot_product($v, c.cent)" +
+        s" + list_dot_product(c.cent, c.cent), 6)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cent
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $stride = 0
+       |        ORDER BY vec_id LIMIT $nlist)),
+       |asg AS (SELECT cand_id, cell FROM (
+       |  SELECT ce.vec_id AS cand_id, c.cell,
+       |    row_number() OVER (PARTITION BY ce.vec_id
+       |      ORDER BY ${d2("ce.v")}, c.cell) AS rn
+       |  FROM e ce, cents c) WHERE rn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${d2("q.v")}, c.cell) AS rn
+       |  FROM e q, cents c WHERE q.vec_id < 10) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.cand_id
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.cand_id <> p.query_id),
+       |cs AS (SELECT cd.query_id, cd.cand_id,
+       |   ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |       OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
+       |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+       |    JOIN e c ON c.vec_id = cd.cand_id),
+       |ann AS (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank FROM cs) WHERE rank <= $k),
        |ex AS (SELECT query_id, cand_id FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2235,6 +2302,7 @@ bruteForceCosineOracle,
       // families), so recall@5 is a hash-checked number, not a floor.
       "sim_lsh_recall" -> simLshRecallOracle,
       "sim_pq_recall" -> simPqRecallOracle,
+      "sim_ivf_recall" -> simIvfRecallOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is
       // defined by SIGNATURE agreement, and full 64-position agreement
       // does NOT imply identical shingle sets (a pair at true J = 0.98

@@ -2,7 +2,7 @@ package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -113,4 +113,57 @@ object Ivf {
               seed: Long = 42L): DataFrame =
     probeTopK(buildIndex(corpus, nlist, idCol, vecCol, seed),
       queries, k, nprobe, idCol, vecCol)
+
+  /** PORTABLE IVF — the oracle bridge of the IVF family (`sim_ivf_recall`),
+    * completing the recall triad with [[Similarity.lshTopKPortable]] and
+    * [[Pq.pqTopKPortable]]: the k-means coarse quantizer is replaced by a
+    * deterministic id-strided centroid sample (k-means init with zero
+    * Lloyd iterations), and BOTH the corpus assignment and the query probe
+    * rank cells by the ROUNDED squared-L2 with a (dist, cell) tie-break —
+    * every step replays exactly in SQL, so PARTIAL-probe
+    * (nprobe < nlist) recall against brute force becomes a hash-checked
+    * number rather than a ScalaTest floor. [[ivfTopK]] (trained) stays the
+    * production form; the sampled assignment here pays one corpus groupBy
+    * the trained form's map-only `model.transform` avoids — acceptable for
+    * the metric query, not the serving path. */
+  def ivfTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nlist: Int = 8, nprobe: Int = 2, stride: Int = 29,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nlist > 1, s"nlist must be > 1, got $nlist")
+    require(nprobe > 0 && nprobe <= nlist,
+      s"need 0 < nprobe <= nlist, got $nprobe/$nlist")
+    require(stride > 0, s"stride must be > 0, got $stride")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampled = corpus.filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    require(sampled.length == nlist,
+      s"corpus has only ${sampled.length} ids divisible by stride=$stride; " +
+        s"need nlist=$nlist (lower stride or nlist)")
+    val cents = sampled.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "cent")
+    def dist2(v: Column) = round(
+      VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, col("cent")) +
+        VectorExprs.dot(col("cent"), col("cent")), 6)
+
+    val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(cents))
+      .select(col("cand_id"), col("cvec"),
+        struct(dist2(col("cvec")).as("d"), col("cell").as("c")).as("__dc"))
+      .groupBy("cand_id")
+      .agg(min(col("__dc")).getField("c").as("cell"), first(col("cvec")).as("cvec"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", dist2(col("qvec")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val cand = assigned.join(probes.hint("broadcast"), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(Similarity.cosine(col("qvec"), col("cvec")), 6))
+    Similarity.topKExplode(cand, "cosine", k)
+  }
 }

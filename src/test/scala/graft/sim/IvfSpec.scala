@@ -44,6 +44,30 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("portable IVF: planted duplicates found, full probe ≡ brute force, guards fire") {
+    // identical vector ⇒ identical rounded distances ⇒ same cell, so a
+    // planted duplicate is always inside the probed cell set
+    val queries = df.filter(col("vec_id") < 8)
+    val found = Ivf.ivfTopKPortable(df, queries, k = 1, nlist = 8, nprobe = 2,
+        stride = 13)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    (0 until 8).foreach(q => assert(found(q.toLong) === q + 10000L))
+    // probing every cell must reproduce exact brute force bit-for-bit —
+    // the sampled quantizer drops out exactly like nprobe = nlist k-means
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val full = Ivf.ivfTopKPortable(df, queries, k = 5, nlist = 8, nprobe = 8,
+        stride = 13)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(full === exact)
+    intercept[IllegalArgumentException] {
+      Ivf.ivfTopKPortable(df, queries, k = 1, nlist = 64, nprobe = 2, stride = 13)
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.ivfTopKPortable(df, queries, k = 1, nlist = 8, nprobe = 9)
+    }
+  }
+
   test("build once, probe many: stored index round-trips and serves multiple query sets") {
     val q1 = df.filter(col("vec_id") < 4)
     val q2 = df.filter(col("vec_id") >= 4 && col("vec_id") < 8)
