@@ -12,13 +12,18 @@ object SparkEntry {
     RelationalQueries.queries ++ ExtensionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Bucketed/quantized-approximation ops
-    * (dd_minhash_lsh, dd_simhash, sim_lsh_ann, sim_pq_topk) are rows-only:
-    * their output is defined by the bucketing/codebooks, so they are
-    * verified by planted-duplicate / exact-recovery ScalaTest checks —
-    * AND each has an exactness-pinned oracle twin that closes the loop in
-    * SQL (dd_minhash_verified, dd_simhash_exact, sim_lsh_exact,
-    * sim_pq_exact: guaranteed-recall / universal-bucket / grid-recovery
-    * parameterizations of the same operators). */
+    * (dd_minhash_lsh, dd_simhash, sim_lsh_ann, sim_pq_topk,
+    * sim_ivfpq_topk, dd_incremental_neardup, dd_index_probe,
+    * txt_quality_gate_approx) are rows-only: their output is defined by
+    * the bucketing/codebooks/sketches, so they are verified by
+    * planted-duplicate / exact-recovery ScalaTest checks — AND each has
+    * an exactness-pinned oracle twin or spec pin that closes the loop
+    * (dd_minhash_verified, dd_simhash_exact, sim_lsh_exact, sim_pq_exact,
+    * sim_ivfpq_exact, txt_quality_gate, DedupSpec stored≡in-memory:
+    * guaranteed-recall / universal-bucket / grid-recovery / full-probe
+    * parameterizations of the same operators). The approximate-regime
+    * QUALITY numbers are themselves oracle-checked via the recall
+    * metrics (sim_lsh_recall, sim_pq_recall, sim_ivf_recall). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ExtensionQueries.oracle
 }

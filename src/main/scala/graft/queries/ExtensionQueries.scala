@@ -892,6 +892,29 @@ object ExtensionQueries {
       threshold = 1.0, bands = 16, rowsPerBand = 4, minBandMatches = 16)
   }
 
+  /** IVF-PQ production shape (coarse cells prune the scan, PQ codes feed
+    * ADC scoring — the standard composite large-scale ANN index): partial
+    * probe at trained parameters. Approximation is data+training-defined,
+    * so rows-only; [[simIvfpqExact]] is its oracle-closed twin and
+    * IvfPqSpec pins clustered-data recall. */
+  private val simIvfpqTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.IvfPq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      nlist = 8, nprobe = 4, m = 4, codebookSize = 16)
+  }
+
+  /** [[simIvfpqTopk]]'s exactness pin — the [[simIvfTopk]] nprobe = nlist
+    * and [[simPqExact]] grid-recovery tricks COMPOSED: every cell probed
+    * makes the coarse quantizer drop out; the grid corpus makes ADC equal
+    * the exact inner product; so the ENTIRE composite (two trainings, the
+    * encode join, cell probing, LUT scoring, heap rerank) must reproduce
+    * brute force bit-for-bit and shares the grid brute-force oracle. */
+  private val simIvfpqExact: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    graft.sim.IvfPq.ivfPqTopK(grid, grid.filter(col("vec_id") < 10), k = 5,
+      nlist = 8, nprobe = 8, m = 4, codebookSize = 8)
+  }
+
   /** IVF member of the recall triad ([[simLshRecall]], [[simPqRecall]]):
     * recall@5 of [[Ivf.ivfTopKPortable]] at a PARTIAL probe (nprobe 2 of
     * nlist 8 — the approximation regime `sim_ivf_topk`'s exactness pin
@@ -1249,6 +1272,8 @@ object ExtensionQueries {
     "sim_pq_recall" -> simPqRecall,
     "sim_ivf_recall" -> simIvfRecall,
     "sim_pq_probe" -> simPqProbe,
+    "sim_ivfpq_topk" -> simIvfpqTopk,
+    "sim_ivfpq_exact" -> simIvfpqExact,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
@@ -2289,6 +2314,11 @@ bruteForceCosineOracle,
       // bit-for-bit.
       "sim_pq_exact" -> pqGridExactOracle,
       "sim_pq_probe" -> pqGridExactOracle,
+      // nprobe = nlist composed with grid exact recovery: the full IVF-PQ
+      // composite must equal brute force, sharing the grid oracle.
+      // sim_ivfpq_topk (trained partial probe) is rows-only — its
+      // approximation is training-defined; this twin closes the loop.
+      "sim_ivfpq_exact" -> pqGridExactOracle,
       // Threshold 1.0 keeps exactly the identical-shingle-set pairs, whose
       // identical signatures guarantee LSH recall; the oracle groups docs
       // by a canonical sorted-shingle-list digest — no pairwise join.

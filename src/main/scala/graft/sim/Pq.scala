@@ -2,7 +2,7 @@ package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.VectorExprs
@@ -132,9 +132,22 @@ object Pq {
     * reduces through the bounded-heap top-k. */
   def probeTopK(index: PqIndex, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // codebook geometry from the (constant-sized) codebook rows — the
-    // stored form carries everything probe needs, like Ivf's centroids
-    val cb = index.codebooks.select(col("__j"), col("__code"), col("__flat"),
+    val geo = codebookGeometry(index.codebooks)
+    // 4. SCORE — codes stream once, LUTs broadcast; m element_at lookups.
+    val scored = index.codes
+      .crossJoin(broadcast(lutFor(queries, index.codebooks, geo, idCol, vecCol)))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(adcExpr(geo), 6))
+    Similarity.topKExplode(scored, "score", k)
+  }
+
+  /** Codebook geometry re-derived from the (constant-sized) codebook rows
+    * themselves — the stored form carries everything a probe needs, like
+    * Ivf's centroids. Shared by [[probeTopK]] and [[IvfPq.probeTopK]]. */
+  private[sim] case class CodebookGeometry(m: Int, sub: Int, offsets: Seq[Int])
+
+  private[sim] def codebookGeometry(codebooks: DataFrame): CodebookGeometry = {
+    val cb = codebooks.select(col("__j"), col("__code"), col("__flat"),
         col("__cent")).collect()
     require(cb.nonEmpty, "probeTopK: empty codebook frame")
     val m = cb.iterator.map(_.getInt(0)).max + 1
@@ -144,31 +157,33 @@ object Pq {
     val flats = cb.map(_.getInt(2)).sorted
     require(flats.sameElements(cb.indices),
       s"probeTopK: flat LUT indices not contiguous 0..${cb.length - 1}")
-    val offsets = (0 until m).map(j =>
-      cb.iterator.filter(_.getInt(0) == j).map(_.getInt(2)).min)
+    CodebookGeometry(m, sub,
+      (0 until m).map(j => cb.iterator.filter(_.getInt(0) == j).map(_.getInt(2)).min))
+  }
 
-    // 3. LUT — each query row dots its subvectors against every centroid;
-    //    m·codebookSize tiny rows per query, folded into one flat array.
-    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .crossJoin(broadcast(index.codebooks))
+  /** Step 3 — per-query flat LUT: each query row dots its subvectors
+    * against every centroid; m·codebookSize tiny rows per query, folded
+    * into one flat array ordered by the stored flat index. */
+  private[sim] def lutFor(queries: DataFrame, codebooks: DataFrame,
+                          geo: CodebookGeometry,
+                          idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(codebooks))
       .withColumn("__partial", VectorExprs.dot(
-        slice(col("qvec"), col("__j") * sub + 1, lit(sub)), col("__cent")))
+        slice(col("qvec"), col("__j") * geo.sub + 1, lit(geo.sub)), col("__cent")))
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(
           col("__flat").as("i"),
           col("__partial").as("p")))),
         e => e.getField("p")).as("__lut"))
 
-    // 4. SCORE — codes stream once, LUTs broadcast; m element_at lookups.
-    val adc = (0 until m).map(j =>
+  /** ADC score over a joined (codes ⋈ __lut) row: m element_at lookups,
+    * summed left-to-right. */
+  private[sim] def adcExpr(geo: CodebookGeometry): Column =
+    (0 until geo.m).map(j =>
         element_at(col("__lut"),
-          (lit(offsets(j)) + col(s"__c$j") + 1).cast(IntegerType)))
+          (lit(geo.offsets(j)) + col(s"__c$j") + 1).cast(IntegerType)))
       .reduce(_ + _)
-    val scored = index.codes.crossJoin(broadcast(lut))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("score", round(adc, 6))
-    Similarity.topKExplode(scored, "score", k)
-  }
 
   /** PORTABLE PQ — the oracle bridge of the PQ family (`sim_pq_recall`):
     * identical encode (nearest-codebook-entry per subspace, squared-L2,

@@ -1,0 +1,80 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** IVF-PQ composite verification: exactness when both approximations are
+  * disabled (every cell probed × grid recovery), clustered-data recall at
+  * a partial probe, and the stored-index round-trip. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 distinct integer-valued subvectors per 2-dim subspace (PqSpec's
+  // exact-recovery alphabet)
+  private val alphabet = Seq(
+    Array(1f, 0f), Array(0f, 2f), Array(2f, 2f), Array(-1f, 1f))
+  private def gridVec(i: Int): Array[Float] =
+    (0 until 4).flatMap(j => alphabet((i + j) % 4)).toArray
+
+  test("full probe × grid recovery ≡ exact inner-product top-k") {
+    val corpus = (0 until 48).map(i => (i.toLong, gridVec(i))).toDF("vec_id", "embedding")
+    val queries = (100 until 105).map(i => (i.toLong, gridVec(i))).toDF("vec_id", "embedding")
+    val got = IvfPq.ivfPqTopK(corpus, queries, k = 5, nlist = 4, nprobe = 4,
+        m = 4, codebookSize = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val exactScored = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(VectorExprs.dot(col("qv"), col("cv")), 6))
+    val exact = Similarity.topKExplode(exactScored, "score", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.sorted === exact.sorted)
+  }
+
+  test("partial probe on clustered data: k valid ranks, in-cluster neighbors only") {
+    val rnd = new scala.util.Random(7)
+    val anchors = (0 until 8).map(a =>
+      Array.tabulate(16)(d => if (d % 8 == a % 8) 10f * (1 + a / 8 + 1) else 0f))
+    def jittered(a: Int): Array[Float] =
+      anchors(a).map(x => x + (rnd.nextInt(11) - 5) * 0.1f)
+    val corpus = (0 until 120).map(i => (i.toLong, jittered(i % 8)))
+      .toDF("vec_id", "embedding")
+    val queries = (1000 until 1003).map(i => (i.toLong, jittered(i % 8)))
+      .toDF("vec_id", "embedding")
+    val got = IvfPq.ivfPqTopK(corpus, queries, k = 5, nlist = 8, nprobe = 2,
+        m = 4, codebookSize = 8)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === Set(1000L, 1001L, 1002L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted === Seq(1, 2, 3, 4, 5))
+      assert(rows.forall(_._2 != q))
+      // coarse cells + PQ both quantize within-cluster jitter away, but
+      // cross-cluster separation is the composite's contract
+      assert(rows.forall(r => r._2 % 8 === q % 8),
+        s"query $q retrieved out-of-cluster neighbors: $rows")
+    }
+  }
+
+  test("stored IVF-PQ index (codes partitioned by cell) probes identically to in-memory") {
+    val corpus = (0 until 48).map(i => (i.toLong, gridVec(i))).toDF("vec_id", "embedding")
+    val queries = (100 until 103).map(i => (i.toLong, gridVec(i))).toDF("vec_id", "embedding")
+    val idx = IvfPq.buildIndex(corpus, nlist = 4, m = 4, codebookSize = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    val stored = IvfPqIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"))
+    val inMem = IvfPq.probeTopK(idx, queries, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val roundTrip = IvfPq.probeTopK(stored, queries, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(roundTrip === inMem)
+    assert(inMem.nonEmpty)
+  }
+}
