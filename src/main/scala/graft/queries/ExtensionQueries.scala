@@ -915,6 +915,31 @@ object ExtensionQueries {
       nlist = 8, nprobe = 8, m = 4, codebookSize = 8)
   }
 
+  /** Stored-index IVF-PQ probe — the composite's STEADY-STATE form and
+    * the completion of the stored-probe family ([[simIvfProbe]],
+    * [[simPqProbe]]): centroids, codebooks, and the coded corpus
+    * PARTITIONED BY cell are written once and probed without retraining
+    * or re-encoding; a partial probe would prune code partitions at the
+    * scan while reading only PQ codes. Probing every cell on the grid
+    * corpus keeps the composite exact, so the brute-force oracle
+    * hash-checks the whole stored path; the warm bench times the
+    * probe-only serving cost. */
+  private val simIvfpqProbe: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val root = storedIndexPath("ivfpq", dir) { out =>
+      val idx = graft.sim.IvfPq.buildIndex(grid, nlist = 8, m = 4, codebookSize = 8)
+      idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      idx.codebooks.write.mode("overwrite").parquet(s"$out/codebooks")
+      idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    }
+    val stored = graft.sim.IvfPqIndex(
+      s.read.parquet(s"$root/centroids"),
+      s.read.parquet(s"$root/codebooks"),
+      s.read.parquet(s"$root/codes"))
+    graft.sim.IvfPq.probeTopK(stored, grid.filter(col("vec_id") < 10), k = 5,
+      nprobe = 8)
+  }
+
   /** IVF member of the recall triad ([[simLshRecall]], [[simPqRecall]]):
     * recall@5 of [[Ivf.ivfTopKPortable]] at a PARTIAL probe (nprobe 2 of
     * nlist 8 — the approximation regime `sim_ivf_topk`'s exactness pin
@@ -1274,6 +1299,7 @@ object ExtensionQueries {
     "sim_pq_probe" -> simPqProbe,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_ivfpq_exact" -> simIvfpqExact,
+    "sim_ivfpq_probe" -> simIvfpqProbe,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
@@ -2319,6 +2345,7 @@ bruteForceCosineOracle,
       // sim_ivfpq_topk (trained partial probe) is rows-only — its
       // approximation is training-defined; this twin closes the loop.
       "sim_ivfpq_exact" -> pqGridExactOracle,
+      "sim_ivfpq_probe" -> pqGridExactOracle,
       // Threshold 1.0 keeps exactly the identical-shingle-set pairs, whose
       // identical signatures guarantee LSH recall; the oracle groups docs
       // by a canonical sorted-shingle-list digest — no pairwise join.
