@@ -63,14 +63,19 @@ object Bench {
     // both passes is listed twice otherwise, indistinguishable from two
     // different failures (and a warm-only failure looked cold).
     val warm = if (warmOn) ordered.map { case (n, f) => timeOne(n, f) } else Nil
+    // millisecond precision: 161 queries at full double precision is a
+    // ~5 KB stdout line, which overflowed the driver's log tail in round
+    // 8; 3 decimals halves it and 1 ms granularity loses nothing a
+    // cross-round diff can use
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + (if (err.isEmpty) r3(v) else -1.0) }.mkString("{", ",", "}")
     val warmQs = warm.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + (if (err.isEmpty) r3(v) else -1.0) }.mkString("{", ",", "}")
     val failed = (results.map(r => (r._1, r._3)) ++
         warm.map(r => (r._1 + "#warm", r._3)))
       .collect { case (k, Some(_)) => s"\"$k\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = r3(results.collect { case (_, v, None) => v }.sum)
     // Stdout stays the compact driver contract (cold "queries"/"total" +
     // failures); the warm map goes ONLY to the bench_full.json artifact —
     // round 8's stdout line with the inline warm map overflowed the
