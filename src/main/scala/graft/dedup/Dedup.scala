@@ -708,6 +708,74 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Cross-document duplicate-SPAN removal — the word-n-gram analog of
+    * exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", public): an n-token
+    * window appearing verbatim in two or more DISTINCT documents is a
+    * duplicated span; every token position covered by such a window is
+    * marked, and the cleaned text is the document with exactly the marked
+    * positions removed. Complements the whole-document families
+    * ([[minHashNearDups]] et al. drop documents; this rewrites them) —
+    * boilerplate headers/footers shared across a crawl are excised while
+    * each document's unique remainder survives.
+    *
+    * Returns one row per input document:
+    * `(id, n_tokens, dup_tokens, dup_frac, cleaned)`.
+    *
+    * Scale shape: windows are keyed by gram string on the one big shuffle
+    * (identical to [[contaminationOverlap]]'s shape — linear in corpus
+    * token count, never pairwise in documents). "Shared by ≥2 docs" is
+    * decided by `min(id) <> max(id)` per gram — one ordinary codegen'd
+    * aggregate with map-side partials, no count-distinct. Position
+    * coverage explodes n-fold for MATCHED windows only (duplicated text is
+    * the small fraction in a healthy corpus), is deduplicated inside a
+    * map-side-partial `collect_set` keyed by doc, and the text rebuild is
+    * row-local array arithmetic — the corpus text itself crosses the wire
+    * once, in the final keyed join. Documents shorter than `n` tokens
+    * contribute no windows and are never marked; their `cleaned` text is
+    * the whitespace-normalized original (single-space token rejoin, the
+    * same normalization the marked rebuild applies). */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                     n: Int = 5): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val toks = docs.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("ts"),
+      TextOps.tokenCount(col(textCol)).as("n_tokens"))
+    val grams = toks.filter(col("n_tokens") >= n)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), col("n_tokens").cast(IntegerType) - n),
+          i => concat_ws(" ", slice(col("ts"), i + 1, lit(n))))))
+      .toDF("id", "st", "g")
+    val shared = grams.groupBy("g")
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("g")
+    val covsets = grams.join(shared, "g")
+      .select(col("id"), explode(sequence(col("st"), col("st") + (n - 1))).as("p"))
+      .groupBy("id").agg(collect_set(col("p")).as("cov"))
+    val covArr = coalesce(col("cov"), array().cast(ArrayType(IntegerType)))
+    // size(NULL) is NULL under ANSI but legacy -1 with ANSI off
+    // (spark.sql.legacy.sizeOfNull tracks !ansi) — branch on the null
+    // explicitly so both modes agree (AnsiParitySpec pins this).
+    val dupTokens = when(col("cov").isNull, lit(0L))
+      .otherwise(size(col("cov")).cast(LongType))
+    toks.join(covsets, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), dupTokens.as("dup_tokens"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(dupTokens.cast(DoubleType) / col("n_tokens")), 6)
+          .as("dup_frac"),
+        when(col("n_tokens") === 0, lit(""))
+          .otherwise(concat_ws(" ", transform(
+            // array_except builds a hash set over cov → O(n_tokens+|cov|)
+            // per row and keeps left order; a filter+array_contains form
+            // would be O(n_tokens·|cov|), quadratic on a long fully-
+            // duplicated document
+            array_except(sequence(lit(0),
+              col("n_tokens").cast(IntegerType) - 1), covArr),
+            p => element_at(col("ts"), p + 1))))
+          .as("cleaned"))
+  }
+
   /** SimHash signatures for a whole corpus: 64-bit locality-sensitive
     * signature — per-token hashes vote ±1 on each bit; sign of the vote
     * sets the bit. Returns (id, sig: bigint).

@@ -248,6 +248,41 @@ object Ops {
       "left_semi")
   }
 
+  /** Temperature-flattened domain mixing — the pretraining corpus-mixture
+    * step that down-samples over-represented strata toward a `c^alpha`
+    * share (temperature sampling, public method: Conneau & Lample 2019;
+    * Raffel et al. 2020 §3.7 use it for multilingual T5 mixing). Where
+    * [[weightedSample]] takes HAND-CHOSEN per-stratum rates, this derives
+    * them from the data: keep-rate_s ∝ c_s^(alpha-1), normalized so the
+    * smallest stratum keeps everything —
+    * `rate_s = floor(1000 * sqrt(c_min / c_s))` at the fixed alpha = 1/2.
+    *
+    * alpha is FIXED at 1/2 because `x^0.5` is `sqrt`, the one power IEEE 754
+    * requires correctly rounded — so the derived rates are bit-identical on
+    * every engine that mirrors the arithmetic (a `pow(x, alpha)` form would
+    * not be, `pow` carries no rounding guarantee). General alpha belongs in
+    * [[weightedSample]] with driver-computed rates.
+    *
+    * Scale shape: one tiny per-stratum count aggregate (map-side partial),
+    * a 1-row global min crossed against it, then the rate table — strata ×
+    * 1 rows — broadcast back onto the corpus; the corpus itself is never
+    * shuffled and the keep decision is the same map-only deterministic
+    * hash bucket as [[hashSample]] (same survivors on every run/engine).
+    * NULL strata form their own stratum (null-safe join); NULL keys are
+    * dropped as in [[hashSample]]. */
+  def temperatureMix(df: DataFrame, stratumCol: String, keyCol: String,
+                     seed: Long = 1L): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val cmin = counts.agg(min(col("__c")).as("__cmin"))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .select(col("__s"), floor(lit(1000.0) *
+        sqrt(col("__cmin").cast(org.apache.spark.sql.types.DoubleType) /
+          col("__c"))).as("__rate"))
+    df.join(broadcast(rates), col(stratumCol) <=> col("__s"), "inner")
+      .filter(hashBucket1000(col(keyCol), seed) < col("__rate"))
+      .drop("__s", "__rate")
+  }
+
   /** Deterministic, reproducible train/val/test split for dataset curation:
     * a multiplicative (Knuth 1973, public) hash of the key picks a bucket
     * in [0, 1000) and the requested percentages cut it into labels.

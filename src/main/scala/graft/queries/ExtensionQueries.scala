@@ -627,6 +627,27 @@ object ExtensionQueries {
       .select(col("id").as("doc_id"), col("overlap"))
   }
 
+  /** Cross-document duplicate-span removal (Lee et al. 2021 analog at
+    * word-5-gram granularity): any 5-token window shared verbatim by two
+    * or more distinct documents is excised from every document carrying
+    * it; per-doc duplicated-token count/fraction plus the cleaned text
+    * are all hash-checked — the DuckDB mirror replays window construction,
+    * the min≠max sharing test, position coverage, and the rebuild. */
+  private val ddSpanDedup: Q = (s, dir) =>
+    Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id", n = 5)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("dup_tokens"),
+        col("dup_frac"), col("cleaned"))
+
+  /** Temperature-flattened language mixing (alpha = 1/2 via sqrt — the one
+    * power IEEE guarantees correctly rounded, so the data-derived rates
+    * replay bit-identically in the oracle): over-represented languages are
+    * down-sampled toward a sqrt-count share, the smallest language keeps
+    * every document, and membership is the deterministic seed-1 hash
+    * bucket shared with the sample family. */
+  private val w12TemperatureMix: Q = (s, dir) =>
+    graft.ops.Ops.temperatureMix(t(s, dir, "documents"), "lang", "doc_id")
+      .select(col("doc_id"), col("lang"))
+
   /** Capstone near-dedup pipeline: ORGANIC similarity pairs (consecutive
     * docs with token-Jaccard ≥ 0.7 — the corpus has real runs of similar
     * neighbors, largest component 10 docs / diameter 9 at sf0.01) →
@@ -1259,6 +1280,8 @@ object ExtensionQueries {
     "dd_simhash" -> ddSimhash,
     "dd_components" -> ddComponents,
     "pipe_near_dedup" -> pipeNearDedup,
+    "dd_span_dedup" -> ddSpanDedup,
+    "w12_temperature_mix" -> w12TemperatureMix,
     "txt_contamination" -> txtContamination,
     "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_salient_terms" -> txtSalientTerms,
@@ -2220,6 +2243,49 @@ object ExtensionQueries {
       // 5-gram construction: DuckDB list slice [i:i+4] is 1-based
       // inclusive (5 tokens); short docs contribute the whole text as
       // one gram (the engine's wordNgrams convention).
+      // Full replay of duplicateSpans: 5-token windows (1-based DuckDB
+      // slice), shared = min(doc)≠max(doc) per window, covered positions
+      // as DISTINCT (doc, start+offset), rebuild via indexed list
+      // transform dropping covered 0-based positions.
+      "dd_span_dedup" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(text), '\s+') AS ts,
+             |   CASE WHEN length(trim(text)) = 0 THEN 0
+             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+             |  FROM documents),
+             | grams AS (SELECT doc_id, i.iv - 1 AS st,
+             |   array_to_string(ts[i.iv:i.iv+4], ' ') AS g
+             |  FROM toks, LATERAL (SELECT unnest(range(1, nt - 3)) AS iv) i
+             |  WHERE nt >= 5),
+             | shared AS (SELECT g FROM grams GROUP BY g
+             |   HAVING min(doc_id) <> max(doc_id)),
+             | cov AS (SELECT DISTINCT doc_id, st + o.ov AS p
+             |  FROM grams JOIN shared USING (g),
+             |  LATERAL (SELECT unnest(range(0, 5)) AS ov) o),
+             | covs AS (SELECT doc_id, count(*) AS dup, list(p) AS cov
+             |  FROM cov GROUP BY 1)
+             |SELECT t.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+             | CAST(COALESCE(c.dup, 0) AS BIGINT) AS dup_tokens,
+             | ROUND(CASE WHEN nt = 0 THEN 0
+             |   ELSE CAST(COALESCE(c.dup, 0) AS DOUBLE) / nt END, 6) AS dup_frac,
+             | CASE WHEN nt = 0 THEN ''
+             |   ELSE COALESCE(array_to_string(list_filter(
+             |     list_transform(range(1, nt + 1),
+             |       i -> CASE WHEN list_contains(COALESCE(c.cov, []), i - 1)
+             |            THEN NULL ELSE ts[i] END),
+             |     x -> x IS NOT NULL), ' '), '') END AS cleaned
+             |FROM toks t LEFT JOIN covs c USING (doc_id)""".stripMargin,
+      // Data-derived sqrt-temperature rates (alpha = 1/2: SQRT is
+      // correctly rounded in both engines, so floor(1000*sqrt(cmin/c))
+      // is bit-identical) + the sample family's seed-1 bucket stream.
+      "w12_temperature_mix" ->
+        """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+          | m AS (SELECT min(cnt) AS cmin FROM c),
+          | r AS (SELECT lang, CAST(FLOOR(1000.0 *
+          |     SQRT(CAST(cmin AS DOUBLE) / cnt)) AS BIGINT) AS rate FROM c, m)
+          |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+          |WHERE CAST(FLOOR((((d.doc_id + 1) % 1000003) * 2654435761)
+          |    / 1048576.0) AS BIGINT) % 1000 < r.rate""".stripMargin,
       "txt_contamination" ->
         """WITH toks AS (SELECT doc_id,
           |   regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),

@@ -13,7 +13,8 @@ class AnsiParitySpec extends SparkSpec {
     // round-9 additions with division/element_at arithmetic that ANSI
     // treats differently when misused — parity proves they don't rely on
     // silent-null coercion either way
-    "sim_lsh_recall", "pr8_frequent", "txt_pack_sequences")
+    "sim_lsh_recall", "pr8_frequent", "txt_pack_sequences",
+    "dd_span_dedup", "w12_temperature_mix")
 
   test("cleaning queries produce identical rows with ANSI on and off") {
     val dir = "/root/testdata/sf0.001"

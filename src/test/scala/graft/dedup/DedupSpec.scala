@@ -203,6 +203,40 @@ class DedupSpec extends SparkSpec {
       Seq(10L, 11L, 13L))
   }
 
+  test("duplicateSpans: shared windows excised, unique text kept, short/empty docs whole") {
+    val boiler = "subscribe to our newsletter for more updates" // 7 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler tail one"),
+      (2L, s"$boiler delta epsilon zeta eta theta"),
+      (3L, "totally unique text with no shared windows at all"),
+      (4L, "tiny doc"), // shorter than n → no windows, never marked
+      (5L, ""),
+      (6L, "twin twin twin twin twin twin"),
+      (7L, "twin twin twin twin twin twin"),
+      (8L, "solo   doc  with    messy WS but still unique throughout")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // boilerplate spans 7 tokens in each carrier; the unique remainder survives
+    assert(out(1L) === ((1L, 12L, 7L, 0.583333, "alpha beta gamma tail one")))
+    assert(out(2L) === ((2L, 12L, 7L, 0.583333, "delta epsilon zeta eta theta")))
+    // clean doc: untouched, single-space normalized rejoin
+    assert(out(3L)._3 === 0L && out(3L)._5 === "totally unique text with no shared windows at all")
+    assert(out(4L) === ((4L, 2L, 0L, 0.0, "tiny doc")))
+    assert(out(5L) === ((5L, 0L, 0L, 0.0, "")))
+    // exact twins: every position covered, cleaned to empty
+    assert(out(6L) === ((6L, 6L, 6L, 1.0, "")))
+    assert(out(7L) === ((7L, 6L, 6L, 1.0, "")))
+    // whitespace runs collapse in the rebuild (same normalization as tokens)
+    assert(out(8L)._5 === "solo doc with messy WS but still unique throughout")
+    // within-doc repeats alone are NOT cross-document duplicates
+    val solo = Dedup.duplicateSpans(
+      Seq((9L, "loop loop loop loop loop loop loop")).toDF("doc_id", "text"),
+      "text", "doc_id", n = 5).as[(Long, Long, Long, Double, String)].head()
+    assert(solo._3 === 0L, "single doc can have no cross-doc span")
+  }
+
   test("contaminationOverlap flags docs sharing benchmark n-grams, spares clean docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -157,6 +157,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix: sqrt-derived rates, smallest stratum whole, each stratum ≡ hashSample") {
+    // 900 web + 400 mid + 100 rare → rates floor(1000·sqrt(100/c)):
+    // web 333, mid 500, rare 1000
+    val rows = (0L until 900L).map(i => ("web", i)) ++
+      (900L until 1300L).map(i => ("mid", i)) ++
+      (1300L until 1400L).map(i => ("rare", i))
+    val df = rows.toDF("src", "id")
+    val out = Ops.temperatureMix(df, "src", "id")
+    assert(out.columns.sameElements(df.columns), "helper columns must not leak")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("rare") === 100L, "smallest stratum keeps everything")
+    // flattening, not inversion: web still largest, but its multiple of
+    // rare shrinks from 9× toward 3× (sqrt of the count ratio)
+    assert(bySrc("web") > bySrc("mid") && bySrc("mid") > bySrc("rare"), s"$bySrc")
+    assert(bySrc("web") < 5 * bySrc("rare"), s"web under-flattened: $bySrc")
+    // per-stratum survivors are EXACTLY hashSample at the derived rate —
+    // temperature mixing composes with the whole sample/split family
+    for ((s, c) <- Seq(("web", 900), ("mid", 400), ("rare", 100))) {
+      val rate = math.floor(1000.0 * math.sqrt(100.0 / c)).toInt
+      val got = out.filter(col("src") === s).select("id").as[Long].collect().toSet
+      val expect = Ops.hashSample(df.filter(col("src") === s), "id", rate)
+        .select("id").as[Long].collect().toSet
+      assert(got === expect, s"stratum $s must equal hashSample at rate $rate")
+    }
+    // null stratum is its own stratum; null keys are dropped
+    val withNulls = ((0L until 50L).map(i => (Option("a"), Option(i))) ++
+      (50L until 60L).map(i => (Option.empty[String], Option(i))) :+
+      ((Option("a"), Option.empty[Long]))).toDF("src", "id")
+    val nOut = Ops.temperatureMix(withNulls, "src", "id")
+      .as[(Option[String], Option[Long])].collect()
+    assert(nOut.count(_._1.isEmpty) === 10L, "null stratum is smallest → kept whole")
+    assert(!nOut.exists(_._2.isEmpty), "null keys have no deterministic identity")
+  }
+
+  test("temperatureMix plan: corpus joins the rate table by broadcast, never sort-merge") {
+    val df = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    val plan = Ops.temperatureMix(df, "src", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the rate join:\n$plan")
+  }
+
   test("stratifiedSample: exactly k per stratum, small strata whole, null stratum kept") {
     val rows = (0L until 100L).map(i => (Option("a"), i)) ++
       (100L until 130L).map(i => (Option("b"), i)) ++
