@@ -648,6 +648,17 @@ object ExtensionQueries {
     graft.ops.Ops.temperatureMix(t(s, dir, "documents"), "lang", "doc_id")
       .select(col("doc_id"), col("lang"))
 
+  /** DSIR importance weighting (Xie et al. 2023): rank the whole corpus
+    * by how `src0`-like its hashed unigram+bigram bag is. Every number is
+    * hash-checked: the DuckDB mirror replays md5 bucketing, both add-one
+    * smoothed marginals, the round-6 per-bucket log-ratios, and the
+    * exact decimal per-document sum. */
+  private val txtDsirWeight: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    TextOps.dsirWeights(docs, docs.filter(col("source") === "src0"),
+      "text", "doc_id")
+  }
+
   /** Capstone near-dedup pipeline: ORGANIC similarity pairs (consecutive
     * docs with token-Jaccard ≥ 0.7 — the corpus has real runs of similar
     * neighbors, largest component 10 docs / diameter 9 at sf0.01) →
@@ -1282,6 +1293,7 @@ object ExtensionQueries {
     "pipe_near_dedup" -> pipeNearDedup,
     "dd_span_dedup" -> ddSpanDedup,
     "w12_temperature_mix" -> w12TemperatureMix,
+    "txt_dsir_weight" -> txtDsirWeight,
     "txt_contamination" -> txtContamination,
     "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_salient_terms" -> txtSalientTerms,
@@ -2275,6 +2287,49 @@ object ExtensionQueries {
              |            THEN NULL ELSE ts[i] END),
              |     x -> x IS NOT NULL), ' '), '') END AS cleaned
              |FROM toks t LEFT JOIN covs c USING (doc_id)""".stripMargin,
+      // Full DSIR replay: unigram+bigram features, md5-character bucket
+      // hash, add-one smoothed bucket marginals for corpus and the src0
+      // target slice, per-bucket round-6 natural-log ratio as DECIMAL,
+      // and the exact decimal per-doc sum (order-independent — this is
+      // why the engine carries DECIMAL, not a float sum).
+      "txt_dsir_weight" ->
+        raw"""WITH toks AS (SELECT doc_id, source,
+             |   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |     t -> t <> '') AS ts
+             |  FROM documents),
+             | feats AS (
+             |  SELECT doc_id, source, unnest(ts) AS g FROM toks
+             |  UNION ALL
+             |  SELECT doc_id, source, ts[i.iv] || ' ' || ts[i.iv+1] AS g
+             |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS iv) i
+             |  WHERE len(ts) >= 2),
+             | h AS (SELECT doc_id, source,
+             |   CAST((((strpos('0123456789abcdef', substr(md5(g),1,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(g),2,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(g),3,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(g),4,1)) - 1 AS BIGINT)
+             |     % 1024 AS b
+             |  FROM feats),
+             | docb AS (SELECT doc_id, b, count(*) AS c FROM h GROUP BY 1, 2),
+             | rawc AS (SELECT b, sum(c) AS cr FROM docb GROUP BY 1),
+             | tgtc AS (SELECT b, count(*) AS ct FROM h WHERE source = 'src0'
+             |   GROUP BY 1),
+             | tot AS (SELECT (SELECT COALESCE(sum(cr), 0) FROM rawc) AS tr,
+             |   (SELECT COALESCE(sum(ct), 0) FROM tgtc) AS tt),
+             | lr AS (SELECT s.b,
+             |   CAST(ROUND(ln((COALESCE(ct, 0) + 1) / (tt + 1024.0))
+             |     - ln((COALESCE(cr, 0) + 1) / (tr + 1024.0)), 6)
+             |     AS DECIMAL(20,6)) AS lr
+             |  FROM (SELECT unnest(range(0, 1024)) AS b) s
+             |  LEFT JOIN tgtc ON tgtc.b = s.b
+             |  LEFT JOIN rawc ON rawc.b = s.b, tot),
+             | sc AS (SELECT doc_id,
+             |   SUM(CAST(c AS DECIMAL(12,0)) * lr) AS logw,
+             |   SUM(c) AS n_feats
+             |  FROM docb JOIN lr ON lr.b = docb.b GROUP BY 1)
+             |SELECT d.doc_id, CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+             | CAST(COALESCE(logw, 0) AS DECIMAL(38,6)) AS logw
+             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
       // Data-derived sqrt-temperature rates (alpha = 1/2: SQRT is
       // correctly rounded in both engines, so floor(1000*sqrt(cmin/c))
       // is bit-identical) + the sample family's seed-1 bucket stream.

@@ -742,4 +742,80 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("score"), col("rank"))
   }
+
+  /** Per-document hashed-n-gram feature stream (unigrams + adjacent
+    * bigrams) — the DSIR feature space. Returns (doc_id, g: string). */
+  private def ngramFeatures(df: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
+    val ts = filter(tokens(lower(col(textCol))), t => t =!= "")
+    // guard: sequence(0, -1) would yield [0, -1] (step inference), so the
+    // bigram arm only fires with ≥ 2 tokens
+    val bigrams = when(size(ts) >= 2,
+      transform(sequence(lit(0), size(ts) - 2),
+        i => concat(element_at(ts, i + 1), lit(" "), element_at(ts, i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    df.select(col(idCol).as("doc_id"), explode(concat(ts, bigrams)).as("g"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", public): score every raw
+    * document by how target-like its hashed-n-gram bag is — the
+    * importance log-ratio `sum_b c_b(doc) * [ln p_target(b) - ln p_raw(b)]`
+    * over `buckets` hashed unigram+bigram features, both distributions
+    * add-one smoothed. Selecting the top-weighted documents (or
+    * Gumbel-resampling on the weights) tilts a 100 TB crawl toward a
+    * curated target domain without training a classifier.
+    *
+    * Engine-portability of the number itself: features hash through
+    * md5-character arithmetic (same trick as [[hashEmbed]]); the only
+    * transcendentals are the ≤ `2·buckets` per-BUCKET `ln` calls, whose
+    * round-6 values join the corpus as DECIMAL — the per-document sum is
+    * then exact integer-scaled arithmetic, independent of partition order
+    * (a double sum would drift with reduction order and break the oracle
+    * hash). Returns (doc_id, n_feats, logw: decimal(38,6)) — one row per
+    * raw document, 0/0.000000 for featureless docs.
+    *
+    * Scale shape: one (doc, bucket) count with map-side partials is the
+    * only corpus-sized shuffle; the corpus-wide bucket marginal reuses
+    * that aggregate's exchange (ReusedExchange, pinned by plan test); the
+    * target side aggregates to ≤ `buckets` rows before it meets anything;
+    * the log-ratio table (`buckets` rows) broadcasts back. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 1 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    def hx(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(md5(g), $i, 1)) - 1")
+    val bucket = pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4),
+      lit(buckets)).cast(IntegerType)
+    val docB = ngramFeatures(raw, textCol, idCol)
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val rawCnt = docB.groupBy("b").agg(sum(col("c")).as("cr"))
+    val tgtCnt = ngramFeatures(target, textCol, idCol)
+      .select(bucket.as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+      .crossJoin(tgtCnt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    val spine = raw.sparkSession.range(buckets)
+      .select(col("id").cast(IntegerType).as("b"))
+    val lr = spine
+      .join(tgtCnt, Seq("b"), "left").join(rawCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
+          (col("tt") + lit(buckets)).cast(DoubleType)) -
+        log((coalesce(col("cr"), lit(0L)) + 1).cast(DoubleType) /
+          (col("tr") + lit(buckets)).cast(DoubleType)), 6)
+        .cast(DecimalType(20, 6)).as("lr"))
+    val scored = docB.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c").cast(DecimalType(12, 0)) * col("lr")).as("logw"),
+        sum(col("c")).as("n_feats"))
+    raw.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw").cast(DecimalType(38, 6)),
+          lit(0).cast(DecimalType(38, 6))).as("logw"))
+  }
 }

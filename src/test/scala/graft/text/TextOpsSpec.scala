@@ -6,6 +6,48 @@ import org.apache.spark.sql.functions._
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dsirWeights: target-like docs outrank off-target, featureless docs defined") {
+    val tgtVocab = "cat dog pet paw fur tail whisker collar leash bone"
+    val offVocab = "bond yield swap rate hedge margin equity basis tenor spread"
+    val raw = (
+      (0L until 10L).map(i => (i, tgtVocab)) ++           // target-like
+      (10L until 20L).map(i => (i, offVocab)) ++          // off-target
+      Seq((20L, ""), (21L, "   "))                        // featureless
+    ).toDF("doc_id", "text")
+    val target = (0L until 5L).map(i => (i, tgtVocab)).toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(raw, target, "text", "doc_id")
+      .as[(Long, Long, BigDecimal)].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 22, "one row per raw doc")
+    // n_feats = tokens + bigrams = 2n-1
+    assert(out(0L)._2 === 19L && out(10L)._2 === 19L)
+    assert(out(20L) === ((20L, 0L, BigDecimal(0).setScale(6))))
+    assert(out(21L)._2 === 0L)
+    // every target-like doc strictly outweighs every off-target doc
+    val tgtMin = (0L until 10L).map(out(_)._3).min
+    val offMax = (10L until 20L).map(out(_)._3).max
+    assert(tgtMin > offMax,
+      s"target-like min $tgtMin must exceed off-target max $offMax")
+    // decimal sum ⇒ partition-order independence: bit-identical weights
+    // under a different physical layout
+    val re = TextOps.dsirWeights(raw.repartition(7), target.repartition(3),
+      "text", "doc_id").as[(Long, Long, BigDecimal)].collect()
+      .map(r => r._1 -> r).toMap
+    assert((0L until 22L).forall(i => re(i) === out(i)),
+      "weights must not depend on partitioning")
+  }
+
+  test("dsirWeights plan: doc-bucket aggregate exchange reused for the corpus marginal, log-ratio table broadcast") {
+    val raw = (0L until 40L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3}"))
+      .toDF("doc_id", "text")
+    val df = TextOps.dsirWeights(raw, raw.limit(10), "text", "doc_id")
+    df.collect() // ReusedExchange only materializes in the final AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"corpus marginal must reuse the (doc,bucket) aggregate exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"log-ratio table must broadcast onto the doc-bucket counts:\n$plan")
+  }
+
   test("tokenCount: whitespace runs, empty/blank → 0") {
     val out = Seq("one two  three", "", "   ", "single", "a\tb\nc")
       .toDF("t").select(TextOps.tokenCount(col("t")).as("n")).as[Long].collect()
