@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.text.TextOps
@@ -706,6 +707,56 @@ object Dedup {
     docGrams.join(benchGrams, "g")
       .groupBy("id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+  }
+
+  /** Fuzzy benchmark decontamination: for every document, the
+    * best-matching eval/benchmark document by word-n-gram Jaccard, kept
+    * only when the similarity clears `threshold` — the FUZZY complement
+    * of [[contaminationOverlap]]'s exact shared-gram count (a training
+    * doc that paraphrases an eval item shares many grams without
+    * containing any one long exact span; Jaccard against the whole eval
+    * doc catches it). Docs flagged here get dropped/reviewed upstream,
+    * eval members flag themselves at similarity 1.0.
+    *
+    * Returns `(id, bench_id, jaccard)` — one row per contaminated doc,
+    * `bench_id` the argmax-similarity eval doc (ties broken by smallest
+    * `bench_id`), `jaccard` value-identical to
+    * `ngramJaccard(doc, bench, n)`.
+    *
+    * Scale shape: the benchmark side is eval-set-sized, so its distinct
+    * gram list stays small and the gram join is AQE-broadcastable; the
+    * corpus side is one explode → per-doc-distinct grams pass, linear in
+    * corpus tokens and never pairwise in documents (a doc only meets the
+    * eval docs it actually shares a gram with). Set sizes ride in as two
+    * tiny aggregates; the final argmax is a window keyed by doc id — it
+    * shuffles only the surviving candidate pairs, a benchmark-bounded
+    * row count. Short docs follow the [[TextOps.wordNgrams]] convention
+    * (whole text as one gram), mirrored by the SQL oracle. */
+  def fuzzyDecontaminate(docs: DataFrame, textCol: String, idCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         benchIdCol: String, n: Int = 5,
+                         threshold: Double = 0.5): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(threshold > 0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    def grams(df: DataFrame, text: String, id: Column, idName: String) =
+      df.select(id.cast(LongType).as(idName),
+        explode(array_distinct(TextOps.wordNgrams(col(text), n))).as("g"))
+    val docGrams = grams(docs, textCol, col(idCol), "id")
+    val benchGrams = grams(benchmark, benchTextCol, col(benchIdCol), "bench_id")
+    val docSizes = docGrams.groupBy("id").agg(count(lit(1)).as("na"))
+    val benchSizes = benchGrams.groupBy("bench_id").agg(count(lit(1)).as("nb"))
+    val inter = docGrams.join(benchGrams, "g")
+      .groupBy("id", "bench_id").agg(count(lit(1)).as("i"))
+    val jac = inter.join(docSizes, "id").join(benchSizes, "bench_id")
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+    val best = Window.partitionBy("id")
+      .orderBy(col("jaccard").desc, col("bench_id").asc)
+    jac.withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("bench_id"), col("jaccard"))
   }
 
   /** Cross-document duplicate-SPAN removal — the word-n-gram analog of

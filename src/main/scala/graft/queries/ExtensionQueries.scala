@@ -57,11 +57,19 @@ object ExtensionQueries {
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark only reads as raw nanosecond longs (legacy nanosAsLong conf);
     * convert to a proper microsecond TimestampType at the scan boundary so
-    * every downstream operator sees a normal timestamp column. */
+    * every downstream operator sees a normal timestamp column. Generator
+    * versions that already write micros surface as TIMESTAMP/TIMESTAMP_NTZ
+    * — normalize those to session-zoned TimestampType instead (same
+    * instant: the session timezone is pinned to UTC), so every downstream
+    * operator sees one ts type regardless of the parquet vintage. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   // ------------------------------------------------------------------ text
@@ -637,6 +645,21 @@ object ExtensionQueries {
     Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id", n = 5)
       .select(col("id").as("doc_id"), col("n_tokens"), col("dup_tokens"),
         col("dup_frac"), col("cleaned"))
+
+  /** Fuzzy eval-set decontamination: docs with `doc_id % 10 == 1` stand
+    * in for the eval set — chosen to land inside the corpus's organic
+    * consecutive near-dup runs, so the flag list contains genuine
+    * NON-member paraphrase hits (the fuzzy case exact containment
+    * misses), not just members flagging themselves at 1.0. The oracle
+    * replays gram sets, intersection counts, the Jaccard threshold, and
+    * the argmax tie-break — all hash-checked. */
+  private val ddDecontaminateFuzzy: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    Dedup.fuzzyDecontaminate(d, "text", "doc_id",
+      d.filter(col("doc_id") % 10 === 1), "text", "doc_id",
+      n = 5, threshold = 0.5)
+      .select(col("id").as("doc_id"), col("bench_id"), col("jaccard"))
+  }
 
   /** Temperature-flattened language mixing (alpha = 1/2 via sqrt — the one
     * power IEEE guarantees correctly rounded, so the data-derived rates
@@ -1292,6 +1315,7 @@ object ExtensionQueries {
     "dd_components" -> ddComponents,
     "pipe_near_dedup" -> pipeNearDedup,
     "dd_span_dedup" -> ddSpanDedup,
+    "dd_decontaminate_fuzzy" -> ddDecontaminateFuzzy,
     "w12_temperature_mix" -> w12TemperatureMix,
     "txt_dsir_weight" -> txtDsirWeight,
     "txt_contamination" -> txtContamination,
@@ -2287,6 +2311,32 @@ object ExtensionQueries {
              |            THEN NULL ELSE ts[i] END),
              |     x -> x IS NOT NULL), ' '), '') END AS cleaned
              |FROM toks t LEFT JOIN covs c USING (doc_id)""".stripMargin,
+      // Fuzzy decontamination replay: per-doc distinct 5-gram sets (same
+      // short-doc convention as txt_contamination), pairwise intersection
+      // via the gram join, exact Jaccard threshold at 0.5 (unrounded, as
+      // the engine filters), argmax with (jaccard DESC, bench_id) ties.
+      "dd_decontaminate_fuzzy" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             | grams AS (
+             |   SELECT DISTINCT doc_id,
+             |     CASE WHEN len(ts) < 5 THEN array_to_string(ts, ' ')
+             |          ELSE array_to_string(ts[i.iv:i.iv+4], ' ') END AS g
+             |   FROM toks, LATERAL (SELECT unnest(range(1, GREATEST(len(ts) - 3, 2)))
+             |     AS iv) i),
+             | sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+             | inter AS (SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS i
+             |   FROM grams d JOIN grams b ON b.g = d.g AND b.doc_id % 10 = 1
+             |   GROUP BY 1, 2),
+             | jac AS (SELECT doc_id, bench_id,
+             |   CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+             |   FROM inter JOIN sizes na USING (doc_id)
+             |   JOIN sizes nb ON nb.doc_id = inter.bench_id),
+             | best AS (SELECT doc_id, bench_id, jaccard, row_number() OVER (
+             |     PARTITION BY doc_id ORDER BY jaccard DESC, bench_id) AS rn
+             |   FROM jac WHERE jaccard >= 0.5)
+             |SELECT doc_id, CAST(bench_id AS BIGINT) AS bench_id, jaccard
+             |FROM best WHERE rn = 1""".stripMargin,
       // Full DSIR replay: unigram+bigram features, md5-character bucket
       // hash, add-one smoothed bucket marginals for corpus and the src0
       // target slice, per-bucket round-6 natural-log ratio as DECIMAL,

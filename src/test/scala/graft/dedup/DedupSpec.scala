@@ -537,4 +537,44 @@ class DedupSpec extends SparkSpec {
       Dedup.portableHash60, bits = 60).select("sig").as[Long].collect()
     sigs.foreach(s => assert(s >= 0L && s < (1L << 60)))
   }
+
+  test("fuzzyDecontaminate flags members, near-members, and argmax-best match") {
+    // eval set = two docs; corpus = the evals + a near-copy of eval A,
+    // a doc overlapping BOTH evals (closer to B), and an unrelated doc.
+    val evalA = "the quick brown fox jumps over the lazy dog again and again today"
+    val evalB = "pack my box with five dozen liquor jugs before the long winter night"
+    val nearA = evalA + " tail"                    // high-Jaccard near-copy of A
+    val both  = evalB + " " + evalA.split(" ").take(6).mkString(" ")
+    val docs = Seq(
+      (1L, evalA), (2L, evalB), (10L, nearA), (11L, both),
+      (12L, "completely unrelated text about spark catalyst and tungsten engines"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") <= 2L)
+    val out = Dedup.fuzzyDecontaminate(docs, "text", "doc_id",
+        bench, "text", "doc_id", n = 3, threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, b, j) => id -> ((b, j)) }.toMap
+    // members flag themselves at exactly 1.0
+    assert(out(1L) === ((1L, 1.0)))
+    assert(out(2L) === ((2L, 1.0)))
+    // the near-copy matches eval A, below 1.0 but above threshold
+    assert(out(10L)._1 === 1L && out(10L)._2 > 0.5 && out(10L)._2 < 1.0)
+    // the mixed doc overlaps both; argmax picks B (the larger overlap)
+    assert(out(11L)._1 === 2L)
+    // the unrelated doc is not flagged at all
+    assert(!out.contains(12L))
+  }
+
+  test("fuzzyDecontaminate breaks exact jaccard ties by smallest bench id") {
+    // two IDENTICAL eval docs: every flagged doc ties at the same
+    // jaccard against both; the argmax must pick bench_id 1.
+    val txt = "one two three four five six seven eight"
+    val docs = Seq((1L, txt), (2L, txt), (5L, txt + " nine")).toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontaminate(docs, "text", "doc_id",
+        docs.filter(col("doc_id") <= 2L), "text", "doc_id",
+        n = 3, threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(_._2 === 1L), s"tie not broken by min bench id: ${out.toSeq}")
+    assert(out.map(_._1).toSet === Set(1L, 2L, 5L))
+  }
 }

@@ -53,12 +53,19 @@ class FileStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_stream_events")
     Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
+    // mirror the parquet's actual ts type (nanos-as-long for older
+    // generator vintages, plain timestamp for newer ones) so the same
+    // spec covers both; normalize to TimestampType after the scan either
+    // way, exactly as ExtensionQueries.events does
+    val tsType = spark.read.parquet(dir.toString).schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    def convert(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def convert(df: org.apache.spark.sql.DataFrame) = tsType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
 
     val streamed = convert(
       spark.readStream.schema(schema).parquet(dir.toString))
