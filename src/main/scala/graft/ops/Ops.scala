@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Structural / reshape operators (SURVEY.md §2.3, §2.6, A6).
   *
@@ -281,6 +281,42 @@ object Ops {
     df.join(broadcast(rates), col(stratumCol) <=> col("__s"), "inner")
       .filter(hashBucket1000(col(keyCol), seed) < col("__rate"))
       .drop("__s", "__rate")
+  }
+
+  /** Deterministic seeded corpus shuffle + shard layout — the
+    * data-loader prep step between curation and training: every row gets
+    * a `(shard, pos)` address from a seeded md5 stream, so the "random"
+    * training order is reproducible across runs and engines, resumable
+    * mid-epoch (position IS the checkpoint), and re-seedable per epoch
+    * (`seed = "epoch3"` deals a fresh order with zero data movement
+    * beyond the re-rank).
+    *
+    * `shard` = 16-bit md5 prefix mod `numShards` (uniform in
+    * expectation: shard sizes concentrate at n/numShards ± O(sqrt)),
+    * `pos` = dense 1-based rank within the shard by the full md5 string.
+    * Rows with equal keys collide on the hash and tie-break
+    * arbitrarily between themselves — their output ROWS are identical,
+    * so the result set is still deterministic; NULL keys are dropped as
+    * in [[hashSample]].
+    *
+    * Scale shape: the hash is map-only; the only movement is the
+    * rank window keyed BY SHARD — each partition sorts n/numShards rows,
+    * nothing global (contrast a global `row_number`, which funnels the
+    * corpus through one partition). Choose numShards ≥ cluster
+    * parallelism so the sort stays partition-local; the md5 rank string
+    * never leaves the exchange (projected away after the window). */
+  def shuffleShards(df: DataFrame, keyCol: String, numShards: Int,
+                    seed: String = "graft"): DataFrame = {
+    require(numShards > 0 && numShards <= 65536,
+      s"numShards must be in [1, 65536], got $numShards")
+    val h = md5(concat_ws(":", lit(seed), col(keyCol).cast(StringType)))
+    val byShard = Window.partitionBy("shard").orderBy(col("__h"), col(keyCol))
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), h.as("__h"))
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 4), 16, 10).cast(LongType) % numShards)
+      .withColumn("pos", row_number().over(byShard).cast(LongType))
+      .drop("__h")
   }
 
   /** Deterministic, reproducible train/val/test split for dataset curation:

@@ -295,6 +295,16 @@ object ExtensionQueries {
   private val txtLmScore: Q = (s, dir) =>
     TextOps.ngramLmScore(t(s, dir, "documents"), "text", "doc_id")
 
+  /** CCNet-style perplexity bucketing: the corpus-trained bigram LM score
+    * split at its exact interpolated terciles into head/middle/tail —
+    * thresholds, assignment, and the NULL-score → tail rule all replayed
+    * by the oracle. */
+  private val txtPplBuckets: Q = (s, dir) =>
+    TextOps.scoreBuckets(
+      TextOps.ngramLmScore(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lm_logp")),
+      "lm_logp", "doc_id")
+
   /** FineWeb-style filter-chain capstone: Gopher structural rules AND a
     * corpus-median LM-score gate, composed in ONE lazy plan, reported per
     * source. The exact interpolated percentile keeps the threshold
@@ -670,6 +680,15 @@ object ExtensionQueries {
   private val w12TemperatureMix: Q = (s, dir) =>
     graft.ops.Ops.temperatureMix(t(s, dir, "documents"), "lang", "doc_id")
       .select(col("doc_id"), col("lang"))
+
+  /** Seeded deterministic corpus shuffle into 8 shards — the data-loader
+    * layout (shard, pos) every training run can reproduce. The oracle
+    * replays the seeded md5 rank stream, the 16-bit-prefix shard
+    * assignment, and the within-shard dense ranks — order itself is
+    * hash-checked, not just membership. */
+  private val w13CorpusShuffle: Q = (s, dir) =>
+    graft.ops.Ops.shuffleShards(t(s, dir, "documents"), "doc_id", numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
 
   /** DSIR importance weighting (Xie et al. 2023): rank the whole corpus
     * by how `src0`-like its hashed unigram+bigram bag is. Every number is
@@ -1316,6 +1335,8 @@ object ExtensionQueries {
     "pipe_near_dedup" -> pipeNearDedup,
     "dd_span_dedup" -> ddSpanDedup,
     "dd_decontaminate_fuzzy" -> ddDecontaminateFuzzy,
+    "w13_corpus_shuffle" -> w13CorpusShuffle,
+    "txt_ppl_buckets" -> txtPplBuckets,
     "w12_temperature_mix" -> w12TemperatureMix,
     "txt_dsir_weight" -> txtDsirWeight,
     "txt_contamination" -> txtContamination,
@@ -1887,6 +1908,20 @@ object ExtensionQueries {
              |    '&amp;lt;kept&amp;gt;</div></body></html>' AS raw
              |   FROM documents WHERE doc_id < 200)))""".stripMargin,
       "txt_lm_score" -> lmScoreSql,
+      // CCNet tercile replay: the full LM-score CTE, exact interpolated
+      // 1/3-2/3 quantiles (quantile_cont ≡ Spark percentile), and the
+      // head/middle/tail CASE including NULL-score → tail.
+      "txt_ppl_buckets" ->
+        raw"""WITH lm AS ($$LM$$),
+             | th AS (SELECT quantile_cont(lm_logp, CAST(2 AS DOUBLE)/3) AS thi,
+             |   quantile_cont(lm_logp, CAST(1 AS DOUBLE)/3) AS tlo FROM lm)
+             |SELECT doc_id, lm_logp,
+             | CASE WHEN lm_logp IS NULL THEN 'tail'
+             |      WHEN lm_logp >= thi THEN 'head'
+             |      WHEN lm_logp >= tlo THEN 'middle'
+             |      ELSE 'tail' END AS bucket
+             |FROM lm CROSS JOIN th""".stripMargin
+          .replace("$LM$", lmScoreSql),
       "pipe_gopher_curate" ->
         raw"""WITH gopher AS ($$GOPHER$$),
              | lm AS ($$LM$$),
@@ -2311,6 +2346,23 @@ object ExtensionQueries {
              |            THEN NULL ELSE ts[i] END),
              |     x -> x IS NOT NULL), ' '), '') END AS cleaned
              |FROM toks t LEFT JOIN covs c USING (doc_id)""".stripMargin,
+      // Seeded-shuffle replay: md5('graft:'||key) rank stream, 16-bit
+      // hex-prefix shard (the dsir oracle's strpos base-16 idiom), and
+      // the per-shard dense rank over (hx, key).
+      "w13_corpus_shuffle" ->
+        raw"""WITH h AS (SELECT doc_id,
+             |   md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             | s AS (SELECT doc_id, hx,
+             |   CAST((((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(hx,2,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(hx,4,1)) - 1 AS BIGINT)
+             |     % 8 AS shard
+             |  FROM h)
+             |SELECT doc_id, shard, CAST(row_number() OVER (
+             |   PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+             |FROM s""".stripMargin,
       // Fuzzy decontamination replay: per-doc distinct 5-gram sets (same
       // short-doc convention as txt_contamination), pairwise intersection
       // via the gram join, exact Jaccard threshold at 0.5 (unrounded, as

@@ -818,4 +818,44 @@ object TextOps {
         coalesce(col("logw").cast(DecimalType(38, 6)),
           lit(0).cast(DecimalType(38, 6))).as("logw"))
   }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, public): split a
+    * scored corpus into head / middle / tail at the score terciles —
+    * the standard "train on head+middle, drop tail" perplexity-filter
+    * layout, generic over any score column ([[ngramLmScore]]'s
+    * `lm_logp`, a classifier margin, [[qualityScore]]). Higher score =
+    * better; rows with a NULL score land in `tail` (no evidence, worst
+    * bucket), matching how unscoreable (empty) docs are treated.
+    *
+    * Exact INTERPOLATED terciles (`percentile`, the quantile_cont
+    * analog) rather than ntile: thresholds are then pure functions of
+    * the value distribution — stable under re-partitioning, replayable
+    * by the SQL oracle, and meaningful to log/compare across corpus
+    * versions (an ntile boundary is only a row index).
+    *
+    * Scale shape: one tiny two-value aggregate over the score column,
+    * broadcast back; assignment is map-only — the corpus itself never
+    * shuffles. The exact percentile holds sorted values per partition
+    * (fine up to ~1e8 rows/partition of doubles); swap in
+    * `approx_percentile` upstream if the score frame ever outgrows
+    * that. */
+  def scoreBuckets(scored: DataFrame, scoreCol: String, idCol: String,
+                   labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    require(labels.size == 3 && labels.distinct.size == 3,
+      s"need 3 distinct bucket labels, got $labels")
+    // 2D/3, not 2.0/3: a dotted SQL literal is DECIMAL in Spark, and
+    // decimal division would quantize p to 0.666667 — a DIFFERENT
+    // threshold than the oracle's double division (boundary values then
+    // flip buckets cross-engine). Double division is bit-identical in
+    // both engines.
+    val th = scored.agg(
+      expr(s"percentile($scoreCol, 2D/3)").as("__t_hi"),
+      expr(s"percentile($scoreCol, 1D/3)").as("__t_lo"))
+    scored.crossJoin(broadcast(th))
+      .select(col(idCol), col(scoreCol),
+        when(col(scoreCol).isNull, labels(2))
+          .when(col(scoreCol) >= col("__t_hi"), labels(0))
+          .when(col(scoreCol) >= col("__t_lo"), labels(1))
+          .otherwise(labels(2)).as("bucket"))
+  }
 }

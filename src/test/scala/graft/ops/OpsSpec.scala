@@ -308,4 +308,26 @@ class OpsSpec extends SparkSpec {
     val wide = long.groupBy("id").pivot("yr").agg(first("v"))
     assert(Ops.melt(wide, Seq("id"), "yr", "v").count() === 3)
   }
+
+  test("shuffleShards: deterministic dense per-shard layout, reseedable, null-safe") {
+    val ids = ((1L to 200L).map(Option(_)) :+ (None: Option[Long])).toDF("doc_id")
+    val a = Ops.shuffleShards(ids, "doc_id", numShards = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // null key dropped; every non-null key addressed exactly once
+    assert(a.map(_._1).toSeq === (1L to 200L))
+    // per shard: positions are exactly 1..size (dense, no gaps/dupes)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 4)
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // all shards populated on 200 keys (p(miss) astronomically small)
+    assert(a.map(_._2).distinct.length === 4)
+    // same seed reproduces bit-identically; a new seed deals a new order
+    val b = Ops.shuffleShards(ids, "doc_id", numShards = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    val c = Ops.shuffleShards(ids, "doc_id", numShards = 4, seed = "epoch2")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq !== c.toSeq)
+  }
 }

@@ -531,4 +531,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) === ((2L, 2L, Some(-0.829114))))
     assert(out(2) === ((3L, 0L, None)))
   }
+
+  test("scoreBuckets: tercile head/middle/tail with NULL → tail") {
+    // scores 1..9: terciles at percentile(1/3)=3.667, (2/3)=6.333 →
+    // head {7,8,9}, middle {4,5,6}, tail {1,2,3}; null joins tail
+    val df = ((1 to 9).map(i => (i.toLong, Some(i.toDouble))) :+
+      (10L, None: Option[Double])).toDF("id", "score")
+    val out = TextOps.scoreBuckets(df, "score", "id")
+      .as[(Long, Option[Double], String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert((1L to 3L).forall(out(_) === "tail"))
+    assert((4L to 6L).forall(out(_) === "middle"))
+    assert((7L to 9L).forall(out(_) === "head"))
+    assert(out(10L) === "tail")
+  }
+
+  test("scoreBuckets: boundary value at an exact threshold goes UP (>= semantics)") {
+    // 4 values: percentile(2/3) of {1,2,3,4} = 3.0 exactly → 3 is head
+    val df = Seq(1, 2, 3, 4).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val out = TextOps.scoreBuckets(df, "score", "id")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(3L) === "head" && out(4L) === "head")
+    assert(out(2L) === "middle" && out(1L) === "tail")
+  }
 }
