@@ -319,6 +319,45 @@ object Ops {
       .drop("__h")
   }
 
+  /** Greedy per-stratum token-budget selection — the curation step that
+    * turns "we can afford N tokens of source X" into a concrete keep
+    * list: within each stratum, rows are taken best-score-first until
+    * the stratum's token budget is exhausted. The budget is
+    * data-derived, `floor(budgetFrac × stratum token total)` — a
+    * fraction survives corpus growth where an absolute count would not.
+    * Emits every input row with `(cum_tokens, kept)` so the caller can
+    * audit the cut line as well as filter by `kept`.
+    *
+    * Greedy-by-score is the standard corpus form of the knapsack here
+    * (items ARE divisible in aggregate — dropping the marginal document
+    * at the boundary is the intended behavior, not a loss). A row whose
+    * own tokens straddle the boundary is dropped, not truncated:
+    * `kept = cum_tokens <= budget` with the row's own tokens included.
+    * NULL strata form their own group (null-safe join + window), ties
+    * break on the unique key.
+    *
+    * Scale shape: one tiny per-stratum aggregate broadcast back, then a
+    * cumulative-sum window PARTITIONED BY STRATUM — sorting is
+    * per-stratum, never global; the corpus crosses the wire once for
+    * the window exchange. */
+  def budgetSelect(df: DataFrame, stratumCol: String, keyCol: String,
+                   tokensCol: String, scoreCol: String,
+                   budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    val budgets = df.groupBy(col(stratumCol).as("__s"))
+      .agg(floor(lit(budgetFrac) *
+        sum(col(tokensCol)).cast(org.apache.spark.sql.types.DoubleType))
+        .cast(LongType).as("__budget"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.join(broadcast(budgets), col(stratumCol) <=> col("__s"), "inner")
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast(LongType))
+      .withColumn("kept", col("cum_tokens") <= col("__budget"))
+      .drop("__s", "__budget")
+  }
+
   /** Deterministic, reproducible train/val/test split for dataset curation:
     * a multiplicative (Knuth 1973, public) hash of the key picks a bucket
     * in [0, 1000) and the requested percentages cut it into labels.

@@ -219,4 +219,41 @@ object Quality {
       .orderBy(col("cnt").desc, col("key"))
       .limit(topN)
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance — the standard drift
+    * gate between two slices of one numeric column (yesterday's corpus
+    * vs today's, train vs serve): `ks = max_x |F_a(x) − F_b(x)|` over
+    * the EMPIRICAL cdfs, evaluated exactly at every distinct value.
+    * Returns one row `(n_a, n_b, ks)`; NULL values are ignored on both
+    * sides (no ordering evidence). An empty SIDE yields its count as 0
+    * and a NULL ks rather than a throw — report, let the caller gate,
+    * the [[expectationReport]] convention; two empty sides yield no
+    * row.
+    *
+    * Scale shape: both sides reduce to per-DISTINCT-VALUE counts first
+    * (one partial-agg'd shuffle over the union — the only corpus-sized
+    * movement); the cdf window then runs over the distinct-value frame,
+    * whose cardinality — not the row count — bounds the final
+    * single-partition cumulative sort. For genuinely continuous columns
+    * at extreme cardinality, quantize upstream (e.g. `round(x, 3)`) —
+    * KS on a monotone binning lower-bounds the true distance. All
+    * arithmetic is integer counts + one correctly-rounded double
+    * division, so the statistic replays bit-identically in SQL. */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val u = a.select(col(valueCol).as("v"), lit(1L).as("ga"), lit(0L).as("gb"))
+      .unionAll(b.select(col(valueCol).as("v"), lit(0L).as("ga"), lit(1L).as("gb")))
+      .filter(col("v").isNotNull)
+    val counts = u.groupBy("v").agg(sum("ga").as("ca"), sum("gb").as("cb"))
+    val tot = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    counts
+      .select(sum("ca").over(cum).as("cuma"), sum("cb").over(cum).as("cumb"))
+      .crossJoin(broadcast(tot))
+      .groupBy("n_a", "n_b")
+      // try_divide: a 0-total side divides by zero under ANSI otherwise
+      .agg(max(abs(try_divide(col("cuma").cast("double"), col("n_a")) -
+        try_divide(col("cumb").cast("double"), col("n_b")))).as("ks"))
+      .select(col("n_a"), col("n_b"), col("ks"))
+  }
 }

@@ -681,6 +681,33 @@ object ExtensionQueries {
     graft.ops.Ops.temperatureMix(t(s, dir, "documents"), "lang", "doc_id")
       .select(col("doc_id"), col("lang"))
 
+  /** Exact two-sample KS drift between finished ('F') and open ('O')
+    * order totals — every distinct value's empirical-cdf gap and the max
+    * are integer-count arithmetic plus one correctly-rounded division,
+    * so the statistic itself is hash-checked. */
+  private val a11KsDrift: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    graft.quality.Quality.ksDrift(
+      o.filter(col("o_orderstatus") === "F"),
+      o.filter(col("o_orderstatus") === "O"), "o_totalprice")
+  }
+
+  /** Greedy per-source token-budget selection at half each source's token
+    * mass, best unique-token-ratio first — budgets, cumulative sums, and
+    * the keep/cut line all replayed by the oracle. */
+  private val pipeTokenBudget: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val nt = TextOps.tokenCount(col("text"))
+    val scored = d.select(col("doc_id"), col("source"),
+      nt.cast(org.apache.spark.sql.types.LongType).as("n_tokens"),
+      when(nt === 0, lit(0.0)).otherwise(
+        size(array_distinct(TextOps.tokens(col("text")))).cast("double") / nt)
+        .as("score"))
+    graft.ops.Ops.budgetSelect(scored, "source", "doc_id", "n_tokens", "score")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"),
+        col("cum_tokens"), col("kept"))
+  }
+
   /** Seeded deterministic corpus shuffle into 8 shards — the data-loader
     * layout (shard, pos) every training run can reproduce. The oracle
     * replays the seeded md5 rank stream, the 16-bit-prefix shard
@@ -1337,6 +1364,8 @@ object ExtensionQueries {
     "dd_decontaminate_fuzzy" -> ddDecontaminateFuzzy,
     "w13_corpus_shuffle" -> w13CorpusShuffle,
     "txt_ppl_buckets" -> txtPplBuckets,
+    "a11_ks_drift" -> a11KsDrift,
+    "pipe_token_budget" -> pipeTokenBudget,
     "w12_temperature_mix" -> w12TemperatureMix,
     "txt_dsir_weight" -> txtDsirWeight,
     "txt_contamination" -> txtContamination,
@@ -2346,6 +2375,46 @@ object ExtensionQueries {
              |            THEN NULL ELSE ts[i] END),
              |     x -> x IS NOT NULL), ' '), '') END AS cleaned
              |FROM toks t LEFT JOIN covs c USING (doc_id)""".stripMargin,
+      // KS replay: per-distinct-value group counts, running cdfs (ROWS
+      // frame — value is already distinct so RANGE would equal it), and
+      // the max absolute gap. Counts are integers, the division is
+      // correctly rounded — bit-identical cross-engine.
+      "a11_ks_drift" ->
+        raw"""WITH c AS (SELECT o_totalprice AS v,
+             |   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             |   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cb
+             |  FROM orders
+             |  WHERE o_orderstatus IN ('F', 'O') AND o_totalprice IS NOT NULL
+             |  GROUP BY 1),
+             | n AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM c),
+             | cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+             |   sum(cb) OVER (ORDER BY v) AS cumb FROM c)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             | max(abs(CAST(cuma AS DOUBLE)/n_a - CAST(cumb AS DOUBLE)/n_b)) AS ks
+             |FROM cum, n GROUP BY 1, 2""".stripMargin,
+      // Budget-selection replay: unique-token-ratio scores, half-mass
+      // per-source budgets, per-source cumulative token sums in
+      // (score DESC, doc_id) order, and the keep decision.
+      "pipe_token_budget" ->
+        raw"""WITH s AS (SELECT doc_id, source,
+             |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             |     AS BIGINT) AS n_tokens,
+             |   CASE WHEN length(trim(text)) = 0 THEN 0.0
+             |     ELSE CAST(len(list_distinct(
+             |         regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+             |       / len(regexp_split_to_array(trim(text), '\s+')) END AS score
+             |  FROM documents),
+             | b AS (SELECT source, CAST(FLOOR(0.5 * CAST(sum(n_tokens) AS DOUBLE))
+             |     AS BIGINT) AS budget FROM s GROUP BY 1),
+             | c AS (SELECT s.*, sum(n_tokens) OVER (PARTITION BY source
+             |     ORDER BY score DESC, doc_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             |   FROM s)
+             |SELECT c.doc_id, c.source, c.n_tokens, c.score,
+             | CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+             | c.cum_tokens <= b.budget AS kept
+             |FROM c JOIN b USING (source)""".stripMargin,
       // Seeded-shuffle replay: md5('graft:'||key) rank stream, 16-bit
       // hex-prefix shard (the dsir oracle's strpos base-16 idiom), and
       // the per-shard dense rank over (hx, key).

@@ -309,6 +309,27 @@ class OpsSpec extends SparkSpec {
     assert(Ops.melt(wide, Seq("id"), "yr", "v").count() === 3)
   }
 
+  test("budgetSelect: greedy by score within stratum, boundary kept on equality") {
+    val rows = Seq(
+      // stratum "x": 20 tokens total → budget 10; greedy keeps the
+      // score-0.9 row (cum 10 == budget, <= keeps it), drops the rest
+      (1L, Some("x"), 10L, 0.9), (2L, Some("x"), 5L, 0.8), (3L, Some("x"), 5L, 0.7),
+      // stratum "y": equal scores → doc_id breaks the tie; 30 total →
+      // budget 15 → first row only (cum 10; second hits 25 > 15)
+      (4L, Some("y"), 10L, 0.5), (5L, Some("y"), 15L, 0.5),
+      // NULL stratum is its own group: 8 total → budget 4 → nothing fits
+      (6L, None, 8L, 0.9))
+      .toDF("id", "stratum", "n_tokens", "score")
+    val out = Ops.budgetSelect(rows, "stratum", "id", "n_tokens", "score")
+      .select("id", "cum_tokens", "kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((10L, true)) && out(2L) === ((15L, false)) &&
+      out(3L) === ((20L, false)))
+    assert(out(4L) === ((10L, true)) && out(5L) === ((25L, false)))
+    assert(out(6L) === ((8L, false)))
+    assert(out.size === 6) // every input row surfaces with its audit columns
+  }
+
   test("shuffleShards: deterministic dense per-shard layout, reseedable, null-safe") {
     val ids = ((1L to 200L).map(Option(_)) :+ (None: Option[Long])).toDF("doc_id")
     val a = Ops.shuffleShards(ids, "doc_id", numShards = 4)

@@ -176,4 +176,28 @@ class QualitySpec extends SparkSpec {
     assert(est3 >= 100L && est3 <= 100L + slack, s"key 3 estimate $est3")
     assert(merged.estimateCount(9999L) <= slack, "absent key stays near zero")
   }
+
+  test("ksDrift: hand-computed distance, zero on identical, one on disjoint") {
+    def df(xs: Double*) = xs.toDF("x")
+    // a={1,2,3}, b={2,3,4}: the cdf gap is 1/3 at v=1,2,3 — but in
+    // doubles the three gaps differ in the last ulp (1/3−0, 2/3−1/3,
+    // 1−2/3) and the max is the v=3 one, 1−2/3 = 0.33333333333333337
+    val r = Quality.ksDrift(df(1, 2, 3), df(2, 3, 4), "x")
+      .as[(Long, Long, Double)].head()
+    assert(r === ((3L, 3L, 1.0 - 2.0 / 3)))
+    // identical samples → 0
+    assert(Quality.ksDrift(df(5, 6, 7), df(5, 6, 7), "x")
+      .as[(Long, Long, Double)].head() === ((3L, 3L, 0.0)))
+    // fully separated supports → 1
+    assert(Quality.ksDrift(df(1, 2), df(5, 6), "x")
+      .as[(Long, Long, Double)].head() === ((2L, 2L, 1.0)))
+    // one empty side: counts report, ks stays NULL instead of throwing
+    val e = Quality.ksDrift(df(1, 2), df().limit(0), "x")
+      .as[(Long, Long, Option[Double])].head()
+    assert(e === ((2L, 0L, None)))
+    // nulls carry no ordering evidence: dropped from counts and cdfs
+    val withNull = Seq(Some(1.0), Some(2.0), None).toDF("x")
+    assert(Quality.ksDrift(withNull, df(1, 2), "x")
+      .as[(Long, Long, Double)].head() === ((2L, 2L, 0.0)))
+  }
 }
