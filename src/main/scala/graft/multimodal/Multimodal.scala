@@ -294,6 +294,37 @@ object Multimodal {
       maxDist, maxBucketOccupancy, "imageNearDups",
       "the corpus contains many visually-identical images; exact-dedup payload bytes first")
 
+  /** Exact-verified image duplicate pairs — [[imageNearDups]] candidates
+    * (dHash, Hamming 0) filtered to BYTE-IDENTICAL payloads, the
+    * image analog of the text family's candidates-then-exact-verify
+    * discipline (`minHashNearDups`): the perceptual hash prunes the
+    * pair space, the md5 fingerprint join makes the final answer
+    * exact. Identical bytes ⇒ identical dHash ⇒ candidate, so recall
+    * over true byte-duplicates is guaranteed — which is what lets a
+    * SQL oracle predict the output wherever payload identity is
+    * SQL-derivable (planted synthesis), while perceptual-only
+    * near-misses (re-encodes, brightness shifts) stay in
+    * [[imageNearDups]]'s wider answer.
+    *
+    * Scale shape: the verify join carries one 32-char fingerprint per
+    * image, never payload bytes; candidates are bucket-joined, not
+    * all-pairs. Returns `(id_a, id_b)`, persisted (caller unpersists —
+    * the family contract). */
+  def imageExactDups(df: DataFrame, idCol: String,
+                     payloadCol: String = "payload",
+                     maxBucketOccupancy: Long = 100000L): DataFrame = {
+    val pairs = imageNearDups(df, idCol, payloadCol, maxDist = 0,
+      maxBucketOccupancy = maxBucketOccupancy)
+    val fp = df.select(col(idCol).cast(org.apache.spark.sql.types.LongType)
+      .as("__vid"), md5(col(payloadCol)).as("__fp"))
+    val out = pairs
+      .join(fp.select(col("__vid").as("id_a"), col("__fp").as("__fa")), "id_a")
+      .join(fp.select(col("__vid").as("id_b"), col("__fp").as("__fb")), "id_b")
+      .filter(col("__fa") === col("__fb"))
+      .select(col("id_a"), col("id_b"))
+    graft.util.Caching.materializeAndRelease(out, pairs)
+  }
+
   /** Deterministic multi-frame animated-GIF payloads — the container the
     * frame-decode tier runs on without external codec libraries (GIF is
     * the one multi-frame format the JDK writes AND reads natively). Frame

@@ -1196,6 +1196,33 @@ object ExtensionQueries {
       .select(col("doc_id"), col("frame_no"),
         col("frame.width").as("w"), col("frame.height").as("h"))
 
+  /** Perceptual image near-dup, production shape: dHash-64 over real
+    * encoded PNGs through the 16-bit pigeonhole bucket join at
+    * Hamming ≤ 3. Rows-only by necessity — a decoded image's dHash is
+    * not derivable in SQL (the oracle engine cannot decode PNG);
+    * planted-copy recall, brightness/re-encode invariance, and
+    * pattern separation are MultimodalSpec-pinned, and the exact twin
+    * `mm_phash_verified` closes the loop in SQL. */
+  private val mmPhashNeardup: Q = (s, dir) =>
+    Multimodal.imageNearDups(
+      Multimodal.synthesizePng(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), (col("doc_id") % 100).as("pat")), "pat"),
+      "doc_id", maxDist = 3)
+
+  /** Exact-verified image dedup: payloads synthesized from doc_id % 100
+    * make exactly the (i, i+100) pairs byte-identical; identical bytes ⇒
+    * identical dHash guarantees the candidate tier surfaces them, and
+    * the md5 payload-fingerprint verify keeps ONLY byte-identical pairs
+    * — so the SQL oracle predicts the verified pair list exactly
+    * (the image analog of dd_oph_verified's guarantee argument). */
+  private val mmPhashVerified: Q = (s, dir) =>
+    Multimodal.imageExactDups(
+      Multimodal.synthesizePng(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), (col("doc_id") % 100).as("pat")), "pat"),
+      "doc_id")
+
   // ---------------------------------------------------------------- events
   /** AS-OF join: every event attaches the user's most recent prior (or
     * simultaneous) purchase. Purchases are deduped to one per (user, ts)
@@ -1422,6 +1449,8 @@ object ExtensionQueries {
     "mm_resize" -> mmResize,
     "mm_frame_fanout" -> mmFrameFanout,
     "mm_frame_decode" -> mmFrameDecode,
+    "mm_phash_neardup" -> mmPhashNeardup,
+    "mm_phash_verified" -> mmPhashVerified,
     "evt_asof" -> evtAsof,
     "evt_range" -> evtRange,
     "evt_interval_join" -> evtIntervalJoin,
@@ -2712,6 +2741,16 @@ bruteForceCosineOracle,
           | CAST(doc_id % 16 + 8 AS INTEGER) AS w,
           | CAST(doc_id % 12 + 8 AS INTEGER) AS h
           |FROM documents WHERE doc_id < 100""".stripMargin,
+      // Verified image dedup: payload bytes are a pure function of
+      // doc_id % 100 (and only of it — pattern ids congruent mod 96
+      // share dimensions but differ pixel-wise), so the byte-identical
+      // pairs are exactly (i, i+100); candidate recall over them is
+      // guaranteed (identical bytes ⇒ identical dHash).
+      "mm_phash_verified" ->
+        """SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+          | CAST(b.doc_id AS BIGINT) AS id_b
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100
+          |WHERE a.doc_id < 100 AND b.doc_id < 200""".stripMargin,
       "evt_asof" ->
         """WITH p AS (
           | SELECT user_id, ts, max(event_id) AS last_purchase_id,

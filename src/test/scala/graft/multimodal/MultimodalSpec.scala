@@ -187,4 +187,17 @@ class MultimodalSpec extends SparkSpec {
     assert((cachedIds -- before).isEmpty)
     assert(pairs === (0 until 5).map(k => (k.toLong, (k + 5).toLong)).toSet)
   }
+
+  test("imageExactDups keeps byte-identical pairs, rejects hash-equal re-encodes") {
+    // ids 1/2: identical PNG bytes → verified pair. ids 3/4: same pixels,
+    // PNG vs BMP — dHash-identical (candidate at distance 0) but NOT
+    // byte-identical, so the verify tier must drop them.
+    val rows = Seq(
+      (1L, blockImage(7)), (2L, blockImage(7)),
+      (3L, blockImage(21)), (4L, blockImage(21, fmt = "bmp")))
+    val out = Multimodal.imageExactDups(rows.toDF("id", "payload"), "id")
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    out.unpersist(blocking = true)
+    assert(pairs === Set((1L, 2L)))
+  }
 }
