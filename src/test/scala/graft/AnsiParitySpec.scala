@@ -14,7 +14,11 @@ class AnsiParitySpec extends SparkSpec {
     // treats differently when misused — parity proves they don't rely on
     // silent-null coercion either way
     "sim_lsh_recall", "pr8_frequent", "txt_pack_sequences",
-    "dd_span_dedup", "w12_temperature_mix")
+    "dd_span_dedup", "w12_temperature_mix",
+    // round-9 second batch: jaccard/cdf/score divisions and quantile
+    // arithmetic
+    "dd_decontaminate_fuzzy", "a11_ks_drift", "pipe_token_budget",
+    "txt_ppl_buckets")
 
   test("cleaning queries produce identical rows with ANSI on and off") {
     val dir = "/root/testdata/sf0.001"

@@ -105,6 +105,42 @@ class EdgeInputSpec extends SparkSpec {
     assert((cachedIds -- before).isEmpty)
   }
 
+  test("empty/degenerate inputs: round-9 second-batch operators stay defined") {
+    // fuzzyDecontaminate: empty corpus / empty benchmark → 0 rows
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.fuzzyDecontaminate(empty, "text", "doc_id",
+      docs, "text", "doc_id").count() === 0)
+    assert(Dedup.fuzzyDecontaminate(docs, "text", "doc_id",
+      empty, "text", "doc_id").count() === 0)
+    // shuffleShards: empty → 0 rows; all-null keys → 0 rows
+    assert(graft.ops.Ops.shuffleShards(empty, "doc_id", 4).count() === 0)
+    val nullKeys = Seq((null: java.lang.Long, "x")).toDF("doc_id", "text")
+    assert(graft.ops.Ops.shuffleShards(nullKeys, "doc_id", 4).count() === 0)
+    // scoreBuckets: empty → 0 rows; all-null scores → every row 'tail'
+    val noScores = Seq((1L, null: java.lang.Double), (2L, null: java.lang.Double))
+      .toDF("id", "s")
+    assert(TextOps.scoreBuckets(noScores.limit(0), "s", "id").count() === 0)
+    assert(TextOps.scoreBuckets(noScores, "s", "id")
+      .select("bucket").as[String].collect().forall(_ === "tail"))
+    // ksDrift: both sides empty → no row (not a crash)
+    val emptyD = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(graft.quality.Quality.ksDrift(emptyD, emptyD, "v").count() === 0)
+    // budgetSelect: empty → 0 rows; zero-token stratum → budget 0, all
+    // rows surface with kept = (cum 0 <= 0) = true (zero-cost rows fit)
+    assert(graft.ops.Ops.budgetSelect(
+      Seq.empty[(Long, String, Long, Double)].toDF("id", "st", "n", "sc"),
+      "st", "id", "n", "sc").count() === 0)
+    val zeroTok = Seq((1L, "s", 0L, 0.5), (2L, "s", 0L, 0.4))
+      .toDF("id", "st", "n", "sc")
+    val zt = graft.ops.Ops.budgetSelect(zeroTok, "st", "id", "n", "sc")
+      .select("kept").as[Boolean].collect()
+    assert(zt.length === 2 && zt.forall(identity))
+    // imageExactDups: empty and all-null payloads → 0 rows
+    val nullPay = Seq((1L, null: Array[Byte])).toDF("id", "payload")
+    val e1 = graft.multimodal.Multimodal.imageExactDups(nullPay, "id")
+    assert(e1.count() === 0); e1.unpersist(blocking = true)
+  }
+
   test("sampleFrames: corrupt containers and empty frames stay defined") {
     import graft.multimodal.Multimodal
     // truncated GIF: cut a real multi-frame payload in half — frames
