@@ -232,12 +232,12 @@ object Quality {
     *
     * Scale shape: both sides reduce to per-DISTINCT-VALUE counts first
     * (one partial-agg'd shuffle over the union — the only corpus-sized
-    * movement); the cdf window then runs over the distinct-value frame,
-    * whose cardinality — not the row count — bounds the final
-    * single-partition cumulative sort. For genuinely continuous columns
-    * at extreme cardinality, quantize upstream (e.g. `round(x, 3)`) —
-    * KS on a monotone binning lower-bounds the true distance. All
-    * arithmetic is integer counts + one correctly-rounded double
+    * movement); the empirical cdfs then come from a DISTRIBUTED prefix
+    * scan ([[graft.ops.Scan.prefixSums]]: range-partitioned local running
+    * sums + a numPartitions-row offset frame) — there is NO
+    * single-partition global window, so a genuinely continuous column
+    * with ~row-count distinct values still spreads across the cluster.
+    * All arithmetic is integer counts + one correctly-rounded double
     * division, so the statistic replays bit-identically in SQL. */
   def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val u = a.select(col(valueCol).as("v"), lit(1L).as("ga"), lit(0L).as("gb"))
@@ -245,15 +245,14 @@ object Quality {
       .filter(col("v").isNotNull)
     val counts = u.groupBy("v").agg(sum("ga").as("ca"), sum("gb").as("cb"))
     val tot = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
-    val W = org.apache.spark.sql.expressions.Window
-    val cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    counts
-      .select(sum("ca").over(cum).as("cuma"), sum("cb").over(cum).as("cumb"))
-      .crossJoin(broadcast(tot))
-      .groupBy("n_a", "n_b")
-      // try_divide: a 0-total side divides by zero under ANSI otherwise
-      .agg(max(abs(try_divide(col("cuma").cast("double"), col("n_a")) -
-        try_divide(col("cumb").cast("double"), col("n_b")))).as("ks"))
-      .select(col("n_a"), col("n_b"), col("ks"))
+    val cum = graft.ops.Scan.prefixSums(counts, Seq(col("v").asc), Seq("ca", "cb"))
+    graft.util.Caching.reshapeAndRelease(cum) { c =>
+      c.crossJoin(broadcast(tot))
+        .groupBy("n_a", "n_b")
+        // try_divide: a 0-total side divides by zero under ANSI otherwise
+        .agg(max(abs(try_divide(col("ca_cum").cast("double"), col("n_a")) -
+          try_divide(col("cb_cum").cast("double"), col("n_b")))).as("ks"))
+        .select(col("n_a"), col("n_b"), col("ks"))
+    }
   }
 }

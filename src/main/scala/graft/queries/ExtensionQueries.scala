@@ -718,14 +718,54 @@ object ExtensionQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
 
   /** DSIR importance weighting (Xie et al. 2023): rank the whole corpus
-    * by how `src0`-like its hashed unigram+bigram bag is. Every number is
-    * hash-checked: the DuckDB mirror replays md5 bucketing, both add-one
-    * smoothed marginals, the round-6 per-bucket log-ratios, and the
-    * exact decimal per-document sum. */
+    * by how `src0`-like its hashed unigram+bigram bag is. Rows-only by
+    * necessity: the round-9 oracle replayed the per-bucket `ln` ratios in
+    * DuckDB and the hash flipped on another platform — two libm `ln`s can
+    * disagree by half an ulp exactly at a round-6 boundary, so a
+    * transcendental has no place in a hashed contract. The integer layer
+    * beneath it is pinned bit-for-bit by [[txtDsirStats]], and the
+    * weights themselves are spec-tested against a Scala replay. */
   private val txtDsirWeight: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     TextOps.dsirWeights(docs, docs.filter(col("source") === "src0"),
       "text", "doc_id")
+  }
+
+  /** DSIR integer sufficient statistics — hash-checked twin of
+    * [[txtDsirWeight]]: per-doc feature count, both cross-moments with
+    * the corpus/target marginals, and the linearized importance margin.
+    * Pure integer arithmetic end to end, so the DuckDB replay is exact on
+    * any platform. The operator's native column type is DECIMAL(38,0)
+    * (exact to 10³⁸ — trillion-token-safe); the registry entry casts to
+    * BIGINT for the hashed contract so no decimal representation ever
+    * enters the cross-engine hash (values fit 2⁶³ comfortably at every
+    * test SF; ANSI mode would fail the cast loudly, not wrap, if they
+    * did not). */
+  private val txtDsirStats: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    TextOps.dsirStats(docs, docs.filter(col("source") === "src0"),
+        "text", "doc_id")
+      .select(col("doc_id"), col("n_feats"),
+        col("s_tgt").cast("long").as("s_tgt"),
+        col("s_raw").cast("long").as("s_raw"),
+        col("margin").cast("long").as("margin"))
+  }
+
+  /** DSIR selection — greedy budgeted resampling toward `src0` on the
+    * exact integer margin (best margin first, doc_id tie-break, keep
+    * until half the corpus feature mass is spent). The whole selection —
+    * ordering, running totals via the distributed prefix scan, budget
+    * threshold, keep flags — is hash-checked against a single-window
+    * DuckDB replay. */
+  private val txtDsirSelect: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    TextOps.dsirSelect(docs, docs.filter(col("source") === "src0"),
+        "text", "doc_id")
+      // same BIGINT shim as txt_dsir_stats: the hashed contract carries
+      // no decimal representation
+      .select(col("doc_id"), col("n_feats"),
+        col("margin").cast("long").as("margin"),
+        col("cum_feats"), col("kept"))
   }
 
   /** Capstone near-dedup pipeline: ORGANIC similarity pairs (consecutive
@@ -1395,6 +1435,8 @@ object ExtensionQueries {
     "pipe_token_budget" -> pipeTokenBudget,
     "w12_temperature_mix" -> w12TemperatureMix,
     "txt_dsir_weight" -> txtDsirWeight,
+    "txt_dsir_stats" -> txtDsirStats,
+    "txt_dsir_select" -> txtDsirSelect,
     "txt_contamination" -> txtContamination,
     "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_salient_terms" -> txtSalientTerms,
@@ -2487,12 +2529,21 @@ object ExtensionQueries {
              |   FROM jac WHERE jaccard >= 0.5)
              |SELECT doc_id, CAST(bench_id AS BIGINT) AS bench_id, jaccard
              |FROM best WHERE rn = 1""".stripMargin,
-      // Full DSIR replay: unigram+bigram features, md5-character bucket
-      // hash, add-one smoothed bucket marginals for corpus and the src0
-      // target slice, per-bucket round-6 natural-log ratio as DECIMAL,
-      // and the exact decimal per-doc sum (order-independent — this is
-      // why the engine carries DECIMAL, not a float sum).
-      "txt_dsir_weight" ->
+      // txt_dsir_weight is deliberately rows-only: its round-9 oracle
+      // replayed the per-bucket ln ratios and the hash flipped on another
+      // platform (libm ln is not correctly-rounded-guaranteed, so a
+      // half-ulp disagreement at a round-6 boundary flips a bucket's
+      // DECIMAL log-ratio). The integer layer beneath the logs — the
+      // entire tokenize→hash→bucket-count→marginal→smoothing pipeline —
+      // is hash-checked by txt_dsir_stats below; the ln weights are
+      // spec-tested against an in-JVM replay.
+      //
+      // DSIR integer sufficient statistics: same feature/bucket CTEs as
+      // the weight query, but the hashed outputs are exact integers —
+      // cross-moments with both marginals, plus the linearized importance
+      // margin (tr+B)(s_tgt+n) − (tt+B)(s_raw+n) computed in HUGEINT (no
+      // division, no transcendental; Spark carries it in DECIMAL(38,0)).
+      "txt_dsir_stats" ->
         raw"""WITH toks AS (SELECT doc_id, source,
              |   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
              |     t -> t <> '') AS ts
@@ -2516,20 +2567,78 @@ object ExtensionQueries {
              |   GROUP BY 1),
              | tot AS (SELECT (SELECT COALESCE(sum(cr), 0) FROM rawc) AS tr,
              |   (SELECT COALESCE(sum(ct), 0) FROM tgtc) AS tt),
-             | lr AS (SELECT s.b,
-             |   CAST(ROUND(ln((COALESCE(ct, 0) + 1) / (tt + 1024.0))
-             |     - ln((COALESCE(cr, 0) + 1) / (tr + 1024.0)), 6)
-             |     AS DECIMAL(20,6)) AS lr
+             | ann AS (SELECT s.b,
+             |   COALESCE(ct, 0) AS ct0, COALESCE(cr, 0) AS cr0
              |  FROM (SELECT unnest(range(0, 1024)) AS b) s
              |  LEFT JOIN tgtc ON tgtc.b = s.b
-             |  LEFT JOIN rawc ON rawc.b = s.b, tot),
-             | sc AS (SELECT doc_id,
-             |   SUM(CAST(c AS DECIMAL(12,0)) * lr) AS logw,
-             |   SUM(c) AS n_feats
-             |  FROM docb JOIN lr ON lr.b = docb.b GROUP BY 1)
+             |  LEFT JOIN rawc ON rawc.b = s.b),
+             | sc AS (SELECT doc_id, SUM(c) AS n_feats,
+             |   SUM(CAST(c AS DECIMAL(19,0)) * CAST(ct0 AS DECIMAL(19,0))) AS s_tgt,
+             |   SUM(CAST(c AS DECIMAL(19,0)) * CAST(cr0 AS DECIMAL(19,0))) AS s_raw
+             |  FROM docb JOIN ann ON ann.b = docb.b GROUP BY 1)
              |SELECT d.doc_id, CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
-             | CAST(COALESCE(logw, 0) AS DECIMAL(38,6)) AS logw
-             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+             | CAST(COALESCE(s_tgt, 0) AS BIGINT) AS s_tgt,
+             | CAST(COALESCE(s_raw, 0) AS BIGINT) AS s_raw,
+             | CAST(CAST(tr + 1024 AS HUGEINT)
+             |     * CAST(COALESCE(s_tgt, 0) + COALESCE(n_feats, 0) AS HUGEINT)
+             |   - CAST(tt + 1024 AS HUGEINT)
+             |     * CAST(COALESCE(s_raw, 0) + COALESCE(n_feats, 0) AS HUGEINT)
+             |   AS BIGINT) AS margin
+             |FROM documents d LEFT JOIN sc USING (doc_id), tot""".stripMargin,
+      // DSIR budgeted selection on the exact linearized margin: one
+      // window (ORDER BY margin DESC, doc_id) replays the engine's
+      // two-pass distributed prefix scan; FLOOR goes through DOUBLE to
+      // match the engine's budget arithmetic bit-for-bit.
+      "txt_dsir_select" ->
+        raw"""WITH toks AS (SELECT doc_id, source,
+             |   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |     t -> t <> '') AS ts
+             |  FROM documents),
+             | feats AS (
+             |  SELECT doc_id, source, unnest(ts) AS g FROM toks
+             |  UNION ALL
+             |  SELECT doc_id, source, ts[i.iv] || ' ' || ts[i.iv+1] AS g
+             |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS iv) i
+             |  WHERE len(ts) >= 2),
+             | h AS (SELECT doc_id, source,
+             |   CAST((((strpos('0123456789abcdef', substr(md5(g),1,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(g),2,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(g),3,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(md5(g),4,1)) - 1 AS BIGINT)
+             |     % 1024 AS b
+             |  FROM feats),
+             | docb AS (SELECT doc_id, b, count(*) AS c FROM h GROUP BY 1, 2),
+             | rawc AS (SELECT b, sum(c) AS cr FROM docb GROUP BY 1),
+             | tgtc AS (SELECT b, count(*) AS ct FROM h WHERE source = 'src0'
+             |   GROUP BY 1),
+             | tot AS (SELECT (SELECT COALESCE(sum(cr), 0) FROM rawc) AS tr,
+             |   (SELECT COALESCE(sum(ct), 0) FROM tgtc) AS tt),
+             | ann AS (SELECT s.b,
+             |   COALESCE(ct, 0) AS ct0, COALESCE(cr, 0) AS cr0
+             |  FROM (SELECT unnest(range(0, 1024)) AS b) s
+             |  LEFT JOIN tgtc ON tgtc.b = s.b
+             |  LEFT JOIN rawc ON rawc.b = s.b),
+             | sc AS (SELECT doc_id, SUM(c) AS n_feats,
+             |   SUM(CAST(c AS DECIMAL(19,0)) * CAST(ct0 AS DECIMAL(19,0))) AS s_tgt,
+             |   SUM(CAST(c AS DECIMAL(19,0)) * CAST(cr0 AS DECIMAL(19,0))) AS s_raw
+             |  FROM docb JOIN ann ON ann.b = docb.b GROUP BY 1),
+             | st AS (SELECT d.doc_id,
+             |   CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+             |   CAST(CAST(tr + 1024 AS HUGEINT)
+             |       * CAST(COALESCE(s_tgt, 0) + COALESCE(n_feats, 0) AS HUGEINT)
+             |     - CAST(tt + 1024 AS HUGEINT)
+             |       * CAST(COALESCE(s_raw, 0) + COALESCE(n_feats, 0) AS HUGEINT)
+             |     AS BIGINT) AS margin
+             |  FROM documents d LEFT JOIN sc USING (doc_id), tot),
+             | tt2 AS (SELECT COALESCE(SUM(n_feats), 0) AS tf FROM st),
+             | cum AS (SELECT doc_id, n_feats, margin,
+             |   SUM(n_feats) OVER (ORDER BY margin DESC, doc_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_feats
+             |  FROM st)
+             |SELECT doc_id, n_feats, margin,
+             | CAST(cum_feats AS BIGINT) AS cum_feats,
+             | cum_feats <= CAST(FLOOR(0.5 * CAST(tf AS DOUBLE)) AS BIGINT) AS kept
+             |FROM cum, tt2""".stripMargin,
       // Data-derived sqrt-temperature rates (alpha = 1/2: SQRT is
       // correctly rounded in both engines, so floor(1000*sqrt(cmin/c))
       // is bit-identical) + the sample family's seed-1 bucket stream.

@@ -782,23 +782,8 @@ object TextOps {
     * the log-ratio table (`buckets` rows) broadcasts back. */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
                   idCol: String, buckets: Int = 1024): DataFrame = {
-    require(buckets > 1 && buckets <= 65536,
-      s"buckets must be in [2, 65536], got $buckets")
-    def hx(i: Int): Column =
-      expr(s"instr('0123456789abcdef', substring(md5(g), $i, 1)) - 1")
-    val bucket = pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4),
-      lit(buckets)).cast(IntegerType)
-    val docB = ngramFeatures(raw, textCol, idCol)
-      .select(col("doc_id"), bucket.as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    val rawCnt = docB.groupBy("b").agg(sum(col("c")).as("cr"))
-    val tgtCnt = ngramFeatures(target, textCol, idCol)
-      .select(bucket.as("b"))
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val totals = rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
-      .crossJoin(tgtCnt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
-    val spine = raw.sparkSession.range(buckets)
-      .select(col("id").cast(IntegerType).as("b"))
+    val (docB, rawCnt, tgtCnt, totals, spine) =
+      dsirCounts(raw, target, textCol, idCol, buckets)
     val lr = spine
       .join(tgtCnt, Seq("b"), "left").join(rawCnt, Seq("b"), "left")
       .crossJoin(broadcast(totals))
@@ -817,6 +802,129 @@ object TextOps {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("logw").cast(DecimalType(38, 6)),
           lit(0).cast(DecimalType(38, 6))).as("logw"))
+  }
+
+  /** Shared DSIR count plumbing: hashed-feature per-doc bucket counts over
+    * the raw corpus, the raw and target bucket marginals, their totals,
+    * and the dense bucket spine. One (doc, bucket) shuffle is the only
+    * corpus-sized movement; everything else is ≤ `buckets` rows. */
+  private def dsirCounts(raw: DataFrame, target: DataFrame, textCol: String,
+                         idCol: String, buckets: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(buckets > 1 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    def hx(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(md5(g), $i, 1)) - 1")
+    val bucket = pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4),
+      lit(buckets)).cast(IntegerType)
+    val docB = ngramFeatures(raw, textCol, idCol)
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val rawCnt = docB.groupBy("b").agg(sum(col("c")).as("cr"))
+    val tgtCnt = ngramFeatures(target, textCol, idCol)
+      .select(bucket.as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+      .crossJoin(tgtCnt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    val spine = raw.sparkSession.range(buckets)
+      .select(col("id").cast(IntegerType).as("b"))
+    (docB, rawCnt, tgtCnt, totals, spine)
+  }
+
+  /** DSIR integer sufficient statistics — the exactly-replayable face of
+    * [[dsirWeights]]. The ln-weight contract proved platform-dependent
+    * (two libm `ln`s can disagree by half an ulp at a round-6 boundary,
+    * flipping a bucket's DECIMAL log-ratio cross-engine), so the
+    * hash-checked artifact is the INTEGER layer beneath the logs: per
+    * document,
+    *   - `n_feats` — total hashed-feature count `Σ_b c_b`,
+    *   - `s_tgt`   — cross-moment with the target marginal `Σ_b c_b·ct_b`,
+    *   - `s_raw`   — cross-moment with the raw marginal  `Σ_b c_b·cr_b`,
+    *   - `margin`  — the LINEARIZED importance score: the common-
+    *                 denominator numerator of `Σ_b c_b·(p̂_t(b) − p̂_r(b))`
+    *                 over the add-one smoothed marginals, which collapses
+    *                 algebraically to
+    *                 `(tr+B)·(s_tgt+n_feats) − (tt+B)·(s_raw+n_feats)` —
+    *                 pure integer arithmetic, no division, no
+    *                 transcendental, and the same doc ordering as the
+    *                 first-order (ln x ≈ x−1) expansion of the ln weight.
+    * These pin the whole DSIR pipeline (tokenize → hash → bucket counts →
+    * both marginals → smoothing) bit-for-bit in any engine; the ln-weight
+    * itself stays a spec-tested engine analytic on the same counts.
+    * Products ride DECIMAL(19,0)×DECIMAL arithmetic into DECIMAL(38,0),
+    * so trillion-token marginals cannot overflow a 64-bit integer (the
+    * margin stays exact while |margin| < 10³⁸ — comfortably true up to
+    * ~10¹² token corpora at the default 1024 buckets).
+    *
+    * Scale shape: identical to [[dsirWeights]] — one (doc, bucket)
+    * shuffle; the ≤ `buckets`-row annotated spine and the one-row totals
+    * broadcast back. */
+  def dsirStats(raw: DataFrame, target: DataFrame, textCol: String,
+                idCol: String, buckets: Int = 1024): DataFrame = {
+    val (docB, rawCnt, tgtCnt, totals, spine) =
+      dsirCounts(raw, target, textCol, idCol, buckets)
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val annotated = spine
+      .join(tgtCnt, Seq("b"), "left").join(rawCnt, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct0"),
+        coalesce(col("cr"), lit(0L)).as("cr0"))
+    val scored = docB.join(broadcast(annotated), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c").cast(d19) * col("ct0").cast(d19)).as("s_tgt"),
+        sum(col("c").cast(d19) * col("cr0").cast(d19)).as("s_raw"))
+    val margin =
+      ((col("tr") + lit(buckets)).cast(d19) * (col("s_tgt") + col("n_feats")) -
+        (col("tt") + lit(buckets)).cast(d19) * (col("s_raw") + col("n_feats")))
+        .cast(d38)
+    raw.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("s_tgt").cast(d38), lit(0).cast(d38)).as("s_tgt"),
+        coalesce(col("s_raw").cast(d38), lit(0).cast(d38)).as("s_raw"),
+        coalesce(margin, lit(0).cast(d38)).as("margin"))
+  }
+
+  /** DSIR selection — the step the importance weight exists FOR (Xie et
+    * al. 2023 §3: resample the raw corpus toward the target). Documents
+    * are ranked by the exact integer [[dsirStats]] `margin` (the
+    * linearized smoothed-ratio score — deterministic and replayable in
+    * any engine, unlike the ln-weight) and kept greedily, best-first with
+    * doc_id tie-break, until the cumulative feature count reaches
+    * `floor(budgetFrac · Σ n_feats)` — the same budgeted-selection
+    * contract as [[graft.ops.Ops.budgetSelect]], but GLOBAL rather than
+    * per-stratum. Returns every document with its
+    * `(margin, cum_feats, kept)` audit columns.
+    *
+    * Scale shape — no global single-partition sort: the corpus-wide
+    * running feature count comes from the distributed prefix scan
+    * ([[graft.ops.Scan.prefixSums]] over `(margin DESC, doc_id)` — a
+    * total order, so the scan is deterministic), range-partitioned
+    * across the cluster; the budget is a broadcast one-row aggregate.
+    * The scan's narrow (doc_id, n_feats, margin, cum) frame is the
+    * operator's persisted result — callers that loop should unpersist
+    * when done. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, textCol: String,
+                 idCol: String, buckets: Int = 1024,
+                 budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    val stats = dsirStats(raw, target, textCol, idCol, buckets)
+      .select(col("doc_id"), col("n_feats"), col("margin"))
+    val total = stats.agg(coalesce(sum(col("n_feats")), lit(0L)).as("tf"))
+    val cum = graft.ops.Scan.prefixSums(stats,
+      Seq(col("margin").desc, col("doc_id").asc), Seq("n_feats"))
+    val budget =
+      floor(lit(budgetFrac) * col("tf").cast(DoubleType)).cast(LongType)
+    graft.util.Caching.reshapeAndRelease(cum) { c =>
+      c.crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_feats"), col("margin"),
+          col("n_feats_cum").as("cum_feats"),
+          (col("n_feats_cum") <= budget).as("kept"))
+    }
   }
 
   /** CCNet-style quality bucketing (Wenzek et al. 2020, public): split a

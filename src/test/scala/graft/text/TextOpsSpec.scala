@@ -546,6 +546,128 @@ class TextOpsSpec extends SparkSpec {
     assert(out(10L) === "tail")
   }
 
+  // ---- DSIR integer layer: in-JVM exact replay of the whole pipeline ----
+
+  /** Brute-force replay of the engine's hashed-feature extraction:
+    * whitespace unigrams+bigrams over lower(trim(text)), bucket = first
+    * four hex chars of md5 base-16 mod `buckets`. */
+  private def dsirReplayBuckets(text: String, buckets: Int): Seq[Int] = {
+    val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val feats = ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    feats.map { g =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((0 until 4).foldLeft(0L) { (a, i) =>
+        a * 16 + "0123456789abcdef".indexOf(h(i))
+      } % buckets).toInt
+    }
+  }
+
+  private def dsirCorpus: (Seq[(Long, String)], Seq[(Long, String)]) = {
+    val tgtVocab = "cat dog pet paw fur tail whisker collar leash bone"
+    val offVocab = "bond yield swap rate hedge margin equity basis tenor spread"
+    val raw =
+      (0L until 10L).map(i => (i, tgtVocab)) ++
+      (10L until 20L).map(i => (i, offVocab)) ++
+      Seq((20L, ""), (21L, "   "))
+    (raw, (0L until 5L).map(i => (i, tgtVocab)))
+  }
+
+  test("dsirStats: exact in-JVM replay of counts, cross-moments, and sign margin") {
+    val (rawSeq, tgtSeq) = dsirCorpus
+    val B = 1024
+    val docB = rawSeq.flatMap { case (id, txt) =>
+      dsirReplayBuckets(txt, B).map(b => (id, b))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = docB.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ct = tgtSeq.flatMap { case (_, txt) => dsirReplayBuckets(txt, B) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    val expected = rawSeq.map { case (id, _) =>
+      val mine = docB.collect { case ((d, b), c) if d == id => (b, c) }.toSeq
+      val nf = mine.map(_._2).sum
+      val sTgt = BigInt(mine.map { case (b, c) => c * ct.getOrElse(b, 0L) }.sum)
+      val sRaw = BigInt(mine.map { case (b, c) => c * cr.getOrElse(b, 0L) }.sum)
+      // linearized score: (tr+B)(s_tgt+nf) − (tt+B)(s_raw+nf)
+      val margin = BigInt(tr + B) * (sTgt + nf) - BigInt(tt + B) * (sRaw + nf)
+      id -> ((nf, sTgt, sRaw, margin))
+    }.toMap
+
+    val out = TextOps.dsirStats(rawSeq.toDF("doc_id", "text"),
+        tgtSeq.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, BigDecimal, BigDecimal, BigDecimal)].collect()
+    assert(out.length === rawSeq.size, "one row per raw doc")
+    out.foreach { case (id, nf, sTgt, sRaw, margin) =>
+      val (enf, est, esr, em) = expected(id)
+      assert(nf === enf, s"n_feats doc $id")
+      assert(sTgt.toBigInt === est, s"s_tgt doc $id")
+      assert(sRaw.toBigInt === esr, s"s_raw doc $id")
+      assert(margin.toBigInt === em, s"margin doc $id")
+    }
+    // target-like docs must carry a strictly higher margin than
+    // off-target docs (the property dsirSelect ranks on)
+    val byId = out.map(r => r._1 -> r._5).toMap
+    assert((0L until 10L).map(byId).min > (10L until 20L).map(byId).max)
+    // featureless docs: all-zero row, not a dropped row
+    assert(byId(20L) === BigDecimal(0) && byId(21L) === BigDecimal(0))
+  }
+
+  test("dsirSelect: greedy budgeted selection replay — target-like kept, off-target dropped") {
+    val (rawSeq, tgtSeq) = dsirCorpus
+    val out = TextOps.dsirSelect(rawSeq.toDF("doc_id", "text"),
+        tgtSeq.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, BigDecimal, Long, Boolean)].collect()
+    assert(out.length === rawSeq.size)
+    // replay: order by (margin desc, doc_id), running n_feats, budget half
+    val ordered = out.sortBy(r => (-r._3, r._1))
+    val total = out.map(_._2).sum
+    val budget = math.floor(0.5 * total.toDouble).toLong
+    var cum = 0L
+    ordered.foreach { case (id, nf, _, cumFeats, kept) =>
+      cum += nf
+      assert(cumFeats === cum, s"cum_feats doc $id")
+      assert(kept === (cum <= budget), s"kept doc $id")
+    }
+    // the planted corpus is symmetric (10 target-like + 10 off-target
+    // docs of equal length): the half budget keeps exactly the
+    // target-like docs and drops every off-target doc
+    val keptIds = out.filter(_._5).map(_._1).toSet
+    assert((0L until 10L).forall(keptIds), s"target-like all kept: $keptIds")
+    assert((10L until 20L).forall(i => !keptIds(i)), "off-target all dropped")
+    // partition-independence: same result under a different layout
+    val re = TextOps.dsirSelect(rawSeq.toDF("doc_id", "text").repartition(7),
+        tgtSeq.toDF("doc_id", "text").repartition(3), "text", "doc_id")
+      .as[(Long, Long, BigDecimal, Long, Boolean)].collect().sortBy(_._1)
+    assert(re.sameElements(out.sortBy(_._1)),
+      "selection must not depend on physical partitioning")
+  }
+
+  test("dsirWeights: in-JVM ln replay (the analytic the hashed stats underpin)") {
+    val (rawSeq, tgtSeq) = dsirCorpus
+    val B = 1024
+    val docB = rawSeq.flatMap { case (id, txt) =>
+      dsirReplayBuckets(txt, B).map(b => (id, b))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = docB.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ct = tgtSeq.flatMap { case (_, txt) => dsirReplayBuckets(txt, B) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    def lr(b: Int): BigDecimal = BigDecimal(
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (tr + B)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = rawSeq.map { case (id, _) =>
+      id -> docB.collect { case ((d, b), c) if d == id => c * lr(b) }
+        .foldLeft(BigDecimal(0))(_ + _).setScale(6)
+    }.toMap
+    val out = TextOps.dsirWeights(rawSeq.toDF("doc_id", "text"),
+        tgtSeq.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, BigDecimal)].collect()
+    out.foreach { case (id, _, logw) =>
+      assert(logw === expected(id), s"logw doc $id")
+    }
+  }
+
   test("scoreBuckets: boundary value at an exact threshold goes UP (>= semantics)") {
     // 4 values: percentile(2/3) of {1,2,3,4} = 3.0 exactly → 3 is head
     val df = Seq(1, 2, 3, 4).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
