@@ -21,6 +21,17 @@ object Bench {
     // single query without the other 70 clouding the signal).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // Machine-load context for the bench_full.json artifact: three runs of
+    // the same HEAD differed 5× in round 9 (driver 542 s vs idle re-run
+    // 235 s) purely from co-tenant contention. Recording 1/5/15-min
+    // loadavg before and after lets a reader tell contention from
+    // regression without re-running.
+    def loadavg(): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split(" ").take(3).mkString(" ")
+    } catch { case scala.util.control.NonFatal(_) => "" }
+    val loadBefore = loadavg()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     only.foreach { names =>
       val unknown = names.diff(SparkEntry.queries.keySet)
@@ -35,7 +46,16 @@ object Bench {
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
           Some(e.getClass.getSimpleName)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolate queries from each other (UNTIMED — after the clock stops):
+      // operators with a persist-and-return contract leave result-sized
+      // frames cached; over a 170-query sweep those accumulated into GC
+      // pressure that made rounds 8-9's warm pass slower than cold
+      // (txt_contamination 3.9→12.1 s) and the second half of the cold
+      // sweep pay for the first half's leftovers. Each measurement now
+      // starts from an empty cache — steady state, not sweep position.
+      spark.catalog.clearCache()
+      (name, dt, err)
     }
     // Sorted-name iteration: Map order shifts whenever the registry gains
     // an entry, which reshuffles who pays shared first-touch costs
@@ -51,14 +71,11 @@ object Bench {
     // sim_topk_agg 0.37->0.55 s blip was unclassifiable without this).
     // Cold times remain the headline "queries"/"total" — the driver
     // contract is unchanged. Skipped when reps>1 (reps already repeats).
-    // clearCache first: operators with a persist-and-return contract
-    // (pair frames the caller is meant to unpersist) accumulate executor
-    // memory over the 150-query cold sweep, which showed up in round 8 as
-    // warm runs SLOWER than cold (sim_pq_exact 2.59→3.42 s) — GC pressure,
-    // not query cost. The warm pass should measure steady state, not the
-    // cold sweep's leftovers.
+    // Per-query cache isolation lives in timeOne (one round-9 clearCache
+    // before the warm sweep was not enough — caches re-accumulated ACROSS
+    // the warm pass itself and inverted warm vs cold for the second half
+    // of the alphabet).
     val warmOn = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") == "1" && reps == 1
-    if (warmOn) spark.catalog.clearCache()
     // Warm failures carry a #warm suffix in "failed": a query failing in
     // both passes is listed twice otherwise, indistinguishable from two
     // different failures (and a warm-only failure looked cold).
@@ -82,7 +99,9 @@ object Bench {
     // driver's log-tail parser ("parsed": null).
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     val warmField = if (warmOn) s""","warm":$warmQs""" else ""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmField,"failed":$failed,"sf":"$sfDir"}"""
+    val loadField =
+      s""","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}""""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmField$loadField,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver's log tail truncates the stdout line on big registries, so
     // ALSO write the complete per-query map to a stable file — cross-round

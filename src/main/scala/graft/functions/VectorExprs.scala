@@ -57,17 +57,25 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemIsFloat(left)) s"$a.getFloat(i)" else s"$a.getDouble(i)"
-      val rGet = if (elemIsFloat(right)) s"$b.getFloat(i)" else s"$b.getDouble(i)"
+      // ctx.freshName for EVERY emitted local: a projection containing two
+      // instances of this expression (every dist² = dot(v,v) − 2·dot(v,c)
+      // + dot(c,c) shape) lands both bodies in ONE generated method, and
+      // fixed names fail janino ("Redefinition of local variable") —
+      // silently dropping the whole stage to interpreted mode.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val lGet = if (elemIsFloat(left)) s"$a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"$b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    acc += ((double) $lGet) * ((double) $rGet);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ((double) $lGet) * ((double) $rGet);
          |  }
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -130,27 +138,34 @@ case class VectorQuantizeI8(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val get = if (elemIsFloat) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      // freshName everywhere — see VectorDot.doGenCode
+      val n = ctx.freshName("n")
+      val maxAbs = ctx.freshName("maxAbs")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q")
+      val get = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
-         |int n = $a.numElements();
-         |double maxAbs = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i)) {
-         |    double v = java.lang.Math.abs($get);
-         |    if (v > maxAbs) maxAbs = v;
+         |int $n = $a.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = java.lang.Math.abs($get);
+         |    if ($v > $maxAbs) $maxAbs = $v;
          |  }
          |}
-         |double scale = maxAbs / 127.0;
-         |byte[] q = new byte[n];
-         |if (scale > 0) {
-         |  for (int i = 0; i < n; i++) {
-         |    if (!$a.isNullAt(i)) {
-         |      q[i] = (byte) java.lang.Math.floor(($get) / scale + 0.5);
+         |double $scale = $maxAbs / 127.0;
+         |byte[] $q = new byte[$n];
+         |if ($scale > 0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      $q[$i] = (byte) java.lang.Math.floor(($get) / $scale + 0.5);
          |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{scale, q});
+         |  new Object[]{$scale, $q});
        """.stripMargin
     })
 
@@ -186,13 +201,18 @@ case class VectorDequantizeI8(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // freshName everywhere — see VectorDot.doGenCode
+      val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
       s"""
-         |double scale = $a.getDouble(0);
-         |byte[] q = $a.getBinary(1);
-         |float[] out = new float[q.length];
-         |for (int i = 0; i < q.length; i++) { out[i] = (float) (q[i] * scale); }
+         |double $scale = $a.getDouble(0);
+         |byte[] $q = $a.getBinary(1);
+         |float[] $out = new float[$q.length];
+         |for (int $i = 0; $i < $q.length; $i++) { $out[$i] = (float) ($q[$i] * $scale); }
          |${ev.value} =
-         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out);
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 
@@ -234,13 +254,19 @@ case class VectorDotI8(left: Expression, right: Expression) extends BinaryExpres
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everywhere — see VectorDot.doGenCode
+      val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |byte[] qa = $a.getBinary(1);
-         |byte[] qb = $b.getBinary(1);
-         |int n = java.lang.Math.min(qa.length, qb.length);
-         |long acc = 0L;
-         |for (int i = 0; i < n; i++) { acc += (long) qa[i] * (long) qb[i]; }
-         |${ev.value} = $a.getDouble(0) * $b.getDouble(0) * (double) acc;
+         |byte[] $qa = $a.getBinary(1);
+         |byte[] $qb = $b.getBinary(1);
+         |int $n = java.lang.Math.min($qa.length, $qb.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $acc += (long) $qa[$i] * (long) $qb[$i]; }
+         |${ev.value} = $a.getDouble(0) * $b.getDouble(0) * (double) $acc;
        """.stripMargin
     })
 

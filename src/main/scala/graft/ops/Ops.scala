@@ -291,10 +291,15 @@ object Ops {
     * (`seed = "epoch3"` deals a fresh order with zero data movement
     * beyond the re-rank).
     *
-    * `shard` = 16-bit md5 prefix mod `numShards` (uniform in
-    * expectation: shard sizes concentrate at n/numShards ± O(sqrt)),
-    * `pos` = dense 1-based rank within the shard by the full md5 string.
-    * Rows with equal keys collide on the hash and tie-break
+    * `shard` = 32-bit md5 prefix mod `numShards` (32 bits, not 16: with a
+    * 16-bit prefix any `numShards` that does not divide 65536 has a
+    * pigeonhole modulo bias — at numShards = 40000, ~40% of shards would
+    * receive twice the rows; with 32 bits the residual bias is ≤
+    * numShards/2³² < 0.002%, so shard sizes genuinely concentrate at
+    * n/numShards ± O(sqrt)). `pos` = dense 1-based rank within the shard
+    * by the full md5 string. ALL input columns are carried through — the
+    * result is the addressed corpus itself, not an address table to join
+    * back. Rows with equal keys collide on the hash and tie-break
     * arbitrarily between themselves — their output ROWS are identical,
     * so the result set is still deterministic; NULL keys are dropped as
     * in [[hashSample]].
@@ -312,9 +317,9 @@ object Ops {
     val h = md5(concat_ws(":", lit(seed), col(keyCol).cast(StringType)))
     val byShard = Window.partitionBy("shard").orderBy(col("__h"), col(keyCol))
     df.filter(col(keyCol).isNotNull)
-      .select(col(keyCol), h.as("__h"))
+      .withColumn("__h", h)
       .withColumn("shard",
-        conv(substring(col("__h"), 1, 4), 16, 10).cast(LongType) % numShards)
+        conv(substring(col("__h"), 1, 8), 16, 10).cast(LongType) % numShards)
       .withColumn("pos", row_number().over(byShard).cast(LongType))
       .drop("__h")
   }

@@ -2485,19 +2485,25 @@ object ExtensionQueries {
              |SELECT c.doc_id, c.source, c.n_tokens, c.score,
              | CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
              | c.cum_tokens <= b.budget AS kept
-             |FROM c JOIN b USING (source)""".stripMargin,
-      // Seeded-shuffle replay: md5('graft:'||key) rank stream, 16-bit
-      // hex-prefix shard (the dsir oracle's strpos base-16 idiom), and
-      // the per-shard dense rank over (hx, key).
+             |FROM c JOIN b ON c.source IS NOT DISTINCT FROM b.source""".stripMargin,
+      // Seeded-shuffle replay: md5('graft:'||key) rank stream, 32-bit
+      // hex-prefix shard (8 chars of the dsir oracle's strpos base-16
+      // idiom — 32 bits so non-power-of-two shard counts carry no
+      // pigeonhole modulo bias), and the per-shard dense rank over
+      // (hx, key).
       "w13_corpus_shuffle" ->
         raw"""WITH h AS (SELECT doc_id,
              |   md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx
              |  FROM documents WHERE doc_id IS NOT NULL),
              | s AS (SELECT doc_id, hx,
-             |   CAST((((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+             |   CAST((((((((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
              |     + strpos('0123456789abcdef', substr(hx,2,1)) - 1) * 16
              |     + strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 16
-             |     + strpos('0123456789abcdef', substr(hx,4,1)) - 1 AS BIGINT)
+             |     + strpos('0123456789abcdef', substr(hx,4,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(hx,5,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(hx,6,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(hx,7,1)) - 1) * 16
+             |     + strpos('0123456789abcdef', substr(hx,8,1)) - 1 AS BIGINT)
              |     % 8 AS shard
              |  FROM h)
              |SELECT doc_id, shard, CAST(row_number() OVER (

@@ -951,14 +951,15 @@ object TextOps {
                    labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
     require(labels.size == 3 && labels.distinct.size == 3,
       s"need 3 distinct bucket labels, got $labels")
-    // 2D/3, not 2.0/3: a dotted SQL literal is DECIMAL in Spark, and
-    // decimal division would quantize p to 0.666667 — a DIFFERENT
-    // threshold than the oracle's double division (boundary values then
-    // flip buckets cross-engine). Double division is bit-identical in
-    // both engines.
+    // Typed API, not expr() interpolation: no injection-shaped string
+    // building, and column names needing backticks just work. The
+    // percentage is a Scala DOUBLE literal (2.0/3 evaluates to the same
+    // IEEE double as the oracle's double division) — an SQL dotted
+    // literal would have been DECIMAL-quantized to 0.666667, a DIFFERENT
+    // threshold that flips boundary values cross-engine.
     val th = scored.agg(
-      expr(s"percentile($scoreCol, 2D/3)").as("__t_hi"),
-      expr(s"percentile($scoreCol, 1D/3)").as("__t_lo"))
+      percentile(col(scoreCol), lit(2.0 / 3)).as("__t_hi"),
+      percentile(col(scoreCol), lit(1.0 / 3)).as("__t_lo"))
     scored.crossJoin(broadcast(th))
       .select(col(idCol), col(scoreCol),
         when(col(scoreCol).isNull, labels(2))

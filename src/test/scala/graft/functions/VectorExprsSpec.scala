@@ -97,6 +97,39 @@ class VectorExprsSpec extends SparkSpec {
     assert(e.getMessage.contains("vec_dot_i8"))
   }
 
+  test("multiple instances of each vector expression compile in ONE projection (no codegen fallback)") {
+    // Regression for the round-9 silent perf bug: fixed local names in
+    // doGenCode ("int n", "double acc", "i") compiled fine alone but a
+    // projection with TWO instances — every IVF/PQ distance shape
+    // dot(v,v) − 2·dot(v,c) + dot(c,c) — hit janino "Redefinition of
+    // local variable" and dropped the whole stage to interpreted mode.
+    // With fallback disabled the old bug turns into a hard failure here.
+    val conf = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Array(1f, 2f), Array(3f, 4f)))
+        .toDF("v", "c")
+      val dist2 = df.select(
+        (VectorExprs.dot(col("v"), col("v"))
+          - lit(2.0) * VectorExprs.dot(col("v"), col("c"))
+          + VectorExprs.dot(col("c"), col("c"))).as("d2")).as[Double].head()
+      // (1-3)² + (2-4)² = 8
+      assert(dist2 === 8.0)
+      val qd = df.select(VectorExprs.dotI8(
+          VectorExprs.quantizeI8(col("v")), VectorExprs.quantizeI8(col("v")))
+        + VectorExprs.dotI8(
+          VectorExprs.quantizeI8(col("c")), VectorExprs.quantizeI8(col("c"))))
+        .as[Double].head()
+      assert(math.abs(qd - (5.0 + 25.0)) < 0.1, s"quantized self-dots: $qd")
+      val deq = df.select(
+        VectorExprs.dot(
+          VectorExprs.dequantizeI8(VectorExprs.quantizeI8(col("v"))).cast("array<double>"),
+          VectorExprs.dequantizeI8(VectorExprs.quantizeI8(col("c"))).cast("array<double>")))
+        .as[Double].head()
+      assert(math.abs(deq - 11.0) < 0.05, s"dequantized dot: $deq")
+    } finally spark.conf.set("spark.sql.codegen.fallback", conf)
+  }
+
   test("text_unaccent: strips diacritics, normalizes decomposed forms, keeps ASCII") {
     val cases = Seq(
       "café",            // precomposed é
