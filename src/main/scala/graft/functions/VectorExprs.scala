@@ -275,6 +275,73 @@ case class VectorDotI8(left: Expression, right: Expression) extends BinaryExpres
     copy(left = newLeft, right = newRight)
 }
 
+/** Elementwise difference of two float/double array columns →
+  * array<float> over the common prefix (null elements contribute 0, like
+  * [[VectorDot]]'s skip rule). The residual-encoding primitive for IVF-PQ
+  * (r = v − centroid(cell)) — a corpus-sized map step, so it must stay
+  * inside whole-stage codegen rather than ride an interpreted `zip_with`
+  * lambda. */
+case class VectorSub(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"vec_sub expects array<float>/array<double> inputs, got ${l.sql} / ${r.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0 else if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (y.isNullAt(i)) 0.0 else if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      out(i) = (xv - yv).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everywhere — see VectorDot.doGenCode
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.isNullAt($i) ? 0.0 : $lGet;
+         |  double $yv = $b.isNullAt($i) ? 0.0 : $rGet;
+         |  $out[$i] = (float) ($xv - $yv);
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VectorSub =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode normalization + accent stripping for corpus canonicalization:
   * NFD-decompose, drop combining marks (Mn), NFC-recompose — so "café",
   * "café" and "cafe" all fingerprint identically before dedup.
@@ -387,6 +454,9 @@ object VectorExprs {
     when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
   }
 
+  /** Elementwise difference → array<float> (residual-encoding primitive). */
+  def sub(a: Column, b: Column): Column = call_function("vec_sub", a, b)
+
   /** Int8 scalar quantization → struct(scale double, q binary). */
   def quantizeI8(a: Column): Column = call_function("vec_quantize_i8", a)
 
@@ -415,6 +485,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"vec_dot takes 2 arguments, got ${children.length}")
         VectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sub"),
+      new ExpressionInfo(classOf[VectorSub].getName, "vec_sub"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"vec_sub takes 2 arguments, got ${children.length}")
+        VectorSub(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_quantize_i8"),

@@ -1056,6 +1056,34 @@ object ExtensionQueries {
       nlist = 8, nprobe = 8, m = 4, codebookSize = 8)
   }
 
+  /** RESIDUAL IVF-PQ (IVFADC) production shape — [[simIvfpqTopk]] with
+    * residual-encoded codes and the `q·centroid + ADC` score. Rows-only
+    * like its flat twin (training-defined approximation); its exactness
+    * pin is [[simIvfpqResExact]] and IvfPqSpec pins the recall
+    * improvement over flat encoding on clustered data. */
+  private val simIvfpqResTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.IvfPq.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 10),
+      k = 5, nlist = 8, nprobe = 4, m = 4, codebookSize = 16)
+  }
+
+  /** [[simIvfpqResTopk]]'s exactness pin: nlist = 8 over the 8 distinct
+    * grid vectors trains centroids that ARE the vectors (zero
+    * distortion), so every residual is exactly zero and the score
+    * collapses to the carried `q·centroid(cell)` term — which must then
+    * equal `q·v` bit-for-bit. This hash-checks the residual pipeline's
+    * plumbing (coarse train, vec_sub residuals, residual codebooks, the
+    * q·centroid carry, LUT scoring) against the grid brute-force oracle;
+    * the NONZERO-residual exactness (ADC reassembly on dyadic residuals)
+    * is pinned by IvfPqSpec's two-cluster construction, where k-means
+    * cell sizes are powers of two and every arithmetic step stays
+    * dyadic. */
+  private val simIvfpqResExact: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    graft.sim.IvfPq.ivfPqResidualTopK(grid, grid.filter(col("vec_id") < 10),
+      k = 5, nlist = 8, nprobe = 8, m = 4, codebookSize = 8)
+  }
+
   /** Stored-index IVF-PQ probe — the composite's STEADY-STATE form and
     * the completion of the stored-probe family ([[simIvfProbe]],
     * [[simPqProbe]]): centroids, codebooks, and the coded corpus
@@ -1478,6 +1506,8 @@ object ExtensionQueries {
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_ivfpq_exact" -> simIvfpqExact,
     "sim_ivfpq_probe" -> simIvfpqProbe,
+    "sim_ivfpq_res_topk" -> simIvfpqResTopk,
+    "sim_ivfpq_res_exact" -> simIvfpqResExact,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
@@ -2782,6 +2812,10 @@ bruteForceCosineOracle,
       // approximation is training-defined; this twin closes the loop.
       "sim_ivfpq_exact" -> pqGridExactOracle,
       "sim_ivfpq_probe" -> pqGridExactOracle,
+      // sim_ivfpq_res_topk (residual encoding at a trained partial probe)
+      // is rows-only like sim_ivfpq_topk; sim_ivfpq_res_exact closes the
+      // residual pipeline into the same grid brute-force oracle.
+      "sim_ivfpq_res_exact" -> pqGridExactOracle,
       // Threshold 1.0 keeps exactly the identical-shingle-set pairs, whose
       // identical signatures guarantee LSH recall; the oracle groups docs
       // by a canonical sorted-shingle-list digest — no pairwise join.

@@ -23,9 +23,11 @@ case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame, codes: DataFra
   * from their PQ codes by table lookup — the scan touches nprobe/nlist of
   * the corpus AND reads ~64× fewer bytes per touched vector.
   *
-  * This implementation quantizes RAW vectors per cell (flat PQ); classic
-  * residual encoding (quantize v − centroid(cell)) is a recall refinement
-  * on top of the same plumbing, not a different execution shape.
+  * Two build forms share the probe plumbing: [[buildIndex]] quantizes RAW
+  * vectors (flat PQ), [[buildResidualIndex]] quantizes residuals
+  * `v − centroid(cell)` (IVFADC) — the standard recall refinement at the
+  * same compression, scored as `q·centroid + ADC` by
+  * [[probeResidualTopK]].
   *
   * Exactness pin (the [[Ivf]] nprobe = nlist × [[Pq]] grid-recovery tricks
   * COMPOSED): probing every cell makes the coarse quantizer drop out, and
@@ -89,4 +91,78 @@ object IvfPq {
                 seed: Long = 42L): DataFrame =
     probeTopK(buildIndex(corpus, nlist, m, codebookSize, idCol, vecCol,
       trainFraction = 1.0, seed), queries, k, nprobe, idCol, vecCol)
+
+  /** TRAIN + ENCODE with RESIDUAL encoding (Jégou et al. 2011 §V-A: the
+    * IVFADC variant): PQ quantizes `r = v − centroid(cell)` instead of
+    * the raw vector. Subtracting the coarse centroid removes the
+    * between-cell offset — the dominant variance component on clustered
+    * data — so the per-subspace codebooks spend their codebookSize
+    * entries on WITHIN-cell structure and recall rises at identical
+    * (nlist, m, codebookSize). The index frames have the same shapes as
+    * [[buildIndex]]'s (store `codes` partitioned by cell, read back,
+    * probe); probing must go through [[probeResidualTopK]], whose score
+    * is `q·centroid(cell) + q·r̂` (inner product against the
+    * reconstruction `centroid + r̂`).
+    *
+    * Scale shape: one extra broadcast join (nlist constant rows) and a
+    * codegen'd `vec_sub` map step over the corpus at BUILD time; probe
+    * cost is identical to the flat form — the per-(query, probed-cell)
+    * `q·centroid` constant rides the existing probes frame. */
+  def buildResidualIndex(corpus: DataFrame, nlist: Int = 16,
+                         m: Int = 4, codebookSize: Int = 16,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         trainFraction: Double = 1.0, seed: Long = 42L): IvfPqIndex = {
+    val ivf = Ivf.buildIndex(corpus, nlist, idCol, vecCol, seed)
+    val residuals = ivf.assigned
+      .join(broadcast(ivf.centroids), Seq("cell"))
+      .select(col("cand_id"), col("cell"),
+        VectorExprs.sub(col("cvec"), col("cent")).as("__rvec"))
+    val pq = Pq.buildIndex(residuals, m, codebookSize,
+      idCol = "cand_id", vecCol = "__rvec",
+      trainFraction = trainFraction, seed = seed)
+    val codes = pq.codes.join(
+      residuals.select(col("cand_id"), col("cell")), "cand_id")
+    IvfPqIndex(ivf.centroids, pq.codebooks, codes)
+  }
+
+  /** PROBE over a residual-encoded index: identical movement to
+    * [[probeTopK]] (broadcast cell ranking, bounded candidate join,
+    * broadcast LUTs, bounded-heap top-k) — the only difference is the
+    * score, `q·centroid(cell) + ADC(q, r̂)`, whose first term is computed
+    * once per (query, probed cell) while ranking cells and carried on the
+    * probes frame (nprobe rows per query, broadcast). */
+  def probeResidualTopK(index: IvfPqIndex, queries: DataFrame, k: Int,
+                        nprobe: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val geo = Pq.codebookGeometry(index.codebooks)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scoredCells = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__qc", VectorExprs.dot(col("qvec"), col("cent")))
+      .withColumn("__dist2",
+        VectorExprs.dot(col("qvec"), col("qvec"))
+          - lit(2.0) * col("__qc")
+          + VectorExprs.dot(col("cent"), col("cent")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist2"), col("cell"))
+    val probes = scoredCells
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cell"), col("__qc"))
+    val lut = Pq.lutFor(queries, index.codebooks, geo, idCol, vecCol)
+    val scored = index.codes
+      .join(probes.hint("broadcast"), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(lut), "query_id")
+      .withColumn("score", round(col("__qc") + Pq.adcExpr(geo), 6))
+    Similarity.topKExplode(scored, "score", k)
+  }
+
+  /** Self-contained residual build + probe — the registry-oracle form. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4,
+                        m: Int = 4, codebookSize: Int = 16,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 42L): DataFrame =
+    probeResidualTopK(buildResidualIndex(corpus, nlist, m, codebookSize,
+      idCol, vecCol, trainFraction = 1.0, seed), queries, k, nprobe, idCol, vecCol)
 }

@@ -97,6 +97,19 @@ class VectorExprsSpec extends SparkSpec {
     assert(e.getMessage.contains("vec_dot_i8"))
   }
 
+  test("vec_sub: elementwise difference, common prefix, float/double mix, SQL surface") {
+    val out = Seq((Array(5f, 3f, 1f), Array(1f, 1f)))
+      .toDF("a", "b").select(VectorExprs.sub(col("a"), col("b")).as("d"))
+      .as[Array[Float]].head()
+    assert(out.toSeq === Seq(4f, 2f), "common-prefix semantics like vec_dot")
+    val mixed = spark.sql(
+      "SELECT vec_sub(array(2.5D, 1.0D), array(1.0f, 0.5f)) AS d")
+      .as[Array[Float]].head()
+    assert(mixed.toSeq === Seq(1.5f, 0.5f))
+    assert(spark.sql("SELECT vec_sub(CAST(NULL AS ARRAY<FLOAT>), array(1.0f)) AS d")
+      .collect().head.isNullAt(0))
+  }
+
   test("multiple instances of each vector expression compile in ONE projection (no codegen fallback)") {
     // Regression for the round-9 silent perf bug: fixed local names in
     // doGenCode ("int n", "double acc", "i") compiled fine alone but a

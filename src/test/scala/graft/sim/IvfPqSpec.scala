@@ -58,6 +58,68 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("residual encoding: NONZERO residuals reassemble the exact inner-product top-k") {
+    // Two far-apart clusters (k-means must split 24/24 — power-of-two cell
+    // sizes keep the centroid means dyadic) × the 4-letter grid alphabet
+    // as within-cluster patterns. Residual = pattern − mean(patterns)
+    // (anchors cancel): 4 distinct residual subvectors per subspace,
+    // recovered exactly by codebookSize = 8, and every value is a dyadic
+    // rational — so q·centroid + ADC(q, r̂) = q·v bit-for-bit even though
+    // the ADC term is genuinely nonzero.
+    def vec(i: Int): Array[Float] = {
+      val anchor = if ((i / 4) % 2 == 0) 0f else 100f
+      gridVec(i).map(_ + anchor)
+    }
+    val corpus = (0 until 48).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (100 until 105).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val got = IvfPq.ivfPqResidualTopK(corpus, queries, k = 5,
+        nlist = 2, nprobe = 2, m = 4, codebookSize = 8)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val exactScored = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(VectorExprs.dot(col("qv"), col("cv")), 6))
+    val exact = Similarity.topKExplode(exactScored, "score", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.sorted === exact.sorted)
+  }
+
+  test("residual encoding beats flat PQ recall at identical (nlist, m, codebookSize)") {
+    // 8 well-separated cluster anchors + 8 within-cluster offset patterns:
+    // flat PQ must spend its 8 codebook entries per subspace covering
+    // 8 anchors × 8 patterns = up to 64 distinct subvectors (anchor
+    // variance dominates, within-cluster ranking is quantized away), while
+    // residual encoding removes the anchor and recovers the ≤ 8 distinct
+    // residual patterns exactly.
+    val patterns = (0 until 8).map(p =>
+      Array.tabulate(16)(d => ((p * 5 + d * 3) % 7 - 3).toFloat))
+    val anchors = (0 until 8).map(a =>
+      Array.tabulate(16)(d => if (d % 8 == a) 60f else if (d % 8 == (a + 3) % 8) -40f else 0f))
+    def vec(i: Int): Array[Float] = {
+      val a = anchors(i % 8); val p = patterns((i / 8) % 8)
+      Array.tabulate(16)(d => a(d) + p(d))
+    }
+    val corpus = (0 until 128).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0 until 8).map(i => (1000L + i, vec(i))).toDF("vec_id", "embedding")
+    val exactScored = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .withColumn("score", round(VectorExprs.dot(col("qv"), col("cv")), 6))
+    val exact = Similarity.topKExplode(exactScored, "score", k = 5)
+    val flat = IvfPq.ivfPqTopK(corpus, queries, k = 5,
+      nlist = 8, nprobe = 8, m = 4, codebookSize = 8)
+    val residual = IvfPq.ivfPqResidualTopK(corpus, queries, k = 5,
+      nlist = 8, nprobe = 8, m = 4, codebookSize = 8)
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(ann, exact, 5)
+        .select("mean_recall").as[Double].head()
+    val (rFlat, rRes) = (recall(flat), recall(residual))
+    assert(rRes > rFlat,
+      s"residual recall $rRes must beat flat recall $rFlat at equal params")
+    assert(rRes >= 0.9, s"residual recall $rRes should be near-exact here")
+  }
+
   test("stored IVF-PQ index (codes partitioned by cell) probes identically to in-memory") {
     val corpus = (0 until 48).map(i => (i.toLong, gridVec(i))).toDF("vec_id", "embedding")
     val queries = (100 until 103).map(i => (i.toLong, gridVec(i))).toDF("vec_id", "embedding")
