@@ -747,14 +747,22 @@ object TextOps {
     * bigrams) — the DSIR feature space. Returns (doc_id, g: string). */
   private def ngramFeatures(df: DataFrame, textCol: String,
                             idCol: String): DataFrame = {
+    // Materialize the token array in its OWN projection before the bigram
+    // lambda touches it: inlined, every element_at(ts, i) re-evaluates the
+    // whole lower→split→filter chain, making feature extraction
+    // O(tokens²) per document (measured 9.7 s for a 0.5M-feature corpus —
+    // 20× the rest of the DSIR pipeline). CollapseProject keeps the alias
+    // un-inlined because it is referenced many times and is not cheap.
     val ts = filter(tokens(lower(col(textCol))), t => t =!= "")
     // guard: sequence(0, -1) would yield [0, -1] (step inference), so the
     // bigram arm only fires with ≥ 2 tokens
-    val bigrams = when(size(ts) >= 2,
-      transform(sequence(lit(0), size(ts) - 2),
-        i => concat(element_at(ts, i + 1), lit(" "), element_at(ts, i + 2))))
+    val bigrams = when(size(col("__ts")) >= 2,
+      transform(sequence(lit(0), size(col("__ts")) - 2),
+        i => concat(element_at(col("__ts"), i + 1), lit(" "),
+          element_at(col("__ts"), i + 2))))
       .otherwise(array().cast(ArrayType(StringType)))
-    df.select(col(idCol).as("doc_id"), explode(concat(ts, bigrams)).as("g"))
+    df.select(col(idCol).as("doc_id"), ts.as("__ts"))
+      .select(col("doc_id"), explode(concat(col("__ts"), bigrams)).as("g"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
@@ -914,9 +922,13 @@ object TextOps {
       s"budgetFrac must be in (0, 1], got $budgetFrac")
     val stats = dsirStats(raw, target, textCol, idCol, buckets)
       .select(col("doc_id"), col("n_feats"), col("margin"))
-    val total = stats.agg(coalesce(sum(col("n_feats")), lit(0L)).as("tf"))
     val cum = graft.ops.Scan.prefixSums(stats,
       Seq(col("margin").desc, col("doc_id").asc), Seq("n_feats"))
+    // the scan's LAST running value IS the corpus total (max works because
+    // n_feats ≥ 0 makes the running sum monotone) — read it from the
+    // persisted scan output instead of re-running the whole stats
+    // pipeline for a separate sum (which doubled the operator's cost)
+    val total = cum.agg(coalesce(max(col("n_feats_cum")), lit(0L)).as("tf"))
     val budget =
       floor(lit(budgetFrac) * col("tf").cast(DoubleType)).cast(LongType)
     graft.util.Caching.reshapeAndRelease(cum) { c =>
