@@ -41,7 +41,14 @@ object Bench {
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
+      // toRdd.count(), NOT DataFrame.count(): a count() on top lets the
+      // optimizer prune every unused output column (final projections of
+      // expensive expressions are skipped) and ELIMINATE left joins whose
+      // right side has unique keys — txt_dsir_weight "ran" in 0.2 s while
+      // the real pipeline costs ~3 s. toRdd executes the query's own
+      // optimized plan with all output columns produced, which is what a
+      // consumer writing the result would pay.
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
           Some(e.getClass.getSimpleName)

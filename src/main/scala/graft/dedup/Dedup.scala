@@ -664,7 +664,7 @@ object Dedup {
                                    threshold: Double): DataFrame = {
     require(threshold > 0, "consecutiveTokenJaccardPairs needs a positive threshold")
     val toks = df.select(col(idCol).cast(LongType).as("doc_id"),
-        explode(array_distinct(TextOps.wordNgrams(col(textCol), 1))).as("w"))
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = toks.select(col("doc_id").as("id_a"), col("w"))
@@ -679,6 +679,48 @@ object Dedup {
       .select(col("id_a"), (col("id_a") + 1).as("id_b"),
         col("jaccard"))
     materializeAndRelease(pairs, toks)
+  }
+
+  /** Word-n-gram-set Jaccard for every consecutive id pair INCLUDING
+    * zero-overlap pairs — the exact SQL-expressible member of the n-gram
+    * family, value-identical to `round(ngramJaccard(a, b, n), 6)` over
+    * the same pairs but computed DISTRIBUTIVELY: one explode of per-doc
+    * distinct grams, a gram-keyed self-join for intersections, set sizes
+    * joined back onto the pair spine (a left join keeps jaccard-0 pairs,
+    * unlike [[consecutiveTokenJaccardPairs]]' thresholded form). The
+    * per-pair array expression evaluated 16 s on the 5k-doc bench corpus
+    * (interpreted HOFs re-deriving both token sets per pair); this shape
+    * runs in the one gram shuffle.
+    *
+    * EAGER + caller unpersist, like the family: the gram frame is
+    * released before return, the pair-sized result comes back
+    * persisted. */
+  def consecutiveNgramJaccard(df: DataFrame, textCol: String, idCol: String,
+                              n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = df
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val spine = df.select(col(idCol).cast(LongType).as("id_a"))
+      .join(df.select((col(idCol).cast(LongType) - 1).as("id_a")), Seq("id_a"))
+    val inter = grams.select(col("doc_id").as("id_a"), col("g"))
+      .join(grams.select((col("doc_id") - 1).as("id_a"), col("g")), Seq("id_a", "g"))
+      .groupBy("id_a").agg(count(lit(1)).as("i"))
+    // sizes inner-join is total: every doc has ≥ 1 gram (empty text yields
+    // the [""] gram — the wordNgrams short-doc convention), which also
+    // bounds the denominator ≥ 1
+    val out = spine.join(inter, Seq("id_a"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select((col("doc_id") - 1).as("id_a"), col("n").as("nb")), "id_a")
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"),
+        round(coalesce(col("i"), lit(0L)).cast(DoubleType) /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 6).as("jaccard"))
+    materializeAndRelease(out, grams)
   }
 
   /** Benchmark decontamination: per-document count of distinct word
@@ -699,9 +741,15 @@ object Dedup {
                            benchmark: DataFrame, benchTextCol: String,
                            n: Int = 5, minOverlap: Long = 1L): DataFrame = {
     require(n > 0 && minOverlap > 0, s"need n > 0, minOverlap > 0; got $n/$minOverlap")
-    def grams(df: DataFrame, text: String, outCols: Column*): DataFrame =
-      df.select(outCols :+
-        explode(array_distinct(TextOps.wordNgrams(col(text), n))).as("g"): _*)
+    // two-step: tokens materialized BEFORE the n-gram lambda reads them
+    // (inlined, the lambda re-derives the token array per element —
+    // O(tokens²) per doc; see TextOps.wordNgrams' perf contract)
+    def grams(df: DataFrame, text: String, outCols: Column*): DataFrame = {
+      val pre = df.select(outCols :+ TextOps.tokens(col(text)).as("__ts"): _*)
+      pre.select(pre.columns.dropRight(1).map(col) :+
+        explode(array_distinct(
+          TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)
+    }
     val docGrams = grams(docs, textCol, col(idCol).as("id"))
     val benchGrams = grams(benchmark, benchTextCol).select("g").distinct()
     docGrams.join(benchGrams, "g")
@@ -739,9 +787,14 @@ object Dedup {
     require(n > 0, s"n must be positive, got $n")
     require(threshold > 0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // two-step: tokens materialized before the n-gram lambda (see
+    // TextOps.wordNgrams' perf contract — inlined it is O(tokens²)/doc)
     def grams(df: DataFrame, text: String, id: Column, idName: String) =
       df.select(id.cast(LongType).as(idName),
-        explode(array_distinct(TextOps.wordNgrams(col(text), n))).as("g"))
+          TextOps.tokens(col(text)).as("__ts"))
+        .select(col(idName),
+          explode(array_distinct(
+            TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"))
     val docGrams = grams(docs, textCol, col(idCol), "id")
     val benchGrams = grams(benchmark, benchTextCol, col(benchIdCol), "bench_id")
     val docSizes = docGrams.groupBy("id").agg(count(lit(1)).as("na"))

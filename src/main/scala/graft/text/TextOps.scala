@@ -79,13 +79,27 @@ object TextOps {
         i => norm.substr(i, lit(k)))))
   }
 
-  /** Word n-grams over whitespace tokens. */
-  def wordNgrams(c: Column, n: Int = 3): Column = {
-    val ts = tokens(c)
-    when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(
+  /** Word n-grams over whitespace tokens.
+    *
+    * PERF CONTRACT: the n ≥ 2 form references its token array inside a
+    * transform lambda, and Catalyst re-evaluates an INLINED argument per
+    * element — O(tokens²) per document when `c` is raw text. At corpus
+    * scale, materialize the tokens in their own projection first and call
+    * [[wordNgramsFromTokens]] on the column reference (the two-step shape
+    * `ngramFeatures`/`contaminationOverlap` use); n = 1 is simply the
+    * token array and has no such hazard. */
+  def wordNgrams(c: Column, n: Int = 3): Column = wordNgramsFromTokens(tokens(c), n)
+
+  /** [[wordNgrams]] over an ALREADY-MATERIALIZED token-array column —
+    * pass a plain column reference (cheap per-element reads), not an
+    * expression, or the lambda re-evaluates it per element. */
+  def wordNgramsFromTokens(ts: Column, n: Int): Column =
+    // n = 1: the n-gram list IS the token list (including the [""] that
+    // tokens() yields for empty text — the short-doc convention holds)
+    if (n == 1) ts
+    else when(size(ts) < n, array(concat_ws(" ", ts))).otherwise(
       transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
 
   // Tiny public stopword marker sets per language — the n-gram-heuristic
   // language identifier scores languages by marker-token hits. Public so
