@@ -518,6 +518,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKDesc(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("topk_desc_num"),
+      new ExpressionInfo(classOf[TopKDescNum].getName, "topk_desc_num"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"topk_desc_num takes 3 arguments (score, value, k), got ${children.length}")
+        TopKDescNum(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("topk_desc_str"),
       new ExpressionInfo(classOf[TopKDescStr].getName, "topk_desc_str"),
       (children: Seq[Expression]) => {

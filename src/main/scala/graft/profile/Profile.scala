@@ -100,6 +100,38 @@ object Profile {
         (col("__pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** [[frequentValues]] for NUMERIC columns with a NUMERIC tie-break:
+    * (col_name, value double, cnt, rank), rank 1 = most frequent, ties
+    * broken by value ascending in NUMERIC order — the string form breaks
+    * ties in binary render order ("10" < "2"), which misorders a numeric
+    * report. Same scale shape (one posexplode cell pass, one exact
+    * (colIdx, value) count, then the bounded-heap `topk_desc_num`
+    * aggregate — map-side partial heaps, ≤ N rows per column per
+    * partition on the second shuffle). Nulls and NaNs are excluded
+    * (missing is its own statistic in [[profile]]; a NaN frequent-value
+    * row is meaningless). Non-numeric columns are ignored; requires at
+    * least one numeric column. */
+  def frequentValuesNumeric(df: DataFrame, topN: Int = 5): DataFrame = {
+    require(topN > 0, s"topN must be > 0, got $topN")
+    val fields = df.schema.fields.filter(f => isNumeric(f.dataType))
+    require(fields.nonEmpty, "frequentValuesNumeric needs a numeric column")
+    val nameMap = map(fields.zipWithIndex.flatMap { case (f, i) =>
+      Seq(lit(i), lit(f.name)) }: _*)
+    df.select(posexplode(array(fields.map(f => q(f.name).cast(DoubleType)): _*))
+        .as(Seq("__ci", "__v")))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .groupBy(col("__ci"), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("__ci"))
+      .agg(call_function("topk_desc_num",
+        col("__cnt").cast(DoubleType), col("__v"), lit(topN)).as("__tk"))
+      .select(col("__ci"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(element_at(nameMap, col("__ci")).as("col_name"),
+        col("__e.value").as("value"),
+        col("__e.score").cast(LongType).as("cnt"),
+        (col("__pos") + 1).cast(IntegerType).as("rank"))
+  }
+
   def profile(df: DataFrame, table: String = "df", exact: Boolean = false,
               topFrequent: Int = 5): TableProfile = {
     val fields  = df.schema.fields

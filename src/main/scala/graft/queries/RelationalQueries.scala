@@ -529,6 +529,15 @@ object RelationalQueries {
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")),
       topN = 5)
 
+  /** PR8 numeric twin: frequent values over numeric columns with the
+    * NUMERIC tie-break (`topk_desc_num` bounded heap) — c_nationkey's
+    * many count ties exercise exactly the ordering the string form gets
+    * wrong ("10" < "2" in binary order). */
+  private val pr9FrequentNumeric: Q = (s, dir) =>
+    graft.profile.Profile.frequentValuesNumeric(
+      t(s, dir, "customer").select(col("c_nationkey"), col("c_acctbal")),
+      topN = 5)
+
   /** PR5: duplicate full rows. */
   private val pr5DupRows: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
@@ -741,7 +750,8 @@ object RelationalQueries {
     "pr5_dup_rows" -> pr5DupRows,
     "pr7_histogram" -> pr7Histogram,
     "pr6_correlation" -> pr6Correlation,
-    "pr8_frequent" -> pr8Frequent)
+    "pr8_frequent" -> pr8Frequent,
+    "pr9_frequent_numeric" -> pr9FrequentNumeric)
 
   val oracle: Map[String, String] = Map(
     "k11_changeset_apply" ->
@@ -1035,6 +1045,20 @@ object RelationalQueries {
         |counts AS (SELECT col_name, value, count(*) AS cnt
         |  FROM cells GROUP BY 1, 2)
         |SELECT col_name, value, cnt, rank FROM (
+        | SELECT col_name, value, cnt,
+        |   CAST(row_number() OVER (PARTITION BY col_name
+        |     ORDER BY cnt DESC, value) AS INTEGER) AS rank
+        | FROM counts) WHERE rank <= 5""".stripMargin,
+    "pr9_frequent_numeric" ->
+      """WITH cells AS (
+        | SELECT 'c_nationkey' AS col_name, CAST(c_nationkey AS DOUBLE) AS value
+        |   FROM customer WHERE c_nationkey IS NOT NULL
+        | UNION ALL
+        | SELECT 'c_acctbal', CAST(c_acctbal AS DOUBLE)
+        |   FROM customer WHERE c_acctbal IS NOT NULL),
+        |counts AS (SELECT col_name, value, count(*) AS cnt
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT col_name, value, CAST(cnt AS BIGINT) AS cnt, rank FROM (
         | SELECT col_name, value, cnt,
         |   CAST(row_number() OVER (PARTITION BY col_name
         |     ORDER BY cnt DESC, value) AS INTEGER) AS rank

@@ -77,6 +77,33 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("frequentValuesNumeric: NUMERIC tie-break (2 before 10), null/NaN excluded (PR8 numeric)") {
+    // counts: 7.0×3; 2.0 and 10.0 tie at 2 — numeric order ranks 2.0
+    // first where the string form's binary order would put "10.0" first
+    val d = (Seq(7.0, 7.0, 7.0, 2.0, 2.0, 10.0, 10.0, Double.NaN, 1.5, 1.5))
+      .zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "x")
+      .select($"x", org.apache.spark.sql.functions.when($"x" === 1.5,
+        org.apache.spark.sql.functions.lit(null)).otherwise($"x").as("y"))
+    val rows = Profile.frequentValuesNumeric(d.select($"x"), topN = 3)
+      .as[(String, Double, Long, Int)].collect().sortBy(_._4)
+    assert(rows.toSeq === Seq(("x", 7.0, 3L, 1), ("x", 1.5, 2L, 2), ("x", 2.0, 2L, 3)))
+    // nulls excluded: y drops the two 1.5s, so 2.0/10.0 move up
+    val ry = Profile.frequentValuesNumeric(d.select($"y"), topN = 3)
+      .as[(String, Double, Long, Int)].collect().sortBy(_._4)
+    assert(ry.toSeq === Seq(("y", 7.0, 3L, 1), ("y", 2.0, 2L, 2), ("y", 10.0, 2L, 3)))
+    intercept[IllegalArgumentException] {
+      Profile.frequentValuesNumeric(
+        d.select(org.apache.spark.sql.functions.lit("s").as("s")), topN = 3)
+    }
+    // map-side partial heap, no window sort — same scale contract as the
+    // string form
+    val plan = Profile.frequentValuesNumeric(d.select($"x"), topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkdescnum") || plan.contains("partial_topk_desc_num"),
+      s"expected partial heap aggregation in:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
+  }
+
   test("frequentValues plan: heap aggregate runs with map-side partials, no sort") {
     // The scale contract: the per-column top-k is a PARTIAL ObjectHashAggregate
     // (each partition ships ≤ N rows per column), not a window sort over the
