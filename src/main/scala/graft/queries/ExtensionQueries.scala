@@ -769,6 +769,20 @@ object ExtensionQueries {
         col("cum_feats"), col("kept"))
   }
 
+  /** DSIR Gumbel-top-k resampling toward `src0` — the paper's stochastic
+    * selection over the importance weights, seeded and reproducible.
+    * Rows-only by design: the Gumbel key is transcendental
+    * (`logw/τ − ln(−ln U)`), exactly the arithmetic class the
+    * txt_dsir_weight post-mortem banned from hashed contracts; the
+    * deterministic hash-checked face of the family is txt_dsir_select,
+    * and TextOpsSpec replays this sampler's md5 uniform + key arithmetic
+    * in-JVM. */
+  private val txtDsirResample: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    TextOps.dsirResample(docs, docs.filter(col("source") === "src0"),
+      "text", "doc_id", k = 200)
+  }
+
   /** Capstone near-dedup pipeline: ORGANIC similarity pairs (consecutive
     * docs with token-Jaccard ≥ 0.7 — the corpus has real runs of similar
     * neighbors, largest component 10 docs / diameter 9 at sf0.01) →
@@ -1466,6 +1480,7 @@ object ExtensionQueries {
     "txt_dsir_weight" -> txtDsirWeight,
     "txt_dsir_stats" -> txtDsirStats,
     "txt_dsir_select" -> txtDsirSelect,
+    "txt_dsir_resample" -> txtDsirResample,
     "txt_contamination" -> txtContamination,
     "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_salient_terms" -> txtSalientTerms,

@@ -953,6 +953,47 @@ object TextOps {
     }
   }
 
+  /** DSIR Gumbel-top-k resampling — the STOCHASTIC selection step of Xie
+    * et al. 2023 §3 (importance RESAMPLING, not thresholding): sample `k`
+    * documents without replacement with probability ∝
+    * `exp(logw / temperature)` via the Gumbel-max trick — per-doc key
+    * `logw/τ − ln(−ln U)` with `U` a SEEDED md5-derived uniform, so the
+    * "random" draw is reproducible across runs and re-seedable per epoch
+    * (no RNG state, the [[graft.ops.Ops.shuffleShards]] idiom). Returns
+    * the selected documents as `(doc_id, gumbel_key, rank)`, rank 1 =
+    * highest key. [[dsirSelect]] is the deterministic hash-checked
+    * budget form; this is the paper-faithful sampler (temperature → 0
+    * degenerates toward top-k by weight, large τ toward uniform).
+    *
+    * Engine analytic by design: the Gumbel key is transcendental, so it
+    * has no place in a hashed cross-engine contract — determinism and
+    * target-enrichment are spec-pinned instead (in-JVM replay of the md5
+    * uniform and the key arithmetic).
+    *
+    * Scale shape: [[dsirWeights]]' one (doc, bucket) shuffle, a map-only
+    * key projection, then ONE bounded-heap `topk_desc` aggregate — each
+    * partition ships ≤ k rows, no global sort, no window. */
+  def dsirResample(raw: DataFrame, target: DataFrame, textCol: String,
+                   idCol: String, k: Int, temperature: Double = 1.0,
+                   seed: Long = 42L, buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val w = dsirWeights(raw, target, textCol, idCol, buckets)
+    // 52-bit md5-prefix uniform in (0, 1): +0.5 keeps U strictly inside
+    // the open interval, so −ln(−ln U) is always finite
+    val u = (conv(substring(md5(concat_ws(":", lit(seed.toString),
+        col("doc_id").cast(StringType))), 1, 13), 16, 10)
+      .cast(LongType).cast(DoubleType) + 0.5) / 4503599627370496.0
+    val key = col("logw").cast(DoubleType) / lit(temperature) - log(-log(u))
+    w.select(col("doc_id"), key.as("gumbel_key"))
+      .agg(call_function("topk_desc",
+        col("gumbel_key"), col("doc_id"), lit(k)).as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("__e.id").as("doc_id"),
+        col("__e.score").as("gumbel_key"),
+        (col("__pos") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** CCNet-style quality bucketing (Wenzek et al. 2020, public): split a
     * scored corpus into head / middle / tail at the score terciles —
     * the standard "train on head+middle, drop tail" perplexity-filter

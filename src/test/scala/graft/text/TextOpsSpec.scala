@@ -642,6 +642,49 @@ class TextOpsSpec extends SparkSpec {
       "selection must not depend on physical partitioning")
   }
 
+  test("dsirResample: in-JVM Gumbel replay, seeded determinism, low-τ target enrichment") {
+    val (rawSeq, tgtSeq) = dsirCorpus
+    val rawDf = rawSeq.toDF("doc_id", "text")
+    val tgtDf = tgtSeq.toDF("doc_id", "text")
+    val k = 8
+    val out = TextOps.dsirResample(rawDf, tgtDf, "text", "doc_id", k,
+      temperature = 1.0, seed = 42L)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(out.length === k && out.map(_._3).toSeq === (1 to k))
+    // replay: engine logw values + md5 uniform + key arithmetic
+    val logw = TextOps.dsirWeights(rawDf, tgtDf, "text", "doc_id")
+      .as[(Long, Long, BigDecimal)].collect().map(r => r._1 -> r._3.toDouble).toMap
+    def key(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(h.take(13), 16)
+      val u = (v + 0.5) / 4503599627370496.0
+      logw(id) / 1.0 - math.log(-math.log(u))
+    }
+    val expected = rawSeq.map(_._1).map(id => (id, key(id)))
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+    assert(out.map(_._1).toSeq === expected.map(_._1).toSeq,
+      s"selection must replay the seeded Gumbel keys: got ${out.toSeq}")
+    out.zip(expected).foreach { case ((_, gk, _), (_, ek)) =>
+      assert(math.abs(gk - ek) < 1e-9)
+    }
+    // same seed → identical; different seed → a different draw
+    val again = TextOps.dsirResample(rawDf, tgtDf, "text", "doc_id", k,
+      temperature = 1.0, seed = 42L).as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(again.toSeq === out.toSeq)
+    val reseeded = TextOps.dsirResample(rawDf, tgtDf, "text", "doc_id", k,
+      temperature = 1.0, seed = 7L).as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(reseeded.map(_._1).toSeq !== out.map(_._1).toSeq)
+    // τ → 0 sharpens toward pure top-weight: no off-target doc survives
+    // (featureless docs carry logw = 0 — neutral, ABOVE the negative
+    // target weights under smoothing — so the admissible set is
+    // target-like ∪ featureless, never the strongly-negative off-target)
+    val sharp = TextOps.dsirResample(rawDf, tgtDf, "text", "doc_id", k = 5,
+      temperature = 0.001, seed = 42L).as[(Long, Double, Int)].collect()
+    assert(sharp.forall(r => r._1 < 10L || r._1 >= 20L),
+      s"low-temperature resampling must drop off-target docs: ${sharp.toSeq}")
+  }
+
   test("dsirWeights: in-JVM ln replay (the analytic the hashed stats underpin)") {
     val (rawSeq, tgtSeq) = dsirCorpus
     val B = 1024
