@@ -469,11 +469,22 @@ object Dedup {
     * row counts, the wrong one for a 100 TB batch backfill (use
     * [[minHashSignatures]] there). */
   def minHashSigArray(text: Column, numHashes: Int = 64,
-                      shingleK: Int = 5): Column = {
-    val hs = transform(TextOps.charShingles(text, shingleK), s => xxhash64(s))
+                      shingleK: Int = 5): Column =
+    minHashSigArrayFromHashes(
+      transform(TextOps.charShingles(text, shingleK), s => xxhash64(s)),
+      numHashes)
+
+  /** [[minHashSigArray]] over an ALREADY-MATERIALIZED shingle-hash array
+    * column — the form the streaming operators use. Pass a plain column
+    * reference: with the hash array inlined, the per-permutation lambda
+    * re-evaluates the whole normalize→shingle→hash chain `numHashes`
+    * times, and the shingle builder itself re-normalizes per position —
+    * O(numHashes · length²) per row. Materializing `__norm` and the hash
+    * array in their own projections first makes a row cost
+    * O(numHashes · shingles), the documented streaming trade-off. */
+  def minHashSigArrayFromHashes(hs: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(hs, h => xxhash64(h, i))))
-  }
 
   /** 64-bit key of [[minHashSigArray]]: equal for signature-identical
     * docs (exact dups always; near-identical docs with identical shingle

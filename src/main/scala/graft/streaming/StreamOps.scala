@@ -92,11 +92,21 @@ object StreamOps {
                                      watermark: String = "1 hour",
                                      numHashes: Int = 64,
                                      shingleK: Int = 5): DataFrame =
-    docs.withColumn("__sig_key",
-        Dedup.minHashSigKey(col(textCol), numHashes, shingleK))
+    // stepwise materialization (norm → shingle hashes → key): inlining the
+    // whole signature expression re-runs the normalize/shingle chain per
+    // permutation and per position — O(numHashes·len²) per row; this shape
+    // is O(numHashes·shingles) (Dedup.minHashSigArrayFromHashes contract)
+    docs
+      .withColumn("__norm",
+        lower(regexp_replace(col(textCol), "\\s+", " ")))
+      .withColumn("__hs", transform(
+        graft.text.TextOps.charShinglesFromNorm(col("__norm"), shingleK),
+        s => xxhash64(s)))
+      .withColumn("__sig_key",
+        xxhash64(Dedup.minHashSigArrayFromHashes(col("__hs"), numHashes)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig_key")
-      .drop("__sig_key")
+      .drop("__sig_key", "__norm", "__hs")
 
   /** Stream-stream INTERVAL join — the attribution/enrichment shape (click
     * joined to the impression it followed, error joined to the deploy that
@@ -309,8 +319,8 @@ object StreamOps {
     // Internal scratch + output columns must not collide with the stream's
     // own schema: a `docs` that already carries e.g. ref_id would otherwise
     // fail with an ambiguous reference (or silently select the wrong one).
-    val reserved =
-      Set("__sig", "__ref_sig", "__band", "__bucket", "bb", "ref_id", "est_jaccard")
+    val reserved = Set("__sig", "__ref_sig", "__band", "__bucket", "bb",
+      "ref_id", "est_jaccard", "__norm", "__hs")
     val clashes = docs.columns.filter(reserved)
     require(clashes.isEmpty,
       s"incrementalNearDupStream reserves columns ${reserved.mkString(", ")}; " +
@@ -322,7 +332,14 @@ object StreamOps {
     def bandStructs(sig: Column): Column =
       Dedup.bandBuckets(sig, bands, rowsPerBand)
     val streamSide = docs
-      .withColumn("__sig", Dedup.minHashSigArray(col(textCol), numHashes, shingleK))
+      // stepwise materialization — see nearDupSuppressWithinWatermark
+      .withColumn("__norm",
+        lower(regexp_replace(col(textCol), "\\s+", " ")))
+      .withColumn("__hs", transform(
+        graft.text.TextOps.charShinglesFromNorm(col("__norm"), shingleK),
+        s => xxhash64(s)))
+      .withColumn("__sig",
+        Dedup.minHashSigArrayFromHashes(col("__hs"), numHashes))
       .withColumn("bb", bandStructs(col("__sig")))
       .select(docs.columns.map(col) :+ col("__sig") :+
         col("bb.band").as("__band") :+ col("bb.bucket").as("__bucket"): _*)

@@ -71,13 +71,22 @@ object TextOps {
 
   /** Character n-gram shingles of the normalized text (basis for MinHash /
     * Jaccard dedup). Uses sequence+transform — one pass, no UDF. */
-  def charShingles(c: Column, k: Int = 5): Column = {
-    val norm = lower(regexp_replace(c, "\\s+", " "))
+  def charShingles(c: Column, k: Int = 5): Column =
+    charShinglesFromNorm(lower(regexp_replace(c, "\\s+", " ")), k)
+
+  /** [[charShingles]] over an ALREADY-NORMALIZED string column — pass a
+    * materialized column reference, not an expression: the per-position
+    * lambda references `norm` once per shingle, and an inlined
+    * normalize chain re-runs `lower ∘ regexp_replace` per position —
+    * O(length²) per document (the [[wordNgrams]] perf-contract class).
+    * The batch dedup path avoids array building entirely
+    * ([[graft.dedup.Dedup]]'s shingleRows); this form is for per-row
+    * signature expressions (streaming). */
+  def charShinglesFromNorm(norm: Column, k: Int): Column =
     when(length(norm) < k, array(norm)).otherwise(
       array_distinct(transform(
         sequence(lit(1), length(norm) - k + 1),
         i => norm.substr(i, lit(k)))))
-  }
 
   /** Word n-grams over whitespace tokens.
     *
