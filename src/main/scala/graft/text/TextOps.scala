@@ -896,27 +896,35 @@ object TextOps {
       dsirCounts(raw, target, textCol, idCol, buckets)
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
+    // The totals ride INSIDE the ≤ buckets-row broadcast subtree (the
+    // same shape as dsirWeights' log-ratio table, so the (doc, bucket)
+    // aggregate exchange is reused for the corpus marginal): per bucket,
+    // diff_b = (ct_b+1)(tr+B) − (cr_b+1)(tt+B), and the per-doc margin
+    // Σ c_b·diff_b equals (tr+B)(s_tgt+n) − (tt+B)(s_raw+n) exactly — a
+    // top-level totals cross-join would split the lineage into extra
+    // corpus passes instead.
     val annotated = spine
       .join(tgtCnt, Seq("b"), "left").join(rawCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("b"),
         coalesce(col("ct"), lit(0L)).as("ct0"),
-        coalesce(col("cr"), lit(0L)).as("cr0"))
+        coalesce(col("cr"), lit(0L)).as("cr0"),
+        ((coalesce(col("ct"), lit(0L)) + 1).cast(d19) *
+            (col("tr") + lit(buckets)).cast(d19) -
+          (coalesce(col("cr"), lit(0L)) + 1).cast(d19) *
+            (col("tt") + lit(buckets)).cast(d19)).as("diff"))
     val scored = docB.join(broadcast(annotated), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c").cast(d19) * col("ct0").cast(d19)).as("s_tgt"),
-        sum(col("c").cast(d19) * col("cr0").cast(d19)).as("s_raw"))
-    val margin =
-      ((col("tr") + lit(buckets)).cast(d19) * (col("s_tgt") + col("n_feats")) -
-        (col("tt") + lit(buckets)).cast(d19) * (col("s_raw") + col("n_feats")))
-        .cast(d38)
+        sum(col("c").cast(d19) * col("cr0").cast(d19)).as("s_raw"),
+        sum(col("c").cast(d19) * col("diff")).as("margin"))
     raw.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
-      .crossJoin(broadcast(totals))
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("s_tgt").cast(d38), lit(0).cast(d38)).as("s_tgt"),
         coalesce(col("s_raw").cast(d38), lit(0).cast(d38)).as("s_raw"),
-        coalesce(margin, lit(0).cast(d38)).as("margin"))
+        coalesce(col("margin").cast(d38), lit(0).cast(d38)).as("margin"))
   }
 
   /** DSIR selection — the step the importance weight exists FOR (Xie et

@@ -612,6 +612,18 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(20L) === BigDecimal(0) && byId(21L) === BigDecimal(0))
   }
 
+  test("dsirStats plan: doc-bucket aggregate exchange reused, annotated bucket table broadcast") {
+    val raw = (0L until 40L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3}"))
+      .toDF("doc_id", "text")
+    val df = TextOps.dsirStats(raw, raw.limit(10), "text", "doc_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"corpus marginal must reuse the (doc,bucket) aggregate exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"annotated bucket table must broadcast onto the doc-bucket counts:\n$plan")
+  }
+
   test("dsirSelect: greedy budgeted selection replay — target-like kept, off-target dropped") {
     val (rawSeq, tgtSeq) = dsirCorpus
     val out = TextOps.dsirSelect(rawSeq.toDF("doc_id", "text"),
