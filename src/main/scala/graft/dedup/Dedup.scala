@@ -474,17 +474,25 @@ object Dedup {
       transform(TextOps.charShingles(text, shingleK), s => xxhash64(s)),
       numHashes)
 
-  /** [[minHashSigArray]] over an ALREADY-MATERIALIZED shingle-hash array
-    * column — the form the streaming operators use. Pass a plain column
-    * reference: with the hash array inlined, the per-permutation lambda
-    * re-evaluates the whole normalize→shingle→hash chain `numHashes`
-    * times, and the shingle builder itself re-normalizes per position —
-    * O(numHashes · length²) per row. Materializing `__norm` and the hash
-    * array in their own projections first makes a row cost
-    * O(numHashes · shingles), the documented streaming trade-off. */
+  /** [[minHashSigArray]] over a shingle-hash array — shaped so the array
+    * expression is the AGGREGATE INPUT, which Catalyst evaluates exactly
+    * once per row STRUCTURALLY. The previous outer-transform form
+    * referenced the array inside the per-permutation lambda body; a
+    * single textual reference is inlined by CollapseProject even when
+    * "materialized" in its own projection (verified on Spark 4.1.2), so
+    * the whole shingle→hash chain re-ran `numHashes` times per row. As
+    * a fold it runs once: per shingle hash, all `numHashes` seeded mins
+    * update in one `zip_with` step — O(shingles · numHashes) work,
+    * array evaluated once, regardless of what the optimizer inlines.
+    * The permutation seeds stay INT literals (sequence of ints), because
+    * xxhash64 hashes int and long seeds differently and the batch
+    * aggregate path seeds with ints. */
   def minHashSigArrayFromHashes(hs: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hs, h => xxhash64(h, i))))
+    aggregate(hs,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc,
+        sequence(lit(0), lit(numHashes - 1)),
+        (a, i) => least(a, xxhash64(h, i))))
 
   /** 64-bit key of [[minHashSigArray]]: equal for signature-identical
     * docs (exact dups always; near-identical docs with identical shingle

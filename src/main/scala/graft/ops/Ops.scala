@@ -297,12 +297,18 @@ object Ops {
     * receive twice the rows; with 32 bits the residual bias is ≤
     * numShards/2³² < 0.002%, so shard sizes genuinely concentrate at
     * n/numShards ± O(sqrt)). `pos` = dense 1-based rank within the shard
-    * by the full md5 string. ALL input columns are carried through — the
-    * result is the addressed corpus itself, not an address table to join
-    * back. Rows with equal keys collide on the hash and tie-break
-    * arbitrarily between themselves — their output ROWS are identical,
-    * so the result set is still deterministic; NULL keys are dropped as
-    * in [[hashSample]].
+    * by the full md5 string.
+    *
+    * OUTPUT CONTRACT: the result is an ADDRESS TABLE — exactly
+    * `(keyCol, shard, pos)` — to be joined back to the corpus on the
+    * key, NOT the addressed corpus itself. This is deliberate: carrying
+    * payload columns through would make the result nondeterministic for
+    * duplicate keys (equal keys share one hash; with distinct payloads
+    * the `pos` tie-break between them would be partition-order
+    * dependent), and would clobber any input column already named
+    * `shard`/`pos`. As an address table, equal-key rows collapse to
+    * identical output rows and the result set is fully deterministic;
+    * NULL keys are dropped as in [[hashSample]].
     *
     * Scale shape: the hash is map-only; the only movement is the
     * rank window keyed BY SHARD — each partition sorts n/numShards rows,
@@ -317,7 +323,7 @@ object Ops {
     val h = md5(concat_ws(":", lit(seed), col(keyCol).cast(StringType)))
     val byShard = Window.partitionBy("shard").orderBy(col("__h"), col(keyCol))
     df.filter(col(keyCol).isNotNull)
-      .withColumn("__h", h)
+      .select(col(keyCol), h.as("__h"))
       .withColumn("shard",
         conv(substring(col("__h"), 1, 8), 16, 10).cast(LongType) % numShards)
       .withColumn("pos", row_number().over(byShard).cast(LongType))

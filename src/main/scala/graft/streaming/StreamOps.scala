@@ -91,22 +91,33 @@ object StreamOps {
                                      tsCol: String = "ts",
                                      watermark: String = "1 hour",
                                      numHashes: Int = 64,
-                                     shingleK: Int = 5): DataFrame =
-    // stepwise materialization (norm → shingle hashes → key): inlining the
-    // whole signature expression re-runs the normalize/shingle chain per
-    // permutation and per position — O(numHashes·len²) per row; this shape
-    // is O(numHashes·shingles) (Dedup.minHashSigArrayFromHashes contract)
+                                     shingleK: Int = 5): DataFrame = {
+    // __norm is materialized (multiply-referenced by the shingle builder,
+    // so CollapseProject keeps it — inlined, every shingle position
+    // re-runs lower∘regexp_replace: O(len²) per row); the hash array
+    // needs no column of its own because it sits in the AGGREGATE-INPUT
+    // position of minHashSigArrayFromHashes, which Spark evaluates once
+    // per row structurally. Scratch names are guarded like the sibling
+    // incrementalNearDupStream's reserved set.
+    val reserved = Set("__norm", "__sig_key")
+    val clashes = docs.columns.filter(reserved)
+    require(clashes.isEmpty,
+      s"nearDupSuppressWithinWatermark reserves columns " +
+        s"${reserved.mkString(", ")}; input already has " +
+        s"${clashes.mkString(", ")} — rename them first")
     docs
       .withColumn("__norm",
         lower(regexp_replace(col(textCol), "\\s+", " ")))
-      .withColumn("__hs", transform(
-        graft.text.TextOps.charShinglesFromNorm(col("__norm"), shingleK),
-        s => xxhash64(s)))
       .withColumn("__sig_key",
-        xxhash64(Dedup.minHashSigArrayFromHashes(col("__hs"), numHashes)))
+        xxhash64(Dedup.minHashSigArrayFromHashes(
+          transform(
+            graft.text.TextOps.charShinglesFromNorm(col("__norm"), shingleK),
+            s => xxhash64(s)),
+          numHashes)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig_key")
-      .drop("__sig_key", "__norm", "__hs")
+      .drop("__sig_key", "__norm")
+  }
 
   /** Stream-stream INTERVAL join — the attribution/enrichment shape (click
     * joined to the impression it followed, error joined to the deploy that
@@ -320,7 +331,7 @@ object StreamOps {
     // own schema: a `docs` that already carries e.g. ref_id would otherwise
     // fail with an ambiguous reference (or silently select the wrong one).
     val reserved = Set("__sig", "__ref_sig", "__band", "__bucket", "bb",
-      "ref_id", "est_jaccard", "__norm", "__hs")
+      "ref_id", "est_jaccard", "__norm")
     val clashes = docs.columns.filter(reserved)
     require(clashes.isEmpty,
       s"incrementalNearDupStream reserves columns ${reserved.mkString(", ")}; " +
@@ -332,14 +343,16 @@ object StreamOps {
     def bandStructs(sig: Column): Column =
       Dedup.bandBuckets(sig, bands, rowsPerBand)
     val streamSide = docs
-      // stepwise materialization — see nearDupSuppressWithinWatermark
+      // __norm materialized; hash array rides the aggregate-input
+      // position — see nearDupSuppressWithinWatermark
       .withColumn("__norm",
         lower(regexp_replace(col(textCol), "\\s+", " ")))
-      .withColumn("__hs", transform(
-        graft.text.TextOps.charShinglesFromNorm(col("__norm"), shingleK),
-        s => xxhash64(s)))
       .withColumn("__sig",
-        Dedup.minHashSigArrayFromHashes(col("__hs"), numHashes))
+        Dedup.minHashSigArrayFromHashes(
+          transform(
+            graft.text.TextOps.charShinglesFromNorm(col("__norm"), shingleK),
+            s => xxhash64(s)),
+          numHashes))
       .withColumn("bb", bandStructs(col("__sig")))
       .select(docs.columns.map(col) :+ col("__sig") :+
         col("bb.band").as("__band") :+ col("bb.bucket").as("__bucket"): _*)
