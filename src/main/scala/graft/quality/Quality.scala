@@ -255,4 +255,130 @@ object Quality {
         .select(col("n_a"), col("n_b"), col("ks"))
     }
   }
+
+  /** Exact chi-square contingency drift between two slices of one
+    * CATEGORICAL column — the discrete counterpart of [[ksDrift]] (KS is
+    * meaningless on unordered categories). Returns one row per category:
+    * its count on each side plus the INTEGER cross-term
+    * `d = ca·n_b − cb·n_a` (zero exactly when the category's share is
+    * identical on both sides; sign = direction of the shift). The
+    * chi-square statistic itself is `Σ d²/(n_a·n_b·(ca+cb)) · N` — a sum
+    * of per-category double divisions whose accumulation ORDER differs
+    * between engines, so per the repo's cross-engine-hash rule
+    * (txt_dsir_weight post-mortem) the statistic lives in
+    * [[chiSquareStat]] (spec-replayed in-JVM), while the hashed contract
+    * is this all-integer frame.
+    *
+    * Scale shape: one partial-agg'd shuffle over the (category,flag)
+    * union — identical to ksDrift's first pass; the marginals frame is
+    * one row, broadcast back. Cardinality of the result = number of
+    * categories (small by definition of "categorical"); the cross-term
+    * stays in BIGINT for any slice up to ~3×10⁹ rows per side (d ≤
+    * n_a·n_b). NULL categories are kept as their own level — a drift in
+    * missingness is drift. */
+  def chiSquareDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val u = a.select(col(catCol).cast("string").as("category"),
+        lit(1L).as("ga"), lit(0L).as("gb"))
+      .unionAll(b.select(col(catCol).cast("string").as("category"),
+        lit(0L).as("ga"), lit(1L).as("gb")))
+    val counts = u.groupBy("category").agg(sum("ga").as("ca"), sum("gb").as("cb"))
+    val tot = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("category"), col("ca"), col("cb"),
+        (col("ca") * col("n_b") - col("cb") * col("n_a")).as("d"))
+  }
+
+  /** Reduce a [[chiSquareDrift]] contingency frame to the scalar test
+    * statistic: one row `(n_a, n_b, dof, chi2)` with
+    * `chi2 = Σ_c d_c²/(ca_c+cb_c) / (n_a·n_b)` — the 2×C contingency
+    * chi-square in cross-term form (substituting `o − e = ±d/N` into
+    * `Σ (o−e)²/e` collapses to exactly this; no approximation) — and
+    * `dof = C − 1`. Double-sum accumulation order makes this engine-local
+    * (spec-checked, not oracle-hashed — see [[chiSquareDrift]]). An empty
+    * side yields NULL chi2 (no evidence) rather than a throw, the
+    * [[expectationReport]] convention. */
+  def chiSquareStat(contingency: DataFrame): DataFrame =
+    contingency
+      .select(col("ca"), col("cb"),
+        // d²/(ca+cb) as double; d can reach n_a·n_b ≈ 10¹¹ at bench
+        // scales, so square AFTER the cast to avoid BIGINT overflow
+        (col("d").cast("double") * col("d").cast("double") /
+          (col("ca") + col("cb")).cast("double")).as("term"))
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+        (count(lit(1)) - 1).cast("long").as("dof"),
+        sum("term").as("sum_term"))
+      .select(col("n_a"), col("n_b"), col("dof"),
+        try_divide(col("sum_term"),
+          col("n_a").cast("double") * col("n_b").cast("double")).as("chi2"))
+
+  /** Mergeable SET-OPERATION sketches (Apache DataSketches Theta — Spark 4
+    * native `theta_sketch_agg`): the fourth member of the sketch family
+    * (HLL distinct / Bloom membership / CMS frequency / Theta set-ops)
+    * and the one HLL cannot substitute — Theta sketches answer
+    * INTERSECTION and DIFFERENCE cardinalities, not just union. One
+    * binary sketch per group, storable as a column, union-merged later by
+    * `theta_union_agg` and combined across corpora by
+    * [[snapshotOverlapSketch]]'s scalar set ops.
+    *
+    * The 100 TB pattern: sketch each snapshot/day/source once at ingest
+    * (one pass, ≤ 2^lgNomEntries retained hashes per group), then answer
+    * "how many distinct keys did snapshots A and B share / gain / lose"
+    * by combining sketches — never by joining raw key universes. */
+  def setSketches(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                  lgNomEntries: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(theta_sketch_agg(col(keyCol), lit(lgNomEntries)).as("key_theta"),
+        count(lit(1)).as("n_rows"))
+
+  /** Snapshot set-operation report from Theta sketches: one row with the
+    * estimated distinct-key cardinalities of A, B, A∪B, A∩B, A∖B, B∖A.
+    * Each side is sketched in ONE aggregation pass (partial-agg'd
+    * map-side, ≤ 2^lgNomEntries hashes cross the wire per partition);
+    * the set algebra then runs on two sketch blobs in a 1×1 cross join —
+    * no key-universe join ever happens, which is the entire point at
+    * 100 TB: a raw-key overlap join shuffles both corpora, this shuffles
+    * ~32 KB.
+    *
+    * Below 2^lgNomEntries distinct keys per side the sketches are in
+    * exact mode (every hash retained, theta = 1) and all six numbers are
+    * EXACT — pinned against [[snapshotOverlapExact]] in the spec. Above
+    * it, relative standard error ≈ 1/√(2^lgNomEntries). Estimates are
+    * engine-local (DataSketches internals are not SQL-replayable), so the
+    * registry pairs this with the hash-green exact twin. */
+  def snapshotOverlapSketch(a: DataFrame, b: DataFrame, keyCol: String,
+                            lgNomEntries: Int = 12): DataFrame = {
+    val ska = a.agg(theta_sketch_agg(col(keyCol), lit(lgNomEntries)).as("ska"))
+    val skb = b.agg(theta_sketch_agg(col(keyCol), lit(lgNomEntries)).as("skb"))
+    ska.crossJoin(skb).select(
+      theta_sketch_estimate(col("ska")).as("est_a"),
+      theta_sketch_estimate(col("skb")).as("est_b"),
+      theta_sketch_estimate(theta_union(col("ska"), col("skb"))).as("est_union"),
+      theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+        .as("est_intersect"),
+      theta_sketch_estimate(theta_difference(col("ska"), col("skb")))
+        .as("est_only_a"),
+      theta_sketch_estimate(theta_difference(col("skb"), col("ska")))
+        .as("est_only_b"))
+  }
+
+  /** Exact twin of [[snapshotOverlapSketch]] — the same six cardinalities
+    * computed exactly: distinct keys with per-side presence flags (one
+    * partial-agg'd shuffle on the key), then one scalar reduce. This IS
+    * the raw-key join the sketch exists to avoid — linear in the distinct
+    * key universe, fine at validation scale, the thing you stop running
+    * at 100 TB. NULL keys carry no identity and are excluded on both
+    * sides (DataSketches ignores null updates, so the twin matches). */
+  def snapshotOverlapExact(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val u = a.select(col(keyCol).as("k"), lit(1L).as("fa"), lit(0L).as("fb"))
+      .unionAll(b.select(col(keyCol).as("k"), lit(0L).as("fa"), lit(1L).as("fb")))
+      .filter(col("k").isNotNull)
+    u.groupBy("k").agg(max("fa").as("ia"), max("fb").as("ib"))
+      .agg(
+        sum("ia").as("est_a"),
+        sum("ib").as("est_b"),
+        count(lit(1)).as("est_union"),
+        sum(col("ia") * col("ib")).as("est_intersect"),
+        sum(col("ia") * (lit(1L) - col("ib"))).as("est_only_a"),
+        sum((lit(1L) - col("ia")) * col("ib")).as("est_only_b"))
+  }
 }

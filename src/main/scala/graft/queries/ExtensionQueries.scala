@@ -693,6 +693,47 @@ object ExtensionQueries {
       o.filter(col("o_orderstatus") === "O"), "o_totalprice")
   }
 
+  /** Chi-square categorical drift between finished ('F') and open ('O')
+    * orders over `o_orderpriority`: per-category counts both sides plus
+    * the BIGINT cross-term `d = ca·n_b − cb·n_a` — all-integer, so the
+    * whole contingency frame hash-checks. The scalar chi² statistic is a
+    * sum of double divisions whose accumulation order is engine-local
+    * (the txt_dsir_weight rule), so it lives in
+    * [[graft.quality.Quality.chiSquareStat]] and is pinned by spec, not
+    * by the oracle. */
+  private val a12ChiDrift: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    graft.quality.Quality.chiSquareDrift(
+      o.filter(col("o_orderstatus") === "F"),
+      o.filter(col("o_orderstatus") === "O"), "o_orderpriority")
+  }
+
+  /** Two overlapping "snapshots" of the orders fact (orderkey mod-10
+    * buckets 0–6 vs 3–9 — deterministic, SQL-replayable membership, ~40%
+    * shared) whose distinct-customer set algebra the theta-sketch and
+    * exact twins both report. */
+  private def snapshotSlices(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+    (o.filter(col("o_orderkey") % 10 < 7), o.filter(col("o_orderkey") % 10 >= 3))
+  }
+
+  /** Theta-sketch snapshot set-ops (distinct customers in A, B, A∪B, A∩B,
+    * A∖B, B∖A) — the mergeable-sketch answer that never joins raw key
+    * universes. Rows-only by necessity (DataSketches estimates are not
+    * SQL-replayable); the exact twin below hash-checks the same six
+    * numbers, and ThetaSketchSpec pins sketch≡exact in exact mode. */
+  private val pr10SnapshotOverlap: Q = (s, dir) => {
+    val (a, b) = snapshotSlices(s, dir)
+    graft.quality.Quality.snapshotOverlapSketch(a, b, "o_custkey")
+  }
+
+  /** Exact twin of pr10_snapshot_overlap: presence flags per distinct
+    * customer, one reduce — fully SQL-replayable, hash-checked. */
+  private val pr10SnapshotOverlapExact: Q = (s, dir) => {
+    val (a, b) = snapshotSlices(s, dir)
+    graft.quality.Quality.snapshotOverlapExact(a, b, "o_custkey")
+  }
+
   /** Greedy per-source token-budget selection at half each source's token
     * mass, best unique-token-ratio first — budgets, cumulative sums, and
     * the keep/cut line all replayed by the oracle. */
@@ -1026,6 +1067,34 @@ object ExtensionQueries {
     Similarity.recallAtK(
       graft.sim.Pq.pqTopKPortable(emb, q, k = 5, m = 4, codebookSize = 16,
         stride = 29),
+      Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+  }
+
+  /** Two-stage PQ serving, production form: trained ADC shortlist (top-20
+    * over the compressed codes) → exact cosine re-rank to top-5. The
+    * trained codebooks make the shortlist data+training-defined, so
+    * rows-only; the portable twin below hash-checks the identical
+    * two-stage arithmetic, and PqSpec pins rerank ≥ plain-ADC recall plus
+    * shortlist=|corpus| ≡ brute force. */
+  private val simPqRerank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.Pq.probeRerankTopK(
+      graft.sim.Pq.buildIndex(emb), emb, emb.filter(col("vec_id") < 10),
+      k = 5, shortlist = 20)
+  }
+
+  /** Hash-checked recall@5 of the two-stage portable PQ (ADC top-20
+    * shortlist → exact cosine re-rank) vs brute force — the number that
+    * shows what re-ranking buys at the same compressed index: the DuckDB
+    * oracle replays codebook sampling, encoding, ADC, the shortlist cut,
+    * the raw-vector cosine re-rank, AND the recall ratio. Compare against
+    * `sim_pq_recall` (same index, no re-rank stage). */
+  private val simPqRerankRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.recallAtK(
+      graft.sim.Pq.pqRerankTopKPortable(emb, q, k = 5, shortlist = 20,
+        m = 4, codebookSize = 16, stride = 29),
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
   }
 
@@ -1475,6 +1544,9 @@ object ExtensionQueries {
     "w13_corpus_shuffle" -> w13CorpusShuffle,
     "txt_ppl_buckets" -> txtPplBuckets,
     "a11_ks_drift" -> a11KsDrift,
+    "a12_chi_drift" -> a12ChiDrift,
+    "pr10_snapshot_overlap" -> pr10SnapshotOverlap,
+    "pr10_snapshot_overlap_exact" -> pr10SnapshotOverlapExact,
     "pipe_token_budget" -> pipeTokenBudget,
     "w12_temperature_mix" -> w12TemperatureMix,
     "txt_dsir_weight" -> txtDsirWeight,
@@ -1517,6 +1589,8 @@ object ExtensionQueries {
     "sim_pq_exact" -> simPqExact,
     "sim_lsh_recall" -> simLshRecall,
     "sim_pq_recall" -> simPqRecall,
+    "sim_pq_rerank" -> simPqRerank,
+    "sim_pq_rerank_recall" -> simPqRerankRecall,
     "sim_ivf_recall" -> simIvfRecall,
     "sim_pq_probe" -> simPqProbe,
     "sim_ivfpq_topk" -> simIvfpqTopk,
@@ -1735,6 +1809,69 @@ object ExtensionQueries {
        |ann AS (SELECT query_id, cand_id FROM (
        |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, cand_id) AS rank FROM sc) WHERE rank <= $k),
+       |ex AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+       |      c.vec_id) AS rank
+       |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $k),
+       |hits AS (SELECT count(*) AS n_hits FROM ann
+       |  JOIN ex USING (query_id, cand_id)),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex)
+       |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
+       |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
+       |FROM nq, hits""".stripMargin
+  }
+
+  /** Generated oracle for sim_pq_rerank_recall: the [[simPqRecallOracle]]
+    * replay (id-strided codebooks, rounded squared-L2 encode, ADC scores)
+    * plus the two-stage tail — the ADC top-`shortlist` cut per query, the
+    * raw-vector rounded-cosine re-rank of exactly those candidates, the
+    * final top-k, and the recall ratio vs exact brute force. */
+  private def simPqRerankRecallOracle: String = {
+    val m = 4; val cbSize = 16; val stride = 29; val k = 5; val sub = 16
+    val shortlist = 20
+    val joins = (0 until m).map(j =>
+      s"  JOIN enc e$j ON e$j.j = $j" +
+        (if (j == 0) "" else s" AND e$j.cand_id = e0.cand_id")).mkString("\n")
+    val adcSum = (0 until m).map(j =>
+      s"list_dot_product(list_slice(q.v, ${j * sub + 1}, ${j * sub + sub}), e$j.cent)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $stride = 0
+       |        ORDER BY vec_id LIMIT $cbSize)),
+       |cb AS (SELECT j, code, list_slice(v, j * $sub + 1, j * $sub + $sub) AS cent
+       |  FROM cbv, (SELECT unnest(generate_series(0, ${m - 1})) AS j)),
+       |exp AS (SELECT ce.vec_id AS cand_id, cb.j, cb.code, cb.cent,
+       |    list_slice(ce.v, cb.j * $sub + 1, cb.j * $sub + $sub) AS sv
+       |  FROM e ce, cb),
+       |dists AS (SELECT cand_id, j, code, cent,
+       |    ROUND(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
+       |      + list_dot_product(cent, cent), 6) AS d
+       |  FROM exp),
+       |enc AS (SELECT cand_id, j, cent FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY cand_id, j ORDER BY d, code) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |sc AS (SELECT q.vec_id AS query_id, e0.cand_id, ROUND($adcSum, 6) AS score
+       |  FROM e q
+       |$joins
+       |  WHERE q.vec_id < 10 AND e0.cand_id <> q.vec_id),
+       |sl AS (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS rank FROM sc) WHERE rank <= $shortlist),
+       |rr AS (SELECT sl.query_id, sl.cand_id,
+       |    ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |        OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |      ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
+       |  FROM sl JOIN e q ON q.vec_id = sl.query_id
+       |    JOIN e c ON c.vec_id = sl.cand_id),
+       |ann AS (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank FROM rr) WHERE rank <= $k),
        |ex AS (SELECT query_id, cand_id FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2509,6 +2646,35 @@ object ExtensionQueries {
              |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
              | max(abs(CAST(cuma AS DOUBLE)/n_a - CAST(cumb AS DOUBLE)/n_b)) AS ks
              |FROM cum, n GROUP BY 1, 2""".stripMargin,
+      // Chi-square contingency replay: per-category counts both sides and
+      // the integer cross-term vs the one-row marginals. All BIGINT.
+      "a12_chi_drift" ->
+        raw"""WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+             |   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+             |   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cb
+             |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+             |  GROUP BY 1),
+             | n AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM c)
+             |SELECT category, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+             | CAST(ca * n_b - cb * n_a AS BIGINT) AS d
+             |FROM c, n""".stripMargin,
+      // Snapshot set-ops exact twin: per-distinct-customer presence flags
+      // in the two mod-10 orderkey slices, one reduce. All BIGINT.
+      "pr10_snapshot_overlap_exact" ->
+        raw"""WITH k AS (SELECT o_custkey AS k,
+             |   max(CASE WHEN o_orderkey % 10 < 7 THEN 1 ELSE 0 END) AS ia,
+             |   max(CASE WHEN o_orderkey % 10 >= 3 THEN 1 ELSE 0 END) AS ib
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL
+             |    AND (o_orderkey % 10 < 7 OR o_orderkey % 10 >= 3)
+             |  GROUP BY 1)
+             |SELECT CAST(sum(ia) AS BIGINT) AS est_a,
+             | CAST(sum(ib) AS BIGINT) AS est_b,
+             | CAST(count(*) AS BIGINT) AS est_union,
+             | CAST(sum(ia * ib) AS BIGINT) AS est_intersect,
+             | CAST(sum(ia * (1 - ib)) AS BIGINT) AS est_only_a,
+             | CAST(sum((1 - ia) * ib) AS BIGINT) AS est_only_b
+             |FROM k""".stripMargin,
       // Budget-selection replay: unique-token-ratio scores, half-mass
       // per-source budgets, per-source cumulative token sums in
       // (score DESC, doc_id) order, and the keep decision.
@@ -2845,6 +3011,7 @@ bruteForceCosineOracle,
       // families), so recall@5 is a hash-checked number, not a floor.
       "sim_lsh_recall" -> simLshRecallOracle,
       "sim_pq_recall" -> simPqRecallOracle,
+      "sim_pq_rerank_recall" -> simPqRerankRecallOracle,
       "sim_ivf_recall" -> simIvfRecallOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is
       // defined by SIGNATURE agreement, and full 64-position agreement

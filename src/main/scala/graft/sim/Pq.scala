@@ -185,6 +185,64 @@ object Pq {
           (lit(geo.offsets(j)) + col(s"__c$j") + 1).cast(IntegerType)))
       .reduce(_ + _)
 
+  /** Two-stage serving: ADC shortlist → EXACT cosine re-rank — the
+    * standard production ANN refinement (Jégou et al. 2011 §V.B: keep the
+    * compressed-domain scan cheap, then correct the quantization error on
+    * a handful of full vectors). Stage 1 scans PQ codes only (the 64×
+    * compressed index) for the top-`shortlist` candidates per query;
+    * stage 2 fetches ONLY those |queries|·shortlist raw vectors and ranks
+    * the final k by exact rounded cosine.
+    *
+    * Scale shape: the shortlist frame is |queries|·shortlist ids — small
+    * by construction — so it is BROADCAST against the raw corpus
+    * (`corpus ⋈ bcast(shortlist)`): the 100 TB vector store is scanned,
+    * never shuffled, and at 1000 executors the fetch is the selective
+    * probe a serving tier actually pays (R point-reads per query), not a
+    * second corpus pass. Queries broadcast as usual; the final top-k is
+    * the bounded-heap aggregate. Same (rounded score, cand_id) tie-break
+    * as [[Similarity.bruteForceTopK]], so `shortlist = |corpus|` degrades
+    * to exact brute force (pinned by PqSpec). */
+  def probeRerankTopK(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+                      k: Int, shortlist: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    rerank(probeTopK(index, queries, shortlist, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
+  }
+
+  /** [[probeRerankTopK]] over the PORTABLE (id-strided codebook) PQ —
+    * every stage SQL-replayable, so rerank recall@k is a hash-checkable
+    * number (`sim_pq_rerank_recall`): the portable ADC shortlist, the
+    * raw-vector fetch, the rounded-cosine re-rank, and the recall ratio
+    * all replay in the DuckDB oracle. */
+  def pqRerankTopKPortable(corpus: DataFrame, queries: DataFrame,
+                           k: Int, shortlist: Int,
+                           m: Int = 4, codebookSize: Int = 16, stride: Int = 29,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    rerank(pqTopKPortable(corpus, queries, shortlist, m, codebookSize, stride,
+      idCol, vecCol), corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Stage 2 shared tail: exact rounded-cosine re-rank of a (query_id,
+    * cand_id) shortlist against raw corpus vectors. The shortlist and the
+    * queries broadcast; the corpus only streams. */
+  private def rerank(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     k: Int, idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      VectorExprs.norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      VectorExprs.norm(col(vecCol)).as("qn"))
+    val fetched = c.join(broadcast(shortlist.select("query_id", "cand_id")),
+        Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", round(
+        when(col("qn") > 0 && col("cn") > 0,
+          VectorExprs.dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+          .otherwise(lit(0.0)), 6))
+    Similarity.topKExplode(fetched, "cosine", k)
+  }
+
   /** PORTABLE PQ — the oracle bridge of the PQ family (`sim_pq_recall`):
     * identical encode (nearest-codebook-entry per subspace, squared-L2,
     * ties to the lowest code) and ADC scoring arithmetic as [[pqTopK]],

@@ -1,0 +1,88 @@
+package graft.quality
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Chi-square categorical drift + Theta-sketch set operations. */
+class SketchDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chiSquareDrift: integer contingency with cross-terms summing to zero") {
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("x", "y", "y", "y").toDF("c")
+    val rows = Quality.chiSquareDrift(a, b, "c")
+      .orderBy("category").as[(String, Long, Long, Long)].collect()
+    // d_x = 2*4 - 1*3 = 5; d_y = 1*4 - 3*3 = -5
+    assert(rows.sameElements(Array(("x", 2L, 1L, 5L), ("y", 1L, 3L, -5L))))
+    assert(rows.map(_._4).sum === 0L) // Σ d = n_a·n_b − n_b·n_a, always 0
+  }
+
+  test("chiSquareDrift: NULL categories are a level; identical slices give d=0") {
+    val a = Seq(Some("x"), None, None).toDF("c")
+    val b = Seq(Some("x"), None, None).toDF("c")
+    val rows = Quality.chiSquareDrift(a, b, "c")
+      .as[(Option[String], Long, Long, Long)].collect()
+    assert(rows.length === 2 && rows.forall(_._4 === 0L))
+    assert(rows.exists(r => r._1.isEmpty && r._2 === 2L && r._3 === 2L))
+  }
+
+  test("chiSquareStat matches the direct Σ(o−e)²/e computation") {
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("x", "y", "y", "y").toDF("c")
+    val (nA, nB, dof, chi2) = Quality.chiSquareStat(Quality.chiSquareDrift(a, b, "c"))
+      .as[(Long, Long, Long, Double)].head()
+    assert((nA, nB, dof) === ((3L, 4L, 1L)))
+    // direct computation on the 2x2 table [[2,1],[1,3]], N=7:
+    // e = rowTot*colTot/N; chi2 = sum (o-e)^2/e
+    val o = Array(Array(2.0, 1.0), Array(1.0, 3.0))
+    val rt = o.map(_.sum); val ct = Array(o(0)(0) + o(1)(0), o(0)(1) + o(1)(1))
+    val n = 7.0
+    val direct = (for (i <- 0 to 1; j <- 0 to 1) yield {
+      val e = rt(i) * ct(j) / n; math.pow(o(i)(j) - e, 2) / e
+    }).sum
+    assert(math.abs(chi2 - direct) < 1e-12)
+  }
+
+  test("chiSquareStat: an empty side yields NULL chi2, not a throw") {
+    val a = Seq("x", "y").toDF("c")
+    val b = a.filter(lit(false))
+    val row = Quality.chiSquareStat(Quality.chiSquareDrift(a, b, "c"))
+      .select(col("n_b"), col("chi2")).head()
+    assert(row.getLong(0) === 0L && row.isNullAt(1))
+  }
+
+  test("snapshotOverlapSketch ≡ snapshotOverlapExact in exact mode") {
+    // 600 distinct keys/side < 2^12 nominal entries → theta stays 1 and
+    // every estimate is exact; duplicates exercise distinctness.
+    val a = (0 until 600).flatMap(i => Seq(i, i)).toDF("k")
+    val b = (300 until 900).toDF("k")
+    val sk = Quality.snapshotOverlapSketch(a, b, "k")
+      .select(col("est_a").cast("long"), col("est_b").cast("long"),
+        col("est_union").cast("long"), col("est_intersect").cast("long"),
+        col("est_only_a").cast("long"), col("est_only_b").cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val ex = Quality.snapshotOverlapExact(a, b, "k")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(sk === ex)
+    assert(ex === ((600L, 600L, 900L, 300L, 300L, 300L)))
+  }
+
+  test("snapshotOverlapExact ignores NULL keys on both sides") {
+    val a = Seq(Some(1), Some(2), None).toDF("k")
+    val b = Seq(Some(2), None, None).toDF("k")
+    val ex = Quality.snapshotOverlapExact(a, b, "k")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(ex === ((2L, 1L, 2L, 1L, 1L, 0L)))
+  }
+
+  test("setSketches roll up by theta_union_agg to the ungrouped sketch") {
+    // sketch per group, union-merge across groups == one global sketch
+    val df = (0 until 500).map(i => (i % 7, i % 250)).toDF("g", "k")
+    val perGroup = Quality.setSketches(df, "k", Seq("g"))
+    val merged = perGroup
+      .agg(theta_sketch_estimate(theta_union_agg(col("key_theta")))
+        .as("distinct_est"))
+      .select(col("distinct_est").cast("long")).as[Long].head()
+    assert(merged === 250L) // exact mode: 250 < 2^12
+  }
+}

@@ -193,4 +193,61 @@ class PqSpec extends SparkSpec {
       Pq.pqTopK(corpus, corpus, k = 1, trainFraction = 0.0)
     }
   }
+
+  // --- two-stage ADC shortlist → exact cosine re-rank -----------------
+
+  private def clusteredFixture(seed: Int = 7) = {
+    val rnd = new scala.util.Random(seed)
+    val anchors = (0 until 8).map(a =>
+      Array.tabulate(16)(d => if (d % 8 == a % 8) 10f * (1 + a / 8 + 1) else 0f))
+    def jittered(a: Int): Array[Float] =
+      anchors(a).map(x => x + (rnd.nextInt(11) - 5) * 0.1f)
+    val corpus = (0 until 120).map(i => (i.toLong, jittered(i % 8)))
+      .toDF("vec_id", "embedding")
+    val queries = (1000 until 1003).map(i => (i.toLong, jittered(i % 8)))
+      .toDF("vec_id", "embedding")
+    (corpus, queries)
+  }
+
+  test("rerank with shortlist = |corpus| ≡ exact brute-force cosine top-k") {
+    val (corpus, queries) = clusteredFixture()
+    val idx = Pq.buildIndex(corpus, m = 4, codebookSize = 8)
+    val rr = Pq.probeRerankTopK(idx, corpus, queries, k = 5, shortlist = 120)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(rr.sorted === bf.sorted)
+  }
+
+  test("rerank recall ≥ plain-ADC recall at the same index; shortlist < k throws") {
+    val (corpus, queries) = clusteredFixture()
+    val idx = Pq.buildIndex(corpus, m = 4, codebookSize = 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(ann, exact, k = 5)
+        .select("mean_recall").as[Double].head()
+    val adc = recall(Pq.probeTopK(idx, queries, k = 5))
+    val rr = recall(Pq.probeRerankTopK(idx, corpus, queries, k = 5, shortlist = 20))
+    assert(rr >= adc, s"rerank recall $rr < plain ADC recall $adc")
+    assert(rr >= 0.6)
+    intercept[IllegalArgumentException] {
+      Pq.probeRerankTopK(idx, corpus, queries, k = 5, shortlist = 4)
+    }
+  }
+
+  test("portable rerank ≡ trained rerank when codebooks recover every subvector") {
+    // ids 0..3 cover all 4 alphabet entries in every subspace, so the
+    // stride-1 sample IS a complete codebook and both pipelines compute
+    // identical shortlists and identical cosine re-ranks.
+    val corpus = (0 until 48).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (100 until 104).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val portable = Pq.pqRerankTopKPortable(corpus, queries, k = 5, shortlist = 12,
+        m = 4, codebookSize = 4, stride = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val trained = Pq.probeRerankTopK(
+        Pq.buildIndex(corpus, m = 4, codebookSize = 4), corpus, queries,
+        k = 5, shortlist = 12)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(portable.sorted === trained.sorted)
+  }
 }
