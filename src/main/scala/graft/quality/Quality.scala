@@ -311,6 +311,35 @@ object Quality {
         try_divide(col("sum_term"),
           col("n_a").cast("double") * col("n_b").cast("double")).as("chi2"))
 
+  /** Population Stability Index over a [[chiSquareDrift]] contingency
+    * frame — the drift score model-monitoring practice actually
+    * thresholds (PSI < 0.1 stable / 0.1–0.25 moderate / > 0.25 major):
+    * `psi = Σ_c (p_ac − p_bc) · ln(p_ac/p_bc)` with additive `epsilon`
+    * smoothing so a category present on only one side contributes a
+    * finite term instead of ±∞. Always ≥ 0 (each term is (x−y)·ln(x/y)
+    * with x,y > 0), 0 exactly when the smoothed shares are identical.
+    *
+    * Engine-local by the same rule as [[chiSquareStat]] — `ln` is not
+    * correctly-rounded-guaranteed cross-engine and the category sum is
+    * order-dependent — so PSI is spec-pinned, while the oracle-hashed
+    * face of the family stays the integer contingency. One more pass over
+    * the (already tiny) contingency frame; nothing corpus-sized moves. */
+  def populationStabilityIndex(contingency: DataFrame,
+                               epsilon: Double = 0.5): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val tot = contingency.agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+      count(lit(1)).as("n_cat"))
+    contingency.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        ((col("ca") + epsilon) /
+          (col("n_a") + lit(epsilon) * col("n_cat"))).as("pa"),
+        ((col("cb") + epsilon) /
+          (col("n_b") + lit(epsilon) * col("n_cat"))).as("pb"))
+      .groupBy("n_a", "n_b")
+      .agg(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))).as("psi"))
+      .select(col("n_a"), col("n_b"), col("psi"))
+  }
+
   /** Mergeable SET-OPERATION sketches (Apache DataSketches Theta — Spark 4
     * native `theta_sketch_agg`): the fourth member of the sketch family
     * (HLL distinct / Bloom membership / CMS frequency / Theta set-ops)

@@ -1151,6 +1151,20 @@ object ExtensionQueries {
       k = 5, nlist = 8, nprobe = 4, m = 4, codebookSize = 16)
   }
 
+  /** IVFADC+R production serving shape: residual IVF-PQ shortlist (top-20
+    * over cell-pruned compressed codes) → exact cosine re-rank of only
+    * those raw vectors. Training + cell assignment make the shortlist
+    * data-defined, so rows-only; IvfPqSpec pins the
+    * nprobe=nlist × shortlist=|corpus| ≡ brute-force composition and
+    * rerank ≥ plain-residual recall, and the two-stage arithmetic itself
+    * is hash-checked via the PQ twin `sim_pq_rerank_recall`. */
+  private val simIvfpqRerank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.IvfPq.probeResidualRerankTopK(
+      graft.sim.IvfPq.buildResidualIndex(emb, nlist = 8, m = 4, codebookSize = 16),
+      emb, emb.filter(col("vec_id") < 10), k = 5, shortlist = 20, nprobe = 4)
+  }
+
   /** [[simIvfpqResTopk]]'s exactness pin: nlist = 8 over the 8 distinct
     * grid vectors trains centroids that ARE the vectors (zero
     * distortion), so every residual is exactly zero and the score
@@ -1597,6 +1611,7 @@ object ExtensionQueries {
     "sim_ivfpq_exact" -> simIvfpqExact,
     "sim_ivfpq_probe" -> simIvfpqProbe,
     "sim_ivfpq_res_topk" -> simIvfpqResTopk,
+    "sim_ivfpq_rerank" -> simIvfpqRerank,
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,

@@ -165,4 +165,29 @@ object IvfPq {
                         seed: Long = 42L): DataFrame =
     probeResidualTopK(buildResidualIndex(corpus, nlist, m, codebookSize,
       idCol, vecCol, trainFraction = 1.0, seed), queries, k, nprobe, idCol, vecCol)
+
+  /** IVFADC+R (Jégou, Tavenard, Douze, Amsaleg 2011, "Searching in one
+    * billion vectors: re-rank with source coding", public): the full
+    * production ANN serving stack — coarse cells prune the scan, residual
+    * PQ codes ADC-score the survivors into a top-`shortlist`, and ONLY
+    * those |queries|·shortlist raw vectors are fetched for the exact
+    * cosine re-rank to the final k. Three tiers of data movement: cell
+    * pruning (nprobe/nlist of the code frame), 64×-compressed ADC
+    * scoring, and point-reads of the shortlist against the raw store
+    * ([[Pq.rerank]]'s broadcast-shortlist join — the corpus streams,
+    * never shuffles).
+    *
+    * Exactness composition (IvfPqSpec): nprobe = nlist makes coarse
+    * pruning drop out and shortlist = |corpus| makes the ADC stage a
+    * pass-through, so the whole three-tier pipeline must equal exact
+    * brute force bit-for-bit. At production parameters the spec pins
+    * rerank recall ≥ plain residual-ADC recall. */
+  def probeResidualRerankTopK(index: IvfPqIndex, corpus: DataFrame,
+                              queries: DataFrame, k: Int, shortlist: Int,
+                              nprobe: Int = 4,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    Pq.rerank(probeResidualTopK(index, queries, shortlist, nprobe, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
+  }
 }

@@ -227,7 +227,7 @@ object Pq {
   /** Stage 2 shared tail: exact rounded-cosine re-rank of a (query_id,
     * cand_id) shortlist against raw corpus vectors. The shortlist and the
     * queries broadcast; the corpus only streams. */
-  private def rerank(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+  private[sim] def rerank(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
                      k: Int, idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
       VectorExprs.norm(col(vecCol)).as("cn"))

@@ -381,4 +381,103 @@ object StreamOps {
         col(idCol) =!= col("ref_id"))
       .select(docs.columns.map(col) :+ col("ref_id") :+ col("est_jaccard"): _*)
   }
+
+  /** Per-window approximate top-k heavy hitters with BOUNDED state —
+    * Space-Saving (Metwally et al. 2005, "Efficient Computation of
+    * Frequent and Top-k Elements in Data Streams", public) inside
+    * `flatMapGroupsWithState` keyed by the event-time window.
+    *
+    * Why not two chained aggregations (count per (window, key) → top-k
+    * per window): exact per-key counts hold state for EVERY distinct key
+    * in the horizon — at 100 TB/day of documents that is the key
+    * universe, unbounded. Space-Saving caps state at `capacity` counters
+    * per window with the classic guarantees: every key with true count
+    * > N/capacity is in the summary, and for each emitted key
+    * `est_count − max_overcount ≤ true ≤ est_count`. `capacity ≥
+    * distinct keys` degrades to exact counts (spec-pinned against the
+    * batch groupBy).
+    *
+    * Emission is APPEND-mode and FINAL: a window's top-k is emitted once,
+    * when the event-time watermark passes the window end
+    * (`GroupStateTimeout.EventTimeTimeout`), and its state is removed —
+    * so downstream sees one finalized leaderboard per window, never a
+    * retraction. Late rows inside the watermark merge into the live
+    * summary; rows later than the watermark are dropped by the watermark
+    * operator itself (accounted in `numRowsDroppedByWatermark`).
+    *
+    * In the approximate regime the summary depends on arrival order
+    * (inherent to every one-pass bounded-memory summary); the guarantees
+    * above hold for ANY order. Eviction ties break on (count, key) so
+    * replays of identical batch sequences are deterministic.
+    *
+    * The input must carry a watermark-able event-time column `tsCol`;
+    * `keyCol` is rendered to string (NULL keys dropped — no identity). */
+  def windowedHeavyHitters(events: DataFrame, keyCol: String, tsCol: String,
+                           windowDuration: String, watermark: String,
+                           k: Int = 10, capacity: Int = 1000): Dataset[HeavyHitter] = {
+    require(k > 0 && capacity >= k,
+      s"need k > 0 and capacity >= k, got k=$k capacity=$capacity")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      // the raw (watermark-tagged) event-time attribute must survive into
+      // the stateful operator's input — extracting window fields through
+      // unix_millis would strip the tag and fail the event-time-timeout
+      // analysis check
+      .select(window(col(tsCol), windowDuration).as("__w"),
+        col(keyCol).cast("string").as("__k"), col(tsCol).as("__ts"))
+      .filter(col("__k").isNotNull)
+      .select(unix_millis(col("__w.start")).as("__ws"),
+        unix_millis(col("__w.end")).as("__we"), col("__k"), col("__ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (w: (Long, Long), rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[Map[String, (Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            val top = state.get.toSeq
+              .sortBy { case (key, (c, _)) => (-c, key) }.take(k)
+            state.remove()
+            top.iterator.zipWithIndex.map { case ((key, (c, e)), i) =>
+              HeavyHitter(new java.sql.Timestamp(w._1),
+                new java.sql.Timestamp(w._2), key, c, e, i + 1)
+            }
+          } else {
+            val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+            state.getOption.foreach(m ++= _)
+            rows.foreach { case (_, _, key, _) =>
+              m.get(key) match {
+                case Some((c, e)) => m(key) = (c + 1, e)
+                case None if m.size < capacity => m(key) = (1L, 0L)
+                case None =>
+                  // evict the minimum counter; (count, key) tie-break for
+                  // replay determinism. capacity is a few thousand at
+                  // most, so the per-batch linear scan is noise next to
+                  // the shuffle that delivered the rows.
+                  val (mk, (mc, _)) = m.minBy { case (key0, (c0, _)) => (c0, key0) }
+                  m.remove(mk)
+                  m(key) = (mc + 1, mc)
+              }
+            }
+            state.update(m.toMap)
+            // never set a timeout at/behind the current watermark — a
+            // straggler window whose end the watermark already passed
+            // times out at the next possible instant instead of throwing
+            state.setTimeoutTimestamp(
+              math.max(w._2, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }
+
+/** One finalized leaderboard row per (window, rank) from
+  * [[StreamOps.windowedHeavyHitters]]: `est_count` overestimates the true
+  * count by at most `max_overcount` (0 when the key never inherited an
+  * evicted counter — the count is then exact). */
+case class HeavyHitter(window_start: java.sql.Timestamp,
+                       window_end: java.sql.Timestamp,
+                       key: String, est_count: Long, max_overcount: Long,
+                       rank: Int)

@@ -75,6 +75,34 @@ class SketchDriftSpec extends SparkSpec {
     assert(ex === ((2L, 1L, 2L, 1L, 1L, 0L)))
   }
 
+  test("populationStabilityIndex: 0 on identical slices, matches direct sum, grows with shift") {
+    val a = Seq("x", "x", "y", "z").toDF("c")
+    val same = Quality.populationStabilityIndex(
+        Quality.chiSquareDrift(a, a, "c"))
+      .select("psi").as[Double].head()
+    assert(math.abs(same) < 1e-15)
+
+    val b = Seq("x", "y", "y", "y").toDF("c")     // moderate shift
+    val bb = Seq("y", "y", "y", "y").toDF("c")    // x and z vanish entirely
+    def direct(ca: Seq[Long], cb: Seq[Long], eps: Double): Double = {
+      val (na, nb, c) = (ca.sum.toDouble, cb.sum.toDouble, ca.length)
+      (ca zip cb).map { case (x, y) =>
+        val pa = (x + eps) / (na + eps * c); val pb = (y + eps) / (nb + eps * c)
+        (pa - pb) * math.log(pa / pb)
+      }.sum
+    }
+    val psiB = Quality.populationStabilityIndex(
+        Quality.chiSquareDrift(a, b, "c")).select("psi").as[Double].head()
+    // categories sorted: x(2,1) y(1,3) z(1,0)
+    assert(math.abs(psiB - direct(Seq(2, 1, 1), Seq(1, 3, 0), 0.5)) < 1e-12)
+    val psiBB = Quality.populationStabilityIndex(
+        Quality.chiSquareDrift(a, bb, "c")).select("psi").as[Double].head()
+    assert(psiBB > psiB && psiB > 0)
+    intercept[IllegalArgumentException] {
+      Quality.populationStabilityIndex(Quality.chiSquareDrift(a, b, "c"), 0.0)
+    }
+  }
+
   test("setSketches roll up by theta_union_agg to the ungrouped sketch") {
     // sketch per group, union-merge across groups == one global sketch
     val df = (0 until 500).map(i => (i % 7, i % 250)).toDF("g", "k")

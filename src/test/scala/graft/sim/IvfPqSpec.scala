@@ -139,4 +139,42 @@ class IvfPqSpec extends SparkSpec {
     assert(roundTrip === inMem)
     assert(inMem.nonEmpty)
   }
+
+  test("IVFADC+R: nprobe = nlist × shortlist = |corpus| ≡ exact brute-force cosine") {
+    val corpus = (0 until 48).map(i => (i.toLong, gridVec(i))).toDF("vec_id", "embedding")
+    val queries = (100 until 103).map(i => (i.toLong, gridVec(i))).toDF("vec_id", "embedding")
+    val idx = IvfPq.buildResidualIndex(corpus, nlist = 4, m = 4, codebookSize = 4)
+    val rr = IvfPq.probeResidualRerankTopK(idx, corpus, queries,
+        k = 5, shortlist = 48, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(rr.sorted === bf.sorted)
+  }
+
+  test("IVFADC+R recall ≥ plain residual ADC against exact cosine ground truth") {
+    val patterns = (0 until 8).map(p =>
+      Array.tabulate(16)(d => ((p * 5 + d * 3) % 7 - 3).toFloat))
+    val anchors = (0 until 8).map(a =>
+      Array.tabulate(16)(d => if (d % 8 == a) 60f else if (d % 8 == (a + 3) % 8) -40f else 0f))
+    def vec(i: Int): Array[Float] = {
+      val a = anchors(i % 8); val p = patterns((i / 8) % 8)
+      Array.tabulate(16)(d => a(d) + p(d))
+    }
+    val corpus = (0 until 128).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0 until 8).map(i => (1000L + i, vec(i))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val idx = IvfPq.buildResidualIndex(corpus, nlist = 8, m = 4, codebookSize = 8)
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(ann, exact, 5)
+        .select("mean_recall").as[Double].head()
+    val plain = recall(IvfPq.probeResidualTopK(idx, queries, k = 5, nprobe = 8))
+    val rr = recall(IvfPq.probeResidualRerankTopK(idx, corpus, queries,
+      k = 5, shortlist = 30, nprobe = 8))
+    assert(rr >= plain, s"rerank recall $rr < plain residual recall $plain")
+    assert(rr >= 0.9, s"rerank recall $rr should be near-exact here")
+    intercept[IllegalArgumentException] {
+      IvfPq.probeResidualRerankTopK(idx, corpus, queries, k = 5, shortlist = 3)
+    }
+  }
 }

@@ -334,4 +334,96 @@ class StreamOpsSpec extends SparkSpec {
         (3L, 2L, 100.0)))) // >= threshold: boundary fires
     } finally q.stop()
   }
+
+  test("windowedHeavyHitters: exact regime (capacity ≥ distinct) ≡ batch top-k, " +
+      "finalized once on watermark passage, cross-batch accumulation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "word")
+    val q = StreamOps.windowedHeavyHitters(df, "word", "ts",
+        windowDuration = "10 minutes", watermark = "1 minute",
+        k = 3, capacity = 100)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      // window [10:00, 10:10): a×4, b×3, c×2, d×1 split across two batches
+      mem.addData(Seq("a", "a", "b", "c").map(w => (ts(1), w)): _*)
+      q.processAllAvailable()
+      mem.addData(Seq("a", "a", "b", "b", "c", "d").map(w => (ts(5), w)): _*)
+      q.processAllAvailable()
+      assert(spark.table("hh_out").isEmpty)    // watermark still inside the window
+      // two sentinel batches: the first advances the watermark past 10:10
+      // at its end, the second's trigger fires the event-time timeout
+      mem.addData((ts(30), "z"))
+      q.processAllAvailable()
+      mem.addData((ts(45), "z"))
+      q.processAllAvailable()
+      // the sentinel windows finalize too (one ("z", 1) row each once the
+      // watermark passes them) — scope the assertion to the window under test
+      val w0 = spark.table("hh_out")
+        .filter(org.apache.spark.sql.functions.col("window_start") === ts(0))
+      val out = w0.select("key", "est_count", "max_overcount", "rank")
+        .as[(String, Long, Long, Int)].collect().sortBy(_._4)
+      assert(out.sameElements(Array(
+        ("a", 4L, 0L, 1), ("b", 3L, 0L, 2), ("c", 2L, 0L, 3))))
+      // exact regime: every count exact, d cut by k, nothing emitted twice
+      assert(w0.count() === 3)
+    } finally q.stop()
+  }
+
+  test("windowedHeavyHitters: approximate regime keeps the Space-Saving " +
+      "overcount bound and never loses a dominant key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "word")
+    // one dominant key (12 of 24 rows) + 12 singletons, capacity 4 ≪ 13
+    val rows = Seq.fill(12)("heavy") ++ (0 until 12).map(i => s"rare_$i")
+    val q = StreamOps.windowedHeavyHitters(df, "word", "ts",
+        windowDuration = "10 minutes", watermark = "1 minute",
+        k = 2, capacity = 4)
+      .writeStream.format("memory").queryName("hh_approx_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.map(w => (ts(2), w)): _*)
+      q.processAllAvailable()
+      mem.addData((ts(30), "z")); q.processAllAvailable()
+      mem.addData((ts(45), "z")); q.processAllAvailable()
+      val out = spark.table("hh_approx_out")
+        .filter(org.apache.spark.sql.functions.col("window_start") === ts(0))
+        .select("key", "est_count", "max_overcount")
+        .as[(String, Long, Long)].collect()
+      assert(out.length === 2)
+      val heavy = out.find(_._1 == "heavy")
+      assert(heavy.isDefined, s"dominant key missing from $out")
+      // guarantee: est − overcount ≤ true ≤ est
+      heavy.foreach { case (_, est, over) =>
+        assert(est >= 12L && est - over <= 12L)
+      }
+    } finally q.stop()
+  }
+
+  test("windowedHeavyHitters validates k/capacity and drops NULL keys") {
+    implicit val sqlCtx = spark.sqlContext
+    intercept[IllegalArgumentException] {
+      StreamOps.windowedHeavyHitters(
+        MemoryStream[(Timestamp, String)].toDF().toDF("ts", "word"),
+        "word", "ts", "10 minutes", "1 minute", k = 5, capacity = 4)
+    }
+    val mem = MemoryStream[(Timestamp, Option[String])]
+    val df = mem.toDF().toDF("ts", "word")
+    val q = StreamOps.windowedHeavyHitters(df, "word", "ts",
+        "10 minutes", "1 minute", k = 2, capacity = 10)
+      .writeStream.format("memory").queryName("hh_null_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), Some("a")), (ts(1), None), (ts(2), Some("a")))
+      q.processAllAvailable()
+      mem.addData((ts(30), Some("z"))); q.processAllAvailable()
+      mem.addData((ts(45), Some("z"))); q.processAllAvailable()
+      val out = spark.table("hh_null_out")
+        .filter(org.apache.spark.sql.functions.col("window_start") === ts(0))
+        .select("key", "est_count").as[(String, Long)].collect()
+      assert(out.sameElements(Array(("a", 2L))))
+    } finally q.stop()
+  }
 }
