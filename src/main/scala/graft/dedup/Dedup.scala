@@ -776,6 +776,40 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** [[contaminationOverlap]] with a Bloom-filter pre-prune — IDENTICAL
+    * output (the exact gram join still runs and kills every false
+    * positive; Bloom filters have no false negatives, so no true overlap
+    * is lost — the bloom stage is a pure prune and the query shares the
+    * exact form's oracle), different 100 TB movement: the eval gram SET
+    * compresses to a fixed-size sketch (10M grams at 1% fpp ≈ 11 MB)
+    * probed INSIDE the corpus-side scan pipeline by the codegen'd
+    * `bloom_might_contain`, so the gram join's corpus input drops to
+    * matching grams + an fpp tail BEFORE anything shuffles. The exact
+    * form relies on AQE broadcasting the eval grams — fine while they
+    * fit; this form is the one that survives an eval/blocklist side too
+    * big to broadcast, when the join degrades to a shuffle and pruning
+    * its probe side is the whole game. */
+  def bloomContaminationOverlap(docs: DataFrame, textCol: String, idCol: String,
+                                benchmark: DataFrame, benchTextCol: String,
+                                n: Int = 5, minOverlap: Long = 1L,
+                                expectedItems: Long = 1000000L,
+                                fpp: Double = 0.01): DataFrame = {
+    require(n > 0 && minOverlap > 0, s"need n > 0, minOverlap > 0; got $n/$minOverlap")
+    def grams(df: DataFrame, text: String, outCols: Column*): DataFrame = {
+      val pre = df.select(outCols :+ TextOps.tokens(col(text)).as("__ts"): _*)
+      pre.select(pre.columns.dropRight(1).map(col) :+
+        explode(array_distinct(
+          TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)
+    }
+    val benchGrams = grams(benchmark, benchTextCol).select("g").distinct()
+    val probe = graft.ops.Ops.bloomProbe(benchGrams, "g", expectedItems, fpp)
+    grams(docs, textCol, col(idCol).as("id"))
+      .filter(probe(col("g")))
+      .join(benchGrams, "g")
+      .groupBy("id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Fuzzy benchmark decontamination: for every document, the
     * best-matching eval/benchmark document by word-n-gram Jaccard, kept
     * only when the similarity clears `threshold` — the FUZZY complement

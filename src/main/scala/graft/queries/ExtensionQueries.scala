@@ -646,6 +646,19 @@ object ExtensionQueries {
       .select(col("id").as("doc_id"), col("overlap"))
   }
 
+  /** [[txtContamination]] through the Bloom pre-prune path — same flagged
+    * set by construction (the sketch only prunes, the exact join still
+    * verifies), so it SHARES the exact form's hash-checked oracle; what
+    * changes is the plan: eval grams become a fixed-size broadcast sketch
+    * probed map-side inside the corpus gram scan. */
+  private val ddDecontaminateBloom: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    Dedup.bloomContaminationOverlap(d, "text", "doc_id",
+      d.filter(col("doc_id") % 97 === 0), "text", n = 5, minOverlap = 1L,
+      expectedItems = 100000L, fpp = 0.01)
+      .select(col("id").as("doc_id"), col("overlap"))
+  }
+
   /** Cross-document duplicate-span removal (Lee et al. 2021 analog at
     * word-5-gram granularity): any 5-token window shared verbatim by two
     * or more distinct documents is excised from every document carrying
@@ -1568,6 +1581,7 @@ object ExtensionQueries {
     "txt_dsir_select" -> txtDsirSelect,
     "txt_dsir_resample" -> txtDsirResample,
     "txt_contamination" -> txtContamination,
+    "dd_decontaminate_bloom" -> ddDecontaminateBloom,
     "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_salient_terms" -> txtSalientTerms,
     "dd_incremental" -> ddIncremental,
@@ -1840,6 +1854,24 @@ object ExtensionQueries {
        |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
        |FROM nq, hits""".stripMargin
   }
+
+  /** Shared oracle of txt_contamination and dd_decontaminate_bloom (the
+    * two are output-identical — the bloom stage is a pure prune): per-doc
+    * count of distinct word-5-grams shared with the doc_id % 97 eval
+    * slice, short docs contributing their whole text as one gram. */
+  private val contaminationOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |   regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+      | grams AS (
+      |   SELECT DISTINCT doc_id,
+      |     CASE WHEN len(ts) < 5 THEN array_to_string(ts, ' ')
+      |          ELSE array_to_string(ts[i.iv:i.iv+4], ' ') END AS g
+      |   FROM toks, LATERAL (SELECT unnest(range(1, GREATEST(len(ts) - 3, 2)))
+      |     AS iv) i)
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS overlap
+      |FROM grams d
+      |JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) b ON b.g = d.g
+      |GROUP BY 1""".stripMargin
 
   /** Generated oracle for sim_pq_rerank_recall: the [[simPqRecallOracle]]
     * replay (id-strided codebooks, rounded squared-L2 encode, ADC scores)
@@ -2883,19 +2915,10 @@ object ExtensionQueries {
           |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
           |WHERE CAST(FLOOR((((d.doc_id + 1) % 1000003) * 2654435761)
           |    / 1048576.0) AS BIGINT) % 1000 < r.rate""".stripMargin,
-      "txt_contamination" ->
-        """WITH toks AS (SELECT doc_id,
-          |   regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
-          | grams AS (
-          |   SELECT DISTINCT doc_id,
-          |     CASE WHEN len(ts) < 5 THEN array_to_string(ts, ' ')
-          |          ELSE array_to_string(ts[i.iv:i.iv+4], ' ') END AS g
-          |   FROM toks, LATERAL (SELECT unnest(range(1, GREATEST(len(ts) - 3, 2)))
-          |     AS iv) i)
-          |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS overlap
-          |FROM grams d
-          |JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) b ON b.g = d.g
-          |GROUP BY 1""".stripMargin,
+      "txt_contamination" -> contaminationOracleSql,
+      // the Bloom-pruned form is output-identical by construction (the
+      // sketch only prunes; the exact gram join verifies) — same oracle
+      "dd_decontaminate_bloom" -> contaminationOracleSql,
       // End-to-end: Jaccard pairs at 0.7 (same arithmetic as
       // dd_ngram_jaccard, unrounded for the threshold compare, exactly as
       // the engine filters) + recursive closure + keep-min rule.

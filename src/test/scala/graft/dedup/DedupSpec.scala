@@ -257,6 +257,24 @@ class DedupSpec extends SparkSpec {
     assert(self(99L) === 3L) // 7 tokens → 3 distinct 5-grams
   }
 
+  test("bloomContaminationOverlap ≡ contaminationOverlap (pure prune, no lost flags)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated words describing nothing shared at all"),
+      (3L, "we observed the quick brown fox jumps over fences daily"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox jumps over everything")).toDF("doc_id", "text")
+    val exact = Dedup.contaminationOverlap(docs, "text", "doc_id", bench, "text",
+      n = 5, minOverlap = 1L).as[(Long, Long)].collect().toMap
+    // a tiny filter maximizes false-positive pressure on the prune —
+    // verification must still produce the identical flag set and counts
+    val bloom = Dedup.bloomContaminationOverlap(docs, "text", "doc_id", bench, "text",
+      n = 5, minOverlap = 1L, expectedItems = 10L, fpp = 0.2)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom === exact)
+    assert(bloom.keySet === Set(1L, 3L))
+  }
+
   test("consecutiveTokenJaccardPairs ≡ per-pair ngramJaccard expression") {
     val df = (base ++ nearDups).toDF("doc_id", "text")
     val out = Dedup.consecutiveTokenJaccardPairs(df, "text", "doc_id", threshold = 0.2)
