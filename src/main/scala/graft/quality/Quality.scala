@@ -311,6 +311,61 @@ object Quality {
         try_divide(col("sum_term"),
           col("n_a").cast("double") * col("n_b").cast("double")).as("chi2"))
 
+  /** Numeric drift through DATA-DERIVED quantile buckets: side A's
+    * empirical quantiles at `i/nBuckets` become the bin edges, both sides
+    * are bucketized against them, and the result is a [[chiSquareDrift]]
+    * contingency frame — feed it to [[chiSquareStat]] or
+    * [[populationStabilityIndex]] for the scalar gate. This is the
+    * standard "numeric PSI" construction: equal-mass-on-baseline bins,
+    * so drift shows up as mass leaving its decile, robust to scale and
+    * outliers where equal-WIDTH histograms are not.
+    *
+    * Boundaries are INTEGER-RANK quantiles (boundary_i = the smallest
+    * value whose cumulative count reaches ⌈i·N/nBuckets⌉), not
+    * interpolated ones: membership tests are then raw-value comparisons
+    * with no derived arithmetic, which is what lets the whole query
+    * hash-check cross-engine (an interpolated edge is a double whose
+    * last-ulp rounding the engines can disagree on — a flipped boundary
+    * membership is exactly the txt_dsir_weight failure class).
+    *
+    * Scale shape: boundary derivation rides the [[ksDrift]] machinery —
+    * per-distinct-value counts (one partial-agg'd shuffle) + the
+    * distributed prefix scan; the (nBuckets−1)-row boundary frame then
+    * pivots to ONE wide row broadcast to both sides, so bucketization is
+    * a map-only chain of nBuckets−1 codegen'd comparisons per row (no
+    * interpreted HOF, no per-row join). Heavy ties are fine: a value
+    * spanning multiple rank thresholds collapses those buckets to empty
+    * (their mass sits in the bucket below), and a constant column lands
+    * everything in bucket 0. NULLs carry no ordering evidence and are
+    * dropped on both sides — mirror of the oracle's IS NOT NULL. */
+  def quantileBucketDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                          nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    val av = a.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+    val counts = av.groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = graft.ops.Scan.prefixSums(counts, Seq(col("v").asc), Seq("c"))
+    graft.util.Caching.releasingOnFailure(cum) {
+      val tot = cum.agg(max("c_cum").as("n"))
+      val ids = a.sparkSession.range(1, nBuckets).toDF("i")
+      // c_cum ≥ ⌈i·n/nB⌉  ⟺  c_cum·nB ≥ i·n (integers) — no division
+      val boundRows = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ids))
+        .filter(col("c_cum") * nBuckets >= col("i") * col("n"))
+        .groupBy("i").agg(min("v").as("bv"))
+      val wideAggs = (1 until nBuckets).map(i =>
+        max(when(col("i") === i, col("bv"))).as(s"__b$i"))
+      val wide = boundRows.agg(wideAggs.head, wideAggs.tail: _*)
+      val bucket = (1 until nBuckets).map(i =>
+          when(col("v") > col(s"__b$i"), 1L).otherwise(0L))
+        .reduce(_ + _).as("bucket")
+      def bucketize(side: DataFrame): DataFrame =
+        side.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+          .crossJoin(broadcast(wide))
+          .select(bucket)
+      val out = chiSquareDrift(bucketize(a), bucketize(b), "bucket")
+      graft.util.Caching.materializeAndRelease(out, cum)
+    }
+  }
+
   /** Population Stability Index over a [[chiSquareDrift]] contingency
     * frame — the drift score model-monitoring practice actually
     * thresholds (PSI < 0.1 stable / 0.1–0.25 moderate / > 0.25 major):

@@ -721,6 +721,21 @@ object ExtensionQueries {
       o.filter(col("o_orderstatus") === "O"), "o_orderpriority")
   }
 
+  /** Numeric-PSI bucket contingency: side-A (finished orders) decile
+    * edges at integer ranks, both sides bucketized by raw-value
+    * comparison, chi-square contingency out — every step (cumulative
+    * counts, the ⌈i·N/10⌉ rank thresholds via integer cross-multiply,
+    * boundary mins, bucket membership) replays exactly in SQL, so the
+    * numeric-drift binning is hash-checked end to end. The scalar PSI/chi²
+    * over this frame stays spec-pinned (transcendental / sum-order —
+    * the family rule). */
+  private val a13QuantileDrift: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    graft.quality.Quality.quantileBucketDrift(
+      o.filter(col("o_orderstatus") === "F"),
+      o.filter(col("o_orderstatus") === "O"), "o_totalprice", nBuckets = 10)
+  }
+
   /** Two overlapping "snapshots" of the orders fact (orderkey mod-10
     * buckets 0–6 vs 3–9 — deterministic, SQL-replayable membership, ~40%
     * shared) whose distinct-customer set algebra the theta-sketch and
@@ -1572,6 +1587,7 @@ object ExtensionQueries {
     "txt_ppl_buckets" -> txtPplBuckets,
     "a11_ks_drift" -> a11KsDrift,
     "a12_chi_drift" -> a12ChiDrift,
+    "a13_quantile_drift" -> a13QuantileDrift,
     "pr10_snapshot_overlap" -> pr10SnapshotOverlap,
     "pr10_snapshot_overlap_exact" -> pr10SnapshotOverlapExact,
     "pipe_token_budget" -> pipeTokenBudget,
@@ -2705,6 +2721,33 @@ object ExtensionQueries {
              |SELECT category, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
              | CAST(ca * n_b - cb * n_a AS BIGINT) AS d
              |FROM c, n""".stripMargin,
+      // Numeric-PSI bucket replay: F-side cumulative distinct-value
+      // counts, integer-rank decile boundaries (cc*10 >= i*n — no
+      // division), per-row bucket = count of boundaries strictly below
+      // the value, then the chi contingency. All integer except the raw
+      // value comparisons.
+      "a13_quantile_drift" ->
+        raw"""WITH av AS (SELECT o_totalprice AS v FROM orders
+             |   WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL),
+             | c AS (SELECT v, count(*) AS c FROM av GROUP BY 1),
+             | cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM c),
+             | n AS (SELECT count(*) AS n FROM av),
+             | bounds AS (SELECT i.i, min(v) AS bv
+             |   FROM cum, n, (SELECT unnest(range(1, 10)) AS i) i
+             |   WHERE cc * 10 >= i.i * n.n GROUP BY 1),
+             | u AS (SELECT o_totalprice AS v,
+             |     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ga,
+             |     CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS gb
+             |   FROM orders WHERE o_orderstatus IN ('F', 'O')
+             |     AND o_totalprice IS NOT NULL),
+             | bkt AS (SELECT (SELECT count(*) FROM bounds b WHERE u.v > b.bv)
+             |     AS bucket, ga, gb FROM u),
+             | cg AS (SELECT CAST(bucket AS VARCHAR) AS category,
+             |     sum(ga) AS ca, sum(gb) AS cb FROM bkt GROUP BY 1),
+             | nn AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM cg)
+             |SELECT category, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+             | CAST(ca * n_b - cb * n_a AS BIGINT) AS d
+             |FROM cg, nn""".stripMargin,
       // Snapshot set-ops exact twin: per-distinct-customer presence flags
       // in the two mod-10 orderkey slices, one reduce. All BIGINT.
       "pr10_snapshot_overlap_exact" ->

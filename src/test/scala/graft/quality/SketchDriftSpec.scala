@@ -75,6 +75,43 @@ class SketchDriftSpec extends SparkSpec {
     assert(ex === ((2L, 1L, 2L, 1L, 1L, 0L)))
   }
 
+  test("quantileBucketDrift: integer-rank halves bucket a known range; shifted side detected") {
+    val a = (1 to 10).map(_.toDouble).toDF("v")
+    val b = (6 to 15).map(_.toDouble).toDF("v")
+    // N=10, nBuckets=2 → rank threshold ⌈10/2⌉=5 → boundary = 5.0;
+    // bucket 0 = v ≤ 5 (a:1..5), bucket 1 = v > 5 (a:6..10, b:6..15)
+    val rows = Quality.quantileBucketDrift(a, b, "v", nBuckets = 2)
+      .orderBy("category").as[(String, Long, Long, Long)].collect()
+    assert(rows.sameElements(Array(
+      ("0", 5L, 0L, 50L), ("1", 5L, 10L, -50L))))
+  }
+
+  test("quantileBucketDrift: identical slices give all-zero cross-terms; " +
+      "constant column collapses to one bucket; NULLs dropped") {
+    val a = Seq(Some(2.0), Some(2.0), Some(2.0), None).toDF("v")
+    val rows = Quality.quantileBucketDrift(a, a, "v", nBuckets = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === 1)
+    assert(rows.head === (("0", 3L, 3L, 0L)))
+    intercept[IllegalArgumentException] {
+      Quality.quantileBucketDrift(a, a, "v", nBuckets = 1)
+    }
+  }
+
+  test("quantileBucketDrift deciles feed PSI: near-0 for same distribution, large for shifted") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 2000).map(_ => rnd.nextDouble() * 100)
+    val same = (0 until 2000).map(_ => rnd.nextDouble() * 100)
+    val shifted = (0 until 2000).map(_ => 40 + rnd.nextDouble() * 100)
+    def psi(xs: Seq[Double], ys: Seq[Double]): Double =
+      Quality.populationStabilityIndex(
+        Quality.quantileBucketDrift(xs.toDF("v"), ys.toDF("v"), "v"))
+        .select("psi").as[Double].head()
+    val (pSame, pShift) = (psi(base, same), psi(base, shifted))
+    assert(pSame < 0.1, s"same-distribution PSI $pSame should be < 0.1")
+    assert(pShift > 0.25, s"shifted-distribution PSI $pShift should be > 0.25")
+  }
+
   test("populationStabilityIndex: 0 on identical slices, matches direct sum, grows with shift") {
     val a = Seq("x", "x", "y", "z").toDF("c")
     val same = Quality.populationStabilityIndex(
