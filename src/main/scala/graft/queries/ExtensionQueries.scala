@@ -504,6 +504,29 @@ object ExtensionQueries {
         lit("/?utm_source=feed&utm_medium=rss&id="), col("doc_id").cast(StringType),
         lit("#frag"))).as("url"))
 
+  /** Mergeable-sketch distinct rollup as a measured registry query:
+    * per-day HLL user sketches (one ingest pass over events, fixed bytes
+    * per day) union-merged to the global distinct estimate — the rollup
+    * itself touches only |days| sketch rows, never the raw events again.
+    * Estimates are engine-local (DataSketches internals are not
+    * SQL-replayable), so rows-only; the exact twin below hash-checks the
+    * same report computed the expensive way, and QualitySpec pins the
+    * estimate within HLL error of exact. */
+  private val pr11DistinctRollup: Q = (s, dir) => {
+    val e = events(s, dir).select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = graft.quality.Quality.distinctSketches(e, "user_id", Seq("day"))
+    graft.quality.Quality.mergeDistinctSketches(
+        daily.withColumn("all", lit(1)), Seq("all"))
+      .select(col("distinct_est"), col("n_rows"))
+  }
+
+  /** Exact twin of pr11_distinct_rollup: the one-pass count-distinct the
+    * sketch rollup exists to avoid re-running per question. */
+  private val pr11DistinctRollupExact: Q = (s, dir) =>
+    events(s, dir).agg(
+      count_distinct(col("user_id")).as("distinct_est"),
+      count(lit(1)).as("n_rows"))
+
   /** DAU/MAU stickiness per day over the events table. */
   private val evtDauMau: Q = (s, dir) =>
     graft.ops.EventAnalytics.stickiness(events(s, dir), "user_id", "ts")
@@ -1617,6 +1640,8 @@ object ExtensionQueries {
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
+    "pr11_distinct_rollup" -> pr11DistinctRollup,
+    "pr11_distinct_rollup_exact" -> pr11DistinctRollupExact,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
     "k9_schema_merge" -> k9SchemaMerge,
     "w5_hash_sample" -> w5HashSample,
@@ -2721,6 +2746,10 @@ object ExtensionQueries {
              |SELECT category, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
              | CAST(ca * n_b - cb * n_a AS BIGINT) AS d
              |FROM c, n""".stripMargin,
+      // Exact twin of the HLL rollup: one-pass global count-distinct.
+      "pr11_distinct_rollup_exact" ->
+        raw"""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_est,
+             | CAST(count(*) AS BIGINT) AS n_rows FROM events""".stripMargin,
       // Numeric-PSI bucket replay: F-side cumulative distinct-value
       // counts, integer-rank decile boundaries (cc*10 >= i*n — no
       // division), per-row bucket = count of boundaries strictly below
