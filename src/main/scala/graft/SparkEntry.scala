@@ -13,7 +13,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Bucketed/quantized-approximation ops
     * (dd_minhash_lsh, dd_simhash, sim_lsh_ann, sim_pq_topk,
-    * sim_ivfpq_topk, dd_incremental_neardup, dd_index_probe,
+    * sim_ivfpq_topk, sim_rp_topk, dd_incremental_neardup, dd_index_probe,
     * txt_quality_gate_approx) are rows-only: their output is defined by
     * the bucketing/codebooks/sketches, so they are verified by
     * planted-duplicate / exact-recovery ScalaTest checks — AND each has

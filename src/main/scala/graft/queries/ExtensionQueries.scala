@@ -1272,6 +1272,43 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
   }
 
+  /** JL random-projection ANN, production form (Johnson & Lindenstrauss
+    * 1984): vectors reduced 64→8 dims by seeded random projection, the
+    * top-20 shortlist ranked by the 8-term reduced inner product, exact
+    * cosine rerank to top-5 — full-width arithmetic only touches the
+    * shortlist, and at rest the reduced column is 1/8 the scan. Reduced
+    * coordinates are data+hash-defined floats, so rows-only;
+    * `sim_rp_exact` pins exactness at shortlist=|corpus| and
+    * `sim_rp_recall` hash-checks the portable twin's recall. */
+  private val simRpTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.rpTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** [[simRpTopk]]'s exactness pin: shortlist = Int.MaxValue keeps every
+    * candidate through the reduced-space ranking, so the rerank sees the
+    * full corpus and the result is provably brute force — the whole RP
+    * plumbing (portable reduce, long-exact shortlist ranking, heap
+    * rerank) runs and hash-checks against the brute-force oracle. */
+  private val simRpExact: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.rpTopKPortable(emb, emb.filter(col("vec_id") < 10), k = 5,
+      shortlist = Int.MaxValue)
+  }
+
+  /** RP member of the recall family ([[simLshRecall]], [[simPqRecall]],
+    * [[simIvfRecall]]): recall@5 of the PORTABLE JL pipeline (md5-derived
+    * planes, integer-quantized LONG coordinates, long-exact shortlist
+    * ranking) at the production shortlist=20 vs exact brute force —
+    * hash-checked because every arithmetic step replays exactly in SQL. */
+  private val simRpRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.recallAtK(
+      Similarity.rpTopKPortable(emb, q, k = 5, dimOut = 8, shortlist = 20),
+      Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+  }
+
   /** [[ddMinhashVerified]] through the ONE-PERMUTATION + rotation-
     * densification family (`ophDensified = true`): candidates come from
     * densified OPH signatures (1 hash per shingle instead of 64 — the
@@ -1668,6 +1705,9 @@ object ExtensionQueries {
     "sim_ivfpq_res_topk" -> simIvfpqResTopk,
     "sim_ivfpq_rerank" -> simIvfpqRerank,
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
+    "sim_rp_topk" -> simRpTopk,
+    "sim_rp_exact" -> simRpExact,
+    "sim_rp_recall" -> simRpRecall,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
@@ -1822,6 +1862,60 @@ object ExtensionQueries {
        |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
        |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
        |    JOIN e c ON c.vec_id = cd.cand_id),
+       |ann AS (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank FROM cs) WHERE rank <= $k),
+       |ex AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+       |      c.vec_id) AS rank
+       |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $k),
+       |hits AS (SELECT count(*) AS n_hits FROM ann
+       |  JOIN ex USING (query_id, cand_id)),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex)
+       |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
+       |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
+       |FROM nq, hits""".stripMargin
+  }
+
+  /** Generated oracle for sim_rp_recall: replays the PORTABLE random-
+    * projection pipeline — the same md5-derived planes and integer-
+    * quantized projection terms as the LSH oracle, but the 8 per-plane
+    * LONG sums are KEPT as reduced coordinates; the shortlist ranks by
+    * the exact BIGINT reduced dot (never a double cast — the sums reach
+    * 2^26 and an 8-term dot 2^55, outside double-exact range), the top-20
+    * survivors pay the rounded-cosine rerank, then the same recall
+    * reduction vs exact brute force. */
+  private def simRpRecallOracle: String = {
+    val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
+    def plane(p: Int) =
+      "(CAST(list_sum(list_transform(generate_series(1,13), j -> " +
+        "CAST(strpos('0123456789abcdef', substring(md5(CAST(i - 1 AS VARCHAR) || " +
+        s"'_${p}_$seed'), j, 1)) - 1 AS BIGINT) << ((13 - j) * 4))) AS BIGINT) " +
+        "/ 2251799813685248.0 - 1.0)"
+    val projs = (0 until dimOut).map(p =>
+      s"CAST(list_sum(list_transform(generate_series(1, len(v)), i -> " +
+        s"CAST(floor(v[i] * ${plane(p)} * 1048576.0 + 0.5) AS BIGINT))) AS BIGINT) AS p$p")
+      .mkString(", ")
+    val rdot = (0 until dimOut).map(p => s"q.p$p * c.p$p").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (SELECT vec_id, v, $projs FROM e),
+       |short AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ($rdot) DESC, c.vec_id) AS rrank
+       |  FROM proj q JOIN proj c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rrank <= $shortlist),
+       |cs AS (SELECT sh.query_id, sh.cand_id,
+       |   ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |       OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
+       |  FROM short sh JOIN e q ON q.vec_id = sh.query_id
+       |    JOIN e c ON c.vec_id = sh.cand_id),
        |ann AS (SELECT query_id, cand_id FROM (
        |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, cand_id) AS rank FROM cs) WHERE rank <= $k),
@@ -3120,6 +3214,11 @@ bruteForceCosineOracle,
       // overlap ratio replay in SQL (portable signature / codebook
       // families), so recall@5 is a hash-checked number, not a floor.
       "sim_lsh_recall" -> simLshRecallOracle,
+      // shortlist = Int.MaxValue keeps every candidate through the
+      // reduced-space ranking ⇒ rerank sees the full corpus ⇒ provably
+      // brute force (the lshTopK bits=0 analog for random projection).
+      "sim_rp_exact" -> bruteForceCosineOracle,
+      "sim_rp_recall" -> simRpRecallOracle,
       "sim_pq_recall" -> simPqRecallOracle,
       "sim_pq_rerank_recall" -> simPqRerankRecallOracle,
       "sim_ivf_recall" -> simIvfRecallOracle,

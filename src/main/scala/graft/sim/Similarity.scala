@@ -174,6 +174,21 @@ object Similarity {
     * whole derivation. */
   def rhpSignaturesPortable(df: DataFrame, idCol: String, vecCol: String,
                             bits: Int = 16, seed: Int = 42): DataFrame = {
+    val proj = portableProjections(df, idCol, vecCol, bits, seed)
+    val signBits = array((0 until bits).map(p =>
+      when(col(s"p$p") >= 0, lit(1)).otherwise(lit(0))): _*)
+    proj.select(col("id"), col("vec"), signBits.as("sig"))
+  }
+
+  /** Shared portable-projection core: n LONG columns p0..p{n-1} per
+    * vector, each the integer sum of floor(x·plane·2^20 + 0.5) terms over
+    * the md5-derived plane table (see [[rhpSignaturesPortable]] for why
+    * every step is exactly SQL-replayable). [[rhpSignaturesPortable]]
+    * sign-packs these; [[rpReducePortable]] keeps the values as the
+    * reduced-space coordinates. Returns (id, vec, p0..p{n-1}). */
+  private def portableProjections(df: DataFrame, idCol: String,
+                                  vecCol: String, n: Int,
+                                  seed: Int): DataFrame = {
     // one-row dim probe (sanctioned scalar gate); empty input → no rows,
     // any plane table works, use dim 0
     val dim = df.select(size(col(vecCol)).as("d")).limit(1)
@@ -184,19 +199,126 @@ object Similarity {
         .map(b => f"$b%02x").mkString.substring(0, 13)
       java.lang.Long.parseLong(hex, 16).toDouble / 2251799813685248.0 - 1.0
     }
-    val projAggs = (0 until bits).map { p =>
+    val projAggs = (0 until n).map { p =>
       val planes = typedLit((0 until dim).map(pos => plane(pos, p)))
       sum(floor(col("x") * element_at(planes, col("pos") + 1) * lit(1048576.0)
         + lit(0.5)).cast(LongType)).as(s"p$p")
     }
-    val signBits = array((0 until bits).map(p =>
-      when(col(s"p$p") >= 0, lit(1)).otherwise(lit(0))): _*)
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id"), col("vec"), posexplode(col("vec")).as(Seq("pos", "x0")))
       .select(col("id"), col("vec"), col("pos"), col("x0").cast(DoubleType).as("x"))
       .groupBy("id")
       .agg(first(col("vec")).as("vec"), projAggs: _*)
-      .select(col("id"), col("vec"), signBits.as("sig"))
+  }
+
+  /** Random-projection (Johnson–Lindenstrauss) reduction, production
+    * form: each vector is projected onto `dimOut` seeded pseudo-random
+    * hyperplanes (same xxhash64 derivation as [[rhpSignatures]], but the
+    * REAL-VALUED projection is kept instead of its sign). Returns
+    * (id, vec, r: array<double>) — an 8× smaller vector whose inner
+    * products approximate the originals' (JL lemma, Johnson &
+    * Lindenstrauss 1984), so a reduced-space shortlist prunes the
+    * candidate set before any full-width arithmetic runs.
+    *
+    * Scale shape: identical to [[rhpSignatures]] — posexplode → `dimOut`
+    * codegen'd sum-aggregates with map-side partials, one row per vector
+    * on the shuffle; at rest the reduced column is dimOut/dim the size of
+    * the corpus scan. */
+  def rpReduce(df: DataFrame, idCol: String, vecCol: String,
+               dimOut: Int = 8, seed: Int = 42): DataFrame = {
+    require(dimOut > 0, s"rpReduce requires dimOut > 0, got $dimOut")
+    val projAggs = (0 until dimOut).map { p =>
+      sum(col("x") *
+        (xxhash64(col("pos"), lit(p), lit(seed)).cast(DoubleType) /
+          lit(Long.MaxValue.toDouble))).as(s"p$p")
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"), posexplode(col("vec")).as(Seq("pos", "x0")))
+      .select(col("id"), col("vec"), col("pos"), col("x0").cast(DoubleType).as("x"))
+      .groupBy("id")
+      .agg(first(col("vec")).as("vec"), projAggs: _*)
+      .select(col("id"), col("vec"),
+        array((0 until dimOut).map(p => col(s"p$p")): _*).as("r"))
+  }
+
+  /** PORTABLE [[rpReduce]] — md5-derived planes, integer-quantized terms,
+    * LONG component sums (the [[rhpSignaturesPortable]] arithmetic with
+    * the values kept instead of sign-packed). Every reduced coordinate
+    * and therefore every reduced-space inner product is exact integer
+    * arithmetic, order-independent under partial aggregation and exactly
+    * replayable in SQL — the oracle bridge for `sim_rp_recall`. Component
+    * magnitudes are ≤ dim·2^20 ≈ 2^26 (|x| ≤ 1 embeddings), so a
+    * dimOut-term dot stays ≤ 2^56 — inside long range, but NOT exactly
+    * representable as double, which is why ranking must compare the LONG,
+    * never a double cast. Returns (id, vec, r: array<long>). */
+  def rpReducePortable(df: DataFrame, idCol: String, vecCol: String,
+                       dimOut: Int = 8, seed: Int = 42): DataFrame = {
+    require(dimOut > 0, s"rpReducePortable requires dimOut > 0, got $dimOut")
+    portableProjections(df, idCol, vecCol, dimOut, seed)
+      .select(col("id"), col("vec"),
+        array((0 until dimOut).map(p => col(s"p$p")): _*).as("r"))
+  }
+
+  /** Reduced-space shortlist + exact rerank over PRECOMPUTED
+    * (id, vec, r) frames — the shared tail of [[rpTopK]] and
+    * [[rpTopKPortable]]. Candidates are ranked per query by the
+    * reduced-space inner product (dimOut terms — 8× cheaper than a
+    * full-width dot) with the (score desc, cand_id) tie-break, the top
+    * `shortlist` survive, and only those pay the full-width
+    * rounded-cosine rerank. Long scores compare exactly (no double
+    * cast — see [[rpReducePortable]]). */
+  private def rpRerank(corpusRed: DataFrame, queriesRed: DataFrame,
+                       k: Int, shortlist: Int, dimOut: Int): DataFrame = {
+    val q = queriesRed.select(col("id").as("query_id"), col("vec").as("qvec"),
+      col("r").as("qr"))
+    val c = corpusRed.select(col("id").as("cand_id"), col("vec").as("cvec"),
+      col("r").as("cr"))
+    // unrolled sum of codegen'd element_at products — an aggregate/
+    // zip_with HOF here would run interpreted on every scored pair, the
+    // per-row hot path
+    val rdot = (0 until dimOut).map(p =>
+      element_at(col("qr"), p + 1) * element_at(col("cr"), p + 1))
+      .reduce(_ + _)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("rscore", rdot)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rscore").desc, col("cand_id"))
+    val cand = scored.withColumn("rrank", row_number().over(w))
+      .filter(col("rrank") <= shortlist)
+      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 6))
+    topKExplode(cand, "cosine", k)
+  }
+
+  /** JL-reduced ANN, production form: [[rpReduce]] both sides, shortlist
+    * in the reduced space, exact rerank to top-k. `shortlist >= |corpus|`
+    * is the EXACTNESS mode (the lshTopK bits=0 analog): every candidate
+    * survives the shortlist, so the result is provably identical to brute
+    * force while the whole RP plumbing (reduce, reduced-space ranking,
+    * rerank) still runs — hash-checkable against the brute-force oracle.
+    * Production recall at small shortlists is pinned numerically by
+    * `sim_rp_recall` (portable twin) and RpSpec floors. */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             dimOut: Int = 8, shortlist: Int = 20,
+             seed: Int = 42): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"rpTopK requires shortlist >= k > 0, got k=$k shortlist=$shortlist")
+    rpRerank(rpReduce(corpus, idCol, vecCol, dimOut, seed),
+      rpReduce(queries, idCol, vecCol, dimOut, seed), k, shortlist, dimOut)
+  }
+
+  /** [[rpTopK]] over the PORTABLE projection family — the form whose
+    * recall against brute force is a hash-checkable number (reduced
+    * coordinates are exact longs; see [[rpReducePortable]]). */
+  def rpTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dimOut: Int = 8, shortlist: Int = 20,
+                     seed: Int = 42): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"rpTopKPortable requires shortlist >= k > 0, got k=$k shortlist=$shortlist")
+    rpRerank(rpReducePortable(corpus, idCol, vecCol, dimOut, seed),
+      rpReducePortable(queries, idCol, vecCol, dimOut, seed), k, shortlist,
+      dimOut)
   }
 
   /** Banding + bucket join + exact rerank over PRECOMPUTED (id, vec, sig)

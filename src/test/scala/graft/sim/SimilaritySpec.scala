@@ -234,4 +234,61 @@ class SimilaritySpec extends SparkSpec {
     assert((cachedIds -- before).isEmpty,
       "caller unpersist returns the session to its cache baseline")
   }
+
+  test("rpTopKPortable with shortlist >= |corpus| ≡ brute force exactly") {
+    // The sim_rp_exact pin: every candidate survives the reduced-space
+    // shortlist, so the rerank sees the full corpus and the JL reduction
+    // drops out of the result entirely.
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val rp = Similarity.rpTopKPortable(df, queries, k = 5,
+        shortlist = Int.MaxValue)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(rp === exact)
+  }
+
+  test("RP ANN finds every planted duplicate (identical vec ⇒ identical reduction)") {
+    val queries = df.filter(col("vec_id") < 10)
+    Seq(Similarity.rpTopK(df, queries, k = 5),
+        Similarity.rpTopKPortable(df, queries, k = 5)).foreach { ann =>
+      val res = ann.select("query_id", "cand_id")
+        .as[(Long, Long)].collect().toSet
+      (0 until 10).foreach { q =>
+        assert(res.contains((q.toLong, (q + 10000).toLong)),
+          s"planted dup of $q missed by RP shortlist")
+      }
+    }
+  }
+
+  test("portable and xxhash RP families have matching recall statistics") {
+    // Same pin shape as the LSH families: the portable form only changes
+    // the plane derivation (md5 + integer-quantized long sums vs xxhash64
+    // float sums) — both are JL projections, so recall@5 at the same
+    // (dimOut, shortlist) must sit in the same regime. Spec-side twin of
+    // sim_rp_recall's oracle-side number.
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(ann, exact, k = 5)
+        .select("mean_recall").as[Double].head()
+    val portable = recallOf(Similarity.rpTopKPortable(df, queries, k = 5))
+    val fast = recallOf(Similarity.rpTopK(df, queries, k = 5))
+    assert(portable >= 0.6, s"portable-RP recall $portable")
+    assert(fast >= 0.6, s"xxhash-RP recall $fast")
+    assert(math.abs(portable - fast) <= 0.2,
+      s"RP families diverged: portable=$portable xxhash=$fast")
+  }
+
+  test("rpTopK validates shortlist >= k > 0; reductions carry dimOut components") {
+    intercept[IllegalArgumentException] {
+      Similarity.rpTopK(df, df, k = 5, shortlist = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rpTopKPortable(df, df, k = 0)
+    }
+    val r = Similarity.rpReducePortable(df, "vec_id", "embedding", dimOut = 8)
+      .select(size(col("r"))).as[Int].head()
+    assert(r === 8)
+  }
 }
