@@ -254,6 +254,24 @@ object ExtensionQueries {
         posexplode(TextOps.bpeSegment(col("word"), merges)).as(Seq("seg_pos", "sym")))
   }
 
+  /** BPE merge induction over the corpus — the TRAINING half of the
+    * subword tokenizer in the registry ([[txtBpeSegment]] is the
+    * inference half under a fixed table): 8 merges learned from the
+    * lower-cased token stream (Sennrich et al. 2016), ties broken
+    * (count desc, left, right). Output (merge_rank, left, right,
+    * pair_count) is pure integer/string — hash-safe — and the oracle
+    * replays the ENTIRE iterative trainer as an unrolled 8-round
+    * MATERIALIZED-CTE chain: weighted pair counts over word types,
+    * argmax with the same tie-break, greedy left-to-right
+    * non-overlapping rewrite. The rewrite replays over a
+    * bracket-wrapped representation (chr(1)||sym||chr(2)) with plain
+    * `replace` — each symbol carries its own brackets, so adjacent
+    * matches never share a boundary character and DuckDB needs no
+    * lookbehind; equivalence of the engine's boundary-anchored regexp
+    * to the greedy symbol fold is the law PropertiesSpec pins. */
+  private val txtBpeLearn: Q = (s, dir) =>
+    TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
+
   /** Sequence packing (concatenate-and-chop, 512-token windows, 8
     * shards): per-shard cumulative token layout, window index from the
     * running sum — the whole layout arithmetic is hash-checked against
@@ -1674,6 +1692,7 @@ object ExtensionQueries {
     "k13_partition_overwrite" -> k13PartitionOverwrite,
     "txt_tokenize_ids" -> txtTokenizeIds,
     "txt_bpe_segment" -> txtBpeSegment,
+    "txt_bpe_learn" -> txtBpeLearn,
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
@@ -1744,6 +1763,46 @@ object ExtensionQueries {
     * vector guard mirrors the engine's null-safe cosine (0.0): DuckDB's
     * list_cosine_similarity returns -1.0 for a zero vector, which would
     * silently reorder the top-k if the fixture ever gains one. */
+  /** Generated oracle for txt_bpe_learn: the WHOLE iterative BPE trainer
+    * unrolled as an 8-round MATERIALIZED-CTE chain (materialization is
+    * load-bearing — inlined CTEs would re-evaluate the s0..s{i-1} chain
+    * once per reference, exponential in rounds; materialized, the replay
+    * runs in ~0.1 s). Round i computes weighted adjacent-pair counts
+    * over the word-type segment table, picks the (cnt desc, l, r)
+    * argmax, and rewrites segments with plain `replace` over the
+    * bracket-wrapped representation chr(1)||sym||chr(2): each symbol
+    * carries its own brackets, so adjacent matches never share a
+    * boundary character and left-to-right non-overlapping `replace`
+    * reproduces the greedy merge fold exactly — no lookbehind (which
+    * RE2 lacks) required. */
+  private def txtBpeLearnOracle: String = {
+    val rounds = 8
+    val (o, c) = ("chr(1)", "chr(2)")
+    val head =
+      raw"""w AS MATERIALIZED (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+           |    FROM documents) WHERE word <> '' GROUP BY word),
+           |s0 AS MATERIALIZED (SELECT list_aggregate(list_transform(generate_series(1, len(word)),
+           |    i -> $o||substring(word,i,1)||$c), 'string_agg', '') AS seg, freq FROM w)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      raw"""p$i AS MATERIALIZED (SELECT syms[j] AS l, syms[j+1] AS r, sum(freq) AS cnt FROM (
+           |    SELECT syms, freq, unnest(generate_series(1, len(syms)-1)) AS j FROM (
+           |      SELECT string_split(substring(seg, 2, len(seg)-2), $c||$o) AS syms, freq
+           |      FROM s$p WHERE len(seg) >= 2)) GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT CAST($i AS INTEGER) AS merge_rank, l, r, cnt
+           |  FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT replace(seg, $o||b.l||$c||$o||b.r||$c,
+           |    $o||b.l||b.r||$c) AS seg, freq FROM s$p, b$i b)""".stripMargin
+    }
+    val union = (1 to rounds).map(i =>
+      s"""SELECT merge_rank, l AS "left", r AS "right", cnt AS pair_count FROM b$i""")
+      .mkString(" UNION ALL ")
+    s"WITH $head,\n${steps.mkString(",\n")}\n" +
+      s"SELECT * FROM ($union) ORDER BY merge_rank"
+  }
+
   private val bruteForceCosineOracle: String =
     raw"""WITH sc AS (
          | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -2657,6 +2716,7 @@ object ExtensionQueries {
              |SELECT doc_id, word_pos, CAST(p.pos AS INTEGER) AS seg_pos,
              | segs[CAST(p.pos + 1 AS INTEGER)] AS sym
              |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin,
+      "txt_bpe_learn" -> txtBpeLearnOracle,
       // stage mirrors: quality (txt_quality_score), exact-median gate
       // (txt_quality_gate), hash-bucket mixture (w10), then the aggregate.
       "pipe_curate_corpus" ->
