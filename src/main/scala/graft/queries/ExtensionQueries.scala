@@ -389,6 +389,15 @@ object ExtensionQueries {
   private val txtHeavyHitters: Q = (s, dir) =>
     TextOps.heavyHitters(t(s, dir, "documents"), "text", k = 20)
 
+  /** Count-Min Sketch frequency estimates probed at the exact top-20
+    * terms — the constant-size (4×256 cells) mergeable frequency summary
+    * next to the heap-based [[txtHeavyHitters]]. Deterministic md5 cell
+    * hashing and pure integer counts, so the whole sketch build + min
+    * probe replays in SQL and hash-checks, including every overcount. */
+  private val txtCmsCounts: Q = (s, dir) =>
+    TextOps.cmsTermCounts(t(s, dir, "documents"), "text",
+      depth = 4, width = 256, topK = 20)
+
   /** Per-document salient terms: top-3 tokens by tf·idf (rational BM25
     * idf — log-free, so the score arithmetic is bit-mirrorable in SQL and
     * the whole tf/df/N pipeline is hash-checked). */
@@ -1677,6 +1686,7 @@ object ExtensionQueries {
     "txt_contamination" -> txtContamination,
     "dd_decontaminate_bloom" -> ddDecontaminateBloom,
     "txt_heavy_hitters" -> txtHeavyHitters,
+    "txt_cms_counts" -> txtCmsCounts,
     "txt_salient_terms" -> txtSalientTerms,
     "dd_incremental" -> ddIncremental,
     "emb_centroids" -> embCentroids,
@@ -1763,6 +1773,37 @@ object ExtensionQueries {
     * vector guard mirrors the engine's null-safe cosine (0.0): DuckDB's
     * list_cosine_similarity returns -1.0 for a zero vector, which would
     * silently reorder the top-k if the fixture ever gains one. */
+  /** Generated oracle for txt_cms_counts: rebuilds the Count-Min Sketch
+    * from scratch — per-row bucket hashing via the shared md5-digit
+    * arithmetic, cell counts, exact top-20 probe terms with the (count
+    * desc, term) tie-break, min-over-rows estimate — all in exact integer
+    * arithmetic, so estimates AND overcounts hash-check. */
+  private def txtCmsCountsOracle: String = {
+    val depth = 4; val width = 256; val topK = 20
+    def bucket(expr: String, j: Int): String = {
+      def hx(i: Int) =
+        s"(strpos('0123456789abcdef', substring(md5($expr || '_$j'), $i, 1)) - 1)"
+      s"((((${hx(1)} * 16 + ${hx(2)}) * 16 + ${hx(3)}) * 16 + ${hx(4)}) % $width)"
+    }
+    val cellRows = (0 until depth).map(j =>
+      s"SELECT $j AS j, ${bucket("w", j)} AS b FROM words").mkString("\n  UNION ALL ")
+    val probeRows = (0 until depth).map(j =>
+      s"SELECT w, exact, $j AS j, ${bucket("w", j)} AS b FROM probes")
+      .mkString("\n  UNION ALL ")
+    raw"""WITH words AS MATERIALIZED (
+         |  SELECT word AS w FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+         |    FROM documents) WHERE word <> ''),
+         |cells AS MATERIALIZED (SELECT j, b, CAST(count(*) AS BIGINT) AS n FROM (
+         |  $cellRows) GROUP BY 1, 2),
+         |probes AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS exact
+         |  FROM words GROUP BY 1 ORDER BY exact DESC, w LIMIT $topK),
+         |pc AS ($probeRows)
+         |SELECT term, exact, est, est - exact AS overcount FROM (
+         |  SELECT pc.w AS term, pc.exact, min(c.n) AS est
+         |  FROM pc JOIN cells c USING (j, b) GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Generated oracle for txt_bpe_learn: the WHOLE iterative BPE trainer
     * unrolled as an 8-round MATERIALIZED-CTE chain (materialization is
     * load-bearing — inlined CTEs would re-evaluate the s0..s{i-1} chain
@@ -2524,6 +2565,7 @@ object ExtensionQueries {
              | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
              | FROM documents)
              |WHERE term <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin,
+      "txt_cms_counts" -> txtCmsCountsOracle,
       // score arithmetic mirrored left-to-right: (c * (N - df + 0.5)) /
       // (df + 0.5); every step integer-or-IEEE-exact, so the hash matches.
       "txt_salient_terms" ->

@@ -389,6 +389,63 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Count-Min Sketch term-frequency estimates (Cormode & Muthukrishnan
+    * 2005, "An Improved Data Stream Summary: The Count-Min Sketch and its
+    * Applications", public) probed at the exact top-`topK` terms:
+    * `depth` md5-derived hash rows × `width` buckets, each cell the count
+    * of token occurrences hashing into it; a term's estimate is the MIN
+    * over its `depth` cells — always ≥ the true count, with overcount
+    * bounded by collisions. Returns (term, exact, est, overcount) for the
+    * (count desc, term asc) top-`topK` terms, every column exact integer
+    * arithmetic on a deterministic hash — the whole sketch build + probe
+    * replays in SQL and hash-checks.
+    *
+    * Why alongside [[heavyHitters]]: the heap answers "what are the top
+    * terms"; the CMS is the CONSTANT-SIZE (depth·width cells, mergeable
+    * by cell-wise addition) summary that answers "how often does term X
+    * occur" for ANY later probe without rescanning the corpus — the
+    * frequency-sketch serving layout at 100 TB, where the exact vocab
+    * table is billions of rows but the sketch is 4·256 longs.
+    *
+    * Scale shape: ONE token-stream pass emitting `depth` fixed-width
+    * (row, bucket) cells per occurrence with map-side partial counts (the
+    * shuffle carries ≤ depth·width rows per partition); the probe side is
+    * a TakeOrderedAndProject top-k; the probe⋈cells join broadcasts the
+    * ≤ depth·width-row cells table. */
+  def cmsTermCounts(df: DataFrame, textCol: String, depth: Int = 4,
+                    width: Int = 256, topK: Int = 20): DataFrame = {
+    require(depth > 0 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width > 1 && width <= 65536,
+      s"width must be in [2, 65536], got $width")
+    require(topK > 0, s"topK must be > 0, got $topK")
+    val words = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+    // row-j bucket: 16 md5 bits of (term, row) arithmetically decoded —
+    // the same SQL-mirrorable trick as hashEmbed/dsirCounts
+    def bucket(j: Int): Column = {
+      def hx(i: Int): Column = expr(
+        s"instr('0123456789abcdef', substring(md5(concat(w, '_$j')), $i, 1)) - 1")
+      pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4), lit(width))
+        .cast(IntegerType)
+    }
+    val cellOf = (0 until depth).map(j =>
+      struct(lit(j).as("j"), bucket(j).as("b")))
+    val cells = words
+      .select(explode(array(cellOf: _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val probes = words.groupBy("w").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("w")).limit(topK)
+    probes
+      .select(col("w"), col("exact"), explode(array(cellOf: _*)).as("c"))
+      .select(col("w"), col("exact"), col("c.j").as("j"), col("c.b").as("b"))
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("w").as("term"))
+      .agg(first(col("exact")).as("exact"), min(col("n")).as("est"))
+      .select(col("term"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
   /** Frequency-rank vocabulary: the `vocabSize` most frequent tokens with
     * dense 1-based ids assigned by (count DESC, term ASC) — the id 0 is
     * reserved for OOV. The induction half of a word-level tokenizer.

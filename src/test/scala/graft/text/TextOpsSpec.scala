@@ -731,4 +731,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) === "head" && out(4L) === "head")
     assert(out(2L) === "middle" && out(1L) === "tail")
   }
+
+  test("cmsTermCounts: estimate >= exact for every probe (the CMS guarantee), exact top-k probed") {
+    val df = (Seq.fill(7)("alpha beta") ++ Seq.fill(3)("beta gamma") ++
+      Seq("delta")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = TextOps.cmsTermCounts(df, "text", depth = 4, width = 256,
+        topK = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // exact counts: beta 10, alpha 7, gamma 3, delta 1 → top-3 probed
+    assert(out.keySet === Set("beta", "alpha", "gamma"))
+    assert(out("beta")._1 === 10L && out("alpha")._1 === 7L &&
+      out("gamma")._1 === 3L)
+    out.foreach { case (term, (exact, est, over)) =>
+      assert(est >= exact, s"CMS under-counted $term: est=$est exact=$exact")
+      assert(over === est - exact)
+      // 4 terms into 4×256 cells: total mass bounds any overcount
+      assert(est <= 21L, s"$term est=$est exceeds total occurrence mass")
+    }
+  }
+
+  test("cmsTermCounts: depth-1 width-2 pigeonholes terms — estimate = bucket mass, still >= exact") {
+    // Tiny sketch forces collisions deterministically: every estimate is
+    // the full mass of its single bucket, so sum(est over probes) >= total
+    // occurrences whenever both buckets are probed — the degenerate regime
+    // the (depth, width) parameters exist to avoid.
+    val df = Seq((1L, "a b c d a b a")).toDF("id", "text")
+    val out = TextOps.cmsTermCounts(df, "text", depth = 1, width = 2,
+        topK = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length === 4)
+    out.foreach { case (term, exact, est, _) =>
+      assert(est >= exact, s"$term est=$est < exact=$exact")
+    }
+    assert(out.map(_._3).sum >= 7L)
+    intercept[IllegalArgumentException] {
+      TextOps.cmsTermCounts(df, "text", width = 1)
+    }
+  }
 }
