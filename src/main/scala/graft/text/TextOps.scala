@@ -407,19 +407,22 @@ object TextOps {
     * frequency-sketch serving layout at 100 TB, where the exact vocab
     * table is billions of rows but the sketch is 4·256 longs.
     *
-    * Scale shape: ONE token-stream pass emitting `depth` fixed-width
-    * (row, bucket) cells per occurrence with map-side partial counts (the
-    * shuffle carries ≤ depth·width rows per partition); the probe side is
-    * a TakeOrderedAndProject top-k; the probe⋈cells join broadcasts the
-    * ≤ depth·width-row cells table. */
+    * Scale shape: ONE corpus shuffle — the (term, count) vocabulary
+    * aggregate with map-side partials — feeds BOTH the cell build and
+    * the probe top-k through a ReusedExchange; md5 hashing runs over
+    * DISTINCT terms weighted by their counts (identical cell sums to
+    * hashing every occurrence, at |vocab| instead of |token-stream| hash
+    * cost). The probe side is a TakeOrderedAndProject; the probe⋈cells
+    * join broadcasts the ≤ depth·width-row cells table. */
   def cmsTermCounts(df: DataFrame, textCol: String, depth: Int = 4,
                     width: Int = 256, topK: Int = 20): DataFrame = {
     require(depth > 0 && depth <= 16, s"depth must be in [1, 16], got $depth")
     require(width > 1 && width <= 65536,
       s"width must be in [2, 65536], got $width")
     require(topK > 0, s"topK must be > 0, got $topK")
-    val words = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+    val vocab = df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
     // row-j bucket: 16 md5 bits of (term, row) arithmetically decoded —
     // the same SQL-mirrorable trick as hashEmbed/dsirCounts
     def bucket(j: Int): Column = {
@@ -430,11 +433,11 @@ object TextOps {
     }
     val cellOf = (0 until depth).map(j =>
       struct(lit(j).as("j"), bucket(j).as("b")))
-    val cells = words
-      .select(explode(array(cellOf: _*)).as("c"))
+    val cells = vocab
+      .select(col("cnt"), explode(array(cellOf: _*)).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))
-      .agg(count(lit(1)).as("n"))
-    val probes = words.groupBy("w").agg(count(lit(1)).as("exact"))
+      .agg(sum(col("cnt")).as("n"))
+    val probes = vocab.withColumnRenamed("cnt", "exact")
       .orderBy(col("exact").desc, col("w")).limit(topK)
     probes
       .select(col("w"), col("exact"), explode(array(cellOf: _*)).as("c"))
