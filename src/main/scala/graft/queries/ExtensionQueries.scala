@@ -1336,6 +1336,17 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
   }
 
+  /** MMR diverse top-5 for query vec_id 0 at λ = 0.7 (Carbonell &
+    * Goldstein 1998): greedy relevance-vs-redundancy selection over
+    * round-6 cosines. Every round's argmax replays exactly in SQL (the
+    * oracle unrolls the 5 rounds as MATERIALIZED CTEs), so the whole
+    * iterative selection — including each pick's influence on the next
+    * round's redundancy — is hash-checked. */
+  private val simMmrSelect: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0), k = 5)
+  }
+
   /** [[ddMinhashVerified]] through the ONE-PERMUTATION + rotation-
     * densification family (`ophDensified = true`): candidates come from
     * densified OPH signatures (1 hash per shingle instead of 64 — the
@@ -1737,6 +1748,7 @@ object ExtensionQueries {
     "sim_rp_topk" -> simRpTopk,
     "sim_rp_exact" -> simRpExact,
     "sim_rp_recall" -> simRpRecall,
+    "sim_mmr_select" -> simMmrSelect,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
@@ -2034,6 +2046,48 @@ object ExtensionQueries {
        |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
        |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
        |FROM nq, hits""".stripMargin
+  }
+
+  /** Generated oracle for sim_mmr_select: the greedy MMR loop unrolled as
+    * 5 MATERIALIZED-CTE rounds (the txt_bpe_learn pattern). Round i cross
+    * joins the single-row picks b1..b{i-1}, takes the GREATEST of the
+    * round-6 cosines against them as redundancy, scores
+    * λ·rel − (1−λ)·m with the EXACT double literals the engine computes
+    * (1−0.7 prints as 0.30000000000000004 — both engines parse it to the
+    * same IEEE double), and argmaxes with the (score desc, cand_id)
+    * tie-break. */
+  private def simMmrSelectOracle: String = {
+    val k = 5; val lambda = 0.7
+    val l = lambda.toString; val oml = (1.0 - lambda).toString
+    def rcos(x: String, y: String) =
+      s"ROUND(CASE WHEN list_dot_product($x, $x) = 0 " +
+        s"OR list_dot_product($y, $y) = 0 THEN 0.0 " +
+        s"ELSE list_cosine_similarity($x, $y) END, 6)"
+    val head =
+      raw"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |rel AS MATERIALIZED (SELECT c.vec_id AS cand_id, c.v,
+           |  ${rcos("q.v", "c.v")} AS rel
+           |  FROM e q, e c WHERE q.vec_id = 0 AND c.vec_id <> 0),
+           |b1 AS MATERIALIZED (SELECT CAST(1 AS INTEGER) AS rank, cand_id, v,
+           |  ROUND($l * rel - $oml * 0.0, 6) AS score
+           |  FROM rel ORDER BY score DESC, cand_id LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val prev = 1 until i
+      val joins = prev.map(j => s"b$j").mkString(", ")
+      val notIn = prev.map(j => s"b$j.cand_id").mkString(", ")
+      val m =
+        if (prev.size == 1) rcos("r.v", "b1.v")
+        else "GREATEST(" + prev.map(j => rcos("r.v", s"b$j.v")).mkString(", ") + ")"
+      raw"""b$i AS MATERIALIZED (SELECT CAST($i AS INTEGER) AS rank, cand_id, v,
+           |  ROUND($l * rel - $oml * m, 6) AS score FROM (
+           |    SELECT r.cand_id, r.v, r.rel, $m AS m
+           |    FROM rel r, $joins WHERE r.cand_id NOT IN ($notIn))
+           |  ORDER BY score DESC, cand_id LIMIT 1)""".stripMargin
+    }
+    val union = (1 to k).map(i =>
+      s"SELECT rank, cand_id, score FROM b$i").mkString(" UNION ALL ")
+    s"WITH $head,\n${steps.mkString(",\n")}\nSELECT * FROM ($union)"
   }
 
   /** Generated oracle for sim_pq_recall: replays portable PQ — the
@@ -3321,6 +3375,7 @@ bruteForceCosineOracle,
       // brute force (the lshTopK bits=0 analog for random projection).
       "sim_rp_exact" -> bruteForceCosineOracle,
       "sim_rp_recall" -> simRpRecallOracle,
+      "sim_mmr_select" -> simMmrSelectOracle,
       "sim_pq_recall" -> simPqRecallOracle,
       "sim_pq_rerank_recall" -> simPqRerankRecallOracle,
       "sim_ivf_recall" -> simIvfRecallOracle,

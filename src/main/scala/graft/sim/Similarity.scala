@@ -321,6 +321,70 @@ object Similarity {
       dimOut)
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
+    * "The Use of MMR, Diversity-Based Reranking...", public): greedily
+    * pick `k` corpus vectors balancing relevance to the query against
+    * redundancy with what is already selected —
+    *   score(d) = round(λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), 6)
+    * where rel(d) and every pairwise sim are ROUND-6 cosines (rounding
+    * before combination keeps every step exactly SQL-replayable; the
+    * λ-scaling and subtraction are then single IEEE operations). Ties
+    * break by cand_id; an empty selected set has redundancy 0. Returns
+    * (rank, cand_id, score) — the diverse top-k a curation pipeline
+    * wants where plain top-k returns k near-copies of one item.
+    *
+    * Scale shape: the relevance frame (one broadcast-query corpus pass,
+    * persisted fixed-width rows) is scanned once per round with the ≤ k
+    * selected vectors riding as broadcast literals; each round's argmax
+    * is a TakeOrderedAndProject(1) bounded heap, never a global sort;
+    * driver state is k vectors. O(k) corpus passes total — the standard
+    * distributed MMR cost, k being small by definition. */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, k: Int,
+                lambda: Double = 0.7, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"mmrSelect requires k > 0, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = query.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .limit(1)
+    val rel = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("cand_id"), col("cvec"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+      var rank = 0
+      var exhausted = false
+      while (rank < k && !exhausted) {
+        rank += 1
+        val redundancy =
+          if (pickedVecs.isEmpty) lit(0.0)
+          else pickedVecs.map(v => round(cosine(col("cvec"), typedLit(v)), 6))
+            .reduce((a, b) => greatest(a, b))
+        val remaining =
+          if (picked.isEmpty) rel
+          else rel.filter(!col("cand_id").isin(picked.toSeq.map(_._2): _*))
+        val top = remaining
+          .select(col("cand_id"), col("cvec"),
+            round(lit(lambda) * col("rel") - lit(1.0 - lambda) * redundancy, 6)
+              .as("score"))
+          .orderBy(col("score").desc, col("cand_id"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          picked += ((rank, top(0).getAs[Long]("cand_id"),
+            top(0).getAs[Double]("score")))
+          pickedVecs += top(0).getAs[scala.collection.Seq[Float]]("cvec").toSeq
+        }
+      }
+      picked.toSeq.toDF("rank", "cand_id", "score")
+    } finally rel.unpersist(blocking = true)
+  }
+
   /** Banding + bucket join + exact rerank over PRECOMPUTED (id, vec, sig)
     * frames — the shared tail of [[lshTopK]] (xxhash signatures) and
     * [[lshTopKPortable]] (md5-derived portable signatures). Both sig

@@ -280,6 +280,48 @@ class SimilaritySpec extends SparkSpec {
       s"RP families diverged: portable=$portable xxhash=$fast")
   }
 
+  test("mmrSelect: hand-computed greedy order — dup penalized to last at λ=0.3") {
+    // q=[1,0]; two exact copies of q (ids 1, 2), a mid vector (rel 0.8,
+    // sim-to-copy 0.8), an orthogonal vector (rel 0, sim-to-copy 0).
+    // λ=0.3: round1 picks copy id 1 (rel 1 → 0.3); round2 the other copy
+    // scores 0.3−0.7 = −0.4, mid 0.24−0.56 = −0.32, orthogonal 0 → picks
+    // orthogonal; round3 mid (−0.32) beats copy (−0.4); copy last.
+    val d = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(0.8f, 0.6f), 0), (4L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrSelect(d, d.filter(col("vec_id") === 0), k = 4,
+        lambda = 0.3)
+      .orderBy("rank").select("rank", "cand_id").as[(Int, Long)].collect().toSeq
+    assert(out.map(_._2) === Seq(1L, 4L, 3L, 2L))
+  }
+
+  test("mmrSelect at λ=1 ≡ pure relevance ranking (brute-force order)") {
+    val queries = df.filter(col("vec_id") === 0)
+    val mmr = Similarity.mmrSelect(df, queries, k = 5, lambda = 1.0)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    assert(mmr === exact)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(df, queries, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(df, queries, k = 1, lambda = 1.5)
+    }
+  }
+
+  test("mmrSelect stops early on an exhausted corpus and releases its cache") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    val tiny = Seq((0L, Array(1f, 0f), 0), (1L, Array(0.5f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrSelect(tiny, tiny.filter(col("vec_id") === 0), k = 5)
+    assert(out.count() === 1)
+    assert((cachedIds -- before).isEmpty,
+      "mmrSelect must unpersist its relevance frame on exit")
+  }
+
   test("rpTopK validates shortlist >= k > 0; reductions carry dimOut components") {
     intercept[IllegalArgumentException] {
       Similarity.rpTopK(df, df, k = 5, shortlist = 3)
