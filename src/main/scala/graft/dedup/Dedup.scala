@@ -1041,4 +1041,95 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     materializeAndRelease(pairs, sigs)
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", public —
+    * the MOSS algorithm): hash every k-gram of the normalized text, slide
+    * a window of `window` consecutive gram hashes, select each window's
+    * MINIMUM hash (rightmost occurrence on ties). The two properties that
+    * make it the standard local fingerprinter:
+    *   - detection: any substring shared between two documents of length
+    *     ≥ window + shingleK − 1 yields at least one SHARED selected
+    *     fingerprint (both sides select the same minimum inside the
+    *     shared region);
+    *   - density: ~2/(window+1) of grams are selected, a constant-factor
+    *     sketch independent of corpus size.
+    * Returns DISTINCT (id, fp, pos) — pos is the 1-based gram start of
+    * the selected occurrence, kept for match localization.
+    *
+    * Gram hashes come from [[portableHash60]], so every selection
+    * decision replays exactly in SQL and the operator hash-checks.
+    *
+    * Scale shape: one codegen'd gram-explode pass, then a SINGLE
+    * per-document WindowExec (partitioned by id — partition-parallel
+    * across documents, never a global sort) hosting the row_number, the
+    * partition count, and the min-of-(hash, −pos)-struct frame over rows
+    * [−(window−1), 0]. The struct min implements the rightmost-min rule:
+    * lexicographic struct order compares hash first, then the NEGATED
+    * position, so ties resolve to the largest position. Documents with
+    * fewer than `window` grams keep their final (partial) window, so
+    * every non-empty document carries ≥ 1 fingerprint. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         shingleK: Int = 5, window: Int = 4): DataFrame =
+    winnowSelected(df, textCol, idCol, shingleK, window)
+      .select(col("id"), col("sel.h").as("fp"), (-col("sel.np")).as("pos"))
+      .distinct()
+
+  /** Shared winnowing core: one selected-window row per gram position
+    * (NOT yet distinct — [[winnowFingerprints]] dedups (id, fp, pos),
+    * [[winnowNearDups]] dedups straight to (id, fp) so the pair path
+    * pays ONE distinct shuffle, not two). `sel` is the winning
+    * (hash, −pos) struct of each window. */
+  private def winnowSelected(df: DataFrame, textCol: String, idCol: String,
+                             shingleK: Int, window: Int): DataFrame = {
+    require(shingleK > 0, s"shingleK must be > 0, got $shingleK")
+    require(window > 0, s"window must be > 0, got $window")
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val grams = df.select(col(idCol).as("id"), norm.as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1),
+          greatest(length(col("t")) - (shingleK - 1), lit(1)))).as("pos"))
+      .select(col("id"), col("pos"),
+        portableHash60(col("t").substr(col("pos"), lit(shingleK))).as("h"))
+    val ordered = Window.partitionBy("id").orderBy("pos")
+    val frame = ordered.rowsBetween(-(window - 1), 0)
+    grams
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .filter(col("rn") >= window || col("rn") === col("n"))
+  }
+
+  /** Near-dup pairs by SHARED winnowing fingerprints: documents whose
+    * selected fingerprint sets intersect in ≥ `minShared` hashes. Where
+    * MinHash estimates whole-document Jaccard, winnowing finds LOCAL
+    * overlap — a long copied passage inside otherwise-different documents
+    * is guaranteed to collide (detection property above), which whole-doc
+    * similarity misses by construction. Returns (id_a, id_b, shared),
+    * id_a < id_b, fully hash-checkable (deterministic portable hashes,
+    * integer intersection counts).
+    *
+    * Scale shape: fingerprint sets join on the 60-bit fp key — bucketed
+    * by hash, never an all-pairs product; the same occupancy fail-fast as
+    * the LSH families guards against a degenerate corpus where one
+    * fingerprint blankets everything. */
+  def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
+                     shingleK: Int = 5, window: Int = 4, minShared: Int = 2,
+                     maxBucketOccupancy: Long = 100000L): DataFrame = {
+    require(minShared > 0, s"minShared must be > 0, got $minShared")
+    val fps = winnowSelected(df, textCol, idCol, shingleK, window)
+      .select(col("id"), col("sel.h").as("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releasingOnFailure(fps) {
+      Guards.checkBucketOccupancy(fps, Seq("fp"), maxBucketOccupancy,
+        "winnowNearDups",
+        "run exactDedup first to collapse identical documents")
+    }
+    val a = fps.alias("a"); val b = fps.alias("b")
+    val pairs = a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    materializeAndRelease(pairs, fps)
+  }
 }

@@ -1364,6 +1364,26 @@ object ExtensionQueries {
       ophDensified = true)
   }
 
+  /** Winnowing local-overlap near-dups (Schleimer et al. 2003 — MOSS)
+    * over the planted-suffix corpus: 15-gram hashes, window-20 rightmost-
+    * min selection, pairs sharing ≥ 2 fingerprints. Detection is
+    * guaranteed for shared substrings ≥ 34 normalized chars, so every
+    * planted (doc, doc+" zq") pair appears — verified at both SFs — and
+    * organic template-reuse pairs surface too (the LOCAL-overlap signal
+    * whole-document MinHash misses by construction). Deterministic
+    * portable hashes + integer counts ⇒ the full pipeline, selection rule
+    * included, hash-checks. Oracle constraint: positions < 2^20 (the SQL
+    * replay packs (hash, −pos) into one HUGEINT key; document texts are
+    * ≤ ~600 chars). */
+  private val ddWinnow: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    Dedup.winnowNearDups(docs.unionByName(planted), "text", "doc_id",
+      shingleK = 15, window = 20, minShared = 2)
+  }
+
   /** [[ddSimhash]]'s oracle-closed twin over the PORTABLE 60-bit
     * md5-derived token hash ([[Dedup.portableHash60]]): every stage —
     * per-token hash, per-bit votes, sign packing, pigeonhole blocking
@@ -1752,6 +1772,7 @@ object ExtensionQueries {
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
+    "dd_winnow" -> ddWinnow,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_index_probe" -> ddIndexProbe,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -1900,6 +1921,46 @@ object ExtensionQueries {
          | CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |  AND bit_count(xor(a.s, b.s)) <= 3""".stripMargin
+  }
+
+  /** Generated oracle for dd_winnow: full winnowing replay — the 60-bit
+    * portable gram hash (same arithmetic as the simhash oracle), the
+    * rightmost-min window selection via a HUGEINT-packed
+    * (hash·2^20 + (2^20−1−pos)) key whose min reproduces the engine's
+    * (hash asc, pos desc) struct order exactly (valid while pos < 2^20),
+    * the partial-final-window fallback for short documents, and the
+    * shared-fingerprint pair join. */
+  private def ddWinnowOracle: String = {
+    val k = 15; val w = 20; val minShared = 2
+    val h15 = "CAST(list_sum(list_transform(generate_series(1, 15), i -> " +
+      "CAST(strpos('0123456789abcdef', substring(md5(g), i, 1)) - 1 AS BIGINT) " +
+      "<< ((15 - i) * 4))) AS BIGINT)"
+    raw"""WITH corpus AS MATERIALIZED (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 100000, text || ' zq' FROM documents
+         |   WHERE doc_id % 10 = 0),
+         |norm AS MATERIALIZED (SELECT doc_id,
+         |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus),
+         |grams AS MATERIALIZED (
+         | SELECT doc_id, CAST(j AS INTEGER) AS pos, $h15 AS h FROM (
+         |   SELECT doc_id, j, substring(t, CAST(j AS INTEGER), $k) AS g
+         |   FROM norm, LATERAL (SELECT unnest(generate_series(1,
+         |     greatest(len(t) - ${k - 1}, 1))) AS j))),
+         |sel AS MATERIALIZED (
+         | SELECT doc_id, pos,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         |   count(*) OVER (PARTITION BY doc_id) AS n,
+         |   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin
+         | FROM (SELECT doc_id, pos,
+         |   CAST(h AS HUGEINT) * 1048576 + (1048575 - pos) AS key FROM grams)),
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |  CAST(wmin // 1048576 AS BIGINT) AS fp
+         |  FROM sel WHERE rn >= $w OR rn = n)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
   }
 
   /** Shared identical-shingle-set oracle (dd_minhash_verified ≡
@@ -3366,6 +3427,7 @@ bruteForceCosineOracle,
       "dd_minhash_verified" -> minhashVerifiedOracle,
       "dd_oph_verified" -> minhashVerifiedOracle,
       "dd_simhash_exact" -> ddSimhashExactOracle,
+      "dd_winnow" -> ddWinnowOracle,
       // approximate-regime recall metrics: the ANN pipeline AND the
       // overlap ratio replay in SQL (portable signature / codebook
       // families), so recall@5 is a hash-checked number, not a floor.

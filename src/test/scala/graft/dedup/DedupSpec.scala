@@ -595,4 +595,53 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._2 === 1L), s"tie not broken by min bench id: ${out.toSeq}")
     assert(out.map(_._1).toSet === Set(1L, 2L, 5L))
   }
+
+  test("winnowFingerprints: density ~2/(w+1), rightmost-min rule, short-doc fallback") {
+    val docs = (0 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "text", "doc_id",
+      shingleK = 5, window = 8)
+    val perDoc = fps.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.size === 20, "every document must carry fingerprints")
+    // selection density: distinct selected positions ≈ 2/(w+1) of grams;
+    // generous band because distinct() collapses repeated selections
+    val counts = fps.count().toDouble
+    val totalGrams = docs.select(
+      sum(greatest(length(regexp_replace(lower(col("text")), "\\s+", " ")) - 4,
+        lit(1)))).as[Long].head().toDouble
+    assert(counts / totalGrams > 0.05 && counts / totalGrams < 0.6,
+      s"winnow density ${counts / totalGrams} outside plausible band")
+    // a document shorter than one window still yields exactly its min
+    val short = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val sfp = Dedup.winnowFingerprints(short, "text", "doc_id",
+      shingleK = 5, window = 8).as[(Long, Long, Int)].collect()
+    assert(sfp.length === 1 && sfp.head._3 === 1)
+    intercept[IllegalArgumentException] {
+      Dedup.winnowFingerprints(short, "text", "doc_id", window = 0)
+    }
+  }
+
+  test("winnowNearDups: guaranteed detection of a shared substring >= w+k-1") {
+    // Distinct documents sharing one long passage; winnowing must emit the
+    // pair (detection guarantee), and unrelated docs must not pair.
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"unrelated preamble alpha beta $passage"),
+      (2L, s"$passage entirely different closing words gamma delta"),
+      (3L, "nothing in common with the others at all zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(docs, "text", "doc_id",
+        shingleK = 8, window = 6, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "shared-passage pair missed")
+    assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("winnowNearDups occupancy guard trips on a degenerate identical corpus") {
+    val same = (0 until 50).map(i => (i.toLong, doc(0))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.winnowNearDups(same, "text", "doc_id", maxBucketOccupancy = 10)
+    }
+    assert(e.getMessage.contains("winnowNearDups"))
+  }
 }
