@@ -1100,6 +1100,37 @@ object Dedup {
       .filter(col("rn") >= window || col("rn") === col("n"))
   }
 
+  /** Incremental winnowing: probe a NEW batch's fingerprints against a
+    * STORED fingerprint index — the (id, fp, pos) frame
+    * [[winnowFingerprints]] emits, typically written to parquet once and
+    * read back per batch. The steady-state form of [[winnowNearDups]]:
+    * gram explode + window selection run only over the DELTA; the
+    * reference side is a keyed join against the stored index, O(delta +
+    * matching buckets), the corpus itself never rescans. Winnowing is
+    * per-document (no cross-document state), so index ∪ delta selection
+    * decisions are identical to a batch run over the union — probe
+    * results provably match the batch operator's cross pairs. Returns
+    * (new_id, ref_id, shared), shared ≥ minShared. */
+  def winnowProbe(indexFps: DataFrame, newBatch: DataFrame, textCol: String,
+                  idCol: String, shingleK: Int = 5, window: Int = 4,
+                  minShared: Int = 2,
+                  maxBucketOccupancy: Long = 100000L): DataFrame = {
+    require(minShared > 0, s"minShared must be > 0, got $minShared")
+    val nf = winnowSelected(newBatch, textCol, idCol, shingleK, window)
+      .select(col("id").as("new_id"), col("sel.h").as("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releasingOnFailure(nf) {
+      Guards.checkBucketOccupancy(nf, Seq("fp"), maxBucketOccupancy,
+        "winnowProbe", "run exactDedup on the batch first")
+    }
+    val idx = indexFps.select(col("id").as("ref_id"), col("fp"))
+      .dropDuplicates("ref_id", "fp")
+    val pairs = nf.join(idx, Seq("fp"))
+      .groupBy("new_id", "ref_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    materializeAndRelease(pairs, nf)
+  }
+
   /** Near-dup pairs by SHARED winnowing fingerprints: documents whose
     * selected fingerprint sets intersect in ≥ `minShared` hashes. Where
     * MinHash estimates whole-document Jaccard, winnowing finds LOCAL

@@ -465,4 +465,34 @@ object Quality {
         sum(col("ia") * (lit(1L) - col("ib"))).as("est_only_a"),
         sum((lit(1L) - col("ia")) * col("ib")).as("est_only_b"))
   }
+
+  /** Per-group percent rank of `valueCol` — SQL `percent_rank()` ≡
+    * (rank − 1)/(n − 1) with ties sharing the min rank — computed the
+    * SCALE-SAFE way: the corpus never enters a per-group window. One
+    * groupBy collapses rows to DISTINCT (group, value) counts; the
+    * running-total window runs over THAT frame (bounded by value
+    * cardinality — e.g. a round-6 score in [0, 1] has ≤ 10^6 + 1 distinct
+    * values per group, a constant independent of corpus size, where
+    * `Window.partitionBy(group)` over raw rows pins each group's full
+    * row set to one task); the rank table then broadcasts back onto the
+    * corpus. Appends `pctile` (round 6; single-row groups get 0, the SQL
+    * percent_rank convention). Null values are excluded from ranking
+    * (SQL semantics differ cross-engine on null ordering) and come back
+    * with a null pctile. */
+  def groupPercentRank(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val ranks = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__lt", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(grp))
+      .select(col(groupCol), col(valueCol),
+        round(when(col("__n") > 1, col("__lt")
+            .cast(org.apache.spark.sql.types.DoubleType) / (col("__n") - 1))
+          .otherwise(lit(0.0)), 6).as("pctile"))
+    df.join(broadcast(ranks), Seq(groupCol, valueCol), "left")
+  }
 }

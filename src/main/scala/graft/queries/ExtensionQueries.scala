@@ -93,6 +93,37 @@ object ExtensionQueries {
     t(s, dir, "documents").select(col("doc_id"),
       TextOps.stopwordRatio(col("text")).as("sw_ratio"))
 
+  /** Language-ID quality as oracle-checked NUMBERS: the confusion matrix
+    * of the marker classifier against the corpus's labeled `lang` column —
+    * (lang, lang_pred, n, frac), frac the row-normalized share rounded to
+    * 6 (exact small-integer division, IEEE-identical cross-engine). The
+    * same quality-as-hash-checked-number philosophy as the ANN recall
+    * metrics: classifier quality is a replayable number, not a ScalaTest
+    * floor. One groupBy on (lang, pred) — the window runs over the ≤
+    * |langs|² matrix, never the corpus. */
+  private val txtLangConfusion: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    t(s, dir, "documents")
+      .groupBy(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac",
+        round(col("n").cast(DoubleType) / sum(col("n")).over(w), 6))
+  }
+
+  /** Per-source percent rank of the quality score via
+    * [[graft.quality.Quality.groupPercentRank]] — the scale-safe
+    * formulation: the rank window runs over DISTINCT (source, quality)
+    * counts (≤ 10^6 + 1 round-6 values per source, constant in corpus
+    * size), broadcast back; the naive `Window.partitionBy(source)` over
+    * raw rows would pin each source's whole row set to one task. Matches
+    * SQL percent_rank() exactly (ties share min rank; single-row group →
+    * 0), so the oracle replays with the plain window function. */
+  private val txtQualityPctile: Q = (s, dir) =>
+    graft.quality.Quality.groupPercentRank(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality")),
+      "source", "quality")
+
   private val txtFingerprint: Q = (s, dir) =>
     t(s, dir, "documents").select(col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
@@ -1384,6 +1415,27 @@ object ExtensionQueries {
       shingleK = 15, window = 20, minShared = 2)
   }
 
+  /** Stored winnow-index probe — the STEADY-STATE form of [[ddWinnow]]
+    * (the dd_incremental_neardup analog for local fingerprints): the
+    * reference corpus's (id, fp, pos) fingerprint frame is built ONCE per
+    * JVM and written to parquet; each invocation winnows only the NEW
+    * batch (doc_id % 5 = 4) and joins its fingerprints against the stored
+    * index. Winnowing is per-document, so the split build provably equals
+    * a batch run over the union — and the whole stored path (write,
+    * read-back, delta selection, keyed join) hash-checks against the
+    * oracle's single-frame replay. */
+  private val ddWinnowProbe: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val root = storedIndexPath("winnow", dir) { out =>
+      Dedup.winnowFingerprints(docs.filter(col("doc_id") % 5 =!= 4),
+          "text", "doc_id", shingleK = 15, window = 20)
+        .write.mode("overwrite").parquet(s"$out/fps")
+    }
+    Dedup.winnowProbe(s.read.parquet(s"$root/fps"),
+      docs.filter(col("doc_id") % 5 === 4), "text", "doc_id",
+      shingleK = 15, window = 20, minShared = 2)
+  }
+
   /** [[ddSimhash]]'s oracle-closed twin over the PORTABLE 60-bit
     * md5-derived token hash ([[Dedup.portableHash60]]): every stage —
     * per-token hash, per-bit votes, sign packing, pigeonhole blocking
@@ -1773,6 +1825,9 @@ object ExtensionQueries {
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
     "dd_winnow" -> ddWinnow,
+    "dd_winnow_probe" -> ddWinnowProbe,
+    "txt_lang_confusion" -> txtLangConfusion,
+    "txt_quality_pctile" -> txtQualityPctile,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_index_probe" -> ddIndexProbe,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -1930,15 +1985,14 @@ object ExtensionQueries {
     * (hash asc, pos desc) struct order exactly (valid while pos < 2^20),
     * the partial-final-window fallback for short documents, and the
     * shared-fingerprint pair join. */
-  private def ddWinnowOracle: String = {
-    val k = 15; val w = 20; val minShared = 2
+  /** Shared winnowing-selection CTE chain (corpus → norm → grams → sel →
+    * fps) over a caller-supplied corpus SELECT — the replay core of
+    * [[ddWinnowOracle]] and [[ddWinnowProbeOracle]]. */
+  private def winnowFpsCtes(corpusSql: String, k: Int, w: Int): String = {
     val h15 = "CAST(list_sum(list_transform(generate_series(1, 15), i -> " +
       "CAST(strpos('0123456789abcdef', substring(md5(g), i, 1)) - 1 AS BIGINT) " +
       "<< ((15 - i) * 4))) AS BIGINT)"
-    raw"""WITH corpus AS MATERIALIZED (
-         | SELECT doc_id, text FROM documents
-         | UNION ALL SELECT doc_id + 100000, text || ' zq' FROM documents
-         |   WHERE doc_id % 10 = 0),
+    raw"""corpus AS MATERIALIZED ($corpusSql),
          |norm AS MATERIALIZED (SELECT doc_id,
          |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus),
          |grams AS MATERIALIZED (
@@ -1956,12 +2010,33 @@ object ExtensionQueries {
          |   CAST(h AS HUGEINT) * 1048576 + (1048575 - pos) AS key FROM grams)),
          |fps AS MATERIALIZED (SELECT DISTINCT doc_id,
          |  CAST(wmin // 1048576 AS BIGINT) AS fp
-         |  FROM sel WHERE rn >= $w OR rn = n)
+         |  FROM sel WHERE rn >= $w OR rn = n)""".stripMargin
+  }
+
+  private def ddWinnowOracle: String =
+    "WITH " + winnowFpsCtes(
+      "SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text || ' zq' FROM documents " +
+        "WHERE doc_id % 10 = 0", 15, 20) +
+      raw"""
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(count(*) AS BIGINT) AS shared
          |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
-  }
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** Generated oracle for dd_winnow_probe: winnowing is per-document, so
+    * selecting over the whole corpus and filtering by batch membership is
+    * identical to the engine's separate index-build + delta-probe — the
+    * replay computes one fps frame and joins new (doc_id % 5 = 4) against
+    * reference (doc_id % 5 <> 4) rows. */
+  private def ddWinnowProbeOracle: String =
+    "WITH " + winnowFpsCtes("SELECT doc_id, text FROM documents", 15, 20) +
+      raw"""
+         |SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM fps n JOIN fps r ON n.fp = r.fp
+         |  AND n.doc_id % 5 = 4 AND r.doc_id % 5 <> 4
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
   /** Shared identical-shingle-set oracle (dd_minhash_verified ≡
     * dd_oph_verified at threshold 1.0): groups docs by a canonical
@@ -2450,6 +2525,34 @@ object ExtensionQueries {
           |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
           | FROM documents)""".stripMargin,
       "txt_lang_id" -> langIdSql,
+      // confusion matrix over the lang-id replay: row-normalized share is
+      // exact small-integer division + round — IEEE-identical.
+      "txt_lang_confusion" ->
+        s"""WITH pred AS MATERIALIZED ($langIdSql)
+           |SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,
+           |  ROUND(CAST(count(*) AS DOUBLE) /
+           |    sum(count(*)) OVER (PARTITION BY d.lang), 6) AS frac
+           |FROM documents d JOIN pred p USING (doc_id)
+           |GROUP BY 1, 2""".stripMargin,
+      // percent_rank ≡ the engine's distinct-value running-total
+      // formulation (ties share min rank, single-row group → 0).
+      "txt_quality_pctile" ->
+        raw"""WITH q AS MATERIALIZED (SELECT doc_id, source, ROUND(
+             |   LEAST(nchars / 500.0, 1.0) * 0.25
+             | + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+             | + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+             | + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+             |     THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+             |FROM (SELECT doc_id, source,
+             |   CAST(length(text) AS DOUBLE) AS nchars,
+             |   CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+             |   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+             | FROM documents))
+             |SELECT doc_id, source, quality,
+             |  ROUND(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6) AS pctile
+             |FROM q""".stripMargin,
       "pipe_clean_corpus" ->
         raw"""WITH scored AS (
            | SELECT doc_id,
@@ -3428,6 +3531,7 @@ bruteForceCosineOracle,
       "dd_oph_verified" -> minhashVerifiedOracle,
       "dd_simhash_exact" -> ddSimhashExactOracle,
       "dd_winnow" -> ddWinnowOracle,
+      "dd_winnow_probe" -> ddWinnowProbeOracle,
       // approximate-regime recall metrics: the ANN pipeline AND the
       // overlap ratio replay in SQL (portable signature / codebook
       // families), so recall@5 is a hash-checked number, not a floor.

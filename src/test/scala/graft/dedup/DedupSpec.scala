@@ -637,6 +637,30 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("winnowProbe against a stored index ≡ the batch operator's cross pairs") {
+    val docs = (0 until 30).map(i => (i.toLong, doc(i % 10))).toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    val newB = docs.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("winnow_idx_").toString
+    Dedup.winnowFingerprints(ref, "text", "doc_id", shingleK = 8, window = 6)
+      .write.mode("overwrite").parquet(s"$dir/fps")
+    val probed = Dedup.winnowProbe(spark.read.parquet(s"$dir/fps"), newB,
+        "text", "doc_id", shingleK = 8, window = 6, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // batch run over the union, restricted to (new, ref) cross pairs
+    val batch = Dedup.winnowNearDups(docs, "text", "doc_id",
+        shingleK = 8, window = 6, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+      .flatMap { case (a, b, s) =>
+        if (a % 3 == 0 && b % 3 != 0) Some((a, b, s))
+        else if (b % 3 == 0 && a % 3 != 0) Some((b, a, s))
+        else None
+      }.toSet
+    assert(probed === batch,
+      s"stored probe diverged from batch: ${probed.diff(batch)} / ${batch.diff(probed)}")
+    assert(probed.nonEmpty, "fixture must produce cross pairs")
+  }
+
   test("winnowNearDups occupancy guard trips on a degenerate identical corpus") {
     val same = (0 until 50).map(i => (i.toLong, doc(0))).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

