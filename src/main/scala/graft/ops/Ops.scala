@@ -551,6 +551,62 @@ object Ops {
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Merkle-style bucketed snapshot comparison — the anti-entropy
+    * primitive for synchronizing 100 TB tables: instead of a full-table
+    * join ([[snapshotDiff]] — which shuffles both snapshots end to end),
+    * each side collapses to `buckets` fixed-size summaries (row count +
+    * an order-independent BIGINT SUM of per-row 40-bit md5 digests), and
+    * only the bucket table — constant-size regardless of corpus —
+    * crosses the wire. Equal (count, digest) ⇒ the bucket is `same` and
+    * its rows never need to move; a re-sync then runs [[snapshotDiff]]
+    * on the `changed`/`only_*` buckets alone. Returns one row per
+    * occupied bucket: (bucket, n_a, digest_a, n_b, digest_b,
+    * status ∈ same|changed|only_a|only_b).
+    *
+    * Digest soundness: a sum of 40-bit digests detects any single-row
+    * change with certainty and k-row changes unless digest deltas cancel
+    * (~2^-40 per bucket under the md5 model); the row count rules out
+    * the all-rows-moved-between-buckets case cheaply. 40 bits (not 60)
+    * keeps the hashed contract BIGINT — no DECIMAL representation enters
+    * the cross-engine hash (the txt_dsir post-mortem rule) — and bounds
+    * the exact sum: ANSI long overflow would need > 2^23 ≈ 8.4M rows in
+    * ONE bucket; size `buckets` so per-bucket row counts stay below
+    * that (65536 buckets cover half a trillion rows). The
+    * digest payload is the U+0001-joined STRING CAST of key + value
+    * columns — restrict valueCols to types whose cast is
+    * engine-canonical (ints, strings, dates; NOT floating point) when
+    * the digest must replay cross-engine.
+    *
+    * Scale shape: map-side everything — bucket id and row digest are
+    * per-row expressions, the per-bucket (count, sum) aggregates carry
+    * ≤ `buckets` rows per partition to one tiny shuffle; the final
+    * full-outer join runs over ≤ 2·`buckets` rows. */
+  def merkleDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                 valueCols: Seq[String], buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    require(valueCols.nonEmpty, "merkleDiff needs at least one value column")
+    def side(df: DataFrame, suffix: String): DataFrame = {
+      def hx(i: Int): Column = expr(
+        s"instr('0123456789abcdef', substring(md5(CAST(`$keyCol` AS STRING)), $i, 1)) - 1")
+      val bucket = pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4),
+        lit(buckets)).cast(org.apache.spark.sql.types.IntegerType)
+      val payload = concat_ws("\u0001",
+        (keyCol +: valueCols).map(c => col(c).cast(StringType)): _*)
+      df.select(bucket.as("bucket"),
+          conv(substring(md5(payload), 1, 10), 16, 10).cast(LongType).as("dig"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(s"n_$suffix"), sum(col("dig")).as(s"digest_$suffix"))
+    }
+    side(a, "a").join(side(b, "b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("n_a"), col("digest_a"), col("n_b"), col("digest_b"),
+        when(col("n_a").isNull, lit("only_b"))
+          .when(col("n_b").isNull, lit("only_a"))
+          .when(col("n_a") === col("n_b") && col("digest_a") === col("digest_b"),
+            lit("same"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Apply a [[snapshotDiff]] changeset to a base snapshot — the MERGE
     * (upsert + delete) half of the CDC pair: rows whose keys carry a
     * delete/update are removed from the base, then insert/update rows are

@@ -602,6 +602,25 @@ object RelationalQueries {
       .select(col("o_orderkey"), round(col("o_totalprice"), 6).as("price"))
   }
 
+  /** W14 — Merkle bucketed snapshot comparison over the W7 CDC fixture
+    * (integer/string value columns only — string casts of doubles are not
+    * engine-canonical, so the hashed digest payload excludes them): 64
+    * buckets of (count, BIGINT digest-sum) per side, statuses from the
+    * full-outer bucket join. The 100 TB anti-entropy shape: constant-size
+    * summaries cross the wire; a re-sync touches only non-`same` buckets. */
+  private val w14MerkleDiff: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val oldSnap = o.filter(col("o_orderkey") % 100 =!= 0)
+    val newSnap = o.filter(col("o_orderkey") % 100 =!= 1)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 100 === 2, col("o_custkey") + 7)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_orderstatus"))
+    Ops.merkleDiff(oldSnap, newSnap, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus"), buckets = 64)
+  }
+
   /** F11 — winsorize: clip a numeric column to its exact [p05, p95]
     * percentiles (outlier handling for downstream stats). The percentile
     * pair is a single-row aggregate broadcast back over the table — no
@@ -692,6 +711,7 @@ object RelationalQueries {
     "w9_pivot" -> w9Pivot,
     "j6_bloom_prune" -> j6BloomPrune,
     "w7_snapshot_diff" -> w7SnapshotDiff,
+    "w14_merkle_diff" -> w14MerkleDiff,
     "f11_winsorize" -> f11Winsorize,
     "s1_xlsx_scan" -> s1XlsxScan,
     "s2_csv_scan" -> s2CsvScan,
@@ -810,6 +830,48 @@ object RelationalQueries {
         |FROM olds o FULL OUTER JOIN news n ON n.o_orderkey = o.o_orderkey
         |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
         |   OR o.o_totalprice <> n.o_totalprice""".stripMargin,
+    // merkle replay: same 16-bit-md5 bucket and 40-bit-md5 digest
+    // arithmetic; BIGINT sums are order-independent, so partial
+    // aggregation order can't perturb the hash.
+    "w14_merkle_diff" ->
+      raw"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+           |olds AS (SELECT * FROM o WHERE o_orderkey % 100 <> 0),
+           |news AS (SELECT o_orderkey,
+           |  CASE WHEN o_orderkey % 100 = 2 THEN o_custkey + 7
+           |       ELSE o_custkey END AS o_custkey, o_orderstatus
+           |  FROM o WHERE o_orderkey % 100 <> 1),
+           |sa AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+           |    sum(dig) AS digest_a FROM (
+           |  SELECT ((((strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+           |    + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)) * 16
+           |    + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1)) * 16
+           |    + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1)) % 64 AS bucket,
+           |   CAST(list_sum(list_transform(generate_series(1, 10), i ->
+           |     CAST(strpos('0123456789abcdef', substring(md5(
+           |       concat_ws(chr(1), CAST(o_orderkey AS VARCHAR),
+           |         CAST(o_custkey AS VARCHAR), o_orderstatus)), i, 1)) - 1 AS BIGINT)
+           |     << ((10 - i) * 4))) AS BIGINT) AS dig
+           |  FROM olds) GROUP BY 1),
+           |sb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+           |    sum(dig) AS digest_b FROM (
+           |  SELECT ((((strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+           |    + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)) * 16
+           |    + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1)) * 16
+           |    + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1)) % 64 AS bucket,
+           |   CAST(list_sum(list_transform(generate_series(1, 10), i ->
+           |     CAST(strpos('0123456789abcdef', substring(md5(
+           |       concat_ws(chr(1), CAST(o_orderkey AS VARCHAR),
+           |         CAST(o_custkey AS VARCHAR), o_orderstatus)), i, 1)) - 1 AS BIGINT)
+           |     << ((10 - i) * 4))) AS BIGINT) AS dig
+           |  FROM news) GROUP BY 1)
+           |SELECT CAST(COALESCE(sa.bucket, sb.bucket) AS INTEGER) AS bucket, n_a,
+           |  CAST(digest_a AS BIGINT) AS digest_a, n_b,
+           |  CAST(digest_b AS BIGINT) AS digest_b,
+           |  CASE WHEN n_a IS NULL THEN 'only_b'
+           |       WHEN n_b IS NULL THEN 'only_a'
+           |       WHEN n_a = n_b AND digest_a = digest_b THEN 'same'
+           |       ELSE 'changed' END AS status
+           |FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket""".stripMargin,
     "f11_winsorize" ->
       """WITH p AS (SELECT quantile_cont(o_totalprice, 0.05) AS p05,
         |   quantile_cont(o_totalprice, 0.95) AS p95 FROM orders)

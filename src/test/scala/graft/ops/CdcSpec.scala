@@ -141,4 +141,27 @@ class CdcSpec extends SparkSpec {
     assert(survivors >= 100)
     assert(survivors < 100 + 1000, s"bloom pruned too little: $survivors")
   }
+
+  test("merkleDiff: identical snapshots all-same; one changed row flips exactly its bucket") {
+    val rows = (1 to 200).map(i => (i.toLong, i * 3L, s"s$i"))
+    val a = rows.toDF("k", "v", "t")
+    val same = Ops.merkleDiff(a, a, "k", Seq("v", "t"), buckets = 16)
+      .select("status").as[String].collect()
+    assert(same.nonEmpty && same.forall(_ == "same"))
+    // flip one row's value: exactly one bucket reports changed, counts equal
+    val b = rows.map { case (k, v, t) => (k, if (k == 42L) v + 1 else v, t) }
+      .toDF("k", "v", "t")
+    val diff = Ops.merkleDiff(a, b, "k", Seq("v", "t"), buckets = 16)
+      .select("status", "n_a", "n_b").as[(String, Long, Long)].collect()
+    assert(diff.count(_._1 == "changed") === 1, diff.toSeq.toString)
+    diff.filter(_._1 == "changed").foreach { case (_, na, nb) => assert(na === nb) }
+    // deletion surfaces as a count mismatch (changed) or an empty side
+    val c = rows.filterNot(_._1 <= 100).toDF("k", "v", "t")
+    val del = Ops.merkleDiff(a, c, "k", Seq("v", "t"), buckets = 16)
+      .select("status").as[String].collect()
+    assert(del.exists(s => s == "changed" || s == "only_a"))
+    intercept[IllegalArgumentException] {
+      Ops.merkleDiff(a, b, "k", Seq.empty)
+    }
+  }
 }
