@@ -110,6 +110,33 @@ object ExtensionQueries {
         round(col("n").cast(DoubleType) / sum(col("n")).over(w), 6))
   }
 
+  /** Rank-fusion quality ensemble: two signals on incompatible scales
+    * (the [0,1] structural quality blend; the stopword ratio) are each
+    * percent-ranked over the corpus, then averaged — rank averaging is
+    * the standard way to fuse curation signals without hand-tuned scale
+    * normalization. Both rank passes use the scale-safe
+    * [[graft.quality.Quality.groupPercentRank]] (distinct-value windows,
+    * broadcast back); every number is rational-over-counts + round-6, so
+    * the whole fusion hash-checks. */
+  private val txtQualityEnsemble: Q = (s, dir) => {
+    val base = t(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.stopwordRatio(col("text")).as("sw_ratio"))
+      .withColumn("g", lit(0))
+    val p1 = graft.quality.Quality.groupPercentRank(base, "g", "quality")
+      .withColumnRenamed("pctile", "pct_q")
+    val p2 = graft.quality.Quality.groupPercentRank(p1, "g", "sw_ratio")
+      .withColumnRenamed("pctile", "pct_sw")
+    // NO final round: the mean of two round-6 values can land exactly on
+    // a half-grid point (e.g. (0.290581+0.967936)/2 = 0.6292585) where
+    // the engines' decimal-rounding of the binary double disagree — the
+    // cross-engine boundary hazard. IEEE add/divide on identical inputs
+    // is bit-identical, so the raw double IS the stable contract.
+    p2.select(col("doc_id"), col("quality"), col("sw_ratio"),
+      col("pct_q"), col("pct_sw"),
+      ((col("pct_q") + col("pct_sw")) / 2).as("ensemble"))
+  }
+
   /** Per-source percent rank of the quality score via
     * [[graft.quality.Quality.groupPercentRank]] — the scale-safe
     * formulation: the rank window runs over DISTINCT (source, quality)
@@ -1828,6 +1855,7 @@ object ExtensionQueries {
     "dd_winnow_probe" -> ddWinnowProbe,
     "txt_lang_confusion" -> txtLangConfusion,
     "txt_quality_pctile" -> txtQualityPctile,
+    "txt_quality_ensemble" -> txtQualityEnsemble,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_index_probe" -> ddIndexProbe,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -2600,6 +2628,38 @@ object ExtensionQueries {
              |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
              |     x -> list_contains($list, regexp_replace(x, '[^\p{L}]', '', 'g')))) AS hits
              |  FROM documents)""".stripMargin
+      },
+      "txt_quality_ensemble" -> {
+        val list = TextOps.markers("en").map(w => s"'$w'").mkString("[", ", ", "]")
+        raw"""WITH q AS MATERIALIZED (SELECT doc_id, ROUND(
+             |   LEAST(nchars / 500.0, 1.0) * 0.25
+             | + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+             | + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+             | + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+             |     THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+             |FROM (SELECT doc_id,
+             |   CAST(length(text) AS DOUBLE) AS nchars,
+             |   CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+             |   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+             | FROM documents)),
+             |sw AS MATERIALIZED (SELECT doc_id,
+             | CASE WHEN ntok > 0 THEN ROUND(CAST(hits AS DOUBLE) / ntok, 6)
+             |   ELSE 0.0 END AS sw_ratio
+             | FROM (SELECT doc_id,
+             |   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok,
+             |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |     x -> list_contains($list, regexp_replace(x, '[^\p{L}]', '', 'g')))) AS hits
+             |  FROM documents)),
+             |sig AS (SELECT q.doc_id, q.quality, sw.sw_ratio
+             |  FROM q JOIN sw USING (doc_id))
+             |SELECT doc_id, quality, sw_ratio, pct_q, pct_sw,
+             |  (pct_q + pct_sw) / 2 AS ensemble
+             |FROM (SELECT doc_id, quality, sw_ratio,
+             |  ROUND(percent_rank() OVER (ORDER BY quality), 6) AS pct_q,
+             |  ROUND(percent_rank() OVER (ORDER BY sw_ratio), 6) AS pct_sw
+             | FROM sig)""".stripMargin
       },
       "txt_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

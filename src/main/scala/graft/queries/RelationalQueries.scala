@@ -663,6 +663,20 @@ object RelationalQueries {
       .select("c_custkey", "c_name", "c_acctbal")
   }
 
+  /** J8 — SHUFFLE_HASH-hinted fact-to-fact join: when the build side is
+    * too big to broadcast but fits per-partition memory, a shuffled hash
+    * join skips sort-merge's two sorts — the join-strategy control knob
+    * beside j2's broadcast. The hint changes the PHYSICAL plan only
+    * (pinned as ShuffledHashJoinExec in OpsSpec); results match the
+    * plain join, so the oracle is the ordinary SQL aggregate. */
+  private val j8ShuffleHashJoin: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    l.join(o.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+  }
+
   /** A9 — rollup with grouping ids: subtotal rows at (priority, status),
     * (priority) and grand-total level, one pass (Spark expands the
     * grouping sets map-side; one shuffle). */
@@ -706,6 +720,7 @@ object RelationalQueries {
     "k10_zorder_scan" -> k10ZorderScan,
     "k11_changeset_apply" -> k11ChangesetApply,
     "j7_anti_join" -> j7AntiJoin,
+    "j8_shuffle_hash_join" -> j8ShuffleHashJoin,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
     "w9_pivot" -> w9Pivot,
@@ -788,6 +803,13 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey NOT IN (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 470000)""".stripMargin,
+    // the SHUFFLE_HASH hint is physical-plan-only; logical results are
+    // the plain join's.
+    "j8_shuffle_hash_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | ROUND(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // DuckDB GROUPING() returns the same (first arg = MSB) bitmask as
     // Spark's grouping_id().
     "a9_rollup" ->

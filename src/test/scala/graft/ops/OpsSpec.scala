@@ -191,6 +191,16 @@ class OpsSpec extends SparkSpec {
     assert(!nOut.exists(_._2.isEmpty), "null keys have no deterministic identity")
   }
 
+  test("SHUFFLE_HASH hint pins a ShuffledHashJoin physical plan (the j8 contract)") {
+    val l = (1 to 500).map(i => (i.toLong, i)).toDF("k", "v")
+    val r = (1 to 500).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+    val plan = l.join(r.hint("SHUFFLE_HASH"), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint must select the shuffled hash strategy:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"hint ignored:\n$plan")
+  }
+
   test("temperatureMix plan: corpus joins the rate table by broadcast, never sort-merge") {
     val df = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
     val plan = Ops.temperatureMix(df, "src", "id")
