@@ -110,6 +110,25 @@ object ExtensionQueries {
         round(col("n").cast(DoubleType) / sum(col("n")).over(w), 6))
   }
 
+  /** Corpus composition report — the "data card" every released training
+    * set ships with: per (source, lang) document and token counts plus
+    * each cell's share of total corpus tokens. One aggregate with
+    * map-side partials; the corpus token total joins back by broadcast
+    * (not an unpartitioned window — even a benign one over the tiny
+    * matrix fires the single-partition WindowExec warning the scale
+    * audit greps for). The fraction is one BIGINT-over-BIGINT IEEE
+    * division, exact cross-engine. */
+  private val pipeMixReport: Q = (s, dir) => {
+    val cells = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(TextOps.tokenCount(col("text"))).as("tokens"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("tokens")).as("__tt"))))
+      .withColumn("token_frac",
+        round(col("tokens").cast(DoubleType) / col("__tt"), 6))
+      .drop("__tt")
+  }
+
   /** Rank-fusion quality ensemble: two signals on incompatible scales
     * (the [0,1] structural quality blend; the stopword ratio) are each
     * percent-ranked over the corpus, then averaged — rank averaging is
@@ -1856,6 +1875,7 @@ object ExtensionQueries {
     "txt_lang_confusion" -> txtLangConfusion,
     "txt_quality_pctile" -> txtQualityPctile,
     "txt_quality_ensemble" -> txtQualityEnsemble,
+    "pipe_mix_report" -> pipeMixReport,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_index_probe" -> ddIndexProbe,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -2519,6 +2539,15 @@ object ExtensionQueries {
           | CASE WHEN length(trim(text)) = 0 THEN 0
           |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
           | END AS n_tokens FROM documents""".stripMargin,
+      "pipe_mix_report" ->
+        raw"""SELECT source, lang, docs, tokens,
+             |  ROUND(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 6) AS token_frac
+             |FROM (SELECT source, lang, CAST(count(*) AS BIGINT) AS docs,
+             |  CAST(sum(ntok) AS BIGINT) AS tokens FROM (
+             |   SELECT source, lang,
+             |     CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+             |   FROM documents) GROUP BY 1, 2)""".stripMargin,
       "txt_subword_count" ->
         ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
           "'[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_subwords " +

@@ -686,6 +686,19 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("total"),
         grouping_id().cast(LongType).as("gid"))
 
+  /** A14 — explicit GROUPING SETS: the {(status, priority), (status),
+    * (priority)} shape neither ROLLUP (hierarchical) nor CUBE (adds the
+    * grand total) expresses — the Dataset.groupingSets API surface beside
+    * [[a9Rollup]]. Same one-pass map-side set expansion + single
+    * shuffle. */
+  private val a14GroupingSets: Q = (s, dir) =>
+    t(s, dir, "orders").groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("total"),
+        grouping_id().cast(LongType).as("gid"))
+
   /** A10 — moving average: per customer, the mean of the last 3 order
     * totals in (date, key) order — the standard trailing-window analytic.
     * One shuffle on the customer key. */
@@ -721,6 +734,7 @@ object RelationalQueries {
     "k11_changeset_apply" -> k11ChangesetApply,
     "j7_anti_join" -> j7AntiJoin,
     "j8_shuffle_hash_join" -> j8ShuffleHashJoin,
+    "a14_grouping_sets" -> a14GroupingSets,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
     "w9_pivot" -> w9Pivot,
@@ -818,6 +832,13 @@ object RelationalQueries {
         | ROUND(sum(o_totalprice), 6) AS total,
         | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+    "a14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n,
+        | ROUND(sum(o_totalprice), 6) AS total,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))""".stripMargin,
     "a10_moving_avg" ->
       """SELECT o_orderkey, ROUND(AVG(o_totalprice) OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
