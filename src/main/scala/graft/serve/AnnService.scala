@@ -1,0 +1,51 @@
+package graft.serve
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sim.{Ivf, IvfIndex}
+
+/** ANN serving surface over a STORED IVF index — the similarity-search
+  * analog of [[QueryService]]: the cell-partitioned index is read once
+  * from parquet (no retraining, no corpus rescan), each request carries a
+  * raw query vector and pays only the `nprobe`-cell probe.
+  *
+  * Request safety mirrors the table endpoint's philosophy: the vector
+  * must match the index dimension exactly, `k` is capped at `maxK`, and
+  * the per-request `collect()` is bounded at k rows by construction.
+  * Nothing from the request ever reaches SQL text — the vector enters the
+  * plan as a typed literal column. */
+final class AnnService(index: IvfIndex, val dim: Int, val maxK: Int = 100,
+                       nprobe: Int = 4) {
+  require(dim > 0, s"dim must be > 0, got $dim")
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+  require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
+
+  /** Top-k ids for the query vector: (cand_id, cosine, rank), rank 1..k.
+    * k above `maxK` is an error (the HTTP layer caps before calling). */
+  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] = {
+    require(vec.length == dim,
+      s"query vector has ${vec.length} dims; the index carries $dim")
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
+    Ivf.probeTopK(index, q, k, nprobe)
+      .orderBy(col("rank"))
+      .select(col("cand_id"), col("cosine"), col("rank"))
+      .as[(Long, Double, Int)].collect().toSeq
+  }
+}
+
+object AnnService {
+  /** Open a stored index layout (`root/centroids`, `root/assigned` — the
+    * frames [[Ivf.buildIndex]] writes) and probe the dimension from one
+    * centroid row (sanctioned single-row collect). */
+  def overParquetDir(spark: SparkSession, root: String, maxK: Int = 100,
+                     nprobe: Int = 4): AnnService = {
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val assigned = spark.read.parquet(s"$root/assigned")
+    val dim = centroids.select(size(col("cent")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    new AnnService(IvfIndex(centroids, assigned), dim, maxK, nprobe)
+  }
+}

@@ -24,7 +24,8 @@ import java.nio.charset.StandardCharsets
   * built-in HTTP server, so the library stays pure Spark. Field
   * extraction is two anchored regexes over the (tiny) request body — the
   * contract is exactly two scalar fields, not arbitrary JSON. */
-final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000) {
+final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
+                            ann: Option[AnnService] = None) {
   require(maxLimit > 0, s"maxLimit must be > 0, got $maxLimit")
 
   @volatile private var server: HttpServer = _
@@ -34,6 +35,7 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000) {
     require(server == null, "server already started")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/get_data", handler)
+    ann.foreach(a => server.createContext("/ann", annHandler(a)))
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -65,6 +67,53 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000) {
     ex.sendResponseHeaders(status, bytes.length)
     ex.getResponseBody.write(bytes)
   }
+
+  // ANN request fields: a bounded numeric array and a small integer k.
+  // Like the table route, nothing here ever reaches SQL text — the vector
+  // enters the plan as a typed literal.
+  private val VecRe = """"vec"\s*:\s*\[([0-9eE+\-.,\s]{0,65536})\]""".r
+  private val KRe = """"k"\s*:\s*"?(\d{1,4})"?""".r
+  private val NumRe = """-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
+
+  /** `POST /ann {"vec": [f, ...], "k": n}` → bounded top-k over the stored
+    * IVF index. k is CAPPED at the service's maxK (mirror of the table
+    * route's limit cap); a wrong-dimension or malformed vector is a 400. */
+  private def annHandler(svc: AnnService): HttpHandler = (ex: HttpExchange) =>
+    try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST only"}""")
+      else {
+        val body =
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        (VecRe.findFirstMatchIn(body), KRe.findFirstMatchIn(body)) match {
+          case (Some(v), Some(km)) =>
+            val elems = v.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+            if (!elems.forall(NumRe.matches(_)))
+              respond(ex, 400, """{"error":"vec must be a JSON array of numbers"}""")
+            else {
+              try {
+                val vec = elems.map(_.toFloat).toSeq
+                val k = math.min(km.group(1).toInt, svc.maxK)
+                val hits = svc.topK(vec, math.max(k, 1))
+                  .map { case (id, score, rank) =>
+                    s"""{"id":$id,"score":$score,"rank":$rank}""" }
+                  .mkString("[", ",", "]")
+                respond(ex, 200, s"""{"k":$k,"results":$hits}""")
+              } catch {
+                case e: IllegalArgumentException =>
+                  respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+              }
+            }
+          case _ =>
+            respond(ex, 400,
+              """{"error":"body must carry a numeric array 'vec' and an integer 'k'"}""")
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally ex.close()
 
   private def handler: HttpHandler = (ex: HttpExchange) =>
     try {

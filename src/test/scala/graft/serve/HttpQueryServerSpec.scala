@@ -80,4 +80,51 @@ class HttpQueryServerSpec extends SparkSpec {
       assert(get.statusCode() === 405)
     }
   }
+
+  private def postAnn(port: Int, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ann"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /ann probes the stored IVF index end to end (planted nearest wins)") {
+    // 40 seeded vectors + an exact copy of vec 7 at id 9007: any query
+    // equal to vec 7 must rank ids {7, 9007} in its top-2 with score 1.0.
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val corpus = ((0 until 40).map(i => (i.toLong, vec(i))) :+ ((9007L, vec(7))))
+      .toDF("vec_id", "embedding")
+    val idx = graft.sim.Ivf.buildIndex(corpus, nlist = 4)
+    val root = java.nio.file.Files.createTempDirectory("ann_idx_").toString
+    idx.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    idx.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/assigned")
+    val ann = AnnService.overParquetDir(spark, root, maxK = 10, nprobe = 4)
+    assert(ann.dim === dim)
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, Some(ann))
+    val port = srv.start()
+    try {
+      val q = vec(7).mkString("[", ",", "]")
+      val r = postAnn(port, s"""{"vec": $q, "k": 2}""")
+      assert(r.statusCode() === 200, r.body())
+      val ids = """"id":(-?\d+)""".r.findAllMatchIn(r.body())
+        .map(_.group(1).toLong).toSet
+      assert(ids === Set(7L, 9007L), r.body())
+      assert(r.body().contains(""""score":1.0"""), r.body())
+      // dimension mismatch and malformed vectors are 400s, not stack traces
+      assert(postAnn(port, """{"vec": [1.0, 2.0], "k": 2}""").statusCode() === 400)
+      assert(postAnn(port, s"""{"vec": [1; DROP], "k": 2}""").statusCode() === 400)
+      assert(postAnn(port, """{"k": 2}""").statusCode() === 400)
+      // k is capped at the service's maxK rather than erroring
+      val big = postAnn(port, s"""{"vec": $q, "k": 9999}""")
+      assert(big.statusCode() === 200)
+      assert(""""rank":(\d+)""".r.findAllMatchIn(big.body())
+        .map(_.group(1).toInt).max <= 10)
+    } finally srv.stop()
+  }
 }
