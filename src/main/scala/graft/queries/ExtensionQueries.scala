@@ -110,6 +110,21 @@ object ExtensionQueries {
         round(col("n").cast(DoubleType) / sum(col("n")).over(w), 6))
   }
 
+  /** k-NN majority-vote classification over the labeled embeddings — the
+    * simplest embedding-space classifier, served entirely by the
+    * similarity tier: each query's 5 exact nearest neighbors (self
+    * excluded) vote with their labels, ties break (count desc, label
+    * asc). Output (query_id, label, pred, hit) — per-query truth,
+    * prediction, and a 0/1 hit flag whose mean is the k-NN accuracy.
+    * Every stage (rounded-cosine ranking, integer votes, deterministic
+    * argmax) replays in SQL, so classifier OUTPUT and quality are both
+    * hash-checked. The vote argmax window runs over ≤ |queries|·|labels|
+    * vote rows, never the corpus. */
+  private val simKnnClassify: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnClassify(emb, emb.filter(col("vec_id") < 50), k = 5)
+  }
+
   /** Corpus composition report — the "data card" every released training
     * set ships with: per (source, lang) document and token counts plus
     * each cell's share of total corpus tokens. One aggregate with
@@ -1867,6 +1882,7 @@ object ExtensionQueries {
     "sim_rp_exact" -> simRpExact,
     "sim_rp_recall" -> simRpRecall,
     "sim_mmr_select" -> simMmrSelect,
+    "sim_knn_classify" -> simKnnClassify,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
@@ -3631,6 +3647,30 @@ bruteForceCosineOracle,
       "sim_rp_exact" -> bruteForceCosineOracle,
       "sim_rp_recall" -> simRpRecallOracle,
       "sim_mmr_select" -> simMmrSelectOracle,
+      // k-NN vote replay: exact top-5 neighbors (same rounded-cosine /
+      // cand_id tie-break as the brute-force oracle), label votes,
+      // (count desc, label) argmax.
+      "sim_knn_classify" ->
+        raw"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+             |  FROM embeddings),
+             |nb AS (SELECT query_id, cand_id FROM (
+             | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |     ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+             |         OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+             |       ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+             |     c.vec_id) AS rank
+             | FROM e q, e c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+             | WHERE rank <= 5),
+             |votes AS (SELECT nb.query_id, c.label AS nl, count(*) AS v
+             |  FROM nb JOIN e c ON c.vec_id = nb.cand_id GROUP BY 1, 2),
+             |pred AS (SELECT query_id, nl AS pred FROM (
+             |  SELECT query_id, nl, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY v DESC, nl) AS rn FROM votes) WHERE rn = 1)
+             |SELECT q.vec_id AS query_id, q.label, p.pred,
+             |  CAST(q.label = p.pred AS INTEGER) AS hit
+             |FROM e q JOIN pred p ON p.query_id = q.vec_id
+             |WHERE q.vec_id < 50""".stripMargin,
       "sim_pq_recall" -> simPqRecallOracle,
       "sim_pq_rerank_recall" -> simPqRerankRecallOracle,
       "sim_ivf_recall" -> simIvfRecallOracle,

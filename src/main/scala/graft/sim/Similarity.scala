@@ -321,6 +321,34 @@ object Similarity {
       dimOut)
   }
 
+  /** k-NN majority-vote classification: each query's k exact nearest
+    * neighbors (self excluded, [[bruteForceTopKAgg]] ranking) vote with
+    * their `labelCol`, ties breaking (count desc, label asc). Returns
+    * (query_id, label, pred, hit) — truth, prediction, 0/1 hit; the mean
+    * of `hit` is the k-NN accuracy. Deterministic end to end (rounded
+    * cosines, integer votes, ordered argmax), so output AND quality are
+    * SQL-replayable. The argmax window runs over ≤ |queries|·|labels|
+    * vote rows, never the corpus; the corpus-sized work is the one
+    * broadcast-queries scoring pass the top-k aggregate already bounds. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"knnClassify requires k > 0, got $k")
+    val nb = bruteForceTopKAgg(corpus, queries, k, idCol, vecCol)
+    val votes = nb
+      .join(corpus.select(col(idCol).as("cand_id"), col(labelCol).as("nl")),
+        Seq("cand_id"))
+      .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy("query_id").orderBy(col("v").desc, col("nl"))
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nl").as("pred"))
+    queries.select(col(idCol).as("query_id"), col(labelCol).as("label"))
+      .join(pred, Seq("query_id"))
+      .select(col("query_id"), col("label"), col("pred"),
+        (col("label") === col("pred")).cast(IntegerType).as("hit"))
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
     * "The Use of MMR, Diversity-Based Reranking...", public): greedily
     * pick `k` corpus vectors balancing relevance to the query against

@@ -322,6 +322,34 @@ class SimilaritySpec extends SparkSpec {
       "mmrSelect must unpersist its relevance frame on exit")
   }
 
+  test("knnClassify: separated clusters classify exactly; vote tie breaks to smaller label") {
+    // cluster 0 near [1,0], cluster 1 near [0,1]; queries are members, so
+    // their 3 neighbors are in-cluster and every prediction is exact.
+    def jitter(i: Int, base: (Float, Float)): Array[Float] = {
+      val r = new scala.util.Random(i)
+      Array(base._1 + r.nextFloat() * 0.01f, base._2 + r.nextFloat() * 0.01f)
+    }
+    val d = ((0 until 10).map(i => (i.toLong, jitter(i, (1f, 0f)), 0)) ++
+      (10 until 20).map(i => (i.toLong, jitter(i, (0f, 1f)), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(d, d, k = 3)
+      .select("query_id", "hit").as[(Long, Int)].collect()
+    assert(out.length === 20)
+    assert(out.forall(_._2 === 1), s"misclassified: ${out.filter(_._2 == 0).toSeq}")
+    // 2-2 vote split (k=4, two from each cluster for a boundary query):
+    // tie goes to the SMALLER label deterministically
+    val tiny = Seq(
+      (0L, Array(1f, 1f), 9), (1L, Array(1f, 0.9f), 1), (2L, Array(1f, 1.1f), 1),
+      (3L, Array(0.9f, 1f), 0), (4L, Array(1.1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.knnClassify(tiny, tiny.filter(col("vec_id") === 0), k = 4)
+      .select("pred").as[Int].head()
+    assert(p === 0, "2-2 tie must break to the smaller label")
+    intercept[IllegalArgumentException] {
+      Similarity.knnClassify(tiny, tiny, k = 0)
+    }
+  }
+
   test("rpTopK validates shortlist >= k > 0; reductions carry dimOut components") {
     intercept[IllegalArgumentException] {
       Similarity.rpTopK(df, df, k = 5, shortlist = 3)
