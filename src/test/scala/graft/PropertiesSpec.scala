@@ -327,6 +327,53 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  propertyWithSeed("groupPercentRank ≡ window percent_rank on random grouped data", None) =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 8)))) {
+      pairs: List[(Int, Int)] =>
+        pairs.isEmpty || {
+          val df = pairs.zipWithIndex
+            .map { case ((g, v), i) => (i.toLong, s"g$g", v.toDouble) }
+            .toDF("id", "g", "v")
+          val scalable = Quality.groupPercentRank(df, "g", "v")
+            .select("id", "pctile").as[(Long, Double)].collect().toMap
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy("v")
+          val naive = df.withColumn("p", round(percent_rank().over(w), 6))
+            .select("id", "p").as[(Long, Double)].collect().toMap
+          scalable == naive
+        }
+    }
+
+  propertyWithSeed("merkleDiff: equal inputs all 'same'; any single-row value change flips ≥ 1 bucket", None) =
+    forAll(Gen.choose(5, 40), Gen.choose(0, 1000)) { (n: Int, delta: Int) =>
+      val rows = (0 until n).map(i => (i.toLong, (i * 7 + 3).toLong))
+      val a = rows.toDF("k", "v")
+      val b = rows.map { case (k, v) =>
+        (k, if (k == n / 2) v + delta + 1 else v) }.toDF("k", "v")
+      val self = Ops.merkleDiff(a, a, "k", Seq("v"), buckets = 8)
+        .select("status").as[String].collect()
+      val mut = Ops.merkleDiff(a, b, "k", Seq("v"), buckets = 8)
+        .select("status").as[String].collect()
+      self.forall(_ == "same") && mut.count(_ == "changed") == 1
+    }
+
+  propertyWithSeed("winnowing detection law: a shared substring of length >= w+k-1 always pairs", None) =
+    forAll(Gen.choose(0, 1000), Gen.alphaLowerStr.suchThat(_.length >= 20)) {
+      (seed: Int, shared0: String) =>
+        val shared = shared0.take(40)
+        // guarantee >= w+k-1 = 13 shared chars with k=8, w=6
+        shared.length < 13 || {
+          val rnd = new scala.util.Random(seed)
+          def noise() = (0 until 30).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+          val docs = Seq((1L, s"${noise()} $shared"), (2L, s"$shared ${noise()}"))
+            .toDF("doc_id", "text")
+          Dedup.winnowNearDups(docs, "text", "doc_id",
+              shingleK = 8, window = 6, minShared = 1)
+            .select("id_a", "id_b").as[(Long, Long)].collect()
+            .contains((1L, 2L))
+        }
+    }
+
   // ScalaCheck's default 100 cases × 5 properties × Spark job latency is
   // minutes of wall time for no extra coverage — 20 cases each is plenty
   // for these structural invariants.
