@@ -110,6 +110,13 @@ object ExtensionQueries {
         round(col("n").cast(DoubleType) / sum(col("n")).over(w), 6))
   }
 
+  /** Per-vector simplified silhouette over the portable strided
+    * quantizer — cluster quality as a hash-checked number per point,
+    * computed against centroids only (no pairwise distances; see
+    * [[Ivf.silhouettePortable]]). */
+  private val embSilhouette: Q = (s, dir) =>
+    Ivf.silhouettePortable(t(s, dir, "embeddings"), nlist = 8, stride = 29)
+
   /** k-NN majority-vote classification over the labeled embeddings — the
     * simplest embedding-space classifier, served entirely by the
     * similarity tier: each query's 5 exact nearest neighbors (self
@@ -1883,6 +1890,7 @@ object ExtensionQueries {
     "sim_rp_recall" -> simRpRecall,
     "sim_mmr_select" -> simMmrSelect,
     "sim_knn_classify" -> simKnnClassify,
+    "emb_silhouette" -> embSilhouette,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
     "dd_simhash_exact" -> ddSimhashExact,
@@ -3647,6 +3655,31 @@ bruteForceCosineOracle,
       "sim_rp_exact" -> bruteForceCosineOracle,
       "sim_rp_recall" -> simRpRecallOracle,
       "sim_mmr_select" -> simMmrSelectOracle,
+      // silhouette replay: strided centroid sample, the IVF oracle's
+      // round-6 dist² composition, sqrt (correctly rounded in IEEE —
+      // cross-engine safe) with a GREATEST(·,0) cancellation guard,
+      // nearest/second-nearest via row_number, UNROUNDED final ratio.
+      "emb_silhouette" ->
+        raw"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cents AS MATERIALIZED (SELECT
+             |  row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cent
+             |  FROM (SELECT vec_id, v FROM e WHERE vec_id % 29 = 0
+             |        ORDER BY vec_id LIMIT 8)),
+             |dd AS (SELECT e.vec_id, c.cell,
+             |  ROUND(sqrt(GREATEST(ROUND(list_dot_product(e.v, e.v)
+             |    - 2.0 * list_dot_product(e.v, c.cent)
+             |    + list_dot_product(c.cent, c.cent), 6), 0.0)), 6) AS d
+             |  FROM e, cents c),
+             |rk AS (SELECT vec_id, cell, d,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+             |  FROM dd)
+             |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+             |  a.d AS a, b.d AS b,
+             |  CASE WHEN GREATEST(a.d, b.d) > 0
+             |    THEN (b.d - a.d) / GREATEST(a.d, b.d) ELSE 0.0 END AS sil
+             |FROM (SELECT * FROM rk WHERE rn = 1) a
+             |JOIN (SELECT * FROM rk WHERE rn = 2) b USING (vec_id)""".stripMargin,
       // k-NN vote replay: exact top-5 neighbors (same rounded-cosine /
       // cand_id tie-break as the brute-force oracle), label votes,
       // (count desc, label) argmax.

@@ -166,4 +166,62 @@ object Ivf {
       .withColumn("cosine", round(Similarity.cosine(col("qvec"), col("cvec")), 6))
     Similarity.topKExplode(cand, "cosine", k)
   }
+
+  /** Simplified (centroid-based) silhouette over the PORTABLE strided
+    * quantizer — the cluster-quality metric as a hash-checkable number
+    * per vector (Rousseeuw 1987's silhouette with the standard centroid
+    * simplification: a = distance to the nearest centroid — the assigned
+    * cell — and b = distance to the second-nearest, so no pairwise
+    * point-to-point distances are ever computed). Returns
+    * (vec_id, cell, a, b, sil) with sil = (b − a)/max(a, b) ∈ [−1, 1]
+    * (0 when both distances are 0 — a point ON two coincident
+    * centroids).
+    *
+    * Portability discipline: dist² is the round-6 dot composition the IVF
+    * oracle already replays; the Euclidean distance is round-6 of sqrt —
+    * correctly rounded in IEEE, so cross-engine safe (unlike ln) — with a
+    * GREATEST(·, 0) guard because float cancellation can push a
+    * mathematically-zero dist² a few ulp negative, and sqrt(−ε) is NaN;
+    * the final ratio is deliberately UNROUNDED (identical round-6 inputs
+    * ⇒ identical IEEE quotient; re-rounding could land on a half-grid
+    * boundary where decimal rounding of the same double diverges).
+    *
+    * Scale shape: one broadcast of the nlist-row centroid table, one
+    * map-side pass scoring nlist distances per vector, and a bounded
+    * `sort_array(collect_list(...))` of nlist structs per vector under a
+    * single groupBy — no window over the corpus, no pairwise join. */
+  def silhouettePortable(corpus: DataFrame, nlist: Int = 8, stride: Int = 29,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(nlist > 1, s"nlist must be > 1, got $nlist")
+    require(stride > 0, s"stride must be > 0, got $stride")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampled = corpus.filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    require(sampled.length == nlist,
+      s"corpus has only ${sampled.length} ids divisible by stride=$stride; " +
+        s"need nlist=$nlist (lower stride or nlist)")
+    val cents = sampled.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "cent")
+    val dist2 = round(
+      VectorExprs.dot(col("v"), col("v")) -
+        lit(2.0) * VectorExprs.dot(col("v"), col("cent")) +
+        VectorExprs.dot(col("cent"), col("cent")), 6)
+    val d = round(sqrt(greatest(dist2, lit(0.0))), 6)
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(d.as("d"), col("cell").as("c")).as("dc"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(col("dc"))).as("ds"))
+      .select(col("vec_id"),
+        col("ds").getItem(0).getField("c").as("cell"),
+        col("ds").getItem(0).getField("d").as("a"),
+        col("ds").getItem(1).getField("d").as("b"))
+      .select(col("vec_id"), col("cell"), col("a"), col("b"),
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("sil"))
+  }
 }

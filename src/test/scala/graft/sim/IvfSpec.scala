@@ -108,4 +108,29 @@ class IvfSpec extends SparkSpec {
     assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "cell")),
       s"expected partition pruning on cell; filters: ${scans.head.partitionFilters}")
   }
+
+  test("silhouettePortable: tight separated clusters score near 1, bounds hold") {
+    import spark.implicits._
+    // ids 0 and 29 (the stride samples) sit in different clusters, so the
+    // two sampled centroids land one per cluster; members are close to
+    // their own centroid (a small) and far from the other (b large).
+    def jitter(i: Int, cx: Float): Array[Float] = {
+      val r = new scala.util.Random(i)
+      Array(cx + r.nextFloat() * 0.1f, r.nextFloat() * 0.1f)
+    }
+    val d = (0 until 58).map { i =>
+      val cluster0 = i % 2 == 0
+      (i.toLong, jitter(i, if (cluster0) 0f else 100f))
+    }.toDF("vec_id", "embedding")
+    val out = Ivf.silhouettePortable(d, nlist = 2, stride = 29)
+      .select("vec_id", "sil").as[(Long, Double)].collect()
+    assert(out.length === 58)
+    out.foreach { case (id, s) =>
+      assert(s >= -1.0 && s <= 1.0, s"sil out of bounds for $id: $s")
+      assert(s > 0.9, s"separated clusters must score near 1; $id got $s")
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.silhouettePortable(d, nlist = 1)
+    }
+  }
 }
