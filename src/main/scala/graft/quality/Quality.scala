@@ -480,12 +480,24 @@ object Quality {
     * (SQL semantics differ cross-engine on null ordering) and come back
     * with a null pctile. */
   def groupPercentRank(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame =
+    df.join(broadcast(percentRankTable(df, groupCol, valueCol)),
+      Seq(groupCol, valueCol), "left")
+
+  /** The (group, value, pctile) lookup behind [[groupPercentRank]],
+    * exposed separately so a MULTI-signal consumer (e.g. the rank-fusion
+    * ensemble) can derive several rank tables from ONE shared input frame
+    * and join them in a single pass — nesting groupPercentRank calls
+    * re-evaluates the input's expression pipeline once per internal
+    * branch, which compounds exponentially per nesting level (measured
+    * 13.7 s → 2 s on the two-signal ensemble at sf0.1). */
+  def percentRankTable(df: DataFrame, groupCol: String,
                        valueCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(valueCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val grp = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
-    val ranks = df.filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
       .withColumn("__lt", coalesce(sum(col("__c")).over(w), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(grp))
@@ -493,6 +505,5 @@ object Quality {
         round(when(col("__n") > 1, col("__lt")
             .cast(org.apache.spark.sql.types.DoubleType) / (col("__n") - 1))
           .otherwise(lit(0.0)), 6).as("pctile"))
-    df.join(broadcast(ranks), Seq(groupCol, valueCol), "left")
   }
 }
