@@ -72,6 +72,28 @@ object ExtensionQueries {
     }
   }
 
+  /** Event-type transition matrix — the first-order Markov model of user
+    * behavior (what follows what): per user, consecutive events in
+    * (ts, event_id) order form (event_type → next_type) bigrams;
+    * counts aggregate across users and each row carries its
+    * row-normalized transition probability. The lead window partitions by
+    * user — partition-parallel, never a global sort; the probability
+    * window runs over the |types|² matrix. prob is a single
+    * BIGINT-over-BIGINT IEEE division — exact cross-engine. */
+  private val evtTransitions: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val rowTotal = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round(col("n").cast(DoubleType) / sum(col("n")).over(rowTotal), 6))
+  }
+
   // ------------------------------------------------------------------ text
   private val txtTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(col("doc_id"),
@@ -1926,6 +1948,7 @@ object ExtensionQueries {
     "evt_funnel" -> evtFunnel,
     "evt_retention" -> evtRetention,
     "evt_sessionize" -> evtSessionize,
+    "evt_transitions" -> evtTransitions,
     "evt_session_window" -> evtSessionWindow,
     "evt_window_counts" -> evtWindowCounts,
     "evt_trending" -> evtTrending,
@@ -3840,6 +3863,17 @@ bruteForceCosineOracle,
           | CAST(count(*) AS BIGINT) AS n_users
           |FROM a JOIN f ON f.u = a.u
           |GROUP BY 1, 2""".stripMargin,
+      // transition replay: the same (ts, event_id) lead ordering; prob is
+      // one BIGINT/BIGINT IEEE division + round.
+      "evt_transitions" ->
+        """WITH nx AS (SELECT event_type,
+          |   lead(event_type) OVER (PARTITION BY user_id
+          |     ORDER BY epoch_us(ts), event_id) AS next_type
+          | FROM events)
+          |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+          | ROUND(CAST(count(*) AS DOUBLE) /
+          |   sum(count(*)) OVER (PARTITION BY event_type), 6) AS prob
+          |FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
       "evt_sessionize" ->
         """WITH l AS (SELECT user_id, epoch_us(ts) AS t,
           |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS p
