@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates (SURVEY.md §2.8 A3–A5).
@@ -465,6 +465,81 @@ object Quality {
         sum(col("ia") * (lit(1L) - col("ib"))).as("est_only_a"),
         sum((lit(1L) - col("ia")) * col("ib")).as("est_only_b"))
   }
+
+  /** Poisson-bootstrap confidence interval for the mean of a currency
+    * column (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+    * Data Streams", public — the bootstrap that scales): instead of
+    * resampling n rows with replacement per replica (which needs global
+    * coordination), every row independently contributes
+    * w ~ Poisson(1) copies to each of `replicas` replicas — ONE pass,
+    * map-side, embarrassingly parallel, the standard approximation for
+    * large n. Returns one row (b, p05, p50, p95): the replica count and
+    * the 5/50/95 percentile ORDER STATISTICS of the replica means (exact
+    * k-th elements, no interpolation).
+    *
+    * Replayability discipline: the Poisson draw inverts a 16-bit
+    * md5-uniform through a fixed CDF ladder of exact double literals
+    * (constants, not computed — both engines parse identical text to
+    * identical doubles); values are quantized to exact integer cents
+    * (round(x·100) — integer regardless of input, so the weighted sums
+    * are exact longs, order-independent under partial aggregation);
+    * each replica mean is one long-over-long IEEE division; and the
+    * percentiles come from a bounded `sort_array(collect_list)` of the
+    * `replicas` means — no unpartitioned window, no collect. */
+  def bootstrapMeanCI(df: DataFrame, keyCol: String, valueCol: String,
+                      replicas: Int = 50, seed: Int = 42): DataFrame = {
+    require(replicas > 1 && replicas <= 1000,
+      s"replicas must be in [2, 1000], got $replicas")
+    val cents = expr(s"CAST(round(`$valueCol` * 100, 0) AS BIGINT)")
+    val u = expr(
+      s"conv(substring(md5(concat(CAST(`$keyCol` AS STRING), '_', r, '_', " +
+        s"$seed)), 1, 4), 16, 10)").cast(org.apache.spark.sql.types.LongType)
+      .cast(org.apache.spark.sql.types.DoubleType) / lit(65536.0)
+    // u is materialized in its OWN projection before the CDF ladder: a
+    // CaseWhen's predicates evaluate sequentially, so an inlined u would
+    // recompute the md5 chain once per threshold (6× the hash cost,
+    // measured on the hot path)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.length): Column) {
+      case ((c, i), alt) => when(col("u") < lit(c), lit(i)).otherwise(alt)
+    }
+    // spread BEFORE the `replicas`× fan-out with an EXPLICIT partition
+    // count: a small input is one scan partition, and a bare
+    // repartition(col) lets AQE coalesce the 2 MB pre-explosion shuffle
+    // back to one task — which then single-threads the 50× explosion and
+    // every md5 above it (measured 11.5 s → ~2 s at sf0.1)
+    val rep = df
+      .select(col(keyCol), cents.as("cents"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(keyCol))
+      .select(col(keyCol), col("cents"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+      .select(col("r"), col("cents"), u.as("u"))
+      .select(col("r"), w.as("w"), col("cents"))
+      .groupBy("r")
+      .agg(sum(col("w")).as("nw"), sum(col("w") * col("cents")).as("sw"))
+      .filter(col("nw") > 0)
+      .select(col("r"),
+        (col("sw").cast(org.apache.spark.sql.types.DoubleType) /
+          (col("nw") * 100).cast(org.apache.spark.sql.types.DoubleType))
+          .as("mean_r"))
+    def kth(ms: Column, b: Column, q: Double) =
+      element_at(ms, greatest(lit(1L), ceil(b * lit(q)))
+        .cast(org.apache.spark.sql.types.IntegerType)).getField("mean_r")
+    rep
+      .agg(sort_array(collect_list(struct(col("mean_r"), col("r")))).as("ms"),
+        count(lit(1)).as("b"))
+      .select(col("b"), kth(col("ms"), col("b"), 0.05).as("p05"),
+        kth(col("ms"), col("b"), 0.5).as("p50"),
+        kth(col("ms"), col("b"), 0.95).as("p95"))
+  }
+
+  /** Poisson(1) inverse-CDF ladder thresholds (cumulative e^-1/k! sums)
+    * as EXACT literals shared by the engine and the generated oracle —
+    * computing them cross-engine would reintroduce the transcendental
+    * hazard the dsir post-mortem banned. u ≥ the last threshold → 6. */
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.999405815182418)
 
   /** Per-group percent rank of `valueCol` — SQL `percent_rank()` ≡
     * (rank − 1)/(n − 1) with ties sharing the min rank — computed the

@@ -699,6 +699,15 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("total"),
         grouping_id().cast(LongType).as("gid"))
 
+  /** A15 — Poisson-bootstrap 90% CI for the mean order price: 50
+    * one-pass replicas, exact-cents integer sums, order-statistic
+    * percentiles (see [[graft.quality.Quality.bootstrapMeanCI]] — the
+    * bootstrap that scales: no per-replica resampling pass, no global
+    * coordination, every number exactly SQL-replayable). */
+  private val a15BootstrapCi: Q = (s, dir) =>
+    graft.quality.Quality.bootstrapMeanCI(t(s, dir, "orders"),
+      "o_orderkey", "o_totalprice", replicas = 50)
+
   /** A10 — moving average: per customer, the mean of the last 3 order
     * totals in (date, key) order — the standard trailing-window analytic.
     * One shuffle on the customer key. */
@@ -735,6 +744,7 @@ object RelationalQueries {
     "j7_anti_join" -> j7AntiJoin,
     "j8_shuffle_hash_join" -> j8ShuffleHashJoin,
     "a14_grouping_sets" -> a14GroupingSets,
+    "a15_bootstrap_ci" -> a15BootstrapCi,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
     "w9_pivot" -> w9Pivot,
@@ -832,6 +842,38 @@ object RelationalQueries {
         | ROUND(sum(o_totalprice), 6) AS total,
         | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+    // bootstrap replay: same md5-uniform, the SAME Poisson CDF double
+    // literals (shared Scala constant — computing e^-1/k! cross-engine
+    // would reintroduce the transcendental hazard), exact-cents sums,
+    // identical order-statistic indices.
+    "a15_bootstrap_ci" -> {
+      val ladder = graft.quality.Quality.PoissonCdf.zipWithIndex
+        .map { case (t, i) => s"WHEN u < $t THEN $i" }.mkString(" ")
+      def hx(i: Int) = s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      raw"""WITH x AS (SELECT r,
+           |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           |  md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(r AS VARCHAR)
+           |    || '_42') AS h
+           |  FROM orders, LATERAL (SELECT unnest(generate_series(0, 49)) AS r)),
+           |wts AS (SELECT r, cents, CASE $ladder ELSE 6 END AS w
+           |  FROM (SELECT r, cents,
+           |    (((${hx(1)} * 16 + ${hx(2)}) * 16 + ${hx(3)}) * 16 + ${hx(4)})
+           |      / 65536.0 AS u FROM x)),
+           |rep AS (SELECT r, sum(w) AS nw, sum(w * cents) AS sw
+           |  FROM wts GROUP BY r HAVING sum(w) > 0),
+           |means AS (SELECT r,
+           |  CAST(sw AS DOUBLE) / CAST(nw * 100 AS DOUBLE) AS mean_r FROM rep),
+           |ord AS (SELECT mean_r, row_number() OVER (ORDER BY mean_r, r) AS rn,
+           |  CAST(count(*) OVER () AS BIGINT) AS b FROM means)
+           |SELECT b,
+           |  max(CASE WHEN rn = CAST(greatest(1, ceil(b * 0.05)) AS INTEGER)
+           |    THEN mean_r END) AS p05,
+           |  max(CASE WHEN rn = CAST(greatest(1, ceil(b * 0.5)) AS INTEGER)
+           |    THEN mean_r END) AS p50,
+           |  max(CASE WHEN rn = CAST(greatest(1, ceil(b * 0.95)) AS INTEGER)
+           |    THEN mean_r END) AS p95
+           |FROM ord GROUP BY b""".stripMargin
+    },
     "a14_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(count(*) AS BIGINT) AS n,

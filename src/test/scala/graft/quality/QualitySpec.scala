@@ -201,6 +201,30 @@ class QualitySpec extends SparkSpec {
       .as[(Long, Long, Double)].head() === ((2L, 2L, 0.0)))
   }
 
+  test("bootstrapMeanCI: ordered percentiles bracketing the true mean, deterministic") {
+    val df = (1 to 400).map(i => (i.toLong, 10.0 + (i % 21) * 0.25))
+      .toDF("k", "v") // mean 12.5, sd small → tight CI around 12.5
+    val ci = Quality.bootstrapMeanCI(df, "k", "v", replicas = 40)
+      .as[(Long, Double, Double, Double)].head()
+    val (b, p05, p50, p95) = ci
+    assert(b === 40L)
+    assert(p05 <= p50 && p50 <= p95, ci.toString)
+    // Poisson-bootstrap CI of a 400-row sample with sd ≈ 1.5: the 90%
+    // interval sits within a generous ±0.5 of the true mean
+    assert(p05 > 12.0 && p95 < 13.0, ci.toString)
+    // fully deterministic: same seed → identical CI
+    val again = Quality.bootstrapMeanCI(df, "k", "v", replicas = 40)
+      .as[(Long, Double, Double, Double)].head()
+    assert(again === ci)
+    // different seed → different draw (the seed actually participates)
+    val other = Quality.bootstrapMeanCI(df, "k", "v", replicas = 40, seed = 7)
+      .as[(Long, Double, Double, Double)].head()
+    assert(other !== ci)
+    intercept[IllegalArgumentException] {
+      Quality.bootstrapMeanCI(df, "k", "v", replicas = 1)
+    }
+  }
+
   test("groupPercentRank ≡ SQL percent_rank (ties, single-row group, nulls)") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)), ("a", Some(5.0)),
