@@ -83,7 +83,10 @@ object Dedup {
   private def shingleRows(df: DataFrame, textCol: String, idCol: String,
                           shingleK: Int): DataFrame = {
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    df.select(col(idCol).as("id"), norm.as("t"))
+    // single-row-group inputs plan as ONE scan task; spread the narrow
+    // (id, text) rows before the shingle explosion so the per-gram
+    // hashing above parallelizes (no-op on well-partitioned inputs)
+    graft.util.Spread.forMapWork(df.select(col(idCol).as("id"), norm.as("t")))
       .select(col("id"), col("t"),
         explode(sequence(lit(1), greatest(length(col("t")) - (shingleK - 1), lit(1))))
           .as("i"))
@@ -959,8 +962,12 @@ object Dedup {
     val packed = (0 until bits)
       .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.tokens(lower(col(textCol))))).as("t"))
+    // spread the narrow (id, text) rows BEFORE the token explosion —
+    // parallelizes the per-token hash without shipping exploded rows
+    graft.util.Spread
+      .forMapWork(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(array_distinct(TextOps.tokens(lower(col("__t"))))).as("t"))
       .select(col("id"), hashFn(col("t")).as("h"))
       .groupBy("id")
       .agg(votes.head, votes.tail: _*)
@@ -1085,7 +1092,10 @@ object Dedup {
     require(shingleK > 0, s"shingleK must be > 0, got $shingleK")
     require(window > 0, s"window must be > 0, got $window")
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    val grams = df.select(col(idCol).as("id"), norm.as("t"))
+    // same parallelism guard as shingleRows: the per-gram md5 above a
+    // one-row-group scan would otherwise run in a single task
+    val grams = graft.util.Spread
+      .forMapWork(df.select(col(idCol).as("id"), norm.as("t")))
       .select(col("id"), col("t"),
         explode(sequence(lit(1),
           greatest(length(col("t")) - (shingleK - 1), lit(1)))).as("pos"))
