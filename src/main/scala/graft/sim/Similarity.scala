@@ -267,24 +267,61 @@ object Similarity {
     * `shortlist` survive, and only those pay the full-width
     * rounded-cosine rerank. Long scores compare exactly (no double
     * cast — see [[rpReducePortable]]). */
-  private def rpRerank(corpusRed: DataFrame, queriesRed: DataFrame,
-                       k: Int, shortlist: Int, dimOut: Int): DataFrame = {
+  /** Reduced-space pair scoring shared by both rpRerank tails: the
+    * unrolled sum of codegen'd element_at products — an aggregate/
+    * zip_with HOF here would run interpreted on every scored pair, the
+    * per-row hot path. */
+  private def rpScored(corpusRed: DataFrame, queriesRed: DataFrame,
+                       dimOut: Int): DataFrame = {
     val q = queriesRed.select(col("id").as("query_id"), col("vec").as("qvec"),
       col("r").as("qr"))
     val c = corpusRed.select(col("id").as("cand_id"), col("vec").as("cvec"),
       col("r").as("cr"))
-    // unrolled sum of codegen'd element_at products — an aggregate/
-    // zip_with HOF here would run interpreted on every scored pair, the
-    // per-row hot path
     val rdot = (0 until dimOut).map(p =>
       element_at(col("qr"), p + 1) * element_at(col("cr"), p + 1))
       .reduce(_ + _)
-    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("rscore", rdot)
+  }
+
+  /** PORTABLE shortlist + rerank: the shortlist ranks by row_number over
+    * the exact LONG reduced score (a bounded double-score heap would be
+    * lossy past 2^53 — see [[rpReducePortable]]); the oracle replays
+    * this exact formulation. The window sorts every scored pair per
+    * query — acceptable for the oracle-scale twin; the production path
+    * below uses the bounded heap instead. */
+  private def rpRerank(corpusRed: DataFrame, queriesRed: DataFrame,
+                       k: Int, shortlist: Int, dimOut: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rscore").desc, col("cand_id"))
-    val cand = scored.withColumn("rrank", row_number().over(w))
+    val cand = rpScored(corpusRed, queriesRed, dimOut)
+      .withColumn("rrank", row_number().over(w))
       .filter(col("rrank") <= shortlist)
+      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 6))
+    topKExplode(cand, "cosine", k)
+  }
+
+  /** PRODUCTION shortlist + rerank: the reduced-space shortlist runs
+    * through the bounded-heap `topk_desc` aggregate — map-side partials
+    * cap the shuffle at `shortlist` rows per query per partition, where
+    * a window formulation shuffles and sorts EVERY scored pair (the
+    * bruteForceTopKAgg argument, applied to the shortlist stage). The
+    * survivors re-join the reduced frames for their vectors (shortlist-
+    * sized join, corpus never reshuffles) and pay the exact rerank. */
+  private def rpRerankHeap(corpusRed: DataFrame, queriesRed: DataFrame,
+                           k: Int, shortlist: Int, dimOut: Int): DataFrame = {
+    val short = topKExplode(
+      rpScored(corpusRed, queriesRed, dimOut)
+        .select(col("query_id"), col("cand_id"),
+          col("rscore").cast(DoubleType).as("rscore")),
+      "rscore", shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val cand = short
+      .join(corpusRed.select(col("id").as("cand_id"), col("vec").as("cvec")),
+        Seq("cand_id"))
+      .join(broadcast(queriesRed
+        .select(col("id").as("query_id"), col("vec").as("qvec"))),
+        Seq("query_id"))
       .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 6))
     topKExplode(cand, "cosine", k)
   }
@@ -303,7 +340,7 @@ object Similarity {
              seed: Int = 42): DataFrame = {
     require(k > 0 && shortlist >= k,
       s"rpTopK requires shortlist >= k > 0, got k=$k shortlist=$shortlist")
-    rpRerank(rpReduce(corpus, idCol, vecCol, dimOut, seed),
+    rpRerankHeap(rpReduce(corpus, idCol, vecCol, dimOut, seed),
       rpReduce(queries, idCol, vecCol, dimOut, seed), k, shortlist, dimOut)
   }
 
