@@ -371,9 +371,12 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   labelCol: String = "label"): DataFrame = {
     require(k > 0, s"knnClassify requires k > 0, got $k")
+    // |queries|·k neighbor rows broadcast onto the corpus labels — the
+    // label lookup never shuffles the corpus
     val nb = bruteForceTopKAgg(corpus, queries, k, idCol, vecCol)
-    val votes = nb
-      .join(corpus.select(col(idCol).as("cand_id"), col(labelCol).as("nl")),
+    val votes = corpus
+      .select(col(idCol).as("cand_id"), col(labelCol).as("nl"))
+      .join(broadcast(nb.select(col("query_id"), col("cand_id"))),
         Seq("cand_id"))
       .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("v"))
     val w = Window.partitionBy("query_id").orderBy(col("v").desc, col("nl"))
