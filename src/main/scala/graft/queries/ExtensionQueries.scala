@@ -1463,6 +1463,19 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
   }
 
+  /** Recall CURVE of the portable LSH pipeline: recall@{1,5,10} vs exact
+    * brute force in ONE hash-checked frame (the single-k recall metrics'
+    * generalization — see [[Similarity.recallCurve]]). The matched-pair
+    * frame is built once; each pair feeds every cutoff ≥ its
+    * max(ann_rank, exact_rank). */
+  private val simRecallCurve: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.recallCurve(
+      Similarity.lshTopKPortable(emb, q, k = 10, bits = 16, bands = 4),
+      Similarity.bruteForceTopK(emb, q, k = 10), Seq(1, 5, 10))
+  }
+
   /** MMR diverse top-5 for query vec_id 0 at λ = 0.7 (Carbonell &
     * Goldstein 1998): greedy relevance-vs-redundancy selection over
     * round-6 cosines. Every round's argmax replays exactly in SQL (the
@@ -1918,6 +1931,7 @@ object ExtensionQueries {
     "sim_rp_recall" -> simRpRecall,
     "sim_mmr_select" -> simMmrSelect,
     "sim_knn_classify" -> simKnnClassify,
+    "sim_recall_curve" -> simRecallCurve,
     "emb_silhouette" -> embSilhouette,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_oph_verified" -> ddOphVerified,
@@ -2229,6 +2243,60 @@ object ExtensionQueries {
        |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
        |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
        |FROM nq, hits""".stripMargin
+  }
+
+  /** Generated oracle for sim_recall_curve: the sim_lsh_recall replay at
+    * depth 10, then the curve reduction — each matched pair contributes
+    * to every cutoff ≥ its max(ann_rank, exact_rank). */
+  private def simRecallCurveOracle: String = {
+    val bits = 16; val bands = 4; val rpb = bits / bands; val depth = 10
+    val seed = 42
+    def plane(p: Int) =
+      "(CAST(list_sum(list_transform(generate_series(1,13), j -> " +
+        "CAST(strpos('0123456789abcdef', substring(md5(CAST(i - 1 AS VARCHAR) || " +
+        s"'_${p}_$seed'), j, 1)) - 1 AS BIGINT) << ((13 - j) * 4))) AS BIGINT) " +
+        "/ 2251799813685248.0 - 1.0)"
+    val projs = (0 until bits).map(p =>
+      s"CAST(list_sum(list_transform(generate_series(1, len(v)), i -> " +
+        s"CAST(floor(v[i] * ${plane(p)} * 1048576.0 + 0.5) AS BIGINT))) AS BIGINT) AS p$p")
+      .mkString(", ")
+    val sigStr = (0 until bits).map(p =>
+      s"(CASE WHEN p$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val bandCond = (0 until bands).map(b =>
+      s"substring(q.s, ${b * rpb + 1}, $rpb) = substring(c.s, ${b * rpb + 1}, $rpb)")
+      .mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (SELECT vec_id, v, $projs FROM e),
+       |sig AS (SELECT vec_id, $sigStr AS s FROM proj),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM sig q JOIN sig c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |    AND ($bandCond)),
+       |cs AS (SELECT cd.query_id, cd.cand_id,
+       |   ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |       OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
+       |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+       |    JOIN e c ON c.vec_id = cd.cand_id),
+       |ann AS (SELECT query_id, cand_id, rank FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank FROM cs) WHERE rank <= $depth),
+       |ex AS (SELECT query_id, cand_id, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+       |      c.vec_id) AS rank
+       |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $depth),
+       |p AS (SELECT greatest(a.rank, x.rank) AS m FROM ann a
+       |  JOIN ex x USING (query_id, cand_id)),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex)
+       |SELECT CAST(ks.k AS INTEGER) AS k, n_queries,
+       |  CAST((SELECT count(*) FROM p WHERE m <= ks.k) AS BIGINT) AS n_hits,
+       |  ROUND(CAST((SELECT count(*) FROM p WHERE m <= ks.k) AS DOUBLE) /
+       |    (n_queries * ks.k), 6) AS mean_recall
+       |FROM (VALUES (1), (5), (10)) ks(k), nq""".stripMargin
   }
 
   /** Generated oracle for sim_rp_recall: replays the PORTABLE random-
@@ -3684,6 +3752,7 @@ bruteForceCosineOracle,
       "sim_rp_exact" -> bruteForceCosineOracle,
       "sim_rp_recall" -> simRpRecallOracle,
       "sim_mmr_select" -> simMmrSelectOracle,
+      "sim_recall_curve" -> simRecallCurveOracle,
       // silhouette replay: strided centroid sample, the IVF oracle's
       // round-6 dist² composition, sqrt (correctly rounded in IEEE —
       // cross-engine safe) with a GREATEST(·,0) cancellation guard,

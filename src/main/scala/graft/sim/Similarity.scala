@@ -556,6 +556,40 @@ object Similarity {
           .as("mean_recall"))
   }
 
+  /** Multi-k recall curve — [[recallAtK]] generalized to one frame of
+    * (k, n_queries, n_hits, mean_recall) rows for every k in `ks`: a hit
+    * for cutoff k is a (query, cand) pair ranked ≤ k on BOTH sides, so
+    * the matched-pair frame is built ONCE (join on ids, keep
+    * max(ann_rank, exact_rank)) and each pair contributes to every
+    * cutoff ≥ that max — no per-k re-ranking, no re-scan. Both inputs
+    * must carry at least max(ks) ranks. The curve is how an ANN
+    * parameter sweep is actually read: recall@1 (is the single best hit
+    * found) vs recall@10 (is the neighborhood found) diverge exactly
+    * when the index recalls neighborhoods but misorders them. */
+  def recallCurve(ann: DataFrame, exact: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      s"recallCurve needs positive cutoffs, got $ks")
+    val pairs = ann
+      .select(col("query_id"), col("cand_id"), col("rank").as("arank"))
+      .join(exact.select(col("query_id"), col("cand_id"),
+        col("rank").as("erank")), Seq("query_id", "cand_id"))
+      .select(greatest(col("arank"), col("erank")).as("m"))
+    val hits = pairs
+      .select(explode(typedLit(ks)).as("k"), col("m"))
+      .filter(col("m") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_hits"))
+    val spark = ann.sparkSession
+    import spark.implicits._
+    ks.toDF("k")
+      .crossJoin(exact.agg(countDistinct(col("query_id")).as("n_queries")))
+      .join(hits, Seq("k"), "left")
+      .select(col("k"), col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(when(col("n_queries") > 0,
+          coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+            (col("n_queries") * col("k"))), 6).as("mean_recall"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold found via
     * LSH buckets + exact verification (the embedding member of the dedup
     * family).

@@ -280,6 +280,28 @@ class SimilaritySpec extends SparkSpec {
       s"RP families diverged: portable=$portable xxhash=$fast")
   }
 
+  test("recallCurve: hand-computed hits per cutoff; perfect overlap = 1.0 at every k") {
+    // exact: q1 ranks (10,11,12); q2 ranks (20,21,22)
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "cand_id", "rank")
+    // ann finds q1's top-1 at rank 2 and 11 at rank 1; misses 12; q2 exact
+    val ann = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 99L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "cand_id", "rank")
+    val out = Similarity.recallCurve(ann, exact, Seq(1, 3))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // k=1: hits need both ranks ≤ 1 → only (2,20): 1/(2·1) = 0.5
+    // k=3: q1 contributes (10,max2),(11,max2); q2 all three → 5/(2·3)
+    assert(out === Seq((1, 2L, 1L, 0.5), (3, 2L, 5L, 0.833333)))
+    val perfect = Similarity.recallCurve(exact, exact, Seq(1, 2, 3))
+      .select("mean_recall").as[Double].collect()
+    assert(perfect.forall(_ === 1.0))
+    intercept[IllegalArgumentException] {
+      Similarity.recallCurve(ann, exact, Seq.empty)
+    }
+  }
+
   test("mmrSelect: hand-computed greedy order — dup penalized to last at λ=0.3") {
     // q=[1,0]; two exact copies of q (ids 1, 2), a mid vector (rel 0.8,
     // sim-to-copy 0.8), an orthogonal vector (rel 0, sim-to-copy 0).
