@@ -94,6 +94,20 @@ object ExtensionQueries {
         round(col("n").cast(DoubleType) / sum(col("n")).over(rowTotal), 6))
   }
 
+  /** Hour-of-day activity profile — the seasonality fingerprint
+    * capacity planning and anomaly baselines read: events and distinct
+    * users per hour with each hour's share of total traffic. One
+    * aggregate; the total joins back by broadcast (no unpartitioned
+    * window, same discipline as pipe_mix_report). */
+  private val evtHourly: Q = (s, dir) => {
+    val cells = events(s, dir)
+      .groupBy(hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("n")).as("__t"))))
+      .withColumn("frac", round(col("n").cast(DoubleType) / col("__t"), 6))
+      .drop("__t")
+  }
+
   // ------------------------------------------------------------------ text
   private val txtTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(col("doc_id"),
@@ -1963,6 +1977,7 @@ object ExtensionQueries {
     "evt_retention" -> evtRetention,
     "evt_sessionize" -> evtSessionize,
     "evt_transitions" -> evtTransitions,
+    "evt_hourly_profile" -> evtHourly,
     "evt_session_window" -> evtSessionWindow,
     "evt_window_counts" -> evtWindowCounts,
     "evt_trending" -> evtTrending,
@@ -3932,6 +3947,14 @@ bruteForceCosineOracle,
           | CAST(count(*) AS BIGINT) AS n_users
           |FROM a JOIN f ON f.u = a.u
           |GROUP BY 1, 2""".stripMargin,
+      "evt_hourly_profile" ->
+        """WITH h AS (SELECT CAST(date_part('hour', ts) AS INTEGER) AS hour,
+          |   CAST(count(*) AS BIGINT) AS n,
+          |   CAST(count(DISTINCT user_id) AS BIGINT) AS users
+          | FROM events GROUP BY 1)
+          |SELECT hour, n, users,
+          | ROUND(CAST(n AS DOUBLE) / (SELECT sum(n) FROM h), 6) AS frac
+          |FROM h""".stripMargin,
       // transition replay: the same (ts, event_id) lead ordering; prob is
       // one BIGINT/BIGINT IEEE division + round.
       "evt_transitions" ->
