@@ -528,6 +528,9 @@ object Quality {
     rep
       .agg(sort_array(collect_list(struct(col("mean_r"), col("r")))).as("ms"),
         count(lit(1)).as("b"))
+      // empty input → zero surviving replicas: emit NO rows (matching
+      // the oracle's GROUP BY), not a (b=0, null, null, null) row
+      .filter(col("b") > 0)
       .select(col("b"), kth(col("ms"), col("b"), 0.05).as("p05"),
         kth(col("ms"), col("b"), 0.5).as("p50"),
         kth(col("ms"), col("b"), 0.95).as("p95"))

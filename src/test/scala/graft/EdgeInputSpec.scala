@@ -182,4 +182,43 @@ class EdgeInputSpec extends SparkSpec {
     assert(dd.count() === 2)
     assert(dd.filter(col("text").isNull).select("doc_id").as[Long].head() === 2L)
   }
+
+  test("empty/degenerate inputs: round-10 operators stay defined") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    // winnowing: empty corpus → no fingerprints, no pairs, no caches
+    assert(Dedup.winnowFingerprints(empty, "text", "doc_id").count() === 0)
+    val wp = Dedup.winnowNearDups(empty, "text", "doc_id")
+    assert(wp.count() === 0); wp.unpersist(blocking = true)
+    // one-row corpus: fingerprints exist, but a self-pair never does
+    val one = Seq((1L, "just one small document here")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(one, "text", "doc_id").count() > 0)
+    val wp1 = Dedup.winnowNearDups(one, "text", "doc_id")
+    assert(wp1.count() === 0); wp1.unpersist(blocking = true)
+    // CMS over empty text corpus → zero probe rows, no crash
+    assert(TextOps.cmsTermCounts(empty, "text").count() === 0)
+    // bootstrap over an empty frame: zero replicas survive the nw > 0
+    // filter, so the CI frame is empty rather than divide-by-zero
+    val emptyNum = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(graft.quality.Quality.bootstrapMeanCI(emptyNum, "k", "v",
+      replicas = 5).count() === 0)
+    // percent rank of an empty frame is an empty frame
+    assert(graft.quality.Quality.groupPercentRank(emptyNum, "k", "v")
+      .count() === 0)
+    // merkle diff of two empty snapshots: no buckets at all
+    assert(graft.ops.Ops.merkleDiff(emptyNum, emptyNum, "k", Seq("v"))
+      .count() === 0)
+    // MMR over an empty corpus returns an empty selection and releases
+    // its relevance cache
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.sim.Similarity.mmrSelect(emptyVec,
+      emptyVec.limit(1), k = 3).count() === 0)
+    // kNN with an empty query set classifies nothing
+    val corpusVec = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.sim.Similarity.knnClassify(corpusVec,
+      corpusVec.filter(col("vec_id") < 0), k = 1).count() === 0)
+    assert((cachedIds -- before).isEmpty,
+      "edge paths must not leave cached frames behind")
+  }
 }
