@@ -1538,6 +1538,31 @@ object ExtensionQueries {
       shingleK = 15, window = 20, minShared = 2)
   }
 
+  /** End-to-end LOCAL-overlap dedup decision: [[ddWinnow]]'s pair
+    * evidence resolved by pointer-doubling connected components to
+    * (doc_id, cluster_id), cluster_id = min member id — the canonical-
+    * keeper labeling a dedup pass actually applies. The whole chain
+    * (winnowing selection → shared-fingerprint pairs → iterative
+    * components) replays in SQL (fps replay + recursive closure), so the
+    * actionable keep/drop labels hash-check — including every organic
+    * template-reuse cluster, not just the planted pairs. */
+  private val ddWinnowDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    val corpus = docs.unionByName(planted)
+    val pairs = Dedup.winnowNearDups(corpus, "text", "doc_id",
+      shingleK = 15, window = 20, minShared = 2)
+    try {
+      graft.util.Caching.reshapeAndRelease(
+        Dedup.duplicateClusters(corpus.select(col("doc_id")), "doc_id",
+          pairs.select(col("id_a"), col("id_b")))) { labels =>
+        labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      }
+    } finally pairs.unpersist(blocking = true)
+  }
+
   /** Stored winnow-index probe — the STEADY-STATE form of [[ddWinnow]]
     * (the dd_incremental_neardup analog for local fingerprints): the
     * reference corpus's (id, fp, pos) fingerprint frame is built ONCE per
@@ -1952,6 +1977,7 @@ object ExtensionQueries {
     "dd_simhash_exact" -> ddSimhashExact,
     "dd_winnow" -> ddWinnow,
     "dd_winnow_probe" -> ddWinnowProbe,
+    "dd_winnow_dedup" -> ddWinnowDedup,
     "txt_lang_confusion" -> txtLangConfusion,
     "txt_quality_pctile" -> txtQualityPctile,
     "txt_quality_ensemble" -> txtQualityEnsemble,
@@ -2153,6 +2179,27 @@ object ExtensionQueries {
          |  CAST(count(*) AS BIGINT) AS shared
          |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** Generated oracle for dd_winnow_dedup: the winnow fps replay, the
+    * shared-fingerprint pair CTE, then a RECURSIVE closure labeling each
+    * node with the minimum reachable id — the same min-label fixpoint the
+    * engine's pointer-doubling computes. */
+  private def ddWinnowDedupOracle: String =
+    "WITH RECURSIVE " + winnowFpsCtes(
+      "SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text || ' zq' FROM documents " +
+        "WHERE doc_id % 10 = 0", 15, 20) +
+      raw""",
+         |pr AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM corpus
+         |  UNION
+         |  SELECT e.b AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin
 
   /** Generated oracle for dd_winnow_probe: winnowing is per-document, so
     * selecting over the whole corpus and filtering by batch membership is
@@ -3757,6 +3804,7 @@ bruteForceCosineOracle,
       "dd_simhash_exact" -> ddSimhashExactOracle,
       "dd_winnow" -> ddWinnowOracle,
       "dd_winnow_probe" -> ddWinnowProbeOracle,
+      "dd_winnow_dedup" -> ddWinnowDedupOracle,
       // approximate-regime recall metrics: the ANN pipeline AND the
       // overlap ratio replay in SQL (portable signature / codebook
       // families), so recall@5 is a hash-checked number, not a floor.
