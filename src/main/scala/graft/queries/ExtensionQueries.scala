@@ -539,6 +539,16 @@ object ExtensionQueries {
     TextOps.cmsTermCounts(t(s, dir, "documents"), "text",
       depth = 4, width = 256, topK = 20)
 
+  /** Sketch ALGEBRA: src0's and src1's CMS cells built separately, merged
+    * by cell-wise addition, probed at the union's exact top-10 — the
+    * per-shard-sketches-combine-without-rescanning property that makes
+    * the CMS a 100 TB primitive. Cell sums are linear, so the merged
+    * sketch provably equals one built on the union (spec-pinned), and the
+    * oracle replays the direct union. */
+  private val txtCmsMerge: Q = (s, dir) =>
+    TextOps.cmsMergedCounts(t(s, dir, "documents"), "text", "source",
+      Seq("src0", "src1"), depth = 4, width = 256, topK = 10)
+
   /** Per-document salient terms: top-3 tokens by tf·idf (rational BM25
     * idf — log-free, so the score arithmetic is bit-mirrorable in SQL and
     * the whole tf/df/N pipeline is hash-checked). */
@@ -1918,6 +1928,7 @@ object ExtensionQueries {
     "dd_decontaminate_bloom" -> ddDecontaminateBloom,
     "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_cms_counts" -> txtCmsCounts,
+    "txt_cms_merge" -> txtCmsMerge,
     "txt_salient_terms" -> txtSalientTerms,
     "dd_incremental" -> ddIncremental,
     "emb_centroids" -> embCentroids,
@@ -2022,8 +2033,16 @@ object ExtensionQueries {
     * arithmetic, cell counts, exact top-20 probe terms with the (count
     * desc, term) tie-break, min-over-rows estimate — all in exact integer
     * arithmetic, so estimates AND overcounts hash-check. */
-  private def txtCmsCountsOracle: String = {
-    val depth = 4; val width = 256; val topK = 20
+  private def txtCmsCountsOracle: String = cmsOracle("documents", 20)
+
+  /** Merged-sketch oracle: cell sums are LINEAR, so per-source sketches
+    * summed cell-wise equal the sketch of the union — the oracle replays
+    * the direct union and the engine's merge must match it. */
+  private def txtCmsMergeOracle: String = cmsOracle(
+    "(SELECT * FROM documents WHERE source IN ('src0', 'src1'))", 10)
+
+  private def cmsOracle(corpusSql: String, topK: Int): String = {
+    val depth = 4; val width = 256
     def bucket(expr: String, j: Int): String = {
       def hx(i: Int) =
         s"(strpos('0123456789abcdef', substring(md5($expr || '_$j'), $i, 1)) - 1)"
@@ -2037,7 +2056,7 @@ object ExtensionQueries {
     raw"""WITH words AS MATERIALIZED (
          |  SELECT word AS w FROM (
          |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
-         |    FROM documents) WHERE word <> ''),
+         |    FROM $corpusSql) WHERE word <> ''),
          |cells AS MATERIALIZED (SELECT j, b, CAST(count(*) AS BIGINT) AS n FROM (
          |  $cellRows) GROUP BY 1, 2),
          |probes AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS exact
@@ -3056,6 +3075,7 @@ object ExtensionQueries {
              | FROM documents)
              |WHERE term <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin,
       "txt_cms_counts" -> txtCmsCountsOracle,
+      "txt_cms_merge" -> txtCmsMergeOracle,
       // score arithmetic mirrored left-to-right: (c * (N - df + 0.5)) /
       // (df + 0.5); every step integer-or-IEEE-exact, so the hash matches.
       "txt_salient_terms" ->

@@ -416,38 +416,85 @@ object TextOps {
     * join broadcasts the ≤ depth·width-row cells table. */
   def cmsTermCounts(df: DataFrame, textCol: String, depth: Int = 4,
                     width: Int = 256, topK: Int = 20): DataFrame = {
+    cmsValidate(depth, width, topK)
+    val vocab = cmsVocab(df, textCol)
+    cmsProbe(cmsCellsFromVocab(vocab, depth, width), vocab, depth, width, topK)
+  }
+
+  /** The (j, b, n) cell table of a Count-Min Sketch over `df`'s token
+    * stream — the MERGEABLE artifact: cell sums are linear in the input,
+    * so sketches of disjoint corpora combine by cell-wise addition
+    * ([[cmsMergedCounts]]) and a sketch never needs its corpus again. */
+  def cmsCells(df: DataFrame, textCol: String, depth: Int = 4,
+               width: Int = 256): DataFrame = {
+    cmsValidate(depth, width, 1)
+    cmsCellsFromVocab(cmsVocab(df, textCol), depth, width)
+  }
+
+  /** Sketch algebra: per-`groupCol` CMS cells for each of `groups`,
+    * MERGED by cell-wise addition, probed at the exact top-`topK` terms
+    * of the groups' union — the property the CMS exists for at 100 TB:
+    * per-shard/per-day sketches combine into any rollup WITHOUT
+    * rescanning a corpus. Cell sums are linear, so the merged sketch is
+    * provably identical to one built directly on the union (spec-pinned),
+    * which also makes the oracle the direct-union replay. Same
+    * (term, exact, est, overcount) contract as [[cmsTermCounts]]. */
+  def cmsMergedCounts(df: DataFrame, textCol: String, groupCol: String,
+                      groups: Seq[String], depth: Int = 4, width: Int = 256,
+                      topK: Int = 20): DataFrame = {
+    cmsValidate(depth, width, topK)
+    require(groups.nonEmpty, "cmsMergedCounts needs at least one group")
+    val merged = groups
+      .map(g => cmsCells(df.filter(col(groupCol) === g), textCol, depth, width))
+      .reduce(_ unionByName _)
+      .groupBy("j", "b").agg(sum(col("n")).as("n"))
+    val unionVocab = cmsVocab(df.filter(col(groupCol).isin(groups: _*)), textCol)
+    cmsProbe(merged, unionVocab, depth, width, topK)
+  }
+
+  private def cmsValidate(depth: Int, width: Int, topK: Int): Unit = {
     require(depth > 0 && depth <= 16, s"depth must be in [1, 16], got $depth")
     require(width > 1 && width <= 65536,
       s"width must be in [2, 65536], got $width")
     require(topK > 0, s"topK must be > 0, got $topK")
-    val vocab = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+  }
+
+  private def cmsVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    // row-j bucket: 16 md5 bits of (term, row) arithmetically decoded —
-    // the same SQL-mirrorable trick as hashEmbed/dsirCounts
+
+  // row-j bucket: 16 md5 bits of (term, row) arithmetically decoded —
+  // the same SQL-mirrorable trick as hashEmbed/dsirCounts
+  private def cmsCellOf(depth: Int, width: Int): Seq[Column] = {
     def bucket(j: Int): Column = {
       def hx(i: Int): Column = expr(
         s"instr('0123456789abcdef', substring(md5(concat(w, '_$j')), $i, 1)) - 1")
       pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4), lit(width))
         .cast(IntegerType)
     }
-    val cellOf = (0 until depth).map(j =>
-      struct(lit(j).as("j"), bucket(j).as("b")))
-    val cells = vocab
-      .select(col("cnt"), explode(array(cellOf: _*)).as("c"))
+    (0 until depth).map(j => struct(lit(j).as("j"), bucket(j).as("b")))
+  }
+
+  private def cmsCellsFromVocab(vocab: DataFrame, depth: Int,
+                                width: Int): DataFrame =
+    vocab
+      .select(col("cnt"), explode(array(cmsCellOf(depth, width): _*)).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))
       .agg(sum(col("cnt")).as("n"))
-    val probes = vocab.withColumnRenamed("cnt", "exact")
+
+  private def cmsProbe(cells: DataFrame, vocab: DataFrame, depth: Int,
+                       width: Int, topK: Int): DataFrame =
+    vocab.withColumnRenamed("cnt", "exact")
       .orderBy(col("exact").desc, col("w")).limit(topK)
-    probes
-      .select(col("w"), col("exact"), explode(array(cellOf: _*)).as("c"))
+      .select(col("w"), col("exact"),
+        explode(array(cmsCellOf(depth, width): _*)).as("c"))
       .select(col("w"), col("exact"), col("c.j").as("j"), col("c.b").as("b"))
       .join(broadcast(cells), Seq("j", "b"))
       .groupBy(col("w").as("term"))
       .agg(first(col("exact")).as("exact"), min(col("n")).as("est"))
       .select(col("term"), col("exact"), col("est"),
         (col("est") - col("exact")).as("overcount"))
-  }
 
   /** Frequency-rank vocabulary: the `vocabSize` most frequent tokens with
     * dense 1-based ids assigned by (count DESC, term ASC) — the id 0 is

@@ -752,6 +752,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("cmsMergedCounts ≡ direct sketch over the union (cell sums are linear)") {
+    val df = (Seq.fill(5)(("a", "alpha beta")) ++ Seq.fill(3)(("b", "beta gamma")) ++
+      Seq.fill(2)(("c", "delta"))).zipWithIndex
+      .map { case ((src, t), i) => (i.toLong, src, t) }.toDF("id", "source", "text")
+    val merged = TextOps.cmsMergedCounts(df, "text", "source", Seq("a", "b"),
+        depth = 4, width = 64, topK = 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = TextOps.cmsTermCounts(df.filter(col("source").isin("a", "b")),
+        "text", depth = 4, width = 64, topK = 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged === direct, s"merge != direct:\n$merged\n$direct")
+    // the 'c' group never entered the merged sketch
+    assert(!merged.exists(_._1 == "delta"))
+    intercept[IllegalArgumentException] {
+      TextOps.cmsMergedCounts(df, "text", "source", Seq.empty)
+    }
+  }
+
   test("cmsTermCounts: depth-1 width-2 pigeonholes terms — estimate = bucket mass, still >= exact") {
     // Tiny sketch forces collisions deterministically: every estimate is
     // the full mass of its single bucket, so sum(est over probes) >= total
