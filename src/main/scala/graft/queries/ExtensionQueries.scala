@@ -187,6 +187,24 @@ object ExtensionQueries {
       .drop("__tt")
   }
 
+  /** Per-source top-3 documents by quality through the native
+    * bounded-heap aggregate — the grouped-selection shape ("best k
+    * examples per domain") at scale: map-side partial heaps cap the
+    * shuffle at k rows per group per partition, where the window
+    * formulation (which the oracle replays — identical (score desc, id)
+    * tie-break) shuffles and sorts every row of every group. */
+  private val w15TopkPerGroup: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .groupBy(col("source"))
+      .agg(call_function("topk_desc", col("quality"), col("doc_id"), lit(3))
+        .as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), col("e.id").as("doc_id"),
+        col("e.score").as("quality"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+
   /** Rank-fusion quality ensemble: two signals on incompatible scales
     * (the [0,1] structural quality blend; the stopword ratio) are each
     * percent-ranked over the corpus, then averaged — rank averaging is
@@ -1993,6 +2011,7 @@ object ExtensionQueries {
     "txt_quality_pctile" -> txtQualityPctile,
     "txt_quality_ensemble" -> txtQualityEnsemble,
     "pipe_mix_report" -> pipeMixReport,
+    "w15_topk_per_group" -> w15TopkPerGroup,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_index_probe" -> ddIndexProbe,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -2860,6 +2879,27 @@ object ExtensionQueries {
              |     x -> list_contains($list, regexp_replace(x, '[^\p{L}]', '', 'g')))) AS hits
              |  FROM documents)""".stripMargin
       },
+      // heap ≡ window: the bounded-heap aggregate keeps (score desc, id
+      // asc), identical to the row_number tie-break the oracle replays.
+      "w15_topk_per_group" ->
+        raw"""WITH q AS (SELECT source, doc_id, ROUND(
+             |   LEAST(nchars / 500.0, 1.0) * 0.25
+             | + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+             | + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+             | + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+             |     THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+             |FROM (SELECT source, doc_id,
+             |   CAST(length(text) AS DOUBLE) AS nchars,
+             |   CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+             |   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+             | FROM documents))
+             |SELECT source, doc_id, quality, rank FROM (
+             |  SELECT source, doc_id, quality,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id) AS INTEGER) AS rank FROM q)
+             |WHERE rank <= 3""".stripMargin,
       "txt_quality_ensemble" -> {
         val list = TextOps.markers("en").map(w => s"'$w'").mkString("[", ", ", "]")
         raw"""WITH q AS MATERIALIZED (SELECT doc_id, ROUND(
