@@ -187,6 +187,20 @@ object ExtensionQueries {
       .drop("__tt")
   }
 
+  /** Per-source document-length profile: count plus exact length
+    * quartiles — the shape audit a corpus release ships (sources with
+    * truncated or bloated length distributions jump out of the quartile
+    * table). One grouped aggregate; exact percentiles are fine at
+    * |sources| groups (approximate percentile is the 100 TB default and
+    * is covered by pr4). */
+  private val txtLenProfile: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        percentile(length(col("text")), lit(0.25)).as("p25"),
+        percentile(length(col("text")), lit(0.5)).as("p50"),
+        percentile(length(col("text")), lit(0.75)).as("p75"))
+
   /** Per-source top-3 documents by quality through the native
     * bounded-heap aggregate — the grouped-selection shape ("best k
     * examples per domain") at scale: map-side partial heaps cap the
@@ -2012,6 +2026,7 @@ object ExtensionQueries {
     "txt_quality_ensemble" -> txtQualityEnsemble,
     "pipe_mix_report" -> pipeMixReport,
     "w15_topk_per_group" -> w15TopkPerGroup,
+    "txt_len_profile" -> txtLenProfile,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_index_probe" -> ddIndexProbe,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -2879,6 +2894,12 @@ object ExtensionQueries {
              |     x -> list_contains($list, regexp_replace(x, '[^\p{L}]', '', 'g')))) AS hits
              |  FROM documents)""".stripMargin
       },
+      "txt_len_profile" ->
+        raw"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+             | quantile_cont(length(text), 0.25) AS p25,
+             | quantile_cont(length(text), 0.5) AS p50,
+             | quantile_cont(length(text), 0.75) AS p75
+             |FROM documents GROUP BY 1""".stripMargin,
       // heap ≡ window: the bounded-heap aggregate keeps (score desc, id
       // asc), identical to the row_number tie-break the oracle replays.
       "w15_topk_per_group" ->

@@ -686,6 +686,17 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("total"),
         grouping_id().cast(LongType).as("gid"))
 
+  /** J9 — LEFT SEMI join: existence filtering without duplicating or
+    * widening rows (the relational half of j6's bloom prune — semi is
+    * what the bloom approximates). Customers with at least one
+    * high-value order, customer columns only, each exactly once. */
+  private val j9SemiJoin: Q = (s, dir) => {
+    val highValue = t(s, dir, "orders").filter(col("o_totalprice") > 470000)
+      .select(col("o_custkey").as("c_custkey"))
+    t(s, dir, "customer").join(highValue, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
   /** A14 — explicit GROUPING SETS: the {(status, priority), (status),
     * (priority)} shape neither ROLLUP (hierarchical) nor CUBE (adds the
     * grand total) expresses — the Dataset.groupingSets API surface beside
@@ -743,6 +754,7 @@ object RelationalQueries {
     "k11_changeset_apply" -> k11ChangesetApply,
     "j7_anti_join" -> j7AntiJoin,
     "j8_shuffle_hash_join" -> j8ShuffleHashJoin,
+    "j9_semi_join" -> j9SemiJoin,
     "a14_grouping_sets" -> a14GroupingSets,
     "a15_bootstrap_ci" -> a15BootstrapCi,
     "a9_rollup" -> a9Rollup,
@@ -826,6 +838,10 @@ object RelationalQueries {
     "j7_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 470000)""".stripMargin,
+    "j9_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 470000)""".stripMargin,
     // the SHUFFLE_HASH hint is physical-plan-only; logical results are
     // the plain join's.
