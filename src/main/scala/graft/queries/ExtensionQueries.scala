@@ -2134,8 +2134,13 @@ object ExtensionQueries {
            |s$i AS MATERIALIZED (SELECT replace(seg, $o||b.l||$c||$o||b.r||$c,
            |    $o||b.l||b.r||$c) AS seg, freq FROM s$p, b$i b)""".stripMargin
     }
+    // CAST is load-bearing: DuckDB sum(BIGINT) is HUGEINT, whose
+    // client-side conversion is version-dependent (pandas float64 on some
+    // stacks — "4568.0" vs the engine's "4568" breaks the value hash while
+    // rows/schema still match). Keep every hashed contract at BIGINT.
     val union = (1 to rounds).map(i =>
-      s"""SELECT merge_rank, l AS "left", r AS "right", cnt AS pair_count FROM b$i""")
+      s"""SELECT merge_rank, l AS "left", r AS "right",
+         |  CAST(cnt AS BIGINT) AS pair_count FROM b$i""".stripMargin)
       .mkString(" UNION ALL ")
     s"WITH $head,\n${steps.mkString(",\n")}\n" +
       s"SELECT * FROM ($union) ORDER BY merge_rank"

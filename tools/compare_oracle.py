@@ -63,6 +63,26 @@ for name in sorted(os.listdir(outdir)):
         fails.append((name, f"oracle SQL error: {e}"))
         n_fail += 1
         continue
+    # Portability guard (round-11 post-mortem of txt_bpe_learn): DuckDB
+    # HUGEINT (e.g. an uncast sum(BIGINT)) converts client-side in a
+    # version-dependent way — pandas float64 on some stacks — so "4568.0"
+    # vs the engine's "4568" fails the driver's value hash while the
+    # builder's tolerant compare stays green. No hashed oracle may emit
+    # one; CAST(... AS BIGINT) in the SQL.
+    hug = [f.name for f in ora.schema
+           if "decimal" in str(f.type) and str(f.type).startswith("decimal128(38")]
+    try:
+        dtypes = con.execute(f"DESCRIBE ({oracles[name]})").fetchall() \
+            if not oracles[name].lstrip().lower().startswith("with") \
+            else con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        hug = [r[0] for r in dtypes if r[1] in ("HUGEINT", "UHUGEINT")]
+    except Exception:
+        pass  # DESCRIBE quirks never fail the gate; the arrow probe stands
+    if hug:
+        fails.append((name, f"PORTABILITY: oracle emits HUGEINT column(s) "
+                            f"{hug} — cast to BIGINT in the SQL"))
+        n_fail += 1
+        continue
     scols, ocols = sorted(spark_df.column_names), sorted(ora.column_names)
     if scols != ocols:
         fails.append((name, f"schema mismatch: spark={scols} oracle={ocols}"))
