@@ -315,7 +315,14 @@ object Ops {
     * nothing global (contrast a global `row_number`, which funnels the
     * corpus through one partition). Choose numShards ≥ cluster
     * parallelism so the sort stays partition-local; the md5 rank string
-    * never leaves the exchange (projected away after the window). */
+    * never leaves the exchange (projected away after the window).
+    *
+    * Contract note: the SHARD id derives from only the first 32 bits
+    * (8 hex digits) of the md5 — uniform for any numShards ≤ 65536 (the
+    * enforced cap; 2^32 is an exact multiple of every power of two and
+    * the modulo bias for other shard counts is ≤ numShards/2^32 — at the
+    * cap, < 0.002%). The within-shard ORDER uses the full 128-bit
+    * digest, so position ties are impossible for distinct keys. */
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int,
                     seed: String = "graft"): DataFrame = {
     require(numShards > 0 && numShards <= 65536,

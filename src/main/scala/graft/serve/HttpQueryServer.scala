@@ -93,8 +93,9 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
             else {
               try {
                 val vec = elems.map(_.toFloat).toSeq
-                val k = math.min(km.group(1).toInt, svc.maxK)
-                val hits = svc.topK(vec, math.max(k, 1))
+                // clamp ONCE so the echoed "k" always matches the k served
+                val k = math.min(math.max(km.group(1).toInt, 1), svc.maxK)
+                val hits = svc.topK(vec, k)
                   .map { case (id, score, rank) =>
                     s"""{"id":$id,"score":$score,"rank":$rank}""" }
                   .mkString("[", ",", "]")

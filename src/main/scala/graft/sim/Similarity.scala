@@ -415,8 +415,10 @@ object Similarity {
       s"lambda must be in [0, 1], got $lambda")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // order before limit(1): a multi-row query frame must still yield a
+    // deterministic, SQL-replayable selection (lowest id wins)
     val q = query.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .limit(1)
+      .orderBy(col("query_id")).limit(1)
     val rel = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
       .join(broadcast(q), col("query_id") =!= col("cand_id"))
       .select(col("cand_id"), col("cvec"),

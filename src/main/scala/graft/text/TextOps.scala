@@ -444,11 +444,15 @@ object TextOps {
                       topK: Int = 20): DataFrame = {
     cmsValidate(depth, width, topK)
     require(groups.nonEmpty, "cmsMergedCounts needs at least one group")
-    val merged = groups
+    // dedupe: a repeated group would add its cells once per mention while
+    // the isin-based union vocab counts rows once, silently breaking the
+    // merged ≡ direct-union law
+    val gs = groups.distinct
+    val merged = gs
       .map(g => cmsCells(df.filter(col(groupCol) === g), textCol, depth, width))
       .reduce(_ unionByName _)
       .groupBy("j", "b").agg(sum(col("n")).as("n"))
-    val unionVocab = cmsVocab(df.filter(col(groupCol).isin(groups: _*)), textCol)
+    val unionVocab = cmsVocab(df.filter(col(groupCol).isin(gs: _*)), textCol)
     cmsProbe(merged, unionVocab, depth, width, topK)
   }
 

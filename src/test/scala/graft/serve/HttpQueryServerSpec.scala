@@ -123,8 +123,14 @@ class HttpQueryServerSpec extends SparkSpec {
       // k is capped at the service's maxK rather than erroring
       val big = postAnn(port, s"""{"vec": $q, "k": 9999}""")
       assert(big.statusCode() === 200)
+      assert(big.body().contains(""""k":10"""), big.body())
       assert(""""rank":(\d+)""".r.findAllMatchIn(big.body())
         .map(_.group(1).toInt).max <= 10)
+      // k:0 clamps to 1 AND the echoed k reports the clamped value
+      val zero = postAnn(port, s"""{"vec": $q, "k": 0}""")
+      assert(zero.statusCode() === 200)
+      assert(zero.body().contains(""""k":1"""), zero.body())
+      assert(""""id":(-?\d+)""".r.findAllMatchIn(zero.body()).size === 1)
     } finally srv.stop()
   }
 }

@@ -316,6 +316,13 @@ class SimilaritySpec extends SparkSpec {
         lambda = 0.3)
       .orderBy("rank").select("rank", "cand_id").as[(Int, Long)].collect().toSeq
     assert(out.map(_._2) === Seq(1L, 4L, 3L, 2L))
+    // a multi-row query frame picks the LOWEST id deterministically —
+    // same greedy order as querying id 0 explicitly
+    val multi = Similarity.mmrSelect(d, d.filter(col("vec_id") <= 2), k = 4,
+        lambda = 0.3)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    assert(multi === Seq(1L, 4L, 3L, 2L),
+      s"multi-row query frame must select lowest id (0) as query: $multi")
   }
 
   test("mmrSelect at λ=1 ≡ pure relevance ranking (brute-force order)") {

@@ -768,6 +768,12 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.cmsMergedCounts(df, "text", "source", Seq.empty)
     }
+    // duplicated group mentions must not double-count cells — the law
+    // holds for any caller input
+    val dup = TextOps.cmsMergedCounts(df, "text", "source",
+        Seq("a", "b", "a"), depth = 4, width = 64, topK = 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(dup === direct, s"dup groups broke merge ≡ direct:\n$dup\n$direct")
   }
 
   test("cmsTermCounts: depth-1 width-2 pigeonholes terms — estimate = bucket mass, still >= exact") {
