@@ -445,6 +445,16 @@ object ExtensionQueries {
   private val txtBpeLearn: Q = (s, dir) =>
     TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
 
+  /** The batched trainer on the same corpus/merge budget — bit-identical
+    * to [[txtBpeLearn]] by the independence argument (spec-pinned), so it
+    * shares the sequential trainer's unrolled oracle verbatim. maxBatch=4
+    * keeps multi-merge passes in play at 8 merges (the production shape;
+    * a 32k-merge vocab would run maxBatch=64 for ~5× fewer driver
+    * round-trips). */
+  private val txtBpeLearnBatched: Q = (s, dir) =>
+    TextOps.bpeMergesBatched(t(s, dir, "documents"), "text", numMerges = 8,
+      maxBatch = 4)
+
   /** Sequence packing (concatenate-and-chop, 512-token windows, 8
     * shards): per-shard cumulative token layout, window index from the
     * running sum — the whole layout arithmetic is hash-checked against
@@ -1977,6 +1987,7 @@ object ExtensionQueries {
     "txt_tokenize_ids" -> txtTokenizeIds,
     "txt_bpe_segment" -> txtBpeSegment,
     "txt_bpe_learn" -> txtBpeLearn,
+    "txt_bpe_learn_batched" -> txtBpeLearnBatched,
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
@@ -3335,6 +3346,7 @@ object ExtensionQueries {
              | segs[CAST(p.pos + 1 AS INTEGER)] AS sym
              |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin,
       "txt_bpe_learn" -> txtBpeLearnOracle,
+      "txt_bpe_learn_batched" -> txtBpeLearnOracle,
       // stage mirrors: quality (txt_quality_score), exact-median gate
       // (txt_quality_gate), hash-bucket mixture (w10), then the aggregate.
       "pipe_curate_corpus" ->

@@ -719,10 +719,10 @@ object TextOps {
     *
     * COST MODEL: one Spark job (top-1 aggregate + map-only rewrite) PER
     * MERGE — O(numMerges) driver round-trips over the |vocab|-row type
-    * table. Right-sized for the hundreds-to-few-thousand merges a
-    * pipeline-local subword vocab needs; a 32k-merge production
-    * tokenizer wants a dedicated trainer (batching non-overlapping
-    * merges per pass cuts rounds ~5× but stays O(numMerges) jobs) —
+    * table. This is the oracle-replayed reference form; a production
+    * 32k-merge tokenizer should train with [[bpeMergesBatched]], which
+    * applies whole batches of provably-independent merges per pass
+    * (O(numMerges/batch) jobs, bit-identical output — spec-pinned) —
     * train once, then encode with [[bpeSegment]]/[[bpeTokenizeToIds]],
     * which are map-only and corpus-scale. */
   def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
@@ -746,16 +746,7 @@ object TextOps {
       var done = false
       while (i < numMerges && !done) {
         i += 1
-        val syms = split(col("seg"), BpeSep)
-        val top = seg.filter(size(syms) >= 2)
-          .select(col("freq"), explode(
-              transform(sequence(lit(0), size(syms) - 2),
-                j => struct(element_at(syms, j + 1).as("l"),
-                  element_at(syms, j + 2).as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
+        val top = bpePairCounts(seg).limit(1).collect()
         if (top.isEmpty || top(0).getAs[Long]("cnt") < minPairCount) done = true
         else {
           val (l, r, cnt) = (top(0).getAs[String]("l"),
@@ -765,6 +756,119 @@ object TextOps {
               regexp_replace(col("seg"), mergePattern(l, r),
                 java.util.regex.Matcher.quoteReplacement(l + r)).as("seg"),
               col("freq")))
+            .persist(lvl)
+          next.count() // materialize before releasing the parent
+          seg.unpersist(blocking = true)
+          seg = next
+        }
+      }
+    } finally seg.unpersist(blocking = true)
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Weighted adjacent-pair counts over a (seg, freq) word-type table,
+    * ordered by the BPE argmax contract (cnt desc, l, r asc) — the one
+    * aggregate both trainers share. */
+  private def bpePairCounts(seg: DataFrame): DataFrame = {
+    val syms = split(col("seg"), BpeSep)
+    seg.filter(size(syms) >= 2)
+      .select(col("freq"), explode(
+          transform(sequence(lit(0), size(syms) - 2),
+            j => struct(element_at(syms, j + 1).as("l"),
+              element_at(syms, j + 2).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+  }
+
+  /** Batched BPE trainer — BIT-IDENTICAL output to [[bpeMerges]] (the
+    * spec pins it on the Sennrich corpus and on real text) at
+    * O(numMerges / batch) Spark jobs instead of one per merge: each pass
+    * collects the ranked pair-count head and applies the longest prefix
+    * of merges that is PROVABLY independent, i.e. whose sequential
+    * replay the pre-pass counts already determine.
+    *
+    * Independence argument (why the output is exactly sequential BPE):
+    * merging (a,b)→ab only changes counts of pairs TOUCHING a, b, or
+    * the new symbol ab — any pair disjoint from those three keeps its
+    * exact count, and every NEWLY CREATED pair (x,ab)/(ab,y)/(ab,ab) is
+    * bounded by a pre-pass pair touching a or b. So, scanning the
+    * ranked list: keep adding pairs while each is symbol-disjoint from
+    * every earlier batch member's {l, r, l+r}; STOP at the first
+    * overlap — its count bounds everything the batch's merges can
+    * perturb or create. Batch members with count EQUAL to that boundary
+    * are trimmed (a created pair could tie them and win the (l, r)
+    * tie-break); if trimming empties the batch, the pass degrades to
+    * the always-exact sequential top-1, so progress is guaranteed and
+    * the worst case is plain [[bpeMerges]].
+    *
+    * Scale shape: identical per-pass plan to [[bpeMerges]] (pair
+    * explode + sum over the word-TYPE table, then ONE map-only rewrite
+    * folding the whole batch), with the driver collect bounded at
+    * max(64, 4·batch) fixed-width rows. Lineage truncation and cache
+    * residency as in [[bpeMerges]]. */
+  def bpeMergesBatched(df: DataFrame, textCol: String, numMerges: Int,
+                       minPairCount: Long = 2L, maxBatch: Int = 64): DataFrame = {
+    require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
+    require(maxBatch > 0, s"maxBatch must be > 0, got $maxBatch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def truncated(d: DataFrame): DataFrame = spark.createDataFrame(d.rdd, d.schema)
+
+    var seg = truncated(
+        df.select(explode(tokens(lower(col(textCol)))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(concat_ws(BpeSep, split(col("word"), "")).as("seg"), col("freq")))
+      .persist(lvl)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var done = false
+      while (merges.length < numMerges && !done) {
+        val cap = math.min(maxBatch, numMerges - merges.length)
+        val fetch = math.max(64, cap * 4)
+        val rows = bpePairCounts(seg).limit(fetch).collect()
+          .map(r => (r.getAs[String]("l"), r.getAs[String]("r"),
+            r.getAs[Long]("cnt")))
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        // None = no boundary seen (the scan covered every remaining pair)
+        var boundary: Option[Long] = None
+        var stop = false
+        var idx = 0
+        while (idx < rows.length && !stop) {
+          val (l, r, c) = rows(idx)
+          if (c < minPairCount) stop = true // below-threshold tail can't perturb
+          else if (batch.length == cap || used(l) || used(r) || used(l + r)) {
+            boundary = Some(c); stop = true
+          } else {
+            batch += ((l, r, c)); used += l; used += r; used += (l + r)
+            idx += 1
+          }
+        }
+        if (boundary.isEmpty && !stop && rows.length == fetch)
+          boundary = rows.lastOption.map(_._3) // unseen tail ≤ last fetched
+        boundary.foreach { b =>
+          while (batch.nonEmpty && batch.last._3 == b) batch.remove(batch.length - 1)
+        }
+        if (batch.isEmpty) {
+          // degrade to the always-exact sequential top-1
+          rows.headOption.filter(_._3 >= minPairCount) match {
+            case Some(top) => batch += top
+            case None => done = true
+          }
+        }
+        if (!done) {
+          batch.foreach { case (l, r, c) =>
+            merges += ((merges.length + 1, l, r, c))
+          }
+          val rewritten = batch.foldLeft(col("seg")) { case (acc, (l, r, _)) =>
+            regexp_replace(acc, mergePattern(l, r),
+              java.util.regex.Matcher.quoteReplacement(l + r))
+          }
+          val next = truncated(seg.select(rewritten.as("seg"), col("freq")))
             .persist(lvl)
           next.count() // materialize before releasing the parent
           seg.unpersist(blocking = true)

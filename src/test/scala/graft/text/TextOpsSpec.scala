@@ -431,6 +431,32 @@ class TextOpsSpec extends SparkSpec {
     assert(segs === Seq("low", "est"))
   }
 
+  test("bpeMergesBatched ≡ bpeMerges bit-identically at every batch width") {
+    // The Sennrich corpus exercises the trim rule directly: (e,s) and
+    // (s,t) tie at 9 sharing 's', so pass 1 must degrade to the
+    // sequential top-1 rather than batch a tied overlap.
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val seqTable = TextOps.bpeMerges(df, "text", numMerges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    for (b <- Seq(1, 2, 8, 64)) {
+      val bat = TextOps.bpeMergesBatched(df, "text", numMerges = 4, maxBatch = b)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(bat === seqTable, s"maxBatch=$b diverged from sequential")
+    }
+  }
+
+  test("bpeMergesBatched ≡ bpeMerges on real text (12 merges, narrow batches)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seqTable = TextOps.bpeMerges(docs, "text", numMerges = 12)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val bat = TextOps.bpeMergesBatched(docs, "text", numMerges = 12, maxBatch = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(bat === seqTable)
+    assert(seqTable.length === 12)
+  }
+
   test("bpeVocabulary + bpeTokenizeToIds: subword ids, OOV symbols → 0") {
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
