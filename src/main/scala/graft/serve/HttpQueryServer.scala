@@ -25,7 +25,7 @@ import java.nio.charset.StandardCharsets
   * extraction is two anchored regexes over the (tiny) request body — the
   * contract is exactly two scalar fields, not arbitrary JSON. */
 final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
-                            ann: Option[AnnService] = None) {
+                            ann: Option[AnnBackend] = None) {
   require(maxLimit > 0, s"maxLimit must be > 0, got $maxLimit")
 
   @volatile private var server: HttpServer = _
@@ -78,7 +78,7 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
   /** `POST /ann {"vec": [f, ...], "k": n}` → bounded top-k over the stored
     * IVF index. k is CAPPED at the service's maxK (mirror of the table
     * route's limit cap); a wrong-dimension or malformed vector is a 400. */
-  private def annHandler(svc: AnnService): HttpHandler = (ex: HttpExchange) =>
+  private def annHandler(svc: AnnBackend): HttpHandler = (ex: HttpExchange) =>
     try {
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST only"}""")

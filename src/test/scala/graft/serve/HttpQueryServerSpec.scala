@@ -133,4 +133,45 @@ class HttpQueryServerSpec extends SparkSpec {
       assert(""""id":(-?\d+)""".r.findAllMatchIn(zero.body()).size === 1)
     } finally srv.stop()
   }
+
+  test("POST /ann over a stored RESIDUAL IVF-PQ index (zero-residual golden probe)") {
+    // IvfPqSpec's grid alphabet: gridVec(i) depends only on i % 4, so 48
+    // vectors collapse to 4 distinct points and k-means at nlist = 4
+    // recovers them exactly — every residual is zero and the served score
+    // q·centroid + ADC(0) must equal the exact inner product. Querying
+    // gridVec(0) = [1,0,0,2,2,2,-1,1]: q·q = 15, and all 12 copies
+    // (ids ≡ 0 mod 4) tie at 15.0.
+    val alphabet = Seq(
+      Array(1f, 0f), Array(0f, 2f), Array(2f, 2f), Array(-1f, 1f))
+    def gridVec(i: Int): Array[Float] =
+      (0 until 4).flatMap(j => alphabet((i + j) % 4)).toArray
+    val corpus = (0 until 48).map(i => (i.toLong, gridVec(i)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.sim.IvfPq.buildResidualIndex(corpus, nlist = 4, m = 4,
+      codebookSize = 4)
+    val root = java.nio.file.Files.createTempDirectory("ann_ivfpq_idx_").toString
+    idx.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    idx.codebooks.write.mode("overwrite").parquet(s"$root/codebooks")
+    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
+    val ann = AnnPqService.overParquetDir(spark, root, maxK = 10, nprobe = 4)
+    assert(ann.dim === 8)
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, Some(ann))
+    val port = srv.start()
+    try {
+      val q = gridVec(0).mkString("[", ",", "]")
+      val r = postAnn(port, s"""{"vec": $q, "k": 3}""")
+      assert(r.statusCode() === 200, r.body())
+      val ids = """"id":(-?\d+)""".r.findAllMatchIn(r.body())
+        .map(_.group(1).toLong).toSeq
+      assert(ids.size === 3, r.body())
+      assert(ids.forall(_ % 4 == 0), s"expected gridVec(0) copies: ${r.body()}")
+      val scores = """"score":(-?[\d.]+)""".r.findAllMatchIn(r.body())
+        .map(_.group(1).toDouble).toSeq
+      assert(scores === Seq(15.0, 15.0, 15.0), r.body())
+      // dimension mismatch stays a 400 through the PQ backend too
+      assert(postAnn(port, """{"vec": [1.0, 2.0], "k": 2}""").statusCode() === 400)
+    } finally srv.stop()
+  }
 }
