@@ -1516,6 +1516,28 @@ object ExtensionQueries {
       shortlist = Int.MaxValue)
   }
 
+  /** Stored-index RP probe — the family's steady-state form, completing
+    * the stored-probe set ([[simIvfProbe]], [[simPqProbe]],
+    * [[simIvfpqProbe]]): the portable (id, vec, r) reduced frame is
+    * written once and probed WITHOUT re-projecting the corpus — each
+    * probe projects only the 10 query vectors, ranks the shortlist by
+    * the exact LONG reduced dot over the stored coordinates, and reranks
+    * the 20 survivors. Unlike the quantized families this one is
+    * hash-green at a PARTIAL shortlist: the stored LONG coordinates
+    * replay exactly in SQL, so the full ANN rows are the oracle
+    * contract, not just a recall number. */
+  private val simRpProbe: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val root = storedIndexPath("rp", dir) { out =>
+      Similarity.rpReducePortable(emb, "vec_id", "embedding",
+          dimOut = 8, seed = 42)
+        .write.mode("overwrite").parquet(s"$out/reduced")
+    }
+    Similarity.rpProbePortable(s.read.parquet(s"$root/reduced"),
+      emb.filter(col("vec_id") < 10), k = 5, shortlist = 20,
+      dimOut = 8, seed = 42)
+  }
+
   /** RP member of the recall family ([[simLshRecall]], [[simPqRecall]],
     * [[simIvfRecall]]): recall@5 of the PORTABLE JL pipeline (md5-derived
     * planes, integer-quantized LONG coordinates, long-exact shortlist
@@ -2021,6 +2043,7 @@ object ExtensionQueries {
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
     "sim_rp_topk" -> simRpTopk,
     "sim_rp_exact" -> simRpExact,
+    "sim_rp_probe" -> simRpProbe,
     "sim_rp_recall" -> simRpRecall,
     "sim_mmr_select" -> simMmrSelect,
     "sim_knn_classify" -> simKnnClassify,
@@ -2438,8 +2461,11 @@ object ExtensionQueries {
     * 2^26 and an 8-term dot 2^55, outside double-exact range), the top-20
     * survivors pay the rounded-cosine rerank, then the same recall
     * reduction vs exact brute force. */
-  private def simRpRecallOracle: String = {
-    val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
+  /** Shared RP-replay CTE prefix (e → proj → short → cs): portable
+    * projection, LONG-exact shortlist ranking, rounded-cosine scoring of
+    * the survivors — the pipeline both [[simRpRecallOracle]] and
+    * [[simRpProbeOracle]] consume. */
+  private def rpShortlistCtes(dimOut: Int, shortlist: Int, seed: Int): String = {
     def plane(p: Int) =
       "(CAST(list_sum(list_transform(generate_series(1,13), j -> " +
         "CAST(strpos('0123456789abcdef', substring(md5(CAST(i - 1 AS VARCHAR) || " +
@@ -2450,7 +2476,7 @@ object ExtensionQueries {
         s"CAST(floor(v[i] * ${plane(p)} * 1048576.0 + 0.5) AS BIGINT))) AS BIGINT) AS p$p")
       .mkString(", ")
     val rdot = (0 until dimOut).map(p => s"q.p$p * c.p$p").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |proj AS (SELECT vec_id, v, $projs FROM e),
        |short AS (SELECT query_id, cand_id FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -2463,7 +2489,29 @@ object ExtensionQueries {
        |       OR list_dot_product(c.v, c.v) = 0 THEN 0.0
        |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
        |  FROM short sh JOIN e q ON q.vec_id = sh.query_id
-       |    JOIN e c ON c.vec_id = sh.cand_id),
+       |    JOIN e c ON c.vec_id = sh.cand_id)""".stripMargin
+  }
+
+  /** Generated oracle for sim_rp_probe: the stored-index probe returns
+    * the ANN rows themselves (query_id, cand_id, cosine, rank ≤ k), so
+    * the oracle is the shared RP replay with a final ranked SELECT —
+    * identical to what the engine's stored (id, vec, r) frame + query
+    * projection compute, because the stored LONG coordinates replay
+    * exactly. */
+  private def simRpProbeOracle: String = {
+    val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
+    s"""WITH ${rpShortlistCtes(dimOut, shortlist, seed)}
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+       |  FROM cs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  private def simRpRecallOracle: String = {
+    val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
+    s"""WITH ${rpShortlistCtes(dimOut, shortlist, seed)},
        |ann AS (SELECT query_id, cand_id FROM (
        |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, cand_id) AS rank FROM cs) WHERE rank <= $k),
@@ -3911,6 +3959,7 @@ bruteForceCosineOracle,
       // reduced-space ranking ⇒ rerank sees the full corpus ⇒ provably
       // brute force (the lshTopK bits=0 analog for random projection).
       "sim_rp_exact" -> bruteForceCosineOracle,
+      "sim_rp_probe" -> simRpProbeOracle,
       "sim_rp_recall" -> simRpRecallOracle,
       "sim_mmr_select" -> simMmrSelectOracle,
       "sim_recall_curve" -> simRecallCurveOracle,

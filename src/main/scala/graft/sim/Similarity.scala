@@ -358,6 +358,30 @@ object Similarity {
       dimOut)
   }
 
+  /** Probe a STORED random-projection index — the steady-state form that
+    * completes the stored-probe family (LSH/PQ/IVF/IVF-PQ all have one):
+    * `reduced` is the (id, vec, r) frame [[rpReducePortable]] produced,
+    * written once to parquet; each probe only projects the QUERIES
+    * (|queries|·dim work, nothing corpus-sized), ranks the reduced-space
+    * shortlist by the exact LONG dot, and pays the full-width rerank on
+    * the survivors. The corpus is never re-projected — at 100 TB the
+    * projection pass is the expensive half, and this splits it off
+    * exactly like [[graft.sim.Ivf]]'s build/probe seam. The projection
+    * is identified by (dimOut, seed): probing with a different pair than
+    * the build silently scores garbage, so callers persist those two
+    * ints alongside the frame. Reduced coordinates are exact LONGs, so
+    * the whole probe replays in SQL — hash-checkable even at a partial
+    * shortlist. */
+  def rpProbePortable(reduced: DataFrame, queries: DataFrame, k: Int,
+                      shortlist: Int = 20, dimOut: Int = 8, seed: Int = 42,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"rpProbePortable requires shortlist >= k > 0, got k=$k shortlist=$shortlist")
+    rpRerank(reduced,
+      rpReducePortable(queries, idCol, vecCol, dimOut, seed), k, shortlist,
+      dimOut)
+  }
+
   /** k-NN majority-vote classification: each query's k exact nearest
     * neighbors (self excluded, [[bruteForceTopKAgg]] ranking) vote with
     * their `labelCol`, ties breaking (count desc, label asc). Returns

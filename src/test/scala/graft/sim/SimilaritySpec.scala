@@ -248,6 +248,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rp === exact)
   }
 
+  test("stored RP index (parquet round-trip) probes identically to in-memory") {
+    val queries = df.filter(col("vec_id") < 10)
+    val inMem = Similarity.rpTopKPortable(df, queries, k = 5, shortlist = 20)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp_idx").toString
+    Similarity.rpReducePortable(df, "vec_id", "embedding", dimOut = 8, seed = 42)
+      .write.mode("overwrite").parquet(s"$dir/reduced")
+    val stored = Similarity.rpProbePortable(
+        spark.read.parquet(s"$dir/reduced"), queries, k = 5, shortlist = 20)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(stored === inMem)
+    assert(inMem.nonEmpty)
+  }
+
   test("RP ANN finds every planted duplicate (identical vec ⇒ identical reduction)") {
     val queries = df.filter(col("vec_id") < 10)
     Seq(Similarity.rpTopK(df, queries, k = 5),
