@@ -726,6 +726,69 @@ object Ops {
       .join(keys.select(col(keyCol).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
 
+  /** Scalable fuzzy join on edit distance — the entity-resolution
+    * operator (record linkage on noisy names) the relational tier's
+    * exact name joins (J3/J4) can't express: emit every
+    * (left, right) pair with `levenshtein ≤ maxDist`, WITHOUT the n²
+    * cross join. Candidate generation is q-gram prefix filtering
+    * (Ed-Join, Xiao, Wang & Lin 2008, public): a string's q-gram set
+    * loses at most q grams per edit, so two strings within maxDist
+    * share a gram among each side's `maxDist·q + 1` RAREST grams
+    * (rarest by global frequency, gram-ascending tie-break) — join on
+    * those prefix grams, dedupe the candidate pairs, and verify with
+    * one exact `levenshtein` per candidate. The guarantee needs
+    * ≥ q·(maxDist+1) characters per string (shorter strings can lose
+    * every gram to the edits), so both sides are filtered to that
+    * minimum — callers route shorter strings through a length-blocked
+    * exact pass if they need them.
+    *
+    * Scale shape: two gram explodes (≤ |s| rows each), one gram-keyed
+    * frequency aggregate, a per-string rank window bounded by the
+    * string's own gram count, and a candidate join keyed on PREFIX
+    * grams only — rarest-first blocking is what keeps stop-grams
+    * ("ing", "the") from quadratic bucket blowups, because a gram that
+    * is globally common is by construction almost never in anyone's
+    * prefix. The exact verify touches candidates, not the cross
+    * product. Output: (left_id, left_name, right_id, right_name,
+    * dist), fully deterministic, all-pairs-equivalent (spec-pinned and
+    * SQL-replayable by the brute-force oracle). */
+  def fuzzyJoinEditDistance(left: DataFrame, right: DataFrame,
+                            leftIdCol: String, rightIdCol: String,
+                            leftNameCol: String, rightNameCol: String,
+                            q: Int = 3, maxDist: Int = 1): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val minLen = q * (maxDist + 1)
+    val l = left.select(col(leftIdCol).as("left_id"),
+        col(leftNameCol).as("left_name"))
+      .filter(length(col("left_name")) >= minLen)
+    val r = right.select(col(rightIdCol).as("right_id"),
+        col(rightNameCol).as("right_name"))
+      .filter(length(col("right_name")) >= minLen)
+    def grams(name: Column): Column =
+      array_distinct(transform(sequence(lit(1), length(name) - (q - 1)),
+        i => name.substr(i, lit(q))))
+    val lg = l.select(col("left_id"), col("left_name"),
+      explode(grams(col("left_name"))).as("gram"))
+    val rg = r.select(col("right_id"), col("right_name"),
+      explode(grams(col("right_name"))).as("gram"))
+    val freq = lg.select("gram").unionByName(rg.select("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("__f"))
+    val pfx = maxDist * q + 1
+    def prefix(g: DataFrame, idc: String): DataFrame = {
+      val w = Window.partitionBy(col(idc)).orderBy(col("__f"), col("gram"))
+      g.join(freq, "gram")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= pfx)
+        .drop("__f", "__rk")
+    }
+    val cand = prefix(lg, "left_id")
+      .join(prefix(rg, "right_id"), Seq("gram"))
+      .select("left_id", "left_name", "right_id", "right_name").distinct()
+    cand.withColumn("dist", levenshtein(col("left_name"), col("right_name")))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** W1/W2 — unpivot/melt: wide year columns → long (Year, value) rows
     * (dag1.py:82,96). Thin wrapper over Spark's built-in melt with the
     * reference's semantics: value columns are everything not in `ids`,

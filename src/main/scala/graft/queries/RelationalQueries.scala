@@ -697,6 +697,27 @@ object RelationalQueries {
       .select("c_custkey", "c_name", "c_acctbal")
   }
 
+  /** J10 — fuzzy join (edit-distance entity resolution): part-name
+    * TYPES matched against planted-typo variants (first char dropped /
+    * char appended, keyed off p_partkey mod 3 — the dd_simhash
+    * planted-corruption discipline) at levenshtein ≤ 1, via
+    * [[graft.ops.Ops.fuzzyJoinEditDistance]]'s q-gram prefix blocking.
+    * The oracle is the BRUTE-FORCE cross join + levenshtein filter, so
+    * the hash check verifies the blocking's completeness guarantee,
+    * not just the distance arithmetic. */
+  private val j10FuzzyJoin: Q = (s, dir) => {
+    val part = t(s, dir, "part")
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("name_id"))
+    val variants = part.filter(col("p_partkey") < 500)
+      .select(col("p_partkey").as("var_id"),
+        when(col("p_partkey") % 3 === 0, expr("substring(p_name, 2)"))
+          .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit("x")))
+          .otherwise(col("p_name")).as("variant"))
+    graft.ops.Ops.fuzzyJoinEditDistance(names, variants,
+      "name_id", "var_id", "name", "variant", q = 3, maxDist = 1)
+  }
+
   /** A14 — explicit GROUPING SETS: the {(status, priority), (status),
     * (priority)} shape neither ROLLUP (hierarchical) nor CUBE (adds the
     * grand total) expresses — the Dataset.groupingSets API surface beside
@@ -755,6 +776,7 @@ object RelationalQueries {
     "j7_anti_join" -> j7AntiJoin,
     "j8_shuffle_hash_join" -> j8ShuffleHashJoin,
     "j9_semi_join" -> j9SemiJoin,
+    "j10_fuzzy_join" -> j10FuzzyJoin,
     "a14_grouping_sets" -> a14GroupingSets,
     "a15_bootstrap_ci" -> a15BootstrapCi,
     "a9_rollup" -> a9Rollup,
@@ -843,6 +865,22 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey IN (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 470000)""".stripMargin,
+    // Brute-force cross join + levenshtein filter: the engine's q-gram
+    // prefix blocking must reproduce the UNBLOCKED answer exactly, so a
+    // hash match certifies candidate-generation completeness.
+    "j10_fuzzy_join" ->
+      """WITH names AS (SELECT p_name AS left_name,
+        |   min(p_partkey) AS left_id FROM part GROUP BY 1),
+        |vars AS (SELECT p_partkey AS right_id,
+        |   CASE WHEN p_partkey % 3 = 0 THEN substring(p_name, 2)
+        |        WHEN p_partkey % 3 = 1 THEN p_name || 'x'
+        |        ELSE p_name END AS right_name
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT left_id, left_name, right_id, right_name,
+        |  CAST(levenshtein(left_name, right_name) AS INTEGER) AS dist
+        |FROM names, vars
+        |WHERE length(left_name) >= 6 AND length(right_name) >= 6
+        |  AND levenshtein(left_name, right_name) <= 1""".stripMargin,
     // the SHUFFLE_HASH hint is physical-plan-only; logical results are
     // the plain join's.
     "j8_shuffle_hash_join" ->

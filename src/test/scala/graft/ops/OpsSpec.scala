@@ -361,4 +361,44 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(a.toSeq !== c.toSeq)
   }
+
+  test("fuzzyJoinEditDistance ≡ unblocked all-pairs on an adversarial corpus") {
+    // Designed to stress the prefix filter: first-char edits (what naive
+    // first-letter blocking misses), repeated-gram strings ("aaaaaaa",
+    // "abcabcabc" — distinct-gram sets much smaller than positional
+    // counts), globally common grams, and length-boundary strings.
+    val leftNames = Seq("aaaaaaa", "abcabcabcabc", "the cat sat", "common ring",
+      "common rung", "shorty", "widget blue", "xyzzy plugh")
+    val rightNames = Seq(
+      "aaabaaa",        // mid edit in the repeated-gram string
+      "babcabcabcabc",  // prepend to the periodic string
+      "bbcabcabcabc",   // first-char substitution
+      "he cat sat",     // first char dropped
+      "the cat sats",   // append
+      "common ring",    // exact
+      "comman rung",    // mid substitution near a twin pair
+      "shortyx", "horty", "widget blues", "zyzzy plugh", "unrelated pair")
+    val l = leftNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("lid", "lname")
+    val r = rightNames.zipWithIndex.map { case (n, i) => (100L + i, n) }
+      .toDF("rid", "rname")
+    val blocked = Ops.fuzzyJoinEditDistance(l, r, "lid", "rid", "lname", "rname",
+        q = 3, maxDist = 1)
+      .select("left_id", "right_id", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = l.filter(length(col("lname")) >= 6)
+      .crossJoin(r.filter(length(col("rname")) >= 6))
+      .withColumn("dist", levenshtein(col("lname"), col("rname")))
+      .filter(col("dist") <= 1)
+      .select("lid", "rid", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(blocked === brute,
+      s"blocked missed ${brute -- blocked} / extra ${blocked -- brute}")
+    // the corpus exercises real matches, not a vacuous empty set — incl.
+    // the first-char cases and both repeated-gram cases
+    assert(brute.contains((0L, 100L, 1)), "aaaaaaa ~ aaabaaa")
+    assert(brute.contains((1L, 101L, 1)), "periodic prepend")
+    assert(brute.contains((1L, 102L, 1)), "periodic first-char sub")
+    assert(brute.contains((2L, 103L, 1)), "first char dropped")
+    assert(brute.size >= 8, s"expected a rich match set, got $brute")
+  }
 }
