@@ -455,6 +455,46 @@ object ExtensionQueries {
     TextOps.bpeMergesBatched(t(s, dir, "documents"), "text", numMerges = 8,
       maxBatch = 4)
 
+  private val bm25Terms = Seq("hash", "join", "dup")
+
+  /** BM25 keyword search over the corpus (two common terms + one rare —
+    * the idf spread that makes ranking non-trivial). Transcendental ln in
+    * the score ⇒ rows-only face; [[txtBm25Stats]] is the hash-green twin
+    * and TextOpsSpec pins hand-computed scores + determinism. */
+  private val txtBm25Topk: Q = (s, dir) =>
+    TextOps.bm25Search(t(s, dir, "documents"), "text", "doc_id",
+      bm25Terms, k = 10)
+
+  /** Stored inverted-index probe: postings written ONCE partitioned by
+    * the 64-way term hash bucket, corpus stats alongside; the probe
+    * filters to the query terms' buckets (constant-folded bucket
+    * literals → partition pruning at the scan) and pays only the
+    * [[TextOps.bm25TopK]] aggregation. Identical output to
+    * [[txtBm25Topk]] (spec-pinned stored ≡ in-memory). */
+  private val txtBm25Probe: Q = (s, dir) => {
+    val root = storedIndexPath("bm25", dir) { out =>
+      val docs = t(s, dir, "documents")
+      TextOps.bm25Postings(docs, "text", "doc_id")
+        .withColumn("bucket", TextOps.bm25Bucket(col("term")))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/postings")
+      TextOps.bm25CorpusStats(docs, "text")
+        .write.mode("overwrite").parquet(s"$out/stats")
+    }
+    val postings = s.read.parquet(s"$root/postings")
+      .filter(bm25Terms.map(tm => col("bucket") === TextOps.bm25Bucket(lit(tm)))
+        .reduce(_ || _))
+      .drop("bucket")
+    TextOps.bm25TopK(postings, s.read.parquet(s"$root/stats"), bm25Terms, k = 10)
+  }
+
+  /** The BM25 family's hash-green twin: every integer sufficient
+    * statistic of the score — (term, doc_id, tf, dl, df, n_docs,
+    * dl_sum) — oracle-checked exactly, so tokenization, postings,
+    * document frequencies and corpus stats are all certified and only
+    * the final ln combination rides on the spec. */
+  private val txtBm25Stats: Q = (s, dir) =>
+    TextOps.bm25QueryStats(t(s, dir, "documents"), "text", "doc_id", bm25Terms)
+
   /** Sequence packing (concatenate-and-chop, 512-token windows, 8
     * shards): per-shard cumulative token layout, window index from the
     * running sum — the whole layout arithmetic is hash-checked against
@@ -2010,6 +2050,9 @@ object ExtensionQueries {
     "txt_bpe_segment" -> txtBpeSegment,
     "txt_bpe_learn" -> txtBpeLearn,
     "txt_bpe_learn_batched" -> txtBpeLearnBatched,
+    "txt_bm25_topk" -> txtBm25Topk,
+    "txt_bm25_probe" -> txtBm25Probe,
+    "txt_bm25_stats" -> txtBm25Stats,
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
@@ -3395,6 +3438,23 @@ object ExtensionQueries {
              |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin,
       "txt_bpe_learn" -> txtBpeLearnOracle,
       "txt_bpe_learn_batched" -> txtBpeLearnOracle,
+      // Integer sufficient statistics of the BM25 score for the fixed
+      // query terms — CASTs keep every hashed column BIGINT (sum(dl)
+      // would otherwise be HUGEINT; see the gate's portability guard).
+      "txt_bm25_stats" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |  FROM documents),
+             |dls AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS dl
+             |  FROM documents),
+             |p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks WHERE term IN ('hash', 'join', 'dup') GROUP BY 1, 2),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+             |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(sum(dl) AS BIGINT) AS dl_sum FROM dls)
+             |SELECT p.term, p.doc_id, p.tf, d.dl, dfreq.df, cs.n_docs, cs.dl_sum
+             |FROM p JOIN dls d USING (doc_id) JOIN dfreq USING (term), cs""".stripMargin,
       // stage mirrors: quality (txt_quality_score), exact-median gate
       // (txt_quality_gate), hash-bucket mixture (w10), then the aggregate.
       "pipe_curate_corpus" ->

@@ -879,6 +879,122 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  // ---------------------------------------------------------------- BM25
+
+  /** Inverted-index postings for BM25 retrieval: one row per
+    * (term, doc_id) carrying the term frequency and the document length —
+    * (term, doc_id, tf, dl). Built in ONE tokenize + aggregate pass: dl
+    * is a map-only [[tokenCount]] riding the group keys (functionally
+    * dependent on doc_id), so no second pass or self-join. Written to
+    * parquet partitioned by a term hash bucket this IS a sharded inverted
+    * index — a probe reads only its query terms' buckets (partition
+    * pruning at the scan), the access pattern keyword search lives on at
+    * 100 TB. */
+  def bm25Postings(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).as("dl"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+
+  /** The 64-way term shard key for storing [[bm25Postings]] partitioned:
+    * deterministic, uniform, and computable from a query term alone — so
+    * a probe prunes partitions without any lookup table. */
+  def bm25Bucket(term: Column): Column =
+    pmod(xxhash64(term), lit(64L)).cast(IntegerType)
+
+  /** Corpus-level BM25 statistics — ONE row (n_docs, dl_sum). Counts
+    * every document, including empty ones that appear in no posting
+    * (they still lower avgdl, per the standard definition). */
+  def bm25CorpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(tokenCount(col(textCol)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+
+  /** BM25 top-k retrieval over PRECOMPUTED postings + corpus stats — the
+    * probe half of the classic keyword search stack (Robertson & Walker
+    * 1994's Okapi weighting in Lucene's non-negative form):
+    *
+    *   score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    *              tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: the postings frame is FILTERED TO THE QUERY TERMS
+    * before anything moves (with term-bucket-partitioned storage that is
+    * partition pruning at the scan); df comes from a |terms|-row
+    * aggregate broadcast back; the per-doc score is a FIXED-ORDER sum of
+    * per-term columns (conditional aggregation in query-term order — a
+    * plain sum over postings would combine partials in partition order
+    * and make near-tie ranks run-dependent); the final top-k is the
+    * bounded-heap `topk_desc` (map-side partials cap the shuffle at k
+    * rows per partition). Output (doc_id, score, rank), deterministic —
+    * but `ln` is transcendental, so this face is rows-only by the repo's
+    * portability law; the hash-green twin is the integer sufficient
+    * statistics ([[bm25QueryStats]]), and BM25Spec pins hand-computed
+    * scores. */
+  def bm25TopK(postings: DataFrame, stats: DataFrame, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be > 0, got $k")
+    require(k1 >= 0, s"k1 must be >= 0, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+    val qt = terms.map(_.toLowerCase).distinct
+    val p = postings.filter(col("term").isin(qt: _*))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val perPosting = p
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("dl_sum").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))))
+      .withColumn("__s", col("__idf") *
+        (col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+        (col("tf").cast(DoubleType) +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / col("__avgdl"))))
+    // fixed-order per-term columns → deterministic IEEE sum left to right
+    val termCols = qt.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("__s"))).as(s"__t$i")
+    }
+    val score = qt.indices
+      .map(i => coalesce(col(s"__t$i"), lit(0.0)))
+      .reduce(_ + _)
+    val perDoc = perPosting.groupBy("doc_id")
+      .agg(termCols.head, termCols.tail: _*)
+      .select(col("doc_id"), score.as("score"))
+    perDoc
+      .agg(call_function("topk_desc", col("score"), col("doc_id"), lit(k)).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("e.id").as("doc_id"), col("e.score").as("score"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  /** Self-contained [[bm25TopK]] — build postings + stats in-query (the
+    * registry form; production splits build from probe and stores the
+    * postings bucket-partitioned). */
+  def bm25Search(df: DataFrame, textCol: String, idCol: String,
+                 terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopK(bm25Postings(df, textCol, idCol), bm25CorpusStats(df, textCol),
+      terms, k, k1, b)
+
+  /** The hash-green twin of the BM25 face: every INTEGER sufficient
+    * statistic the score is a fixed function of — (term, doc_id, tf, dl,
+    * df, n_docs, dl_sum) for the query terms — so the oracle certifies
+    * the whole retrieval substrate (tokenization, postings, document
+    * frequencies, corpus stats) exactly, and only the final
+    * transcendental combination stays spec-pinned. */
+  def bm25QueryStats(df: DataFrame, textCol: String, idCol: String,
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25QueryStats needs at least one query term")
+    val qt = terms.map(_.toLowerCase).distinct
+    val p = bm25Postings(df, textCol, idCol).filter(col("term").isin(qt: _*))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    p.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(bm25CorpusStats(df, textCol)))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("dl_sum"))
+  }
+
   /** Apply a learned merge table ([[bpeMerges]] order matters) to a word
     * column — the encoding half: returns the array of subword segments.
     * Pure fold of quoted regexp_replace steps; map-only, broadcastable as

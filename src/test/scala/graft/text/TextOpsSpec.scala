@@ -457,6 +457,59 @@ class TextOpsSpec extends SparkSpec {
     assert(seqTable.length === 12)
   }
 
+  test("BM25: hand-computed scores, empty doc in N, bounded-heap ranks") {
+    // N = 4 (incl. the empty doc), dl = 3,1,2,0 → avgdl = 1.5.
+    // df(apple) = df(banana) = 2 → idf = ln(1 + 2.5/2.5) = ln 2 for both.
+    val docs = Seq((1L, "Apple banana apple"), (2L, "banana"),
+      (3L, "cherry apple"), (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.bm25Search(docs, "text", "doc_id",
+        Seq("apple", "banana"), k = 3)
+      .orderBy("rank").as[(Long, Double, Int)].collect().toSeq
+    val ln2 = math.log(2.0)
+    def w(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 1.5))
+    val expected = Seq(
+      (1L, ln2 * w(2, 3) + ln2 * w(1, 3)), // apple tf 2 + banana tf 1
+      (2L, ln2 * w(1, 1)),
+      (3L, ln2 * w(1, 2)))
+    assert(out.map(_._1) === expected.map(_._1))
+    assert(out.map(_._3) === Seq(1, 2, 3))
+    out.zip(expected).foreach { case ((_, got, _), (_, exp)) =>
+      assert(math.abs(got - exp) <= 1e-12 * math.max(1.0, exp.abs),
+        s"score $got != hand-computed $exp")
+    }
+    // determinism: a second run reproduces bit-identically
+    val again = TextOps.bm25Search(docs, "text", "doc_id",
+        Seq("apple", "banana"), k = 3)
+      .orderBy("rank").as[(Long, Double, Int)].collect().toSeq
+    assert(again === out)
+  }
+
+  test("BM25 stored postings (term-bucket partitions) probe ≡ in-memory") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("hash", "join", "dup")
+    val inMem = TextOps.bm25Search(docs, "text", "doc_id", terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq.sortBy(_._3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    TextOps.bm25Postings(docs, "text", "doc_id")
+      .withColumn("bucket", TextOps.bm25Bucket(col("term")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    TextOps.bm25CorpusStats(docs, "text")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(terms.map(tm => col("bucket") === TextOps.bm25Bucket(lit(tm)))
+        .reduce(_ || _))
+      .drop("bucket")
+    val stored = TextOps.bm25TopK(postings,
+        spark.read.parquet(s"$dir/stats"), terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq.sortBy(_._3)
+    assert(stored === inMem)
+    assert(inMem.size === 10)
+    intercept[IllegalArgumentException] {
+      TextOps.bm25Search(docs, "text", "doc_id", Seq.empty, k = 5)
+    }
+  }
+
   test("bpeVocabulary + bpeTokenizeToIds: subword ids, OOV symbols → 0") {
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
