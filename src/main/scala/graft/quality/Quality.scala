@@ -584,4 +584,34 @@ object Quality {
             .cast(org.apache.spark.sql.types.DoubleType) / (col("__n") - 1))
           .otherwise(lit(0.0)), 6).as("pctile"))
   }
+
+  /** k-anonymity audit (Sweeney 2002, public): group sizes over the
+    * quasi-identifier combination, flagging every combination smaller
+    * than `k` — the groups whose members a released dataset would
+    * re-identify. One hash aggregate on the quasi keys; NULL is a quasi
+    * value like any other (a null zip code still identifies its group).
+    * Returns (quasi..., n, anonymous 0/1). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi column")
+    require(k > 0, s"k must be > 0, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous",
+        (col("n") >= k).cast(org.apache.spark.sql.types.IntegerType))
+  }
+
+  /** Suppression to k-anonymity: drop every row whose quasi-identifier
+    * combination has fewer than `k` members — the release-side
+    * enforcement of [[kAnonymity]]'s audit. The kept-combination list is
+    * aggregate-sized (one row per surviving combination), broadcast into
+    * a null-safe semi join, so the corpus streams once and never
+    * shuffles. */
+  def kAnonymitySuppress(df: DataFrame, quasiCols: Seq[String],
+                         k: Long): DataFrame = {
+    val keep = broadcast(kAnonymity(df, quasiCols, k)
+      .filter(col("anonymous") === 1)
+      .select(quasiCols.map(c => col(c).as(s"__k_$c")): _*))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(keep, cond, "left_semi")
+  }
 }

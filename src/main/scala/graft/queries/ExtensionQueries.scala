@@ -1019,6 +1019,28 @@ object ExtensionQueries {
       o.filter(col("o_orderstatus") === "O"), "o_totalprice", nBuckets = 10)
   }
 
+  /** Quasi-identifier frame for the k-anonymity pair: customers keyed by
+    * (nation, segment, 2000-wide balance bucket) — fine enough that most
+    * combinations fall under k = 5 (578 of 623 at sf0.01), so both audit
+    * outcomes and real suppression are exercised. */
+  private def customerQuasi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").withColumn("bal_bucket",
+      floor(col("c_acctbal") / 2000).cast(LongType))
+
+  /** k-anonymity audit: group sizes + the under-k flag over the quasi
+    * combination ([[graft.quality.Quality.kAnonymity]]). */
+  private val a16KAnonymity: Q = (s, dir) =>
+    graft.quality.Quality.kAnonymity(customerQuasi(s, dir),
+      Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
+
+  /** Suppression to k-anonymity: only rows whose quasi combination has
+    * ≥ 5 members survive — the release-side enforcement, broadcast
+    * null-safe semi join against the aggregate-sized keep list. */
+  private val a17KSuppress: Q = (s, dir) =>
+    graft.quality.Quality.kAnonymitySuppress(customerQuasi(s, dir),
+      Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "bal_bucket")
+
   /** Two overlapping "snapshots" of the orders fact (orderkey mod-10
     * buckets 0–6 vs 3–9 — deterministic, SQL-replayable membership, ~40%
     * shared) whose distinct-customer set algebra the theta-sketch and
@@ -2020,6 +2042,8 @@ object ExtensionQueries {
     "a11_ks_drift" -> a11KsDrift,
     "a12_chi_drift" -> a12ChiDrift,
     "a13_quantile_drift" -> a13QuantileDrift,
+    "a16_k_anonymity" -> a16KAnonymity,
+    "a17_k_suppress" -> a17KSuppress,
     "pr10_snapshot_overlap" -> pr10SnapshotOverlap,
     "pr10_snapshot_overlap_exact" -> pr10SnapshotOverlapExact,
     "pipe_token_budget" -> pipeTokenBudget,
@@ -3642,6 +3666,22 @@ object ExtensionQueries {
       "pr11_distinct_rollup_exact" ->
         raw"""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_est,
              | CAST(count(*) AS BIGINT) AS n_rows FROM events""".stripMargin,
+      "a16_k_anonymity" ->
+        raw"""SELECT c_nationkey, c_mktsegment,
+             |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS INTEGER)
+             |    AS anonymous
+             |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+      "a17_k_suppress" ->
+        raw"""WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+             |  FROM customer),
+             |g AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+             |    count(*) AS n FROM b GROUP BY 1, 2, 3)
+             |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.bal_bucket
+             |FROM b JOIN g USING (c_nationkey, c_mktsegment, bal_bucket)
+             |WHERE g.n >= 5""".stripMargin,
       // Numeric-PSI bucket replay: F-side cumulative distinct-value
       // counts, integer-rank decile boundaries (cc*10 >= i*n — no
       // division), per-row bucket = count of boundaries strictly below

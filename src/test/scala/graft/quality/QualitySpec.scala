@@ -248,4 +248,30 @@ class QualitySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Window"), plan)
   }
+
+  test("kAnonymity + suppression: group flags, NULL quasi-values form a group") {
+    // (zip, age): "10" × 3, "20" × 2, NULL-zip × 2 — at k = 2 only the
+    // singleton ("30", 9) is suppressed; NULLs are a real group.
+    val df = Seq(
+      (1L, Option("10"), 5), (2L, Option("10"), 5), (3L, Option("10"), 5),
+      (4L, Option("20"), 7), (5L, Option("20"), 7),
+      (6L, Option("30"), 9),
+      (7L, Option.empty[String], 8), (8L, Option.empty[String], 8))
+      .toDF("id", "zip", "age")
+    val audit = Quality.kAnonymity(df, Seq("zip", "age"), k = 2)
+      .as[(Option[String], Int, Long, Int)].collect().toSet
+    assert(audit === Set(
+      (Option("10"), 5, 3L, 1), (Option("20"), 7, 2L, 1),
+      (Option("30"), 9, 1L, 0), (Option.empty[String], 8, 2L, 1)))
+    val kept = Quality.kAnonymitySuppress(df, Seq("zip", "age"), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L, 7L, 8L),
+      "only the singleton combination is suppressed; the NULL group survives")
+    intercept[IllegalArgumentException] {
+      Quality.kAnonymity(df, Seq.empty, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.kAnonymity(df, Seq("zip"), k = 0)
+    }
+  }
 }
