@@ -457,6 +457,17 @@ object ExtensionQueries {
 
   private val bm25Terms = Seq("hash", "join", "dup")
 
+  /** Lexicon-weighted linear gate (the C4-style word-list classifier /
+    * serving face of an offline linear quality model): integer weights
+    * keep every score exact, so the whole scoring+gate is hash-checked.
+    * Weights chosen to split the corpus: common terms ±2/−3, the rare
+    * 'dup' a strong −10. */
+  private val txtLexiconGate: Q = (s, dir) =>
+    TextOps.lexiconScore(t(s, dir, "documents"), "text", "doc_id",
+      Map("index" -> 2L, "sort" -> 2L, "merge" -> 1L,
+        "slow" -> -3L, "dup" -> -10L),
+      bias = 0L, threshold = 1L)
+
   /** BM25 keyword search over the corpus (two common terms + one rare —
     * the idf spread that makes ranking non-trivial). Transcendental ln in
     * the score ⇒ rows-only face; [[txtBm25Stats]] is the hash-green twin
@@ -2075,6 +2086,7 @@ object ExtensionQueries {
     "txt_bpe_learn" -> txtBpeLearn,
     "txt_bpe_learn_batched" -> txtBpeLearnBatched,
     "txt_bm25_topk" -> txtBm25Topk,
+    "txt_lexicon_gate" -> txtLexiconGate,
     "txt_bm25_probe" -> txtBm25Probe,
     "txt_bm25_stats" -> txtBm25Stats,
     "pipe_curate_corpus" -> pipeCurateCorpus,
@@ -3462,6 +3474,20 @@ object ExtensionQueries {
              |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin,
       "txt_bpe_learn" -> txtBpeLearnOracle,
       "txt_bpe_learn_batched" -> txtBpeLearnOracle,
+      "txt_lexicon_gate" ->
+        raw"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id,
+             |     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |    FROM documents)
+             |  WHERE term <> '' GROUP BY 1, 2),
+             |w(term, w) AS (VALUES ('index', 2), ('sort', 2), ('merge', 1),
+             |   ('slow', -3), ('dup', -10)),
+             |hits AS (SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS hit
+             |  FROM tf JOIN w USING (term) GROUP BY 1)
+             |SELECT d.doc_id, CAST(coalesce(h.hit, 0) AS BIGINT) AS score,
+             |  CAST(CASE WHEN coalesce(h.hit, 0) >= 1 THEN 1 ELSE 0 END
+             |    AS INTEGER) AS kept
+             |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
       // Integer sufficient statistics of the BM25 score for the fixed
       // query terms — CASTs keep every hashed column BIGINT (sum(dl)
       // would otherwise be HUGEINT; see the gate's portability guard).

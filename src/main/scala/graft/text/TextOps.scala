@@ -879,6 +879,52 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** Lexicon-weighted linear document scoring — the "word-list
+    * classifier" form every big public corpus pipeline ships (C4's
+    * bad-words screen, lexicon toxicity filters): each document scores
+    * `bias + Σ_t tf(t)·w(t)` over a supplied (term, weight) model table
+    * and is kept when the score clears `threshold`. This is also the
+    * serving half of an offline-trained linear model (fastText-style
+    * quality classifiers score exactly this way, with real-valued
+    * weights): train elsewhere, hand the weight table in, score at
+    * corpus scale.
+    *
+    * Scale shape: one tokenize + (doc, term) aggregate, the model table
+    * broadcast (lexica and hashed linear models are KB–MB), a per-doc
+    * sum, and a left join back so no-hit documents keep score = bias —
+    * the corpus never shuffles except by doc key for its own aggregate.
+    * With INTEGER weights (lexicon mode) every score is exact — the
+    * hash-green registry face; real-valued models ride the identical
+    * plan. Returns (doc_id, score, kept 0/1). */
+  def lexiconScore(df: DataFrame, textCol: String, idCol: String,
+                   weights: DataFrame, bias: Long = 0L,
+                   threshold: Long = 0L): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("__tf"))
+    val hits = tf.join(broadcast(weights.select(col("term"), col("w"))), "term")
+      .groupBy("doc_id").agg(sum(col("__tf") * col("w")).as("__hit"))
+    df.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("__hit"), lit(0L)) + lit(bias)).as("score"))
+      .withColumn("kept",
+        (col("score") >= threshold).cast(IntegerType))
+  }
+
+  /** [[lexiconScore]] with an inline Map model — the lexicon-literal
+    * convenience form. */
+  def lexiconScore(df: DataFrame, textCol: String, idCol: String,
+                   weights: Map[String, Long], bias: Long,
+                   threshold: Long): DataFrame = {
+    require(weights.nonEmpty, "lexiconScore needs a non-empty lexicon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    lexiconScore(df, textCol, idCol,
+      weights.toSeq.sortBy(_._1).toDF("term", "w"), bias, threshold)
+  }
+
   // ---------------------------------------------------------------- BM25
 
   /** Inverted-index postings for BM25 retrieval: one row per

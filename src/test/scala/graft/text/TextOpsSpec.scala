@@ -457,6 +457,28 @@ class TextOpsSpec extends SparkSpec {
     assert(seqTable.length === 12)
   }
 
+  test("lexiconScore: tf-weighted sums, no-hit docs keep bias, gate at threshold") {
+    val docs = Seq(
+      (1L, "good good bad"),     // 2·2 − 3 = 1 → kept at threshold 1
+      (2L, "bad bad"),           // −6
+      (3L, "neutral words only"),// no hits → bias 0
+      (4L, "good")               // 2
+    ).toDF("doc_id", "text")
+    val out = TextOps.lexiconScore(docs, "text", "doc_id",
+        Map("good" -> 2L, "bad" -> -3L), bias = 0L, threshold = 1L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 1L, 1), (2L, -6L, 0), (3L, 0L, 0), (4L, 2L, 1)))
+    // bias shifts every score, including no-hit docs
+    val biased = TextOps.lexiconScore(docs, "text", "doc_id",
+        Map("good" -> 2L, "bad" -> -3L), bias = 5L, threshold = 1L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(biased === Set((1L, 6L, 1), (2L, -1L, 0), (3L, 5L, 1), (4L, 7L, 1)))
+    intercept[IllegalArgumentException] {
+      TextOps.lexiconScore(docs, "text", "doc_id",
+        Map.empty[String, Long], 0L, 0L)
+    }
+  }
+
   test("BM25: hand-computed scores, empty doc in N, bounded-heap ranks") {
     // N = 4 (incl. the empty doc), dl = 3,1,2,0 → avgdl = 1.5.
     // df(apple) = df(banana) = 2 → idf = ln(1 + 2.5/2.5) = ln 2 for both.
