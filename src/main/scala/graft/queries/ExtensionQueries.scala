@@ -457,6 +457,26 @@ object ExtensionQueries {
 
   private val bm25Terms = Seq("hash", "join", "dup")
 
+  /** Tokenizer fertility per source (subwords emitted per word — the
+    * standard tokenizer-efficiency statistic multilingual pipelines
+    * budget by): segments from the fixed [[txtBpeSegment]] merge table,
+    * counted per word map-only, aggregated per source. n_words and
+    * n_subwords are exact longs; fertility is ONE IEEE division of
+    * exact integers, so the whole report is hash-checked. */
+  private val txtBpeFertility: Q = (s, dir) => {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextOps.tokens(lower(col("text")))).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("source"),
+        size(TextOps.bpeSegment(col("word"), merges)).cast(LongType).as("ns"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast(DoubleType) / col("n_words"))
+  }
+
   /** Lexicon-weighted linear gate (the C4-style word-list classifier /
     * serving face of an offline linear quality model): integer weights
     * keep every score exact, so the whole scoring+gate is hash-checked.
@@ -1611,6 +1631,15 @@ object ExtensionQueries {
       dimOut = 8, seed = 42)
   }
 
+  /** Hard-negative mining (DPR-style): per query, the 5 most-similar
+    * corpus vectors with a DIFFERENT label — exact brute force with the
+    * label mismatch in the join predicate, hash-checked against the
+    * label-filtered brute-force oracle. */
+  private val simHardNegatives: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   /** RP member of the recall family ([[simLshRecall]], [[simPqRecall]],
     * [[simIvfRecall]]): recall@5 of the PORTABLE JL pipeline (md5-derived
     * planes, integer-quantized LONG coordinates, long-exact shortlist
@@ -2087,6 +2116,7 @@ object ExtensionQueries {
     "txt_bpe_learn_batched" -> txtBpeLearnBatched,
     "txt_bm25_topk" -> txtBm25Topk,
     "txt_lexicon_gate" -> txtLexiconGate,
+    "txt_bpe_fertility" -> txtBpeFertility,
     "txt_bm25_probe" -> txtBm25Probe,
     "txt_bm25_stats" -> txtBm25Stats,
     "pipe_curate_corpus" -> pipeCurateCorpus,
@@ -2123,6 +2153,7 @@ object ExtensionQueries {
     "sim_rp_topk" -> simRpTopk,
     "sim_rp_exact" -> simRpExact,
     "sim_rp_probe" -> simRpProbe,
+    "sim_hard_negatives" -> simHardNegatives,
     "sim_rp_recall" -> simRpRecall,
     "sim_mmr_select" -> simMmrSelect,
     "sim_knn_classify" -> simKnnClassify,
@@ -3474,6 +3505,27 @@ object ExtensionQueries {
              |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin,
       "txt_bpe_learn" -> txtBpeLearnOracle,
       "txt_bpe_learn_batched" -> txtBpeLearnOracle,
+      // Same merge-replay chain as txt_bpe_segment, reduced to per-word
+      // segment COUNTS and aggregated per source; sum CAST to BIGINT
+      // (HUGEINT guard), fertility = one IEEE division of exact longs.
+      "txt_bpe_fertility" ->
+        raw"""WITH w AS (SELECT source,
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+             |  FROM documents),
+             |seg AS (SELECT source, CAST(len(string_split(
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      array_to_string(list_transform(generate_series(1, length(word)),
+             |        i -> word[i]), chr(1)),
+             |      'e' || chr(1) || 's', 'es', 'g'),
+             |      'es' || chr(1) || 't', 'est', 'g'),
+             |      'l' || chr(1) || 'o', 'lo', 'g'),
+             |      'lo' || chr(1) || 'w', 'low', 'g'),
+             |    chr(1))) AS BIGINT) AS ns
+             |  FROM w WHERE word <> '')
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+             |  CAST(CAST(sum(ns) AS BIGINT) AS DOUBLE) / count(*) AS fertility
+             |FROM seg GROUP BY 1""".stripMargin,
       "txt_lexicon_gate" ->
         raw"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
              |  FROM (SELECT doc_id,
@@ -4086,6 +4138,26 @@ bruteForceCosineOracle,
       // brute force (the lshTopK bits=0 analog for random projection).
       "sim_rp_exact" -> bruteForceCosineOracle,
       "sim_rp_probe" -> simRpProbeOracle,
+      // bruteForceCosineOracle with the label mismatch in the pair
+      // predicate — the hard-negative contract.
+      "sim_hard_negatives" ->
+        raw"""WITH sc AS (
+             | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |   ROUND(CASE WHEN list_dot_product(CAST(q.embedding AS DOUBLE[]),
+             |       CAST(q.embedding AS DOUBLE[])) = 0
+             |     OR list_dot_product(CAST(c.embedding AS DOUBLE[]),
+             |       CAST(c.embedding AS DOUBLE[])) = 0 THEN 0.0
+             |     ELSE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |       CAST(c.embedding AS DOUBLE[])) END, 6) AS cosine
+             | FROM embeddings q, embeddings c
+             | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+             |   AND c.label <> q.label)
+             |SELECT query_id, cand_id, cosine, rank FROM (
+             | SELECT query_id, cand_id, cosine,
+             |   CAST(row_number() OVER (PARTITION BY query_id
+             |     ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+             | FROM sc)
+             |WHERE rank <= 5""".stripMargin,
       "sim_rp_recall" -> simRpRecallOracle,
       "sim_mmr_select" -> simMmrSelectOracle,
       "sim_recall_curve" -> simRecallCurveOracle,

@@ -97,6 +97,32 @@ object Similarity {
     topKExplode(scored, "cosine", k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the
+    * standard in-batch-negatives refinement, e.g. DPR, Karpukhin et al.
+    * 2020 §4.2, public): for each query, the k MOST SIMILAR corpus
+    * vectors with a DIFFERENT label — the near-misses a retrain most
+    * needs to see. Identical plan to [[bruteForceTopKAgg]] (broadcast
+    * queries, one corpus scan, bounded-heap top-k) with the label
+    * mismatch riding the join predicate, so mismatched pairs are
+    * dropped before scoring, not after. SQL null semantics on the label
+    * (a NULL label matches nothing and mines nothing — filter upstream
+    * if NULL should mean "unlabeled wildcard"). Returns
+    * (query_id, cand_id, cosine, rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"hardNegatives requires k > 0, got $k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).as("__ql"), norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      col(labelCol).as("__cl"), norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("cand_id") && col("__ql") =!= col("__cl"))
+      .withColumn("cosine", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
+    topKExplode(scored, "cosine", k)
+  }
+
   /** Top-k by RECONSTRUCTED inner product over int8-quantized vectors
     * (MIPS over quantized storage): corpus and queries are quantized with
     * the codegen'd `vec_quantize_i8` (4× smaller than float32 at rest),

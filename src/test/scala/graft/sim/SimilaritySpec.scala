@@ -248,6 +248,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rp === exact)
   }
 
+  test("hardNegatives: same-label nearest excluded, different-label ranked") {
+    val d = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0f), 0),      // exact copy, SAME label → never mined
+      (2L, Array(0.8f, 0.6f), 1),  // cos 0.8
+      (3L, Array(0f, 1f), 1),      // cos 0
+      (4L, Array(0.6f, 0.8f), 2))  // cos 0.6
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(d, d.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").select("cand_id", "cosine", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(out === Seq((2L, 0.8, 1), (4L, 0.6, 2)),
+      s"same-label near-duplicate must be excluded: $out")
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(d, d, k = 0)
+    }
+  }
+
   test("stored RP index (parquet round-trip) probes identically to in-memory") {
     val queries = df.filter(col("vec_id") < 10)
     val inMem = Similarity.rpTopKPortable(df, queries, k = 5, shortlist = 20)

@@ -457,6 +457,22 @@ class TextOpsSpec extends SparkSpec {
     assert(seqTable.length === 12)
   }
 
+  test("bpe fertility arithmetic: segments per word under a fixed merge table") {
+    // "low" → 1 segment; "newest" → n|e|w|est = 4 segments under the
+    // Sennrich table — per-source fertility is the exact integer ratio.
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val df = Seq(("a", "low low"), ("b", "newest")).toDF("source", "text")
+    val out = df.select(col("source"),
+        explode(TextOps.tokens(lower(col("text")))).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("source"),
+        size(TextOps.bpeSegment(col("word"), merges)).cast("long").as("ns"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("w"), sum(col("ns")).as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("a", 2L, 2L), ("b", 1L, 4L)))
+  }
+
   test("lexiconScore: tf-weighted sums, no-hit docs keep bias, gate at threshold") {
     val docs = Seq(
       (1L, "good good bad"),     // 2·2 − 3 = 1 → kept at threshold 1
