@@ -13,11 +13,18 @@ object DebugRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN=1 prints the formatted physical plan instead of
+    // executing — the plan-audit loop (.explain until it's the plan you
+    // want, not the first one that passed).
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     args.tail.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        println(s"=== $name OK rows=${df.count()}")
-        df.show(5, truncate = false)
+        if (explain) { println(s"=== $name PLAN"); df.explain("formatted") }
+        else {
+          println(s"=== $name OK rows=${df.count()}")
+          df.show(5, truncate = false)
+        }
       } catch {
         case e: Throwable =>
           println(s"=== $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
