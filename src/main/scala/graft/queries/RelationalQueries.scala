@@ -718,6 +718,40 @@ object RelationalQueries {
       "name_id", "var_id", "name", "variant", q = 3, maxDist = 1)
   }
 
+  /** J11 — the FULL entity-resolution pipeline: noisy entity table
+    * (clean part-name types ∪ planted-typo variants at offset ids) →
+    * blocked fuzzy SELF-join ([[j10FuzzyJoin]]'s operator, left_id <
+    * right_id) → connected components
+    * ([[graft.dedup.Dedup.duplicateClusters]]) → canonical record =
+    * min-id member (`kept`). Transitivity is what this adds over the
+    * raw pair list: "mall ring" links to "small ring" links to
+    * "small ringx" even though the two variants are 2 edits apart.
+    * The oracle replays blocking-free pairing + a recursive
+    * min-reachable-id closure, so the hash certifies blocking
+    * completeness AND the iterative propagation. */
+  private val j11ErClusters: Q = (s, dir) => {
+    val part = t(s, dir, "part")
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+    val variants = part.filter(col("p_partkey") < 500)
+      .select((col("p_partkey") + 1000000L).as("id"),
+        when(col("p_partkey") % 3 === 0, expr("substring(p_name, 2)"))
+          .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit("x")))
+          .otherwise(col("p_name")).as("name"))
+    val entities = names.select("id", "name")
+      .unionByName(variants.select("id", "name"))
+    val pairs = graft.ops.Ops.fuzzyJoinEditDistance(entities, entities,
+        "id", "id", "name", "name", q = 3, maxDist = 1)
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id").as("id_a"), col("right_id").as("id_b"))
+    graft.util.Caching.reshapeAndRelease(
+      graft.dedup.Dedup.duplicateClusters(entities.select("id"), "id", pairs)) {
+      labels =>
+        labels.select(col("id"), col("cluster").as("cluster_id"),
+          (col("id") === col("cluster")).cast(IntegerType).as("kept"))
+    }
+  }
+
   /** A14 — explicit GROUPING SETS: the {(status, priority), (status),
     * (priority)} shape neither ROLLUP (hierarchical) nor CUBE (adds the
     * grand total) expresses — the Dataset.groupingSets API surface beside
@@ -777,6 +811,7 @@ object RelationalQueries {
     "j8_shuffle_hash_join" -> j8ShuffleHashJoin,
     "j9_semi_join" -> j9SemiJoin,
     "j10_fuzzy_join" -> j10FuzzyJoin,
+    "j11_er_clusters" -> j11ErClusters,
     "a14_grouping_sets" -> a14GroupingSets,
     "a15_bootstrap_ci" -> a15BootstrapCi,
     "a9_rollup" -> a9Rollup,
@@ -881,6 +916,30 @@ object RelationalQueries {
         |FROM names, vars
         |WHERE length(left_name) >= 6 AND length(right_name) >= 6
         |  AND levenshtein(left_name, right_name) <= 1""".stripMargin,
+    // Unblocked pairing + recursive min-reachable-id closure — the
+    // dd_components oracle pattern over fuzzy-match edges.
+    "j11_er_clusters" ->
+      """WITH RECURSIVE
+        |names AS (SELECT min(p_partkey) AS id, p_name AS name
+        |  FROM part GROUP BY p_name),
+        |vars AS (SELECT p_partkey + 1000000 AS id,
+        |   CASE WHEN p_partkey % 3 = 0 THEN substring(p_name, 2)
+        |        WHEN p_partkey % 3 = 1 THEN p_name || 'x'
+        |        ELSE p_name END AS name
+        |  FROM part WHERE p_partkey < 500),
+        |ents AS (SELECT id, name FROM names
+        |  UNION ALL SELECT id, name FROM vars),
+        |pairs AS (SELECT a.id AS ia, b.id AS ib FROM ents a, ents b
+        |  WHERE a.id < b.id AND length(a.name) >= 6 AND length(b.name) >= 6
+        |    AND levenshtein(a.name, b.name) <= 1),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs
+        |  UNION ALL SELECT ib, ia FROM pairs),
+        |reach AS (SELECT id, id AS lbl FROM ents
+        |  UNION
+        |  SELECT e.b AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+        |  CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM reach GROUP BY id""".stripMargin,
     // the SHUFFLE_HASH hint is physical-plan-only; logical results are
     // the plain join's.
     "j8_shuffle_hash_join" ->
