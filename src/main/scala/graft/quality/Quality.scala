@@ -585,6 +585,61 @@ object Quality {
           .otherwise(lit(0.0)), 6).as("pctile"))
   }
 
+  /** Exact LOWER median per group — the ceil(n/2)-th order statistic, an
+    * ACTUAL data value rather than an interpolated midpoint, which is
+    * what makes it bit-portable across engines (an (a+b)/2 interpolation
+    * is one more derived double to disagree about downstream). Computed
+    * scale-safely: one (group, value) count aggregate, ONE
+    * range-partitioned distributed prefix scan over the whole counts
+    * frame ([[graft.ops.Scan.prefixSums]] — no per-group single-task
+    * window), per-group offsets from a constant-size (|groups|-row)
+    * running sum. The qualifying row is the smallest value whose
+    * within-group cumulative count `cc` satisfies `2·cc ≥ n`. Returns
+    * (group, out) — PERSISTED group-sized frame per the
+    * reshapeAndRelease caller contract. */
+  private def lowerMedians(df: DataFrame, g: String, v: String,
+                           out: String): DataFrame = {
+    val counts = df.filter(col(v).isNotNull)
+      .groupBy(col(g), col(v)).agg(count(lit(1)).as("__c"))
+    val cum = graft.ops.Scan.prefixSums(counts,
+      Seq(col(g).asc, col(v).asc), Seq("__c"))
+    val wg = org.apache.spark.sql.expressions.Window.orderBy(col(g))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = counts.groupBy(col(g)).agg(sum(col("__c")).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wg), lit(0L)))
+    graft.util.Caching.reshapeAndRelease(cum) { c =>
+      c.join(broadcast(offs), g)
+        .filter((col("__c_cum") - col("__off")) * 2 >= col("__n"))
+        .groupBy(col(g)).agg(min(col(v)).as(out))
+    }
+  }
+
+  /** Robust outlier gate on the median/MAD scale (Hampel's rule, public
+    * standard): a row is an outlier when `|x − median| > k·MAD`, with
+    * both statistics the exact LOWER median ([[lowerMedians]] — order
+    * statistics, so every emitted number is an input value or one IEEE
+    * subtraction/multiplication away from one: fully hash-portable,
+    * unlike mean/stddev rules a single extreme value corrupts). Returns
+    * every input row with (med, dev, mad, outlier 0/1).
+    *
+    * Scale shape: two prefix-scan median passes over (group, value)
+    * AGGREGATES, two broadcast joins of group-sized statistics frames —
+    * the corpus itself is never window-sorted or reshuffled. The two
+    * tiny statistics frames stay persisted (group-count rows) under the
+    * operator family's caller-unpersist contract. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 2.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val meds = lowerMedians(df, groupCol, valueCol, "med")
+    val withDev = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(meds), groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mads = lowerMedians(withDev, groupCol, "dev", "mad")
+    withDev.join(broadcast(mads), groupCol)
+      .withColumn("outlier", (col("dev") > lit(k) * col("mad"))
+        .cast(org.apache.spark.sql.types.IntegerType))
+  }
+
   /** k-anonymity audit (Sweeney 2002, public): group sizes over the
     * quasi-identifier combination, flagging every combination smaller
     * than `k` — the groups whose members a released dataset would

@@ -765,6 +765,27 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("total"),
         grouping_id().cast(LongType).as("gid"))
 
+  /** A18 — CUBE: every subset of (priority, status) including the grand
+    * total — completes the grouping-set trio beside [[a9Rollup]]
+    * (hierarchical) and [[a14GroupingSets]] (explicit list). Same
+    * one-pass map-side set expansion + single shuffle. */
+  private val a18Cube: Q = (s, dir) =>
+    t(s, dir, "orders").cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("total"),
+        grouping_id().cast(LongType).as("gid"))
+
+  /** A19 — robust outliers on the median/MAD scale (Hampel's rule) per
+    * order status: rows with |price − median| > 2·MAD, both statistics
+    * exact lower medians (order statistics — bit-portable, computed by
+    * distributed prefix scan, never a per-group window sort). The whole
+    * report — median, deviation, MAD and the flag — is hash-checked. */
+  private val a19MadOutliers: Q = (s, dir) =>
+    graft.quality.Quality.madOutliers(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "o_orderstatus", "o_totalprice", k = 2.0)
+      .filter(col("outlier") === 1)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "med", "dev", "mad")
+
   /** A15 — Poisson-bootstrap 90% CI for the mean order price: 50
     * one-pass replicas, exact-cents integer sums, order-statistic
     * percentiles (see [[graft.quality.Quality.bootstrapMeanCI]] — the
@@ -814,6 +835,8 @@ object RelationalQueries {
     "j11_er_clusters" -> j11ErClusters,
     "a14_grouping_sets" -> a14GroupingSets,
     "a15_bootstrap_ci" -> a15BootstrapCi,
+    "a18_cube" -> a18Cube,
+    "a19_mad_outliers" -> a19MadOutliers,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
     "w9_pivot" -> w9Pivot,
@@ -955,6 +978,34 @@ object RelationalQueries {
         | ROUND(sum(o_totalprice), 6) AS total,
         | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+    "a18_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n,
+        | ROUND(sum(o_totalprice), 6) AS total,
+        | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    // Lower medians as order statistics (2·cc >= n over within-group
+    // cumulative counts) — never an interpolated midpoint; dev and the
+    // 2·MAD comparison are single IEEE ops on exact inputs.
+    "a19_mad_outliers" ->
+      """WITH c AS (SELECT o_orderstatus g, o_totalprice v, count(*) c
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) cc FROM c),
+        |n AS (SELECT g, sum(c) n FROM c GROUP BY 1),
+        |med AS (SELECT g, min(v) med FROM cum JOIN n USING (g)
+        |  WHERE 2 * cc >= n GROUP BY g),
+        |d AS (SELECT o_orderkey, o_orderstatus g, o_totalprice v,
+        |   abs(o_totalprice - med) dev, med
+        |  FROM orders JOIN med ON g = o_orderstatus),
+        |dc AS (SELECT g, dev, count(*) c FROM d GROUP BY 1, 2),
+        |dcum AS (SELECT g, dev, sum(c) OVER (PARTITION BY g ORDER BY dev) cc
+        |  FROM dc),
+        |dn AS (SELECT g, sum(c) n FROM dc GROUP BY 1),
+        |mad AS (SELECT g, min(dev) mad FROM dcum JOIN dn USING (g)
+        |  WHERE 2 * cc >= n GROUP BY g)
+        |SELECT d.o_orderkey, d.g AS o_orderstatus, d.v AS o_totalprice,
+        |  d.med, d.dev, m.mad
+        |FROM d JOIN mad m USING (g) WHERE d.dev > 2 * m.mad""".stripMargin,
     // bootstrap replay: same md5-uniform, the SAME Poisson CDF double
     // literals (shared Scala constant — computing e^-1/k! cross-engine
     // would reintroduce the transcendental hazard), exact-cents sums,

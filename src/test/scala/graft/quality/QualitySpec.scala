@@ -249,6 +249,31 @@ class QualitySpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("madOutliers: hand-computed lower medians, MAD, and Hampel flags") {
+    // A: [1,2,3,4,100] → med 3 (pos 3), devs sorted [0,1,1,2,97] → mad 1,
+    //    outlier iff dev > 2 → only 100 (dev 97).
+    // B: [10,10,10] → mad 0 → nothing flagged (dev > 0 never strict on 0s).
+    // C: [1,2,3,40] (even n) → med = LOWER middle 2, devs [1,0,1,38]
+    //    sorted [0,1,1,38] → mad pos 2 = 1 → only 40 flagged.
+    val df = (Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "A", 4.0), (5L, "A", 100.0),
+      (6L, "B", 10.0), (7L, "B", 10.0), (8L, "B", 10.0),
+      (9L, "C", 1.0), (10L, "C", 2.0), (11L, "C", 3.0), (12L, "C", 40.0)))
+      .toDF("id", "g", "v")
+    val out = Quality.madOutliers(df, "g", "v", k = 2.0)
+      .select("id", "g", "med", "dev", "mad", "outlier")
+      .as[(Long, String, Double, Double, Double, Int)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length === 12)
+    assert(byId(5L) === ((5L, "A", 3.0, 97.0, 1.0, 1)))
+    assert(byId(12L) === ((12L, "C", 2.0, 38.0, 1.0, 1)))
+    assert(out.count(_._6 == 1) === 2, s"exactly 100.0 and 40.0 flagged: ${out.toSeq}")
+    assert(byId(6L)._5 === 0.0) // group B MAD is exactly zero
+    intercept[IllegalArgumentException] {
+      Quality.madOutliers(df, "g", "v", k = 0.0)
+    }
+  }
+
   test("kAnonymity + suppression: group flags, NULL quasi-values form a group") {
     // (zip, age): "10" × 3, "20" × 2, NULL-zip × 2 — at k = 2 only the
     // singleton ("30", 9) is suppressed; NULLs are a real group.
