@@ -640,6 +640,23 @@ object Quality {
         .cast(org.apache.spark.sql.types.IntegerType))
   }
 
+  /** Robust per-group location/scale summary: (group, n, med, mad) with
+    * both statistics exact lower medians ([[lowerMedians]]) — the
+    * audit-face companion of [[madOutliers]] (same two prefix-scan
+    * passes, no per-row output). Unlike mean/stddev, one corrupted
+    * extreme value moves neither number. */
+  def robustStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val meds = lowerMedians(df, groupCol, valueCol, "med")
+    val withDev = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(meds), groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mads = lowerMedians(withDev, groupCol, "dev", "mad")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .join(broadcast(meds), groupCol)
+      .join(broadcast(mads), groupCol)
+  }
+
   /** k-anonymity audit (Sweeney 2002, public): group sizes over the
     * quasi-identifier combination, flagging every combination smaller
     * than `k` — the groups whose members a released dataset would

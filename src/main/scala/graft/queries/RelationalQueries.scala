@@ -786,6 +786,13 @@ object RelationalQueries {
       .filter(col("outlier") === 1)
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "med", "dev", "mad")
 
+  /** A20 — robust per-status location/scale summary (n, lower median,
+    * MAD): the audit face of [[a19MadOutliers]]. */
+  private val a20RobustStats: Q = (s, dir) =>
+    graft.quality.Quality.robustStats(
+      t(s, dir, "orders").select("o_orderstatus", "o_totalprice"),
+      "o_orderstatus", "o_totalprice")
+
   /** A15 — Poisson-bootstrap 90% CI for the mean order price: 50
     * one-pass replicas, exact-cents integer sums, order-statistic
     * percentiles (see [[graft.quality.Quality.bootstrapMeanCI]] — the
@@ -837,6 +844,7 @@ object RelationalQueries {
     "a15_bootstrap_ci" -> a15BootstrapCi,
     "a18_cube" -> a18Cube,
     "a19_mad_outliers" -> a19MadOutliers,
+    "a20_robust_stats" -> a20RobustStats,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
     "w9_pivot" -> w9Pivot,
@@ -984,6 +992,23 @@ object RelationalQueries {
         | ROUND(sum(o_totalprice), 6) AS total,
         | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    "a20_robust_stats" ->
+      """WITH c AS (SELECT o_orderstatus g, o_totalprice v, count(*) c
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) cc FROM c),
+        |n AS (SELECT g, CAST(sum(c) AS BIGINT) n FROM c GROUP BY 1),
+        |med AS (SELECT g, min(v) med FROM cum JOIN n USING (g)
+        |  WHERE 2 * cc >= n GROUP BY g),
+        |d AS (SELECT o_orderstatus g, abs(o_totalprice - med) dev
+        |  FROM orders JOIN med ON g = o_orderstatus),
+        |dc AS (SELECT g, dev, count(*) c FROM d GROUP BY 1, 2),
+        |dcum AS (SELECT g, dev, sum(c) OVER (PARTITION BY g ORDER BY dev) cc
+        |  FROM dc),
+        |dn AS (SELECT g, sum(c) n FROM dc GROUP BY 1),
+        |mad AS (SELECT g, min(dev) mad FROM dcum JOIN dn USING (g)
+        |  WHERE 2 * cc >= n GROUP BY g)
+        |SELECT n.g AS o_orderstatus, n.n, med.med, mad.mad
+        |FROM n JOIN med USING (g) JOIN mad USING (g)""".stripMargin,
     // Lower medians as order statistics (2·cc >= n over within-group
     // cumulative counts) — never an interpolated midpoint; dev and the
     // 2·MAD comparison are single IEEE ops on exact inputs.
