@@ -605,9 +605,12 @@ object Quality {
       Seq(col(g).asc, col(v).asc), Seq("__c"))
     val wg = org.apache.spark.sql.expressions.Window.orderBy(col(g))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offs = counts.groupBy(col(g)).agg(sum(col("__c")).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(wg), lit(0L)))
     graft.util.Caching.reshapeAndRelease(cum) { c =>
+      // group totals/offsets derived from the PERSISTED prefix frame —
+      // re-aggregating `counts` here would recompute the corpus groupBy
+      // a second time per median pass
+      val offs = c.groupBy(col(g)).agg(sum(col("__c")).as("__n"))
+        .withColumn("__off", coalesce(sum(col("__n")).over(wg), lit(0L)))
       c.join(broadcast(offs), g)
         .filter((col("__c_cum") - col("__off")) * 2 >= col("__n"))
         .groupBy(col(g)).agg(min(col(v)).as(out))
