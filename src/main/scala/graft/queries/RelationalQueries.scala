@@ -752,6 +752,55 @@ object RelationalQueries {
     }
   }
 
+  /** The string-SQL face of the engine: registered temp views +
+    * `spark.sql` — the same Catalyst plan the DataFrame API builds, via
+    * the surface ad-hoc users actually type. The three classic TPC-H
+    * shapes (adapted to the available columns): Q1 pricing summary, Q3
+    * shipping-priority revenue (minus the absent o_shippriority), Q6
+    * forecast revenue. Oracles are the same ANSI SQL in DuckDB. */
+  private def sqlOver(s: SparkSession, dir: String, tables: Seq[String],
+                      sql: String): DataFrame = {
+    tables.foreach(tb => t(s, dir, tb).createOrReplaceTempView(tb))
+    s.sql(sql)
+  }
+
+  private val sqlQ1Pricing: Q = (s, dir) => sqlOver(s, dir, Seq("lineitem"),
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 6) AS sum_qty,
+      |  round(sum(l_extendedprice), 6) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+
+  private val sqlQ3Shipping: Q = (s, dir) =>
+    sqlOver(s, dir, Seq("customer", "orders", "lineitem"),
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp '1998-03-15 00:00:00'
+        |  AND l_shipdate > timestamp '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+
+  private val sqlQ6Revenue: Q = (s, dir) => sqlOver(s, dir, Seq("lineitem"),
+    """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+      |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin)
+
   /** A14 — explicit GROUPING SETS: the {(status, priority), (status),
     * (priority)} shape neither ROLLUP (hierarchical) nor CUBE (adds the
     * grand total) expresses — the Dataset.groupingSets API surface beside
@@ -845,6 +894,9 @@ object RelationalQueries {
     "a18_cube" -> a18Cube,
     "a19_mad_outliers" -> a19MadOutliers,
     "a20_robust_stats" -> a20RobustStats,
+    "sql_q1_pricing" -> sqlQ1Pricing,
+    "sql_q3_shipping" -> sqlQ3Shipping,
+    "sql_q6_revenue" -> sqlQ6Revenue,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
     "w9_pivot" -> w9Pivot,
@@ -992,6 +1044,41 @@ object RelationalQueries {
         | ROUND(sum(o_totalprice), 6) AS total,
         | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    // The spark.sql face shares its text with the oracle verbatim up to
+    // dialect-neutral ANSI (both engines parse these unchanged).
+    "sql_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 6) AS sum_qty,
+        |  round(sum(l_extendedprice), 6) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_q3_shipping" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp '1998-03-15 00:00:00'
+        |  AND l_shipdate > timestamp '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "sql_q6_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "a20_robust_stats" ->
       """WITH c AS (SELECT o_orderstatus g, o_totalprice v, count(*) c
         |  FROM orders GROUP BY 1, 2),
