@@ -792,6 +792,26 @@ object RelationalQueries {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin)
 
+  /** TPC-H Q5 — the 6-table local-supplier-volume join: the deepest join
+    * tree in the registry, exactly the shape Catalyst's join reorder +
+    * AQE broadcast decisions exist for (region/nation broadcast,
+    * fact-side shuffles on the two key chains). */
+  private val sqlQ5LocalRevenue: Q = (s, dir) =>
+    sqlOver(s, dir,
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region"),
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |  AND o_orderdate < timestamp '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin)
+
   private val sqlQ6Revenue: Q = (s, dir) => sqlOver(s, dir, Seq("lineitem"),
     """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
       |  count(*) AS n
@@ -896,6 +916,7 @@ object RelationalQueries {
     "a20_robust_stats" -> a20RobustStats,
     "sql_q1_pricing" -> sqlQ1Pricing,
     "sql_q3_shipping" -> sqlQ3Shipping,
+    "sql_q5_local_revenue" -> sqlQ5LocalRevenue,
     "sql_q6_revenue" -> sqlQ6Revenue,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
@@ -1071,6 +1092,19 @@ object RelationalQueries {
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "sql_q5_local_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |  AND o_orderdate < timestamp '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
     "sql_q6_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n
