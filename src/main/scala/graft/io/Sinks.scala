@@ -32,6 +32,16 @@ object Sinks {
     df
   }
 
+  /** XML sink (Spark 4 native datasource), full-refresh overwrite: one
+    * `<rowTag>` element per row. Round-trips with [[Sources.xml]]. */
+  def xml(df: DataFrame, path: String, rowTag: String,
+          coalesce: Int = 0): DataFrame = {
+    val out = if (coalesce > 0) df.coalesce(coalesce) else df
+    out.write.mode(SaveMode.Overwrite).format("xml")
+      .option("rowTag", rowTag).save(path)
+    df
+  }
+
   /** Small-file compaction: rewrite a parquet dataset into `targetFiles`
     * files. The chronic data-lake ailment at scale — a streaming or
     * per-batch writer leaves thousands of KB-sized files and every

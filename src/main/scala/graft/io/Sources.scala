@@ -54,6 +54,17 @@ object Sources {
       .csv(readPath)
   }
 
+  /** XML scan — Spark 4's NATIVE xml datasource (`rowTag` selects the
+    * repeating record element; schema inferred like csv/json). Splittable
+    * and distributed like the other file sources; attribute columns
+    * surface with the `_` prefix per the datasource's convention. */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          inferSchema: Boolean = true): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("inferSchema", inferSchema)
+      .load(path)
+
   /** CSV scan with malformed-row CAPTURE (production ingest contract): rows
     * that don't parse against `schemaDdl` land in a `_corrupt` column with
     * their raw text instead of poisoning the job (PERMISSIVE) or silently

@@ -60,6 +60,18 @@ object RelationalQueries {
         col("n_regionkey").cast(IntegerType))
   }
 
+  /** S7 (+K): XML round-trip through Spark 4's NATIVE xml datasource —
+    * write nation as `<nation>` row elements, read back with rowTag +
+    * inference. Extends the source tier beyond the reference's formats
+    * the same way ORC/JSON round-trips do. */
+  private val s7XmlScan: Q = (s, dir) => {
+    val out = tmpDir("graft_s7")
+    Sinks.xml(t(s, dir, "nation"), s"$out/nation_xml", rowTag = "nation")
+    Sources.xml(s, s"$out/nation_xml", rowTag = "nation")
+      .select(col("n_nationkey").cast(IntegerType), col("n_name"),
+        col("n_regionkey").cast(IntegerType))
+  }
+
   /** S2 (+K1): CSV round-trip with header + schema inference (dag1.py:45,50). */
   private val s2CsvScan: Q = (s, dir) => {
     val out = tmpDir("graft_s2")
@@ -926,6 +938,7 @@ object RelationalQueries {
     "w14_merkle_diff" -> w14MerkleDiff,
     "f11_winsorize" -> f11Winsorize,
     "s1_xlsx_scan" -> s1XlsxScan,
+    "s7_xml_scan" -> s7XmlScan,
     "s2_csv_scan" -> s2CsvScan,
     "s3_csv_charset" -> s3CsvCharset,
     "s4_json_table" -> s4JsonTable,
@@ -1274,6 +1287,8 @@ object RelationalQueries {
         | ROUND(LEAST(GREATEST(o_totalprice, p05), p95), 6) AS price_w
         |FROM orders, p""".stripMargin,
     "s1_xlsx_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s7_xml_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s2_csv_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
