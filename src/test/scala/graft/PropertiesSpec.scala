@@ -374,6 +374,54 @@ object PropertiesSpec extends Properties("graft") {
         }
     }
 
+  propertyWithSeed("fuzzy-join q-gram prefix blocking ≡ unblocked all-pairs", None) =
+    forAll(Gen.choose(0L, Long.MaxValue)) { seed: Long =>
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcd" // tiny alphabet → dense near-matches + shared grams
+      def word() = (0 until 6 + rnd.nextInt(5))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      def edit(s: String): String = rnd.nextInt(3) match {
+        case 0 => val i = rnd.nextInt(s.length) // substitute
+          s.updated(i, alpha(rnd.nextInt(alpha.length)))
+        case 1 => val i = rnd.nextInt(s.length + 1) // insert
+          s.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + s.substring(i)
+        case _ => val i = rnd.nextInt(s.length) // delete
+          s.substring(0, i) + s.substring(i + 1)
+      }
+      val base = (0 until 12).map(_ => word())
+      val left = base.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("lid", "lname")
+      val right = (base.map(edit) ++ (0 until 6).map(_ => word())).zipWithIndex
+        .map { case (w, i) => (100L + i, w) }.toDF("rid", "rname")
+      val blocked = Ops.fuzzyJoinEditDistance(left, right, "lid", "rid",
+          "lname", "rname", q = 3, maxDist = 1)
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      val brute = left.filter(length(col("lname")) >= 6)
+        .crossJoin(right.filter(length(col("rname")) >= 6))
+        .filter(levenshtein(col("lname"), col("rname")) <= 1)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      blocked == brute
+    }
+
+  propertyWithSeed("batched BPE trainer ≡ sequential at random widths", None) =
+    forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(1, 8)) {
+      (seed: Long, maxBatch: Int) =>
+        val rnd = new scala.util.Random(seed)
+        val alpha = "abc" // small alphabet → frequent ties and overlaps,
+                          // the regime where batching could diverge
+        def word() = (0 until 2 + rnd.nextInt(5))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        val docs = (0 until 10)
+          .map(i => (i.toLong, (0 until 1 + rnd.nextInt(4)).map(_ => word()).mkString(" ")))
+          .toDF("id", "text")
+        val seqTable = graft.text.TextOps.bpeMerges(docs, "text", numMerges = 6)
+          .as[(Int, String, String, Long)].collect().toSeq
+        val bat = graft.text.TextOps.bpeMergesBatched(docs, "text",
+            numMerges = 6, maxBatch = maxBatch)
+          .as[(Int, String, String, Long)].collect().toSeq
+        bat == seqTable
+    }
+
   // ScalaCheck's default 100 cases × 5 properties × Spark job latency is
   // minutes of wall time for no extra coverage — 20 cases each is plenty
   // for these structural invariants.
