@@ -598,7 +598,29 @@ object Quality {
     * (group, out) — PERSISTED group-sized frame per the
     * reshapeAndRelease caller contract. */
   private def lowerMedians(df: DataFrame, g: String, v: String,
-                           out: String): DataFrame = {
+                           out: String): DataFrame =
+    exactPercentiles(df, g, v, Seq(50))
+      .select(col(g), col("p50").as(out))
+
+  /** Exact NEAREST-RANK percentiles per group — for each requested p the
+    * smallest value whose within-group cumulative count `cc` satisfies
+    * `100·cc ≥ p·n` (pure integer arithmetic; every emitted percentile
+    * is an ACTUAL data value, which is what makes the whole report
+    * bit-portable — interpolating quantile estimators emit derived
+    * doubles two engines can disagree about). ALL percentiles come out
+    * of ONE range-partitioned distributed prefix scan over the
+    * (group, value) counts ([[graft.ops.Scan.prefixSums]] — no
+    * per-group single-task window), with group offsets derived from the
+    * persisted prefix frame (constant-size running sum over |groups|
+    * rows). Returns (group, n, p<p1>, p<p2>, ...), persisted
+    * group-sized per the reshapeAndRelease caller contract. */
+  def exactPercentiles(df: DataFrame, g: String, v: String,
+                       percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty, "exactPercentiles needs at least one p")
+    require(percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    require(percentiles.distinct.size == percentiles.size,
+      s"percentiles must be distinct, got $percentiles")
     val counts = df.filter(col(v).isNotNull)
       .groupBy(col(g), col(v)).agg(count(lit(1)).as("__c"))
     val cum = graft.ops.Scan.prefixSums(counts,
@@ -608,12 +630,17 @@ object Quality {
     graft.util.Caching.reshapeAndRelease(cum) { c =>
       // group totals/offsets derived from the PERSISTED prefix frame —
       // re-aggregating `counts` here would recompute the corpus groupBy
-      // a second time per median pass
+      // a second time per pass
       val offs = c.groupBy(col(g)).agg(sum(col("__c")).as("__n"))
         .withColumn("__off", coalesce(sum(col("__n")).over(wg), lit(0L)))
-      c.join(broadcast(offs), g)
-        .filter((col("__c_cum") - col("__off")) * 2 >= col("__n"))
-        .groupBy(col(g)).agg(min(col(v)).as(out))
+      val joined = c.join(broadcast(offs), g)
+        .withColumn("__gc", col("__c_cum") - col("__off"))
+      val aggs = count(lit(1)).as("__nvals") +:
+        percentiles.map(p => min(when(col("__gc") * 100 >= col("__n") * p,
+          col(v))).as(s"p$p"))
+      joined.groupBy(col(g), col("__n").as("n"))
+        .agg(aggs.head, aggs.tail: _*)
+        .drop("__nvals")
     }
   }
 

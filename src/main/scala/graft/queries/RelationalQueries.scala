@@ -764,6 +764,15 @@ object RelationalQueries {
     }
   }
 
+  /** A21 — exact nearest-rank percentile report (p25/p50/p75/p90/p99 of
+    * order price per status): every percentile an actual data value out
+    * of ONE distributed prefix scan, fully hash-checked — the latency-
+    * report shape (p99!) done exactly instead of by sketch. */
+  private val a21Percentiles: Q = (s, dir) =>
+    graft.quality.Quality.exactPercentiles(
+      t(s, dir, "orders").select("o_orderstatus", "o_totalprice"),
+      "o_orderstatus", "o_totalprice", Seq(25, 50, 75, 90, 99))
+
   /** The string-SQL face of the engine: registered temp views +
     * `spark.sql` — the same Catalyst plan the DataFrame API builds, via
     * the surface ad-hoc users actually type. The three classic TPC-H
@@ -926,6 +935,7 @@ object RelationalQueries {
     "a18_cube" -> a18Cube,
     "a19_mad_outliers" -> a19MadOutliers,
     "a20_robust_stats" -> a20RobustStats,
+    "a21_percentiles" -> a21Percentiles,
     "sql_q1_pricing" -> sqlQ1Pricing,
     "sql_q3_shipping" -> sqlQ3Shipping,
     "sql_q5_local_revenue" -> sqlQ5LocalRevenue,
@@ -1078,6 +1088,21 @@ object RelationalQueries {
         | ROUND(sum(o_totalprice), 6) AS total,
         | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    // Nearest-rank percentiles: smallest value with 100·cc >= p·n over
+    // within-group cumulative counts — all integer comparisons, every
+    // output an actual data value.
+    "a21_percentiles" ->
+      """WITH c AS (SELECT o_orderstatus g, o_totalprice v, count(*) c
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) cc FROM c),
+        |n AS (SELECT g, CAST(sum(c) AS BIGINT) n FROM c GROUP BY 1)
+        |SELECT n.g AS o_orderstatus, n.n,
+        |  (SELECT min(v) FROM cum WHERE cum.g = n.g AND 100 * cc >= 25 * n.n) AS p25,
+        |  (SELECT min(v) FROM cum WHERE cum.g = n.g AND 100 * cc >= 50 * n.n) AS p50,
+        |  (SELECT min(v) FROM cum WHERE cum.g = n.g AND 100 * cc >= 75 * n.n) AS p75,
+        |  (SELECT min(v) FROM cum WHERE cum.g = n.g AND 100 * cc >= 90 * n.n) AS p90,
+        |  (SELECT min(v) FROM cum WHERE cum.g = n.g AND 100 * cc >= 99 * n.n) AS p99
+        |FROM n""".stripMargin,
     // The spark.sql face shares its text with the oracle verbatim up to
     // dialect-neutral ANSI (both engines parse these unchanged).
     "sql_q1_pricing" ->

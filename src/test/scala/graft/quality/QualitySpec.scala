@@ -274,6 +274,28 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("exactPercentiles: nearest-rank cut points, duplicates, and madOutliers consistency") {
+    val df = ((1 to 10).map(i => ("A", i.toDouble)) ++
+      Seq(("B", 5.0), ("B", 5.0), ("B", 5.0), ("B", 9.0)))
+      .toDF("g", "v")
+    val out = Quality.exactPercentiles(df, "g", "v", Seq(25, 50, 75, 90, 99))
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(out === Set(
+      ("A", 10L, 3.0, 5.0, 8.0, 9.0, 10.0),
+      ("B", 4L, 5.0, 5.0, 5.0, 9.0, 9.0)))
+    // the median machinery madOutliers rides is this same operator at p50
+    val med = Quality.exactPercentiles(df, "g", "v", Seq(50))
+      .select("g", "p50").as[(String, Double)].collect().toMap
+    assert(med === Map("A" -> 5.0, "B" -> 5.0))
+    intercept[IllegalArgumentException] {
+      Quality.exactPercentiles(df, "g", "v", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.exactPercentiles(df, "g", "v", Seq(50, 50))
+    }
+  }
+
   test("kAnonymity + suppression: group flags, NULL quasi-values form a group") {
     // (zip, age): "10" × 3, "20" × 2, NULL-zip × 2 — at k = 2 only the
     // singleton ("30", 9) is suppressed; NULLs are a real group.
