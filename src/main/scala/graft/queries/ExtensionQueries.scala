@@ -518,6 +518,13 @@ object ExtensionQueries {
     TextOps.bm25TopK(postings, s.read.parquet(s"$root/stats"), bm25Terms, k = 10)
   }
 
+  /** zlib compression-ratio quality signal per document — rows-only
+    * (deflate length is zlib-build-dependent); CompressSpec pins the
+    * repetitive ≪ prose ≪ random separation and determinism. */
+  private val txtCompressionRatio: Q = (s, dir) =>
+    graft.text.Compress.compressionSignals(
+      t(s, dir, "documents"), "text", "doc_id")
+
   /** The BM25 family's hash-green twin: every integer sufficient
     * statistic of the score — (term, doc_id, tf, dl, df, n_docs,
     * dl_sum) — oracle-checked exactly, so tokenization, postings,
@@ -2117,6 +2124,7 @@ object ExtensionQueries {
     "txt_bm25_topk" -> txtBm25Topk,
     "txt_lexicon_gate" -> txtLexiconGate,
     "txt_bpe_fertility" -> txtBpeFertility,
+    "txt_compression_ratio" -> txtCompressionRatio,
     "txt_bm25_probe" -> txtBm25Probe,
     "txt_bm25_stats" -> txtBm25Stats,
     "pipe_curate_corpus" -> pipeCurateCorpus,
