@@ -488,6 +488,17 @@ object ExtensionQueries {
         "slow" -> -3L, "dup" -> -10L),
       bias = 0L, threshold = 1L)
 
+  /** The MAP-ONLY lexicon gate (codegen'd regexp_count per term, zero
+    * shuffle — the streaming/100 TB plan) on the same lexicon; SHARES
+    * [[txtLexiconGate]]'s oracle, so the hash certifies the regex
+    * boundary definition ≡ whitespace tokenization on the whole
+    * corpus. */
+  private val txtLexiconGateMap: Q = (s, dir) =>
+    TextOps.lexiconScoreMapOnly(t(s, dir, "documents"), "text", "doc_id",
+      Map("index" -> 2L, "sort" -> 2L, "merge" -> 1L,
+        "slow" -> -3L, "dup" -> -10L),
+      bias = 0L, threshold = 1L)
+
   /** BM25 keyword search over the corpus (two common terms + one rare —
     * the idf spread that makes ranking non-trivial). Transcendental ln in
     * the score ⇒ rows-only face; [[txtBm25Stats]] is the hash-green twin
@@ -2123,6 +2134,7 @@ object ExtensionQueries {
     "txt_bpe_learn_batched" -> txtBpeLearnBatched,
     "txt_bm25_topk" -> txtBm25Topk,
     "txt_lexicon_gate" -> txtLexiconGate,
+    "txt_lexicon_gate_map" -> txtLexiconGateMap,
     "txt_bpe_fertility" -> txtBpeFertility,
     "txt_compression_ratio" -> txtCompressionRatio,
     "txt_bm25_probe" -> txtBm25Probe,
@@ -2424,6 +2436,23 @@ object ExtensionQueries {
          |FROM fps n JOIN fps r ON n.fp = r.fp
          |  AND n.doc_id % 5 = 4 AND r.doc_id % 5 <> 4
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** Shared oracle of the two lexicon-gate faces (aggregate and
+    * map-only): tf-weighted lexicon sums with no-hit docs at bias 0. */
+  private val lexiconGateOracle: String =
+    raw"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id,
+         |     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         |    FROM documents)
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |w(term, w) AS (VALUES ('index', 2), ('sort', 2), ('merge', 1),
+         |   ('slow', -3), ('dup', -10)),
+         |hits AS (SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS hit
+         |  FROM tf JOIN w USING (term) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(h.hit, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(h.hit, 0) >= 1 THEN 1 ELSE 0 END
+         |    AS INTEGER) AS kept
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
 
   /** Shared identical-shingle-set oracle (dd_minhash_verified ≡
     * dd_oph_verified at threshold 1.0): groups docs by a canonical
@@ -3534,20 +3563,11 @@ object ExtensionQueries {
              |  CAST(sum(ns) AS BIGINT) AS n_subwords,
              |  CAST(CAST(sum(ns) AS BIGINT) AS DOUBLE) / count(*) AS fertility
              |FROM seg GROUP BY 1""".stripMargin,
-      "txt_lexicon_gate" ->
-        raw"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-             |  FROM (SELECT doc_id,
-             |     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-             |    FROM documents)
-             |  WHERE term <> '' GROUP BY 1, 2),
-             |w(term, w) AS (VALUES ('index', 2), ('sort', 2), ('merge', 1),
-             |   ('slow', -3), ('dup', -10)),
-             |hits AS (SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS hit
-             |  FROM tf JOIN w USING (term) GROUP BY 1)
-             |SELECT d.doc_id, CAST(coalesce(h.hit, 0) AS BIGINT) AS score,
-             |  CAST(CASE WHEN coalesce(h.hit, 0) >= 1 THEN 1 ELSE 0 END
-             |    AS INTEGER) AS kept
-             |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+      "txt_lexicon_gate" -> lexiconGateOracle,
+      // the map-only twin computes the SAME contract with zero shuffle —
+      // one shared oracle makes the hash prove the regex-boundary ≡
+      // whitespace-tokenization equivalence corpus-wide
+      "txt_lexicon_gate_map" -> lexiconGateOracle,
       // Integer sufficient statistics of the BM25 score for the fixed
       // query terms — CASTs keep every hashed column BIGINT (sum(dl)
       // would otherwise be HUGEINT; see the gate's portability guard).

@@ -925,6 +925,31 @@ object TextOps {
       weights.toSeq.sortBy(_._1).toDF("term", "w"), bias, threshold)
   }
 
+  /** MAP-ONLY [[lexiconScore]] for literal lexica — the 100 TB (and
+    * streaming) form: each term's tf comes from a codegen'd
+    * `regexp_count` over the document (term quoted, anchored to
+    * whitespace/string boundaries — exactly the [[tokens]] boundary
+    * definition, spec-pinned equivalent to the aggregate form), summed
+    * in sorted-term order. ZERO shuffle: where the aggregate form
+    * explodes the token stream and shuffles it by doc, this is one
+    * projection — it rides `readStream` unchanged and never moves the
+    * corpus. Right for literal word lists (the score expression is
+    * O(|lexicon|) regex passes per doc); a large TRAINED model table
+    * should use the broadcast-join form instead. */
+  def lexiconScoreMapOnly(df: DataFrame, textCol: String, idCol: String,
+                          weights: Map[String, Long], bias: Long = 0L,
+                          threshold: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "lexiconScoreMapOnly needs a non-empty lexicon")
+    val t = lower(col(textCol))
+    val score = weights.toSeq.sortBy(_._1).map { case (w, wt) =>
+      lit(wt) * regexp_count(t, lit(
+        "(?<=^|\\s)" + java.util.regex.Pattern.quote(w) + "(?=$|\\s)"))
+        .cast(LongType)
+    }.reduce(_ + _) + lit(bias)
+    df.select(col(idCol).as("doc_id"), score.as("score"))
+      .withColumn("kept", (col("score") >= threshold).cast(IntegerType))
+  }
+
   // ---------------------------------------------------------------- BM25
 
   /** Inverted-index postings for BM25 retrieval: one row per

@@ -495,6 +495,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("lexiconScoreMapOnly ≡ aggregate lexiconScore incl. metachar terms") {
+    val docs = Seq(
+      (1L, "good good bad"),
+      (2L, "goodx good xgood"),          // substrings must NOT match
+      (3L, "  good\tbad \n good  "),     // mixed whitespace, leading/trailing
+      (4L, ""),
+      (5L, "a+b a+b c.d"),               // regex metachars as lexicon terms
+      (6L, "GOOD Bad gOOd"))             // case folding
+      .toDF("doc_id", "text")
+    val lex = Map("good" -> 2L, "bad" -> -3L, "a+b" -> 5L, "c.d" -> 7L)
+    val agg = TextOps.lexiconScore(docs, "text", "doc_id", lex, 1L, 2L)
+      .as[(Long, Long, Int)].collect().toSet
+    val map = TextOps.lexiconScoreMapOnly(docs, "text", "doc_id", lex, 1L, 2L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(map === agg, s"map-only diverged:\n$map\n$agg")
+    // spot-check the interesting rows: substrings excluded, metachars
+    // literal ("c.d" must not match "cxd" — there is none here, but "a+b"
+    // scores twice), case-folded
+    val byId = map.map(r => (r._1, (r._2, r._3))).toMap
+    assert(byId(2L) === ((3L, 1)))   // only the standalone "good" + bias
+    assert(byId(3L) === ((2L, 1)))   // 2·2 − 3 + 1
+    assert(byId(4L) === ((1L, 0)))   // bias only, below threshold 2
+    assert(byId(5L) === ((18L, 1)))  // 2·5 + 7 + 1
+    assert(byId(6L) === ((2L, 1)))   // case-insensitive
+  }
+
   test("BM25: hand-computed scores, empty doc in N, bounded-heap ranks") {
     // N = 4 (incl. the empty doc), dl = 3,1,2,0 → avgdl = 1.5.
     // df(apple) = df(banana) = 2 → idf = ln(1 + 2.5/2.5) = ln 2 for both.
