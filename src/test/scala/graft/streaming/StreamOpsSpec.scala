@@ -426,4 +426,30 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.sameElements(Array(("a", 2L))))
     } finally q.stop()
   }
+
+  test("map-only lexicon gate streams as-is: append stream ≡ batch, stateless") {
+    // lexiconScoreMapOnly is a pure projection, so it rides readStream
+    // unchanged in append mode with NO state store — the claim its
+    // docstring makes, proven against the batch run on the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    val lex = Map("good" -> 2L, "bad" -> -3L)
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = graft.text.TextOps
+      .lexiconScoreMapOnly(df, "text", "doc_id", lex, bias = 0L, threshold = 1L)
+      .writeStream.format("memory").queryName("lex_stream_out")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, "good good bad"), (2L, "bad"), (3L, "neutral"))
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("lex_stream_out")
+        .as[(Long, Long, Int)].collect().toSet
+      val batch = graft.text.TextOps.lexiconScoreMapOnly(
+          rows.toDF("doc_id", "text"), "text", "doc_id", lex, 0L, 1L)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 1L, 1), (2L, -3L, 0), (3L, 0L, 0)))
+    } finally q.stop()
+  }
 }
