@@ -221,4 +221,49 @@ class EdgeInputSpec extends SparkSpec {
     assert((cachedIds -- before).isEmpty,
       "edge paths must not leave cached frames behind")
   }
+
+  test("empty/degenerate inputs: round-11 operators stay defined") {
+    val emptyNamed = Seq.empty[(Long, String)].toDF("id", "name")
+    // fuzzy join: empty either side → empty, no exception from the
+    // prefix-rank windows or the frequency aggregate
+    assert(graft.ops.Ops.fuzzyJoinEditDistance(emptyNamed, emptyNamed,
+      "id", "id", "name", "name").count() === 0)
+    val oneSide = Seq((1L, "abcdef")).toDF("id", "name")
+    assert(graft.ops.Ops.fuzzyJoinEditDistance(oneSide, emptyNamed,
+      "id", "id", "name", "name").count() === 0)
+    // all strings below the q·(maxDist+1) length floor → defined empty
+    val short = Seq((1L, "ab"), (2L, "cd")).toDF("id", "name")
+    assert(graft.ops.Ops.fuzzyJoinEditDistance(short, short,
+      "id", "id", "name", "name").count() === 0)
+    // BM25 over an empty corpus and over terms absent from the corpus
+    assert(TextOps.bm25Search(empty, "text", "doc_id", Seq("x"), 5).count() === 0)
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(TextOps.bm25Search(docs, "text", "doc_id",
+      Seq("nosuchterm"), 5).count() === 0)
+    // lexicon gates on empty corpus; map-only face included
+    assert(TextOps.lexiconScore(empty, "text", "doc_id",
+      Map("a" -> 1L), 0L, 0L).count() === 0)
+    assert(TextOps.lexiconScoreMapOnly(empty, "text", "doc_id",
+      Map("a" -> 1L), 0L, 0L).count() === 0)
+    // robust statistics: empty input and all-null values both yield
+    // empty reports (no groups), not exceptions
+    val emptyGv = Seq.empty[(String, Option[Double])].toDF("g", "v")
+    assert(graft.quality.Quality.exactPercentiles(emptyGv, "g", "v",
+      Seq(50)).count() === 0)
+    val allNull = Seq(("a", Option.empty[Double])).toDF("g", "v")
+    assert(graft.quality.Quality.madOutliers(allNull, "g", "v").count() === 0)
+    // k-anonymity on empty input: empty audit, empty suppression
+    val emptyQ = Seq.empty[(Long, String)].toDF("id", "zip")
+    assert(graft.quality.Quality.kAnonymity(emptyQ, Seq("zip"), 2).count() === 0)
+    assert(graft.quality.Quality.kAnonymitySuppress(emptyQ, Seq("zip"), 2)
+      .count() === 0)
+    // compression signal on empty corpus
+    assert(graft.text.Compress.compressionSignals(empty, "text", "doc_id")
+      .count() === 0)
+    // hard negatives when every candidate shares the query's label
+    val mono = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.sim.Similarity.hardNegatives(mono,
+      mono.filter(col("vec_id") === 1), k = 2).count() === 0)
+  }
 }
