@@ -25,7 +25,8 @@ import java.nio.charset.StandardCharsets
   * extraction is two anchored regexes over the (tiny) request body — the
   * contract is exactly two scalar fields, not arbitrary JSON. */
 final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
-                            ann: Option[AnnBackend] = None) {
+                            ann: Option[AnnBackend] = None,
+                            search: Option[SearchService] = None) {
   require(maxLimit > 0, s"maxLimit must be > 0, got $maxLimit")
 
   @volatile private var server: HttpServer = _
@@ -36,6 +37,7 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/get_data", handler)
     ann.foreach(a => server.createContext("/ann", annHandler(a)))
+    search.foreach(s => server.createContext("/search", searchHandler(s)))
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -108,6 +110,52 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
           case _ =>
             respond(ex, 400,
               """{"error":"body must carry a numeric array 'vec' and an integer 'k'"}""")
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally ex.close()
+
+  // Search request fields: a bounded array of quoted terms + integer k.
+  // Terms are extracted as quoted strings (no escapes — search terms are
+  // plain tokens) and reach the plan only as typed literals.
+  private val TermsRe = """"terms"\s*:\s*\[([^\]]{0,4096})\]""".r
+  private val TermRe = """"([^"\\]{1,64})"""".r
+
+  /** `POST /search {"terms": ["t", ...], "k": n}` → BM25 top-k over the
+    * stored inverted index. k capped at the service's maxK; term count
+    * capped at its maxTerms; an empty term list is a 400. */
+  private def searchHandler(svc: SearchService): HttpHandler = (ex: HttpExchange) =>
+    try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST only"}""")
+      else {
+        val body =
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        (TermsRe.findFirstMatchIn(body), KRe.findFirstMatchIn(body)) match {
+          case (Some(tm), Some(km)) =>
+            val terms = TermRe.findAllMatchIn(tm.group(1)).map(_.group(1)).toSeq
+            if (terms.isEmpty)
+              respond(ex, 400, """{"error":"terms must be a non-empty array of strings"}""")
+            else {
+              try {
+                // clamp ONCE so the echoed "k" always matches the k served
+                val k = math.min(math.max(km.group(1).toInt, 1), svc.maxK)
+                val hits = svc.topK(terms.take(svc.maxTerms), k)
+                  .map { case (id, score, rank) =>
+                    s"""{"id":$id,"score":$score,"rank":$rank}""" }
+                  .mkString("[", ",", "]")
+                respond(ex, 200, s"""{"k":$k,"results":$hits}""")
+              } catch {
+                case e: IllegalArgumentException =>
+                  respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+              }
+            }
+          case _ =>
+            respond(ex, 400,
+              """{"error":"body must carry a string array 'terms' and an integer 'k'"}""")
         }
       }
     } catch {

@@ -134,6 +134,49 @@ class HttpQueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  private def postSearch(port: Int, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/search"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /search over a stored BM25 inverted index (hand-computed golden probe)") {
+    // TextOpsSpec's BM25 corpus: doc 1 outranks 2 outranks 3 for
+    // {apple, banana}; doc 4 is empty and never retrieved.
+    val docs = Seq((1L, "Apple banana apple"), (2L, "banana"),
+      (3L, "cherry apple"), (4L, "")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("search_idx_").toString
+    graft.text.TextOps.bm25Postings(docs, "text", "doc_id")
+      .withColumn("bucket", graft.text.TextOps.bm25Bucket(
+        org.apache.spark.sql.functions.col("term")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
+    graft.text.TextOps.bm25CorpusStats(docs, "text")
+      .write.mode("overwrite").parquet(s"$root/stats")
+    val search = SearchService.overParquetDir(spark, root, maxK = 10)
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, None, Some(search))
+    val port = srv.start()
+    try {
+      val r = postSearch(port, """{"terms": ["apple", "banana"], "k": 3}""")
+      assert(r.statusCode() === 200, r.body())
+      val ids = """"id":(-?\d+)""".r.findAllMatchIn(r.body())
+        .map(_.group(1).toLong).toSeq
+      assert(ids === Seq(1L, 2L, 3L), r.body())
+      // k clamps and echoes the clamped value
+      val big = postSearch(port, """{"terms": ["apple"], "k": 9999}""")
+      assert(big.statusCode() === 200)
+      assert(big.body().contains(""""k":10"""), big.body())
+      // a term absent from the corpus retrieves nothing but is not an error
+      val none = postSearch(port, """{"terms": ["zzz"], "k": 3}""")
+      assert(none.statusCode() === 200)
+      assert(""""id":""".r.findAllMatchIn(none.body()).isEmpty, none.body())
+      // malformed requests are 400s
+      assert(postSearch(port, """{"terms": [], "k": 3}""").statusCode() === 400)
+      assert(postSearch(port, """{"k": 3}""").statusCode() === 400)
+    } finally srv.stop()
+  }
+
   test("POST /ann over a stored RESIDUAL IVF-PQ index (zero-residual golden probe)") {
     // IvfPqSpec's grid alphabet: gridVec(i) depends only on i % 4, so 48
     // vectors collapse to 4 distinct points and k-means at nlist = 4
