@@ -23,7 +23,12 @@ object SparkEntry {
     * guaranteed-recall / universal-bucket / grid-recovery / full-probe
     * parameterizations of the same operators). The approximate-regime
     * QUALITY numbers are themselves oracle-checked via the recall
-    * metrics (sim_lsh_recall, sim_pq_recall, sim_ivf_recall). */
+    * metrics (sim_lsh_recall, sim_pq_recall, sim_ivf_recall). The
+    * transcendental-score faces (txt_bm25_topk / txt_bm25_probe — ln in
+    * BM25) and the codec face (txt_compression_ratio — deflate length is
+    * zlib-build-dependent) are rows-only by the portability law, with
+    * hash-green integer-statistics twins (txt_bm25_stats) or spec pins
+    * (hand-computed BM25 scores; CompressSpec separation floors). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ExtensionQueries.oracle
 }
