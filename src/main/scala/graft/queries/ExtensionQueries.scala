@@ -1649,6 +1649,22 @@ object ExtensionQueries {
       dimOut = 8, seed = 42)
   }
 
+  /** Matryoshka-truncation evaluation (Kusupati et al. 2022, MRL,
+    * public): recall@5 of ranking by only the FIRST 8 of 64 dimensions
+    * vs full-width brute force — the "how much recall does serving the
+    * truncated prefix cost" number MRL-style embedding deployments
+    * budget by. Truncation is exact (array slice), cosines are the
+    * shared rounded arithmetic, so the whole evaluation hash-checks. */
+  private val simMatryoshkaRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    def trunc(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(trunc(emb), trunc(q), k = 5),
+      Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+  }
+
   /** Hard-negative mining (DPR-style): per query, the 5 most-similar
     * corpus vectors with a DIFFERENT label — exact brute force with the
     * label mismatch in the join predicate, hash-checked against the
@@ -2174,6 +2190,7 @@ object ExtensionQueries {
     "sim_rp_exact" -> simRpExact,
     "sim_rp_probe" -> simRpProbe,
     "sim_hard_negatives" -> simHardNegatives,
+    "sim_matryoshka_recall" -> simMatryoshkaRecall,
     "sim_rp_recall" -> simRpRecall,
     "sim_mmr_select" -> simMmrSelect,
     "sim_knn_classify" -> simKnnClassify,
@@ -4166,6 +4183,36 @@ bruteForceCosineOracle,
       // brute force (the lshTopK bits=0 analog for random projection).
       "sim_rp_exact" -> bruteForceCosineOracle,
       "sim_rp_probe" -> simRpProbeOracle,
+      // Truncated-prefix ANN vs full-width exact, reduced to the shared
+      // recall report shape (k, n_queries, n_hits, mean_recall).
+      "sim_matryoshka_recall" ->
+        raw"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |t AS (SELECT vec_id, v[1:8] AS tv FROM e),
+             |ann AS (SELECT query_id, cand_id FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      ROUND(CASE WHEN list_dot_product(q.tv, q.tv) = 0
+             |          OR list_dot_product(c.tv, c.tv) = 0 THEN 0.0
+             |        ELSE list_cosine_similarity(q.tv, c.tv) END, 6) DESC,
+             |      c.vec_id) AS rank
+             |  FROM t q, t c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+             |  WHERE rank <= 5),
+             |ex AS (SELECT query_id, cand_id FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+             |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+             |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+             |      c.vec_id) AS rank
+             |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+             |  WHERE rank <= 5),
+             |hits AS (SELECT count(*) AS n_hits FROM ann
+             |  JOIN ex USING (query_id, cand_id)),
+             |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex)
+             |SELECT CAST(5 AS INTEGER) AS k, n_queries, n_hits,
+             |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * 5), 6) AS mean_recall
+             |FROM nq, hits""".stripMargin,
       // bruteForceCosineOracle with the label mismatch in the pair
       // predicate — the hard-negative contract.
       "sim_hard_negatives" ->
