@@ -1665,6 +1665,25 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
   }
 
+  /** The full truncation CURVE: [[simMatryoshkaRecall]] at widths
+    * 8/16/32 in one frame (dims, k, n_queries, n_hits, mean_recall) —
+    * the dimension-vs-recall trade a deployment actually reads. The
+    * exact side is computed once per width invocation; each width's
+    * report is a one-row aggregate, unioned. */
+  private val simMatryoshkaCurve: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    Seq(8, 16, 32).map { d =>
+      def trunc(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(trunc(emb), trunc(q), k = 5), exact, k = 5)
+        .select(lit(d).as("dims"), col("k"), col("n_queries"),
+          col("n_hits"), col("mean_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Hard-negative mining (DPR-style): per query, the 5 most-similar
     * corpus vectors with a DIFFERENT label — exact brute force with the
     * label mismatch in the join predicate, hash-checked against the
@@ -2191,6 +2210,7 @@ object ExtensionQueries {
     "sim_rp_probe" -> simRpProbe,
     "sim_hard_negatives" -> simHardNegatives,
     "sim_matryoshka_recall" -> simMatryoshkaRecall,
+    "sim_matryoshka_curve" -> simMatryoshkaCurve,
     "sim_rp_recall" -> simRpRecall,
     "sim_mmr_select" -> simMmrSelect,
     "sim_knn_classify" -> simKnnClassify,
@@ -2453,6 +2473,40 @@ object ExtensionQueries {
          |FROM fps n JOIN fps r ON n.fp = r.fp
          |  AND n.doc_id % 5 = 4 AND r.doc_id % 5 <> 4
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** Generated oracle for sim_matryoshka_curve: one truncated-ANN vs
+    * full-exact recall block per width, UNION ALL'd — the
+    * sim_matryoshka_recall replay parameterized by the slice bound. */
+  private def simMatryoshkaCurveOracle: String = {
+    val k = 5
+    def rcos(a: String, b: String) =
+      s"ROUND(CASE WHEN list_dot_product($a, $a) = 0 " +
+        s"OR list_dot_product($b, $b) = 0 THEN 0.0 " +
+        s"ELSE list_cosine_similarity($a, $b) END, 6)"
+    val blocks = Seq(8, 16, 32).map { d =>
+      raw"""SELECT CAST($d AS INTEGER) AS dims, CAST($k AS INTEGER) AS k,
+           | nq.n_queries, h.n_hits,
+           | ROUND(CAST(h.n_hits AS DOUBLE) / (nq.n_queries * $k), 6) AS mean_recall
+           |FROM (SELECT count(DISTINCT query_id) AS n_queries FROM ex) nq,
+           |(SELECT count(*) AS n_hits FROM (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${rcos(s"q.v[1:$d]", s"c.v[1:$d]")} DESC, c.vec_id) AS rank
+           |    FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+           |    WHERE rank <= $k) a
+           |  JOIN ex USING (query_id, cand_id)) h""".stripMargin
+    }
+    raw"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |ex AS MATERIALIZED (SELECT query_id, cand_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${rcos("q.v", "c.v")} DESC, c.vec_id) AS rank
+         |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $k)
+         |${blocks.mkString(" UNION ALL ")}""".stripMargin
+  }
 
   /** Shared oracle of the two lexicon-gate faces (aggregate and
     * map-only): tf-weighted lexicon sums with no-hit docs at bias 0. */
@@ -4183,6 +4237,7 @@ bruteForceCosineOracle,
       // brute force (the lshTopK bits=0 analog for random projection).
       "sim_rp_exact" -> bruteForceCosineOracle,
       "sim_rp_probe" -> simRpProbeOracle,
+      "sim_matryoshka_curve" -> simMatryoshkaCurveOracle,
       // Truncated-prefix ANN vs full-width exact, reduced to the shared
       // recall report shape (k, n_queries, n_hits, mean_recall).
       "sim_matryoshka_recall" ->
