@@ -483,6 +483,16 @@ object RelationalQueries {
     t(s, dir, "orders").orderBy("o_orderkey").limit(10)
       .select("o_orderkey", "o_custkey", "o_totalprice")
 
+  /** L2 — keyset-free pagination: ORDER BY + OFFSET + LIMIT through the
+    * `Dataset.offset` API (page 6 of 20-row pages). Deterministic under
+    * the total key order; the plan stays a single bounded global sort —
+    * the serving-tier "page N" shape (for deep pages production serving
+    * should switch to keyset pagination on the sort key, which is
+    * `filter(key > lastSeen).limit(n)` — L1's shape). */
+  private val l2Pagination: Q = (s, dir) =>
+    t(s, dir, "orders").orderBy("o_orderkey").offset(100).limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
   // ------------------------------------------------------------- profiling
   /** PR1: count / missing (profiling.py:50). */
   private val pr1Missing: Q = (s, dir) => {
@@ -998,6 +1008,7 @@ object RelationalQueries {
     "a7_expectations" -> a7Expectations,
     "a8_key_skew" -> a8KeySkew,
     "l1_limit" -> l1Limit,
+    "l2_pagination" -> l2Pagination,
     "pr1_missing" -> pr1Missing,
     "pr2_distinct" -> pr2Distinct,
     "pr3_moments" -> pr3Moments,
@@ -1500,6 +1511,9 @@ object RelationalQueries {
     "l1_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "l2_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin,
     "pr1_missing" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(p) AS BIGINT) AS n_present,
         | CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
