@@ -125,8 +125,10 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
   private val TermRe = """"([^"\\]{1,64})"""".r
 
   /** `POST /search {"terms": ["t", ...], "k": n}` → BM25 top-k over the
-    * stored inverted index. k capped at the service's maxK; term count
-    * capped at its maxTerms; an empty term list is a 400. */
+    * stored inverted index. k capped at the service's maxK; a term list
+    * over its maxTerms is a 400 (never silently truncated — the scores
+    * for a reduced query are NOT the scores for the query the client
+    * sent); an empty term list is a 400. */
   private def searchHandler(svc: SearchService): HttpHandler = (ex: HttpExchange) =>
     try {
       if (ex.getRequestMethod != "POST")
@@ -143,7 +145,10 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
               try {
                 // clamp ONCE so the echoed "k" always matches the k served
                 val k = math.min(math.max(km.group(1).toInt, 1), svc.maxK)
-                val hits = svc.topK(terms.take(svc.maxTerms), k)
+                // terms pass through UNMODIFIED: the service's maxTerms
+                // require surfaces here as a 400, matching the explicit
+                // clamp-and-echo contract (no silent query reduction)
+                val hits = svc.topK(terms, k)
                   .map { case (id, score, rank) =>
                     s"""{"id":$id,"score":$score,"rank":$rank}""" }
                   .mkString("[", ",", "]")

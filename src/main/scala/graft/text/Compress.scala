@@ -39,6 +39,11 @@ object Compress {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // release the native zlib buffers when the task ends (success OR
+        // failure) instead of waiting for the Cleaner — long-lived
+        // executors run many partitions between GCs
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](8192)
         it.map { case (id, t) =>
           val raw =

@@ -791,16 +791,23 @@ object TextOps {
     * Independence argument (why the output is exactly sequential BPE):
     * merging (a,b)→ab only changes counts of pairs TOUCHING a, b, or
     * the new symbol ab — any pair disjoint from those three keeps its
-    * exact count, and every NEWLY CREATED pair (x,ab)/(ab,y)/(ab,ab) is
-    * bounded by a pre-pass pair touching a or b. So, scanning the
-    * ranked list: keep adding pairs while each is symbol-disjoint from
-    * every earlier batch member's {l, r, l+r}; STOP at the first
-    * overlap — its count bounds everything the batch's merges can
-    * perturb or create. Batch members with count EQUAL to that boundary
-    * are trimmed (a created pair could tie them and win the (l, r)
-    * tie-break); if trimming empties the batch, the pass degrades to
-    * the always-exact sequential top-1, so progress is guaranteed and
-    * the worst case is plain [[bpeMerges]].
+    * exact count, and — PROVIDED ab is a brand-new symbol — every pair
+    * touching ab is NEWLY CREATED (pre-count 0) and bounded by a
+    * pre-pass pair touching a or b. So, scanning the ranked list: keep
+    * adding pairs while each is symbol-disjoint from every earlier
+    * batch member's {l, r, l+r} AND its concatenation l+r does not
+    * already exist in the vocabulary (i.e. equals no previously emitted
+    * merge's output — with repeated-character runs the same string can
+    * arise from two factorizations, e.g. (a,a)→aa then later (a,aa):
+    * a pre-existing pair (x, aa) whose count the boundary does NOT
+    * bound could then INCREASE by up to count(x, a) and overtake a
+    * surviving batch member, which the trim rule below can't see).
+    * STOP at the first violation — its count bounds everything the
+    * batch's merges can perturb or create. Batch members with count
+    * EQUAL to that boundary are trimmed (a created pair could tie them
+    * and win the (l, r) tie-break); if trimming empties the batch, the
+    * pass degrades to the always-exact sequential top-1, so progress is
+    * guaranteed and the worst case is plain [[bpeMerges]].
     *
     * Scale shape: identical per-pass plan to [[bpeMerges]] (pair
     * explode + sum over the word-TYPE table, then ONE map-only rewrite
@@ -824,6 +831,11 @@ object TextOps {
       .persist(lvl)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // output symbols of every merge emitted so far — a candidate whose
+    // concatenation collides with one is a vocabulary symbol that
+    // already EXISTS, so its merge can raise pre-existing pair counts
+    // past the boundary (see the independence argument above)
+    val emitted = scala.collection.mutable.Set.empty[String]
     try {
       var done = false
       while (merges.length < numMerges && !done) {
@@ -841,7 +853,8 @@ object TextOps {
         while (idx < rows.length && !stop) {
           val (l, r, c) = rows(idx)
           if (c < minPairCount) stop = true // below-threshold tail can't perturb
-          else if (batch.length == cap || used(l) || used(r) || used(l + r)) {
+          else if (batch.length == cap || used(l) || used(r) || used(l + r)
+              || emitted(l + r)) {
             boundary = Some(c); stop = true
           } else {
             batch += ((l, r, c)); used += l; used += r; used += (l + r)
@@ -863,6 +876,7 @@ object TextOps {
         if (!done) {
           batch.foreach { case (l, r, c) =>
             merges += ((merges.length + 1, l, r, c))
+            emitted += (l + r)
           }
           val rewritten = batch.foldLeft(col("seg")) { case (acc, (l, r, _)) =>
             regexp_replace(acc, mergePattern(l, r),

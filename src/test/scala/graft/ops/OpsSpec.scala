@@ -401,4 +401,31 @@ class OpsSpec extends SparkSpec {
     assert(brute.contains((2L, 103L, 1)), "first char dropped")
     assert(brute.size >= 8, s"expected a rich match set, got $brute")
   }
+
+  test("fuzzyJoinEditDistance completeness survives duplicate ids and rows") {
+    // Repeated identical rows would double every gram inside a pooled
+    // prefix ranking (silently halving the effective prefix); a reused id
+    // carrying a DIFFERENT string would pool two strings' grams into one
+    // ranking. Neither may cost matches: inputs are deduped on (id, name)
+    // and the rank window partitions by both.
+    val l = Seq(
+      (0L, "common ring"), (0L, "common ring"), // exact duplicate row
+      (0L, "widget blue"),                      // same id, different string
+      (1L, "the cat sat")).toDF("lid", "lname")
+    val r = Seq(
+      (100L, "common rung"), (100L, "common rung"),
+      (100L, "widget blues"),
+      (101L, "he cat sat")).toDF("rid", "rname")
+    val blocked = Ops.fuzzyJoinEditDistance(l, r, "lid", "rid", "lname", "rname",
+        q = 3, maxDist = 1)
+      .select("left_name", "right_name").as[(String, String)].collect()
+    val brute = l.distinct().crossJoin(r.distinct())
+      .filter(length(col("lname")) >= 6 && length(col("rname")) >= 6)
+      .filter(levenshtein(col("lname"), col("rname")) <= 1)
+      .select("lname", "rname").as[(String, String)].collect().toSet
+    assert(blocked.toSet === brute,
+      s"missed ${brute -- blocked.toSet} / extra ${blocked.toSet -- brute}")
+    assert(blocked.length === blocked.toSet.size, "duplicate output pairs")
+    assert(brute.size >= 3, s"expected 3 planted matches, got $brute")
+  }
 }

@@ -174,6 +174,11 @@ class HttpQueryServerSpec extends SparkSpec {
       // malformed requests are 400s
       assert(postSearch(port, """{"terms": [], "k": 3}""").statusCode() === 400)
       assert(postSearch(port, """{"k": 3}""").statusCode() === 400)
+      // a term list over maxTerms is a 400, NEVER a silently reduced query
+      val many = (1 to 17).map(i => s""""t$i"""").mkString("[", ",", "]")
+      val over = postSearch(port, s"""{"terms": $many, "k": 3}""")
+      assert(over.statusCode() === 400, over.body())
+      assert(over.body().contains("16"), over.body())
     } finally srv.stop()
   }
 

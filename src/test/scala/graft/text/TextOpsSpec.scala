@@ -447,6 +447,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergesBatched ≡ bpeMerges on repeated-character runs " +
+      "(pre-existing concat symbols)") {
+    // With long single-character runs the same symbol string arises from
+    // multiple factorizations — (a,a)→aa exists while (aa,aa) is still a
+    // candidate — so a batched pass must refuse to batch a merge whose
+    // output symbol already exists: applying it INCREASES pre-existing
+    // pair counts (e.g. count(b, aa) grows by up to count(b, a)), which
+    // the boundary-trim rule cannot bound. This corpus pins the
+    // degrade-to-sequential behavior on that adversarial class.
+    val words = Seq.fill(11)("aaaaaaaa") ++ Seq.fill(7)("baaab") ++
+      Seq.fill(5)("aabaa") ++ Seq.fill(3)("caaaaac") ++ Seq.fill(2)("aa")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val seqTable = TextOps.bpeMerges(df, "text", numMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(seqTable.nonEmpty)
+    for (b <- Seq(2, 4, 64)) {
+      val bat = TextOps.bpeMergesBatched(df, "text", numMerges = 6, maxBatch = b)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(bat === seqTable, s"maxBatch=$b diverged on the repeated-run corpus")
+    }
+  }
+
   test("bpeMergesBatched ≡ bpeMerges on real text (12 merges, narrow batches)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val seqTable = TextOps.bpeMerges(docs, "text", numMerges = 12)

@@ -69,15 +69,16 @@ for name in sorted(os.listdir(outdir)):
     # vs the engine's "4568" fails the driver's value hash while the
     # builder's tolerant compare stays green. No hashed oracle may emit
     # one; CAST(... AS BIGINT) in the SQL.
-    hug = [f.name for f in ora.schema
-           if "decimal" in str(f.type) and str(f.type).startswith("decimal128(38")]
     try:
         dtypes = con.execute(f"DESCRIBE ({oracles[name]})").fetchall() \
             if not oracles[name].lstrip().lower().startswith("with") \
             else con.execute(f"DESCRIBE {oracles[name]}").fetchall()
         hug = [r[0] for r in dtypes if r[1] in ("HUGEINT", "UHUGEINT")]
     except Exception:
-        pass  # DESCRIBE quirks never fail the gate; the arrow probe stands
+        # DESCRIBE quirks never fail the gate; fall back to the arrow
+        # schema probe (HUGEINT surfaces as decimal128(38, 0))
+        hug = [f.name for f in ora.schema
+               if str(f.type).startswith("decimal128(38")]
     if hug:
         fails.append((name, f"PORTABILITY: oracle emits HUGEINT column(s) "
                             f"{hug} — cast to BIGINT in the SQL"))
