@@ -27,8 +27,13 @@ object SparkEntry {
     * transcendental-score faces (txt_bm25_topk / txt_bm25_probe — ln in
     * BM25) and the codec face (txt_compression_ratio — deflate length is
     * zlib-build-dependent) are rows-only by the portability law, with
-    * hash-green integer-statistics twins (txt_bm25_stats) or spec pins
-    * (hand-computed BM25 scores; CompressSpec separation floors). */
+    * hash-green integer-statistics twins (txt_bm25_stats, and
+    * txt_bm25_merge for the incrementally merged index) or spec pins
+    * (hand-computed BM25 scores; CompressSpec separation floors). The
+    * perceptual-decode faces (mm_phash_neardup, mm_audio_neardup — the
+    * oracle engine cannot decode PNG/WAV) are rows-only with hash-green
+    * exact-verify twins (mm_phash_verified, mm_audio_verified) plus
+    * MultimodalSpec invariance/recall pins. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ ExtensionQueries.oracle
 }

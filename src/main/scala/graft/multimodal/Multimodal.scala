@@ -184,6 +184,219 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic 16-bit mono PCM WAV chirps (linear frequency sweep,
+    * f0 = 200 + id%16·150 Hz rising by 800 + id%7·100 Hz over 0.5 s at
+    * 8 kHz): real RIFF/WAVE payloads whose SPECTRAL CONTENT is a pure
+    * function of the id column — the audio analog of [[synthesizePng]]'s
+    * id-derived gradients, rich enough for perceptual fingerprinting
+    * where [[synthesizeWav]]'s phase-shifted ramp is not (every id there
+    * carries the same spectrum). `amplitude` scales the waveform —
+    * fingerprints must survive gain changes, so the spec synthesizes the
+    * same id at two amplitudes. StrictMath keeps the samples
+    * bit-identical across JVMs/platforms. */
+  def synthesizeChirp(df: DataFrame, idCol: String,
+                      payloadCol: String = "payload",
+                      amplitude: Double = 0.8): DataFrame = {
+    require(amplitude > 0 && amplitude <= 1,
+      s"amplitude must be in (0, 1], got $amplitude")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    require(inSchema(idIdx).dataType == LongType,
+      s"synthesizeChirp: id column '$idCol' must be LongType, got " +
+        s"${inSchema(idIdx).dataType.simpleString} — cast it first")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val rate = 8000
+        val frames = 4000
+        val f0 = 200.0 + Math.floorMod(id, 16L) * 150.0
+        val sweep = 800.0 + Math.floorMod(id, 7L) * 100.0
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val tt = i.toDouble / rate
+          val phase = 2.0 * Math.PI *
+            (f0 * tt + sweep * tt * tt * rate / (2.0 * frames))
+          val s = (amplitude * StrictMath.sin(phase) * 16384.0).toInt.toShort
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode an audio payload to mono double samples: JDK decode, convert
+    * to 16-bit signed PCM if needed, average channels. The shared kernel
+    * of [[audioFingerprint64]]. */
+  private def pcmMono(bytes: Array[Byte]): Array[Double] = {
+    val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f0 = ais0.getFormat
+    val target = new javax.sound.sampled.AudioFormat(
+      f0.getSampleRate, 16, f0.getChannels, true, false)
+    val ais =
+      if (f0.matches(target)) ais0
+      else javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais0)
+    try {
+      val data = ais.readAllBytes()
+      val ch = ais.getFormat.getChannels
+      val n = data.length / (2 * ch)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var s = 0.0
+        var c = 0
+        while (c < ch) {
+          val lo = data(2 * (i * ch + c)) & 0xFF
+          val hi = data(2 * (i * ch + c) + 1).toInt
+          s += ((hi << 8) | lo).toShort.toDouble
+          c += 1
+        }
+        out(i) = s / ch
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** 64-bit band-energy sign fingerprint of a mono PCM signal — the
+    * audio member of the perceptual-signature tier (the public
+    * Haitsma–Kalker construction, simplified to the [[dhashOf]] grid
+    * shape): 9 time windows × 8 frequency bands of DFT energy (DC
+    * removed), bit (t, b) set iff E(t, b) < E(t+1, b). Sign-of-
+    * difference encoding makes the hash invariant to uniform gain
+    * (every energy scales by c², inequalities survive) and to DC
+    * offset, and robust to re-encoding — the properties MultimodalSpec
+    * pins. */
+  private def fingerprintOf(pcm: Array[Double]): Long = {
+    val W = 9; val B = 8; val S = 64
+    val e = Array.ofDim[Double](W, B)
+    val wlen = pcm.length / W
+    var t = 0
+    while (t < W) {
+      val off = t * wlen
+      val pooled = new Array[Double](S)
+      var j = 0
+      while (j < S) {
+        val lo = off + j * wlen / S
+        val hi = math.max(lo + 1, off + (j + 1) * wlen / S)
+        var s = 0.0
+        var k = lo
+        var cnt = 0
+        while (k < hi && k < off + wlen) { s += pcm(k); k += 1; cnt += 1 }
+        pooled(j) = if (cnt == 0) 0.0 else s / cnt
+        j += 1
+      }
+      var mean = 0.0
+      j = 0
+      while (j < S) { mean += pooled(j); j += 1 }
+      mean /= S
+      var bin = 1
+      while (bin <= S / 2) {
+        var re = 0.0
+        var im = 0.0
+        j = 0
+        while (j < S) {
+          val ang = -2.0 * Math.PI * bin * j / S
+          re += (pooled(j) - mean) * StrictMath.cos(ang)
+          im += (pooled(j) - mean) * StrictMath.sin(ang)
+          j += 1
+        }
+        e(t)((bin - 1) * B / (S / 2)) += re * re + im * im
+        bin += 1
+      }
+      t += 1
+    }
+    var bits = 0L
+    var i = 0
+    t = 0
+    while (t < W - 1) {
+      var b = 0
+      while (b < B) {
+        if (e(t)(b) < e(t + 1)(b)) bits |= (1L << i)
+        i += 1; b += 1
+      }
+      t += 1
+    }
+    bits
+  }
+
+  /** Perceptual audio fingerprint column: [[fingerprintOf]] over the
+    * decoded payload — one long per clip on the wire, the audio analog
+    * of [[dHash64]]. Null, undecodable, or too-short (< 9 samples)
+    * payloads get a null fingerprint. Per-partition decode (codec
+    * boundary — the one sanctioned `mapPartitions` shape). */
+  def audioFingerprint64(df: DataFrame, payloadCol: String = "payload",
+                         outCol: String = "afp"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, LongType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val hash: java.lang.Long = if (bytes == null) null else try {
+          val pcm = pcmMono(bytes)
+          if (pcm.length < 9) null else fingerprintOf(pcm)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio near-dup pairs: [[audioFingerprint64]] signatures through the
+    * same 16-bit-pigeonhole candidate generator as [[imageNearDups]]
+    * (full recall for Hamming ≤ 3, bucket join, never all-pairs) —
+    * completing the perceptual-dedup triad (image dHash, video frame
+    * dHash, audio band-energy hash) over one shared Hamming machinery.
+    * Returns (id_a, id_b, hamming); null fingerprints drop out. */
+  def audioNearDups(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload", maxDist: Int = 3,
+                    maxBucketOccupancy: Long = 100000L): DataFrame =
+    graft.dedup.Dedup.signatureNearDups(
+      audioFingerprint64(df, payloadCol, "sig")
+        .select(col(idCol).as("id"), col("sig"))
+        .filter(col("sig").isNotNull),
+      maxDist, maxBucketOccupancy, "audioNearDups",
+      "the corpus contains many acoustically-identical clips; exact-dedup payload bytes first")
+
+  /** Exact-verified audio duplicate pairs — [[audioNearDups]] candidates
+    * (Hamming 0) filtered to BYTE-IDENTICAL payloads, the audio analog
+    * of [[imageExactDups]] with the same guarantee: identical bytes ⇒
+    * identical fingerprint ⇒ candidate, so recall over true
+    * byte-duplicates is total and a SQL oracle can predict the output
+    * wherever payload identity is SQL-derivable. Returns (id_a, id_b),
+    * persisted (caller unpersists — the family contract). */
+  def audioExactDups(df: DataFrame, idCol: String,
+                     payloadCol: String = "payload",
+                     maxBucketOccupancy: Long = 100000L): DataFrame = {
+    val pairs = audioNearDups(df, idCol, payloadCol, maxDist = 0,
+      maxBucketOccupancy = maxBucketOccupancy)
+    val fp = df.select(col(idCol).cast(org.apache.spark.sql.types.LongType)
+      .as("__vid"), md5(col(payloadCol)).as("__fp"))
+    val out = pairs
+      .join(fp.select(col("__vid").as("id_a"), col("__fp").as("__fa")), "id_a")
+      .join(fp.select(col("__vid").as("id_b"), col("__fp").as("__fb")), "id_b")
+      .filter(col("__fa") === col("__fb"))
+      .select(col("id_a"), col("id_b"))
+    graft.util.Caching.materializeAndRelease(out, pairs)
+  }
+
   /** REAL image resize via JDK Graphics2D: decode, bilinear-scale to the
     * target box, re-encode PNG. Per-partition; undecodable payloads pass
     * through with a null resized payload. */

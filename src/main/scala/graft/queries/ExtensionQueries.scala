@@ -417,14 +417,40 @@ object ExtensionQueries {
     * the engine's boundary-anchored application — segmentation is
     * deterministic and fully hash-checked. Map-only: tokenize → segment
     * expression → two posexplodes, no shuffle. */
-  private val txtBpeSegment: Q = (s, dir) => {
-    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+  private def bpeSegmentFace(s: SparkSession, dir: String,
+                             merges: Seq[(String, String)]): DataFrame =
     t(s, dir, "documents").filter(col("doc_id") < 200)
       .select(col("doc_id"),
         posexplode(TextOps.tokens(lower(col("text")))).as(Seq("word_pos", "word")))
       .filter(col("word") =!= "")
       .select(col("doc_id"), col("word_pos"),
         posexplode(TextOps.bpeSegment(col("word"), merges)).as(Seq("seg_pos", "sym")))
+
+  private val sennrichMerges =
+    Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+
+  private val txtBpeSegment: Q = (s, dir) =>
+    bpeSegmentFace(s, dir, sennrichMerges)
+
+  /** Segmentation under a STORED tokenizer artifact — the train-nightly /
+    * tokenize-all-day seam: the merge table is persisted to parquet
+    * ([[TextOps.saveBpeMerges]]) and every segmentation loads it back
+    * ([[TextOps.loadBpeMerges]]) instead of carrying the vocabulary
+    * in-process — the stored-index discipline applied to the tokenizer.
+    * Same fixed table as [[txtBpeSegment]], so the two faces SHARE one
+    * oracle and the hash certifies the round-trip loses nothing;
+    * TextOpsSpec additionally pins stored ≡ in-memory for a TRAINED
+    * ([[TextOps.bpeMergesBatched]]) table. */
+  private val txtBpeSegmentStored: Q = (s, dir) => {
+    val root = storedIndexPath("bpe_vocab", dir) { out =>
+      import s.implicits._
+      TextOps.saveBpeMerges(
+        sennrichMerges.zipWithIndex.map { case ((l, r), i) =>
+          (i + 1, l, r, 0L) }
+          .toDF("merge_rank", "left", "right", "pair_count"),
+        out)
+    }
+    bpeSegmentFace(s, dir, TextOps.loadBpeMerges(s, root))
   }
 
   /** BPE merge induction over the corpus — the TRAINING half of the
@@ -543,6 +569,31 @@ object ExtensionQueries {
     * the final ln combination rides on the spec. */
   private val txtBm25Stats: Q = (s, dir) =>
     TextOps.bm25QueryStats(t(s, dir, "documents"), "text", "doc_id", bm25Terms)
+
+  /** Incremental index maintenance, merged ≡ rebuilt: the corpus is split
+    * ~6:1, the base slice is built into a STORED bucket-partitioned
+    * layout, the delta slice is ingested with
+    * [[graft.serve.SearchService.appendDelta]] (new files in only the
+    * delta's term buckets + summed one-row stats — base files never
+    * rewritten), and the query-term integer sufficient statistics are
+    * computed FROM THE MERGED STORED INDEX. The oracle is the SAME
+    * full-corpus SQL as `txt_bm25_stats`, so the hash certifies the
+    * O(delta) merge produced exactly the index a full rebuild would. */
+  private val txtBm25Merge: Q = (s, dir) => {
+    val root = storedIndexPath("bm25_merged", dir) { out =>
+      val docs = t(s, dir, "documents")
+      graft.serve.SearchService.buildIndex(
+        docs.filter(col("doc_id") % 7 =!= 0), "text", "doc_id", out)
+      graft.serve.SearchService.appendDelta(
+        docs.filter(col("doc_id") % 7 === 0), "text", "doc_id", out)
+    }
+    val postings = s.read.parquet(s"$root/postings")
+      .filter(bm25Terms.map(tm => col("bucket") === TextOps.bm25Bucket(lit(tm)))
+        .reduce(_ || _))
+      .drop("bucket")
+    TextOps.bm25QueryStatsFrom(postings, s.read.parquet(s"$root/stats"),
+      bm25Terms)
+  }
 
   /** Sequence packing (concatenate-and-chop, 512-token windows, 8
     * shards): per-shard cumulative token layout, window index from the
@@ -1964,6 +2015,35 @@ object ExtensionQueries {
           .select(col("doc_id"), (col("doc_id") % 100).as("pat")), "pat"),
       "doc_id")
 
+  /** Perceptual AUDIO near-dup, production shape — completing the
+    * multimodal dedup triad (image dHash / video frame dHash / audio
+    * band-energy sign hash) over the shared pigeonhole Hamming
+    * machinery: real WAV chirps synthesized from doc_id % 100,
+    * fingerprinted ([[Multimodal.audioFingerprint64]]), bucket-joined at
+    * Hamming ≤ 3. Rows-only by necessity (the oracle engine cannot
+    * decode WAV); planted-copy recall, gain invariance and separation
+    * are MultimodalSpec-pinned, and the exact twin `mm_audio_verified`
+    * closes the loop in SQL. */
+  private val mmAudioNeardup: Q = (s, dir) =>
+    Multimodal.audioNearDups(
+      Multimodal.synthesizeChirp(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), (col("doc_id") % 100).as("pat")), "pat"),
+      "doc_id", maxDist = 3)
+
+  /** Exact-verified audio dedup: chirps synthesized from doc_id % 100
+    * make exactly the (i, i+100) pairs byte-identical; identical bytes ⇒
+    * identical fingerprint guarantees the candidate tier surfaces them,
+    * and the md5 payload-fingerprint verify keeps ONLY byte-identical
+    * pairs — the SQL oracle predicts the verified pair list exactly
+    * (the audio analog of `mm_phash_verified`). */
+  private val mmAudioVerified: Q = (s, dir) =>
+    Multimodal.audioExactDups(
+      Multimodal.synthesizeChirp(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), (col("doc_id") % 100).as("pat")), "pat"),
+      "doc_id")
+
   // ---------------------------------------------------------------- events
   /** AS-OF join: every event attaches the user's most recent prior (or
     * simultaneous) purchase. Purchases are deduped to one per (user, ts)
@@ -2165,6 +2245,7 @@ object ExtensionQueries {
     "k13_partition_overwrite" -> k13PartitionOverwrite,
     "txt_tokenize_ids" -> txtTokenizeIds,
     "txt_bpe_segment" -> txtBpeSegment,
+    "txt_bpe_segment_stored" -> txtBpeSegmentStored,
     "txt_bpe_learn" -> txtBpeLearn,
     "txt_bpe_learn_batched" -> txtBpeLearnBatched,
     "txt_bm25_topk" -> txtBm25Topk,
@@ -2174,6 +2255,7 @@ object ExtensionQueries {
     "txt_compression_ratio" -> txtCompressionRatio,
     "txt_bm25_probe" -> txtBm25Probe,
     "txt_bm25_stats" -> txtBm25Stats,
+    "txt_bm25_merge" -> txtBm25Merge,
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
@@ -2240,6 +2322,8 @@ object ExtensionQueries {
     "mm_frame_decode" -> mmFrameDecode,
     "mm_phash_neardup" -> mmPhashNeardup,
     "mm_phash_verified" -> mmPhashVerified,
+    "mm_audio_neardup" -> mmAudioNeardup,
+    "mm_audio_verified" -> mmAudioVerified,
     "evt_asof" -> evtAsof,
     "evt_range" -> evtRange,
     "evt_interval_join" -> evtIntervalJoin,
@@ -2510,6 +2594,43 @@ object ExtensionQueries {
 
   /** Shared oracle of the two lexicon-gate faces (aggregate and
     * map-only): tf-weighted lexicon sums with no-hit docs at bias 0. */
+  private val bpeSegmentOracle: String =
+    raw"""WITH w AS (SELECT doc_id, CAST(p.pos AS INTEGER) AS word_pos,
+         |   ts[CAST(p.pos + 1 AS INTEGER)] AS word
+         | FROM (SELECT doc_id,
+         |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+         |   FROM documents WHERE doc_id < 200),
+         | LATERAL (SELECT unnest(range(0, len(ts))) AS pos) p),
+         |seg AS (SELECT doc_id, word_pos,
+         |  string_split(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      array_to_string(list_transform(generate_series(1, length(word)),
+         |        i -> word[i]), chr(1)),
+         |      'e' || chr(1) || 's', 'es', 'g'),
+         |      'es' || chr(1) || 't', 'est', 'g'),
+         |      'l' || chr(1) || 'o', 'lo', 'g'),
+         |      'lo' || chr(1) || 'w', 'low', 'g'),
+         |    chr(1)) AS segs
+         |  FROM w WHERE word <> '')
+         |SELECT doc_id, word_pos, CAST(p.pos AS INTEGER) AS seg_pos,
+         | segs[CAST(p.pos + 1 AS INTEGER)] AS sym
+         |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin
+
+  private val bm25StatsOracle: String =
+    raw"""WITH toks AS (SELECT doc_id,
+         |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         |  FROM documents),
+         |dls AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS dl
+         |  FROM documents),
+         |p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term IN ('hash', 'join', 'dup') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(dl) AS BIGINT) AS dl_sum FROM dls)
+         |SELECT p.term, p.doc_id, p.tf, d.dl, dfreq.df, cs.n_docs, cs.dl_sum
+         |FROM p JOIN dls d USING (doc_id) JOIN dfreq USING (term), cs""".stripMargin
+
   private val lexiconGateOracle: String =
     raw"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
          |  FROM (SELECT doc_id,
@@ -3590,27 +3711,11 @@ object ExtensionQueries {
       // rank order as global left-to-right regexp replaces (equivalent to
       // the engine's anchored application because the fixed table is
       // collision-free), then split back and posexplode.
-      "txt_bpe_segment" ->
-        raw"""WITH w AS (SELECT doc_id, CAST(p.pos AS INTEGER) AS word_pos,
-             |   ts[CAST(p.pos + 1 AS INTEGER)] AS word
-             | FROM (SELECT doc_id,
-             |     regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-             |   FROM documents WHERE doc_id < 200),
-             | LATERAL (SELECT unnest(range(0, len(ts))) AS pos) p),
-             |seg AS (SELECT doc_id, word_pos,
-             |  string_split(
-             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             |      array_to_string(list_transform(generate_series(1, length(word)),
-             |        i -> word[i]), chr(1)),
-             |      'e' || chr(1) || 's', 'es', 'g'),
-             |      'es' || chr(1) || 't', 'est', 'g'),
-             |      'l' || chr(1) || 'o', 'lo', 'g'),
-             |      'lo' || chr(1) || 'w', 'low', 'g'),
-             |    chr(1)) AS segs
-             |  FROM w WHERE word <> '')
-             |SELECT doc_id, word_pos, CAST(p.pos AS INTEGER) AS seg_pos,
-             | segs[CAST(p.pos + 1 AS INTEGER)] AS sym
-             |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin,
+      "txt_bpe_segment" -> bpeSegmentOracle,
+      // the stored-artifact face segments under the SAME table after a
+      // parquet round-trip — one shared oracle makes the hash prove the
+      // save/load seam loses nothing
+      "txt_bpe_segment_stored" -> bpeSegmentOracle,
       "txt_bpe_learn" -> txtBpeLearnOracle,
       "txt_bpe_learn_batched" -> txtBpeLearnOracle,
       // Same merge-replay chain as txt_bpe_segment, reduced to per-word
@@ -3642,20 +3747,11 @@ object ExtensionQueries {
       // Integer sufficient statistics of the BM25 score for the fixed
       // query terms — CASTs keep every hashed column BIGINT (sum(dl)
       // would otherwise be HUGEINT; see the gate's portability guard).
-      "txt_bm25_stats" ->
-        raw"""WITH toks AS (SELECT doc_id,
-             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-             |  FROM documents),
-             |dls AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-             |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS dl
-             |  FROM documents),
-             |p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-             |  FROM toks WHERE term IN ('hash', 'join', 'dup') GROUP BY 1, 2),
-             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
-             |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |   CAST(sum(dl) AS BIGINT) AS dl_sum FROM dls)
-             |SELECT p.term, p.doc_id, p.tf, d.dl, dfreq.df, cs.n_docs, cs.dl_sum
-             |FROM p JOIN dls d USING (doc_id) JOIN dfreq USING (term), cs""".stripMargin,
+      "txt_bm25_stats" -> bm25StatsOracle,
+      // The incremental-merge face computes the SAME contract from a
+      // stored base+delta index — one shared full-corpus oracle makes
+      // the hash prove merged ≡ rebuilt.
+      "txt_bm25_merge" -> bm25StatsOracle,
       // stage mirrors: quality (txt_quality_score), exact-median gate
       // (txt_quality_gate), hash-bucket mixture (w10), then the aggregate.
       "pipe_curate_corpus" ->
@@ -4409,6 +4505,14 @@ bruteForceCosineOracle,
       // pairs are exactly (i, i+100); candidate recall over them is
       // guaranteed (identical bytes ⇒ identical dHash).
       "mm_phash_verified" ->
+        """SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+          | CAST(b.doc_id AS BIGINT) AS id_b
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100
+          |WHERE a.doc_id < 100 AND b.doc_id < 200""".stripMargin,
+      // audio analog: chirps from doc_id % 100 make exactly the
+      // (i, i+100) pairs byte-identical, and the exact-verify tier keeps
+      // only those
+      "mm_audio_verified" ->
         """SELECT CAST(a.doc_id AS BIGINT) AS id_a,
           | CAST(b.doc_id AS BIGINT) AS id_b
           |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100

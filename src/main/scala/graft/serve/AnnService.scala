@@ -1,8 +1,8 @@
 package graft.serve
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{Ivf, IvfIndex, IvfPq, IvfPqIndex}
+import graft.sim.{Ivf, IvfIndex, IvfPq, IvfPqIndex, Similarity}
 
 /** Common contract every ANN serving backend exposes to
   * [[HttpQueryServer]]'s `/ann` route: a fixed index dimension, a request
@@ -97,6 +97,62 @@ final class AnnPqService(index: IvfPqIndex, val dim: Int, val maxK: Int = 100,
       .orderBy(col("rank"))
       .select(col("cand_id"), col("score"), col("rank"))
       .as[(Long, Double, Int)].collect().toSeq
+  }
+}
+
+/** ANN serving over a STORED random-projection (JL) index — the third
+  * [[AnnBackend]], completing the uniform serving tier over every stored
+  * index family: the portable (id, vec, r) reduced frame
+  * ([[Similarity.rpReducePortable]]'s output, written once) is opened
+  * and each request projects ONLY the query vector, ranks the
+  * reduced-space shortlist by the exact LONG dot over the stored
+  * coordinates, and pays the full-width rerank on the `shortlist`
+  * survivors — the corpus is never re-projected
+  * ([[Similarity.rpProbePortable]], the `sim_rp_probe` layout).
+  *
+  * The projection is identified by (dimOut, seed): dimOut is recovered
+  * from the stored `r` width, but `seed` cannot be — callers must pass
+  * the build-time seed or the probe silently scores garbage (the
+  * rpProbePortable contract). Same request-safety envelope as the other
+  * backends: dimension checked, k capped, bounded collect, typed-literal
+  * vector. */
+final class AnnRpService(reduced: DataFrame, val dim: Int,
+                         val maxK: Int = 100, shortlist: Int = 200,
+                         dimOut: Int = 8, seed: Int = 42) extends AnnBackend {
+  require(dim > 0, s"dim must be > 0, got $dim")
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+  require(shortlist >= maxK,
+    s"shortlist must be >= maxK ($maxK), got $shortlist")
+  require(dimOut > 0, s"dimOut must be > 0, got $dimOut")
+
+  /** Top-k ids for the query vector: (cand_id, cosine, rank), rank 1..k —
+    * exact rounded cosine over the shortlist survivors. */
+  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] = {
+    require(vec.length == dim,
+      s"query vector has ${vec.length} dims; the index carries $dim")
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val spark = reduced.sparkSession
+    import spark.implicits._
+    val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
+    Similarity.rpProbePortable(reduced, q, k, shortlist, dimOut, seed)
+      .orderBy(col("rank"))
+      .select(col("cand_id"), col("cosine"), col("rank"))
+      .as[(Long, Double, Int)].collect().toSeq
+  }
+}
+
+object AnnRpService {
+  /** Open a stored reduced-frame layout (`root/reduced` — the frame
+    * `sim_rp_probe` writes). dim and dimOut come from one stored row
+    * (sanctioned single-row collect); `seed` must be the build seed. */
+  def overParquetDir(spark: SparkSession, root: String, maxK: Int = 100,
+                     shortlist: Int = 200, seed: Int = 42): AnnRpService = {
+    val reduced = spark.read.parquet(s"$root/reduced")
+    val head = reduced
+      .select(size(col("vec")).as("d"), size(col("r")).as("p")).limit(1)
+      .collect().headOption
+    new AnnRpService(reduced, head.map(_.getInt(0)).getOrElse(0), maxK,
+      shortlist, head.map(_.getInt(1)).getOrElse(0), seed)
   }
 }
 

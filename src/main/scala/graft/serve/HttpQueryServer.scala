@@ -26,8 +26,11 @@ import java.nio.charset.StandardCharsets
   * contract is exactly two scalar fields, not arbitrary JSON. */
 final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
                             ann: Option[AnnBackend] = None,
-                            search: Option[SearchService] = None) {
+                            search: Option[SearchService] = None,
+                            annBackends: Map[String, AnnBackend] = Map.empty) {
   require(maxLimit > 0, s"maxLimit must be > 0, got $maxLimit")
+  annBackends.keys.foreach(n => require(n.matches("[A-Za-z0-9_-]+"),
+    s"ann backend name must be [A-Za-z0-9_-]+, got '$n'"))
 
   @volatile private var server: HttpServer = _
 
@@ -37,6 +40,12 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/get_data", handler)
     ann.foreach(a => server.createContext("/ann", annHandler(a)))
+    // named-backend registry: flat IVF, residual IVF-PQ and RP indexes
+    // serve side by side as `/ann/{name}` (the JDK server dispatches to
+    // the LONGEST matching context path, so these coexist with a default
+    // backend at bare `/ann`)
+    annBackends.foreach { case (name, b) =>
+      server.createContext(s"/ann/$name", annHandler(b)) }
     search.foreach(s => server.createContext("/search", searchHandler(s)))
     server.setExecutor(null)
     server.start()

@@ -49,4 +49,47 @@ object SearchService {
                      maxTerms: Int = 16): SearchService =
     new SearchService(spark.read.parquet(s"$root/postings"),
       spark.read.parquet(s"$root/stats"), maxK, maxTerms)
+
+  /** Full rebuild of the stored layout: postings partitioned by the
+    * 64-way term bucket + the one-row corpus stats. */
+  def buildIndex(df: DataFrame, textCol: String, idCol: String,
+                 root: String): Unit = {
+    TextOps.bm25Postings(df, textCol, idCol)
+      .withColumn("bucket", TextOps.bm25Bucket(col("term")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
+    TextOps.bm25CorpusStats(df, textCol)
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
+
+  /** O(delta + touched buckets) incremental ingest into a stored layout —
+    * the steady-state refresh the serving tier lives on (the MinHash
+    * family's `incrementalNearDups` analog for keyword search): delta
+    * postings APPEND as new files into only the term buckets the delta
+    * corpus touches (dynamic partitionBy — base files are never
+    * rewritten, never read), and the one-row corpus stats are replaced by
+    * their sum with the delta's. Merged ≡ rebuilt is hash-certified by
+    * the `txt_bm25_merge` registry face; SearchIndexSpec additionally
+    * pins that no pre-existing postings file is rewritten.
+    *
+    * PRECONDITION (from [[TextOps.bm25MergeIndex]]): delta doc_ids are
+    * NEW. Stats are written after the postings append; production layouts
+    * should version `root` per refresh for atomic swap — a crash between
+    * the two writes leaves stats one delta behind. */
+  def appendDelta(df: DataFrame, textCol: String, idCol: String,
+                  root: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def lng(r: org.apache.spark.sql.Row, c: String): Long =
+      if (r.isNullAt(r.fieldIndex(c))) 0L else r.getAs[Long](c)
+    // both stats frames are ONE row — constant-size driver collects
+    val base = spark.read.parquet(s"$root/stats").collect()(0)
+    val delta = TextOps.bm25CorpusStats(df, textCol).collect()(0)
+    TextOps.bm25Postings(df, textCol, idCol)
+      .withColumn("bucket", TextOps.bm25Bucket(col("term")))
+      .write.mode("append").partitionBy("bucket").parquet(s"$root/postings")
+    Seq((lng(base, "n_docs") + lng(delta, "n_docs"),
+        lng(base, "dl_sum") + lng(delta, "dl_sum")))
+      .toDF("n_docs", "dl_sum")
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
 }

@@ -1069,16 +1069,77 @@ object TextOps {
     * frequencies, corpus stats) exactly, and only the final
     * transcendental combination stays spec-pinned. */
   def bm25QueryStats(df: DataFrame, textCol: String, idCol: String,
-                     terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "bm25QueryStats needs at least one query term")
+                     terms: Seq[String]): DataFrame =
+    bm25QueryStatsFrom(bm25Postings(df, textCol, idCol),
+      bm25CorpusStats(df, textCol), terms)
+
+  /** [[bm25QueryStats]] computed FROM AN INDEX (postings + one-row corpus
+    * stats) instead of the raw corpus — the form that certifies a STORED
+    * or INCREMENTALLY MERGED index: point it at the index and the same
+    * full-corpus oracle hash-proves the index holds exactly the postings
+    * a from-scratch rebuild would. */
+  def bm25QueryStatsFrom(postings: DataFrame, stats: DataFrame,
+                         terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25QueryStatsFrom needs at least one query term")
     val qt = terms.map(_.toLowerCase).distinct
-    val p = bm25Postings(df, textCol, idCol).filter(col("term").isin(qt: _*))
+    val p = postings.filter(col("term").isin(qt: _*))
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
     p.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(bm25CorpusStats(df, textCol)))
+      .crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
         col("n_docs"), col("dl_sum"))
   }
+
+  /** O(delta) incremental maintenance of a BM25 index: merge a delta
+    * corpus's postings + stats into an existing index WITHOUT touching
+    * the base corpus. Postings rows are per-(term, doc_id) and carry only
+    * per-doc quantities (tf, dl), so for NEW documents the merged
+    * postings are literally `base ∪ delta`; the corpus stats (n_docs,
+    * dl_sum) are additive. Per-term df and avgdl are derived at probe
+    * time ([[bm25TopK]]/[[bm25QueryStatsFrom]]), which is exactly what
+    * makes the index mergeable — nothing stored depends on the rest of
+    * the corpus. Merged index ≡ full rebuild, hash-certified by the
+    * `txt_bm25_merge` registry face against the full-corpus oracle.
+    *
+    * PRECONDITION: delta doc_ids are NEW (append-only ingest — the
+    * steady-state refresh model). A doc present in both sides would
+    * double-count; updates must remove the old doc's postings (anti-join
+    * on doc_id) and subtract its (1, dl) from stats first.
+    *
+    * The STORED-layout twin is [[graft.serve.SearchService.appendDelta]]:
+    * delta postings append as new files into only the term buckets the
+    * delta touches, base files are never rewritten. */
+  def bm25MergeIndex(basePostings: DataFrame, baseStats: DataFrame,
+                     deltaPostings: DataFrame,
+                     deltaStats: DataFrame): (DataFrame, DataFrame) = {
+    val postings = basePostings.unionByName(deltaPostings)
+    val stats = baseStats.unionByName(deltaStats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
+    (postings, stats)
+  }
+
+  /** Persist a learned merge table ([[bpeMerges]]/[[bpeMergesBatched]]
+    * output) as a stored tokenizer artifact — the train-nightly /
+    * tokenize-all-day seam, mirroring the stored-index discipline of the
+    * ANN and BM25 families: training pays the O(numMerges) driver loop
+    * once, every downstream job segments under the loaded vocabulary
+    * with the map-only [[bpeSegment]] expressions. One file: the table
+    * is vocabulary-sized (≤ tens of thousands of fixed-width rows — an
+    * artifact, not data). */
+  def saveBpeMerges(merges: DataFrame, root: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$root/merges")
+
+  /** Load a stored merge table back into the rank-ordered driver-side
+    * Seq the segmentation expressions consume. Stored ≡ in-memory is
+    * spec-pinned (TextOpsSpec) and the `txt_bpe_segment_stored` registry
+    * face shares the in-memory face's oracle. The collect is bounded by
+    * the vocabulary size ([[saveBpeMerges]]). */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    root: String): Seq[(String, String)] =
+    spark.read.parquet(s"$root/merges")
+      .orderBy(col("merge_rank"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
   /** Apply a learned merge table ([[bpeMerges]] order matters) to a word
     * column — the encoding half: returns the array of subword segments.

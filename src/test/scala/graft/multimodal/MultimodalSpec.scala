@@ -200,4 +200,66 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist(blocking = true)
     assert(pairs === Set((1L, 2L)))
   }
+
+  private def chirpBytes(id: Long, amplitude: Double = 0.8): Array[Byte] =
+    Multimodal.synthesizeChirp(Seq(id).toDF("id"), "id",
+        amplitude = amplitude)
+      .select("payload").head().getAs[Array[Byte]](0)
+
+  test("audioFingerprint64: gain-invariant, identical bytes identical, " +
+      "distinct chirps far, null/undecodable → null") {
+    val rows = Seq(
+      (1L, chirpBytes(7)),
+      (2L, chirpBytes(7, amplitude = 0.4)), // half gain — same spectrum
+      (3L, chirpBytes(7)),                  // byte-identical copy
+      (4L, chirpBytes(40)),                 // different chirp
+      (5L, null.asInstanceOf[Array[Byte]]),
+      (6L, "definitely not audio".getBytes("UTF-8")))
+    val out = Multimodal.audioFingerprint64(rows.toDF("id", "payload"))
+      .orderBy("id").select("afp").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0) === out(2), "byte-identical clips must fingerprint equal")
+    val gainDist = java.lang.Long.bitCount(out(0).get ^ out(1).get)
+    assert(gainDist === 0,
+      s"uniform gain must not move the sign fingerprint, got $gainDist")
+    val dist = java.lang.Long.bitCount(out(0).get ^ out(3).get)
+    assert(dist > 3, s"distinct chirps should be far apart, got $dist")
+    assert(out(4) === None)
+    assert(out(5) === None)
+  }
+
+  test("audioNearDups: planted copies pair up, gain variants within " +
+      "Hamming 3, distinct clips separate, residency bounded") {
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
+    // ids 0..9, pattern id % 5 → exactly the same-pattern pairs collapse
+    val rows = (0 until 10).map(i => (i.toLong, chirpBytes(i % 5)))
+    val out = Multimodal.audioNearDups(rows.toDF("id", "payload"), "id",
+      maxDist = 0)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((cachedIds -- before).size === 1,
+      "only the pair result stays cached after audioNearDups")
+    out.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty)
+    assert(pairs === (0 until 5).map(k => (k.toLong, (k + 5).toLong)).toSet)
+    // a gain-changed re-master is a near-dup; an unrelated clip is not
+    val rows2 = Seq((1L, chirpBytes(9)), (2L, chirpBytes(9, amplitude = 0.4)),
+      (3L, chirpBytes(33)))
+    val out2 = Multimodal.audioNearDups(rows2.toDF("id", "payload"), "id",
+      maxDist = 3)
+    val pairs2 = out2.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    out2.unpersist(blocking = true)
+    assert(pairs2 === Set((1L, 2L)), pairs2.toString)
+  }
+
+  test("audioExactDups keeps byte-identical pairs, rejects " +
+      "fingerprint-equal gain variants") {
+    val rows = Seq(
+      (1L, chirpBytes(7)), (2L, chirpBytes(7)),
+      (3L, chirpBytes(21)), (4L, chirpBytes(21, amplitude = 0.4)))
+    val out = Multimodal.audioExactDups(rows.toDF("id", "payload"), "id")
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    out.unpersist(blocking = true)
+    assert(pairs === Set((1L, 2L)))
+  }
 }

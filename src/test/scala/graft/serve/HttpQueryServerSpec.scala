@@ -134,6 +134,59 @@ class HttpQueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  private def postPath(port: Int, path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /ann/{name}: flat and RP backends serve side by side " +
+      "(golden probe each)") {
+    // Same planted-duplicate corpus as the flat test; the RP backend is
+    // opened over the stored reduced frame (sim_rp_probe's layout) with
+    // shortlist ≥ |corpus|, so its answer is provably exact and the SAME
+    // golden assertion pins both backends.
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val corpus = ((0 until 40).map(i => (i.toLong, vec(i))) :+ ((9007L, vec(7))))
+      .toDF("vec_id", "embedding")
+    val idx = graft.sim.Ivf.buildIndex(corpus, nlist = 4)
+    val flatRoot = java.nio.file.Files.createTempDirectory("ann_flat_").toString
+    idx.centroids.write.mode("overwrite").parquet(s"$flatRoot/centroids")
+    idx.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$flatRoot/assigned")
+    val flat = AnnService.overParquetDir(spark, flatRoot, maxK = 10, nprobe = 4)
+    val rpRoot = java.nio.file.Files.createTempDirectory("ann_rp_").toString
+    graft.sim.Similarity.rpReducePortable(corpus, "vec_id", "embedding",
+        dimOut = 8, seed = 42)
+      .write.mode("overwrite").parquet(s"$rpRoot/reduced")
+    val rp = AnnRpService.overParquetDir(spark, rpRoot, maxK = 10,
+      shortlist = 41, seed = 42)
+    assert(rp.dim === dim)
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, Some(flat), None,
+      annBackends = Map("flat" -> flat, "rp" -> rp))
+    val port = srv.start()
+    try {
+      val q = vec(7).mkString("[", ",", "]")
+      for (path <- Seq("/ann", "/ann/flat", "/ann/rp")) {
+        val r = postPath(port, path, s"""{"vec": $q, "k": 2}""")
+        assert(r.statusCode() === 200, s"$path: ${r.body()}")
+        val ids = """"id":(-?\d+)""".r.findAllMatchIn(r.body())
+          .map(_.group(1).toLong).toSet
+        assert(ids === Set(7L, 9007L), s"$path: ${r.body()}")
+        assert(r.body().contains(""""score":1.0"""), s"$path: ${r.body()}")
+      }
+      // the named route enforces its own request contract
+      assert(postPath(port, "/ann/rp", """{"vec": [1.0], "k": 2}""")
+        .statusCode() === 400)
+    } finally srv.stop()
+  }
+
   private def postSearch(port: Int, body: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/search"))

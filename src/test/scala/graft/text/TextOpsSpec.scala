@@ -447,6 +447,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("stored tokenizer artifact: save/load round-trips a TRAINED table " +
+      "and segments identically") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val trained = TextOps.bpeMergesBatched(df, "text", numMerges = 4)
+    val root = java.nio.file.Files.createTempDirectory("bpe_vocab_").toString
+    TextOps.saveBpeMerges(trained, root)
+    val loaded = TextOps.loadBpeMerges(spark, root)
+    val inMem = trained.orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq.map(m => (m._2, m._3))
+    assert(loaded === inMem)
+    assert(loaded === Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // segmentation under the loaded vocabulary ≡ under the in-memory one
+    val segs = Seq("lowest").toDF("w")
+      .select(TextOps.bpeSegment(col("w"), loaded).as("s"))
+      .as[Seq[String]].head()
+    assert(segs === Seq("low", "est"))
+  }
+
   test("bpeMergesBatched ≡ bpeMerges on repeated-character runs " +
       "(pre-existing concat symbols)") {
     // With long single-character runs the same symbol string arises from
