@@ -1654,6 +1654,26 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
   }
 
+  /** O(delta) incremental IVF ingest, merged ≡ rebuilt: the coarse
+    * quantizer is trained (portable strided sample) on the BASE slice
+    * only, the base is assigned at build, the delta slice (vec_id ≡ 3
+    * mod 5) is ingested later against the FROZEN centroids
+    * ([[Ivf.appendToIndex]] — the quantizer never retrains, the base is
+    * never re-read), and the partial-probe ANN runs over the MERGED
+    * index. The oracle replays the same frozen-centroid pipeline over
+    * the full corpus, so the hash certifies the append path produced
+    * exactly the index a full rebuild under those centroids would — the
+    * ANN analog of `txt_bm25_merge`. */
+  private val simIvfMerge: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 3)
+    val delta = emb.filter(col("vec_id") % 5 === 3)
+    val cents = Ivf.portableCentroids(base, nlist = 8, stride = 29)
+    val baseIdx = graft.sim.IvfIndex(cents, Ivf.assignPortable(base, cents))
+    val merged = Ivf.appendToIndex(baseIdx, delta)
+    Ivf.probePortable(merged, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
   /** JL random-projection ANN, production form (Johnson & Lindenstrauss
     * 1984): vectors reduced 64→8 dims by seeded random projection, the
     * top-20 shortlist ranked by the 8-term reduced inner product, exact
@@ -2280,6 +2300,7 @@ object ExtensionQueries {
     "sim_pq_rerank" -> simPqRerank,
     "sim_pq_rerank_recall" -> simPqRerankRecall,
     "sim_ivf_recall" -> simIvfRecall,
+    "sim_ivf_merge" -> simIvfMerge,
     "sim_pq_probe" -> simPqProbe,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_ivfpq_exact" -> simIvfpqExact,
@@ -3098,6 +3119,49 @@ object ExtensionQueries {
        |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
        |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
        |FROM nq, hits""".stripMargin
+  }
+
+  /** Generated oracle for sim_ivf_merge: the frozen-centroid portable
+    * IVF replayed over the FULL corpus — centroids from the BASE slice's
+    * strided sample only (vec_id % 5 <> 3, matching the engine's
+    * base-trained quantizer), assignment and partial probe as in
+    * [[simIvfRecallOracle]], final ANN rows (query_id, cand_id, cosine,
+    * rank ≤ k). Because frozen-centroid assignment is per-vector, the
+    * full-corpus replay IS what the engine's build-then-append must
+    * equal — the hash certifies the merge. */
+  private def simIvfMergeOracle: String = {
+    val nlist = 8; val nprobe = 2; val stride = 29; val k = 5
+    def d2(v: String) =
+      s"ROUND(list_dot_product($v, $v) - 2.0 * list_dot_product($v, c.cent)" +
+        s" + list_dot_product(c.cent, c.cent), 6)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cent
+       |  FROM (SELECT vec_id, v FROM e
+       |        WHERE vec_id % $stride = 0 AND vec_id % 5 <> 3
+       |        ORDER BY vec_id LIMIT $nlist)),
+       |asg AS (SELECT cand_id, cell FROM (
+       |  SELECT ce.vec_id AS cand_id, c.cell,
+       |    row_number() OVER (PARTITION BY ce.vec_id
+       |      ORDER BY ${d2("ce.v")}, c.cell) AS rn
+       |  FROM e ce, cents c) WHERE rn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${d2("q.v")}, c.cell) AS rn
+       |  FROM e q, cents c WHERE q.vec_id < 10) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.cand_id
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.cand_id <> p.query_id),
+       |cs AS (SELECT cd.query_id, cd.cand_id,
+       |   ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |       OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
+       |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+       |    JOIN e c ON c.vec_id = cd.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank FROM cs)
+       |WHERE rank <= $k""".stripMargin
   }
 
   val oracle: Map[String, String] = {
@@ -4439,6 +4503,7 @@ bruteForceCosineOracle,
       "sim_pq_recall" -> simPqRecallOracle,
       "sim_pq_rerank_recall" -> simPqRerankRecallOracle,
       "sim_ivf_recall" -> simIvfRecallOracle,
+      "sim_ivf_merge" -> simIvfMergeOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is
       // defined by SIGNATURE agreement, and full 64-position agreement
       // does NOT imply identical shingle sets (a pair at true J = 0.98

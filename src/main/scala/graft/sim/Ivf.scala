@@ -129,9 +129,19 @@ object Ivf {
   def ivfTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
                       nlist: Int = 8, nprobe: Int = 2, stride: Int = 29,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = portableCentroids(corpus, nlist, stride, idCol, vecCol)
+    probePortable(IvfIndex(cents, assignPortable(corpus, cents, idCol, vecCol)),
+      queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** Deterministic id-strided centroid table (k-means init with zero
+    * Lloyd iterations) — the coarse quantizer of the PORTABLE IVF family,
+    * extracted so build, probe and incremental append all share one
+    * definition (and so the SQL oracle replays it from the table alone). */
+  def portableCentroids(corpus: DataFrame, nlist: Int = 8, stride: Int = 29,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
     require(nlist > 1, s"nlist must be > 1, got $nlist")
-    require(nprobe > 0 && nprobe <= nlist,
-      s"need 0 < nprobe <= nlist, got $nprobe/$nlist")
     require(stride > 0, s"stride must be > 0, got $stride")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -141,27 +151,82 @@ object Ivf {
     require(sampled.length == nlist,
       s"corpus has only ${sampled.length} ids divisible by stride=$stride; " +
         s"need nlist=$nlist (lower stride or nlist)")
-    val cents = sampled.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    sampled.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cell", "cent")
-    def dist2(v: Column) = round(
-      VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, col("cent")) +
-        VectorExprs.dot(col("cent"), col("cent")), 6)
+  }
 
-    val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
-      .crossJoin(broadcast(cents))
+  /** Rounded squared-L2 to the row's `cent` column — the portable cell
+    * ranking both assignment and probing order by (round-6 so the SQL
+    * oracle replays it bit-for-bit). */
+  private def portableDist2(v: Column): Column = round(
+    VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, col("cent")) +
+      VectorExprs.dot(col("cent"), col("cent")), 6)
+
+  /** FROZEN-centroid assignment — the O(delta) kernel of both the
+    * portable build and [[appendToIndex]]: each vector scores the
+    * broadcast centroid table and keeps the (round-6 dist², cell)
+    * minimum. Depends only on (vector, centroids), which is exactly what
+    * makes the index incrementally maintainable: assigning a delta later
+    * produces the same rows a full rebuild under the same centroids
+    * would. Returns (cand_id, cvec, cell, cn) — [[probeTopK]]'s assigned
+    * schema, so stored layouts serve either family. */
+  def assignPortable(vectors: DataFrame, centroids: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(centroids))
       .select(col("cand_id"), col("cvec"),
-        struct(dist2(col("cvec")).as("d"), col("cell").as("c")).as("__dc"))
+        struct(portableDist2(col("cvec")).as("d"), col("cell").as("c")).as("__dc"))
       .groupBy("cand_id")
-      .agg(min(col("__dc")).getField("c").as("cell"), first(col("cvec")).as("cvec"))
+      .agg(min(col("__dc")).getField("c").as("cell"),
+        first(col("cvec")).as("cvec"))
+      .select(col("cand_id"), col("cvec"), col("cell"),
+        VectorExprs.norm(col("cvec")).as("cn"))
+
+  /** O(delta) incremental ingest into an IVF index — the ANN analog of
+    * the BM25 family's `SearchService.appendDelta` and the MinHash
+    * family's `incrementalNearDups`: the coarse quantizer is FROZEN
+    * (train nightly, ingest all day — the standard IVF maintenance
+    * model), delta vectors are assigned against the stored centroids
+    * ([[assignPortable]]'s broadcast pass — the corpus is never
+    * re-read), and the merged index is `base.assigned ∪ delta`. On a
+    * cell-partitioned stored layout the delta appends as new files in
+    * only the cells it lands in. For portable indexes merged ≡ rebuilt
+    * EXACTLY (hash-certified by `sim_ivf_merge` against the full-corpus
+    * oracle); for k-means-trained indexes the round-6 ranking can
+    * differ from `model.transform` only at exact centroid-distance
+    * ties (IvfSpec pins probe equivalence).
+    *
+    * PRECONDITION: delta ids are NEW (the [[graft.text.TextOps
+    * .bm25MergeIndex]] contract) — an id on both sides would duplicate
+    * its candidate rows. */
+  def appendToIndex(index: IvfIndex, delta: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(
+        assignPortable(delta, index.centroids, idCol, vecCol)))
+
+  /** Portable probe over a built (or incrementally merged) index:
+    * round-6 L2 cell ranking with (dist², cell) tie-break, candidates
+    * from the `nprobe` probed cells, exact rounded-cosine rerank via the
+    * bounded-heap top-k. The tail of [[ivfTopKPortable]], callable
+    * against stored/merged frames. */
+  def probePortable(index: IvfIndex, queries: DataFrame, k: Int,
+                    nprobe: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("__d"), col("cell"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__d", dist2(col("qvec")))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("__d", portableDist2(col("qvec")))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
-    val cand = assigned.join(probes.hint("broadcast"), Seq("cell"))
+    val cand = index.assigned.join(probes.hint("broadcast"), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(Similarity.cosine(col("qvec"), col("cvec")), 6))
     Similarity.topKExplode(cand, "cosine", k)

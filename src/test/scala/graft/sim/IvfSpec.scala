@@ -109,6 +109,70 @@ class IvfSpec extends SparkSpec {
       s"expected partition pruning on cell; filters: ${scans.head.partitionFilters}")
   }
 
+  test("appendToIndex: merged ≡ frozen-centroid rebuild, probes equal, " +
+      "stored append touches only delta cells") {
+    val base = df.filter(col("vec_id") % 5 =!= 3)
+    val delta = df.filter(col("vec_id") % 5 === 3)
+    val queries = df.filter(col("vec_id") < 8)
+    val cents = Ivf.portableCentroids(base, nlist = 8, stride = 13)
+    val merged = Ivf.appendToIndex(
+      IvfIndex(cents, Ivf.assignPortable(base, cents)), delta)
+    val rebuilt = IvfIndex(cents, Ivf.assignPortable(df, cents))
+    // merged assignment ≡ full rebuild under the same frozen centroids
+    assert(merged.assigned.select("cand_id", "cell")
+        .as[(Long, Int)].collect().toSet ===
+      rebuilt.assigned.select("cand_id", "cell")
+        .as[(Long, Int)].collect().toSet)
+    // and the probes are bit-identical
+    val pm = Ivf.probePortable(merged, queries, k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val pr = Ivf.probePortable(rebuilt, queries, k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(pm === pr)
+    // trained family: appending to a k-means index serves the planted
+    // duplicates exactly like the full build (separated assignment — a
+    // duplicate vector always lands in its twin's cell)
+    val trained = Ivf.buildIndex(base, nlist = 8)
+    val trainedMerged = Ivf.appendToIndex(trained, delta)
+    val res = Ivf.probeTopK(trainedMerged, queries, k = 1, nprobe = 8)
+      .select("query_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    res.foreach { case (q, c, cos) =>
+      assert(c === q + 10000L && cos === 1.0, s"query $q got $c @ $cos") }
+    // stored layout: the delta appends as NEW files in only its own
+    // cells; base files are never rewritten
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_merge")
+    Ivf.assignPortable(base, cents)
+      .write.partitionBy("cell").parquet(s"$dir/assigned")
+    def files(): Set[String] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/assigned"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+            java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toSet
+      } finally s.close()
+    }
+    val before = files()
+    val deltaAssigned = Ivf.assignPortable(delta, cents)
+    deltaAssigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+    val after = files()
+    assert(before.subsetOf(after), "append rewrote base files")
+    val deltaCells = deltaAssigned.select("cell").distinct()
+      .as[Int].collect().toSet
+    assert((after -- before).nonEmpty)
+    assert((after -- before).forall(f =>
+        deltaCells.exists(cl => f.contains(s"cell=$cl/"))),
+      s"delta files outside delta cells: ${after -- before}")
+    // and the re-read merged layout probes identically to the in-memory one
+    val stored = IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
+    val ps = Ivf.probePortable(stored, queries, k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(ps === pm)
+  }
+
   test("silhouettePortable: tight separated clusters score near 1, bounds hold") {
     import spark.implicits._
     // ids 0 and 29 (the stride samples) sit in different clusters, so the
