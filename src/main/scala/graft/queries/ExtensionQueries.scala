@@ -1615,6 +1615,50 @@ object ExtensionQueries {
       k = 5, nlist = 8, nprobe = 8, m = 4, codebookSize = 8)
   }
 
+  /** O(delta) incremental ingest into the RESIDUAL IVF-PQ index, merged ≡
+    * rebuilt: both quantizers train on the BASE slice only, the delta
+    * (vec_id ≡ 3 mod 5) is ingested later — frozen cell assignment,
+    * residual against the stored centroid, frozen-codebook encode
+    * ([[graft.sim.IvfPq.appendToResidualIndex]]) — and the full probe
+    * runs over the merged codes. The grid corpus keeps the composite
+    * exact (base still carries every distinct pattern, so the trained
+    * centroids ARE the 8 points and the score collapses to q·centroid),
+    * which means a wrong appended CELL surfaces as a wrong score — the
+    * brute-force oracle certifies the append path's assignment and
+    * plumbing; nonzero-residual append encoding is IvfPqSpec-pinned. */
+  private val simIvfpqMerge: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val base = grid.filter(col("vec_id") % 5 =!= 3)
+    val delta = grid.filter(col("vec_id") % 5 === 3)
+    val merged = graft.sim.IvfPq.appendToResidualIndex(
+      graft.sim.IvfPq.buildResidualIndex(base, nlist = 8, m = 4,
+        codebookSize = 8),
+      delta)
+    graft.sim.IvfPq.probeResidualTopK(merged, grid.filter(col("vec_id") < 10),
+      k = 5, nprobe = 8)
+  }
+
+  /** O(delta) incremental ingest into the stored RP reduced frame, merged
+    * ≡ rebuilt: the base slice's reduced frame is written once, the delta
+    * is projected under the same (dimOut, seed) and appended
+    * ([[Similarity.rpAppendReduced]] — the base is never re-projected),
+    * and the probe runs over the merged frame. Shares `sim_rp_probe`'s
+    * full-corpus oracle: the hash certifies the appended coordinates are
+    * exactly the rebuild's. */
+  private val simRpMerge: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val root = storedIndexPath("rp_base", dir) { out =>
+      Similarity.rpReducePortable(emb.filter(col("vec_id") % 5 =!= 3),
+          "vec_id", "embedding", dimOut = 8, seed = 42)
+        .write.mode("overwrite").parquet(s"$out/reduced")
+    }
+    val merged = Similarity.rpAppendReduced(
+      s.read.parquet(s"$root/reduced"),
+      emb.filter(col("vec_id") % 5 === 3), dimOut = 8, seed = 42)
+    Similarity.rpProbePortable(merged, emb.filter(col("vec_id") < 10),
+      k = 5, shortlist = 20, dimOut = 8, seed = 42)
+  }
+
   /** Stored-index IVF-PQ probe — the composite's STEADY-STATE form and
     * the completion of the stored-probe family ([[simIvfProbe]],
     * [[simPqProbe]]): centroids, codebooks, and the coded corpus
@@ -2308,6 +2352,8 @@ object ExtensionQueries {
     "sim_ivfpq_res_topk" -> simIvfpqResTopk,
     "sim_ivfpq_rerank" -> simIvfpqRerank,
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
+    "sim_ivfpq_merge" -> simIvfpqMerge,
+    "sim_rp_merge" -> simRpMerge,
     "sim_rp_topk" -> simRpTopk,
     "sim_rp_exact" -> simRpExact,
     "sim_rp_probe" -> simRpProbe,
@@ -4377,6 +4423,13 @@ bruteForceCosineOracle,
       // is rows-only like sim_ivfpq_topk; sim_ivfpq_res_exact closes the
       // residual pipeline into the same grid brute-force oracle.
       "sim_ivfpq_res_exact" -> pqGridExactOracle,
+      // the residual merge face probes EVERY cell over the zero-residual
+      // grid, so it must reproduce the same brute force — one shared
+      // oracle makes the hash certify the append path
+      "sim_ivfpq_merge" -> pqGridExactOracle,
+      // the RP merge face's merged frame must equal the full-corpus
+      // reduction — sharing the stored-probe oracle certifies the append
+      "sim_rp_merge" -> simRpProbeOracle,
       // Threshold 1.0 keeps exactly the identical-shingle-set pairs, whose
       // identical signatures guarantee LSH recall; the oracle groups docs
       // by a canonical sorted-shingle-list digest — no pairwise join.

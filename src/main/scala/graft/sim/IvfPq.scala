@@ -125,6 +125,65 @@ object IvfPq {
     IvfPqIndex(ivf.centroids, pq.codebooks, codes)
   }
 
+  /** FROZEN-quantizer cell assignment shared by both append forms: exact
+    * (unrounded) L2 to each broadcast centroid, (dist², cell) minimum —
+    * `KMeans.predict` semantics without the model object, so a stored
+    * centroid frame is all an ingest job needs. */
+  private def assignFrozen(vectors: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String): DataFrame = {
+    val d2 = VectorExprs.dot(col("cvec"), col("cvec")) -
+      lit(2.0) * VectorExprs.dot(col("cvec"), col("cent")) +
+      VectorExprs.dot(col("cent"), col("cent"))
+    vectors.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cand_id"), col("cvec"),
+        struct(d2.as("d"), col("cell").as("c")).as("__dc"))
+      .groupBy("cand_id")
+      .agg(min(col("__dc")).getField("c").as("cell"),
+        first(col("cvec")).as("cvec"))
+  }
+
+  /** O(delta) incremental ingest into a FLAT IVF-PQ index: delta vectors
+    * are assigned to the FROZEN coarse cells and encoded against the
+    * FROZEN codebooks ([[Pq.encodeWithCodebooks]]) — neither quantizer
+    * retrains, the base corpus is never re-read, and on a
+    * cell-partitioned stored layout the thin code rows append into only
+    * the delta's cells. Both steps are per-vector functions of
+    * (vector, stored quantizers), which is what makes the index
+    * mergeable: merged ≡ rebuilt under the same quantizers.
+    * PRECONDITION: delta ids are NEW (the family contract). */
+  def appendToIndex(index: IvfPqIndex, delta: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfPqIndex = {
+    val assigned = assignFrozen(delta, index.centroids, idCol, vecCol)
+    val newCodes = Pq.encodeWithCodebooks(assigned, index.codebooks,
+        idCol = "cand_id", vecCol = "cvec")
+      .join(assigned.select(col("cand_id"), col("cell")), "cand_id")
+    IvfPqIndex(index.centroids, index.codebooks,
+      index.codes.unionByName(newCodes))
+  }
+
+  /** O(delta) incremental ingest into a RESIDUAL (IVFADC) index — the
+    * [[appendToIndex]] shape with the residual subtraction in between:
+    * frozen cell assignment, `r = v − centroid(cell)`, frozen-codebook
+    * encode of the residual. The `sim_ivfpq_merge` face hash-certifies
+    * the appended cells/scores against the grid brute-force oracle;
+    * IvfPqSpec pins nonzero-residual append ≡ rebuild on the dyadic
+    * two-cluster construction. */
+  def appendToResidualIndex(index: IvfPqIndex, delta: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): IvfPqIndex = {
+    val assigned = assignFrozen(delta, index.centroids, idCol, vecCol)
+    val residuals = assigned.join(broadcast(index.centroids), Seq("cell"))
+      .select(col("cand_id"), col("cell"),
+        VectorExprs.sub(col("cvec"), col("cent")).as("__rvec"))
+    val newCodes = Pq.encodeWithCodebooks(residuals, index.codebooks,
+        idCol = "cand_id", vecCol = "__rvec")
+      .join(residuals.select(col("cand_id"), col("cell")), "cand_id")
+    IvfPqIndex(index.centroids, index.codebooks,
+      index.codes.unionByName(newCodes))
+  }
+
   /** PROBE over a residual-encoded index: identical movement to
     * [[probeTopK]] (broadcast cell ranking, bounded candidate join,
     * broadcast LUTs, bounded-heap top-k) — the only difference is the

@@ -141,6 +141,33 @@ object Pq {
     Similarity.topKExplode(scored, "score", k)
   }
 
+  /** ENCODE against FROZEN stored codebooks — the O(delta) ingest kernel
+    * of the PQ family ([[buildIndex]] trains AND encodes; this only
+    * encodes): each vector's j-th subvector scores the broadcast
+    * codebook rows of subspace j and keeps the (L2 dist², code)
+    * minimum — the assignment `KMeans.predict` makes under the same
+    * centers (first-min tie-break = lowest code). m·codebookSize
+    * constant rows broadcast, one conditional-min aggregate per vector,
+    * output schema identical to [[buildIndex]]'s `codes` — so appended
+    * codes union straight into a stored layout. */
+  def encodeWithCodebooks(vectors: DataFrame, codebooks: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val geo = codebookGeometry(codebooks)
+    val sv = slice(col("cvec"), col("__j") * geo.sub + lit(1), lit(geo.sub))
+    val d2 = VectorExprs.dot(sv, sv) -
+      lit(2.0) * VectorExprs.dot(sv, col("__cent")) +
+      VectorExprs.dot(col("__cent"), col("__cent"))
+    val scored = vectors.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(
+        codebooks.select(col("__j"), col("__code"), col("__cent"))))
+      .select(col("cand_id"), col("__j"),
+        struct(d2.as("d"), col("__code").as("c")).as("__dc"))
+    val codeCols = (0 until geo.m).map(j =>
+      min(when(col("__j") === j, col("__dc"))).getField("c").as(s"__c$j"))
+    scored.groupBy("cand_id").agg(codeCols.head, codeCols.tail: _*)
+  }
+
   /** Codebook geometry re-derived from the (constant-sized) codebook rows
     * themselves — the stored form carries everything a probe needs, like
     * Ivf's centroids. Shared by [[probeTopK]] and [[IvfPq.probeTopK]]. */

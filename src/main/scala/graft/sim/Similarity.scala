@@ -398,6 +398,18 @@ object Similarity {
     * ints alongside the frame. Reduced coordinates are exact LONGs, so
     * the whole probe replays in SQL — hash-checkable even at a partial
     * shortlist. */
+  /** O(delta) incremental ingest into a stored RP reduced frame — the RP
+    * member of the index-maintenance family (BM25 `appendDelta`, IVF
+    * `appendToIndex`, IVF-PQ `appendToResidualIndex`): project ONLY the
+    * delta under the build-time (dimOut, seed) and union. The projection
+    * is per-vector, so merged ≡ rebuilt exactly (`sim_rp_merge` shares
+    * the full-corpus probe oracle); the value at 100 TB is that the
+    * corpus-sized projection pass — the expensive half — never re-runs. */
+  def rpAppendReduced(reduced: DataFrame, delta: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      dimOut: Int = 8, seed: Int = 42): DataFrame =
+    reduced.unionByName(rpReducePortable(delta, idCol, vecCol, dimOut, seed))
+
   def rpProbePortable(reduced: DataFrame, queries: DataFrame, k: Int,
                       shortlist: Int = 20, dimOut: Int = 8, seed: Int = 42,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -85,6 +85,51 @@ class IvfPqSpec extends SparkSpec {
     assert(got.sorted === exact.sorted)
   }
 
+  test("appendToIndex / appendToResidualIndex: frozen-quantizer append " +
+      "reproduces the full build's codes and probes bit-for-bit") {
+    // Strongest possible pin: train BOTH quantizers on the full corpus,
+    // drop the delta slice's code rows, re-ingest the delta through the
+    // frozen append path — its re-derived (cell, codes) rows must equal
+    // what MLlib's own transform produced, on genuinely NONZERO dyadic
+    // residuals (the two-cluster construction keeps every distance exact
+    // in double, so assignment ties cannot flip between the paths).
+    def avec(i: Int): Array[Float] = {
+      val anchor = if ((i / 4) % 2 == 0) 0f else 100f
+      gridVec(i).map(_ + anchor)
+    }
+    val corpus = (0 until 48).map(i => (i.toLong, avec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = (100 until 105).map(i => (i.toLong, avec(i)))
+      .toDF("vec_id", "embedding")
+    val delta = corpus.filter(col("vec_id") % 5 === 3)
+    def rows(i: IvfPqIndex): Set[String] =
+      i.codes.select("cand_id", "cell", "__c0", "__c1", "__c2", "__c3")
+        .collect().map(_.toString).toSet
+
+    val fullRes = IvfPq.buildResidualIndex(corpus, nlist = 2, m = 4,
+      codebookSize = 8)
+    val mergedRes = IvfPq.appendToResidualIndex(
+      IvfPqIndex(fullRes.centroids, fullRes.codebooks,
+        fullRes.codes.filter(col("cand_id") % 5 =!= 3)), delta)
+    assert(rows(mergedRes) === rows(fullRes))
+    val pm = IvfPq.probeResidualTopK(mergedRes, queries, k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val pf = IvfPq.probeResidualTopK(fullRes, queries, k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(pm === pf)
+
+    // flat form, plain grid corpus
+    val gridCorpus = (0 until 48).map(i => (i.toLong, gridVec(i)))
+      .toDF("vec_id", "embedding")
+    val gridDelta = gridCorpus.filter(col("vec_id") % 5 === 3)
+    val fullFlat = IvfPq.buildIndex(gridCorpus, nlist = 4, m = 4,
+      codebookSize = 4)
+    val mergedFlat = IvfPq.appendToIndex(
+      IvfPqIndex(fullFlat.centroids, fullFlat.codebooks,
+        fullFlat.codes.filter(col("cand_id") % 5 =!= 3)), gridDelta)
+    assert(rows(mergedFlat) === rows(fullFlat))
+  }
+
   test("residual encoding beats flat PQ recall at identical (nlist, m, codebookSize)") {
     // 8 well-separated cluster anchors + 8 within-cluster offset patterns:
     // flat PQ must spend its 8 codebook entries per subspace covering
