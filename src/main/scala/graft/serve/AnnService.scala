@@ -2,7 +2,7 @@ package graft.serve
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{Ivf, IvfIndex, IvfPq, IvfPqIndex, Similarity}
+import graft.sim.{Ivf, IvfIndex, IvfPq, IvfPqIndex, Pq, PqIndex, Similarity}
 
 /** Common contract every ANN serving backend exposes to
   * [[HttpQueryServer]]'s `/ann` route: a fixed index dimension, a request
@@ -100,9 +100,56 @@ final class AnnPqService(index: IvfPqIndex, val dim: Int, val maxK: Int = 100,
   }
 }
 
-/** ANN serving over a STORED random-projection (JL) index — the third
-  * [[AnnBackend]], completing the uniform serving tier over every stored
-  * index family: the portable (id, vec, r) reduced frame
+/** ANN serving over a STORED flat-PQ index — the flat-PQ member of the
+  * uniform [[AnnBackend]] tier:
+  * codebooks + the encoded corpus (m small ints per vector, the 64×
+  * compressed frame that IS the index) are opened once; each request
+  * builds its per-query LUT from the broadcast codebooks and ADC-scans
+  * the codes ([[Pq.probeTopK]]) — no coarse pruning, the whole (thin)
+  * code frame streams per probe, which is the right trade below the
+  * scale where [[AnnPqService]]'s cell partitioning pays. Same
+  * request-safety envelope as the other backends. */
+final class AnnFlatPqService(index: PqIndex, val dim: Int,
+                             val maxK: Int = 100) extends AnnBackend {
+  require(dim > 0, s"dim must be > 0, got $dim")
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+
+  /** Top-k ids for the query vector: (cand_id, score, rank), rank 1..k,
+    * score = ADC inner product against the reconstruction. */
+  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] = {
+    require(vec.length == dim,
+      s"query vector has ${vec.length} dims; the index carries $dim")
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val spark = index.codebooks.sparkSession
+    import spark.implicits._
+    val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
+    Pq.probeTopK(index, q, k)
+      .orderBy(col("rank"))
+      .select(col("cand_id"), col("score"), col("rank"))
+      .as[(Long, Double, Int)].collect().toSeq
+  }
+}
+
+object AnnFlatPqService {
+  /** Open a stored flat-PQ layout (`root/codebooks`, `root/codes` — the
+    * frames [[Pq.buildIndex]] writes). The dimension is m·sub, both
+    * recovered from the constant-sized codebook rows (sanctioned small
+    * collect — the same frame every probe broadcasts). */
+  def overParquetDir(spark: SparkSession, root: String,
+                     maxK: Int = 100): AnnFlatPqService = {
+    val codebooks = spark.read.parquet(s"$root/codebooks")
+    val codes = spark.read.parquet(s"$root/codes")
+    val head = codebooks
+      .agg((max(col("__j")) + 1).as("m"), first(size(col("__cent"))).as("sub"))
+      .collect().headOption
+    val dim = head.map(r => r.getAs[Int]("m") * r.getAs[Int]("sub")).getOrElse(0)
+    new AnnFlatPqService(PqIndex(codebooks, codes), dim, maxK)
+  }
+}
+
+/** ANN serving over a STORED random-projection (JL) index — the RP
+  * member of the uniform [[AnnBackend]] tier (flat IVF, residual
+  * IVF-PQ, flat PQ, RP): the portable (id, vec, r) reduced frame
   * ([[Similarity.rpReducePortable]]'s output, written once) is opened
   * and each request projects ONLY the query vector, ranks the
   * reduced-space shortlist by the exact LONG dot over the stored

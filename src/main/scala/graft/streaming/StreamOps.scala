@@ -278,6 +278,36 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into a stored BM25 inverted-index layout — the
+    * live half of [[graft.serve.SearchService.appendDelta]], closing the
+    * keyword tier's batch-build → stream-ingest → serve loop: each
+    * micro-batch appends its postings as new files into only the term
+    * buckets it touches and folds its (n_docs, dl_sum) into the one-row
+    * stats, so a [[graft.serve.SearchService]] over `root` retrieves a
+    * document seconds after it streams in — no rebuild, ever. Bootstrap
+    * the layout first with `SearchService.buildIndex` (an empty frame is
+    * fine).
+    *
+    * Delivery note: appendDelta is not idempotent (a batch replayed
+    * after a crash BETWEEN its postings write and the checkpoint commit
+    * would double-count), so this sink is at-least-once — same posture
+    * as any non-transactional file append; layouts needing exactly-once
+    * version `root` per batch and swap atomically. The
+    * stream ≡ batch-rebuild equivalence and the post-ingest serving path
+    * are StreamOpsSpec-pinned. */
+  def bm25IngestStream(docs: DataFrame, textCol: String, idCol: String,
+                       root: String, checkpointDir: String)
+                      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!batch.isEmpty)
+          graft.serve.SearchService.appendDelta(batch.toDF(), textCol, idCol, root)
+      }
+      .start()
+
   /** Streaming incremental dedup against a STATIC reference corpus — the
     * live-ingest form of [[graft.dedup.Dedup.incrementalDedup]]: each
     * micro-batch drops documents whose fingerprint already exists in the

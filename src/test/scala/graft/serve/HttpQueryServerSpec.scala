@@ -187,6 +187,42 @@ class HttpQueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /ann/pq over a stored FLAT-PQ index (grid exact-recovery " +
+      "golden probe); bare /ann 404s with no default backend") {
+    // PqSpec's grid alphabet: codebookSize = 4 recovers every distinct
+    // subvector exactly, so the served ADC score IS the exact inner
+    // product — querying gridVec(0) (q·q = 15) must return the three
+    // lowest-id copies at 15.0.
+    val alphabet = Seq(
+      Array(1f, 0f), Array(0f, 2f), Array(2f, 2f), Array(-1f, 1f))
+    def gridVec(i: Int): Array[Float] =
+      (0 until 4).flatMap(j => alphabet((i + j) % 4)).toArray
+    val corpus = (0 until 48).map(i => (i.toLong, gridVec(i)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.sim.Pq.buildIndex(corpus, m = 4, codebookSize = 4)
+    val root = java.nio.file.Files.createTempDirectory("ann_pq_flat_").toString
+    idx.codebooks.write.mode("overwrite").parquet(s"$root/codebooks")
+    idx.codes.write.mode("overwrite").parquet(s"$root/codes")
+    val pq = AnnFlatPqService.overParquetDir(spark, root, maxK = 10)
+    assert(pq.dim === 8)
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, None, None,
+      annBackends = Map("pq" -> pq))
+    val port = srv.start()
+    try {
+      val q = gridVec(0).mkString("[", ",", "]")
+      val r = postPath(port, "/ann/pq", s"""{"vec": $q, "k": 3}""")
+      assert(r.statusCode() === 200, r.body())
+      val ids = """"id":(-?\d+)""".r.findAllMatchIn(r.body())
+        .map(_.group(1).toLong).toSeq
+      assert(ids === Seq(0L, 4L, 8L), r.body())
+      assert(r.body().contains(""""score":15.0"""), r.body())
+      assert(postPath(port, "/ann", s"""{"vec": $q, "k": 3}""")
+        .statusCode() === 404, "bare /ann must 404 with no default backend")
+    } finally srv.stop()
+  }
+
   private def postSearch(port: Int, body: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/search"))

@@ -452,4 +452,41 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed === Set((1L, 1L, 1), (2L, -3L, 0), (3L, 0L, 0)))
     } finally q.stop()
   }
+
+  test("bm25IngestStream: streamed micro-batches ≡ batch rebuild; " +
+      "search serves a doc right after it streams in") {
+    import graft.serve.SearchService
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("bm25_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25_ckpt_").toString
+    // bootstrap an EMPTY layout — the streaming sink only ever appends
+    SearchService.buildIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", root)
+    val all = Seq((1L, "Apple banana apple"), (2L, "banana"),
+      (3L, "cherry apple"), (4L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.bm25IngestStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", root, ckpt)
+    try {
+      mem.addData(all.take(2): _*); q.processAllAvailable()
+      // the doc streamed in batch 2 must be retrievable right after
+      mem.addData(all.drop(2): _*); q.processAllAvailable()
+      val svc = SearchService.overParquetDir(spark, root, maxK = 10)
+      assert(svc.topK(Seq("apple", "banana"), 3).map(_._1) === Seq(1L, 2L, 3L))
+      assert(svc.topK(Seq("cherry"), 1).map(_._1) === Seq(3L))
+      // the streamed layout equals a from-scratch batch rebuild
+      val rebuilt = java.nio.file.Files.createTempDirectory("bm25_rb_").toString
+      SearchService.buildIndex(all.toDF("doc_id", "text"), "text", "doc_id",
+        rebuilt)
+      def postings(r: String): Set[String] =
+        spark.read.parquet(s"$r/postings")
+          .select("term", "doc_id", "tf", "dl", "bucket")
+          .collect().map(_.toString).toSet
+      assert(postings(root) === postings(rebuilt))
+      assert(spark.read.parquet(s"$root/stats")
+          .select("n_docs", "dl_sum").first() ===
+        spark.read.parquet(s"$rebuilt/stats")
+          .select("n_docs", "dl_sum").first())
+    } finally q.stop()
+  }
 }
