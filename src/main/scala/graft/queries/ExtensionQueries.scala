@@ -595,6 +595,23 @@ object ExtensionQueries {
       bm25Terms)
   }
 
+  /** BM25 index DELETION, removed ≡ rebuilt-on-remainder: the full
+    * index loses the doc_id ≡ 0 mod 7 slice through
+    * [[TextOps.bm25RemoveIndex]] (postings anti-join + exact stats
+    * subtraction, including empty removed docs that have no postings
+    * row to recover a dl from), and the query-term integer statistics
+    * computed FROM THE REDUCED INDEX must hash-match the same contract
+    * computed over the remainder corpus — the takedown path certified
+    * without a rebuild. */
+  private val txtBm25Remove: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val (p, st) = TextOps.bm25RemoveIndex(
+      TextOps.bm25Postings(docs, "text", "doc_id"),
+      TextOps.bm25CorpusStats(docs, "text"),
+      docs.filter(col("doc_id") % 7 === 0), "text", "doc_id")
+    TextOps.bm25QueryStatsFrom(p, st, bm25Terms)
+  }
+
   /** Sequence packing (concatenate-and-chop, 512-token windows, 8
     * shards): per-shard cumulative token layout, window index from the
     * running sum — the whole layout arithmetic is hash-checked against
@@ -2320,6 +2337,7 @@ object ExtensionQueries {
     "txt_bm25_probe" -> txtBm25Probe,
     "txt_bm25_stats" -> txtBm25Stats,
     "txt_bm25_merge" -> txtBm25Merge,
+    "txt_bm25_remove" -> txtBm25Remove,
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
@@ -2683,13 +2701,17 @@ object ExtensionQueries {
          | segs[CAST(p.pos + 1 AS INTEGER)] AS sym
          |FROM seg, LATERAL (SELECT unnest(range(0, len(segs))) AS pos) p""".stripMargin
 
-  private val bm25StatsOracle: String =
+  /** The BM25 integer-sufficient-statistics oracle over an arbitrary
+    * document source — parameterized so the full-corpus faces
+    * (txt_bm25_stats / txt_bm25_merge) and the post-deletion face
+    * (txt_bm25_remove, remainder source) share one definition. */
+  private def bm25StatsOracleFrom(src: String): String =
     raw"""WITH toks AS (SELECT doc_id,
          |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-         |  FROM documents),
+         |  FROM $src),
          |dls AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
          |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS dl
-         |  FROM documents),
+         |  FROM $src),
          |p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
          |  FROM toks WHERE term IN ('hash', 'join', 'dup') GROUP BY 1, 2),
          |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
@@ -2697,6 +2719,8 @@ object ExtensionQueries {
          |   CAST(sum(dl) AS BIGINT) AS dl_sum FROM dls)
          |SELECT p.term, p.doc_id, p.tf, d.dl, dfreq.df, cs.n_docs, cs.dl_sum
          |FROM p JOIN dls d USING (doc_id) JOIN dfreq USING (term), cs""".stripMargin
+
+  private val bm25StatsOracle: String = bm25StatsOracleFrom("documents")
 
   private val lexiconGateOracle: String =
     raw"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -3862,6 +3886,10 @@ object ExtensionQueries {
       // stored base+delta index — one shared full-corpus oracle makes
       // the hash prove merged ≡ rebuilt.
       "txt_bm25_merge" -> bm25StatsOracle,
+      // the deletion face's oracle is the SAME contract over the
+      // remainder corpus — the hash proves removed ≡ rebuilt-on-remainder
+      "txt_bm25_remove" -> bm25StatsOracleFrom(
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
       // stage mirrors: quality (txt_quality_score), exact-median gate
       // (txt_quality_gate), hash-bucket mixture (w10), then the aggregate.
       "pipe_curate_corpus" ->

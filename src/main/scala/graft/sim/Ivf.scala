@@ -207,6 +207,18 @@ object Ivf {
       index.assigned.unionByName(
         assignPortable(delta, index.centroids, idCol, vecCol)))
 
+  /** O(removed) deletion from an IVF index — the compliance twin of
+    * [[appendToIndex]] (takedown sweeps must not retrain or rebuild):
+    * the assigned frame drops the removal set via an anti-join against
+    * the broadcastable id set; centroids are untouched. Removed ≡
+    * rebuilt-on-remainder trivially — assignment rows are per-vector. */
+  def removeFromIndex(index: IvfIndex, removedIds: DataFrame,
+                      idCol: String = "vec_id"): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.join(
+        broadcast(removedIds.select(col(idCol).as("cand_id"))),
+        Seq("cand_id"), "left_anti"))
+
   /** Portable probe over a built (or incrementally merged) index:
     * round-6 L2 cell ranking with (dist², cell) tie-break, candidates
     * from the `nprobe` probed cells, exact rounded-cosine rerank via the

@@ -184,6 +184,16 @@ object IvfPq {
       index.codes.unionByName(newCodes))
   }
 
+  /** O(removed) deletion — the [[Ivf.removeFromIndex]] twin for both
+    * PQ-coded forms (flat and residual share the codes schema): drop the
+    * removal set's thin code rows, quantizers untouched. */
+  def removeFromIndex(index: IvfPqIndex, removedIds: DataFrame,
+                      idCol: String = "vec_id"): IvfPqIndex =
+    IvfPqIndex(index.centroids, index.codebooks,
+      index.codes.join(
+        broadcast(removedIds.select(col(idCol).as("cand_id"))),
+        Seq("cand_id"), "left_anti"))
+
   /** PROBE over a residual-encoded index: identical movement to
     * [[probeTopK]] (broadcast cell ranking, bounded candidate join,
     * broadcast LUTs, bounded-heap top-k) — the only difference is the

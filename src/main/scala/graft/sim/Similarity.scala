@@ -410,6 +410,14 @@ object Similarity {
                       dimOut: Int = 8, seed: Int = 42): DataFrame =
     reduced.unionByName(rpReducePortable(delta, idCol, vecCol, dimOut, seed))
 
+  /** O(removed) deletion from a stored RP reduced frame — the
+    * [[rpAppendReduced]] compliance twin: anti-join the (id, vec, r)
+    * rows against the broadcastable removal set. */
+  def rpRemoveReduced(reduced: DataFrame, removedIds: DataFrame,
+                      idCol: String = "vec_id"): DataFrame =
+    reduced.join(broadcast(removedIds.select(col(idCol).as("id"))),
+      Seq("id"), "left_anti")
+
   def rpProbePortable(reduced: DataFrame, queries: DataFrame, k: Int,
                       shortlist: Int = 20, dimOut: Int = 8, seed: Int = 42,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

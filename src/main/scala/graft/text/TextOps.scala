@@ -1090,6 +1090,31 @@ object TextOps {
         col("n_docs"), col("dl_sum"))
   }
 
+  /** O(removed) DELETION from a BM25 index — the compliance half of
+    * incremental maintenance (takedown / right-to-be-forgotten sweeps
+    * must not force a corpus rebuild): postings lose the removed ids via
+    * an anti-join against the (broadcastable) removal set, and the
+    * one-row stats subtract the removed documents' exact (count, Σdl).
+    * The caller hands in the removed DOCUMENTS (id + text — takedown
+    * lists carry the payload or it is re-fetched by id) so empty
+    * documents, which have NO postings rows to recover a dl from, still
+    * decrement `n_docs` correctly. Removed ≡ rebuilt-on-remainder is
+    * hash-certified by the `txt_bm25_remove` face. PRECONDITION: the
+    * removed ids are in the index exactly once (the append-only family
+    * contract keeps ids unique). */
+  def bm25RemoveIndex(postings: DataFrame, stats: DataFrame,
+                      removedDocs: DataFrame, textCol: String,
+                      idCol: String): (DataFrame, DataFrame) = {
+    val ids = removedDocs.select(col(idCol).as("doc_id"))
+    val outPostings = postings.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val removedStats = bm25CorpusStats(removedDocs, textCol)
+      .select(col("n_docs").as("__rn"), col("dl_sum").as("__rdl"))
+    val outStats = stats.crossJoin(broadcast(removedStats))
+      .select((col("n_docs") - col("__rn")).as("n_docs"),
+        (col("dl_sum") - coalesce(col("__rdl"), lit(0L))).as("dl_sum"))
+    (outPostings, outStats)
+  }
+
   /** O(delta) incremental maintenance of a BM25 index: merge a delta
     * corpus's postings + stats into an existing index WITHOUT touching
     * the base corpus. Postings rows are per-(term, doc_id) and carry only

@@ -73,4 +73,26 @@ class SearchIndexSpec extends SparkSpec {
     assert(hits === rebuilt.topK(Seq("apple", "banana"), 3))
     assert(hits.map(_._1) === Seq(1L, 2L, 3L), hits.toString)
   }
+
+  test("bm25RemoveIndex: removed ≡ rebuilt-on-remainder; an empty " +
+      "removed doc still decrements n_docs") {
+    import graft.text.TextOps
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "Apple banana apple"), (2L, "banana"),
+      (3L, "cherry apple"), (4L, "")).toDF("doc_id", "text")
+    // remove doc 3 AND the empty doc 4 — the empty doc has no postings
+    // row, so only the handed-in document text can recover its stats
+    val (p, st) = TextOps.bm25RemoveIndex(
+      TextOps.bm25Postings(df, "text", "doc_id"),
+      TextOps.bm25CorpusStats(df, "text"),
+      df.filter(col("doc_id") >= 3), "text", "doc_id")
+    val remainder = df.filter(col("doc_id") < 3)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.select("term", "doc_id", "tf", "dl").collect().map(_.toString).toSet
+    assert(rows(p) === rows(TextOps.bm25Postings(remainder, "text", "doc_id")))
+    val got = st.select("n_docs", "dl_sum").first()
+    assert(got === TextOps.bm25CorpusStats(remainder, "text")
+      .select("n_docs", "dl_sum").first())
+    assert(got.getLong(0) === 2L && got.getLong(1) === 4L)
+  }
 }

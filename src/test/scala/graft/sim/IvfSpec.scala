@@ -173,6 +173,27 @@ class IvfSpec extends SparkSpec {
     assert(ps === pm)
   }
 
+  test("removeFromIndex: probes over the reduced index ≡ rebuilt on the " +
+      "remainder (IVF and IVF-PQ)") {
+    val cents = Ivf.portableCentroids(df, nlist = 8, stride = 13)
+    val removed = df.filter(col("vec_id") % 7 === 2).select("vec_id")
+    val reduced = Ivf.removeFromIndex(
+      IvfIndex(cents, Ivf.assignPortable(df, cents)), removed)
+    val rebuilt = IvfIndex(cents,
+      Ivf.assignPortable(df.filter(col("vec_id") % 7 =!= 2), cents))
+    val queries = df.filter(col("vec_id") < 8)
+    assert(Ivf.probePortable(reduced, queries, k = 5, nprobe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSeq.sorted ===
+      Ivf.probePortable(rebuilt, queries, k = 5, nprobe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSeq.sorted)
+    // PQ-coded twin: deletion is exactly a code-row filter
+    val full = IvfPq.buildIndex(df, nlist = 8, m = 4, codebookSize = 8)
+    val redPq = IvfPq.removeFromIndex(full, removed)
+    assert(redPq.codes.collect().map(_.toString).toSet ===
+      full.codes.filter(col("cand_id") % 7 =!= 2)
+        .collect().map(_.toString).toSet)
+  }
+
   test("silhouettePortable: tight separated clusters score near 1, bounds hold") {
     import spark.implicits._
     // ids 0 and 29 (the stride samples) sit in different clusters, so the
