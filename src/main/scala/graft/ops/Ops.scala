@@ -749,12 +749,13 @@ object Ops {
     * ("ing", "the") from quadratic bucket blowups, because a gram that
     * is globally common is by construction almost never in anyone's
     * prefix. The exact verify touches candidates, not the cross
-    * product. Inputs are deduplicated on (id, name) and the prefix
-    * ranking partitions by BOTH, so duplicate ids — same or different
-    * strings — cannot pool grams into one ranking and silently shrink a
-    * string's prefix. Output: (left_id, left_name, right_id,
-    * right_name, dist), fully deterministic, all-pairs-equivalent
-    * (spec-pinned and SQL-replayable by the brute-force oracle). */
+    * product. The prefix ranking partitions by (id, name) and uses
+    * dense_rank, so duplicate ids — same or different strings — cannot
+    * pool grams into one ranking and silently shrink a string's prefix
+    * (spec-pinned). Output: (left_id, left_name, right_id, right_name,
+    * dist) over distinct pairs, fully deterministic,
+    * all-pairs-equivalent (spec-pinned and SQL-replayable by the
+    * brute-force oracle). */
   def fuzzyJoinEditDistance(left: DataFrame, right: DataFrame,
                             leftIdCol: String, rightIdCol: String,
                             leftNameCol: String, rightNameCol: String,
@@ -762,19 +763,12 @@ object Ops {
     require(q >= 2, s"q must be >= 2, got $q")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val minLen = q * (maxDist + 1)
-    // dropDuplicates: repeated input rows would double every gram inside
-    // its prefix-rank partition, silently halving the effective prefix
-    // and breaking the completeness guarantee — and the rank window
-    // below partitions by (id, name), not id alone, so duplicate ids
-    // carrying DIFFERENT strings each get their own full prefix
     val l = left.select(col(leftIdCol).as("left_id"),
         col(leftNameCol).as("left_name"))
       .filter(length(col("left_name")) >= minLen)
-      .dropDuplicates("left_id", "left_name")
     val r = right.select(col(rightIdCol).as("right_id"),
         col(rightNameCol).as("right_name"))
       .filter(length(col("right_name")) >= minLen)
-      .dropDuplicates("right_id", "right_name")
     def grams(name: Column): Column =
       array_distinct(transform(sequence(lit(1), length(name) - (q - 1)),
         i => name.substr(i, lit(q))))
@@ -785,12 +779,19 @@ object Ops {
     val freq = lg.select("gram").unionByName(rg.select("gram"))
       .groupBy("gram").agg(count(lit(1)).as("__f"))
     val pfx = maxDist * q + 1
+    // dense_rank, partitioned by (id, name): duplicate input rows double
+    // every gram inside the partition, but duplicates of one gram share
+    // a dense rank, so `<= pfx` still keeps the top-pfx DISTINCT grams —
+    // the completeness guarantee survives duplicate rows with no dedup
+    // exchange; and duplicate ids carrying DIFFERENT strings each get
+    // their own full prefix (same single window shuffle either way).
+    // Duplicate candidate pairs collapse in the distinct() below.
     def prefix(g: DataFrame, idc: String): DataFrame = {
       val nameC = if (idc == "left_id") "left_name" else "right_name"
       val w = Window.partitionBy(col(idc), col(nameC))
         .orderBy(col("__f"), col("gram"))
       g.join(freq, "gram")
-        .withColumn("__rk", row_number().over(w))
+        .withColumn("__rk", dense_rank().over(w))
         .filter(col("__rk") <= pfx)
         .drop("__f", "__rk")
     }
