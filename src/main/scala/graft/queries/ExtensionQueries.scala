@@ -1715,6 +1715,26 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
   }
 
+  /** EMBEDDING-SPACE decontamination — the semantic member of the
+    * decontamination family (exact/fuzzy/Bloom n-gram screens miss
+    * paraphrased or reformatted eval leakage; embedding similarity is
+    * the standard catch): the "eval set" is every 10th corpus vector
+    * under fresh ids (planted exact-embedding reuse), and every corpus
+    * vector whose cosine against any probed-cell reference clears 0.99
+    * is flagged with its best match. The portable-IVF blocking (cells
+    * trained on the reference, corpus probes nprobe cells) replays
+    * exactly in SQL, so the face is hash-green INCLUDING its blocking
+    * approximation — an identical planted vector shares its copy's
+    * rank-1 cell by the rounded-distance argument, so planted recall is
+    * total (SemDedupSpec pins it). */
+  private val embDecontaminate: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val reference = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    graft.sim.SemDedup.semanticDecontaminate(emb, reference,
+      threshold = 0.99, nlist = 8, stride = 10, nprobe = 2)
+  }
+
   /** O(delta) incremental IVF ingest, merged ≡ rebuilt: the coarse
     * quantizer is trained (portable strided sample) on the BASE slice
     * only, the base is assigned at build, the delta slice (vec_id ≡ 3
@@ -2363,6 +2383,7 @@ object ExtensionQueries {
     "sim_pq_rerank_recall" -> simPqRerankRecall,
     "sim_ivf_recall" -> simIvfRecall,
     "sim_ivf_merge" -> simIvfMerge,
+    "emb_decontaminate" -> embDecontaminate,
     "sim_pq_probe" -> simPqProbe,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_ivfpq_exact" -> simIvfpqExact,
@@ -3232,6 +3253,47 @@ object ExtensionQueries {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank FROM cs)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Generated oracle for emb_decontaminate: the full portable blocking
+    * pipeline replayed — reference under shifted ids, strided centroids
+    * over the reference, round-6 cell assignment/probing, cell-join
+    * candidates, round-6 cosine threshold, (cosine desc, ref_id) argmax,
+    * left join back so clean vectors carry null match columns. */
+  private def embDecontaminateOracle: String = {
+    val nlist = 8; val nprobe = 2; val th = 0.99
+    def d2(v: String) =
+      s"ROUND(list_dot_product($v, $v) - 2.0 * list_dot_product($v, c.cent)" +
+        s" + list_dot_product(c.cent, c.cent), 6)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ref AS (SELECT vec_id + 100000 AS ref_id, v FROM e WHERE vec_id % 10 = 0),
+       |cents AS (SELECT row_number() OVER (ORDER BY ref_id) - 1 AS cell, v AS cent
+       |  FROM (SELECT ref_id, v FROM ref WHERE ref_id % 10 = 0
+       |        ORDER BY ref_id LIMIT $nlist)),
+       |asg AS (SELECT ref_id, rv, cell FROM (
+       |  SELECT r.ref_id, r.v AS rv, c.cell,
+       |    row_number() OVER (PARTITION BY r.ref_id
+       |      ORDER BY ${d2("r.v")}, c.cell) AS rn
+       |  FROM ref r, cents c) WHERE rn = 1),
+       |probes AS (SELECT qid, qv, cell FROM (
+       |  SELECT q.vec_id AS qid, q.v AS qv, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${d2("q.v")}, c.cell) AS rn
+       |  FROM e q, cents c) WHERE rn <= $nprobe),
+       |hits AS (SELECT qid, ref_id, cos FROM (
+       |  SELECT p.qid, a.ref_id,
+       |    ROUND(CASE WHEN list_dot_product(p.qv, p.qv) = 0
+       |        OR list_dot_product(a.rv, a.rv) = 0 THEN 0.0
+       |      ELSE list_cosine_similarity(p.qv, a.rv) END, 6) AS cos
+       |  FROM probes p JOIN asg a USING (cell)) WHERE cos >= $th),
+       |best AS (SELECT qid, ref_id, cos FROM (
+       |  SELECT qid, ref_id, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, ref_id) AS rn FROM hits) WHERE rn = 1)
+       |SELECT e.vec_id,
+       |  CAST(CASE WHEN b.ref_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+       |    AS contaminated,
+       |  CAST(b.ref_id AS BIGINT) AS match_id, b.cos AS match_cosine
+       |FROM e LEFT JOIN best b ON b.qid = e.vec_id""".stripMargin
   }
 
   val oracle: Map[String, String] = {
@@ -4585,6 +4647,7 @@ bruteForceCosineOracle,
       "sim_pq_rerank_recall" -> simPqRerankRecallOracle,
       "sim_ivf_recall" -> simIvfRecallOracle,
       "sim_ivf_merge" -> simIvfMergeOracle,
+      "emb_decontaminate" -> embDecontaminateOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is
       // defined by SIGNATURE agreement, and full 64-position agreement
       // does NOT imply identical shingle sets (a pair at true J = 0.98

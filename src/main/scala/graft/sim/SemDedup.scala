@@ -42,6 +42,66 @@ import graft.functions.VectorExprs
   * the cell-scoped join. */
 object SemDedup {
 
+  /** EMBEDDING-SPACE decontamination — the semantic member of the
+    * decontamination family (the text tier catches exact/fuzzy/Bloom
+    * n-gram overlap; paraphrased or reformatted eval leakage needs the
+    * embedding): flag every corpus vector whose cosine against ANY
+    * reference (eval-set) vector clears `threshold`, reporting the best
+    * match. Blocking is the portable IVF machinery —
+    * [[Ivf.portableCentroids]] trained on the REFERENCE (it is the small,
+    * stable side), reference vectors assigned to their cell, each corpus
+    * vector probing its `nprobe` nearest cells — so candidate pairs are
+    * cell-scoped, never the cross product, and the whole pipeline
+    * (round-6 cell ranking, cell join, round-6 cosine, (cosine desc, id)
+    * argmax) replays exactly in SQL: the `emb_decontaminate` face is
+    * hash-green INCLUDING its blocking approximation.
+    *
+    * Scale shape: reference side reduces to cell-keyed rows once
+    * (eval sets are thousands of rows — broadcastable); the corpus is
+    * scanned once, scores only its probed cells' reference rows, and
+    * reduces per vector with one max-struct aggregate — no window over
+    * the corpus, no shuffle of raw reference vectors per candidate.
+    * Returns (vec_id, contaminated 0/1, match_id, match_cosine) — one
+    * row per corpus vector; unmatched rows carry null match columns. */
+  def semanticDecontaminate(corpus: DataFrame, reference: DataFrame,
+                            threshold: Double, nlist: Int = 8,
+                            stride: Int = 29, nprobe: Int = 2,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(threshold >= -1 && threshold <= 1,
+      s"threshold must be a cosine in [-1, 1], got $threshold")
+    require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
+    val cents = Ivf.portableCentroids(reference, nlist, stride, idCol, vecCol)
+    val ref = Ivf.assignPortable(reference, cents, idCol, vecCol)
+      .select(col("cand_id").as("ref_id"), col("cvec").as("rvec"), col("cell"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("__d"), col("cell"))
+    val probes = corpus
+      .select(col(idCol).as("__qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", round(
+        VectorExprs.dot(col("qvec"), col("qvec")) -
+          lit(2.0) * VectorExprs.dot(col("qvec"), col("cent")) +
+          VectorExprs.dot(col("cent"), col("cent")), 6))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("__qid"), col("qvec"), col("cell"))
+    val best = probes.join(ref.hint("broadcast"), Seq("cell"))
+      .withColumn("__cos",
+        round(graft.sim.Similarity.cosine(col("qvec"), col("rvec")), 6))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__qid"))
+      .agg(max(struct(col("__cos").as("c"), (-col("ref_id")).as("negid")))
+        .as("__m"))
+      .select(col("__qid").as("vec_id"),
+        (-col("__m.negid")).as("match_id"), col("__m.c").as("match_cosine"))
+    corpus.select(col(idCol).as("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("match_id").isNotNull.cast(IntegerType).as("contaminated"),
+        col("match_id"), col("match_cosine"))
+  }
+
   def semanticDedup(df: DataFrame, threshold: Double,
                     nlist: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",

@@ -82,4 +82,30 @@ class SemDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("semanticDedup"))
     assert((cachedIds -- before).isEmpty, "guard abort must release all caches")
   }
+
+  test("semanticDecontaminate: planted eval leakage flagged with its " +
+      "match, clean vectors stay clean, planted recall is total") {
+    // corpus ids 0..39; the "eval set" reuses vectors 0..7 under fresh
+    // ids — an identical vector shares its copy's rank-1 cell (identical
+    // rounded distances), so every planted leak MUST be flagged even at
+    // nprobe = 1-ish blocking
+    val corpus = (0 until 40).map(i => (i.toLong, randVec(i)))
+      .toDF("vec_id", "embedding")
+    val reference = (0 until 8).map(i => ((i + 1000).toLong, randVec(i)))
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.semanticDecontaminate(corpus, reference,
+        threshold = 0.999, nlist = 4, stride = 1, nprobe = 2)
+      .as[(Long, Int, Option[Long], Option[Double])].collect()
+    assert(out.length === 40, "one row per corpus vector")
+    val byId = out.map(r => r._1 -> r).toMap
+    (0 until 8).foreach { i =>
+      val (_, c, m, cos) = byId(i.toLong)
+      assert(c === 1 && m === Some(i + 1000L) && cos === Some(1.0),
+        s"planted leak $i: got ($c, $m, $cos)")
+    }
+    (8 until 40).foreach { i =>
+      val (_, c, m, _) = byId(i.toLong)
+      assert(c === 0 && m.isEmpty, s"clean vector $i flagged: ($c, $m)")
+    }
+  }
 }
