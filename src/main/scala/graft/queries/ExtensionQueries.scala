@@ -595,6 +595,13 @@ object ExtensionQueries {
       bm25Terms)
   }
 
+  /** Inverted-index df histogram ([[TextOps.bm25DfHistogram]]) — the
+    * keyword layout-health audit: stopword mass and singleton tail as
+    * exact (df, n_terms) integers. */
+  private val txtBm25DfHist: Q = (s, dir) =>
+    TextOps.bm25DfHistogram(
+      TextOps.bm25Postings(t(s, dir, "documents"), "text", "doc_id"))
+
   /** BM25 index DELETION, removed ≡ rebuilt-on-remainder: the full
     * index loses the doc_id ≡ 0 mod 7 slice through
     * [[TextOps.bm25RemoveIndex]] (postings anti-join + exact stats
@@ -1715,6 +1722,17 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
   }
 
+  /** IVF cell-occupancy audit ([[Ivf.cellStats]]) over the portable
+    * assignment of the embeddings corpus: per cell, exact integer
+    * (n_vecs, n_total, n_max) — the operational layout-health report
+    * (skew/balance/retrain triggers) hash-checked end to end because the
+    * portable quantizer and assignment replay in SQL. */
+  private val simIvfCellStats: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val cents = Ivf.portableCentroids(emb, nlist = 8, stride = 29)
+    Ivf.cellStats(Ivf.assignPortable(emb, cents))
+  }
+
   /** EMBEDDING-SPACE decontamination — the semantic member of the
     * decontamination family (exact/fuzzy/Bloom n-gram screens miss
     * paraphrased or reformatted eval leakage; embedding similarity is
@@ -2358,6 +2376,7 @@ object ExtensionQueries {
     "txt_bm25_stats" -> txtBm25Stats,
     "txt_bm25_merge" -> txtBm25Merge,
     "txt_bm25_remove" -> txtBm25Remove,
+    "txt_bm25_df_hist" -> txtBm25DfHist,
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
@@ -2384,6 +2403,7 @@ object ExtensionQueries {
     "sim_ivf_recall" -> simIvfRecall,
     "sim_ivf_merge" -> simIvfMerge,
     "emb_decontaminate" -> embDecontaminate,
+    "sim_ivf_cell_stats" -> simIvfCellStats,
     "sim_pq_probe" -> simPqProbe,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_ivfpq_exact" -> simIvfpqExact,
@@ -3255,6 +3275,30 @@ object ExtensionQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Generated oracle for sim_ivf_cell_stats: the portable quantizer +
+    * assignment replay (the simIvfRecallOracle CTEs) reduced to the
+    * per-cell integer occupancy report. */
+  private def simIvfCellStatsOracle: String = {
+    val nlist = 8; val stride = 29
+    def d2(v: String) =
+      s"ROUND(list_dot_product($v, $v) - 2.0 * list_dot_product($v, c.cent)" +
+        s" + list_dot_product(c.cent, c.cent), 6)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cent
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $stride = 0
+       |        ORDER BY vec_id LIMIT $nlist)),
+       |asg AS (SELECT cand_id, cell FROM (
+       |  SELECT ce.vec_id AS cand_id, c.cell,
+       |    row_number() OVER (PARTITION BY ce.vec_id
+       |      ORDER BY ${d2("ce.v")}, c.cell) AS rn
+       |  FROM e ce, cents c) WHERE rn = 1),
+       |per AS (SELECT CAST(cell AS INTEGER) AS cell,
+       |    CAST(count(*) AS BIGINT) AS n_vecs FROM asg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+       |    CAST(max(n_vecs) AS BIGINT) AS n_max FROM per)
+       |SELECT per.cell, per.n_vecs, tot.n_total, tot.n_max FROM per, tot""".stripMargin
+  }
+
   /** Generated oracle for emb_decontaminate: the full portable blocking
     * pipeline replayed — reference under shifted ids, strided centroids
     * over the reference, round-6 cell assignment/probing, cell-join
@@ -3952,6 +3996,15 @@ object ExtensionQueries {
       // remainder corpus — the hash proves removed ≡ rebuilt-on-remainder
       "txt_bm25_remove" -> bm25StatsOracleFrom(
         "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
+      // df histogram: per-term document frequency, then terms per df
+      "txt_bm25_df_hist" ->
+        raw"""WITH toks AS (SELECT DISTINCT doc_id,
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |  FROM documents),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM toks WHERE term <> '' GROUP BY 1)
+             |SELECT df, CAST(count(*) AS BIGINT) AS n_terms
+             |FROM dfreq GROUP BY 1""".stripMargin,
       // stage mirrors: quality (txt_quality_score), exact-median gate
       // (txt_quality_gate), hash-bucket mixture (w10), then the aggregate.
       "pipe_curate_corpus" ->
@@ -4648,6 +4701,7 @@ bruteForceCosineOracle,
       "sim_ivf_recall" -> simIvfRecallOracle,
       "sim_ivf_merge" -> simIvfMergeOracle,
       "emb_decontaminate" -> embDecontaminateOracle,
+      "sim_ivf_cell_stats" -> simIvfCellStatsOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is
       // defined by SIGNATURE agreement, and full 64-position agreement
       // does NOT imply identical shingle sets (a pair at true J = 0.98

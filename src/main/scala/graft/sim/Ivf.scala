@@ -207,6 +207,24 @@ object Ivf {
       index.assigned.unionByName(
         assignPortable(delta, index.centroids, idCol, vecCol)))
 
+  /** Cell-occupancy audit of an IVF index — the layout-health check a
+    * partitioned ANN index needs operationally (a skewed cell is a
+    * probe-latency outlier and a shuffle hot spot; quantizer drift under
+    * months of [[appendToIndex]] ingest shows up here first): per cell,
+    * its vector count plus the corpus total and the maximum occupancy,
+    * so the balance factor `n_max · nlist / n_total` (ideal 1) is one
+    * exact division away and a "retrain the quantizer" trigger is a
+    * WHERE clause. Pure integer contract over only the thin `cell`
+    * column — vectors are never read; on a PORTABLE assignment the whole
+    * audit replays in SQL (`sim_ivf_cell_stats` is hash-green). */
+  def cellStats(assigned: DataFrame): DataFrame = {
+    val per = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum(col("n_vecs")).as("n_total"),
+      max(col("n_vecs")).as("n_max"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"), col("n_total"), col("n_max"))
+  }
+
   /** O(removed) deletion from an IVF index — the compliance twin of
     * [[appendToIndex]] (takedown sweeps must not retrain or rebuild):
     * the assigned frame drops the removal set via an anti-join against

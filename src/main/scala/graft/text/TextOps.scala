@@ -1090,6 +1090,18 @@ object TextOps {
         col("n_docs"), col("dl_sum"))
   }
 
+  /** Document-frequency histogram of an inverted index — the keyword
+    * tier's layout-health audit ([[graft.sim.Ivf.cellStats]]'s analog):
+    * (df, n_terms) pairs expose the stopword mass (few terms with huge
+    * df — the posting lists that dominate probe cost) and the singleton
+    * tail (df = 1 terms — index bloat with zero retrieval value), the
+    * two signals that drive stopword thresholds and tail pruning.
+    * Two integer aggregates over the thin postings frame; hash-green
+    * (`txt_bm25_df_hist`). */
+  def bm25DfHistogram(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_terms"))
+
   /** O(removed) DELETION from a BM25 index — the compliance half of
     * incremental maintenance (takedown / right-to-be-forgotten sweeps
     * must not force a corpus rebuild): postings lose the removed ids via
