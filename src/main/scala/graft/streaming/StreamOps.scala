@@ -308,6 +308,33 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into a stored IVF layout — the vector twin of
+    * [[bm25IngestStream]], completing the serving tier's live-ingest
+    * story: the stored centroids are opened ONCE at stream start (the
+    * frozen quantizer — [[graft.sim.Ivf.appendToIndex]]'s model), and
+    * each micro-batch's vectors are assigned against them and appended
+    * as new files into only the cells they land in, so an
+    * [[graft.serve.AnnService]] over `root` retrieves a vector seconds
+    * after it streams in. Bootstrap the layout first (write `centroids`
+    * + an empty `assigned`). Same at-least-once posture as the BM25
+    * sink; stream ≡ batch-assignment is StreamOpsSpec-pinned. */
+  def ivfIngestStream(vectors: DataFrame, root: String, checkpointDir: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+                     : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    val centroids = spark.read.parquet(s"$root/centroids")
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!batch.isEmpty)
+          graft.sim.Ivf.assignPortable(batch.toDF(), centroids, idCol, vecCol)
+            .write.mode("append").partitionBy("cell").parquet(s"$root/assigned")
+      }
+      .start()
+  }
+
   /** Streaming incremental dedup against a STATIC reference corpus — the
     * live-ingest form of [[graft.dedup.Dedup.incrementalDedup]]: each
     * micro-batch drops documents whose fingerprint already exists in the

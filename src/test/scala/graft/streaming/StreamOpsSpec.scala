@@ -489,4 +489,46 @@ class StreamOpsSpec extends SparkSpec {
           .select("n_docs", "dl_sum").first())
     } finally q.stop()
   }
+
+  test("ivfIngestStream: streamed vectors land in their cells; the " +
+      "stored layout serves a vector right after it streams in") {
+    import graft.sim.{Ivf, IvfIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    // quantizer trained on a seed corpus; the stream ingests NEW vectors
+    val seed = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivf_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_ckpt_").toString
+    val cents = Ivf.portableCentroids(seed, nlist = 4, stride = 13)
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
+    Ivf.assignPortable(seed, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assigned")
+    val streamed = Seq((100L, vec(100)), (101L, vec(101)),
+      (9007L, vec(7))) // exact copy of seed vector 7 arrives live
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.ivfIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    try {
+      mem.addData(streamed.take(2): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(2): _*); q.processAllAvailable()
+      // layout ≡ one-shot assignment of everything under the same quantizer
+      val all = seed.unionByName(streamed.toDF("vec_id", "embedding"))
+      def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+        d.select("cand_id", "cell").as[(Long, Int)].collect().toSet
+      assert(rows(spark.read.parquet(s"$root/assigned")) ===
+        rows(Ivf.assignPortable(all, cents)))
+      // and the freshly-streamed copy is retrievable at score 1.0
+      val stored = IvfIndex(spark.read.parquet(s"$root/centroids"),
+        spark.read.parquet(s"$root/assigned"))
+      val hit = Ivf.probePortable(stored, Seq((7L, vec(7)))
+          .toDF("vec_id", "embedding"), k = 1, nprobe = 1)
+        .select("cand_id", "cosine").as[(Long, Double)].head()
+      assert(hit === ((9007L, 1.0)), hit.toString)
+    } finally q.stop()
+  }
 }
