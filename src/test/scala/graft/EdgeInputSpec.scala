@@ -266,4 +266,47 @@ class EdgeInputSpec extends SparkSpec {
     assert(graft.sim.Similarity.hardNegatives(mono,
       mono.filter(col("vec_id") === 1), k = 2).count() === 0)
   }
+
+  test("empty/degenerate inputs: round-12 index-maintenance ops stay defined") {
+    val docs = Seq((1L, "apple banana"), (2L, "banana")).toDF("doc_id", "text")
+    val emptyDocs = docs.filter(col("doc_id") < 0)
+    // merging an EMPTY delta changes nothing — postings and stats intact
+    val (mp, ms) = TextOps.bm25MergeIndex(
+      TextOps.bm25Postings(docs, "text", "doc_id"),
+      TextOps.bm25CorpusStats(docs, "text"),
+      TextOps.bm25Postings(emptyDocs, "text", "doc_id"),
+      TextOps.bm25CorpusStats(emptyDocs, "text"))
+    assert(mp.count() === 3)
+    assert(ms.select("n_docs", "dl_sum").as[(Long, Long)].head() === ((2L, 3L)))
+    // removing EVERY document leaves a valid empty index, stats (0, 0)
+    val (rp, rs) = TextOps.bm25RemoveIndex(
+      TextOps.bm25Postings(docs, "text", "doc_id"),
+      TextOps.bm25CorpusStats(docs, "text"), docs, "text", "doc_id")
+    assert(rp.count() === 0)
+    assert(rs.select("n_docs", "dl_sum").as[(Long, Long)].head() === ((0L, 0L)))
+    assert(TextOps.bm25QueryStatsFrom(rp, rs, Seq("apple")).count() === 0)
+    // df histogram of an empty postings frame is empty, not an error
+    assert(TextOps.bm25DfHistogram(
+      TextOps.bm25Postings(emptyDocs, "text", "doc_id")).count() === 0)
+    // vector removal of a non-member id is a no-op
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.sim.Ivf.portableCentroids(vecs, nlist = 2, stride = 1)
+    val idx = graft.sim.IvfIndex(cents,
+      graft.sim.Ivf.assignPortable(vecs, cents))
+    assert(graft.sim.Ivf.removeFromIndex(idx,
+      Seq(999L).toDF("vec_id")).assigned.count() === 2)
+    // decontamination against an empty reference fails fast (no quantizer
+    // can be trained), not silently-all-clean
+    intercept[IllegalArgumentException] {
+      graft.sim.SemDedup.semanticDecontaminate(vecs,
+        vecs.filter(col("vec_id") < 0), threshold = 0.9, nlist = 2,
+        stride = 1, nprobe = 1)
+    }
+    // audio fingerprint over an empty corpus: zero rows, no codec touch
+    assert(graft.multimodal.Multimodal.audioFingerprint64(
+      emptyDocs.select(col("doc_id"),
+        col("text").cast(org.apache.spark.sql.types.BinaryType)
+          .as("payload"))).count() === 0)
+  }
 }
