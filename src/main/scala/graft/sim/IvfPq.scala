@@ -172,16 +172,27 @@ object IvfPq {
     * two-cluster construction. */
   def appendToResidualIndex(index: IvfPqIndex, delta: DataFrame,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): IvfPqIndex = {
+                            vecCol: String = "embedding"): IvfPqIndex =
+    IvfPqIndex(index.centroids, index.codebooks,
+      index.codes.unionByName(
+        encodeDeltaResidual(index, delta, idCol, vecCol)))
+
+  /** The delta-encoding kernel of [[appendToResidualIndex]], exposed for
+    * streaming ingest ([[graft.streaming.StreamOps.ivfPqIngestStream]]):
+    * frozen cell assignment → residual against the stored centroid →
+    * frozen-codebook encode, returning ONLY the new thin code rows
+    * (cand_id, __c*, cell) — the frame a stored layout appends,
+    * partitioned by cell. Never reads `index.codes`. */
+  def encodeDeltaResidual(index: IvfPqIndex, delta: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
     val assigned = assignFrozen(delta, index.centroids, idCol, vecCol)
     val residuals = assigned.join(broadcast(index.centroids), Seq("cell"))
       .select(col("cand_id"), col("cell"),
         VectorExprs.sub(col("cvec"), col("cent")).as("__rvec"))
-    val newCodes = Pq.encodeWithCodebooks(residuals, index.codebooks,
+    Pq.encodeWithCodebooks(residuals, index.codebooks,
         idCol = "cand_id", vecCol = "__rvec")
       .join(residuals.select(col("cand_id"), col("cell")), "cand_id")
-    IvfPqIndex(index.centroids, index.codebooks,
-      index.codes.unionByName(newCodes))
   }
 
   /** O(removed) deletion — the [[Ivf.removeFromIndex]] twin for both

@@ -335,6 +335,40 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming ingest into a stored RESIDUAL IVF-PQ layout — the
+    * compressed-serving twin of [[ivfIngestStream]], closing live ingest
+    * over the actual 100 TB serving format: BOTH frozen quantizers
+    * (coarse centroids + PQ codebooks) are opened once at stream start,
+    * and each micro-batch is cell-assigned, residual-encoded against the
+    * stored codebooks ([[graft.sim.IvfPq.appendToResidualIndex]]'s
+    * kernel), and appended as thin code rows into only the cells it
+    * lands in — an [[graft.serve.AnnPqService]] over `root` serves the
+    * vector seconds later, raw floats never stored. Bootstrap with a
+    * written `centroids`/`codebooks`/`codes` layout; same at-least-once
+    * posture as the other ingest sinks. */
+  def ivfPqIngestStream(vectors: DataFrame, root: String,
+                        checkpointDir: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding")
+                       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val codebooks = spark.read.parquet(s"$root/codebooks")
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!batch.isEmpty) {
+          val idx = graft.sim.IvfPqIndex(centroids, codebooks,
+            spark.emptyDataFrame)
+          graft.sim.IvfPq.encodeDeltaResidual(idx, batch.toDF(), idCol, vecCol)
+            .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental dedup against a STATIC reference corpus — the
     * live-ingest form of [[graft.dedup.Dedup.incrementalDedup]]: each
     * micro-batch drops documents whose fingerprint already exists in the

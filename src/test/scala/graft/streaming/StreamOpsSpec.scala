@@ -531,4 +531,47 @@ class StreamOpsSpec extends SparkSpec {
       assert(hit === ((9007L, 1.0)), hit.toString)
     } finally q.stop()
   }
+
+  test("ivfPqIngestStream: streamed vectors residual-encode into their " +
+      "cells; the compressed layout serves them") {
+    import graft.sim.{IvfPq, IvfPqIndex}
+    implicit val sqlCtx = spark.sqlContext
+    // the zero-residual grid: nlist = 4 recovers the 4 distinct points
+    val alphabet = Seq(
+      Array(1f, 0f), Array(0f, 2f), Array(2f, 2f), Array(-1f, 1f))
+    def gridVec(i: Int): Array[Float] =
+      (0 until 4).flatMap(j => alphabet((i + j) % 4)).toArray
+    val seed = (0 until 48).map(i => (i.toLong, gridVec(i)))
+      .toDF("vec_id", "embedding")
+    val idx = IvfPq.buildResidualIndex(seed, nlist = 4, m = 4, codebookSize = 4)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_ckpt_").toString
+    idx.centroids.write.parquet(s"$root/centroids")
+    idx.codebooks.write.parquet(s"$root/codebooks")
+    idx.codes.write.partitionBy("cell").parquet(s"$root/codes")
+    val streamed = Seq((9000L, gridVec(1)), (9001L, gridVec(2)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.ivfPqIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    try {
+      mem.addData(streamed.take(1): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(1): _*); q.processAllAvailable()
+      val stored = IvfPqIndex(spark.read.parquet(s"$root/centroids"),
+        spark.read.parquet(s"$root/codebooks"),
+        spark.read.parquet(s"$root/codes"))
+      def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+        d.select("cand_id", "cell", "__c0", "__c1", "__c2", "__c3")
+          .collect().map(_.toString).toSet
+      assert(rows(stored.codes) === rows(idx.codes.unionByName(
+        IvfPq.encodeDeltaResidual(idx,
+          streamed.toDF("vec_id", "embedding")))))
+      // the streamed copy of gridVec(1) is one of the 13 exact ties at
+      // the top score (12 seed copies + itself) — k = 13 must serve it
+      val hits = IvfPq.probeResidualTopK(stored,
+          Seq((10001L, gridVec(1))).toDF("vec_id", "embedding"),
+          k = 13, nprobe = 4)
+        .select("cand_id").as[Long].collect().toSet
+      assert(hits.contains(9000L), hits.toString)
+    } finally q.stop()
+  }
 }
