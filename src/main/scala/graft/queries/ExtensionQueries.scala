@@ -541,12 +541,8 @@ object ExtensionQueries {
     * [[txtBm25Topk]] (spec-pinned stored ≡ in-memory). */
   private val txtBm25Probe: Q = (s, dir) => {
     val root = storedIndexPath("bm25", dir) { out =>
-      val docs = t(s, dir, "documents")
-      TextOps.bm25Postings(docs, "text", "doc_id")
-        .withColumn("bucket", TextOps.bm25Bucket(col("term")))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/postings")
-      TextOps.bm25CorpusStats(docs, "text")
-        .write.mode("overwrite").parquet(s"$out/stats")
+      graft.serve.SearchService.buildIndex(
+        t(s, dir, "documents"), "text", "doc_id", out)
     }
     val postings = s.read.parquet(s"$root/postings")
       .filter(bm25Terms.map(tm => col("bucket") === TextOps.bm25Bucket(lit(tm)))
@@ -599,8 +595,12 @@ object ExtensionQueries {
     * keyword layout-health audit: stopword mass and singleton tail as
     * exact (df, n_terms) integers. */
   private val txtBm25DfHist: Q = (s, dir) =>
+    // Spread BEFORE the tokenize+explode: the single-row-group testdata
+    // parquet would otherwise run the whole map side on one task
     TextOps.bm25DfHistogram(
-      TextOps.bm25Postings(t(s, dir, "documents"), "text", "doc_id"))
+      TextOps.bm25Postings(
+        graft.util.Spread.forMapWork(t(s, dir, "documents")),
+        "text", "doc_id"))
 
   /** BM25 index DELETION, removed ≡ rebuilt-on-remainder: the full
     * index loses the doc_id ≡ 0 mod 7 slice through

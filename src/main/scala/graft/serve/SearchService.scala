@@ -51,13 +51,16 @@ object SearchService {
       spark.read.parquet(s"$root/stats"), maxK, maxTerms)
 
   /** Full rebuild of the stored layout: postings partitioned by the
-    * 64-way term bucket + the one-row corpus stats. */
+    * 64-way term bucket + the one-row corpus stats. The input is spread
+    * before the tokenize+explode (single-row-group files would otherwise
+    * run the whole map side on one task). */
   def buildIndex(df: DataFrame, textCol: String, idCol: String,
                  root: String): Unit = {
-    TextOps.bm25Postings(df, textCol, idCol)
+    val spread = graft.util.Spread.forMapWork(df)
+    TextOps.bm25Postings(spread, textCol, idCol)
       .withColumn("bucket", TextOps.bm25Bucket(col("term")))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
-    TextOps.bm25CorpusStats(df, textCol)
+    TextOps.bm25CorpusStats(spread, textCol)
       .write.mode("overwrite").parquet(s"$root/stats")
   }
 
@@ -81,10 +84,11 @@ object SearchService {
     import spark.implicits._
     def lng(r: org.apache.spark.sql.Row, c: String): Long =
       if (r.isNullAt(r.fieldIndex(c))) 0L else r.getAs[Long](c)
+    val spread = graft.util.Spread.forMapWork(df)
     // both stats frames are ONE row — constant-size driver collects
     val base = spark.read.parquet(s"$root/stats").collect()(0)
-    val delta = TextOps.bm25CorpusStats(df, textCol).collect()(0)
-    TextOps.bm25Postings(df, textCol, idCol)
+    val delta = TextOps.bm25CorpusStats(spread, textCol).collect()(0)
+    TextOps.bm25Postings(spread, textCol, idCol)
       .withColumn("bucket", TextOps.bm25Bucket(col("term")))
       .write.mode("append").partitionBy("bucket").parquet(s"$root/postings")
     Seq((lng(base, "n_docs") + lng(delta, "n_docs"),
