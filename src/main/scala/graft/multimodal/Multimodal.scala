@@ -352,6 +352,11 @@ object Multimodal {
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => null
           case _: java.io.IOException => null
+          // AudioSystem.getAudioInputStream(target, ais) throws IAE for
+          // decodable-but-unconvertible encodings (no PCM converter
+          // installed) — same "undecodable → null" contract; must not
+          // fail the whole task over one bad payload
+          case _: IllegalArgumentException => null
         }
         Row.fromSeq(r.toSeq :+ hash)
       }

@@ -91,7 +91,13 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
     * route's limit cap); a wrong-dimension or malformed vector is a 400. */
   private def annHandler(svc: AnnBackend): HttpHandler = (ex: HttpExchange) =>
     try {
-      if (ex.getRequestMethod != "POST")
+      // the JDK server dispatches by LONGEST STRING PREFIX, so without an
+      // exact-path check /ann/<unknown> falls through to the bare /ann
+      // default (HTTP 200 from the WRONG index) and /ann/foo would also
+      // capture /ann/foobar — unknown or extended names must be a 404
+      if (ex.getRequestURI.getPath != ex.getHttpContext.getPath)
+        respond(ex, 404, """{"error":"unknown ann backend"}""")
+      else if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST only"}""")
       else {
         val body =

@@ -48,7 +48,19 @@ object SearchService {
   def overParquetDir(spark: SparkSession, root: String, maxK: Int = 100,
                      maxTerms: Int = 16): SearchService =
     new SearchService(spark.read.parquet(s"$root/postings"),
-      spark.read.parquet(s"$root/stats"), maxK, maxTerms)
+      readStats(spark, root), maxK, maxTerms)
+
+  /** The one-row effective corpus stats of a stored layout. The stats
+    * directory is append-friendly: [[buildIndex]] writes one row and each
+    * streamed micro-batch ([[graft.streaming.StreamOps.bm25IngestStream]])
+    * adds its own one-row DELTA file (per-batch deltas are what make the
+    * replay-safe commit possible — an in-place read-modify-write could
+    * double-count on replay), so the effective (n_docs, dl_sum) is the
+    * SUM over all stored rows. Constant-size aggregate — one row per
+    * build/refresh/batch. */
+  def readStats(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
 
   /** Full rebuild of the stored layout: postings partitioned by the
     * 64-way term bucket + the one-row corpus stats. The input is spread
@@ -85,8 +97,10 @@ object SearchService {
     def lng(r: org.apache.spark.sql.Row, c: String): Long =
       if (r.isNullAt(r.fieldIndex(c))) 0L else r.getAs[Long](c)
     val spread = graft.util.Spread.forMapWork(df)
-    // both stats frames are ONE row — constant-size driver collects
-    val base = spark.read.parquet(s"$root/stats").collect()(0)
+    // both stats frames reduce to ONE row — constant-size driver collects
+    // (readStats sums, so a layout carrying streamed per-batch delta rows
+    // folds correctly and the overwrite below re-canonicalizes to one row)
+    val base = readStats(spark, root).collect()(0)
     val delta = TextOps.bm25CorpusStats(spread, textCol).collect()(0)
     TextOps.bm25Postings(spread, textCol, idCol)
       .withColumn("bucket", TextOps.bm25Bucket(col("term")))

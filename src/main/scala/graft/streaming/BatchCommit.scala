@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Replay-safe ("exactly-once in effect") commit protocol for streaming
+  * appends into stored index layouts — the machinery that closes the
+  * documented at-least-once window of the ingest sinks: `foreachBatch`
+  * guarantees a batch is re-delivered WITH THE SAME batchId after a crash,
+  * so an append is idempotent iff (a) a fully-committed batch can be
+  * recognized and skipped, and (b) a partially-committed batch's files can
+  * be found and removed before the redo. Both follow from two rules:
+  *
+  *   1. every data file a batch adds carries the batch id in its FILE NAME
+  *      (`batch-<id>-<original>`), so a replay can scrub a crashed
+  *      attempt's leftovers with one listing — no manifest to lose;
+  *   2. a ledger marker (`<root>/_ledger/batch-<id>`) is written strictly
+  *      AFTER every data file is in place, so marker-present ⇒ batch
+  *      fully applied ⇒ skip.
+  *
+  * Crash anywhere before the marker ⇒ the replay scrubs `batch-<id>-*`
+  * and redoes the whole batch; crash after ⇒ the replay skips. Stats or
+  * other read-modify-write state must NOT be updated in place under this
+  * protocol — write per-batch DELTA rows as batch-tagged files instead and
+  * let readers aggregate (the [[graft.serve.SearchService.readStats]]
+  * contract).
+  *
+  * Layout compatibility: files move INTO the existing partition
+  * directories (`bucket=X/`, `cell=Y/`), so partition pruning, the batch
+  * maintenance ops, and every existing reader see one uniform dataset —
+  * no sibling "delta" directory to union in.
+  *
+  * Scale notes: the per-batch staging write is an ordinary distributed
+  * Spark job; only the rename loop runs on the driver and it is O(files
+  * in the batch). Renames are metadata-only on HDFS-like stores; on
+  * object stores without atomic rename the scrub step still restores
+  * correctness after a crashed copy. The scrub listing walks only the
+  * target dataset directories (bounded by the layout's partition count ×
+  * files — the thing [[graft.io.Sinks.compactLayout]] keeps small). */
+object BatchCommit {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ledgerPath(root: String, batchId: Long): Path =
+    new Path(s"$root/_ledger/batch-$batchId")
+
+  /** True iff `batchId` was fully committed under `root` (marker present). */
+  def alreadyCommitted(spark: SparkSession, root: String,
+                       batchId: Long): Boolean = {
+    val p = ledgerPath(root, batchId)
+    fs(spark, p).exists(p)
+  }
+
+  // the trailing dash matters: "batch-1-" must not match batch-11's files
+  private def tag(batchId: Long) = s"batch-$batchId-"
+
+  /** Delete every data file named `batch-<id>-*` under `dir` (recursive) —
+    * the leftovers of a crashed attempt at this batch. */
+  private def scrub(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    if (f.exists(p)) {
+      val it = f.listFiles(p, true)
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.startsWith(tag(batchId)))
+          doomed += st.getPath
+      }
+      doomed.foreach(f.delete(_, false))
+    }
+  }
+
+  /** Move every committed data file under `stagingDir` into `targetDir`,
+    * preserving partition subpaths (`bucket=X/part-*.parquet` lands in
+    * `targetDir/bucket=X/`) and prefixing names with the batch tag. */
+  private def moveIn(spark: SparkSession, stagingDir: String,
+                     targetDir: String, batchId: Long): Unit = {
+    val src = new Path(stagingDir)
+    val dst = new Path(targetDir)
+    val f = fs(spark, src)
+    val srcUri = src.toUri.getPath
+    val it = f.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+        val parent = rel.lastIndexOf('/') match {
+          case -1 => dst
+          case i  => new Path(dst, rel.substring(0, i))
+        }
+        f.mkdirs(parent)
+        require(f.rename(st.getPath, new Path(parent, tag(batchId) + name)),
+          s"rename failed moving ${st.getPath} into $parent")
+      }
+    }
+  }
+
+  /** Run one batch's append EXACTLY ONCE IN EFFECT. `writeStaged` writes
+    * the batch's output dataset(s) under the supplied staging directory
+    * and returns (stagedSubdir → targetDir) pairs; this method then
+    * scrubs any crashed attempt's files, moves the staged files into the
+    * live layout under batch-tagged names, and writes the ledger marker
+    * last. Returns false when the batch was already committed (replay
+    * after a post-marker crash) and nothing was done. */
+  def runOnce(spark: SparkSession, root: String, batchId: Long)
+             (writeStaged: String => Seq[(String, String)]): Boolean = {
+    if (alreadyCommitted(spark, root, batchId)) return false
+    val staging = s"$root/_staging/batch-$batchId"
+    val stagingPath = new Path(staging)
+    val f = fs(spark, stagingPath)
+    f.delete(stagingPath, true) // a crashed attempt's staging leftovers
+    val moves = writeStaged(staging)
+    moves.foreach { case (_, target) => scrub(spark, target, batchId) }
+    moves.foreach { case (staged, target) =>
+      moveIn(spark, staged, target, batchId) }
+    val marker = ledgerPath(root, batchId)
+    f.mkdirs(marker.getParent)
+    val out = f.create(marker, true)
+    out.close()
+    f.delete(stagingPath, true)
+    true
+  }
+}

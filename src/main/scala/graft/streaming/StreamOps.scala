@@ -282,19 +282,22 @@ object StreamOps {
     * live half of [[graft.serve.SearchService.appendDelta]], closing the
     * keyword tier's batch-build → stream-ingest → serve loop: each
     * micro-batch appends its postings as new files into only the term
-    * buckets it touches and folds its (n_docs, dl_sum) into the one-row
-    * stats, so a [[graft.serve.SearchService]] over `root` retrieves a
-    * document seconds after it streams in — no rebuild, ever. Bootstrap
-    * the layout first with `SearchService.buildIndex` (an empty frame is
+    * buckets it touches and adds its (n_docs, dl_sum) as a one-row delta
+    * under `root/stats` (readers aggregate —
+    * [[graft.serve.SearchService.readStats]]), so a
+    * [[graft.serve.SearchService]] over `root` retrieves a document
+    * seconds after it streams in — no rebuild, ever. Bootstrap the
+    * layout first with `SearchService.buildIndex` (an empty frame is
     * fine).
     *
-    * Delivery note: appendDelta is not idempotent (a batch replayed
-    * after a crash BETWEEN its postings write and the checkpoint commit
-    * would double-count), so this sink is at-least-once — same posture
-    * as any non-transactional file append; layouts needing exactly-once
-    * version `root` per batch and swap atomically. The
-    * stream ≡ batch-rebuild equivalence and the post-ingest serving path
-    * are StreamOpsSpec-pinned. */
+    * Delivery: EXACTLY ONCE IN EFFECT. Every file the batch adds is
+    * batch-tagged and committed through [[BatchCommit.runOnce]] — a
+    * batch replayed after a crash between the postings append and the
+    * checkpoint commit (the classic double-count window) scrubs its own
+    * partial files and redoes, and a batch replayed after its ledger
+    * marker landed is skipped, so the served index always equals
+    * single delivery (StreamOpsSpec pins kill-and-replay ≡ batch
+    * rebuild, plus the post-ingest serving path). */
   def bm25IngestStream(docs: DataFrame, textCol: String, idCol: String,
                        root: String, checkpointDir: String)
                       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -302,71 +305,139 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        if (!batch.isEmpty)
-          graft.serve.SearchService.appendDelta(batch.toDF(), textCol, idCol, root)
+                       batchId: Long) =>
+        bm25IngestBatch(batch.toDF(), textCol, idCol, root, batchId)
+        ()
       }
       .start()
 
+  /** One micro-batch of [[bm25IngestStream]] — public so the replay spec
+    * (and any custom sink) can drive the idempotent commit directly.
+    * Returns false when the batch was empty or already committed. */
+  def bm25IngestBatch(batch: DataFrame, textCol: String, idCol: String,
+                      root: String, batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    BatchCommit.runOnce(spark, root, batchId) { staging =>
+      graft.text.TextOps.bm25Postings(batch, textCol, idCol)
+        .withColumn("bucket",
+          graft.text.TextOps.bm25Bucket(col("term")))
+        .write.partitionBy("bucket").parquet(s"$staging/postings")
+      graft.text.TextOps.bm25CorpusStats(batch, textCol)
+        .coalesce(1).write.parquet(s"$staging/stats")
+      Seq(s"$staging/postings" -> s"$root/postings",
+        s"$staging/stats" -> s"$root/stats")
+    }
+  }
+
+  /** Materialize a small stored frame (centroids, codebooks) as a
+    * driver-side literal DataFrame — the PIN that makes "the quantizer is
+    * opened once at stream start" literally true: `spark.read.parquet` is
+    * lazy and would re-read the files on every micro-batch, so an
+    * overwrite of the stored quantizer mid-stream would silently change
+    * assignments (or fail the stream on missing files) instead of staying
+    * frozen. Collect is bounded by the quantizer size (nlist rows /
+    * m·codebookSize rows — model artifacts, not data). */
+  private def pinned(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    spark.createDataFrame(
+      java.util.Arrays.asList(raw.collect(): _*), raw.schema)
+  }
+
   /** Streaming ingest into a stored IVF layout — the vector twin of
     * [[bm25IngestStream]], completing the serving tier's live-ingest
-    * story: the stored centroids are opened ONCE at stream start (the
-    * frozen quantizer — [[graft.sim.Ivf.appendToIndex]]'s model), and
-    * each micro-batch's vectors are assigned against them and appended
-    * as new files into only the cells they land in, so an
-    * [[graft.serve.AnnService]] over `root` retrieves a vector seconds
-    * after it streams in. Bootstrap the layout first (write `centroids`
-    * + an empty `assigned`). Same at-least-once posture as the BM25
-    * sink; stream ≡ batch-assignment is StreamOpsSpec-pinned. */
+    * story: the stored centroids are pinned ONCE at stream start (the
+    * frozen quantizer — [[graft.sim.Ivf.appendToIndex]]'s model,
+    * collected to a driver-side literal so a mid-stream overwrite of
+    * `root/centroids` cannot shift assignments), and each micro-batch's
+    * vectors are assigned against them and appended as new files into
+    * only the cells they land in, so an [[graft.serve.AnnService]] over
+    * `root` retrieves a vector seconds after it streams in. Bootstrap
+    * the layout first (write `centroids` + an empty `assigned`).
+    *
+    * Delivery: EXACTLY ONCE IN EFFECT via [[BatchCommit.runOnce]] — a
+    * replayed batch scrubs its own partial files and redoes (or is
+    * skipped once its ledger marker exists), so the served index always
+    * equals single delivery. Stream ≡ batch-assignment and
+    * kill-and-replay are StreamOpsSpec-pinned. */
   def ivfIngestStream(vectors: DataFrame, root: String, checkpointDir: String,
                       idCol: String = "vec_id", vecCol: String = "embedding")
                      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
-    val centroids = spark.read.parquet(s"$root/centroids")
+    val centroids = pinned(spark, s"$root/centroids")
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        if (!batch.isEmpty)
-          graft.sim.Ivf.assignPortable(batch.toDF(), centroids, idCol, vecCol)
-            .write.mode("append").partitionBy("cell").parquet(s"$root/assigned")
+                       batchId: Long) =>
+        ivfIngestBatch(batch.toDF(), centroids, root, batchId, idCol, vecCol)
+        ()
       }
       .start()
+  }
+
+  /** One micro-batch of [[ivfIngestStream]] — public for the replay spec.
+    * Returns false when the batch was empty or already committed. */
+  def ivfIngestBatch(batch: DataFrame, centroids: DataFrame, root: String,
+                     batchId: Long, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Boolean = {
+    if (batch.isEmpty) return false
+    BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      graft.sim.Ivf.assignPortable(batch, centroids, idCol, vecCol)
+        .write.partitionBy("cell").parquet(s"$staging/assigned")
+      Seq(s"$staging/assigned" -> s"$root/assigned")
+    }
   }
 
   /** Streaming ingest into a stored RESIDUAL IVF-PQ layout — the
     * compressed-serving twin of [[ivfIngestStream]], closing live ingest
     * over the actual 100 TB serving format: BOTH frozen quantizers
-    * (coarse centroids + PQ codebooks) are opened once at stream start,
-    * and each micro-batch is cell-assigned, residual-encoded against the
-    * stored codebooks ([[graft.sim.IvfPq.appendToResidualIndex]]'s
-    * kernel), and appended as thin code rows into only the cells it
-    * lands in — an [[graft.serve.AnnPqService]] over `root` serves the
-    * vector seconds later, raw floats never stored. Bootstrap with a
-    * written `centroids`/`codebooks`/`codes` layout; same at-least-once
-    * posture as the other ingest sinks. */
+    * (coarse centroids + PQ codebooks) are pinned once at stream start
+    * (driver-side literal frames — a mid-stream overwrite of the stored
+    * quantizers cannot shift encodings), and each micro-batch is
+    * cell-assigned, residual-encoded against the stored codebooks
+    * ([[graft.sim.IvfPq.appendToResidualIndex]]'s kernel), and appended
+    * as thin code rows into only the cells it lands in — an
+    * [[graft.serve.AnnPqService]] over `root` serves the vector seconds
+    * later, raw floats never stored. Bootstrap with a written
+    * `centroids`/`codebooks`/`codes` layout. Same exactly-once-in-effect
+    * commit as the other ingest sinks ([[BatchCommit.runOnce]]). */
   def ivfPqIngestStream(vectors: DataFrame, root: String,
                         checkpointDir: String,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding")
                        : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
-    val centroids = spark.read.parquet(s"$root/centroids")
-    val codebooks = spark.read.parquet(s"$root/codebooks")
+    val centroids = pinned(spark, s"$root/centroids")
+    val codebooks = pinned(spark, s"$root/codebooks")
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        if (!batch.isEmpty) {
-          val idx = graft.sim.IvfPqIndex(centroids, codebooks,
-            spark.emptyDataFrame)
-          graft.sim.IvfPq.encodeDeltaResidual(idx, batch.toDF(), idCol, vecCol)
-            .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
-        }
+                       batchId: Long) =>
+        ivfPqIngestBatch(batch.toDF(), centroids, codebooks, root, batchId,
+          idCol, vecCol)
+        ()
       }
       .start()
+  }
+
+  /** One micro-batch of [[ivfPqIngestStream]] — public for the replay
+    * spec. Returns false when the batch was empty or already committed. */
+  def ivfPqIngestBatch(batch: DataFrame, centroids: DataFrame,
+                       codebooks: DataFrame, root: String, batchId: Long,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    BatchCommit.runOnce(spark, root, batchId) { staging =>
+      val idx = graft.sim.IvfPqIndex(centroids, codebooks,
+        spark.emptyDataFrame)
+      graft.sim.IvfPq.encodeDeltaResidual(idx, batch, idCol, vecCol)
+        .write.partitionBy("cell").parquet(s"$staging/codes")
+      Seq(s"$staging/codes" -> s"$root/codes")
+    }
   }
 
   /** Streaming incremental dedup against a STATIC reference corpus — the

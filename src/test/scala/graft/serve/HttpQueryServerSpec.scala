@@ -184,6 +184,13 @@ class HttpQueryServerSpec extends SparkSpec {
       // the named route enforces its own request contract
       assert(postPath(port, "/ann/rp", """{"vec": [1.0], "k": 2}""")
         .statusCode() === 400)
+      // the JDK server dispatches by longest string prefix: an unknown or
+      // extended name must be a 404, NOT a silent 200 from whichever
+      // registered backend happens to prefix-match
+      val q7 = vec(7).mkString("[", ",", "]")
+      for (bad <- Seq("/ann/nope", "/ann/rp2", "/ann/flat/extra"))
+        assert(postPath(port, bad, s"""{"vec": $q7, "k": 2}""")
+          .statusCode() === 404, s"$bad must 404")
     } finally srv.stop()
   }
 

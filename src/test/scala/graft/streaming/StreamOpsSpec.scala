@@ -483,11 +483,143 @@ class StreamOpsSpec extends SparkSpec {
           .select("term", "doc_id", "tf", "dl", "bucket")
           .collect().map(_.toString).toSet
       assert(postings(root) === postings(rebuilt))
-      assert(spark.read.parquet(s"$root/stats")
+      // streamed layouts carry one stats DELTA row per batch; the
+      // effective stats (readStats sums) must equal the rebuilt one-row
+      assert(SearchService.readStats(spark, root)
           .select("n_docs", "dl_sum").first() ===
-        spark.read.parquet(s"$rebuilt/stats")
+        SearchService.readStats(spark, rebuilt)
           .select("n_docs", "dl_sum").first())
     } finally q.stop()
+  }
+
+  test("bm25IngestBatch is exactly-once in effect: a replayed batch — " +
+      "committed or crashed mid-append — never double-counts") {
+    import graft.serve.SearchService
+    val root = java.nio.file.Files.createTempDirectory("bm25_replay_").toString
+    SearchService.buildIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", root)
+    val b0 = Seq((1L, "apple banana apple"), (2L, "banana")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "cherry apple"), (4L, "")).toDF("doc_id", "text")
+    assert(StreamOps.bm25IngestBatch(b0, "text", "doc_id", root, batchId = 0))
+    assert(StreamOps.bm25IngestBatch(b1, "text", "doc_id", root, batchId = 1))
+    def snapshot(): (Set[String], (Long, Long)) = {
+      val p = spark.read.parquet(s"$root/postings")
+        .select("term", "doc_id", "tf", "dl", "bucket")
+        .collect().map(_.toString).toSet
+      val st = SearchService.readStats(spark, root)
+        .as[(Long, Long)].first()
+      (p, st)
+    }
+    val once = snapshot()
+    // replay AFTER the ledger marker landed (post-commit crash): skipped
+    assert(!StreamOps.bm25IngestBatch(b1, "text", "doc_id", root, batchId = 1))
+    assert(snapshot() === once)
+    // replay after a crash BETWEEN the data append and the checkpoint
+    // commit — the classic double-count window: simulate by deleting the
+    // ledger marker so the data files are in place but the batch looks
+    // uncommitted; the redo must scrub its own files first
+    val marker = new java.io.File(s"$root/_ledger/batch-1")
+    assert(marker.exists()); assert(marker.delete())
+    assert(StreamOps.bm25IngestBatch(b1, "text", "doc_id", root, batchId = 1))
+    assert(snapshot() === once)
+    // and the net index equals a from-scratch rebuild (single delivery)
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25_replay_rb_").toString
+    SearchService.buildIndex(b0.unionByName(b1), "text", "doc_id", rebuilt)
+    assert(once._2 === SearchService.readStats(spark, rebuilt)
+      .as[(Long, Long)].first())
+    assert(once._1.map(_.toString) === spark.read.parquet(s"$rebuilt/postings")
+      .select("term", "doc_id", "tf", "dl", "bucket")
+      .collect().map(_.toString).toSet)
+  }
+
+  test("bm25IngestStream kill-and-replay on the same checkpoint: the " +
+      "re-delivered batch leaves the served index equal to single delivery") {
+    import graft.serve.SearchService
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("bm25_kr_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25_kr_ckpt_").toString
+    val src = java.nio.file.Files.createTempDirectory("bm25_kr_src_").toString
+    SearchService.buildIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", root)
+    val all = Seq((1L, "apple banana apple"), (2L, "banana"),
+      (3L, "cherry apple"))
+    all.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").json(src)
+    val schema = "doc_id LONG, text STRING"
+    def run(): Unit = {
+      // a stopped query deregisters from SharedState.activeStreamingQueries
+      // asynchronously; a too-fast restart on the same checkpoint (same
+      // query id) trips the concurrent-instance guard — retry briefly
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var done = false
+      while (!done) {
+        val q = StreamOps.bm25IngestStream(
+          spark.readStream.schema(schema).json(src), "text", "doc_id", root,
+          ckpt)
+        try { q.processAllAvailable(); done = true }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if e.getMessage.contains("concurrently using") &&
+                System.nanoTime() < deadline => Thread.sleep(200)
+        } finally q.stop()
+      }
+    }
+    run()
+    // kill AFTER the append but BEFORE the checkpoint commit: delete the
+    // checkpoint's commit record so the restart re-delivers the batch
+    // with the same batchId — exactly the crash window the idempotent
+    // commit exists for
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+"))
+    assert(commits.nonEmpty)
+    assert(commits.maxBy(_.getName.toLong).delete())
+    run() // replays the batch
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25_kr_rb_").toString
+    SearchService.buildIndex(all.toDF("doc_id", "text"), "text", "doc_id",
+      rebuilt)
+    def postings(r: String): Set[String] =
+      spark.read.parquet(s"$r/postings")
+        .select("term", "doc_id", "tf", "dl", "bucket")
+        .collect().map(_.toString).toSet
+    assert(postings(root) === postings(rebuilt))
+    assert(SearchService.readStats(spark, root).as[(Long, Long)].first() ===
+      SearchService.readStats(spark, rebuilt).as[(Long, Long)].first())
+    // and the served top-k matches a service over the rebuilt layout
+    val svc = SearchService.overParquetDir(spark, root, maxK = 10)
+    val svcRb = SearchService.overParquetDir(spark, rebuilt, maxK = 10)
+    assert(svc.topK(Seq("apple", "banana"), 3) ===
+      svcRb.topK(Seq("apple", "banana"), 3))
+  }
+
+  test("ivfIngestBatch replay-safety: crashed-mid-append and post-commit " +
+      "replays both leave the layout at single delivery") {
+    import graft.sim.Ivf
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val seed = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivf_replay_").toString
+    val cents = Ivf.portableCentroids(seed, nlist = 4, stride = 13)
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
+    Ivf.assignPortable(seed, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assigned")
+    val delta = Seq((100L, vec(100)), (101L, vec(101)))
+      .toDF("vec_id", "embedding")
+    assert(StreamOps.ivfIngestBatch(delta, cents, root, batchId = 0))
+    def rows(): Seq[(Long, Int)] = // Seq, not Set: duplicates must surface
+      spark.read.parquet(s"$root/assigned").select("cand_id", "cell")
+        .as[(Long, Int)].collect().toSeq.sorted
+    val once = rows()
+    assert(!StreamOps.ivfIngestBatch(delta, cents, root, batchId = 0))
+    assert(rows() === once)
+    val marker = new java.io.File(s"$root/_ledger/batch-0")
+    assert(marker.delete())
+    assert(StreamOps.ivfIngestBatch(delta, cents, root, batchId = 0))
+    assert(rows() === once)
+    assert(once === Ivf.assignPortable(seed.unionByName(delta), cents)
+      .select("cand_id", "cell").as[(Long, Int)].collect().toSeq.sorted)
   }
 
   test("ivfIngestStream: streamed vectors land in their cells; the " +
