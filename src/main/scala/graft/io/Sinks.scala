@@ -54,10 +54,103 @@ object Sinks {
                      inPath: String, outPath: String,
                      targetFiles: Int): DataFrame = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    // HARD GUARD: pointed at a hive-partitioned layout (key=value
+    // subdirs) this op would round-robin everything into an UNPARTITIONED
+    // output — silently destroying the partition pruning every stored
+    // index probe depends on. Refuse loudly; compactLayout is the
+    // partition-preserving form.
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val inFs = inP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (inFs.exists(inP)) {
+      val partDir = inFs.listStatus(inP)
+        .find(st => st.isDirectory && st.getPath.getName.contains("="))
+      require(partDir.isEmpty,
+        s"$inPath is a partitioned layout (found ${partDir.get.getPath.getName}/); " +
+          "compactParquet would silently drop the partitioning probes rely " +
+          "on — use compactLayout, which preserves partitionBy")
+    }
     val df = spark.read.parquet(inPath)
     df.repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     spark.read.parquet(outPath)
+  }
+
+  /** PARTITION-PRESERVING compaction — the maintenance op stored index
+    * layouts need: months of O(delta) appends and streaming micro-batches
+    * leave thousands of small files inside a `partitionBy(cell)` /
+    * `partitionBy(bucket)` layout, and every probe pays per-file
+    * open/footer costs; this rewrites each partition's files down to
+    * `filesPerPartition` while keeping the `key=value` directory
+    * structure — and therefore the partition pruning — intact
+    * (SinksSpec re-runs the pruning plan audit over a compacted layout).
+    *
+    * Mechanics: one hash shuffle on the partition values co-locates each
+    * value's rows on one task, so the `partitionBy` write emits exactly
+    * one file per value; `filesPerPartition > 1` adds a deterministic
+    * content-hash salt to the shuffle key — the skew-relief knob for a
+    * hot partition that would otherwise funnel through a single task.
+    * Rows are bit-identical, order is not (parquet promises none).
+    * Ledger/metadata subpaths (`_*`) are invisible to the parquet reader
+    * and are NOT carried over — compact dataset directories (e.g.
+    * `root/postings`), not layout roots. */
+  def compactLayout(spark: org.apache.spark.sql.SparkSession,
+                    inPath: String, outPath: String,
+                    partitionCols: Seq[String],
+                    filesPerPartition: Int = 1): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "compactLayout needs partition columns (compactParquet is the unpartitioned form)")
+    require(filesPerPartition > 0,
+      s"filesPerPartition must be positive, got $filesPerPartition")
+    val df = spark.read.parquet(inPath)
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not present in $inPath " +
+        s"(found: ${df.columns.mkString(", ")})")
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val keys = partitionCols.map(col)
+    val parted =
+      if (filesPerPartition == 1) df.repartition(keys: _*)
+      else {
+        // deterministic content-hash salt splits a hot value across up to
+        // filesPerPartition tasks. The EXPLICIT partition count matters:
+        // a bare repartition(cols) is AQE-coalescible, and coalescing the
+        // small salted partitions back onto one task would undo the split
+        // (one task writes one file per partition value)
+        val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+        val n = math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
+          filesPerPartition)
+        df.repartition(n,
+          keys :+ pmod(xxhash64(dataCols: _*), lit(filesPerPartition.toLong)): _*)
+      }
+    parted.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
+  /** [[compactLayout]] with a versioned-directory swap — the in-place
+    * form a nightly maintenance job calls on a live layout: the compacted
+    * copy is fully written to a sibling version directory FIRST, then two
+    * renames swap it in (`root` → `root-__old__` → deleted). The window
+    * where `root` is absent is two metadata renames wide; a reader that
+    * opens mid-swap fails loudly (no such path) rather than ever seeing
+    * half-compacted data, and a crash mid-swap leaves the full old or
+    * full new directory recoverable next run. Batch-commit ledgers live
+    * OUTSIDE the dataset dir (`<layoutRoot>/_ledger`), so replay
+    * protection survives compaction of `<layoutRoot>/postings` etc. */
+  def compactLayoutInPlace(spark: org.apache.spark.sql.SparkSession,
+                           root: String, partitionCols: Seq[String],
+                           filesPerPartition: Int = 1): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root + "-__compacting__")
+    val old = new org.apache.hadoop.fs.Path(root + "-__old__")
+    f.delete(tmp, true) // a crashed previous attempt
+    f.delete(old, true)
+    compactLayout(spark, root, tmp.toString, partitionCols, filesPerPartition)
+    require(f.rename(p, old), s"swap failed: could not move $root aside")
+    require(f.rename(tmp, p), s"swap failed: could not move $tmp into place")
+    f.delete(old, true)
+    spark.read.parquet(root)
   }
 
   /** [[compactParquet]] with the file count derived from the ACTUAL bytes

@@ -178,6 +178,25 @@ object RelationalQueries {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** K12: PARTITION-PRESERVING compaction ([[Sinks.compactLayoutInPlace]])
+    * — the lake-maintenance op stored index layouts depend on: the facts
+    * are written `partitionBy(status)` with 8 small files per partition
+    * (the streaming-append pathology), compacted in place down to one
+    * file per partition with the `key=value` dirs — and therefore
+    * partition pruning — preserved (SinksSpec re-runs the pruning plan
+    * audit post-compaction), and the per-partition counts and key sums
+    * read back from the compacted layout hash-check against the source
+    * table: nothing lost, nothing duplicated, partitioning intact. */
+  private val k12CompactLayout: Q = (s, dir) => {
+    val out = tmpDir("k12")
+    t(s, dir, "orders").repartition(8).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(s"$out/orders_by_status")
+    Sinks.compactLayoutInPlace(s, s"$out/orders_by_status",
+        Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+  }
+
   /** K4 + PR1/PR2: single-pass profile → HTML report sink
     * (profiling.py:50-54); the count/missing/distinct stats double as the
     * oracle-checked surface. */
@@ -970,6 +989,7 @@ object RelationalQueries {
     "k4_profile_sink" -> k4ProfileSink,
     "k6_orc_roundtrip" -> k6OrcRoundtrip,
     "k7_partitioned_scan" -> k7PartitionedScan,
+    "k12_compact_layout" -> k12CompactLayout,
     "r1_skip_leading" -> r1SkipLeading,
     "r2_footer_drop" -> r2FooterDrop,
     "r3_drop_column" -> r3DropColumn,
@@ -1351,6 +1371,10 @@ object RelationalQueries {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "k7_partitioned_scan" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'",
+    "k12_compact_layout" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin,
     "k4_profile_sink" ->
       """SELECT 'r_regionkey' AS col_name, CAST(count(r_regionkey) AS BIGINT) AS cnt,
         | CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,

@@ -76,6 +76,28 @@ object SearchService {
       .write.mode("overwrite").parquet(s"$root/stats")
   }
 
+  /** Index-aware compaction of a stored BM25 layout — the maintenance op
+    * that keeps months of [[appendDelta]] refreshes and
+    * [[graft.streaming.StreamOps.bm25IngestStream]] micro-batches from
+    * degrading probe latency: the bucket-partitioned postings are
+    * rewritten to `filesPerPartition` files per term bucket WITH the
+    * `bucket=` partitioning (and thus probe-time pruning) preserved
+    * ([[graft.io.Sinks.compactLayoutInPlace]]'s versioned-dir swap), and
+    * the per-batch stats delta rows fold into one canonical row. The
+    * `_ledger` markers live outside both dataset dirs and survive, so a
+    * replayed pre-compaction batch is still recognized and skipped. */
+  def compactIndex(spark: SparkSession, root: String,
+                   filesPerPartition: Int = 1): Unit = {
+    graft.io.Sinks.compactLayoutInPlace(spark, s"$root/postings",
+      Seq("bucket"), filesPerPartition)
+    import spark.implicits._
+    def lng(r: org.apache.spark.sql.Row, c: String): Long =
+      if (r.isNullAt(r.fieldIndex(c))) 0L else r.getAs[Long](c)
+    val one = readStats(spark, root).collect()(0) // one-row collect
+    Seq((lng(one, "n_docs"), lng(one, "dl_sum"))).toDF("n_docs", "dl_sum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+  }
+
   /** O(delta + touched buckets) incremental ingest into a stored layout —
     * the steady-state refresh the serving tier lives on (the MinHash
     * family's `incrementalNearDups` analog for keyword search): delta

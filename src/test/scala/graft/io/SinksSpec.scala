@@ -89,6 +89,85 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("compactParquet refuses a partitioned layout instead of silently " +
+      "unpartitioning it") {
+    val in = java.nio.file.Files.createTempDirectory("graft_guard_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_guard_out").toString
+    Seq((1L, 0), (2L, 1), (3L, 0)).toDF("v", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(in)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, in, out, targetFiles = 1)
+    }
+    assert(e.getMessage.contains("compactLayout"), e.getMessage)
+  }
+
+  test("compactLayout: small files fold to filesPerPartition per value, " +
+      "partition dirs and pruning survive, rows identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val in = java.nio.file.Files.createTempDirectory("graft_clay_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_clay_out").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_clay_out2").toString
+    // the streamed-index pathology: 8 small files inside each bucket dir
+    val rows = (0 until 400).map(i => (i.toLong, s"t$i", i % 4))
+    rows.toDF("id", "t", "bucket").repartition(8)
+      .write.mode("overwrite").partitionBy("bucket").parquet(in)
+    def filesPer(dir: String): Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.getName.contains("="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPer(in).values.forall(_ > 1), filesPer(in).toString)
+    val compacted = Sinks.compactLayout(spark, in, out, Seq("bucket"))
+    assert(filesPer(out).keySet === Set("bucket=0", "bucket=1", "bucket=2",
+      "bucket=3"))
+    assert(filesPer(out).values.forall(_ === 1), filesPer(out).toString)
+    assert(compacted.select("id", "t", "bucket")
+        .as[(Long, String, Int)].collect().toSet === rows.toSet)
+    // pruning plan audit over the COMPACTED layout: the partition
+    // predicate must still be a directory filter, not a per-row filter
+    val q = spark.read.parquet(out).filter(col("bucket") === 2).select("id")
+    q.collect()
+    val scans = allPlanNodes(q.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.head.partitionFilters
+        .exists(_.references.exists(_.name == "bucket")),
+      s"pruning lost post-compaction: ${scans.head.partitionFilters}")
+    // skew-relief knob: filesPerPartition = 2 splits each value's rows
+    // across UP TO two files/tasks (deterministic content-hash salt; two
+    // salt groups of one value can still hash-collide onto one task, so
+    // ≤ is the contract — but with 8 (value, salt) combos over 32 tasks
+    // at least one value must actually split)
+    Sinks.compactLayout(spark, in, out2, Seq("bucket"), filesPerPartition = 2)
+    assert(filesPer(out2).values.forall(n => n >= 1 && n <= 2),
+      filesPer(out2).toString)
+    assert(filesPer(out2).values.exists(_ === 2), filesPer(out2).toString)
+    assert(spark.read.parquet(out2).count() === 400)
+    intercept[IllegalArgumentException] {
+      Sinks.compactLayout(spark, in, out, Seq("nope"))
+    }
+  }
+
+  test("compactLayoutInPlace: versioned-dir swap leaves the same path " +
+      "compacted; scratch dirs cleaned up") {
+    val root = java.nio.file.Files.createTempDirectory("graft_swap").toString + "/data"
+    val rows = (0 until 200).map(i => (i.toLong, i % 2))
+    rows.toDF("id", "p").repartition(6)
+      .write.partitionBy("p").parquet(root)
+    val before = spark.read.parquet(root).select("id", "p")
+      .as[(Long, Int)].collect().toSet
+    Sinks.compactLayoutInPlace(spark, root, Seq("p"))
+    val after = spark.read.parquet(root).select("id", "p")
+      .as[(Long, Int)].collect().toSet
+    assert(after === before)
+    def filesIn(dir: java.io.File): Int =
+      dir.listFiles().count(_.getName.endsWith(".parquet"))
+    new java.io.File(root).listFiles().filter(_.getName.contains("=")).foreach(
+      d => assert(filesIn(d) === 1, s"${d.getName}: ${filesIn(d)} files"))
+    val parent = new java.io.File(root).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet === Set("data"),
+      parent.listFiles().map(_.getName).mkString(", "))
+  }
+
   test("partitionBy write + partition-column filter prunes directories at plan time") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col

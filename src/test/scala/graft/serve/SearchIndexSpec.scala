@@ -74,6 +74,57 @@ class SearchIndexSpec extends SparkSpec {
     assert(hits.map(_._1) === Seq(1L, 2L, 3L), hits.toString)
   }
 
+  test("compactIndex: a streamed layout's many small files fold per " +
+      "bucket, serving unchanged, stats canonicalize, ledger survives") {
+    val root = java.nio.file.Files.createTempDirectory("idx_compact_").toString
+    SearchService.buildIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", root)
+    // five streamed micro-batches over overlapping vocabulary — every
+    // touched bucket accumulates one file per batch
+    val batches = (0 until 5).map(b =>
+      Seq((10L * b + 1, "apple banana"), (10L * b + 2, s"cherry apple b$b"))
+        .toDF("doc_id", "text"))
+    batches.zipWithIndex.foreach { case (df, b) =>
+      assert(graft.streaming.StreamOps.bm25IngestBatch(
+        df, "text", "doc_id", root, batchId = b))
+    }
+    val svc0 = SearchService.overParquetDir(spark, root, maxK = 10)
+    val before = svc0.topK(Seq("apple", "cherry"), 5)
+    val filesBefore = parquetFiles(s"$root/postings").size
+    assert(spark.read.parquet(s"$root/stats").count() === 6) // bootstrap + 5
+
+    SearchService.compactIndex(spark, root)
+
+    assert(parquetFiles(s"$root/postings").size < filesBefore)
+    assert(spark.read.parquet(s"$root/stats").count() === 1)
+    val svc1 = SearchService.overParquetDir(spark, root, maxK = 10)
+    assert(svc1.topK(Seq("apple", "cherry"), 5) === before)
+    // pruning survives: the bucket predicate is still a partition filter
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val b = spark.range(1)
+      .select(TextOps.bm25Bucket(lit("apple"))).first().getInt(0)
+    val q = spark.read.parquet(s"$root/postings")
+      .filter(col("bucket") === b).select("doc_id")
+    q.collect()
+    val scans = allPlanNodes(q.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.head.partitionFilters
+        .exists(_.references.exists(_.name == "bucket")),
+      s"bucket pruning lost post-compaction: ${scans.head.partitionFilters}")
+    // the ledger survives compaction: a replayed pre-compaction batch is
+    // still recognized as committed and skipped — no double count
+    assert(!graft.streaming.StreamOps.bm25IngestBatch(
+      batches(2), "text", "doc_id", root, batchId = 2))
+    assert(SearchService.overParquetDir(spark, root, maxK = 10)
+      .topK(Seq("apple", "cherry"), 5) === before)
+    // and post-compaction ingest continues normally
+    assert(graft.streaming.StreamOps.bm25IngestBatch(
+      Seq((991L, "durian apple")).toDF("doc_id", "text"),
+      "text", "doc_id", root, batchId = 5))
+    assert(SearchService.overParquetDir(spark, root, maxK = 10)
+      .topK(Seq("durian"), 1).map(_._1) === Seq(991L))
+  }
+
   test("bm25RemoveIndex: removed ≡ rebuilt-on-remainder; an empty " +
       "removed doc still decrements n_docs") {
     import graft.text.TextOps
