@@ -619,6 +619,28 @@ object ExtensionQueries {
     TextOps.bm25QueryStatsFrom(p, st, bm25Terms)
   }
 
+  /** Document UPDATE, upserted ≡ rebuilt-on-edited-corpus: the doc_id ≡
+    * 0 mod 7 slice is EDITED (a prefix containing the query term "dup"
+    * prepended — the refresh-that-edits-documents cadence), the full
+    * index absorbs the edit through [[TextOps.bm25UpsertIndex]]
+    * (remove-then-append composition: old versions anti-joined out with
+    * exact stats subtraction, new versions merged in), and the
+    * query-term integer sufficient statistics computed FROM THE
+    * UPSERTED INDEX must hash-match the same contract over a
+    * from-scratch rebuild of the edited corpus — closing the
+    * merge/remove/upsert maintenance triad. */
+  private val txtBm25Upsert: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val oldSlice = docs.filter(col("doc_id") % 7 === 0)
+    val newSlice = oldSlice.select(col("doc_id"),
+      concat(lit("updated dup entry "), col("text")).as("text"))
+    val (p, st) = TextOps.bm25UpsertIndex(
+      TextOps.bm25Postings(docs, "text", "doc_id"),
+      TextOps.bm25CorpusStats(docs, "text"),
+      oldSlice, newSlice, "text", "doc_id")
+    TextOps.bm25QueryStatsFrom(p, st, bm25Terms)
+  }
+
   /** Sequence packing (concatenate-and-chop, 512-token windows, 8
     * shards): per-shard cumulative token layout, window index from the
     * running sum — the whole layout arithmetic is hash-checked against
@@ -1773,6 +1795,50 @@ object ExtensionQueries {
     Ivf.probePortable(merged, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  /** Quantizer RETRAIN + migration ([[Ivf.retrainIndex]]), retrained ≡
+    * built-fresh-on-current-corpus: the index is deliberately DRIFTED
+    * first — quantizer trained on the base slice only, the vec_id ≡ 3
+    * mod 5 delta appended under frozen centroids (the steady-state
+    * ingest path that causes drift) — then the retrain resamples
+    * portable centroids from the CURRENT corpus recovered from the
+    * index itself and reassigns with the one-broadcast-pass kernel. The
+    * strided sample over the merged corpus is exactly the sample a
+    * fresh build would draw, so the post-retrain cell occupancy report
+    * shares `sim_ivf_cell_stats`'s full-corpus SQL replay — the hash
+    * certifies the migration, and IvfSpec pins that a skewed balance
+    * factor drops. */
+  private val simIvfRetrain: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 3)
+    val delta = emb.filter(col("vec_id") % 5 === 3)
+    val cents0 = Ivf.portableCentroids(base, nlist = 8, stride = 29)
+    val drifted = Ivf.appendToIndex(
+      graft.sim.IvfIndex(cents0, Ivf.assignPortable(base, cents0)), delta)
+    Ivf.cellStats(Ivf.retrainIndex(drifted, nlist = 8, stride = 29).assigned)
+  }
+
+  /** FILTERED ANN ([[Ivf.probePortable]] with a candidate predicate —
+    * "nearest neighbors WHERE tag = 1", the predicated form real
+    * retrieval serving needs): a small attribute column rides the
+    * assigned frame (`keepCols`), the equality lands BELOW the top-k on
+    * the candidate side (k survivors are k MATCHING survivors — a
+    * post-filtered plain top-k would under-fill), and the whole
+    * pipeline — portable quantizer, cell probing, predicate, rounded
+    * cosine, rank — replays in SQL, so filtered retrieval is
+    * hash-green end to end. The serving twin is
+    * [[graft.serve.AnnService]]'s whitelisted filter + the HTTP
+    * `filter` field. */
+  private val simIvfFiltered: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val tagged = emb.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast(IntegerType))
+    val cents = Ivf.portableCentroids(emb, nlist = 8, stride = 29)
+    val idx = graft.sim.IvfIndex(cents,
+      Ivf.assignPortable(tagged, cents, keepCols = Seq("tag")))
+    Ivf.probePortable(idx, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2,
+      filter = Some(col("tag") === 1))
+  }
+
   /** JL random-projection ANN, production form (Johnson & Lindenstrauss
     * 1984): vectors reduced 64→8 dims by seeded random projection, the
     * top-20 shortlist ranked by the 8-term reduced inner product, exact
@@ -2376,6 +2442,7 @@ object ExtensionQueries {
     "txt_bm25_stats" -> txtBm25Stats,
     "txt_bm25_merge" -> txtBm25Merge,
     "txt_bm25_remove" -> txtBm25Remove,
+    "txt_bm25_upsert" -> txtBm25Upsert,
     "txt_bm25_df_hist" -> txtBm25DfHist,
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
@@ -2402,6 +2469,8 @@ object ExtensionQueries {
     "sim_pq_rerank_recall" -> simPqRerankRecall,
     "sim_ivf_recall" -> simIvfRecall,
     "sim_ivf_merge" -> simIvfMerge,
+    "sim_ivf_retrain" -> simIvfRetrain,
+    "sim_ivf_filtered" -> simIvfFiltered,
     "emb_decontaminate" -> embDecontaminate,
     "sim_ivf_cell_stats" -> simIvfCellStats,
     "sim_pq_probe" -> simPqProbe,
@@ -3275,6 +3344,46 @@ object ExtensionQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Generated oracle for sim_ivf_filtered: the full-corpus portable IVF
+    * replay (the [[simIvfMergeOracle]] CTEs with corpus-trained
+    * centroids) with the attribute equality applied to the CANDIDATE set
+    * before ranking — the oracle proves the engine's predicate sits
+    * below the top-k (k matching survivors), not after it. */
+  private def simIvfFilteredOracle: String = {
+    val nlist = 8; val nprobe = 2; val stride = 29; val k = 5
+    def d2(v: String) =
+      s"ROUND(list_dot_product($v, $v) - 2.0 * list_dot_product($v, c.cent)" +
+        s" + list_dot_product(c.cent, c.cent), 6)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cent
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $stride = 0
+       |        ORDER BY vec_id LIMIT $nlist)),
+       |asg AS (SELECT cand_id, cell FROM (
+       |  SELECT ce.vec_id AS cand_id, c.cell,
+       |    row_number() OVER (PARTITION BY ce.vec_id
+       |      ORDER BY ${d2("ce.v")}, c.cell) AS rn
+       |  FROM e ce, cents c) WHERE rn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${d2("q.v")}, c.cell) AS rn
+       |  FROM e q, cents c WHERE q.vec_id < 10) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.cand_id
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.cand_id <> p.query_id
+       |  WHERE a.cand_id % 3 = 1),
+       |cs AS (SELECT cd.query_id, cd.cand_id,
+       |   ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |       OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
+       |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+       |    JOIN e c ON c.vec_id = cd.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank FROM cs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Generated oracle for sim_ivf_cell_stats: the portable quantizer +
     * assignment replay (the simIvfRecallOracle CTEs) reduced to the
     * per-cell integer occupancy report. */
@@ -3996,6 +4105,12 @@ object ExtensionQueries {
       // remainder corpus — the hash proves removed ≡ rebuilt-on-remainder
       "txt_bm25_remove" -> bm25StatsOracleFrom(
         "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
+      // upsert: the full-rebuild contract over the EDITED corpus — the
+      // engine's remove-then-append composition must land exactly here
+      "txt_bm25_upsert" -> bm25StatsOracleFrom(
+        "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+          "THEN 'updated dup entry ' || text ELSE text END AS text " +
+          "FROM documents)"),
       // df histogram: per-term document frequency, then terms per df
       "txt_bm25_df_hist" ->
         raw"""WITH toks AS (SELECT DISTINCT doc_id,
@@ -4700,6 +4815,11 @@ bruteForceCosineOracle,
       "sim_pq_rerank_recall" -> simPqRerankRecallOracle,
       "sim_ivf_recall" -> simIvfRecallOracle,
       "sim_ivf_merge" -> simIvfMergeOracle,
+      // retrain over the drifted index ≡ fresh build on the current
+      // corpus — the strided resample makes the two literally the same
+      // quantizer, so the cell-stats replay doubles as the migration pin
+      "sim_ivf_retrain" -> simIvfCellStatsOracle,
+      "sim_ivf_filtered" -> simIvfFilteredOracle,
       "emb_decontaminate" -> embDecontaminateOracle,
       "sim_ivf_cell_stats" -> simIvfCellStatsOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is

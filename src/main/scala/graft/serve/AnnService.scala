@@ -15,6 +15,18 @@ trait AnnBackend {
   def maxK: Int
   /** Top-k ids for the query vector: (cand_id, score, rank), rank 1..k. */
   def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)]
+  /** FILTERED top-k — "nearest neighbors WHERE col = value", the form
+    * real retrieval serving almost always needs. The default rejects
+    * filters loudly (a backend that ignored the predicate would return
+    * wrong results silently); [[AnnService]] overrides with a
+    * whitelisted-column equality pushed below the top-k. */
+  def topK(vec: Seq[Float], k: Int,
+           filter: Option[(String, String)]): Seq[(Long, Double, Int)] =
+    filter match {
+      case None => topK(vec, k)
+      case Some((c, _)) => throw new IllegalArgumentException(
+        s"this backend does not support filtered search (filter on '$c')")
+    }
 }
 
 /** ANN serving surface over a STORED IVF index — the similarity-search
@@ -28,21 +40,43 @@ trait AnnBackend {
   * Nothing from the request ever reaches SQL text — the vector enters the
   * plan as a typed literal column. */
 final class AnnService(index: IvfIndex, val dim: Int, val maxK: Int = 100,
-                       nprobe: Int = 4) extends AnnBackend {
+                       nprobe: Int = 4,
+                       filterCols: Set[String] = Set.empty) extends AnnBackend {
   require(dim > 0, s"dim must be > 0, got $dim")
   require(maxK > 0, s"maxK must be > 0, got $maxK")
   require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
+  filterCols.foreach(c => require(index.assigned.columns.contains(c),
+    s"filterable column '$c' is not in the stored index " +
+      s"(carry it via assignPortable keepCols; found: " +
+      s"${index.assigned.columns.mkString(", ")})"))
 
   /** Top-k ids for the query vector: (cand_id, cosine, rank), rank 1..k.
     * k above `maxK` is an error (the HTTP layer caps before calling). */
-  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] = {
+  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] =
+    topK(vec, k, None)
+
+  /** Filtered top-k: equality on a WHITELISTED attribute column, pushed
+    * to the candidate side below the top-k (the [[Ivf.probeTopK]]
+    * `filter` hook) — k survivors are k matching survivors, and on a
+    * cell-partitioned layout the predicate rides the probed cells'
+    * scan. The value is a typed literal, never SQL text (the registry-
+    * whitelist discipline of the table route); comparison coercion
+    * follows Spark's literal-to-column cast, so `"7"` matches an int 7. */
+  override def topK(vec: Seq[Float], k: Int,
+                    filter: Option[(String, String)]): Seq[(Long, Double, Int)] = {
     require(vec.length == dim,
       s"query vector has ${vec.length} dims; the index carries $dim")
     require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val pred = filter.map { case (c, v) =>
+      require(filterCols.contains(c),
+        s"column '$c' is not filterable (whitelist: " +
+          s"${if (filterCols.isEmpty) "<empty>" else filterCols.mkString(", ")})")
+      col(c) === lit(v)
+    }
     val spark = index.centroids.sparkSession
     import spark.implicits._
     val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
-    Ivf.probeTopK(index, q, k, nprobe)
+    Ivf.probeTopK(index, q, k, nprobe, filter = pred)
       .orderBy(col("rank"))
       .select(col("cand_id"), col("cosine"), col("rank"))
       .as[(Long, Double, Int)].collect().toSeq
@@ -52,14 +86,16 @@ final class AnnService(index: IvfIndex, val dim: Int, val maxK: Int = 100,
 object AnnService {
   /** Open a stored index layout (`root/centroids`, `root/assigned` — the
     * frames [[Ivf.buildIndex]] writes) and probe the dimension from one
-    * centroid row (sanctioned single-row collect). */
+    * centroid row (sanctioned single-row collect). `filterCols`
+    * whitelists attribute columns for filtered search. */
   def overParquetDir(spark: SparkSession, root: String, maxK: Int = 100,
-                     nprobe: Int = 4): AnnService = {
+                     nprobe: Int = 4,
+                     filterCols: Set[String] = Set.empty): AnnService = {
     val centroids = spark.read.parquet(s"$root/centroids")
     val assigned = spark.read.parquet(s"$root/assigned")
     val dim = centroids.select(size(col("cent")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    new AnnService(IvfIndex(centroids, assigned), dim, maxK, nprobe)
+    new AnnService(IvfIndex(centroids, assigned), dim, maxK, nprobe, filterCols)
   }
 }
 

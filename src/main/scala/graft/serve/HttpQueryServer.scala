@@ -85,6 +85,13 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
   private val VecRe = """"vec"\s*:\s*\[([0-9eE+\-.,\s]{0,65536})\]""".r
   private val KRe = """"k"\s*:\s*"?(\d{1,4})"?""".r
   private val NumRe = """-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
+  // optional equality filter: {"filter": {"col": "lang", "value": "en"}}.
+  // The column name is identifier-restricted IN FRONT of the backend's
+  // whitelist (defense in depth, the table route's pattern); the value is
+  // a bounded token that enters the plan only as a typed literal.
+  private val FilterRe =
+    (""""filter"\s*:\s*\{\s*"col"\s*:\s*"([A-Za-z0-9_]{1,64})"\s*,\s*""" +
+      """"value"\s*:\s*"?([A-Za-z0-9_ .\-]{1,256}?)"?\s*\}""").r
 
   /** `POST /ann {"vec": [f, ...], "k": n}` → bounded top-k over the stored
     * IVF index. k is CAPPED at the service's maxK (mirror of the table
@@ -112,7 +119,9 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
                 val vec = elems.map(_.toFloat).toSeq
                 // clamp ONCE so the echoed "k" always matches the k served
                 val k = math.min(math.max(km.group(1).toInt, 1), svc.maxK)
-                val hits = svc.topK(vec, k)
+                val filter = FilterRe.findFirstMatchIn(body)
+                  .map(m => (m.group(1), m.group(2)))
+                val hits = svc.topK(vec, k, filter)
                   .map { case (id, score, rank) =>
                     s"""{"id":$id,"score":$score,"rank":$rank}""" }
                   .mkString("[", ",", "]")

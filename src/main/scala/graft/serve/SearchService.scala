@@ -132,4 +132,70 @@ object SearchService {
       .toDF("n_docs", "dl_sum")
       .write.mode("overwrite").parquet(s"$root/stats")
   }
+
+  /** Document UPDATE on a STORED layout — the
+    * [[graft.text.TextOps.bm25UpsertIndex]] twin that rewrites ONLY the
+    * touched term buckets: a document's old postings can sit in ANY
+    * bucket (postings are term-partitioned, not doc-partitioned), so the
+    * removal reads the thin (doc_id, bucket) columns of the whole index
+    * once, but the REWRITE is O(touched buckets) — the buckets holding
+    * the replaced ids' old rows plus those the new postings land in; the
+    * other ≥ 0 of 64 bucket directories keep their physical files
+    * untouched (SearchIndexSpec pins this file-identity). Same old/new
+    * contract as the frame form (`oldDocs` = currently-indexed versions;
+    * `newDocs` may add brand-new ids).
+    *
+    * Commit shape: the rewritten buckets are fully written to a staging
+    * dir FIRST, then swapped in per bucket (delete + rename), stats
+    * last — a crash mid-swap leaves some buckets new and some old, so
+    * production refreshes should version `root` for atomic cutover (the
+    * [[appendDelta]] posture). Streamed batch-tagged files inside a
+    * touched bucket fold into its rewrite; their ledger markers stay
+    * valid because a replayed committed batch is skipped by marker, not
+    * by file presence. */
+  def upsertDelta(newDocs: DataFrame, oldDocs: DataFrame, textCol: String,
+                  idCol: String, root: String): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val postings = spark.read.parquet(s"$root/postings")
+    val ids = oldDocs.select(col(idCol).as("doc_id"))
+    val newPostings = TextOps.bm25Postings(
+        graft.util.Spread.forMapWork(newDocs), textCol, idCol)
+      .withColumn("bucket", TextOps.bm25Bucket(col("term")))
+    // ≤ 64-row collect: the union of old-row buckets and new-posting buckets
+    val touched = postings.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select("bucket").distinct()
+      .unionByName(newPostings.select("bucket").distinct())
+      .distinct().as[Int].collect().sorted
+    def lng(r: org.apache.spark.sql.Row, c: String): Long =
+      if (r.isNullAt(r.fieldIndex(c))) 0L else r.getAs[Long](c)
+    val base = readStats(spark, root).collect()(0)
+    val removed = TextOps.bm25CorpusStats(oldDocs, textCol).collect()(0)
+    val added = TextOps.bm25CorpusStats(newDocs, textCol).collect()(0)
+    if (touched.nonEmpty) {
+      val touchedLit = touched.map(Int.box)
+      val rewritten = postings
+        .filter(col("bucket").isin(touchedLit: _*))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .unionByName(newPostings) // new rows' buckets ⊆ touched by construction
+      val staging = s"$root/_staging/upsert"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      val fs = stagingPath.getFileSystem(conf)
+      fs.delete(stagingPath, true)
+      rewritten.write.partitionBy("bucket").parquet(staging)
+      touched.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
+        val fresh = new org.apache.hadoop.fs.Path(s"$staging/bucket=$b")
+        fs.delete(live, true)
+        if (fs.exists(fresh))
+          require(fs.rename(fresh, live), s"swap failed for bucket=$b")
+      }
+      fs.delete(stagingPath, true)
+    }
+    Seq((lng(base, "n_docs") - lng(removed, "n_docs") + lng(added, "n_docs"),
+        lng(base, "dl_sum") - lng(removed, "dl_sum") + lng(added, "dl_sum")))
+      .toDF("n_docs", "dl_sum")
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
 }

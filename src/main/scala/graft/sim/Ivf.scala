@@ -70,10 +70,21 @@ object Ivf {
 
   /** Steps 3–4: probe the `nprobe` nearest cells per query and rerank
     * candidates exactly. The index frames may come straight from
-    * [[buildIndex]] or from storage — no retraining either way. */
+    * [[buildIndex]] or from storage — no retraining either way.
+    *
+    * `filter` is the FILTERED-ANN hook ("nearest neighbors WHERE
+    * lang = 'en'" — real retrieval serving is almost always
+    * predicated): an optional predicate over the assigned frame's
+    * attribute columns ([[assignPortable]]'s `keepCols` carries them),
+    * applied to the candidate side BELOW the top-k — on a
+    * cell-partitioned stored layout it reaches the probed cells' scan,
+    * so the heap never sees a filtered-out candidate and k survivors
+    * are k MATCHING survivors (post-filtering a plain top-k would
+    * under-fill). */
   def probeTopK(index: IvfIndex, queries: DataFrame, k: Int,
                 nprobe: Int = 4,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                filter: Option[Column] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qn", VectorExprs.norm(col("qvec")))
     // L2 distance² to each centroid: |q|² − 2q·c + |c|² (norm terms via the
@@ -90,7 +101,8 @@ object Ivf {
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qn"), col("cell"))
 
-    val cand = index.assigned.join(probes, Seq("cell"))
+    val assigned = filter.map(index.assigned.filter).getOrElse(index.assigned)
+    val cand = assigned.join(probes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(
         when(col("qn") > 0 && col("cn") > 0,
@@ -169,19 +181,31 @@ object Ivf {
     * makes the index incrementally maintainable: assigning a delta later
     * produces the same rows a full rebuild under the same centroids
     * would. Returns (cand_id, cvec, cell, cn) — [[probeTopK]]'s assigned
-    * schema, so stored layouts serve either family. */
+    * schema, so stored layouts serve either family.
+    *
+    * `keepCols` carries named ATTRIBUTE columns (language, date,
+    * source…) through to the assigned frame — the storage half of
+    * filtered ANN: a predicate over these columns composes with the
+    * cell-partitioned layout at probe time ([[probePortable]]'s
+    * `filter`). Functionally dependent on the id, so they ride the
+    * groupBy as `first`. */
   def assignPortable(vectors: DataFrame, centroids: DataFrame,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame =
-    vectors.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+                     vecCol: String = "embedding",
+                     keepCols: Seq[String] = Nil): DataFrame = {
+    val kept = keepCols.map(col)
+    val aggs = first(col("cvec")).as("cvec") +:
+      keepCols.map(c => first(col(c)).as(c))
+    vectors.select(col(idCol).as("cand_id") +: col(vecCol).as("cvec") +: kept: _*)
       .crossJoin(broadcast(centroids))
-      .select(col("cand_id"), col("cvec"),
-        struct(portableDist2(col("cvec")).as("d"), col("cell").as("c")).as("__dc"))
+      .select(col("cand_id") +: col("cvec") +:
+        struct(portableDist2(col("cvec")).as("d"), col("cell").as("c")).as("__dc") +:
+        kept: _*)
       .groupBy("cand_id")
-      .agg(min(col("__dc")).getField("c").as("cell"),
-        first(col("cvec")).as("cvec"))
-      .select(col("cand_id"), col("cvec"), col("cell"),
-        VectorExprs.norm(col("cvec")).as("cn"))
+      .agg(min(col("__dc")).getField("c").as("cell"), aggs: _*)
+      .select(col("cand_id") +: col("cvec") +: col("cell") +:
+        VectorExprs.norm(col("cvec")).as("cn") +: kept: _*)
+  }
 
   /** O(delta) incremental ingest into an IVF index — the ANN analog of
     * the BM25 family's `SearchService.appendDelta` and the MinHash
@@ -202,10 +226,16 @@ object Ivf {
     * its candidate rows. */
   def appendToIndex(index: IvfIndex, delta: DataFrame,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): IvfIndex =
+                    vecCol: String = "embedding"): IvfIndex = {
+    // attribute columns (filtered-ANN keepCols) ride the append: the
+    // delta must carry whatever extra columns the base assigned stores
+    val extra = index.assigned.columns
+      .filterNot(Set("cand_id", "cvec", "cell", "cn")).toSeq
     IvfIndex(index.centroids,
       index.assigned.unionByName(
-        assignPortable(delta, index.centroids, idCol, vecCol)))
+        assignPortable(delta, index.centroids, idCol, vecCol,
+          keepCols = extra)))
+  }
 
   /** Cell-occupancy audit of an IVF index — the layout-health check a
     * partitioned ANN index needs operationally (a skewed cell is a
@@ -245,7 +275,8 @@ object Ivf {
   def probePortable(index: IvfIndex, queries: DataFrame, k: Int,
                     nprobe: Int = 2,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    filter: Option[Column] = None): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
     val probeW = Window.partitionBy(col("query_id"))
@@ -256,11 +287,69 @@ object Ivf {
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
-    val cand = index.assigned.join(probes.hint("broadcast"), Seq("cell"))
+    // filtered ANN: the attribute predicate lands on the candidate side
+    // BELOW the top-k (and at the probed cells' scan on a stored
+    // layout), so the k survivors are k MATCHING survivors
+    val assigned = filter.map(index.assigned.filter).getOrElse(index.assigned)
+    val cand = assigned.join(probes.hint("broadcast"), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(Similarity.cosine(col("qvec"), col("cvec")), 6))
     Similarity.topKExplode(cand, "cosine", k)
   }
+
+  /** Quantizer RETRAIN + migration — the handler for the "balance factor
+    * over threshold" trigger [[cellStats]] computes: months of
+    * [[appendToIndex]] ingest under a frozen quantizer drift the data
+    * distribution away from the centroids until probe latency skews
+    * (one hot cell does all the work); the remedy is to retrain the
+    * coarse quantizer on the CURRENT corpus and reassign. The corpus is
+    * recovered from the index itself (the assigned frame carries every
+    * vector), the new portable centroids are the deterministic strided
+    * sample over it — now drawn from the drifted distribution — and the
+    * reassignment is [[assignPortable]]'s one broadcast map pass; no
+    * external corpus rescan. Retrained ≡ built-fresh-on-current-corpus
+    * is hash-certified by `sim_ivf_retrain` (same SQL replay as
+    * `sim_ivf_cell_stats`); IvfSpec pins that a deliberately drifted
+    * index's balance factor DROPS after retrain. Attribute columns
+    * (filtered-ANN `keepCols`) survive the migration. */
+  def retrainIndex(index: IvfIndex, nlist: Int = 8,
+                   stride: Int = 29): IvfIndex = {
+    val extra = index.assigned.columns
+      .filterNot(Set("cand_id", "cvec", "cell", "cn")).toSeq
+    val corpus = index.assigned.select(
+      col("cand_id").as("vec_id") +: col("cvec").as("embedding") +:
+        extra.map(col): _*)
+    val cents = portableCentroids(corpus, nlist, stride)
+    IvfIndex(cents, assignPortable(corpus, cents, keepCols = extra))
+  }
+
+  /** The k-means-trained retrain — the production twin of
+    * [[retrainIndex]] when oracle replay is not required: one MLlib fit
+    * over the current corpus + one map-only reassignment. */
+  def retrainIndexKMeans(index: IvfIndex, nlist: Int = 16,
+                         seed: Long = 42L): IvfIndex =
+    buildIndex(index.assigned.select(col("cand_id").as("vec_id"),
+      col("cvec").as("embedding")), nlist, "vec_id", "embedding", seed)
+
+  /** The balance factor `n_max · nlist / n_total` of an index (ideal 1;
+    * grows as ingest drifts away from the frozen quantizer) — the
+    * scalar form of [[cellStats]] for the retrain trigger. One-row
+    * collect over the thin cell column. */
+  def balanceFactor(index: IvfIndex): Double = {
+    val nlist = index.centroids.count()
+    val r = cellStats(index.assigned)
+      .select(col("n_total"), col("n_max")).limit(1).collect()(0)
+    if (r.getLong(0) == 0L) 1.0
+    else r.getLong(1).toDouble * nlist / r.getLong(0)
+  }
+
+  /** Wire the trigger to its handler: retrain iff the balance factor
+    * exceeds `maxBalance`, otherwise return the index unchanged — the
+    * call a nightly maintenance job makes unconditionally. */
+  def retrainIfSkewed(index: IvfIndex, maxBalance: Double = 2.0,
+                      nlist: Int = 8, stride: Int = 29): IvfIndex =
+    if (balanceFactor(index) > maxBalance) retrainIndex(index, nlist, stride)
+    else index
 
   /** Simplified (centroid-based) silhouette over the PORTABLE strided
     * quantizer — the cluster-quality metric as a hash-checkable number

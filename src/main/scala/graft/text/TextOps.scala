@@ -1155,6 +1155,35 @@ object TextOps {
     (postings, stats)
   }
 
+  /** Document UPDATE for a BM25 index — the remove-then-append
+    * composition [[bm25MergeIndex]]'s NEW-ids precondition prescribes,
+    * packaged so a corpus refresh that EDITS documents (the reference's
+    * whole cadence, dag1.py:19's daily reload) is one call with no
+    * manual two-step and no consistency window in the returned frames:
+    * `oldDocs` (the currently-indexed versions — the previous corpus
+    * snapshot a refresh diff has in hand; required because an empty old
+    * doc has no postings row to recover its stats from, the
+    * [[bm25RemoveIndex]] contract) leave the index, then `newDocs` merge
+    * in. `newDocs` may carry brand-new ids too — upsert = update ∪
+    * insert. Upserted ≡ rebuilt-on-edited-corpus is hash-certified by
+    * the `txt_bm25_upsert` registry face.
+    *
+    * PRECONDITIONS: ids(oldDocs) ⊆ index (each exactly once, the
+    * append-only family contract) and ids(oldDocs) ⊆ ids(newDocs) ∪
+    * removed-on-purpose; an id in newDocs that is ALSO still in the
+    * index but absent from oldDocs double-counts (hand the old version
+    * in). The STORED-layout twin is
+    * [[graft.serve.SearchService.upsertDelta]]. */
+  def bm25UpsertIndex(basePostings: DataFrame, baseStats: DataFrame,
+                      oldDocs: DataFrame, newDocs: DataFrame,
+                      textCol: String, idCol: String)
+                     : (DataFrame, DataFrame) = {
+    val (p, st) = bm25RemoveIndex(basePostings, baseStats, oldDocs,
+      textCol, idCol)
+    bm25MergeIndex(p, st, bm25Postings(newDocs, textCol, idCol),
+      bm25CorpusStats(newDocs, textCol))
+  }
+
   /** Persist a learned merge table ([[bpeMerges]]/[[bpeMergesBatched]]
     * output) as a stored tokenizer artifact — the train-nightly /
     * tokenize-all-day seam, mirroring the stored-index discipline of the

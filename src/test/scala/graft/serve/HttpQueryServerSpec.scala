@@ -194,6 +194,66 @@ class HttpQueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /ann with a filter: whitelisted equality restricts the " +
+      "candidates; non-whitelisted column and unsupported backend are 400") {
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    // two planted duplicates of query 7 with different tags: the filter
+    // must pick exactly the matching one
+    val corpus = ((0 until 40).map(i => (i.toLong, vec(i), (i % 2).toString))
+        :+ ((9007L, vec(7), "a")) :+ ((9008L, vec(7), "b")))
+      .toDF("vec_id", "embedding", "tag")
+    val cents = graft.sim.Ivf.portableCentroids(
+      corpus.select("vec_id", "embedding"), nlist = 4, stride = 13)
+    val idx = graft.sim.IvfIndex(cents,
+      graft.sim.Ivf.assignPortable(corpus, cents, keepCols = Seq("tag")))
+    val flat = new AnnService(idx, dim, maxK = 10, nprobe = 4,
+      filterCols = Set("tag"))
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, Some(flat), None,
+      annBackends = Map("flat" -> flat))
+    val port = srv.start()
+    try {
+      val q = vec(7).mkString("[", ",", "]")
+      val ra = postAnn(port,
+        s"""{"vec": $q, "k": 1, "filter": {"col": "tag", "value": "a"}}""")
+      assert(ra.statusCode() === 200, ra.body())
+      assert(ra.body().contains(""""id":9007"""), ra.body())
+      val rb = postAnn(port,
+        s"""{"vec": $q, "k": 1, "filter": {"col": "tag", "value": "b"}}""")
+      assert(rb.body().contains(""""id":9008"""), rb.body())
+      // non-whitelisted column → 400 with the whitelist error
+      val bad = postAnn(port,
+        s"""{"vec": $q, "k": 1, "filter": {"col": "cand_id", "value": "3"}}""")
+      assert(bad.statusCode() === 400, bad.body())
+      assert(bad.body().contains("not filterable"), bad.body())
+      // unfiltered requests still work against the same backend
+      assert(postAnn(port, s"""{"vec": $q, "k": 2}""").statusCode() === 200)
+    } finally srv.stop()
+    // a backend without filter support rejects instead of silently
+    // ignoring the predicate
+    val rpRoot = java.nio.file.Files.createTempDirectory("ann_rpf_").toString
+    graft.sim.Similarity.rpReducePortable(
+        corpus.select("vec_id", "embedding"), "vec_id", "embedding",
+        dimOut = 8, seed = 42)
+      .write.mode("overwrite").parquet(s"$rpRoot/reduced")
+    val rp = AnnRpService.overParquetDir(spark, rpRoot, maxK = 10,
+      shortlist = 42, seed = 42)
+    val srv2 = new HttpQueryServer(svc, 1000, Some(rp))
+    val port2 = srv2.start()
+    try {
+      val q = vec(7).mkString("[", ",", "]")
+      val r = postAnn(port2,
+        s"""{"vec": $q, "k": 1, "filter": {"col": "tag", "value": "a"}}""")
+      assert(r.statusCode() === 400, r.body())
+      assert(r.body().contains("does not support filtered"), r.body())
+    } finally srv2.stop()
+  }
+
   test("POST /ann/pq over a stored FLAT-PQ index (grid exact-recovery " +
       "golden probe); bare /ann 404s with no default backend") {
     // PqSpec's grid alphabet: codebookSize = 4 recovers every distinct

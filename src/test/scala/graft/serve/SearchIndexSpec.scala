@@ -125,6 +125,55 @@ class SearchIndexSpec extends SparkSpec {
       .topK(Seq("durian"), 1).map(_._1) === Seq(991L))
   }
 
+  test("upsertDelta: a served document's edit lands (new term hits, old " +
+      "term released); untouched buckets keep their physical files; " +
+      "upserted ≡ rebuilt-on-edited-corpus") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana kumquat"),
+      (3L, "cherry apple")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("idx_upsert_").toString
+    SearchService.buildIndex(docs, "text", "doc_id", root)
+    val before = parquetFiles(s"$root/postings")
+    // doc 2 edited: loses "kumquat", gains "durian"; doc 9 inserted
+    val oldSlice = docs.filter(col("doc_id") === 2)
+    val newSlice = Seq((2L, "banana durian"), (9L, "apple durian"))
+      .toDF("doc_id", "text")
+    SearchService.upsertDelta(newSlice, oldSlice, "text", "doc_id", root)
+
+    // equivalence with a from-scratch rebuild of the edited corpus
+    val edited = docs.filter(col("doc_id") =!= 2).unionByName(newSlice)
+    val rebuiltRoot = java.nio.file.Files.createTempDirectory("idx_upsert_rb_").toString
+    SearchService.buildIndex(edited, "text", "doc_id", rebuiltRoot)
+    def postingRows(r: String): Set[String] =
+      spark.read.parquet(s"$r/postings")
+        .select("term", "doc_id", "tf", "dl", "bucket")
+        .collect().map(_.toString).toSet
+    assert(postingRows(root) === postingRows(rebuiltRoot))
+    assert(SearchService.readStats(spark, root)
+        .select("n_docs", "dl_sum").first() ===
+      SearchService.readStats(spark, rebuiltRoot)
+        .select("n_docs", "dl_sum").first())
+
+    // O(touched buckets): files in buckets holding neither old nor new
+    // rows of the upsert are the SAME physical files
+    val touchedTerms = Seq("banana", "kumquat", "durian", "apple")
+    val touched = touchedTerms.map(tm =>
+      spark.range(1).select(TextOps.bm25Bucket(lit(tm))).first().getInt(0)).toSet
+    val untouchedBefore = before.filterNot(f =>
+      touched.exists(b => f.contains(s"bucket=$b/")))
+    val after = parquetFiles(s"$root/postings")
+    assert(untouchedBefore.nonEmpty, "fixture: want at least one untouched bucket")
+    assert(untouchedBefore.subsetOf(after),
+      s"upsert rewrote untouched buckets: ${untouchedBefore -- after}")
+
+    // serving reflects the edit end to end
+    val svc = SearchService.overParquetDir(spark, root, maxK = 10)
+    assert(svc.topK(Seq("durian"), 5).map(_._1).toSet === Set(2L, 9L))
+    assert(svc.topK(Seq("kumquat"), 5).isEmpty)
+    val rb = SearchService.overParquetDir(spark, rebuiltRoot, maxK = 10)
+    assert(svc.topK(Seq("apple", "banana"), 5) ===
+      rb.topK(Seq("apple", "banana"), 5))
+  }
+
   test("bm25RemoveIndex: removed ≡ rebuilt-on-remainder; an empty " +
       "removed doc still decrements n_docs") {
     import graft.text.TextOps

@@ -194,6 +194,88 @@ class IvfSpec extends SparkSpec {
         .collect().map(_.toString).toSet)
   }
 
+  test("retrainIndex: a drifted index's balance factor drops; " +
+      "retrainIfSkewed fires only over the threshold; attributes survive") {
+    import spark.implicits._
+    // even ids cluster at +10, odd ids at -10 (2-D). The quantizer is
+    // trained on the EVEN slice only (stride 13 over evens: 0,26,52,78 —
+    // all in the + cluster), so the appended odd vectors all crowd into
+    // whichever + cell is nearest: the classic ingest drift.
+    def v(i: Int): Array[Float] = {
+      val r = new scala.util.Random(i)
+      val c = if (i % 2 == 0) 10f else -10f
+      Array(c + r.nextFloat() * 0.5f, c + r.nextFloat() * 0.5f)
+    }
+    val base = (0 until 80 by 2).map(i => (i.toLong, v(i), i % 4))
+      .toDF("vec_id", "embedding", "tag")
+    val delta = (1 until 80 by 2).map(i => (i.toLong, v(i), i % 4))
+      .toDF("vec_id", "embedding", "tag")
+    val cents0 = Ivf.portableCentroids(base, nlist = 4, stride = 13)
+    val drifted = Ivf.appendToIndex(
+      IvfIndex(cents0,
+        Ivf.assignPortable(base, cents0, keepCols = Seq("tag"))),
+      delta) // attribute columns ride the append
+    val bfBefore = Ivf.balanceFactor(drifted)
+    // 40 odd vectors + their nearest +cluster cell's own members in one
+    // cell of 4 over 80 vectors: n_max ≥ 40 ⇒ bf ≥ 2
+    assert(bfBefore >= 2.0, s"fixture should be skewed, got $bfBefore")
+    // retrain over the merged corpus: stride 13 over ALL ids samples
+    // 0, 13, 26, 39 — both clusters represented — so occupancy rebalances
+    val retrained = Ivf.retrainIndex(drifted, nlist = 4, stride = 13)
+    val bfAfter = Ivf.balanceFactor(retrained)
+    assert(bfAfter < bfBefore,
+      s"retrain must drop the balance factor: $bfBefore -> $bfAfter")
+    // the trigger wiring: above threshold retrains (new centroids),
+    // below threshold returns the index untouched
+    val fired = Ivf.retrainIfSkewed(drifted, maxBalance = 2.0,
+      nlist = 4, stride = 13)
+    assert(Ivf.balanceFactor(fired) === bfAfter)
+    val calm = Ivf.retrainIfSkewed(retrained, maxBalance = 10.0,
+      nlist = 4, stride = 13)
+    assert(calm eq retrained, "below threshold the index must pass through")
+    // attribute columns (filtered-ANN keepCols) survive the migration
+    assert(retrained.assigned.columns.contains("tag"))
+    assert(retrained.assigned.select("cand_id", "tag")
+        .as[(Long, Int)].collect().toSet ===
+      (0 until 80).map(i => (i.toLong, i % 4)).toSet)
+    // count preserved: a retrain migrates, never drops or duplicates
+    assert(retrained.assigned.count() === 80)
+    // the k-means production twin also rebalances the same fixture
+    val km = Ivf.retrainIndexKMeans(drifted, nlist = 4)
+    assert(km.centroids.count() === 4 && km.assigned.count() === 80)
+  }
+
+  test("filtered ANN: the predicate applies BELOW the top-k (k matching " +
+      "survivors, never an under-filled post-filter)") {
+    import spark.implicits._
+    val tagged = df.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast("int"))
+    val cents = Ivf.portableCentroids(df, nlist = 8, stride = 13)
+    val idx = IvfIndex(cents,
+      Ivf.assignPortable(tagged, cents, keepCols = Seq("tag")))
+    val queries = df.filter(col("vec_id") < 6)
+    val k = 5
+    val got = Ivf.probePortable(idx, queries, k, nprobe = 8,
+        filter = Some(col("tag") === 1))
+      .select("query_id", "cand_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // every survivor matches the predicate
+    assert(got.nonEmpty)
+    got.foreach { case (_, c, _, _) =>
+      assert(c % 3 === 1, s"candidate $c violates tag = 1") }
+    // k MATCHING survivors: full probe (nprobe = nlist) must equal the
+    // brute-force top-k over the tag = 1 slice (minus the query itself)
+    for (q <- 0L until 6L) {
+      val mine = got.filter(_._1 == q).sortBy(_._4).map(_._2).toSeq
+      val brute = Similarity.bruteForceTopK(
+          tagged.filter(col("tag") === 1 && col("vec_id") =!= q)
+            .select("vec_id", "embedding"),
+          df.filter(col("vec_id") === q), k)
+        .orderBy(col("rank")).select("cand_id").as[Long].collect().toSeq
+      assert(mine === brute, s"query $q: $mine vs brute $brute")
+    }
+  }
+
   test("silhouettePortable: tight separated clusters score near 1, bounds hold") {
     import spark.implicits._
     // ids 0 and 29 (the stride samples) sit in different clusters, so the
