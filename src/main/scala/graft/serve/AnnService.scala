@@ -114,22 +114,40 @@ object AnnService {
   * collect bounded at k rows, the vector entering the plan only as a
   * typed literal. */
 final class AnnPqService(index: IvfPqIndex, val dim: Int, val maxK: Int = 100,
-                         nprobe: Int = 4) extends AnnBackend {
+                         nprobe: Int = 4,
+                         filterCols: Set[String] = Set.empty) extends AnnBackend {
   require(dim > 0, s"dim must be > 0, got $dim")
   require(maxK > 0, s"maxK must be > 0, got $maxK")
   require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
+  filterCols.foreach(c => require(index.codes.columns.contains(c),
+    s"filterable column '$c' is not in the stored code frame " +
+      s"(denormalize it via buildResidualIndex keepCols; found: " +
+      s"${index.codes.columns.mkString(", ")})"))
 
   /** Top-k ids for the query vector: (cand_id, score, rank), rank 1..k,
     * score = q·centroid(cell) + ADC(q, r̂) — inner product against the
     * reconstructed vector. */
-  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] = {
+  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] =
+    topK(vec, k, None)
+
+  /** Filtered top-k over the compressed layout: whitelisted equality on
+    * an attribute column denormalized onto the thin code rows, applied
+    * below the top-k — the [[AnnService]] contract at 64× compression. */
+  override def topK(vec: Seq[Float], k: Int,
+                    filter: Option[(String, String)]): Seq[(Long, Double, Int)] = {
     require(vec.length == dim,
       s"query vector has ${vec.length} dims; the index carries $dim")
     require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val pred = filter.map { case (c, v) =>
+      require(filterCols.contains(c),
+        s"column '$c' is not filterable (whitelist: " +
+          s"${if (filterCols.isEmpty) "<empty>" else filterCols.mkString(", ")})")
+      col(c) === lit(v)
+    }
     val spark = index.centroids.sparkSession
     import spark.implicits._
     val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
-    IvfPq.probeResidualTopK(index, q, k, nprobe)
+    IvfPq.probeResidualTopK(index, q, k, nprobe, filter = pred)
       .orderBy(col("rank"))
       .select(col("cand_id"), col("score"), col("rank"))
       .as[(Long, Double, Int)].collect().toSeq
@@ -246,12 +264,14 @@ object AnnPqService {
     * comes from the coarse centroids (sanctioned single-row collect), the
     * same frame the probe broadcasts on every request. */
   def overParquetDir(spark: SparkSession, root: String, maxK: Int = 100,
-                     nprobe: Int = 4): AnnPqService = {
+                     nprobe: Int = 4,
+                     filterCols: Set[String] = Set.empty): AnnPqService = {
     val centroids = spark.read.parquet(s"$root/centroids")
     val codebooks = spark.read.parquet(s"$root/codebooks")
     val codes = spark.read.parquet(s"$root/codes")
     val dim = centroids.select(size(col("cent")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    new AnnPqService(IvfPqIndex(centroids, codebooks, codes), dim, maxK, nprobe)
+    new AnnPqService(IvfPqIndex(centroids, codebooks, codes), dim, maxK,
+      nprobe, filterCols)
   }
 }

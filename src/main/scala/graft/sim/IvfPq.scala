@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -44,14 +44,26 @@ object IvfPq {
   def buildIndex(corpus: DataFrame, nlist: Int = 16,
                  m: Int = 4, codebookSize: Int = 16,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 trainFraction: Double = 1.0, seed: Long = 42L): IvfPqIndex = {
+                 trainFraction: Double = 1.0, seed: Long = 42L,
+                 keepCols: Seq[String] = Nil): IvfPqIndex = {
     val ivf = Ivf.buildIndex(corpus, nlist, idCol, vecCol, seed)
     val pq = Pq.buildIndex(corpus, m, codebookSize, idCol, vecCol,
       trainFraction, seed)
     val codes = pq.codes.join(
       ivf.assigned.select(col("cand_id"), col("cell")), "cand_id")
-    IvfPqIndex(ivf.centroids, pq.codebooks, codes)
+    IvfPqIndex(ivf.centroids, pq.codebooks,
+      withAttributes(codes, corpus, idCol, keepCols))
   }
+
+  /** Denormalize attribute columns (filtered-ANN `keepCols`) onto the
+    * thin code rows — attributes must live IN the index for a probe-time
+    * predicate to avoid a per-request join against the raw corpus. */
+  private def withAttributes(codes: DataFrame, corpus: DataFrame,
+                             idCol: String, keepCols: Seq[String]): DataFrame =
+    if (keepCols.isEmpty) codes
+    else codes.join(
+      corpus.select(col(idCol).as("cand_id") +: keepCols.map(col): _*),
+      "cand_id")
 
   /** PROBE: rank cells per query by centroid distance (broadcast
     * constants), keep `nprobe`, join the probed cells against the coded
@@ -60,7 +72,8 @@ object IvfPq {
     * never appears. */
   def probeTopK(index: IvfPqIndex, queries: DataFrame, k: Int,
                 nprobe: Int = 4,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                filter: Option[Column] = None): DataFrame = {
     val geo = Pq.codebookGeometry(index.codebooks)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scoredCells = q.crossJoin(broadcast(index.centroids))
@@ -75,7 +88,10 @@ object IvfPq {
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("cell"))
     val lut = Pq.lutFor(queries, index.codebooks, geo, idCol, vecCol)
-    val scored = index.codes
+    // filtered ANN: the attribute predicate restricts the thin code rows
+    // BELOW the top-k (k survivors are k MATCHING survivors)
+    val codes = filter.map(index.codes.filter).getOrElse(index.codes)
+    val scored = codes
       .join(probes.hint("broadcast"), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(lut), "query_id")
@@ -111,7 +127,8 @@ object IvfPq {
   def buildResidualIndex(corpus: DataFrame, nlist: Int = 16,
                          m: Int = 4, codebookSize: Int = 16,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         trainFraction: Double = 1.0, seed: Long = 42L): IvfPqIndex = {
+                         trainFraction: Double = 1.0, seed: Long = 42L,
+                         keepCols: Seq[String] = Nil): IvfPqIndex = {
     val ivf = Ivf.buildIndex(corpus, nlist, idCol, vecCol, seed)
     val residuals = ivf.assigned
       .join(broadcast(ivf.centroids), Seq("cell"))
@@ -122,7 +139,8 @@ object IvfPq {
       trainFraction = trainFraction, seed = seed)
     val codes = pq.codes.join(
       residuals.select(col("cand_id"), col("cell")), "cand_id")
-    IvfPqIndex(ivf.centroids, pq.codebooks, codes)
+    IvfPqIndex(ivf.centroids, pq.codebooks,
+      withAttributes(codes, corpus, idCol, keepCols))
   }
 
   /** FROZEN-quantizer cell assignment shared by both append forms: exact
@@ -160,8 +178,16 @@ object IvfPq {
         idCol = "cand_id", vecCol = "cvec")
       .join(assigned.select(col("cand_id"), col("cell")), "cand_id")
     IvfPqIndex(index.centroids, index.codebooks,
-      index.codes.unionByName(newCodes))
+      index.codes.unionByName(
+        withAttributes(newCodes, delta, idCol, extraCols(index.codes))))
   }
+
+  /** Attribute columns a code frame carries beyond the core schema —
+    * what the append paths must preserve (the delta provides them). */
+  private def extraCols(codes: DataFrame): Seq[String] =
+    codes.columns
+      .filterNot(c => c == "cand_id" || c == "cell" || c.startsWith("__c"))
+      .toSeq
 
   /** O(delta) incremental ingest into a RESIDUAL (IVFADC) index — the
     * [[appendToIndex]] shape with the residual subtraction in between:
@@ -190,9 +216,10 @@ object IvfPq {
     val residuals = assigned.join(broadcast(index.centroids), Seq("cell"))
       .select(col("cand_id"), col("cell"),
         VectorExprs.sub(col("cvec"), col("cent")).as("__rvec"))
-    Pq.encodeWithCodebooks(residuals, index.codebooks,
+    val newCodes = Pq.encodeWithCodebooks(residuals, index.codebooks,
         idCol = "cand_id", vecCol = "__rvec")
       .join(residuals.select(col("cand_id"), col("cell")), "cand_id")
+    withAttributes(newCodes, delta, idCol, extraCols(index.codes))
   }
 
   /** O(removed) deletion — the [[Ivf.removeFromIndex]] twin for both
@@ -213,7 +240,8 @@ object IvfPq {
     * probes frame (nprobe rows per query, broadcast). */
   def probeResidualTopK(index: IvfPqIndex, queries: DataFrame, k: Int,
                         nprobe: Int = 4,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        filter: Option[Column] = None): DataFrame = {
     val geo = Pq.codebookGeometry(index.codebooks)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scoredCells = q.crossJoin(broadcast(index.centroids))
@@ -229,7 +257,11 @@ object IvfPq {
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("cell"), col("__qc"))
     val lut = Pq.lutFor(queries, index.codebooks, geo, idCol, vecCol)
-    val scored = index.codes
+    // filtered ANN: predicate over denormalized attribute columns on the
+    // thin code rows, below the top-k — and at the probed cells' scan on
+    // a stored layout
+    val codes = filter.map(index.codes.filter).getOrElse(index.codes)
+    val scored = codes
       .join(probes.hint("broadcast"), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(lut), "query_id")

@@ -33,6 +33,53 @@ class IvfPqSpec extends SparkSpec {
     assert(got.sorted === exact.sorted)
   }
 
+  test("filtered residual probe: predicate applies below the top-k over " +
+      "the compressed layout; attributes ride build and append") {
+    // grid construction: ADC is exact, so the filtered probe at a full
+    // probe must equal brute force over the tag = 1 slice exactly
+    val corpus = (0 until 48).map(i => (i.toLong, gridVec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "tag")
+    val queries = (100 until 103).map(i => (i.toLong, gridVec(i)))
+      .toDF("vec_id", "embedding")
+    val idx = IvfPq.buildResidualIndex(corpus, nlist = 4, m = 4,
+      codebookSize = 4, keepCols = Seq("tag"))
+    assert(idx.codes.columns.contains("tag"))
+    val got = IvfPq.probeResidualTopK(idx, queries, k = 5, nprobe = 4,
+        filter = Some(col("tag") === 1))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, c, _, _) => assert(c % 3 === 1) }
+    val slice = corpus.filter(col("tag") === 1)
+    val exactScored = slice
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(VectorExprs.dot(col("qv"), col("cv")), 6))
+    val exact = Similarity.topKExplode(exactScored, "score", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.sorted === exact.sorted)
+    // attributes survive the frozen-quantizer append, and the filtered
+    // probe sees appended matching rows
+    val appended = IvfPq.appendToResidualIndex(idx,
+      Seq((9001L, gridVec(1), 1), (9002L, gridVec(2), 2))
+        .toDF("vec_id", "embedding", "tag"))
+    assert(appended.codes.columns.contains("tag"))
+    val hits = IvfPq.probeResidualTopK(appended, queries, k = 48, nprobe = 4,
+        filter = Some(col("tag") === 1))
+      .select("cand_id").as[Long].collect().toSet
+    assert(hits.contains(9001L) && !hits.contains(9002L), hits.toString)
+    // the serving tier: whitelisted filter honored, non-whitelisted 400s
+    val svc = new graft.serve.AnnPqService(idx, dim = 8, maxK = 10,
+      nprobe = 4, filterCols = Set("tag"))
+    val served = svc.topK(gridVec(100).toIndexedSeq, 3, Some(("tag", "1")))
+    assert(served.nonEmpty)
+    served.foreach { case (id, _, _) => assert(id % 3 === 1) }
+    intercept[IllegalArgumentException] {
+      svc.topK(gridVec(100).toIndexedSeq, 3, Some(("cell", "1")))
+    }
+  }
+
   test("partial probe on clustered data: k valid ranks, in-cluster neighbors only") {
     val rnd = new scala.util.Random(7)
     val anchors = (0 until 8).map(a =>

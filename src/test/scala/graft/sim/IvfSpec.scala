@@ -276,6 +276,33 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN over a STORED layout: the attribute predicate is " +
+      "pushed to the probed cells' scan (PushedFilters + cell pruning)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val tagged = df.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast("int"))
+    val cents = Ivf.portableCentroids(df, nlist = 8, stride = 13)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_filt")
+    cents.write.parquet(s"$dir/centroids")
+    Ivf.assignPortable(tagged, cents, keepCols = Seq("tag"))
+      .write.partitionBy("cell").parquet(s"$dir/assigned")
+    val stored = IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned"))
+    val probe = Ivf.probePortable(stored, df.filter(col("vec_id") < 3),
+      k = 5, nprobe = 2, filter = Some(col("tag") === 1))
+    probe.collect()
+    val scans = allPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.output.exists(_.name == "tag")) // the assigned-frame scan
+    assert(scans.nonEmpty, "no scan over the stored assigned frame found")
+    // the tag equality must be a DATA filter pushed into the scan node
+    // (parquet row-group stats can then skip), not a post-join filter
+    assert(scans.exists(_.dataFilters.exists(_.references.exists(_.name == "tag"))),
+      s"tag predicate not pushed to the scan; dataFilters: " +
+        s"${scans.map(_.dataFilters).mkString("; ")}")
+  }
+
   test("silhouettePortable: tight separated clusters score near 1, bounds hold") {
     import spark.implicits._
     // ids 0 and 29 (the stride samples) sit in different clusters, so the
