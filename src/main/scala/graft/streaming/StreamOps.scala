@@ -440,6 +440,44 @@ object StreamOps {
     }
   }
 
+  /** Streaming ingest into a stored RP (JL random-projection) layout —
+    * completing live ingest across ALL FOUR stored index families (BM25,
+    * flat IVF, residual IVF-PQ, RP): each micro-batch's vectors are
+    * reduced with the SEEDED portable projection
+    * ([[graft.sim.Similarity.rpReducePortable]] — the quantizer here is
+    * the (dimOut, seed) pair itself, so there is nothing stored to pin;
+    * callers must pass the layout's build parameters, the
+    * [[graft.serve.AnnRpService]] contract) and appended as (id, vec, r)
+    * rows, so the RP backend serves a vector seconds after it streams
+    * in. Same exactly-once-in-effect commit as the other ingest sinks
+    * ([[BatchCommit.runOnce]]). */
+  def rpIngestStream(vectors: DataFrame, root: String, checkpointDir: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dimOut: Int = 8, seed: Int = 42)
+                    : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        rpIngestBatch(batch.toDF(), root, batchId, idCol, vecCol, dimOut, seed)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[rpIngestStream]] — public for the replay spec.
+    * Returns false when the batch was empty or already committed. */
+  def rpIngestBatch(batch: DataFrame, root: String, batchId: Long,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dimOut: Int = 8, seed: Int = 42): Boolean = {
+    if (batch.isEmpty) return false
+    BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      graft.sim.Similarity.rpReducePortable(batch, idCol, vecCol, dimOut, seed)
+        .write.parquet(s"$staging/reduced")
+      Seq(s"$staging/reduced" -> s"$root/reduced")
+    }
+  }
+
   /** Streaming incremental dedup against a STATIC reference corpus — the
     * live-ingest form of [[graft.dedup.Dedup.incrementalDedup]]: each
     * micro-batch drops documents whose fingerprint already exists in the

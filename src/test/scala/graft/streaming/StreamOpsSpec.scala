@@ -664,6 +664,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rpIngestStream: streamed vectors project into the stored reduced " +
+      "frame; replay-safe; the RP backend serves them") {
+    import graft.sim.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val seedCorpus = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("rp_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rp_ckpt_").toString
+    Similarity.rpReducePortable(seedCorpus, "vec_id", "embedding",
+        dimOut = 8, seed = 42)
+      .write.mode("overwrite").parquet(s"$root/reduced")
+    val streamed = Seq((100L, vec(100)), (9007L, vec(7)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.rpIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), root, ckpt, dimOut = 8, seed = 42)
+    try {
+      mem.addData(streamed.take(1): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    // layout ≡ one-shot reduction of everything under the same projection
+    val all = seedCorpus.unionByName(streamed.toDF("vec_id", "embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.select("id", "r").collect().map(_.toString).toSet
+    assert(rows(spark.read.parquet(s"$root/reduced")) ===
+      rows(Similarity.rpReducePortable(all, "vec_id", "embedding", 8, 42)))
+    // replay safety: post-commit replay skipped; crashed-mid-append redo
+    // scrubs its own files (Seq-based duplicate check, not Set)
+    val b1 = streamed.drop(1).toDF("vec_id", "embedding")
+    assert(!StreamOps.rpIngestBatch(b1, root, batchId = 1))
+    val marker = new java.io.File(s"$root/_ledger/batch-1")
+    assert(marker.delete())
+    assert(StreamOps.rpIngestBatch(b1, root, batchId = 1))
+    val ids = spark.read.parquet(s"$root/reduced")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(ids === ((0L until 40L) ++ Seq(100L, 9007L)).sorted)
+    // the freshly-streamed copy of vector 7 is served at cosine 1.0
+    val svc = graft.serve.AnnRpService.overParquetDir(spark, root,
+      maxK = 10, shortlist = 42, seed = 42)
+    val hit = svc.topK(vec(7).toIndexedSeq, 2)
+    assert(hit.map(_._1).toSet === Set(7L, 9007L), hit.toString)
+  }
+
   test("ivfPqIngestStream: streamed vectors residual-encode into their " +
       "cells; the compressed layout serves them") {
     import graft.sim.{IvfPq, IvfPqIndex}
