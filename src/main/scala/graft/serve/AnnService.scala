@@ -97,6 +97,22 @@ object AnnService {
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     new AnnService(IvfIndex(centroids, assigned), dim, maxK, nprobe, filterCols)
   }
+
+  /** Index-aware compaction of a stored IVF layout — the
+    * [[SearchService.compactIndex]] twin for the vector tier: streamed
+    * micro-batches leave one file per (batch, touched cell); this folds
+    * them to `filesPerPartition` per cell with the `cell=` partitioning
+    * (probe pruning) preserved. Uncommitted-batch orphans are scrubbed
+    * first (their replay re-adds them — folding them would double-count)
+    * and the `_ledger` survives, so committed batches stay
+    * replay-skipped. */
+  def compactIndex(spark: SparkSession, root: String,
+                   filesPerPartition: Int = 1): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/assigned"))
+    graft.io.Sinks.compactLayoutInPlace(spark, s"$root/assigned",
+      Seq("cell"), filesPerPartition)
+  }
 }
 
 /** ANN serving over a STORED residual IVF-PQ index (IVFADC — the layout
@@ -273,5 +289,16 @@ object AnnPqService {
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     new AnnPqService(IvfPqIndex(centroids, codebooks, codes), dim, maxK,
       nprobe, filterCols)
+  }
+
+  /** Index-aware compaction of a stored residual IVF-PQ layout — the
+    * [[AnnService.compactIndex]] shape over the thin code rows (the
+    * quantizer artifacts are single-file and never need compaction). */
+  def compactIndex(spark: SparkSession, root: String,
+                   filesPerPartition: Int = 1): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/codes"))
+    graft.io.Sinks.compactLayoutInPlace(spark, s"$root/codes",
+      Seq("cell"), filesPerPartition)
   }
 }

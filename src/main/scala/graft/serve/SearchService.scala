@@ -88,6 +88,11 @@ object SearchService {
     * replayed pre-compaction batch is still recognized and skipped. */
   def compactIndex(spark: SparkSession, root: String,
                    filesPerPartition: Int = 1): Unit = {
+    // an UNCOMMITTED streamed batch's partial files must not be folded
+    // into the untagged rewrite — its replay would re-add every row
+    // (the stream redoes it from checkpointed source offsets anyway)
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/postings", s"$root/stats"))
     graft.io.Sinks.compactLayoutInPlace(spark, s"$root/postings",
       Seq("bucket"), filesPerPartition)
     import spark.implicits._
@@ -157,6 +162,11 @@ object SearchService {
                   idCol: String, root: String): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    // drop uncommitted streamed-batch orphans BEFORE reading: a touched
+    // bucket's rewrite is untagged, and folding a partial batch into it
+    // would double-count once the stream replays that batch
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/postings", s"$root/stats"))
     val postings = spark.read.parquet(s"$root/postings")
     val ids = oldDocs.select(col(idCol).as("doc_id"))
     val newPostings = TextOps.bm25Postings(

@@ -98,6 +98,45 @@ object BatchCommit {
     }
   }
 
+  /** Delete batch-tagged data files whose batch has NO ledger marker —
+    * the leftovers of a crashed, not-yet-replayed micro-batch.
+    * Maintenance ops that fold a layout's files into UNTAGGED rewrites
+    * ([[graft.serve.SearchService.compactIndex]]/`upsertDelta`,
+    * [[graft.serve.AnnService.compactIndex]]) MUST call this first:
+    * folding an uncommitted batch's partial files would bake them into
+    * the layout, and the stream's replay of that batch (same id, no
+    * marker, nothing left to scrub) would then re-add every row — a
+    * double count with no error surfaced. Dropping the orphans instead
+    * loses nothing: the checkpoint still holds the batch's source
+    * offsets, so the restarted stream redoes it in full. Committed
+    * batches (marker present) are untouched — their replays skip by
+    * marker, not by file presence. */
+  def scrubUncommitted(spark: SparkSession, root: String,
+                       dataDirs: Seq[String]): Unit = {
+    val lp = new Path(s"$root/_ledger")
+    val f = fs(spark, lp)
+    val committed: Set[String] =
+      if (f.exists(lp)) f.listStatus(lp).map(_.getPath.getName).toSet
+      else Set.empty
+    val Tagged = "(batch-\\d+)-.*".r
+    dataDirs.foreach { dir =>
+      val p = new Path(dir)
+      if (f.exists(p)) {
+        val it = f.listFiles(p, true)
+        val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          st.getPath.getName match {
+            case Tagged(marker) if st.isFile && !committed.contains(marker) =>
+              doomed += st.getPath
+            case _ => ()
+          }
+        }
+        doomed.foreach(f.delete(_, false))
+      }
+    }
+  }
+
   /** Run one batch's append EXACTLY ONCE IN EFFECT. `writeStaged` writes
     * the batch's output dataset(s) under the supplied staging directory
     * and returns (stagedSubdir → targetDir) pairs; this method then

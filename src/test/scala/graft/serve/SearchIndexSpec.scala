@@ -174,6 +174,94 @@ class SearchIndexSpec extends SparkSpec {
       rb.topK(Seq("apple", "banana"), 5))
   }
 
+  test("maintenance ops drop UNCOMMITTED-batch orphans: a batch crashed " +
+      "mid-append then compacted cannot double-count on replay") {
+    val root = java.nio.file.Files.createTempDirectory("idx_orphan_").toString
+    SearchService.buildIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", root)
+    val b0 = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "cherry apple")).toDF("doc_id", "text")
+    assert(graft.streaming.StreamOps.bm25IngestBatch(
+      b0, "text", "doc_id", root, batchId = 0))
+    assert(graft.streaming.StreamOps.bm25IngestBatch(
+      b1, "text", "doc_id", root, batchId = 1))
+    // crash window: batch 1's data files are in place, marker missing
+    assert(new java.io.File(s"$root/_ledger/batch-1").delete())
+    // the maintenance op must NOT fold the uncommitted files into its
+    // untagged rewrite — the replay below re-adds the whole batch
+    SearchService.compactIndex(spark, root)
+    assert(graft.streaming.StreamOps.bm25IngestBatch(
+      b1, "text", "doc_id", root, batchId = 1))
+    val rebuilt = java.nio.file.Files.createTempDirectory("idx_orphan_rb_").toString
+    SearchService.buildIndex(b0.unionByName(b1), "text", "doc_id", rebuilt)
+    def postingRows(r: String): Seq[String] = // Seq: duplicates must surface
+      spark.read.parquet(s"$r/postings")
+        .select("term", "doc_id", "tf", "dl", "bucket")
+        .collect().map(_.toString).toSeq.sorted
+    assert(postingRows(root) === postingRows(rebuilt))
+    assert(SearchService.readStats(spark, root)
+        .select("n_docs", "dl_sum").first() ===
+      SearchService.readStats(spark, rebuilt)
+        .select("n_docs", "dl_sum").first())
+    // upsertDelta applies the same scrub (same double-count mechanism)
+    assert(new java.io.File(s"$root/_ledger/batch-1").delete())
+    SearchService.upsertDelta(
+      Seq((1L, "apple durian")).toDF("doc_id", "text"),
+      b0, "text", "doc_id", root)
+    assert(graft.streaming.StreamOps.bm25IngestBatch(
+      b1, "text", "doc_id", root, batchId = 1))
+    val edited = Seq((1L, "apple durian"), (2L, "cherry apple"))
+      .toDF("doc_id", "text")
+    val rebuilt2 = java.nio.file.Files.createTempDirectory("idx_orphan_rb2_").toString
+    SearchService.buildIndex(edited, "text", "doc_id", rebuilt2)
+    assert(postingRows(root) === postingRows(rebuilt2))
+  }
+
+  test("AnnService/AnnPqService compactIndex: streamed small files fold " +
+      "per cell, probes unchanged, uncommitted orphans dropped") {
+    import graft.sim.{Ivf, IvfIndex}
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val seed = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ann_compact_").toString
+    val cents = Ivf.portableCentroids(seed, nlist = 4, stride = 13)
+    cents.write.parquet(s"$root/centroids")
+    Ivf.assignPortable(seed, cents)
+      .write.partitionBy("cell").parquet(s"$root/assigned")
+    (0 until 4).foreach { b =>
+      assert(graft.streaming.StreamOps.ivfIngestBatch(
+        Seq((100L + b, vec(100 + b))).toDF("vec_id", "embedding"),
+        cents, root, batchId = b))
+    }
+    // batch 3 loses its marker: crashed mid-append, must not be folded
+    assert(new java.io.File(s"$root/_ledger/batch-3").delete())
+    val filesBefore = parquetFiles(s"$root/assigned").size
+    AnnService.compactIndex(spark, root)
+    assert(parquetFiles(s"$root/assigned").size < filesBefore)
+    assert(graft.streaming.StreamOps.ivfIngestBatch(
+      Seq((103L, vec(103))).toDF("vec_id", "embedding"),
+      cents, root, batchId = 3))
+    val expect = seed.unionByName(
+      (0 until 4).map(b => (100L + b, vec(100 + b)))
+        .toDF("vec_id", "embedding"))
+    assert(spark.read.parquet(s"$root/assigned")
+        .select("cand_id", "cell").collect().map(_.toString).toSeq.sorted ===
+      Ivf.assignPortable(expect, cents)
+        .select("cand_id", "cell").collect().map(_.toString).toSeq.sorted)
+    // serving over the compacted layout still finds an exact twin
+    val planted = Ivf.assignPortable(
+      Seq((9007L, vec(7))).toDF("vec_id", "embedding"), cents)
+    planted.write.mode("append").partitionBy("cell").parquet(s"$root/assigned")
+    val hits = AnnService.overParquetDir(spark, root, maxK = 5, nprobe = 4)
+      .topK(vec(7).toIndexedSeq, 2)
+    // both exact copies at cosine 1.0, (score desc, cand_id) tie-break
+    assert(hits.map(_._1).toSet === Set(7L, 9007L), hits.toString)
+  }
+
   test("bm25RemoveIndex: removed ≡ rebuilt-on-remainder; an empty " +
       "removed doc still decrements n_docs") {
     import graft.text.TextOps
