@@ -153,6 +153,28 @@ object Sinks {
     spark.read.parquet(root)
   }
 
+  /** [[compactParquet]] with the [[compactLayoutInPlace]] versioned-dir
+    * swap — the in-place compaction for UNPARTITIONED dataset
+    * directories (e.g. a stored RP layout's `root/reduced`, which
+    * streaming ingest grows one batch-tagged file at a time). Same crash
+    * contract as the partitioned form: the compacted copy is complete
+    * before the two-rename swap, so a mid-swap crash leaves a full old
+    * or full new directory. */
+  def compactParquetInPlace(spark: org.apache.spark.sql.SparkSession,
+                            root: String, targetFiles: Int = 1): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root + "-__compacting__")
+    val old = new org.apache.hadoop.fs.Path(root + "-__old__")
+    f.delete(tmp, true) // a crashed previous attempt
+    f.delete(old, true)
+    compactParquet(spark, root, tmp.toString, targetFiles)
+    require(f.rename(p, old), s"swap failed: could not move $root aside")
+    require(f.rename(tmp, p), s"swap failed: could not move $tmp into place")
+    f.delete(old, true)
+    spark.read.parquet(root)
+  }
+
   /** [[compactParquet]] with the file count derived from the ACTUAL bytes
     * on storage — "compact this landing directory to ~128 MB files" with
     * no manual counting, the operational form a nightly compaction job

@@ -1515,6 +1515,26 @@ object ExtensionQueries {
     graft.sim.Pq.probeTopK(stored, grid.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** FILTERED flat-PQ ANN ([[Pq.probeTopK]] with a candidate predicate —
+    * the [[simIvfFiltered]] contract at 64× compression without coarse
+    * cells): the attribute rides the thin code rows (`keepCols`), the
+    * equality lands on the code frame BEFORE the ADC scan (k survivors
+    * are k matching survivors, and every filtered-out row is scan work
+    * saved — on flat PQ the whole code frame streams per probe), and the
+    * grid-exact regime makes ADC equal the exact inner product, so the
+    * filtered probe hash-checks against the predicated brute-force
+    * oracle. Serving twin: [[graft.serve.AnnFlatPqService]]'s
+    * whitelisted filter. */
+  private val simPqFiltered: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val tagged = grid.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast(IntegerType))
+    val idx = graft.sim.Pq.buildIndex(tagged, m = 4, codebookSize = 8,
+      keepCols = Seq("tag"))
+    graft.sim.Pq.probeTopK(idx, grid.filter(col("vec_id") < 10), k = 5,
+      filter = Some(col("tag") === 1))
+  }
+
   /** ANN recall@k as a NUMBER the oracle checks every round: overlap of
     * [[Similarity.lshTopKPortable]]'s top-5 (production parameters —
     * bits = 16, bands = 4, the same banding statistics as `sim_lsh_ann`)
@@ -1883,6 +1903,26 @@ object ExtensionQueries {
     Similarity.rpProbePortable(s.read.parquet(s"$root/reduced"),
       emb.filter(col("vec_id") < 10), k = 5, shortlist = 20,
       dimOut = 8, seed = 42)
+  }
+
+  /** FILTERED RP ANN ([[Similarity.rpProbePortable]] with a candidate
+    * predicate — the [[simIvfFiltered]] contract on the JL family): the
+    * attribute rides the stored reduced frame (`keepCols`), the equality
+    * lands BELOW the shortlist (matching candidates only enter the
+    * reduced-space ranking — a post-shortlist filter would under-fill k
+    * AND let non-matching rows crowd matching ones out), and the whole
+    * pipeline replays in SQL because the reduced coordinates are exact
+    * longs. The serving twin is [[graft.serve.AnnRpService]]'s
+    * whitelisted filter. */
+  private val simRpFiltered: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val tagged = emb.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast(IntegerType))
+    val reduced = Similarity.rpReducePortable(tagged, "vec_id", "embedding",
+      dimOut = 8, seed = 42, keepCols = Seq("tag"))
+    Similarity.rpProbePortable(reduced, emb.filter(col("vec_id") < 10),
+      k = 5, shortlist = 20, dimOut = 8, seed = 42,
+      filter = Some(col("tag") === 1))
   }
 
   /** Matryoshka-truncation evaluation (Kusupati et al. 2022, MRL,
@@ -2474,6 +2514,7 @@ object ExtensionQueries {
     "emb_decontaminate" -> embDecontaminate,
     "sim_ivf_cell_stats" -> simIvfCellStats,
     "sim_pq_probe" -> simPqProbe,
+    "sim_pq_filtered" -> simPqFiltered,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_ivfpq_exact" -> simIvfpqExact,
     "sim_ivfpq_probe" -> simIvfpqProbe,
@@ -2485,6 +2526,7 @@ object ExtensionQueries {
     "sim_rp_topk" -> simRpTopk,
     "sim_rp_exact" -> simRpExact,
     "sim_rp_probe" -> simRpProbe,
+    "sim_rp_filtered" -> simRpFiltered,
     "sim_hard_negatives" -> simHardNegatives,
     "sim_matryoshka_recall" -> simMatryoshkaRecall,
     "sim_matryoshka_curve" -> simMatryoshkaCurve,
@@ -2870,8 +2912,8 @@ object ExtensionQueries {
     * integer grid is exact in doubles and the codebook recovers every
     * distinct subvector, so ADC equals the exact inner product and brute
     * force mirrors the whole PQ pipeline. */
-  private val pqGridExactOracle: String =
-    """WITH g AS (SELECT vec_id,
+  private def pqGridOracle(candWhere: String): String =
+    s"""WITH g AS (SELECT vec_id,
       |  list_transform(generate_series(0, 15),
       |    d -> CAST(((vec_id % 8) * 13 + d * 7) % 11 - 5 AS DOUBLE)) AS v
       |  FROM embeddings)
@@ -2881,8 +2923,17 @@ object ExtensionQueries {
       |   CAST(row_number() OVER (PARTITION BY q.vec_id
       |     ORDER BY ROUND(list_dot_product(q.v, c.v), 6) DESC,
       |     c.vec_id) AS INTEGER) AS rank
-      | FROM g q, g c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      | FROM g q, g c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id$candWhere)
       |WHERE rank <= 5""".stripMargin
+
+  private val pqGridExactOracle: String = pqGridOracle("")
+
+  /** Generated oracle for sim_pq_filtered: the grid-exact brute force
+    * with the attribute equality on the candidate set before ranking —
+    * ADC equals the exact inner product in this regime, so the hash
+    * certifies the engine's predicate sits below the top-k. */
+  private val pqGridFilteredOracle: String =
+    pqGridOracle(" AND c.vec_id % 3 = 1")
 
   /** Generated oracle for sim_lsh_recall: replays the PORTABLE
     * random-hyperplane LSH pipeline — md5-derived hyperplanes (first 13
@@ -3005,7 +3056,8 @@ object ExtensionQueries {
     * projection, LONG-exact shortlist ranking, rounded-cosine scoring of
     * the survivors — the pipeline both [[simRpRecallOracle]] and
     * [[simRpProbeOracle]] consume. */
-  private def rpShortlistCtes(dimOut: Int, shortlist: Int, seed: Int): String = {
+  private def rpShortlistCtes(dimOut: Int, shortlist: Int, seed: Int,
+                              candWhere: String = ""): String = {
     def plane(p: Int) =
       "(CAST(list_sum(list_transform(generate_series(1,13), j -> " +
         "CAST(strpos('0123456789abcdef', substring(md5(CAST(i - 1 AS VARCHAR) || " +
@@ -3022,7 +3074,7 @@ object ExtensionQueries {
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY ($rdot) DESC, c.vec_id) AS rrank
-       |  FROM proj q JOIN proj c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  FROM proj q JOIN proj c ON q.vec_id < 10 AND c.vec_id <> q.vec_id$candWhere)
        |  WHERE rrank <= $shortlist),
        |cs AS (SELECT sh.query_id, sh.cand_id,
        |   ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
@@ -3041,6 +3093,23 @@ object ExtensionQueries {
   private def simRpProbeOracle: String = {
     val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
     s"""WITH ${rpShortlistCtes(dimOut, shortlist, seed)}
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+       |  FROM cs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Generated oracle for sim_rp_filtered: the shared RP replay with the
+    * attribute equality applied to the CANDIDATE side of the shortlist
+    * join — proving the engine's predicate sits below the SHORTLIST
+    * (matching candidates only enter the reduced-space ranking), not
+    * after it. */
+  private def simRpFilteredOracle: String = {
+    val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
+    s"""WITH ${rpShortlistCtes(dimOut, shortlist, seed,
+        candWhere = " AND c.vec_id % 3 = 1")}
        |SELECT query_id, cand_id, cosine, rank FROM (
        |  SELECT query_id, cand_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -4671,6 +4740,9 @@ bruteForceCosineOracle,
       // bit-for-bit.
       "sim_pq_exact" -> pqGridExactOracle,
       "sim_pq_probe" -> pqGridExactOracle,
+      // same grid-exact regime with the candidate predicate below the
+      // top-k — filtered ADC ≡ filtered brute force.
+      "sim_pq_filtered" -> pqGridFilteredOracle,
       // nprobe = nlist composed with grid exact recovery: the full IVF-PQ
       // composite must equal brute force, sharing the grid oracle.
       // sim_ivfpq_topk (trained partial probe) is rows-only — its
@@ -4708,6 +4780,7 @@ bruteForceCosineOracle,
       // brute force (the lshTopK bits=0 analog for random projection).
       "sim_rp_exact" -> bruteForceCosineOracle,
       "sim_rp_probe" -> simRpProbeOracle,
+      "sim_rp_filtered" -> simRpFilteredOracle,
       "sim_matryoshka_curve" -> simMatryoshkaCurveOracle,
       // Truncated-prefix ANN vs full-width exact, reduced to the shared
       // recall report shape (k, n_queries, n_hits, mean_recall).

@@ -18,8 +18,11 @@ trait AnnBackend {
   /** FILTERED top-k — "nearest neighbors WHERE col = value", the form
     * real retrieval serving almost always needs. The default rejects
     * filters loudly (a backend that ignored the predicate would return
-    * wrong results silently); [[AnnService]] overrides with a
-    * whitelisted-column equality pushed below the top-k. */
+    * wrong results silently); all four stored-layout backends override
+    * with a whitelisted-column equality pushed below the top-k
+    * ([[AnnService]]/[[AnnPqService]] below the probed-cell scan,
+    * [[AnnRpService]] below the shortlist, [[AnnFlatPqService]] before
+    * the ADC scan). */
   def topK(vec: Seq[Float], k: Int,
            filter: Option[(String, String)]): Seq[(Long, Double, Int)] =
     filter match {
@@ -180,20 +183,41 @@ final class AnnPqService(index: IvfPqIndex, val dim: Int, val maxK: Int = 100,
   * scale where [[AnnPqService]]'s cell partitioning pays. Same
   * request-safety envelope as the other backends. */
 final class AnnFlatPqService(index: PqIndex, val dim: Int,
-                             val maxK: Int = 100) extends AnnBackend {
+                             val maxK: Int = 100,
+                             filterCols: Set[String] = Set.empty) extends AnnBackend {
   require(dim > 0, s"dim must be > 0, got $dim")
   require(maxK > 0, s"maxK must be > 0, got $maxK")
+  filterCols.foreach(c => require(index.codes.columns.contains(c),
+    s"filterable column '$c' is not in the stored code frame " +
+      s"(denormalize it via Pq.buildIndex keepCols; found: " +
+      s"${index.codes.columns.mkString(", ")})"))
 
   /** Top-k ids for the query vector: (cand_id, score, rank), rank 1..k,
     * score = ADC inner product against the reconstruction. */
-  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] = {
+  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] =
+    topK(vec, k, None)
+
+  /** Filtered top-k over the flat code frame: whitelisted equality on an
+    * attribute column denormalized onto the code rows, applied before
+    * the ADC scan — the [[AnnService]] contract; on flat PQ the
+    * predicate also CUTS the per-probe scan (the whole code frame
+    * streams per request, so every filtered-out row is scan work
+    * saved). */
+  override def topK(vec: Seq[Float], k: Int,
+                    filter: Option[(String, String)]): Seq[(Long, Double, Int)] = {
     require(vec.length == dim,
       s"query vector has ${vec.length} dims; the index carries $dim")
     require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val pred = filter.map { case (c, v) =>
+      require(filterCols.contains(c),
+        s"column '$c' is not filterable (whitelist: " +
+          s"${if (filterCols.isEmpty) "<empty>" else filterCols.mkString(", ")})")
+      col(c) === lit(v)
+    }
     val spark = index.codebooks.sparkSession
     import spark.implicits._
     val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
-    Pq.probeTopK(index, q, k)
+    Pq.probeTopK(index, q, k, filter = pred)
       .orderBy(col("rank"))
       .select(col("cand_id"), col("score"), col("rank"))
       .as[(Long, Double, Int)].collect().toSeq
@@ -205,15 +229,15 @@ object AnnFlatPqService {
     * frames [[Pq.buildIndex]] writes). The dimension is m·sub, both
     * recovered from the constant-sized codebook rows (sanctioned small
     * collect — the same frame every probe broadcasts). */
-  def overParquetDir(spark: SparkSession, root: String,
-                     maxK: Int = 100): AnnFlatPqService = {
+  def overParquetDir(spark: SparkSession, root: String, maxK: Int = 100,
+                     filterCols: Set[String] = Set.empty): AnnFlatPqService = {
     val codebooks = spark.read.parquet(s"$root/codebooks")
     val codes = spark.read.parquet(s"$root/codes")
     val head = codebooks
       .agg((max(col("__j")) + 1).as("m"), first(size(col("__cent"))).as("sub"))
       .collect().headOption
     val dim = head.map(r => r.getAs[Int]("m") * r.getAs[Int]("sub")).getOrElse(0)
-    new AnnFlatPqService(PqIndex(codebooks, codes), dim, maxK)
+    new AnnFlatPqService(PqIndex(codebooks, codes), dim, maxK, filterCols)
   }
 }
 
@@ -235,23 +259,44 @@ object AnnFlatPqService {
   * vector. */
 final class AnnRpService(reduced: DataFrame, val dim: Int,
                          val maxK: Int = 100, shortlist: Int = 200,
-                         dimOut: Int = 8, seed: Int = 42) extends AnnBackend {
+                         dimOut: Int = 8, seed: Int = 42,
+                         filterCols: Set[String] = Set.empty) extends AnnBackend {
   require(dim > 0, s"dim must be > 0, got $dim")
   require(maxK > 0, s"maxK must be > 0, got $maxK")
   require(shortlist >= maxK,
     s"shortlist must be >= maxK ($maxK), got $shortlist")
   require(dimOut > 0, s"dimOut must be > 0, got $dimOut")
+  filterCols.foreach(c => require(reduced.columns.contains(c),
+    s"filterable column '$c' is not in the stored reduced frame " +
+      s"(carry it via rpReducePortable keepCols; found: " +
+      s"${reduced.columns.mkString(", ")})"))
 
   /** Top-k ids for the query vector: (cand_id, cosine, rank), rank 1..k —
     * exact rounded cosine over the shortlist survivors. */
-  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] = {
+  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] =
+    topK(vec, k, None)
+
+  /** Filtered top-k over the reduced frame: whitelisted equality applied
+    * BELOW the shortlist (matching candidates only enter the reduced-
+    * space ranking — a post-shortlist filter would both under-fill k and
+    * let non-matching rows crowd matching ones out), riding the stored
+    * frame's parquet scan as a data filter. */
+  override def topK(vec: Seq[Float], k: Int,
+                    filter: Option[(String, String)]): Seq[(Long, Double, Int)] = {
     require(vec.length == dim,
       s"query vector has ${vec.length} dims; the index carries $dim")
     require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val pred = filter.map { case (c, v) =>
+      require(filterCols.contains(c),
+        s"column '$c' is not filterable (whitelist: " +
+          s"${if (filterCols.isEmpty) "<empty>" else filterCols.mkString(", ")})")
+      col(c) === lit(v)
+    }
     val spark = reduced.sparkSession
     import spark.implicits._
     val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
-    Similarity.rpProbePortable(reduced, q, k, shortlist, dimOut, seed)
+    Similarity.rpProbePortable(reduced, q, k, shortlist, dimOut, seed,
+        filter = pred)
       .orderBy(col("rank"))
       .select(col("cand_id"), col("cosine"), col("rank"))
       .as[(Long, Double, Int)].collect().toSeq
@@ -263,13 +308,28 @@ object AnnRpService {
     * `sim_rp_probe` writes). dim and dimOut come from one stored row
     * (sanctioned single-row collect); `seed` must be the build seed. */
   def overParquetDir(spark: SparkSession, root: String, maxK: Int = 100,
-                     shortlist: Int = 200, seed: Int = 42): AnnRpService = {
+                     shortlist: Int = 200, seed: Int = 42,
+                     filterCols: Set[String] = Set.empty): AnnRpService = {
     val reduced = spark.read.parquet(s"$root/reduced")
     val head = reduced
       .select(size(col("vec")).as("d"), size(col("r")).as("p")).limit(1)
       .collect().headOption
     new AnnRpService(reduced, head.map(_.getInt(0)).getOrElse(0), maxK,
-      shortlist, head.map(_.getInt(1)).getOrElse(0), seed)
+      shortlist, head.map(_.getInt(1)).getOrElse(0), seed, filterCols)
+  }
+
+  /** Index-aware compaction of a stored RP layout — completes the
+    * maintenance family across all four streamed index layouts (BM25,
+    * IVF, IVF-PQ, RP): the reduced frame is unpartitioned (every probe
+    * ranks the whole frame in reduced space), so compaction is the
+    * plain small-file fold with the versioned-dir swap. Uncommitted-
+    * batch orphans are scrubbed first and the `_ledger` survives — the
+    * same replay contract as the partitioned tiers. */
+  def compactIndex(spark: SparkSession, root: String,
+                   targetFiles: Int = 1): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/reduced"))
+    graft.io.Sinks.compactParquetInPlace(spark, s"$root/reduced", targetFiles)
   }
 }
 

@@ -65,7 +65,8 @@ object Pq {
     * [[probeTopK]] consumes either the in-memory or the read-back form. */
   def buildIndex(corpus: DataFrame, m: Int = 4, codebookSize: Int = 16,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 trainFraction: Double = 1.0, seed: Long = 42L): PqIndex = {
+                 trainFraction: Double = 1.0, seed: Long = 42L,
+                 keepCols: Seq[String] = Nil): PqIndex = {
     require(m > 0 && codebookSize > 1, s"need m > 0, codebookSize > 1; got $m/$codebookSize")
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
@@ -96,15 +97,19 @@ object Pq {
     }
 
     // 2. ENCODE — m map-only transforms; codes stay as m int columns so the
-    //    ADC scoring expression is pure codegen (no array HOF).
-    var enc = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    //    ADC scoring expression is pure codegen (no array HOF). `keepCols`
+    //    attributes ride the map-only pass onto the thin code rows — the
+    //    filtered-search denormalization ([[Ivf.assignPortable]] contract).
+    var enc = corpus.select(col(idCol).as("cand_id") +:
+      col(vecCol).as("cvec") +: keepCols.map(col): _*)
     for (j <- 0 until m) {
       enc = models(j).setPredictionCol(s"__c$j").transform(
           enc.withColumn("__fv",
             array_to_vector(slice(col("cvec"), j * sub + 1, sub))))
         .drop("__fv")
     }
-    val codes = enc.select(col("cand_id") +: (0 until m).map(j => col(s"__c$j")): _*)
+    val codes = enc.select(col("cand_id") +:
+      ((0 until m).map(j => col(s"__c$j")) ++ keepCols.map(col)): _*)
 
     // K-means can legitimately return FEWER than `codebookSize` centers
     // when a subspace has fewer distinct points (exactly the exact-recovery
@@ -131,10 +136,17 @@ object Pq {
     * point of PQ at 100 TB — joins the broadcast per-query LUTs, and
     * reduces through the bounded-heap top-k. */
   def probeTopK(index: PqIndex, queries: DataFrame, k: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                filter: Option[Column] = None): DataFrame = {
     val geo = codebookGeometry(index.codebooks)
     // 4. SCORE — codes stream once, LUTs broadcast; m element_at lookups.
-    val scored = index.codes
+    //    The optional candidate predicate lands on the code frame BEFORE
+    //    the LUT join: k survivors are k MATCHING survivors, and since
+    //    flat PQ streams the whole code frame per probe, the equality
+    //    cuts the scanned/scored rows — it rides the codes scan as a
+    //    data filter, not a post-rank trim.
+    val cand = filter.map(index.codes.filter).getOrElse(index.codes)
+    val scored = cand
       .crossJoin(broadcast(lutFor(queries, index.codebooks, geo, idCol, vecCol)))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", round(adcExpr(geo), 6))
@@ -152,20 +164,27 @@ object Pq {
     * codes union straight into a stored layout. */
   def encodeWithCodebooks(vectors: DataFrame, codebooks: DataFrame,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          keepCols: Seq[String] = Nil): DataFrame = {
     val geo = codebookGeometry(codebooks)
     val sv = slice(col("cvec"), col("__j") * geo.sub + lit(1), lit(geo.sub))
     val d2 = VectorExprs.dot(sv, sv) -
       lit(2.0) * VectorExprs.dot(sv, col("__cent")) +
       VectorExprs.dot(col("__cent"), col("__cent"))
-    val scored = vectors.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val scored = vectors.select(col(idCol).as("cand_id") +:
+        col(vecCol).as("cvec") +: keepCols.map(col): _*)
       .crossJoin(broadcast(
         codebooks.select(col("__j"), col("__code"), col("__cent"))))
-      .select(col("cand_id"), col("__j"),
-        struct(d2.as("d"), col("__code").as("c")).as("__dc"))
+      .select(col("cand_id") +: col("__j") +:
+        struct(d2.as("d"), col("__code").as("c")).as("__dc") +:
+        keepCols.map(col): _*)
     val codeCols = (0 until geo.m).map(j =>
       min(when(col("__j") === j, col("__dc"))).getField("c").as(s"__c$j"))
-    scored.groupBy("cand_id").agg(codeCols.head, codeCols.tail: _*)
+    // attributes are constant within a cand_id's m·codebookSize scored
+    // rows, so first() carries them exactly (the buildIndex keepCols
+    // contract — appended codes union straight into a stored layout)
+    val keepAggs = keepCols.map(c => first(col(c)).as(c))
+    scored.groupBy("cand_id").agg(codeCols.head, codeCols.tail ++ keepAggs: _*)
   }
 
   /** Codebook geometry re-derived from the (constant-sized) codebook rows

@@ -213,8 +213,8 @@ object Similarity {
     * sign-packs these; [[rpReducePortable]] keeps the values as the
     * reduced-space coordinates. Returns (id, vec, p0..p{n-1}). */
   private def portableProjections(df: DataFrame, idCol: String,
-                                  vecCol: String, n: Int,
-                                  seed: Int): DataFrame = {
+                                  vecCol: String, n: Int, seed: Int,
+                                  keepCols: Seq[String] = Nil): DataFrame = {
     // one-row dim probe (sanctioned scalar gate); empty input → no rows,
     // any plane table works, use dim 0
     val dim = df.select(size(col(vecCol)).as("d")).limit(1)
@@ -230,11 +230,16 @@ object Similarity {
       sum(floor(col("x") * element_at(planes, col("pos") + 1) * lit(1048576.0)
         + lit(0.5)).cast(LongType)).as(s"p$p")
     }
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(col("id"), col("vec"), posexplode(col("vec")).as(Seq("pos", "x0")))
-      .select(col("id"), col("vec"), col("pos"), col("x0").cast(DoubleType).as("x"))
+    // attribute columns ride the per-id group as first() — constant within
+    // an id's exploded rows, so the carry is exact
+    val keepAggs = keepCols.map(c => first(col(c)).as(c))
+    df.select(col(idCol).as("id") +: col(vecCol).as("vec") +: keepCols.map(col): _*)
+      .select(col("id") +: col("vec") +: keepCols.map(col) :+
+        posexplode(col("vec")).as(Seq("pos", "x0")): _*)
+      .select(col("id") +: col("vec") +: col("pos") +:
+        col("x0").cast(DoubleType).as("x") +: keepCols.map(col): _*)
       .groupBy("id")
-      .agg(first(col("vec")).as("vec"), projAggs: _*)
+      .agg(first(col("vec")).as("vec"), projAggs ++ keepAggs: _*)
   }
 
   /** Random-projection (Johnson–Lindenstrauss) reduction, production
@@ -276,13 +281,18 @@ object Similarity {
     * magnitudes are ≤ dim·2^20 ≈ 2^26 (|x| ≤ 1 embeddings), so a
     * dimOut-term dot stays ≤ 2^56 — inside long range, but NOT exactly
     * representable as double, which is why ranking must compare the LONG,
-    * never a double cast. Returns (id, vec, r: array<long>). */
+    * never a double cast. Returns (id, vec, r: array<long>), plus any
+    * `keepCols` attribute columns denormalized onto the reduced rows —
+    * the filtered-search carry ([[Ivf.assignPortable]]'s keepCols
+    * contract for the RP family). */
   def rpReducePortable(df: DataFrame, idCol: String, vecCol: String,
-                       dimOut: Int = 8, seed: Int = 42): DataFrame = {
+                       dimOut: Int = 8, seed: Int = 42,
+                       keepCols: Seq[String] = Nil): DataFrame = {
     require(dimOut > 0, s"rpReducePortable requires dimOut > 0, got $dimOut")
-    portableProjections(df, idCol, vecCol, dimOut, seed)
-      .select(col("id"), col("vec"),
-        array((0 until dimOut).map(p => col(s"p$p")): _*).as("r"))
+    portableProjections(df, idCol, vecCol, dimOut, seed, keepCols)
+      .select(col("id") +: col("vec") +:
+        array((0 until dimOut).map(p => col(s"p$p")): _*).as("r") +:
+        keepCols.map(col): _*)
   }
 
   /** Reduced-space shortlist + exact rerank over PRECOMPUTED
@@ -407,8 +417,10 @@ object Similarity {
     * corpus-sized projection pass — the expensive half — never re-runs. */
   def rpAppendReduced(reduced: DataFrame, delta: DataFrame,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      dimOut: Int = 8, seed: Int = 42): DataFrame =
-    reduced.unionByName(rpReducePortable(delta, idCol, vecCol, dimOut, seed))
+                      dimOut: Int = 8, seed: Int = 42,
+                      keepCols: Seq[String] = Nil): DataFrame =
+    reduced.unionByName(
+      rpReducePortable(delta, idCol, vecCol, dimOut, seed, keepCols))
 
   /** O(removed) deletion from a stored RP reduced frame — the
     * [[rpAppendReduced]] compliance twin: anti-join the (id, vec, r)
@@ -420,10 +432,18 @@ object Similarity {
 
   def rpProbePortable(reduced: DataFrame, queries: DataFrame, k: Int,
                       shortlist: Int = 20, dimOut: Int = 8, seed: Int = 42,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      filter: Option[Column] = None): DataFrame = {
     require(k > 0 && shortlist >= k,
       s"rpProbePortable requires shortlist >= k > 0, got k=$k shortlist=$shortlist")
-    rpRerank(reduced,
+    // the predicate lands on the stored reduced frame BEFORE the
+    // shortlist ranking — shortlist survivors (and therefore the k
+    // results) are MATCHING survivors, and on a stored layout the
+    // equality rides the reduced frame's parquet scan as a data filter.
+    // A post-shortlist filter would be wrong twice: it under-fills k AND
+    // lets non-matching candidates crowd matching ones out of the
+    // shortlist.
+    rpRerank(filter.map(reduced.filter).getOrElse(reduced),
       rpReducePortable(queries, idCol, vecCol, dimOut, seed), k, shortlist,
       dimOut)
   }

@@ -234,8 +234,8 @@ class HttpQueryServerSpec extends SparkSpec {
       // unfiltered requests still work against the same backend
       assert(postAnn(port, s"""{"vec": $q, "k": 2}""").statusCode() === 200)
     } finally srv.stop()
-    // a backend without filter support rejects instead of silently
-    // ignoring the predicate
+    // a backend whose layout carries no whitelisted attributes rejects
+    // instead of silently ignoring the predicate (whitelist empty)
     val rpRoot = java.nio.file.Files.createTempDirectory("ann_rpf_").toString
     graft.sim.Similarity.rpReducePortable(
         corpus.select("vec_id", "embedding"), "vec_id", "embedding",
@@ -250,8 +250,69 @@ class HttpQueryServerSpec extends SparkSpec {
       val r = postAnn(port2,
         s"""{"vec": $q, "k": 1, "filter": {"col": "tag", "value": "a"}}""")
       assert(r.statusCode() === 400, r.body())
-      assert(r.body().contains("does not support filtered"), r.body())
+      assert(r.body().contains("not filterable"), r.body())
     } finally srv2.stop()
+    // the AnnBackend DEFAULT (a backend that never overrides the filtered
+    // form) still rejects loudly rather than dropping the predicate
+    val bare = new AnnBackend {
+      def dim = 8; def maxK = 10
+      def topK(v: Seq[Float], k: Int): Seq[(Long, Double, Int)] = Seq.empty
+    }
+    val e = intercept[IllegalArgumentException] {
+      bare.topK(Seq.fill(8)(0f), 1, Some(("tag", "a")))
+    }
+    assert(e.getMessage.contains("does not support filtered"))
+  }
+
+  test("POST /ann filtered serving on the RP and flat-PQ backends: " +
+      "whitelisted equality picks the matching planted duplicate") {
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    // two exact copies of query 7 with different tags — the filter must
+    // pick exactly the matching one on every backend
+    val corpus = ((0 until 40).map(i => (i.toLong, vec(i), (i % 2).toString))
+        :+ ((9007L, vec(7), "a")) :+ ((9008L, vec(7), "b")))
+      .toDF("vec_id", "embedding", "tag")
+    val rpRoot = java.nio.file.Files.createTempDirectory("ann_rpfs_").toString
+    graft.sim.Similarity.rpReducePortable(corpus, "vec_id", "embedding",
+        dimOut = 8, seed = 42, keepCols = Seq("tag"))
+      .write.mode("overwrite").parquet(s"$rpRoot/reduced")
+    val rp = AnnRpService.overParquetDir(spark, rpRoot, maxK = 10,
+      shortlist = 42, seed = 42, filterCols = Set("tag"))
+    // flat PQ: grid-free but small alphabet not needed — the planted
+    // EXACT copies rank first under ADC too (identical codes ⇒ identical
+    // score, the maximum)
+    val pqIdx = graft.sim.Pq.buildIndex(corpus, m = 4, codebookSize = 16,
+      keepCols = Seq("tag"))
+    val pqRoot = java.nio.file.Files.createTempDirectory("ann_pqfs_").toString
+    pqIdx.codebooks.write.parquet(s"$pqRoot/codebooks")
+    pqIdx.codes.write.parquet(s"$pqRoot/codes")
+    val pq = AnnFlatPqService.overParquetDir(spark, pqRoot, maxK = 10,
+      filterCols = Set("tag"))
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, None,
+      annBackends = Map("rp" -> rp, "pq" -> pq))
+    val port = srv.start()
+    try {
+      val q = vec(7).mkString("[", ",", "]")
+      for (path <- Seq("/ann/rp", "/ann/pq")) {
+        val ra = postPath(port, path,
+          s"""{"vec": $q, "k": 1, "filter": {"col": "tag", "value": "a"}}""")
+        assert(ra.statusCode() === 200, s"$path: ${ra.body()}")
+        assert(ra.body().contains(""""id":9007"""), s"$path: ${ra.body()}")
+        val rb = postPath(port, path,
+          s"""{"vec": $q, "k": 1, "filter": {"col": "tag", "value": "b"}}""")
+        assert(rb.body().contains(""""id":9008"""), s"$path: ${rb.body()}")
+        val bad = postPath(port, path,
+          s"""{"vec": $q, "k": 1, "filter": {"col": "vec", "value": "x"}}""")
+        assert(bad.statusCode() === 400, s"$path: ${bad.body()}")
+        assert(bad.body().contains("not filterable"), s"$path: ${bad.body()}")
+      }
+    } finally srv.stop()
   }
 
   test("POST /ann/pq over a stored FLAT-PQ index (grid exact-recovery " +

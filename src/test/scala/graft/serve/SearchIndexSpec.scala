@@ -262,6 +262,50 @@ class SearchIndexSpec extends SparkSpec {
     assert(hits.map(_._1).toSet === Set(7L, 9007L), hits.toString)
   }
 
+  test("AnnRpService.compactIndex: streamed small files fold, probes " +
+      "unchanged, uncommitted orphans dropped, replay completes the batch") {
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val seed = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("rp_compact_").toString
+    graft.sim.Similarity.rpReducePortable(seed, "vec_id", "embedding",
+        dimOut = 8, seed = 42)
+      .write.parquet(s"$root/reduced")
+    (0 until 4).foreach { b =>
+      assert(graft.streaming.StreamOps.rpIngestBatch(
+        Seq((100L + b, vec(100 + b))).toDF("vec_id", "embedding"),
+        root, batchId = b, dimOut = 8, seed = 42))
+    }
+    // batch 3 crashed mid-append: data present, marker missing
+    assert(new java.io.File(s"$root/_ledger/batch-3").delete())
+    val filesBefore = parquetFiles(s"$root/reduced").size
+    AnnRpService.compactIndex(spark, root)
+    assert(parquetFiles(s"$root/reduced").size < filesBefore)
+    // replay completes the scrubbed batch (same id, marker was missing)
+    assert(graft.streaming.StreamOps.rpIngestBatch(
+      Seq((103L, vec(103))).toDF("vec_id", "embedding"),
+      root, batchId = 3, dimOut = 8, seed = 42))
+    val expect = graft.sim.Similarity.rpReducePortable(
+      seed.unionByName((0 until 4).map(b => (100L + b, vec(100 + b)))
+        .toDF("vec_id", "embedding")), "vec_id", "embedding",
+      dimOut = 8, seed = 42)
+    assert(spark.read.parquet(s"$root/reduced")
+        .select("id", "r").collect().map(_.toString).toSeq.sorted ===
+      expect.select("id", "r").collect().map(_.toString).toSeq.sorted)
+    // serving over the compacted layout finds a freshly planted twin
+    graft.sim.Similarity.rpReducePortable(
+        Seq((9007L, vec(7))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dimOut = 8, seed = 42)
+      .write.mode("append").parquet(s"$root/reduced")
+    val hits = AnnRpService.overParquetDir(spark, root, maxK = 5,
+      shortlist = 50, seed = 42).topK(vec(7).toIndexedSeq, 2)
+    assert(hits.map(_._1).toSet === Set(7L, 9007L), hits.toString)
+  }
+
   test("bm25RemoveIndex: removed ≡ rebuilt-on-remainder; an empty " +
       "removed doc still decrements n_docs") {
     import graft.text.TextOps

@@ -35,6 +35,32 @@ class PqSpec extends SparkSpec {
     assert(pq.sorted === exact.sorted)
   }
 
+  test("filtered PQ ANN: predicate lands on the code frame before the " +
+      "ADC scan — equals filtered exact top-k in the exact-recovery regime") {
+    val corpus = (0 until 48).map(i => (i.toLong, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "tag")
+    val queries = (100 until 105).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val idx = Pq.buildIndex(corpus, m = 4, codebookSize = 4,
+      keepCols = Seq("tag"))
+    // the attribute rides the thin code rows
+    assert(idx.codes.columns.contains("tag"))
+    val got = Pq.probeTopK(idx, queries, k = 5,
+        filter = Some(col("tag") === 1))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    got.foreach { case (_, c, _, _) =>
+      assert(c % 3 === 1, s"candidate $c violates tag = 1") }
+    val exactScored = corpus.filter(col("tag") === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(VectorExprs.dot(col("qv"), col("cv")), 6))
+    val exact = Similarity.topKExplode(exactScored, "score", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.sorted === exact.sorted)
+  }
+
   test("PQ on clustered data: k rows per query, valid ranks, no self-match, recall ≥ 0.6") {
     // 8 well-separated integer anchors in 16-dim; corpus points jitter by a
     // small deterministic offset, queries sit near anchors

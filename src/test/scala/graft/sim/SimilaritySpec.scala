@@ -280,6 +280,55 @@ class SimilaritySpec extends SparkSpec {
     assert(inMem.nonEmpty)
   }
 
+  test("filtered RP ANN: predicate below the SHORTLIST — at shortlist = " +
+      "|corpus| the k survivors equal brute force over the matching slice") {
+    val tagged = df.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast("int"))
+    val reduced = Similarity.rpReducePortable(tagged, "vec_id", "embedding",
+      dimOut = 8, seed = 42, keepCols = Seq("tag"))
+    val queries = df.filter(col("vec_id") < 5)
+    val got = Similarity.rpProbePortable(reduced, queries, k = 5,
+        shortlist = Int.MaxValue, dimOut = 8, seed = 42,
+        filter = Some(col("tag") === 1))
+      .select("query_id", "cand_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, c, _, _) =>
+      assert(c % 3 === 1, s"candidate $c violates tag = 1") }
+    for (q <- 0L until 5L) {
+      val mine = got.filter(_._1 == q).sortBy(_._4).map(_._2).toSeq
+      val brute = Similarity.bruteForceTopK(
+          tagged.filter(col("tag") === 1 && col("vec_id") =!= q)
+            .select("vec_id", "embedding"),
+          df.filter(col("vec_id") === q), k = 5)
+        .orderBy(col("rank")).select("cand_id").as[Long].collect().toSeq
+      assert(mine === brute, s"query $q: $mine vs brute $brute")
+    }
+  }
+
+  test("filtered RP over a STORED reduced frame: the attribute equality " +
+      "is pushed into the parquet scan as a data filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tagged = df.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp_filt").toString
+    Similarity.rpReducePortable(tagged, "vec_id", "embedding",
+        dimOut = 8, seed = 42, keepCols = Seq("tag"))
+      .write.mode("overwrite").parquet(s"$dir/reduced")
+    val probe = Similarity.rpProbePortable(
+      spark.read.parquet(s"$dir/reduced"), df.filter(col("vec_id") < 3),
+      k = 5, shortlist = 20, dimOut = 8, seed = 42,
+      filter = Some(col("tag") === 1))
+    probe.collect()
+    val scans = allPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.output.exists(_.name == "tag")) // the reduced-frame scan
+    assert(scans.nonEmpty, "no scan over the stored reduced frame found")
+    assert(scans.exists(_.dataFilters.exists(_.references.exists(_.name == "tag"))),
+      s"tag predicate not pushed to the scan; dataFilters: " +
+        s"${scans.map(_.dataFilters).mkString("; ")}")
+  }
+
   test("RP ANN finds every planted duplicate (identical vec ⇒ identical reduction)") {
     val queries = df.filter(col("vec_id") < 10)
     Seq(Similarity.rpTopK(df, queries, k = 5),
