@@ -153,6 +153,26 @@ object Sinks {
     spark.read.parquet(root)
   }
 
+  /** The two-rename versioned-directory swap shared by the in-place
+    * maintenance ops (compaction here, stored-index retrain in
+    * [[graft.serve.AnnService]]): `tmp` must already hold the COMPLETE
+    * replacement; `root` is moved aside, `tmp` moved in, the old
+    * directory deleted. The window where `root` is absent is two
+    * metadata renames wide — a reader opening mid-swap fails loudly
+    * rather than seeing partial data, and a crash mid-swap leaves the
+    * full old or full new directory recoverable. */
+  private[graft] def swapDir(spark: org.apache.spark.sql.SparkSession,
+                             root: String, tmp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(root + "-__old__")
+    f.delete(old, true)
+    require(f.rename(p, old), s"swap failed: could not move $root aside")
+    require(f.rename(t, p), s"swap failed: could not move $tmp into place")
+    f.delete(old, true)
+  }
+
   /** [[compactParquet]] with the [[compactLayoutInPlace]] versioned-dir
     * swap — the in-place compaction for UNPARTITIONED dataset
     * directories (e.g. a stored RP layout's `root/reduced`, which

@@ -393,6 +393,75 @@ object ExtensionQueries {
       threshold = 0.9, bands = 16, rowsPerBand = 4)
   }
 
+  /** Stored near-dup index MERGE certification — the LSH family's
+    * `txt_bm25_merge` analog, hash-green END TO END: the stored
+    * [[graft.serve.NearDupService]] layout is built on the base slice
+    * (doc_id % 10 ≠ 0), the complementary slice APPENDED (O(delta) —
+    * only touched partitions gain files, NearDupIndexSpec pins base-file
+    * identity), and a planted batch of exact copies probed with EXACT
+    * shingle-Jaccard verification at threshold 1.0. Identical shingle
+    * sets have identical MinHash signatures, so every band collides and
+    * LSH recall is GUARANTEED, not probabilistic (the
+    * dd_minhash_verified construction, over a stored layout): any append
+    * defect — a missing delta doc, a torn bucket partition, a
+    * wrong-parameter signature — drops a guaranteed pair and breaks the
+    * hash. */
+  private val ddIndexMerge: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val path = storedIndexPath("ndidx_merge", dir) { out =>
+      graft.serve.NearDupService.buildIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", out)
+      graft.serve.NearDupService.appendDelta(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", out)
+    }
+    val probeBatch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    graft.serve.NearDupService.probeVerified(s, path, probeBatch, docs,
+      "text", "doc_id", threshold = 1.0)
+  }
+
+  /** Stored near-dup index TAKEDOWN certification: same build + append
+    * as [[ddIndexMerge]], then doc_id % 20 = 0 REMOVED
+    * ([[graft.serve.NearDupService.removeFromIndex]] — O(removed)
+    * partition rewrites) and the same exact-copy batch probed at
+    * threshold 1.0. The oracle excludes removed refs, so a resurrected
+    * id (takedown missed a bucket partition) OR an over-delete (a
+    * surviving doc's rows lost in the rewrite) breaks the hash — the
+    * GDPR-takedown guarantee for the dedup tier. */
+  private val ddIndexRemove: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val path = storedIndexPath("ndidx_remove", dir) { out =>
+      graft.serve.NearDupService.buildIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", out)
+      graft.serve.NearDupService.appendDelta(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", out)
+      graft.serve.NearDupService.removeFromIndex(s, out,
+        docs.filter(col("doc_id") % 20 === 0).select("doc_id"), "doc_id")
+    }
+    val probeBatch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    graft.serve.NearDupService.probeVerified(s, path, probeBatch, docs,
+      "text", "doc_id", threshold = 1.0)
+  }
+
+  /** Stored near-dup layout HEALTH audit, hash-green on integer
+    * sufficient statistics: every live doc contributes exactly ONE
+    * bucket row per band, so after build + append (= the full corpus)
+    * each of the 16 bands must hold exactly n_docs rows over n_docs
+    * distinct ids — a drifted band means a torn append, a duplicated
+    * ingest, or a lost partition. Shares [[ddIndexMerge]]'s stored
+    * index (same per-JVM cache key). */
+  private val ddIndexStats: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val path = storedIndexPath("ndidx_merge", dir) { out =>
+      graft.serve.NearDupService.buildIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", out)
+      graft.serve.NearDupService.appendDelta(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", out)
+    }
+    graft.serve.NearDupService.bandStats(s, path).orderBy("band")
+  }
+
   /** Deterministic ~25% corpus downsample — map-only, no shuffle; the
     * same doc_ids survive every run (multiplicative-hash bucket, exactly
     * the w4 split arithmetic, mirrored bit-for-bit in SQL). */
@@ -1704,6 +1773,99 @@ object ExtensionQueries {
       k = 5, nprobe = 8)
   }
 
+  /** O(delta) incremental ingest into the FLAT PQ index, merged ≡
+    * rebuilt ([[graft.sim.Pq.appendToIndex]]) — the last index family
+    * without a hash-certified append: codebooks train on the BASE slice
+    * only (which still carries all 8 grid patterns per subspace, so
+    * exact recovery holds and ADC ≡ exact inner product), the vec_id ≡
+    * 3 mod 5 delta is encoded later against the FROZEN codebooks, and
+    * the probe runs over the merged codes — a wrong appended code
+    * surfaces as a wrong score in the grid brute-force hash. */
+  private val simPqMerge: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val base = grid.filter(col("vec_id") % 5 =!= 3)
+    val delta = grid.filter(col("vec_id") % 5 === 3)
+    val merged = graft.sim.Pq.appendToIndex(
+      graft.sim.Pq.buildIndex(base, m = 4, codebookSize = 8), delta)
+    graft.sim.Pq.probeTopK(merged, grid.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** Quantization-distortion audit ([[graft.sim.Pq.distortionStats]]) —
+    * the PQ tier's retrain trigger as a hash-checked report, certified
+    * against a CLOSED-FORM oracle rather than a replay: codebooks train
+    * on the pure grid (codebookSize = 8 ⇒ exact recovery ⇒ that slice's
+    * reconstruction error is EXACTLY zero), then a copy of the corpus
+    * shifted by +1/4 in every dimension is ingested through the frozen
+    * append path. Each shifted subvector stays nearest its own pattern
+    * (inter-pattern squared gaps are ≥ 1, the shift perturbs any
+    * distance by < 1) and contributes exactly 4 · (1/4)² = 1/4 to its
+    * subspace's SSE — all dyadic, so the oracle computes the audit from
+    * counts alone and the hash certifies the engine measured the drift
+    * the frozen ingest created, per subspace, exactly. */
+  private val simPqDistortion: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val shifted = grid.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.25)).as("embedding"))
+    val idx = graft.sim.Pq.appendToIndex(
+      graft.sim.Pq.buildIndex(grid, m = 4, codebookSize = 8), shifted)
+    graft.sim.Pq.distortionStats(idx, grid.unionByName(shifted))
+  }
+
+  /** Residual-tier quantization-distortion audit
+    * ([[graft.sim.IvfPq.distortionResidualStats]]) — [[simPqDistortion]]'s
+    * IVFADC twin, completing the layout-health pair (cell occupancy
+    * watches the coarse quantizer, this watches the residual codebooks):
+    * both quantizers train on the pure grid (centroids ARE the 8 points
+    * ⇒ residuals are exactly zero ⇒ that slice reconstructs exactly),
+    * then the +1/4-shifted copy is ingested through the frozen path —
+    * each shifted vector keeps its own pattern's cell (integer-grid gap
+    * argument), its residual is exactly 0.25·1⃗, and the zero-trained
+    * codewords reconstruct 0, so it contributes exactly 1/4 per
+    * subspace. Same closed-form oracle as the flat tier — the hash
+    * certifies the engine measured the drift the frozen ingest created
+    * against the FULL (coarse + residual) reconstruction. */
+  private val simIvfpqDistortion: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val shifted = grid.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.25)).as("embedding"))
+    val idx = graft.sim.IvfPq.appendToResidualIndex(
+      graft.sim.IvfPq.buildResidualIndex(grid, nlist = 8, m = 4,
+        codebookSize = 8), shifted)
+    graft.sim.IvfPq.distortionResidualStats(idx, grid.unionByName(shifted))
+  }
+
+  /** Quantizer RETRAIN + migration for the COMPRESSED tier
+    * ([[graft.sim.IvfPq.retrainResidualIndex]]) — [[simIvfRetrain]]'s
+    * IVFADC twin, with the structural difference the compression
+    * forces: PQ codes are lossy, so the raw vectors come from the raw
+    * store while the LIVE ID SET comes from the index itself. The index
+    * is drifted the way steady-state operation drifts it — both
+    * quantizers trained on the base slice only, the vec_id ≡ 3 mod 5
+    * delta appended frozen, AND a takedown sweep (vec_id ≡ 2 mod 7)
+    * removed — then retrained against the full raw store and probed at
+    * nprobe = nlist. The grid corpus keeps the retrained composite
+    * exact (live slice still carries all 8 patterns ⇒ centroids ARE the
+    * points ⇒ score collapses to q·v), so the brute-force-over-LIVE-ids
+    * oracle certifies precisely the part construction can't: the
+    * retrain rebuilt over EXACTLY the live set — an appended id missing
+    * or a removed id resurrected surfaces as a wrong candidate row in
+    * the hash. */
+  private val simIvfpqRetrain: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val base = grid.filter(col("vec_id") % 5 =!= 3)
+    val delta = grid.filter(col("vec_id") % 5 === 3)
+    val drifted = graft.sim.IvfPq.appendToResidualIndex(
+      graft.sim.IvfPq.buildResidualIndex(base, nlist = 8, m = 4,
+        codebookSize = 8),
+      delta)
+    val pruned = graft.sim.IvfPq.removeFromIndex(drifted,
+      grid.filter(col("vec_id") % 7 === 2))
+    val retrained = graft.sim.IvfPq.retrainResidualIndex(pruned, grid,
+      nlist = 8, m = 4, codebookSize = 8)
+    graft.sim.IvfPq.probeResidualTopK(retrained,
+      grid.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+  }
+
   /** O(delta) incremental ingest into the stored RP reduced frame, merged
     * ≡ rebuilt: the base slice's reduced frame is written once, the delta
     * is projected under the same (dimOut, seed) and appended
@@ -2522,6 +2684,10 @@ object ExtensionQueries {
     "sim_ivfpq_rerank" -> simIvfpqRerank,
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
     "sim_ivfpq_merge" -> simIvfpqMerge,
+    "sim_ivfpq_retrain" -> simIvfpqRetrain,
+    "sim_pq_merge" -> simPqMerge,
+    "sim_pq_distortion" -> simPqDistortion,
+    "sim_ivfpq_distortion" -> simIvfpqDistortion,
     "sim_rp_merge" -> simRpMerge,
     "sim_rp_topk" -> simRpTopk,
     "sim_rp_exact" -> simRpExact,
@@ -2549,6 +2715,9 @@ object ExtensionQueries {
     "txt_len_profile" -> txtLenProfile,
     "dd_incremental_neardup" -> ddIncrementalNeardup,
     "dd_index_probe" -> ddIndexProbe,
+    "dd_index_merge" -> ddIndexMerge,
+    "dd_index_remove" -> ddIndexRemove,
+    "dd_index_stats" -> ddIndexStats,
     "emb_semantic_dedup" -> embSemanticDedup,
     "emb_near_dup" -> embNearDup,
     "mm_bytes" -> mmBytes,
@@ -2908,6 +3077,34 @@ object ExtensionQueries {
          | CAST(1.0 AS DOUBLE) AS jaccard
          |FROM ss a JOIN ss b ON a.d = b.d AND a.doc_id < b.doc_id""".stripMargin
 
+  /** Shared digest CTE body of the stored near-dup index oracles — the
+    * [[minhashVerifiedOracle]] construction pointed at a PROBE-vs-INDEX
+    * join: query docs are the planted exact copies (doc_id % 10, re-idd
+    * +100000), index docs the whole corpus (base build ∪ appended
+    * delta), pairs exactly where the canonical sorted-shingle digests
+    * agree. `refWhere` narrows the surviving index side (the takedown
+    * face). */
+  private def ndIndexOracle(refWhere: String): String =
+    raw"""WITH n AS (SELECT doc_id,
+         |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+         |ss AS (SELECT doc_id, md5(CAST(list_sort(list_distinct(
+         |    CASE WHEN len(t) < 5 THEN [t]
+         |    ELSE list_transform(generate_series(1, len(t) - 4),
+         |      i -> substring(t, i, 5)) END)) AS VARCHAR)) AS d
+         |  FROM n)
+         |SELECT q.doc_id + 100000 AS new_id, c.doc_id AS ref_id,
+         | CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM ss q JOIN ss c ON q.d = c.d
+         |WHERE q.doc_id % 10 = 0$refWhere""".stripMargin
+
+  /** Integer sufficient-statistics oracle for the stored near-dup
+    * layout: one bucket row per live doc per band. */
+  private val ndIndexStatsOracle: String =
+    """SELECT CAST(t.band AS INTEGER) AS band,
+      |  (SELECT count(*) FROM documents) AS n_rows,
+      |  (SELECT count(*) FROM documents) AS n_ids
+      |FROM generate_series(0, 15) t(band)""".stripMargin
+
   /** Shared grid-PQ exactness oracle (sim_pq_exact ≡ sim_pq_probe): the
     * integer grid is exact in doubles and the codebook recovers every
     * distinct subvector, so ADC equals the exact inner product and brute
@@ -2927,6 +3124,17 @@ object ExtensionQueries {
       |WHERE rank <= 5""".stripMargin
 
   private val pqGridExactOracle: String = pqGridOracle("")
+
+  /** Closed-form oracle for the quantization-distortion audits
+    * (`sim_pq_distortion`, `sim_ivfpq_distortion`): derived
+    * mathematically rather than replayed — exact-recovery slice 0 SSE,
+    * each +0.25-per-dim shifted vector exactly 4·(1/4)² = 1/4 per
+    * subspace, all dyadic. */
+  private val pqDistortionClosedFormOracle: String =
+    """SELECT CAST(t.j AS INTEGER) AS subspace,
+      |  (SELECT 2*count(*) FROM embeddings) AS n_vecs,
+      |  ROUND(0.25 * (SELECT count(*) FROM embeddings), 6) AS sse
+      |FROM generate_series(0, 3) t(j)""".stripMargin
 
   /** Generated oracle for sim_pq_filtered: the grid-exact brute force
     * with the attribute equality on the candidate set before ranking —
@@ -4757,6 +4965,17 @@ bruteForceCosineOracle,
       // grid, so it must reproduce the same brute force — one shared
       // oracle makes the hash certify the append path
       "sim_ivfpq_merge" -> pqGridExactOracle,
+      // brute force over the LIVE candidate set (the takedown slice
+      // excluded): certifies the retrain's live-id recovery end to end
+      "sim_ivfpq_retrain" -> pqGridOracle(" AND c.vec_id % 7 <> 2"),
+      "sim_pq_merge" -> pqGridExactOracle,
+      // CLOSED-FORM distortion oracle: the exact-recovery grid slice
+      // contributes 0 SSE, each +0.25-shifted vector contributes exactly
+      // 1/4 per subspace (4 dims × 1/16), n_vecs = both slices — shared
+      // verbatim by the flat and residual tiers (the residual face's
+      // zero-trained codewords reconstruct 0, so the error is identical)
+      "sim_pq_distortion" -> pqDistortionClosedFormOracle,
+      "sim_ivfpq_distortion" -> pqDistortionClosedFormOracle,
       // the RP merge face's merged frame must equal the full-corpus
       // reduction — sharing the stored-probe oracle certifies the append
       "sim_rp_merge" -> simRpProbeOracle,
@@ -4766,6 +4985,9 @@ bruteForceCosineOracle,
       // Shared by the K-permutation and OPH+densified candidate families:
       // exact verification makes the output family-independent at 1.0.
       "dd_minhash_verified" -> minhashVerifiedOracle,
+      "dd_index_merge" -> ndIndexOracle(""),
+      "dd_index_remove" -> ndIndexOracle(" AND c.doc_id % 20 <> 0"),
+      "dd_index_stats" -> ndIndexStatsOracle,
       "dd_oph_verified" -> minhashVerifiedOracle,
       "dd_simhash_exact" -> ddSimhashExactOracle,
       "dd_winnow" -> ddWinnowOracle,

@@ -116,6 +116,64 @@ object AnnService {
     graft.io.Sinks.compactLayoutInPlace(spark, s"$root/assigned",
       Seq("cell"), filesPerPartition)
   }
+
+  /** Quantizer retrain + migration of a STORED IVF layout — the
+    * in-place form of [[Ivf.retrainIndex]] a nightly maintenance job
+    * points at a layout root: the drifted index is opened, retrained on
+    * the corpus it itself carries (portable strided centroids + the
+    * one-broadcast-pass reassignment), the NEW layout — centroids plus
+    * the `cell=`-partitioned assigned frame — is fully written to a
+    * sibling version directory, and the two-rename swap puts it live.
+    * The whole ROOT swaps at once (not just one dataset dir): a reader
+    * can never pair new assignments with old centroids, which would
+    * rank cells against the wrong geometry.
+    *
+    * Replay safety mirrors [[compactIndex]]: uncommitted-batch orphans
+    * are scrubbed FIRST (folding them into the untagged retrained
+    * rewrite would double-count their replay), and the `_ledger` is
+    * carried into the new root — the retrained layout already holds
+    * every committed batch's rows, so those batches must keep skipping
+    * on replay. */
+  def retrainIndex(spark: SparkSession, root: String,
+                   nlist: Int = 8, stride: Int = 29): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/assigned"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = rootP.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root + "-__retraining__")
+    f.delete(tmp, true) // a crashed previous attempt
+    val retrained = Ivf.retrainIndex(
+      IvfIndex(spark.read.parquet(s"$root/centroids"),
+        spark.read.parquet(s"$root/assigned")), nlist, stride)
+    retrained.centroids.write.parquet(s"$tmp/centroids")
+    // one shuffle on the partition value co-locates each cell on one
+    // task (compactLayout's mechanics), so the migrated layout lands
+    // COMPACTED — one file per cell, not one per (task × cell); a
+    // nightly job that just retrained need not also compact
+    retrained.assigned.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$tmp/assigned")
+    val ledger = new org.apache.hadoop.fs.Path(s"$root/_ledger")
+    if (f.exists(ledger))
+      org.apache.hadoop.fs.FileUtil.copy(f, ledger, f,
+        new org.apache.hadoop.fs.Path(s"$tmp/_ledger"), false, conf)
+    graft.io.Sinks.swapDir(spark, root, tmp.toString)
+  }
+
+  /** Trigger wired to handler on the stored layout: retrain iff the
+    * balance factor read from the thin `cell` column exceeds
+    * `maxBalance`. Returns whether a migration happened — the nightly
+    * job's unconditional call. */
+  def retrainIndexIfSkewed(spark: SparkSession, root: String,
+                           maxBalance: Double = 2.0,
+                           nlist: Int = 8, stride: Int = 29): Boolean = {
+    val bf = Ivf.balanceFactor(IvfIndex(
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/assigned")))
+    val fire = bf > maxBalance
+    if (fire) retrainIndex(spark, root, nlist, stride)
+    fire
+  }
 }
 
 /** ANN serving over a STORED residual IVF-PQ index (IVFADC — the layout
@@ -239,6 +297,71 @@ object AnnFlatPqService {
     val dim = head.map(r => r.getAs[Int]("m") * r.getAs[Int]("sub")).getOrElse(0)
     new AnnFlatPqService(PqIndex(codebooks, codes), dim, maxK, filterCols)
   }
+
+  /** Index-aware compaction of a stored flat-PQ layout — the
+    * [[AnnRpService.compactIndex]] shape: the code frame is
+    * unpartitioned (every probe ADC-scans the whole thin frame), so
+    * compaction is the plain small-file fold with the versioned-dir
+    * swap; uncommitted-batch orphans are scrubbed first and the
+    * `_ledger` survives. */
+  def compactIndex(spark: SparkSession, root: String,
+                   targetFiles: Int = 1): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/codes"))
+    graft.io.Sinks.compactParquetInPlace(spark, s"$root/codes", targetFiles)
+  }
+
+  /** Codebook retrain + migration of a stored flat-PQ layout —
+    * [[AnnPqService.retrainIndex]] without the coarse tier: live ids
+    * from the stored codes, raw vectors from `rawStore`
+    * ([[Pq.retrainIndex]]'s fail-fast live-slice), fresh codebooks +
+    * re-encoded codes fully written to a sibling version directory,
+    * whole-root swap (codes can never pair with stale codebooks).
+    * Orphan scrub + ledger carry as in the other stored migrations;
+    * the trigger this handles is [[Pq.meanDistortion]]. */
+  def retrainIndex(spark: SparkSession, root: String, rawStore: DataFrame,
+                   m: Int = 4, codebookSize: Int = 16, seed: Long = 42L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/codes"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = rootP.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root + "-__retraining__")
+    f.delete(tmp, true) // a crashed previous attempt
+    val retrained = Pq.retrainIndex(
+      PqIndex(spark.read.parquet(s"$root/codebooks"),
+        spark.read.parquet(s"$root/codes")),
+      rawStore, m, codebookSize, trainFraction = 1.0, seed, idCol, vecCol)
+    retrained.codebooks.write.parquet(s"$tmp/codebooks")
+    retrained.codes.write.parquet(s"$tmp/codes")
+    val ledger = new org.apache.hadoop.fs.Path(s"$root/_ledger")
+    if (f.exists(ledger))
+      org.apache.hadoop.fs.FileUtil.copy(f, ledger, f,
+        new org.apache.hadoop.fs.Path(s"$tmp/_ledger"), false, conf)
+    graft.io.Sinks.swapDir(spark, root, tmp.toString)
+  }
+
+  /** Trigger wired to handler on the stored flat-PQ layout: retrain iff
+    * the mean per-vector squared reconstruction error read from the
+    * layout + raw store exceeds `maxMeanSse` ([[Pq.meanDistortion]] —
+    * the flat tier has no cell occupancy to skew; codebook distortion
+    * is what drifts). Returns whether a migration happened. */
+  def retrainIndexIfDistorted(spark: SparkSession, root: String,
+                              rawStore: DataFrame, maxMeanSse: Double,
+                              m: Int = 4, codebookSize: Int = 16,
+                              seed: Long = 42L, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Boolean = {
+    val md = Pq.meanDistortion(
+      PqIndex(spark.read.parquet(s"$root/codebooks"),
+        spark.read.parquet(s"$root/codes")),
+      rawStore, idCol, vecCol)
+    val fire = md > maxMeanSse
+    if (fire) retrainIndex(spark, root, rawStore, m, codebookSize, seed,
+      idCol, vecCol)
+    fire
+  }
 }
 
 /** ANN serving over a STORED random-projection (JL) index — the RP
@@ -360,5 +483,76 @@ object AnnPqService {
       Seq(s"$root/codes"))
     graft.io.Sinks.compactLayoutInPlace(spark, s"$root/codes",
       Seq("cell"), filesPerPartition)
+  }
+
+  /** Quantizer retrain + migration of a STORED residual IVF-PQ layout —
+    * [[AnnService.retrainIndex]]'s compressed twin, with the structural
+    * difference the compression forces: PQ codes are lossy, so the raw
+    * vectors come from `rawStore` (the store the IVFADC+R rerank tier
+    * keeps next to the index) while the LIVE ID SET comes from the
+    * stored codes ([[IvfPq.retrainResidualIndex]]'s semi-join +
+    * fail-fast coverage guard). Both quantizers retrain; the new
+    * centroids + codebooks + `cell=`-partitioned codes are fully
+    * written to a sibling version directory and the whole root swaps at
+    * once — codes encoded under new codebooks can never pair with old
+    * quantizer artifacts. Orphan scrub + ledger carry as in the flat
+    * form. */
+  def retrainIndex(spark: SparkSession, root: String, rawStore: DataFrame,
+                   nlist: Int = 16, m: Int = 4, codebookSize: Int = 16,
+                   seed: Long = 42L, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/codes"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = rootP.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root + "-__retraining__")
+    f.delete(tmp, true) // a crashed previous attempt
+    val retrained = IvfPq.retrainResidualIndex(
+      IvfPqIndex(spark.read.parquet(s"$root/centroids"),
+        spark.read.parquet(s"$root/codebooks"),
+        spark.read.parquet(s"$root/codes")),
+      rawStore, nlist, m, codebookSize, trainFraction = 1.0, seed,
+      idCol, vecCol)
+    retrained.centroids.write.parquet(s"$tmp/centroids")
+    retrained.codebooks.write.parquet(s"$tmp/codebooks")
+    // cell-repartitioned write: the migrated layout lands compacted
+    // (one file per cell — see AnnService.retrainIndex)
+    retrained.codes.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$tmp/codes")
+    val ledger = new org.apache.hadoop.fs.Path(s"$root/_ledger")
+    if (f.exists(ledger))
+      org.apache.hadoop.fs.FileUtil.copy(f, ledger, f,
+        new org.apache.hadoop.fs.Path(s"$tmp/_ledger"), false, conf)
+    graft.io.Sinks.swapDir(spark, root, tmp.toString)
+  }
+
+  /** Trigger wired to handler on the stored residual layout — EITHER
+    * health signal fires the one migration that fixes both: coarse-cell
+    * occupancy skew ([[IvfPq.balanceFactor]], read from the thin cell
+    * column alone) or residual-codebook distortion
+    * ([[IvfPq.meanResidualDistortion]], measured against the raw store;
+    * pass `maxMeanSse = Double.MaxValue` to skip the store pass on
+    * nights occupancy alone should decide). Returns whether a
+    * migration happened. */
+  def retrainIndexIfUnhealthy(spark: SparkSession, root: String,
+                              rawStore: DataFrame,
+                              maxBalance: Double = 2.0,
+                              maxMeanSse: Double = Double.MaxValue,
+                              nlist: Int = 16, m: Int = 4,
+                              codebookSize: Int = 16, seed: Long = 42L,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Boolean = {
+    def opened() = IvfPqIndex(
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/codebooks"),
+      spark.read.parquet(s"$root/codes"))
+    val fire = IvfPq.balanceFactor(opened()) > maxBalance ||
+      (maxMeanSse != Double.MaxValue &&
+        IvfPq.meanResidualDistortion(opened(), rawStore, idCol, vecCol)
+          > maxMeanSse)
+    if (fire) retrainIndex(spark, root, rawStore, nlist, m, codebookSize,
+      seed, idCol, vecCol)
+    fire
   }
 }

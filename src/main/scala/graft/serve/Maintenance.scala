@@ -1,0 +1,105 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The nightly maintenance job, as ONE composed call per stored index
+  * family — the entry point every lifecycle scaladoc in this repo
+  * gestures at ("the call a nightly maintenance job makes
+  * unconditionally"), with the ordering knowledge baked in so an
+  * operator cannot get it wrong:
+  *
+  *   1. uncommitted-batch orphans are scrubbed (inside each op — a
+  *      crashed micro-batch's files must never be folded into an
+  *      untagged rewrite, or its replay double-counts);
+  *   2. the family's health trigger decides a RETRAIN migration
+  *      (occupancy skew for cell-partitioned tiers, reconstruction
+  *      distortion for the flat-PQ tier; RP's projection is
+  *      (dimOut, seed)-defined — nothing trains, so nothing drifts —
+  *      and BM25's postings have no quantizer at all);
+  *   3. compaction runs ONLY when no migration happened: the retrain
+  *      migrations write cell-repartitioned layouts, so a migrated
+  *      index is already one-file-per-cell and a second full rewrite
+  *      would be pure waste — at 100 TB, skipping it is the point.
+  *
+  * Each method returns whether a retrain migration happened (false ⇒
+  * the layout was compacted instead). Thresholds deliberately have NO
+  * defaults hidden here beyond the underlying ops' — the nightly job is
+  * where an operator states their policy. */
+object Maintenance {
+
+  /** Flat IVF layout (`root/centroids` + `root/assigned`):
+    * retrain-if-skewed, else compact. */
+  def nightlyIvf(spark: SparkSession, root: String,
+                 maxBalance: Double = 2.0,
+                 nlist: Int = 8, stride: Int = 29,
+                 filesPerPartition: Int = 1): Boolean = {
+    val retrained = AnnService.retrainIndexIfSkewed(spark, root,
+      maxBalance, nlist, stride)
+    if (!retrained) AnnService.compactIndex(spark, root, filesPerPartition)
+    retrained
+  }
+
+  /** Residual IVF-PQ layout (`root/centroids` + `root/codebooks` +
+    * `root/codes`): retrain when EITHER health signal fires (occupancy
+    * skew, or — when `maxMeanSse` is finite — codebook distortion
+    * against the raw store), else compact. */
+  def nightlyIvfPq(spark: SparkSession, root: String, rawStore: DataFrame,
+                   maxBalance: Double = 2.0,
+                   maxMeanSse: Double = Double.MaxValue,
+                   nlist: Int = 16, m: Int = 4, codebookSize: Int = 16,
+                   seed: Long = 42L,
+                   filesPerPartition: Int = 1): Boolean = {
+    val retrained = AnnPqService.retrainIndexIfUnhealthy(spark, root,
+      rawStore, maxBalance, maxMeanSse, nlist, m, codebookSize, seed)
+    if (!retrained) AnnPqService.compactIndex(spark, root, filesPerPartition)
+    retrained
+  }
+
+  /** Flat-PQ layout (`root/codebooks` + `root/codes`): retrain when the
+    * mean reconstruction error exceeds `maxMeanSse`, then compact
+    * either way — the flat code frame is unpartitioned and the
+    * migration write keeps the encode plan's partitioning, so the fold
+    * is useful even after a retrain. */
+  def nightlyPq(spark: SparkSession, root: String, rawStore: DataFrame,
+                maxMeanSse: Double,
+                m: Int = 4, codebookSize: Int = 16, seed: Long = 42L,
+                targetFiles: Int = 1): Boolean = {
+    val retrained = AnnFlatPqService.retrainIndexIfDistorted(spark, root,
+      rawStore, maxMeanSse, m, codebookSize, seed)
+    AnnFlatPqService.compactIndex(spark, root, targetFiles)
+    retrained
+  }
+
+  /** RP layout (`root/reduced`): compaction only — the projection is
+    * identified by (dimOut, seed), nothing is trained, so there is no
+    * quantizer to drift and no retrain to trigger. Always returns
+    * false. */
+  def nightlyRp(spark: SparkSession, root: String,
+                targetFiles: Int = 1): Boolean = {
+    AnnRpService.compactIndex(spark, root, targetFiles)
+    false
+  }
+
+  /** BM25 layout (`root/postings` + `root/stats`): compaction only —
+    * postings carry no quantizer; the streamed per-batch stats deltas
+    * fold to one row and term buckets fold to `filesPerPartition`
+    * files. Always returns false. */
+  def nightlyBm25(spark: SparkSession, root: String,
+                  filesPerPartition: Int = 1): Boolean = {
+    SearchService.compactIndex(spark, root, filesPerPartition)
+    false
+  }
+
+  /** Near-dup signature layout (`root/signatures` + `root/buckets`):
+    * compaction only — the banding parameters are the index identity
+    * (like RP's (dimOut, seed)), nothing is trained, so there is no
+    * quantizer to drift; the health number a nightly job should still
+    * read is [[NearDupService.bucketStats]]' worst occupancy, whose
+    * remedy is corpus hygiene (exact-dedup before ingest), not a
+    * migration. Always returns false. */
+  def nightlyNearDup(spark: SparkSession, root: String,
+                     filesPerPartition: Int = 1): Boolean = {
+    NearDupService.compactIndex(spark, root, filesPerPartition)
+    false
+  }
+}

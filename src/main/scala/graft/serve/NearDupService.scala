@@ -1,0 +1,364 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** STORED near-duplicate index — the MinHash-LSH family brought to the
+  * same uniform stored-layout lifecycle as the ANN tiers
+  * ([[AnnService]]…) and the BM25 tier ([[SearchService]]): build →
+  * O(delta) append → O(removed) delete → replay-safe streaming ingest →
+  * partition-preserving compaction → occupancy audit, all over ONE
+  * on-disk layout every op understands.
+  *
+  * Layout under `root`:
+  *   - `meta`        — one row (bands, rows_per_band, shingle_k). The
+  *                     index is SELF-DESCRIBING: probes and appends read
+  *                     their banding parameters from here, so the
+  *                     mixed-width-index failure mode
+  *                     ([[Dedup.requireIndexWidth]]) cannot be reached
+  *                     through this API at all.
+  *   - `signatures`  — (id, sig: array<bigint>) partitioned by
+  *                     `idgrp = pmod(xxhash64(id), 64)`; the verification
+  *                     source and the recovery source for deletes.
+  *   - `buckets`     — (band, bucket, id) partitioned by
+  *                     `bgrp = pmod(bucket, 64)`; the THIN banded rows a
+  *                     probe joins against. Thin by design: denormalizing
+  *                     the 64-long signature into every band row would
+  *                     multiply index storage by `bands` — at 100 TB the
+  *                     bucket rows must stay ~20 bytes.
+  *   - `_ledger`     — [[graft.streaming.BatchCommit]] markers for the
+  *                     streamed batches.
+  *
+  * Probe cost model (the reason this exists next to
+  * [[Dedup.incrementalNearDups]], which scans the WHOLE signature index
+  * per batch): the delta's bucket rows land in at most
+  * `min(delta·bands, 64)` `bgrp` partitions, those values are collected
+  * (≤ 64-row driver cost) and pushed as an `isin` partition filter, so
+  * the stored bucket scan reads ONLY matching partitions; candidate
+  * signatures are then fetched through the same ≤ 64-value `idgrp`
+  * pruning on the signatures scan. A small delta probes a large index
+  * touching a bounded fraction of it — O(delta + matched partitions),
+  * never O(index).
+  *
+  * Reference analog: the refresh cadence of `dag1.py` (full
+  * truncate-and-reload) re-expressed as an incremental stored index, the
+  * same relationship [[SearchService.appendDelta]] has to its rebuild. */
+object NearDupService {
+
+  /** 64-way partition groups: wide enough that a delta's rewrite/append
+    * touches a small fraction of a big layout, small enough that the
+    * driver-side collected group lists stay trivially bounded. */
+  private val Groups = 64
+
+  private def idGrp(id: Column): Column =
+    pmod(xxhash64(id), lit(Groups.toLong)).cast("int")
+  private def bGrp(bucket: Column): Column =
+    pmod(bucket, lit(Groups.toLong)).cast("int")
+
+  /** The banded (band, bucket, id, bgrp) rows of a signature frame —
+    * shared by build, append, streaming ingest and the probe's delta
+    * side, so all four hash buckets identically. */
+  private def bucketRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("__bb.band").as("band"),
+        col("__bb.bucket").as("bucket"))
+      .withColumn("bgrp", bGrp(col("bucket")))
+
+  private def withBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"),
+      Dedup.bandBuckets(col("sig"), bands, rowsPerBand).as("__bb"))
+
+  /** (bands, rowsPerBand, shingleK) of a stored layout. */
+  def readMeta(spark: SparkSession, root: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$root/meta").collect()(0)
+    (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+      r.getAs[Int]("shingle_k"))
+  }
+
+  /** Full build of the stored layout. The signature computation is
+    * [[Dedup.minHashSignatures]] verbatim (shared construction — index
+    * compatibility with the in-memory operators is by identity, not by
+    * convention). */
+  def buildIndex(df: DataFrame, textCol: String, idCol: String, root: String,
+                 bands: Int = 16, rowsPerBand: Int = 4,
+                 shingleK: Int = 5): Unit = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands/rowsPerBand must be > 0, got $bands/$rowsPerBand")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = Dedup.minHashSignatures(df, textCol, idCol,
+      bands * rowsPerBand, shingleK)
+    sigs.withColumn("idgrp", idGrp(col("id")))
+      .write.mode("overwrite").partitionBy("idgrp")
+      .parquet(s"$root/signatures")
+    bucketRows(withBands(spark.read.parquet(s"$root/signatures"),
+        bands, rowsPerBand))
+      .write.mode("overwrite").partitionBy("bgrp").parquet(s"$root/buckets")
+    Seq((bands, rowsPerBand, shingleK))
+      .toDF("bands", "rows_per_band", "shingle_k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** O(delta + touched partitions) incremental ingest: delta signatures
+    * APPEND as new files into only the `idgrp` partitions the delta's
+    * ids hash to, delta bucket rows into only the `bgrp` partitions its
+    * buckets hash to (dynamic partitionBy append — base files are never
+    * rewritten, never read). Banding parameters come from the stored
+    * meta, so an append can never widen or narrow the index.
+    *
+    * PRECONDITION (the [[SearchService.appendDelta]] posture): delta ids
+    * are NEW — re-ingesting a live id leaves two signature rows for it
+    * and the probe would report both. Use [[removeFromIndex]] first for
+    * updates. */
+  def appendDelta(df: DataFrame, textCol: String, idCol: String,
+                  root: String): Unit = {
+    val spark = df.sparkSession
+    val (bands, rowsPerBand, shingleK) = readMeta(spark, root)
+    val sigs = Dedup.minHashSignatures(df, textCol, idCol,
+      bands * rowsPerBand, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.withColumn("idgrp", idGrp(col("id")))
+        .write.mode("append").partitionBy("idgrp").parquet(s"$root/signatures")
+      bucketRows(withBands(sigs, bands, rowsPerBand))
+        .write.mode("append").partitionBy("bgrp").parquet(s"$root/buckets")
+    } finally sigs.unpersist()
+  }
+
+  /** Signature-estimate probe of a new batch against the stored index —
+    * value-identical to [[Dedup.incrementalNearDups]] over the same
+    * corpus and parameters (spec-pinned), but paying only the matched
+    * partitions of the stored layout instead of a full index scan:
+    * returns (new_id, ref_id, est_jaccard), est = signature agreement
+    * fraction, pairs with est ≥ threshold, self-pairs excluded. */
+  def probe(spark: SparkSession, root: String, newBatch: DataFrame,
+            textCol: String, idCol: String, threshold: Double = 0.7,
+            maxBucketOccupancy: Long = 100000L): DataFrame = {
+    require(threshold > 0, "probe requires a positive threshold")
+    val (bands, rowsPerBand, shingleK) = readMeta(spark, root)
+    val numHashes = bands * rowsPerBand
+    val deltaSigs = Dedup.minHashSignatures(newBatch, textCol, idCol,
+        numHashes, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = bucketRows(withBands(deltaSigs, bands, rowsPerBand))
+        .withColumnRenamed("id", "new_id")
+      graft.util.Guards.checkBucketOccupancy(d, Seq("band", "bucket"),
+        maxBucketOccupancy, "NearDupService.probe",
+        "exact-dedup the batch first to collapse identical documents")
+      // ≤ 64-row collect → static partition pruning on the stored scan
+      val grps = d.select("bgrp").distinct()
+        .collect().map(_.getInt(0)).sorted.map(Int.box)
+      if (grps.isEmpty) return deltaSigs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("new_id"), lit(0L).as("ref_id"),
+          lit(0.0).as("est_jaccard")).limit(0)
+      val refBuckets = spark.read.parquet(s"$root/buckets")
+        .filter(col("bgrp").isin(grps: _*))
+      graft.util.Guards.checkBucketOccupancy(refBuckets,
+        Seq("band", "bucket"), maxBucketOccupancy,
+        "NearDupService.probe(stored index)",
+        "exact-dedup the corpus before indexing it")
+      val cand = d.join(refBuckets.select(col("band"), col("bucket"),
+            col("id").as("ref_id")),
+          Seq("band", "bucket"))
+        .select(col("new_id"), col("ref_id"))
+        .dropDuplicates("new_id", "ref_id")
+        .filter(col("new_id") =!= col("ref_id"))
+        .withColumn("idgrp", idGrp(col("ref_id")))
+      // candidate idgrps are computable from ref_id — ≤ 64-row collect
+      // prunes the signatures scan the same way
+      val idgrps = cand.select("idgrp").distinct()
+        .collect().map(_.getInt(0)).sorted.map(Int.box)
+      val refSigs =
+        if (idgrps.isEmpty)
+          spark.read.parquet(s"$root/signatures").limit(0)
+        else spark.read.parquet(s"$root/signatures")
+          .filter(col("idgrp").isin(idgrps: _*))
+      val agree = size(filter(zip_with(col("__dsig"), col("sig"),
+        (x, y) => x === y), e => e))
+      cand.join(deltaSigs.select(col("id").as("new_id"),
+          col("sig").as("__dsig")), Seq("new_id"))
+        .join(refSigs.select(col("idgrp"), col("id").as("ref_id"),
+          col("sig")), Seq("idgrp", "ref_id"))
+        .withColumn("est_jaccard", round(
+          agree.cast("double") / numHashes, 6))
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("new_id"), col("ref_id"), col("est_jaccard"))
+        .localCheckpoint(true) // materialize before releasing deltaSigs
+    } finally deltaSigs.unpersist()
+  }
+
+  /** Exact-verified probe: LSH candidates from the stored buckets, then
+    * EXACT shingle-Jaccard between the batch's text and the candidate
+    * documents' text from `refDocs` (the document store — the index
+    * holds signatures, not text). Returns (new_id, ref_id, jaccard) with
+    * exact jaccard ≥ threshold. At `threshold = 1.0` recall is
+    * GUARANTEED, not probabilistic: identical shingle sets have
+    * identical signatures, so every band collides — the property the
+    * hash-certified registry faces stand on. */
+  def probeVerified(spark: SparkSession, root: String, newBatch: DataFrame,
+                    refDocs: DataFrame, textCol: String, idCol: String,
+                    threshold: Double = 0.7,
+                    maxBucketOccupancy: Long = 100000L): DataFrame = {
+    require(threshold > 0, "probeVerified requires a positive threshold")
+    val (bands, rowsPerBand, shingleK) = readMeta(spark, root)
+    val deltaSigs = Dedup.minHashSignatures(newBatch, textCol, idCol,
+        bands * rowsPerBand, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = bucketRows(withBands(deltaSigs, bands, rowsPerBand))
+        .withColumnRenamed("id", "new_id")
+      graft.util.Guards.checkBucketOccupancy(d, Seq("band", "bucket"),
+        maxBucketOccupancy, "NearDupService.probeVerified",
+        "exact-dedup the batch first to collapse identical documents")
+      val grps = d.select("bgrp").distinct()
+        .collect().map(_.getInt(0)).sorted.map(Int.box)
+      val refBuckets = spark.read.parquet(s"$root/buckets")
+        .filter(col("bgrp").isin(grps: _*))
+      val cand = d.join(refBuckets.select(col("band"), col("bucket"),
+            col("id").as("ref_id")), Seq("band", "bucket"))
+        .select(col("new_id"), col("ref_id"))
+        .dropDuplicates("new_id", "ref_id")
+        .filter(col("new_id") =!= col("ref_id"))
+      val newText = newBatch.select(col(idCol).as("new_id"),
+        col(textCol).as("__new_text"))
+      val refText = refDocs.select(col(idCol).as("ref_id"),
+        col(textCol).as("__ref_text"))
+      cand.join(newText, Seq("new_id"))
+        .join(refText, Seq("ref_id"))
+        .withColumn("jaccard", round(Dedup.shingleJaccard(
+          col("__new_text"), col("__ref_text"), shingleK), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("new_id"), col("ref_id"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally deltaSigs.unpersist()
+  }
+
+  /** O(removed + touched partitions) takedown: the removed ids'
+    * signatures are recovered from the PRUNED signatures scan (their
+    * `idgrp`s are computable from the ids — ≤ 64-value partition
+    * filter), their bucket rows re-derived with the stored banding, and
+    * ONLY the touched `idgrp`/`bgrp` partitions are rewritten without
+    * the removed rows (staging write + per-partition swap — untouched
+    * partitions keep their physical files, spec-pinned). Uncommitted
+    * streamed-batch orphans are scrubbed first: the rewrites are
+    * untagged, and folding a partial batch in would double-count on its
+    * replay. */
+  def removeFromIndex(spark: SparkSession, root: String,
+                      removedIds: DataFrame, idCol: String = "id"): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/signatures", s"$root/buckets"))
+    val (bands, rowsPerBand, _) = readMeta(spark, root)
+    val ids = removedIds.select(col(idCol).as("id"))
+      .dropDuplicates("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idgrps = ids.select(idGrp(col("id")).as("idgrp")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (idgrps.isEmpty) return
+      val idgrpLit = idgrps.map(Int.box)
+      val sigScan = spark.read.parquet(s"$root/signatures")
+        .filter(col("idgrp").isin(idgrpLit: _*))
+      // the removed rows' buckets — recovered, not guessed
+      val removedSigs = sigScan.join(broadcast(ids), Seq("id"), "left_semi")
+      val bgrps = bucketRows(withBands(removedSigs, bands, rowsPerBand))
+        .select("bgrp").distinct().collect().map(_.getInt(0)).sorted
+      rewritePartitions(spark, s"$root/signatures", "idgrp", idgrps,
+        sigScan.join(broadcast(ids), Seq("id"), "left_anti"))
+      if (bgrps.nonEmpty) {
+        val bgrpLit = bgrps.map(Int.box)
+        val bScan = spark.read.parquet(s"$root/buckets")
+          .filter(col("bgrp").isin(bgrpLit: _*))
+        rewritePartitions(spark, s"$root/buckets", "bgrp", bgrps,
+          bScan.join(broadcast(ids), Seq("id"), "left_anti"))
+      }
+    } finally ids.unpersist()
+  }
+
+  /** Staging write + per-partition directory swap shared by the delete
+    * path: `replacement` must hold the COMPLETE new contents of exactly
+    * the `touched` partitions (it may legitimately lose a partition
+    * entirely — then the live dir is just deleted). */
+  private def rewritePartitions(spark: SparkSession, dir: String,
+                                partCol: String, touched: Seq[Int],
+                                replacement: DataFrame): Unit = {
+    val staging = s"$dir-__rewrite__"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    fs.delete(stagingPath, true)
+    replacement.write.partitionBy(partCol).parquet(staging)
+    touched.foreach { g =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$g")
+      val fresh = new org.apache.hadoop.fs.Path(s"$staging/$partCol=$g")
+      fs.delete(live, true)
+      if (fs.exists(fresh))
+        require(fs.rename(fresh, live), s"swap failed for $partCol=$g")
+    }
+    fs.delete(stagingPath, true)
+  }
+
+  /** Index-aware compaction: both partitioned dirs fold to
+    * `filesPerPartition` files per group WITH their partitioning (and
+    * probe pruning) intact; the `_ledger` survives so pre-compaction
+    * streamed batches keep skipping on replay. */
+  def compactIndex(spark: SparkSession, root: String,
+                   filesPerPartition: Int = 1): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/signatures", s"$root/buckets"))
+    graft.io.Sinks.compactLayoutInPlace(spark, s"$root/signatures",
+      Seq("idgrp"), filesPerPartition)
+    graft.io.Sinks.compactLayoutInPlace(spark, s"$root/buckets",
+      Seq("bgrp"), filesPerPartition)
+  }
+
+  /** One streamed micro-batch's staged layout write — the body of
+    * [[graft.streaming.StreamOps.nearDupIngestStream]] (kept here so the
+    * partition-group hashing stays private to the layout). Writes the
+    * batch's signatures and bucket rows under `staging` with the SAME
+    * partitioning as the live dirs and returns the move pairs for
+    * [[graft.streaming.BatchCommit.runOnce]]. */
+  private[graft] def writeStagedBatch(batch: DataFrame, textCol: String,
+                                      idCol: String, staging: String,
+                                      root: String, bands: Int,
+                                      rowsPerBand: Int, shingleK: Int)
+                                     : Seq[(String, String)] = {
+    val sigs = Dedup.minHashSignatures(batch, textCol, idCol,
+        bands * rowsPerBand, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.withColumn("idgrp", idGrp(col("id")))
+        .write.partitionBy("idgrp").parquet(s"$staging/signatures")
+      bucketRows(withBands(sigs, bands, rowsPerBand))
+        .write.partitionBy("bgrp").parquet(s"$staging/buckets")
+    } finally sigs.unpersist()
+    Seq(s"$staging/signatures" -> s"$root/signatures",
+      s"$staging/buckets" -> s"$root/buckets")
+  }
+
+  /** Per-band layout audit — integer sufficient statistics of the stored
+    * layout (each live doc contributes exactly one bucket row per band,
+    * so `n_rows` = `n_ids` = live corpus size in EVERY band; a drifted
+    * band means a torn append or delete). One thin aggregate over the
+    * (band, id) columns. */
+  def bandStats(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/buckets")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("id")).as("n_ids"))
+
+  /** Occupancy audit of the stored buckets — the [[Ivf.cellStats]]
+    * analog: the worst (band, bucket) occupancy and the mean, the number
+    * a nightly job reads to decide the corpus needs exact-dedup before
+    * more ingest (nothing is trained here, so unlike the ANN tiers the
+    * remedy is corpus hygiene, not retraining). */
+  def bucketStats(spark: SparkSession, root: String): DataFrame = {
+    val occ = spark.read.parquet(s"$root/buckets")
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+    occ.agg(count(lit(1)).as("n_buckets"),
+      sum(col("occ")).as("n_rows"),
+      max(col("occ")).as("occ_max"),
+      round(avg(col("occ")), 6).as("occ_avg"))
+  }
+}

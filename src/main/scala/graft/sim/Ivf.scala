@@ -335,9 +335,13 @@ object Ivf {
     * grows as ingest drifts away from the frozen quantizer) — the
     * scalar form of [[cellStats]] for the retrain trigger. One-row
     * collect over the thin cell column. */
-  def balanceFactor(index: IvfIndex): Double = {
-    val nlist = index.centroids.count()
-    val r = cellStats(index.assigned)
+  def balanceFactor(index: IvfIndex): Double =
+    balanceFactorOf(index.centroids.count(), index.assigned)
+
+  /** The scalar shared with the compressed tier
+    * ([[IvfPq.balanceFactor]] — the codes schema carries `cell` too). */
+  private[sim] def balanceFactorOf(nlist: Long, assigned: DataFrame): Double = {
+    val r = cellStats(assigned)
       .select(col("n_total"), col("n_max")).limit(1).collect()(0)
     if (r.getLong(0) == 0L) 1.0
     else r.getLong(1).toDouble * nlist / r.getLong(0)

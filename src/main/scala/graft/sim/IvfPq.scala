@@ -232,6 +232,147 @@ object IvfPq {
         broadcast(removedIds.select(col(idCol).as("cand_id"))),
         Seq("cand_id"), "left_anti"))
 
+  /** Live corpus recovery for the retrain family: the raw store
+    * restricted to the ids the index currently holds. The code frame is
+    * LOSSY (m small ints per vector), so — unlike the flat IVF family,
+    * whose assigned frame carries every raw vector — the corpus cannot
+    * be reconstructed from the index; what the index DOES hold
+    * authoritatively is the LIVE ID SET (every [[appendToIndex]] /
+    * [[appendToResidualIndex]] ingest and every [[removeFromIndex]]
+    * takedown is reflected in `codes`). One id semi-join against the
+    * raw store — the same store the IVFADC+R rerank tier
+    * ([[probeResidualRerankTopK]]) already keeps next to the index —
+    * paid once per migration, never per probe.
+    *
+    * FAIL FAST, twice: attribute columns the index denormalizes must
+    * exist in the raw store (they are re-denormalized by the rebuild),
+    * and the live slice must cover the id set EXACTLY — a gapped raw
+    * store would silently drop documents from the retrained index, and
+    * duplicate store ids would duplicate them (the two O(n) counts are
+    * migration-time cost, not probe-time). */
+  private def liveSlice(index: IvfPqIndex, rawStore: DataFrame,
+                        idCol: String): (DataFrame, Seq[String]) = {
+    val attrs = extraCols(index.codes)
+    (Pq.liveSlice(index.codes, attrs, rawStore, idCol), attrs)
+  }
+
+  /** Quantizer RETRAIN + migration for the RESIDUAL (IVFADC) index — the
+    * [[Ivf.retrainIndex]] handler for the compressed tier's
+    * balance-factor trigger: months of frozen-quantizer ingest drift the
+    * data away from both the coarse centroids (probe-latency skew — one
+    * hot cell) and the residual codebooks (ADC distortion creep); the
+    * remedy retrains BOTH on the current live corpus. Live ids come from
+    * the index, raw vectors from the raw store ([[liveSlice]] — codes
+    * are lossy), then one fresh [[buildResidualIndex]] over that slice;
+    * attribute columns (filtered-ANN keepCols) are re-denormalized from
+    * the store. Retrained ≡ built-fresh-on-live-corpus BY CONSTRUCTION;
+    * what needs certifying is the live-set recovery, and the
+    * `sim_ivfpq_retrain` face does exactly that — it drifts an index
+    * with an append AND a removal before retraining, so a wrong live set
+    * surfaces as a missing/extra candidate in the grid-exact hash.
+    * IvfPqSpec pins that a skewed balance factor drops. */
+  def retrainResidualIndex(index: IvfPqIndex, rawStore: DataFrame,
+                           nlist: Int = 16, m: Int = 4, codebookSize: Int = 16,
+                           trainFraction: Double = 1.0, seed: Long = 42L,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): IvfPqIndex = {
+    val (live, attrs) = liveSlice(index, rawStore, idCol)
+    buildResidualIndex(live, nlist, m, codebookSize, idCol, vecCol,
+      trainFraction, seed, keepCols = attrs)
+  }
+
+  /** [[retrainResidualIndex]] for the FLAT form ([[buildIndex]]'s raw
+    * PQ codes) — same live-set recovery, same fail-fast contract. */
+  def retrainIndex(index: IvfPqIndex, rawStore: DataFrame,
+                   nlist: Int = 16, m: Int = 4, codebookSize: Int = 16,
+                   trainFraction: Double = 1.0, seed: Long = 42L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): IvfPqIndex = {
+    val (live, attrs) = liveSlice(index, rawStore, idCol)
+    buildIndex(live, nlist, m, codebookSize, idCol, vecCol,
+      trainFraction, seed, keepCols = attrs)
+  }
+
+  /** Balance factor `n_max · nlist / n_total` of the coarse partitioning
+    * (ideal 1; grows as frozen-quantizer ingest drifts) — the retrain
+    * trigger, read from only the thin `cell` column of the code frame
+    * ([[Ivf.cellStats]] machinery; the codes schema carries `cell`). */
+  def balanceFactor(index: IvfPqIndex): Double =
+    Ivf.balanceFactorOf(index.centroids.count(), index.codes)
+
+  /** Trigger wired to handler for the residual tier: retrain iff the
+    * balance factor exceeds `maxBalance` — the call a nightly
+    * maintenance job makes unconditionally ([[Ivf.retrainIfSkewed]]'s
+    * twin; the raw store rides along because codes are lossy). */
+  def retrainResidualIfSkewed(index: IvfPqIndex, rawStore: DataFrame,
+                              maxBalance: Double = 2.0,
+                              nlist: Int = 16, m: Int = 4,
+                              codebookSize: Int = 16,
+                              trainFraction: Double = 1.0, seed: Long = 42L,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): IvfPqIndex =
+    if (balanceFactor(index) > maxBalance)
+      retrainResidualIndex(index, rawStore, nlist, m, codebookSize,
+        trainFraction, seed, idCol, vecCol)
+    else index
+
+  /** Quantization-distortion audit for the RESIDUAL (IVFADC) index —
+    * [[Pq.distortionStats]]'s compressed-tier twin and the second half
+    * of the layout-health pair ([[Ivf.cellStats]] watches the coarse
+    * quantizer's occupancy; this watches the residual codebooks'
+    * reconstruction error, which frozen-quantizer ingest silently grows
+    * as data drifts — ADC scores degrade with no visible failure): per
+    * subspace, the vector count and Σ|v_j − (centroid(cell)_j + r̂_j)|²
+    * (round-6) — the error against the FULL reconstruction, coarse +
+    * residual codeword. Needs the raw store (codes can't measure their
+    * own error; [[Pq.liveSlice]]'s fail-fast contract applies); one
+    * broadcast join per quantizer artifact over the melted rows — a
+    * maintenance-window pass. `sim_ivfpq_distortion` hash-certifies it
+    * against the same closed-form oracle as the flat tier (zero-residual
+    * slice contributes 0, the dyadically shifted slice exactly
+    * 0.0625·sub per vector per subspace). */
+  def distortionResidualStats(index: IvfPqIndex, rawStore: DataFrame,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val geo = Pq.codebookGeometry(index.codebooks)
+    val attrs = extraCols(index.codes)
+    val withVec = Pq.liveSlice(index.codes, attrs, rawStore, idCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .join(index.codes.select(col("cand_id") +: col("cell") +:
+        (0 until geo.m).map(j => col(s"__c$j")): _*), "cand_id")
+      .join(broadcast(index.centroids), Seq("cell"))
+    val melted = withVec.select(col("cvec"), col("cent"),
+      posexplode(array((0 until geo.m).map(j => col(s"__c$j")): _*))
+        .as(Seq("__j", "__code")))
+    val start = col("__j") * geo.sub + lit(1)
+    val residual = VectorExprs.sub(
+      slice(col("cvec"), start, lit(geo.sub)),
+      slice(col("cent"), start, lit(geo.sub)))
+    val diff = VectorExprs.sub(residual, col("__cent"))
+    melted
+      .join(broadcast(index.codebooks.select(col("__j"), col("__code"),
+        col("__cent"))), Seq("__j", "__code"))
+      .select(col("__j"), VectorExprs.dot(diff, diff).as("__e"))
+      .groupBy(col("__j").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("__e")), 6).as("sse"))
+      .select(col("subspace"), col("n_vecs"), col("sse"))
+  }
+
+  /** Mean squared reconstruction error per vector for the residual
+    * index — the codebook-drift scalar beside [[balanceFactor]]'s
+    * occupancy scalar; together they trigger
+    * [[retrainResidualIfSkewed]]-class maintenance. */
+  def meanResidualDistortion(index: IvfPqIndex, rawStore: DataFrame,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Double = {
+    val r = distortionResidualStats(index, rawStore, idCol, vecCol)
+      .agg(sum(col("sse")).as("sse"),
+        (sum(col("n_vecs")) / countDistinct(col("subspace"))).as("n"))
+      .collect()(0)
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
   /** PROBE over a residual-encoded index: identical movement to
     * [[probeTopK]] (broadcast cell ranking, bounded candidate join,
     * broadcast LUTs, bounded-heap top-k) — the only difference is the

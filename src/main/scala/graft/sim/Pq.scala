@@ -187,6 +187,148 @@ object Pq {
     scored.groupBy("cand_id").agg(codeCols.head, codeCols.tail ++ keepAggs: _*)
   }
 
+  /** Attribute columns a flat code frame carries beyond the core schema
+    * (cand_id + __c*) — what the lifecycle ops must preserve. */
+  private def extraCols(codes: DataFrame): Seq[String] =
+    codes.columns
+      .filterNot(c => c == "cand_id" || c.startsWith("__c")).toSeq
+
+  /** O(delta) incremental ingest into a flat PQ index — the
+    * [[IvfPq.appendToIndex]] shape without the coarse tier: delta
+    * vectors are encoded against the FROZEN codebooks
+    * ([[encodeWithCodebooks]] — per-vector function of (vector, stored
+    * codebooks), so merged ≡ rebuilt under the same codebooks;
+    * `sim_pq_merge` hash-certifies it on the grid construction) and
+    * union straight into the code frame. PRECONDITION: delta ids are
+    * NEW (the family contract). */
+  def appendToIndex(index: PqIndex, delta: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): PqIndex =
+    PqIndex(index.codebooks,
+      index.codes.unionByName(
+        encodeWithCodebooks(delta, index.codebooks, idCol, vecCol,
+          keepCols = extraCols(index.codes))))
+
+  /** O(removed) deletion — drop the removal set's thin code rows via a
+    * broadcast anti-join; codebooks untouched ([[Ivf.removeFromIndex]]'s
+    * contract: removed ≡ rebuilt-on-remainder trivially, rows are
+    * per-vector). */
+  def removeFromIndex(index: PqIndex, removedIds: DataFrame,
+                      idCol: String = "vec_id"): PqIndex =
+    PqIndex(index.codebooks,
+      index.codes.join(
+        broadcast(removedIds.select(col(idCol).as("cand_id"))),
+        Seq("cand_id"), "left_anti"))
+
+  /** Live corpus recovery shared by the LOSSY-code retrain family (this
+    * flat tier and [[IvfPq]]'s two forms): the raw store restricted to
+    * the ids the code frame currently holds — appends and takedowns both
+    * respected, since both are reflected in the codes. FAIL FAST, twice:
+    * attribute columns the index denormalizes must exist in the raw
+    * store, and the live slice must cover the id set EXACTLY (a gapped
+    * store would silently drop vectors from the retrained index, a
+    * duplicate-id store would duplicate them; the two O(n) counts are
+    * migration-time cost, never probe-time). */
+  private[sim] def liveSlice(codes: DataFrame, attrs: Seq[String],
+                             rawStore: DataFrame, idCol: String): DataFrame = {
+    val missing = attrs.filterNot(rawStore.columns.contains)
+    require(missing.isEmpty,
+      s"raw store is missing attribute column(s) ${missing.mkString(", ")} " +
+        s"the index denormalizes (found: ${rawStore.columns.mkString(", ")})")
+    val live = rawStore.join(
+      codes.select(col("cand_id").as(idCol)), Seq(idCol), "left_semi")
+    val nLive = live.count()
+    val nCodes = codes.count()
+    require(nLive == nCodes,
+      s"raw store yields $nLive rows for $nCodes live index ids — a " +
+        "retrain over a gapped (or duplicate-id) raw store would silently " +
+        "drop or duplicate vectors; reconcile the store first")
+    live
+  }
+
+  /** Codebook RETRAIN + migration for the flat tier — the
+    * [[IvfPq.retrainResidualIndex]] shape without the coarse quantizer:
+    * codes are lossy, so live ids come from the index and raw vectors
+    * from the raw store ([[liveSlice]]), then one fresh [[buildIndex]].
+    * The trigger is [[meanDistortion]] (no cell occupancy exists to
+    * skew here — what drifts is the QUANTIZATION ERROR as ingest moves
+    * the data away from the trained codebooks). */
+  def retrainIndex(index: PqIndex, rawStore: DataFrame,
+                   m: Int = 4, codebookSize: Int = 16,
+                   trainFraction: Double = 1.0, seed: Long = 42L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): PqIndex = {
+    val attrs = extraCols(index.codes)
+    buildIndex(liveSlice(index.codes, attrs, rawStore, idCol),
+      m, codebookSize, idCol, vecCol, trainFraction, seed, keepCols = attrs)
+  }
+
+  /** Quantization-distortion audit — the PQ tier's layout-health check
+    * and retrain trigger, the codebook analog of [[Ivf.cellStats]]'s
+    * occupancy balance: per subspace, the vector count and the summed
+    * squared reconstruction error Σ|v_j − cent(code_j)|² (round-6).
+    * Distortion is what frozen-codebook ingest ([[appendToIndex]],
+    * [[graft.streaming.StreamOps.pqIngestBatch]]) silently grows as the
+    * data drifts — ADC scores degrade with no visible failure — so a
+    * nightly audit reads it and [[retrainIndexIfDistorted]] acts on it.
+    * Needs the raw store (codes alone can't measure their own error);
+    * one broadcast codebook join over the melted (vector, subspace)
+    * rows, one aggregate — a maintenance-window pass, never probe-time.
+    * `sim_pq_distortion` hash-certifies it against a CLOSED-FORM oracle
+    * (exact-recovery slice contributes 0, a dyadically shifted slice
+    * contributes exactly 0.0625·sub per vector per subspace). */
+  def distortionStats(index: PqIndex, rawStore: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val geo = codebookGeometry(index.codebooks)
+    val attrs = extraCols(index.codes)
+    val withVec = liveSlice(index.codes, attrs, rawStore, idCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+      .join(index.codes.select(col("cand_id") +:
+        (0 until geo.m).map(j => col(s"__c$j")): _*), "cand_id")
+    val melted = withVec.select(col("cvec"),
+      posexplode(array((0 until geo.m).map(j => col(s"__c$j")): _*))
+        .as(Seq("__j", "__code")))
+    val sub = slice(col("cvec"), col("__j") * geo.sub + lit(1), lit(geo.sub))
+    val diff = VectorExprs.sub(sub, col("__cent"))
+    melted
+      .join(broadcast(index.codebooks.select(col("__j"), col("__code"),
+        col("__cent"))), Seq("__j", "__code"))
+      .select(col("__j"), VectorExprs.dot(diff, diff).as("__e"))
+      .groupBy(col("__j").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("__e")), 6).as("sse"))
+      .select(col("subspace"), col("n_vecs"), col("sse"))
+  }
+
+  /** Mean squared reconstruction error per vector (all subspaces summed)
+    * — the scalar retrain trigger. One-row collect over the audit. */
+  def meanDistortion(index: PqIndex, rawStore: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Double = {
+    val r = distortionStats(index, rawStore, idCol, vecCol)
+      .agg(sum(col("sse")).as("sse"),
+        (sum(col("n_vecs")) / countDistinct(col("subspace"))).as("n"))
+      .collect()(0)
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Trigger wired to handler: retrain iff the mean per-vector squared
+    * reconstruction error exceeds `maxMeanSse` — the nightly
+    * maintenance call ([[Ivf.retrainIfSkewed]]'s flat-PQ twin; the
+    * threshold is in the embedding's own squared-norm units, so callers
+    * set it relative to their vectors' scale). */
+  def retrainIndexIfDistorted(index: PqIndex, rawStore: DataFrame,
+                              maxMeanSse: Double,
+                              m: Int = 4, codebookSize: Int = 16,
+                              trainFraction: Double = 1.0, seed: Long = 42L,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): PqIndex =
+    if (meanDistortion(index, rawStore, idCol, vecCol) > maxMeanSse)
+      retrainIndex(index, rawStore, m, codebookSize, trainFraction, seed,
+        idCol, vecCol)
+    else index
+
   /** Codebook geometry re-derived from the (constant-sized) codebook rows
     * themselves — the stored form carries everything a probe needs, like
     * Ivf's centroids. Shared by [[probeTopK]] and [[IvfPq.probeTopK]]. */

@@ -478,6 +478,94 @@ object StreamOps {
     }
   }
 
+  /** Streaming ingest into a stored FLAT-PQ layout — the last stored
+    * index family without live ingest (BM25, flat IVF, residual IVF-PQ
+    * and RP all have it): the stored codebooks are pinned once at
+    * stream start (driver-side literal — the frozen quantizer), each
+    * micro-batch is encoded against them
+    * ([[graft.sim.Pq.encodeWithCodebooks]] — the
+    * [[graft.sim.Pq.appendToIndex]] kernel) and appended as thin code
+    * rows, so an [[graft.serve.AnnFlatPqService]] over `root` serves
+    * the vector seconds later, raw floats never stored. Bootstrap with
+    * a written `codebooks`/`codes` layout. Same exactly-once-in-effect
+    * commit as every other ingest sink ([[BatchCommit.runOnce]]);
+    * distortion drift this frozen path accumulates is
+    * [[graft.sim.Pq.distortionStats]]'s to surface. */
+  def pqIngestStream(vectors: DataFrame, root: String, checkpointDir: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+                    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    val codebooks = pinned(spark, s"$root/codebooks")
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        pqIngestBatch(batch.toDF(), codebooks, root, batchId, idCol, vecCol)
+        ()
+      }
+      .start()
+  }
+
+  /** Replay-safe streaming DOCUMENT ingest into a stored near-dup
+    * signature index ([[graft.serve.NearDupService]] layout) — the sixth
+    * streamed index family: each micro-batch's signatures and banded
+    * bucket rows land as batch-tagged files inside only the touched
+    * `idgrp`/`bgrp` partitions through the [[BatchCommit]] protocol, so
+    * a document is probe-visible seconds after it streams in and a
+    * replayed batch can never double its rows. Banding parameters are
+    * PINNED from the stored meta at stream start (three ints — the
+    * quantizer-pinning discipline of the vector sinks, trivially cheap
+    * here). */
+  def nearDupIngestStream(docs: DataFrame, textCol: String, idCol: String,
+                          root: String, checkpointDir: String)
+                         : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (bands, rowsPerBand, shingleK) =
+      graft.serve.NearDupService.readMeta(docs.sparkSession, root)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        nearDupIngestBatch(batch.toDF(), textCol, idCol, root, batchId,
+          bands, rowsPerBand, shingleK)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[nearDupIngestStream]] — public for the replay
+    * spec. Returns false when the batch was empty or already committed.
+    * Banding parameters default to the stored meta when not supplied. */
+  def nearDupIngestBatch(batch: DataFrame, textCol: String, idCol: String,
+                         root: String, batchId: Long,
+                         bands: Int = -1, rowsPerBand: Int = -1,
+                         shingleK: Int = -1): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    val (b, r, k) =
+      if (bands > 0 && rowsPerBand > 0 && shingleK > 0)
+        (bands, rowsPerBand, shingleK)
+      else graft.serve.NearDupService.readMeta(spark, root)
+    BatchCommit.runOnce(spark, root, batchId) { staging =>
+      graft.serve.NearDupService.writeStagedBatch(batch, textCol, idCol,
+        staging, root, b, r, k)
+    }
+  }
+
+  /** One micro-batch of [[pqIngestStream]] — public for the replay spec.
+    * Returns false when the batch was empty or already committed. */
+  def pqIngestBatch(batch: DataFrame, codebooks: DataFrame, root: String,
+                    batchId: Long, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Boolean = {
+    if (batch.isEmpty) return false
+    BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      graft.sim.Pq.encodeWithCodebooks(batch, codebooks, idCol, vecCol)
+        .write.parquet(s"$staging/codes")
+      Seq(s"$staging/codes" -> s"$root/codes")
+    }
+  }
+
   /** Streaming incremental dedup against a STATIC reference corpus — the
     * live-ingest form of [[graft.dedup.Dedup.incrementalDedup]]: each
     * micro-batch drops documents whose fingerprint already exists in the

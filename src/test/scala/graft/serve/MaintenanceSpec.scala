@@ -1,0 +1,132 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.sim.{Ivf, IvfIndex, Pq}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** The nightly orchestrator's contract: the retrain-vs-compact decision
+  * per family, with the ordering knowledge (a migration lands an
+  * already-compacted layout; compaction must not run twice) pinned. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Set[String] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSet
+    finally s.close()
+  }
+
+  private def vec(i: Int, anchorOdd: Boolean = true): Array[Float] = {
+    val rnd = new scala.util.Random(i)
+    val anchor = if (anchorOdd && i % 2 != 0) 100f else 0f
+    Array.fill(8)(anchor + rnd.nextGaussian().toFloat)
+  }
+
+  test("nightlyIvf: a skewed layout retrains (and lands compacted — no " +
+      "second rewrite); a healthy fragmented layout compacts instead") {
+    // skewed: quantizer trained on the even (0-anchored) slice, odd
+    // (+100) vectors streamed in frozen
+    val base = (0 until 80 by 2).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("mn_ivf_").toString
+    val cents = Ivf.portableCentroids(base, nlist = 4, stride = 13)
+    cents.write.parquet(s"$root/centroids")
+    Ivf.assignPortable(base, cents)
+      .write.partitionBy("cell").parquet(s"$root/assigned")
+    (1 until 80 by 2).grouped(10).zipWithIndex.foreach { case (ids, b) =>
+      assert(graft.streaming.StreamOps.ivfIngestBatch(
+        ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+        cents, root, batchId = b))
+    }
+    def opened() = IvfIndex(spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/assigned"))
+    assert(Ivf.balanceFactor(opened()) >= 2.0)
+    assert(Maintenance.nightlyIvf(spark, root, maxBalance = 2.0,
+      nlist = 4, stride = 13))
+    assert(Ivf.balanceFactor(opened()) < 2.0)
+    // the migration's cell-repartitioned write left ONE file per cell —
+    // the compaction-skip is safe, not an operator footgun
+    val byCell = parquetFiles(s"$root/assigned")
+      .groupBy(f => f.split("/").reverse.find(_.startsWith("cell=")).get)
+    assert(byCell.values.forall(_.size == 1), byCell.toString)
+
+    // healthy: same data, quantizer sampled over everything — streamed
+    // fragments but no skew, so the nightly compacts instead
+    val all = (0 until 80).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root2 = java.nio.file.Files.createTempDirectory("mn_ivf2_").toString
+    val cents2 = Ivf.portableCentroids(all, nlist = 4, stride = 13)
+    cents2.write.parquet(s"$root2/centroids")
+    Ivf.assignPortable(all.filter(col("vec_id") < 40), cents2)
+      .write.partitionBy("cell").parquet(s"$root2/assigned")
+    (40 until 80).grouped(10).zipWithIndex.foreach { case (ids, b) =>
+      assert(graft.streaming.StreamOps.ivfIngestBatch(
+        ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+        cents2, root2, batchId = b))
+    }
+    val centsBefore = spark.read.parquet(s"$root2/centroids")
+      .collect().map(_.toString).toSet
+    val filesBefore = parquetFiles(s"$root2/assigned").size
+    assert(!Maintenance.nightlyIvf(spark, root2, maxBalance = 3.0,
+      nlist = 4, stride = 13))
+    assert(parquetFiles(s"$root2/assigned").size < filesBefore)
+    assert(spark.read.parquet(s"$root2/centroids")
+      .collect().map(_.toString).toSet === centsBefore,
+      "a compact-only night must not touch the quantizer")
+  }
+
+  test("nightlyPq fires on distortion and compacts; nightlyRp and " +
+      "nightlyBm25 compact only") {
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i, anchorOdd = false)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("mn_pq_").toString
+    val idx = Pq.buildIndex(corpus, m = 4, codebookSize = 8)
+    idx.codebooks.write.parquet(s"$root/codebooks")
+    idx.codes.write.parquet(s"$root/codes")
+    (0 until 3).foreach { b =>
+      assert(graft.streaming.StreamOps.pqIngestBatch(
+        Seq((100L + b, vec(100 + b, anchorOdd = false)))
+          .toDF("vec_id", "embedding"),
+        idx.codebooks, root, batchId = b))
+    }
+    val live = corpus.unionByName(
+      (0 until 3).map(b => (100L + b, vec(100 + b, anchorOdd = false)))
+        .toDF("vec_id", "embedding"))
+    // gaussians quantize lossily → threshold 0 fires; huge passes
+    assert(!Maintenance.nightlyPq(spark, root, live, maxMeanSse = 1e9,
+      m = 4, codebookSize = 8))
+    assert(Maintenance.nightlyPq(spark, root, live, maxMeanSse = 0.0,
+      m = 4, codebookSize = 8))
+    // compaction ran either way: codes folded to one file
+    assert(parquetFiles(s"$root/codes").size === 1)
+
+    val rpRoot = java.nio.file.Files.createTempDirectory("mn_rp_").toString
+    graft.sim.Similarity.rpReducePortable(corpus, "vec_id", "embedding",
+        dimOut = 8, seed = 42)
+      .write.parquet(s"$rpRoot/reduced")
+    (0 until 3).foreach { b =>
+      assert(graft.streaming.StreamOps.rpIngestBatch(
+        Seq((100L + b, vec(100 + b, anchorOdd = false)))
+          .toDF("vec_id", "embedding"),
+        rpRoot, batchId = b, dimOut = 8, seed = 42))
+    }
+    assert(!Maintenance.nightlyRp(spark, rpRoot))
+    assert(parquetFiles(s"$rpRoot/reduced").size === 1)
+
+    val bmRoot = java.nio.file.Files.createTempDirectory("mn_bm_").toString
+    SearchService.buildIndex(
+      Seq((1L, "apple banana"), (2L, "cherry apple"))
+        .toDF("doc_id", "text"), "text", "doc_id", bmRoot)
+    assert(graft.streaming.StreamOps.bm25IngestBatch(
+      Seq((3L, "durian apple")).toDF("doc_id", "text"),
+      "text", "doc_id", bmRoot, batchId = 0))
+    assert(!Maintenance.nightlyBm25(spark, bmRoot))
+    // a doc streamed before the nightly is still served after it
+    val svc = SearchService.overParquetDir(spark, bmRoot)
+    assert(svc.topK(Seq("durian"), 3).map(_._1).contains(3L))
+  }
+}

@@ -306,6 +306,203 @@ class SearchIndexSpec extends SparkSpec {
     assert(hits.map(_._1).toSet === Set(7L, 9007L), hits.toString)
   }
 
+  test("AnnService.retrainIndex: stored-layout migration — balance factor " +
+      "drops, orphans scrubbed, ledger survives, pruning layout intact") {
+    import graft.sim.{Ivf, IvfIndex}
+    // two clusters: even ids near 0, odd ids near +100 (the drift
+    // source). The quantizer trains on the EVEN slice (stride 13 over
+    // evens samples 0, 26, 52, 78 — all in the 0-cluster).
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      val anchor = if (i % 2 == 0) 0f else 100f
+      Array.fill(8)(anchor + rnd.nextGaussian().toFloat)
+    }
+    val base = (0 until 80 by 2).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ann_retrain_").toString
+    val cents0 = Ivf.portableCentroids(base, nlist = 4, stride = 13)
+    cents0.write.parquet(s"$root/centroids")
+    Ivf.assignPortable(base, cents0)
+      .write.partitionBy("cell").parquet(s"$root/assigned")
+    // the odd cluster streams in under the frozen quantizer: 4 batches
+    // of 10, all crowding the +cluster's nearest cell
+    val odds = (1 until 80 by 2).toVector
+    odds.grouped(10).zipWithIndex.foreach { case (ids, b) =>
+      assert(graft.streaming.StreamOps.ivfIngestBatch(
+        ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+        cents0, root, batchId = b))
+    }
+    // batch 3 crashed mid-append: data present, marker missing — the
+    // migration must scrub it, not fold it into the retrained layout
+    assert(new java.io.File(s"$root/_ledger/batch-3").delete())
+    def opened() = IvfIndex(spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/assigned"))
+    val bfBefore = Ivf.balanceFactor(opened())
+    assert(bfBefore >= 2.0, s"fixture should be skewed, got $bfBefore")
+    // below-threshold trigger is a no-op (no swap, same files)
+    val filesBefore = parquetFiles(s"$root/assigned")
+    assert(!AnnService.retrainIndexIfSkewed(spark, root,
+      maxBalance = bfBefore + 1, nlist = 4, stride = 13))
+    assert(parquetFiles(s"$root/assigned") === filesBefore)
+    // the real migration: stride 13 over ALL live ids samples
+    // 0, 13, 26, 39 — both clusters represented — so occupancy rebalances
+    assert(AnnService.retrainIndexIfSkewed(spark, root, maxBalance = 2.0,
+      nlist = 4, stride = 13))
+    assert(Ivf.balanceFactor(opened()) < bfBefore)
+    // the retrained layout holds exactly the committed live set: base +
+    // batches 0-2 (batch 3 was an orphan and must be gone)
+    val newCents = spark.read.parquet(s"$root/centroids")
+    val live = (0 until 80 by 2) ++ odds.take(30)
+    assert(spark.read.parquet(s"$root/assigned")
+        .select("cand_id", "cell").collect().map(_.toString).toSeq.sorted ===
+      Ivf.assignPortable(
+          live.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+          newCents)
+        .select("cand_id", "cell").collect().map(_.toString).toSeq.sorted)
+    // ledger survived: committed batch 2 still skips on replay…
+    assert(!graft.streaming.StreamOps.ivfIngestBatch(
+      odds.slice(20, 30).map(i => (i.toLong, vec(i)))
+        .toDF("vec_id", "embedding"),
+      newCents, root, batchId = 2))
+    // …while the scrubbed batch 3 re-delivers in full, assigned under
+    // the NEW quantizer (the restarted stream re-pins from the layout)
+    assert(graft.streaming.StreamOps.ivfIngestBatch(
+      odds.slice(30, 40).map(i => (i.toLong, vec(i)))
+        .toDF("vec_id", "embedding"),
+      newCents, root, batchId = 3))
+    // cell= partitioning (probe pruning) intact, serving end to end
+    assert(parquetFiles(s"$root/assigned")
+      .forall(_.contains("cell=")))
+    val hits = AnnService.overParquetDir(spark, root, maxK = 5, nprobe = 4)
+      .topK(vec(7).toIndexedSeq, 1)
+    assert(hits.map(_._1) === Seq(7L), hits.toString)
+  }
+
+  test("AnnPqService.retrainIndex: stored compressed-layout migration — " +
+      "both quantizers retrain, live set from codes, layout swaps whole") {
+    import graft.sim.IvfPq
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      val anchor = if (i % 2 == 0) 0f else 100f
+      Array.fill(8)(anchor + rnd.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 80).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val base = corpus.filter(col("vec_id") % 2 === 0)
+    val root = java.nio.file.Files.createTempDirectory("annpq_retrain_").toString
+    val idx0 = IvfPq.buildResidualIndex(base, nlist = 4, m = 4,
+      codebookSize = 8)
+    idx0.centroids.write.parquet(s"$root/centroids")
+    idx0.codebooks.write.parquet(s"$root/codebooks")
+    idx0.codes.write.partitionBy("cell").parquet(s"$root/codes")
+    // odd cluster streams in under frozen quantizers
+    (1 until 80 by 2).grouped(20).zipWithIndex.foreach { case (ids, b) =>
+      assert(graft.streaming.StreamOps.ivfPqIngestBatch(
+        ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+        idx0.centroids, idx0.codebooks, root, batchId = b))
+    }
+    def openedPq() = graft.sim.IvfPqIndex(
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/codebooks"),
+      spark.read.parquet(s"$root/codes"))
+    val bfBefore = IvfPq.balanceFactor(openedPq())
+    assert(bfBefore > 1.5, s"fixture should be skewed, got $bfBefore")
+    // healthy thresholds → no migration, files untouched
+    val filesBefore = parquetFiles(s"$root/codes")
+    assert(!AnnPqService.retrainIndexIfUnhealthy(spark, root, corpus,
+      maxBalance = bfBefore + 1, nlist = 4, m = 4, codebookSize = 8))
+    assert(parquetFiles(s"$root/codes") === filesBefore)
+    // occupancy trigger fires the migration
+    assert(AnnPqService.retrainIndexIfUnhealthy(spark, root, corpus,
+      maxBalance = 1.5, nlist = 4, m = 4, codebookSize = 8))
+    assert(IvfPq.balanceFactor(openedPq()) < bfBefore)
+    // retrained stored layout ≡ fresh build on the same live corpus
+    // (deterministic same-seed trainings), and the swap was whole-root:
+    // codes pair with the NEW quantizer artifacts
+    val fresh = IvfPq.buildResidualIndex(corpus, nlist = 4, m = 4,
+      codebookSize = 8)
+    def codeRows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.select("cand_id", "cell", "__c0", "__c1", "__c2", "__c3")
+        .collect().map(_.toString).toSeq.sorted
+    assert(codeRows(spark.read.parquet(s"$root/codes")) ===
+      codeRows(fresh.codes))
+    assert(parquetFiles(s"$root/codes").forall(_.contains("cell=")))
+    // serving over the migrated layout ≡ the fresh build's probe (the
+    // inner-product ranking itself is data-defined — what the migration
+    // owes is equality with the rebuild)
+    val hits = AnnPqService.overParquetDir(spark, root, maxK = 5,
+      nprobe = 4).topK(vec(6).toIndexedSeq, 3)
+    val expect = IvfPq.probeResidualTopK(fresh,
+        Seq((-1L, vec(6))).toDF("vec_id", "embedding"), k = 3, nprobe = 4)
+      .orderBy(col("rank"))
+      .select("cand_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(hits === expect, s"$hits vs $expect")
+  }
+
+  test("AnnFlatPqService lifecycle: streamed ingest, orphan scrub, " +
+      "compaction, codebook-retrain migration — serving ≡ fresh build") {
+    import graft.sim.{Pq, PqIndex}
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(8)(rnd.nextGaussian().toFloat)
+    }
+    val seed = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("pq_lifecycle_").toString
+    val idx0 = Pq.buildIndex(seed, m = 4, codebookSize = 8)
+    idx0.codebooks.write.parquet(s"$root/codebooks")
+    idx0.codes.write.parquet(s"$root/codes")
+    // 4 streamed micro-batches through the frozen codebooks
+    (0 until 4).foreach { b =>
+      assert(graft.streaming.StreamOps.pqIngestBatch(
+        Seq((100L + b, vec(100 + b))).toDF("vec_id", "embedding"),
+        idx0.codebooks, root, batchId = b))
+    }
+    // batch 3 crashed mid-append: data present, marker missing
+    assert(new java.io.File(s"$root/_ledger/batch-3").delete())
+    val filesBefore = parquetFiles(s"$root/codes").size
+    AnnFlatPqService.compactIndex(spark, root)
+    assert(parquetFiles(s"$root/codes").size < filesBefore)
+    // replay completes the scrubbed batch; committed batch 2 still skips
+    assert(graft.streaming.StreamOps.pqIngestBatch(
+      Seq((103L, vec(103))).toDF("vec_id", "embedding"),
+      idx0.codebooks, root, batchId = 3))
+    assert(!graft.streaming.StreamOps.pqIngestBatch(
+      Seq((102L, vec(102))).toDF("vec_id", "embedding"),
+      idx0.codebooks, root, batchId = 2))
+    val live = seed.unionByName(
+      (0 until 4).map(b => (100L + b, vec(100 + b)))
+        .toDF("vec_id", "embedding"))
+    // streamed ≡ batch-append codes
+    assert(spark.read.parquet(s"$root/codes")
+        .collect().map(_.toString).toSeq.sorted ===
+      Pq.encodeWithCodebooks(live, idx0.codebooks)
+        .collect().map(_.toString).toSeq.sorted)
+    // codebook-retrain migration: whole-root swap, ledger survives.
+    // Distortion trigger: gaussian vectors quantize lossily, so any
+    // positive threshold way above the data passes through while 0.0
+    // fires the migration
+    assert(!AnnFlatPqService.retrainIndexIfDistorted(spark, root, live,
+      maxMeanSse = 1e9, m = 4, codebookSize = 8))
+    assert(AnnFlatPqService.retrainIndexIfDistorted(spark, root, live,
+      maxMeanSse = 0.0, m = 4, codebookSize = 8))
+    val fresh = Pq.buildIndex(live, m = 4, codebookSize = 8)
+    assert(!graft.streaming.StreamOps.pqIngestBatch(
+      Seq((102L, vec(102))).toDF("vec_id", "embedding"),
+      spark.read.parquet(s"$root/codebooks"), root, batchId = 2),
+      "committed batches must keep skipping after the migration")
+    // serving over the migrated layout ≡ the fresh build's probe
+    val hits = AnnFlatPqService.overParquetDir(spark, root, maxK = 5)
+      .topK(vec(6).toIndexedSeq, 3)
+    val expect = Pq.probeTopK(fresh,
+        Seq((-1L, vec(6))).toDF("vec_id", "embedding"), k = 3)
+      .orderBy(col("rank"))
+      .select("cand_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(hits === expect, s"$hits vs $expect")
+  }
+
   test("bm25RemoveIndex: removed ≡ rebuilt-on-remainder; an empty " +
       "removed doc still decrements n_docs") {
     import graft.text.TextOps

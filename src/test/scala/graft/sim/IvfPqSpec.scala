@@ -177,6 +177,110 @@ class IvfPqSpec extends SparkSpec {
     assert(rows(mergedFlat) === rows(fullFlat))
   }
 
+  test("retrainResidualIndex: live-id recovery (append + takedown respected), " +
+      "balance factor drops, attributes re-denormalized, gapped store fails fast") {
+    // two clusters: even ids anchor 0, odd ids anchor 100. Quantizers
+    // train on the EVEN slice only, so the appended odd vectors all
+    // crowd into one +cluster cell — the classic frozen-ingest drift.
+    def cv(i: Int): Array[Float] = {
+      val anchor = if (i % 2 == 0) 0f else 100f
+      gridVec(i).map(_ + anchor)
+    }
+    val corpus = (0 until 96).map(i => (i.toLong, cv(i), i % 3))
+      .toDF("vec_id", "embedding", "tag")
+    val base = corpus.filter(col("vec_id") % 2 === 0)
+    val delta = corpus.filter(col("vec_id") % 2 =!= 0)
+    val drifted = IvfPq.appendToResidualIndex(
+      IvfPq.buildResidualIndex(base, nlist = 4, m = 4, codebookSize = 8,
+        keepCols = Seq("tag")),
+      delta)
+    val bfBefore = IvfPq.balanceFactor(drifted)
+    // the 48 odd vectors carry two distinct grid patterns, so they crowd
+    // into (at most) two +cluster cells of the 4: n_max ≥ 36 ⇒ bf ≥ 1.5
+    assert(bfBefore >= 1.5, s"fixture should be skewed, got $bfBefore")
+    // a takedown sweep before the retrain — the live set the retrain
+    // must recover is (everything) minus (vec_id ≡ 2 mod 7)
+    val pruned = IvfPq.removeFromIndex(drifted,
+      corpus.filter(col("vec_id") % 7 === 2))
+    val retrained = IvfPq.retrainResidualIndex(pruned, corpus,
+      nlist = 4, m = 4, codebookSize = 8)
+    val bfAfter = IvfPq.balanceFactor(retrained)
+    assert(bfAfter < bfBefore,
+      s"retrain must drop the balance factor: $bfBefore -> $bfAfter")
+    // live-id recovery: exactly the un-removed ids, nothing resurrected
+    val liveIds = (0 until 96).filter(_ % 7 != 2).map(_.toLong).toSet
+    assert(retrained.codes.select("cand_id").as[Long].collect().toSet
+      === liveIds)
+    // attribute columns (filtered-ANN keepCols) re-denormalized from the
+    // raw store
+    assert(retrained.codes.select("cand_id", "tag").as[(Long, Int)]
+        .collect().toSet ===
+      liveIds.map(i => (i, (i % 3).toInt)))
+    // trigger wiring: above threshold retrains, below passes through
+    val fired = IvfPq.retrainResidualIfSkewed(pruned, corpus,
+      maxBalance = 1.4, nlist = 4, m = 4, codebookSize = 8)
+    assert(IvfPq.balanceFactor(fired) === bfAfter)
+    val calm = IvfPq.retrainResidualIfSkewed(retrained, corpus,
+      maxBalance = 100.0, nlist = 4, m = 4, codebookSize = 8)
+    assert(calm eq retrained, "below threshold the index must pass through")
+    // fail fast on a gapped raw store (a silent drop is the one thing a
+    // migration must never do) and on a store missing an attribute column
+    val gapped = corpus.filter(col("vec_id") =!= 5)
+    val e1 = intercept[IllegalArgumentException] {
+      IvfPq.retrainResidualIndex(pruned, gapped, nlist = 4, m = 4,
+        codebookSize = 8)
+    }
+    assert(e1.getMessage.contains("live index ids"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfPq.retrainResidualIndex(pruned, corpus.drop("tag"), nlist = 4,
+        m = 4, codebookSize = 8)
+    }
+    assert(e2.getMessage.contains("tag"))
+    // the flat form shares the live-slice contract
+    val flatPruned = IvfPq.removeFromIndex(
+      IvfPq.buildIndex(corpus, nlist = 4, m = 4, codebookSize = 8,
+        keepCols = Seq("tag")),
+      corpus.filter(col("vec_id") % 7 === 2))
+    val flatRetrained = IvfPq.retrainIndex(flatPruned, corpus,
+      nlist = 4, m = 4, codebookSize = 8)
+    assert(flatRetrained.codes.select("cand_id").as[Long].collect().toSet
+      === liveIds)
+  }
+
+  test("distortionResidualStats: exact reconstruction audits to zero; " +
+      "frozen-ingest drift measures exactly; nonzero residuals included") {
+    import org.apache.spark.sql.functions.transform
+    // two-cluster dyadic construction (nonzero residuals, all arithmetic
+    // exact): the audit must measure the FULL coarse+residual
+    // reconstruction, not just the residual codewords
+    def avec(i: Int): Array[Float] = {
+      val anchor = if ((i / 4) % 2 == 0) 0f else 100f
+      gridVec(i).map(_ + anchor)
+    }
+    val corpus = (0 until 48).map(i => (i.toLong, avec(i)))
+      .toDF("vec_id", "embedding")
+    val full = IvfPq.buildResidualIndex(corpus, nlist = 2, m = 4,
+      codebookSize = 8)
+    // codebookSize 8 ≥ the ≤8 distinct residual patterns per subspace ⇒
+    // exact recovery ⇒ the audit reads EXACTLY zero per subspace
+    val d0 = IvfPq.distortionResidualStats(full, corpus)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(d0 === (0 until 4).map(j => (j, 48L, 0.0)).toSet)
+    assert(IvfPq.meanResidualDistortion(full, corpus) === 0.0)
+    // a +0.25-per-dim shifted copy ingested through the frozen path:
+    // same cell (integer-gap argument), residual moves 0.25 off its
+    // exactly-recovered codeword ⇒ EXACTLY 2 dims × 1/16 = 1/8 per
+    // subspace per shifted vector
+    val shifted = corpus.select((col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
+    val drifted = IvfPq.appendToResidualIndex(full, shifted)
+    val both = corpus.unionByName(shifted)
+    val d1 = IvfPq.distortionResidualStats(drifted, both)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(d1 === (0 until 4).map(j => (j, 96L, 6.0)).toSet) // 48·0.125
+    assert(IvfPq.meanResidualDistortion(drifted, both) === 0.25)
+  }
+
   test("residual encoding beats flat PQ recall at identical (nlist, m, codebookSize)") {
     // 8 well-separated cluster anchors + 8 within-cluster offset patterns:
     // flat PQ must spend its 8 codebook entries per subspace covering

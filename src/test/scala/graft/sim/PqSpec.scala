@@ -261,6 +261,71 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("flat-PQ lifecycle: frozen append ≡ rebuild, O(removed) deletion, " +
+      "live-set retrain, distortion audit exact, trigger wiring") {
+    val corpus = (0 until 48).map(i => (i.toLong, vec(i), i % 3))
+      .toDF("vec_id", "embedding", "tag")
+    val full = Pq.buildIndex(corpus, m = 4, codebookSize = 4,
+      keepCols = Seq("tag"))
+    def rows(i: PqIndex): Set[String] =
+      i.codes.select("cand_id", "__c0", "__c1", "__c2", "__c3", "tag")
+        .collect().map(_.toString).toSet
+    // frozen-codebook append reproduces MLlib's own transform codes
+    // (attributes ride the delta)
+    val merged = Pq.appendToIndex(
+      PqIndex(full.codebooks, full.codes.filter(col("cand_id") % 5 =!= 3)),
+      corpus.filter(col("vec_id") % 5 === 3))
+    assert(rows(merged) === rows(full))
+    // O(removed) deletion is exactly a code-row filter
+    val removed = Pq.removeFromIndex(full, corpus.filter(col("vec_id") % 7 === 2))
+    assert(rows(removed) ===
+      rows(PqIndex(full.codebooks,
+        full.codes.filter(col("cand_id") % 7 =!= 2))))
+    // distortion audit: exact recovery ⇒ SSE exactly 0 per subspace…
+    val d0 = Pq.distortionStats(full, corpus)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(d0 === (0 until 4).map(j => (j, 48L, 0.0)).toSet)
+    // …and a +0.25-per-dim shifted slice ingested through the frozen
+    // path contributes EXACTLY 2 dims × (1/4)² = 1/8 per subspace per
+    // vector (dyadic, hand-computable — the nonzero exactness pin)
+    val shifted = corpus.select((col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.25f)).as("embedding"),
+      col("tag"))
+    val drifted = Pq.appendToIndex(full, shifted)
+    val both = corpus.unionByName(shifted)
+    val d1 = Pq.distortionStats(drifted, both)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(d1 === (0 until 4).map(j => (j, 96L, 6.0)).toSet) // 48·0.125
+    assert(Pq.meanDistortion(drifted, both) === 0.25) // 4·6.0/96
+    // trigger wiring: above threshold retrains on the live corpus. The
+    // retrain grows codebook capacity to 8 ≥ the live corpus's 8
+    // distinct patterns per subspace (the standard remedy when drift
+    // introduced genuinely NEW patterns), so the drop below the frozen
+    // codebook's 0.25 is decisive regardless of which local optimum
+    // k-means lands in (a same-size retrain CAN land above 0.25 when
+    // the semi-joined row order feeds k-means‖ a bad init — observed;
+    // capacity 8 leaves at worst a few 0.25-apart pairs merged, two
+    // orders of magnitude below the frozen error).
+    val retrained = Pq.retrainIndexIfDistorted(drifted, both,
+      maxMeanSse = 0.1, m = 4, codebookSize = 8)
+    val mdAfter = Pq.meanDistortion(retrained, both)
+    assert(mdAfter < 0.25, s"retrain must drop distortion, got $mdAfter")
+    assert(retrained.codes.columns.contains("tag"))
+    val calm = Pq.retrainIndexIfDistorted(retrained, both,
+      maxMeanSse = 1000.0, m = 4, codebookSize = 8)
+    assert(calm eq retrained, "below threshold the index must pass through")
+    // live-set retrain after a takedown: only live ids survive, and a
+    // gapped raw store fails fast instead of silently dropping vectors
+    val live = Pq.retrainIndex(removed, corpus, m = 4, codebookSize = 4)
+    assert(live.codes.select("cand_id").as[Long].collect().toSet ===
+      (0 until 48).filter(_ % 7 != 2).map(_.toLong).toSet)
+    val e = intercept[IllegalArgumentException] {
+      Pq.retrainIndex(removed, corpus.filter(col("vec_id") =!= 5),
+        m = 4, codebookSize = 4)
+    }
+    assert(e.getMessage.contains("live index ids"))
+  }
+
   test("portable rerank ≡ trained rerank when codebooks recover every subvector") {
     // ids 0..3 cover all 4 alphabet entries in every subspace, so the
     // stride-1 sample IS a complete codebook and both pipelines compute

@@ -753,4 +753,52 @@ class StreamOpsSpec extends SparkSpec {
       assert(hits.contains(9000L), hits.toString)
     } finally q.stop()
   }
+  test("pqIngestStream: streamed vectors encode against the pinned " +
+      "codebooks; replay-safe; the flat-PQ backend serves them") {
+    import graft.sim.{Pq, PqIndex}
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(8)(rnd.nextGaussian().toFloat)
+    }
+    val seedCorpus = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("pq_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pq_ckpt_").toString
+    val idx = Pq.buildIndex(seedCorpus, m = 4, codebookSize = 8)
+    idx.codebooks.write.parquet(s"$root/codebooks")
+    idx.codes.write.parquet(s"$root/codes")
+    val streamed = Seq((100L, vec(100)), (101L, vec(101)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.pqIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    try {
+      mem.addData(streamed.take(1): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    // layout ≡ frozen-codebook encode of everything (stream ≡ batch)
+    val all = seedCorpus.unionByName(streamed.toDF("vec_id", "embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.toString).toSet
+    assert(rows(spark.read.parquet(s"$root/codes")) ===
+      rows(Pq.encodeWithCodebooks(all, idx.codebooks)))
+    // replay safety: post-commit replay skipped; crashed-mid-append redo
+    val b1 = streamed.drop(1).toDF("vec_id", "embedding")
+    assert(!StreamOps.pqIngestBatch(b1, idx.codebooks, root, batchId = 1))
+    assert(new java.io.File(s"$root/_ledger/batch-1").delete())
+    assert(StreamOps.pqIngestBatch(b1, idx.codebooks, root, batchId = 1))
+    assert(spark.read.parquet(s"$root/codes").count() === 42)
+    // the streamed vectors are served through the flat-PQ backend
+    // identically to an in-memory probe over the same merged index
+    val svc = graft.serve.AnnFlatPqService.overParquetDir(spark, root,
+      maxK = 5)
+    val got = svc.topK(vec(100).toIndexedSeq, 3)
+    val expect = Pq.probeTopK(
+        PqIndex(idx.codebooks, Pq.encodeWithCodebooks(all, idx.codebooks)),
+        Seq((-1L, vec(100))).toDF("vec_id", "embedding"), k = 3)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .select("cand_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(got === expect, s"$got vs $expect")
+  }
 }
