@@ -342,25 +342,18 @@ object Dedup {
       .filter(col("m") >= minBandMatches)
       .select("id_a", "id_b")
 
-    // Exact-Jaccard verification, computed distributively: count per-pair
-    // intersections with a codegen'd join+groupBy over the CANDIDATE pairs
-    // only, reading the SAME `shingles` frame as the signature path (the
-    // pairwise array-expression form — shingleJaccard — re-derives both
-    // shingle arrays per pair in interpreted HOFs: measured 65 s vs <2 s
-    // on a 500-doc batch). Shingles ride the joins as 64-bit hashes; set
-    // sizes join on AFTER the intersection aggregate, when the frame is
-    // one row per surviving pair. Pairs with ZERO common shingles drop out
-    // of the inner join — sound because they have jaccard 0 < threshold.
+    // Exact-Jaccard verification via the shared distributed kernel
+    // ([[pairJaccardHashed]]): count per-pair intersections with a
+    // codegen'd join+groupBy over the CANDIDATE pairs only, reading the
+    // SAME `shingles` frame as the signature path (the pairwise
+    // array-expression form — shingleJaccard — re-derives both shingle
+    // arrays per pair in interpreted HOFs: measured 65 s vs <2 s on a
+    // 500-doc batch). Set sizes ride in from the cached sigN aggregate.
+    // Pairs with ZERO common shingles drop out of the kernel's inner
+    // join — sound because they have jaccard 0 < threshold.
     val sizes = sigN.select(col("id"), col("n"))
-    val pairs = candidates
-      .join(shingles.toDF("id_a", "h"), "id_a")
-      .join(shingles.toDF("id_b", "h"), Seq("id_b", "h"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("i"))
-      .join(sizes.toDF("id_a", "na"), "id_a")
-      .join(sizes.toDF("id_b", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
+    val pairs = pairJaccardHashed(candidates, shingles, shingles,
+        "id_a", "id_b", Some(sizes), Some(sizes))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     materializeAndRelease(pairs, shingles, sigN)
@@ -650,6 +643,107 @@ object Dedup {
     val inter = size(array_intersect(sa, sb)).cast(DoubleType)
     val uni = size(array_union(sa, sb)).cast(DoubleType)
     when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** Distributed exact shingle-Jaccard verification of an arbitrary
+    * candidate-pair frame — the PUBLIC kernel both LSH verifiers route
+    * through, so the per-pair interpreted-HOF form ([[shingleJaccard]])
+    * never has to be the convenient default again (that anti-pattern
+    * shipped three times: `wordNgrams`'s quadratic inlining,
+    * [[ngramJaccard]]'s documented 20 s → 2 s, and round 13's 304 s
+    * stored-probe verification of 15,875 pairs).
+    *
+    * Shape (the [[minHashNearDups]] verification plan): restrict `docs`
+    * to the ids the pairs actually reference (semi-join — at 100 TB the
+    * corpus is never exploded wholesale for a bounded candidate list),
+    * explode ONE distinct (id, xxhash64(shingle)) frame, count per-pair
+    * intersections with a codegen'd join + aggregate, and join per-doc
+    * set sizes back when the frame is one row per surviving pair.
+    * Shingles ride the joins as 8-byte hashes; text never rides a
+    * pair-shuffle.
+    *
+    * Contract (positive-threshold semantics, like every caller in the
+    * family): returns (aCol, bCol, jaccard) with UNROUNDED jaccard > 0 —
+    * pairs sharing zero shingles and pairs touching a null-text doc are
+    * ABSENT (per-pair [[shingleJaccard]] scores both 0.0, so any caller
+    * filtering `>= threshold` with threshold > 0 sees identical rows;
+    * DedupVerifySpec pins the value equivalence pairwise). Duplicate
+    * input pairs are collapsed. Input pair frames must reference doc ids
+    * present in `docs` — unknown ids simply drop (no match rows). */
+  def verifyPairsJaccard(pairs: DataFrame, docs: DataFrame,
+                         textCol: String, idCol: String,
+                         aCol: String = "id_a", bCol: String = "id_b",
+                         shingleK: Int = 5): DataFrame =
+    verifyPairsJaccardSided(pairs, docs, docs, textCol, idCol,
+      aCol, bCol, shingleK)
+
+  /** [[verifyPairsJaccard]] with DISTINCT corpora per pair side — the
+    * stored-index probe shape, where the a-side ids resolve against the
+    * incoming batch and the b-side ids against the reference document
+    * store (the two id spaces may overlap with different text, so a
+    * single unioned corpus would merge their shingle sets). */
+  def verifyPairsJaccardSided(pairs: DataFrame, aDocs: DataFrame,
+                              bDocs: DataFrame, textCol: String,
+                              idCol: String, aCol: String = "id_a",
+                              bCol: String = "id_b",
+                              shingleK: Int = 5): DataFrame = {
+    val p = pairs.select(col(aCol), col(bCol)).dropDuplicates(aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aSet = hashedShingleSet(aDocs, textCol, idCol, shingleK,
+        p.select(col(aCol).as("id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSet = hashedShingleSet(bDocs, textCol, idCol, shingleK,
+        p.select(col(bCol).as("id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeAndRelease(
+      pairJaccardHashed(p, aSet, bSet, aCol, bCol), p, aSet, bSet)
+  }
+
+  /** Distinct (id, xxhash64(shingle)) rows of the docs `ids` references —
+    * the verification kernel's working set. Null-text docs are dropped
+    * here (an undefined shingle set verifies to no pairs, matching
+    * [[shingleJaccard]]'s 0.0 under a positive threshold); short docs
+    * keep the whole-string single shingle ([[shingleRows]]' clamp, same
+    * as `charShingles`' `array(norm)` branch). */
+  private def hashedShingleSet(docs: DataFrame, textCol: String,
+                               idCol: String, shingleK: Int,
+                               ids: DataFrame): DataFrame = {
+    val wanted = ids.select(col("id")).dropDuplicates("id")
+    shingleRows(
+        docs.filter(col(textCol).isNotNull)
+          .join(wanted, docs.col(idCol) === wanted.col("id"), "left_semi"),
+        textCol, idCol, shingleK)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .dropDuplicates("id", "h")
+  }
+
+  /** The verification join itself, over PRE-BUILT distinct
+    * (id, shingle-hash) frames — the form [[minHashNearDups]] calls with
+    * its already-persisted single-scan shingle frame on both sides (so
+    * routing through the kernel costs it nothing). `aSizes`/`bSizes` are
+    * optional pre-computed (id, n) set sizes; absent, they are counted
+    * from the set frames. Returns (aCol, bCol, jaccard), jaccard
+    * unrounded, zero-intersection pairs absent. */
+  private[graft] def pairJaccardHashed(pairs: DataFrame, aSet: DataFrame,
+                                       bSet: DataFrame, aCol: String,
+                                       bCol: String,
+                                       aSizes: Option[DataFrame] = None,
+                                       bSizes: Option[DataFrame] = None)
+                                      : DataFrame = {
+    val na = aSizes.getOrElse(
+      aSet.groupBy("id").agg(count(lit(1)).as("n")))
+    val nb = bSizes.getOrElse(
+      bSet.groupBy("id").agg(count(lit(1)).as("n")))
+    pairs.select(col(aCol), col(bCol))
+      .join(aSet.toDF(aCol, "h"), aCol)
+      .join(bSet.toDF(bCol, "h"), Seq(bCol, "h"))
+      .groupBy(aCol, bCol)
+      .agg(count(lit(1)).as("i"))
+      .join(na.toDF(aCol, "na"), aCol)
+      .join(nb.toDF(bCol, "nb"), bCol)
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
+      .select(col(aCol), col(bCol), col("jaccard"))
   }
 
   /** Word n-gram Jaccard similarity (token-level near-dup measure).

@@ -144,6 +144,7 @@ object Sinks {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(root + "-__compacting__")
     val old = new org.apache.hadoop.fs.Path(root + "-__old__")
+    recoverCrashedSwap(f, p, old) // BEFORE any delete — __old__ may be the only copy
     f.delete(tmp, true) // a crashed previous attempt
     f.delete(old, true)
     compactLayout(spark, root, tmp.toString, partitionCols, filesPerPartition)
@@ -152,6 +153,38 @@ object Sinks {
     f.delete(old, true)
     spark.read.parquet(root)
   }
+
+  /** Co-locate each partition value's rows on one task before a
+    * `partitionBy` write, so the write lands ONE file per touched value
+    * instead of (input tasks × touched values) shards — the per-write
+    * prophylaxis for the small-file pathology [[compactLayout]] repairs
+    * after the fact. Staged streaming micro-batches and index builds
+    * route through this; the explicit partition count keeps AQE from
+    * coalescing the shuffle (harmless for file counts, but it would
+    * serialize big builds through a few tasks). */
+  def onePerPartitionValue(df: DataFrame,
+                           partitionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(
+      math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1),
+      partitionCols.map(col): _*)
+  }
+
+  /** Heal a crash that landed BETWEEN the two swap renames: `root` is
+    * absent and `root-__old__` holds the only live copy of the data. Every
+    * swap-based maintenance op calls this BEFORE its delete-the-leftovers
+    * preamble — without it, the next run would delete `__old__` as a
+    * stale leftover and then fail reading the missing `root`, turning a
+    * recoverable crash into permanent loss (the documented "recoverable
+    * next run" contract). Rename-back, not delete: the crashed attempt's
+    * compacted copy in `tmp` is discarded and rebuilt — data wins over a
+    * saved recompaction. No-op in every healthy state (root present). */
+  private def recoverCrashedSwap(f: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path,
+                                 old: org.apache.hadoop.fs.Path): Unit =
+    if (!f.exists(root) && f.exists(old))
+      require(f.rename(old, root),
+        s"crash recovery failed: could not restore $old to $root")
 
   /** The two-rename versioned-directory swap shared by the in-place
     * maintenance ops (compaction here, stored-index retrain in
@@ -167,6 +200,7 @@ object Sinks {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val t = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(root + "-__old__")
+    recoverCrashedSwap(f, p, old) // a prior swap crashed between renames
     f.delete(old, true)
     require(f.rename(p, old), s"swap failed: could not move $root aside")
     require(f.rename(t, p), s"swap failed: could not move $tmp into place")
@@ -186,6 +220,7 @@ object Sinks {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(root + "-__compacting__")
     val old = new org.apache.hadoop.fs.Path(root + "-__old__")
+    recoverCrashedSwap(f, p, old) // BEFORE any delete — __old__ may be the only copy
     f.delete(tmp, true) // a crashed previous attempt
     f.delete(old, true)
     compactParquet(spark, root, tmp.toString, targetFiles)

@@ -121,11 +121,22 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
                 val k = math.min(math.max(km.group(1).toInt, 1), svc.maxK)
                 val filter = FilterRe.findFirstMatchIn(body)
                   .map(m => (m.group(1), m.group(2)))
+                // a body that MENTIONS "filter" but fails the strict shape
+                // (reversed keys, out-of-alphabet value, oversized token)
+                // must be a 400, never a silently UNFILTERED 200 — an
+                // ignored predicate returning wrong results with no error
+                // is exactly the failure mode the backend whitelist exists
+                // to reject
+                if (filter.isEmpty && body.contains("\"filter\""))
+                  respond(ex, 400,
+                    """{"error":"filter must be {\"col\": \"<identifier>\", \"value\": \"<token>\"}"}""")
+                else {
                 val hits = svc.topK(vec, k, filter)
                   .map { case (id, score, rank) =>
                     s"""{"id":$id,"score":$score,"rank":$rank}""" }
                   .mkString("[", ",", "]")
                 respond(ex, 200, s"""{"k":$k,"results":$hits}""")
+                }
               } catch {
                 case e: IllegalArgumentException =>
                   respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")

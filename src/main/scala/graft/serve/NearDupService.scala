@@ -51,6 +51,18 @@ object NearDupService {
     * driver-side collected group lists stay trivially bounded. */
   private val Groups = 64
 
+  /** Co-locate each partition value's rows on one task before a
+    * `partitionBy` write, so every write below lands ONE file per group
+    * per call instead of (tasks × groups) shards — round 13's build of a
+    * 5,000-doc corpus left 6,295 files, the small-file pathology
+    * [[graft.io.Sinks.compactLayout]] exists to repair, produced by the
+    * BUILD. Explicit partition count: a bare `repartition(col)` is
+    * AQE-coalescible, and coalescing would funnel several groups through
+    * one task (still one file per group — but the explicit count also
+    * keeps big builds from serializing on a few tasks). */
+  private def oneFilePerGroup(df: DataFrame, grpCol: String): DataFrame =
+    df.repartition(Groups, col(grpCol))
+
   private def idGrp(id: Column): Column =
     pmod(xxhash64(id), lit(Groups.toLong)).cast("int")
   private def bGrp(bucket: Column): Column =
@@ -88,11 +100,11 @@ object NearDupService {
     import spark.implicits._
     val sigs = Dedup.minHashSignatures(df, textCol, idCol,
       bands * rowsPerBand, shingleK)
-    sigs.withColumn("idgrp", idGrp(col("id")))
+    oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"))), "idgrp")
       .write.mode("overwrite").partitionBy("idgrp")
       .parquet(s"$root/signatures")
-    bucketRows(withBands(spark.read.parquet(s"$root/signatures"),
-        bands, rowsPerBand))
+    oneFilePerGroup(bucketRows(withBands(
+        spark.read.parquet(s"$root/signatures"), bands, rowsPerBand)), "bgrp")
       .write.mode("overwrite").partitionBy("bgrp").parquet(s"$root/buckets")
     Seq((bands, rowsPerBand, shingleK))
       .toDF("bands", "rows_per_band", "shingle_k")
@@ -118,11 +130,25 @@ object NearDupService {
       bands * rowsPerBand, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sigs.withColumn("idgrp", idGrp(col("id")))
+      oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"))), "idgrp")
         .write.mode("append").partitionBy("idgrp").parquet(s"$root/signatures")
-      bucketRows(withBands(sigs, bands, rowsPerBand))
+      oneFilePerGroup(bucketRows(withBands(sigs, bands, rowsPerBand)), "bgrp")
         .write.mode("append").partitionBy("bgrp").parquet(s"$root/buckets")
     } finally sigs.unpersist()
+  }
+
+  /** Re-crawled-document UPSERT — the [[SearchService.upsertDelta]]
+    * pattern for the near-dup tier: any existing signature/bucket rows
+    * for the batch's ids are removed (O(touched partitions) — a no-op
+    * rewrite for genuinely-new ids), then the batch appends as a normal
+    * delta. Closes [[appendDelta]]'s NEW-ids precondition for the edited
+    * -document case without the caller hand-sequencing the two steps
+    * (mis-ordering them would leave two signature rows per edited id and
+    * the probe would report both versions). */
+  def upsertDelta(df: DataFrame, textCol: String, idCol: String,
+                  root: String): Unit = {
+    removeFromIndex(df.sparkSession, root, df.select(col(idCol)), idCol)
+    appendDelta(df, textCol, idCol, root)
   }
 
   /** Signature-estimate probe of a new batch against the stored index —
@@ -195,7 +221,17 @@ object NearDupService {
     * exact jaccard ≥ threshold. At `threshold = 1.0` recall is
     * GUARANTEED, not probabilistic: identical shingle sets have
     * identical signatures, so every band collides — the property the
-    * hash-certified registry faces stand on. */
+    * hash-certified registry faces stand on.
+    *
+    * Verification is DISTRIBUTED ([[Dedup.verifyPairsJaccardSided]]):
+    * only the candidate-referenced docs are shingled, intersections are
+    * counted with a codegen'd hash join + aggregate, and shingles ride
+    * the joins as 8-byte hashes. Round 13 shipped this step as a
+    * per-pair interpreted [[Dedup.shingleJaccard]] expression — measured
+    * 304 s for 15,875 candidate pairs on the sf0.1 corpus vs ~3 s for
+    * the kernel, the exact anti-pattern `Dedup.scala`'s own perf
+    * contracts warn about. Sided, not single-corpus: a probe batch id
+    * may collide with a reference id while carrying different text. */
   def probeVerified(spark: SparkSession, root: String, newBatch: DataFrame,
                     refDocs: DataFrame, textCol: String, idCol: String,
                     threshold: Double = 0.7,
@@ -220,17 +256,20 @@ object NearDupService {
         .select(col("new_id"), col("ref_id"))
         .dropDuplicates("new_id", "ref_id")
         .filter(col("new_id") =!= col("ref_id"))
-      val newText = newBatch.select(col(idCol).as("new_id"),
-        col(textCol).as("__new_text"))
-      val refText = refDocs.select(col(idCol).as("ref_id"),
-        col(textCol).as("__ref_text"))
-      cand.join(newText, Seq("new_id"))
-        .join(refText, Seq("ref_id"))
-        .withColumn("jaccard", round(Dedup.shingleJaccard(
-          col("__new_text"), col("__ref_text"), shingleK), 6))
-        .filter(col("jaccard") >= threshold)
-        .select(col("new_id"), col("ref_id"), col("jaccard"))
-        .localCheckpoint(true)
+      // the kernel materializes eagerly, releases its corpus-sized
+      // persists itself, and hands back a persisted pair-sized frame;
+      // the eager localCheckpoint below materializes the projection
+      // through that cache, after which the kernel frame is released —
+      // this op keeps its no-cached-frames-left-behind return contract
+      val verified = Dedup.verifyPairsJaccardSided(cand, newBatch,
+        refDocs, textCol, idCol, "new_id", "ref_id", shingleK)
+      try {
+        verified
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .filter(col("jaccard") >= threshold)
+          .select(col("new_id"), col("ref_id"), col("jaccard"))
+          .localCheckpoint(true)
+      } finally verified.unpersist(blocking = true)
     } finally deltaSigs.unpersist()
   }
 
@@ -287,7 +326,8 @@ object NearDupService {
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val fs = stagingPath.getFileSystem(conf)
     fs.delete(stagingPath, true)
-    replacement.write.partitionBy(partCol).parquet(staging)
+    oneFilePerGroup(replacement, partCol)
+      .write.partitionBy(partCol).parquet(staging)
     touched.foreach { g =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$g")
       val fresh = new org.apache.hadoop.fs.Path(s"$staging/$partCol=$g")
@@ -327,9 +367,9 @@ object NearDupService {
         bands * rowsPerBand, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sigs.withColumn("idgrp", idGrp(col("id")))
+      oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"))), "idgrp")
         .write.partitionBy("idgrp").parquet(s"$staging/signatures")
-      bucketRows(withBands(sigs, bands, rowsPerBand))
+      oneFilePerGroup(bucketRows(withBands(sigs, bands, rowsPerBand)), "bgrp")
         .write.partitionBy("bgrp").parquet(s"$staging/buckets")
     } finally sigs.unpersist()
     Seq(s"$staging/signatures" -> s"$root/signatures",

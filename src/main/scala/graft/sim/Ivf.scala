@@ -325,11 +325,26 @@ object Ivf {
 
   /** The k-means-trained retrain — the production twin of
     * [[retrainIndex]] when oracle replay is not required: one MLlib fit
-    * over the current corpus + one map-only reassignment. */
+    * over the current corpus + one map-only reassignment. Attribute
+    * columns (filtered-ANN `keepCols`) survive this path too — rejoined
+    * by id after the rebuild (the k-means [[buildIndex]] carries no
+    * extra columns), preserving the assigned-schema symmetry
+    * [[retrainIndex]] keeps; dropping them would break every subsequent
+    * `appendToIndex`/AnnService filter-column requirement. One keyed
+    * join of two corpus-sized thin frames — same scale class as the
+    * rebuild's own shuffle. */
   def retrainIndexKMeans(index: IvfIndex, nlist: Int = 16,
-                         seed: Long = 42L): IvfIndex =
-    buildIndex(index.assigned.select(col("cand_id").as("vec_id"),
+                         seed: Long = 42L): IvfIndex = {
+    val extra = index.assigned.columns
+      .filterNot(Set("cand_id", "cvec", "cell", "cn")).toSeq
+    val rebuilt = buildIndex(index.assigned.select(col("cand_id").as("vec_id"),
       col("cvec").as("embedding")), nlist, "vec_id", "embedding", seed)
+    if (extra.isEmpty) rebuilt
+    else IvfIndex(rebuilt.centroids,
+      rebuilt.assigned.join(
+        index.assigned.select(col("cand_id") +: extra.map(col): _*),
+        Seq("cand_id")))
+  }
 
   /** The balance factor `n_max · nlist / n_total` of an index (ideal 1;
     * grows as ingest drifts away from the frozen quantizer) — the

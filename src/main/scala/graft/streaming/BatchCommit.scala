@@ -74,14 +74,17 @@ object BatchCommit {
 
   /** Move every committed data file under `stagingDir` into `targetDir`,
     * preserving partition subpaths (`bucket=X/part-*.parquet` lands in
-    * `targetDir/bucket=X/`) and prefixing names with the batch tag. */
+    * `targetDir/bucket=X/`) and prefixing names with the batch tag.
+    * Returns the DESTINATION paths, so the committer can re-verify them
+    * before writing the ledger marker. */
   private def moveIn(spark: SparkSession, stagingDir: String,
-                     targetDir: String, batchId: Long): Unit = {
+                     targetDir: String, batchId: Long): Seq[Path] = {
     val src = new Path(stagingDir)
     val dst = new Path(targetDir)
     val f = fs(spark, src)
     val srcUri = src.toUri.getPath
     val it = f.listFiles(src, true)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
@@ -92,10 +95,13 @@ object BatchCommit {
           case i  => new Path(dst, rel.substring(0, i))
         }
         f.mkdirs(parent)
-        require(f.rename(st.getPath, new Path(parent, tag(batchId) + name)),
+        val target = new Path(parent, tag(batchId) + name)
+        require(f.rename(st.getPath, target),
           s"rename failed moving ${st.getPath} into $parent")
+        moved += target
       }
     }
+    moved.toSeq
   }
 
   /** Delete batch-tagged data files whose batch has NO ledger marker —
@@ -115,6 +121,25 @@ object BatchCommit {
                        dataDirs: Seq[String]): Unit = {
     val lp = new Path(s"$root/_ledger")
     val f = fs(spark, lp)
+    // QUIESCENCE GATE: a `_staging/batch-*` dir means a stream is
+    // mid-commit (files being staged or moved in) or crashed and not yet
+    // replayed. Scrubbing now cannot distinguish that batch's files from
+    // crashed orphans — deleting them mid-move-in would race the live
+    // stream (runOnce's pre-marker re-verification turns that race into
+    // a clean batch retry, but a maintenance rewrite folding the layout
+    // at the same time could still lose the batch). Refuse loudly; run
+    // maintenance when the stream is quiescent, or restart a crashed
+    // stream so its replay cleans up first.
+    val staging = new Path(s"$root/_staging")
+    if (f.exists(staging)) {
+      val active = f.listStatus(staging)
+        .filter(_.getPath.getName.startsWith("batch-"))
+      require(active.isEmpty,
+        s"refusing to scrub $root: staged batch dir(s) " +
+          s"${active.map(_.getPath.getName).mkString(", ")} exist — a " +
+          "stream is mid-commit (or crashed and not yet replayed); " +
+          "quiesce or restart the stream before running maintenance")
+    }
     val committed: Set[String] =
       if (f.exists(lp)) f.listStatus(lp).map(_.getPath.getName).toSet
       else Set.empty
@@ -153,13 +178,65 @@ object BatchCommit {
     f.delete(stagingPath, true) // a crashed attempt's staging leftovers
     val moves = writeStaged(staging)
     moves.foreach { case (_, target) => scrub(spark, target, batchId) }
-    moves.foreach { case (staged, target) =>
+    val landed = moves.flatMap { case (staged, target) =>
       moveIn(spark, staged, target, batchId) }
+    // PRE-MARKER RE-VERIFICATION: a concurrent [[scrubUncommitted]] (a
+    // maintenance op racing this stream past the quiescence gate) sees
+    // this batch's moved-in files as marker-less orphans and deletes
+    // them. Writing the marker anyway would record a committed batch
+    // whose rows are gone — the replay skips by marker and the data is
+    // silently lost forever. Verify every moved file still exists and
+    // FAIL the batch instead: the checkpoint has not advanced, so the
+    // stream retries the batch from its source offsets and loses nothing.
+    landed.filterNot(f.exists) match {
+      case Seq() => ()
+      case gone => throw new IllegalStateException(
+        s"batch $batchId under $root lost ${gone.size} moved file(s) " +
+          s"before its ledger marker (first: ${gone.head}) — a concurrent " +
+          "maintenance scrub deleted them; failing the batch so the " +
+          "stream replays it. Do not run index maintenance against a " +
+          "root with an active ingest stream.")
+    }
     val marker = ledgerPath(root, batchId)
     f.mkdirs(marker.getParent)
     val out = f.create(marker, true)
     out.close()
     f.delete(stagingPath, true)
     true
+  }
+
+  /** Assert (and on first use record) the ONE-CHECKPOINT-PER-ROOT
+    * invariant the ledger's batch-id keying stands on: `foreachBatch`
+    * batch ids are unique and replay-stable only WITHIN one checkpoint
+    * lineage. A stream restarted with a fresh checkpoint dir — or a
+    * second stream into the same root — restarts ids at 0, and the old
+    * markers would silently SKIP genuinely new batches (data loss, no
+    * error). Every ingest-stream constructor calls this before
+    * `start()`: the first stream stamps its qualified checkpoint path
+    * under `_ledger/`; any later stream with a different path fails
+    * loudly. To re-point a layout at a new checkpoint deliberately,
+    * clear `_ledger/` (markers AND stamp) together — the fresh lineage
+    * then starts from an empty ledger, which is consistent. */
+  def assertStreamIdentity(spark: SparkSession, root: String,
+                           checkpointDir: String): Unit = {
+    val stamp = new Path(s"$root/_ledger/_checkpoint")
+    val f = fs(spark, stamp)
+    val qualified = f.makeQualified(new Path(checkpointDir)).toString
+    if (f.exists(stamp)) {
+      val in = f.open(stamp)
+      val recorded = try {
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      } finally in.close()
+      require(recorded == qualified,
+        s"ledger markers under $root belong to checkpoint $recorded; " +
+          s"starting a stream with checkpoint $qualified would replay " +
+          "batch ids against the wrong lineage and silently skip new " +
+          "batches — reuse the original checkpoint, or clear _ledger/ " +
+          "to adopt the new one")
+    } else {
+      f.mkdirs(stamp.getParent)
+      val out = f.create(stamp, true)
+      try out.write(qualified.getBytes("UTF-8")) finally out.close()
+    }
   }
 }

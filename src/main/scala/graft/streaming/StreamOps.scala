@@ -300,7 +300,8 @@ object StreamOps {
     * rebuild, plus the post-ingest serving path). */
   def bm25IngestStream(docs: DataFrame, textCol: String, idCol: String,
                        root: String, checkpointDir: String)
-                      : org.apache.spark.sql.streaming.StreamingQuery =
+                      : org.apache.spark.sql.streaming.StreamingQuery = {
+    BatchCommit.assertStreamIdentity(docs.sparkSession, root, checkpointDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -310,6 +311,7 @@ object StreamOps {
         ()
       }
       .start()
+  }
 
   /** One micro-batch of [[bm25IngestStream]] — public so the replay spec
     * (and any custom sink) can drive the idempotent commit directly.
@@ -319,9 +321,10 @@ object StreamOps {
     if (batch.isEmpty) return false
     val spark = batch.sparkSession
     BatchCommit.runOnce(spark, root, batchId) { staging =>
-      graft.text.TextOps.bm25Postings(batch, textCol, idCol)
-        .withColumn("bucket",
-          graft.text.TextOps.bm25Bucket(col("term")))
+      graft.io.Sinks.onePerPartitionValue(
+          graft.text.TextOps.bm25Postings(batch, textCol, idCol)
+            .withColumn("bucket",
+              graft.text.TextOps.bm25Bucket(col("term"))), Seq("bucket"))
         .write.partitionBy("bucket").parquet(s"$staging/postings")
       graft.text.TextOps.bm25CorpusStats(batch, textCol)
         .coalesce(1).write.parquet(s"$staging/stats")
@@ -365,6 +368,7 @@ object StreamOps {
                       idCol: String = "vec_id", vecCol: String = "embedding")
                      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
+    BatchCommit.assertStreamIdentity(spark, root, checkpointDir)
     val centroids = pinned(spark, s"$root/centroids")
     vectors.writeStream
       .outputMode("append")
@@ -384,7 +388,9 @@ object StreamOps {
                      vecCol: String = "embedding"): Boolean = {
     if (batch.isEmpty) return false
     BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
-      graft.sim.Ivf.assignPortable(batch, centroids, idCol, vecCol)
+      graft.io.Sinks.onePerPartitionValue(
+          graft.sim.Ivf.assignPortable(batch, centroids, idCol, vecCol),
+          Seq("cell"))
         .write.partitionBy("cell").parquet(s"$staging/assigned")
       Seq(s"$staging/assigned" -> s"$root/assigned")
     }
@@ -409,6 +415,7 @@ object StreamOps {
                         vecCol: String = "embedding")
                        : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
+    BatchCommit.assertStreamIdentity(spark, root, checkpointDir)
     val centroids = pinned(spark, s"$root/centroids")
     val codebooks = pinned(spark, s"$root/codebooks")
     vectors.writeStream
@@ -434,7 +441,9 @@ object StreamOps {
     BatchCommit.runOnce(spark, root, batchId) { staging =>
       val idx = graft.sim.IvfPqIndex(centroids, codebooks,
         spark.emptyDataFrame)
-      graft.sim.IvfPq.encodeDeltaResidual(idx, batch, idCol, vecCol)
+      graft.io.Sinks.onePerPartitionValue(
+          graft.sim.IvfPq.encodeDeltaResidual(idx, batch, idCol, vecCol),
+          Seq("cell"))
         .write.partitionBy("cell").parquet(s"$staging/codes")
       Seq(s"$staging/codes" -> s"$root/codes")
     }
@@ -454,7 +463,8 @@ object StreamOps {
   def rpIngestStream(vectors: DataFrame, root: String, checkpointDir: String,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      dimOut: Int = 8, seed: Int = 42)
-                    : org.apache.spark.sql.streaming.StreamingQuery =
+                    : org.apache.spark.sql.streaming.StreamingQuery = {
+    BatchCommit.assertStreamIdentity(vectors.sparkSession, root, checkpointDir)
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -464,6 +474,7 @@ object StreamOps {
         ()
       }
       .start()
+  }
 
   /** One micro-batch of [[rpIngestStream]] — public for the replay spec.
     * Returns false when the batch was empty or already committed. */
@@ -495,6 +506,7 @@ object StreamOps {
                      idCol: String = "vec_id", vecCol: String = "embedding")
                     : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
+    BatchCommit.assertStreamIdentity(spark, root, checkpointDir)
     val codebooks = pinned(spark, s"$root/codebooks")
     vectors.writeStream
       .outputMode("append")
@@ -520,6 +532,7 @@ object StreamOps {
   def nearDupIngestStream(docs: DataFrame, textCol: String, idCol: String,
                           root: String, checkpointDir: String)
                          : org.apache.spark.sql.streaming.StreamingQuery = {
+    BatchCommit.assertStreamIdentity(docs.sparkSession, root, checkpointDir)
     val (bands, rowsPerBand, shingleK) =
       graft.serve.NearDupService.readMeta(docs.sparkSession, root)
     docs.writeStream

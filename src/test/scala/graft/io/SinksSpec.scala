@@ -168,6 +168,34 @@ class SinksSpec extends SparkSpec {
       parent.listFiles().map(_.getName).mkString(", "))
   }
 
+  test("in-place compaction recovers a crash between the two swap renames " +
+      "instead of deleting the only copy") {
+    // crashed-mid-swap state: root ABSENT, root-__old__ holds the data,
+    // root-__compacting__ holds the crashed attempt's compacted copy —
+    // the next run must restore __old__ to root, not delete it
+    val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val root = s"$base/data"
+    val rows = (0 until 100).map(i => (i.toLong, i % 2))
+    rows.toDF("id", "p").repartition(5).write.partitionBy("p").parquet(root)
+    val before = spark.read.parquet(root).select("id", "p")
+      .as[(Long, Int)].collect().toSet
+    val f = new java.io.File(root)
+    assert(f.renameTo(new java.io.File(s"$root-__old__")))
+    new java.io.File(s"$root-__compacting__").mkdirs() // crashed attempt
+    val after = Sinks.compactLayoutInPlace(spark, root, Seq("p"))
+      .select("id", "p").as[(Long, Int)].collect().toSet
+    assert(after === before, "recovered + compacted data must be intact")
+    assert(new java.io.File(base).listFiles().map(_.getName).toSet === Set("data"))
+
+    // same contract for the unpartitioned form
+    val root2 = s"$base/flat"
+    rows.toDF("id", "p").repartition(5).write.parquet(root2)
+    assert(new java.io.File(root2).renameTo(new java.io.File(s"$root2-__old__")))
+    val after2 = Sinks.compactParquetInPlace(spark, root2, 1)
+      .select("id", "p").as[(Long, Int)].collect().toSet
+    assert(after2 === before)
+  }
+
   test("partitionBy write + partition-column filter prunes directories at plan time") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col

@@ -1,0 +1,88 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Stored near-dup index lifecycle pins the registry's digest oracle
+  * cannot see: physical file hygiene of the layout writers (the
+  * small-file pathology a 100 TB ingest cadence multiplies), and
+  * stale-signature removal on upsert (exact-verified probes read TEXT,
+  * so a resurrected signature row is invisible to the hash-certified
+  * faces — here the layout's rows are directly countable). */
+class NearDupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) = (1 to n)
+    .map(i => (i.toLong, s"document number $i talks about topic ${i % 7} " +
+      s"with filler content shared across the corpus body ${i % 3}"))
+    .toDF("doc_id", "text")
+
+  private def dataFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("buildIndex + appendDelta land at most one file per touched partition group") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nd_files").toString
+    NearDupService.buildIndex(corpus(200).filter($"doc_id" <= 150),
+      "text", "doc_id", root)
+    val sigGroups = new java.io.File(s"$root/signatures").listFiles()
+      .count(_.getName.startsWith("idgrp="))
+    val bGroups = new java.io.File(s"$root/buckets").listFiles()
+      .count(_.getName.startsWith("bgrp="))
+    assert(dataFiles(s"$root/signatures").size <= sigGroups,
+      "build must land one signature file per idgrp")
+    assert(dataFiles(s"$root/buckets").size <= bGroups,
+      "build must land one bucket file per bgrp")
+    NearDupService.appendDelta(corpus(200).filter($"doc_id" > 150),
+      "text", "doc_id", root)
+    // append adds at most one more file per touched group
+    assert(dataFiles(s"$root/signatures").size <= 2 * 64)
+    assert(dataFiles(s"$root/buckets").size <= 2 * 64)
+  }
+
+  test("upsertDelta replaces an edited (probed) document: no stale signature rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nd_upsert").toString
+    val docs = corpus(60)
+    NearDupService.buildIndex(docs, "text", "doc_id", root)
+    val edited = docs.filter($"doc_id" === 7L)
+      .withColumn("text", concat($"text", lit(" freshly recrawled")))
+    NearDupService.upsertDelta(edited, "text", "doc_id", root)
+    // exactly ONE signature row and bands-many bucket rows for the id —
+    // a missed removal leaves two signature rows and the probe would
+    // report both versions
+    val sigRows = spark.read.parquet(s"$root/signatures")
+      .filter($"id" === 7L).count()
+    assert(sigRows === 1L, s"expected 1 signature row for the upserted id, got $sigRows")
+    val (bands, _, _) = NearDupService.readMeta(spark, root)
+    val bRows = spark.read.parquet(s"$root/buckets")
+      .filter($"id" === 7L).count()
+    assert(bRows === bands.toLong)
+    // layout stays band-uniform (the bandStats invariant)
+    val stats = NearDupService.bandStats(spark, root).collect()
+    assert(stats.forall(r => r.getAs[Long]("n_rows") === 60L &&
+      r.getAs[Long]("n_ids") === 60L))
+    // the edited doc is served under its NEW text at guaranteed recall
+    val probe = Seq((999L, edited.select("text").as[String].head()))
+      .toDF("doc_id", "text")
+    val hits = NearDupService.probeVerified(spark, root, probe,
+      docs.filter($"doc_id" =!= 7L).unionByName(edited), "text", "doc_id",
+      threshold = 1.0)
+      .select("ref_id").as[Long].collect().toSet
+    assert(hits === Set(7L), s"edited doc must match its new text only, got $hits")
+  }
+
+  test("upsertDelta on a brand-new id behaves as a plain append") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nd_upnew").toString
+    NearDupService.buildIndex(corpus(20), "text", "doc_id", root)
+    NearDupService.upsertDelta(
+      Seq((1000L, "entirely new content for the upserted id"))
+        .toDF("doc_id", "text"), "text", "doc_id", root)
+    assert(spark.read.parquet(s"$root/signatures")
+      .filter($"id" === 1000L).count() === 1L)
+    val stats = NearDupService.bandStats(spark, root).collect()
+    assert(stats.forall(_.getAs[Long]("n_ids") === 21L))
+  }
+}
