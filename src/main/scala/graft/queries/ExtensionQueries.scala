@@ -1780,6 +1780,27 @@ object ExtensionQueries {
       k = 5, nlist = 8, nprobe = 8, m = 4, codebookSize = 8)
   }
 
+  /** FILTERED ANN on the RESIDUAL IVF-PQ tier — the predicate contract
+    * ([[simIvfFiltered]]) on the actual 100 TB serving format, closing
+    * the filtered-search matrix across all four vector backends (flat
+    * IVF, flat PQ, RP, and now IVFADC): the attribute is denormalized
+    * onto the thin code rows at build (`keepCols` — a probe-time
+    * predicate must never join the raw corpus), and the equality lands
+    * BELOW the top-k on the candidate codes, so the k survivors are k
+    * MATCHING survivors. On the grid corpus the residual composite is
+    * exact (centroids are the 8 patterns ⇒ residual ADC recovers q·v),
+    * so the filtered brute-force oracle hash-checks the whole
+    * predicate-under-ADC path end to end. */
+  private val simIvfpqFiltered: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val tagged = grid.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast(IntegerType))
+    val idx = graft.sim.IvfPq.buildResidualIndex(tagged, nlist = 8, m = 4,
+      codebookSize = 8, keepCols = Seq("tag"))
+    graft.sim.IvfPq.probeResidualTopK(idx, grid.filter(col("vec_id") < 10),
+      k = 5, nprobe = 8, filter = Some(col("tag") === 1))
+  }
+
   /** O(delta) incremental ingest into the RESIDUAL IVF-PQ index, merged ≡
     * rebuilt: both quantizers train on the BASE slice only, the delta
     * (vec_id ≡ 3 mod 5) is ingested later — frozen cell assignment,
@@ -2728,6 +2749,7 @@ object ExtensionQueries {
     "sim_ivfpq_res_topk" -> simIvfpqResTopk,
     "sim_ivfpq_rerank" -> simIvfpqRerank,
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
+    "sim_ivfpq_filtered" -> simIvfpqFiltered,
     "sim_ivfpq_merge" -> simIvfpqMerge,
     "sim_ivfpq_retrain" -> simIvfpqRetrain,
     "sim_pq_merge" -> simPqMerge,
@@ -5008,6 +5030,9 @@ bruteForceCosineOracle,
       // is rows-only like sim_ivfpq_topk; sim_ivfpq_res_exact closes the
       // residual pipeline into the same grid brute-force oracle.
       "sim_ivfpq_res_exact" -> pqGridExactOracle,
+      // filtered ANN under residual ADC: grid exactness makes the
+      // predicate-below-top-k contract brute-force replayable
+      "sim_ivfpq_filtered" -> pqGridOracle(" AND c.vec_id % 3 = 1"),
       // the residual merge face probes EVERY cell over the zero-residual
       // grid, so it must reproduce the same brute force — one shared
       // oracle makes the hash certify the append path
