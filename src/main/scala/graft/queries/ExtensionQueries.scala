@@ -406,14 +406,37 @@ object ExtensionQueries {
     * defect — a missing delta doc, a torn bucket partition, a
     * wrong-parameter signature — drops a guaranteed pair and breaks the
     * hash. */
-  private val ddIndexMerge: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val path = storedIndexPath("ndidx_merge", dir) { out =>
+  /** The built+appended full-corpus near-dup layout shared by every
+    * dd_index_* face. Built ONCE per JVM; the mutating faces (takedown,
+    * upsert) get a plain file COPY of it instead of re-running the two
+    * corpus-wide signature builds — the mutation under test plus the
+    * probe stay in their timed paths, the fixture construction does not
+    * (the [[simIvfpqRetrain]] amortization discipline). Resolved OUTSIDE
+    * the dependent storedIndexPath builders: nested computeIfAbsent on
+    * one map risks a recursive-update error. */
+  private def ndBaseIndex(s: SparkSession, dir: String,
+                          docs: DataFrame): String =
+    storedIndexPath("ndidx_merge", dir) { out =>
       graft.serve.NearDupService.buildIndex(
         docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", out)
       graft.serve.NearDupService.appendDelta(
         docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", out)
     }
+
+  /** Recursive local copy of a stored layout — fixture plumbing only
+    * (registry faces mutate private copies of the shared base index). */
+  private def copyLayout(s: SparkSession, src: String, dst: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val fs = sp.getFileSystem(conf)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, conf),
+      s"fixture copy failed: $src -> $dst")
+  }
+
+  private val ddIndexMerge: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val path = ndBaseIndex(s, dir, docs)
     val probeBatch = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     graft.serve.NearDupService.probeVerified(s, path, probeBatch, docs,
@@ -430,11 +453,9 @@ object ExtensionQueries {
     * GDPR-takedown guarantee for the dedup tier. */
   private val ddIndexRemove: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = ndBaseIndex(s, dir, docs)
     val path = storedIndexPath("ndidx_remove", dir) { out =>
-      graft.serve.NearDupService.buildIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", out)
-      graft.serve.NearDupService.appendDelta(
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", out)
+      copyLayout(s, base, out)
       graft.serve.NearDupService.removeFromIndex(s, out,
         docs.filter(col("doc_id") % 20 === 0).select("doc_id"), "doc_id")
     }
@@ -460,11 +481,9 @@ object ExtensionQueries {
     val edited = docs.withColumn("text",
       when(col("doc_id") % 20 === 0, concat(col("text"), lit(" edited")))
         .otherwise(col("text")))
+    val base = ndBaseIndex(s, dir, docs)
     val path = storedIndexPath("ndidx_upsert", dir) { out =>
-      graft.serve.NearDupService.buildIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", out)
-      graft.serve.NearDupService.appendDelta(
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", out)
+      copyLayout(s, base, out)
       graft.serve.NearDupService.upsertDelta(
         edited.filter(col("doc_id") % 20 === 0), "text", "doc_id", out)
     }
@@ -483,13 +502,8 @@ object ExtensionQueries {
     * index (same per-JVM cache key). */
   private val ddIndexStats: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val path = storedIndexPath("ndidx_merge", dir) { out =>
-      graft.serve.NearDupService.buildIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", out)
-      graft.serve.NearDupService.appendDelta(
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", out)
-    }
-    graft.serve.NearDupService.bandStats(s, path).orderBy("band")
+    graft.serve.NearDupService.bandStats(s, ndBaseIndex(s, dir, docs))
+      .orderBy("band")
   }
 
   /** Deterministic ~25% corpus downsample — map-only, no shuffle; the
