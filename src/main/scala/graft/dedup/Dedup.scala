@@ -673,9 +673,23 @@ object Dedup {
   def verifyPairsJaccard(pairs: DataFrame, docs: DataFrame,
                          textCol: String, idCol: String,
                          aCol: String = "id_a", bCol: String = "id_b",
-                         shingleK: Int = 5): DataFrame =
-    verifyPairsJaccardSided(pairs, docs, docs, textCol, idCol,
-      aCol, bCol, shingleK)
+                         shingleK: Int = 5): DataFrame = {
+    // single-corpus form: ONE shingle set over the union of referenced
+    // ids serves both pair sides (the sided form would scan and explode
+    // the same corpus twice — shingling is the dominant cost here)
+    val p = pairs.select(col(aCol), col(bCol)).dropDuplicates(aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releasingOnFailure(p) {
+      val ids = p.select(col(aCol).as("id"))
+        .union(p.select(col(bCol).as("id")))
+      val set = hashedShingleSet(docs, textCol, idCol, shingleK, ids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      releasingOnFailure(set) {
+        materializeAndRelease(
+          pairJaccardHashed(p, set, set, aCol, bCol), p, set)
+      }
+    }
+  }
 
   /** [[verifyPairsJaccard]] with DISTINCT corpora per pair side — the
     * stored-index probe shape, where the a-side ids resolve against the
@@ -687,16 +701,26 @@ object Dedup {
                               idCol: String, aCol: String = "id_a",
                               bCol: String = "id_b",
                               shingleK: Int = 5): DataFrame = {
+    // releasingOnFailure nesting: an eager analysis error while
+    // CONSTRUCTING a later frame (e.g. bDocs missing idCol) must not
+    // leak the persists already registered — materializeAndRelease's
+    // finally only covers the tail action
     val p = pairs.select(col(aCol), col(bCol)).dropDuplicates(aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aSet = hashedShingleSet(aDocs, textCol, idCol, shingleK,
-        p.select(col(aCol).as("id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bSet = hashedShingleSet(bDocs, textCol, idCol, shingleK,
-        p.select(col(bCol).as("id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    materializeAndRelease(
-      pairJaccardHashed(p, aSet, bSet, aCol, bCol), p, aSet, bSet)
+    releasingOnFailure(p) {
+      val aSet = hashedShingleSet(aDocs, textCol, idCol, shingleK,
+          p.select(col(aCol).as("id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      releasingOnFailure(aSet) {
+        val bSet = hashedShingleSet(bDocs, textCol, idCol, shingleK,
+            p.select(col(bCol).as("id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        releasingOnFailure(bSet) {
+          materializeAndRelease(
+            pairJaccardHashed(p, aSet, bSet, aCol, bCol), p, aSet, bSet)
+        }
+      }
+    }
   }
 
   /** Distinct (id, xxhash64(shingle)) rows of the docs `ids` references —

@@ -148,9 +148,7 @@ object Sinks {
     f.delete(tmp, true) // a crashed previous attempt
     f.delete(old, true)
     compactLayout(spark, root, tmp.toString, partitionCols, filesPerPartition)
-    require(f.rename(p, old), s"swap failed: could not move $root aside")
-    require(f.rename(tmp, p), s"swap failed: could not move $tmp into place")
-    f.delete(old, true)
+    doSwap(f, p, tmp, old)
     spark.read.parquet(root)
   }
 
@@ -170,41 +168,130 @@ object Sinks {
       partitionCols.map(col): _*)
   }
 
-  /** Heal a crash that landed BETWEEN the two swap renames: `root` is
-    * absent and `root-__old__` holds the only live copy of the data. Every
-    * swap-based maintenance op calls this BEFORE its delete-the-leftovers
-    * preamble — without it, the next run would delete `__old__` as a
-    * stale leftover and then fail reading the missing `root`, turning a
-    * recoverable crash into permanent loss (the documented "recoverable
-    * next run" contract). Rename-back, not delete: the crashed attempt's
-    * compacted copy in `tmp` is discarded and rebuilt — data wins over a
-    * saved recompaction. No-op in every healthy state (root present). */
+  /** Heal a crashed versioned-directory swap for `root` — PUBLIC because
+    * every maintenance op that READS a root before swapping it
+    * (retrains, compactions) must run this FIRST: recovery placed only
+    * inside the swap call would come after the reads that need it, and
+    * the op would fail (or worse, derive its replacement from a
+    * writer-recreated sparse root) before ever reaching it.
+    *
+    * States healed, keyed by the `-__swap_pending__` marker
+    * [[doSwap]] writes around its two renames:
+    *   - marker + `__old__` present ⇒ the swap never completed and
+    *     `__old__` is authoritative. If `root` meanwhile REAPPEARED (an
+    *     append-mode writer or a streamed batch recreates a missing
+    *     directory), its data files — including `_ledger/batch-*`
+    *     markers, whose names don't start with `_` — are folded INTO
+    *     `__old__` by relative path before the restore, so interim
+    *     ingest survives the rollback; then `__old__` is renamed back.
+    *     Without the fold-and-restore, the next run's
+    *     delete-the-leftovers preamble would destroy the only full copy
+    *     (`root` present looks healthy) — permanent silent loss.
+    *   - marker + no `__old__` ⇒ crash before the first rename or after
+    *     the old-dir delete; `root` is authoritative, drop the marker.
+    *   - no marker + `root` absent + `__old__` present ⇒ a legacy
+    *     (pre-marker) crashed swap; restore `__old__`.
+    * No-op in every healthy state. Rollback over salvage: `__old__`
+    * holds the same rows the crashed attempt was re-laying-out, so
+    * restoring it loses only the maintenance work, never data. */
+  def recoverCrashedSwap(spark: org.apache.spark.sql.SparkSession,
+                         root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    recoverCrashedSwap(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p, new org.apache.hadoop.fs.Path(root + "-__old__"))
+  }
+
+  private def pendingMarker(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root.toString + "-__swap_pending__")
+
   private def recoverCrashedSwap(f: org.apache.hadoop.fs.FileSystem,
                                  root: org.apache.hadoop.fs.Path,
-                                 old: org.apache.hadoop.fs.Path): Unit =
-    if (!f.exists(root) && f.exists(old))
+                                 old: org.apache.hadoop.fs.Path): Unit = {
+    val pending = pendingMarker(root)
+    if (f.exists(pending)) {
+      if (f.exists(old)) {
+        if (f.exists(root)) {
+          moveTreeInto(f, root, old)
+          f.delete(root, true)
+        }
+        require(f.rename(old, root),
+          s"crash recovery failed: could not restore $old to $root")
+      }
+      f.delete(pending, false)
+    } else if (!f.exists(root) && f.exists(old)) {
       require(f.rename(old, root),
         s"crash recovery failed: could not restore $old to $root")
+    }
+  }
 
-  /** The two-rename versioned-directory swap shared by the in-place
-    * maintenance ops (compaction here, stored-index retrain in
-    * [[graft.serve.AnnService]]): `tmp` must already hold the COMPLETE
-    * replacement; `root` is moved aside, `tmp` moved in, the old
-    * directory deleted. The window where `root` is absent is two
+  /** Move every data file under `src` into `dst`, preserving relative
+    * subpaths — the fold half of crash recovery. Name-based filtering
+    * (skip `_*`/`.*` FILES, keep everything else) deliberately carries
+    * `_ledger/batch-N` markers (the file name is `batch-N`): dropping a
+    * marker while folding its batch's data files would let the next
+    * scrub delete rows whose replay the checkpoint already skipped. */
+  private def moveTreeInto(f: org.apache.hadoop.fs.FileSystem,
+                           src: org.apache.hadoop.fs.Path,
+                           dst: org.apache.hadoop.fs.Path): Unit = {
+    val srcUri = src.toUri.getPath
+    val it = f.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+        val parent = rel.lastIndexOf('/') match {
+          case -1 => dst
+          case i  => new org.apache.hadoop.fs.Path(dst, rel.substring(0, i))
+        }
+        f.mkdirs(parent)
+        require(f.rename(st.getPath, new org.apache.hadoop.fs.Path(parent, name)),
+          s"crash recovery failed folding ${st.getPath} into $parent")
+      }
+    }
+  }
+
+  /** The marker-fenced two-rename swap every in-place maintenance op
+    * funnels through: `tmp` must already hold the COMPLETE replacement.
+    * The `-__swap_pending__` marker brackets exactly the non-atomic
+    * window (created after `tmp` is complete, removed after the old dir
+    * is gone), so [[recoverCrashedSwap]] can tell "old is the only full
+    * copy" from "old is a stale leftover" even when a writer recreates
+    * `root` in between. The window where `root` is absent stays two
     * metadata renames wide — a reader opening mid-swap fails loudly
-    * rather than seeing partial data, and a crash mid-swap leaves the
-    * full old or full new directory recoverable. */
+    * rather than seeing partial data. */
+  private def doSwap(f: org.apache.hadoop.fs.FileSystem,
+                     root: org.apache.hadoop.fs.Path,
+                     tmp: org.apache.hadoop.fs.Path,
+                     old: org.apache.hadoop.fs.Path): Unit = {
+    val pending = pendingMarker(root)
+    f.create(pending, true).close()
+    require(f.rename(root, old), s"swap failed: could not move $root aside")
+    require(f.rename(tmp, root), s"swap failed: could not move $tmp into place")
+    f.delete(old, true)
+    f.delete(pending, false)
+  }
+
+  /** The versioned-directory swap shared by the in-place maintenance ops
+    * (compaction here, stored-index retrain in
+    * [[graft.serve.AnnService]]): `tmp` must already hold the COMPLETE
+    * replacement. REFUSES to run over an unrecovered crashed swap — the
+    * caller derived `tmp` from whatever it read at `root`, and if that
+    * read predated recovery the replacement is built from a sparse
+    * recreation; callers run [[recoverCrashedSwap]] FIRST (before their
+    * reads) and this guard makes skipping that step loud. */
   private[graft] def swapDir(spark: org.apache.spark.sql.SparkSession,
                              root: String, tmp: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val t = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(root + "-__old__")
-    recoverCrashedSwap(f, p, old) // a prior swap crashed between renames
+    require(!f.exists(pendingMarker(p)),
+      s"$root has an unrecovered crashed swap — run " +
+        "Sinks.recoverCrashedSwap(root) before reading the layout " +
+        "(the maintenance entry points do this; rerun the op)")
     f.delete(old, true)
-    require(f.rename(p, old), s"swap failed: could not move $root aside")
-    require(f.rename(t, p), s"swap failed: could not move $tmp into place")
-    f.delete(old, true)
+    doSwap(f, p, t, old)
   }
 
   /** [[compactParquet]] with the [[compactLayoutInPlace]] versioned-dir
@@ -224,9 +311,7 @@ object Sinks {
     f.delete(tmp, true) // a crashed previous attempt
     f.delete(old, true)
     compactParquet(spark, root, tmp.toString, targetFiles)
-    require(f.rename(p, old), s"swap failed: could not move $root aside")
-    require(f.rename(tmp, p), s"swap failed: could not move $tmp into place")
-    f.delete(old, true)
+    doSwap(f, p, tmp, old)
     spark.read.parquet(root)
   }
 

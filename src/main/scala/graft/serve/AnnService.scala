@@ -136,6 +136,7 @@ object AnnService {
     * on replay. */
   def retrainIndex(spark: SparkSession, root: String,
                    nlist: Int = 8, stride: Int = 29): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root) // before ANY layout read
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/assigned"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -167,6 +168,7 @@ object AnnService {
   def retrainIndexIfSkewed(spark: SparkSession, root: String,
                            maxBalance: Double = 2.0,
                            nlist: Int = 8, stride: Int = 29): Boolean = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
     val bf = Ivf.balanceFactor(IvfIndex(
       spark.read.parquet(s"$root/centroids"),
       spark.read.parquet(s"$root/assigned")))
@@ -323,6 +325,7 @@ object AnnFlatPqService {
                    m: Int = 4, codebookSize: Int = 16, seed: Long = 42L,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root) // before ANY layout read
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/codes"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -353,6 +356,7 @@ object AnnFlatPqService {
                               m: Int = 4, codebookSize: Int = 16,
                               seed: Long = 42L, idCol: String = "vec_id",
                               vecCol: String = "embedding"): Boolean = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
     val md = Pq.meanDistortion(
       PqIndex(spark.read.parquet(s"$root/codebooks"),
         spark.read.parquet(s"$root/codes")),
@@ -501,6 +505,7 @@ object AnnPqService {
                    nlist: Int = 16, m: Int = 4, codebookSize: Int = 16,
                    seed: Long = 42L, idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root) // before ANY layout read
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/codes"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -543,6 +548,7 @@ object AnnPqService {
                               codebookSize: Int = 16, seed: Long = 42L,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): Boolean = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
     def opened() = IvfPqIndex(
       spark.read.parquet(s"$root/centroids"),
       spark.read.parquet(s"$root/codebooks"),

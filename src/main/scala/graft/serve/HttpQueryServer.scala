@@ -127,7 +127,11 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
                 // ignored predicate returning wrong results with no error
                 // is exactly the failure mode the backend whitelist exists
                 // to reject
-                if (filter.isEmpty && body.contains("\"filter\""))
+                // key-position check ("filter" followed by a colon), not
+                // a raw substring: a VALUE that merely equals "filter"
+                // (e.g. {"note":"filter"}) must not trip the guard
+                if (filter.isEmpty &&
+                    """"filter"\s*:""".r.findFirstIn(body).isDefined)
                   respond(ex, 400,
                     """{"error":"filter must be {\"col\": \"<identifier>\", \"value\": \"<token>\"}"}""")
                 else {

@@ -59,9 +59,29 @@ object NearDupService {
     * BUILD. Explicit partition count: a bare `repartition(col)` is
     * AQE-coalescible, and coalescing would funnel several groups through
     * one task (still one file per group — but the explicit count also
-    * keeps big builds from serializing on a few tasks). */
+    * keeps big builds from serializing on a few tasks). One shared
+    * implementation with the staged micro-batch writers. */
   private def oneFilePerGroup(df: DataFrame, grpCol: String): DataFrame =
-    df.repartition(Groups, col(grpCol))
+    graft.io.Sinks.onePerPartitionValue(df, Seq(grpCol))
+
+  /** Fail-fast duplicate-id gate on DELTA ingest: two rows with one id
+    * in a batch would flow into [[Dedup.minHashSignatures]]' groupBy,
+    * which UNIONS both versions' shingle sets — the stored signature
+    * then matches NEITHER version and the guaranteed-recall
+    * threshold-1.0 probe silently misses the doc. One thin aggregate
+    * over the (small) delta. Full builds don't pay this pass: a
+    * duplicated build id surfaces as `n_rows ≠ n_ids` drift in
+    * [[bandStats]], the layout audit built for exactly that class. */
+  private def requireUniqueIds(df: DataFrame, idCol: String,
+                               op: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("d")).collect()(0)
+    require(r.getLong(0) == r.getLong(1),
+      s"$op: batch carries ${r.getLong(0) - r.getLong(1)} duplicate " +
+        s"'$idCol' row(s) — the merged shingle sets would produce a " +
+        "signature matching neither version; keep one row per id " +
+        "(the latest version) before ingesting")
+  }
 
   private def idGrp(id: Column): Column =
     pmod(xxhash64(id), lit(Groups.toLong)).cast("int")
@@ -125,6 +145,7 @@ object NearDupService {
   def appendDelta(df: DataFrame, textCol: String, idCol: String,
                   root: String): Unit = {
     val spark = df.sparkSession
+    requireUniqueIds(df, idCol, "NearDupService.appendDelta")
     val (bands, rowsPerBand, shingleK) = readMeta(spark, root)
     val sigs = Dedup.minHashSignatures(df, textCol, idCol,
       bands * rowsPerBand, shingleK)
@@ -363,6 +384,7 @@ object NearDupService {
                                       root: String, bands: Int,
                                       rowsPerBand: Int, shingleK: Int)
                                      : Seq[(String, String)] = {
+    requireUniqueIds(batch, idCol, "NearDupService.writeStagedBatch")
     val sigs = Dedup.minHashSignatures(batch, textCol, idCol,
         bands * rowsPerBand, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

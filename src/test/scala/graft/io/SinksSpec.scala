@@ -196,6 +196,37 @@ class SinksSpec extends SparkSpec {
     assert(after2 === before)
   }
 
+  test("crash recovery folds a writer-recreated root into __old__ before restoring " +
+      "(pending-marker state)") {
+    // worst case: the swap crashed between its two renames (marker +
+    // __old__ = full copy), then an append-mode writer RECREATED root
+    // with interim rows. Recovery must keep BOTH: old corpus restored,
+    // interim files folded in — and never treat the sparse recreation
+    // as healthy (which would let the preamble delete the full copy).
+    val base = java.nio.file.Files.createTempDirectory("graft_crash2").toString
+    val root = s"$base/data"
+    val corpus = (0 until 80).map(i => (i.toLong, i % 2))
+    corpus.toDF("id", "p").repartition(3).write.partitionBy("p").parquet(root)
+    val f = new java.io.File(root)
+    assert(f.renameTo(new java.io.File(s"$root-__old__")))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root-__swap_pending__"))
+    // interim writer recreates root with new rows only
+    Seq((1000L, 0), (1001L, 1)).toDF("id", "p")
+      .repartition(1).write.partitionBy("p").parquet(root)
+    Sinks.recoverCrashedSwap(spark, root)
+    val back = spark.read.parquet(root).select("id").as[Long].collect().toSet
+    assert(back === (corpus.map(_._1).toSet ++ Set(1000L, 1001L)),
+      "restored root must hold the full old corpus plus the interim rows")
+    assert(new java.io.File(base).listFiles().map(_.getName).toSet === Set("data"),
+      "marker and __old__ must be gone after recovery")
+    // a stale __old__ with NO marker and a live root is a post-swap
+    // leftover: recovery must leave root alone
+    new java.io.File(s"$root-__old__").mkdirs()
+    Sinks.recoverCrashedSwap(spark, root)
+    assert(spark.read.parquet(root).select("id").as[Long].collect().toSet === back)
+  }
+
   test("partitionBy write + partition-column filter prunes directories at plan time") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col

@@ -264,6 +264,43 @@ class HttpQueryServerSpec extends SparkSpec {
     assert(e.getMessage.contains("does not support filtered"))
   }
 
+  test("POST /ann: a malformed filter object is 400, never a silently " +
+      "unfiltered 200; a VALUE equal to \"filter\" does not trip the guard") {
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i), (i % 2).toString))
+      .toDF("vec_id", "embedding", "tag")
+    val cents = graft.sim.Ivf.portableCentroids(
+      corpus.select("vec_id", "embedding"), nlist = 2, stride = 7)
+    val flat = new AnnService(
+      graft.sim.IvfIndex(cents,
+        graft.sim.Ivf.assignPortable(corpus, cents, keepCols = Seq("tag"))),
+      dim, maxK = 10, nprobe = 2, filterCols = Set("tag"))
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, Some(flat))
+    val port = srv.start()
+    try {
+      val q = vec(3).mkString("[", ",", "]")
+      // reversed key order fails the strict shape — must be 400, not an
+      // unfiltered 200 (the ignored-predicate-wrong-results failure)
+      val reversed = postAnn(port,
+        s"""{"vec": $q, "k": 2, "filter": {"value": "a", "col": "tag"}}""")
+      assert(reversed.statusCode() === 400, reversed.body())
+      // out-of-alphabet value chars — same contract
+      val badVal = postAnn(port,
+        s"""{"vec": $q, "k": 2, "filter": {"col": "tag", "value": "a;b"}}""")
+      assert(badVal.statusCode() === 400, badVal.body())
+      // a plain string VALUE "filter" elsewhere in the body is NOT a
+      // filter request — stays an ordinary 200
+      val valueOnly = postAnn(port, s"""{"vec": $q, "k": 2, "note": "filter"}""")
+      assert(valueOnly.statusCode() === 200, valueOnly.body())
+    } finally srv.stop()
+  }
+
   test("POST /ann filtered serving on the RP and flat-PQ backends: " +
       "whitelisted equality picks the matching planted duplicate") {
     val dim = 8

@@ -74,6 +74,22 @@ class NearDupIndexSpec extends SparkSpec {
     assert(hits === Set(7L), s"edited doc must match its new text only, got $hits")
   }
 
+  test("appendDelta/upsertDelta reject a batch carrying the same id twice") {
+    // two versions of one doc in a single batch would merge their
+    // shingle sets into a signature matching NEITHER version — the
+    // guard fails loudly instead
+    val root = java.nio.file.Files.createTempDirectory("graft_nd_dup").toString
+    NearDupService.buildIndex(corpus(10), "text", "doc_id", root)
+    val twice = Seq((99L, "old crawl of the page"),
+      (99L, "new crawl of the page")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      NearDupService.upsertDelta(twice, "text", "doc_id", root)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(spark.read.parquet(s"$root/signatures")
+      .filter($"id" === 99L).count() === 0L, "the rejected batch must not land")
+  }
+
   test("upsertDelta on a brand-new id behaves as a plain append") {
     val root = java.nio.file.Files.createTempDirectory("graft_nd_upnew").toString
     NearDupService.buildIndex(corpus(20), "text", "doc_id", root)
