@@ -12,44 +12,61 @@ import graft.dedup.Dedup
   * on-disk layout every op understands.
   *
   * Layout under `root`:
-  *   - `meta`        — one row (bands, rows_per_band, shingle_k). The
-  *                     index is SELF-DESCRIBING: probes and appends read
-  *                     their banding parameters from here, so the
+  *   - `meta`        — one row (bands, rows_per_band, shingle_k,
+  *                     groups). The index is SELF-DESCRIBING: probes and
+  *                     appends read their banding AND partition-group
+  *                     parameters from here, so neither the
   *                     mixed-width-index failure mode
-  *                     ([[Dedup.requireIndexWidth]]) cannot be reached
-  *                     through this API at all.
+  *                     ([[Dedup.requireIndexWidth]]) nor a mis-routed
+  *                     append (rows hashed with a different group count
+  *                     land in partitions no probe prunes to) can be
+  *                     reached through this API at all.
   *   - `signatures`  — (id, sig: array<bigint>) partitioned by
-  *                     `idgrp = pmod(xxhash64(id), 64)`; the verification
-  *                     source and the recovery source for deletes.
+  *                     `idgrp = pmod(xxhash64(id), groups)`; the
+  *                     verification source and the recovery source for
+  *                     deletes.
   *   - `buckets`     — (band, bucket, id) partitioned by
-  *                     `bgrp = pmod(bucket, 64)`; the THIN banded rows a
-  *                     probe joins against. Thin by design: denormalizing
-  *                     the 64-long signature into every band row would
-  *                     multiply index storage by `bands` — at 100 TB the
-  *                     bucket rows must stay ~20 bytes.
+  *                     `bgrp = pmod(bucket, groups)`; the THIN banded
+  *                     rows a probe joins against. Thin by design:
+  *                     denormalizing the 64-long signature into every
+  *                     band row would multiply index storage by `bands`
+  *                     — at 100 TB the bucket rows must stay ~20 bytes.
   *   - `_ledger`     — [[graft.streaming.BatchCommit]] markers for the
   *                     streamed batches.
   *
   * Probe cost model (the reason this exists next to
   * [[Dedup.incrementalNearDups]], which scans the WHOLE signature index
   * per batch): the delta's bucket rows land in at most
-  * `min(delta·bands, 64)` `bgrp` partitions, those values are collected
-  * (≤ 64-row driver cost) and pushed as an `isin` partition filter, so
-  * the stored bucket scan reads ONLY matching partitions; candidate
-  * signatures are then fetched through the same ≤ 64-value `idgrp`
-  * pruning on the signatures scan. A small delta probes a large index
-  * touching a bounded fraction of it — O(delta + matched partitions),
-  * never O(index).
+  * `min(delta·bands, groups)` `bgrp` partitions, those values are
+  * collected (≤ groups-row driver cost) and pushed as an `isin`
+  * partition filter, so the stored bucket scan reads ONLY matching
+  * partitions; candidate signatures are then fetched through the same
+  * ≤ groups-value `idgrp` pruning on the signatures scan. A small delta
+  * probes a large index touching a bounded fraction of it —
+  * O(delta + matched partitions), never O(index).
   *
   * Reference analog: the refresh cadence of `dag1.py` (full
   * truncate-and-reload) re-expressed as an incremental stored index, the
   * same relationship [[SearchService.appendDelta]] has to its rebuild. */
 object NearDupService {
 
-  /** 64-way partition groups: wide enough that a delta's rewrite/append
-    * touches a small fraction of a big layout, small enough that the
-    * driver-side collected group lists stay trivially bounded. */
-  private val Groups = 64
+  /** Default partition-group count: wide enough that a delta's
+    * rewrite/append touches a small fraction of a big layout, small
+    * enough that the driver-side collected group lists stay trivially
+    * bounded. The ACTUAL count is pinned in the layout's `meta` (the
+    * banding-parameter discipline): group hashing is baked into the
+    * directory structure, so an append computed with a different count
+    * would mis-route rows into partitions no probe prunes to. At 100 TB
+    * the knob matters for TAKEDOWN granularity — a delete rewrites the
+    * touched groups wholesale, so K removed ids rewrite ~min(K, groups)
+    * / groups of the layout; size `groups` so one group's rewrite is an
+    * acceptable maintenance unit (collects stay O(groups) rows). */
+  private val DefaultGroups = 64
+
+  /** Stored layout parameters (one meta row). `groups` defaults for
+    * layouts written before it was recorded. */
+  final case class NearDupMeta(bands: Int, rowsPerBand: Int,
+                               shingleK: Int, groups: Int)
 
   /** Co-locate each partition value's rows on one task before a
     * `partitionBy` write, so every write below lands ONE file per group
@@ -83,28 +100,33 @@ object NearDupService {
         "(the latest version) before ingesting")
   }
 
-  private def idGrp(id: Column): Column =
-    pmod(xxhash64(id), lit(Groups.toLong)).cast("int")
-  private def bGrp(bucket: Column): Column =
-    pmod(bucket, lit(Groups.toLong)).cast("int")
+  private def idGrp(id: Column, groups: Int): Column =
+    pmod(xxhash64(id), lit(groups.toLong)).cast("int")
+  private def bGrp(bucket: Column, groups: Int): Column =
+    pmod(bucket, lit(groups.toLong)).cast("int")
 
   /** The banded (band, bucket, id, bgrp) rows of a signature frame —
     * shared by build, append, streaming ingest and the probe's delta
     * side, so all four hash buckets identically. */
-  private def bucketRows(sigs: DataFrame): DataFrame =
+  private def bucketRows(sigs: DataFrame, groups: Int): DataFrame =
     sigs.select(col("id"), col("__bb.band").as("band"),
         col("__bb.bucket").as("bucket"))
-      .withColumn("bgrp", bGrp(col("bucket")))
+      .withColumn("bgrp", bGrp(col("bucket"), groups))
 
   private def withBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("id"),
       Dedup.bandBuckets(col("sig"), bands, rowsPerBand).as("__bb"))
 
-  /** (bands, rowsPerBand, shingleK) of a stored layout. */
-  def readMeta(spark: SparkSession, root: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$root/meta").collect()(0)
-    (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
-      r.getAs[Int]("shingle_k"))
+  /** The stored layout's pinned parameters. Layouts written before the
+    * group count was recorded read back with [[DefaultGroups]] — the
+    * value every pre-recording build used. */
+  def readMeta(spark: SparkSession, root: String): NearDupMeta = {
+    val df = spark.read.parquet(s"$root/meta")
+    val r = df.collect()(0)
+    NearDupMeta(r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+      r.getAs[Int]("shingle_k"),
+      if (df.columns.contains("groups")) r.getAs[Int]("groups")
+      else DefaultGroups)
   }
 
   /** Full build of the stored layout. The signature computation is
@@ -113,21 +135,23 @@ object NearDupService {
     * convention). */
   def buildIndex(df: DataFrame, textCol: String, idCol: String, root: String,
                  bands: Int = 16, rowsPerBand: Int = 4,
-                 shingleK: Int = 5): Unit = {
+                 shingleK: Int = 5, groups: Int = DefaultGroups): Unit = {
     require(bands > 0 && rowsPerBand > 0,
       s"bands/rowsPerBand must be > 0, got $bands/$rowsPerBand")
+    require(groups > 0, s"groups must be > 0, got $groups")
     val spark = df.sparkSession
     import spark.implicits._
     val sigs = Dedup.minHashSignatures(df, textCol, idCol,
       bands * rowsPerBand, shingleK)
-    oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"))), "idgrp")
+    oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"), groups)), "idgrp")
       .write.mode("overwrite").partitionBy("idgrp")
       .parquet(s"$root/signatures")
     oneFilePerGroup(bucketRows(withBands(
-        spark.read.parquet(s"$root/signatures"), bands, rowsPerBand)), "bgrp")
+        spark.read.parquet(s"$root/signatures"), bands, rowsPerBand),
+        groups), "bgrp")
       .write.mode("overwrite").partitionBy("bgrp").parquet(s"$root/buckets")
-    Seq((bands, rowsPerBand, shingleK))
-      .toDF("bands", "rows_per_band", "shingle_k")
+    Seq((bands, rowsPerBand, shingleK, groups))
+      .toDF("bands", "rows_per_band", "shingle_k", "groups")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
@@ -146,14 +170,15 @@ object NearDupService {
                   root: String): Unit = {
     val spark = df.sparkSession
     requireUniqueIds(df, idCol, "NearDupService.appendDelta")
-    val (bands, rowsPerBand, shingleK) = readMeta(spark, root)
+    val m = readMeta(spark, root)
     val sigs = Dedup.minHashSignatures(df, textCol, idCol,
-      bands * rowsPerBand, shingleK)
+      m.bands * m.rowsPerBand, m.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"))), "idgrp")
+      oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"), m.groups)), "idgrp")
         .write.mode("append").partitionBy("idgrp").parquet(s"$root/signatures")
-      oneFilePerGroup(bucketRows(withBands(sigs, bands, rowsPerBand)), "bgrp")
+      oneFilePerGroup(bucketRows(withBands(sigs, m.bands, m.rowsPerBand),
+          m.groups), "bgrp")
         .write.mode("append").partitionBy("bgrp").parquet(s"$root/buckets")
     } finally sigs.unpersist()
   }
@@ -182,13 +207,14 @@ object NearDupService {
             textCol: String, idCol: String, threshold: Double = 0.7,
             maxBucketOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0, "probe requires a positive threshold")
-    val (bands, rowsPerBand, shingleK) = readMeta(spark, root)
-    val numHashes = bands * rowsPerBand
+    val m = readMeta(spark, root)
+    val numHashes = m.bands * m.rowsPerBand
     val deltaSigs = Dedup.minHashSignatures(newBatch, textCol, idCol,
-        numHashes, shingleK)
+        numHashes, m.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val d = bucketRows(withBands(deltaSigs, bands, rowsPerBand))
+      val d = bucketRows(withBands(deltaSigs, m.bands, m.rowsPerBand),
+          m.groups)
         .withColumnRenamed("id", "new_id")
       graft.util.Guards.checkBucketOccupancy(d, Seq("band", "bucket"),
         maxBucketOccupancy, "NearDupService.probe",
@@ -211,7 +237,7 @@ object NearDupService {
         .select(col("new_id"), col("ref_id"))
         .dropDuplicates("new_id", "ref_id")
         .filter(col("new_id") =!= col("ref_id"))
-        .withColumn("idgrp", idGrp(col("ref_id")))
+        .withColumn("idgrp", idGrp(col("ref_id"), m.groups))
       // candidate idgrps are computable from ref_id — ≤ 64-row collect
       // prunes the signatures scan the same way
       val idgrps = cand.select("idgrp").distinct()
@@ -258,12 +284,13 @@ object NearDupService {
                     threshold: Double = 0.7,
                     maxBucketOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0, "probeVerified requires a positive threshold")
-    val (bands, rowsPerBand, shingleK) = readMeta(spark, root)
+    val m = readMeta(spark, root)
     val deltaSigs = Dedup.minHashSignatures(newBatch, textCol, idCol,
-        bands * rowsPerBand, shingleK)
+        m.bands * m.rowsPerBand, m.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val d = bucketRows(withBands(deltaSigs, bands, rowsPerBand))
+      val d = bucketRows(withBands(deltaSigs, m.bands, m.rowsPerBand),
+          m.groups)
         .withColumnRenamed("id", "new_id")
       graft.util.Guards.checkBucketOccupancy(d, Seq("band", "bucket"),
         maxBucketOccupancy, "NearDupService.probeVerified",
@@ -283,7 +310,7 @@ object NearDupService {
       // through that cache, after which the kernel frame is released —
       // this op keeps its no-cached-frames-left-behind return contract
       val verified = Dedup.verifyPairsJaccardSided(cand, newBatch,
-        refDocs, textCol, idCol, "new_id", "ref_id", shingleK)
+        refDocs, textCol, idCol, "new_id", "ref_id", m.shingleK)
       try {
         verified
           .withColumn("jaccard", round(col("jaccard"), 6))
@@ -308,12 +335,12 @@ object NearDupService {
                       removedIds: DataFrame, idCol: String = "id"): Unit = {
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/signatures", s"$root/buckets"))
-    val (bands, rowsPerBand, _) = readMeta(spark, root)
+    val m = readMeta(spark, root)
     val ids = removedIds.select(col(idCol).as("id"))
       .dropDuplicates("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val idgrps = ids.select(idGrp(col("id")).as("idgrp")).distinct()
+      val idgrps = ids.select(idGrp(col("id"), m.groups).as("idgrp")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (idgrps.isEmpty) return
       val idgrpLit = idgrps.map(Int.box)
@@ -321,7 +348,8 @@ object NearDupService {
         .filter(col("idgrp").isin(idgrpLit: _*))
       // the removed rows' buckets — recovered, not guessed
       val removedSigs = sigScan.join(broadcast(ids), Seq("id"), "left_semi")
-      val bgrps = bucketRows(withBands(removedSigs, bands, rowsPerBand))
+      val bgrps = bucketRows(withBands(removedSigs, m.bands, m.rowsPerBand),
+          m.groups)
         .select("bgrp").distinct().collect().map(_.getInt(0)).sorted
       rewritePartitions(spark, s"$root/signatures", "idgrp", idgrps,
         sigScan.join(broadcast(ids), Seq("id"), "left_anti"))
@@ -381,17 +409,18 @@ object NearDupService {
     * [[graft.streaming.BatchCommit.runOnce]]. */
   private[graft] def writeStagedBatch(batch: DataFrame, textCol: String,
                                       idCol: String, staging: String,
-                                      root: String, bands: Int,
-                                      rowsPerBand: Int, shingleK: Int)
+                                      root: String, meta: NearDupMeta)
                                      : Seq[(String, String)] = {
     requireUniqueIds(batch, idCol, "NearDupService.writeStagedBatch")
     val sigs = Dedup.minHashSignatures(batch, textCol, idCol,
-        bands * rowsPerBand, shingleK)
+        meta.bands * meta.rowsPerBand, meta.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"))), "idgrp")
+      oneFilePerGroup(sigs.withColumn("idgrp",
+          idGrp(col("id"), meta.groups)), "idgrp")
         .write.partitionBy("idgrp").parquet(s"$staging/signatures")
-      oneFilePerGroup(bucketRows(withBands(sigs, bands, rowsPerBand)), "bgrp")
+      oneFilePerGroup(bucketRows(withBands(sigs, meta.bands,
+          meta.rowsPerBand), meta.groups), "bgrp")
         .write.partitionBy("bgrp").parquet(s"$staging/buckets")
     } finally sigs.unpersist()
     Seq(s"$staging/signatures" -> s"$root/signatures",

@@ -533,15 +533,14 @@ object StreamOps {
                           root: String, checkpointDir: String)
                          : org.apache.spark.sql.streaming.StreamingQuery = {
     BatchCommit.assertStreamIdentity(docs.sparkSession, root, checkpointDir)
-    val (bands, rowsPerBand, shingleK) =
-      graft.serve.NearDupService.readMeta(docs.sparkSession, root)
+    val meta = graft.serve.NearDupService.readMeta(docs.sparkSession, root)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         nearDupIngestBatch(batch.toDF(), textCol, idCol, root, batchId,
-          bands, rowsPerBand, shingleK)
+          Some(meta))
         ()
       }
       .start()
@@ -549,20 +548,17 @@ object StreamOps {
 
   /** One micro-batch of [[nearDupIngestStream]] — public for the replay
     * spec. Returns false when the batch was empty or already committed.
-    * Banding parameters default to the stored meta when not supplied. */
+    * Layout parameters default to the stored meta when not supplied. */
   def nearDupIngestBatch(batch: DataFrame, textCol: String, idCol: String,
                          root: String, batchId: Long,
-                         bands: Int = -1, rowsPerBand: Int = -1,
-                         shingleK: Int = -1): Boolean = {
+                         meta: Option[graft.serve.NearDupService.NearDupMeta]
+                           = None): Boolean = {
     if (batch.isEmpty) return false
     val spark = batch.sparkSession
-    val (b, r, k) =
-      if (bands > 0 && rowsPerBand > 0 && shingleK > 0)
-        (bands, rowsPerBand, shingleK)
-      else graft.serve.NearDupService.readMeta(spark, root)
+    val m = meta.getOrElse(graft.serve.NearDupService.readMeta(spark, root))
     BatchCommit.runOnce(spark, root, batchId) { staging =>
       graft.serve.NearDupService.writeStagedBatch(batch, textCol, idCol,
-        staging, root, b, r, k)
+        staging, root, m)
     }
   }
 

@@ -984,7 +984,14 @@ object TextOps {
 
   /** The 64-way term shard key for storing [[bm25Postings]] partitioned:
     * deterministic, uniform, and computable from a query term alone — so
-    * a probe prunes partitions without any lookup table. */
+    * a probe prunes partitions without any lookup table.
+    *
+    * ON-DISK FORMAT INVARIANT: the 64 here is part of every stored BM25
+    * layout (probes recompute a query term's bucket with this function
+    * and prune to it). Changing the constant, the hash, or the cast
+    * orphans every existing layout — appends would land rows in buckets
+    * no probe reads. To make the count configurable, pin it in a layout
+    * meta the way [[graft.serve.NearDupService]] pins `groups`. */
   def bm25Bucket(term: Column): Column =
     pmod(xxhash64(term), lit(64L)).cast(IntegerType)
 

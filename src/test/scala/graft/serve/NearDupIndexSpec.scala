@@ -56,10 +56,10 @@ class NearDupIndexSpec extends SparkSpec {
     val sigRows = spark.read.parquet(s"$root/signatures")
       .filter($"id" === 7L).count()
     assert(sigRows === 1L, s"expected 1 signature row for the upserted id, got $sigRows")
-    val (bands, _, _) = NearDupService.readMeta(spark, root)
+    val meta = NearDupService.readMeta(spark, root)
     val bRows = spark.read.parquet(s"$root/buckets")
       .filter($"id" === 7L).count()
-    assert(bRows === bands.toLong)
+    assert(bRows === meta.bands.toLong)
     // layout stays band-uniform (the bandStats invariant)
     val stats = NearDupService.bandStats(spark, root).collect()
     assert(stats.forall(r => r.getAs[Long]("n_rows") === 60L &&
@@ -88,6 +88,39 @@ class NearDupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
     assert(spark.read.parquet(s"$root/signatures")
       .filter($"id" === 99L).count() === 0L, "the rejected batch must not land")
+  }
+
+  test("group count is pinned in meta: a non-default-groups layout appends, " +
+      "removes and probes correctly; pre-recording meta defaults to 64") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nd_grp").toString
+    val docs = corpus(50)
+    NearDupService.buildIndex(docs.filter($"doc_id" <= 40), "text", "doc_id",
+      root, groups = 8)
+    assert(NearDupService.readMeta(spark, root).groups === 8)
+    // every op below must hash with the STORED count, not the default —
+    // a mis-routed append would land rows in partitions no probe prunes to
+    NearDupService.appendDelta(docs.filter($"doc_id" > 40), "text", "doc_id", root)
+    assert(new java.io.File(s"$root/signatures").listFiles()
+      .count(_.getName.startsWith("idgrp=")) <= 8)
+    val probe = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val hits = NearDupService.probeVerified(spark, root, probe, docs,
+      "text", "doc_id", threshold = 1.0)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(hits === docs.filter($"doc_id" % 10 === 0).select("doc_id")
+      .as[Long].collect().map(i => (i + 1000, i)).toSet,
+      "guaranteed recall must hold on the non-default-groups layout")
+    NearDupService.removeFromIndex(spark, root,
+      Seq(10L).toDF("doc_id"), "doc_id")
+    val after = NearDupService.probeVerified(spark, root, probe, docs,
+      "text", "doc_id", threshold = 1.0)
+      .select("ref_id").as[Long].collect().toSet
+    assert(!after.contains(10L) && after.contains(20L))
+    // back-compat: a meta written before `groups` existed reads as 64
+    val legacy = java.nio.file.Files.createTempDirectory("graft_nd_leg").toString
+    Seq((16, 4, 5)).toDF("bands", "rows_per_band", "shingle_k")
+      .coalesce(1).write.parquet(s"$legacy/meta")
+    assert(NearDupService.readMeta(spark, legacy).groups === 64)
   }
 
   test("upsertDelta on a brand-new id behaves as a plain append") {
