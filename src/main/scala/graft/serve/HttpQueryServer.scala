@@ -27,7 +27,8 @@ import java.nio.charset.StandardCharsets
 final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
                             ann: Option[AnnBackend] = None,
                             search: Option[SearchService] = None,
-                            annBackends: Map[String, AnnBackend] = Map.empty) {
+                            annBackends: Map[String, AnnBackend] = Map.empty,
+                            nearDup: Option[NearDupLookupService] = None) {
   require(maxLimit > 0, s"maxLimit must be > 0, got $maxLimit")
   annBackends.keys.foreach(n => require(n.matches("[A-Za-z0-9_-]+"),
     s"ann backend name must be [A-Za-z0-9_-]+, got '$n'"))
@@ -47,6 +48,7 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
     annBackends.foreach { case (name, b) =>
       server.createContext(s"/ann/$name", annHandler(b)) }
     search.foreach(s => server.createContext("/search", searchHandler(s)))
+    nearDup.foreach(n => server.createContext("/neardup", nearDupHandler(n)))
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -200,6 +202,62 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
           case _ =>
             respond(ex, 400,
               """{"error":"body must carry a string array 'terms' and an integer 'k'"}""")
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally ex.close()
+
+  // Near-dup lookup request fields: one bounded plain-text document (no
+  // escape processing — the probe contract is raw text tokens, matching
+  // the search route's posture), an optional threshold in (0, 1], an
+  // optional integer k. Nothing reaches SQL text; the document enters
+  // the plan as a typed literal row.
+  private val TextRe = """"text"\s*:\s*"([^"\\]{1,65536})"""".r
+  private val ThresholdRe =
+    """"threshold"\s*:\s*(1(?:\.0{1,6})?|0?\.\d{1,6})""".r
+
+  /** `POST /neardup {"text": "...", "threshold": 0.8, "k": 5}` →
+    * indexed near-duplicates of the document over the stored MinHash
+    * layout ([[NearDupLookupService.lookup]]). threshold defaults to
+    * 0.7, k to 10 (capped at the service's maxK); a body that MENTIONS
+    * either knob but fails its strict shape is a 400, never a silently
+    * defaulted 200 (the filter-guard contract of the /ann route). */
+  private def nearDupHandler(svc: NearDupLookupService): HttpHandler =
+    (ex: HttpExchange) =>
+    try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST only"}""")
+      else {
+        val body =
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        TextRe.findFirstMatchIn(body) match {
+          case Some(tm) =>
+            val th = ThresholdRe.findFirstMatchIn(body).map(_.group(1).toDouble)
+            val km = KRe.findFirstMatchIn(body).map(_.group(1).toInt)
+            if (th.isEmpty && """"threshold"\s*:""".r.findFirstIn(body).isDefined)
+              respond(ex, 400,
+                """{"error":"threshold must be a number in (0, 1]"}""")
+            else if (km.isEmpty && """"k"\s*:""".r.findFirstIn(body).isDefined)
+              respond(ex, 400, """{"error":"k must be a positive integer"}""")
+            else {
+              try {
+                val k = math.min(math.max(km.getOrElse(10), 1), svc.maxK)
+                val hits = svc.lookup(tm.group(1), th.getOrElse(0.7), k)
+                  .map { case (id, est, rank) =>
+                    s"""{"id":$id,"est_jaccard":$est,"rank":$rank}""" }
+                  .mkString("[", ",", "]")
+                respond(ex, 200, s"""{"k":$k,"results":$hits}""")
+              } catch {
+                case e: IllegalArgumentException =>
+                  respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+              }
+            }
+          case _ =>
+            respond(ex, 400,
+              """{"error":"body must carry a plain-text 'text' field"}""")
         }
       }
     } catch {

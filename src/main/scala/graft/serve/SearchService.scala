@@ -69,8 +69,10 @@ object SearchService {
   def buildIndex(df: DataFrame, textCol: String, idCol: String,
                  root: String): Unit = {
     val spread = graft.util.Spread.forMapWork(df)
-    TextOps.bm25Postings(spread, textCol, idCol)
-      .withColumn("bucket", TextOps.bm25Bucket(col("term")))
+    graft.io.Sinks.onePerPartitionValue(
+        TextOps.bm25Postings(spread, textCol, idCol)
+          .withColumn("bucket", TextOps.bm25Bucket(col("term"))),
+        Seq("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
     TextOps.bm25CorpusStats(spread, textCol)
       .write.mode("overwrite").parquet(s"$root/stats")
@@ -129,8 +131,10 @@ object SearchService {
     // folds correctly and the overwrite below re-canonicalizes to one row)
     val base = readStats(spark, root).collect()(0)
     val delta = TextOps.bm25CorpusStats(spread, textCol).collect()(0)
-    TextOps.bm25Postings(spread, textCol, idCol)
-      .withColumn("bucket", TextOps.bm25Bucket(col("term")))
+    graft.io.Sinks.onePerPartitionValue(
+        TextOps.bm25Postings(spread, textCol, idCol)
+          .withColumn("bucket", TextOps.bm25Bucket(col("term"))),
+        Seq("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$root/postings")
     Seq((lng(base, "n_docs") + lng(delta, "n_docs"),
         lng(base, "dl_sum") + lng(delta, "dl_sum")))
@@ -193,7 +197,8 @@ object SearchService {
       val stagingPath = new org.apache.hadoop.fs.Path(staging)
       val fs = stagingPath.getFileSystem(conf)
       fs.delete(stagingPath, true)
-      rewritten.write.partitionBy("bucket").parquet(staging)
+      graft.io.Sinks.onePerPartitionValue(rewritten, Seq("bucket"))
+        .write.partitionBy("bucket").parquet(staging)
       touched.foreach { b =>
         val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
         val fresh = new org.apache.hadoop.fs.Path(s"$staging/bucket=$b")

@@ -264,6 +264,42 @@ class HttpQueryServerSpec extends SparkSpec {
     assert(e.getMessage.contains("does not support filtered"))
   }
 
+  test("POST /neardup over a stored MinHash layout: an indexed duplicate " +
+      "is found at est 1.0; malformed knobs are 400") {
+    val docs = (1 to 30).map(i =>
+        (i.toLong, s"document body number $i about subject ${i % 5} with " +
+          s"plenty of shared filler text across the corpus ${i % 3}"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_ndl_").toString
+    NearDupService.buildIndex(docs, "text", "doc_id", root)
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000,
+      nearDup = Some(new NearDupLookupService(spark, root)))
+    val port = srv.start()
+    try {
+      val probeText = docs.filter($"doc_id" === 7L)
+        .select("text").as[String].head()
+      val r = postPath(port, "/neardup",
+        s"""{"text": "$probeText", "threshold": 1.0, "k": 3}""")
+      assert(r.statusCode() === 200, r.body())
+      assert(r.body().contains(""""id":7""") &&
+        r.body().contains(""""est_jaccard":1.0"""), r.body())
+      // unrelated text clears nothing at a high threshold
+      val none = postPath(port, "/neardup",
+        """{"text": "zzz completely different content qqq", "threshold": 0.9}""")
+      assert(none.statusCode() === 200 && none.body().contains(""""results":[]"""),
+        none.body())
+      // a mentioned-but-malformed threshold is 400, never silently defaulted
+      val badTh = postPath(port, "/neardup",
+        s"""{"text": "$probeText", "threshold": 2.0}""")
+      assert(badTh.statusCode() === 400, badTh.body())
+      // missing text is 400
+      assert(postPath(port, "/neardup", """{"threshold": 0.9}""")
+        .statusCode() === 400)
+    } finally srv.stop()
+  }
+
   test("POST /ann: a malformed filter object is 400, never a silently " +
       "unfiltered 200; a VALUE equal to \"filter\" does not trip the guard") {
     val dim = 8
