@@ -79,6 +79,39 @@ class MaintenanceSpec extends SparkSpec {
       "a compact-only night must not touch the quantizer")
   }
 
+  test("retrainIndexIfSkewed heals a crash between a prior retrain's two " +
+      "swap renames before reading the layout") {
+    // build a healthy stored IVF layout, then forge the crashed-mid-swap
+    // state a killed retrain leaves at the WHOLE-ROOT level: root absent,
+    // root-__old__ = the full layout, pending marker present, plus a
+    // stale half-written __retraining__ dir
+    val all = (0 until 60).map(i => (i.toLong, vec(i, anchorOdd = false)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("mn_crash_").toString + "/idx"
+    val cents = Ivf.portableCentroids(all, nlist = 4, stride = 13)
+    cents.write.parquet(s"$root/centroids")
+    Ivf.assignPortable(all, cents)
+      .write.partitionBy("cell").parquet(s"$root/assigned")
+    val rows = spark.read.parquet(s"$root/assigned").count()
+    assert(new java.io.File(root).renameTo(new java.io.File(s"$root-__old__")))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root-__swap_pending__"))
+    new java.io.File(s"$root-__retraining__").mkdirs()
+    // the trigger wrapper reads centroids/assigned FIRST — without
+    // entry-point recovery it would throw path-not-found (or worse,
+    // derive the retrain from a sparse recreation)
+    AnnService.retrainIndexIfSkewed(spark, root, maxBalance = 1000.0,
+      nlist = 4, stride = 13)
+    assert(spark.read.parquet(s"$root/assigned").count() === rows,
+      "healed layout must carry the full pre-crash corpus")
+    assert(!new java.io.File(s"$root-__old__").exists() &&
+      !new java.io.File(s"$root-__swap_pending__").exists(),
+      "crash leftovers must be cleaned after recovery")
+    // and a real retrain over the healed layout still works end to end
+    AnnService.retrainIndex(spark, root, nlist = 4, stride = 13)
+    assert(spark.read.parquet(s"$root/assigned").count() === rows)
+  }
+
   test("nightlyPq fires on distortion and compacts; nightlyRp and " +
       "nightlyBm25 compact only") {
     val corpus = (0 until 40).map(i => (i.toLong, vec(i, anchorOdd = false)))
