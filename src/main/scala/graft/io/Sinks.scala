@@ -168,6 +168,41 @@ object Sinks {
       partitionCols.map(col): _*)
   }
 
+  /** Staging write + per-partition directory swap — the O(touched
+    * partitions) delete/rewrite primitive every stored-layout takedown
+    * shares ([[graft.serve.NearDupService.removeFromIndex]] on
+    * `idgrp`/`bgrp`, the ANN tiers on `cell`): `replacement` must hold
+    * the COMPLETE new contents of exactly the `touched` partitions (it
+    * may legitimately lose a partition entirely — then the live dir is
+    * just deleted). Untouched partitions keep their physical files —
+    * the property that makes a takedown O(removed), not O(index).
+    * Each partition's swap is a delete + rename pair; a crash mid-loop
+    * leaves already-swapped partitions new and the rest old — safe for
+    * DELETES (re-running the takedown converges; no removed row is
+    * resurrected), which is why this primitive is for removal rewrites,
+    * not for content replacement (use a versioned whole-dir swap
+    * there). */
+  private[graft] def rewritePartitions(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String, partCol: String,
+                                       touched: Seq[Int],
+                                       replacement: DataFrame): Unit = {
+    val staging = s"$dir-__rewrite__"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    fs.delete(stagingPath, true)
+    onePerPartitionValue(replacement, Seq(partCol))
+      .write.partitionBy(partCol).parquet(staging)
+    touched.foreach { g =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$g")
+      val fresh = new org.apache.hadoop.fs.Path(s"$staging/$partCol=$g")
+      fs.delete(live, true)
+      if (fs.exists(fresh))
+        require(fs.rename(fresh, live), s"swap failed for $partCol=$g")
+    }
+    fs.delete(stagingPath, true)
+  }
+
   /** Heal a crashed versioned-directory swap for `root` — PUBLIC because
     * every maintenance op that READS a root before swapping it
     * (retrains, compactions) must run this FIRST: recovery placed only

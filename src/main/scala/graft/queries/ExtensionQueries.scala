@@ -1976,20 +1976,49 @@ object ExtensionQueries {
     * corpus keeps the composite exact, so the brute-force oracle
     * hash-checks the whole stored path; the warm bench times the
     * probe-only serving cost. */
-  private val simIvfpqProbe: Q = (s, dir) => {
-    val grid = gridEmbeddings(s, dir)
-    val root = storedIndexPath("ivfpq", dir) { out =>
+  /** The shared stored grid IVF-PQ fixture (built once per JVM; the
+    * mutating faces copy it — the [[ndBaseIndex]] discipline). */
+  private def ivfpqBase(s: SparkSession, dir: String,
+                        grid: DataFrame): String =
+    storedIndexPath("ivfpq", dir) { out =>
       val idx = graft.sim.IvfPq.buildIndex(grid, nlist = 8, m = 4, codebookSize = 8)
       idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
       idx.codebooks.write.mode("overwrite").parquet(s"$out/codebooks")
       idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
     }
-    val stored = graft.sim.IvfPqIndex(
+
+  private def openIvfpq(s: SparkSession, root: String): graft.sim.IvfPqIndex =
+    graft.sim.IvfPqIndex(
       s.read.parquet(s"$root/centroids"),
       s.read.parquet(s"$root/codebooks"),
       s.read.parquet(s"$root/codes"))
-    graft.sim.IvfPq.probeTopK(stored, grid.filter(col("vec_id") < 10), k = 5,
-      nprobe = 8)
+
+  private val simIvfpqProbe: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val root = ivfpqBase(s, dir, grid)
+    graft.sim.IvfPq.probeTopK(openIvfpq(s, root),
+      grid.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+  }
+
+  /** STORED-layout takedown on the compressed serving format
+    * ([[graft.serve.AnnPqService.removeFromIndex]]): the shared stored
+    * grid index is copied, vec_id ≡ 2 mod 7 removed with O(touched
+    * cells) partition rewrites — NO retrain, quantizer artifacts
+    * byte-identical — and every cell probed. The grid keeps ADC exact,
+    * so the filtered brute-force oracle certifies precisely the
+    * takedown guarantee: a resurrected id (a missed cell rewrite) or an
+    * over-delete (a survivor's code rows lost) is a wrong candidate row
+    * in the hash. */
+  private val simIvfpqTakedown: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val base = ivfpqBase(s, dir, grid)
+    val path = storedIndexPath("ivfpq_takedown", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnPqService.removeFromIndex(s, out,
+        grid.filter(col("vec_id") % 7 === 2).select("vec_id"), "vec_id")
+    }
+    graft.sim.IvfPq.probeTopK(openIvfpq(s, path),
+      grid.filter(col("vec_id") < 10), k = 5, nprobe = 8)
   }
 
   /** IVF member of the recall triad ([[simLshRecall]], [[simPqRecall]]):
@@ -2099,6 +2128,69 @@ object ExtensionQueries {
       Ivf.assignPortable(tagged, cents, keepCols = Seq("tag")))
     Ivf.probePortable(idx, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2,
       filter = Some(col("tag") === 1))
+  }
+
+  /** The shared stored PORTABLE IVF layout (full-corpus quantizer, cell-
+    * partitioned assigned frame) — the replayable stored fixture the
+    * takedown/upsert faces copy and mutate. */
+  private def ivfPortableBase(s: SparkSession, dir: String,
+                              emb: DataFrame): String =
+    storedIndexPath("ivf_portable", dir) { out =>
+      val cents = Ivf.portableCentroids(emb, nlist = 8, stride = 29)
+      cents.write.mode("overwrite").parquet(s"$out/centroids")
+      graft.io.Sinks.onePerPartitionValue(
+          Ivf.assignPortable(emb, cents), Seq("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$out/assigned")
+    }
+
+  private def probeStoredIvf(s: SparkSession, root: String,
+                             queries: DataFrame): DataFrame =
+    Ivf.probePortable(graft.sim.IvfIndex(
+        s.read.parquet(s"$root/centroids"),
+        s.read.parquet(s"$root/assigned")),
+      queries, k = 5, nprobe = 2)
+
+  /** STORED-layout takedown on the flat IVF serving format
+    * ([[graft.serve.AnnService.removeFromIndex]]): the stored portable
+    * layout is copied, vec_id ≡ 2 mod 7 removed with O(touched cells)
+    * partition rewrites (quantizer untouched — a takedown must never
+    * retrain), and the pruned layout probed at a PARTIAL nprobe. The
+    * portable quantizer, cell ranking, predicate-free probe, and the
+    * exclusion all replay in SQL, so the GDPR guarantee on the vector
+    * serving tier is hash-certified end to end. */
+  private val simIvfTakedown: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = ivfPortableBase(s, dir, emb)
+    val path = storedIndexPath("ivf_takedown", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnService.removeFromIndex(s, out,
+        emb.filter(col("vec_id") % 7 === 2).select("vec_id"), "vec_id")
+    }
+    probeStoredIvf(s, path, emb.filter(col("vec_id") < 10))
+  }
+
+  /** STORED-layout re-embedding UPSERT
+    * ([[graft.serve.AnnService.upsertDelta]]): every vec_id ≡ 0 mod 10
+    * document is "re-embedded" as its successor's vector (an exact
+    * float copy — no arithmetic, so the replay is precision-trivial),
+    * upserted over its live id (remove + frozen-centroid assign +
+    * cell-partitioned append), and the layout probed. The oracle
+    * replays the probe over the POST-UPSERT corpus under the ORIGINAL
+    * quantizer — a stale vector surviving (missed removal) or a
+    * mis-assigned new vector (wrong frozen cell) is a wrong row. */
+  private val simIvfUpsert: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = ivfPortableBase(s, dir, emb)
+    val path = storedIndexPath("ivf_upsert", dir) { out =>
+      copyLayout(s, base, out)
+      val reEmb = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), (col("vec_id") + 1).as("src"))
+        .join(emb.select(col("vec_id").as("src"), col("embedding")), "src")
+        .select(col("vec_id"), col("embedding"))
+      graft.serve.AnnService.upsertDelta(s, out, reEmb)
+    }
+    probeStoredIvf(s, path, emb.filter(col("vec_id") < 10))
   }
 
   /** JL random-projection ANN, production form (Johnson & Lindenstrauss
@@ -2764,6 +2856,9 @@ object ExtensionQueries {
     "sim_ivfpq_rerank" -> simIvfpqRerank,
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
     "sim_ivfpq_filtered" -> simIvfpqFiltered,
+    "sim_ivfpq_takedown" -> simIvfpqTakedown,
+    "sim_ivf_takedown" -> simIvfTakedown,
+    "sim_ivf_upsert" -> simIvfUpsert,
     "sim_ivfpq_merge" -> simIvfpqMerge,
     "sim_ivfpq_retrain" -> simIvfpqRetrain,
     "sim_pq_merge" -> simPqMerge,
@@ -3737,6 +3832,59 @@ object ExtensionQueries {
        |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
        |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
        |    JOIN e c ON c.vec_id = cd.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank FROM cs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Generated oracle for the STORED portable-IVF mutation faces
+    * (sim_ivf_takedown / sim_ivf_upsert): the full-corpus portable
+    * replay — centroids strided over the ORIGINAL corpus (the frozen
+    * quantizer: neither mutation retrains), assignment and candidate
+    * vectors over the POST-MUTATION corpus, queries always the original
+    * probe vectors. `candWhere` narrows the surviving candidate set
+    * (takedown); `upsert` swaps each vec_id ≡ 0 mod 10 document's
+    * vector for its successor's (an exact float copy — no arithmetic,
+    * no cross-engine precision surface). */
+  private def simIvfStoredMutationOracle(candWhere: String,
+                                         upsert: Boolean): String = {
+    val nlist = 8; val nprobe = 2; val stride = 29; val k = 5
+    def d2(v: String) =
+      s"ROUND(list_dot_product($v, $v) - 2.0 * list_dot_product($v, c.cent)" +
+        s" + list_dot_product(c.cent, c.cent), 6)"
+    val mutCtes =
+      if (!upsert) ""
+      else
+        s"""up AS (SELECT a.vec_id, b.v FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+           |  WHERE a.vec_id % 10 = 0),
+           |e2 AS (SELECT e.vec_id, coalesce(u.v, e.v) AS v
+           |  FROM e LEFT JOIN up u USING (vec_id)),
+           |""".stripMargin
+    val corpus = if (upsert) "e2" else "e"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${mutCtes}cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cent
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $stride = 0
+       |        ORDER BY vec_id LIMIT $nlist)),
+       |asg AS (SELECT cand_id, cell FROM (
+       |  SELECT ce.vec_id AS cand_id, c.cell,
+       |    row_number() OVER (PARTITION BY ce.vec_id
+       |      ORDER BY ${d2("ce.v")}, c.cell) AS rn
+       |  FROM $corpus ce, cents c) WHERE rn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${d2("q.v")}, c.cell) AS rn
+       |  FROM e q, cents c WHERE q.vec_id < 10) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.cand_id
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.cand_id <> p.query_id$candWhere),
+       |cs AS (SELECT cd.query_id, cd.cand_id,
+       |   ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+       |       OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+       |     ELSE list_cosine_similarity(q.v, c.v) END, 6) AS cosine
+       |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+       |    JOIN $corpus c ON c.vec_id = cd.cand_id)
        |SELECT query_id, cand_id, cosine, rank FROM (
        |  SELECT query_id, cand_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -5047,6 +5195,12 @@ bruteForceCosineOracle,
       // filtered ANN under residual ADC: grid exactness makes the
       // predicate-below-top-k contract brute-force replayable
       "sim_ivfpq_filtered" -> pqGridOracle(" AND c.vec_id % 3 = 1"),
+      // stored takedown: same exact-grid replay minus the removed ids —
+      // a resurrected or over-deleted id is a wrong candidate row
+      "sim_ivfpq_takedown" -> pqGridOracle(" AND c.vec_id % 7 <> 2"),
+      "sim_ivf_takedown" ->
+        simIvfStoredMutationOracle(" AND a.cand_id % 7 <> 2", upsert = false),
+      "sim_ivf_upsert" -> simIvfStoredMutationOracle("", upsert = true),
       // the residual merge face probes EVERY cell over the zero-residual
       // grid, so it must reproduce the same brute force — one shared
       // oracle makes the hash certify the append path

@@ -117,6 +117,94 @@ object AnnService {
       Seq("cell"), filesPerPartition)
   }
 
+  /** O(touched cells) STORED takedown — the GDPR sweep on the SERVING
+    * layout, completing the vector tier's lifecycle symmetry with
+    * [[NearDupService.removeFromIndex]] and the BM25 bucket rewrites:
+    * a cell is not computable from an id (assignment is data-defined),
+    * so finding the touched cells reads the layout's THIN
+    * (cand_id, cell) columns once — but the REWRITE is only the
+    * partitions that actually hold removed rows (≤ nlist collect;
+    * untouched `cell=` dirs keep their physical files, spec-pinned).
+    * Orphan scrub first: the rewrite is untagged, and folding an
+    * uncommitted streamed batch in would double-count its replay. */
+  def removeFromIndex(spark: SparkSession, root: String,
+                      removedIds: DataFrame,
+                      idCol: String = "vec_id"): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/assigned"))
+    removeFromCellLayout(spark, s"$root/assigned", removedIds, idCol)
+  }
+
+  /** The shared cell-partitioned takedown kernel (IVF `assigned`,
+    * residual IVF-PQ `codes` — both carry (cand_id, cell)). */
+  private[serve] def removeFromCellLayout(spark: SparkSession, dir: String,
+                                          removedIds: DataFrame,
+                                          idCol: String): Unit = {
+    val ids = removedIds.select(col(idCol).as("cand_id"))
+      .dropDuplicates("cand_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = spark.read.parquet(dir).select("cand_id", "cell")
+        .join(broadcast(ids), Seq("cand_id"), "left_semi")
+        .select("cell").distinct().collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val tl = touched.map(Int.box)
+      val scan = spark.read.parquet(dir).filter(col("cell").isin(tl: _*))
+      graft.io.Sinks.rewritePartitions(spark, dir, "cell", touched,
+        scan.join(broadcast(ids), Seq("cand_id"), "left_anti"))
+    } finally ids.unpersist()
+  }
+
+  /** The unpartitioned-thin-layout takedown shared by the flat-PQ and
+    * RP tiers: anti-join rewrite of the whole thin frame into a
+    * versioned sibling, then the marker-fenced swap — O(layout) but
+    * over thin rows (codes / 8-long reduced coordinates), a
+    * maintenance-window pass. `layoutIdCol` is the id column the
+    * stored frame itself carries ("cand_id" for PQ codes, "id" for RP
+    * reduced rows). */
+  private[serve] def removeFromThinLayout(spark: SparkSession,
+                                          root: String, dir: String,
+                                          removedIds: DataFrame,
+                                          idCol: String,
+                                          layoutIdCol: String): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, dir)
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root, Seq(dir))
+    val ids = removedIds.select(col(idCol).as(layoutIdCol))
+      .dropDuplicates(layoutIdCol)
+    val tmp = s"$dir-__takedown__"
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.read.parquet(dir)
+      .join(broadcast(ids), Seq(layoutIdCol), "left_anti")
+      .write.parquet(tmp)
+    graft.io.Sinks.swapDir(spark, dir, tmp)
+  }
+
+  /** Re-embedded document UPSERT on the stored layout — the
+    * [[NearDupService.upsertDelta]] pattern for the vector tier: any
+    * live rows for the batch's ids are removed (O(touched cells) — a
+    * no-op for genuinely-new ids), then the new vectors are assigned
+    * against the STORED (frozen) centroids and appended into only the
+    * cells they land in. Attribute columns are taken from the stored
+    * assigned schema, so a filtered-ANN layout keeps its whitelist
+    * columns through the upsert (batch rows must carry them). */
+  def upsertDelta(spark: SparkSession, root: String, batch: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    graft.util.Guards.requireUniqueIds(batch, idCol,
+      "AnnService.upsertDelta")
+    removeFromIndex(spark, root, batch.select(col(idCol)), idCol)
+    val extra = spark.read.parquet(s"$root/assigned").columns
+      .filterNot(Set("cand_id", "cvec", "cell", "cn")).toSeq
+    val assigned = Ivf.assignPortable(batch,
+      spark.read.parquet(s"$root/centroids"), idCol, vecCol,
+      keepCols = extra)
+    graft.io.Sinks.onePerPartitionValue(assigned, Seq("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/assigned")
+  }
+
   /** Quantizer retrain + migration of a STORED IVF layout — the
     * in-place form of [[Ivf.retrainIndex]] a nightly maintenance job
     * points at a layout root: the drifted index is opened, retrained on
@@ -313,6 +401,15 @@ object AnnFlatPqService {
     graft.io.Sinks.compactParquetInPlace(spark, s"$root/codes", targetFiles)
   }
 
+  /** STORED takedown on the flat-PQ layout — the thin-frame anti-join
+    * rewrite (codes are unpartitioned; every probe ADC-scans the whole
+    * thin frame). Codebooks untouched: a takedown must never retrain. */
+  def removeFromIndex(spark: SparkSession, root: String,
+                      removedIds: DataFrame,
+                      idCol: String = "vec_id"): Unit =
+    AnnService.removeFromThinLayout(spark, root, s"$root/codes",
+      removedIds, idCol, layoutIdCol = "cand_id")
+
   /** Codebook retrain + migration of a stored flat-PQ layout —
     * [[AnnPqService.retrainIndex]] without the coarse tier: live ids
     * from the stored codes, raw vectors from `rawStore`
@@ -458,6 +555,17 @@ object AnnRpService {
       Seq(s"$root/reduced"))
     graft.io.Sinks.compactParquetInPlace(spark, s"$root/reduced", targetFiles)
   }
+
+  /** STORED takedown on the RP layout: the reduced frame is
+    * unpartitioned (probes rank the whole thin frame), so the delete is
+    * an anti-join rewrite of the thin rows with the versioned-dir swap
+    * — O(layout) but over 8-long reduced rows, a maintenance-window
+    * pass, never probe-time. */
+  def removeFromIndex(spark: SparkSession, root: String,
+                      removedIds: DataFrame,
+                      idCol: String = "vec_id"): Unit =
+    AnnService.removeFromThinLayout(spark, root, s"$root/reduced",
+      removedIds, idCol, layoutIdCol = "id")
 }
 
 object AnnPqService {
@@ -487,6 +595,19 @@ object AnnPqService {
       Seq(s"$root/codes"))
     graft.io.Sinks.compactLayoutInPlace(spark, s"$root/codes",
       Seq("cell"), filesPerPartition)
+  }
+
+  /** O(touched cells) STORED takedown on the compressed serving layout
+    * — [[AnnService.removeFromIndex]]'s shape over the thin `cell=`-
+    * partitioned code rows (the quantizer artifacts are untouched: a
+    * takedown must never retrain). */
+  def removeFromIndex(spark: SparkSession, root: String,
+                      removedIds: DataFrame,
+                      idCol: String = "vec_id"): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/codes"))
+    AnnService.removeFromCellLayout(spark, s"$root/codes", removedIds, idCol)
   }
 
   /** Quantizer retrain + migration of a STORED residual IVF-PQ layout —

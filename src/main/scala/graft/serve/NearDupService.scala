@@ -81,24 +81,18 @@ object NearDupService {
   private def oneFilePerGroup(df: DataFrame, grpCol: String): DataFrame =
     graft.io.Sinks.onePerPartitionValue(df, Seq(grpCol))
 
-  /** Fail-fast duplicate-id gate on DELTA ingest: two rows with one id
-    * in a batch would flow into [[Dedup.minHashSignatures]]' groupBy,
+  /** Fail-fast duplicate-id gate on DELTA ingest
+    * ([[graft.util.Guards.requireUniqueIds]]): two rows with one id in
+    * a batch would flow into [[Dedup.minHashSignatures]]' groupBy,
     * which UNIONS both versions' shingle sets — the stored signature
     * then matches NEITHER version and the guaranteed-recall
-    * threshold-1.0 probe silently misses the doc. One thin aggregate
-    * over the (small) delta. Full builds don't pay this pass: a
-    * duplicated build id surfaces as `n_rows ≠ n_ids` drift in
-    * [[bandStats]], the layout audit built for exactly that class. */
+    * threshold-1.0 probe silently misses the doc. Full builds don't pay
+    * this pass: a duplicated build id surfaces as `n_rows ≠ n_ids`
+    * drift in [[bandStats]], the layout audit built for exactly that
+    * class. */
   private def requireUniqueIds(df: DataFrame, idCol: String,
-                               op: String): Unit = {
-    val r = df.agg(count(lit(1)).as("n"),
-      count_distinct(col(idCol)).as("d")).collect()(0)
-    require(r.getLong(0) == r.getLong(1),
-      s"$op: batch carries ${r.getLong(0) - r.getLong(1)} duplicate " +
-        s"'$idCol' row(s) — the merged shingle sets would produce a " +
-        "signature matching neither version; keep one row per id " +
-        "(the latest version) before ingesting")
-  }
+                               op: String): Unit =
+    graft.util.Guards.requireUniqueIds(df, idCol, op)
 
   private def idGrp(id: Column, groups: Int): Column =
     pmod(xxhash64(id), lit(groups.toLong)).cast("int")
@@ -363,29 +357,11 @@ object NearDupService {
     } finally ids.unpersist()
   }
 
-  /** Staging write + per-partition directory swap shared by the delete
-    * path: `replacement` must hold the COMPLETE new contents of exactly
-    * the `touched` partitions (it may legitimately lose a partition
-    * entirely — then the live dir is just deleted). */
   private def rewritePartitions(spark: SparkSession, dir: String,
                                 partCol: String, touched: Seq[Int],
-                                replacement: DataFrame): Unit = {
-    val staging = s"$dir-__rewrite__"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val fs = stagingPath.getFileSystem(conf)
-    fs.delete(stagingPath, true)
-    oneFilePerGroup(replacement, partCol)
-      .write.partitionBy(partCol).parquet(staging)
-    touched.foreach { g =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$g")
-      val fresh = new org.apache.hadoop.fs.Path(s"$staging/$partCol=$g")
-      fs.delete(live, true)
-      if (fs.exists(fresh))
-        require(fs.rename(fresh, live), s"swap failed for $partCol=$g")
-    }
-    fs.delete(stagingPath, true)
-  }
+                                replacement: DataFrame): Unit =
+    graft.io.Sinks.rewritePartitions(spark, dir, partCol, touched,
+      replacement)
 
   /** Index-aware compaction: both partitioned dirs fold to
     * `filesPerPartition` files per group WITH their partitioning (and

@@ -47,4 +47,20 @@ object Guards {
       }
     }
   }
+
+  /** Assert a delta batch carries each id at most once — the ingest gate
+    * every stored-index upsert/append shares: two rows with one id in a
+    * batch silently corrupt whatever per-id state the writer derives
+    * (merged MinHash shingle sets match NEITHER version; duplicated
+    * assignment rows double a vector's candidacy). One thin aggregate
+    * over the (small) delta. */
+  def requireUniqueIds(df: DataFrame, idCol: String, op: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("d")).collect()(0)
+    require(r.getLong(0) == r.getLong(1),
+      s"$op: batch carries ${r.getLong(0) - r.getLong(1)} duplicate " +
+        s"'$idCol' row(s) — per-id state derived from the merged rows " +
+        "would match neither version; keep one row per id (the latest " +
+        "version) before ingesting")
+  }
 }

@@ -1,0 +1,118 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sim.{Ivf, Pq}
+import scala.jdk.CollectionConverters._
+
+/** Stored vector-tier takedown/upsert pins the oracles cannot see:
+  * physical O(touched cells) behavior (untouched `cell=` partitions keep
+  * their files), quantizer-artifact immutability, and the thin-layout
+  * swap forms on the unpartitioned tiers. */
+class AnnTakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(i: Int): Array[Float] = {
+    val rnd = new scala.util.Random(i)
+    Array.fill(8)(rnd.nextGaussian().toFloat)
+  }
+  private def corpus(n: Int) = (0 until n).map(i => (i.toLong, vec(i)))
+    .toDF("vec_id", "embedding")
+
+  private def parquetFiles(dir: String): Set[String] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSet
+    finally s.close()
+  }
+
+  private def buildIvf(root: String, n: Int): Unit = {
+    val c = corpus(n)
+    val cents = Ivf.portableCentroids(c, nlist = 4, stride = 13)
+    cents.write.parquet(s"$root/centroids")
+    graft.io.Sinks.onePerPartitionValue(Ivf.assignPortable(c, cents),
+        Seq("cell"))
+      .write.partitionBy("cell").parquet(s"$root/assigned")
+  }
+
+  test("stored IVF takedown rewrites ONLY the touched cells; survivors and " +
+      "quantizer untouched") {
+    val root = java.nio.file.Files.createTempDirectory("ann_td_").toString
+    buildIvf(root, 60)
+    val assigned = spark.read.parquet(s"$root/assigned")
+    // pick the ids of ONE cell so the others must keep their files
+    val victimCell = assigned.select("cell").limit(1).as[Int].head()
+    val victims = assigned.filter($"cell" === victimCell)
+      .select("cand_id").as[Long].collect().toSet
+    assert(victims.nonEmpty && victims.size < 60)
+    val before = parquetFiles(s"$root/assigned")
+    val centsBefore = parquetFiles(s"$root/centroids")
+    AnnService.removeFromIndex(spark, root,
+      victims.toSeq.toDF("vec_id"), "vec_id")
+    val after = spark.read.parquet(s"$root/assigned")
+    assert(after.filter($"cand_id".isin(victims.toSeq.map(Long.box): _*))
+      .count() === 0L, "removed ids must be gone")
+    assert(after.count() === 60L - victims.size, "survivors intact")
+    // untouched cells keep their PHYSICAL files (path identity)
+    val untouched = before.filterNot(_.contains(s"cell=$victimCell"))
+    assert(untouched.subsetOf(parquetFiles(s"$root/assigned")),
+      "untouched cell partitions must keep their files")
+    assert(parquetFiles(s"$root/centroids") === centsBefore,
+      "a takedown must never touch the quantizer")
+  }
+
+  test("stored IVF upsert: re-embedded id served under its NEW vector, " +
+      "exactly one row, frozen assignment") {
+    val root = java.nio.file.Files.createTempDirectory("ann_up_").toString
+    buildIvf(root, 40)
+    // re-embed id 5 as id 6's vector (exact copy — the face's shape)
+    val reEmb = Seq((5L, vec(6))).toDF("vec_id", "embedding")
+    AnnService.upsertDelta(spark, root, reEmb)
+    val assigned = spark.read.parquet(s"$root/assigned")
+    assert(assigned.filter($"cand_id" === 5L).count() === 1L,
+      "no stale row for the upserted id")
+    // probing with id 6's vector must now hit BOTH 5 and 6 at cosine 1
+    val svc = AnnService.overParquetDir(spark, root, maxK = 5, nprobe = 4)
+    val top = svc.topK(vec(6).toSeq, 2).map(t => (t._1, t._2)).toMap
+    assert(top.keySet === Set(5L, 6L), s"got $top")
+    assert(top.values.forall(s => math.abs(s - 1.0) < 1e-6))
+    // duplicate-id batches are rejected loudly
+    val dup = Seq((7L, vec(1)), (7L, vec(2))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      AnnService.upsertDelta(spark, root, dup)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("flat-PQ and RP thin-layout takedowns: removed gone, survivors and " +
+      "quantizer artifacts intact") {
+    val c = corpus(40)
+    // flat PQ
+    val pqRoot = java.nio.file.Files.createTempDirectory("pq_td_").toString
+    val pq = Pq.buildIndex(c, m = 4, codebookSize = 8)
+    pq.codebooks.write.parquet(s"$pqRoot/codebooks")
+    pq.codes.write.parquet(s"$pqRoot/codes")
+    val cbBefore = parquetFiles(s"$pqRoot/codebooks")
+    AnnFlatPqService.removeFromIndex(spark, pqRoot,
+      Seq(3L, 9L).toDF("vec_id"), "vec_id")
+    val codes = spark.read.parquet(s"$pqRoot/codes")
+    assert(codes.filter($"cand_id".isin(3L, 9L)).count() === 0L)
+    assert(codes.count() === 38L)
+    assert(parquetFiles(s"$pqRoot/codebooks") === cbBefore)
+    // RP
+    val rpRoot = java.nio.file.Files.createTempDirectory("rp_td_").toString
+    graft.sim.Similarity.rpReducePortable(c, "vec_id", "embedding",
+        dimOut = 4, seed = 42)
+      .write.parquet(s"$rpRoot/reduced")
+    AnnRpService.removeFromIndex(spark, rpRoot,
+      Seq(3L, 9L).toDF("vec_id"), "vec_id")
+    val reduced = spark.read.parquet(s"$rpRoot/reduced")
+    assert(reduced.filter($"id".isin(3L, 9L)).count() === 0L)
+    assert(reduced.count() === 38L)
+    // no swap leftovers
+    val siblings = new java.io.File(rpRoot).listFiles().map(_.getName).toSet
+    assert(siblings === Set("reduced"), siblings.toString)
+  }
+}
