@@ -79,6 +79,61 @@ class MaintenanceSpec extends SparkSpec {
       "a compact-only night must not touch the quantizer")
   }
 
+  test("nightlyNearDup and nightlyIvfPq compact a healthy fragmented layout " +
+      "without touching its identity artifacts") {
+    import spark.implicits._
+    // near-dup: build then fragment with three streamed batches
+    val docs = (1 to 30).map(i =>
+        (i.toLong, s"nightly corpus doc $i subject ${i % 5} filler ${i % 3}"))
+      .toDF("doc_id", "text")
+    val ndRoot = java.nio.file.Files.createTempDirectory("mn_nd_").toString
+    NearDupService.buildIndex(docs.filter($"doc_id" <= 15), "text", "doc_id",
+      ndRoot)
+    (16 to 30).grouped(5).zipWithIndex.foreach { case (ids, b) =>
+      assert(graft.streaming.StreamOps.nearDupIngestBatch(
+        docs.filter($"doc_id".isin(ids.map(i => Long.box(i.toLong)): _*)),
+        "text", "doc_id", ndRoot, batchId = b))
+    }
+    val metaBefore = NearDupService.readMeta(spark, ndRoot)
+    val ndFilesBefore = parquetFiles(s"$ndRoot/signatures").size +
+      parquetFiles(s"$ndRoot/buckets").size
+    assert(!Maintenance.nightlyNearDup(spark, ndRoot))
+    assert(parquetFiles(s"$ndRoot/signatures").size +
+      parquetFiles(s"$ndRoot/buckets").size < ndFilesBefore)
+    assert(NearDupService.readMeta(spark, ndRoot) === metaBefore,
+      "compaction must not touch the layout identity")
+    assert(NearDupService.bandStats(spark, ndRoot).collect()
+      .forall(r => r.getAs[Long]("n_ids") === 30L))
+
+    // residual IVF-PQ: healthy layout + streamed fragments → compacts,
+    // quantizer artifacts byte-identical (retrain path is pinned in
+    // SearchIndexSpec; this pins the composition's compact branch)
+    val all = (0 until 60).map(i => (i.toLong, vec(i, anchorOdd = false)))
+      .toDF("vec_id", "embedding")
+    val pqRoot = java.nio.file.Files.createTempDirectory("mn_ivfpq_").toString
+    val idx = graft.sim.IvfPq.buildResidualIndex(
+      all.filter($"vec_id" < 40), nlist = 4, m = 4, codebookSize = 8)
+    idx.centroids.write.parquet(s"$pqRoot/centroids")
+    idx.codebooks.write.parquet(s"$pqRoot/codebooks")
+    idx.codes.write.partitionBy("cell").parquet(s"$pqRoot/codes")
+    (40 until 60).grouped(5).zipWithIndex.foreach { case (ids, b) =>
+      assert(graft.streaming.StreamOps.ivfPqIngestBatch(
+        ids.map(i => (i.toLong, vec(i, anchorOdd = false)))
+          .toDF("vec_id", "embedding"),
+        idx.centroids, idx.codebooks, pqRoot, batchId = b))
+    }
+    val qBefore = parquetFiles(s"$pqRoot/centroids") ++
+      parquetFiles(s"$pqRoot/codebooks")
+    val codeFilesBefore = parquetFiles(s"$pqRoot/codes").size
+    assert(!Maintenance.nightlyIvfPq(spark, pqRoot, all,
+      maxBalance = 1000.0, nlist = 4, m = 4, codebookSize = 8))
+    assert(parquetFiles(s"$pqRoot/codes").size < codeFilesBefore)
+    assert(parquetFiles(s"$pqRoot/centroids") ++
+      parquetFiles(s"$pqRoot/codebooks") === qBefore,
+      "a compact-only night must not touch the quantizers")
+    assert(spark.read.parquet(s"$pqRoot/codes").count() === 60L)
+  }
+
   test("retrainIndexIfSkewed heals a crash between a prior retrain's two " +
       "swap renames before reading the layout") {
     // build a healthy stored IVF layout, then forge the crashed-mid-swap

@@ -801,4 +801,51 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().toSeq
     assert(got === expect, s"$got vs $expect")
   }
+
+  test("nearDupIngestBatch replay-safety: crashed-mid-append and post-commit " +
+      "replays leave the layout at single delivery; streamed docs are " +
+      "probe-visible at guaranteed recall") {
+    import graft.serve.NearDupService
+    val docs = (1 to 40).map(i =>
+        (i.toLong, s"streamed corpus document $i about area ${i % 6} " +
+          s"sharing body filler across the set ${i % 4}"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("nd_replay_").toString
+    NearDupService.buildIndex(docs, "text", "doc_id", root)
+    // the streamed delta: one new doc + one exact live copy of doc 7
+    val copyOf7 = docs.filter($"doc_id" === 7L).select("text").as[String].head()
+    val delta = Seq((100L, "a genuinely new streamed document body"),
+      (107L, copyOf7)).toDF("doc_id", "text")
+    assert(StreamOps.nearDupIngestBatch(delta, "text", "doc_id", root,
+      batchId = 0))
+    def sigIds(): Seq[Long] = // Seq, not Set: duplicates must surface
+      spark.read.parquet(s"$root/signatures").select("id")
+        .as[Long].collect().toSeq.sorted
+    val once = sigIds()
+    assert(once.size === 42)
+    // post-commit replay: skipped by marker, nothing doubles
+    assert(!StreamOps.nearDupIngestBatch(delta, "text", "doc_id", root,
+      batchId = 0))
+    assert(sigIds() === once)
+    // crashed-mid-append: marker gone, files present — redo scrubs its
+    // own batch-tagged leftovers first
+    assert(new java.io.File(s"$root/_ledger/batch-0").delete())
+    assert(StreamOps.nearDupIngestBatch(delta, "text", "doc_id", root,
+      batchId = 0))
+    assert(sigIds() === once)
+    // layout uniform: every band holds exactly one row per live doc
+    assert(NearDupService.bandStats(spark, root).collect()
+      .forall(r => r.getAs[Long]("n_rows") === 42L &&
+        r.getAs[Long]("n_ids") === 42L))
+    // the streamed copy is probe-visible at guaranteed threshold-1.0
+    // recall, identically to a batch appendDelta of the same delta
+    val probe = Seq((999L, copyOf7)).toDF("doc_id", "text")
+    val hits = NearDupService.probeVerified(spark, root, probe,
+        docs.unionByName(delta), "text", "doc_id", threshold = 1.0)
+      .select("ref_id").as[Long].collect().toSet
+    assert(hits === Set(7L, 107L), s"got $hits")
+    // occupancy audit reads clean integers off the streamed layout
+    val occ = NearDupService.bucketStats(spark, root).collect()(0)
+    assert(occ.getAs[Long]("n_rows") === 42L * 16)
+  }
 }
