@@ -187,20 +187,70 @@ object Sinks {
                                        touched: Seq[Int],
                                        replacement: DataFrame): Unit = {
     val staging = s"$dir-__rewrite__"
+    val aside = s"$dir-__replaced__"
     val conf = spark.sparkContext.hadoopConfiguration
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val asidePath = new org.apache.hadoop.fs.Path(aside)
     val fs = stagingPath.getFileSystem(conf)
+    // a crashed PREVIOUS rewrite must have been healed BEFORE the caller
+    // scanned the layout for its touched set — if anything needed
+    // restoring now, that scan missed the parked partitions and the
+    // replacement frame is wrong for them; fail instead of proceeding
+    require(!recoverCrashedRewrite(spark, dir),
+      s"a crashed partition rewrite under $dir was just recovered — the " +
+        "caller's touched-partition scan predates the recovery; rerun " +
+        "the operation (its entry point should call recoverCrashedRewrite " +
+        "before reading the layout)")
     fs.delete(stagingPath, true)
     onePerPartitionValue(replacement, Seq(partCol))
       .write.partitionBy(partCol).parquet(staging)
+    // per-partition swap parks the ORIGINAL dir aside instead of
+    // deleting it: a crash between the two renames leaves the
+    // partition's surviving rows recoverable from the aside dir (the
+    // round-14 review found the delete-then-rename form lost every
+    // survivor of a partition if the process died in between)
+    fs.mkdirs(asidePath)
     touched.foreach { g =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$g")
       val fresh = new org.apache.hadoop.fs.Path(s"$staging/$partCol=$g")
-      fs.delete(live, true)
+      val parked = new org.apache.hadoop.fs.Path(s"$aside/$partCol=$g")
+      if (fs.exists(live))
+        require(fs.rename(live, parked), s"park failed for $partCol=$g")
       if (fs.exists(fresh))
         require(fs.rename(fresh, live), s"swap failed for $partCol=$g")
     }
+    fs.delete(asidePath, true)
     fs.delete(stagingPath, true)
+  }
+
+  /** Heal a crashed [[rewritePartitions]] for `dir` — every takedown
+    * entry point calls this BEFORE scanning the layout for its touched
+    * partitions: a partition parked in `dir-__replaced__` whose live dir
+    * is missing was mid-swap when the process died; its rows (removed
+    * AND surviving) are restored, and the re-issued takedown then
+    * re-removes cleanly. Parked partitions whose live dir EXISTS are
+    * stale leftovers of a completed swap and are dropped with the aside
+    * dir. Returns whether anything was restored. */
+  def recoverCrashedRewrite(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Boolean = {
+    val asidePath = new org.apache.hadoop.fs.Path(s"$dir-__replaced__")
+    val fs = asidePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var restored = false
+    if (fs.exists(asidePath)) {
+      fs.listStatus(asidePath).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("=")) {
+          val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+          if (!fs.exists(live)) {
+            require(fs.rename(st.getPath, live),
+              s"crash recovery failed restoring $name to $dir")
+            restored = true
+          }
+        }
+      }
+      fs.delete(asidePath, true)
+    }
+    restored
   }
 
   /** Heal a crashed versioned-directory swap for `root` — PUBLIC because

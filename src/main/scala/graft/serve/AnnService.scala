@@ -141,6 +141,8 @@ object AnnService {
   private[serve] def removeFromCellLayout(spark: SparkSession, dir: String,
                                           removedIds: DataFrame,
                                           idCol: String): Unit = {
+    // heal any crashed prior rewrite BEFORE the touched-cell scan below
+    graft.io.Sinks.recoverCrashedRewrite(spark, dir)
     val ids = removedIds.select(col(idCol).as("cand_id"))
       .dropDuplicates("cand_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -168,6 +170,12 @@ object AnnService {
                                           removedIds: DataFrame,
                                           idCol: String,
                                           layoutIdCol: String): Unit = {
+    // BOTH recovery scopes: the retrain family swaps the WHOLE root
+    // (a crashed retrain leaves root absent with root-__old__ live),
+    // this op swaps only the dataset dir — healing just the dir would
+    // fail on the missing root, or worse, take down rows from a sparse
+    // writer recreation that a later root recovery rolls back
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
     graft.io.Sinks.recoverCrashedSwap(spark, dir)
     graft.streaming.BatchCommit.scrubUncommitted(spark, root, Seq(dir))
     val ids = removedIds.select(col(idCol).as(layoutIdCol))
@@ -195,11 +203,14 @@ object AnnService {
                   vecCol: String = "embedding"): Unit = {
     graft.util.Guards.requireUniqueIds(batch, idCol,
       "AnnService.upsertDelta")
-    removeFromIndex(spark, root, batch.select(col(idCol)), idCol)
+    // schema + quantizer read BEFORE the remove: a batch covering every
+    // live id empties the layout, and reading afterwards would fail on
+    // schema inference with the rows already gone and nothing appended
     val extra = spark.read.parquet(s"$root/assigned").columns
       .filterNot(Set("cand_id", "cvec", "cell", "cn")).toSeq
-    val assigned = Ivf.assignPortable(batch,
-      spark.read.parquet(s"$root/centroids"), idCol, vecCol,
+    val centroids = spark.read.parquet(s"$root/centroids")
+    removeFromIndex(spark, root, batch.select(col(idCol)), idCol)
+    val assigned = Ivf.assignPortable(batch, centroids, idCol, vecCol,
       keepCols = extra)
     graft.io.Sinks.onePerPartitionValue(assigned, Seq("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$root/assigned")

@@ -214,8 +214,12 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
   // escape processing — the probe contract is raw text tokens, matching
   // the search route's posture), an optional threshold in (0, 1], an
   // optional integer k. Nothing reaches SQL text; the document enters
-  // the plan as a typed literal row.
-  private val TextRe = """"text"\s*:\s*"([^"\\]{1,65536})"""".r
+  // the plan as a typed literal row. The regex bound is a parse-layer
+  // sanity cap only — the SERVICE's configurable maxTextLen is the real
+  // limit, enforced in lookup() with an accurate error (a tighter regex
+  // bound here would silently disable a larger configured knob and
+  // misreport over-length text as a missing field).
+  private val TextRe = """"text"\s*:\s*"([^"\\]{1,1048576})"""".r
   private val ThresholdRe =
     """"threshold"\s*:\s*(1(?:\.0{1,6})?|0?\.\d{1,6})""".r
 

@@ -327,6 +327,10 @@ object NearDupService {
     * replay. */
   def removeFromIndex(spark: SparkSession, root: String,
                       removedIds: DataFrame, idCol: String = "id"): Unit = {
+    // heal any crashed prior rewrite BEFORE the touched-partition scans
+    // below — parked partitions are invisible to the scans
+    graft.io.Sinks.recoverCrashedRewrite(spark, s"$root/signatures")
+    graft.io.Sinks.recoverCrashedRewrite(spark, s"$root/buckets")
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/signatures", s"$root/buckets"))
     val m = readMeta(spark, root)

@@ -86,6 +86,46 @@ class AnnTakedownSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("takedown heals a crashed prior rewrite (partition parked aside, " +
+      "live dir missing) before scanning for touched cells") {
+    val root = java.nio.file.Files.createTempDirectory("ann_rec_").toString
+    buildIvf(root, 60)
+    val assigned = spark.read.parquet(s"$root/assigned")
+    val total = assigned.count()
+    // forge the crash window: one cell's live dir parked aside mid-swap
+    val cell = assigned.select("cell").limit(1).as[Int].head()
+    val aside = new java.io.File(s"$root/assigned-__replaced__")
+    aside.mkdirs()
+    assert(new java.io.File(s"$root/assigned/cell=$cell")
+      .renameTo(new java.io.File(s"$root/assigned-__replaced__/cell=$cell")))
+    // a takedown of an unrelated id must first restore the parked cell —
+    // without recovery its rows (removed AND surviving) are invisible
+    val someSurvivor = assigned.filter($"cell" =!= cell)
+      .select("cand_id").limit(1).as[Long].head()
+    AnnService.removeFromIndex(spark, root,
+      Seq(someSurvivor).toDF("vec_id"), "vec_id")
+    val after = spark.read.parquet(s"$root/assigned")
+    assert(after.count() === total - 1,
+      "parked cell restored; exactly the removed id gone")
+    assert(!aside.exists(), "aside dir cleaned after recovery")
+    assert(after.filter($"cell" === cell).count() > 0,
+      "the previously parked cell's rows are live again")
+  }
+
+  test("upsertDelta covering EVERY live id rebuilds the layout instead of " +
+      "destroying it") {
+    val root = java.nio.file.Files.createTempDirectory("ann_full_").toString
+    buildIvf(root, 60)
+    // every id re-embedded at once (a full re-embedding migration)
+    val reEmb = (0 until 60).map(i => (i.toLong, vec(i + 500)))
+      .toDF("vec_id", "embedding")
+    AnnService.upsertDelta(spark, root, reEmb)
+    val assigned = spark.read.parquet(s"$root/assigned")
+    assert(assigned.count() === 60L)
+    assert(assigned.select("cand_id").as[Long].collect().toSet ===
+      (0 until 60).map(_.toLong).toSet)
+  }
+
   test("flat-PQ and RP thin-layout takedowns: removed gone, survivors and " +
       "quantizer artifacts intact") {
     val c = corpus(40)
