@@ -141,7 +141,13 @@ object AnnService {
   private[serve] def removeFromCellLayout(spark: SparkSession, dir: String,
                                           removedIds: DataFrame,
                                           idCol: String): Unit = {
-    // heal any crashed prior rewrite BEFORE the touched-cell scan below
+    // heal BOTH crash shapes BEFORE the touched-cell scan below: a
+    // crashed compactLayoutInPlace leaves this dir mid-SWAP (root absent
+    // or sparse-recreated, `-__old__` holding the full copy) — running
+    // the takedown against the recreation and then folding `__old__`
+    // back would resurrect every removed id; a crashed prior takedown
+    // leaves parked partitions a REWRITE recovery restores
+    graft.io.Sinks.recoverCrashedSwap(spark, dir)
     graft.io.Sinks.recoverCrashedRewrite(spark, dir)
     val ids = removedIds.select(col(idCol).as("cand_id"))
       .dropDuplicates("cand_id")
@@ -203,6 +209,14 @@ object AnnService {
                   vecCol: String = "embedding"): Unit = {
     graft.util.Guards.requireUniqueIds(batch, idCol,
       "AnnService.upsertDelta")
+    // heal-before-ANY-layout-read (the retrainIndex discipline): the
+    // schema/centroids reads below capture file listings, and a crashed
+    // retrain swap healed later — inside removeFromIndex — would move
+    // those files out from under the captured listings, failing the
+    // append AFTER the remove already mutated the layout
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/assigned"))
     // schema + quantizer read BEFORE the remove: a batch covering every
     // live id empties the layout, and reading afterwards would fail on
     // schema inference with the rows already gone and nothing appended

@@ -85,7 +85,12 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
   // Like the table route, nothing here ever reaches SQL text — the vector
   // enters the plan as a typed literal.
   private val VecRe = """"vec"\s*:\s*\[([0-9eE+\-.,\s]{0,65536})\]""".r
-  private val KRe = """"k"\s*:\s*"?(\d{1,4})"?""".r
+  // The trailing lookahead anchors the number to a JSON delimiter:
+  // without it, out-of-range or junk values silently COERCE instead of
+  // 400ing through the mentions-the-key-but-malformed path ("k": 5.7
+  // would parse as 5; "threshold": 1.5 would match the '1' prefix and
+  // parse as 1.0 — a silently wrong-parameter 200).
+  private val KRe = """"k"\s*:\s*"?(\d{1,4})"?(?=\s*[,}\]])""".r
   private val NumRe = """-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
   // optional equality filter: {"filter": {"col": "lang", "value": "en"}}.
   // The column name is identifier-restricted IN FRONT of the backend's
@@ -221,7 +226,7 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
   // misreport over-length text as a missing field).
   private val TextRe = """"text"\s*:\s*"([^"\\]{1,1048576})"""".r
   private val ThresholdRe =
-    """"threshold"\s*:\s*(1(?:\.0{1,6})?|0?\.\d{1,6})""".r
+    """"threshold"\s*:\s*(1(?:\.0{1,6})?|0?\.\d{1,6})(?=\s*[,}\]])""".r
 
   /** `POST /neardup {"text": "...", "threshold": 0.8, "k": 5}` →
     * indexed near-duplicates of the document over the stored MinHash

@@ -164,6 +164,12 @@ object NearDupService {
                   root: String): Unit = {
     val spark = df.sparkSession
     requireUniqueIds(df, idCol, "NearDupService.appendDelta")
+    // heal a crashed compaction swap BEFORE appending: writing into a
+    // sparse writer-recreated dir works (the fold-by-relative-path
+    // recovery preserves appended files), but healing first keeps the
+    // layout readable for the very next probe instead of deferring it
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/signatures")
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/buckets")
     val m = readMeta(spark, root)
     val sigs = Dedup.minHashSignatures(df, textCol, idCol,
       m.bands * m.rowsPerBand, m.shingleK)
@@ -327,8 +333,15 @@ object NearDupService {
     * replay. */
   def removeFromIndex(spark: SparkSession, root: String,
                       removedIds: DataFrame, idCol: String = "id"): Unit = {
-    // heal any crashed prior rewrite BEFORE the touched-partition scans
-    // below — parked partitions are invisible to the scans
+    // heal BOTH crash shapes BEFORE the touched-partition scans below:
+    // a crashed compactIndex leaves a dataset dir mid-SWAP (`-__old__`
+    // holds the only full copy) — a takedown run against a sparse
+    // writer recreation would be silently undone (removed ids
+    // resurrected) when the next recovery folds `__old__` back; a
+    // crashed prior takedown leaves parked partitions invisible to the
+    // scans until a REWRITE recovery restores them
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/signatures")
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/buckets")
     graft.io.Sinks.recoverCrashedRewrite(spark, s"$root/signatures")
     graft.io.Sinks.recoverCrashedRewrite(spark, s"$root/buckets")
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,

@@ -55,10 +55,19 @@ object Guards {
     * assignment rows double a vector's candidacy). One thin aggregate
     * over the (small) delta. */
   def requireUniqueIds(df: DataFrame, idCol: String, op: String): Unit = {
-    val r = df.agg(count(lit(1)).as("n"),
+    // count(idCol) skips NULLs while count(1) doesn't — comparing them
+    // surfaces null ids EXPLICITLY before the duplicate check; folding
+    // nulls into the distinct compare would misreport a single null-id
+    // row as "1 duplicate row(s)" and could never name the real defect
+    val r = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
       count_distinct(col(idCol)).as("d")).collect()(0)
-    require(r.getLong(0) == r.getLong(1),
-      s"$op: batch carries ${r.getLong(0) - r.getLong(1)} duplicate " +
+    val (n, nonNull, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(n == nonNull,
+      s"$op: batch carries ${n - nonNull} NULL '$idCol' row(s) — a null " +
+        "id cannot be probed, removed, or upserted later; assign real " +
+        "ids before ingesting")
+    require(nonNull == distinct,
+      s"$op: batch carries ${nonNull - distinct} duplicate " +
         s"'$idCol' row(s) — per-id state derived from the merged rows " +
         "would match neither version; keep one row per id (the latest " +
         "version) before ingesting")

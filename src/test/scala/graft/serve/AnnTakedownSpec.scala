@@ -86,6 +86,39 @@ class AnnTakedownSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("takedown heals a crashed COMPACTION swap (dir parked at __old__, " +
+      "pending marker, sparse writer recreation) before removing — " +
+      "removed ids cannot be resurrected by a later recovery") {
+    val root = java.nio.file.Files.createTempDirectory("ann_swp_").toString
+    buildIvf(root, 60)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val victims = Seq(3L, 7L, 11L)
+    // forge the crashed compactIndex window on the assigned dir: the
+    // full copy parked at -__old__, the pending marker up, and an
+    // append-mode writer having RECREATED the dir with two interim rows
+    val dir = s"$root/assigned"
+    assert(new java.io.File(dir).renameTo(new java.io.File(s"$dir-__old__")))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir-__swap_pending__"))
+    val interim = Seq((1000L, vec(1000)), (1001L, vec(1001)))
+      .toDF("vec_id", "embedding")
+    graft.io.Sinks.onePerPartitionValue(
+        Ivf.assignPortable(interim, cents), Seq("cell"))
+      .write.partitionBy("cell").parquet(dir)
+    // without dir-scope swap healing, the takedown would run against
+    // the sparse recreation and the next recovery would fold __old__
+    // back, silently resurrecting every removed id
+    AnnService.removeFromIndex(spark, root, victims.toDF("vec_id"), "vec_id")
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"cand_id".isin(victims.map(Long.box): _*))
+      .count() === 0L, "removed ids must be gone from the HEALED layout")
+    assert(after.count() === 60L + 2L - victims.size,
+      "full corpus plus interim rows, minus the removed ids")
+    assert(!new java.io.File(s"$dir-__old__").exists() &&
+      !new java.io.File(s"$dir-__swap_pending__").exists(),
+      "the crashed swap must be healed, not left for a later recovery")
+  }
+
   test("takedown heals a crashed prior rewrite (partition parked aside, " +
       "live dir missing) before scanning for touched cells") {
     val root = java.nio.file.Files.createTempDirectory("ann_rec_").toString

@@ -294,6 +294,18 @@ class HttpQueryServerSpec extends SparkSpec {
       val badTh = postPath(port, "/neardup",
         s"""{"text": "$probeText", "threshold": 2.0}""")
       assert(badTh.statusCode() === 400, badTh.body())
+      // delimiter anchoring: out-of-range values whose PREFIX is valid
+      // must not silently coerce ("threshold": 1.5 -> 1.0, 10 -> 1.0,
+      // 0.95xyz -> 0.95) — each is 400
+      for (bad <- Seq("1.5", "10", "0.95xyz")) {
+        val r400 = postPath(port, "/neardup",
+          s"""{"text": "$probeText", "threshold": $bad}""")
+        assert(r400.statusCode() === 400, s"threshold $bad: ${r400.body()}")
+      }
+      // same for k: "k": 5.7 must not coerce to 5
+      val badK = postPath(port, "/neardup",
+        s"""{"text": "$probeText", "threshold": 0.9, "k": 5.7}""")
+      assert(badK.statusCode() === 400, badK.body())
       // missing text is 400
       assert(postPath(port, "/neardup", """{"threshold": 0.9}""")
         .statusCode() === 400)

@@ -88,6 +88,39 @@ class NearDupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
     assert(spark.read.parquet(s"$root/signatures")
       .filter($"id" === 99L).count() === 0L, "the rejected batch must not land")
+    // a NULL id is named explicitly, never misreported as a duplicate
+    val withNull = Seq((java.lang.Long.valueOf(98L), "fine"),
+      (null.asInstanceOf[java.lang.Long], "null id"))
+      .toDF("doc_id", "text")
+    val en = intercept[IllegalArgumentException] {
+      NearDupService.appendDelta(withNull, "text", "doc_id", root)
+    }
+    assert(en.getMessage.contains("NULL"), en.getMessage)
+  }
+
+  test("removeFromIndex heals a crashed compaction swap on a dataset dir " +
+      "before its touched-partition scans") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nd_swp").toString
+    val docs = corpus(20)
+    NearDupService.buildIndex(docs, "text", "doc_id", root)
+    // forge the crashed compactIndex window on the signatures dir: the
+    // only full copy parked at -__old__ with the pending marker up —
+    // without healing, the pruned signature scan fails on the missing
+    // dir (or worse, runs against a sparse writer recreation whose
+    // takedown a later recovery silently undoes)
+    val dir = s"$root/signatures"
+    assert(new java.io.File(dir).renameTo(new java.io.File(s"$dir-__old__")))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir-__swap_pending__"))
+    NearDupService.removeFromIndex(spark, root, Seq(3L, 9L).toDF("id"))
+    val left = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(left === (1 to 20).map(_.toLong).toSet -- Set(3L, 9L),
+      "healed layout minus exactly the removed ids")
+    assert(spark.read.parquet(s"$root/buckets")
+      .filter($"id".isin(3L, 9L)).count() === 0L,
+      "bucket rows for the removed ids must be gone too")
+    assert(!new java.io.File(s"$dir-__old__").exists() &&
+      !new java.io.File(s"$dir-__swap_pending__").exists())
   }
 
   test("group count is pinned in meta: a non-default-groups layout appends, " +
