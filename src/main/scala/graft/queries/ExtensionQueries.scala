@@ -1616,16 +1616,27 @@ object ExtensionQueries {
     * path: codebook/code write, read-back, LUT build, ADC scoring, heap
     * rerank. The bench's warm pass times the probe alone — the cost a
     * serving deployment pays after nightly training. */
-  private val simPqProbe: Q = (s, dir) => {
-    val grid = gridEmbeddings(s, dir)
-    val root = storedIndexPath("pq", dir) { out =>
+  /** The shared stored grid flat-PQ fixture (built once per JVM; the
+    * mutating faces copy it — the [[ndBaseIndex]] discipline). */
+  private def pqStoredBase(s: SparkSession, dir: String,
+                           grid: DataFrame): String =
+    storedIndexPath("pq", dir) { out =>
       val idx = graft.sim.Pq.buildIndex(grid, m = 4, codebookSize = 8)
       idx.codebooks.write.mode("overwrite").parquet(s"$out/codebooks")
       idx.codes.write.mode("overwrite").parquet(s"$out/codes")
     }
-    val stored = graft.sim.PqIndex(
-      s.read.parquet(s"$root/codebooks"), s.read.parquet(s"$root/codes"))
-    graft.sim.Pq.probeTopK(stored, grid.filter(col("vec_id") < 10), k = 5)
+
+  private def probeStoredPq(s: SparkSession, root: String,
+                            queries: DataFrame): DataFrame =
+    graft.sim.Pq.probeTopK(graft.sim.PqIndex(
+        s.read.parquet(s"$root/codebooks"),
+        s.read.parquet(s"$root/codes")),
+      queries, k = 5)
+
+  private val simPqProbe: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val root = pqStoredBase(s, dir, grid)
+    probeStoredPq(s, root, grid.filter(col("vec_id") < 10))
   }
 
   /** FILTERED flat-PQ ANN ([[Pq.probeTopK]] with a candidate predicate —
@@ -1993,6 +2004,31 @@ object ExtensionQueries {
       s.read.parquet(s"$root/codebooks"),
       s.read.parquet(s"$root/codes"))
 
+  /** The shared stored grid RESIDUAL (IVFADC) fixture — nlist = 8 over
+    * the 8 distinct grid patterns trains centroids that ARE the vectors,
+    * so every residual is zero and the composite stays exact (the
+    * [[simIvfpqResExact]] regime) through frozen-quantizer mutations. */
+  private def ivfpqResBase(s: SparkSession, dir: String,
+                           grid: DataFrame): String =
+    storedIndexPath("ivfpq_res", dir) { out =>
+      val idx = graft.sim.IvfPq.buildResidualIndex(grid, nlist = 8, m = 4,
+        codebookSize = 8)
+      idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      idx.codebooks.write.mode("overwrite").parquet(s"$out/codebooks")
+      idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    }
+
+  /** The shared re-embedding batch of the stored-upsert faces: every
+    * vec_id ≡ 0 mod 10 document "re-embedded" as its successor's vector
+    * — an exact float copy, so the oracle replay carries no arithmetic
+    * precision surface (and on the grid corpus the new vector is another
+    * grid pattern, preserving the exact-recovery regime). */
+  private def successorReEmbed(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), (col("vec_id") + 1).as("src"))
+      .join(corpus.select(col("vec_id").as("src"), col("embedding")), "src")
+      .select(col("vec_id"), col("embedding"))
+
   private val simIvfpqProbe: Q = (s, dir) => {
     val grid = gridEmbeddings(s, dir)
     val root = ivfpqBase(s, dir, grid)
@@ -2019,6 +2055,109 @@ object ExtensionQueries {
     }
     graft.sim.IvfPq.probeTopK(openIvfpq(s, path),
       grid.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+  }
+
+  /** STORED-layout re-embedding UPSERT on the RESIDUAL (IVFADC) serving
+    * format ([[graft.serve.AnnPqService.upsertDelta]]) — the
+    * [[simIvfUpsert]] contract at 64× compression: every vec_id ≡ 0
+    * mod 10 document is re-embedded as its successor's grid vector,
+    * upserted over its live id (O(touched cells) remove + frozen coarse
+    * assign + frozen-codebook residual encode + cell append — neither
+    * quantizer retrains), and the layout probed at nprobe = nlist. The
+    * upserted vector is another grid pattern, so its residual is
+    * exactly zero and the composite stays exact — the brute-force
+    * oracle over the POST-UPSERT corpus certifies stale-code removal,
+    * frozen assignment, and residual encoding in one hash. */
+  private val simIvfpqUpsert: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val base = ivfpqResBase(s, dir, grid)
+    val path = storedIndexPath("ivfpq_upsert", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnPqService.upsertDelta(s, out, successorReEmbed(grid))
+    }
+    graft.sim.IvfPq.probeResidualTopK(openIvfpq(s, path),
+      grid.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+  }
+
+  /** STORED-layout takedown on the flat-PQ serving format
+    * ([[graft.serve.AnnFlatPqService.removeFromIndex]] — the
+    * marker-fenced thin-frame anti-join rewrite): the stored grid
+    * layout is copied, vec_id ≡ 2 mod 7 removed (codebooks untouched —
+    * a takedown must never retrain), and the pruned codes ADC-probed.
+    * The grid keeps ADC exact, so a resurrected id or an over-deleted
+    * survivor is a wrong candidate row in the hash. */
+  private val simPqTakedown: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val base = pqStoredBase(s, dir, grid)
+    val path = storedIndexPath("pq_takedown", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnFlatPqService.removeFromIndex(s, out,
+        grid.filter(col("vec_id") % 7 === 2).select("vec_id"), "vec_id")
+    }
+    probeStoredPq(s, path, grid.filter(col("vec_id") < 10))
+  }
+
+  /** STORED-layout re-embedding UPSERT on the flat-PQ tier
+    * ([[graft.serve.AnnFlatPqService.upsertDelta]]): the successor-copy
+    * batch is upserted over its live ids (thin-frame remove +
+    * frozen-codebook encode + append), and the layout probed. The
+    * upserted vectors are grid patterns whose subvectors the stored
+    * codebooks already recover exactly, so the post-upsert brute-force
+    * oracle hash-checks stale-row removal AND the frozen encode. */
+  private val simPqUpsert: Q = (s, dir) => {
+    val grid = gridEmbeddings(s, dir)
+    val base = pqStoredBase(s, dir, grid)
+    val path = storedIndexPath("pq_upsert", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnFlatPqService.upsertDelta(s, out, successorReEmbed(grid))
+    }
+    probeStoredPq(s, path, grid.filter(col("vec_id") < 10))
+  }
+
+  /** STORED-layout takedown on the RP tier
+    * ([[graft.serve.AnnRpService.removeFromIndex]] — the thin-frame
+    * rewrite over 8-long reduced rows): vec_id ≡ 2 mod 7 removed from
+    * the stored reduced frame and the survivors probed through the
+    * normal shortlist + rerank. The stored LONG coordinates replay
+    * exactly in SQL, so the post-takedown ANN rows are the oracle
+    * contract — including the shortlist re-ranking over the pruned
+    * candidate set, which a resurrected row would perturb. */
+  private val simRpTakedown: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = rpStoredBase(s, dir, emb)
+    val path = storedIndexPath("rp_takedown", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnRpService.removeFromIndex(s, out,
+        emb.filter(col("vec_id") % 7 === 2).select("vec_id"), "vec_id")
+    }
+    probeStoredRp(s, path, emb.filter(col("vec_id") < 10))
+  }
+
+  /** STORED-layout re-embedding UPSERT on the RP tier
+    * ([[graft.serve.AnnRpService.upsertDelta]]): the successor-copy
+    * batch is upserted over its live ids — thin-frame remove, then
+    * projection under the layout's FROZEN (dimOut, seed) geometry — and
+    * the merged frame probed. The projection is a per-vector function
+    * of (vector, dimOut, seed), so the oracle replays the upserted
+    * documents' reduced coordinates from their NEW vectors exactly: a
+    * stale reduced row or a wrong-geometry projection breaks the
+    * shortlist hash. */
+  private val simRpUpsert: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = rpStoredBase(s, dir, emb)
+    val path = storedIndexPath("rp_upsert", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnRpService.upsertDelta(s, out, successorReEmbed(emb))
+    }
+    // probe with the CURRENT (post-upsert) corpus vectors — the serving
+    // flow after a re-embedding sweep; the oracle replays both sides
+    // from the upserted corpus
+    val emb2 = emb
+      .join(successorReEmbed(emb).withColumnRenamed("embedding", "__newv"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("__newv"), col("embedding")).as("embedding"))
+    probeStoredRp(s, path, emb2.filter(col("vec_id") < 10))
   }
 
   /** IVF member of the recall triad ([[simLshRecall]], [[simPqRecall]]):
@@ -2184,11 +2323,7 @@ object ExtensionQueries {
     val base = ivfPortableBase(s, dir, emb)
     val path = storedIndexPath("ivf_upsert", dir) { out =>
       copyLayout(s, base, out)
-      val reEmb = emb.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id"), (col("vec_id") + 1).as("src"))
-        .join(emb.select(col("vec_id").as("src"), col("embedding")), "src")
-        .select(col("vec_id"), col("embedding"))
-      graft.serve.AnnService.upsertDelta(s, out, reEmb)
+      graft.serve.AnnService.upsertDelta(s, out, successorReEmbed(emb))
     }
     probeStoredIvf(s, path, emb.filter(col("vec_id") < 10))
   }
@@ -2227,16 +2362,25 @@ object ExtensionQueries {
     * hash-green at a PARTIAL shortlist: the stored LONG coordinates
     * replay exactly in SQL, so the full ANN rows are the oracle
     * contract, not just a recall number. */
-  private val simRpProbe: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
-    val root = storedIndexPath("rp", dir) { out =>
+  /** The shared stored full-corpus RP fixture (built once per JVM; the
+    * mutating faces copy it — the [[ndBaseIndex]] discipline). */
+  private def rpStoredBase(s: SparkSession, dir: String,
+                           emb: DataFrame): String =
+    storedIndexPath("rp", dir) { out =>
       Similarity.rpReducePortable(emb, "vec_id", "embedding",
           dimOut = 8, seed = 42)
         .write.mode("overwrite").parquet(s"$out/reduced")
     }
+
+  private def probeStoredRp(s: SparkSession, root: String,
+                            queries: DataFrame): DataFrame =
     Similarity.rpProbePortable(s.read.parquet(s"$root/reduced"),
-      emb.filter(col("vec_id") < 10), k = 5, shortlist = 20,
-      dimOut = 8, seed = 42)
+      queries, k = 5, shortlist = 20, dimOut = 8, seed = 42)
+
+  private val simRpProbe: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val root = rpStoredBase(s, dir, emb)
+    probeStoredRp(s, root, emb.filter(col("vec_id") < 10))
   }
 
   /** FILTERED RP ANN ([[Similarity.rpProbePortable]] with a candidate
@@ -2857,6 +3001,11 @@ object ExtensionQueries {
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
     "sim_ivfpq_filtered" -> simIvfpqFiltered,
     "sim_ivfpq_takedown" -> simIvfpqTakedown,
+    "sim_ivfpq_upsert" -> simIvfpqUpsert,
+    "sim_pq_takedown" -> simPqTakedown,
+    "sim_pq_upsert" -> simPqUpsert,
+    "sim_rp_takedown" -> simRpTakedown,
+    "sim_rp_upsert" -> simRpUpsert,
     "sim_ivf_takedown" -> simIvfTakedown,
     "sim_ivf_upsert" -> simIvfUpsert,
     "sim_ivfpq_merge" -> simIvfpqMerge,
@@ -3303,6 +3452,32 @@ object ExtensionQueries {
 
   private val pqGridExactOracle: String = pqGridOracle("")
 
+  /** Grid brute force over the POST-UPSERT corpus — the oracle of the
+    * stored-upsert faces on both PQ-coded tiers (`sim_pq_upsert`,
+    * `sim_ivfpq_upsert`): every vec_id ≡ 0 mod 10 candidate carries its
+    * successor's grid vector (an exact copy — the upserted vector is
+    * another grid pattern, so ADC stays exact), queries stay the
+    * ORIGINAL probe vectors (the [[simIvfStoredMutationOracle]]
+    * convention). A stale code row surviving the remove or a
+    * mis-encoded new vector is a wrong candidate row in the hash. */
+  private val pqGridUpsertOracle: String =
+    s"""WITH g AS (SELECT vec_id,
+      |  list_transform(generate_series(0, 15),
+      |    d -> CAST(((vec_id % 8) * 13 + d * 7) % 11 - 5 AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |up AS (SELECT a.vec_id, b.v FROM g a JOIN g b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 10 = 0),
+      |g2 AS (SELECT g.vec_id, coalesce(u.v, g.v) AS v
+      |  FROM g LEFT JOIN up u USING (vec_id))
+      |SELECT query_id, cand_id, score, rank FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |   ROUND(list_dot_product(q.v, c.v), 6) AS score,
+      |   CAST(row_number() OVER (PARTITION BY q.vec_id
+      |     ORDER BY ROUND(list_dot_product(q.v, c.v), 6) DESC,
+      |     c.vec_id) AS INTEGER) AS rank
+      | FROM g q, g2 c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |WHERE rank <= 5""".stripMargin
+
   /** Closed-form oracle for the quantization-distortion audits
     * (`sim_pq_distortion`, `sim_ivfpq_distortion`): derived
     * mathematically rather than replayed — exact-recovery slice 0 SSE,
@@ -3443,7 +3618,8 @@ object ExtensionQueries {
     * the survivors — the pipeline both [[simRpRecallOracle]] and
     * [[simRpProbeOracle]] consume. */
   private def rpShortlistCtes(dimOut: Int, shortlist: Int, seed: Int,
-                              candWhere: String = ""): String = {
+                              candWhere: String = "",
+                              upsert: Boolean = false): String = {
     def plane(p: Int) =
       "(CAST(list_sum(list_transform(generate_series(1,13), j -> " +
         "CAST(strpos('0123456789abcdef', substring(md5(CAST(i - 1 AS VARCHAR) || " +
@@ -3454,7 +3630,21 @@ object ExtensionQueries {
         s"CAST(floor(v[i] * ${plane(p)} * 1048576.0 + 0.5) AS BIGINT))) AS BIGINT) AS p$p")
       .mkString(", ")
     val rdot = (0 until dimOut).map(p => s"q.p$p * c.p$p").mkString(" + ")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    // upsert = true swaps every vec_id ≡ 0 mod 10 vector for its
+    // successor's BEFORE projection — queries and candidates both read
+    // the post-upsert corpus (the engine face probes with the current
+    // corpus vectors), and the upserted documents' reduced coordinates
+    // replay from their NEW vectors
+    val corpusCtes =
+      if (!upsert)
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+      else
+        """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |up AS (SELECT a.vec_id, b.v FROM e0 a JOIN e0 b ON b.vec_id = a.vec_id + 1
+          |  WHERE a.vec_id % 10 = 0),
+          |e AS (SELECT e0.vec_id, coalesce(u.v, e0.v) AS v
+          |  FROM e0 LEFT JOIN up u USING (vec_id))""".stripMargin
+    s"""$corpusCtes,
        |proj AS (SELECT vec_id, v, $projs FROM e),
        |short AS (SELECT query_id, cand_id FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -3479,6 +3669,39 @@ object ExtensionQueries {
   private def simRpProbeOracle: String = {
     val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
     s"""WITH ${rpShortlistCtes(dimOut, shortlist, seed)}
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+       |  FROM cs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Generated oracle for sim_rp_takedown: the shared RP replay with the
+    * removed ids excluded from the CANDIDATE side of the shortlist join
+    * — a resurrected reduced row would perturb the shortlist ranking
+    * before the rerank, so the exclusion certifies the thin-frame
+    * rewrite end to end. */
+  private def simRpTakedownOracle: String = {
+    val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
+    s"""WITH ${rpShortlistCtes(dimOut, shortlist, seed,
+        candWhere = " AND c.vec_id % 7 <> 2")}
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+       |  FROM cs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Generated oracle for sim_rp_upsert: the shared RP replay over the
+    * POST-UPSERT corpus (queries and candidates both) — the upserted
+    * documents' reduced coordinates are recomputed from their NEW
+    * vectors, so a stale reduced row or a wrong-geometry re-projection
+    * breaks the shortlist hash. */
+  private def simRpUpsertOracle: String = {
+    val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
+    s"""WITH ${rpShortlistCtes(dimOut, shortlist, seed, upsert = true)}
        |SELECT query_id, cand_id, cosine, rank FROM (
        |  SELECT query_id, cand_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -5198,6 +5421,11 @@ bruteForceCosineOracle,
       // stored takedown: same exact-grid replay minus the removed ids —
       // a resurrected or over-deleted id is a wrong candidate row
       "sim_ivfpq_takedown" -> pqGridOracle(" AND c.vec_id % 7 <> 2"),
+      "sim_ivfpq_upsert" -> pqGridUpsertOracle,
+      "sim_pq_takedown" -> pqGridOracle(" AND c.vec_id % 7 <> 2"),
+      "sim_pq_upsert" -> pqGridUpsertOracle,
+      "sim_rp_takedown" -> simRpTakedownOracle,
+      "sim_rp_upsert" -> simRpUpsertOracle,
       "sim_ivf_takedown" ->
         simIvfStoredMutationOracle(" AND a.cand_id % 7 <> 2", upsert = false),
       "sim_ivf_upsert" -> simIvfStoredMutationOracle("", upsert = true),

@@ -435,6 +435,36 @@ object AnnFlatPqService {
     AnnService.removeFromThinLayout(spark, root, s"$root/codes",
       removedIds, idCol, layoutIdCol = "cand_id")
 
+  /** Re-embedded document UPSERT on the stored flat-PQ layout — the
+    * [[AnnService.upsertDelta]] pattern on the unpartitioned thin code
+    * frame: live code rows for the batch's ids are removed (the
+    * marker-fenced thin-layout rewrite — a no-op anti-join for
+    * genuinely-new ids), the new vectors are encoded under the FROZEN
+    * codebooks ([[Pq.encodeWithCodebooks]] — an upsert must never
+    * retrain), and the thin rows append as one file per upsert batch.
+    * Attribute columns come from the stored code schema (batch rows
+    * must carry them). */
+  def upsertDelta(spark: SparkSession, root: String, batch: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    graft.util.Guards.requireUniqueIds(batch, idCol,
+      "AnnFlatPqService.upsertDelta")
+    // heal-before-ANY-layout-read (root = retrain swaps, dir = takedown/
+    // compaction swaps), then capture codebooks + attribute schema
+    // BEFORE the remove (the empty-layout hazard)
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/codes")
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/codes"))
+    val codebooks = spark.read.parquet(s"$root/codebooks")
+    val extras = spark.read.parquet(s"$root/codes").columns
+      .filterNot(c => c == "cand_id" || c.startsWith("__c")).toSeq
+    removeFromIndex(spark, root, batch.select(col(idCol)), idCol)
+    Pq.encodeWithCodebooks(batch, codebooks, idCol, vecCol,
+        keepCols = extras)
+      .coalesce(1).write.mode("append").parquet(s"$root/codes")
+  }
+
   /** Codebook retrain + migration of a stored flat-PQ layout —
     * [[AnnPqService.retrainIndex]] without the coarse tier: live ids
     * from the stored codes, raw vectors from `rawStore`
@@ -591,6 +621,38 @@ object AnnRpService {
                       idCol: String = "vec_id"): Unit =
     AnnService.removeFromThinLayout(spark, root, s"$root/reduced",
       removedIds, idCol, layoutIdCol = "id")
+
+  /** Re-embedded document UPSERT on the stored RP layout: live reduced
+    * rows for the batch's ids are removed (the marker-fenced thin-layout
+    * rewrite), the new vectors are projected under the layout's FROZEN
+    * geometry — dimOut recovered from the stored `r` width, `seed`
+    * passed by the caller (it is not recoverable from the layout; a
+    * wrong seed would score garbage, the [[AnnRpService]] contract) —
+    * and appended as one file per batch. The projection is a per-vector
+    * function of (vector, dimOut, seed), so upserted ≡ rebuilt exactly
+    * (`sim_rp_merge`'s guarantee). */
+  def upsertDelta(spark: SparkSession, root: String, batch: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  seed: Int = 42): Unit = {
+    graft.util.Guards.requireUniqueIds(batch, idCol,
+      "AnnRpService.upsertDelta")
+    // heal-before-ANY-layout-read, then capture the projection width +
+    // attribute schema BEFORE the remove (the empty-layout hazard)
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/reduced")
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/reduced"))
+    val reduced = spark.read.parquet(s"$root/reduced")
+    val dimOut = reduced.select(size(col("r")).as("p")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dimOut > 0, "AnnRpService.upsertDelta: the stored layout is " +
+      "empty — the projection width is unrecoverable; rebuild instead")
+    val extras = reduced.columns.filterNot(Set("id", "vec", "r")).toSeq
+    removeFromIndex(spark, root, batch.select(col(idCol)), idCol)
+    Similarity.rpReducePortable(batch, idCol, vecCol, dimOut, seed,
+        keepCols = extras)
+      .coalesce(1).write.mode("append").parquet(s"$root/reduced")
+  }
 }
 
 object AnnPqService {
@@ -633,6 +695,41 @@ object AnnPqService {
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/codes"))
     AnnService.removeFromCellLayout(spark, s"$root/codes", removedIds, idCol)
+  }
+
+  /** Re-embedded document UPSERT on the stored RESIDUAL (IVFADC) layout
+    * — [[AnnService.upsertDelta]] at 64× compression, completing the
+    * lifecycle symmetry for the actual 100 TB serving format: any live
+    * code rows for the batch's ids are removed (O(touched cells) — a
+    * no-op for genuinely-new ids), then the new vectors are assigned to
+    * the FROZEN coarse cells, their residuals encoded under the FROZEN
+    * codebooks ([[IvfPq.encodeDeltaResidual]] — an upsert must never
+    * retrain), and the thin code rows append into only the cells they
+    * land in. Attribute columns are taken from the stored code schema
+    * (batch rows must carry them), so a filtered-ANN layout keeps its
+    * whitelist columns through the upsert. */
+  def upsertDelta(spark: SparkSession, root: String, batch: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    graft.util.Guards.requireUniqueIds(batch, idCol,
+      "AnnPqService.upsertDelta")
+    // heal-before-ANY-layout-read, then capture quantizers + code schema
+    // BEFORE the remove: a batch covering every live id empties the
+    // layout, and the schema read would fail with the rows gone and
+    // nothing appended. Only the code frame's SCHEMA is consumed —
+    // encodeDeltaResidual never reads its rows, so the captured listing
+    // going stale across the partition rewrite is harmless.
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/codes"))
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val codebooks = spark.read.parquet(s"$root/codebooks")
+    val codesForSchema = spark.read.parquet(s"$root/codes")
+    removeFromIndex(spark, root, batch.select(col(idCol)), idCol)
+    val newCodes = IvfPq.encodeDeltaResidual(
+      IvfPqIndex(centroids, codebooks, codesForSchema), batch, idCol, vecCol)
+    graft.io.Sinks.onePerPartitionValue(newCodes, Seq("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
   }
 
   /** Quantizer retrain + migration of a STORED residual IVF-PQ layout —

@@ -188,4 +188,86 @@ class AnnTakedownSpec extends SparkSpec {
     val siblings = new java.io.File(rpRoot).listFiles().map(_.getName).toSet
     assert(siblings === Set("reduced"), siblings.toString)
   }
+
+  test("stored upserts on the PQ-coded tiers: exactly one fresh code row " +
+      "per upserted id, quantizer artifacts byte-identical, duplicate " +
+      "batches rejected") {
+    val c = corpus(40)
+    // residual IVF-PQ layout
+    val resRoot = java.nio.file.Files.createTempDirectory("ivfpq_up_").toString
+    val res = graft.sim.IvfPq.buildResidualIndex(c, nlist = 4, m = 4,
+      codebookSize = 8)
+    res.centroids.write.parquet(s"$resRoot/centroids")
+    res.codebooks.write.parquet(s"$resRoot/codebooks")
+    res.codes.write.partitionBy("cell").parquet(s"$resRoot/codes")
+    val resQuantBefore = parquetFiles(s"$resRoot/centroids") ++
+      parquetFiles(s"$resRoot/codebooks")
+    AnnPqService.upsertDelta(spark, resRoot,
+      Seq((5L, vec(6))).toDF("vec_id", "embedding"))
+    val resCodes = spark.read.parquet(s"$resRoot/codes")
+    assert(resCodes.filter($"cand_id" === 5L).count() === 1L,
+      "no stale residual code row for the upserted id")
+    assert(resCodes.count() === 40L)
+    // the re-encoded row must equal id 6's codes + cell exactly (same
+    // vector under the same frozen quantizers)
+    val row5 = resCodes.filter($"cand_id" === 5L).drop("cand_id")
+      .collect()(0).toSeq
+    val row6 = resCodes.filter($"cand_id" === 6L).drop("cand_id")
+      .collect()(0).toSeq
+    assert(row5 === row6, s"frozen re-encode must match its source: $row5 vs $row6")
+    assert(parquetFiles(s"$resRoot/centroids") ++
+      parquetFiles(s"$resRoot/codebooks") === resQuantBefore,
+      "an upsert must never retrain")
+    intercept[IllegalArgumentException] {
+      AnnPqService.upsertDelta(spark, resRoot,
+        Seq((7L, vec(1)), (7L, vec(2))).toDF("vec_id", "embedding"))
+    }
+
+    // flat-PQ layout
+    val pqRoot = java.nio.file.Files.createTempDirectory("pq_up_").toString
+    val pq = Pq.buildIndex(c, m = 4, codebookSize = 8)
+    pq.codebooks.write.parquet(s"$pqRoot/codebooks")
+    pq.codes.write.parquet(s"$pqRoot/codes")
+    val cbBefore = parquetFiles(s"$pqRoot/codebooks")
+    AnnFlatPqService.upsertDelta(spark, pqRoot,
+      Seq((5L, vec(6))).toDF("vec_id", "embedding"))
+    val pqCodes = spark.read.parquet(s"$pqRoot/codes")
+    assert(pqCodes.filter($"cand_id" === 5L).count() === 1L)
+    assert(pqCodes.count() === 40L)
+    assert(pqCodes.filter($"cand_id" === 5L).drop("cand_id").collect()(0).toSeq
+      === pqCodes.filter($"cand_id" === 6L).drop("cand_id").collect()(0).toSeq)
+    assert(parquetFiles(s"$pqRoot/codebooks") === cbBefore)
+  }
+
+  test("stored RP upsert: the upserted id's reduced row equals a fresh " +
+      "projection of its NEW vector under the frozen geometry") {
+    val c = corpus(40)
+    val rpRoot = java.nio.file.Files.createTempDirectory("rp_up_").toString
+    graft.sim.Similarity.rpReducePortable(c, "vec_id", "embedding",
+        dimOut = 4, seed = 7)
+      .write.parquet(s"$rpRoot/reduced")
+    AnnRpService.upsertDelta(spark, rpRoot,
+      Seq((5L, vec(6))).toDF("vec_id", "embedding"), seed = 7)
+    val reduced = spark.read.parquet(s"$rpRoot/reduced")
+    assert(reduced.filter($"id" === 5L).count() === 1L,
+      "no stale reduced row for the upserted id")
+    assert(reduced.count() === 40L)
+    // dimOut recovered from the layout, seed passed: coordinates must be
+    // the deterministic projection of the NEW vector
+    val got = reduced.filter($"id" === 5L).select("r")
+      .as[Seq[Long]].head()
+    val want = graft.sim.Similarity.rpReducePortable(
+        Seq((5L, vec(6))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dimOut = 4, seed = 7)
+      .select("r").as[Seq[Long]].head()
+    assert(got === want, s"frozen-geometry projection mismatch: $got vs $want")
+    // a wrong-width layout cannot silently project: emptied layout refuses
+    AnnRpService.removeFromIndex(spark, rpRoot,
+      (0 until 40).map(_.toLong).toDF("vec_id"), "vec_id")
+    val e = intercept[IllegalArgumentException] {
+      AnnRpService.upsertDelta(spark, rpRoot,
+        Seq((1L, vec(1))).toDF("vec_id", "embedding"), seed = 7)
+    }
+    assert(e.getMessage.contains("unrecoverable"))
+  }
 }
