@@ -2205,6 +2205,43 @@ object ExtensionQueries {
       threshold = 0.99, nlist = 8, stride = 10, nprobe = 2)
   }
 
+  /** The portable cluster assignment shared by the semantic-curation
+    * faces: strided centroids over the embeddings, one (doc_id, cell)
+    * row per document (embeddings and documents are id-aligned). */
+  private def portableDocClusters(emb: DataFrame): DataFrame =
+    Ivf.assignPortable(emb,
+        Ivf.portableCentroids(emb, nlist = 8, stride = 29))
+      .select(col("cand_id").as("doc_id"), col("cell"))
+
+  /** Corpus TOPIC MAP ([[graft.text.TextOps.clusterSalientTerms]]):
+    * documents clustered by their embeddings (portable strided k-means
+    * cells — the SQL-replayable quantizer every sim_ivf face certifies),
+    * each cluster labeled with its top-5 most distinctive terms by
+    * cluster-level tf · rational cluster-idf. The whole pipeline —
+    * quantizer, assignment, tokenization, counts, rational score, rank —
+    * replays in SQL, so the curation report a 100 TB pass reads to
+    * decide cluster weights is hash-checked end to end. */
+  private val embClusterTerms: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.text.TextOps.clusterSalientTerms(docs, portableDocClusters(emb),
+      "text", "doc_id", k = 5)
+  }
+
+  /** SEMANTIC temperature mixture — [[w12TemperatureMix]] with the
+    * strata coming from the EMBEDDING clusters instead of a metadata
+    * column: per-cluster keep rates √(c_min/c_cell) flatten
+    * topic-dominated corpora the way per-language temperature sampling
+    * flattens language mixes, with no metadata required. The assignment
+    * replays in SQL and the keep decision is the same md5-free integer
+    * hash bucket as `w5_hash_sample`, so the kept id set is
+    * hash-certified — deterministic, re-runnable curation. */
+  private val embClusterMix: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.ops.Ops.temperatureMix(portableDocClusters(emb), "cell", "doc_id")
+      .select(col("doc_id"), col("cell"))
+  }
+
   /** O(delta) incremental IVF ingest, merged ≡ rebuilt: the coarse
     * quantizer is trained (portable strided sample) on the BASE slice
     * only, the base is assigned at build, the delta slice (vec_id ≡ 3
@@ -2990,6 +3027,8 @@ object ExtensionQueries {
     "sim_ivf_retrain" -> simIvfRetrain,
     "sim_ivf_filtered" -> simIvfFiltered,
     "emb_decontaminate" -> embDecontaminate,
+    "emb_cluster_terms" -> embClusterTerms,
+    "emb_cluster_mix" -> embClusterMix,
     "sim_ivf_cell_stats" -> simIvfCellStats,
     "sim_pq_probe" -> simPqProbe,
     "sim_pq_filtered" -> simPqFiltered,
@@ -4179,6 +4218,61 @@ object ExtensionQueries {
        |  CAST(b.ref_id AS BIGINT) AS match_id, b.cos AS match_cosine
        |FROM e LEFT JOIN best b ON b.qid = e.vec_id""".stripMargin
   }
+
+  /** Shared portable-assignment CTE prefix (e → cents → asg) of the
+    * semantic-curation oracles — the [[simIvfCellStatsOracle]] replay
+    * reduced to the thin (cand_id, cell) frame. */
+  private def docClusterCtes: String = {
+    val nlist = 8; val stride = 29
+    def d2(v: String) =
+      s"ROUND(list_dot_product($v, $v) - 2.0 * list_dot_product($v, c.cent)" +
+        s" + list_dot_product(c.cent, c.cent), 6)"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cent
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $stride = 0
+       |        ORDER BY vec_id LIMIT $nlist)),
+       |asg AS (SELECT cand_id, cell FROM (
+       |  SELECT ce.vec_id AS cand_id, c.cell,
+       |    row_number() OVER (PARTITION BY ce.vec_id
+       |      ORDER BY ${d2("ce.v")}, c.cell) AS rn
+       |  FROM e ce, cents c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Generated oracle for emb_cluster_terms: the portable assignment
+    * replay joined to the documents, cluster-level tf, cluster-df,
+    * the rational idf score and the (score desc, term) rank — the full
+    * topic-map pipeline recomputed in SQL. */
+  private def embClusterTermsOracle: String =
+    raw"""WITH $docClusterCtes,
+         |words AS (SELECT a.cell,
+         |   unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS term
+         |  FROM documents d JOIN asg a ON a.cand_id = d.doc_id),
+         |tf AS (SELECT cell, term, count(*) AS c FROM words
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |cfq AS (SELECT term, count(*) AS cf FROM tf GROUP BY 1),
+         |kk AS (SELECT CAST(count(DISTINCT cell) AS DOUBLE) AS k FROM asg)
+         |SELECT CAST(cell AS INTEGER) AS cell, term, score, rank FROM (
+         | SELECT tf.cell, tf.term,
+         |   ROUND((tf.c * (kk.k - cfq.cf + 0.5)) / (cfq.cf + 0.5), 6) AS score,
+         |   CAST(row_number() OVER (PARTITION BY tf.cell
+         |     ORDER BY ROUND((tf.c * (kk.k - cfq.cf + 0.5)) / (cfq.cf + 0.5), 6)
+         |       DESC, tf.term) AS INTEGER) AS rank
+         | FROM tf JOIN cfq USING (term) CROSS JOIN kk)
+         |WHERE rank <= 5""".stripMargin
+
+  /** Generated oracle for emb_cluster_mix: the portable assignment
+    * replay + the w12 temperature-rate and hash-bucket arithmetic with
+    * the cluster as the stratum. */
+  private def embClusterMixOracle: String =
+    s"""WITH $docClusterCtes,
+       |c AS (SELECT cell, count(*) AS cnt FROM asg GROUP BY 1),
+       |m AS (SELECT min(cnt) AS cmin FROM c),
+       |r AS (SELECT cell, CAST(FLOOR(1000.0 *
+       |    SQRT(CAST(cmin AS DOUBLE) / cnt)) AS BIGINT) AS rate FROM c, m)
+       |SELECT a.cand_id AS doc_id, CAST(a.cell AS INTEGER) AS cell
+       |FROM asg a JOIN r USING (cell)
+       |WHERE CAST(FLOOR((((a.cand_id + 1) % 1000003) * 2654435761)
+       |    / 1048576.0) AS BIGINT) % 1000 < r.rate""".stripMargin
 
   val oracle: Map[String, String] = {
     // marker membership mirrors the ENGINE's token normalization exactly:
@@ -5589,6 +5683,8 @@ bruteForceCosineOracle,
       "sim_ivf_retrain" -> simIvfCellStatsOracle,
       "sim_ivf_filtered" -> simIvfFilteredOracle,
       "emb_decontaminate" -> embDecontaminateOracle,
+      "emb_cluster_terms" -> embClusterTermsOracle,
+      "emb_cluster_mix" -> embClusterMixOracle,
       "sim_ivf_cell_stats" -> simIvfCellStatsOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is
       // defined by SIGNATURE agreement, and full 64-position agreement

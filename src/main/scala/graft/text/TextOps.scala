@@ -1316,6 +1316,55 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("score"), col("rank"))
   }
 
+  /** Per-CLUSTER salient terms — the corpus TOPIC MAP: given a cluster
+    * assignment over the documents (e.g. [[graft.sim.Ivf.assignPortable]]
+    * cells over their embeddings), label each cluster with its top-`k`
+    * most DISTINCTIVE terms. This is the standard "what is actually in
+    * my data" report a 100 TB curation pass runs after clustering —
+    * cluster sizes alone say nothing; the labels are what let an
+    * operator decide which clusters to up/down-weight or drop.
+    *
+    * Salience is cluster-level tf·idf with [[salientTerms]]'s RATIONAL
+    * idf over CLUSTERS, (K − cf + 0.5)/(cf + 0.5), where cf = number of
+    * clusters containing the term and K = number of assigned clusters:
+    * a term every cluster shares (stopword grade) scores near zero no
+    * matter how frequent, while a term concentrated in one cluster
+    * rises with its count. Every step is integer counts plus one
+    * correctly-rounded division — hash-checkable cross-engine.
+    *
+    * Scale shape: the cluster id joins the DOCUMENT rows (row-sized,
+    * BEFORE tokenization — never the exploded token stream); tf is one
+    * (cluster, term) count with map-side partials, K clusters collapse
+    * it to a frame bounded by K·vocab; cf is a second aggregate over
+    * tf's rows joined back on the term (skew-safe for corpus-wide hot
+    * terms); K rides in as a broadcast one-row aggregate; the final
+    * top-k is a cluster-keyed window with WindowGroupLimit pushdown.
+    * `clusters` must hold ONE row per document id (an assignment, not
+    * an affinity list). Returns (cell, term, score, rank). */
+  def clusterSalientTerms(docs: DataFrame, clusters: DataFrame,
+                          textCol: String, idCol: String,
+                          clusterCol: String = "cell",
+                          k: Int = 5): DataFrame = {
+    val kcl = clusters.select(col(clusterCol)).distinct()
+      .agg(count(lit(1)).cast(DoubleType).as("K"))
+    val withCell = docs.select(col(idCol), lower(col(textCol)).as("__t"))
+      .join(clusters.select(col(idCol), col(clusterCol)), Seq(idCol))
+    val tf = withCell
+      .select(col(clusterCol), explode(tokens(col("__t"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(clusterCol, "term").agg(count(lit(1)).as("c"))
+    val cf = tf.groupBy("term").agg(count(lit(1)).as("cf"))
+    val scored = tf.join(cf, "term").crossJoin(broadcast(kcl))
+      // association mirrors SQL's left-to-right parse: (c * num) / den
+      .withColumn("score", round(
+        (col("c") * (col("K") - col("cf") + 0.5)) / (col("cf") + 0.5), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(clusterCol), col("term"), col("score"), col("rank"))
+  }
+
   /** Per-document hashed-n-gram feature stream (unigrams + adjacent
     * bigrams) — the DSIR feature space. Returns (doc_id, g: string). */
   private def ngramFeatures(df: DataFrame, textCol: String,

@@ -293,6 +293,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) === Seq(("xerus", 1.666667), ("common", 0.285714)))
   }
 
+  test("clusterSalientTerms: cluster-specific terms outrank corpus-wide " +
+      "stopwords; counts aggregate at the cluster level") {
+    // 'the' appears in every cluster (cf=2 → idf 0.5/2.5); 'cat'/'dog'
+    // are one-cluster terms (cf=1 → idf 1.5/1.5 = 1) whose cluster tf is
+    // the SUM over the cluster's docs.
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"),
+      (3L, "the dog sat"), (4L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("doc_id", "cell")
+    val out = TextOps.clusterSalientTerms(docs, clusters, "text", "doc_id",
+        k = 2)
+      .as[(Int, String, Double, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    // K=2: score(cat, cell 0) = 2·(2−1+0.5)/1.5 = 2.0;
+    // score(the) = 2·(2−2+0.5)/2.5 = 0.4; score(sat/ran) = 1·0.5/2.5 = 0.2
+    assert(out(0) === Seq(("cat", 2.0), ("the", 0.4)))
+    assert(out(1) === Seq(("dog", 2.0), ("the", 0.4)))
+    // k bounds the per-cluster report; ties below break by term asc
+    val k3 = TextOps.clusterSalientTerms(docs, clusters, "text", "doc_id",
+        k = 3)
+      .filter($"cell" === 0).orderBy($"rank")
+      .as[(Int, String, Double, Int)].collect().map(_._2).toSeq
+    assert(k3 === Seq("cat", "the", "ran"), s"tie at 0.2 breaks by term: $k3")
+  }
+
   test("canonicalizeUrl: host case-folds, fragment/utm/trailing-slash drop, path case kept") {
     val cases = Seq(
       ("HTTPS://Example.COM/Path/?utm_source=x&id=1#frag",
