@@ -732,6 +732,34 @@ object ExtensionQueries {
     TextOps.bm25QueryStatsFrom(p, st, bm25Terms)
   }
 
+  /** STORED-layout takedown on the keyword serving format
+    * ([[graft.serve.SearchService.removeFromIndex]] — O(touched
+    * buckets) crash-safe parked rewrites + exact stats subtraction):
+    * the stored full-corpus index is copied, the doc_id ≡ 0 mod 7
+    * slice removed, and the query-term integer sufficient statistics
+    * computed FROM THE REDUCED STORED LAYOUT must hash-match the
+    * remainder-corpus contract — [[txtBm25Remove]]'s frame-level
+    * guarantee, certified on the partitioned on-disk layout where a
+    * missed bucket rewrite (resurrected posting) or an over-deleted
+    * survivor changes df/tf rows in the hash. */
+  private val txtBm25Takedown: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val base = storedIndexPath("bm25", dir) { out =>
+      graft.serve.SearchService.buildIndex(docs, "text", "doc_id", out)
+    }
+    val path = storedIndexPath("bm25_takedown", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.SearchService.removeFromIndex(
+        docs.filter(col("doc_id") % 7 === 0), "text", "doc_id", out)
+    }
+    val postings = s.read.parquet(s"$path/postings")
+      .filter(bm25Terms.map(tm => col("bucket") === TextOps.bm25Bucket(lit(tm)))
+        .reduce(_ || _))
+      .drop("bucket")
+    TextOps.bm25QueryStatsFrom(postings,
+      s.read.parquet(s"$path/stats"), bm25Terms)
+  }
+
   /** Document UPDATE, upserted ≡ rebuilt-on-edited-corpus: the doc_id ≡
     * 0 mod 7 slice is EDITED (a prefix containing the query term "dup"
     * prepended — the refresh-that-edits-documents cadence), the full
@@ -2997,6 +3025,7 @@ object ExtensionQueries {
     "txt_bm25_stats" -> txtBm25Stats,
     "txt_bm25_merge" -> txtBm25Merge,
     "txt_bm25_remove" -> txtBm25Remove,
+    "txt_bm25_takedown" -> txtBm25Takedown,
     "txt_bm25_upsert" -> txtBm25Upsert,
     "txt_bm25_df_hist" -> txtBm25DfHist,
     "pipe_curate_corpus" -> pipeCurateCorpus,
@@ -4929,6 +4958,11 @@ object ExtensionQueries {
       // the deletion face's oracle is the SAME contract over the
       // remainder corpus — the hash proves removed ≡ rebuilt-on-remainder
       "txt_bm25_remove" -> bm25StatsOracleFrom(
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
+      // the STORED-layout takedown lands at the same remainder contract —
+      // one shared oracle makes the hash prove the partitioned bucket
+      // rewrite ≡ the frame-level anti-join
+      "txt_bm25_takedown" -> bm25StatsOracleFrom(
         "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
       // upsert: the full-rebuild contract over the EDITED corpus — the
       // engine's remove-then-append composition must land exactly here

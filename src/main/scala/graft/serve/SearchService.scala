@@ -125,6 +125,15 @@ object SearchService {
     import spark.implicits._
     def lng(r: org.apache.spark.sql.Row, c: String): Long =
       if (r.isNullAt(r.fieldIndex(c))) 0L else r.getAs[Long](c)
+    // heal crashed compaction swaps BEFORE the stats read, and scrub
+    // uncommitted streamed batches: readStats sums per-batch delta
+    // rows, so an uncommitted batch's stats row would be baked into the
+    // canonical overwrite below and then DOUBLE-counted when the stream
+    // replays that batch
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/postings")
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/stats")
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/postings", s"$root/stats"))
     val spread = graft.util.Spread.forMapWork(df)
     // both stats frames reduce to ONE row — constant-size driver collects
     // (readStats sums, so a layout carrying streamed per-batch delta rows
@@ -142,6 +151,55 @@ object SearchService {
       .write.mode("overwrite").parquet(s"$root/stats")
   }
 
+  /** O(touched buckets) STORED takedown — the GDPR sweep on the keyword
+    * serving layout, completing the BM25 tier's lifecycle symmetry with
+    * [[graft.serve.AnnService.removeFromIndex]] and the near-dup
+    * partition rewrites: a document's postings can sit in ANY term
+    * bucket (postings are term-partitioned, not doc-partitioned), so
+    * finding the touched buckets reads the layout's THIN
+    * (doc_id, bucket) columns once — but the REWRITE is only the
+    * buckets actually holding removed rows (≤ 64 collect; untouched
+    * `bucket=` dirs keep their physical files), each swapped through
+    * the crash-safe parked rewrite.
+    *
+    * `removedDocs` carries the removed documents WITH their text (the
+    * [[upsertDelta]] oldDocs contract): corpus stats subtract exactly —
+    * including indexed EMPTY documents, which have no posting row to
+    * recover a dl from, so an id-only takedown could not maintain
+    * `n_docs` correctly (the [[TextOps.bm25RemoveIndex]] frame-form
+    * rationale). */
+  def removeFromIndex(removedDocs: DataFrame, textCol: String,
+                      idCol: String, root: String): Unit = {
+    val spark = removedDocs.sparkSession
+    import spark.implicits._
+    // heal-before-any-layout-read + orphan scrub (the upsertDelta
+    // discipline: the bucket rewrite is untagged)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/postings")
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/stats")
+    graft.io.Sinks.recoverCrashedRewrite(spark, s"$root/postings")
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/postings", s"$root/stats"))
+    val postings = spark.read.parquet(s"$root/postings")
+    val ids = removedDocs.select(col(idCol).as("doc_id")).dropDuplicates()
+    val touched = postings.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select("bucket").distinct().as[Int].collect().sorted
+    def lng(r: org.apache.spark.sql.Row, c: String): Long =
+      if (r.isNullAt(r.fieldIndex(c))) 0L else r.getAs[Long](c)
+    val base = readStats(spark, root).collect()(0)
+    val removed = TextOps.bm25CorpusStats(removedDocs, textCol).collect()(0)
+    if (touched.nonEmpty) {
+      val touchedLit = touched.map(Int.box)
+      graft.io.Sinks.rewritePartitions(spark, s"$root/postings", "bucket",
+        touched.toSeq,
+        postings.filter(col("bucket").isin(touchedLit: _*))
+          .join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    }
+    Seq((lng(base, "n_docs") - lng(removed, "n_docs"),
+        lng(base, "dl_sum") - lng(removed, "dl_sum")))
+      .toDF("n_docs", "dl_sum")
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
+
   /** Document UPDATE on a STORED layout — the
     * [[graft.text.TextOps.bm25UpsertIndex]] twin that rewrites ONLY the
     * touched term buckets: a document's old postings can sit in ANY
@@ -155,20 +213,30 @@ object SearchService {
     * `newDocs` may add brand-new ids).
     *
     * Commit shape: the rewritten buckets are fully written to a staging
-    * dir FIRST, then swapped in per bucket (delete + rename), stats
-    * last — a crash mid-swap leaves some buckets new and some old, so
-    * production refreshes should version `root` for atomic cutover (the
-    * [[appendDelta]] posture). Streamed batch-tagged files inside a
-    * touched bucket fold into its rewrite; their ledger markers stay
-    * valid because a replayed committed batch is skipped by marker, not
-    * by file presence. */
+    * dir FIRST, then swapped in per bucket through
+    * [[graft.io.Sinks.rewritePartitions]] — each live bucket is PARKED
+    * aside before its replacement renames in, so a crash mid-swap never
+    * loses a bucket's surviving rows (the delete-then-rename form did;
+    * [[graft.io.Sinks.recoverCrashedRewrite]] heals the window), stats
+    * last — a crash between postings and stats leaves stats one upsert
+    * behind, so production refreshes should version `root` for atomic
+    * cutover (the [[appendDelta]] posture). Streamed batch-tagged files
+    * inside a touched bucket fold into its rewrite; their ledger markers
+    * stay valid because a replayed committed batch is skipped by marker,
+    * not by file presence. */
   def upsertDelta(newDocs: DataFrame, oldDocs: DataFrame, textCol: String,
                   idCol: String, root: String): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    // drop uncommitted streamed-batch orphans BEFORE reading: a touched
-    // bucket's rewrite is untagged, and folding a partial batch into it
-    // would double-count once the stream replays that batch
+    // heal BOTH crash shapes BEFORE any layout read (a crashed
+    // compaction swap or a crashed prior rewrite would otherwise feed
+    // the touched-bucket scan a sparse or partial layout), then drop
+    // uncommitted streamed-batch orphans: a touched bucket's rewrite is
+    // untagged, and folding a partial batch into it would double-count
+    // once the stream replays that batch
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/postings")
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/stats")
+    graft.io.Sinks.recoverCrashedRewrite(spark, s"$root/postings")
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/postings", s"$root/stats"))
     val postings = spark.read.parquet(s"$root/postings")
@@ -192,21 +260,8 @@ object SearchService {
         .filter(col("bucket").isin(touchedLit: _*))
         .join(broadcast(ids), Seq("doc_id"), "left_anti")
         .unionByName(newPostings) // new rows' buckets ⊆ touched by construction
-      val staging = s"$root/_staging/upsert"
-      val conf = spark.sparkContext.hadoopConfiguration
-      val stagingPath = new org.apache.hadoop.fs.Path(staging)
-      val fs = stagingPath.getFileSystem(conf)
-      fs.delete(stagingPath, true)
-      graft.io.Sinks.onePerPartitionValue(rewritten, Seq("bucket"))
-        .write.partitionBy("bucket").parquet(staging)
-      touched.foreach { b =>
-        val live = new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b")
-        val fresh = new org.apache.hadoop.fs.Path(s"$staging/bucket=$b")
-        fs.delete(live, true)
-        if (fs.exists(fresh))
-          require(fs.rename(fresh, live), s"swap failed for bucket=$b")
-      }
-      fs.delete(stagingPath, true)
+      graft.io.Sinks.rewritePartitions(spark, s"$root/postings", "bucket",
+        touched.toSeq, rewritten)
     }
     Seq((lng(base, "n_docs") - lng(removed, "n_docs") + lng(added, "n_docs"),
         lng(base, "dl_sum") - lng(removed, "dl_sum") + lng(added, "dl_sum")))

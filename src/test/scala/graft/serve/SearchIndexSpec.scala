@@ -174,6 +174,69 @@ class SearchIndexSpec extends SparkSpec {
       rb.topK(Seq("apple", "banana"), 5))
   }
 
+  test("removeFromIndex: stored takedown ≡ rebuilt-on-remainder; untouched " +
+      "buckets keep their files; empty removed docs adjust stats exactly") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana kumquat"),
+      (3L, "cherry apple"), (4L, "")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("idx_td_").toString
+    SearchService.buildIndex(docs, "text", "doc_id", root)
+    val before = parquetFiles(s"$root/postings")
+    // remove doc 2 (postings in banana/kumquat buckets) AND the EMPTY
+    // doc 4 — no posting row carries its n_docs contribution, which is
+    // why the takedown takes documents with text, not bare ids
+    SearchService.removeFromIndex(docs.filter(col("doc_id").isin(2L, 4L)),
+      "text", "doc_id", root)
+    val rebuiltRoot = java.nio.file.Files.createTempDirectory("idx_td_rb_").toString
+    SearchService.buildIndex(docs.filter(!col("doc_id").isin(2L, 4L)),
+      "text", "doc_id", rebuiltRoot)
+    def postingRows(r: String): Set[String] =
+      spark.read.parquet(s"$r/postings")
+        .select("term", "doc_id", "tf", "dl", "bucket")
+        .collect().map(_.toString).toSet
+    assert(postingRows(root) === postingRows(rebuiltRoot))
+    assert(SearchService.readStats(spark, root)
+        .select("n_docs", "dl_sum").first() ===
+      SearchService.readStats(spark, rebuiltRoot)
+        .select("n_docs", "dl_sum").first())
+    // O(touched buckets): only doc 2's term buckets were rewritten
+    val touched = Seq("banana", "kumquat").map(tm =>
+      spark.range(1).select(TextOps.bm25Bucket(lit(tm))).first().getInt(0)).toSet
+    val untouchedBefore = before.filterNot(f =>
+      touched.exists(b => f.contains(s"bucket=$b/")))
+    assert(untouchedBefore.nonEmpty &&
+      untouchedBefore.subsetOf(parquetFiles(s"$root/postings")),
+      "takedown must not rewrite buckets holding no removed rows")
+    // serving: the removed doc is gone, survivors unchanged
+    val svc = SearchService.overParquetDir(spark, root, maxK = 10)
+    assert(svc.topK(Seq("kumquat"), 5).isEmpty)
+    assert(svc.topK(Seq("apple"), 5).map(_._1).toSet === Set(1L, 3L))
+  }
+
+  test("upsertDelta heals a crashed bucket rewrite (bucket parked aside) " +
+      "before its touched-bucket scan — survivors are never lost") {
+    val docs = Seq((1L, "apple banana"), (2L, "banana kumquat"),
+      (3L, "cherry apple")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("idx_crash_").toString
+    SearchService.buildIndex(docs, "text", "doc_id", root)
+    // forge the mid-rewrite crash window: one live bucket parked aside
+    val b = spark.range(1).select(TextOps.bm25Bucket(lit("apple")))
+      .first().getInt(0)
+    val aside = new java.io.File(s"$root/postings-__replaced__")
+    aside.mkdirs()
+    assert(new java.io.File(s"$root/postings/bucket=$b")
+      .renameTo(new java.io.File(s"$root/postings-__replaced__/bucket=$b")))
+    // an upsert touching a DIFFERENT term must first restore the parked
+    // bucket, or its rows (including apple postings) stay invisible
+    SearchService.upsertDelta(
+      Seq((2L, "banana durian")).toDF("doc_id", "text"),
+      docs.filter(col("doc_id") === 2), "text", "doc_id", root)
+    assert(!aside.exists(), "aside dir cleaned after recovery")
+    val svc = SearchService.overParquetDir(spark, root, maxK = 10)
+    assert(svc.topK(Seq("apple"), 5).map(_._1).toSet === Set(1L, 3L),
+      "the parked bucket's postings must be live again")
+    assert(svc.topK(Seq("durian"), 5).map(_._1).toSet === Set(2L))
+  }
+
   test("maintenance ops drop UNCOMMITTED-batch orphans: a batch crashed " +
       "mid-append then compacted cannot double-count on replay") {
     val root = java.nio.file.Files.createTempDirectory("idx_orphan_").toString
