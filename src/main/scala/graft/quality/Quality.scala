@@ -170,6 +170,64 @@ object Quality {
           hll_union_agg(col("key_sketch"), lit(false))).as("distinct_est"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Mergeable MOMENT sketches over an integer-valued column: per-shard
+    * raw power sums (n, Σx, Σx², Σx³, Σx⁴) as exact BIGINTs — the
+    * third member of the mergeable-profile family ([[distinctSketches]]
+    * HLL, [[freqSketches]] CMS) and the one that needs NO sketch
+    * library: power sums add, so a 100 TB profile computes per-shard
+    * rows on ingest (map-side partials, one thin aggregate) and any
+    * later rollup — per day, per source, global — is a sum of
+    * constant-width rows instead of a corpus re-scan.
+    *
+    * Exactness contract: the column is cast to LONG and powered as
+    * LONG, so every sketch value is exact (no floating-point drift to
+    * merge order). ANSI overflow throws — the fail-fast bound is
+    * |x|⁴ ≤ Long.Max per row (|x| < 55,108) and the Σ bounds per
+    * shard; profile wider-valued columns pre-scaled or bucketed. */
+  def momentSketches(df: DataFrame, valueCol: String,
+                     shardCol: String): DataFrame = {
+    val x = col(valueCol).cast(org.apache.spark.sql.types.LongType)
+    df.groupBy(col(shardCol).as("shard")).agg(
+      count(x).as("n"),
+      sum(x).as("s1"),
+      sum(x * x).as("s2"),
+      sum(x * x * x).as("s3"),
+      sum(x * x * x * x).as("s4"))
+  }
+
+  /** Fold moment sketches to ONE global row and derive the population
+    * moments: (n_shards, n, mean, m2, skew, kurt — population
+    * definitions, matching Spark's `skewness`/`kurtosis`). The central
+    * moments come from the raw power sums with a FIXED operation order
+    * (each step its own projection), so the derived doubles are
+    * bit-reproducible across engines from the exact integer sums —
+    * merged ≡ computed-globally is hash-checkable. A constant column
+    * (m2 = 0) yields NaN skew/kurt, as the direct forms do. */
+  def mergeMomentSketches(sketches: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.types.DoubleType
+    sketches
+      .agg(count(lit(1)).as("n_shards"), sum(col("n")).as("n"),
+        sum(col("s1")).as("s1"), sum(col("s2")).as("s2"),
+        sum(col("s3")).as("s3"), sum(col("s4")).as("s4"))
+      .withColumn("meanx", col("s1").cast(d) / col("n"))
+      .withColumn("m2x",
+        col("s2").cast(d) / col("n") - col("meanx") * col("meanx"))
+      .withColumn("m3x",
+        col("s3").cast(d) / col("n")
+          - lit(3.0) * col("meanx") * (col("s2").cast(d) / col("n"))
+          + lit(2.0) * col("meanx") * col("meanx") * col("meanx"))
+      .withColumn("m4x",
+        col("s4").cast(d) / col("n")
+          - lit(4.0) * col("meanx") * (col("s3").cast(d) / col("n"))
+          + lit(6.0) * col("meanx") * col("meanx") * (col("s2").cast(d) / col("n"))
+          - lit(3.0) * col("meanx") * col("meanx") * col("meanx") * col("meanx"))
+      .select(col("n_shards"), col("n"),
+        round(col("meanx"), 6).as("mean"),
+        round(col("m2x"), 6).as("m2"),
+        round(col("m3x") / (sqrt(col("m2x")) * col("m2x")), 6).as("skew"),
+        round(col("m4x") / (col("m2x") * col("m2x")) - lit(3.0), 6).as("kurt"))
+  }
+
   /** Mergeable FREQUENCY sketches (Spark's native `count_min_sketch`
     * aggregate): one serialized CMS per group, storable as a binary
     * column — the frequency counterpart of [[distinctSketches]] and the

@@ -1074,6 +1074,22 @@ object ExtensionQueries {
       count_distinct(col("user_id")).as("distinct_est"),
       count(lit(1)).as("n_rows"))
 
+  /** Mergeable MOMENT profile, merged ≡ computed-globally
+    * ([[graft.quality.Quality.momentSketches]]): the corpus is sharded
+    * 16 ways (the per-ingest-batch shape), each shard reduces to exact
+    * BIGINT power sums, and the global mean/variance/skew/kurtosis are
+    * DERIVED from the folded sums — the oracle computes the same
+    * fixed-order arithmetic straight from the raw table, so the hash
+    * certifies both the exact sketch algebra and that the two-level
+    * merge loses nothing. Unlike the HLL/CMS members of the family this
+    * one has no estimation error to spec-bound: power sums are exact. */
+  private val pr12MomentsMerge: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .withColumn("shard", pmod(col("l_orderkey"), lit(16L)))
+    graft.quality.Quality.mergeMomentSketches(
+      graft.quality.Quality.momentSketches(li, "l_quantity", "shard"))
+  }
+
   /** DAU/MAU stickiness per day over the events table. */
   private val evtDauMau: Q = (s, dir) =>
     graft.ops.EventAnalytics.stickiness(events(s, dir), "user_id", "ts")
@@ -3032,6 +3048,7 @@ object ExtensionQueries {
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
     "pr11_distinct_rollup" -> pr11DistinctRollup,
+    "pr12_moments_merge" -> pr12MomentsMerge,
     "pr11_distinct_rollup_exact" -> pr11DistinctRollupExact,
     "k8_json_roundtrip" -> k8JsonRoundtrip,
     "k9_schema_merge" -> k9SchemaMerge,
@@ -5166,6 +5183,34 @@ object ExtensionQueries {
       "pr11_distinct_rollup_exact" ->
         raw"""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_est,
              | CAST(count(*) AS BIGINT) AS n_rows FROM events""".stripMargin,
+      // the merged-sketch face's contract: exact BIGINT power sums per
+      // 16-way shard folded to one row, moments derived with the SAME
+      // fixed operation order as mergeMomentSketches (each CTE step one
+      // projection — association is part of the contract)
+      "pr12_moments_merge" ->
+        raw"""WITH sk AS (SELECT l_orderkey % 16 AS shard,
+             |   CAST(count(l_quantity) AS BIGINT) AS n,
+             |   CAST(sum(l_quantity) AS BIGINT) AS s1,
+             |   CAST(sum(l_quantity * l_quantity) AS BIGINT) AS s2,
+             |   CAST(sum(l_quantity * l_quantity * l_quantity) AS BIGINT) AS s3,
+             |   CAST(sum(l_quantity * l_quantity * l_quantity * l_quantity) AS BIGINT) AS s4
+             |  FROM lineitem GROUP BY 1),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+             |   CAST(sum(n) AS BIGINT) AS n, CAST(sum(s1) AS BIGINT) AS s1,
+             |   CAST(sum(s2) AS BIGINT) AS s2, CAST(sum(s3) AS BIGINT) AS s3,
+             |   CAST(sum(s4) AS BIGINT) AS s4 FROM sk),
+             |m1 AS (SELECT *, CAST(s1 AS DOUBLE) / n AS meanx FROM g),
+             |m2c AS (SELECT *, CAST(s2 AS DOUBLE) / n - meanx * meanx AS m2x FROM m1),
+             |m3c AS (SELECT *, CAST(s3 AS DOUBLE) / n
+             |    - 3.0 * meanx * (CAST(s2 AS DOUBLE) / n)
+             |    + 2.0 * meanx * meanx * meanx AS m3x FROM m2c),
+             |m4c AS (SELECT *, CAST(s4 AS DOUBLE) / n
+             |    - 4.0 * meanx * (CAST(s3 AS DOUBLE) / n)
+             |    + 6.0 * meanx * meanx * (CAST(s2 AS DOUBLE) / n)
+             |    - 3.0 * meanx * meanx * meanx * meanx AS m4x FROM m3c)
+             |SELECT n_shards, n, ROUND(meanx, 6) AS mean, ROUND(m2x, 6) AS m2,
+             |  ROUND(m3x / (sqrt(m2x) * m2x), 6) AS skew,
+             |  ROUND(m4x / (m2x * m2x) - 3.0, 6) AS kurt FROM m4c""".stripMargin,
       "a16_k_anonymity" ->
         raw"""SELECT c_nationkey, c_mktsegment,
              |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,

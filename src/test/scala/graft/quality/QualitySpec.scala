@@ -321,4 +321,39 @@ class QualitySpec extends SparkSpec {
       Quality.kAnonymity(df, Seq("zip"), k = 0)
     }
   }
+
+  test("momentSketches: merged moments ≡ direct skewness/kurtosis, " +
+      "shard-count invariant; overflow fails fast") {
+    import org.apache.spark.sql.functions._
+    val xs = Seq(1L, 1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 4L, 4L, 4L)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "x")
+    def merged(shards: Int) = Quality.mergeMomentSketches(
+        Quality.momentSketches(
+          df.withColumn("shard", pmod(col("id"), lit(shards.toLong))), "x",
+          "shard"))
+      .select("n", "mean", "m2", "skew", "kurt")
+      .as[(Long, Double, Double, Double, Double)].head()
+    val m4 = merged(4)
+    // shard-count invariance: the integer sums fold identically
+    assert(m4 === merged(1) && m4 === merged(7))
+    // ≡ the direct population aggregates
+    val direct = df.agg(
+        count(lit(1)).as("n"), round(avg(col("x")), 6).as("mean"),
+        round(var_pop(col("x")), 6).as("m2"),
+        round(skewness(col("x")), 6).as("skew"),
+        round(kurtosis(col("x")), 6).as("kurt"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(m4._1 === direct._1 && m4._2 === direct._2)
+    assert(math.abs(m4._3 - direct._3) < 1e-6, s"m2 ${m4._3} vs ${direct._3}")
+    assert(math.abs(m4._4 - direct._4) < 1e-6, s"skew ${m4._4} vs ${direct._4}")
+    assert(math.abs(m4._5 - direct._5) < 1e-6, s"kurt ${m4._5} vs ${direct._5}")
+    // ANSI overflow on |x|^4 beyond Long range is a loud failure, never
+    // a silently wrapped sketch
+    val ex = intercept[Exception] {
+      Quality.momentSketches(
+        Seq((1L, 60000L)).toDF("shard", "x"), "x", "shard").collect()
+    }
+    assert(ex.getClass.getName.contains("Arithmetic"), ex.getClass.getName)
+  }
 }
