@@ -2204,6 +2204,19 @@ object ExtensionQueries {
     probeStoredRp(s, path, emb2.filter(col("vec_id") < 10))
   }
 
+  /** MAP-ONLY cell routing ([[Ivf.assignMapOnly]] — the streaming-safe
+    * assignment kernel): the centroid table folds into the expression as
+    * literals and every document's topic cell is one codegen'd
+    * projection — no crossJoin, no groupBy, no shuffle (plan-pinned in
+    * IvfSpec), which is what lets the SAME kernel route documents at
+    * STREAM ingest where the aggregate form would need unbounded state.
+    * Value-identical to the assignment the sim_ivf faces certify, and
+    * the hash proves it: same asg oracle CTE. */
+  private val simIvfRoute: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Ivf.assignMapOnly(emb, Ivf.portableCentroids(emb, nlist = 8, stride = 29))
+  }
+
   /** IVF member of the recall triad ([[simLshRecall]], [[simPqRecall]]):
     * recall@5 of [[Ivf.ivfTopKPortable]] at a PARTIAL probe (nprobe 2 of
     * nlist 8 — the approximation regime `sim_ivf_topk`'s exactness pin
@@ -3086,6 +3099,7 @@ object ExtensionQueries {
     "sim_ivfpq_res_exact" -> simIvfpqResExact,
     "sim_ivfpq_filtered" -> simIvfpqFiltered,
     "sim_ivfpq_takedown" -> simIvfpqTakedown,
+    "sim_ivf_route" -> simIvfRoute,
     "sim_ivfpq_upsert" -> simIvfpqUpsert,
     "sim_pq_takedown" -> simPqTakedown,
     "sim_pq_upsert" -> simPqUpsert,
@@ -5764,6 +5778,12 @@ bruteForceCosineOracle,
       "emb_decontaminate" -> embDecontaminateOracle,
       "emb_cluster_terms" -> embClusterTermsOracle,
       "emb_cluster_mix" -> embClusterMixOracle,
+      // the map-only routing kernel must land exactly on the aggregate
+      // form's assignment — one shared asg replay certifies the
+      // least-over-literal-structs ≡ min(struct) equivalence
+      "sim_ivf_route" ->
+        s"""WITH $docClusterCtes
+           |SELECT cand_id, CAST(cell AS INTEGER) AS cell FROM asg""".stripMargin,
       "sim_ivf_cell_stats" -> simIvfCellStatsOracle,
       // dd_incremental_neardup is deliberately rows-only: its output is
       // defined by SIGNATURE agreement, and full 64-position agreement

@@ -207,6 +207,43 @@ object Ivf {
         VectorExprs.norm(col("cvec")).as("cn") +: kept: _*)
   }
 
+  /** MAP-ONLY frozen-centroid assignment — [[assignPortable]]'s kernel
+    * with the centroid table folded into the EXPRESSION as literals: the
+    * (≤ nlist)-row centroid frame is collected once (the sanctioned
+    * small collect every probe already pays to broadcast it) and each
+    * vector's cell is `least` over nlist (round-6 dist², cell) structs —
+    * the same lexicographic minimum and tie-break as `min(struct(d, c))`
+    * in the aggregate form, value-identical by construction.
+    *
+    * Why it exists: the aggregate form needs a crossJoin + groupBy,
+    * which on a STREAM is a stateful aggregation over an unbounded key
+    * space. This form is one codegen'd projection — no shuffle, no
+    * state, no watermark — so it routes arriving documents to their
+    * topic cells at INGEST (stream or batch): compose with a
+    * `partitionBy("cell")` file sink for a streaming topic-sharded
+    * landing zone, or with [[graft.ops.Ops.temperatureMix]] for on-arrival
+    * semantic mixture control. The literal distances constant-fold at
+    * plan time; per row the engine evaluates nlist dot products over the
+    * already-loaded vector — the arithmetic a broadcast join would do,
+    * without the join machinery. Returns (cand_id, cell). */
+  def assignMapOnly(vectors: DataFrame, centroids: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("cell"), col("cent")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignMapOnly: empty centroid table")
+    val dcs = cents.map { case (cellId, cent) =>
+      val c = typedLit(cent)
+      struct(round(col("__vv") - lit(2.0) * VectorExprs.dot(col("__v"), c) +
+        VectorExprs.dot(c, c), 6).as("d"), lit(cellId).as("c"))
+    }
+    vectors
+      .select(col(idCol).as("cand_id"), col(vecCol).as("__v"))
+      .withColumn("__vv", VectorExprs.dot(col("__v"), col("__v")))
+      .select(col("cand_id"), least(dcs: _*).getField("c").as("cell"))
+  }
+
   /** O(delta) incremental ingest into an IVF index — the ANN analog of
     * the BM25 family's `SearchService.appendDelta` and the MinHash
     * family's `incrementalNearDups`: the coarse quantizer is FROZEN

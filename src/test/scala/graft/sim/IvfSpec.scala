@@ -303,6 +303,21 @@ class IvfSpec extends SparkSpec {
         s"${scans.map(_.dataFilters).mkString("; ")}")
   }
 
+  test("assignMapOnly ≡ assignPortable cells on every vector; the plan " +
+      "carries no Exchange (the map-only streaming-safety pin)") {
+    val cents = Ivf.portableCentroids(df, nlist = 4, stride = 13)
+    val routed = Ivf.assignMapOnly(df, cents)
+    val agg = Ivf.assignPortable(df, cents).select("cand_id", "cell")
+    assert(routed.as[(Long, Int)].collect().toSet ===
+      agg.as[(Long, Int)].collect().toSet,
+      "least-over-literal-structs must equal min(struct) assignment")
+    // map-only: no shuffle anywhere in the executed plan
+    val plan = routed.queryExecution.executedPlan
+    assert(!allPlanNodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      s"assignMapOnly must not shuffle:\n$plan")
+  }
+
   test("silhouettePortable: tight separated clusters score near 1, bounds hold") {
     import spark.implicits._
     // ids 0 and 29 (the stride samples) sit in different clusters, so the

@@ -29,6 +29,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semantic routing at stream ingest: assignMapOnly runs as a plain " +
+      "stateless projection and matches the batch assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(8)(rnd.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val cents = graft.sim.Ivf.portableCentroids(corpus, nlist = 4, stride = 13)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val routed = graft.sim.Ivf.assignMapOnly(
+      mem.toDF().toDF("vec_id", "embedding"), cents)
+    val q = routed.writeStream.format("memory").queryName("route_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0 until 30).map(i => (i.toLong, vec(i))): _*)
+      q.processAllAvailable()
+      mem.addData((30 until 60).map(i => (i.toLong, vec(i))): _*) // later batch
+      q.processAllAvailable()
+      val streamed = spark.table("route_out")
+        .as[(Long, Int)].collect().toSet
+      val batch = graft.sim.Ivf.assignMapOnly(corpus, cents)
+        .as[(Long, Int)].collect().toSet
+      assert(streamed === batch,
+        "stream-routed cells must equal the batch assignment")
+    } finally q.stop()
+  }
+
   test("streaming near-dup suppress: kept set ⊆ batch exactDedup keeps, cross-batch") {
     implicit val sqlCtx = spark.sqlContext
     def doc(i: Int): String = {
