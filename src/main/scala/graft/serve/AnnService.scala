@@ -209,12 +209,14 @@ object AnnService {
                   vecCol: String = "embedding"): Unit = {
     graft.util.Guards.requireUniqueIds(batch, idCol,
       "AnnService.upsertDelta")
-    // heal-before-ANY-layout-read (the retrainIndex discipline): the
-    // schema/centroids reads below capture file listings, and a crashed
-    // retrain swap healed later — inside removeFromIndex — would move
-    // those files out from under the captured listings, failing the
-    // append AFTER the remove already mutated the layout
+    // heal-before-ANY-layout-read (the retrainIndex discipline), at BOTH
+    // scopes: retrains swap the whole root, compactIndex swaps the
+    // assigned dir — the schema read below would otherwise fail on a
+    // crashed compaction (dir parked at -__old__) on every retry, or
+    // silently capture a sparse writer-recreation's columns and drop the
+    // layout's filtered-ANN attribute columns from the appended rows
     graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/assigned")
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/assigned"))
     // schema + quantizer read BEFORE the remove: a batch covering every
@@ -713,13 +715,16 @@ object AnnPqService {
                   vecCol: String = "embedding"): Unit = {
     graft.util.Guards.requireUniqueIds(batch, idCol,
       "AnnPqService.upsertDelta")
-    // heal-before-ANY-layout-read, then capture quantizers + code schema
-    // BEFORE the remove: a batch covering every live id empties the
-    // layout, and the schema read would fail with the rows gone and
-    // nothing appended. Only the code frame's SCHEMA is consumed —
-    // encodeDeltaResidual never reads its rows, so the captured listing
-    // going stale across the partition rewrite is harmless.
+    // heal-before-ANY-layout-read at BOTH scopes (retrains swap the
+    // root, compactIndex swaps the codes dir), then capture quantizers +
+    // code schema BEFORE the remove: a batch covering every live id
+    // empties the layout, and the schema read would fail with the rows
+    // gone and nothing appended. Only the code frame's SCHEMA is
+    // consumed — encodeDeltaResidual never reads its rows, so the
+    // captured listing going stale across the partition rewrite is
+    // harmless.
     graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/codes")
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/codes"))
     val centroids = spark.read.parquet(s"$root/centroids")

@@ -62,7 +62,9 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
   // registry whitelist); limit accepted bare or quoted (the reference's
   // client sends it as a string) but digits-only either way
   private val TableRe = """"table"\s*:\s*"([A-Za-z0-9_]+)"""".r
-  private val LimitRe = """"limit"\s*:\s*"?(\d{1,9})"?""".r
+  // delimiter-anchored like KRe/ThresholdRe below: "limit": 5.7 or a
+  // 10-digit value must 400, never silently coerce via a prefix match
+  private val LimitRe = """"limit"\s*:\s*"?(\d{1,9})"?(?=\s*[,}\]])""".r
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""

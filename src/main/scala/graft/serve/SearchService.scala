@@ -172,6 +172,11 @@ object SearchService {
                       idCol: String, root: String): Unit = {
     val spark = removedDocs.sparkSession
     import spark.implicits._
+    // one row per removed id, no nulls: the postings anti-join would
+    // dedupe silently while bm25CorpusStats below counted every row —
+    // duplicate takedown entries would corrupt n_docs/dl_sum
+    graft.util.Guards.requireUniqueIds(removedDocs, idCol,
+      "SearchService.removeFromIndex")
     // heal-before-any-layout-read + orphan scrub (the upsertDelta
     // discipline: the bucket rewrite is untagged)
     graft.io.Sinks.recoverCrashedSwap(spark, s"$root/postings")

@@ -238,10 +238,16 @@ object Ivf {
       struct(round(col("__vv") - lit(2.0) * VectorExprs.dot(col("__v"), c) +
         VectorExprs.dot(c, c), 6).as("d"), lit(cellId).as("c"))
     }
+    // least() needs ≥ 2 arguments; a single-centroid table routes
+    // everything to that cell (assignPortable's behavior on the same
+    // table), not an AnalysisException
+    val best =
+      if (dcs.length == 1) dcs.head.getField("c")
+      else least(dcs: _*).getField("c")
     vectors
       .select(col(idCol).as("cand_id"), col(vecCol).as("__v"))
       .withColumn("__vv", VectorExprs.dot(col("__v"), col("__v")))
-      .select(col("cand_id"), least(dcs: _*).getField("c").as("cell"))
+      .select(col("cand_id"), best.as("cell"))
   }
 
   /** O(delta) incremental ingest into an IVF index — the ANN analog of

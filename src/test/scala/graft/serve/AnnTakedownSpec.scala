@@ -119,6 +119,25 @@ class AnnTakedownSpec extends SparkSpec {
       "the crashed swap must be healed, not left for a later recovery")
   }
 
+  test("upsertDelta heals a crashed compaction swap on the assigned dir " +
+      "before its schema read — retries never deadlock on the missing dir") {
+    val root = java.nio.file.Files.createTempDirectory("ann_upswp_").toString
+    buildIvf(root, 40)
+    val dir = s"$root/assigned"
+    assert(new java.io.File(dir).renameTo(new java.io.File(s"$dir-__old__")))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir-__swap_pending__"))
+    // without the dir-scope heal, the schema read throws on the missing
+    // dir here — and on every retry, since nothing else heals it
+    AnnService.upsertDelta(spark, root,
+      Seq((5L, vec(6))).toDF("vec_id", "embedding"))
+    val assigned = spark.read.parquet(dir)
+    assert(assigned.count() === 40L)
+    assert(assigned.filter($"cand_id" === 5L).count() === 1L)
+    assert(!new java.io.File(s"$dir-__old__").exists() &&
+      !new java.io.File(s"$dir-__swap_pending__").exists())
+  }
+
   test("takedown heals a crashed prior rewrite (partition parked aside, " +
       "live dir missing) before scanning for touched cells") {
     val root = java.nio.file.Files.createTempDirectory("ann_rec_").toString

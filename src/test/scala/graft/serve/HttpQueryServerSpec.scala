@@ -306,6 +306,10 @@ class HttpQueryServerSpec extends SparkSpec {
       val badK = postPath(port, "/neardup",
         s"""{"text": "$probeText", "threshold": 0.9, "k": 5.7}""")
       assert(badK.statusCode() === 400, badK.body())
+      // and for the table route's limit — the same anchored contract
+      val badLimit = postPath(port, "/get_data",
+        """{"table": "nation", "limit": 5.7}""")
+      assert(badLimit.statusCode() === 400, badLimit.body())
       // missing text is 400
       assert(postPath(port, "/neardup", """{"threshold": 0.9}""")
         .statusCode() === 400)

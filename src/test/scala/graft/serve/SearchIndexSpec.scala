@@ -210,6 +210,15 @@ class SearchIndexSpec extends SparkSpec {
     val svc = SearchService.overParquetDir(spark, root, maxK = 10)
     assert(svc.topK(Seq("kumquat"), 5).isEmpty)
     assert(svc.topK(Seq("apple"), 5).map(_._1).toSet === Set(1L, 3L))
+    // a takedown list carrying one id twice is rejected loudly — the
+    // postings anti-join would dedupe silently while the stats
+    // subtraction counted both rows, corrupting n_docs/dl_sum
+    val e = intercept[IllegalArgumentException] {
+      SearchService.removeFromIndex(
+        Seq((1L, "apple banana"), (1L, "apple banana")).toDF("doc_id", "text"),
+        "text", "doc_id", root)
+    }
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("upsertDelta heals a crashed bucket rewrite (bucket parked aside) " +

@@ -316,6 +316,11 @@ class IvfSpec extends SparkSpec {
     assert(!allPlanNodes(plan).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
       s"assignMapOnly must not shuffle:\n$plan")
+    // a single-centroid table routes everything to that cell (least()
+    // alone would reject one argument)
+    val one = Ivf.assignMapOnly(df, cents.filter($"cell" === 2))
+      .select("cell").distinct().as[Int].collect().toSeq
+    assert(one === Seq(2))
   }
 
   test("silhouettePortable: tight separated clusters score near 1, bounds hold") {
