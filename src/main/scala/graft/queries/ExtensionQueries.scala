@@ -2204,6 +2204,36 @@ object ExtensionQueries {
     probeStoredRp(s, path, emb2.filter(col("vec_id") < 10))
   }
 
+  /** HYBRID retrieval by reciprocal-rank fusion
+    * ([[graft.serve.HybridSearch.rrfFuse]]): the vector top-10 (exact
+    * rounded cosine) and a keyword top-10 (shared-distinct-token
+    * overlap with the query document — integer counts, the
+    * hash-exact stand-in for the ln-scored BM25 side, which the
+    * /hybrid HTTP route serves) fuse by Σ 1/(60 + rank). Every step —
+    * both rankings, the two IEEE division terms, the single
+    * commutative addition, the (rrf desc, cand_id) re-rank — replays
+    * in SQL, so the standard first-stage retrieval stack (keyword ∪
+    * vector → fuse) is hash-certified end to end. */
+  private val srvHybridRrf: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      k = 10)
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(lower(col("text"))))).as("term"))
+      .filter(col("term") =!= "")
+    val overlap = toks.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .join(toks.withColumnRenamed("doc_id", "cand_id"), "term")
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id").agg(count(lit(1)).as("shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("shared").desc, col("cand_id"))
+    val kw = overlap.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    graft.serve.HybridSearch.rrfFuse(vec, kw, k = 5)
+  }
+
   /** MAP-ONLY cell routing ([[Ivf.assignMapOnly]] — the streaming-safe
     * assignment kernel): the centroid table folds into the expression as
     * literals and every document's topic cell is one codegen'd
@@ -3100,6 +3130,7 @@ object ExtensionQueries {
     "sim_ivfpq_filtered" -> simIvfpqFiltered,
     "sim_ivfpq_takedown" -> simIvfpqTakedown,
     "sim_ivf_route" -> simIvfRoute,
+    "srv_hybrid_rrf" -> srvHybridRrf,
     "sim_ivfpq_upsert" -> simIvfpqUpsert,
     "sim_pq_takedown" -> simPqTakedown,
     "sim_pq_upsert" -> simPqUpsert,
@@ -5778,6 +5809,41 @@ bruteForceCosineOracle,
       "emb_decontaminate" -> embDecontaminateOracle,
       "emb_cluster_terms" -> embClusterTermsOracle,
       "emb_cluster_mix" -> embClusterMixOracle,
+      // hybrid RRF: both rankings, the 1/(60+rank) terms (CAST to DOUBLE
+      // — DuckDB's bare 1.0 is DECIMAL), the commutative two-term sum
+      // and the re-rank all replayed
+      "srv_hybrid_rrf" ->
+        raw"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |vec AS (SELECT query_id, cand_id, rank FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+             |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+             |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+             |      c.vec_id) AS rank
+             |  FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+             |  WHERE rank <= 10),
+             |toks AS (SELECT DISTINCT doc_id,
+             |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |  FROM documents),
+             |ov AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             |   count(*) AS shared
+             |  FROM toks q JOIN toks c ON c.term = q.term AND c.doc_id <> q.doc_id
+             |  WHERE q.doc_id < 5 AND q.term <> '' GROUP BY 1, 2),
+             |kw AS (SELECT query_id, cand_id, rank FROM (
+             |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY shared DESC, cand_id) AS rank FROM ov) WHERE rank <= 10),
+             |f AS (SELECT coalesce(v.query_id, w.query_id) AS query_id,
+             |   coalesce(v.cand_id, w.cand_id) AS cand_id,
+             |   ROUND(coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank), 0.0)
+             |     + coalesce(CAST(1.0 AS DOUBLE) / (60 + w.rank), 0.0), 6) AS rrf
+             |  FROM vec v FULL OUTER JOIN kw w
+             |    ON w.query_id = v.query_id AND w.cand_id = v.cand_id)
+             |SELECT query_id, cand_id, rrf, rank FROM (
+             |  SELECT query_id, cand_id, rrf,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rrf DESC, cand_id) AS INTEGER) AS rank FROM f)
+             |WHERE rank <= 5""".stripMargin,
       // the map-only routing kernel must land exactly on the aggregate
       // form's assignment — one shared asg replay certifies the
       // least-over-literal-structs ≡ min(struct) equivalence

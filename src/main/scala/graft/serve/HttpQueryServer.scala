@@ -48,6 +48,10 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
     annBackends.foreach { case (name, b) =>
       server.createContext(s"/ann/$name", annHandler(b)) }
     search.foreach(s => server.createContext("/search", searchHandler(s)))
+    // hybrid retrieval needs BOTH backends — registered only when the
+    // default vector backend and the keyword service are present
+    for (a <- ann; s <- search)
+      server.createContext("/hybrid", hybridHandler(a, s))
     nearDup.foreach(n => server.createContext("/neardup", nearDupHandler(n)))
     server.setExecutor(null)
     server.start()
@@ -209,6 +213,60 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
           case _ =>
             respond(ex, 400,
               """{"error":"body must carry a string array 'terms' and an integer 'k'"}""")
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally ex.close()
+
+  /** `POST /hybrid {"vec": [f, ...], "terms": ["t", ...], "k": n}` →
+    * reciprocal-rank fusion of the vector backend's and the keyword
+    * service's top-k ([[HybridSearch.fuseRanked]] — pure driver-side
+    * arithmetic over the two collected k-row lists). k is clamped to
+    * the SMALLER of the two backends' caps so both lists exist at the
+    * fused depth; the same strict field shapes as the /ann and /search
+    * routes (mentioned-but-malformed is a 400, never a silent
+    * coercion). */
+  private def hybridHandler(a: AnnBackend, svc: SearchService): HttpHandler =
+    (ex: HttpExchange) =>
+    try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST only"}""")
+      else {
+        val body =
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        (VecRe.findFirstMatchIn(body), TermsRe.findFirstMatchIn(body),
+            KRe.findFirstMatchIn(body)) match {
+          case (Some(vm), Some(tm), Some(km)) =>
+            val elems = vm.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+            val terms = TermRe.findAllMatchIn(tm.group(1)).map(_.group(1)).toSeq
+            if (!elems.forall(NumRe.matches(_)))
+              respond(ex, 400, """{"error":"vec must be a JSON array of numbers"}""")
+            else if (terms.isEmpty)
+              respond(ex, 400,
+                """{"error":"terms must be a non-empty array of strings"}""")
+            else {
+              try {
+                val vec = elems.map(_.toFloat).toSeq
+                val k = math.min(math.max(km.group(1).toInt, 1),
+                  math.min(a.maxK, svc.maxK))
+                val va = a.topK(vec, k).map(t => (t._1, t._3))
+                val kb = svc.topK(terms, k).map(t => (t._1, t._3))
+                val hits = HybridSearch.fuseRanked(va, kb, k)
+                  .map { case (id, s, r) =>
+                    s"""{"id":$id,"rrf":$s,"rank":$r}""" }
+                  .mkString("[", ",", "]")
+                respond(ex, 200, s"""{"k":$k,"results":$hits}""")
+              } catch {
+                case e: IllegalArgumentException =>
+                  respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+              }
+            }
+          case _ =>
+            respond(ex, 400,
+              """{"error":"body must carry a numeric array 'vec', a string array 'terms' and an integer 'k'"}""")
         }
       }
     } catch {

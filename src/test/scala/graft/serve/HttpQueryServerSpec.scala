@@ -446,6 +446,58 @@ class HttpQueryServerSpec extends SparkSpec {
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
+  test("POST /hybrid fuses the vector and keyword backends by RRF; " +
+      "missing either field is a 400") {
+    val docs = Seq((1L, "Apple banana apple"), (2L, "banana"),
+      (3L, "cherry apple"), (4L, "date fig")).toDF("doc_id", "text")
+    val sroot = java.nio.file.Files.createTempDirectory("hyb_kw_").toString
+    graft.text.TextOps.bm25Postings(docs, "text", "doc_id")
+      .withColumn("bucket", graft.text.TextOps.bm25Bucket(
+        org.apache.spark.sql.functions.col("term")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$sroot/postings")
+    graft.text.TextOps.bm25CorpusStats(docs, "text")
+      .write.mode("overwrite").parquet(s"$sroot/stats")
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(8)(rnd.nextGaussian().toFloat)
+    }
+    val vroot = java.nio.file.Files.createTempDirectory("hyb_vec_").toString
+    val corpus = (1 to 4).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val cents = graft.sim.Ivf.portableCentroids(corpus, nlist = 2, stride = 1)
+    cents.write.parquet(s"$vroot/centroids")
+    graft.sim.Ivf.assignPortable(corpus, cents)
+      .write.partitionBy("cell").parquet(s"$vroot/assigned")
+    val annSvc = AnnService.overParquetDir(spark, vroot, maxK = 4, nprobe = 2)
+    val searchSvc = SearchService.overParquetDir(spark, sroot, maxK = 4)
+    val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(svc, 1000, Some(annSvc), Some(searchSvc))
+    val port = srv.start()
+    try {
+      // the expected fusion, computed from the SAME two backends
+      val q = vec(3)
+      val want = HybridSearch.fuseRanked(
+        annSvc.topK(q.toSeq, 3).map(t => (t._1, t._3)),
+        searchSvc.topK(Seq("apple", "banana"), 3).map(t => (t._1, t._3)), 3)
+      val body = s"""{"vec": ${q.mkString("[", ",", "]")},""" +
+        s""" "terms": ["apple", "banana"], "k": 3}"""
+      val r = postPath(port, "/hybrid", body)
+      assert(r.statusCode() === 200, r.body())
+      val ids = """"id":(-?\d+)""".r.findAllMatchIn(r.body())
+        .map(_.group(1).toLong).toSeq
+      assert(ids === want.map(_._1), s"${r.body()} vs $want")
+      // vector-exact candidate 3 must be in the fused set (rank 1 on the
+      // vector side) even though keyword retrieval ranks it last
+      assert(ids.contains(3L), r.body())
+      // either field missing is a 400
+      assert(postPath(port, "/hybrid",
+        s"""{"vec": ${q.mkString("[", ",", "]")}, "k": 3}""")
+        .statusCode() === 400)
+      assert(postPath(port, "/hybrid",
+        """{"terms": ["apple"], "k": 3}""").statusCode() === 400)
+    } finally srv.stop()
+  }
+
   test("POST /search over a stored BM25 inverted index (hand-computed golden probe)") {
     // TextOpsSpec's BM25 corpus: doc 1 outranks 2 outranks 3 for
     // {apple, banana}; doc 4 is empty and never retrieved.
