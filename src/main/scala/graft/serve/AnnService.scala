@@ -251,7 +251,12 @@ object AnnService {
     * on replay. */
   def retrainIndex(spark: SparkSession, root: String,
                    nlist: Int = 8, stride: Int = 29): Unit = {
-    graft.io.Sinks.recoverCrashedSwap(spark, root) // before ANY layout read
+    // before ANY layout read, at BOTH scopes: a crashed compactIndex
+    // leaves the assigned DIR mid-swap — retraining from a sparse
+    // writer recreation and swapping the whole root live would be
+    // permanent row loss
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/assigned")
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/assigned"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -284,6 +289,7 @@ object AnnService {
                            maxBalance: Double = 2.0,
                            nlist: Int = 8, stride: Int = 29): Boolean = {
     graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/assigned")
     val bf = Ivf.balanceFactor(IvfIndex(
       spark.read.parquet(s"$root/centroids"),
       spark.read.parquet(s"$root/assigned")))
@@ -479,7 +485,10 @@ object AnnFlatPqService {
                    m: Int = 4, codebookSize: Int = 16, seed: Long = 42L,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
-    graft.io.Sinks.recoverCrashedSwap(spark, root) // before ANY layout read
+    // before ANY layout read, at BOTH scopes (compactIndex swaps the
+    // codes dir; retraining from a sparse recreation loses rows)
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/codes")
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/codes"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -511,6 +520,7 @@ object AnnFlatPqService {
                               seed: Long = 42L, idCol: String = "vec_id",
                               vecCol: String = "embedding"): Boolean = {
     graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/codes")
     val md = Pq.meanDistortion(
       PqIndex(spark.read.parquet(s"$root/codebooks"),
         spark.read.parquet(s"$root/codes")),
@@ -753,7 +763,10 @@ object AnnPqService {
                    nlist: Int = 16, m: Int = 4, codebookSize: Int = 16,
                    seed: Long = 42L, idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
-    graft.io.Sinks.recoverCrashedSwap(spark, root) // before ANY layout read
+    // before ANY layout read, at BOTH scopes (compactIndex swaps the
+    // codes dir; retraining from a sparse recreation loses rows)
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/codes")
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/codes"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -797,6 +810,7 @@ object AnnPqService {
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): Boolean = {
     graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/codes")
     def opened() = IvfPqIndex(
       spark.read.parquet(s"$root/centroids"),
       spark.read.parquet(s"$root/codebooks"),

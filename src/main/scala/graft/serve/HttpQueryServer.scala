@@ -247,13 +247,24 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
             else if (terms.isEmpty)
               respond(ex, 400,
                 """{"error":"terms must be a non-empty array of strings"}""")
+            else if (""""filter"\s*:""".r.findFirstIn(body).isDefined)
+              // the keyword side cannot apply an attribute predicate, so
+              // a filtered fusion would surface keyword-only candidates
+              // that violate it — a silently WRONG 200; reject instead
+              // (the mentioned-knob-never-silently-dropped contract)
+              respond(ex, 400,
+                """{"error":"filter is not supported on /hybrid; use /ann for filtered vector search"}""")
             else {
               try {
                 val vec = elems.map(_.toFloat).toSeq
                 val k = math.min(math.max(km.group(1).toInt, 1),
                   math.min(a.maxK, svc.maxK))
-                val va = a.topK(vec, k).map(t => (t._1, t._3))
+                // the two backend probes are independent Spark jobs —
+                // run them concurrently so the route pays max, not sum
+                val vaFut = java.util.concurrent.CompletableFuture
+                  .supplyAsync(() => a.topK(vec, k).map(t => (t._1, t._3)))
                 val kb = svc.topK(terms, k).map(t => (t._1, t._3))
+                val va = vaFut.join()
                 val hits = HybridSearch.fuseRanked(va, kb, k)
                   .map { case (id, s, r) =>
                     s"""{"id":$id,"rrf":$s,"rank":$r}""" }
@@ -262,6 +273,10 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
               } catch {
                 case e: IllegalArgumentException =>
                   respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+                case e: java.util.concurrent.CompletionException
+                    if e.getCause.isInstanceOf[IllegalArgumentException] =>
+                  respond(ex, 400,
+                    s"""{"error":"${jsonEscape(e.getCause.getMessage)}"}""")
               }
             }
           case _ =>

@@ -58,17 +58,24 @@ object HybridSearch {
     * (id, rank) — e.g. an [[AnnBackend.topK]] result and a
     * [[SearchService.topK]] result — into the RRF top-`k` of
     * (id, rrf, rank). Pure driver-side arithmetic (the lists are ≤ maxK
-    * rows each); identical scoring to [[rrfFuse]]. */
+    * rows each); identical scoring to [[rrfFuse]] INCLUDING the round-6
+    * before ranking — at deep ranks adjacent reciprocal terms differ by
+    * less than 1e-6, and ranking raw doubles here while the certified
+    * frame form ranks rounded values would let the served order diverge
+    * from the hash-checked one. */
   def fuseRanked(a: Seq[(Long, Int)], b: Seq[(Long, Int)], k: Int,
                  kRrf: Int = 60): Seq[(Long, Double, Int)] = {
     require(k > 0, s"k must be > 0, got $k")
+    require(kRrf > 0, s"kRrf must be > 0, got $kRrf")
     val ra = a.toMap
     val rb = b.toMap
     (ra.keySet ++ rb.keySet).toSeq
       .map { id =>
         val s = ra.get(id).map(r => 1.0 / (kRrf + r)).getOrElse(0.0) +
           rb.get(id).map(r => 1.0 / (kRrf + r)).getOrElse(0.0)
-        (id, s)
+        // Spark round() is decimal HALF_UP — mirror it exactly
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
       }
       .sortBy { case (id, s) => (-s, id) }
       .take(k)

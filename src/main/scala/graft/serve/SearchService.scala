@@ -233,6 +233,14 @@ object SearchService {
                   idCol: String, root: String): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    // one row per id on BOTH sides: duplicate oldDocs rows would
+    // subtract corpus stats twice while the anti-join removed their
+    // postings once (the removeFromIndex hazard); duplicate newDocs
+    // rows would double-insert postings
+    graft.util.Guards.requireUniqueIds(oldDocs, idCol,
+      "SearchService.upsertDelta (oldDocs)")
+    graft.util.Guards.requireUniqueIds(newDocs, idCol,
+      "SearchService.upsertDelta (newDocs)")
     // heal BOTH crash shapes BEFORE any layout read (a crashed
     // compaction swap or a crashed prior rewrite would otherwise feed
     // the touched-bucket scan a sparse or partial layout), then drop

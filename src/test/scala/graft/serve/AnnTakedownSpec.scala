@@ -138,6 +138,22 @@ class AnnTakedownSpec extends SparkSpec {
       !new java.io.File(s"$dir-__swap_pending__").exists())
   }
 
+  test("retrainIndex heals a crashed compaction swap on the assigned dir " +
+      "before reading — a retrain can never train on a sparse recreation " +
+      "and swap it live") {
+    val root = java.nio.file.Files.createTempDirectory("ann_rtswp_").toString
+    buildIvf(root, 60)
+    val dir = s"$root/assigned"
+    assert(new java.io.File(dir).renameTo(new java.io.File(s"$dir-__old__")))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir-__swap_pending__"))
+    AnnService.retrainIndex(spark, root, nlist = 4, stride = 13)
+    val after = spark.read.parquet(s"$root/assigned")
+    assert(after.count() === 60L,
+      "the retrained layout must carry the FULL healed corpus")
+    assert(after.select("cand_id").distinct().count() === 60L)
+  }
+
   test("takedown heals a crashed prior rewrite (partition parked aside, " +
       "live dir missing) before scanning for touched cells") {
     val root = java.nio.file.Files.createTempDirectory("ann_rec_").toString

@@ -495,6 +495,13 @@ class HttpQueryServerSpec extends SparkSpec {
         .statusCode() === 400)
       assert(postPath(port, "/hybrid",
         """{"terms": ["apple"], "k": 3}""").statusCode() === 400)
+      // a filter is rejected, never silently dropped (the keyword side
+      // cannot apply it, so a filtered fusion would be silently wrong)
+      val filtered = postPath(port, "/hybrid",
+        s"""{"vec": ${q.mkString("[", ",", "]")}, "terms": ["apple"],""" +
+          """ "k": 3, "filter": {"col": "tag", "value": "a"}}""")
+      assert(filtered.statusCode() === 400, filtered.body())
+      assert(filtered.body().contains("not supported"), filtered.body())
     } finally srv.stop()
   }
 

@@ -13,7 +13,9 @@ class HybridSearchSpec extends SparkSpec {
     // 20 -> 1/61 + 1/62 (both lists); 10 -> 1/61; 40 -> 1/62; 30 -> 1/63
     val out = HybridSearch.fuseRanked(a, b, k = 4)
     assert(out.map(_._1) === Seq(20L, 10L, 40L, 30L), out.toString)
-    assert(math.abs(out.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    // scores carry the frame form's round-6 contract (HALF_UP)
+    assert(out.head._2 === BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(out.map(_._3) === Seq(1, 2, 3, 4))
     // symmetric ranks → equal scores → id ascending
     val t = HybridSearch.fuseRanked(Seq((6L, 1), (5L, 2)),
