@@ -2329,6 +2329,33 @@ object ExtensionQueries {
       .select(col("doc_id"), col("cell"))
   }
 
+  /** SEMANTIC curation capstone — the [[pipeCurateCorpus]] shape with
+    * the strata coming from EMBEDDING clusters: assign every document
+    * to its topic cell (portable quantizer), flatten topic dominance
+    * with the √(c_min/c) temperature mix, keep only the top-half
+    * quality among the mixed survivors (exact-median
+    * [[graft.quality.Quality.percentileGate]] — the threshold is
+    * computed over the post-mix set, as a budgeted pipeline would), and
+    * report the per-cell kept counts, token budget, and mean quality —
+    * ONE lazy plan from parquet to report, every stage of which the
+    * oracle recomputes (assignment, keep rates, hash buckets, quality
+    * arithmetic, median threshold, aggregates). */
+  private val pipeSemanticCurate: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    val mixed = graft.ops.Ops.temperatureMix(
+      portableDocClusters(emb), "cell", "doc_id")
+    val kept = docs.join(mixed.select(col("doc_id"), col("cell")), "doc_id")
+    val gated = graft.quality.Quality.percentileGate(kept, "quality",
+      p = 0.5, exact = true)
+    gated.groupBy("cell").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(avg(col("quality")), 6).as("avg_quality"))
+  }
+
   /** O(delta) incremental IVF ingest, merged ≡ rebuilt: the coarse
     * quantizer is trained (portable strided sample) on the BASE slice
     * only, the base is assigned at build, the delta slice (vec_id ≡ 3
@@ -3118,6 +3145,7 @@ object ExtensionQueries {
     "emb_decontaminate" -> embDecontaminate,
     "emb_cluster_terms" -> embClusterTerms,
     "emb_cluster_mix" -> embClusterMix,
+    "pipe_semantic_curate" -> pipeSemanticCurate,
     "sim_ivf_cell_stats" -> simIvfCellStats,
     "sim_pq_probe" -> simPqProbe,
     "sim_pq_filtered" -> simPqFiltered,
@@ -5809,6 +5837,41 @@ bruteForceCosineOracle,
       "emb_decontaminate" -> embDecontaminateOracle,
       "emb_cluster_terms" -> embClusterTermsOracle,
       "emb_cluster_mix" -> embClusterMixOracle,
+      // the semantic-curation capstone: assignment + temperature mix +
+      // quality arithmetic + post-mix exact-median gate + aggregates,
+      // all recomputed
+      "pipe_semantic_curate" ->
+        raw"""WITH $docClusterCtes,
+             |cc AS (SELECT cell, count(*) AS cnt FROM asg GROUP BY 1),
+             |mm AS (SELECT min(cnt) AS cmin FROM cc),
+             |rr AS (SELECT cell, CAST(FLOOR(1000.0 *
+             |    SQRT(CAST(cmin AS DOUBLE) / cnt)) AS BIGINT) AS rate FROM cc, mm),
+             |mixed AS (SELECT a.cand_id AS doc_id, CAST(a.cell AS INTEGER) AS cell
+             |  FROM asg a JOIN rr USING (cell)
+             |  WHERE CAST(FLOOR((((a.cand_id + 1) % 1000003) * 2654435761)
+             |      / 1048576.0) AS BIGINT) % 1000 < rr.rate),
+             |scored AS (SELECT doc_id, ROUND(
+             |    LEAST(nchars / 500.0, 1.0) * 0.25
+             |  + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+             |  + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+             |  + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+             |      THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+             |  CAST(ntok AS BIGINT) AS n_tokens
+             |  FROM (SELECT doc_id,
+             |     CAST(length(text) AS DOUBLE) AS nchars,
+             |     CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+             |     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             |     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+             |   FROM documents)),
+             |kept AS (SELECT m.cell, s.quality, s.n_tokens
+             |  FROM mixed m JOIN scored s USING (doc_id)),
+             |thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM kept),
+             |gated AS (SELECT k.* FROM kept k, thr WHERE k.quality >= thr.t)
+             |SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             | ROUND(avg(quality), 6) AS avg_quality
+             |FROM gated GROUP BY cell""".stripMargin,
       // hybrid RRF: both rankings, the 1/(60+rank) terms (CAST to DOUBLE
       // — DuckDB's bare 1.0 is DECIMAL), the commutative two-term sum
       // and the re-rank all replayed
