@@ -126,6 +126,43 @@ object EventAnalytics {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Per-user activity segmentation — the RFM-style report behind
+    * "power user / regular / occasional / dormant" splits: per user,
+    * total events (frequency), distinct active days (consistency), the
+    * last event's epoch-micros (recency), and the frequency QUARTILE.
+    *
+    * Scale shape: the per-user aggregate collapses the event stream
+    * first (map-side partials on the user key — the only corpus-sized
+    * shuffle); the quartile assignment then BROADCASTS three exact
+    * percentile cutpoints back and buckets map-side. The tempting
+    * alternative — `ntile(4)` over a global window — funnels EVERY user
+    * through one partition (Spark warns "No Partition Defined"), which
+    * at billions of users is a straight OOM; three cutpoints cost one
+    * tiny aggregate over the already-collapsed per-user frame.
+    * Bucketing is strict-greater on each cutpoint, so ties at a
+    * cutpoint land in the lower quartile deterministically. Returns
+    * (user_id, n_events, n_days, last_us, freq_quartile 1..4). */
+  def activitySegments(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val per = events.groupBy(col(userCol).as("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      count_distinct(to_date(col(tsCol))).as("n_days"),
+      max(unix_micros(col(tsCol))).as("last_us"))
+    val cuts = per
+      .agg(expr("percentile(n_events, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(element_at(col("q"), 1).as("__q1"),
+        element_at(col("q"), 2).as("__q2"),
+        element_at(col("q"), 3).as("__q3"))
+    per.crossJoin(broadcast(cuts))
+      .withColumn("freq_quartile",
+        (lit(1) + when(col("n_events") > col("__q1"), 1).otherwise(0)
+          + when(col("n_events") > col("__q2"), 1).otherwise(0)
+          + when(col("n_events") > col("__q3"), 1).otherwise(0))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .select(col("user_id"), col("n_events"), col("n_days"),
+        col("last_us"), col("freq_quartile"))
+  }
+
   /** Cohort retention: users are cohorted by the day of their first event;
     * a cohort member is "retained at offset d" if they have any event d
     * days after their cohort day. Returns (cohort_day, day_offset,

@@ -1096,6 +1096,17 @@ object ExtensionQueries {
       .select(unix_micros(col("day")).as("day_us"),
         col("dau"), col("mau"), col("stickiness"))
 
+  /** Per-user activity segmentation
+    * ([[graft.ops.EventAnalytics.activitySegments]]): frequency,
+    * consistency, recency, and the frequency quartile via three exact
+    * percentile cutpoints BROADCAST back and bucketed map-side — the
+    * scale-safe alternative to a global `ntile(4)` window, which would
+    * funnel every user through one partition. Counts, epoch-micros, the
+    * interpolated cutpoints and the strict-greater bucketing all replay
+    * in SQL. */
+  private val evtUserSegments: Q = (s, dir) =>
+    graft.ops.EventAnalytics.activitySegments(events(s, dir), "user_id", "ts")
+
   /** Hourly volume anomalies: hours where a type's event count exceeds
     * its mean by 2 sample standard deviations — spike/burst detection as
     * one declarative plan over (type, hour) counts. */
@@ -3117,6 +3128,7 @@ object ExtensionQueries {
     "pipe_curate_corpus" -> pipeCurateCorpus,
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
+    "evt_user_segments" -> evtUserSegments,
     "pr11_distinct_rollup" -> pr11DistinctRollup,
     "pr12_moments_merge" -> pr12MomentsMerge,
     "pr11_distinct_rollup_exact" -> pr11DistinctRollupExact,
@@ -4972,6 +4984,20 @@ object ExtensionQueries {
              |   'HTTPS://Site' || (doc_id % 7) || '.Example.ORG/Path' ||
              |   (doc_id % 5) || '/?utm_source=feed&utm_medium=rss&id=' ||
              |   doc_id || '#frag' AS u FROM documents)))""".stripMargin,
+      "evt_user_segments" ->
+        """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+          |  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+          | FROM events GROUP BY 1),
+          |q AS (SELECT quantile_cont(n_events, 0.25) AS q1,
+          |  quantile_cont(n_events, 0.5) AS q2,
+          |  quantile_cont(n_events, 0.75) AS q3 FROM per)
+          |SELECT user_id, n_events, n_days, last_us,
+          | CAST(1 + (CASE WHEN n_events > q1 THEN 1 ELSE 0 END)
+          |   + (CASE WHEN n_events > q2 THEN 1 ELSE 0 END)
+          |   + (CASE WHEN n_events > q3 THEN 1 ELSE 0 END) AS INTEGER)
+          |   AS freq_quartile
+          |FROM per, q""".stripMargin,
       "evt_dau_mau" ->
         """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
           |   count(DISTINCT user_id) AS dau FROM events GROUP BY 1),

@@ -24,6 +24,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 3L, 0.666667), (2L, 3L, 0.666667), (1L, 1L, 1.0)))
   }
 
+  test("activitySegments: hand-computed quartile cutpoints, cutpoint ties " +
+      "land low, n_days and last_us exact") {
+    def day(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // per-user event counts 1,1,2,3,4,5,6,8 → interpolated cutpoints
+    // q25 = 1.75, q50 = 3.5, q75 = 5.25
+    val counts = Seq(1, 1, 2, 3, 4, 5, 6, 8)
+    val events = counts.zipWithIndex.flatMap { case (n, u) =>
+      (0 until n).map(i => (u.toLong, day(1 + i % 3, 6 + i)))
+    }.toDF("user_id", "ts")
+    val out = EventAnalytics.activitySegments(events, "user_id", "ts")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(out.map(_._2).toSeq === counts.map(_.toLong))
+    assert(out.map(_._5).toSeq === Seq(1, 1, 2, 2, 3, 3, 4, 4),
+      s"quartiles: ${out.map(_._5).toSeq}")
+    // user 7 (8 events over days 1..3): 3 distinct days; the latest
+    // TIMESTAMP is day 3 11:00 (i = 5), not the latest hour (day 2 13:00)
+    val u7 = out.find(_._1 == 7L).get
+    assert(u7._3 === 3L)
+    assert(u7._4 === day(3, 11).getTime * 1000L)
+  }
+
   test("hourlyAnomalies: flags only the burst hour; constant and single-hour types stay quiet") {
     def hr(h: Int, m: Int) = new Timestamp((h * 60L + m) * 60000L)
     val rows =
