@@ -170,6 +170,48 @@ object Quality {
           hll_union_agg(col("key_sketch"), lit(false))).as("distinct_est"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** GROUP-scoped low-outlier flags on a bounded-precision score — the
+    * topic-aware quality floor: a global gate misjudges heterogeneous
+    * corpora (code clusters score "low quality" on prose signals;
+    * boilerplate clusters score high), so flag each row against ITS
+    * GROUP's mean − nSigma·σ instead. Rows in groups too small for a
+    * stable σ (`n < minGroup`) are never flagged.
+    *
+    * Exactness: the score is integer-scaled (`round(value·scale)` as
+    * LONG), so the per-group power sums are EXACT — no double-sum
+    * reduction-order drift — and mean/σ derive with a fixed operation
+    * order (variance clamped at 0 against cancellation), making the
+    * flags hash-checkable cross-engine. ANSI overflow throws (the
+    * fail-fast bound: |value·scale|² · groupSize within Long range).
+    *
+    * Scale shape: one thin (group, scaled) aggregate with map-side
+    * partials; the per-group stats frame (|groups| rows) BROADCASTS
+    * back; flagging is map-only. Returns the input columns plus
+    * `is_low_outlier` (0/1). */
+  def groupZOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     scale: Long = 1000000L, nSigma: Double = 2.0,
+                     minGroup: Long = 3L): DataFrame = {
+    require(scale > 0, s"scale must be > 0, got $scale")
+    require(nSigma > 0, s"nSigma must be > 0, got $nSigma")
+    val d = org.apache.spark.sql.types.DoubleType
+    val scaled = df.withColumn("__q",
+      round(col(valueCol) * scale, 0).cast(org.apache.spark.sql.types.LongType))
+    val stats = scaled.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__n"), sum(col("__q")).as("__s1"),
+        sum(col("__q") * col("__q")).as("__s2"))
+      .withColumn("__mean", col("__s1").cast(d) / col("__n"))
+      .withColumn("__var", greatest(
+        col("__s2").cast(d) / col("__n") - col("__mean") * col("__mean"),
+        lit(0.0)))
+      .select(col(groupCol), col("__n"), col("__mean"), col("__var"))
+    scaled.join(broadcast(stats), Seq(groupCol))
+      .withColumn("is_low_outlier",
+        (col("__n") >= minGroup &&
+          col("__q").cast(d) < col("__mean") - lit(nSigma) * sqrt(col("__var")))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .drop("__q", "__n", "__mean", "__var")
+  }
+
   /** Mergeable MOMENT sketches over an integer-valued column: per-shard
     * raw power sums (n, Σx, Σx², Σx³, Σx⁴) as exact BIGINTs — the
     * third member of the mergeable-profile family ([[distinctSketches]]

@@ -2340,6 +2340,24 @@ object ExtensionQueries {
       .select(col("doc_id"), col("cell"))
   }
 
+  /** Topic-aware quality outliers
+    * ([[graft.quality.Quality.groupZOutliers]]): each document's
+    * quality score is judged against ITS EMBEDDING CLUSTER's mean −
+    * 2σ, not a global floor — heterogeneous corpora misjudge whole
+    * topics under one threshold. The per-cell statistics come from
+    * EXACT integer-scaled power sums (no double-sum drift), variance
+    * clamped at 0, σ via the correctly-rounded sqrt — so assignment,
+    * scaling, stats, and flags all replay in SQL. */
+  private val embClusterQuality: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val withCell = docs.join(portableDocClusters(emb), "doc_id")
+    graft.quality.Quality.groupZOutliers(withCell, "quality", "cell")
+      .select(col("doc_id"), col("cell"), col("quality"),
+        col("is_low_outlier"))
+  }
+
   /** SEMANTIC curation capstone — the [[pipeCurateCorpus]] shape with
     * the strata coming from EMBEDDING clusters: assign every document
     * to its topic cell (portable quantizer), flatten topic dominance
@@ -3158,6 +3176,7 @@ object ExtensionQueries {
     "emb_cluster_terms" -> embClusterTerms,
     "emb_cluster_mix" -> embClusterMix,
     "pipe_semantic_curate" -> pipeSemanticCurate,
+    "emb_cluster_quality" -> embClusterQuality,
     "sim_ivf_cell_stats" -> simIvfCellStats,
     "sim_pq_probe" -> simPqProbe,
     "sim_pq_filtered" -> simPqFiltered,
@@ -5863,6 +5882,39 @@ bruteForceCosineOracle,
       "emb_decontaminate" -> embDecontaminateOracle,
       "emb_cluster_terms" -> embClusterTermsOracle,
       "emb_cluster_mix" -> embClusterMixOracle,
+      // topic-aware quality outliers: assignment + integer-scaled exact
+      // per-cell power sums + fixed-order variance (clamped at 0) + the
+      // mean − 2·sqrt(var) flag, all recomputed
+      "emb_cluster_quality" ->
+        raw"""WITH $docClusterCtes,
+             |scored AS (SELECT doc_id, ROUND(
+             |    LEAST(nchars / 500.0, 1.0) * 0.25
+             |  + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.35
+             |  + (CASE WHEN nchars > 0 THEN 1.0 - LEAST(punct / nchars * 10, 1.0) ELSE 0.0 END) * 0.2
+             |  + (CASE WHEN (CASE WHEN ntok > 0 THEN nchars / ntok ELSE 0.0 END) BETWEEN 3 AND 12
+             |      THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+             |  FROM (SELECT doc_id,
+             |     CAST(length(text) AS DOUBLE) AS nchars,
+             |     CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha,
+             |     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             |     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok
+             |   FROM documents)),
+             |sc AS (SELECT s.doc_id, CAST(a.cell AS INTEGER) AS cell, s.quality,
+             |   CAST(ROUND(s.quality * 1000000, 0) AS BIGINT) AS q
+             |  FROM scored s JOIN asg a ON a.cand_id = s.doc_id),
+             |st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+             |   CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q * q) AS BIGINT) AS s2
+             |  FROM sc GROUP BY 1),
+             |stm AS (SELECT cell, n, CAST(s1 AS DOUBLE) / n AS meanx,
+             |   GREATEST(CAST(s2 AS DOUBLE) / n
+             |     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0) AS varx
+             |  FROM st)
+             |SELECT sc.doc_id, sc.cell, sc.quality,
+             | CAST(CASE WHEN stm.n >= 3
+             |     AND CAST(sc.q AS DOUBLE) < stm.meanx - 2.0 * sqrt(stm.varx)
+             |   THEN 1 ELSE 0 END AS INTEGER) AS is_low_outlier
+             |FROM sc JOIN stm USING (cell)""".stripMargin,
       // the semantic-curation capstone: assignment + temperature mix +
       // quality arithmetic + post-mix exact-median gate + aggregates,
       // all recomputed

@@ -322,6 +322,28 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("groupZOutliers: planted low outlier flagged within its group only; " +
+      "small groups and constant groups never flag") {
+    import org.apache.spark.sql.functions._
+    // group A: nine values at 0.9 plus one at 0.1 — the dip is far below
+    // mean - 2σ; group B: same 0.1 value among like values — NOT an
+    // outlier there; group C: two rows (below minGroup); group D: constant
+    val rows =
+      (1 to 9).map(i => (i.toLong, "A", 0.9)) ++ Seq((10L, "A", 0.1)) ++
+      (11 to 15).map(i => (i.toLong, "B", 0.1)) ++
+      Seq((16L, "C", 0.9), (17L, "C", 0.1)) ++
+      (18 to 21).map(i => (i.toLong, "D", 0.5))
+    val out = Quality.groupZOutliers(rows.toDF("id", "g", "v"), "v", "g")
+      .select("id", "is_low_outlier").as[(Long, Int)].collect().toMap
+    assert(out(10L) === 1, "the planted dip in A must flag")
+    assert((1 to 9).forall(i => out(i.toLong) === 0))
+    assert((11 to 15).forall(i => out(i.toLong) === 0),
+      "0.1 among 0.1s is not an outlier")
+    assert(out(16L) === 0 && out(17L) === 0, "groups below minGroup never flag")
+    assert((18 to 21).forall(i => out(i.toLong) === 0),
+      "a constant group (variance 0) never flags")
+  }
+
   test("momentSketches: merged moments ≡ direct skewness/kurtosis, " +
       "shard-count invariant; overflow fails fast") {
     import org.apache.spark.sql.functions._
