@@ -229,25 +229,47 @@ object Ivf {
   def assignMapOnly(vectors: DataFrame, centroids: DataFrame,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val best = mapOnlyBest(cents, col("__v"), col("__vv"))
+    vectors
+      .select(col(idCol).as("cand_id"), col(vecCol).as("__v"))
+      .withColumn("__vv", VectorExprs.dot(col("__v"), col("__v")))
+      .select(col("cand_id"), best.as("cell"))
+  }
+
+  /** [[assignMapOnly]] as an ATTACHABLE COLUMN — `withColumn("cell",
+    * Ivf.mapOnlyCell(centroids, col("embedding")))` — for pipelines
+    * that must keep their payload columns through routing (the
+    * streaming curation shape: route → mix → gate in one stateless
+    * projection chain). Same literal-folded arithmetic and tie-break as
+    * the frame form; `dot(v, v)` is inlined per centroid alternative
+    * (nlist extra dot products per row — the price of being a plain
+    * Column with no projection to alias into). */
+  def mapOnlyCell(centroids: DataFrame, vec: Column): Column = {
+    val cents = collectCentroids(centroids)
+    mapOnlyBest(cents, vec, VectorExprs.dot(vec, vec))
+  }
+
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Float])] = {
     val cents = centroids.select(col("cell"), col("cent")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    require(cents.nonEmpty, "assignMapOnly: empty centroid table")
+    require(cents.nonEmpty, "map-only assignment: empty centroid table")
+    cents
+  }
+
+  private def mapOnlyBest(cents: Array[(Int, Array[Float])], v: Column,
+                          vv: Column): Column = {
     val dcs = cents.map { case (cellId, cent) =>
       val c = typedLit(cent)
-      struct(round(col("__vv") - lit(2.0) * VectorExprs.dot(col("__v"), c) +
+      struct(round(vv - lit(2.0) * VectorExprs.dot(v, c) +
         VectorExprs.dot(c, c), 6).as("d"), lit(cellId).as("c"))
     }
     // least() needs ≥ 2 arguments; a single-centroid table routes
     // everything to that cell (assignPortable's behavior on the same
     // table), not an AnalysisException
-    val best =
-      if (dcs.length == 1) dcs.head.getField("c")
-      else least(dcs: _*).getField("c")
-    vectors
-      .select(col(idCol).as("cand_id"), col(vecCol).as("__v"))
-      .withColumn("__vv", VectorExprs.dot(col("__v"), col("__v")))
-      .select(col("cand_id"), best.as("cell"))
+    if (dcs.length == 1) dcs.head.getField("c")
+    else least(dcs.toIndexedSeq: _*).getField("c")
   }
 
   /** O(delta) incremental ingest into an IVF index — the ANN analog of

@@ -57,6 +57,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic curation end to end: route → mix → quality " +
+      "gate composes as one STATELESS projection chain, ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(8)(rnd.nextGaussian().toFloat)
+    }
+    def text(i: Int): String =
+      if (i % 5 == 0) "x" // low-quality stub
+      else s"document $i carries a normal prose paragraph about topic ${i % 4}"
+    val rows = (0 until 60).map(i => (i.toLong, vec(i), text(i)))
+    val corpus = rows.toDF("doc_id", "embedding", "text")
+    val cents = graft.sim.Ivf.portableCentroids(corpus, nlist = 4, stride = 13,
+      idCol = "doc_id")
+    // the nightly-computed knobs (static at ingest): per-cell mix rates
+    // and a fixed quality floor — every stage below is map-only
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val routed = df.withColumn("cell",
+        graft.sim.Ivf.mapOnlyCell(cents, col("embedding")))
+      val mixed = graft.ops.Ops.weightedSample(routed, "cell", "doc_id",
+        Map("0" -> 1000, "1" -> 700), defaultPermille = 400)
+      mixed.filter(graft.text.TextOps.qualityScore(col("text")) >= lit(0.3))
+        .select("doc_id", "cell")
+    }
+    val mem = MemoryStream[(Long, Array[Float], String)]
+    val q = curate(mem.toDF().toDF("doc_id", "embedding", "text"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out")
+        .as[(Long, Int)].collect().toSet
+      val batch = curate(corpus).as[(Long, Int)].collect().toSet
+      assert(streamed === batch,
+        "the streamed curation keep-set must equal the batch pipeline's")
+      assert(streamed.nonEmpty && streamed.size < 60,
+        s"fixture sanity: mix+gate must keep a strict subset (${streamed.size})")
+    } finally q.stop()
+  }
+
   test("streaming near-dup suppress: kept set ⊆ batch exactDedup keeps, cross-batch") {
     implicit val sqlCtx = spark.sqlContext
     def doc(i: Int): String = {
