@@ -72,6 +72,27 @@ object Exprs {
     case _                                  => "TEXT"
   }
 
+  /** F13 — parse human-suffixed magnitudes ("1.2K", "3M", "4.5B",
+    * "650", with optional sign and surrounding whitespace) to a DOUBLE —
+    * the scraped-table sibling of [[currencyToDouble]]: spreadsheet and
+    * crawl sources abbreviate large counts, and a lenient cast silently
+    * nulls every suffixed cell. Case-insensitive suffix; anything not
+    * matching the strict NUMBER+SUFFIX shape is NULL (the try_cast
+    * posture — cleaning pipelines quarantine, not crash). Map-only,
+    * codegen'd regex. */
+  def parseHumanNumber(c: Column): Column = {
+    val t = upper(trim(c))
+    val re = "^(-?\\d+(?:\\.\\d+)?)([KMB]?)$"
+    val num = regexp_extract(t, re, 1)
+    val suf = regexp_extract(t, re, 2)
+    when(num === "", lit(null).cast(DoubleType))
+      .otherwise(num.cast(DoubleType) *
+        when(suf === "K", lit(1000.0))
+          .when(suf === "M", lit(1000000.0))
+          .when(suf === "B", lit(1000000000.0))
+          .otherwise(lit(1.0)))
+  }
+
   /** K2 — CREATE TABLE DDL from a schema (dag1.py:261-270). Column names
     * arrive verbatim from data (spreadsheet headers), so embedded double
     * quotes are doubled per the SQL quoting rule; the table name is

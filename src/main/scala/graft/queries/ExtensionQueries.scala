@@ -993,6 +993,40 @@ object ExtensionQueries {
     TextOps.removeBoilerplateLines(d, "text", "doc_id", minCount = 3)
   }
 
+  /** Per-document boilerplate-line fraction
+    * ([[TextOps.boilerplateRatio]]) over the same planted-boilerplate
+    * corpus as [[txtLineDedup]] — the signal form: every doc gains one
+    * of three corpus-repeated lines plus one unique line, so the ratio
+    * separates template-heavy docs without rewriting anything. Counts
+    * and the one rounded division replay in SQL. */
+  private val txtBoilerplateRatio: Q = (s, dir) => {
+    val boiler = array(lit("all rights reserved"),
+      lit("subscribe to our newsletter"), lit("click here to accept cookies"))
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        element_at(boiler, (col("doc_id") % 3 + 1).cast(IntegerType)),
+        lit("\n"), concat(lit("note "), col("doc_id"))).as("text"))
+    TextOps.boilerplateRatio(d, "text", "doc_id", minCount = 3)
+  }
+
+  /** F13 — human-suffixed magnitude parsing
+    * ([[graft.expr.Exprs.parseHumanNumber]]) over planted scraped-table
+    * cells: K/M/B suffixes, a plain number, junk → NULL (the try_cast
+    * quarantine posture). */
+  private val f13HumanNumber: Q = (s, dir) => {
+    val cell = when(col("doc_id") % 5 === 0,
+        concat(lit(" "), (col("doc_id") % 9 + 1).cast(StringType),
+          lit("."), (col("doc_id") % 7).cast(StringType), lit("K ")))
+      .when(col("doc_id") % 5 === 1,
+        concat((col("doc_id") % 9 + 1).cast(StringType), lit("m")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("-"), (col("doc_id") % 4 + 1).cast(StringType), lit("B")))
+      .when(col("doc_id") % 5 === 3, (col("doc_id") * 17).cast(StringType))
+      .otherwise(lit("n/a"))
+    t(s, dir, "documents").select(col("doc_id"), cell.as("raw"),
+      graft.expr.Exprs.parseHumanNumber(cell).as("value"))
+  }
+
   /** Embedding outliers: the 5 vectors least similar to their own label
     * centroid, per label — the mislabel-audit list. Centroids are the
     * ROUNDED groupCentroids output, so the whole centroid+score+rank
@@ -3120,6 +3154,8 @@ object ExtensionQueries {
     "emb_drift" -> embDrift,
     "k12_shard_export" -> k12ShardExport,
     "txt_line_dedup" -> txtLineDedup,
+    "txt_boilerplate_ratio" -> txtBoilerplateRatio,
+    "f13_human_number" -> f13HumanNumber,
     "txt_quality_gate" -> txtQualityGate,
     "txt_quality_gate_approx" -> txtQualityGateApprox,
     "w10_weighted_sample" -> w10WeightedSample,
@@ -4938,6 +4974,49 @@ object ExtensionQueries {
              |   GROUP BY doc_id)
              |SELECT d.doc_id, COALESCE(k.cleaned, '') AS cleaned
              |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+      // the signal form of txt_line_dedup: same planted corpus, same hot
+      // set, reduced to per-doc counts + one rounded division
+      "txt_boilerplate_ratio" ->
+        raw"""WITH d AS (SELECT doc_id, text || chr(10) ||
+             |   CASE CAST(doc_id % 3 AS INTEGER)
+             |     WHEN 0 THEN 'all rights reserved'
+             |     WHEN 1 THEN 'subscribe to our newsletter'
+             |     ELSE 'click here to accept cookies' END
+             |   || chr(10) || 'note ' || doc_id AS text FROM documents),
+             | l AS (SELECT doc_id, line FROM (SELECT doc_id,
+             |     unnest(string_split(text, chr(10))) AS line FROM d)
+             |   WHERE trim(line) <> ''),
+             | hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+             | per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |   CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM hot h
+             |       WHERE h.line = l.line) THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS n_boiler
+             |   FROM l GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(p.n_lines, 0) AS n_lines,
+             | COALESCE(p.n_boiler, 0) AS n_boiler,
+             | CASE WHEN COALESCE(p.n_lines, 0) > 0
+             |   THEN ROUND(CAST(p.n_boiler AS DOUBLE) / p.n_lines, 6) END
+             |   AS boiler_ratio
+             |FROM d LEFT JOIN per p USING (doc_id)""".stripMargin,
+      "f13_human_number" ->
+        raw"""WITH cells AS (SELECT doc_id,
+             | CASE CAST(doc_id % 5 AS INTEGER)
+             |  WHEN 0 THEN ' ' || (doc_id % 9 + 1) || '.' || (doc_id % 7) || 'K '
+             |  WHEN 1 THEN (doc_id % 9 + 1) || 'm'
+             |  WHEN 2 THEN '-' || (doc_id % 4 + 1) || 'B'
+             |  WHEN 3 THEN CAST(doc_id * 17 AS VARCHAR)
+             |  ELSE 'n/a' END AS raw FROM documents),
+             |p AS (SELECT doc_id, raw,
+             |  regexp_extract(upper(trim(raw)),
+             |    '^(-?\d+(?:\.\d+)?)([KMB]?)$$', 1) AS num,
+             |  regexp_extract(upper(trim(raw)),
+             |    '^(-?\d+(?:\.\d+)?)([KMB]?)$$', 2) AS suf FROM cells)
+             |SELECT doc_id, raw,
+             | CASE WHEN num = '' THEN NULL
+             |  ELSE CAST(num AS DOUBLE) * (CASE suf WHEN 'K' THEN 1000.0
+             |    WHEN 'M' THEN 1000000.0 WHEN 'B' THEN 1000000000.0
+             |    ELSE 1.0 END) END AS value
+             |FROM p""".stripMargin,
       // centroids are the ROUNDED per-(label, pos) means (same 6-decimal
       // round as emb_centroids), so both engines score against identical
       // centroid values; ranking is on the rounded cosine, vec_id ties.

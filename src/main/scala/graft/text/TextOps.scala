@@ -373,6 +373,42 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Per-document boilerplate-line fraction — the QUALITY-SIGNAL form of
+    * [[removeBoilerplateLines]]: instead of rewriting documents, score
+    * how much of each one is corpus-repeated lines (cookie banners,
+    * nav menus, legal footers). High-ratio documents are template pages
+    * a curation pass drops whole rather than stripping. Blank lines are
+    * structure, not content — excluded from both counts, matching the
+    * rewriter's contract. A document with no non-blank lines reports
+    * (0, 0, NULL).
+    *
+    * Scale shape: one line-level count with map-side partials builds
+    * the hot set (distinct lines with count ≥ minCount); the line
+    * stream left-joins it (one row per hot line on the build side —
+    * AQE-broadcastable) and collapses per doc. Returns
+    * (doc_id, n_lines, n_boiler, boiler_ratio). */
+  def boilerplateRatio(df: DataFrame, textCol: String, idCol: String,
+                       minCount: Int = 3): DataFrame = {
+    require(minCount > 1, s"minCount must be > 1, got $minCount")
+    val lines = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+    val hot = lines.groupBy("line").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("line"), lit(1L).as("__hot"))
+    val perDoc = lines.join(hot, Seq("line"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(coalesce(col("__hot"), lit(0L))).as("n_boiler"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        when(col("n_lines") > 0, round(
+          col("n_boiler").cast(DoubleType) / col("n_lines"), 6)))
+  }
+
   /** Corpus-wide heavy hitters: the `k` most frequent tokens with their
     * counts, ties broken by token ascending. Returns (term, n).
     *

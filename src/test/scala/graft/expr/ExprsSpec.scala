@@ -56,6 +56,24 @@ class ExprsSpec extends SparkSpec {
     assert(mean === 2.5) // (2 + 3) / 2 — the 0/0 row is excluded
   }
 
+  test("F13 parseHumanNumber: K/M/B suffixes, case/whitespace tolerant, " +
+      "junk and bare suffixes → null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("1.2K", Some(1.2 * 1000.0)), (" 3m ", Some(3.0 * 1000000.0)),
+      ("-4.5B", Some(-4.5 * 1000000000.0)), ("650", Some(650.0)),
+      ("-7", Some(-7.0)), ("0.5k", Some(0.5 * 1000.0)),
+      ("K", None), ("1.2.3K", None), ("12KB", None), ("n/a", None),
+      ("", None))
+    val out = cases.map(_._1).toDF("raw")
+      .select(Exprs.parseHumanNumber(col("raw")).as("v"))
+      .as[Option[Double]].collect()
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got === want, s"parseHumanNumber($in)")
+    }
+  }
+
   test("F11 ddlType maps Spark types to portable DDL") {
     assert(Exprs.ddlType(IntegerType) === "INTEGER")
     assert(Exprs.ddlType(LongType) === "BIGINT")

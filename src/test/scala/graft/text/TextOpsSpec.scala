@@ -293,6 +293,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) === Seq(("xerus", 1.666667), ("common", 0.285714)))
   }
 
+  test("boilerplateRatio: corpus-repeated lines counted per doc, blanks " +
+      "excluded, lineless docs report (0, 0, NULL)") {
+    val docs = Seq(
+      (1L, "unique one\ncopyright footer\n\nbody a"),
+      (2L, "unique two\ncopyright footer\nbody b"),
+      (3L, "copyright footer\nunique three"),
+      (4L, "   \n\n"), // whitespace only → no countable lines
+      (5L, "all original\nnothing shared"))
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerplateRatio(docs, "text", "doc_id", minCount = 3)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 1L, Some(0.333333))), out(1L).toString)
+    assert(out(2L) === ((3L, 1L, Some(0.333333))))
+    assert(out(3L) === ((2L, 1L, Some(0.5))))
+    assert(out(4L) === ((0L, 0L, None)), "blank-only doc has no lines")
+    assert(out(5L) === ((2L, 0L, Some(0.0))))
+  }
+
   test("clusterSalientTerms: cluster-specific terms outrank corpus-wide " +
       "stopwords; counts aggregate at the cluster level") {
     // 'the' appears in every cluster (cf=2 → idf 0.5/2.5); 'cat'/'dog'
