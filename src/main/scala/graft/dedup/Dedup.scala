@@ -897,6 +897,45 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Per-document NOVELTY against a reference corpus — the scoring form
+    * of [[contaminationOverlap]]: instead of flagging docs that overlap
+    * a benchmark, score how much of each document's distinct word
+    * n-gram set is UNSEEN in the reference (novelty = 1 − seen/total).
+    * This is the data-value signal incremental crawls rank by: a batch
+    * whose novelty mass is near zero re-crawled what the corpus already
+    * holds. Docs with no grams (empty text) report (0, 0, NULL).
+    *
+    * Scale shape: same as the contamination family — distinct grams per
+    * doc, the reference gram SET on the build side of one join
+    * (AQE-broadcastable; for a reference too big to broadcast, pre-prune
+    * with [[bloomContaminationOverlap]]'s sketch and feed the survivors
+    * here), counts with map-side partials. Returns
+    * (doc_id, n_grams, n_seen, novelty). */
+  def noveltyScore(docs: DataFrame, textCol: String, idCol: String,
+                   reference: DataFrame, refTextCol: String,
+                   n: Int = 5): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    def grams(df: DataFrame, text: String, outCols: Column*): DataFrame = {
+      val pre = df.select(outCols :+ TextOps.tokens(col(text)).as("__ts"): _*)
+      pre.select(pre.columns.dropRight(1).map(col) :+
+        explode(array_distinct(
+          TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)
+    }
+    val docGrams = grams(docs, textCol, col(idCol).as("doc_id"))
+    val refGrams = grams(reference, refTextCol).select("g").distinct()
+      .withColumn("__seen", lit(1L))
+    val counts = docGrams.join(refGrams, Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+    docs.select(col(idCol).as("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty", when(col("n_grams") > 0,
+        round(lit(1.0) - col("n_seen").cast(DoubleType) / col("n_grams"), 6)))
+  }
+
   /** [[contaminationOverlap]] with a Bloom-filter pre-prune — IDENTICAL
     * output (the exact gram join still runs and kills every false
     * positive; Bloom filters have no false negatives, so no true overlap

@@ -1277,6 +1277,18 @@ object ExtensionQueries {
       .select(col("id").as("doc_id"), col("overlap"))
   }
 
+  /** Per-document NOVELTY vs a reference corpus
+    * ([[Dedup.noveltyScore]]): every fifth document stands in for the
+    * already-held corpus, and each document scores the unseen fraction
+    * of its distinct word 5-grams — reference members land near 0,
+    * genuinely new pages near 1. Gram generation, the seen-set join,
+    * counts, and the one rounded division all replay in SQL. */
+  private val txtNovelty: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    Dedup.noveltyScore(d, "text", "doc_id",
+      d.filter(col("doc_id") % 5 === 0), "text", n = 5)
+  }
+
   /** [[txtContamination]] through the Bloom pre-prune path — same flagged
     * set by construction (the sketch only prunes, the exact join still
     * verifies), so it SHARES the exact form's hash-checked oracle; what
@@ -3155,6 +3167,7 @@ object ExtensionQueries {
     "k12_shard_export" -> k12ShardExport,
     "txt_line_dedup" -> txtLineDedup,
     "txt_boilerplate_ratio" -> txtBoilerplateRatio,
+    "txt_novelty" -> txtNovelty,
     "f13_human_number" -> f13HumanNumber,
     "txt_quality_gate" -> txtQualityGate,
     "txt_quality_gate_approx" -> txtQualityGateApprox,
@@ -5662,6 +5675,28 @@ object ExtensionQueries {
           |WHERE CAST(FLOOR((((d.doc_id + 1) % 1000003) * 2654435761)
           |    / 1048576.0) AS BIGINT) % 1000 < r.rate""".stripMargin,
       "txt_contamination" -> contaminationOracleSql,
+      // the scoring form: same gram generator, LEFT join vs the
+      // reference set, per-doc counts + one rounded division
+      "txt_novelty" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+             | grams AS (
+             |   SELECT DISTINCT doc_id,
+             |     CASE WHEN len(ts) < 5 THEN array_to_string(ts, ' ')
+             |          ELSE array_to_string(ts[i.iv:i.iv+4], ' ') END AS g
+             |   FROM toks, LATERAL (SELECT unnest(range(1, GREATEST(len(ts) - 3, 2)))
+             |     AS iv) i),
+             | ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+             | per AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |   CAST(sum(CASE WHEN r.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             |     AS n_seen
+             |   FROM grams d LEFT JOIN ref r ON r.g = d.g GROUP BY 1)
+             |SELECT t.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+             | COALESCE(p.n_seen, 0) AS n_seen,
+             | CASE WHEN COALESCE(p.n_grams, 0) > 0
+             |   THEN ROUND(CAST(1.0 AS DOUBLE)
+             |     - CAST(p.n_seen AS DOUBLE) / p.n_grams, 6) END AS novelty
+             |FROM toks t LEFT JOIN per p USING (doc_id)""".stripMargin,
       // the Bloom-pruned form is output-identical by construction (the
       // sketch only prunes; the exact gram join verifies) — same oracle
       "dd_decontaminate_bloom" -> contaminationOracleSql,

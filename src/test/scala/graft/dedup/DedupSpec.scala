@@ -668,4 +668,28 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("winnowNearDups"))
   }
+
+  test("noveltyScore: reference members score 0, fresh docs 1, a half-" +
+      "copied doc in between; distinct grams counted once") {
+    import org.apache.spark.sql.functions.col
+    // 6-token docs → two distinct 5-grams each
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact reference copy
+      (2L, "one two three four five six"),         // fully novel
+      // first 5-gram shared with the reference, second not
+      (3L, "alpha beta gamma delta epsilon OMEGA"),
+      // repeated tokens: grams are DISTINCT per doc (2, not 3)
+      (4L, "x x x x x x x"))
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(docs, "text", "doc_id", ref, "text", n = 5)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 2L, Some(0.0))))
+    assert(out(2L) === ((2L, 0L, Some(1.0))))
+    assert(out(3L) === ((2L, 1L, Some(0.5))))
+    assert(out(4L) === ((1L, 0L, Some(1.0))),
+      "identical shingles collapse to one distinct gram")
+  }
 }
