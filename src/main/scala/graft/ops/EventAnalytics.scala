@@ -126,6 +126,33 @@ object EventAnalytics {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Per-user INTER-EVENT GAP profile — the cadence signal behind bot
+    * and scripted-traffic detection: humans produce ragged gap
+    * distributions, schedulers produce tight ones, and replayed logs
+    * produce zero gaps. Per user with ≥ 2 events: event count, the
+    * minimum gap, and the exact median gap (microseconds).
+    *
+    * Scale shape: the lag window is keyed BY USER (partition-local sort
+    * of each user's own events — never a global window), and the gap
+    * rows collapse immediately into a per-user aggregate with map-side
+    * partials. Ordering ties on equal timestamps break by the event id,
+    * so the gaps — and the report — are deterministic. Returns
+    * (user_id, n_events, min_gap_us, med_gap_us). */
+  def interEventGaps(events: DataFrame, userCol: String, tsCol: String,
+                     idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__t"), col("__eid"))
+    events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("__t"), col(idCol).as("__eid"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__gap", col("__t") - col("__prev"))
+      .groupBy("user_id").agg(
+        (count(lit(1)) + 1).as("n_events"),
+        min(col("__gap")).as("min_gap_us"),
+        round(expr("percentile(__gap, 0.5D)"), 6).as("med_gap_us"))
+  }
+
   /** Per-user activity segmentation — the RFM-style report behind
     * "power user / regular / occasional / dormant" splits: per user,
     * total events (frequency), distinct active days (consistency), the

@@ -1141,6 +1141,15 @@ object ExtensionQueries {
   private val evtUserSegments: Q = (s, dir) =>
     graft.ops.EventAnalytics.activitySegments(events(s, dir), "user_id", "ts")
 
+  /** Per-user inter-event gap profile
+    * ([[graft.ops.EventAnalytics.interEventGaps]]) — the bot-cadence
+    * signal: user-keyed lag window (never global), deterministic
+    * (timestamp, event_id) ordering, exact integer gaps, interpolated
+    * median — all replayed in SQL. */
+  private val evtGapProfile: Q = (s, dir) =>
+    graft.ops.EventAnalytics.interEventGaps(events(s, dir), "user_id",
+      "ts", "event_id")
+
   /** Hourly volume anomalies: hours where a type's event count exceeds
     * its mean by 2 sample standard deviations — spike/burst detection as
     * one declarative plan over (type, hour) counts. */
@@ -3196,6 +3205,7 @@ object ExtensionQueries {
     "txt_url_canon" -> txtUrlCanon,
     "evt_dau_mau" -> evtDauMau,
     "evt_user_segments" -> evtUserSegments,
+    "evt_gap_profile" -> evtGapProfile,
     "pr11_distinct_rollup" -> pr11DistinctRollup,
     "pr12_moments_merge" -> pr12MomentsMerge,
     "pr11_distinct_rollup_exact" -> pr11DistinctRollupExact,
@@ -5095,6 +5105,16 @@ object ExtensionQueries {
              |   'HTTPS://Site' || (doc_id % 7) || '.Example.ORG/Path' ||
              |   (doc_id % 5) || '/?utm_source=feed&utm_medium=rss&id=' ||
              |   doc_id || '#frag' AS u FROM documents)))""".stripMargin,
+      "evt_gap_profile" ->
+        """WITH g AS (SELECT user_id, epoch_us(ts) AS t,
+          |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts), event_id) AS prev
+          | FROM events),
+          |gg AS (SELECT user_id, t - prev AS gap FROM g WHERE prev IS NOT NULL)
+          |SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
+          | CAST(min(gap) AS BIGINT) AS min_gap_us,
+          | ROUND(quantile_cont(gap, 0.5), 6) AS med_gap_us
+          |FROM gg GROUP BY 1""".stripMargin,
       "evt_user_segments" ->
         """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
           |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,

@@ -46,6 +46,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(u7._4 === day(3, 11).getTime * 1000L)
   }
 
+  test("interEventGaps: hand-computed min and median gaps; single-event " +
+      "users excluded; equal timestamps tie-break by event id") {
+    // user 1: events at minutes 0, 1, 3, 10 → gaps 60s, 120s, 420s
+    //   (min 60s, median 120s); user 2: one event → excluded;
+    // user 3: two events at the SAME timestamp → one gap of 0
+    val events = Seq(
+      (1L, ts(0), 100L), (1L, ts(1), 101L), (1L, ts(3), 102L),
+      (1L, ts(10), 103L),
+      (2L, ts(5), 200L),
+      (3L, ts(7), 301L), (3L, ts(7), 300L))
+      .toDF("user_id", "ts", "event_id")
+    val out = EventAnalytics.interEventGaps(events, "user_id", "ts", "event_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((4L, 60000000L, 120000000.0)))
+    assert(!out.contains(2L), "a single-event user has no gap row")
+    assert(out(3L) === ((2L, 0L, 0.0)), "duplicate timestamps give a 0 gap")
+  }
+
   test("hourlyAnomalies: flags only the burst hour; constant and single-hour types stay quiet") {
     def hr(h: Int, m: Int) = new Timestamp((h * 60L + m) * 60000L)
     val rows =
