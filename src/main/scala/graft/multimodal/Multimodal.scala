@@ -236,6 +236,110 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic GATED audio: tone bursts separated by true silence,
+    * the fixture shape activity segmentation needs (a continuous chirp
+    * is active everywhere). Window `w` of 256 samples is silent iff
+    * `(w + id) % 3 == 0`; 2048 frames → 8 windows → per-id segment
+    * layouts that are pure functions of the id. Same zero-dependency
+    * RIFF/WAVE writer as [[synthesizeWav]]. */
+  def synthesizeBursts(df: DataFrame, idCol: String,
+                       payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val frames = 2048
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val silent = Math.floorMod(i / 256 + id, 3L) == 0L
+          val s = if (silent) 0.toShort else ((i * 7 + id) % 16384).toShort
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-window RMS energy of each clip — the feature-extraction half
+    * of energy-based activity detection: decode at the codec boundary
+    * (the sanctioned `mapPartitions` shape), then ONE bounded
+    * `array<double>` per clip (samples/window entries), so the decoded
+    * waveform never lands in a shuffle. Windows are non-overlapping;
+    * a trailing partial window is dropped (its RMS is not comparable).
+    * Null/undecodable payloads get a null array. */
+  def audioEnergy(df: DataFrame, payloadCol: String = "payload",
+                  windowSamples: Int = 256,
+                  outCol: String = "energies"): DataFrame = {
+    require(windowSamples > 0, s"windowSamples must be > 0, got $windowSamples")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outCol, ArrayType(DoubleType)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val energies: Array[Double] = if (bytes == null) null else try {
+          val pcm = pcmMono(bytes)
+          val nWin = pcm.length / windowSamples
+          Array.tabulate(nWin) { w =>
+            var s = 0.0
+            var i = w * windowSamples
+            val end = i + windowSamples
+            while (i < end) { s += pcm(i) * pcm(i); i += 1 }
+            math.sqrt(s / windowSamples)
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+          case _: IllegalArgumentException => null
+        }
+        Row.fromSeq(r.toSeq :+ energies)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Energy-threshold ACTIVITY SEGMENTS — the VAD-style preprocessing
+    * an audio pipeline runs before transcription or clip extraction:
+    * windows at or above `threshold` RMS group into maximal runs
+    * (gaps-and-islands on a CLIP-KEYED window — each clip's few hundred
+    * window rows sort locally, never a global window), one row per
+    * segment. Returns (clip_id, seg_start_win, seg_end_win, n_windows,
+    * peak_energy). Clips with no active window produce no rows. */
+  def audioEnergySegments(df: DataFrame, idCol: String,
+                          payloadCol: String = "payload",
+                          windowSamples: Int = 256,
+                          threshold: Double = 0.05): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val e = audioEnergy(df, payloadCol, windowSamples)
+    val active = e.select(col(idCol).as("clip_id"),
+        posexplode(col("energies")).as(Seq("win", "energy")))
+      .filter(col("energy") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("clip_id")).orderBy(col("win"))
+    active.withColumn("__run", col("win") - row_number().over(w))
+      .groupBy("clip_id", "__run").agg(
+        min(col("win")).as("seg_start_win"),
+        max(col("win")).as("seg_end_win"),
+        count(lit(1)).as("n_windows"),
+        round(max(col("energy")), 6).as("peak_energy"))
+      .drop("__run")
+  }
+
   /** Decode an audio payload to mono double samples: JDK decode, convert
     * to 16-bit signed PCM if needed, average channels. The shared kernel
     * of [[audioFingerprint64]]. */

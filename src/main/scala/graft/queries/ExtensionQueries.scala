@@ -2879,6 +2879,21 @@ object ExtensionQueries {
       .select(col("doc_id"), col("media.format").as("fmt"),
         col("media.width").as("w"), col("media.height").as("h"))
 
+  /** Energy-based activity segmentation
+    * ([[Multimodal.audioEnergySegments]]) over deterministic GATED
+    * clips (tone bursts separated by true silence): decode at the codec
+    * boundary, per-window RMS as one bounded array per clip, then
+    * declarative gaps-and-islands on a clip-keyed window — the
+    * VAD-style preprocessing before transcription. PCM comes from the
+    * JDK decoder, so rows-only; MultimodalSpec pins the exact per-id
+    * segment layouts the burst pattern implies. */
+  private val mmAudioSegments: Q = (s, dir) =>
+    Multimodal.audioEnergySegments(
+      Multimodal.synthesizeBursts(
+        t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id"),
+        "doc_id"),
+      "doc_id")
+
   /** Real audio decode (JDK javax.sound.sampled): synthesize true PCM WAVs
     * with planted rate/frame-count, decode the headers back. */
   private val mmAudioDecode: Q = (s, dir) =>
@@ -3297,6 +3312,7 @@ object ExtensionQueries {
     "mm_bytes" -> mmBytes,
     "mm_decode" -> mmDecode,
     "mm_audio_decode" -> mmAudioDecode,
+    "mm_audio_segments" -> mmAudioSegments,
     "mm_resize" -> mmResize,
     "mm_frame_fanout" -> mmFrameFanout,
     "mm_frame_decode" -> mmFrameDecode,

@@ -43,6 +43,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(0))) // text bytes aren't an image; null not crash
   }
 
+  test("audioEnergySegments: gated bursts produce exactly the maximal " +
+      "active runs the pattern implies; null payloads produce no rows") {
+    // synthesizeBursts: window w of 8 is SILENT iff (w + id) % 3 == 0
+    //   id 0: silent {0,3,6} → segments (1,2), (4,5), (7,7)
+    //   id 1: silent {2,5}   → segments (0,1), (3,4), (6,7)
+    //   id 2: silent {1,4,7} → segments (0,0), (2,3), (5,6)
+    val clips = Multimodal.synthesizeBursts(Seq(0L, 1L, 2L).toDF("id"), "id")
+    val segs = Multimodal.audioEnergySegments(clips, "id")
+      .select("clip_id", "seg_start_win", "seg_end_win", "n_windows")
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    assert(segs(0L) === Seq((1, 2, 2L), (4, 5, 2L), (7, 7, 1L)), segs(0L).toString)
+    assert(segs(1L) === Seq((0, 1, 2L), (3, 4, 2L), (6, 7, 2L)))
+    assert(segs(2L) === Seq((0, 0, 1L), (2, 3, 2L), (5, 6, 2L)))
+    // a null payload decodes to null energies → contributes no segments
+    val withNull = clips.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload"))
+    assert(Multimodal.audioEnergySegments(withNull, "id")
+      .filter($"clip_id" === 99L).count() === 0L)
+  }
+
   test("synthesizeWav + decodeAudio: real WAV round-trip recovers planted params") {
     val ids = Seq(0L, 3L, 7L, 99L).toDF("id")
     val out = Multimodal.decodeAudio(Multimodal.synthesizeWav(ids, "id"))
