@@ -115,6 +115,65 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** ViT-style PATCH descriptors: decode each image once (codec
+    * boundary, per-partition) and emit a row-major `gridRows × gridCols`
+    * array of per-patch MEAN LUMINANCE values — the patch-grid plumbing
+    * a vision pipeline runs before embedding (patch → token), reduced to
+    * the deterministic stand-in feature the container supports (no
+    * model weights; luminance = (299R + 587G + 114B)/1000, the
+    * ITU-R 601 integer weights). Patch boundaries are the integer
+    * splits `[p·dim/grid, (p+1)·dim/grid)`, so every pixel lands in
+    * exactly one patch and any image at least grid-sized patches
+    * losslessly. Null, undecodable, or smaller-than-grid payloads get a
+    * null array (quarantine, not crash). One bounded array per image —
+    * pixels never enter a shuffle. */
+  def imagePatches(df: DataFrame, payloadCol: String = "payload",
+                   gridRows: Int = 4, gridCols: Int = 4,
+                   outCol: String = "patches"): DataFrame = {
+    require(gridRows > 0 && gridCols > 0,
+      s"grid must be positive, got ${gridRows}x$gridCols")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outCol, ArrayType(DoubleType)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val patches: Array[Double] = if (bytes == null) null else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null || img.getWidth < gridCols || img.getHeight < gridRows)
+            null
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            Array.tabulate(gridRows * gridCols) { p =>
+              val pr = p / gridCols; val pc = p % gridCols
+              val y0 = pr * h / gridRows; val y1 = (pr + 1) * h / gridRows
+              val x0 = pc * w / gridCols; val x1 = (pc + 1) * w / gridCols
+              var sum = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 299L * ((rgb >> 16) & 0xFF) +
+                    587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                  x += 1
+                }
+                y += 1
+              }
+              sum / 1000.0 / ((y1 - y0).toLong * (x1 - x0))
+            }
+          }
+        }
+        Row.fromSeq(r.toSeq :+ patches)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Metadata schema for decoded audio payloads. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),

@@ -2879,6 +2879,19 @@ object ExtensionQueries {
       .select(col("doc_id"), col("media.format").as("fmt"),
         col("media.width").as("w"), col("media.height").as("h"))
 
+  /** ViT-style patch descriptors ([[Multimodal.imagePatches]]) over real
+    * synthesized PNGs: one decode per image, a 4×4 grid of per-patch
+    * mean luminances as one bounded array — the patch→token plumbing
+    * before a vision embedding model, with a deterministic stand-in
+    * feature. Pixel values are decoder-local, so rows-only;
+    * MultimodalSpec pins hand-computed quadrant means. */
+  private val mmPatches: Q = (s, dir) =>
+    Multimodal.imagePatches(
+      Multimodal.synthesizePng(
+        t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id"),
+        "doc_id"))
+      .select(col("doc_id"), col("patches"))
+
   /** Energy-based activity segmentation
     * ([[Multimodal.audioEnergySegments]]) over deterministic GATED
     * clips (tone bursts separated by true silence): decode at the codec
@@ -3313,6 +3326,7 @@ object ExtensionQueries {
     "mm_decode" -> mmDecode,
     "mm_audio_decode" -> mmAudioDecode,
     "mm_audio_segments" -> mmAudioSegments,
+    "mm_patches" -> mmPatches,
     "mm_resize" -> mmResize,
     "mm_frame_fanout" -> mmFrameFanout,
     "mm_frame_decode" -> mmFrameDecode,

@@ -43,6 +43,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(0))) // text bytes aren't an image; null not crash
   }
 
+  test("imagePatches: quadrant-colored image yields exact per-patch " +
+      "luminance means; undersized and null payloads yield null") {
+    // 8x8 image, 2x2 grid: each patch is one constant-color quadrant
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val rgb = (x < 4, y < 4) match {
+        case (true, true)   => 0xFFFFFF // white  → 255.0
+        case (false, true)  => 0x000000 // black  → 0.0
+        case (true, false)  => 0xFF0000 // red    → 299·255/1000 = 76.245
+        case (false, false) => 0x0000FF // blue   → 114·255/1000 = 29.07
+      }
+      img.setRGB(x, y, rgb)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val out = Multimodal.imagePatches(df, gridRows = 2, gridCols = 2)
+      .orderBy("id").select("patches").collect()
+    val p = out(0).getSeq[Double](0)
+    assert(p === Seq(255.0, 0.0, 76.245, 29.07), p.toString)
+    assert(out(1).isNullAt(0), "null payload → null patches")
+    // a 3x3 image cannot fill a 4x4 grid → null, not a crash
+    val tiny = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val b2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", b2)
+    assert(Multimodal.imagePatches(
+        Seq((1L, b2.toByteArray)).toDF("id", "payload"))
+      .select("patches").collect()(0).isNullAt(0))
+  }
+
   test("audioEnergySegments: gated bursts produce exactly the maximal " +
       "active runs the pattern implies; null payloads produce no rows") {
     // synthesizeBursts: window w of 8 is SILENT iff (w + id) % 3 == 0
