@@ -877,21 +877,30 @@ object Dedup {
     * aggregate with map-side partials. Documents shorter than n tokens
     * contribute their whole text as one gram (the [[ngramJaccard]]
     * convention, mirrored in the SQL oracle). */
+  /** The ONE distinct-word-n-gram generator of the contamination /
+    * decontamination / novelty family: tokens materialized in their own
+    * projection BEFORE the n-gram lambda reads them (inlined, the
+    * lambda re-derives the token array per element — O(tokens²) per
+    * doc; see TextOps.wordNgrams' perf contract), then one exploded
+    * `g` row per DISTINCT gram, alongside `outCols`. Every member MUST
+    * route through this — the gram convention (short docs contribute
+    * their whole joined text as one gram) is part of the shared oracle
+    * contract, and a forked copy would silently diverge it. */
+  private def distinctWordGrams(df: DataFrame, textCol: String, n: Int,
+                                outCols: Column*): DataFrame = {
+    val pre = df.select(outCols :+ TextOps.tokens(col(textCol)).as("__ts"): _*)
+    pre.select(pre.columns.dropRight(1).map(col) :+
+      explode(array_distinct(
+        TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)
+  }
+
   def contaminationOverlap(docs: DataFrame, textCol: String, idCol: String,
                            benchmark: DataFrame, benchTextCol: String,
                            n: Int = 5, minOverlap: Long = 1L): DataFrame = {
     require(n > 0 && minOverlap > 0, s"need n > 0, minOverlap > 0; got $n/$minOverlap")
-    // two-step: tokens materialized BEFORE the n-gram lambda reads them
-    // (inlined, the lambda re-derives the token array per element —
-    // O(tokens²) per doc; see TextOps.wordNgrams' perf contract)
-    def grams(df: DataFrame, text: String, outCols: Column*): DataFrame = {
-      val pre = df.select(outCols :+ TextOps.tokens(col(text)).as("__ts"): _*)
-      pre.select(pre.columns.dropRight(1).map(col) :+
-        explode(array_distinct(
-          TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)
-    }
-    val docGrams = grams(docs, textCol, col(idCol).as("id"))
-    val benchGrams = grams(benchmark, benchTextCol).select("g").distinct()
+    val docGrams = distinctWordGrams(docs, textCol, n, col(idCol).as("id"))
+    val benchGrams = distinctWordGrams(benchmark, benchTextCol, n)
+      .select("g").distinct()
     docGrams.join(benchGrams, "g")
       .groupBy("id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
@@ -903,7 +912,11 @@ object Dedup {
     * n-gram set is UNSEEN in the reference (novelty = 1 − seen/total).
     * This is the data-value signal incremental crawls rank by: a batch
     * whose novelty mass is near zero re-crawled what the corpus already
-    * holds. Docs with no grams (empty text) report (0, 0, NULL).
+    * holds. Gram semantics are the contamination family's: a document
+    * shorter than `n` tokens contributes its whole joined text as ONE
+    * gram (an empty STRING doc therefore scores against the reference's
+    * empty-gram membership like any short doc — the convention the
+    * shared oracle replays); only NULL text reports (0, 0, NULL).
     *
     * Scale shape: same as the contamination family — distinct grams per
     * doc, the reference gram SET on the build side of one join
@@ -915,14 +928,9 @@ object Dedup {
                    reference: DataFrame, refTextCol: String,
                    n: Int = 5): DataFrame = {
     require(n > 0, s"need n > 0, got $n")
-    def grams(df: DataFrame, text: String, outCols: Column*): DataFrame = {
-      val pre = df.select(outCols :+ TextOps.tokens(col(text)).as("__ts"): _*)
-      pre.select(pre.columns.dropRight(1).map(col) :+
-        explode(array_distinct(
-          TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)
-    }
-    val docGrams = grams(docs, textCol, col(idCol).as("doc_id"))
-    val refGrams = grams(reference, refTextCol).select("g").distinct()
+    val docGrams = distinctWordGrams(docs, textCol, n, col(idCol).as("doc_id"))
+    val refGrams = distinctWordGrams(reference, refTextCol, n)
+      .select("g").distinct()
       .withColumn("__seen", lit(1L))
     val counts = docGrams.join(refGrams, Seq("g"), "left")
       .groupBy("doc_id").agg(
@@ -955,15 +963,10 @@ object Dedup {
                                 expectedItems: Long = 1000000L,
                                 fpp: Double = 0.01): DataFrame = {
     require(n > 0 && minOverlap > 0, s"need n > 0, minOverlap > 0; got $n/$minOverlap")
-    def grams(df: DataFrame, text: String, outCols: Column*): DataFrame = {
-      val pre = df.select(outCols :+ TextOps.tokens(col(text)).as("__ts"): _*)
-      pre.select(pre.columns.dropRight(1).map(col) :+
-        explode(array_distinct(
-          TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)
-    }
-    val benchGrams = grams(benchmark, benchTextCol).select("g").distinct()
+    val benchGrams = distinctWordGrams(benchmark, benchTextCol, n)
+      .select("g").distinct()
     val probe = graft.ops.Ops.bloomProbe(benchGrams, "g", expectedItems, fpp)
-    grams(docs, textCol, col(idCol).as("id"))
+    distinctWordGrams(docs, textCol, n, col(idCol).as("id"))
       .filter(probe(col("g")))
       .join(benchGrams, "g")
       .groupBy("id").agg(count(lit(1)).as("overlap"))
@@ -1000,16 +1003,10 @@ object Dedup {
     require(n > 0, s"n must be positive, got $n")
     require(threshold > 0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // two-step: tokens materialized before the n-gram lambda (see
-    // TextOps.wordNgrams' perf contract — inlined it is O(tokens²)/doc)
-    def grams(df: DataFrame, text: String, id: Column, idName: String) =
-      df.select(id.cast(LongType).as(idName),
-          TextOps.tokens(col(text)).as("__ts"))
-        .select(col(idName),
-          explode(array_distinct(
-            TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"))
-    val docGrams = grams(docs, textCol, col(idCol), "id")
-    val benchGrams = grams(benchmark, benchTextCol, col(benchIdCol), "bench_id")
+    val docGrams = distinctWordGrams(docs, textCol, n,
+      col(idCol).cast(LongType).as("id"))
+    val benchGrams = distinctWordGrams(benchmark, benchTextCol, n,
+      col(benchIdCol).cast(LongType).as("bench_id"))
     val docSizes = docGrams.groupBy("id").agg(count(lit(1)).as("na"))
     val benchSizes = benchGrams.groupBy("bench_id").agg(count(lit(1)).as("nb"))
     val inter = docGrams.join(benchGrams, "g")

@@ -82,7 +82,11 @@ object Exprs {
     * codegen'd regex. */
   def parseHumanNumber(c: Column): Column = {
     val t = upper(trim(c))
-    val re = "^(-?\\d+(?:\\.\\d+)?)([KMB]?)$"
+    // \A..\z, not ^..$: Java's '$' matches BEFORE a trailing newline
+    // (trim strips only spaces), so "650\n" would parse as 650 here
+    // while an RE2-based oracle returns NULL — and the strict-shape
+    // contract says trailing junk is NULL
+    val re = "\\A(-?\\d+(?:\\.\\d+)?)([KMB]?)\\z"
     val num = regexp_extract(t, re, 1)
     val suf = regexp_extract(t, re, 2)
     when(num === "", lit(null).cast(DoubleType))

@@ -142,8 +142,12 @@ object Multimodal {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val patches: Array[Double] = if (bytes == null) null else {
-          val img = javax.imageio.ImageIO.read(
+          // quarantine-not-crash: a corrupt-but-recognized payload makes
+          // ImageIO.read THROW (it returns null only when no reader
+          // claims the format) — the decodeImage contract
+          val img = try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
           if (img == null || img.getWidth < gridCols || img.getHeight < gridRows)
             null
           else {
@@ -354,12 +358,15 @@ object Multimodal {
         val energies: Array[Double] = if (bytes == null) null else try {
           val pcm = pcmMono(bytes)
           val nWin = pcm.length / windowSamples
+          // pcmMono emits RAW 16-bit amplitudes — normalize to full
+          // scale so RMS lands in [0, 1] and thresholds mean the same
+          // thing at any bit depth (0.05 of full scale ≈ −26 dBFS)
           Array.tabulate(nWin) { w =>
             var s = 0.0
             var i = w * windowSamples
             val end = i + windowSamples
             while (i < end) { s += pcm(i) * pcm(i); i += 1 }
-            math.sqrt(s / windowSamples)
+            math.sqrt(s / windowSamples) / 32768.0
           }
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => null

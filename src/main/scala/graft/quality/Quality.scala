@@ -186,8 +186,9 @@ object Quality {
     *
     * Scale shape: one thin (group, scaled) aggregate with map-side
     * partials; the per-group stats frame (|groups| rows) BROADCASTS
-    * back; flagging is map-only. Returns the input columns plus
-    * `is_low_outlier` (0/1). */
+    * back; flagging is map-only. ROW-PRESERVING: null-group and
+    * null-value rows come back flagged 0 (never dropped, never a null
+    * flag). Returns the input columns plus `is_low_outlier` (0/1). */
   def groupZOutliers(df: DataFrame, valueCol: String, groupCol: String,
                      scale: Long = 1000000L, nSigma: Double = 2.0,
                      minGroup: Long = 3L): DataFrame = {
@@ -196,20 +197,25 @@ object Quality {
     val d = org.apache.spark.sql.types.DoubleType
     val scaled = df.withColumn("__q",
       round(col(valueCol) * scale, 0).cast(org.apache.spark.sql.types.LongType))
-    val stats = scaled.groupBy(col(groupCol)).agg(
+    val stats = scaled.groupBy(col(groupCol).as("__g")).agg(
         count(lit(1)).as("__n"), sum(col("__q")).as("__s1"),
         sum(col("__q") * col("__q")).as("__s2"))
       .withColumn("__mean", col("__s1").cast(d) / col("__n"))
       .withColumn("__var", greatest(
         col("__s2").cast(d) / col("__n") - col("__mean") * col("__mean"),
         lit(0.0)))
-      .select(col(groupCol), col("__n"), col("__mean"), col("__var"))
-    scaled.join(broadcast(stats), Seq(groupCol))
-      .withColumn("is_low_outlier",
-        (col("__n") >= minGroup &&
+      .select(col("__g"), col("__n"), col("__mean"), col("__var"))
+    // NULL-SAFE join + coalesced flag: the op is row-preserving — a
+    // null-group row must come back (flagged 0, its "group" has no
+    // meaningful σ) rather than vanish through null-unsafe equality,
+    // and a null VALUE must flag 0, not null (the oracle's ELSE 0)
+    scaled.join(broadcast(stats), col(groupCol) <=> col("__g"), "left")
+      .withColumn("is_low_outlier", coalesce(
+        (col("__n") >= minGroup && col(groupCol).isNotNull &&
           col("__q").cast(d) < col("__mean") - lit(nSigma) * sqrt(col("__var")))
-          .cast(org.apache.spark.sql.types.IntegerType))
-      .drop("__q", "__n", "__mean", "__var")
+          .cast(org.apache.spark.sql.types.IntegerType),
+        lit(0)))
+      .drop("__q", "__g", "__n", "__mean", "__var")
   }
 
   /** Mergeable MOMENT sketches over an integer-valued column: per-shard

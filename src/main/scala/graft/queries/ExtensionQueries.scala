@@ -2901,11 +2901,14 @@ object ExtensionQueries {
     * JDK decoder, so rows-only; MultimodalSpec pins the exact per-id
     * segment layouts the burst pattern implies. */
   private val mmAudioSegments: Q = (s, dir) =>
+    // threshold 0.02 full-scale: the burst fixture's quietest tone
+    // window sits at RMS ≈ 0.032 (the ramp starts near zero), safely
+    // above, while true silence is exactly 0
     Multimodal.audioEnergySegments(
       Multimodal.synthesizeBursts(
         t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id"),
         "doc_id"),
-      "doc_id")
+      "doc_id", threshold = 0.02)
 
   /** Real audio decode (JDK javax.sound.sampled): synthesize true PCM WAVs
     * with planted rate/frame-count, decode the headers back. */

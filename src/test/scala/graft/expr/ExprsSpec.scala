@@ -65,7 +65,11 @@ class ExprsSpec extends SparkSpec {
       ("-4.5B", Some(-4.5 * 1000000000.0)), ("650", Some(650.0)),
       ("-7", Some(-7.0)), ("0.5k", Some(0.5 * 1000.0)),
       ("K", None), ("1.2.3K", None), ("12KB", None), ("n/a", None),
-      ("", None))
+      ("", None),
+      // trim strips only spaces, and Java's '$' would match BEFORE a
+      // trailing newline — the \A..\z anchors keep this NULL (and keep
+      // the engine agreeing with an RE2 oracle)
+      ("650\n", None), ("1.2K\n", None))
     val out = cases.map(_._1).toDF("raw")
       .select(Exprs.parseHumanNumber(col("raw")).as("v"))
       .as[Option[Double]].collect()

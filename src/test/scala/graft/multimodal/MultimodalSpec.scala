@@ -83,7 +83,9 @@ class MultimodalSpec extends SparkSpec {
     //   id 1: silent {2,5}   → segments (0,1), (3,4), (6,7)
     //   id 2: silent {1,4,7} → segments (0,0), (2,3), (5,6)
     val clips = Multimodal.synthesizeBursts(Seq(0L, 1L, 2L).toDF("id"), "id")
-    val segs = Multimodal.audioEnergySegments(clips, "id")
+    // threshold 0.02 full-scale: the ramp tone's QUIETEST window (the
+    // first, RMS ≈ 0.032) stays active while true silence (RMS 0) never is
+    val segs = Multimodal.audioEnergySegments(clips, "id", threshold = 0.02)
       .select("clip_id", "seg_start_win", "seg_end_win", "n_windows")
       .as[(Long, Int, Int, Long)].collect()
       .groupBy(_._1).view
@@ -94,7 +96,7 @@ class MultimodalSpec extends SparkSpec {
     // a null payload decodes to null energies → contributes no segments
     val withNull = clips.unionByName(
       Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload"))
-    assert(Multimodal.audioEnergySegments(withNull, "id")
+    assert(Multimodal.audioEnergySegments(withNull, "id", threshold = 0.02)
       .filter($"clip_id" === 99L).count() === 0L)
   }
 
