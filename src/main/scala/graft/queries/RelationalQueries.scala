@@ -862,6 +862,37 @@ object RelationalQueries {
         |  AND o_orderdate < timestamp '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin)
 
+  /** TPC-H Q4 shape — the CORRELATED EXISTS semi-join (count orders by
+    * priority that have at least one qualifying line item): Catalyst
+    * rewrites the correlated subquery to a left-semi join; late
+    * shipment stands in for the absent commit/receipt dates. */
+  private val sqlQ4Priority: Q = (s, dir) =>
+    sqlOver(s, dir, Seq("orders", "lineitem"),
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+        |  AND o_orderdate < timestamp '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)
+
+  /** TPC-H Q12 shape — the two-branch conditional aggregation over a
+    * fact-dimension join (high/low-priority line counts among
+    * late-shipped items), per return flag (the shipmode stand-in). */
+  private val sqlQ12Shipmode: Q = (s, dir) =>
+    sqlOver(s, dir, Seq("orders", "lineitem"),
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |  AND l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin)
+
   private val sqlQ6Revenue: Q = (s, dir) => sqlOver(s, dir, Seq("lineitem"),
     """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
       |  count(*) AS n
@@ -969,6 +1000,8 @@ object RelationalQueries {
     "sql_q3_shipping" -> sqlQ3Shipping,
     "sql_q5_local_revenue" -> sqlQ5LocalRevenue,
     "sql_q6_revenue" -> sqlQ6Revenue,
+    "sql_q4_priority" -> sqlQ4Priority,
+    "sql_q12_shipmode" -> sqlQ12Shipmode,
     "a9_rollup" -> a9Rollup,
     "a10_moving_avg" -> a10MovingAvg,
     "w9_pivot" -> w9Pivot,
@@ -1182,6 +1215,26 @@ object RelationalQueries {
         |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "sql_q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+        |  AND o_orderdate < timestamp '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "sql_q12_shipmode" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |  AND l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
     "a20_robust_stats" ->
       """WITH c AS (SELECT o_orderstatus g, o_totalprice v, count(*) c
         |  FROM orders GROUP BY 1, 2),
