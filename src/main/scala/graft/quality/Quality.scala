@@ -822,4 +822,40 @@ object Quality {
     val cond = quasiCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
     df.join(keep, cond, "left_semi")
   }
+
+  /** l-diversity audit (Machanavalli et al. 2007, "l-Diversity: Privacy
+    * Beyond k-Anonymity", public): k-anonymity counts group SIZES, but a
+    * size-k group whose members all share one sensitive value still
+    * discloses that value — homogeneity attack. This flags every
+    * quasi-identifier combination with fewer than `l` DISTINCT sensitive
+    * values. One hash aggregate (count + count_distinct share the
+    * grouping); a NULL sensitive value is excluded from the distinct
+    * count (count_distinct semantics — an unknown value discloses
+    * nothing, so it cannot help a group reach l). Returns
+    * (quasi..., n, n_sensitive, diverse 0/1). */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi identifier")
+    require(l > 0, s"l must be > 0, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse",
+        (col("n_sensitive") >= l).cast(org.apache.spark.sql.types.IntegerType))
+  }
+
+  /** Suppression to l-diversity — [[kAnonymitySuppress]]'s shape over
+    * [[lDiversity]]'s audit: only rows whose quasi combination carries
+    * ≥ `l` distinct sensitive values survive a release. Broadcast
+    * null-safe semi join; the corpus streams once. */
+  def lDiversitySuppress(df: DataFrame, quasiCols: Seq[String],
+                         sensitiveCol: String, l: Long): DataFrame = {
+    val keep = broadcast(lDiversity(df, quasiCols, sensitiveCol, l)
+      .filter(col("diverse") === 1)
+      .select(quasiCols.map(c => col(c).as(s"__k_$c")): _*))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(keep, cond, "left_semi")
+  }
 }

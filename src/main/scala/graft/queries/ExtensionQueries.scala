@@ -1410,6 +1410,52 @@ object ExtensionQueries {
       Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
       .select("c_custkey", "c_nationkey", "c_mktsegment", "bal_bucket")
 
+  /** l-diversity audit over the COARSER quasi pair (nation, segment) with
+    * the balance bucket as the sensitive attribute: a (nation, segment)
+    * cell whose members all sit in one balance band discloses that band
+    * even when the cell is k-anonymous — the homogeneity attack
+    * [[graft.quality.Quality.lDiversity]] flags. l = 5 splits outcomes at
+    * sf0.01 (most cells carry 5-7 distinct bands, a tail carries fewer). */
+  private val a22LDiversity: Q = (s, dir) =>
+    graft.quality.Quality.lDiversity(customerQuasi(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 5)
+
+  /** Release-side l-diversity enforcement — [[a22LDiversity]]'s suppress
+    * twin: only rows whose (nation, segment) cell carries ≥ 5 distinct
+    * balance bands survive. */
+  private val a23LSuppress: Q = (s, dir) =>
+    graft.quality.Quality.lDiversitySuppress(customerQuasi(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 5)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "bal_bucket")
+
+  /** The supplier co-purchase projection: suppliers are linked when they
+    * fill lines of the SAME order (the item-graph construction
+    * recommendation and source-authority systems project from
+    * transactions). The self-join fans out per order by the order's line
+    * count — bounded by TPC-H's ≤ 7 lines/order, so the blow-up is a
+    * constant factor of the lineitem scan even at 100 TB; duplicate
+    * pairs collapse inside [[graft.graph.Graph.pageRankInt]]'s DISTINCT. */
+  private def supplierEdgeSql: String =
+    """SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey"""
+      .stripMargin
+
+  /** PageRank over the supplier co-purchase graph — integer-exact mass
+    * units ([[graft.graph.Graph.pageRankInt]] scaladoc), 5 unrolled
+    * power iterations, hash-green against the generated 5-CTE SQL
+    * replay that lives NEXT TO the engine code
+    * ([[graft.graph.Graph.pageRankIntSql]]). */
+  private val grPagerank: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+    graft.graph.Graph.pageRankInt(pairs, "src", "dst", iterations = 5)
+  }
+
   /** Two overlapping "snapshots" of the orders fact (orderkey mod-10
     * buckets 0–6 vs 3–9 — deterministic, SQL-replayable membership, ~40%
     * shared) whose distinct-customer set algebra the theta-sketch and
@@ -3185,6 +3231,9 @@ object ExtensionQueries {
     "a12_chi_drift" -> a12ChiDrift,
     "a13_quantile_drift" -> a13QuantileDrift,
     "a16_k_anonymity" -> a16KAnonymity,
+    "a22_l_diversity" -> a22LDiversity,
+    "a23_l_suppress" -> a23LSuppress,
+    "gr_pagerank" -> grPagerank,
     "a17_k_suppress" -> a17KSuppress,
     "pr10_snapshot_overlap" -> pr10SnapshotOverlap,
     "pr10_snapshot_overlap_exact" -> pr10SnapshotOverlapExact,
@@ -5490,6 +5539,25 @@ object ExtensionQueries {
              |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.bal_bucket
              |FROM b JOIN g USING (c_nationkey, c_mktsegment, bal_bucket)
              |WHERE g.n >= 5""".stripMargin,
+      "a22_l_diversity" ->
+        raw"""SELECT c_nationkey, c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+             |    AS BIGINT) AS n_sensitive,
+             |  CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 2000)
+             |    AS BIGINT)) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS diverse
+             |FROM customer GROUP BY 1, 2""".stripMargin,
+      "a23_l_suppress" ->
+        raw"""WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+             |  FROM customer),
+             |g AS (SELECT c_nationkey, c_mktsegment,
+             |    count(DISTINCT bal_bucket) AS d FROM b GROUP BY 1, 2)
+             |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.bal_bucket
+             |FROM b JOIN g USING (c_nationkey, c_mktsegment)
+             |WHERE g.d >= 5""".stripMargin,
+      "gr_pagerank" ->
+        graft.graph.Graph.pageRankIntSql(supplierEdgeSql, iterations = 5),
       // Numeric-PSI bucket replay: F-side cumulative distinct-value
       // counts, integer-rank decile boundaries (cc*10 >= i*n — no
       // division), per-row bucket = count of boundaries strictly below

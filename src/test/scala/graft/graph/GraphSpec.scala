@@ -1,0 +1,71 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A→B, A→C, B→A; C dangling. dampNum/dampDen = 1/2, scale = 1000 —
+  // every floor division below is hand-checkable.
+  private def triangle = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("s", "d")
+
+  test("pageRankInt: hand-computed two iterations (teleport, floor " +
+      "shares, dangling mass dropped)") {
+    // teleport = ((2-1)*1000)/2 = 500; r0 = 1000 everywhere.
+    // iter1: A→{B,C} share 1000 DIV 2 = 500 each; B→A share 1000.
+    //   r1(A) = 500 + 1000/2 = 1000; r1(B) = 500 + 500/2 = 750; r1(C) = 750.
+    // iter2: A shares 500 each; B shares 750.
+    //   r2(A) = 500 + 750/2 = 875; r2(B) = r2(C) = 500 + 500/2 = 750.
+    val r1 = Graph.pageRankInt(triangle, "s", "d", iterations = 1,
+        scale = 1000L, dampNum = 1L, dampDen = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 1000L, 2L -> 750L, 3L -> 750L))
+    val r2 = Graph.pageRankInt(triangle, "s", "d", iterations = 2,
+        scale = 1000L, dampNum = 1L, dampDen = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === Map(1L -> 875L, 2L -> 750L, 3L -> 750L))
+  }
+
+  test("pageRankInt: parallel edges collapse and self-loops drop") {
+    val noisy = triangle
+      .union(Seq((1L, 2L), (1L, 2L), (2L, 2L), (3L, 3L)).toDF("s", "d"))
+    val clean = Graph.pageRankInt(triangle, "s", "d", iterations = 3,
+      scale = 1000L, dampNum = 1L, dampDen = 2L).as[(Long, Long)].collect().toSet
+    val got = Graph.pageRankInt(noisy, "s", "d", iterations = 3,
+      scale = 1000L, dampNum = 1L, dampDen = 2L).as[(Long, Long)].collect().toSet
+    assert(got === clean)
+  }
+
+  test("pageRankInt: a node with no in-edges holds exactly the teleport " +
+      "mass from iteration 1 on") {
+    // B→A only: B has no in-edges → rank(B) = teleport after any i ≥ 1.
+    val r = Graph.pageRankInt(Seq((2L, 1L)).toDF("s", "d"),
+        "s", "d", iterations = 4, scale = 1000000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) === 150000000L) // ((100-85)*1e9)/100
+    assert(r(1L) > r(2L), "the pointed-at node outranks the pointer")
+  }
+
+  test("pageRankInt: default-parameter run is deterministic and " +
+      "positive-ranked on a denser graph") {
+    val edges = (for {
+      s <- 1L to 12L; d <- 1L to 12L
+      if s != d && (s + d) % 3 != 0
+    } yield (s, d)).toDF("s", "d")
+    val a = Graph.pageRankInt(edges, "s", "d").as[(Long, Long)].collect().toSet
+    val b = Graph.pageRankInt(edges, "s", "d").as[(Long, Long)].collect().toSet
+    assert(a === b && a.size === 12 && a.forall(_._2 > 0))
+  }
+
+  test("pageRankInt: argument guards fail loudly") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRankInt(triangle, "s", "d", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankInt(triangle, "s", "d", dampNum = 100L, dampDen = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankInt(triangle, "s", "d", scale = 10L)
+    }
+  }
+}

@@ -322,6 +322,40 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("lDiversity + suppression: homogeneity attack flagged, NULL " +
+      "sensitive values never count toward l") {
+    // zip "10": 3 rows but ONE disease — k-anonymous at k=3 yet fully
+    // disclosing (the homogeneity attack l-diversity exists to catch).
+    // zip "20": 3 rows, 2 diseases → diverse at l=2. zip "30": 2 rows,
+    // 1 real disease + 1 NULL → NOT diverse (NULL discloses nothing, so
+    // it cannot help the group reach l).
+    val df = Seq(
+      (1L, "10", Option("flu")), (2L, "10", Option("flu")),
+      (3L, "10", Option("flu")),
+      (4L, "20", Option("flu")), (5L, "20", Option("cold")),
+      (6L, "20", Option("cold")),
+      (7L, "30", Option("flu")), (8L, "30", Option.empty[String]))
+      .toDF("id", "zip", "disease")
+    val audit = Quality.lDiversity(df, Seq("zip"), "disease", l = 2)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(audit === Set(
+      ("10", 3L, 1L, 0), ("20", 3L, 2L, 1), ("30", 2L, 1L, 0)))
+    val kept = Quality.lDiversitySuppress(df, Seq("zip"), "disease", l = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(4L, 5L, 6L),
+      "only the 2-disease zip survives; the homogeneous and the " +
+        "NULL-padded groups are both suppressed")
+    intercept[IllegalArgumentException] {
+      Quality.lDiversity(df, Seq.empty, "disease", l = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.lDiversity(df, Seq("zip", "disease"), "disease", l = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.lDiversity(df, Seq("zip"), "disease", l = 0)
+    }
+  }
+
   test("groupZOutliers: planted low outlier flagged within its group only; " +
       "small groups and constant groups never flag") {
     import org.apache.spark.sql.functions._
