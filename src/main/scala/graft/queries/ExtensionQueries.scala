@@ -596,6 +596,11 @@ object ExtensionQueries {
 
   private val bm25Terms = Seq("hash", "join", "dup")
 
+  /** A bigram frequent at every SF (the generator's vocabulary is small,
+    * so common word pairs repeat) — gives the phrase faces a well-filled
+    * ranking rather than a near-empty result. */
+  private val phraseBigram = Seq("value", "table")
+
   /** Tokenizer fertility per source (subwords emitted per word — the
     * standard tokenizer-efficiency statistic multilingual pipelines
     * budget by): segments from the fixed [[txtBpeSegment]] merge table,
@@ -662,6 +667,48 @@ object ExtensionQueries {
         .reduce(_ || _))
       .drop("bucket")
     TextOps.bm25TopK(postings, s.read.parquet(s"$root/stats"), bm25Terms, k = 10)
+  }
+
+  /** Exact phrase search over positional postings — the retrieval
+    * capability (term, tf) postings cannot answer: the top-20 documents
+    * by occurrences of the CONSECUTIVE bigram "value table"
+    * ([[TextOps.phraseSearchTopK]]: filter-per-term, shift positions,
+    * m-way (doc, pos) equi-join). Counts are integers and the whole
+    * plan replays in SQL, so the ranking is hash-green — unlike BM25's
+    * transcendental score face. */
+  private val txtPhraseSearch: Q = (s, dir) =>
+    TextOps.phraseSearchTopK(
+      TextOps.positionalPostings(t(s, dir, "documents"), "text", "doc_id"),
+      phraseBigram, k = 20)
+
+  /** The m = 3 join chain of the same operator (two alignment joins, a
+    * rarer phrase): per-document occurrence counts of a trigram —
+    * selective enough that the result is a handful of rows, proving the
+    * chain keeps exact alignment rather than bag-of-words matching. */
+  private val txtPhraseTrigram: Q = (s, dir) =>
+    TextOps.phraseMatches(
+      TextOps.positionalPostings(t(s, dir, "documents"), "text", "doc_id"),
+      Seq("table", "value", "part"))
+
+  /** Stored positional-index probe — the steady-state serving form of
+    * [[txtPhraseSearch]] (same oracle): postings written ONCE partitioned
+    * by the BM25 family's 64-way term bucket, the probe filters to the
+    * phrase terms' buckets (constant-folded literals → partition pruning
+    * at the scan — only the query's terms are ever read, the 100 TB
+    * access pattern), then runs the identical alignment join. */
+  private val txtPhraseProbe: Q = (s, dir) => {
+    val root = storedIndexPath("phrase_pos", dir) { out =>
+      val post = TextOps.positionalPostings(
+          t(s, dir, "documents"), "text", "doc_id")
+        .withColumn("bucket", TextOps.bm25Bucket(col("term")))
+      graft.io.Sinks.onePerPartitionValue(post, Seq("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(out)
+    }
+    val postings = s.read.parquet(root)
+      .filter(phraseBigram.map(tm =>
+        col("bucket") === TextOps.bm25Bucket(lit(tm))).reduce(_ || _))
+      .drop("bucket")
+    TextOps.phraseSearchTopK(postings, phraseBigram, k = 20)
   }
 
   /** zlib compression-ratio quality signal per document — rows-only
@@ -3270,6 +3317,9 @@ object ExtensionQueries {
     "txt_bpe_learn" -> txtBpeLearn,
     "txt_bpe_learn_batched" -> txtBpeLearnBatched,
     "txt_bm25_topk" -> txtBm25Topk,
+    "txt_phrase_search" -> txtPhraseSearch,
+    "txt_phrase_trigram" -> txtPhraseTrigram,
+    "txt_phrase_probe" -> txtPhraseProbe,
     "txt_lexicon_gate" -> txtLexiconGate,
     "txt_lexicon_gate_map" -> txtLexiconGateMap,
     "txt_bpe_fertility" -> txtBpeFertility,
@@ -3698,6 +3748,41 @@ object ExtensionQueries {
          |FROM p JOIN dls d USING (doc_id) JOIN dfreq USING (term), cs""".stripMargin
 
   private val bm25StatsOracle: String = bm25StatsOracleFrom("documents")
+
+  /** Phrase-search oracle generator: the positional postings CTE (same
+    * token convention as the engine — trim + lower + \s+ split, 0-based
+    * positions) and the m-way shifted-position alignment join, with an
+    * optional top-k rank tail. One definition serves the in-memory face,
+    * the stored-probe face (same phrase/k ⇒ same text) and the trigram
+    * counts face. */
+  private def phraseOracle(terms: Seq[String], k: Option[Int]): String = {
+    val joins = terms.indices.tail.map(j =>
+      s"JOIN p p$j ON p$j.doc_id = p0.doc_id AND p$j.pos = p0.pos + $j")
+      .mkString("\n ")
+    val conds = terms.zipWithIndex
+      .map { case (t, j) => s"p$j.term = '$t'" }.mkString(" AND ")
+    val core =
+      raw"""WITH toks AS (SELECT doc_id,
+           |   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           |  FROM documents),
+           |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+           |  FROM toks, LATERAL (SELECT
+           |    unnest(generate_series(1, len(t))) AS i)
+           |  WHERE t[i] <> ''),
+           |m AS (SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           | FROM p p0
+           | $joins
+           | WHERE $conds GROUP BY 1)""".stripMargin
+    k match {
+      case Some(kk) =>
+        raw"""$core
+             |SELECT doc_id, n_hits, rank FROM (
+             | SELECT doc_id, n_hits, CAST(row_number() OVER (
+             |   ORDER BY n_hits DESC, doc_id) AS INTEGER) AS rank FROM m)
+             |WHERE rank <= $kk""".stripMargin
+      case None => s"$core\nSELECT doc_id, n_hits FROM m"
+    }
+  }
 
   private val lexiconGateOracle: String =
     raw"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -5280,6 +5365,10 @@ object ExtensionQueries {
       // query terms — CASTs keep every hashed column BIGINT (sum(dl)
       // would otherwise be HUGEINT; see the gate's portability guard).
       "txt_bm25_stats" -> bm25StatsOracle,
+      "txt_phrase_search" -> phraseOracle(Seq("value", "table"), Some(20)),
+      "txt_phrase_probe" -> phraseOracle(Seq("value", "table"), Some(20)),
+      "txt_phrase_trigram" ->
+        phraseOracle(Seq("table", "value", "part"), None),
       // The incremental-merge face computes the SAME contract from a
       // stored base+delta index — one shared full-corpus oracle makes
       // the hash prove merged ≡ rebuilt.

@@ -1018,6 +1018,65 @@ object TextOps {
       .filter(col("term") =!= "")
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL inverted-index postings — one row per token OCCURRENCE
+    * (term, doc_id, pos), the layout phrase and proximity queries need
+    * ([[phraseSearchTopK]]); [[bm25Postings]]'s (term, doc, tf) cannot
+    * answer "adjacent?". Same token convention as the whole BM25 family
+    * (`tokens(lower(text))`), positions are 0-based array indices. One
+    * posexplode, no aggregate — the frame is token-stream-sized, which
+    * is exactly what a positional index is; stored partitioned by
+    * [[bm25Bucket]] of the term it prunes to the query's terms like the
+    * BM25 layout. */
+  def positionalPostings(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** Exact phrase occurrence counts per document over positional
+    * postings: docs containing the terms of `phrase` CONSECUTIVELY, with
+    * the number of occurrences — (doc_id, n_hits), n_hits ≥ 1.
+    *
+    * Execution shape (the standard positional-index phrase plan): each
+    * phrase term's postings are FILTERED FIRST (on a [[bm25Bucket]]-
+    * partitioned stored layout that is partition pruning — only the
+    * query's terms ever leave the scan), the j-th term's positions are
+    * shifted back by j, and an m-way equi-join on (doc_id, pos) keeps
+    * exactly the alignments where all m terms are adjacent in order.
+    * All joins are codegen'd hash joins on term-frequency-sized inputs;
+    * the corpus token stream itself never shuffles. A repeated term in
+    * the phrase is handled naturally (its postings enter the chain once
+    * per slot with different shifts). Matching is case-insensitive
+    * (terms are lowercased to the postings' convention). */
+  def phraseMatches(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    val terms = phrase.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+    require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase must be non-empty single tokens, got ${phrase.mkString("[", ", ", "]")}")
+    val base = postings.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val aligned = terms.zipWithIndex.tail.foldLeft(base) { case (acc, (t, j)) =>
+      acc.join(postings.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - j).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    aligned.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Phrase-search top-k: the `k` documents with the most occurrences of
+    * the exact phrase, ties by doc_id ascending — (doc_id, n_hits, rank).
+    * [[phraseMatches]] + `orderBy.limit(k)` (TakeOrderedAndProject — a
+    * bounded per-partition heap, never a global sort; the
+    * [[heavyHitters]] discipline); the rank window runs over the k
+    * surviving rows only. Counts are integers, so the whole ranking is
+    * hash-portable. */
+  def phraseSearchTopK(postings: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    phraseMatches(postings, phrase)
+      .orderBy(col("n_hits").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+  }
+
   /** The 64-way term shard key for storing [[bm25Postings]] partitioned:
     * deterministic, uniform, and computable from a query term alone — so
     * a probe prunes partitions without any lookup table.
