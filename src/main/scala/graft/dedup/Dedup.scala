@@ -894,6 +894,52 @@ object Dedup {
         TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)
   }
 
+  /** Directed CONTAINMENT pairs (Broder 1997, "On the resemblance and
+    * containment of documents", public): containment(a ⊆ b) =
+    * |grams(a) ∩ grams(b)| / |grams(a)| — the asymmetric companion of
+    * Jaccard that catches QUOTES and SUBSETS. A short document fully
+    * embedded in a long one scores Jaccard ≈ |a|/|b| ≈ 0 (it never
+    * crosses a near-dup threshold) but containment 1.0; dedup pipelines
+    * use it to drop quoted/excerpted re-posts while keeping the source.
+    *
+    * Gram semantics are the contamination family's word-n-gram
+    * convention ([[contaminationOverlap]] / [[noveltyScore]] — shorter-
+    * than-n docs contribute their whole text as one gram), so the same
+    * SQL replay certifies it. Shape: ONE distinct (id, gram) frame,
+    * self-joined on the gram (codegen'd hash join + count — the
+    * [[pairJaccardHashed]] discipline, never a per-pair array
+    * expression), a-side set sizes joined back pair-sized. Gram df is
+    * naturally heavy-tailed on boilerplate corpora — at 100 TB block
+    * first (bloom/[[bandBuckets]] candidates) and verify containment on
+    * the survivors; this full form is the discovery sweep.
+    *
+    * Returns directed (id_a, id_b, n_a, inter, containment ROUND 6) with
+    * id_a the CONTAINED side, filtered to containment ≥ `threshold`
+    * (compared unrounded, the engine convention); zero-overlap pairs are
+    * absent by construction. EAGER + caller-unpersist family contract. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    require(threshold > 0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val grams = distinctWordGrams(docs.filter(col(textCol).isNotNull),
+        textCol, n, col(idCol).as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Caching.releasingOnFailure(grams) {
+      val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_a"))
+      val out = grams.select(col("id").as("id_a"), col("g"))
+        .join(grams.select(col("id").as("id_b"), col("g")), Seq("g"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+        .filter(col("inter").cast(DoubleType) / col("n_a") >= threshold)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("inter"),
+          round(col("inter").cast(DoubleType) / col("n_a"), 6)
+            .as("containment"))
+      graft.util.Caching.materializeAndRelease(out, grams)
+    }
+  }
+
   def contaminationOverlap(docs: DataFrame, textCol: String, idCol: String,
                            benchmark: DataFrame, benchTextCol: String,
                            n: Int = 5, minOverlap: Long = 1L): DataFrame = {

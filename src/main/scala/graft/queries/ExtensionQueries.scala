@@ -326,6 +326,23 @@ object ExtensionQueries {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "text", "doc_id", n = 1)
 
+  /** Directed containment pairs over a corpus with planted QUOTES
+    * (doc_id+100000 carries the first 12 tokens of every fifth
+    * document): the quote's 5-gram set is a subset of its source's, so
+    * containment(quote ⊆ source) = 1.0 while their Jaccard is far below
+    * any near-dup threshold — the excerpt/re-post case the symmetric
+    * measures miss ([[Dedup.containmentPairs]] scaladoc). Hash-green:
+    * grams, the self-join, set sizes and the threshold all replay in
+    * SQL via the contamination family's gram convention. */
+  private val ddContainment: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val quotes = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 1, 12), " ").as("text"))
+    Dedup.containmentPairs(docs.unionByName(quotes), "text", "doc_id",
+      n = 5, threshold = 0.5)
+  }
+
   /** MinHash-LSH near-dup detection over planted near-duplicates
     * (doc_id+100000 carries the original text plus a short tail). The
     * final row set is defined by the exact Jaccard filter, so it is
@@ -3266,6 +3283,7 @@ object ExtensionQueries {
     "pipe_clean_corpus" -> pipeCleanCorpus,
     "dd_exact_groups" -> ddExactGroups,
     "dd_ngram_jaccard" -> ddNgramJaccard,
+    "dd_containment" -> ddContainment,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_simhash" -> ddSimhash,
     "dd_components" -> ddComponents,
@@ -5957,6 +5975,34 @@ object ExtensionQueries {
           |   SELECT e.b AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.a = r.id)
           |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY id""".stripMargin,
+      // Containment replay: planted-quote corpus (12-token prefixes),
+      // the contamination family's 5-gram CTE, gram self-join for
+      // intersections, a-side sizes, unrounded threshold compare —
+      // every step of the engine's plan in SQL.
+      "dd_containment" ->
+        raw"""WITH corpus AS (
+             | SELECT doc_id, text FROM documents
+             | UNION ALL
+             | SELECT doc_id + 100000, array_to_string(
+             |     regexp_split_to_array(trim(text), '\s+')[1:12], ' ')
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |toks AS (SELECT doc_id,
+             |  regexp_split_to_array(trim(text), '\s+') AS ts FROM corpus),
+             |grams AS (SELECT DISTINCT doc_id,
+             |   CASE WHEN len(ts) < 5 THEN array_to_string(ts, ' ')
+             |        ELSE array_to_string(ts[i.iv:i.iv+4], ' ') END AS g
+             |  FROM toks, LATERAL (SELECT
+             |    unnest(range(1, GREATEST(len(ts) - 3, 2))) AS iv) i),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+             |  FROM grams GROUP BY 1),
+             |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |   CAST(count(*) AS BIGINT) AS inter
+             |  FROM grams a JOIN grams b ON a.g = b.g
+             |    AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_a, inter,
+             |  ROUND(CAST(inter AS DOUBLE) / n_a, 6) AS containment
+             |FROM pr JOIN sz ON sz.doc_id = pr.id_a
+             |WHERE CAST(inter AS DOUBLE) / n_a >= 0.5""".stripMargin,
       "dd_ngram_jaccard" ->
         """WITH s AS (SELECT DISTINCT doc_id,
           |   unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
