@@ -2380,6 +2380,98 @@ object ExtensionQueries {
     probeStoredRp(s, path, emb2.filter(col("vec_id") < 10))
   }
 
+  // ------------------------------------------------------------- SQ8 tier
+
+  /** The shared stored SQ8 fixture ([[graft.sim.Sq.buildIndex]] written
+    * once per JVM; mutating faces copy it — the [[rpStoredBase]]
+    * discipline). */
+  private def sqStoredBase(s: SparkSession, dir: String,
+                           emb: DataFrame): String =
+    storedIndexPath("sq", dir) { out =>
+      graft.sim.Sq.buildIndex(emb).quantized
+        .write.mode("overwrite").parquet(s"$out/quantized")
+    }
+
+  private def probeStoredSq(s: SparkSession, root: String,
+                            queries: DataFrame): DataFrame =
+    graft.sim.Sq.probeTopK(
+      graft.sim.SqIndex(s.read.parquet(s"$root/quantized")), queries, k = 5)
+
+  /** Stored int8 scalar-quantized (SQ8) probe — the 4× serving tier
+    * ([[graft.sim.Sq]] scaladoc): the thin (cand_id, scale, q) frame is
+    * written once and byte-dot-scanned per probe. Per-vector scales and
+    * an exact integer dot make the WHOLE ranking hash-portable — this is
+    * the one quantized tier whose stored full probe is hash-green, not
+    * rows-only. */
+  private val simSqProbe: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    probeStoredSq(s, sqStoredBase(s, dir, emb), emb.filter(col("vec_id") < 10))
+  }
+
+  /** O(delta) SQ8 merge: base slice built, delta appended — per-vector
+    * quantization has NO frozen artifact, so merged ≡ rebuilt EXACTLY
+    * (the full-corpus replay oracle is shared with [[simSqProbe]]; the
+    * trained tiers can only certify frozen-artifact equivalence). */
+  private val simSqMerge: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = graft.sim.Sq.buildIndex(emb.filter(col("vec_id") % 7 =!= 0))
+    val merged = graft.sim.Sq.appendToIndex(base,
+      emb.filter(col("vec_id") % 7 === 0))
+    graft.sim.Sq.probeTopK(merged, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** STORED-layout takedown on the SQ8 tier
+    * ([[graft.serve.AnnSqService.removeFromIndex]] — the marker-fenced
+    * thin-frame rewrite): vec_id ≡ 2 mod 7 removed, layout probed; the
+    * oracle replays the probe over the remainder corpus, so a
+    * resurrected id or an over-delete is a wrong row. */
+  private val simSqTakedown: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = sqStoredBase(s, dir, emb)
+    val path = storedIndexPath("sq_takedown", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnSqService.removeFromIndex(s, out,
+        emb.filter(col("vec_id") % 7 === 2).select("vec_id"), "vec_id")
+    }
+    probeStoredSq(s, path, emb.filter(col("vec_id") < 10))
+  }
+
+  /** STORED-layout re-embedding UPSERT on the SQ8 tier
+    * ([[graft.serve.AnnSqService.upsertDelta]]): the successor-copy
+    * batch replaces its live ids' quantized rows; quantization is a
+    * per-vector function, so the oracle replays the upserted documents'
+    * scales and codes from their NEW vectors exactly — a stale quantized
+    * row breaks the hash. Probes with the post-upsert corpus (the
+    * serving flow after a re-embedding sweep). */
+  private val simSqUpsert: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = sqStoredBase(s, dir, emb)
+    val path = storedIndexPath("sq_upsert", dir) { out =>
+      copyLayout(s, base, out)
+      graft.serve.AnnSqService.upsertDelta(s, out, successorReEmbed(emb))
+    }
+    val emb2 = emb
+      .join(successorReEmbed(emb).withColumnRenamed("embedding", "__newv"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("__newv"), col("embedding")).as("embedding"))
+    probeStoredSq(s, path, emb2.filter(col("vec_id") < 10))
+  }
+
+  /** FILTERED SQ8 ANN — the predicate-below-top-k contract on the 4×
+    * tier (closing the filtered matrix across ALL FIVE vector backends):
+    * the attribute rides the quantized rows (`keepCols`), the equality
+    * lands before the byte-dot scan, and the whole filtered ranking
+    * replays in SQL. */
+  private val simSqFiltered: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val tagged = emb.withColumn("tag",
+      pmod(col("vec_id"), lit(3L)).cast(IntegerType))
+    val idx = graft.sim.Sq.buildIndex(tagged, keepCols = Seq("tag"))
+    graft.sim.Sq.probeTopK(idx, emb.filter(col("vec_id") < 10), k = 5,
+      filter = Some(col("tag") === 1))
+  }
+
   /** HYBRID retrieval by reciprocal-rank fusion
     * ([[graft.serve.HybridSearch.rrfFuse]]): the vector top-10 (exact
     * rounded cosine) and a keyword top-10 (shared-distinct-token
@@ -3402,6 +3494,11 @@ object ExtensionQueries {
     "sim_pq_upsert" -> simPqUpsert,
     "sim_rp_takedown" -> simRpTakedown,
     "sim_rp_upsert" -> simRpUpsert,
+    "sim_sq_probe" -> simSqProbe,
+    "sim_sq_merge" -> simSqMerge,
+    "sim_sq_takedown" -> simSqTakedown,
+    "sim_sq_upsert" -> simSqUpsert,
+    "sim_sq_filtered" -> simSqFiltered,
     "sim_ivf_takedown" -> simIvfTakedown,
     "sim_ivf_upsert" -> simIvfUpsert,
     "sim_ivfpq_merge" -> simIvfpqMerge,
@@ -4132,6 +4229,47 @@ object ExtensionQueries {
     * documents' reduced coordinates are recomputed from their NEW
     * vectors, so a stale reduced row or a wrong-geometry re-projection
     * breaks the shortlist hash. */
+  /** The SQ8 replay generator (scale = max|x|/127 per vector,
+    * q = floor(x/scale + 0.5), score = sa·sc·Σ qa·qc round 6 — the
+    * `sim_quantized_topk` arithmetic over a parameterized corpus):
+    * `upsert` swaps every vec_id ≡ 0 mod 10 vector for its successor's
+    * BEFORE quantization; `candWhere` filters the candidate side below
+    * the ranking (the filtered/takedown faces). Integer-valued doubles
+    * and two IEEE multiplies keep every face hash-green. */
+  private def sqReplayOracle(candWhere: String = "",
+                             upsert: Boolean = false): String = {
+    val corpus =
+      if (!upsert) "corpus AS (SELECT vec_id, embedding FROM embeddings)"
+      else
+        """e0 AS (SELECT vec_id, embedding FROM embeddings),
+          |up AS (SELECT a.vec_id, b.embedding FROM e0 a
+          |  JOIN e0 b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id % 10 = 0),
+          |corpus AS (SELECT e0.vec_id,
+          |   coalesce(u.embedding, e0.embedding) AS embedding
+          |  FROM e0 LEFT JOIN up u USING (vec_id))""".stripMargin
+    raw"""WITH $corpus,
+         |qv AS (SELECT vec_id,
+         |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+         |     / 127 AS scale,
+         |   embedding FROM corpus),
+         |qz AS (SELECT vec_id, scale,
+         |   CASE WHEN scale = 0
+         |     THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |     ELSE list_transform(embedding,
+         |       x -> floor(CAST(x AS DOUBLE) / scale + 0.5))
+         |   END AS q
+         |  FROM qv)
+         |SELECT query_id, cand_id, score, rank FROM (
+         | SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+         |   ROUND(a.scale * c.scale * list_dot_product(a.q, c.q), 6) AS score,
+         |   CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |     ROUND(a.scale * c.scale * list_dot_product(a.q, c.q), 6) DESC,
+         |     c.vec_id) AS INTEGER) AS rank
+         | FROM qz a, qz c
+         | WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id$candWhere)
+         |WHERE rank <= 5""".stripMargin
+  }
+
   private def simRpUpsertOracle: String = {
     val dimOut = 8; val shortlist = 20; val k = 5; val seed = 42
     s"""WITH ${rpShortlistCtes(dimOut, shortlist, seed, upsert = true)}
@@ -6087,6 +6225,14 @@ bruteForceCosineOracle,
       "sim_pq_upsert" -> pqGridUpsertOracle,
       "sim_rp_takedown" -> simRpTakedownOracle,
       "sim_rp_upsert" -> simRpUpsertOracle,
+      // SQ8 tier: per-vector scales + integer dot ⇒ every face replays
+      // fully — stored probe, exact merge, takedown remainder, upsert
+      // re-quantization, filtered candidate slice.
+      "sim_sq_probe" -> sqReplayOracle(),
+      "sim_sq_merge" -> sqReplayOracle(),
+      "sim_sq_takedown" -> sqReplayOracle(candWhere = " AND c.vec_id % 7 <> 2"),
+      "sim_sq_upsert" -> sqReplayOracle(upsert = true),
+      "sim_sq_filtered" -> sqReplayOracle(candWhere = " AND c.vec_id % 3 = 1"),
       "sim_ivf_takedown" ->
         simIvfStoredMutationOracle(" AND a.cand_id % 7 <> 2", upsert = false),
       "sim_ivf_upsert" -> simIvfStoredMutationOracle("", upsert = true),

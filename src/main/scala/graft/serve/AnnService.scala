@@ -824,3 +824,113 @@ object AnnPqService {
     fire
   }
 }
+
+/** Request-time ANN over a stored int8 scalar-quantized (SQ8) layout —
+  * the 4× tier's serving face ([[graft.sim.Sq]] scaladoc): the thin
+  * (cand_id, scale, q) frame is opened once; each probe quantizes the
+  * query with the SAME symmetric expression and byte-dot-scans the
+  * frame. No codebook, no LUT, no coarse pruning — the right trade
+  * where recall must stay near-exact and the corpus fits a 4× scan.
+  * Same request-safety envelope as the other backends. */
+final class AnnSqService(index: graft.sim.SqIndex, val dim: Int,
+                         val maxK: Int = 100,
+                         filterCols: Set[String] = Set.empty) extends AnnBackend {
+  require(dim > 0, s"dim must be > 0, got $dim")
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+  filterCols.foreach(c => require(index.quantized.columns.contains(c),
+    s"filterable column '$c' is not in the stored quantized frame " +
+      s"(carry it via Sq.buildIndex keepCols; found: " +
+      s"${index.quantized.columns.mkString(", ")})"))
+
+  /** Top-k ids for the query vector: (cand_id, score, rank), rank 1..k,
+    * score = reconstructed inner product (scale·scale·Σ q·q, round 6). */
+  def topK(vec: Seq[Float], k: Int): Seq[(Long, Double, Int)] =
+    topK(vec, k, None)
+
+  /** Filtered top-k: whitelisted equality on an attribute column
+    * denormalized onto the quantized rows, applied BEFORE the byte-dot
+    * scan — k survivors are k matching survivors, and every filtered
+    * row is scan work saved (the flat-frame contract). */
+  override def topK(vec: Seq[Float], k: Int,
+                    filter: Option[(String, String)]): Seq[(Long, Double, Int)] = {
+    require(vec.length == dim,
+      s"query vector has ${vec.length} dims; the index carries $dim")
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val pred = filter.map { case (c, v) =>
+      require(filterCols.contains(c),
+        s"column '$c' is not filterable (whitelist: " +
+          s"${if (filterCols.isEmpty) "<empty>" else filterCols.mkString(", ")})")
+      col(c) === lit(v)
+    }
+    val spark = index.quantized.sparkSession
+    import spark.implicits._
+    val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
+    graft.sim.Sq.probeTopK(index, q, k, filter = pred)
+      .orderBy(col("rank"))
+      .select(col("cand_id"), col("score"), col("rank"))
+      .as[(Long, Double, Int)].collect().toSeq
+  }
+}
+
+object AnnSqService {
+  /** Open a stored SQ8 layout (`root/quantized` — the frame
+    * [[graft.sim.Sq.buildIndex]] writes). The dimension comes from one
+    * stored row's byte width (sanctioned single-row collect). */
+  def overParquetDir(spark: SparkSession, root: String, maxK: Int = 100,
+                     filterCols: Set[String] = Set.empty): AnnSqService = {
+    val quantized = spark.read.parquet(s"$root/quantized")
+    val dim = quantized.select(length(col("q")).cast("int").as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    new AnnSqService(graft.sim.SqIndex(quantized), dim, maxK, filterCols)
+  }
+
+  /** Index-aware compaction — the [[AnnRpService.compactIndex]] shape:
+    * the quantized frame is unpartitioned (every probe byte-dot-scans
+    * it), so compaction is the plain small-file fold with the
+    * versioned-dir swap; orphans scrubbed first, `_ledger` survives. */
+  def compactIndex(spark: SparkSession, root: String,
+                   targetFiles: Int = 1): Unit = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/quantized"))
+    graft.io.Sinks.compactParquetInPlace(spark, s"$root/quantized",
+      targetFiles)
+  }
+
+  /** STORED takedown — the thin-frame anti-join rewrite with the
+    * marker-fenced swap ([[AnnService.removeFromThinLayout]]). Nothing
+    * trained exists to drift: a takedown here is provably a no-op for
+    * every surviving row. */
+  def removeFromIndex(spark: SparkSession, root: String,
+                      removedIds: DataFrame,
+                      idCol: String = "vec_id"): Unit =
+    AnnService.removeFromThinLayout(spark, root, s"$root/quantized",
+      removedIds, idCol, layoutIdCol = "cand_id")
+
+  /** Re-embedded document UPSERT: live quantized rows for the batch's
+    * ids are removed (a no-op anti-join for genuinely-new ids), the new
+    * vectors quantized — a per-vector function, so upserted ≡ rebuilt
+    * EXACTLY, the strongest merge semantics in the family — and appended
+    * as one file per batch. Attribute columns come from the stored
+    * schema (batch rows must carry them). */
+  def upsertDelta(spark: SparkSession, root: String, batch: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    graft.util.Guards.requireUniqueIds(batch, idCol,
+      "AnnSqService.upsertDelta")
+    // heal-before-ANY-layout-read, then capture the attribute schema
+    // BEFORE the remove (the empty-layout hazard)
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/quantized")
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/quantized"))
+    val extras = spark.read.parquet(s"$root/quantized").columns
+      .filterNot(c => c == "cand_id" || c == "scale" || c == "q").toSeq
+    val missing = extras.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"upsert batch is missing attribute column(s) ${missing.mkString(", ")} " +
+        s"the layout denormalizes (batch has: ${batch.columns.mkString(", ")})")
+    removeFromIndex(spark, root, batch.select(col(idCol)), idCol)
+    graft.sim.Sq.quantize(batch, idCol, vecCol, keepCols = extras)
+      .coalesce(1).write.mode("append").parquet(s"$root/quantized")
+  }
+}

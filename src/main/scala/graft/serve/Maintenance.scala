@@ -80,6 +80,16 @@ object Maintenance {
     false
   }
 
+  /** SQ8 layout (`root/quantized`): compaction only — per-vector scales
+    * mean NOTHING trained exists to drift ([[graft.sim.Sq]] scaladoc),
+    * so like RP the nightly job is scrub + small-file fold. Always
+    * returns false (no migration can happen). */
+  def nightlySq(spark: SparkSession, root: String,
+                targetFiles: Int = 1): Boolean = {
+    AnnSqService.compactIndex(spark, root, targetFiles)
+    false
+  }
+
   /** BM25 layout (`root/postings` + `root/stats`): compaction only —
     * postings carry no quantizer; the streamed per-batch stats deltas
     * fold to one row and term buckets fold to `filesPerPartition`

@@ -489,6 +489,41 @@ object StreamOps {
     }
   }
 
+  /** Streaming ingest into a stored SQ8 layout
+    * ([[graft.serve.AnnSqService]] / [[graft.sim.Sq]]): per-vector
+    * quantization has NO frozen artifact to pin — each micro-batch is a
+    * map-only quantize appended as batch-tagged files, and streamed ≡
+    * batch-rebuilt holds EXACTLY (not just under frozen artifacts), the
+    * strongest ingest semantics of the vector families. Same
+    * exactly-once-in-effect commit protocol as every other sink. */
+  def sqIngestStream(vectors: DataFrame, root: String, checkpointDir: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+                    : org.apache.spark.sql.streaming.StreamingQuery = {
+    BatchCommit.assertStreamIdentity(vectors.sparkSession, root, checkpointDir)
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        sqIngestBatch(batch.toDF(), root, batchId, idCol, vecCol)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[sqIngestStream]] — public for the replay spec.
+    * Returns false when the batch was empty or already committed. */
+  def sqIngestBatch(batch: DataFrame, root: String, batchId: Long,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Boolean = {
+    if (batch.isEmpty) return false
+    BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      graft.sim.Sq.quantize(batch, idCol, vecCol)
+        .write.parquet(s"$staging/quantized")
+      Seq(s"$staging/quantized" -> s"$root/quantized")
+    }
+  }
+
   /** Streaming ingest into a stored FLAT-PQ layout — the last stored
     * index family without live ingest (BM25, flat IVF, residual IVF-PQ
     * and RP all have it): the stored codebooks are pinned once at

@@ -166,13 +166,26 @@ class HttpQueryServerSpec extends SparkSpec {
     val rp = AnnRpService.overParquetDir(spark, rpRoot, maxK = 10,
       shortlist = 41, seed = 42)
     assert(rp.dim === dim)
+    val sqRoot = java.nio.file.Files.createTempDirectory("ann_sq_").toString
+    graft.sim.Sq.buildIndex(corpus).quantized
+      .write.mode("overwrite").parquet(s"$sqRoot/quantized")
+    val sq = AnnSqService.overParquetDir(spark, sqRoot, maxK = 10)
+    assert(sq.dim === dim)
     val svc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
       Seq("nation"), Map("nation" -> Seq("n_nationkey")))
     val srv = new HttpQueryServer(svc, 1000, Some(flat), None,
-      annBackends = Map("flat" -> flat, "rp" -> rp))
+      annBackends = Map("flat" -> flat, "rp" -> rp, "sq" -> sq))
     val port = srv.start()
     try {
       val q = vec(7).mkString("[", ",", "]")
+      // SQ ranks by reconstructed inner product (not cosine), so the
+      // identical-vector pair is the top-2 but its score is the
+      // quantized self-dot, not 1.0 — asserted separately
+      val rsq = postPath(port, "/ann/sq", s"""{"vec": $q, "k": 2}""")
+      assert(rsq.statusCode() === 200, s"/ann/sq: ${rsq.body()}")
+      val sqIds = """"id":(-?\d+)""".r.findAllMatchIn(rsq.body())
+        .map(_.group(1).toLong).toSet
+      assert(sqIds === Set(7L, 9007L), s"/ann/sq: ${rsq.body()}")
       for (path <- Seq("/ann", "/ann/flat", "/ann/rp")) {
         val r = postPath(port, path, s"""{"vec": $q, "k": 2}""")
         assert(r.statusCode() === 200, s"$path: ${r.body()}")

@@ -783,6 +783,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(hit.map(_._1).toSet === Set(7L, 9007L), hit.toString)
   }
 
+  test("sqIngestStream: streamed vectors quantize into the stored frame; " +
+      "streamed ≡ batch-rebuilt EXACTLY; replay-safe; served") {
+    import graft.sim.Sq
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val seedCorpus = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("sq_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sq_ckpt_").toString
+    Sq.quantize(seedCorpus).write.mode("overwrite").parquet(s"$root/quantized")
+    val streamed = Seq((100L, vec(100)), (9007L, vec(7)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.sqIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    try {
+      mem.addData(streamed.take(1): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    // layout ≡ one-shot quantization of everything — EXACT equality,
+    // per-vector scales have no frozen artifact to diverge under
+    val all = seedCorpus.unionByName(streamed.toDF("vec_id", "embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.withColumn("__qh",
+          org.apache.spark.sql.functions.hex(
+            org.apache.spark.sql.functions.col("q"))).drop("q")
+        .collect().map(_.toString).toSet
+    assert(rows(spark.read.parquet(s"$root/quantized")) ===
+      rows(Sq.quantize(all)))
+    // replay safety: post-commit replay skipped; crashed-mid-append redo
+    val b1 = streamed.drop(1).toDF("vec_id", "embedding")
+    assert(!StreamOps.sqIngestBatch(b1, root, batchId = 1))
+    val marker = new java.io.File(s"$root/_ledger/batch-1")
+    assert(marker.delete())
+    assert(StreamOps.sqIngestBatch(b1, root, batchId = 1))
+    val ids = spark.read.parquet(s"$root/quantized")
+      .select("cand_id").as[Long].collect().toSeq.sorted
+    assert(ids === ((0L until 40L) ++ Seq(100L, 9007L)).sorted)
+    // the freshly-streamed copy of vector 7 is served
+    val svc = graft.serve.AnnSqService.overParquetDir(spark, root, maxK = 10)
+    val hit = svc.topK(vec(7).toIndexedSeq, 2)
+    assert(hit.map(_._1).toSet === Set(7L, 9007L), hit.toString)
+  }
+
   test("ivfPqIngestStream: streamed vectors residual-encode into their " +
       "cells; the compressed layout serves them") {
     import graft.sim.{IvfPq, IvfPqIndex}
