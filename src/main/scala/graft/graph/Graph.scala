@@ -99,6 +99,148 @@ object Graph {
     }
   }
 
+  /** WEIGHTED integer-exact PageRank: parallel edges carry mass in
+    * proportion to their multiplicity/weight instead of collapsing — the
+    * form transaction and click graphs need (a supplier co-filling 1000
+    * orders with you is not one link).
+    *
+    * rank_{i+1}(v) = teleport
+    *   + (dampNum · Σ_{u→v} share_w(u, v)) DIV dampDen, where
+    * share_w(u, v) = exact floor(rank_i(u)·w(u,v) / wsum(u)), computed
+    * WITHOUT forming rank·w (which overflows first): with
+    * q = rank DIV wsum and m = rank MOD wsum,
+    * floor(rank·w/wsum) = q·w + (m·w) DIV wsum — exact by the division
+    * identity, and every factor stays ≤ rank·max(w)/wsum ≈ rank or
+    * wsum·w, far inside BIGINT for any real graph.
+    *
+    * Parallel (src, dst) rows SUM their weights; self-loops drop; rows
+    * with NULL or non-positive weight are rejected by a loud filter-time
+    * guard (a zero-weight edge is a modeling error, not a 0 share).
+    * Returns (node, rank). */
+  def pageRankIntWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                          weightCol: String, iterations: Int = 5,
+                          scale: Long = 1000000000L, dampNum: Long = 85L,
+                          dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(scale >= dampDen, s"scale must be >= dampDen, got $scale")
+    val teleport = ((dampDen - dampNum) * scale) / dampDen
+
+    import org.apache.spark.storage.StorageLevel
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"),
+        coalesce(col(weightCol).cast(LongType), lit(-1L)).as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .withColumn("w", when(col("w") > 0, col("w")).otherwise(
+        raise_error(concat(lit("pageRankIntWeighted: non-positive or " +
+          "null weight on edge "), col("src"), lit("->"), col("dst")))))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("__wsum"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    graft.util.Caching.releasingOnFailure(e, nodes, wsum) {
+      var ranks = nodes.withColumn("rank", lit(scale))
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(wsum, Seq("src"))
+          .select(col("dst").as("node"),
+            expr("(rank DIV __wsum) * w + ((rank % __wsum) * w) DIV __wsum")
+              .as("__share"))
+          .groupBy("node").agg(sum(col("__share")).as("__in"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampNum * coalesce(__in, 0L)) DIV $dampDen"))
+              .cast(LongType).as("rank"))
+      }
+      graft.util.Caching.materializeAndRelease(ranks, e, nodes, wsum)
+    }
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources in
+    * a Hyperlinked Environment", public), integer-exact: each half-step
+    * is a sum over the DISTINCT edge set followed by an integer
+    * DOWNSCALE x' = x DIV d with d = 1 + (max(x) − 1) DIV scale — the
+    * renormalization HITS needs to converge, in a form where no
+    * intermediate ever exceeds the raw sums themselves (the naive
+    * (x·scale) DIV max overflows at x·scale ≈ n·scale²). After the
+    * downscale the maximum lands in [scale/2, scale], so precision holds
+    * at ~9 digits across iterations and the arithmetic replays in SQL.
+    * The max is a one-row aggregate cross-joined back (broadcast — no
+    * collect, the plan stays lazy and portable). Nodes outside an edge
+    * direction hold 0 for that score (a never-cited node has authority
+    * 0). Returns (node, authority, hub). */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale > 0, s"scale must be > 0, got $scale")
+
+    import org.apache.spark.storage.StorageLevel
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // greatest(max, 1) keeps the divisor's integer ops on non-negative
+    // operands — Spark DIV truncates while DuckDB // floors, and they
+    // only agree when nothing goes negative.
+    //
+    // EACH half-step's scores feed TWO consumers (the max aggregate and
+    // the downscale projection), so the LOGICAL plan doubles per
+    // half-step — after 2·iterations half-steps Catalyst re-analyzes
+    // 2^(2·iterations) copies of the deepest subtree and the driver, not
+    // the executors, becomes the bottleneck (measured: 7 s for one
+    // iteration → 184 s for three on the sf0.1 bipartite graph; caching
+    // alone does NOT help because planning cost, not recompute, is what
+    // explodes). The eager localCheckpoint TRUNCATES the lineage to a
+    // materialized node-sized leaf — the [[graft.serve.NearDupService]]
+    // precedent for iterative frames. */
+    def renorm(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(greatest(max(col(c)), lit(1L)).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"$c DIV (1L + (__mx - 1L) DIV ${scale}L)").as(c))
+        .localCheckpoint(true)
+    }
+
+    graft.util.Caching.releasingOnFailure(e, nodes) {
+      var hubs = nodes.withColumn("hub", lit(scale))
+      var auths = nodes.withColumn("authority", lit(0L))
+      for (_ <- 1 to iterations) {
+        val aRaw = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("authority"))
+        auths = renorm(
+          nodes.join(aRaw, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("authority"), lit(0L)).as("authority")),
+          "authority")
+        val hRaw = e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("authority")).as("hub"))
+        hubs = renorm(
+          nodes.join(hRaw, Seq("node"), "left")
+            .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+          "hub")
+      }
+      val out = auths.join(hubs, Seq("node"))
+        .select(col("node"), col("authority"), col("hub"))
+      graft.util.Caching.materializeAndRelease(out, e, nodes)
+    }
+  }
+
   /** The unrolled ANSI-SQL replay of [[pageRankInt]] — the oracle text
     * generator, kept NEXT TO the engine code so the two formulations
     * cannot drift apart silently. `edgeSql` must yield (src, dst) BIGINT
@@ -127,5 +269,75 @@ object Graph {
        |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
        |${steps.mkString(",\n")}
        |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
+  /** The unrolled ANSI-SQL replay of [[pageRankIntWeighted]]. `edgeSql`
+    * must yield (src, dst, w); parallel rows sum here exactly as the
+    * engine sums them, and the share uses the same overflow-safe
+    * division identity. */
+  def pageRankIntWeightedSql(edgeSql: String, iterations: Int = 5,
+                             scale: Long = 1000000000L, dampNum: Long = 85L,
+                             dampDen: Long = 100L): String = {
+    val teleport = ((dampDen - dampNum) * scale) / dampDen
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST($teleport + ($dampNum * COALESCE(s.c, 0)) // $dampDen
+         |    AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      SUM((r.rank // ws.wsum) * e.w
+         |        + ((r.rank % ws.wsum) * e.w) // ws.wsum) AS c
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN ws ON e.src = ws.src GROUP BY 1) s ON n.node = s.node)"""
+        .stripMargin
+    }
+    s"""WITH raw_e AS ($edgeSql),
+       |e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       |    CAST(SUM(w) AS BIGINT) AS w FROM raw_e
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
+  /** The unrolled ANSI-SQL replay of [[hitsInt]] — one (raw sum, max,
+    * downscale) CTE triple per half-step, the same integer divisor
+    * formula. */
+  def hitsIntSql(edgeSql: String, iterations: Int = 3,
+                 scale: Long = 1000000000L): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""a${i}r AS (SELECT n.node, CAST(COALESCE(s.x, 0) AS BIGINT)
+         |    AS authority
+         |  FROM nodes n LEFT JOIN (SELECT e.dst AS node, SUM(h.hub) AS x
+         |    FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1) s
+         |  ON n.node = s.node),
+         |a${i}m AS (SELECT GREATEST(MAX(authority), 1) AS mx FROM a${i}r),
+         |a$i AS (SELECT node, CAST(authority
+         |    // (1 + (mx - 1) // $scale) AS BIGINT) AS authority
+         |  FROM a${i}r, a${i}m),
+         |h${i}r AS (SELECT n.node, CAST(COALESCE(s.x, 0) AS BIGINT) AS hub
+         |  FROM nodes n LEFT JOIN (SELECT e.src AS node, SUM(a.authority) AS x
+         |    FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1) s
+         |  ON n.node = s.node),
+         |h${i}m AS (SELECT GREATEST(MAX(hub), 1) AS mx FROM h${i}r),
+         |h$i AS (SELECT node, CAST(hub
+         |    // (1 + (mx - 1) // $scale) AS BIGINT) AS hub
+         |  FROM h${i}r, h${i}m)""".stripMargin
+    }
+    s"""WITH raw_e AS ($edgeSql),
+       |e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src,
+       |    CAST(dst AS BIGINT) AS dst FROM raw_e
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT a.node, a.authority, h.hub
+       |FROM a$iterations a JOIN h$iterations h ON a.node = h.node"""
+      .stripMargin
   }
 }

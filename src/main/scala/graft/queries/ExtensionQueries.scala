@@ -1520,6 +1520,45 @@ object ExtensionQueries {
     graft.graph.Graph.pageRankInt(pairs, "src", "dst", iterations = 5)
   }
 
+  /** WEIGHTED PageRank over the same projection — each co-filled
+    * order-line pair contributes one unit of edge weight (the raw pairs
+    * enter with w = 1 and [[graft.graph.Graph.pageRankIntWeighted]] sums
+    * them), so frequently-co-purchasing suppliers pull proportionally
+    * more mass than one-off pairings, which the unweighted face
+    * collapses. Overflow-safe integer shares; hash-green via the
+    * weighted 5-CTE replay. */
+  private val grPagerankWeighted: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"),
+        lit(1L).as("w"))
+    graft.graph.Graph.pageRankIntWeighted(pairs, "src", "dst", "w",
+      iterations = 5)
+  }
+
+  /** HITS over the BIPARTITE customer → supplier purchase graph: hub
+    * scores rank customers by how broadly they buy from authoritative
+    * suppliers, authority scores rank suppliers by who buys from them —
+    * the two-sided centrality PageRank's single score cannot express on
+    * a bipartite graph (all suppliers are dangling there). Integer
+    * downscale renormalization ([[graft.graph.Graph.hitsInt]]), 3
+    * unrolled iterations, hash-green. */
+  private val grHits: Q = (s, dir) => {
+    // custkey and suppkey share a numeric id space — suppliers shift by
+    // 1e6 so customer 7 and supplier 7 stay distinct nodes
+    val edges = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_suppkey") + 1000000L).as("dst")),
+        Seq("ok"))
+      .select(col("src"), col("dst"))
+    graft.graph.Graph.hitsInt(edges, "src", "dst", iterations = 3)
+  }
+
   /** Two overlapping "snapshots" of the orders fact (orderkey mod-10
     * buckets 0–6 vs 3–9 — deterministic, SQL-replayable membership, ~40%
     * shared) whose distinct-customer set algebra the theta-sketch and
@@ -3391,6 +3430,8 @@ object ExtensionQueries {
     "a22_l_diversity" -> a22LDiversity,
     "a23_l_suppress" -> a23LSuppress,
     "gr_pagerank" -> grPagerank,
+    "gr_pagerank_weighted" -> grPagerankWeighted,
+    "gr_hits" -> grHits,
     "a17_k_suppress" -> a17KSuppress,
     "pr10_snapshot_overlap" -> pr10SnapshotOverlap,
     "pr10_snapshot_overlap_exact" -> pr10SnapshotOverlapExact,
@@ -5803,6 +5844,19 @@ object ExtensionQueries {
              |WHERE g.d >= 5""".stripMargin,
       "gr_pagerank" ->
         graft.graph.Graph.pageRankIntSql(supplierEdgeSql, iterations = 5),
+      "gr_pagerank_weighted" ->
+        graft.graph.Graph.pageRankIntWeightedSql(
+          """SELECT a.l_suppkey AS src, b.l_suppkey AS dst, 1 AS w
+            |FROM lineitem a JOIN lineitem b
+            |  ON a.l_orderkey = b.l_orderkey
+            |  AND a.l_suppkey <> b.l_suppkey""".stripMargin,
+          iterations = 5),
+      "gr_hits" ->
+        graft.graph.Graph.hitsIntSql(
+          """SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+            |FROM orders o JOIN lineitem l
+            |  ON o.o_orderkey = l.l_orderkey""".stripMargin,
+          iterations = 3),
       // Numeric-PSI bucket replay: F-side cumulative distinct-value
       // counts, integer-rank decile boundaries (cc*10 >= i*n — no
       // division), per-row bucket = count of boundaries strictly below

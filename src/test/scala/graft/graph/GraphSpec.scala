@@ -57,6 +57,60 @@ class GraphSpec extends SparkSpec {
     assert(a === b && a.size === 12 && a.forall(_._2 > 0))
   }
 
+  test("pageRankIntWeighted: exact floor shares on non-dividing weights " +
+      "(the division identity) and parallel-edge summation") {
+    // A→B w=3, A→C w=4 (wsum 7), no in-edges to A; damp 1/2, scale 1000.
+    // share(A→B) = floor(1000·3/7) = 428, share(A→C) = floor(4000/7) = 571
+    // r1(A) = 500; r1(B) = 500 + 428/2 = 714; r1(C) = 500 + 285 = 785.
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 4L)).toDF("s", "d", "w")
+    val r1 = Graph.pageRankIntWeighted(e, "s", "d", "w", iterations = 1,
+        scale = 1000L, dampNum = 1L, dampDen = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 500L, 2L -> 714L, 3L -> 785L))
+    // parallel edges SUM their weights (w=2 plus w=1 ≡ one w=3 edge)
+    val par = Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 4L)).toDF("s", "d", "w")
+    val r1p = Graph.pageRankIntWeighted(par, "s", "d", "w", iterations = 1,
+        scale = 1000L, dampNum = 1L, dampDen = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(r1p === r1)
+    // uniform weights ≡ the unweighted form
+    val uni = triangle.withColumn("w", org.apache.spark.sql.functions.lit(5L))
+    val w2 = Graph.pageRankIntWeighted(uni, "s", "d", "w", iterations = 3,
+      scale = 1000L, dampNum = 1L, dampDen = 2L).as[(Long, Long)].collect().toSet
+    val u2 = Graph.pageRankInt(triangle, "s", "d", iterations = 3,
+      scale = 1000L, dampNum = 1L, dampDen = 2L).as[(Long, Long)].collect().toSet
+    assert(w2 === u2)
+    // a null / non-positive weight is a loud failure, never a 0 share
+    val bad = Seq((1L, 2L, 0L)).toDF("s", "d", "w")
+    val ex = intercept[Exception] {
+      Graph.pageRankIntWeighted(bad, "s", "d", "w").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("hitsInt: hand-computed bipartite iteration (downscale divisor, " +
+      "zero scores outside each direction)") {
+    // c1→s1, c1→s2, c2→s1 at scale 1000, one iteration:
+    // a_raw: s1 = 2000, s2 = 1000 → divisor 2 → a: s1 = 1000, s2 = 500
+    // h_raw: c1 = 1500, c2 = 1000 → divisor 2 → h: c1 = 750, c2 = 500
+    val e = Seq((1L, 11L), (1L, 12L), (2L, 11L)).toDF("s", "d")
+    val out = Graph.hitsInt(e, "s", "d", iterations = 1, scale = 1000L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      1L -> ((0L, 750L)), 2L -> ((0L, 500L)),
+      11L -> ((1000L, 0L)), 12L -> ((500L, 0L))))
+  }
+
+  test("hitsInt: dense graph at default scale stays inside BIGINT " +
+      "(ANSI overflow would throw) with scores bounded by scale") {
+    val edges = (for { s <- 1L to 40L; d <- 1L to 40L; if s != d }
+      yield (s, d)).toDF("s", "d")
+    val out = Graph.hitsInt(edges, "s", "d").as[(Long, Long, Long)].collect()
+    assert(out.length === 40)
+    assert(out.forall(r => r._2 > 0 && r._2 <= 1000000000L &&
+      r._3 > 0 && r._3 <= 1000000000L))
+  }
+
   test("pageRankInt: argument guards fail loudly") {
     intercept[IllegalArgumentException] {
       Graph.pageRankInt(triangle, "s", "d", iterations = 0)
