@@ -125,6 +125,18 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
     require(scale >= dampDen, s"scale must be >= dampDen, got $scale")
+    // integer-exact algorithm ⇒ integer weights, enforced at the TYPE
+    // level: a fractional weight column would silently truncate per edge
+    // here while the SQL replay sums raw values before casting — the two
+    // formulations would diverge exactly where the hash contract matters
+    edges.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"pageRankIntWeighted needs an integral weight column; '$weightCol' " +
+          s"is ${t.sql} — scale fractional weights to integers upstream")
+    }
     val teleport = ((dampDen - dampNum) * scale) / dampDen
 
     import org.apache.spark.storage.StorageLevel
@@ -219,6 +231,8 @@ object Graph {
 
     graft.util.Caching.releasingOnFailure(e, nodes) {
       var hubs = nodes.withColumn("hub", lit(scale))
+      // reassigned from the a-step before any read (iterations >= 1) —
+      // the initializer only gives the var a well-typed starting value
       var auths = nodes.withColumn("authority", lit(0L))
       for (_ <- 1 to iterations) {
         val aRaw = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))

@@ -1548,12 +1548,13 @@ object ExtensionQueries {
     * unrolled iterations, hash-green. */
   private val grHits: Q = (s, dir) => {
     // custkey and suppkey share a numeric id space — suppliers shift by
-    // 1e6 so customer 7 and supplier 7 stay distinct nodes
+    // 1e12 so the two sides stay distinct nodes at ANY scale factor
+    // (custkey grows as 150k·SF; 1e6 would collide above SF ~ 6)
     val edges = t(s, dir, "orders")
       .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"))
       .join(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"),
-          (col("l_suppkey") + 1000000L).as("dst")),
+          (col("l_suppkey") + 1000000000000L).as("dst")),
         Seq("ok"))
       .select(col("src"), col("dst"))
     graft.graph.Graph.hitsInt(edges, "src", "dst", iterations = 3)
@@ -5853,7 +5854,8 @@ object ExtensionQueries {
           iterations = 5),
       "gr_hits" ->
         graft.graph.Graph.hitsIntSql(
-          """SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+          """SELECT o.o_custkey AS src,
+            |  l.l_suppkey + 1000000000000 AS dst
             |FROM orders o JOIN lineitem l
             |  ON o.o_orderkey = l.l_orderkey""".stripMargin,
           iterations = 3),

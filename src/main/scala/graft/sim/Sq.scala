@@ -72,6 +72,20 @@ object Sq {
   def probeTopK(index: SqIndex, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 filter: Option[Column] = None): DataFrame = {
+    // dotI8 dots the COMMON PREFIX of the two byte arrays — a
+    // wrong-width query would return a plausible-but-truncated ranking
+    // silently. One-row dim probes on both sides (the sanctioned scalar
+    // gate, [[Pq.buildIndex]]'s shape) make it a loud argument error.
+    val idxDim = index.quantized
+      .select(length(col("q")).cast("int").as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    val qDim = queries.select(size(col(vecCol)).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    (idxDim, qDim) match {
+      case (Some(di), Some(dq)) => require(di == dq,
+        s"query vectors have $dq dims; the index carries $di")
+      case _ => () // an empty side yields an empty result anyway
+    }
     val q = queries.select(col(idCol).as("query_id"),
       VectorExprs.quantizeI8(col(vecCol)).as("qq"))
     val cand = filter.map(index.quantized.filter).getOrElse(index.quantized)

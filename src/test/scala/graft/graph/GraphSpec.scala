@@ -86,6 +86,13 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankIntWeighted(bad, "s", "d", "w").collect()
     }
     assert(ex.getMessage != null)
+    // a FRACTIONAL weight column is a type-level argument error — a
+    // silent per-edge truncation would diverge from the SQL replay
+    val frac = Seq((1L, 2L, 0.5)).toDF("s", "d", "w")
+    val te = intercept[IllegalArgumentException] {
+      Graph.pageRankIntWeighted(frac, "s", "d", "w")
+    }
+    assert(te.getMessage.contains("integral weight column"))
   }
 
   test("hitsInt: hand-computed bipartite iteration (downscale divisor, " +

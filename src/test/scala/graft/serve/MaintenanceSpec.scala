@@ -216,5 +216,23 @@ class MaintenanceSpec extends SparkSpec {
     // a doc streamed before the nightly is still served after it
     val svc = SearchService.overParquetDir(spark, bmRoot)
     assert(svc.topK(Seq("durian"), 3).map(_._1).contains(3L))
+
+    // SQ8: compact-only contract (nothing trained exists to drift), a
+    // streamed vector survives the nightly and stays served
+    val sqRoot = java.nio.file.Files.createTempDirectory("mn_sq_").toString
+    graft.sim.Sq.quantize(corpus)
+      .write.parquet(s"$sqRoot/quantized")
+    (0 until 3).foreach { b =>
+      assert(graft.streaming.StreamOps.sqIngestBatch(
+        Seq((100L + b, vec(100 + b, anchorOdd = false)))
+          .toDF("vec_id", "embedding"),
+        sqRoot, batchId = b))
+    }
+    val servedBefore = AnnSqService.overParquetDir(spark, sqRoot, maxK = 5)
+      .topK(vec(101, anchorOdd = false).toIndexedSeq, 1)
+    assert(!Maintenance.nightlySq(spark, sqRoot))
+    assert(parquetFiles(s"$sqRoot/quantized").size === 1)
+    assert(AnnSqService.overParquetDir(spark, sqRoot, maxK = 5)
+      .topK(vec(101, anchorOdd = false).toIndexedSeq, 1) === servedBefore)
   }
 }

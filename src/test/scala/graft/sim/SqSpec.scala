@@ -43,6 +43,15 @@ class SqSpec extends SparkSpec {
     assert(stored === mem)
   }
 
+  test("probeTopK rejects wrong-width queries loudly (dotI8 would " +
+      "silently dot the common prefix)") {
+    val narrow = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Sq.probeTopK(Sq.buildIndex(corpus), narrow, k = 3)
+    }
+    assert(ex.getMessage.contains("dims"))
+  }
+
   test("append ≡ rebuild EXACTLY (per-vector scales — no frozen artifact)") {
     val base = Sq.buildIndex(corpus.filter(col("vec_id") < 25))
     val merged = Sq.appendToIndex(base, corpus.filter(col("vec_id") >= 25))
