@@ -99,6 +99,102 @@ object Graph {
     }
   }
 
+  /** PERSONALIZED integer-exact PageRank (Haveliwala 2002,
+    * "Topic-Sensitive PageRank"; the TrustRank construction of Gyöngyi
+    * et al. 2004, public): teleport mass lands ONLY on the `seeds` set,
+    * so rank measures proximity to the seeds under the random walk —
+    * the propagation crawl pipelines use to score sources by distance
+    * from a trusted whitelist. Same integer arithmetic as
+    * [[pageRankInt]]; rank_0(v) = [v ∈ S]·scale and the teleport term is
+    * [v ∈ S]·((dampDen − dampNum)·scale) DIV dampDen. Nodes unreachable
+    * from the seeds converge to rank 0 — that IS the signal. Seeds
+    * outside the node set are ignored (they have no edges to walk).
+    * Returns (node, rank). */
+  def pageRankIntPersonalized(edges: DataFrame, srcCol: String,
+                              dstCol: String, seeds: DataFrame,
+                              seedCol: String, iterations: Int = 5,
+                              scale: Long = 1000000000L, dampNum: Long = 85L,
+                              dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(scale >= dampDen, s"scale must be >= dampDen, got $scale")
+    val teleport = ((dampDen - dampNum) * scale) / dampDen
+
+    import org.apache.spark.storage.StorageLevel
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds
+      .select(col(seedCol).cast(LongType).as("node")).distinct()
+    // (node, is_seed) — one broadcastable frame both the init and every
+    // teleport term read
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0)).as("__seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    graft.util.Caching.releasingOnFailure(e, nodes, outdeg) {
+      var ranks = nodes.select(col("node"),
+        (col("__seed").cast(LongType) * scale).as("rank"))
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst").as("node"),
+            expr("rank DIV __outdeg").as("__share"))
+          .groupBy("node").agg(sum(col("__share")).as("__in"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (col("__seed").cast(LongType) * teleport +
+              expr(s"($dampNum * coalesce(__in, 0L)) DIV $dampDen"))
+              .cast(LongType).as("rank"))
+      }
+      graft.util.Caching.materializeAndRelease(
+        ranks.select(col("node"), col("rank")), e, nodes, outdeg)
+    }
+  }
+
+  /** The unrolled ANSI-SQL replay of [[pageRankIntPersonalized]].
+    * `seedPred` is a SQL boolean over `node` defining the seed set
+    * (e.g. "node % 10 = 0"). */
+  def pageRankIntPersonalizedSql(edgeSql: String, seedPred: String,
+                                 iterations: Int = 5,
+                                 scale: Long = 1000000000L,
+                                 dampNum: Long = 85L,
+                                 dampDen: Long = 100L): String = {
+    val teleport = ((dampDen - dampNum) * scale) / dampDen
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST(n.seed * $teleport + ($dampNum * COALESCE(s.c, 0)) // $dampDen
+         |    AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank // od.outdeg) AS c
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN od ON e.src = od.src GROUP BY 1) s ON n.node = s.node)"""
+        .stripMargin
+    }
+    s"""WITH raw_e AS ($edgeSql),
+       |e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src,
+       |    CAST(dst AS BIGINT) AS dst FROM raw_e
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       |nodes AS (SELECT node,
+       |    CAST(CASE WHEN $seedPred THEN 1 ELSE 0 END AS BIGINT) AS seed
+       |  FROM (SELECT DISTINCT src AS node FROM e
+       |    UNION SELECT DISTINCT dst FROM e)),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(seed * $scale AS BIGINT) AS rank FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
   /** WEIGHTED integer-exact PageRank: parallel edges carry mass in
     * proportion to their multiplicity/weight instead of collapsing — the
     * form transaction and click graphs need (a supplier co-filling 1000

@@ -1560,6 +1560,37 @@ object ExtensionQueries {
     graft.graph.Graph.hitsInt(edges, "src", "dst", iterations = 3)
   }
 
+  /** PERSONALIZED PageRank over the supplier co-purchase graph with the
+    * mod-10 suppliers as the trusted seed set — the TrustRank
+    * construction source-quality pipelines run from a vetted whitelist
+    * ([[graft.graph.Graph.pageRankIntPersonalized]]): teleport mass
+    * lands only on seeds, so rank = random-walk proximity to them, and
+    * seed-unreachable nodes report 0. Hash-green via the seeded 5-CTE
+    * replay. */
+  private val grPagerankPersonalized: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+    val seeds = t(s, dir, "supplier")
+      .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
+    graft.graph.Graph.pageRankIntPersonalized(pairs, "src", "dst",
+      seeds, "s_suppkey", iterations = 5)
+  }
+
+  /** Proximity search — the sloppy-phrase relevance signal
+    * ([[TextOps.proximityMatches]]): per-document counts of "value"
+    * occurring 1-5 positions BEFORE "table" (exact adjacency is the
+    * window = 1 special case, certified by the phrase faces; this face
+    * pins the windowed range residual). Integer counts, full SQL
+    * replay. */
+  private val txtProximity: Q = (s, dir) =>
+    TextOps.proximityMatches(
+      TextOps.positionalPostings(t(s, dir, "documents"), "text", "doc_id"),
+      "value", "table", window = 5)
+
   /** Two overlapping "snapshots" of the orders fact (orderkey mod-10
     * buckets 0–6 vs 3–9 — deterministic, SQL-replayable membership, ~40%
     * shared) whose distinct-customer set algebra the theta-sketch and
@@ -3432,7 +3463,9 @@ object ExtensionQueries {
     "a23_l_suppress" -> a23LSuppress,
     "gr_pagerank" -> grPagerank,
     "gr_pagerank_weighted" -> grPagerankWeighted,
+    "gr_pagerank_seeded" -> grPagerankPersonalized,
     "gr_hits" -> grHits,
+    "txt_proximity" -> txtProximity,
     "a17_k_suppress" -> a17KSuppress,
     "pr10_snapshot_overlap" -> pr10SnapshotOverlap,
     "pr10_snapshot_overlap_exact" -> pr10SnapshotOverlapExact,
@@ -5845,6 +5878,22 @@ object ExtensionQueries {
              |WHERE g.d >= 5""".stripMargin,
       "gr_pagerank" ->
         graft.graph.Graph.pageRankIntSql(supplierEdgeSql, iterations = 5),
+      "gr_pagerank_seeded" ->
+        graft.graph.Graph.pageRankIntPersonalizedSql(supplierEdgeSql,
+          seedPred = "node % 10 = 0", iterations = 5),
+      "txt_proximity" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+             |  FROM toks, LATERAL (SELECT
+             |    unnest(generate_series(1, len(t))) AS i)
+             |  WHERE t[i] <> '')
+             |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p a JOIN p b ON b.doc_id = a.doc_id
+             |  AND b.pos - a.pos BETWEEN 1 AND 5
+             |WHERE a.term = 'value' AND b.term = 'table'
+             |GROUP BY 1""".stripMargin,
       "gr_pagerank_weighted" ->
         graft.graph.Graph.pageRankIntWeightedSql(
           """SELECT a.l_suppkey AS src, b.l_suppkey AS dst, 1 AS w

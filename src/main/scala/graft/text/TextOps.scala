@@ -1061,6 +1061,34 @@ object TextOps {
     aligned.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** PROXIMITY matches over positional postings — the relaxed member of
+    * the phrase family: occurrences of `termA` and `termB` within
+    * `window` token positions of each other IN ORDER (a precedes b by
+    * 1..window), counted per document. This is the "terms near each
+    * other" relevance signal (Lucene's sloppy PhraseQuery shape) that
+    * exact adjacency misses and bag-of-words over-matches.
+    * Same filter-first + position-join plan as [[phraseMatches]], with
+    * the equality join on doc_id and the position offset as a RANGE
+    * residual — per-doc cost bounded by tf(a)·tf(b). Returns
+    * (doc_id, n_pairs). */
+  def proximityMatches(postings: DataFrame, termA: String, termB: String,
+                       window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    def one(t: String): String = {
+      val n = t.trim.toLowerCase(java.util.Locale.ROOT)
+      require(n.nonEmpty && !n.exists(_.isWhitespace),
+        s"terms must be non-empty single tokens, got '$t'")
+      n
+    }
+    val a = postings.filter(col("term") === one(termA))
+      .select(col("doc_id"), col("pos").as("__pa"))
+    val b = postings.filter(col("term") === one(termB))
+      .select(col("doc_id"), col("pos").as("__pb"))
+    a.join(b, Seq("doc_id"))
+      .filter((col("__pb") - col("__pa")).between(lit(1), lit(window)))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Phrase-search top-k: the `k` documents with the most occurrences of
     * the exact phrase, ties by doc_id ascending — (doc_id, n_hits, rank).
     * [[phraseMatches]] + `orderBy.limit(k)` (TakeOrderedAndProject — a

@@ -95,6 +95,28 @@ class GraphSpec extends SparkSpec {
     assert(te.getMessage.contains("integral weight column"))
   }
 
+  test("pageRankIntPersonalized: hand-computed seeded walk — teleport " +
+      "only on seeds, unreachable nodes converge to 0") {
+    // triangle, seeds = {A}, damp 1/2, scale 1000:
+    // r0 = (1000, 0, 0); r1 = (500, 250, 250); r2 = (625, 125, 125)
+    val seeds = Seq(1L).toDF("id")
+    val r2 = Graph.pageRankIntPersonalized(triangle, "s", "d", seeds, "id",
+        iterations = 2, scale = 1000L, dampNum = 1L, dampDen = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === Map(1L -> 625L, 2L -> 125L, 3L -> 125L))
+    // a node the seeds cannot reach holds rank 0 — that IS the signal
+    val chain = Seq((1L, 2L), (3L, 1L)).toDF("s", "d") // 3→1→2, seed {1}
+    val r = Graph.pageRankIntPersonalized(chain, "s", "d", seeds, "id",
+        iterations = 4, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(r(3L) === 0L && r(1L) > 0L && r(2L) > 0L)
+    // seeds outside the node set are ignored (no edges to walk)
+    val ghost = Graph.pageRankIntPersonalized(triangle, "s", "d",
+        Seq(99L).toDF("id"), "id", iterations = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(ghost.values.forall(_ === 0L))
+  }
+
   test("hitsInt: hand-computed bipartite iteration (downscale divisor, " +
       "zero scores outside each direction)") {
     // c1→s1, c1→s2, c2→s1 at scale 1000, one iteration:

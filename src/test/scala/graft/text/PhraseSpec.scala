@@ -58,6 +58,32 @@ class PhraseSpec extends SparkSpec {
     assert(all === List((2L, 2L, 1), (1L, 1L, 2), (3L, 1L, 3)))
   }
 
+  test("proximityMatches: ordered window pairs, window sensitivity, " +
+      "guards") {
+    // doc 2 "cat sat cat sat cat": window 1 → cat@0-sat@1, cat@2-sat@3;
+    // window 3 adds cat@0-sat@3
+    val w1 = TextOps.proximityMatches(postings, "cat", "sat", window = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(w1 === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    val w3 = TextOps.proximityMatches(postings, "cat", "SAT", window = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(w3(2L) === 3L, "wider window finds the skip pair")
+    // ORDER matters: b must follow a
+    val rev = TextOps.proximityMatches(postings, "sat", "cat", window = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(rev === Map(2L -> 2L))
+    // doc 4 "sat the cat": within window 2 even though not adjacent
+    val gap = TextOps.proximityMatches(postings, "sat", "cat", window = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(gap(4L) === 1L)
+    intercept[IllegalArgumentException] {
+      TextOps.proximityMatches(postings, "cat", "sat", window = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.proximityMatches(postings, "cat sat", "on", window = 2)
+    }
+  }
+
   test("phraseMatches: argument guards (empty phrase, multi-word term, k)") {
     intercept[IllegalArgumentException] {
       TextOps.phraseMatches(postings, Seq.empty)
