@@ -28,7 +28,8 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
                             ann: Option[AnnBackend] = None,
                             search: Option[SearchService] = None,
                             annBackends: Map[String, AnnBackend] = Map.empty,
-                            nearDup: Option[NearDupLookupService] = None) {
+                            nearDup: Option[NearDupLookupService] = None,
+                            phrase: Option[PhraseSearchService] = None) {
   require(maxLimit > 0, s"maxLimit must be > 0, got $maxLimit")
   annBackends.keys.foreach(n => require(n.matches("[A-Za-z0-9_-]+"),
     s"ann backend name must be [A-Za-z0-9_-]+, got '$n'"))
@@ -53,6 +54,7 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
     for (a <- ann; s <- search)
       server.createContext("/hybrid", hybridHandler(a, s))
     nearDup.foreach(n => server.createContext("/neardup", nearDupHandler(n)))
+    phrase.foreach(p => server.createContext("/phrase", phraseHandler(p)))
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -302,6 +304,59 @@ final class HttpQueryServer(service: QueryService, maxLimit: Int = 1000,
   private val TextRe = """"text"\s*:\s*"([^"\\]{1,1048576})"""".r
   private val ThresholdRe =
     """"threshold"\s*:\s*(1(?:\.0{1,6})?|0?\.\d{1,6})(?=\s*[,}\]])""".r
+
+  // a phrase is 1+ space-separated word tokens — quotes/backslashes and
+  // empty phrases fail the shape (strict-field contract of the family);
+  // length-bounded so a pathological body can't build a huge join chain
+  private val PhraseRe = """"phrase"\s*:\s*"([^"\\]{1,512})"""".r
+
+  /** `POST /phrase {"phrase": "exact word sequence", "k": 5}` → the k
+    * documents with the most occurrences of the CONSECUTIVE phrase over
+    * the stored positional index ([[PhraseSearchService.topK]] — bucket-
+    * pruned scan, integer counts). k defaults to 10 (capped at the
+    * service's maxK); a body that mentions k but fails its strict shape
+    * is a 400, and a phrase that is empty after tokenization or longer
+    * than the service's term cap surfaces as a 400 via the service's
+    * argument errors. */
+  private def phraseHandler(svc: PhraseSearchService): HttpHandler =
+    (ex: HttpExchange) =>
+    try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST only"}""")
+      else {
+        val body =
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        PhraseRe.findFirstMatchIn(body) match {
+          case Some(pm) =>
+            val km = KRe.findFirstMatchIn(body).map(_.group(1).toInt)
+            if (km.isEmpty && """"k"\s*:""".r.findFirstIn(body).isDefined)
+              respond(ex, 400, """{"error":"k must be a positive integer"}""")
+            else {
+              try {
+                val k = math.min(math.max(km.getOrElse(10), 1), svc.maxK)
+                val terms = pm.group(1).trim.split("\\s+").toSeq
+                  .filter(_.nonEmpty)
+                require(terms.nonEmpty, "phrase must carry at least one word")
+                val hits = svc.topK(terms, k)
+                  .map { case (id, n, rank) =>
+                    s"""{"id":$id,"n_hits":$n,"rank":$rank}""" }
+                  .mkString("[", ",", "]")
+                respond(ex, 200, s"""{"k":$k,"results":$hits}""")
+              } catch {
+                case e: IllegalArgumentException =>
+                  respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+              }
+            }
+          case _ =>
+            respond(ex, 400,
+              """{"error":"body must carry a plain-text 'phrase' field"}""")
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally ex.close()
 
   /** `POST /neardup {"text": "...", "threshold": 0.8, "k": 5}` →
     * indexed near-duplicates of the document over the stored MinHash

@@ -102,6 +102,51 @@ class PhraseSpec extends SparkSpec {
     assert(m === Map(1L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 6L -> 1L))
   }
 
+  test("PhraseSearchService + POST /phrase: stored build, golden probe, " +
+      "compaction keeps pruning, strict request shapes") {
+    import graft.serve.{PhraseSearchService, HttpQueryServer, QueryService}
+    val root = java.nio.file.Files.createTempDirectory("phrase_srv_").toString
+    PhraseSearchService.buildIndex(docs, "text", "doc_id", root)
+    val svc = PhraseSearchService.overParquetDir(spark, root, maxK = 10)
+    assert(svc.topK(Seq("cat", "sat"), 2) ===
+      Seq((2L, 2L, 1), (1L, 1L, 2)))
+    intercept[IllegalArgumentException] { svc.topK(Seq("cat"), 0) }
+    intercept[IllegalArgumentException] {
+      svc.topK(Seq.fill(9)("cat"), 2) // maxTerms = 8
+    }
+    // compaction keeps serving identical (services RE-OPEN after
+    // maintenance — the family contract; the old handle's file listing
+    // is stale by design)
+    PhraseSearchService.compactIndex(spark, root)
+    val svc2 = PhraseSearchService.overParquetDir(spark, root, maxK = 10)
+    assert(svc2.topK(Seq("cat", "sat"), 2) === Seq((2L, 2L, 1), (1L, 1L, 2)))
+
+    val qsvc = QueryService.overParquetDir(spark, "/root/testdata/sf0.001",
+      Seq("nation"), Map("nation" -> Seq("n_nationkey")))
+    val srv = new HttpQueryServer(qsvc, 1000, phrase = Some(svc2))
+    val port = srv.start()
+    def post(body: String): java.net.http.HttpResponse[String] = {
+      val client = java.net.http.HttpClient.newHttpClient()
+      client.send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port/phrase"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      val ok = post("""{"phrase": "cat sat", "k": 2}""")
+      assert(ok.statusCode() === 200, ok.body())
+      assert(ok.body().contains(""""id":2,"n_hits":2,"rank":1"""), ok.body())
+      // k mentioned but malformed → 400, never silently defaulted
+      assert(post("""{"phrase": "cat sat", "k": 2.5}""").statusCode() === 400)
+      // missing / empty phrase → 400
+      assert(post("""{"k": 2}""").statusCode() === 400)
+      assert(post("""{"phrase": "   ", "k": 2}""").statusCode() === 400)
+      // over the term cap → 400 via the service guard
+      assert(post(s"""{"phrase": "${Seq.fill(9)("cat").mkString(" ")}"}""")
+        .statusCode() === 400)
+    } finally srv.stop()
+  }
+
   test("stored bucket-partitioned postings probe ≡ in-memory (pruned scan)") {
     val out = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
     val withBucket = postings
