@@ -91,12 +91,18 @@ class VerifyPairsSpec extends SparkSpec {
 
   test("kernel releases its corpus-sized persists (only the pair result stays cached)") {
     val df = docs.toDF("doc_id", "text")
+    // BASELINE-RELATIVE: suites share one JVM session, and operators that
+    // localCheckpoint (e.g. Graph.hitsInt in GraphSpec) leave executor-
+    // side RDD blocks registered until GC — an absolute count here would
+    // depend on suite ordering, not on this kernel's behavior
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Dedup.verifyPairsJaccard(allPairs(docs.map(_._1)), df, "text", "doc_id")
     try {
-      val cached = spark.sparkContext.getPersistentRDDs.size
-      assert(cached == 1, s"expected only the returned pair frame cached, found $cached")
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(added.size == 1,
+        s"expected only the returned pair frame cached, found ${added.size}")
       out.unpersist(blocking = true)
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
     } finally spark.sharedState.cacheManager.clearCache()
   }
 }
