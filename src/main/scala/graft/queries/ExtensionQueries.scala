@@ -3165,13 +3165,19 @@ object ExtensionQueries {
     * mean luminances as one bounded array — the patch→token plumbing
     * before a vision embedding model, with a deterministic stand-in
     * feature. Pixel values are decoder-local, so rows-only;
-    * MultimodalSpec pins hand-computed quadrant means. */
+    * MultimodalSpec pins hand-computed quadrant means. The face emits
+    * one SCALAR row per patch (doc_id, patch_idx, luminance) rather
+    * than the raw array<double> column — the compare harness sorts
+    * result columns, and an array-typed column defeats that sort, which
+    * previously left this face with no rows/schema record at all; the
+    * library API ([[Multimodal.imagePatches]]) keeps the array form. */
   private val mmPatches: Q = (s, dir) =>
     Multimodal.imagePatches(
       Multimodal.synthesizePng(
         t(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id"),
         "doc_id"))
-      .select(col("doc_id"), col("patches"))
+      .select(col("doc_id"),
+        posexplode(col("patches")).as(Seq("patch_idx", "luminance")))
 
   /** Energy-based activity segmentation
     * ([[Multimodal.audioEnergySegments]]) over deterministic GATED

@@ -865,7 +865,11 @@ final class AnnSqService(index: graft.sim.SqIndex, val dim: Int,
     val spark = index.quantized.sparkSession
     import spark.implicits._
     val q = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
-    graft.sim.Sq.probeTopK(index, q, k, filter = pred)
+    // dim was probed ONCE at open/build time and the request vector
+    // require-checked above — knownDim skips probeTopK's two one-row
+    // collect jobs per request (they were pure duplication here)
+    graft.sim.Sq.probeTopK(index, q, k, filter = pred,
+      knownDim = Some(dim))
       .orderBy(col("rank"))
       .select(col("cand_id"), col("score"), col("rank"))
       .as[(Long, Double, Int)].collect().toSeq

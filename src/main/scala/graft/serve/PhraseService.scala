@@ -37,13 +37,20 @@ final class PhraseSearchService(postings: DataFrame, val maxK: Int = 100,
     require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
     require(phrase.size <= maxTerms,
       s"phrase carries ${phrase.size} terms; the service caps at $maxTerms")
+    // normalize ONCE, before bucketing: the stored postings are
+    // lowercase (positionalPostings tokenizes lower(text)) and
+    // phraseMatches trims + lowercases its terms — bucketing the RAW
+    // term would prune a mixed-case phrase to the WRONG partitions and
+    // silently return empty/partial results (the SearchService
+    // precedent: bm25Bucket over the lowercased term)
+    val terms = phrase.map(_.trim.toLowerCase(java.util.Locale.ROOT))
     val pruned = postings
-      .filter(phrase.map(tm => col("bucket") === TextOps.bm25Bucket(lit(tm)))
+      .filter(terms.map(tm => col("bucket") === TextOps.bm25Bucket(lit(tm)))
         .reduce(_ || _))
       .drop("bucket")
     val spark = postings.sparkSession
     import spark.implicits._
-    TextOps.phraseSearchTopK(pruned, phrase, k)
+    TextOps.phraseSearchTopK(pruned, terms, k)
       .orderBy(col("rank"))
       .as[(Long, Long, Int)].collect().toSeq
   }

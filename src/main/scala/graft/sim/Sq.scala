@@ -68,23 +68,34 @@ object Sq {
     * quantized frame BEFORE scoring, so k survivors are k MATCHING
     * survivors and every filtered row is scan work saved. Self-pairs
     * (query id present in the corpus) are excluded, the [[Similarity]]
-    * id-space contract. */
+    * id-space contract.
+    *
+    * `knownDim`: callers that ALREADY validated both sides against a
+    * known dimension (e.g. [[graft.serve.AnnSqService]], which probes
+    * the stored width once at open time and `require`s every request
+    * vector against it) pass it here to skip the per-invocation one-row
+    * dim probes — two driver-blocking Spark jobs saved per request on
+    * the serving path. */
   def probeTopK(index: SqIndex, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                filter: Option[Column] = None): DataFrame = {
+                filter: Option[Column] = None,
+                knownDim: Option[Int] = None): DataFrame = {
     // dotI8 dots the COMMON PREFIX of the two byte arrays — a
     // wrong-width query would return a plausible-but-truncated ranking
     // silently. One-row dim probes on both sides (the sanctioned scalar
-    // gate, [[Pq.buildIndex]]'s shape) make it a loud argument error.
-    val idxDim = index.quantized
-      .select(length(col("q")).cast("int").as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0))
-    val qDim = queries.select(size(col(vecCol)).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0))
-    (idxDim, qDim) match {
-      case (Some(di), Some(dq)) => require(di == dq,
-        s"query vectors have $dq dims; the index carries $di")
-      case _ => () // an empty side yields an empty result anyway
+    // gate, [[Pq.buildIndex]]'s shape) make it a loud argument error;
+    // skipped only when the caller certified the dim (`knownDim`).
+    if (knownDim.isEmpty) {
+      val idxDim = index.quantized
+        .select(length(col("q")).cast("int").as("d")).limit(1)
+        .collect().headOption.map(_.getInt(0))
+      val qDim = queries.select(size(col(vecCol)).as("d")).limit(1)
+        .collect().headOption.map(_.getInt(0))
+      (idxDim, qDim) match {
+        case (Some(di), Some(dq)) => require(di == dq,
+          s"query vectors have $dq dims; the index carries $di")
+        case _ => () // an empty side yields an empty result anyway
+      }
     }
     val q = queries.select(col(idCol).as("query_id"),
       VectorExprs.quantizeI8(col(vecCol)).as("qq"))

@@ -52,6 +52,16 @@ class SqSpec extends SparkSpec {
     assert(ex.getMessage.contains("dims"))
   }
 
+  test("probeTopK with knownDim (caller pre-validated) ≡ the probed path") {
+    val q = corpus.filter(col("vec_id") < 5)
+    val probed = Sq.probeTopK(Sq.buildIndex(corpus), q, k = 3)
+      .collect().map(_.toString).toSet
+    val preValidated = Sq.probeTopK(Sq.buildIndex(corpus), q, k = 3,
+        knownDim = Some(dim))
+      .collect().map(_.toString).toSet
+    assert(preValidated === probed)
+  }
+
   test("append ≡ rebuild EXACTLY (per-vector scales — no frozen artifact)") {
     val base = Sq.buildIndex(corpus.filter(col("vec_id") < 25))
     val merged = Sq.appendToIndex(base, corpus.filter(col("vec_id") >= 25))

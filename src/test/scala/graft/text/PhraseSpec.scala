@@ -110,6 +110,12 @@ class PhraseSpec extends SparkSpec {
     val svc = PhraseSearchService.overParquetDir(spark, root, maxK = 10)
     assert(svc.topK(Seq("cat", "sat"), 2) ===
       Seq((2L, 2L, 1), (1L, 1L, 2)))
+    // REGRESSION: bucket pruning must hash the NORMALIZED term — the
+    // stored postings are lowercase, so a mixed-case or padded phrase
+    // previously pruned to the RAW terms' buckets and silently
+    // returned empty/partial results
+    assert(svc.topK(Seq("CAT", " Sat "), 2) ===
+      Seq((2L, 2L, 1), (1L, 1L, 2)))
     intercept[IllegalArgumentException] { svc.topK(Seq("cat"), 0) }
     intercept[IllegalArgumentException] {
       svc.topK(Seq.fill(9)("cat"), 2) // maxTerms = 8
@@ -136,6 +142,11 @@ class PhraseSpec extends SparkSpec {
       val ok = post("""{"phrase": "cat sat", "k": 2}""")
       assert(ok.statusCode() === 200, ok.body())
       assert(ok.body().contains(""""id":2,"n_hits":2,"rank":1"""), ok.body())
+      // mixed-case phrase through the HTTP path — same pruned result
+      val mixed = post("""{"phrase": "Cat SAT", "k": 2}""")
+      assert(mixed.statusCode() === 200, mixed.body())
+      assert(mixed.body().contains(""""id":2,"n_hits":2,"rank":1"""),
+        mixed.body())
       // k mentioned but malformed → 400, never silently defaulted
       assert(post("""{"phrase": "cat sat", "k": 2.5}""").statusCode() === 400)
       // missing / empty phrase → 400
