@@ -279,6 +279,147 @@ object Profile {
     TableProfile(table, rows, fields.length, rows - getL("__distinct_rows"), profiles, corrs)
   }
 
+  /** ydata-profiling ALERTS synthesis — the "warnings" block a reader of
+    * the reference's `<table>_report.html` sees first
+    * (finalprojectpandasprofiling.py:50: ProfileReport derives per-column
+    * alert verdicts from the same statistics PR1–PR8 compute). One row per
+    * FIRED alert: (col_name, alert, value), where `value` is the metric
+    * that fired it (rounded 6 — IEEE-portable):
+    *
+    *   - `constant`         exactly one distinct non-null value (value =
+    *                        distinct count, i.e. 1)
+    *   - `unique`           every non-null value distinct (value =
+    *                        distinct count)
+    *   - `high_cardinality` distinct count > `cardinalityThreshold`
+    *                        (ydata's default 50; value = distinct count)
+    *   - `missing`          null fraction > `missingThreshold` (NaN counts
+    *                        as missing for floating columns, the
+    *                        [[profile]] convention; value = null fraction)
+    *   - `skewed`           |skewness| > `skewThreshold` (ydata's default
+    *                        20; numeric columns only; value = skewness,
+    *                        the population m3/m2^1.5 form — computed
+    *                        two-pass from explicit central moments, the
+    *                        hash-portable pr3_moments shape, NOT Spark's
+    *                        `skewness` whose one-pass update order is not
+    *                        replayable)
+    *
+    * Scale shape: one tiny means row (numeric columns) broadcast back,
+    * then ONE aggregation pass over the table computing every column's
+    * count/distinct/moments together (map-side partials), then the alert
+    * derivation over the single stats row — threshold arithmetic, no
+    * further scan. `exact = false` (the 100 TB default) switches distinct
+    * counts to HLL++, making `constant`/`unique`/`high_cardinality`
+    * verdicts estimates (HLL error ≈ 2% — fine for 50-vs-5M cardinality
+    * calls, wrong tool for exact uniqueness gates: use
+    * [[graft.quality.Quality.checkPrimaryKey]] for enforcement). */
+  def alerts(df: DataFrame, cardinalityThreshold: Long = 50,
+             missingThreshold: Double = 0.0, skewThreshold: Double = 20.0,
+             exact: Boolean = false): DataFrame = {
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "alerts needs at least one column")
+    val numeric = fields.zipWithIndex.filter { case (f, _) => isNumeric(f.dataType) }
+    def nc(f: StructField): Column =
+      if (isFloating(f.dataType)) graft.expr.Exprs.nanToNull(q(f.name)) else q(f.name)
+
+    // pass 0: one means row for the numeric columns — skewness needs
+    // central moments, and the two-pass (mean first) form is the
+    // hash-portable one (pr3_moments precedent)
+    val withMu =
+      if (numeric.isEmpty) df
+      else df.crossJoin(broadcast(df.agg(
+        avg(nc(numeric.head._1)).as("__mu_" + numeric.head._2),
+        numeric.tail.map { case (f, i) => avg(nc(f)).as(s"__mu_$i") }: _*)))
+
+    val skewIdx = numeric.map { case (f, i) => f.name -> i }.toMap
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast(DoubleType).as("__n")) ++
+      fields.zipWithIndex.flatMap { case (f, i) =>
+        Seq(count(nc(f)).cast(DoubleType).as(s"__nn_$i"),
+          (if (exact) count_distinct(nc(f))
+           else approx_count_distinct(nc(f))).cast(DoubleType).as(s"__nd_$i"))
+      } ++
+      numeric.flatMap { case (f, i) =>
+        Seq(avg(pow(nc(f) - col(s"__mu_$i"), 2)).as(s"__m2_$i"),
+            avg(pow(nc(f) - col(s"__mu_$i"), 3)).as(s"__m3_$i"))
+      }
+    val stats = withMu.agg(aggs.head, aggs.tail: _*)
+
+    // alert derivation over the one stats row: each (column, alert)
+    // candidate is a nullable struct; explode keeps the fired ones
+    val candidates: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      val n  = col("__n")
+      val nn = col(s"__nn_$i")
+      val nd = col(s"__nd_$i")
+      def fired(name: String, cond: Column, value: Column): Column =
+        when(cond, struct(lit(f.name).as("col_name"), lit(name).as("alert"),
+          value.as("value")))
+      // try_divide: ANSI mode throws on /0 — an EMPTY profiled frame
+      // (n = 0) or a constant numeric column (m2 = 0) must yield "no
+      // alert", not a crash; null propagates to a false `when`
+      val missingFrac = round(try_divide(n - nn, n), 6)
+      val base = Seq(
+        fired("constant", nn > 0 && nd === 1, round(nd, 6)),
+        fired("unique", nn > 0 && nd === nn, round(nd, 6)),
+        fired("high_cardinality", nd > lit(cardinalityThreshold.toDouble),
+          round(nd, 6)),
+        fired("missing", missingFrac > missingThreshold, missingFrac))
+      val skew = skewIdx.get(f.name).map { j =>
+        val sk = round(try_divide(col(s"__m3_$j"), pow(col(s"__m2_$j"), 1.5)), 6)
+        fired("skewed", col(s"__m2_$j") > 0 && abs(sk) > skewThreshold, sk)
+      }
+      base ++ skew.toSeq
+    }
+    stats.select(explode(array(candidates: _*)).as("__a"))
+      .filter(col("__a").isNotNull)
+      .select(col("__a.col_name"), col("__a.alert"), col("__a.value"))
+  }
+
+  /** The ANSI-SQL replay of [[alerts]] (exact mode) — the oracle text
+    * generator, kept NEXT TO the engine code so the two formulations
+    * cannot drift. `srcSql` must yield the profiled frame; `cols` lists
+    * its columns as (name, isNumeric) in any order. */
+  def alertsSql(srcSql: String, cols: Seq[(String, Boolean)],
+                cardinalityThreshold: Long = 50,
+                missingThreshold: Double = 0.0,
+                skewThreshold: Double = 20.0): String = {
+    val numeric = cols.filter(_._2).map(_._1)
+    val muSelect =
+      if (numeric.isEmpty) "SELECT 1 AS __one"
+      else "SELECT " + numeric.map(c => s"avg($c) AS mu_$c").mkString(", ")
+    val statAggs =
+      Seq("CAST(count(*) AS DOUBLE) AS n") ++
+      cols.map { case (c, _) =>
+        s"CAST(count($c) AS DOUBLE) AS nn_$c, " +
+          s"CAST(count(DISTINCT $c) AS DOUBLE) AS nd_$c" } ++
+      numeric.map(c => s"avg(pow($c - mu_$c, 2)) AS m2_$c, " +
+        s"avg(pow($c - mu_$c, 3)) AS m3_$c")
+    val arms = cols.flatMap { case (c, isNum) =>
+      val base = Seq(
+        s"""SELECT '$c' AS col_name, 'constant' AS alert,
+           | ROUND(nd_$c, 6) AS value FROM st
+           | WHERE nn_$c > 0 AND nd_$c = 1""".stripMargin,
+        s"""SELECT '$c', 'unique', ROUND(nd_$c, 6) FROM st
+           | WHERE nn_$c > 0 AND nd_$c = nn_$c""".stripMargin,
+        s"""SELECT '$c', 'high_cardinality', ROUND(nd_$c, 6) FROM st
+           | WHERE nd_$c > $cardinalityThreshold""".stripMargin,
+        s"""SELECT '$c', 'missing', ROUND((n - nn_$c) / n, 6) FROM st
+           | WHERE n > 0 AND ROUND((n - nn_$c) / n, 6) > $missingThreshold"""
+          .stripMargin)
+      val skew =
+        if (!isNum) Nil
+        else Seq(
+          s"""SELECT '$c', 'skewed', ROUND(m3_$c / pow(m2_$c, 1.5), 6) FROM st
+             | WHERE m2_$c > 0
+             | AND abs(ROUND(m3_$c / pow(m2_$c, 1.5), 6)) > $skewThreshold"""
+            .stripMargin)
+      base ++ skew
+    }
+    s"""WITH src AS ($srcSql),
+       |mu AS ($muSelect FROM src),
+       |st AS (SELECT ${statAggs.mkString(",\n  ")} FROM src, mu)
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** K4 — render a profile as a standalone HTML report (the reference's
     * `<table>_report.html`, finalprojectpandasprofiling.py:52-54). */
   def toHtml(p: TableProfile): String = {

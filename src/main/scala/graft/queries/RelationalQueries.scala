@@ -579,6 +579,26 @@ object RelationalQueries {
       t(s, dir, "customer").select(col("c_nationkey"), col("c_acctbal")),
       topN = 5)
 
+  /** PR13: the ydata-profiling ALERTS synthesis
+    * ([[graft.profile.Profile.alerts]] — profiling.py:50's warnings
+    * block) over a frame with PLANTED pathologies: a unique key, a
+    * constant, a 20%-null column (missingThreshold 0.1 so the face pins
+    * the thresholding, not just any-null), a high-cardinality id, and a
+    * 1-in-997 spike column whose skewness (~31) crosses ydata's default
+    * 20. Exact mode; the oracle SQL is GENERATED by
+    * [[graft.profile.Profile.alertsSql]] beside the engine code. */
+  private val pr13Alerts: Q = (s, dir) =>
+    graft.profile.Profile.alerts(
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("ok"),
+        lit("X").as("const_col"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("o_totalprice")).as("gappy"),
+        col("o_custkey").as("cust"),
+        when(col("o_orderkey") % 997 === 0, col("o_totalprice") * 1000)
+          .otherwise(lit(1.0)).as("spiky")),
+      missingThreshold = 0.1, exact = true)
+
   /** PR5: duplicate full rows. */
   private val pr5DupRows: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
@@ -1070,7 +1090,8 @@ object RelationalQueries {
     "pr7_histogram" -> pr7Histogram,
     "pr6_correlation" -> pr6Correlation,
     "pr8_frequent" -> pr8Frequent,
-    "pr9_frequent_numeric" -> pr9FrequentNumeric)
+    "pr9_frequent_numeric" -> pr9FrequentNumeric,
+    "pr13_alerts" -> pr13Alerts)
 
   val oracle: Map[String, String] = Map(
     "k11_changeset_apply" ->
@@ -1650,5 +1671,16 @@ object RelationalQueries {
         | SELECT col_name, value, cnt,
         |   CAST(row_number() OVER (PARTITION BY col_name
         |     ORDER BY cnt DESC, value) AS INTEGER) AS rank
-        | FROM counts) WHERE rank <= 5""".stripMargin)
+        | FROM counts) WHERE rank <= 5""".stripMargin,
+    "pr13_alerts" -> graft.profile.Profile.alertsSql(
+      """SELECT o_orderkey AS ok, 'X' AS const_col,
+        | CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END
+        |   AS gappy,
+        | o_custkey AS cust,
+        | CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 1000
+        |   ELSE CAST(1.0 AS DOUBLE) END AS spiky
+        |FROM orders""".stripMargin,
+      Seq(("ok", true), ("const_col", false), ("gappy", true),
+        ("cust", true), ("spiky", true)),
+      missingThreshold = 0.1))
 }

@@ -161,4 +161,45 @@ class ProfileSpec extends SparkSpec {
         "number formatting must not follow the JVM default locale")
     } finally java.util.Locale.setDefault(default)
   }
+
+  test("alerts: constant / unique / high_cardinality / missing / skewed " +
+      "fire exactly where planted; thresholds and NaN-as-missing honored") {
+    // 10 rows: k unique ints; c constant; g 3 nulls + 1 NaN (missing
+    // frac 0.4); lowcard 2 distinct values (no cardinality alert at
+    // threshold 3... which DOES fire for k at 10 > 3)
+    val rows = (1 to 10).map { i =>
+      val g: java.lang.Double =
+        if (i <= 3) null
+        else if (i == 4) Double.NaN
+        else i.toDouble
+      (i, "c", g, i % 2)
+    }
+    val d = rows.toDF("k", "c", "g", "lowcard")
+    val got = Profile.alerts(d, cardinalityThreshold = 3,
+        missingThreshold = 0.3, skewThreshold = 20.0, exact = true)
+      .as[(String, String, Double)].collect().toSet
+    assert(got === Set(
+      ("k", "unique", 10.0),
+      ("k", "high_cardinality", 10.0),
+      ("c", "constant", 1.0),
+      ("g", "unique", 6.0),        // 6 distinct non-null non-NaN values
+      ("g", "high_cardinality", 6.0),
+      ("g", "missing", 0.4)))      // NaN counts as missing
+
+    // skewed: a 1-in-1000 spike pushes |skew| past 20; uniform does not
+    val spiky = (1 to 1000).map(i => if (i == 1) 1000000.0 else 1.0)
+      .toDF("x")
+    val fired = Profile.alerts(spiky, skewThreshold = 20.0, exact = true)
+      .as[(String, String, Double)].collect()
+      .collect { case ("x", "skewed", v) => v }
+    assert(fired.length === 1 && fired.head > 20.0,
+      s"expected a skewed alert, got ${fired.mkString(",")}")
+
+    // empty frame and constant numeric column: no alerts, NO crash
+    // (ANSI /0 is the hazard the try_divide guards close)
+    assert(Profile.alerts(d.filter(d("k") < 0), exact = true).count() === 0)
+    assert(Profile.alerts(Seq(1.0, 1.0).toDF("v"), exact = true)
+      .as[(String, String, Double)].collect().toSet ===
+      Set(("v", "constant", 1.0)))
+  }
 }
