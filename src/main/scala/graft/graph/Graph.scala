@@ -282,11 +282,27 @@ object Graph {
     * The max is a one-row aggregate cross-joined back (broadcast — no
     * collect, the plan stays lazy and portable). Nodes outside an edge
     * direction hold 0 for that score (a never-cited node has authority
-    * 0). Returns (node, authority, hub). */
+    * 0). Returns (node, authority, hub).
+    *
+    * DURABILITY: the per-half-step lineage truncation defaults to
+    * `localCheckpoint` — executor-local blocks, NOT replayable if an
+    * executor is lost mid-computation (fine on local/ephemeral runs: the
+    * job fails loudly and reruns). For the 1000-executor / 100 TB run,
+    * where losing one executor over a long iteration chain is expected,
+    * set `reliableCheckpoint = true` to write each half-step to the
+    * SparkContext's checkpoint directory (HDFS/S3) instead — survivable,
+    * at the cost of one distributed write per half-step. Requires
+    * `spark.sparkContext.setCheckpointDir(...)` to have been called;
+    * loud argument error otherwise. */
   def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
-              iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
+              iterations: Int = 3, scale: Long = 1000000000L,
+              reliableCheckpoint: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale > 0, s"scale must be > 0, got $scale")
+    require(!reliableCheckpoint ||
+        edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint = true needs a checkpoint directory: call " +
+        "spark.sparkContext.setCheckpointDir(<reliable storage path>) first")
 
     import org.apache.spark.storage.StorageLevel
     val e = edges
@@ -316,10 +332,11 @@ object Graph {
     // precedent for iterative frames. */
     def renorm(scores: DataFrame, c: String): DataFrame = {
       val mx = scores.agg(greatest(max(col(c)), lit(1L)).as("__mx"))
-      scores.crossJoin(broadcast(mx))
+      val out = scores.crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"$c DIV (1L + (__mx - 1L) DIV ${scale}L)").as(c))
-        .localCheckpoint(true)
+      if (reliableCheckpoint) out.checkpoint(eager = true)
+      else out.localCheckpoint(true)
     }
 
     graft.util.Caching.releasingOnFailure(e, nodes) {

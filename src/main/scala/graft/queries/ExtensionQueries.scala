@@ -1559,19 +1559,13 @@ object ExtensionQueries {
     * a bipartite graph (all suppliers are dangling there). Integer
     * downscale renormalization ([[graft.graph.Graph.hitsInt]]), 3
     * unrolled iterations, hash-green. */
-  private val grHits: Q = (s, dir) => {
+  private val grHits: Q = (s, dir) =>
     // custkey and suppkey share a numeric id space — suppliers shift by
-    // 1e12 so the two sides stay distinct nodes at ANY scale factor
-    // (custkey grows as 150k·SF; 1e6 would collide above SF ~ 6)
-    val edges = t(s, dir, "orders")
-      .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"))
-      .join(t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          (col("l_suppkey") + 1000000000000L).as("dst")),
-        Seq("ok"))
-      .select(col("src"), col("dst"))
-    graft.graph.Graph.hitsInt(edges, "src", "dst", iterations = 3)
-  }
+    // 1e12 in [[hitsEdges]] so the two sides stay distinct nodes at ANY
+    // scale factor (custkey grows as 150k·SF; 1e6 would collide above
+    // SF ~ 6)
+    graft.graph.Graph.hitsInt(hitsEdges(s, dir), "src", "dst",
+      iterations = 3)
 
   /** PERSONALIZED PageRank over the supplier co-purchase graph with the
     * mod-10 suppliers as the trusted seed set — the TrustRank
@@ -1587,6 +1581,49 @@ object ExtensionQueries {
     graft.graph.Graph.pageRankIntPersonalized(pairs, "src", "dst",
       seeds, "s_suppkey", iterations = 5)
   }
+
+  /** The bipartite customer → supplier purchase edges [[grHits]] walks,
+    * shared with the stored-scores builder. */
+  private def hitsEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_suppkey") + 1000000000000L).as("dst")),
+        Seq("ok"))
+      .select(col("src"), col("dst"))
+
+  /** STORED-ranks serving tier ([[graft.serve.GraphRankService]]): the
+    * layout is built ONCE per JVM from the stored supplier edges —
+    * every invocation of the probe faces times the PROBE (heal + open +
+    * bounded top-k over the node-sized ranks frame), not the
+    * 5-iteration recompute the headline [[grPagerank]] face keeps. The
+    * ranks are integer-exact, so the stored probe replays bit-for-bit
+    * against the same unrolled-CTE oracle, top-20 windowed —
+    * hash-green, unlike every other family's stored probes (which are
+    * rows-only under quantization/transcendental scores). */
+  private def grRanksBase(s: SparkSession, dir: String): String =
+    storedIndexPath("gr_ranks", dir) { out =>
+      graft.serve.GraphRankService.buildPageRank(
+        s.read.parquet(supplierEdgeBase(s, dir)), "src", "dst", out,
+        iterations = 5)
+    }
+
+  /** Stored PageRank probe: top-20 suppliers by stored rank. */
+  private val grPagerankProbe: Q = (s, dir) =>
+    graft.serve.GraphRankService.overParquetDir(s, grRanksBase(s, dir))
+      .topKFrame(20)
+
+  private def grHitsBase(s: SparkSession, dir: String): String =
+    storedIndexPath("gr_hits_scores", dir) { out =>
+      graft.serve.GraphRankService.buildHits(hitsEdges(s, dir),
+        "src", "dst", out, iterations = 3)
+    }
+
+  /** Stored HITS probe: top-20 authorities (suppliers). */
+  private val grHitsProbe: Q = (s, dir) =>
+    graft.serve.GraphRankService.overParquetDirHits(s, grHitsBase(s, dir))
+      .topAuthoritiesFrame(20)
 
   /** Proximity search — the sloppy-phrase relevance signal
     * ([[TextOps.proximityMatches]]): per-document counts of "value"
@@ -3479,6 +3516,8 @@ object ExtensionQueries {
     "gr_pagerank_weighted" -> grPagerankWeighted,
     "gr_pagerank_seeded" -> grPagerankPersonalized,
     "gr_hits" -> grHits,
+    "gr_pagerank_probe" -> grPagerankProbe,
+    "gr_hits_probe" -> grHitsProbe,
     "txt_proximity" -> txtProximity,
     "a17_k_suppress" -> a17KSuppress,
     "pr10_snapshot_overlap" -> pr10SnapshotOverlap,
@@ -5922,6 +5961,27 @@ object ExtensionQueries {
             |FROM orders o JOIN lineitem l
             |  ON o.o_orderkey = l.l_orderkey""".stripMargin,
           iterations = 3),
+      // stored probes replay the SAME rank computation (integer-exact ⇒
+      // the stored layout is bit-identical to a recompute), windowed to
+      // the probe's top-20
+      "gr_pagerank_probe" ->
+        s"""SELECT node, rank,
+           | CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS INTEGER)
+           |   AS pos
+           |FROM (${graft.graph.Graph.pageRankIntSql(supplierEdgeSql,
+                     iterations = 5)})
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+      "gr_hits_probe" ->
+        s"""SELECT node, authority,
+           | CAST(ROW_NUMBER() OVER (ORDER BY authority DESC, node)
+           |   AS INTEGER) AS pos
+           |FROM (${graft.graph.Graph.hitsIntSql(
+                     """SELECT o.o_custkey AS src,
+                       |  l.l_suppkey + 1000000000000 AS dst
+                       |FROM orders o JOIN lineitem l
+                       |  ON o.o_orderkey = l.l_orderkey""".stripMargin,
+                     iterations = 3)})
+           |ORDER BY authority DESC, node LIMIT 20""".stripMargin,
       // Numeric-PSI bucket replay: F-side cumulative distinct-value
       // counts, integer-rank decile boundaries (cc*10 >= i*n — no
       // division), per-row bucket = count of boundaries strictly below

@@ -1,0 +1,179 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Request-time centrality serving over a STORED rank layout — the
+  * build-once / probe-cheap tier of the [[graft.graph.Graph]] family.
+  *
+  * Why it exists: PageRank/HITS are iteration chains (5 shuffle+agg
+  * rounds over the edge set), and the in-query faces re-run the whole
+  * chain per invocation — right for a pipeline stage, wrong for serving
+  * (the BM25 / ANN / near-dup families all already have a stored form
+  * for exactly this reason). Ranks are INTEGER-EXACT
+  * ([[graft.graph.Graph]] scaladoc), so a stored layout is not a lossy
+  * snapshot: it replays bit-for-bit against the unrolled-CTE oracle and
+  * stored probes stay hash-green.
+  *
+  * Layout: `root/ranks` = (node BIGINT, rank BIGINT) for the PageRank
+  * tiers; `root/scores` = (node, authority, hub) for HITS. One row per
+  * node — small relative to the edge set, written coalesced. REFRESH is
+  * recompute + the marker-fenced versioned-dir swap
+  * ([[graft.io.Sinks]]'s crash contract: a mid-swap crash leaves a full
+  * old or full new copy, healed at open). There is no incremental
+  * maintenance: rank is a GLOBAL fixed point — one edge can move every
+  * node's score — so the refresh unit is the rebuild, scheduled like
+  * the nightly ANN retrains ([[Maintenance]]).
+  *
+  * Probe shapes are all bounded: top-k is a TakeOrderedAndProject
+  * (bounded per-partition heaps, never a full sort at the driver), point
+  * lookups are an `isin` filter over the thin frame. Request-safety
+  * envelope as the sibling services: bounded k, loud
+  * [[IllegalArgumentException]]s an HTTP layer maps to 400. */
+final class GraphRankService(ranks: DataFrame, val maxK: Int = 1000) {
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+
+  /** Top-k nodes by stored rank as a frame: (node, rank, pos), pos 1..k,
+    * ties by node ascending — the registry/probe form. */
+  def topKFrame(k: Int): DataFrame = {
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val w = Window.orderBy(col("rank").desc, col("node"))
+    ranks.orderBy(col("rank").desc, col("node")).limit(k)
+      .withColumn("pos", row_number().over(w).cast(IntegerType))
+  }
+
+  /** Top-k as rows: (node, rank, pos). */
+  def topK(k: Int): Seq[(Long, Long, Int)] = {
+    val spark = ranks.sparkSession
+    import spark.implicits._
+    topKFrame(k).as[(Long, Long, Int)].collect().toSeq
+  }
+
+  /** Stored ranks for the requested nodes; absent nodes are absent from
+    * the result (a node outside the edge set has no rank row). */
+  def rankOf(nodes: Seq[Long]): Map[Long, Long] = {
+    require(nodes.nonEmpty && nodes.size <= maxK,
+      s"rankOf takes 1..$maxK nodes, got ${nodes.size}")
+    val spark = ranks.sparkSession
+    import spark.implicits._
+    ranks.filter(col("node").isin(nodes: _*))
+      .as[(Long, Long)].collect().toMap
+  }
+}
+
+/** HITS twin of [[GraphRankService]] over `root/scores`. */
+final class GraphHitsService(scores: DataFrame, val maxK: Int = 1000) {
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+
+  private def top(c: String, k: Int): DataFrame = {
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val w = Window.orderBy(col(c).desc, col("node"))
+    scores.select(col("node"), col(c))
+      .orderBy(col(c).desc, col("node")).limit(k)
+      .withColumn("pos", row_number().over(w).cast(IntegerType))
+  }
+
+  /** Top-k by authority: (node, authority, pos), ties by node. */
+  def topAuthoritiesFrame(k: Int): DataFrame = top("authority", k)
+
+  /** Top-k by hub score: (node, hub, pos), ties by node. */
+  def topHubsFrame(k: Int): DataFrame = top("hub", k)
+
+  def topAuthorities(k: Int): Seq[(Long, Long, Int)] = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    topAuthoritiesFrame(k).as[(Long, Long, Int)].collect().toSeq
+  }
+
+  def topHubs(k: Int): Seq[(Long, Long, Int)] = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    topHubsFrame(k).as[(Long, Long, Int)].collect().toSeq
+  }
+}
+
+object GraphRankService {
+
+  /** Build the stored PageRank layout at `root/ranks` — plain, WEIGHTED
+    * (`weightCol`), or PERSONALIZED (`seeds`), matching the
+    * [[graft.graph.Graph]] entry points. `numFiles` bounds the output
+    * file count (the frame is node-sized; at 1e8 nodes raise it so a
+    * file stays ~128 MB). */
+  private def computeRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                           iterations: Int, scale: Long, dampNum: Long,
+                           dampDen: Long, weightCol: Option[String],
+                           seeds: Option[(DataFrame, String)]): DataFrame = {
+    require(weightCol.isEmpty || seeds.isEmpty,
+      "weighted AND personalized PageRank is not a graph the engine " +
+        "defines — pick one (the seeded form walks the unweighted graph)")
+    (weightCol, seeds) match {
+      case (Some(w), _) => graft.graph.Graph.pageRankIntWeighted(
+        edges, srcCol, dstCol, w, iterations, scale, dampNum, dampDen)
+      case (_, Some((sdf, sCol))) => graft.graph.Graph.pageRankIntPersonalized(
+        edges, srcCol, dstCol, sdf, sCol, iterations, scale, dampNum, dampDen)
+      case _ => graft.graph.Graph.pageRankInt(
+        edges, srcCol, dstCol, iterations, scale, dampNum, dampDen)
+    }
+  }
+
+  def buildPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                    root: String, iterations: Int = 5,
+                    scale: Long = 1000000000L, dampNum: Long = 85L,
+                    dampDen: Long = 100L, weightCol: Option[String] = None,
+                    seeds: Option[(DataFrame, String)] = None,
+                    numFiles: Int = 4): Unit =
+    computeRanks(edges, srcCol, dstCol, iterations, scale, dampNum,
+      dampDen, weightCol, seeds)
+      .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/ranks")
+
+  /** Build the stored HITS layout at `root/scores`. */
+  def buildHits(edges: DataFrame, srcCol: String, dstCol: String,
+                root: String, iterations: Int = 3,
+                scale: Long = 1000000000L, numFiles: Int = 4): Unit =
+    graft.graph.Graph.hitsInt(edges, srcCol, dstCol, iterations, scale)
+      .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/scores")
+
+  /** Open a stored PageRank layout for serving (crashed swaps healed
+    * first — the family contract). */
+  def overParquetDir(spark: SparkSession, root: String,
+                     maxK: Int = 1000): GraphRankService = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/ranks")
+    new GraphRankService(spark.read.parquet(s"$root/ranks"), maxK)
+  }
+
+  /** Open a stored HITS layout for serving. */
+  def overParquetDirHits(spark: SparkSession, root: String,
+                         maxK: Int = 1000): GraphHitsService = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/scores")
+    new GraphHitsService(spark.read.parquet(s"$root/scores"), maxK)
+  }
+
+  /** REFRESH = full recompute from the current edges + marker-fenced
+    * swap (rank is a global fixed point; there is no per-edge delta).
+    * The replacement is COMPLETE on disk before the two-rename swap, so
+    * a crash at any point leaves a serving-ready layout; services
+    * RE-OPEN after maintenance (the family contract — an open handle's
+    * file listing is stale by design). */
+  def refreshPageRank(spark: SparkSession, root: String, edges: DataFrame,
+                      srcCol: String, dstCol: String, iterations: Int = 5,
+                      scale: Long = 1000000000L, dampNum: Long = 85L,
+                      dampDen: Long = 100L,
+                      weightCol: Option[String] = None,
+                      seeds: Option[(DataFrame, String)] = None,
+                      numFiles: Int = 4): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/ranks")
+    val tmp = s"$root/ranks-__rebuilding__"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
+    computeRanks(edges, srcCol, dstCol, iterations, scale, dampNum,
+      dampDen, weightCol, seeds)
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    graft.io.Sinks.swapDir(spark, s"$root/ranks", tmp)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.graph.Graph
+
+/** Stored-ranks serving tier: build / open / probe / refresh, and the
+  * HITS reliable-checkpoint knob. */
+class GraphServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A→B, A→C, B→A; C dangling (the GraphSpec triangle — ranks
+  // hand-checked there, reused here so probe assertions are golden)
+  private def triangle = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("s", "d")
+
+  test("buildPageRank + overParquetDir: stored probe ≡ direct compute; " +
+      "topK bounded with deterministic ties; rankOf point lookups") {
+    val root = java.nio.file.Files.createTempDirectory("gr_srv_").toString
+    GraphRankService.buildPageRank(triangle, "s", "d", root,
+      iterations = 2, scale = 1000L, dampNum = 1L, dampDen = 2L)
+    val svc = GraphRankService.overParquetDir(spark, root, maxK = 10)
+    // hand-computed r2 (GraphSpec): A=875, B=750, C=750; ties by node
+    assert(svc.topK(3) === Seq((1L, 875L, 1), (2L, 750L, 2), (3L, 750L, 3)))
+    assert(svc.topK(1) === Seq((1L, 875L, 1)))
+    assert(svc.rankOf(Seq(2L, 3L, 99L)) === Map(2L -> 750L, 3L -> 750L))
+    intercept[IllegalArgumentException] { svc.topK(0) }
+    intercept[IllegalArgumentException] { svc.topK(11) } // maxK = 10
+    intercept[IllegalArgumentException] { svc.rankOf(Seq.empty) }
+  }
+
+  test("stored probe matches a fresh recompute EXACTLY (integer ranks " +
+      "round-trip parquet bit-for-bit)") {
+    val root = java.nio.file.Files.createTempDirectory("gr_srv2_").toString
+    GraphRankService.buildPageRank(triangle, "s", "d", root, iterations = 5)
+    val stored = GraphRankService.overParquetDir(spark, root)
+      .topKFrame(3).as[(Long, Long, Int)].collect().toSeq
+    val direct = Graph.pageRankInt(triangle, "s", "d", iterations = 5)
+      .orderBy($"rank".desc, $"node").limit(3)
+      .as[(Long, Long)].collect().toSeq.zipWithIndex
+      .map { case ((n, r), i) => (n, r, i + 1) }
+    assert(stored === direct)
+  }
+
+  test("refreshPageRank: recompute + marker-fenced swap; re-opened " +
+      "service serves the new graph") {
+    val root = java.nio.file.Files.createTempDirectory("gr_srv3_").toString
+    GraphRankService.buildPageRank(triangle, "s", "d", root,
+      iterations = 2, scale = 1000L, dampNum = 1L, dampDen = 2L)
+    // the edge set changes: B→A disappears, D→A appears
+    val moved = Seq((1L, 2L), (1L, 3L), (4L, 1L)).toDF("s", "d")
+    GraphRankService.refreshPageRank(spark, root, moved, "s", "d",
+      iterations = 2, scale = 1000L, dampNum = 1L, dampDen = 2L)
+    val svc = GraphRankService.overParquetDir(spark, root, maxK = 10)
+    val expected = Graph.pageRankInt(moved, "s", "d", iterations = 2,
+      scale = 1000L, dampNum = 1L, dampDen = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(svc.rankOf(Seq(1L, 2L, 3L, 4L)) === expected)
+  }
+
+  test("buildHits + overParquetDirHits: stored authority/hub probes ≡ " +
+      "direct compute, ties by node") {
+    val root = java.nio.file.Files.createTempDirectory("gr_hits_").toString
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L)).toDF("s", "d")
+    GraphRankService.buildHits(bip, "s", "d", root, iterations = 2)
+    val svc = GraphRankService.overParquetDirHits(spark, root, maxK = 10)
+    val direct = Graph.hitsInt(bip, "s", "d", iterations = 2)
+      .as[(Long, Long, Long)].collect()
+    val authTop = direct.sortBy { case (n, a, _) => (-a, n) }.take(2)
+      .zipWithIndex.map { case ((n, a, _), i) => (n, a, i + 1) }.toSeq
+    assert(svc.topAuthorities(2) === authTop)
+    val hubTop = direct.sortBy { case (n, _, h) => (-h, n) }.take(2)
+      .zipWithIndex.map { case ((n, _, h), i) => (n, h, i + 1) }.toSeq
+    assert(svc.topHubs(2) === hubTop)
+  }
+
+  test("hitsInt reliableCheckpoint: identical scores to the " +
+      "localCheckpoint path; loud without a checkpoint dir") {
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("s", "d")
+    // guard only checkable while no ambient dir is set (SparkContext
+    // cannot unset one; suite order must not matter)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val ex = intercept[IllegalArgumentException] {
+        Graph.hitsInt(bip, "s", "d", iterations = 1,
+          reliableCheckpoint = true)
+      }
+      assert(ex.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("gr_ckpt_").toString
+    // SparkContext has no unsetCheckpointDir; the temp dir stays set for
+    // the rest of the JVM — harmless, nothing else checkpoints
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = Graph.hitsInt(bip, "s", "d", iterations = 2,
+      reliableCheckpoint = true).as[(Long, Long, Long)].collect().toSet
+    val local = Graph.hitsInt(bip, "s", "d", iterations = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reliable === local)
+    // the reliable path actually wrote checkpoint data
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no checkpoint data written")
+  }
+}
