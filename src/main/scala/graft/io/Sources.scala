@@ -196,8 +196,43 @@ object Sources {
     }
   }
 
+  /** Scored single-byte fallback (chardet's SBCS ladder, narrowed to
+    * the candidates this pipeline's data actually presents): decode the
+    * probe under each candidate and score its NON-ASCII characters —
+    * letters are evidence (real text's high bytes are overwhelmingly
+    * accented letters), control characters are strong counter-evidence
+    * (ISO-8859-1/2 map 0x80–0x9F to C1 controls where windows-1252 puts
+    * typographic punctuation — the reference file's own 0x96 en-dash;
+    * windows-1252's five undefined bytes decode to controls too, so
+    * they penalize it symmetrically). `maxBy` keeps the FIRST maximum,
+    * so ties follow the precedence order: byte streams that decode
+    * identically under cp1252 and latin-1 (any text without C1-range
+    * bytes) still report windows-1252 — the reference's chardet answer
+    * for its file — and ISO-8859-2 wins only when its letter assignments
+    * in 0xA1–0xBF (Ł ą ż Š …, symbols in latin-1) strictly out-score. */
+  private val singleByteCandidates =
+    Seq("windows-1252", "ISO-8859-1", "ISO-8859-2")
+  private def scoreSingleByte(b: Array[Byte], len: Int): String =
+    singleByteCandidates.maxBy { cs =>
+      val txt = new String(b, 0, len, Charset.forName(cs))
+      var score = 0L
+      var i = 0
+      while (i < txt.length) {
+        val c = txt.charAt(i)
+        if (c >= 0x80) {
+          if (Character.isLetter(c)) score += 2
+          else if (Character.isISOControl(c)) score -= 4
+          // non-letter printables (±, §, «, …) are neutral: legitimate
+          // in any of the three, diagnostic of none
+        }
+        i += 1
+      }
+      score
+    }
+
   /** Strict-decode content probe (no BOM, not UTF-16-patterned): UTF-8
-    * if the prefix decodes cleanly, else windows-1252. */
+    * if the prefix decodes cleanly, else the scored single-byte
+    * fallback. */
   private def probeUtf8(raw: Array[Byte], probeBytes: Int): String = {
     val truncated = raw.length > probeBytes
     val probe = if (truncated) java.util.Arrays.copyOf(raw, probeBytes) else raw
@@ -215,7 +250,8 @@ object Sources {
       .onUnmappableCharacter(CodingErrorAction.REPORT)
     try { dec.decode(java.nio.ByteBuffer.wrap(probe, 0, safeLen)); "UTF-8" }
     catch {
-      case _: java.nio.charset.CharacterCodingException => "windows-1252"
+      case _: java.nio.charset.CharacterCodingException =>
+        scoreSingleByte(probe, safeLen)
     }
   }
 

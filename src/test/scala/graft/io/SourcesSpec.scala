@@ -73,6 +73,37 @@ class SourcesSpec extends SparkSpec {
     assert(decoded.startsWith("a,b"), s"BOM leaked: ${decoded.take(3).map(_.toInt)}")
   }
 
+  test("detectCharset: scored single-byte ladder — latin-2 text " +
+      "out-scores the cp1252 default; cp1252/latin-1 ties keep cp1252") {
+    def fixture(text: String, enc: String): String = {
+      val f = Files.createTempFile("graft_sbcs", ".csv")
+      Files.write(f, s"a,b\n1,$text\n".getBytes(Charset.forName(enc)))
+      f.toString
+    }
+    // Polish under ISO-8859-2: ż=0xBF ó=0xF3 ł=0xB3 ć=0xE6 ę=0xEA ą=0xB1
+    // ś=0xB6 ź=0xAC ń=0xF1 — the 0xA1-0xBF bytes are LETTERS in latin-2
+    // but symbols (¿ ³ ± ¶ ¬) in latin-1/cp1252, so latin-2 strictly
+    // out-scores and wins despite its last-place tie-break
+    val pl = fixture("zażółć gęślą " +
+      "jaźń łąka żółw", "ISO-8859-2")
+    assert(Sources.detectCharset(pl) === "ISO-8859-2")
+    // French accents (é è ç à) occupy 0xC0-0xFF — letters under ALL
+    // three candidates → scores tie → precedence keeps windows-1252
+    // (the reference's chardet answer and the round-16 behavior)
+    val fr = fixture("résumé à côté façon",
+      "ISO-8859-1")
+    assert(Sources.detectCharset(fr) === "windows-1252")
+    // cp1252 typographic punctuation (0x96 en-dash, 0x93/0x94 curly
+    // quotes) is a C1 control under latin-1/2 → cp1252 strictly wins
+    val dash = fixture("1968–note “quoted”", "windows-1252")
+    assert(Sources.detectCharset(dash) === "windows-1252")
+    // and the detected charset round-trips the Polish text losslessly
+    val txt = new String(Files.readAllBytes(java.nio.file.Paths.get(pl)),
+      Charset.forName(Sources.detectCharset(pl)))
+    assert(txt.contains("zażółć"),
+      s"latin-2 text mangled: $txt")
+  }
+
   test("detectCharset: BOM-less UTF-16 found by null pattern, w-1252 not misrouted") {
     // ASCII content encoded UTF-16 without a BOM: fails the UTF-8 probe
     // (NULs) and must resolve by the alternating-null heuristic, per
