@@ -564,6 +564,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"kll_sketch_agg takes 2 arguments (value, k), got ${children.length}")
+        KllSketchAgg(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"kll_merge_agg takes 2 arguments (sketch, k), got ${children.length}")
+        KllMergeAgg(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"kll_quantile takes 2 arguments (sketch, rank), got ${children.length}")
+        KllQuantile(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dequantize_i8"),
       new ExpressionInfo(classOf[VectorDequantizeI8].getName, "vec_dequantize_i8"),
       (children: Seq[Expression]) => {

@@ -464,4 +464,174 @@ object Graph {
        |FROM a$iterations a JOIN h$iterations h ON a.node = h.node"""
       .stripMargin
   }
+
+  /** Per-node TRIANGLE counts over the undirected simple graph —
+    * (node, triangles, deg, wedges), where `wedges` = deg·(deg−1) DIV 2
+    * is the node's open-wedge capacity, so the local clustering
+    * coefficient is the exact rational triangles/wedges and the global
+    * (transitivity) coefficient is Σtriangles / Σwedges — both kept as
+    * INTEGER numerator/denominator, never divided, so the whole frame is
+    * hash-portable.
+    *
+    * Execution is the DEGREE-ORIENTED wedge join (Suri & Vassilvitskii
+    * 2011, "Counting Triangles and the Curse of the Last Reducer",
+    * WWW — public): each undirected edge is oriented from its lower
+    * (degree, node) endpoint to the higher, every triangle is then
+    * discovered EXACTLY ONCE (as a wedge at its minimum-order apex
+    * closed by the third oriented arc), and — the scale property — the
+    * wedge fan-out per node is bounded by the ORIENTED out-degree,
+    * O(√m), so candidate wedges total O(m^{3/2}) instead of the naive
+    * Σ deg² that melts down on skewed degree distributions ("the curse
+    * of the last reducer"). All joins are equi-joins on node keys
+    * (shuffle-partitionable); nothing is ever all-pairs.
+    *
+    * Directionality of the input is ignored (edges are canonicalized
+    * u < v and deduplicated); self-loops drop. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast(LongType).as("s"),
+        col(dstCol).cast(LongType).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val e = raw.select(least(col("s"), col("d")).as("u"),
+      greatest(col("s"), col("d")).as("v")).distinct()
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), Seq("v"))
+    // orient low → high by (degree, node); carry the head's order key so
+    // the wedge join can order its two heads without re-joining degrees
+    val uFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val arcs = ed.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, col("__dv")).otherwise(col("__du")).as("db"))
+    val w1 = arcs.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val w2 = arcs.select(col("a"), col("b").as("z"), col("db").as("dz"))
+    val tri = w1.join(w2, Seq("a"))
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+      .join(arcs.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      .select(col("a").as("x"), col("y"), col("z"))
+    val perNode = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__t"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"),
+        col("deg"), expr("deg * (deg - 1L) DIV 2").as("wedges"))
+  }
+
+  /** The ANSI-SQL replay of [[triangleCounts]] — same orientation, same
+    * wedge join, integer counts throughout. */
+  def triangleCountsSql(edgeSql: String): String =
+    s"""WITH raw_e AS ($edgeSql),
+       |e AS (SELECT DISTINCT
+       |    LEAST(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS u,
+       |    GREATEST(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS v
+       |  FROM raw_e WHERE src IS NOT NULL AND dst IS NOT NULL
+       |    AND src <> dst),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+       |arcs AS (SELECT
+       |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+       |      THEN e.u ELSE e.v END AS a,
+       |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+       |      THEN e.v ELSE e.u END AS b,
+       |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+       |      THEN d2.deg ELSE d1.deg END AS db
+       |  FROM e JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node),
+       |tri AS (SELECT w1.a AS x, w1.b AS y, w2.b AS z
+       |  FROM arcs w1 JOIN arcs w2 ON w1.a = w2.a
+       |    AND (w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b))
+       |  JOIN arcs c ON c.a = w1.b AND c.b = w2.b),
+       |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+       |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT d.node, CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles, d.deg,
+       |  CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS wedges
+       |FROM deg d LEFT JOIN cnt c ON d.node = c.node""".stripMargin
+
+  /** Minimum hop distance from a seed set, bounded at `maxHops` —
+    * breadth-first FRONTIER EXPANSION, the crawl-frontier primitive
+    * ("everything within k links of the trusted set"). Returns
+    * (node, hop INTEGER) for every node reached within `maxHops` (seeds
+    * at hop 0); unreached nodes are ABSENT, which is the signal. Seeds
+    * outside the node set are ignored (no edges to walk).
+    *
+    * Each level is one equi-join (edges ⋈ frontier on src) + one
+    * anti-join against the reached set — both shuffle-partitionable by
+    * node key, never more than frontier-sized. Every level is EAGERLY
+    * pinned (localCheckpoint, or a reliable `checkpoint` under the
+    * [[hitsInt]] knob): the reached set feeds TWO consumers per level
+    * (the anti-join and the growing union), exactly the plan-doubling
+    * shape that blew HITS to 184 s lazily — pinning keeps plan growth
+    * linear in `maxHops`, and the pinned frames are node-sized, not
+    * edge-sized. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int,
+              reliableCheckpoint: Boolean = false): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    require(!reliableCheckpoint ||
+        edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint = true needs a checkpoint directory: call " +
+        "spark.sparkContext.setCheckpointDir(<reliable storage path>) first")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    def pin(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    graft.util.Caching.releasingOnFailure(e) {
+      var frontier = pin(nodes
+        .join(seeds.select(col(seedCol).cast(LongType).as("node")).distinct(),
+          Seq("node"))
+        .select(col("node"),
+          lit(0).cast(org.apache.spark.sql.types.IntegerType).as("hop")))
+      var reached = frontier
+      for (i <- 1 to maxHops) {
+        val nbrs = e
+          .join(frontier.select(col("node").as("src")), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+        val fresh = pin(nbrs
+          .join(reached.select("node"), Seq("node"), "left_anti")
+          .select(col("node"),
+            lit(i).cast(org.apache.spark.sql.types.IntegerType).as("hop")))
+        frontier = fresh
+        reached = reached.unionAll(fresh)
+      }
+      graft.util.Caching.materializeAndRelease(reached, e)
+    }
+  }
+
+  /** The unrolled ANSI-SQL replay of [[bfsHops]]. `seedPred` is a SQL
+    * boolean over `node` defining the seed set (the
+    * [[pageRankIntPersonalizedSql]] convention). */
+  def bfsHopsSql(edgeSql: String, seedPred: String, maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.dst AS node FROM e
+         |  JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM r${i - 1})),
+         |r$i AS (SELECT node, hop FROM r${i - 1}
+         |  UNION ALL SELECT node, CAST($i AS INTEGER) AS hop FROM f$i)"""
+        .stripMargin
+    }
+    s"""WITH raw_e AS ($edgeSql),
+       |e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src,
+       |    CAST(dst AS BIGINT) AS dst FROM raw_e
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |f0 AS (SELECT node FROM nodes WHERE $seedPred),
+       |r0 AS (SELECT node, CAST(0 AS INTEGER) AS hop FROM f0),
+       |${steps.mkString(",\n")}
+       |SELECT node, hop FROM r$maxHops""".stripMargin
+  }
 }

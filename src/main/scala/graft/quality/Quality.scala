@@ -170,6 +170,40 @@ object Quality {
           hll_union_agg(col("key_sketch"), lit(false))).as("distinct_est"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Mergeable QUANTILE sketches (DataSketches KLL via the native
+    * [[graft.functions.KllSketchAgg]] aggregate) — the FIFTH sketch
+    * family member (HLL distinct / Bloom membership / CMS frequency /
+    * Theta set-ops / KLL quantiles): one serialized sketch per group,
+    * one pass, map-side partials; later percentile questions (per group
+    * or rolled up via [[mergeQuantileSketches]]) never re-read raw data.
+    * `k = 200` → ~1.65% two-sided normalized rank error at 99%
+    * confidence, independent of stream length. NULL values skipped. */
+  def quantileSketches(df: DataFrame, valueCol: String,
+                       groupCols: Seq[String], k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("kll_sketch_agg", col(valueCol), lit(k))
+          .as("value_kll"),
+        count(col(valueCol)).as("n_values"))
+
+  /** Roll KLL sketches up to a coarser grouping and read quantile
+    * estimates at the given normalized `ranks` — columns `q_<permille>`
+    * (e.g. rank 0.5 → `q_500`), NULL for empty merged sketches. The
+    * input is sketch rows from [[quantileSketches]], not raw data. */
+  def mergeQuantileSketches(sketches: DataFrame, groupCols: Seq[String],
+                            ranks: Seq[Double] = Seq(0.5, 0.95),
+                            k: Int = 200): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be within [0, 1], got ${ranks.mkString(", ")}")
+    val merged = sketches.groupBy(groupCols.map(col): _*)
+      .agg(call_function("kll_merge_agg", col("value_kll"), lit(k))
+          .as("__kll"),
+        sum(col("n_values")).as("n_values"))
+    val qCols = ranks.map(r =>
+      call_function("kll_quantile", col("__kll"), lit(r))
+        .as(s"q_${math.round(r * 1000)}"))
+    merged.select(groupCols.map(col) ++ qCols :+ col("n_values"): _*)
+  }
+
   /** GROUP-scoped low-outlier flags on a bounded-precision score — the
     * topic-aware quality floor: a global gate misjudges heterogeneous
     * corpora (code clusters score "low quality" on prose signals;

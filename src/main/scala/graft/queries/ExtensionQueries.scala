@@ -1625,6 +1625,84 @@ object ExtensionQueries {
     graft.serve.GraphRankService.overParquetDirHits(s, grHitsBase(s, dir))
       .topAuthoritiesFrame(20)
 
+  /** The PART co-purchase projection — same construction as
+    * [[supplierEdgeSql]] over p_partkey instead of l_suppkey. The part
+    * key space is 20× wider than suppliers at any SF, so this graph is
+    * SPARSE (mean degree ~90 at sf0.1 instead of near-complete), which
+    * is the regime triangle counting and BFS are interesting in. */
+  private def partEdgeSql: String =
+    """SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"""
+      .stripMargin
+
+  /** The stored part co-purchase edges ([[supplierEdgeBase]] discipline):
+    * [[grTriangles]] keeps the full in-query pipeline as the headline;
+    * the global-stats and BFS faces read the stored pairs so their bench
+    * numbers time the OPERATOR, not a repeated projection fixture. */
+  private def partEdgeBase(s: SparkSession, dir: String): String =
+    storedIndexPath("gr_part_edges", dir) { out =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .coalesce(8).write.mode("overwrite").parquet(out)
+    }
+
+  /** Per-node TRIANGLE counts over the part co-purchase graph —
+    * (node, triangles, deg, wedges), integer-exact, the local clustering
+    * coefficient as a rational pair ([[graft.graph.Graph.triangleCounts]]:
+    * degree-oriented wedge join, every triangle found once, wedge
+    * fan-out bounded by the oriented out-degree). Hash-green against the
+    * replay generator that lives next to the engine code. */
+  private val grTriangles: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.graph.Graph.triangleCounts(pairs, "src", "dst")
+  }
+
+  /** Global graph-closure stats from the same pipeline: total triangles
+    * (Σ per-node DIV 3 — each triangle counts at its 3 corners), total
+    * wedge capacity, node count. The global transitivity coefficient is
+    * 3·n_triangles / n_wedges — kept as integers, never divided. */
+  private val grTrianglesGlobal: Q = (s, dir) =>
+    graft.graph.Graph.triangleCounts(
+        s.read.parquet(partEdgeBase(s, dir)), "src", "dst")
+      .agg(expr("sum(triangles) DIV 3").cast(LongType).as("n_triangles"),
+        sum(col("wedges")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+
+  /** Bounded-hop BFS from a sparse trusted seed set (part keys ≡ 0
+    * mod 997) over the part co-purchase graph — (node, hop ≤ 4), the
+    * crawl-frontier expansion primitive
+    * ([[graft.graph.Graph.bfsHops]]). Integer hops, hash-green. */
+  private val grBfs: Q = (s, dir) =>
+    graft.graph.Graph.bfsHops(
+      s.read.parquet(partEdgeBase(s, dir)), "src", "dst",
+      t(s, dir, "part").filter(col("p_partkey") % 997 === 0)
+        .select(col("p_partkey")),
+      "p_partkey", maxHops = 4)
+
+  /** Corpus co-occurrence statistics: top-200 unordered token pairs by
+    * within-3-positions co-occurrence count
+    * ([[TextOps.cooccurrenceCounts]] — map-only slice explode, linear in
+    * the token stream, never a positional self-join). The collocation /
+    * PMI / word-vector input statistic. Integer counts ⇒ hash-green. */
+  private val txtCooccurrence: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_cooc").desc, col("term_a"), col("term_b"))
+    TextOps.cooccurrenceCounts(t(s, dir, "documents"), "text", "doc_id",
+        window = 3)
+      .orderBy(col("n_cooc").desc, col("term_a"), col("term_b")).limit(200)
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+  }
+
   /** Proximity search — the sloppy-phrase relevance signal
     * ([[TextOps.proximityMatches]]): per-document counts of "value"
     * occurring 1-5 positions BEFORE "table" (exact adjacency is the
@@ -3518,6 +3596,10 @@ object ExtensionQueries {
     "gr_hits" -> grHits,
     "gr_pagerank_probe" -> grPagerankProbe,
     "gr_hits_probe" -> grHitsProbe,
+    "gr_triangles" -> grTriangles,
+    "gr_triangles_global" -> grTrianglesGlobal,
+    "gr_bfs" -> grBfs,
+    "txt_cooccurrence" -> txtCooccurrence,
     "txt_proximity" -> txtProximity,
     "a17_k_suppress" -> a17KSuppress,
     "pr10_snapshot_overlap" -> pr10SnapshotOverlap,
@@ -5982,6 +6064,34 @@ object ExtensionQueries {
                        |  ON o.o_orderkey = l.l_orderkey""".stripMargin,
                      iterations = 3)})
            |ORDER BY authority DESC, node LIMIT 20""".stripMargin,
+      "gr_triangles" ->
+        graft.graph.Graph.triangleCountsSql(partEdgeSql),
+      "gr_triangles_global" ->
+        s"""SELECT CAST(SUM(triangles) // 3 AS BIGINT) AS n_triangles,
+           |  CAST(SUM(wedges) AS BIGINT) AS n_wedges,
+           |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM (${graft.graph.Graph.triangleCountsSql(partEdgeSql)})"""
+          .stripMargin,
+      "gr_bfs" ->
+        graft.graph.Graph.bfsHopsSql(partEdgeSql,
+          seedPred = "node % 997 = 0", maxHops = 4),
+      "txt_cooccurrence" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |p AS (SELECT t[i] AS ta, t[j] AS tb
+             |  FROM toks,
+             |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i),
+             |  LATERAL (SELECT
+             |    unnest(generate_series(i + 1, LEAST(i + 3, len(t)))) AS j)
+             |  WHERE t[i] <> '' AND t[j] <> '' AND t[i] <> t[j]),
+             |c AS (SELECT LEAST(ta, tb) AS term_a, GREATEST(ta, tb) AS term_b,
+             |    CAST(count(*) AS BIGINT) AS n_cooc FROM p GROUP BY 1, 2)
+             |SELECT term_a, term_b, n_cooc,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY n_cooc DESC, term_a, term_b)
+             |    AS INTEGER) AS rank
+             |FROM c ORDER BY n_cooc DESC, term_a, term_b LIMIT 200"""
+          .stripMargin,
       // Numeric-PSI bucket replay: F-side cumulative distinct-value
       // counts, integer-rank decile boundaries (cc*10 >= i*n — no
       // division), per-row bucket = count of boundaries strictly below

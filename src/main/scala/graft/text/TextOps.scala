@@ -1089,6 +1089,41 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Corpus-wide CO-OCCURRENCE counts: for every unordered token pair
+    * {a, b}, the number of positions where they occur within `window`
+    * tokens of each other — the raw statistic under collocation
+    * extraction, PMI association mining, and word-vector co-occurrence
+    * matrices (the GloVe/word2vec input shape). Returns
+    * (term_a, term_b, n_cooc) with term_a < term_b canonically; counts
+    * are integers, so the frame is hash-portable end to end.
+    *
+    * Scale shape: this is NOT a positional self-join (which keys the
+    * join on doc_id alone and goes quadratic per document before the
+    * range residual prunes). Each token pairs with the next `window`
+    * tokens of ITS OWN document's array via `slice` — a MAP-ONLY
+    * explode, exactly `window` candidates per token, linear in the
+    * corpus token stream for fixed window — followed by ONE count
+    * aggregate with map-side partials absorbing hot pairs. Identical
+    * tokens co-occurring ({a, a}) are excluded (self-pairs measure
+    * repetition, not association — [[repetitionSignal]] covers that).
+    * Same token convention as the whole retrieval family
+    * (`tokens(lower(text))`, empty tokens dropped). */
+  def cooccurrenceCounts(df: DataFrame, textCol: String, idCol: String,
+                         window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    df.select(tokens(lower(col(textCol))).as("__toks"))
+      .select(posexplode(col("__toks")).as(Seq("__i", "__ta")), col("__toks"))
+      // slice is 1-based: positions __i+1 .. __i+window (0-based __i)
+      .select(col("__ta"),
+        explode(slice(col("__toks"), col("__i") + lit(2), lit(window)))
+          .as("__tb"))
+      .filter(col("__ta") =!= "" && col("__tb") =!= "" &&
+        col("__ta") =!= col("__tb"))
+      .select(least(col("__ta"), col("__tb")).as("term_a"),
+        greatest(col("__ta"), col("__tb")).as("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_cooc"))
+  }
+
   /** Phrase-search top-k: the `k` documents with the most occurrences of
     * the exact phrase, ties by doc_id ascending — (doc_id, n_hits, rank).
     * [[phraseMatches]] + `orderBy.limit(k)` (TakeOrderedAndProject — a

@@ -151,4 +151,79 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankInt(triangle, "s", "d", scale = 10L)
     }
   }
+
+  test("triangleCounts: hand-computed graph — two shared-edge triangles, " +
+      "direction/duplicates/self-loops ignored") {
+    // undirected {1-2, 1-3, 2-3, 2-4, 3-4}: triangles {1,2,3} and {2,3,4}.
+    // fed as a noisy DIRECTED list: reversed copies, a duplicate, self-loop
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (2L, 4L),
+      (4L, 3L), (3L, 2L), (4L, 4L)).toDF("s", "d")
+    val out = Graph.triangleCounts(e, "s", "d")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      1L -> ((1L, 2L, 1L)),   // deg 2 → 1 wedge, in 1 triangle
+      2L -> ((2L, 3L, 3L)),   // deg 3 → 3 wedges, in both triangles
+      3L -> ((2L, 3L, 3L)),
+      4L -> ((1L, 2L, 1L))))
+  }
+
+  test("triangleCounts: triangle-free star has zero triangles and hub " +
+      "wedge capacity n·(n−1)/2; complete K5 closes every wedge") {
+    val star = (2L to 6L).map(i => (1L, i)).toDF("s", "d")
+    val s = Graph.triangleCounts(star, "s", "d")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(s.forall(_._2 === 0L))
+    assert(s.find(_._1 === 1L).get._4 === 10L) // C(5,2) hub wedges
+    val k5 = (for { a <- 1L to 5L; b <- 1L to 5L; if a != b }
+      yield (a, b)).toDF("s", "d")
+    val k = Graph.triangleCounts(k5, "s", "d")
+      .as[(Long, Long, Long, Long)].collect()
+    // every node: C(4,2) = 6 triangles through it = its 6 wedges, all closed
+    assert(k.forall(r => r._2 === 6L && r._3 === 4L && r._4 === 6L))
+    assert(k.map(_._2).sum / 3 === 10L) // C(5,3) distinct triangles
+  }
+
+  test("bfsHops: hand-computed path — min hop per node, bounded depth, " +
+      "unreached nodes absent, multi-seed takes the nearer seed") {
+    // undirected path 1-2-3-4-5 (both directions fed)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("s", "d")
+    val seeds1 = Seq(1L).toDF("k")
+    val full = Graph.bfsHops(path, "s", "d", seeds1, "k", maxHops = 4)
+    val fullMap = full.as[(Long, Int)].collect().toMap
+    assert(fullMap === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    full.unpersist(blocking = true)
+    val capped = Graph.bfsHops(path, "s", "d", seeds1, "k", maxHops = 2)
+    assert(capped.as[(Long, Int)].collect().toMap ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2)) // 4, 5 beyond the bound → absent
+    capped.unpersist(blocking = true)
+    // seeds at both ends: middle node takes min hop; seed 99 (not in the
+    // graph) is ignored
+    val both = Graph.bfsHops(path, "s", "d",
+      Seq(1L, 5L, 99L).toDF("k"), "k", maxHops = 4)
+    assert(both.as[(Long, Int)].collect().toMap ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+    both.unpersist(blocking = true)
+  }
+
+  test("bfsHops: edge DIRECTION is respected, and the reliable-checkpoint " +
+      "knob demands a checkpoint dir") {
+    val arc = Seq((1L, 2L)).toDF("s", "d") // 1→2 only
+    val fwd = Graph.bfsHops(arc, "s", "d", Seq(1L).toDF("k"), "k", 2)
+    assert(fwd.as[(Long, Int)].collect().toMap === Map(1L -> 0, 2L -> 1))
+    fwd.unpersist(blocking = true)
+    val back = Graph.bfsHops(arc, "s", "d", Seq(2L).toDF("k"), "k", 2)
+    assert(back.as[(Long, Int)].collect().toMap === Map(2L -> 0))
+    back.unpersist(blocking = true)
+    intercept[IllegalArgumentException] {
+      Graph.bfsHops(arc, "s", "d", Seq(1L).toDF("k"), "k", 0)
+    }
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Graph.bfsHops(arc, "s", "d", Seq(1L).toDF("k"), "k", 2,
+          reliableCheckpoint = true)
+      }
+    }
+  }
 }

@@ -158,6 +158,44 @@ class QualitySpec extends SparkSpec {
     perDay.foreach(e => assert(math.abs(e - 1000L) <= 50, s"per-day est $e"))
   }
 
+  test("quantile sketches: per-shard KLL merge answers global percentiles " +
+      "within rank error; empty groups read NULL") {
+    // 10 shards × 2000 values; value = global index 0..19999 scattered
+    // round-robin across shards, so every shard sees the full range but
+    // only the merged sketch knows the global distribution
+    val rows = (0 until 20000).map(i => (s"shard${i % 10}", i.toDouble))
+    val daily = Quality.quantileSketches(rows.toDF("shard", "v"), "v",
+      Seq("shard"), k = 200)
+    assert(daily.count() === 10)
+    // rollup from the 10 sketch rows only — raw data never re-scanned
+    val g = Quality.mergeQuantileSketches(
+        daily.withColumn("all", org.apache.spark.sql.functions.lit(1)),
+        Seq("all"), ranks = Seq(0.5, 0.95), k = 200)
+      .select("q_500", "q_950", "n_values")
+      .as[(Double, Double, Long)].head()
+    assert(g._3 === 20000L)
+    // k = 200 → ~1.65% normalized rank error (99% conf); 3% of the 20k
+    // range = 600 is a comfortable deterministic-failure margin
+    assert(math.abs(g._1 - 10000.0) <= 600, s"p50 ${g._1}")
+    assert(math.abs(g._2 - 19000.0) <= 600, s"p95 ${g._2}")
+    // an all-NULL group sketches empty → NULL quantiles, 0 values
+    val withNull = rows.toDF("shard", "v")
+      .unionAll(Seq(("ghost", Option.empty[Double])).toDF("shard", "v"))
+    val ghost = Quality.mergeQuantileSketches(
+        Quality.quantileSketches(withNull, "v", Seq("shard")), Seq("shard"))
+      .filter(org.apache.spark.sql.functions.col("shard") === "ghost")
+      .select("q_500", "n_values").collect().head
+    assert(ghost.isNullAt(0) && ghost.getLong(1) === 0L)
+    // rank guard is loud, and the SQL surface is registered
+    val sqlRow = spark.sql(
+      "SELECT kll_quantile(kll_sketch_agg(CAST(id AS DOUBLE), 200), " +
+        "CAST(0.5 AS DOUBLE)) FROM range(1001)").as[Double].head()
+    assert(math.abs(sqlRow - 500.0) <= 50, s"SQL p50 $sqlRow")
+    intercept[Exception] {
+      Quality.mergeQuantileSketches(daily, Seq("shard"), ranks = Seq(1.5))
+    }
+  }
+
   test("frequency sketches: per-day CMS merge answers global point lookups within eps·N") {
     // 10 days × 1000 rows; key = i % 100 → every key appears exactly 100×
     // globally, plus key 7 planted 50 extra times on day 3

@@ -1028,4 +1028,32 @@ class TextOpsSpec extends SparkSpec {
       TextOps.cmsTermCounts(df, "text", width = 1)
     }
   }
+
+  test("cooccurrenceCounts: hand-computed window pairs — canonical order, " +
+      "self-pairs excluded, case-folded") {
+    // tokens a b c a; window 2 → (a,b)@0-1, (a,c)@0-2, (b,c)@1-2,
+    // (b,a)@1-3 canonicalizes to (a,b), (c,a)@2-3 to (a,c); (a,a)@0-3 is
+    // outside the window anyway
+    val df = Seq((1L, "a B c A")).toDF("doc_id", "text")
+    val out = TextOps.cooccurrenceCounts(df, "text", "doc_id", window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+  }
+
+  test("cooccurrenceCounts: identical-token pairs never count, window 1 " +
+      "is adjacency, empty/blank docs contribute nothing") {
+    val df = Seq((1L, "x x y"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    // window 2: (x,x)@0-1 excluded; (x,y)@0-2 and (x,y)@1-2 count
+    val w2 = TextOps.cooccurrenceCounts(df, "text", "doc_id", window = 2)
+      .as[(String, String, Long)].collect()
+    assert(w2.toSeq === Seq(("x", "y", 2L)))
+    // window 1: only the adjacent (x,y)@1-2 survives
+    val w1 = TextOps.cooccurrenceCounts(df, "text", "doc_id", window = 1)
+      .as[(String, String, Long)].collect()
+    assert(w1.toSeq === Seq(("x", "y", 1L)))
+    intercept[IllegalArgumentException] {
+      TextOps.cooccurrenceCounts(df, "text", "doc_id", window = 0)
+    }
+  }
 }
