@@ -626,6 +626,83 @@ object Graph {
     }
   }
 
+  /** K-CORE decomposition, bounded at `rounds` peel iterations: nodes of
+    * the undirected simple graph surviving repeated removal of
+    * degree < k nodes, with their degree INSIDE the surviving subgraph —
+    * the density-core filter crawl/link pipelines use to separate
+    * well-embedded pages from peripheral chaff (Seidman 1983, "Network
+    * structure and minimum degree", Social Networks — public). Returns
+    * (node, deg), deg ≥ 1; isolated survivors (all neighbors peeled,
+    * degree 0) drop out with their last edge, and a node's reported
+    * degree is its END-state degree after the final peel.
+    *
+    * Each round is one degree aggregate + two semi-joins — all keyed by
+    * node, shuffle-partitionable, never wider than the edge set. The
+    * SURVIVOR set feeds two consumers per round (both endpoint
+    * semi-joins), the HITS/BFS plan-doubling shape, so each round's
+    * survivors are eagerly pinned (node-sized; `reliableCheckpoint`
+    * knob as in [[hitsInt]]). `rounds` truncates from above: every
+    * round only removes nodes, a fixpoint makes further rounds no-ops,
+    * and callers wanting the exact k-core raise `rounds` until the
+    * count stabilizes. */
+  def kCoreNodes(edges: DataFrame, srcCol: String, dstCol: String,
+                 k: Int, rounds: Int,
+                 reliableCheckpoint: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(!reliableCheckpoint ||
+        edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint = true needs a checkpoint directory: call " +
+        "spark.sparkContext.setCheckpointDir(<reliable storage path>) first")
+    import org.apache.spark.storage.StorageLevel
+    val raw = edges.select(col(srcCol).cast(LongType).as("s"),
+        col(dstCol).cast(LongType).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val e0 = raw.select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def pin(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    graft.util.Caching.releasingOnFailure(e0) {
+      var e = e0
+      for (_ <- 1 to rounds) {
+        val surv = pin(degrees(e).filter(col("deg") >= k).select("node"))
+        e = e
+          .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      }
+      graft.util.Caching.materializeAndRelease(degrees(e), e0)
+    }
+  }
+
+  /** The unrolled ANSI-SQL replay of [[kCoreNodes]]. */
+  def kCoreNodesSql(edgeSql: String, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS (SELECT node FROM (
+         |    SELECT node, count(*) AS deg FROM (
+         |      SELECT u AS node FROM e${i - 1}
+         |      UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1)
+         |  WHERE deg >= $k),
+         |e$i AS (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM s$i)
+         |    AND v IN (SELECT node FROM s$i))""".stripMargin
+    }
+    s"""WITH raw_e AS ($edgeSql),
+       |e0 AS (SELECT DISTINCT
+       |    LEAST(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS u,
+       |    GREATEST(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS v
+       |  FROM raw_e WHERE src IS NOT NULL AND dst IS NOT NULL
+       |    AND src <> dst),
+       |${steps.mkString(",\n")}
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** The unrolled ANSI-SQL replay of [[bfsHops]]. `seedPred` is a SQL
     * boolean over `node` defining the seed set (the
     * [[pageRankIntPersonalizedSql]] convention). */

@@ -1689,6 +1689,21 @@ object ExtensionQueries {
         .select(col("p_partkey")),
       "p_partkey", maxHops = 4)
 
+  /** Bounded k-core peel over the part co-purchase graph — nodes
+    * surviving 3 rounds of degree-≥-120 peeling with their end-state
+    * degree ([[graft.graph.Graph.kCoreNodes]]): the density-core filter
+    * that separates well-embedded nodes from peripheral chaff. The
+    * graph is NEAR-REGULAR (degree p10 ≈ 88, median ≈ 117, SF-invariant
+    * — the lineitem/part ratio is constant), so a threshold near the
+    * median collapses the whole core by cascade (measured: k = 120
+    * empties it in 3 rounds at both SFs); k = 60 targets the low tail
+    * the peel is FOR — it removes the sparse periphery and the cascade
+    * stays local. Integer degrees ⇒ hash-green. */
+  private val grKcore: Q = (s, dir) =>
+    graft.graph.Graph.kCoreNodes(
+      s.read.parquet(partEdgeBase(s, dir)), "src", "dst",
+      k = 60, rounds = 3)
+
   /** Corpus co-occurrence statistics: top-200 unordered token pairs by
     * within-3-positions co-occurrence count
     * ([[TextOps.cooccurrenceCounts]] — map-only slice explode, linear in
@@ -3599,6 +3614,7 @@ object ExtensionQueries {
     "gr_triangles" -> grTriangles,
     "gr_triangles_global" -> grTrianglesGlobal,
     "gr_bfs" -> grBfs,
+    "gr_kcore" -> grKcore,
     "txt_cooccurrence" -> txtCooccurrence,
     "txt_proximity" -> txtProximity,
     "a17_k_suppress" -> a17KSuppress,
@@ -6075,6 +6091,8 @@ object ExtensionQueries {
       "gr_bfs" ->
         graft.graph.Graph.bfsHopsSql(partEdgeSql,
           seedPred = "node % 997 = 0", maxHops = 4),
+      "gr_kcore" ->
+        graft.graph.Graph.kCoreNodesSql(partEdgeSql, k = 60, rounds = 3),
       "txt_cooccurrence" ->
         raw"""WITH toks AS (SELECT doc_id,
              |    regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -207,6 +207,37 @@ class GraphSpec extends SparkSpec {
     both.unpersist(blocking = true)
   }
 
+  test("kCoreNodes: hand-computed peel — cascade removal across rounds, " +
+      "end-state degrees, fixpoint stability") {
+    // triangle {1,2,3} + pendant chain 3-4, 4-5: 2-core peel round 1
+    // removes 5 (deg 1); round 2 removes 4 (its degree FELL to 1 when 5
+    // left — the cascade); the triangle is the 2-core fixpoint.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val r1 = Graph.kCoreNodes(e, "s", "d", k = 2, rounds = 1)
+    assert(r1.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L)) // 4 survives round 1
+    r1.unpersist(blocking = true)
+    val r2 = Graph.kCoreNodes(e, "s", "d", k = 2, rounds = 2)
+    assert(r2.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // the cascade got 4; core is clean
+    r2.unpersist(blocking = true)
+    val r5 = Graph.kCoreNodes(e, "s", "d", k = 2, rounds = 5)
+    assert(r5.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // fixpoint: extra rounds no-op
+    r5.unpersist(blocking = true)
+    // k above the max degree empties the graph entirely
+    val empty = Graph.kCoreNodes(e, "s", "d", k = 4, rounds = 2)
+    assert(empty.count() === 0)
+    empty.unpersist(blocking = true)
+    intercept[IllegalArgumentException] {
+      Graph.kCoreNodes(e, "s", "d", k = 0, rounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.kCoreNodes(e, "s", "d", k = 2, rounds = 0)
+    }
+  }
+
   test("bfsHops: edge DIRECTION is respected, and the reliable-checkpoint " +
       "knob demands a checkpoint dir") {
     val arc = Seq((1L, 2L)).toDF("s", "d") // 1→2 only
