@@ -1704,6 +1704,19 @@ object ExtensionQueries {
       s.read.parquet(partEdgeBase(s, dir)), "src", "dst",
       k = 60, rounds = 3)
 
+  /** Seed-scoped link prediction over the part co-purchase graph: for
+    * each mod-997 seed part, the top-10 non-adjacent parts by
+    * common-neighbor count ([[graft.graph.Graph.commonNeighborRecs]] —
+    * the "related items" serving shape, cost bounded by the seed set's
+    * 2-hop fan-out, never the graph-wide wedge sum). Integer counts ⇒
+    * hash-green. */
+  private val grRecommend: Q = (s, dir) =>
+    graft.graph.Graph.commonNeighborRecs(
+      s.read.parquet(partEdgeBase(s, dir)), "src", "dst",
+      t(s, dir, "part").filter(col("p_partkey") % 997 === 0)
+        .select(col("p_partkey")),
+      "p_partkey", k = 10, minCommon = 2L)
+
   /** Corpus co-occurrence statistics: top-200 unordered token pairs by
     * within-3-positions co-occurrence count
     * ([[TextOps.cooccurrenceCounts]] — map-only slice explode, linear in
@@ -3615,6 +3628,7 @@ object ExtensionQueries {
     "gr_triangles_global" -> grTrianglesGlobal,
     "gr_bfs" -> grBfs,
     "gr_kcore" -> grKcore,
+    "gr_recommend" -> grRecommend,
     "txt_cooccurrence" -> txtCooccurrence,
     "txt_proximity" -> txtProximity,
     "a17_k_suppress" -> a17KSuppress,
@@ -6093,6 +6107,9 @@ object ExtensionQueries {
           seedPred = "node % 997 = 0", maxHops = 4),
       "gr_kcore" ->
         graft.graph.Graph.kCoreNodesSql(partEdgeSql, k = 60, rounds = 3),
+      "gr_recommend" ->
+        graft.graph.Graph.commonNeighborRecsSql(partEdgeSql,
+          seedPred = "node % 997 = 0", k = 10, minCommon = 2L),
       "txt_cooccurrence" ->
         raw"""WITH toks AS (SELECT doc_id,
              |    regexp_split_to_array(trim(lower(text)), '\s+') AS t

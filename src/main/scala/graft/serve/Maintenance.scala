@@ -100,6 +100,21 @@ object Maintenance {
     false
   }
 
+  /** Stored graph-ranks layout (`root/ranks`): rank is a GLOBAL fixed
+    * point of the edge set — there is no per-edge delta to fold and no
+    * quantizer to drift — so the nightly unit IS the full recompute +
+    * marker-fenced swap ([[GraphRankService.refreshPageRank]]), from
+    * whatever the current edge frame is. Always returns false (the
+    * rebuild is the maintenance; nothing further can migrate). */
+  def nightlyGraph(spark: SparkSession, root: String, edges: DataFrame,
+                   srcCol: String, dstCol: String, iterations: Int = 5,
+                   weightCol: Option[String] = None,
+                   seeds: Option[(DataFrame, String)] = None): Boolean = {
+    GraphRankService.refreshPageRank(spark, root, edges, srcCol, dstCol,
+      iterations, weightCol = weightCol, seeds = seeds)
+    false
+  }
+
   /** Near-dup signature layout (`root/signatures` + `root/buckets`):
     * compaction only — the banding parameters are the index identity
     * (like RP's (dimOut, seed)), nothing is trained, so there is no

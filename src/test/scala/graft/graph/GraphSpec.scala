@@ -207,6 +207,52 @@ class GraphSpec extends SparkSpec {
     both.unpersist(blocking = true)
   }
 
+  test("pageRankInt: segmented resume is EXACT — 3 + 2 iterations via " +
+      "ranksInit equal 5 straight, and unseen init nodes start cold") {
+    val edges = (for {
+      s <- 1L to 12L; d <- 1L to 12L
+      if s != d && (s + d) % 3 != 0
+    } yield (s, d)).toDF("s", "d")
+    val straight = Graph.pageRankInt(edges, "s", "d", iterations = 5)
+      .as[(Long, Long)].collect().toSet
+    val seg1 = Graph.pageRankInt(edges, "s", "d", iterations = 3)
+    val resumed = Graph.pageRankInt(edges, "s", "d", iterations = 2,
+        ranksInit = Some(seg1))
+      .as[(Long, Long)].collect().toSet
+    assert(resumed === straight) // bit-for-bit, not approximately
+    // init missing a node → that node starts at the cold `scale`:
+    // resuming with a PARTIAL frame equals a run whose r0 mixes values
+    val partial = seg1.filter($"node" =!= 1L)
+    val mixed = Graph.pageRankInt(edges, "s", "d", iterations = 2,
+      ranksInit = Some(partial)).as[(Long, Long)].collect().toMap
+    assert(mixed.size === 12 && mixed.values.forall(_ > 0))
+  }
+
+  test("commonNeighborRecs: hand-computed 2-hop scores — adjacency and " +
+      "self excluded, minCommon gate, per-seed rank") {
+    // undirected: seed 1 - {2,3}; 2 - {4,5}; 3 - {4}; 4 - {6}.
+    // candidates of 1: 4 via {2,3} (2 common), 5 via {2} (1), 6 not at
+    // 2 hops; 2,3 are adjacent → excluded.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 4L),
+        (4L, 6L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("s", "d")
+    val seeds = Seq(1L).toDF("k")
+    val r = Graph.commonNeighborRecs(und, "s", "d", seeds, "k", k = 10)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(r === Set((1L, 4L, 2L, 1), (1L, 5L, 1L, 2)))
+    // minCommon = 2 drops the single-path candidate
+    val r2 = Graph.commonNeighborRecs(und, "s", "d", seeds, "k", k = 10,
+      minCommon = 2L).as[(Long, Long, Long, Int)].collect().toSet
+    assert(r2 === Set((1L, 4L, 2L, 1)))
+    // k truncates per seed by (count desc, candidate)
+    val r3 = Graph.commonNeighborRecs(und, "s", "d", seeds, "k", k = 1)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(r3 === Set((1L, 4L, 2L, 1)))
+    intercept[IllegalArgumentException] {
+      Graph.commonNeighborRecs(und, "s", "d", seeds, "k", k = 0)
+    }
+  }
+
   test("kCoreNodes: hand-computed peel — cascade removal across rounds, " +
       "end-state degrees, fixpoint stability") {
     // triangle {1,2,3} + pendant chain 3-4, 4-5: 2-core peel round 1

@@ -235,4 +235,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(AnnSqService.overParquetDir(spark, sqRoot, maxK = 5)
       .topK(vec(101, anchorOdd = false).toIndexedSeq, 1) === servedBefore)
   }
+
+  test("nightlyGraph: full-recompute refresh from the current edges; a " +
+      "graph edit is visible after the nightly, swap is serving-safe") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mn_gr_").toString
+    // star around 1: rank(1) dominates
+    val before = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("s", "d")
+    GraphRankService.buildPageRank(before, "s", "d", root)
+    val top0 = GraphRankService.overParquetDir(spark, root).topK(1)
+    assert(top0.head._1 === 1L)
+    // edges move: the star re-centers on 9 — the nightly is the rebuild
+    val after = Seq((2L, 9L), (3L, 9L), (4L, 9L), (9L, 2L)).toDF("s", "d")
+    assert(!Maintenance.nightlyGraph(spark, root, after, "s", "d"))
+    val top1 = GraphRankService.overParquetDir(spark, root).topK(1)
+    assert(top1.head._1 === 9L)
+  }
 }
