@@ -176,4 +176,21 @@ object GraphRankService {
       .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
     graft.io.Sinks.swapDir(spark, s"$root/ranks", tmp)
   }
+
+  /** HITS twin of [[refreshPageRank]]: full recompute of the
+    * `root/scores` layout + marker-fenced swap (the same no-per-edge-
+    * delta argument — hub/authority scores are a global fixed point). */
+  def refreshHits(spark: SparkSession, root: String, edges: DataFrame,
+                  srcCol: String, dstCol: String, iterations: Int = 3,
+                  scale: Long = 1000000000L, numFiles: Int = 4): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/scores")
+    val tmp = s"$root/scores-__rebuilding__"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
+    graft.graph.Graph.hitsInt(edges, srcCol, dstCol, iterations, scale)
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    graft.io.Sinks.swapDir(spark, s"$root/scores", tmp)
+  }
 }

@@ -524,6 +524,52 @@ object StreamOps {
     }
   }
 
+  /** Streaming EDGE ingest into a stored graph layout
+    * ([[graft.serve.GraphRankService]] `root/edges`): each micro-batch's
+    * (src, dst) pairs append as batch-tagged thin files — nothing is
+    * trained, nothing is frozen, and the graph operators deduplicate
+    * edges themselves, so streamed ≡ batch-collected holds EXACTLY for
+    * every downstream computation. Ranks are a GLOBAL fixed point of
+    * the edge set (no per-edge delta exists), so serving does NOT
+    * update live: the nightly composition
+    * ([[graft.serve.Maintenance.nightlyGraph]] over
+    * `spark.read.parquet(root + "/edges")`) recomputes and swaps the
+    * stored ranks — stream feeds the store, the nightly feeds serving.
+    * Same exactly-once-in-effect commit protocol as every other ingest
+    * sink. */
+  def edgeIngestStream(edges: DataFrame, root: String, checkpointDir: String,
+                       srcCol: String = "src", dstCol: String = "dst")
+                      : org.apache.spark.sql.streaming.StreamingQuery = {
+    BatchCommit.assertStreamIdentity(edges.sparkSession, root, checkpointDir)
+    edges.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        edgeIngestBatch(batch.toDF(), root, batchId, srcCol, dstCol)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[edgeIngestStream]] — public for the replay
+    * spec. Returns false when the batch was empty or already
+    * committed. */
+  def edgeIngestBatch(batch: DataFrame, root: String, batchId: Long,
+                      srcCol: String = "src",
+                      dstCol: String = "dst"): Boolean = {
+    if (batch.isEmpty) return false
+    BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      batch.select(
+          org.apache.spark.sql.functions.col(srcCol)
+            .cast(org.apache.spark.sql.types.LongType).as("src"),
+          org.apache.spark.sql.functions.col(dstCol)
+            .cast(org.apache.spark.sql.types.LongType).as("dst"))
+        .write.parquet(s"$staging/edges")
+      Seq(s"$staging/edges" -> s"$root/edges")
+    }
+  }
+
   /** Streaming ingest into a stored FLAT-PQ layout — the last stored
     * index family without live ingest (BM25, flat IVF, residual IVF-PQ
     * and RP all have it): the stored codebooks are pinned once at

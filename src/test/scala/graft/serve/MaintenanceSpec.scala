@@ -250,5 +250,12 @@ class MaintenanceSpec extends SparkSpec {
     assert(!Maintenance.nightlyGraph(spark, root, after, "s", "d"))
     val top1 = GraphRankService.overParquetDir(spark, root).topK(1)
     assert(top1.head._1 === 9L)
+    // HITS twin: scores follow the same rebuild-and-swap refresh
+    GraphRankService.buildHits(before, "s", "d", root)
+    assert(GraphRankService.overParquetDirHits(spark, root)
+      .topAuthorities(1).head._1 === 1L)
+    GraphRankService.refreshHits(spark, root, after, "s", "d")
+    assert(GraphRankService.overParquetDirHits(spark, root)
+      .topAuthorities(1).head._1 === 9L)
   }
 }

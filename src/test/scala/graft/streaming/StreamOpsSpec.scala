@@ -830,6 +830,56 @@ class StreamOpsSpec extends SparkSpec {
     assert(hit.map(_._1).toSet === Set(7L, 9007L), hit.toString)
   }
 
+  test("edgeIngestStream: streamed edges land in the graph store; " +
+      "streamed ≡ batch-collected EXACTLY through the nightly; " +
+      "replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("gr_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gr_ckpt_").toString
+    // seed store: a star around 1
+    val seed = Seq((2L, 1L), (3L, 1L), (1L, 2L))
+    seed.toDF("src", "dst").write.parquet(s"$root/edges")
+    graft.serve.GraphRankService.buildPageRank(
+      seed.toDF("src", "dst"), "src", "dst", root)
+    // stream two batches that re-center the graph on 9
+    val streamed = Seq((2L, 9L), (3L, 9L), (4L, 9L), (9L, 2L), (5L, 9L))
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.edgeIngestStream(mem.toDF().toDF("src", "dst"),
+      root, ckpt)
+    try {
+      mem.addData(streamed.take(2): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    // the stored edge set is exactly seed ∪ streamed
+    assert(spark.read.parquet(s"$root/edges").as[(Long, Long)]
+      .collect().sorted.toSeq === (seed ++ streamed).sorted)
+    // replay safety: a committed batch is a no-op; a crashed-mid-append
+    // redo (ledger marker gone) re-runs and the scrub keeps rows exact
+    val b1 = streamed.drop(2).toDF("src", "dst")
+    assert(!StreamOps.edgeIngestBatch(b1, root, batchId = 1))
+    val marker = new java.io.File(s"$root/_ledger/batch-1")
+    assert(marker.delete())
+    assert(StreamOps.edgeIngestBatch(b1, root, batchId = 1))
+    assert(spark.read.parquet(s"$root/edges").as[(Long, Long)]
+      .collect().sorted.toSeq === (seed ++ streamed).sorted)
+    // the nightly rebuild folds the streamed edges into serving: ranks
+    // from the store ≡ ranks from a one-shot batch of the same edges
+    assert(!graft.serve.Maintenance.nightlyGraph(spark, root,
+      spark.read.parquet(s"$root/edges"), "src", "dst"))
+    val oneShot = graft.graph.Graph.pageRankInt(
+        (seed ++ streamed).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(spark.read.parquet(s"$root/ranks").as[(Long, Long)]
+      .collect().toSet === oneShot) // integer-exact, bit-for-bit
+    // serving reflects the streamed graph: the top node is the one-shot
+    // argmax (node 9's mass funnels to 2 — its only out-edge — so the
+    // pre-stream hub 1 must NOT lead anymore)
+    val served = graft.serve.GraphRankService.overParquetDir(spark, root)
+      .topK(1)
+    assert(served.head._1 === oneShot.maxBy(r => (r._2, -r._1))._1)
+    assert(served.head._1 !== 1L)
+  }
+
   test("ivfPqIngestStream: streamed vectors residual-encode into their " +
       "cells; the compressed layout serves them") {
     import graft.sim.{IvfPq, IvfPqIndex}
