@@ -204,6 +204,56 @@ object Quality {
     merged.select(groupCols.map(col) ++ qCols :+ col("n_values"): _*)
   }
 
+  /** BENFORD first-digit audit (Benford 1938; Nigrini's fraud-audit
+    * staple — public): the distribution of FIRST significant digits of
+    * a positive currency column vs the Benford expectation
+    * P(d) = log10(1 + 1/d). Naturally-occurring multiplicative data
+    * follows it; fabricated or truncated feeds don't — the classic
+    * data-forensics screen for an ingest pipeline.
+    *
+    * Exactness discipline: values quantize to integer CENTS
+    * (round(x·100) as BIGINT — non-positive and NULL rows are excluded,
+    * they have no first digit), the first digit is the first character
+    * of the BIGINT's decimal rendering (engine-consistent — no float
+    * log10, whose edge behavior at exact powers of ten differs across
+    * engines), and
+    * the nine Benford probabilities are EXACT DOUBLE LITERALS both
+    * engines parse identically, so expected counts and chi-square terms
+    * hash-match at ROUND 6 (the pr3_moments discipline). One count
+    * aggregate with map-side partials; the 9-row result joins the
+    * total by a broadcast one-row frame. Returns
+    * (digit, n, expected, chi_term) for digits 1–9 (n = 0 rows
+    * included — an absent digit is the loudest finding). */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // log10(1 + 1/d), d = 1..9, as literal text (not computed at
+    // runtime): both engines parse these to identical doubles
+    val benford = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val digits = benford.toDF("digit", "p")
+    val cents = df.select(
+        expr(s"CAST(round(`$valueCol` * 100, 0) AS BIGINT)").as("__c"))
+      .filter(col("__c").isNotNull && col("__c") > 0L)
+      .select(expr("CAST(substr(CAST(__c AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+    val counts = cents.groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    digits.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("p"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("p") * col("__total"), 6).as("expected"),
+        round(
+          (col("n") - col("p") * col("__total")) *
+            (col("n") - col("p") * col("__total")) /
+            (col("p") * col("__total")), 6).as("chi_term"))
+  }
+
   /** GROUP-scoped low-outlier flags on a bounded-precision score — the
     * topic-aware quality floor: a global gate misjudges heterogeneous
     * corpora (code clusters score "low quality" on prose signals;

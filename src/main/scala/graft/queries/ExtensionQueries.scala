@@ -1704,6 +1704,22 @@ object ExtensionQueries {
       s.read.parquet(partEdgeBase(s, dir)), "src", "dst",
       k = 60, rounds = 3)
 
+  /** Flesch readability signals per document
+    * ([[TextOps.readabilitySignals]]) — integer word / sentence /
+    * vowel-group-syllable counts plus the canonical score at ROUND 6
+    * (fixed literals + identical IEEE ops ⇒ even the double column
+    * hash-matches). Map-only. */
+  private val txtReadability: Q = (s, dir) =>
+    TextOps.readabilitySignals(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Benford first-digit audit of the order totals
+    * ([[graft.quality.Quality.benfordProfile]]) — digit counts are
+    * integer-exact; expected counts and chi-square terms use exact
+    * double literals at ROUND 6. The fraud/forensics screen. */
+  private val a24Benford: Q = (s, dir) =>
+    graft.quality.Quality.benfordProfile(t(s, dir, "orders"),
+      "o_totalprice")
+
   /** Seed-scoped link prediction over the part co-purchase graph: for
     * each mod-997 seed part, the top-10 non-adjacent parts by
     * common-neighbor count ([[graft.graph.Graph.commonNeighborRecs]] —
@@ -3629,6 +3645,8 @@ object ExtensionQueries {
     "gr_bfs" -> grBfs,
     "gr_kcore" -> grKcore,
     "gr_recommend" -> grRecommend,
+    "txt_readability" -> txtReadability,
+    "a24_benford" -> a24Benford,
     "txt_cooccurrence" -> txtCooccurrence,
     "txt_proximity" -> txtProximity,
     "a17_k_suppress" -> a17KSuppress,
@@ -6110,6 +6128,52 @@ object ExtensionQueries {
       "gr_recommend" ->
         graft.graph.Graph.commonNeighborRecsSql(partEdgeSql,
           seedPred = "node % 997 = 0", k = 10, minCommon = 2L),
+      "txt_readability" ->
+        raw"""WITH c AS (SELECT doc_id,
+             |    CAST(CASE WHEN trim(text) = '' THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             |      END AS BIGINT) AS n_words,
+             |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+             |      AS n_sentences,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |      AS BIGINT) AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CASE WHEN n_sentences = 0 OR n_words = 0 THEN NULL
+             |    ELSE ROUND(206.835
+             |      - 1.015 * (CAST(n_words AS DOUBLE)
+             |                 / CAST(n_sentences AS DOUBLE))
+             |      - 84.6 * (CAST(n_syllables AS DOUBLE)
+             |                / CAST(n_words AS DOUBLE)), 6)
+             |  END AS flesch
+             |FROM c""".stripMargin,
+      "a24_benford" ->
+        raw"""WITH cents AS (SELECT
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+             |  FROM orders
+             |  WHERE o_totalprice IS NOT NULL
+             |    AND CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0),
+             |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+             |    AS digit FROM cents),
+             |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+             |  FROM d GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM cnt),
+             |bf(digit, p) AS (VALUES
+             |  (1, CAST(0.3010299956639812 AS DOUBLE)),
+             |  (2, CAST(0.17609125905568124 AS DOUBLE)),
+             |  (3, CAST(0.12493873660829993 AS DOUBLE)),
+             |  (4, CAST(0.09691001300805642 AS DOUBLE)),
+             |  (5, CAST(0.07918124604762482 AS DOUBLE)),
+             |  (6, CAST(0.06694678963061322 AS DOUBLE)),
+             |  (7, CAST(0.05799194697768673 AS DOUBLE)),
+             |  (8, CAST(0.05115252244738129 AS DOUBLE)),
+             |  (9, CAST(0.04575749056067514 AS DOUBLE)))
+             |SELECT bf.digit, COALESCE(cnt.n, 0) AS n,
+             |  ROUND(bf.p * tot.total, 6) AS expected,
+             |  ROUND((COALESCE(cnt.n, 0) - bf.p * tot.total)
+             |    * (COALESCE(cnt.n, 0) - bf.p * tot.total)
+             |    / (bf.p * tot.total), 6) AS chi_term
+             |FROM bf LEFT JOIN cnt ON bf.digit = cnt.digit, tot""".stripMargin,
       "txt_cooccurrence" ->
         raw"""WITH toks AS (SELECT doc_id,
              |    regexp_split_to_array(trim(lower(text)), '\s+') AS t

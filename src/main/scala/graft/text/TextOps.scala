@@ -1089,6 +1089,34 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** READABILITY signals per document — the Flesch Reading Ease inputs
+    * (Flesch 1948, public; the readability gate common in web-corpus
+    * curation stacks): whitespace word count, terminator-run sentence
+    * count (the [[sentences]] convention), and the vowel-group syllable
+    * HEURISTIC (runs of [aeiouy] in the lowercased text — the standard
+    * no-dictionary approximation; consistent, not linguistically
+    * exact). The integer counts are the portable core; `flesch` is the
+    * canonical 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words) with try-division (NULL for empty docs) rounded to 6
+    * decimals — both engines parse identical literals and run the same
+    * IEEE ops, so even the score column hash-matches (the pr3_moments
+    * discipline). Map-only; one pass. */
+  def readabilitySignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol).as("doc_id"),
+        tokenCount(t).as("n_words"),
+        regexp_count(t, lit("[.!?]+")).cast(LongType).as("n_sentences"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast(LongType)
+          .as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * expr(
+            "try_divide(CAST(n_words AS DOUBLE), CAST(n_sentences AS DOUBLE))")
+          - lit(84.6) * expr(
+            "try_divide(CAST(n_syllables AS DOUBLE), CAST(n_words AS DOUBLE))"),
+          6))
+  }
+
   /** Corpus-wide CO-OCCURRENCE counts: for every unordered token pair
     * {a, b}, the number of positions where they occur within `window`
     * tokens of each other — the raw statistic under collocation

@@ -158,6 +158,24 @@ class QualitySpec extends SparkSpec {
     perDay.foreach(e => assert(math.abs(e - 1000L) <= 50, s"per-day est $e"))
   }
 
+  test("benfordProfile: hand-computed digit counts — cents quantization, " +
+      "absent digits reported at 0, non-positive rows excluded") {
+    // 1.23 → 123 → digit 1; 0.091 → 9 (cents shift reveals it); 20.00 →
+    // 2000 → 2; 100.5 → 10050 → 1; 0 and -5 and NULL excluded
+    val df = Seq(Some(1.23), Some(0.091), Some(20.00), Some(100.5),
+        Some(0.0), Some(-5.0), None)
+      .toDF("v")
+    val out = Quality.benfordProfile(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(1 -> 2L, 2 -> 1L, 3 -> 0L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L))
+    // chi terms: N = 4; digit 3 absent → term = (0 − 4p)²/(4p) = 4p
+    val chi3 = Quality.benfordProfile(df, "v")
+      .filter(org.apache.spark.sql.functions.col("digit") === 3)
+      .select("chi_term").as[Double].head()
+    assert(math.abs(chi3 - 4 * 0.12493873660829993) < 1e-6)
+  }
+
   test("quantile sketches: per-shard KLL merge answers global percentiles " +
       "within rank error; empty groups read NULL") {
     // 10 shards × 2000 values; value = global index 0..19999 scattered

@@ -1029,6 +1029,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("readabilitySignals: hand-computed counts and Flesch score; " +
+      "empty and sentence-less docs yield NULL scores") {
+    // "See spot run. Go!" → 4 words, 2 terminator runs, syllable groups:
+    // see(1) spot(1) run(1) go(1) = 4
+    val df = Seq((1L, "See spot run. Go!"), (2L, ""), (3L, "no terminator"))
+      .toDF("doc_id", "text")
+    val out = TextOps.readabilitySignals(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out(1L)._1 === 4L && out(1L)._2 === 2L && out(1L)._3 === 4L)
+    // 206.835 − 1.015·(4/2) − 84.6·(4/4) = 120.205
+    assert(math.abs(out(1L)._4.get - 120.205) < 1e-9)
+    assert(out(2L) === ((0L, 0L, 0L, None)))   // empty doc: all zero, NULL
+    assert(out(3L)._2 === 0L && out(3L)._4 === None) // no sentences → NULL
+  }
+
   test("cooccurrenceCounts: hand-computed window pairs — canonical order, " +
       "self-pairs excluded, case-folded") {
     // tokens a b c a; window 2 → (a,b)@0-1, (a,c)@0-2, (b,c)@1-2,
