@@ -48,6 +48,52 @@ object EventAnalytics {
     * Scale shape: two exact distinct aggregates (each a two-phase
     * hash-aggregate, map-side partial on (bucket, user)), joined on the
     * month — the month side is |months| rows, broadcast. */
+  /** TRAILING rolling-window hourly metrics per event type — the
+    * operational "last 24 h volume" series every monitoring pipeline
+    * draws: per (type, hour) on the ZERO-FILLED hour spine, the count,
+    * the trailing `window`-hour sum, the number of periods actually in
+    * frame (< `window` during warm-up at the series head — reported,
+    * not hidden), and their ratio at ROUND 6. Returns
+    * (hour_us, event_type, n, rolling_n, n_periods, rolling_avg).
+    *
+    * Scale shape: raw events COLLAPSE to (type, hour) counts first —
+    * the window runs over the spine (hours × types rows), never raw
+    * events; zero-filling makes ROWS frames genuinely temporal (a
+    * missing hour would otherwise silently stretch the window's time
+    * span). Per-type partitions are hour-count-sized, so the sort
+    * inside the window is bounded and partition-parallel. Integer sums
+    * ⇒ hash-portable; the avg divides two integers as doubles with a
+    * fixed literal shape. */
+  def rollingHourlyCounts(events: DataFrame, typeCol: String,
+                          tsCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val counts = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("h"),
+        col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = events.agg(date_trunc("hour", min(col(tsCol))).as("lo"),
+      date_trunc("hour", max(col(tsCol))).as("hi"))
+    val types = events.select(col(typeCol).as("event_type")).distinct()
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(types)
+    val filled = spine.join(counts, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+      .rowsBetween(-(window - 1).toLong, 0L)
+    filled.select(unix_micros(col("h")).as("hour_us"), col("event_type"),
+      col("n"),
+      sum(col("n")).over(w).as("rolling_n"),
+      count(lit(1)).over(w).cast(org.apache.spark.sql.types.LongType)
+        .as("n_periods"))
+      .withColumn("rolling_avg",
+        round(expr("CAST(rolling_n AS DOUBLE) / CAST(n_periods AS DOUBLE)"),
+          6))
+  }
+
   def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val dau = events
       .groupBy(date_trunc("day", col(tsCol)).as("day"))

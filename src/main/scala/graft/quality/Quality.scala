@@ -204,6 +204,36 @@ object Quality {
     merged.select(groupCols.map(col) ++ qCols :+ col("n_values"): _*)
   }
 
+  /** REFERENTIAL-INTEGRITY audit: one summary row counting child rows
+    * whose foreign key has no match in the parent — the orphan check a
+    * warehouse load gate runs after every fact append. Returns
+    * (n_child_rows, n_null_keys, n_orphan_rows, n_orphan_keys). NULL
+    * foreign keys follow SQL FK semantics: they are NOT orphans (a null
+    * FK asserts no reference) and are tallied separately so the gate
+    * can police them under its own policy.
+    *
+    * One left join of the child's key column against the parent's
+    * DISTINCT keys (thin on both sides — the parent side deduplicates
+    * before the join and broadcasts when small; at fact-vs-dimension
+    * scale that is a map-side probe over the child), then a single
+    * aggregate with map-side partials. No row ever leaves the executor
+    * tier. */
+  def referentialOrphans(child: DataFrame, childKey: String,
+                         parent: DataFrame, parentKey: String): DataFrame = {
+    val ck = child.select(col(childKey).as("__k"))
+    val pk = parent.select(col(parentKey).as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+      .withColumn("__p", lit(1))
+    ck.join(pk, Seq("__k"), "left")
+      .agg(
+        count(lit(1)).as("n_child_rows"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(when(col("__k").isNotNull && col("__p").isNull, 1L)
+          .otherwise(0L)).as("n_orphan_rows"),
+        countDistinct(when(col("__k").isNotNull && col("__p").isNull,
+          col("__k"))).as("n_orphan_keys"))
+  }
+
   /** BENFORD first-digit audit (Benford 1938; Nigrini's fraud-audit
     * staple — public): the distribution of FIRST significant digits of
     * a positive currency column vs the Benford expectation

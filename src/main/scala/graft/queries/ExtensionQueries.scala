@@ -1704,6 +1704,25 @@ object ExtensionQueries {
       s.read.parquet(partEdgeBase(s, dir)), "src", "dst",
       k = 60, rounds = 3)
 
+  /** Trailing 24-hour rolling volume per event type over the
+    * zero-filled hour spine ([[graft.ops.EventAnalytics
+    * .rollingHourlyCounts]]) — counts collapse before any window, the
+    * warm-up frame size is reported, integer sums + ROUND-6 ratio ⇒
+    * hash-green. */
+  private val evtRolling: Q = (s, dir) =>
+    graft.ops.EventAnalytics.rollingHourlyCounts(events(s, dir),
+      "event_type", "ts", window = 24)
+
+  /** Referential-integrity audit with deterministic planted orphans:
+    * lineitem's order FK against orders with the mod-97 slice removed
+    * ([[graft.quality.Quality.referentialOrphans]]) — the post-load
+    * warehouse gate. One summary row, hash-green. */
+  private val a25FkOrphans: Q = (s, dir) =>
+    graft.quality.Quality.referentialOrphans(
+      t(s, dir, "lineitem"), "l_orderkey",
+      t(s, dir, "orders").filter(col("o_orderkey") % 97 =!= 0),
+      "o_orderkey")
+
   /** Flesch readability signals per document
     * ([[TextOps.readabilitySignals]]) — integer word / sentence /
     * vowel-group-syllable counts plus the canonical score at ROUND 6
@@ -3647,6 +3666,8 @@ object ExtensionQueries {
     "gr_recommend" -> grRecommend,
     "txt_readability" -> txtReadability,
     "a24_benford" -> a24Benford,
+    "evt_rolling" -> evtRolling,
+    "a25_fk_orphans" -> a25FkOrphans,
     "txt_cooccurrence" -> txtCooccurrence,
     "txt_proximity" -> txtProximity,
     "a17_k_suppress" -> a17KSuppress,
@@ -6128,6 +6149,38 @@ object ExtensionQueries {
       "gr_recommend" ->
         graft.graph.Graph.commonNeighborRecsSql(partEdgeSql,
           seedPred = "node % 997 = 0", k = 10, minCommon = 2L),
+      "evt_rolling" ->
+        """WITH c AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+          |   event_type, CAST(count(*) AS BIGINT) AS n FROM events
+          |  GROUP BY 1, 2),
+          |b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+          |   CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+          |  FROM events),
+          |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+          |   AS h, t.event_type
+          |  FROM b, (SELECT DISTINCT event_type FROM events) t),
+          |f AS (SELECT s.h, s.event_type, COALESCE(c.n, 0) AS n
+          |  FROM spine s
+          |  LEFT JOIN c ON c.h = s.h AND c.event_type = s.event_type)
+          |SELECT epoch_us(h) AS hour_us, event_type, n,
+          |  CAST(SUM(n) OVER w AS BIGINT) AS rolling_n,
+          |  CAST(COUNT(*) OVER w AS BIGINT) AS n_periods,
+          |  ROUND(CAST(SUM(n) OVER w AS DOUBLE)
+          |    / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS rolling_avg
+          |FROM f WINDOW w AS (PARTITION BY event_type ORDER BY h
+          |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "a25_fk_orphans" ->
+        """WITH p AS (SELECT DISTINCT o_orderkey AS k FROM orders
+          |  WHERE o_orderkey % 97 <> 0)
+          |SELECT CAST(count(*) AS BIGINT) AS n_child_rows,
+          |  CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_null_keys,
+          |  CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND p.k IS NULL
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+          |  CAST(COUNT(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL
+          |    AND p.k IS NULL THEN l.l_orderkey END) AS BIGINT)
+          |    AS n_orphan_keys
+          |FROM lineitem l LEFT JOIN p ON l.l_orderkey = p.k""".stripMargin,
       "txt_readability" ->
         raw"""WITH c AS (SELECT doc_id,
              |    CAST(CASE WHEN trim(text) = '' THEN 0

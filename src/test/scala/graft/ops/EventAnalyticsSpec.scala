@@ -132,4 +132,29 @@ class EventAnalyticsSpec extends SparkSpec {
       ("1970-01-01", 0, 2L), ("1970-01-01", 1, 1L), ("1970-01-01", 2, 1L),
       ("1970-01-02", 0, 1L), ("1970-01-02", 1, 1L))))
   }
+
+  test("rollingHourlyCounts: trailing frame over the zero-filled spine — " +
+      "gap hours count as zero, warm-up frames report their true size") {
+    def hr(h: Int) = new Timestamp(h * 3600000L + 60000L)
+    // type a: hours 0 (2 events) and 2 (1 event); hour 1 is EMPTY but
+    // must enter the window as zero; type b: hour 1 only
+    val ev = Seq(("a", hr(0)), ("a", hr(0)), ("a", hr(2)), ("b", hr(1)))
+      .toDF("event_type", "ts")
+    val out = graft.ops.EventAnalytics
+      .rollingHourlyCounts(ev, "event_type", "ts", window = 2)
+      .select("event_type", "hour_us", "n", "rolling_n", "n_periods",
+        "rolling_avg")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2 / 3600000000L) -> ((r._3, r._4, r._5, r._6)))
+      .toMap
+    assert(out(("a", 0L)) === ((2L, 2L, 1L, 2.0)))  // warm-up: 1 period
+    assert(out(("a", 1L)) === ((0L, 2L, 2L, 1.0)))  // zero hour in frame
+    assert(out(("a", 2L)) === ((1L, 1L, 2L, 0.5)))  // the zero rolls in
+    assert(out(("b", 0L)) === ((0L, 0L, 1L, 0.0)))  // full spine per type
+    assert(out(("b", 1L)) === ((1L, 1L, 2L, 0.5)))
+    assert(out(("b", 2L)) === ((0L, 1L, 2L, 0.5)))
+    intercept[IllegalArgumentException] {
+      graft.ops.EventAnalytics.rollingHourlyCounts(ev, "event_type", "ts", 0)
+    }
+  }
 }

@@ -158,6 +158,26 @@ class QualitySpec extends SparkSpec {
     perDay.foreach(e => assert(math.abs(e - 1000L) <= 50, s"per-day est $e"))
   }
 
+  test("referentialOrphans: orphan rows/keys counted, null FKs tallied " +
+      "separately (not orphans), clean child reports zero") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
+      Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Quality.referentialOrphans(child, "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].head()
+    // 7 child rows; 1 null FK; key 9 is orphaned on 3 rows, 1 distinct
+    assert(r === ((7L, 1L, 3L, 1L)))
+    val clean = Quality.referentialOrphans(
+      Seq(1L, 2L).toDF("fk"), "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].head()
+    assert(clean === ((2L, 0L, 0L, 0L)))
+    // duplicate parent keys must not multiply child rows
+    val dupParent = Seq(1L, 1L, 2L).toDF("pk")
+    val viaDup = Quality.referentialOrphans(child, "fk", dupParent, "pk")
+      .as[(Long, Long, Long, Long)].head()
+    assert(viaDup._1 === 7L)
+  }
+
   test("benfordProfile: hand-computed digit counts — cents quantization, " +
       "absent digits reported at 0, non-positive rows excluded") {
     // 1.23 → 123 → digit 1; 0.091 → 9 (cents shift reveals it); 20.00 →
