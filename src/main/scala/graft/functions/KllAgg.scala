@@ -12,6 +12,23 @@ import org.apache.spark.sql.types._
 
 /** Static KLL helpers shared by interpreted eval and generated code. */
 object KllOps {
+  /** Shared analysis-time validation of the `k` literal for both KLL
+    * aggregates: foldable integer, non-null, within DataSketches' legal
+    * [8, 65535] range — so a bad k fails the ANALYSIS, not mid-job on an
+    * executor. Returns Some(failure) or None when k is acceptable. */
+  def checkK(fn: String, kExpr: Expression): Option[TypeCheckResult] =
+    if (!kExpr.foldable || !Seq(IntegerType, LongType).contains(kExpr.dataType))
+      Some(TypeCheckResult.TypeCheckFailure(s"$fn k must be an integer literal"))
+    else kExpr.eval(null) match {
+      case null => Some(TypeCheckResult.TypeCheckFailure(s"$fn k must not be null"))
+      case v =>
+        val kv = v match { case i: Int => i.toLong; case l: Long => l }
+        if (kv < 8L || kv > 65535L)
+          Some(TypeCheckResult.TypeCheckFailure(
+            s"$fn k must be in [8, 65535], got $v"))
+        else None
+    }
+
   def quantile(blob: Array[Byte], rank: Double): java.lang.Double = {
     val sk = KllDoublesSketch.heapify(Memory.wrap(blob))
     if (sk.isEmpty) null
@@ -62,13 +79,8 @@ case class KllSketchAgg(
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!kExpr.foldable || !Seq(IntegerType, LongType).contains(kExpr.dataType))
-      TypeCheckResult.TypeCheckFailure("kll_sketch_agg k must be an integer literal")
-    else kExpr.eval(null) match {
-      case null => TypeCheckResult.TypeCheckFailure("kll_sketch_agg k must not be null")
-      case v if (v match { case i: Int => i < 8; case l: Long => l < 8L }) =>
-        TypeCheckResult.TypeCheckFailure(s"kll_sketch_agg k must be >= 8, got $v")
-      case _ => valueExpr.dataType match {
+    KllOps.checkK("kll_sketch_agg", kExpr).getOrElse {
+      valueExpr.dataType match {
         case DoubleType | FloatType | LongType | IntegerType =>
           TypeCheckResult.TypeCheckSuccess
         case t => TypeCheckResult.TypeCheckFailure(
@@ -144,12 +156,12 @@ case class KllMergeAgg(
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!kExpr.foldable || !Seq(IntegerType, LongType).contains(kExpr.dataType))
-      TypeCheckResult.TypeCheckFailure("kll_merge_agg k must be an integer literal")
-    else if (blobExpr.dataType != BinaryType)
-      TypeCheckResult.TypeCheckFailure(
-        s"kll_merge_agg expects a binary sketch column, got ${blobExpr.dataType.sql}")
-    else TypeCheckResult.TypeCheckSuccess
+    KllOps.checkK("kll_merge_agg", kExpr).getOrElse {
+      if (blobExpr.dataType != BinaryType)
+        TypeCheckResult.TypeCheckFailure(
+          s"kll_merge_agg expects a binary sketch column, got ${blobExpr.dataType.sql}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -212,7 +224,9 @@ case class KllQuantile(left: Expression, right: Expression) extends BinaryExpres
     nullSafeCodeGen(ctx, ev, (blob, rank) => {
       val q = ctx.freshName("q")
       s"""
-         |if ($rank < 0.0 || $rank > 1.0) {
+         |if (!($rank >= 0.0 && $rank <= 1.0)) {
+         |  // positive-form guard: NaN fails it, matching the interpreted
+         |  // path's require instead of slipping through to DataSketches
          |  throw new IllegalArgumentException(
          |    "kll_quantile rank must be in [0,1], got " + $rank);
          |}

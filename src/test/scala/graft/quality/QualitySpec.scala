@@ -234,6 +234,38 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("KLL k validation fails at ANALYSIS time for both aggregates; " +
+      "NaN rank is rejected like an out-of-range one") {
+    import org.apache.spark.sql.AnalysisException
+    // below the DataSketches floor and above its 65535 ceiling — both
+    // must die in analysis, not mid-job on an executor
+    intercept[AnalysisException] {
+      spark.sql("SELECT kll_sketch_agg(CAST(id AS DOUBLE), 4) FROM range(10)")
+        .collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT kll_sketch_agg(CAST(id AS DOUBLE), 70000) FROM range(10)")
+        .collect()
+    }
+    // merge agg previously skipped k validation entirely (ADVICE r17)
+    intercept[AnalysisException] {
+      spark.sql("SELECT kll_merge_agg(sk, 70000) FROM (SELECT " +
+        "kll_sketch_agg(CAST(id AS DOUBLE), 200) AS sk FROM range(10))")
+        .collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT kll_merge_agg(sk, NULL) FROM (SELECT " +
+        "kll_sketch_agg(CAST(id AS DOUBLE), 200) AS sk FROM range(10))")
+        .collect()
+    }
+    // NaN rank: the codegen guard is positive-form so NaN fails it the
+    // same way the interpreted require does (ADVICE r17)
+    intercept[Exception] {
+      spark.sql("SELECT kll_quantile(kll_sketch_agg(CAST(id AS DOUBLE), " +
+        "200), CAST('NaN' AS DOUBLE)) FROM range(10)").collect()
+    }
+  }
+
   test("frequency sketches: per-day CMS merge answers global point lookups within eps·N") {
     // 10 days × 1000 rows; key = i % 100 → every key appears exactly 100×
     // globally, plus key 7 planted 50 extra times on day 3

@@ -57,7 +57,7 @@ tenfold(rd("supplier")) { (d, i) =>
 tenfold(rd("documents")) { (d, i) =>
   d.withColumn("doc_id", col("doc_id") + lit(DOC * i))
    .withColumn("text", concat(col("text"), lit(s" copymark$i")))
-   .withColumn("n_chars", col("n_chars") + lit(10L + i.toString.length))
+   .withColumn("n_chars", col("n_chars") + lit((s" copymark$i").length.toLong))
 }.repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
 // embeddings: shifted ids + deterministic per-copy element jitter (keeps
