@@ -658,15 +658,29 @@ object Graph {
     * SURVIVOR set feeds two consumers per round (both endpoint
     * semi-joins), the HITS/BFS plan-doubling shape, so each round's
     * survivors are eagerly pinned (node-sized; `reliableCheckpoint`
-    * knob as in [[hitsInt]]). `rounds` truncates from above: every
-    * round only removes nodes, a fixpoint makes further rounds no-ops,
-    * and callers wanting the exact k-core raise `rounds` until the
-    * count stabilizes. */
+    * knob as in [[hitsInt]]). `rounds` > 0 truncates from above: every
+    * round only removes nodes, a fixpoint makes further rounds no-ops.
+    *
+    * `rounds = 0` means ITERATE TO FIXPOINT — the exact k-core: peel
+    * until a round removes nothing, detected by a survivor-COUNT check
+    * against the previous round (survivor sets shrink monotonically, so
+    * an equal count IS set equality, hence an edge-set fixpoint and
+    * deg ≥ k for every remaining node). The per-round count is one tiny
+    * driver read over the already-pinned node-sized survivor frame —
+    * not a data-path collect. `maxRounds` fail-fasts a runaway cascade
+    * (the [[graft.dedup.Dedup.duplicateClusters]] discipline): the peel
+    * provably terminates in ≤ |V| rounds, but a wrong-k call on a
+    * pathological path graph would otherwise iterate node-count times,
+    * and 64 rounds of localCheckpoint pressure is where to stop and
+    * tell the operator, not silently grind. */
   def kCoreNodes(edges: DataFrame, srcCol: String, dstCol: String,
                  k: Int, rounds: Int,
-                 reliableCheckpoint: Boolean = false): DataFrame = {
+                 reliableCheckpoint: Boolean = false,
+                 maxRounds: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(rounds >= 0,
+      s"rounds must be >= 0 (0 = iterate to fixpoint), got $rounds")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(!reliableCheckpoint ||
         edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliableCheckpoint = true needs a checkpoint directory: call " +
@@ -686,14 +700,126 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("deg"))
     graft.util.Caching.releasingOnFailure(e0) {
       var e = e0
-      for (_ <- 1 to rounds) {
-        val surv = pin(degrees(e).filter(col("deg") >= k).select("node"))
-        e = e
-          .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-          .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      if (rounds > 0) {
+        for (_ <- 1 to rounds) {
+          val surv = pin(degrees(e).filter(col("deg") >= k).select("node"))
+          e = e
+            .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+            .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        }
+      } else {
+        var prev = -1L
+        var round = 0
+        var stable = false
+        while (!stable) {
+          round += 1
+          if (round > maxRounds)
+            throw new IllegalStateException(
+              s"k-core peel (k = $k) did not stabilize within $maxRounds " +
+                "rounds — raise maxRounds, or use a bounded `rounds` if a " +
+                "truncated peel is acceptable")
+          val surv = pin(degrees(e).filter(col("deg") >= k).select("node"))
+          val cnt = surv.count()
+          if (cnt == prev) stable = true
+          else {
+            prev = cnt
+            e = e
+              .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+              .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          }
+        }
       }
       graft.util.Caching.materializeAndRelease(degrees(e), e0)
     }
+  }
+
+  /** Deterministic synchronous LABEL-PROPAGATION community detection
+    * (Raghavan, Albert & Kumara 2007, "Near linear time algorithm to
+    * detect community structures in large-scale networks", Phys. Rev. E
+    * — public): labels start as node ids; each round, every node adopts
+    * the label most frequent among its neighbors, ties broken by the
+    * SMALLEST label — the determinism rule that makes the fixture
+    * replayable in ANY engine (the paper's random tie-break and
+    * asynchronous visit order are the two sources of run variance;
+    * synchronous rounds + min-label ties remove both). Densely
+    * interconnected regions converge onto one label within a few
+    * rounds; `rounds` bounds the walk like [[bfsHops]]' maxHops
+    * (synchronous LPA can two-cycle on bipartite-ish structure, so a
+    * fixpoint loop is NOT the right default here — bounded rounds is
+    * the paper-faithful stopping rule for the sync variant). Returns
+    * (node, label BIGINT) for every node of the undirected simple
+    * graph.
+    *
+    * Scale shape: each round is one edge-sized equi-join (bidirected
+    * arcs ⋈ labels on the neighbor key) + one (node, label) count with
+    * map-side partials + one per-node window (partitioned by node, never
+    * global). Labels feed exactly one consumer per round but the chain
+    * compounds — per-round pinning keeps the plan linear
+    * ([[kCoreNodes]] discipline), frames stay node-sized. */
+  def communities(edges: DataFrame, srcCol: String, dstCol: String,
+                  rounds: Int,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(!reliableCheckpoint ||
+        edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint = true needs a checkpoint directory: call " +
+        "spark.sparkContext.setCheckpointDir(<reliable storage path>) first")
+    import org.apache.spark.storage.StorageLevel
+    val raw = edges.select(col(srcCol).cast(LongType).as("s"),
+        col(dstCol).cast(LongType).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val e = raw.select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v")).distinct()
+    // bidirected arcs: propagation is symmetric over the undirected graph
+    val bi = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def pin(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    graft.util.Caching.releasingOnFailure(bi) {
+      var labels = bi.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to rounds) {
+        val counts = bi
+          .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("__c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy(col("__c").desc, col("label"))
+        labels = pin(counts
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("node"), col("label")))
+      }
+      graft.util.Caching.materializeAndRelease(labels, bi)
+    }
+  }
+
+  /** The unrolled ANSI-SQL replay of [[communities]]: one
+    * (count, row_number) CTE pair per round, same min-label tie-break. */
+  def communitiesSql(edgeSql: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT b.dst AS node, l.label,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM bi b JOIN l${i - 1} l ON b.src = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (SELECT node, label,
+         |    ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+        .stripMargin
+    }
+    s"""WITH raw_e AS ($edgeSql),
+       |e AS (SELECT DISTINCT
+       |    LEAST(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS u,
+       |    GREATEST(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS v
+       |  FROM raw_e WHERE src IS NOT NULL AND dst IS NOT NULL
+       |    AND src <> dst),
+       |bi AS (SELECT u AS src, v AS dst FROM e
+       |  UNION ALL SELECT v AS src, u AS dst FROM e),
+       |l0 AS (SELECT node, node AS label FROM
+       |  (SELECT DISTINCT src AS node FROM bi)),
+       |${steps.mkString(",\n")}
+       |SELECT node, label FROM l$rounds""".stripMargin
   }
 
   /** SEED-SCOPED link prediction by common-neighbor count (the

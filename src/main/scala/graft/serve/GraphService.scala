@@ -94,6 +94,78 @@ final class GraphHitsService(scores: DataFrame, val maxK: Int = 1000) {
   }
 }
 
+/** Request-time TRIANGLE/clustering serving over a stored
+  * (node, triangles, deg, wedges) layout — the build-once / probe-cheap
+  * tier of [[graft.graph.Graph.triangleCounts]]. The headline in-query
+  * face re-runs the O(m^1.5) adjacency-intersection pipeline per
+  * invocation (~8 s warm at sf0.1); the stored frame is node-sized and
+  * INTEGER-EXACT, so probes replay bit-for-bit against the same
+  * unrolled oracle and answer in the time of a bounded top-k. The
+  * local clustering coefficient stays a rational (triangles, wedges)
+  * pair — consumers divide at render time. */
+final class GraphTriangleService(stats: DataFrame, val maxK: Int = 1000) {
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+
+  /** Top-k nodes by stored triangle count:
+    * (node, triangles, deg, wedges, pos), ties by node ascending. */
+  def topKFrame(k: Int): DataFrame = {
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val w = Window.orderBy(col("triangles").desc, col("node"))
+    stats.orderBy(col("triangles").desc, col("node")).limit(k)
+      .withColumn("pos", row_number().over(w).cast(IntegerType))
+  }
+
+  /** Stored triangle stats for the requested nodes; absent nodes are
+    * absent (a node outside the edge set has no row). */
+  def statsOf(nodes: Seq[Long]): Map[Long, (Long, Long, Long)] = {
+    require(nodes.nonEmpty && nodes.size <= maxK,
+      s"statsOf takes 1..$maxK nodes, got ${nodes.size}")
+    val spark = stats.sparkSession
+    import spark.implicits._
+    stats.filter(col("node").isin(nodes: _*))
+      .select("node", "triangles", "deg", "wedges")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (n, t, d, wd) => n -> ((t, d, wd)) }.toMap
+  }
+
+  /** Global closure stats from the stored frame — one row
+    * (n_triangles, n_wedges, n_nodes), the [[graft.graph.Graph]]
+    * transitivity numerator/denominator (Σ per-node DIV 3). */
+  def globalFrame(): DataFrame =
+    stats.agg(expr("sum(triangles) DIV 3").cast("long").as("n_triangles"),
+      sum(col("wedges")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+}
+
+/** K-CORE membership serving over a stored (node, deg) layout — the
+  * stored twin of [[graft.graph.Graph.kCoreNodes]] (exact fixpoint
+  * core when built with `rounds = 0`). Core membership is the
+  * crawl/curation gate ("is this page well-embedded?") — a point
+  * lookup against a node-sized frame, not a peel per request. */
+final class GraphCoreService(core: DataFrame, val maxK: Int = 1000) {
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+
+  /** Top-k core members by end-state degree: (node, deg, pos), ties by
+    * node ascending. */
+  def topKFrame(k: Int): DataFrame = {
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val w = Window.orderBy(col("deg").desc, col("node"))
+    core.orderBy(col("deg").desc, col("node")).limit(k)
+      .withColumn("pos", row_number().over(w).cast(IntegerType))
+  }
+
+  /** Core degrees for the requested nodes; nodes outside the core are
+    * absent — absence IS the "peeled" verdict. */
+  def coreDegreeOf(nodes: Seq[Long]): Map[Long, Long] = {
+    require(nodes.nonEmpty && nodes.size <= maxK,
+      s"coreDegreeOf takes 1..$maxK nodes, got ${nodes.size}")
+    val spark = core.sparkSession
+    import spark.implicits._
+    core.filter(col("node").isin(nodes: _*))
+      .as[(Long, Long)].collect().toMap
+  }
+}
+
 object GraphRankService {
 
   /** Build the stored PageRank layout at `root/ranks` — plain, WEIGHTED
@@ -192,5 +264,73 @@ object GraphRankService {
     graft.graph.Graph.hitsInt(edges, srcCol, dstCol, iterations, scale)
       .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
     graft.io.Sinks.swapDir(spark, s"$root/scores", tmp)
+  }
+
+  /** Build the stored TRIANGLE layout at `root/triangles` —
+    * (node, triangles, deg, wedges), node-sized, integer-exact. The
+    * O(m^1.5) intersection pipeline runs ONCE here; probes never pay it
+    * again. */
+  def buildTriangles(edges: DataFrame, srcCol: String, dstCol: String,
+                     root: String, numFiles: Int = 4): Unit =
+    graft.graph.Graph.triangleCounts(edges, srcCol, dstCol)
+      .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/triangles")
+
+  /** Build the stored K-CORE layout at `root/kcore` — (node, deg) for
+    * the surviving core; `rounds = 0` (default) stores the EXACT
+    * fixpoint core ([[graft.graph.Graph.kCoreNodes]]). */
+  def buildKCore(edges: DataFrame, srcCol: String, dstCol: String,
+                 root: String, k: Int, rounds: Int = 0,
+                 numFiles: Int = 4): Unit =
+    graft.graph.Graph.kCoreNodes(edges, srcCol, dstCol, k, rounds)
+      .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/kcore")
+
+  /** Open a stored triangle layout for serving (crashed swaps healed
+    * first — the family contract). */
+  def overParquetDirTriangles(spark: SparkSession, root: String,
+                              maxK: Int = 1000): GraphTriangleService = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/triangles")
+    new GraphTriangleService(spark.read.parquet(s"$root/triangles"), maxK)
+  }
+
+  /** Open a stored k-core layout for serving. */
+  def overParquetDirKCore(spark: SparkSession, root: String,
+                          maxK: Int = 1000): GraphCoreService = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/kcore")
+    new GraphCoreService(spark.read.parquet(s"$root/kcore"), maxK)
+  }
+
+  /** REFRESH the triangle layout: full recompute + marker-fenced swap
+    * — triangle counts are global (one edge changes up to deg counts),
+    * so like rank the refresh unit is the rebuild. */
+  def refreshTriangles(spark: SparkSession, root: String, edges: DataFrame,
+                       srcCol: String, dstCol: String,
+                       numFiles: Int = 4): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/triangles")
+    val tmp = s"$root/triangles-__rebuilding__"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
+    graft.graph.Graph.triangleCounts(edges, srcCol, dstCol)
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    graft.io.Sinks.swapDir(spark, s"$root/triangles", tmp)
+  }
+
+  /** REFRESH the k-core layout: full recompute + marker-fenced swap
+    * (core membership is a global fixed point — no per-edge delta). */
+  def refreshKCore(spark: SparkSession, root: String, edges: DataFrame,
+                   srcCol: String, dstCol: String, k: Int,
+                   rounds: Int = 0, numFiles: Int = 4): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/kcore")
+    val tmp = s"$root/kcore-__rebuilding__"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
+    graft.graph.Graph.kCoreNodes(edges, srcCol, dstCol, k, rounds)
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    graft.io.Sinks.swapDir(spark, s"$root/kcore", tmp)
   }
 }

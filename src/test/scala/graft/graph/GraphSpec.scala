@@ -280,7 +280,66 @@ class GraphSpec extends SparkSpec {
       Graph.kCoreNodes(e, "s", "d", k = 0, rounds = 1)
     }
     intercept[IllegalArgumentException] {
-      Graph.kCoreNodes(e, "s", "d", k = 2, rounds = 0)
+      Graph.kCoreNodes(e, "s", "d", k = 2, rounds = -1)
+    }
+  }
+
+  test("kCoreNodes rounds = 0: iterates to the exact fixpoint (≡ a " +
+      "large bounded peel) and maxRounds fail-fasts a truncated budget") {
+    // same cascade graph as above: fixpoint needs 2 peel rounds + 1
+    // confirming round
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val fix = Graph.kCoreNodes(e, "s", "d", k = 2, rounds = 0)
+    assert(fix.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    fix.unpersist(blocking = true)
+    val bounded = Graph.kCoreNodes(e, "s", "d", k = 2, rounds = 8)
+    assert(bounded.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L), "fixpoint ≡ large-rounds peel")
+    bounded.unpersist(blocking = true)
+    // a 2-round budget cannot confirm the 2-peel cascade's stability
+    intercept[IllegalStateException] {
+      Graph.kCoreNodes(e, "s", "d", k = 2, rounds = 0, maxRounds = 2)
+    }
+    // an emptying peel still stabilizes (at the empty set), not errors
+    val empty = Graph.kCoreNodes(e, "s", "d", k = 4, rounds = 0)
+    assert(empty.count() === 0)
+    empty.unpersist(blocking = true)
+  }
+
+  test("communities: synchronous min-label LPA — hand-computed two-" +
+      "triangle graph converges to one label per community, " +
+      "deterministically") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3–4. Sync LPA with
+    // min-label ties, by hand:
+    //   r1: 1→2, 2→1, 3→1, 4→3, 5→4, 6→4
+    //   r2: 1→1, 2→1, 3→1, 4→4, 5→3, 6→3
+    //   r3: {1,2,3}→1, {4,5,6}→3 — the two communities
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val r3 = Graph.communities(e, "s", "d", rounds = 3)
+    assert(r3.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    r3.unpersist(blocking = true)
+    // intermediate round matches the hand trace (the sync semantics pin)
+    val r2 = Graph.communities(e, "s", "d", rounds = 2)
+    assert(r2.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+    r2.unpersist(blocking = true)
+    // determinism: same input, same labels
+    val again = Graph.communities(e, "s", "d", rounds = 3)
+    assert(again.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    again.unpersist(blocking = true)
+    // parallel edges / self-loops / direction are normalized away
+    val noisy = e.union(Seq((2L, 1L), (1L, 1L), (2L, 3L)).toDF("s", "d"))
+    val clean = Graph.communities(noisy, "s", "d", rounds = 3)
+    assert(clean.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    clean.unpersist(blocking = true)
+    intercept[IllegalArgumentException] {
+      Graph.communities(e, "s", "d", rounds = 0)
     }
   }
 

@@ -72,6 +72,65 @@ class GraphServiceSpec extends SparkSpec {
     assert(svc.topHubs(2) === hubTop)
   }
 
+  test("buildTriangles + overParquetDirTriangles: stored probe ≡ direct " +
+      "compute; statsOf point lookups; globalFrame closure stats") {
+    val root = java.nio.file.Files.createTempDirectory("gr_tri_").toString
+    // two triangles sharing edge 1–2 (hand-checked in GraphSpec):
+    // nodes 1,2 sit in 2 triangles; 3,4 in 1 each
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (1L, 4L))
+      .toDF("s", "d")
+    GraphRankService.buildTriangles(e, "s", "d", root)
+    val svc = GraphRankService.overParquetDirTriangles(spark, root, maxK = 10)
+    val direct = Graph.triangleCounts(e, "s", "d")
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy { case (n, t, _, _) => (-t, n) }
+      .zipWithIndex.map { case ((n, t, d, w), i) => (n, t, d, w, i + 1) }
+      .toSeq
+    assert(svc.topKFrame(4).as[(Long, Long, Long, Long, Int)]
+      .collect().toSeq === direct)
+    assert(svc.statsOf(Seq(1L, 3L, 99L)) ===
+      Map(1L -> ((2L, 3L, 3L)), 3L -> ((1L, 2L, 1L))))
+    // global: 6 corner counts / 3 = 2 triangles; wedges Σ d(d−1)/2
+    assert(svc.globalFrame().as[(Long, Long, Long)].collect().toSeq ===
+      Seq((2L, 3L + 3L + 1L + 1L, 4L)))
+    intercept[IllegalArgumentException] { svc.topKFrame(0) }
+    intercept[IllegalArgumentException] { svc.statsOf(Seq.empty) }
+  }
+
+  test("refreshTriangles: marker-fenced swap; re-opened service serves " +
+      "the new graph") {
+    val root = java.nio.file.Files.createTempDirectory("gr_tri2_").toString
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    GraphRankService.buildTriangles(e, "s", "d", root)
+    // the triangle breaks: edge 1–3 removed
+    val broken = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    GraphRankService.refreshTriangles(spark, root, broken, "s", "d")
+    val svc = GraphRankService.overParquetDirTriangles(spark, root)
+    assert(svc.globalFrame().as[(Long, Long, Long)].collect().toSeq ===
+      Seq((0L, 1L, 3L))) // no triangles; node 2's wedge remains
+  }
+
+  test("buildKCore + overParquetDirKCore: fixpoint core stored; probe ≡ " +
+      "direct compute; coreDegreeOf absence = peeled; refresh") {
+    val root = java.nio.file.Files.createTempDirectory("gr_core_").toString
+    // triangle + pendant chain (GraphSpec's cascade graph): exact 2-core
+    // is the triangle, which needs the fixpoint loop to find (2 peels)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    GraphRankService.buildKCore(e, "s", "d", root, k = 2)
+    val svc = GraphRankService.overParquetDirKCore(spark, root, maxK = 10)
+    assert(svc.topKFrame(5).as[(Long, Long, Int)].collect().toSeq ===
+      Seq((1L, 2L, 1), (2L, 2L, 2), (3L, 2L, 3)))
+    assert(svc.coreDegreeOf(Seq(1L, 4L, 5L)) === Map(1L -> 2L))
+    intercept[IllegalArgumentException] { svc.coreDegreeOf(Seq.empty) }
+    // refresh on a densified graph: 4 joins the core via edges to 1, 2
+    val dense = e.union(Seq((4L, 1L), (4L, 2L)).toDF("s", "d"))
+    GraphRankService.refreshKCore(spark, root, dense, "s", "d", k = 2)
+    val re = GraphRankService.overParquetDirKCore(spark, root)
+    assert(re.coreDegreeOf(Seq(1L, 2L, 3L, 4L, 5L)) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("hitsInt reliableCheckpoint: identical scores to the " +
       "localCheckpoint path; loud without a checkpoint dir") {
     val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("s", "d")
