@@ -1636,6 +1636,57 @@ object ExtensionQueries {
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"""
       .stripMargin
 
+  /** The DSIR integer-sufficient-statistics replay (same feature/bucket
+    * CTEs as the weight query; exact integers — cross-moments with both
+    * marginals plus the linearized margin in HUGEINT), shared between
+    * the full-corpus face and the stored-weights probe: the trained
+    * per-bucket layout is bit-identical to a retrain, so the probe's
+    * oracle is the SAME recompute with `finalPred` scoping the scored
+    * batch (e.g. `WHERE d.doc_id % 7 = 0`). */
+  private def dsirStatsOracleSql(finalPred: String): String =
+    raw"""WITH toks AS (SELECT doc_id, source,
+         |   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         |     t -> t <> '') AS ts
+         |  FROM documents),
+         | feats AS (
+         |  SELECT doc_id, source, unnest(ts) AS g FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, source, ts[i.iv] || ' ' || ts[i.iv+1] AS g
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS iv) i
+         |  WHERE len(ts) >= 2),
+         | h AS (SELECT doc_id, source,
+         |   CAST((((strpos('0123456789abcdef', substr(md5(g),1,1)) - 1) * 16
+         |     + strpos('0123456789abcdef', substr(md5(g),2,1)) - 1) * 16
+         |     + strpos('0123456789abcdef', substr(md5(g),3,1)) - 1) * 16
+         |     + strpos('0123456789abcdef', substr(md5(g),4,1)) - 1 AS BIGINT)
+         |     % 1024 AS b
+         |  FROM feats),
+         | docb AS (SELECT doc_id, b, count(*) AS c FROM h GROUP BY 1, 2),
+         | rawc AS (SELECT b, sum(c) AS cr FROM docb GROUP BY 1),
+         | tgtc AS (SELECT b, count(*) AS ct FROM h WHERE source = 'src0'
+         |   GROUP BY 1),
+         | tot AS (SELECT (SELECT COALESCE(sum(cr), 0) FROM rawc) AS tr,
+         |   (SELECT COALESCE(sum(ct), 0) FROM tgtc) AS tt),
+         | ann AS (SELECT s.b,
+         |   COALESCE(ct, 0) AS ct0, COALESCE(cr, 0) AS cr0
+         |  FROM (SELECT unnest(range(0, 1024)) AS b) s
+         |  LEFT JOIN tgtc ON tgtc.b = s.b
+         |  LEFT JOIN rawc ON rawc.b = s.b),
+         | sc AS (SELECT doc_id, SUM(c) AS n_feats,
+         |   SUM(CAST(c AS DECIMAL(19,0)) * CAST(ct0 AS DECIMAL(19,0))) AS s_tgt,
+         |   SUM(CAST(c AS DECIMAL(19,0)) * CAST(cr0 AS DECIMAL(19,0))) AS s_raw
+         |  FROM docb JOIN ann ON ann.b = docb.b GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+         | CAST(COALESCE(s_tgt, 0) AS BIGINT) AS s_tgt,
+         | CAST(COALESCE(s_raw, 0) AS BIGINT) AS s_raw,
+         | CAST(CAST(tr + 1024 AS HUGEINT)
+         |     * CAST(COALESCE(s_tgt, 0) + COALESCE(n_feats, 0) AS HUGEINT)
+         |   - CAST(tt + 1024 AS HUGEINT)
+         |     * CAST(COALESCE(s_raw, 0) + COALESCE(n_feats, 0) AS HUGEINT)
+         |   AS BIGINT) AS margin
+         |FROM documents d LEFT JOIN sc USING (doc_id), tot
+         |$finalPred""".stripMargin
+
   /** The stored part co-purchase edges ([[supplierEdgeBase]] discipline):
     * [[grTriangles]] keeps the full in-query pipeline as the headline;
     * the global-stats and BFS faces read the stored pairs so their bench
@@ -1940,6 +1991,34 @@ object ExtensionQueries {
     val docs = t(s, dir, "documents")
     TextOps.dsirResample(docs, docs.filter(col("source") === "src0"),
       "text", "doc_id", k = 200)
+  }
+
+  /** Stored DSIR weight layout, trained ONCE per JVM from the full
+    * corpus + `src0` target ([[graft.serve.DsirService]] — the
+    * [[grRanksBase]] fixture discipline for the trained-weights
+    * artifact). */
+  private def dsirWeightsBase(s: SparkSession, dir: String): String =
+    storedIndexPath("dsir_weights", dir) { out =>
+      val docs = t(s, dir, "documents")
+      graft.serve.DsirService.buildWeights(docs,
+        docs.filter(col("source") === "src0"), "text", "doc_id", out)
+    }
+
+  /** Stored-weights DSIR probe: score the mod-7 document slice against
+    * the TRAINED per-bucket layout — batch features + a 1024-row
+    * broadcast join, never a corpus rescan. The scoring arithmetic is
+    * the same integer layer [[txtDsirStats]] pins, so the probe is
+    * hash-green against the full recompute replay filtered to the
+    * batch (stored weights ≡ retrained weights bit-for-bit; same
+    * BIGINT shim as txt_dsir_stats). */
+  private val txtDsirProbe: Q = (s, dir) => {
+    val batch = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+    graft.serve.DsirService.overParquetDir(s, dsirWeightsBase(s, dir))
+      .scoreStats(batch, "text", "doc_id")
+      .select(col("doc_id"), col("n_feats"),
+        col("s_tgt").cast("long").as("s_tgt"),
+        col("s_raw").cast("long").as("s_raw"),
+        col("margin").cast("long").as("margin"))
   }
 
   /** Capstone near-dedup pipeline: ORGANIC similarity pairs (consecutive
@@ -3731,6 +3810,7 @@ object ExtensionQueries {
     "txt_dsir_stats" -> txtDsirStats,
     "txt_dsir_select" -> txtDsirSelect,
     "txt_dsir_resample" -> txtDsirResample,
+    "txt_dsir_probe" -> txtDsirProbe,
     "txt_contamination" -> txtContamination,
     "dd_decontaminate_bloom" -> ddDecontaminateBloom,
     "txt_heavy_hitters" -> txtHeavyHitters,
@@ -6446,48 +6526,12 @@ object ExtensionQueries {
       // cross-moments with both marginals, plus the linearized importance
       // margin (tr+B)(s_tgt+n) − (tt+B)(s_raw+n) computed in HUGEINT (no
       // division, no transcendental; Spark carries it in DECIMAL(38,0)).
-      "txt_dsir_stats" ->
-        raw"""WITH toks AS (SELECT doc_id, source,
-             |   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-             |     t -> t <> '') AS ts
-             |  FROM documents),
-             | feats AS (
-             |  SELECT doc_id, source, unnest(ts) AS g FROM toks
-             |  UNION ALL
-             |  SELECT doc_id, source, ts[i.iv] || ' ' || ts[i.iv+1] AS g
-             |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS iv) i
-             |  WHERE len(ts) >= 2),
-             | h AS (SELECT doc_id, source,
-             |   CAST((((strpos('0123456789abcdef', substr(md5(g),1,1)) - 1) * 16
-             |     + strpos('0123456789abcdef', substr(md5(g),2,1)) - 1) * 16
-             |     + strpos('0123456789abcdef', substr(md5(g),3,1)) - 1) * 16
-             |     + strpos('0123456789abcdef', substr(md5(g),4,1)) - 1 AS BIGINT)
-             |     % 1024 AS b
-             |  FROM feats),
-             | docb AS (SELECT doc_id, b, count(*) AS c FROM h GROUP BY 1, 2),
-             | rawc AS (SELECT b, sum(c) AS cr FROM docb GROUP BY 1),
-             | tgtc AS (SELECT b, count(*) AS ct FROM h WHERE source = 'src0'
-             |   GROUP BY 1),
-             | tot AS (SELECT (SELECT COALESCE(sum(cr), 0) FROM rawc) AS tr,
-             |   (SELECT COALESCE(sum(ct), 0) FROM tgtc) AS tt),
-             | ann AS (SELECT s.b,
-             |   COALESCE(ct, 0) AS ct0, COALESCE(cr, 0) AS cr0
-             |  FROM (SELECT unnest(range(0, 1024)) AS b) s
-             |  LEFT JOIN tgtc ON tgtc.b = s.b
-             |  LEFT JOIN rawc ON rawc.b = s.b),
-             | sc AS (SELECT doc_id, SUM(c) AS n_feats,
-             |   SUM(CAST(c AS DECIMAL(19,0)) * CAST(ct0 AS DECIMAL(19,0))) AS s_tgt,
-             |   SUM(CAST(c AS DECIMAL(19,0)) * CAST(cr0 AS DECIMAL(19,0))) AS s_raw
-             |  FROM docb JOIN ann ON ann.b = docb.b GROUP BY 1)
-             |SELECT d.doc_id, CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
-             | CAST(COALESCE(s_tgt, 0) AS BIGINT) AS s_tgt,
-             | CAST(COALESCE(s_raw, 0) AS BIGINT) AS s_raw,
-             | CAST(CAST(tr + 1024 AS HUGEINT)
-             |     * CAST(COALESCE(s_tgt, 0) + COALESCE(n_feats, 0) AS HUGEINT)
-             |   - CAST(tt + 1024 AS HUGEINT)
-             |     * CAST(COALESCE(s_raw, 0) + COALESCE(n_feats, 0) AS HUGEINT)
-             |   AS BIGINT) AS margin
-             |FROM documents d LEFT JOIN sc USING (doc_id), tot""".stripMargin,
+      "txt_dsir_stats" -> dsirStatsOracleSql(""),
+      // stored-weights probe: the trained per-bucket layout is
+      // bit-identical to a retrain (integer marginals), so the replay
+      // is the SAME full recompute, filtered to the scored batch
+      "txt_dsir_probe" ->
+        dsirStatsOracleSql("WHERE d.doc_id % 7 = 0"),
       // DSIR budgeted selection on the exact linearized margin: one
       // window (ORDER BY margin DESC, doc_id) replays the engine's
       // two-pass distributed prefix scan; FLOOR goes through DOUBLE to

@@ -115,6 +115,40 @@ object Maintenance {
     false
   }
 
+  /** Stored triangle-stats layout (`root/triangles`): triangle counts
+    * are a global function of the edge set (one edge touches up to
+    * deg(u)+deg(v) counts), so like rank the nightly unit is the full
+    * O(m^1.5) recompute + marker-fenced swap. Always returns false. */
+  def nightlyTriangles(spark: SparkSession, root: String, edges: DataFrame,
+                       srcCol: String, dstCol: String): Boolean = {
+    GraphRankService.refreshTriangles(spark, root, edges, srcCol, dstCol)
+    false
+  }
+
+  /** Stored k-core layout (`root/kcore`): core membership is a global
+    * fixed point — the nightly unit is the fixpoint peel (`rounds = 0`
+    * default) + marker-fenced swap. Always returns false. */
+  def nightlyKCore(spark: SparkSession, root: String, edges: DataFrame,
+                   srcCol: String, dstCol: String, k: Int,
+                   rounds: Int = 0): Boolean = {
+    GraphRankService.refreshKCore(spark, root, edges, srcCol, dstCol, k,
+      rounds)
+    false
+  }
+
+  /** Stored DSIR weight layout (`root/weights`): the corpus/target
+    * marginals are global (every new document shifts every bucket), so
+    * the nightly unit is the full retrain + marker-fenced swap
+    * ([[DsirService.refreshWeights]]). Always returns false — the
+    * retrain IS the maintenance. */
+  def nightlyDsir(spark: SparkSession, root: String, raw: DataFrame,
+                  target: DataFrame, textCol: String, idCol: String,
+                  buckets: Int = 1024): Boolean = {
+    DsirService.refreshWeights(spark, root, raw, target, textCol, idCol,
+      buckets)
+    false
+  }
+
   /** Near-dup signature layout (`root/signatures` + `root/buckets`):
     * compaction only — the banding parameters are the index identity
     * (like RP's (dimOut, seed)), nothing is trained, so there is no

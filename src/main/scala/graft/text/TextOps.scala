@@ -1624,15 +1624,23 @@ object TextOps {
     * the raw corpus, the raw and target bucket marginals, their totals,
     * and the dense bucket spine. One (doc, bucket) shuffle is the only
     * corpus-sized movement; everything else is ≤ `buckets` rows. */
+  /** The md5-character feature bucket over an exploded `g` column — the
+    * engine-portable hash shared by training ([[dsirCounts]]) and
+    * stored-weight scoring ([[dsirScoreAgainst]]): any drift between the
+    * two would silently mis-bucket served batches. */
+  private def dsirBucket(buckets: Int): Column = {
+    def hx(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(md5(g), $i, 1)) - 1")
+    pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4),
+      lit(buckets)).cast(IntegerType)
+  }
+
   private def dsirCounts(raw: DataFrame, target: DataFrame, textCol: String,
                          idCol: String, buckets: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(buckets > 1 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
-    def hx(i: Int): Column =
-      expr(s"instr('0123456789abcdef', substring(md5(g), $i, 1)) - 1")
-    val bucket = pmod(((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4),
-      lit(buckets)).cast(IntegerType)
+    val bucket = dsirBucket(buckets)
     val docB = ngramFeatures(raw, textCol, idCol)
       .select(col("doc_id"), bucket.as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
@@ -1710,6 +1718,100 @@ object TextOps {
         coalesce(col("s_tgt").cast(d38), lit(0).cast(d38)).as("s_tgt"),
         coalesce(col("s_raw").cast(d38), lit(0).cast(d38)).as("s_raw"),
         coalesce(col("margin").cast(d38), lit(0).cast(d38)).as("margin"))
+  }
+
+  /** The TRAINED DSIR artifact as a standalone per-bucket frame — the
+    * layer every [[dsirStats]]/[[dsirWeights]] invocation rebuilds from
+    * scratch (2.8–4.8 s warm per face at sf0.1, all of it corpus
+    * rescans): for each of the `buckets` hashed-feature buckets, the
+    * target/raw marginal counts (`ct0`, `cr0`), the integer-exact
+    * linearized difference `diff = (ct0+1)(tr+B) − (cr0+1)(tt+B)` (the
+    * [[dsirStats]] margin identity `margin = Σ_b c_b·diff_b`), and the
+    * round-6 ln log-ratio `lr` ([[dsirWeights]]' engine analytic).
+    * Training scans corpus + target ONCE; scoring any later batch
+    * against the stored frame is O(batch) ([[dsirScoreAgainst]]) — the
+    * same build-once / probe-cheap split as BM25 stats and the ANN
+    * codebooks, which is exactly what a trained artifact is. */
+  def dsirBucketWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                        idCol: String, buckets: Int = 1024): DataFrame = {
+    val (_, rawCnt, tgtCnt, totals, spine) =
+      dsirCounts(raw, target, textCol, idCol, buckets)
+    val d19 = DecimalType(19, 0)
+    spine.join(tgtCnt, Seq("b"), "left").join(rawCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct0"),
+        coalesce(col("cr"), lit(0L)).as("cr0"),
+        ((coalesce(col("ct"), lit(0L)) + 1).cast(d19) *
+            (col("tr") + lit(buckets)).cast(d19) -
+          (coalesce(col("cr"), lit(0L)) + 1).cast(d19) *
+            (col("tt") + lit(buckets)).cast(d19)).as("diff"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
+            (col("tt") + lit(buckets)).cast(DoubleType)) -
+          log((coalesce(col("cr"), lit(0L)) + 1).cast(DoubleType) /
+            (col("tr") + lit(buckets)).cast(DoubleType)), 6)
+          .cast(DecimalType(20, 6)).as("lr"))
+  }
+
+  /** Score a document batch against a TRAINED per-bucket weight frame
+    * (the [[dsirBucketWeights]] layout) — the serving-time half of DSIR:
+    * hashed features of the BATCH only, one (doc, bucket) aggregate,
+    * then a broadcast join with the ≤ `buckets`-row weight table.
+    * Returns the [[dsirStats]] shape `(doc_id, n_feats, s_tgt, s_raw,
+    * margin)` with IDENTICAL integer arithmetic, so scoring the training
+    * corpus replays [[dsirStats]] bit-for-bit (the hash-green probe
+    * contract) and scoring new documents is the production path — a
+    * batch-sized map + broadcast join, never a corpus rescan. */
+  def dsirScoreAgainst(docs: DataFrame, textCol: String, idCol: String,
+                       weights: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets > 1 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val docB = ngramFeatures(docs, textCol, idCol)
+      .select(col("doc_id"), dsirBucket(buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val scored = docB
+      .join(broadcast(weights.select("b", "ct0", "cr0", "diff")), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c").cast(d19) * col("ct0").cast(d19)).as("s_tgt"),
+        sum(col("c").cast(d19) * col("cr0").cast(d19)).as("s_raw"),
+        sum(col("c").cast(d19) * col("diff")).as("margin"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("s_tgt").cast(d38), lit(0).cast(d38)).as("s_tgt"),
+        coalesce(col("s_raw").cast(d38), lit(0).cast(d38)).as("s_raw"),
+        coalesce(col("margin").cast(d38), lit(0).cast(d38)).as("margin"))
+  }
+
+  /** The ln-weight serving twin of [[dsirScoreAgainst]]: per-doc
+    * `logw = Σ_b c_b·lr_b` over the STORED round-6 log-ratios — the
+    * [[dsirWeights]] output shape `(doc_id, n_feats, logw)` without the
+    * corpus rescan. Engine analytic like its training twin (the stored
+    * `lr` came from libm `ln`), so it belongs in specs and serving, not
+    * hashed cross-engine contracts — the exact-margin
+    * [[dsirScoreAgainst]] is the hash-green face of the pair. */
+  def dsirScoreWeightsAgainst(docs: DataFrame, textCol: String,
+                              idCol: String, weights: DataFrame,
+                              buckets: Int = 1024): DataFrame = {
+    require(buckets > 1 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val docB = ngramFeatures(docs, textCol, idCol)
+      .select(col("doc_id"), dsirBucket(buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val scored = docB
+      .join(broadcast(weights.select("b", "lr")), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c").cast(DecimalType(12, 0)) * col("lr")).as("logw"),
+        sum(col("c")).as("n_feats"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw").cast(DecimalType(38, 6)),
+          lit(0).cast(DecimalType(38, 6))).as("logw"))
   }
 
   /** DSIR selection — the step the importance weight exists FOR (Xie et
