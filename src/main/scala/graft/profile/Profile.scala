@@ -40,7 +40,11 @@ final case class TableProfile(
     columns: Int,
     duplicateRows: Long,
     profiles: Seq[ColumnProfile],
-    correlations: Map[(String, String), Double])
+    correlations: Map[(String, String), Double],
+    spearman: Map[(String, String), Double] = Map.empty,
+    cramersV: Map[(String, String), Double] = Map.empty,
+    sampleColumns: Seq[String] = Seq.empty,
+    sample: Seq[Seq[String]] = Seq.empty)
 
 object Profile {
 
@@ -132,8 +136,18 @@ object Profile {
         (col("__pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** `associations = true` adds the ydata report's OTHER correlation
+    * tabs on top of PR6's one-pass Pearson: Spearman over numeric pairs
+    * (≤ `maxAssocCols` numeric columns — each pair is its own
+    * rank-and-aggregate job, so the pair count is bounded rather than
+    * quadratic in a wide table) and Cramér's V over low-cardinality
+    * string pairs (distinct ≤ 25 per the main pass's counts).
+    * `sampleN > 0` adds the report's first-N row preview, ordered by
+    * every column ascending so the preview is deterministic under
+    * re-partitioning. */
   def profile(df: DataFrame, table: String = "df", exact: Boolean = false,
-              topFrequent: Int = 5): TableProfile = {
+              topFrequent: Int = 5, associations: Boolean = true,
+              maxAssocCols: Int = 8, sampleN: Int = 10): TableProfile = {
     val fields  = df.schema.fields
     val numeric = fields.filter(f => isNumeric(f.dataType)).map(_.name)
 
@@ -276,7 +290,179 @@ object Profile {
         }.toMap
       }
 
-    TableProfile(table, rows, fields.length, rows - getL("__distinct_rows"), profiles, corrs)
+    // the extra ydata correlation tabs: Spearman per numeric pair,
+    // Cramér's V per low-cardinality string pair — per-pair jobs, so
+    // the column count is bounded by maxAssocCols
+    def pairStats(cols: Seq[String],
+                  stat: (String, String) => Option[Double])
+        : Map[(String, String), Double] =
+      (for {
+        i <- cols.indices; j <- (i + 1) until cols.length
+        v <- stat(cols(i), cols(j))
+      } yield (cols(i), cols(j)) -> v).toMap
+    val spearmans =
+      if (!associations || numeric.length < 2 ||
+          numeric.length > maxAssocCols) Map.empty[(String, String), Double]
+      else pairStats(numeric.toSeq, (a, b) => {
+        val r = spearman(df, a, b).head()
+        val out = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+        out
+      })
+    val lowCardString = fields.filter(f => f.dataType == StringType)
+      .map(_.name).filter(c => getL(s"$c::distinct") <= 25)
+    val cramers =
+      if (!associations || lowCardString.length < 2 ||
+          lowCardString.length > maxAssocCols)
+        Map.empty[(String, String), Double]
+      else pairStats(lowCardString.toSeq, (a, b) => {
+        val r = cramersV(df, a, b).head()
+        val i = r.fieldIndex("cramers_v")
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      })
+    // first-N row preview, deterministically ordered by every column
+    val sampled =
+      if (sampleN <= 0) Seq.empty[Seq[String]]
+      else df
+        .orderBy(fields.map(f => q(f.name).asc_nulls_first).toSeq: _*)
+        .limit(sampleN)
+        .select(fields.map(f => q(f.name).cast(StringType)).toSeq: _*)
+        .collect().toSeq
+        .map(r => fields.indices.map(i =>
+          if (r.isNullAt(i)) "null" else r.getString(i)))
+    TableProfile(table, rows, fields.length, rows - getL("__distinct_rows"),
+      profiles, corrs, spearmans, cramers,
+      if (sampleN <= 0) Seq.empty else fields.map(_.name).toSeq, sampled)
+  }
+
+  /** SPEARMAN rank correlation for one column pair — the second
+    * correlation tab of the reference's ydata reports
+    * (finalprojectpandasprofiling.py:50: ProfileReport renders Pearson,
+    * Spearman and categorical-association matrices; [[profile]]'s PR6
+    * pass covers only Pearson). Rows where either side is null are
+    * excluded (pairwise-complete, the pandas `.corr` convention); ties
+    * take AVERAGE ranks (the standard correction), carried as DOUBLED
+    * ranks so they stay integers: for a value with `cnt` occurrences
+    * after `below` smaller rows, `2·avg_rank = 2·(below + cnt) − cnt + 1`.
+    * ρ then comes from the five integer sufficient sums (n, Σrₐ, Σr_b,
+    * Σrₐ², Σr_b², Σrₐr_b in DECIMAL(38,0)) through a handful of IEEE
+    * double ops + ROUND 6 — deterministic and engine-replayable, where
+    * `corr()` over rank doubles would drift with partition order (the
+    * pr3_moments discipline). Returns ONE row (n, rho); rho is null
+    * when either margin is constant (undefined, like pandas' NaN).
+    *
+    * Scale shape: ranks come from per-column value histograms + the
+    * distributed prefix scan ([[graft.ops.Scan.prefixSums]] —
+    * range-partitioned, never a global single-partition window); rows
+    * join their two ≤-distinct-sized rank maps (AQE broadcasts the
+    * small ones); ONE aggregation computes the sums. Exact while
+    * 4n⁴ < 10³⁸ — n ≲ 2·10⁹ pair rows; past that, profile a sample or
+    * accept the corr-on-ranks engine analytic. */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(q(aCol).as("__x"), q(bCol).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // rank map = (value, doubled average rank): value histogram + the
+    // distributed prefix scan. The scan's output is already persisted
+    // (prefixSums contract) — the projection stays LAZY on top of it and
+    // the scan handle is released after the final aggregate materializes
+    // (an extra persist+count per map measured ~2× the operator's cost).
+    def rank2(c: String): (DataFrame, DataFrame) = {
+      val cnt = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+      val cum = graft.ops.Scan.prefixSums(cnt, Seq(col("__v").asc),
+        Seq("__cnt"))
+      (cum.select(col("__v"),
+        (lit(2L) * col("__cnt_cum") - col("__cnt") + 1L).as("__r2")), cum)
+    }
+    val (ra, raHandle) = rank2("__x")
+    val (rb, rbHandle) = rank2("__y")
+    graft.util.Caching.releasingOnFailure(raHandle, rbHandle) {
+      val d19 = DecimalType(19, 0)
+      val d38 = DecimalType(38, 0)
+      val joined = base
+        .join(ra.select(col("__v").as("__x"), col("__r2").as("__ra")),
+          Seq("__x"))
+        .join(rb.select(col("__v").as("__y"), col("__r2").as("__rb")),
+          Seq("__y"))
+      val sums = joined.agg(
+        count(lit(1)).as("__n"),
+        sum(col("__ra").cast(d19)).as("__sx"),
+        sum(col("__rb").cast(d19)).as("__sy"),
+        sum(col("__ra").cast(d19) * col("__ra").cast(d19)).as("__sxx"),
+        sum(col("__rb").cast(d19) * col("__rb").cast(d19)).as("__syy"),
+        sum(col("__ra").cast(d19) * col("__rb").cast(d19)).as("__sxy"))
+      val varx =
+        (col("__n").cast(d38) * col("__sxx") - col("__sx") * col("__sx"))
+          .cast(DoubleType)
+      val vary =
+        (col("__n").cast(d38) * col("__syy") - col("__sy") * col("__sy"))
+          .cast(DoubleType)
+      val cov =
+        (col("__n").cast(d38) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast(DoubleType)
+      val out = sums.select(
+        coalesce(col("__n"), lit(0L)).as("n"),
+        when(varx > 0 && vary > 0,
+          round(cov / sqrt(varx * vary), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("rho"))
+      graft.util.Caching.materializeAndRelease(out, raHandle, rbHandle)
+    }
+  }
+
+  /** CRAMÉR'S V categorical association for one column pair — the
+    * ydata report's phi-k/Cramér's-V tab analog over the χ² of the full
+    * contingency grid (zero-observed cells included: expected counts
+    * come from the margins, which are ≥ 1 wherever a level exists, so
+    * no division by zero). Per-cell χ² terms are exact-integer
+    * numerators/denominators pushed through IEEE double division and
+    * ROUND 6, then summed as DECIMAL — associative, partition-order
+    * independent, engine-replayable (the a24_benford discipline; a raw
+    * double sum would drift). V = √(χ²/(n·(min(r,c)−1))), ROUND 6, null
+    * for a 1-level margin (undefined). Returns ONE row
+    * (n, r_levels, c_levels, chi2, cramers_v).
+    *
+    * Scale shape: one (a, b) count with map-side partials is the only
+    * table-sized shuffle; margins reduce from the observed cells; the
+    * r×c grid is categorical-sized (levels, not rows) and the one-row
+    * total broadcasts. Exact while n⁴ < 10³⁸ (n ≲ 5·10⁹ rows). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = df.select(q(aCol).cast(StringType).as("__a"),
+        q(bCol).cast(StringType).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val obs = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.util.Caching.releasingOnFailure(obs) {
+      val ra = obs.groupBy("__a").agg(sum(col("__o")).as("__rt"))
+      val cb = obs.groupBy("__b").agg(sum(col("__o")).as("__ct"))
+      val tot = obs.agg(sum(col("__o")).as("__n"))
+      val d19 = DecimalType(19, 0)
+      val grid = ra.crossJoin(cb).crossJoin(broadcast(tot))
+        .join(obs, Seq("__a", "__b"), "left")
+        .select(col("__a"), col("__b"), col("__rt"), col("__ct"),
+          col("__n"), coalesce(col("__o"), lit(0L)).as("__o0"))
+      val num = col("__o0").cast(d19) * col("__n").cast(d19) -
+        col("__rt").cast(d19) * col("__ct").cast(d19)
+      val term = round((num * num).cast(DoubleType) /
+          (col("__rt").cast(d19) * col("__ct").cast(d19) *
+            col("__n").cast(d19)).cast(DoubleType), 6)
+        .cast(DecimalType(28, 6))
+      val agg = grid.select(term.as("__term"), col("__a"), col("__b"),
+          col("__n"))
+        .agg(sum(col("__term")).as("__chi2"),
+          count_distinct(col("__a")).as("__r"),
+          count_distinct(col("__b")).as("__c"),
+          max(col("__n")).as("__nn"))
+      val minDim = least(col("__r"), col("__c"))
+      val out = agg.select(
+        coalesce(col("__nn"), lit(0L)).as("n"),
+        col("__r").cast(IntegerType).as("r_levels"),
+        col("__c").cast(IntegerType).as("c_levels"),
+        coalesce(col("__chi2").cast(DoubleType), lit(0.0)).as("chi2"),
+        when(minDim > 1 && col("__nn") > 0,
+          round(sqrt(col("__chi2").cast(DoubleType) /
+            (col("__nn") * (minDim - 1)).cast(DoubleType)), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("cramers_v"))
+      graft.util.Caching.materializeAndRelease(out, obs)
+    }
   }
 
   /** ydata-profiling ALERTS synthesis — the "warnings" block a reader of
@@ -447,22 +633,56 @@ object Profile {
         s"<td>${fmt(c.kurtosis)}</td><td>${c.histogram.mkString(" ")}</td>" +
         s"<td>${freqCell(c)}</td></tr>"
     }.mkString("\n")
-    val corrRows = p.correlations.toSeq.sortBy(_._1).map { case ((a, b), v) =>
-      s"<tr><td>${esc(a)}</td><td>${esc(b)}</td><td>${fmt(Some(v))}</td></tr>"
-    }.mkString("\n")
+    def assocRows(m: Map[(String, String), Double]): String =
+      m.toSeq.sortBy(_._1).map { case ((a, b), v) =>
+        s"<tr><td>${esc(a)}</td><td>${esc(b)}</td><td>${fmt(Some(v))}</td></tr>"
+      }.mkString("\n")
+    val corrRows = assocRows(p.correlations)
+    // the ydata report's extra correlation tabs render only when
+    // computed — an associations = false profile keeps its report lean
+    val spearmanBlock =
+      if (p.spearman.isEmpty) ""
+      else s"""<h2>Correlations (Spearman)</h2>
+              |<table><tr><th>a</th><th>b</th><th>rho</th></tr>
+              |${assocRows(p.spearman)}</table>""".stripMargin
+    val cramersBlock =
+      if (p.cramersV.isEmpty) ""
+      else s"""<h2>Associations (Cramér's V)</h2>
+              |<table><tr><th>a</th><th>b</th><th>V</th></tr>
+              |${assocRows(p.cramersV)}</table>""".stripMargin
+    // first-N sample — cells truncate like frequent values (a TEXT cell
+    // must not paste a whole document into the report)
+    val sampleBlock =
+      if (p.sample.isEmpty) ""
+      else {
+        val head = p.sampleColumns.map(c => s"<th>${esc(c)}</th>")
+          .mkString
+        val body = p.sample.map { r =>
+          r.map { v =>
+            val shown = if (v.length > 40) v.take(40) + "…" else v
+            s"<td>${esc(shown)}</td>"
+          }.mkString("<tr>", "", "</tr>")
+        }.mkString("\n")
+        s"""<h2>Sample (first ${p.sample.length} rows)</h2>
+           |<table><tr>$head</tr>
+           |$body</table>""".stripMargin
+      }
     s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(p.table)} profile</title>
        |<style>body{font-family:sans-serif}table{border-collapse:collapse}
        |td,th{border:1px solid #999;padding:4px 8px}</style></head><body>
        |<h1>Profile: ${esc(p.table)}</h1>
        |<p>${p.rows} rows × ${p.columns} columns; ${p.duplicateRows} duplicate rows</p>
+       |$sampleBlock
        |<h2>Columns</h2>
        |<table><tr><th>column</th><th>type</th><th>count</th><th>missing</th>
        |<th>distinct</th><th>mean</th><th>std</th><th>min</th><th>median</th><th>max</th>
        |<th>skew</th><th>kurtosis</th><th>histogram</th><th>frequent</th></tr>
        |$colRows</table>
-       |<h2>Correlations</h2>
+       |<h2>Correlations (Pearson)</h2>
        |<table><tr><th>a</th><th>b</th><th>corr</th></tr>
        |$corrRows</table>
+       |$spearmanBlock
+       |$cramersBlock
        |</body></html>""".stripMargin
   }
 

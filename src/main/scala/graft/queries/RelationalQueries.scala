@@ -612,6 +612,28 @@ object RelationalQueries {
       round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
       round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
 
+  /** PR14 — Spearman rank correlation over the PR6 pairs
+    * ([[graft.profile.Profile.spearman]]): distributed average ranks
+    * (doubled-integer form), ρ from exact DECIMAL sufficient sums
+    * through a handful of IEEE ops at ROUND 6 — hash-green against the
+    * single-window DuckDB replay, where corr() over rank doubles would
+    * be partition-order noise. */
+  private val pr14Spearman: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    Profile.spearman(li, "l_quantity", "l_extendedprice")
+      .select(col("n"), col("rho").as("rho_qty_price"))
+      .crossJoin(Profile.spearman(li, "l_discount", "l_tax")
+        .select(col("rho").as("rho_disc_tax")))
+  }
+
+  /** PR15 — Cramér's V association between order status and priority
+    * ([[graft.profile.Profile.cramersV]]): full-contingency χ² with
+    * round-6 per-cell terms summed as DECIMAL (deterministic), V at
+    * ROUND 6. Hash-green against the grid replay. */
+  private val pr15CramersV: Q = (s, dir) =>
+    Profile.cramersV(t(s, dir, "orders"), "o_orderstatus",
+      "o_orderpriority")
+
   // ------------------------------------------- CDC / scale-join extensions
   /** J6 — bloom-pruned semi-join: lineitem rows belonging to high-value
     * orders (~5% selectivity). The big side is pruned by a compact Bloom
@@ -1091,7 +1113,9 @@ object RelationalQueries {
     "pr6_correlation" -> pr6Correlation,
     "pr8_frequent" -> pr8Frequent,
     "pr9_frequent_numeric" -> pr9FrequentNumeric,
-    "pr13_alerts" -> pr13Alerts)
+    "pr13_alerts" -> pr13Alerts,
+    "pr14_spearman" -> pr14Spearman,
+    "pr15_cramers_v" -> pr15CramersV)
 
   val oracle: Map[String, String] = Map(
     "k11_changeset_apply" ->
@@ -1644,6 +1668,82 @@ object RelationalQueries {
     "pr6_correlation" ->
       """SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         | ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""".stripMargin,
+    // Spearman replay: doubled average ranks from per-value counts + a
+    // running sum over distinct values (the engine's prefix scan,
+    // collapsed to a window here), then rho from HUGEINT sufficient
+    // sums through the same few double ops at ROUND 6
+    "pr14_spearman" ->
+      """WITH b1 AS (SELECT l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |c1x AS (SELECT x AS v, count(*) AS cnt FROM b1 GROUP BY 1),
+        |r1x AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS r2
+        |  FROM c1x),
+        |c1y AS (SELECT y AS v, count(*) AS cnt FROM b1 GROUP BY 1),
+        |r1y AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS r2
+        |  FROM c1y),
+        |j1 AS (SELECT rx.r2 AS ra, ry.r2 AS rb FROM b1
+        |  JOIN r1x rx ON b1.x = rx.v JOIN r1y ry ON b1.y = ry.v),
+        |s1 AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(SUM(ra) AS HUGEINT) AS sx, CAST(SUM(rb) AS HUGEINT) AS sy,
+        |  SUM(CAST(ra AS HUGEINT) * ra) AS sxx,
+        |  SUM(CAST(rb AS HUGEINT) * rb) AS syy,
+        |  SUM(CAST(ra AS HUGEINT) * rb) AS sxy FROM j1),
+        |b2 AS (SELECT l_discount AS x, l_tax AS y FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |c2x AS (SELECT x AS v, count(*) AS cnt FROM b2 GROUP BY 1),
+        |r2x AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS r2
+        |  FROM c2x),
+        |c2y AS (SELECT y AS v, count(*) AS cnt FROM b2 GROUP BY 1),
+        |r2y AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS r2
+        |  FROM c2y),
+        |j2 AS (SELECT rx.r2 AS ra, ry.r2 AS rb FROM b2
+        |  JOIN r2x rx ON b2.x = rx.v JOIN r2y ry ON b2.y = ry.v),
+        |s2 AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(SUM(ra) AS HUGEINT) AS sx, CAST(SUM(rb) AS HUGEINT) AS sy,
+        |  SUM(CAST(ra AS HUGEINT) * ra) AS sxx,
+        |  SUM(CAST(rb AS HUGEINT) * rb) AS syy,
+        |  SUM(CAST(ra AS HUGEINT) * rb) AS sxy FROM j2)
+        |SELECT CAST(s1.n AS BIGINT) AS n,
+        |  ROUND(CAST(s1.n * s1.sxy - s1.sx * s1.sy AS DOUBLE)
+        |    / SQRT(CAST(s1.n * s1.sxx - s1.sx * s1.sx AS DOUBLE)
+        |      * CAST(s1.n * s1.syy - s1.sy * s1.sy AS DOUBLE)), 6)
+        |    AS rho_qty_price,
+        |  ROUND(CAST(s2.n * s2.sxy - s2.sx * s2.sy AS DOUBLE)
+        |    / SQRT(CAST(s2.n * s2.sxx - s2.sx * s2.sx AS DOUBLE)
+        |      * CAST(s2.n * s2.syy - s2.sy * s2.sy AS DOUBLE)), 6)
+        |    AS rho_disc_tax
+        |FROM s1, s2""".stripMargin,
+    // Cramér's V replay: full contingency grid (zero cells included),
+    // per-cell χ² terms rounded 6 then summed as DECIMAL — associative,
+    // like the engine
+    "pr15_cramers_v" ->
+      """WITH base AS (SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+        |  CAST(o_orderpriority AS VARCHAR) AS b FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |obs AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM obs),
+        |grid AS (SELECT ra.a, cb.b, rt, ct, n, COALESCE(o, 0) AS o0
+        |  FROM ra CROSS JOIN cb CROSS JOIN tot
+        |  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+        |terms AS (SELECT n,
+        |  CAST(ROUND(CAST((CAST(o0 AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+        |      * (CAST(o0 AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct) AS DOUBLE)
+        |    / CAST(CAST(rt AS HUGEINT) * ct * n AS DOUBLE), 6)
+        |    AS DECIMAL(28, 6)) AS term
+        |  FROM grid),
+        |s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST((SELECT count(*) FROM ra) AS INTEGER) AS r_levels,
+        |  CAST((SELECT count(*) FROM cb) AS INTEGER) AS c_levels,
+        |  SUM(term) AS chi2 FROM terms)
+        |SELECT n, r_levels, c_levels, CAST(chi2 AS DOUBLE) AS chi2,
+        |  CASE WHEN LEAST(r_levels, c_levels) > 1 AND n > 0 THEN
+        |    ROUND(SQRT(CAST(chi2 AS DOUBLE)
+        |      / CAST(n * (LEAST(r_levels, c_levels) - 1) AS DOUBLE)), 6)
+        |  ELSE NULL END AS cramers_v
+        |FROM s""".stripMargin,
     "pr8_frequent" ->
       """WITH cells AS (
         | SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value

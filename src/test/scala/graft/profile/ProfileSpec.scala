@@ -131,6 +131,84 @@ class ProfileSpec extends SparkSpec {
     assert(html.contains("<td>v</td>") && html.contains("<td>s</td>"))
   }
 
+  test("spearman: monotone pairs hit ±1 exactly; average ranks under " +
+      "ties match the hand formula; constant margin → null; " +
+      "pairwise-complete null handling (PR14)") {
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0),
+      (5.0, 25.0)).toDF("x", "y")
+    val up = Profile.spearman(mono, "x", "y")
+      .as[(Long, Option[Double])].head()
+    assert(up === ((5L, Some(1.0))), "monotone increasing → rho = 1")
+    val down = Profile.spearman(mono.withColumn("y", -$"y"), "x", "y")
+      .as[(Long, Option[Double])].head()
+    assert(down === ((5L, Some(-1.0))))
+    // ties: x = (1, 2, 2, 4) ranks (1, 2.5, 2.5, 4); hand Pearson over
+    // ranks = 4.5 / sqrt(4.5 · 5) = 0.948683 at round 6
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (4.0, 40.0))
+      .toDF("x", "y")
+    val rt = Profile.spearman(tied, "x", "y")
+      .as[(Long, Option[Double])].head()
+    assert(rt === ((4L, Some(0.948683))))
+    // constant margin: variance 0 → undefined, null not NaN/crash
+    val const = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "y")
+    assert(Profile.spearman(const, "x", "y")
+      .as[(Long, Option[Double])].head() === ((3L, None)))
+    // pairwise-complete: a null on either side drops the ROW, and ranks
+    // are computed over the surviving pairs only
+    val withNull = Seq((Some(1.0), Some(1.0)), (Some(2.0), None),
+      (Some(3.0), Some(2.0)), (None, Some(9.0)), (Some(4.0), Some(3.0)))
+      .toDF("x", "y")
+    assert(Profile.spearman(withNull, "x", "y")
+      .as[(Long, Option[Double])].head() === ((3L, Some(1.0))))
+  }
+
+  test("cramersV: perfect association → 1, independence → 0, " +
+      "single-level margin → null, zero cells included (PR15)") {
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val p = Profile.cramersV(perfect, "a", "b")
+      .as[(Long, Int, Int, Double, Option[Double])].head()
+    // hand grid: four cells each term 1.0 → chi2 = 4, V = √(4/(4·1)) = 1
+    assert(p === ((4L, 2, 2, 4.0, Some(1.0))))
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    assert(Profile.cramersV(indep, "a", "b")
+      .as[(Long, Int, Int, Double, Option[Double])].head() ===
+      ((4L, 2, 2, 0.0, Some(0.0))))
+    val oneLevel = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Profile.cramersV(oneLevel, "a", "b")
+      .as[(Long, Int, Int, Double, Option[Double])].head()._5 === None)
+  }
+
+  test("profile associations + sample: Spearman/Cramér's V maps " +
+      "populated, first-N preview deterministic, html renders the " +
+      "new sections") {
+    val wide = Seq(
+      (1, 1.0, "x", "p"), (2, 4.0, "x", "p"),
+      (3, 9.0, "y", "q"), (4, 16.0, "y", "q"))
+      .toDF("k", "v", "a", "b")
+    val p = Profile.profile(wide, "w", exact = true, sampleN = 2)
+    assert(p.spearman === Map(("k", "v") -> 1.0),
+      "numeric pair rho recorded")
+    assert(p.cramersV === Map(("a", "b") -> 1.0),
+      "low-cardinality string pair V recorded")
+    assert(p.sampleColumns === Seq("k", "v", "a", "b"))
+    assert(p.sample === Seq(Seq("1", "1.0", "x", "p"),
+      Seq("2", "4.0", "x", "p")), "ordered by every column, first N")
+    // re-partitioning must not change the preview
+    val p2 = Profile.profile(wide.repartition(5), "w", exact = true,
+      sampleN = 2)
+    assert(p2.sample === p.sample)
+    val html = Profile.toHtml(p)
+    assert(html.contains("Correlations (Spearman)"))
+    assert(html.contains("Associations (Cramér's V)"))
+    assert(html.contains("Sample (first 2 rows)"))
+    // associations off / sampleN 0 → lean report, sections absent
+    val lean = Profile.toHtml(Profile.profile(wide, "w", exact = true,
+      associations = false, sampleN = 0))
+    assert(!lean.contains("Spearman") && !lean.contains("Sample (first"))
+  }
+
   test("dotted column names and NaN values do not crash or poison statistics") {
     val messy = Seq(
       (1, 10.0), (2, 20.0), (3, Double.NaN))
