@@ -1852,6 +1852,24 @@ object ExtensionQueries {
     graft.graph.Graph.communities(
       s.read.parquet(partEdgeBase(s, dir)), "src", "dst", rounds = 3)
 
+  /** Stored COMMUNITY layout, built ONCE per JVM from the stored part
+    * edges — the corpus-mixing serving tier. */
+  private def grCommunitiesBase(s: SparkSession, dir: String): String =
+    storedIndexPath("gr_communities", dir) { out =>
+      graft.serve.GraphRankService.buildCommunities(
+        s.read.parquet(partEdgeBase(s, dir)), "src", "dst", out,
+        rounds = 3)
+    }
+
+  /** Stored community probe: top-20 communities by member count
+    * ([[graft.serve.GraphCommunityService]]) — integer labels replay
+    * bit-for-bit, hash-green against the LPA replay rolled up to
+    * community sizes and windowed to the top-20. */
+  private val grCommunitiesProbe: Q = (s, dir) =>
+    graft.serve.GraphRankService
+      .overParquetDirCommunities(s, grCommunitiesBase(s, dir))
+      .topKFrame(20)
+
   /** Corpus co-occurrence statistics: top-200 unordered token pairs by
     * within-3-positions co-occurrence count
     * ([[TextOps.cooccurrenceCounts]] — map-only slice explode, linear in
@@ -3794,6 +3812,7 @@ object ExtensionQueries {
     "gr_triangles_probe" -> grTrianglesProbe,
     "gr_kcore_probe" -> grKcoreProbe,
     "gr_communities" -> grCommunities,
+    "gr_communities_probe" -> grCommunitiesProbe,
     "gr_recommend" -> grRecommend,
     "txt_readability" -> txtReadability,
     "a24_benford" -> a24Benford,
@@ -6298,6 +6317,15 @@ object ExtensionQueries {
            |ORDER BY deg DESC, node LIMIT 20""".stripMargin,
       "gr_communities" ->
         graft.graph.Graph.communitiesSql(partEdgeSql, rounds = 3),
+      "gr_communities_probe" ->
+        s"""SELECT label, n_members,
+           | CAST(ROW_NUMBER() OVER (ORDER BY n_members DESC, label)
+           |   AS INTEGER) AS pos
+           |FROM (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM (${graft.graph.Graph.communitiesSql(partEdgeSql,
+                       rounds = 3)})
+           |  GROUP BY 1)
+           |ORDER BY n_members DESC, label LIMIT 20""".stripMargin,
       "gr_recommend" ->
         graft.graph.Graph.commonNeighborRecsSql(partEdgeSql,
           seedPred = "node % 997 = 0", k = 10, minCommon = 2L),

@@ -166,6 +166,38 @@ final class GraphCoreService(core: DataFrame, val maxK: Int = 1000) {
   }
 }
 
+/** COMMUNITY-membership serving over a stored (node, label) layout —
+  * the stored twin of [[graft.graph.Graph.communities]]. Community
+  * membership is the corpus-mixing key ("which topic cluster is this
+  * domain in?") — a point lookup plus a label-sized size rollup, not a
+  * propagation per request. Labels are integer-exact node ids, so the
+  * stored frame replays bit-for-bit against the LPA replay. */
+final class GraphCommunityService(labels: DataFrame, val maxK: Int = 1000) {
+  require(maxK > 0, s"maxK must be > 0, got $maxK")
+
+  /** Top-k communities by member count: (label, n_members, pos), ties
+    * by label ascending. */
+  def topKFrame(k: Int): DataFrame = {
+    require(k > 0 && k <= maxK, s"k must be in [1, $maxK], got $k")
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).as("n_members"))
+    val w = Window.orderBy(col("n_members").desc, col("label"))
+    sizes.orderBy(col("n_members").desc, col("label")).limit(k)
+      .withColumn("pos", row_number().over(w).cast(IntegerType))
+  }
+
+  /** Community labels for the requested nodes; nodes outside the edge
+    * set are absent. */
+  def labelOf(nodes: Seq[Long]): Map[Long, Long] = {
+    require(nodes.nonEmpty && nodes.size <= maxK,
+      s"labelOf takes 1..$maxK nodes, got ${nodes.size}")
+    val spark = labels.sparkSession
+    import spark.implicits._
+    labels.filter(col("node").isin(nodes: _*))
+      .as[(Long, Long)].collect().toMap
+  }
+}
+
 object GraphRankService {
 
   /** Build the stored PageRank layout at `root/ranks` — plain, WEIGHTED
@@ -316,6 +348,42 @@ object GraphRankService {
     graft.graph.Graph.triangleCounts(edges, srcCol, dstCol)
       .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
     graft.io.Sinks.swapDir(spark, s"$root/triangles", tmp)
+  }
+
+  /** Build the stored COMMUNITY layout at `root/communities` —
+    * (node, label), node-sized, integer-exact min-label LPA
+    * ([[graft.graph.Graph.communities]]). */
+  def buildCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+                       root: String, rounds: Int,
+                       numFiles: Int = 4): Unit =
+    graft.graph.Graph.communities(edges, srcCol, dstCol, rounds)
+      .coalesce(numFiles).write.mode("overwrite")
+      .parquet(s"$root/communities")
+
+  /** Open a stored community layout for serving. */
+  def overParquetDirCommunities(spark: SparkSession, root: String,
+                                maxK: Int = 1000): GraphCommunityService = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/communities")
+    new GraphCommunityService(spark.read.parquet(s"$root/communities"),
+      maxK)
+  }
+
+  /** REFRESH the community layout: labels are a global function of the
+    * edge set (one bridge edge can merge two communities), so the
+    * refresh unit is the full propagation + marker-fenced swap. */
+  def refreshCommunities(spark: SparkSession, root: String,
+                         edges: DataFrame, srcCol: String, dstCol: String,
+                         rounds: Int, numFiles: Int = 4): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/communities")
+    val tmp = s"$root/communities-__rebuilding__"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
+    graft.graph.Graph.communities(edges, srcCol, dstCol, rounds)
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    graft.io.Sinks.swapDir(spark, s"$root/communities", tmp)
   }
 
   /** REFRESH the k-core layout: full recompute + marker-fenced swap

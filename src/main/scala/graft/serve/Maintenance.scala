@@ -136,6 +136,18 @@ object Maintenance {
     false
   }
 
+  /** Stored community layout (`root/communities`): labels are a global
+    * function of the edge set (one bridge edge can merge communities),
+    * so the nightly unit is the full propagation + marker-fenced swap.
+    * Always returns false. */
+  def nightlyCommunities(spark: SparkSession, root: String,
+                         edges: DataFrame, srcCol: String, dstCol: String,
+                         rounds: Int): Boolean = {
+    GraphRankService.refreshCommunities(spark, root, edges, srcCol, dstCol,
+      rounds)
+    false
+  }
+
   /** Stored DSIR weight layout (`root/weights`): the corpus/target
     * marginals are global (every new document shifts every bucket), so
     * the nightly unit is the full retrain + marker-fenced swap

@@ -131,6 +131,36 @@ class GraphServiceSpec extends SparkSpec {
       Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("buildCommunities + overParquetDirCommunities: stored labels ≡ " +
+      "direct LPA; topK by community size; labelOf lookups; refresh " +
+      "swaps to the new graph") {
+    val root = java.nio.file.Files.createTempDirectory("gr_comm_").toString
+    // two triangles bridged by 3–4 (GraphSpec's hand-traced LPA graph):
+    // 3 rounds → {1,2,3} label 1, {4,5,6} label 3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    GraphRankService.buildCommunities(e, "s", "d", root, rounds = 3)
+    val svc = GraphRankService.overParquetDirCommunities(spark, root,
+      maxK = 10)
+    assert(svc.labelOf(Seq(1L, 2L, 3L, 4L, 5L, 6L, 99L)) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(svc.topKFrame(5).as[(Long, Long, Int)].collect().toSeq ===
+      Seq((1L, 3L, 1), (3L, 3L, 2)), "two size-3 communities, label ties")
+    intercept[IllegalArgumentException] { svc.labelOf(Seq.empty) }
+    // refresh on a shifted graph: the marker-fenced swap must serve the
+    // NEW node set (old ids absent, new ids labeled per a direct LPA)
+    val shifted = e.select(($"s" + 10L).as("s"), ($"d" + 10L).as("d"))
+    GraphRankService.refreshCommunities(spark, root, shifted, "s", "d",
+      rounds = 3)
+    val re = GraphRankService.overParquetDirCommunities(spark, root)
+    assert(re.labelOf(Seq(1L, 2L, 3L)) === Map.empty,
+      "old node ids must be gone after the swap")
+    assert(re.labelOf(Seq(11L, 12L, 13L, 14L, 15L, 16L)) ===
+      Map(11L -> 11L, 12L -> 11L, 13L -> 11L,
+        14L -> 13L, 15L -> 13L, 16L -> 13L),
+      "shifted graph gets the shifted hand-traced labels")
+  }
+
   test("hitsInt reliableCheckpoint: identical scores to the " +
       "localCheckpoint path; loud without a checkpoint dir") {
     val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("s", "d")
