@@ -1825,6 +1825,16 @@ object ExtensionQueries {
       .overParquetDirTriangles(s, grTriStatsBase(s, dir))
       .topKFrame(20)
 
+  /** Stored GLOBAL-closure probe: the [[grTrianglesGlobal]] one-row
+    * stats from the stored node-level layout (Σ triangles DIV 3 is
+    * integer-exact, so the same oracle replays) — the serving answer to
+    * "how clustered is the graph today" without re-running the
+    * O(m^1.5) pipeline the headline face times. */
+  private val grTrianglesGlobalProbe: Q = (s, dir) =>
+    graft.serve.GraphRankService
+      .overParquetDirTriangles(s, grTriStatsBase(s, dir))
+      .globalFrame()
+
   /** Stored K-CORE layout, built ONCE per JVM with `rounds = 0` — the
     * EXACT fixpoint core is what serving should answer from. */
   private def grKcoreBase(s: SparkSession, dir: String): String =
@@ -3810,6 +3820,7 @@ object ExtensionQueries {
     "gr_bfs" -> grBfs,
     "gr_kcore" -> grKcore,
     "gr_triangles_probe" -> grTrianglesProbe,
+    "gr_triangles_global_probe" -> grTrianglesGlobalProbe,
     "gr_kcore_probe" -> grKcoreProbe,
     "gr_communities" -> grCommunities,
     "gr_communities_probe" -> grCommunitiesProbe,
@@ -6308,6 +6319,12 @@ object ExtensionQueries {
            |   AS INTEGER) AS pos
            |FROM (${graft.graph.Graph.triangleCountsSql(partEdgeSql)})
            |ORDER BY triangles DESC, node LIMIT 20""".stripMargin,
+      "gr_triangles_global_probe" ->
+        s"""SELECT CAST(SUM(triangles) // 3 AS BIGINT) AS n_triangles,
+           |  CAST(SUM(wedges) AS BIGINT) AS n_wedges,
+           |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM (${graft.graph.Graph.triangleCountsSql(partEdgeSql)})"""
+          .stripMargin,
       "gr_kcore_probe" ->
         s"""SELECT node, deg,
            | CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS INTEGER)
