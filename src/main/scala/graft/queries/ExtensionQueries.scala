@@ -2821,6 +2821,23 @@ object ExtensionQueries {
     probeStoredSq(s, sqStoredBase(s, dir, emb), emb.filter(col("vec_id") < 10))
   }
 
+  /** SQ8 member of the recall family ([[simLshRecall]], [[simPqRecall]],
+    * [[simIvfRecall]], [[simRpRecall]]): recall@5 of the int8
+    * scalar-quantized ranking against exact brute force — the
+    * quality-vs-4×-compression number, and the family's near-lossless
+    * upper reference (per-vector scales preserve ranking far better
+    * than the trained coarse quantizers). Hash-checked end to end: the
+    * SQ ranking is already exactly replayable (the [[simSqProbe]]
+    * contract), so the oracle recomputes quantization, the integer dot
+    * ranking, the exact-cosine top-5, AND the recall ratio. */
+  private val simSqRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.recallAtK(
+      graft.sim.Sq.probeTopK(graft.sim.Sq.buildIndex(emb), q, k = 5),
+      Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+  }
+
   /** O(delta) SQ8 merge: base slice built, delta appended — per-vector
     * quantization has NO frozen artifact, so merged ≡ rebuilt EXACTLY
     * (the full-corpus replay oracle is shared with [[simSqProbe]]; the
@@ -3936,6 +3953,7 @@ object ExtensionQueries {
     "sim_rp_takedown" -> simRpTakedown,
     "sim_rp_upsert" -> simRpUpsert,
     "sim_sq_probe" -> simSqProbe,
+    "sim_sq_recall" -> simSqRecall,
     "sim_sq_merge" -> simSqMerge,
     "sim_sq_takedown" -> simSqTakedown,
     "sim_sq_upsert" -> simSqUpsert,
@@ -4709,6 +4727,50 @@ object ExtensionQueries {
          | FROM qz a, qz c
          | WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id$candWhere)
          |WHERE rank <= 5""".stripMargin
+  }
+
+  /** Generated oracle for sim_sq_recall: the [[sqReplayOracle]]
+    * quantize/rank CTEs reduced to the ANN id set, the exact-cosine
+    * top-5 (the [[simLshRecallOracle]] `ex` shape), and the one-row
+    * recall ratio recallAtK emits. */
+  private def simSqRecallOracle: String = {
+    val k = 5
+    raw"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+         |     / 127 AS scale,
+         |   embedding FROM corpus),
+         |qz AS (SELECT vec_id, scale,
+         |   CASE WHEN scale = 0
+         |     THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |     ELSE list_transform(embedding,
+         |       x -> floor(CAST(x AS DOUBLE) / scale + 0.5))
+         |   END AS q
+         |  FROM qv),
+         |ann AS (SELECT query_id, cand_id FROM (
+         | SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+         |   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |     ROUND(a.scale * c.scale * list_dot_product(a.q, c.q), 6) DESC,
+         |     c.vec_id) AS rank
+         | FROM qz a, qz c
+         | WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id)
+         |WHERE rank <= $k),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
+         |ex AS (SELECT query_id, cand_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ROUND(CASE WHEN list_dot_product(q.v, q.v) = 0
+         |          OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+         |        ELSE list_cosine_similarity(q.v, c.v) END, 6) DESC,
+         |      c.vec_id) AS rank
+         |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $k),
+         |hits AS (SELECT count(*) AS n_hits FROM ann
+         |  JOIN ex USING (query_id, cand_id)),
+         |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM ex)
+         |SELECT CAST($k AS INTEGER) AS k, n_queries, n_hits,
+         |  ROUND(CAST(n_hits AS DOUBLE) / (n_queries * $k), 6) AS mean_recall
+         |FROM nq, hits""".stripMargin
   }
 
   private def simRpUpsertOracle: String = {
@@ -6831,6 +6893,7 @@ bruteForceCosineOracle,
       // fully — stored probe, exact merge, takedown remainder, upsert
       // re-quantization, filtered candidate slice.
       "sim_sq_probe" -> sqReplayOracle(),
+      "sim_sq_recall" -> simSqRecallOracle,
       "sim_sq_merge" -> sqReplayOracle(),
       "sim_sq_takedown" -> sqReplayOracle(candWhere = " AND c.vec_id % 7 <> 2"),
       "sim_sq_upsert" -> sqReplayOracle(upsert = true),
