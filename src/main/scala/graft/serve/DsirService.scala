@@ -60,6 +60,63 @@ object DsirService {
     new DsirService(w, w.count().toInt)
   }
 
+  /** Build the FULL streamed-ingest layout at `root` — the lifecycle
+    * form [[graft.streaming.StreamOps.dsirIngestStream]] appends into:
+    *   - `root/target`  (b, ct) target marginal, written once (the
+    *     curated target set is the trained constant of the family);
+    *   - `root/raw`     (b, cr) raw marginal — ONE base frame here,
+    *     plus one delta file-set per streamed micro-batch (readers SUM
+    *     by bucket);
+    *   - `root/weights` the derived serving frame
+    *     ([[overParquetDir]] reads only this).
+    * Bucket counts are additive, so [[recomputeWeights]] re-derives the
+    * weight table from the summed marginals in O(buckets) — no corpus
+    * rescan, which is what makes live DSIR ingest viable at corpus
+    * scale. `raw` may be EMPTY (bootstrap everything through the
+    * stream). */
+  def buildLayout(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, root: String, buckets: Int = 1024,
+                  numFiles: Int = 1): Unit = {
+    val spark = raw.sparkSession
+    TextOps.dsirBatchMarginal(target, textCol, idCol, buckets)
+      .withColumnRenamed("cr", "ct")
+      .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/target")
+    TextOps.dsirBatchMarginal(raw, textCol, idCol, buckets)
+      .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/raw")
+    TextOps.dsirWeightsFromMarginals(spark,
+        spark.read.parquet(s"$root/raw"),
+        spark.read.parquet(s"$root/target"), buckets)
+      .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/weights")
+  }
+
+  /** The layout's bucket count — the weight frame IS the dense spine,
+    * one row per bucket. */
+  def bucketsOf(spark: SparkSession, root: String): Int =
+    spark.read.parquet(s"$root/weights").count().toInt
+
+  /** FOLD streamed marginal deltas into a fresh weight table — the
+    * O(buckets) nightly of the streamed layout: sum `root/raw` (base +
+    * every committed delta) and `root/target` by bucket, re-derive, and
+    * marker-fenced-swap `root/weights`. Costs bucket arithmetic, not a
+    * corpus rescan; stream-folded weights are bit-identical to a full
+    * retrain on the same corpus ([[graft.text.TextOps
+    * .dsirWeightsFromMarginals]] — the StreamOpsSpec pin). */
+  def recomputeWeights(spark: SparkSession, root: String,
+                       numFiles: Int = 1): Unit = {
+    graft.io.Sinks.recoverCrashedSwap(spark, root)
+    graft.io.Sinks.recoverCrashedSwap(spark, s"$root/weights")
+    val buckets = bucketsOf(spark, root)
+    val tmp = s"$root/weights-__rebuilding__"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
+    TextOps.dsirWeightsFromMarginals(spark,
+        spark.read.parquet(s"$root/raw"),
+        spark.read.parquet(s"$root/target"), buckets)
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    graft.io.Sinks.swapDir(spark, s"$root/weights", tmp)
+  }
+
   /** REFRESH the weights: full retrain + marker-fenced swap — the
     * marginals are global (one new document shifts every bucket's raw
     * count), so like graph ranks the refresh unit is the rebuild. */

@@ -161,6 +161,21 @@ object Maintenance {
     false
   }
 
+  /** STREAMED DSIR weight layout (`root/target` + `root/raw` deltas +
+    * `root/weights`): uncommitted-batch orphans are scrubbed first (a
+    * crashed micro-batch's delta files must never fold into the
+    * marginal — [[graft.streaming.BatchCommit.scrubUncommitted]]'s
+    * quiescence gate makes a live stream refuse loudly), then the
+    * serving weight table re-derives from the summed marginals in
+    * O(buckets) ([[DsirService.recomputeWeights]]) — no corpus rescan.
+    * Always returns false (nothing trains, nothing can migrate). */
+  def nightlyDsirFold(spark: SparkSession, root: String): Boolean = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/raw"))
+    DsirService.recomputeWeights(spark, root)
+    false
+  }
+
   /** Near-dup signature layout (`root/signatures` + `root/buckets`):
     * compaction only — the banding parameters are the index identity
     * (like RP's (dimOut, seed)), nothing is trained, so there is no

@@ -333,6 +333,54 @@ object StreamOps {
     }
   }
 
+  /** Streaming ingest into a stored DSIR weight layout — the
+    * trained-selection twin of [[bm25IngestStream]], closing the DSIR
+    * tier's batch-train → stream-ingest → fold loop: bucket counts are
+    * ADDITIVE, so each micro-batch appends only its (b, cr) raw-marginal
+    * delta (batch-sized feature extraction, ≤ `buckets` rows out —
+    * [[graft.text.TextOps.dsirBatchMarginal]]) under `root/raw`, and the
+    * nightly [[graft.serve.DsirService.recomputeWeights]] re-derives the
+    * serving weight table from the SUMMED marginals in O(buckets) — no
+    * corpus rescan, ever. Bootstrap the layout first with
+    * [[graft.serve.DsirService.buildLayout]] (an empty raw frame is
+    * fine); the bucket count is pinned ONCE at stream start from the
+    * layout itself, so a caller cannot mis-bucket a delta.
+    *
+    * Delivery: EXACTLY ONCE IN EFFECT via [[BatchCommit.runOnce]] — a
+    * replayed batch scrubs its own partial delta files and redoes (or is
+    * skipped once its ledger marker exists), so the folded marginal
+    * always equals single delivery (StreamOpsSpec pins kill-and-replay ≡
+    * full retrain on the same corpus). */
+  def dsirIngestStream(docs: DataFrame, textCol: String, idCol: String,
+                       root: String, checkpointDir: String)
+                      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    BatchCommit.assertStreamIdentity(spark, root, checkpointDir)
+    val buckets = graft.serve.DsirService.bucketsOf(spark, root)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        dsirIngestBatch(batch.toDF(), textCol, idCol, root, batchId, buckets)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[dsirIngestStream]] — public for the replay
+    * spec. Returns false when the batch was empty or already
+    * committed. */
+  def dsirIngestBatch(batch: DataFrame, textCol: String, idCol: String,
+                      root: String, batchId: Long, buckets: Int): Boolean = {
+    if (batch.isEmpty) return false
+    BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      graft.text.TextOps.dsirBatchMarginal(batch, textCol, idCol, buckets)
+        .coalesce(1).write.parquet(s"$staging/raw")
+      Seq(s"$staging/raw" -> s"$root/raw")
+    }
+  }
+
   /** Materialize a small stored frame (centroids, codebooks) as a
     * driver-side literal DataFrame — the PIN that makes "the quantizer is
     * opened once at stream start" literally true: `spark.read.parquet` is

@@ -1734,8 +1734,34 @@ object TextOps {
     * codebooks, which is exactly what a trained artifact is. */
   def dsirBucketWeights(raw: DataFrame, target: DataFrame, textCol: String,
                         idCol: String, buckets: Int = 1024): DataFrame = {
-    val (_, rawCnt, tgtCnt, totals, spine) =
+    val (_, rawCnt, tgtCnt, _, _) =
       dsirCounts(raw, target, textCol, idCol, buckets)
+    dsirWeightsFromMarginals(raw.sparkSession, rawCnt, tgtCnt, buckets)
+  }
+
+  /** Derive the per-bucket weight frame from STORED marginals — the
+    * O(buckets) half of the DSIR lifecycle that makes streamed ingest
+    * viable: bucket counts are ADDITIVE, so a streamed raw corpus keeps
+    * appending (b, cr) delta rows ([[dsirBatchMarginal]] per
+    * micro-batch) and the weight table re-derives from the SUMMED
+    * marginals with no corpus rescan — bucket arithmetic on ≤ `buckets`
+    * rows. `rawMarginal` is (b, cr) with possibly many delta rows per
+    * bucket; `targetMarginal` is (b, ct) likewise. Produces the exact
+    * [[dsirBucketWeights]] frame (that method now delegates here), so
+    * stream-folded weights are bit-identical to a full retrain on the
+    * same corpus — the StreamOpsSpec pin. */
+  def dsirWeightsFromMarginals(spark: org.apache.spark.sql.SparkSession,
+                               rawMarginal: DataFrame,
+                               targetMarginal: DataFrame,
+                               buckets: Int): DataFrame = {
+    require(buckets > 1 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val rawCnt = rawMarginal.groupBy("b").agg(sum(col("cr")).as("cr"))
+    val tgtCnt = targetMarginal.groupBy("b").agg(sum(col("ct")).as("ct"))
+    val totals = rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+      .crossJoin(tgtCnt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    val spine = spark.range(buckets)
+      .select(col("id").cast(IntegerType).as("b"))
     val d19 = DecimalType(19, 0)
     spine.join(tgtCnt, Seq("b"), "left").join(rawCnt, Seq("b"), "left")
       .crossJoin(broadcast(totals))
@@ -1752,6 +1778,18 @@ object TextOps {
           log((coalesce(col("cr"), lit(0L)) + 1).cast(DoubleType) /
             (col("tr") + lit(buckets)).cast(DoubleType)), 6)
           .cast(DecimalType(20, 6)).as("lr"))
+  }
+
+  /** One corpus slice's (b, cr) raw-marginal contribution — the
+    * streamed-ingest delta unit ([[dsirWeightsFromMarginals]] sums
+    * them). Batch-sized work: features of the SLICE only. */
+  def dsirBatchMarginal(batch: DataFrame, textCol: String, idCol: String,
+                        buckets: Int = 1024): DataFrame = {
+    require(buckets > 1 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    ngramFeatures(batch, textCol, idCol)
+      .select(dsirBucket(buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cr"))
   }
 
   /** Score a document batch against a TRAINED per-bucket weight frame

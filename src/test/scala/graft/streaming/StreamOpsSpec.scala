@@ -525,6 +525,75 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirIngestStream: streamed marginal deltas + O(buckets) fold ≡ " +
+      "full retrain; scoring serves the folded weights") {
+    import graft.serve.DsirService
+    import graft.text.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("dsir_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dsir_ckpt_").toString
+    val target = Seq((900L, "cat dog pet paw fur"), (901L, "cat dog bone"))
+      .toDF("doc_id", "text")
+    // bootstrap: EMPTY raw corpus — everything arrives through the stream
+    DsirService.buildLayout(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      target, "text", "doc_id", root, buckets = 64)
+    val all = Seq((1L, "cat dog pet collar"), (2L, "bond yield swap rate"),
+      (3L, "cat bone paw"), (4L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dsirIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", root, ckpt)
+    try {
+      mem.addData(all.take(2): _*); q.processAllAvailable()
+      mem.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    // nightly fold: O(buckets) re-derive, never a corpus rescan
+    assert(!graft.serve.Maintenance.nightlyDsirFold(spark, root))
+    val allDf = all.toDF("doc_id", "text")
+    val folded = DsirService.overParquetDir(spark, root)
+    assert(folded.buckets === 64)
+    val streamed = folded.scoreStats(allDf, "text", "doc_id")
+      .as[(Long, Long, BigDecimal, BigDecimal, BigDecimal)]
+      .collect().sortBy(_._1).toSeq
+    // the pin: stream-folded weights ≡ a full retrain on the same corpus
+    val direct = TextOps.dsirStats(allDf, target, "text", "doc_id",
+        buckets = 64)
+      .as[(Long, Long, BigDecimal, BigDecimal, BigDecimal)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed === direct)
+  }
+
+  test("dsirIngestBatch is exactly-once in effect: a replayed batch — " +
+      "committed or crashed mid-append — never double-counts the marginal") {
+    import graft.serve.DsirService
+    val root = java.nio.file.Files.createTempDirectory("dsir_replay_").toString
+    val target = Seq((900L, "cat dog")).toDF("doc_id", "text")
+    DsirService.buildLayout(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      target, "text", "doc_id", root, buckets = 64)
+    val b0 = Seq((1L, "cat dog pet"), (2L, "bond yield")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "cat bone")).toDF("doc_id", "text")
+    assert(StreamOps.dsirIngestBatch(b0, "text", "doc_id", root, 0, 64))
+    assert(StreamOps.dsirIngestBatch(b1, "text", "doc_id", root, 1, 64))
+    def marginal(): Map[Int, Long] =
+      spark.read.parquet(s"$root/raw").groupBy("b")
+        .agg(org.apache.spark.sql.functions.sum("cr").as("cr"))
+        .as[(Int, Long)].collect().toMap
+    val once = marginal()
+    // replay AFTER the ledger marker landed (post-commit crash): skipped
+    assert(!StreamOps.dsirIngestBatch(b1, "text", "doc_id", root, 1, 64))
+    assert(marginal() === once)
+    // crash BETWEEN delta append and checkpoint commit: marker deleted,
+    // data files in place — the redo must scrub its own files first
+    val marker = new java.io.File(s"$root/_ledger/batch-1")
+    assert(marker.exists()); assert(marker.delete())
+    assert(StreamOps.dsirIngestBatch(b1, "text", "doc_id", root, 1, 64))
+    assert(marginal() === once)
+    // net marginal equals single delivery of every document
+    val direct = graft.text.TextOps.dsirBatchMarginal(
+        b0.unionByName(b1), "text", "doc_id", buckets = 64)
+      .as[(Int, Long)].collect().toMap
+    assert(once === direct)
+  }
+
   test("bm25IngestStream: streamed micro-batches ≡ batch rebuild; " +
       "search serves a doc right after it streams in") {
     import graft.serve.SearchService
