@@ -94,6 +94,113 @@ object EventAnalytics {
           6))
   }
 
+  /** Trailing `window`-hour EXACT quantiles of a numeric column per
+    * event type over the zero-filled hour spine — the observability
+    * staple ("rolling p95 latency per endpoint") the count-based
+    * [[rollingHourlyCounts]] cannot answer. Quantiles are not mergeable
+    * exactly, so the trailing window genuinely needs every value in its
+    * range; the scale-honest exact plan REPLICATES each value to the ≤
+    * `window` target hours it participates in (a bounded `window`×
+    * amplification that shuffles ONCE into (target_hour, type) groups —
+    * versus a naive windowed-percentile over raw rows, which re-sorts
+    * every window per row) and takes one exact interpolated
+    * `percentile` per group. Interpolation is the quantile_cont
+    * definition both engines share bit-for-bit at ROUND 6 (the
+    * pr4_quantiles precedent) ⇒ hash-green. Hours with no samples in
+    * range carry NULL quantiles and n_samples = 0 — absence of data is
+    * the signal, not a zero.
+    *
+    * At 100 TB the `window`× replication of raw values is the exact
+    * form's honest cost; the production path is
+    * [[rollingHourlyQuantilesSketch]], which replicates per-hour KLL
+    * SKETCHES (constant-size) instead and merges — the entire reason
+    * the mergeable-sketch family exists. */
+  def rollingHourlyQuantiles(events: DataFrame, typeCol: String,
+                             tsCol: String, valueCol: String, window: Int,
+                             ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile ranks must be in [0, 1], got $ps")
+    val vals = events
+      .select(date_trunc("hour", col(tsCol)).as("h"),
+        col(typeCol).as("event_type"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+    val bounds = events.agg(date_trunc("hour", min(col(tsCol))).as("lo"),
+      date_trunc("hour", max(col(tsCol))).as("hi"))
+    val rep = vals.crossJoin(broadcast(bounds))
+      .select(explode(sequence(col("h"),
+          least(col("h") + expr(s"INTERVAL ${window - 1} HOURS"), col("hi")),
+          expr("INTERVAL 1 HOUR"))).as("h"),
+        col("event_type"), col("v"))
+    val pArr = ps.map(p => s"${p}D").mkString(", ")
+    val agg = rep.groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n_samples"),
+        expr(s"percentile(v, array($pArr))").as("__p"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(events.select(col(typeCol).as("event_type")).distinct())
+    val qCols = ps.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("__p"), i + 1), 6)
+        .as("p" + math.round(p * 100).toInt)
+    }
+    spine.join(agg, Seq("h", "event_type"), "left")
+      .select(Seq(unix_micros(col("h")).as("hour_us"), col("event_type"),
+        coalesce(col("n_samples"), lit(0L)).as("n_samples")) ++ qCols: _*)
+  }
+
+  /** The KLL-sketch scale path of [[rollingHourlyQuantiles]]: one
+    * constant-size KLL sketch per (hour, type) — the only pass over the
+    * raw values — then the trailing window merges ≤ `window` SKETCHES
+    * per output row ([[graft.functions.KllAgg]], Karnin-Lang-Liberty's
+    * mergeability being the entire point), so the rolling stage moves
+    * sketch-sized rows, not values: the 100 TB shape. Quantile answers
+    * are rank-error approximations with engine-local randomness
+    * (rows-only by the KLL contract; [[rollingHourlyQuantiles]] is the
+    * exact twin, and the spec pins sketch ≈ exact within the k = 200
+    * rank-error envelope). */
+  def rollingHourlyQuantilesSketch(events: DataFrame, typeCol: String,
+                                   tsCol: String, valueCol: String,
+                                   window: Int,
+                                   ps: Seq[Double] = Seq(0.5, 0.95),
+                                   k: Int = 200): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile ranks must be in [0, 1], got $ps")
+    // kll_* come from GraftExtensions (spark.sql.extensions) — the
+    // session contract every graft entry point already sets
+    val vals = events
+      .select(date_trunc("hour", col(tsCol)).as("h"),
+        col(typeCol).as("event_type"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+    val hourly = vals.groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n"),
+        expr(s"kll_sketch_agg(v, $k)").as("sk"))
+    val bounds = events.agg(date_trunc("hour", min(col(tsCol))).as("lo"),
+      date_trunc("hour", max(col(tsCol))).as("hi"))
+    // sketch rows replicate to their target hours — constant-size
+    // payloads, hours×types rows, trivial data movement
+    val rep = hourly.crossJoin(broadcast(bounds))
+      .select(explode(sequence(col("h"),
+          least(col("h") + expr(s"INTERVAL ${window - 1} HOURS"), col("hi")),
+          expr("INTERVAL 1 HOUR"))).as("h"),
+        col("event_type"), col("n"), col("sk"))
+    val merged = rep.groupBy("h", "event_type")
+      .agg(sum(col("n")).as("n_samples"),
+        expr(s"kll_merge_agg(sk, $k)").as("__m"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(events.select(col(typeCol).as("event_type")).distinct())
+    val qCols = ps.map { p =>
+      round(expr(s"kll_quantile(__m, ${p}D)"), 6)
+        .as("p" + math.round(p * 100).toInt)
+    }
+    spine.join(merged, Seq("h", "event_type"), "left")
+      .select(Seq(unix_micros(col("h")).as("hour_us"), col("event_type"),
+        coalesce(col("n_samples"), lit(0L)).as("n_samples")) ++ qCols: _*)
+  }
+
   def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val dau = events
       .groupBy(date_trunc("day", col(tsCol)).as("day"))

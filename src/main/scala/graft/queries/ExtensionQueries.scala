@@ -1767,6 +1767,26 @@ object ExtensionQueries {
     graft.ops.EventAnalytics.rollingHourlyCounts(events(s, dir),
       "event_type", "ts", window = 24)
 
+  /** Trailing 24-hour EXACT rolling p50/p95 of the event value per type
+    * ([[graft.ops.EventAnalytics.rollingHourlyQuantiles]]) — the
+    * observability staple counts can't answer. Bounded 24× value
+    * replication into (target_hour, type) groups, ONE exact
+    * interpolated percentile per group; percentile ≡ quantile_cont at
+    * ROUND 6 (pr4 precedent) ⇒ hash-green. */
+  private val evtRollingQuantiles: Q = (s, dir) =>
+    graft.ops.EventAnalytics.rollingHourlyQuantiles(events(s, dir),
+      "event_type", "ts", "value", window = 24)
+
+  /** The KLL scale path of [[evtRollingQuantiles]]: one constant-size
+    * sketch per (hour, type), trailing merge of ≤ 24 SKETCHES per
+    * output row — sketch-sized data movement, the 100 TB shape.
+    * Rows-only by the KLL contract (engine-local randomness); the
+    * exact face above is the hash-green twin and EventAnalyticsSpec
+    * pins sketch ≈ exact within the k = 200 rank-error envelope. */
+  private val evtRollingQuantilesSketch: Q = (s, dir) =>
+    graft.ops.EventAnalytics.rollingHourlyQuantilesSketch(events(s, dir),
+      "event_type", "ts", "value", window = 24)
+
   /** Referential-integrity audit with deterministic planted orphans:
     * lineitem's order FK against orders with the mod-97 slice removed
     * ([[graft.quality.Quality.referentialOrphans]]) — the post-load
@@ -3845,6 +3865,8 @@ object ExtensionQueries {
     "txt_readability" -> txtReadability,
     "a24_benford" -> a24Benford,
     "evt_rolling" -> evtRolling,
+    "evt_rolling_quantiles" -> evtRollingQuantiles,
+    "evt_rolling_quantiles_sketch" -> evtRollingQuantilesSketch,
     "a25_fk_orphans" -> a25FkOrphans,
     "txt_cooccurrence" -> txtCooccurrence,
     "txt_proximity" -> txtProximity,
@@ -6428,6 +6450,33 @@ object ExtensionQueries {
           |    / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS rolling_avg
           |FROM f WINDOW w AS (PARTITION BY event_type ORDER BY h
           |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
+      // exact trailing-window quantiles: each value replicates to its
+      // ≤ 24 target hours (bounded), one quantile_cont per group — the
+      // engine's percentile interpolation bit-for-bit (pr4 precedent);
+      // no-sample hours carry NULL quantiles. The sketch face is
+      // rows-only (KLL engine-local randomness), twinned by this one.
+      "evt_rolling_quantiles" ->
+        """WITH v AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+          |   event_type, value FROM events WHERE value IS NOT NULL),
+          |b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+          |   CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+          |  FROM events),
+          |rep AS (SELECT unnest(generate_series(v.h,
+          |    LEAST(v.h + INTERVAL 23 HOUR, b.hi), INTERVAL 1 HOUR)) AS h,
+          |   event_type, value
+          |  FROM v, b),
+          |agg AS (SELECT h, event_type,
+          |   CAST(count(*) AS BIGINT) AS n_samples,
+          |   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+          |   ROUND(quantile_cont(value, 0.95), 6) AS p95
+          |  FROM rep GROUP BY 1, 2),
+          |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+          |   AS h, t.event_type
+          |  FROM b, (SELECT DISTINCT event_type FROM events) t)
+          |SELECT epoch_us(s.h) AS hour_us, s.event_type,
+          |  COALESCE(n_samples, 0) AS n_samples, p50, p95
+          |FROM spine s LEFT JOIN agg
+          |  ON agg.h = s.h AND agg.event_type = s.event_type""".stripMargin,
       "a25_fk_orphans" ->
         """WITH p AS (SELECT DISTINCT o_orderkey AS k FROM orders
           |  WHERE o_orderkey % 97 <> 0)

@@ -157,4 +157,63 @@ class EventAnalyticsSpec extends SparkSpec {
       graft.ops.EventAnalytics.rollingHourlyCounts(ev, "event_type", "ts", 0)
     }
   }
+
+  test("rollingHourlyQuantiles: hand-computed trailing-window medians; " +
+      "no-sample hours carry NULL; null values excluded; guards") {
+    def hr(h: Int) = new Timestamp(h * 3600000L + 60000L)
+    // type a: hour 0 values {10, 20}, hour 2 value {40}; hour 1 empty.
+    // window 2: h0 sees {10,20} → p50 15; h1 sees h0..h1 = {10,20} → 15;
+    // h2 sees h1..h2 = {40} → 40. A null value must not contribute.
+    val ev = Seq(("a", hr(0), Some(10.0)), ("a", hr(0), Some(20.0)),
+      ("a", hr(2), Some(40.0)), ("a", hr(2), None),
+      ("b", hr(1), Some(7.0)))
+      .toDF("event_type", "ts", "value")
+    val out = graft.ops.EventAnalytics
+      .rollingHourlyQuantiles(ev, "event_type", "ts", "value", window = 2,
+        ps = Seq(0.5))
+      .select("event_type", "hour_us", "n_samples", "p50")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2 / 3600000000L) -> ((r._3, r._4))).toMap
+    assert(out(("a", 0L)) === ((2L, Some(15.0))))
+    assert(out(("a", 1L)) === ((2L, Some(15.0))))
+    assert(out(("a", 2L)) === ((1L, Some(40.0))))
+    assert(out(("b", 0L)) === ((0L, None)), "no-sample hour → NULL, not 0")
+    assert(out(("b", 1L)) === ((1L, Some(7.0))))
+    assert(out(("b", 2L)) === ((1L, Some(7.0))))
+    intercept[IllegalArgumentException] {
+      graft.ops.EventAnalytics.rollingHourlyQuantiles(ev, "event_type",
+        "ts", "value", window = 2, ps = Seq(1.5))
+    }
+  }
+
+  test("rollingHourlyQuantilesSketch: sketch quantiles track the exact " +
+      "twin within the KLL rank-error envelope; identical spine shape") {
+    def hr(h: Int) = new Timestamp(h * 3600000L)
+    // 3 hours × 400 values per hour, shifting distribution per hour
+    val rows = for {
+      h <- 0 until 3; i <- 0 until 400
+    } yield ("a", new Timestamp(hr(h).getTime + i * 1000L),
+      (h * 100 + (i % 100)).toDouble)
+    val ev = rows.toDF("event_type", "ts", "value")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("hour_us", "n_samples", "p50", "p95")
+        .as[(Long, Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exact = asMap(graft.ops.EventAnalytics.rollingHourlyQuantiles(
+      ev, "event_type", "ts", "value", window = 2))
+    val sk = asMap(graft.ops.EventAnalytics.rollingHourlyQuantilesSketch(
+      ev, "event_type", "ts", "value", window = 2))
+    assert(exact.keySet === sk.keySet, "same spine")
+    exact.foreach { case (h, (n, ep50, ep95)) =>
+      val (sn, sp50, sp95) = sk(h)
+      assert(sn === n, "sample counts are exact on both paths")
+      // k = 200 ⇒ normalized rank error ~1.6%; the value span per
+      // window is ≤ 300, so a generous ±5% of the SPAN bounds both
+      for ((e, a) <- Seq((ep50, sp50), (ep95, sp95))) {
+        assert(e.isDefined === a.isDefined)
+        assert(math.abs(e.get - a.get) <= 15.0,
+          s"hour $h: sketch ${a.get} too far from exact ${e.get}")
+      }
+    }
+  }
 }
