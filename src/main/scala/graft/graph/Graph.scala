@@ -676,7 +676,26 @@ object Graph {
   def kCoreNodes(edges: DataFrame, srcCol: String, dstCol: String,
                  k: Int, rounds: Int,
                  reliableCheckpoint: Boolean = false,
-                 maxRounds: Int = 64): DataFrame = {
+                 maxRounds: Int = 64): DataFrame =
+    kCoreNodesCounted(edges, srcCol, dstCol, k, rounds,
+      reliableCheckpoint, maxRounds)._1
+
+  /** [[kCoreNodes]] that ALSO reports the measured peel depth —
+    * (core frame, peelRounds). In fixpoint mode (`rounds = 0`)
+    * peelRounds counts the rounds up to survivor-count stability
+    * (≥ 1 — the first survivor projection always counts; the final
+    * confirming no-op round does not), which is what an unrolled
+    * fixed-depth replay needs to certify it is still exact: an
+    * N-round unrolled peel equals the fixpoint iff peelRounds ≤ N, so
+    * a gate can assert the measured depth and fail LOUDLY as a
+    * stale-oracle error when a fixture change deepens the cascade —
+    * instead of silently diverging from its replay. In bounded mode
+    * peelRounds is simply `rounds` (the peels applied, no-ops
+    * included). */
+  def kCoreNodesCounted(edges: DataFrame, srcCol: String, dstCol: String,
+                        k: Int, rounds: Int,
+                        reliableCheckpoint: Boolean = false,
+                        maxRounds: Int = 64): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0,
       s"rounds must be >= 0 (0 = iterate to fixpoint), got $rounds")
@@ -700,6 +719,7 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("deg"))
     graft.util.Caching.releasingOnFailure(e0) {
       var e = e0
+      var peelRounds = 0
       if (rounds > 0) {
         for (_ <- 1 to rounds) {
           val surv = pin(degrees(e).filter(col("deg") >= k).select("node"))
@@ -707,6 +727,7 @@ object Graph {
             .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
             .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         }
+        peelRounds = rounds
       } else {
         var prev = -1L
         var round = 0
@@ -723,13 +744,14 @@ object Graph {
           if (cnt == prev) stable = true
           else {
             prev = cnt
+            peelRounds = round
             e = e
               .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
               .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
           }
         }
       }
-      graft.util.Caching.materializeAndRelease(degrees(e), e0)
+      (graft.util.Caching.materializeAndRelease(degrees(e), e0), peelRounds)
     }
   }
 

@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   * state is a fixed-width row per user. */
 object EventAnalytics {
 
+  /** Output-column label for a quantile rank — shared by the exact and
+    * sketch rolling-quantile variants (and the stored
+    * [[graft.serve.RollingQuantileService]] tier) so all validate
+    * identically. */
+  private[graft] def qLabel(p: Double): String =
+    "p" + math.round(p * 100).toInt
+
+  /** Labels round to the percent ("p50", "p95"), so ranks closer than
+    * 0.005 — or 0.995 vs 1.0 — would collide into DUPLICATE column
+    * names and hand downstream an ambiguous-column frame that fails
+    * only on first reference. Validate at call time, loudly. */
+  private[graft] def requireDistinctLabels(ps: Seq[Double]): Unit = {
+    val labels = ps.map(qLabel)
+    require(labels.distinct.size == labels.size,
+      "quantile ranks collide at percent resolution — labels " +
+        s"${labels.mkString(", ")} from ranks ${ps.mkString(", ")} are " +
+        "not distinct; space ranks at least 0.01 apart (column names " +
+        "round to whole percents)")
+  }
+
   /** Volume-anomaly detection: hourly event counts per type, flagging
     * hours whose count exceeds that type's mean by `sigma` standard
     * deviations — the pager-rule shape (traffic spike, error burst) run
@@ -121,6 +141,7 @@ object EventAnalytics {
     require(window >= 1, s"window must be >= 1, got $window")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile ranks must be in [0, 1], got $ps")
+    requireDistinctLabels(ps)
     val vals = events
       .select(date_trunc("hour", col(tsCol)).as("h"),
         col(typeCol).as("event_type"), col(valueCol).as("v"))
@@ -141,8 +162,7 @@ object EventAnalytics {
         expr("INTERVAL 1 HOUR"))).as("h"))
       .crossJoin(events.select(col(typeCol).as("event_type")).distinct())
     val qCols = ps.zipWithIndex.map { case (p, i) =>
-      round(element_at(col("__p"), i + 1), 6)
-        .as("p" + math.round(p * 100).toInt)
+      round(element_at(col("__p"), i + 1), 6).as(qLabel(p))
     }
     spine.join(agg, Seq("h", "event_type"), "left")
       .select(Seq(unix_micros(col("h")).as("hour_us"), col("event_type"),
@@ -167,6 +187,7 @@ object EventAnalytics {
     require(window >= 1, s"window must be >= 1, got $window")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile ranks must be in [0, 1], got $ps")
+    requireDistinctLabels(ps)
     // kll_* come from GraftExtensions (spark.sql.extensions) — the
     // session contract every graft entry point already sets
     val vals = events
@@ -193,8 +214,7 @@ object EventAnalytics {
         expr("INTERVAL 1 HOUR"))).as("h"))
       .crossJoin(events.select(col(typeCol).as("event_type")).distinct())
     val qCols = ps.map { p =>
-      round(expr(s"kll_quantile(__m, ${p}D)"), 6)
-        .as("p" + math.round(p * 100).toInt)
+      round(expr(s"kll_quantile(__m, ${p}D)"), 6).as(qLabel(p))
     }
     spine.join(merged, Seq("h", "event_type"), "left")
       .select(Seq(unix_micros(col("h")).as("hour_us"), col("event_type"),

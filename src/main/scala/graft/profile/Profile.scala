@@ -44,7 +44,9 @@ final case class TableProfile(
     spearman: Map[(String, String), Double] = Map.empty,
     cramersV: Map[(String, String), Double] = Map.empty,
     sampleColumns: Seq[String] = Seq.empty,
-    sample: Seq[Seq[String]] = Seq.empty)
+    sample: Seq[Seq[String]] = Seq.empty,
+    duplicates: Seq[(Seq[String], Long)] = Seq.empty,
+    phik: Map[(String, String), Double] = Map.empty)
 
 object Profile {
 
@@ -136,6 +138,32 @@ object Profile {
         (col("__pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** The ydata report's "Duplicates" section — the top-N
+    * MOST-DUPLICATED rows THEMSELVES (PR5 only counts them,
+    * finalprojectpandasprofiling.py:50): group by every column, keep
+    * count > 1, order by count descending with every orderable column
+    * ascending as the tie-break (a deterministic SET even at the top-N
+    * boundary), limit N. Returns the row's columns plus `n_dup`.
+    *
+    * Scale shape: ONE exact all-columns groupBy — the same shuffle the
+    * exact PR5 duplicate COUNT already pays — then a bounded
+    * TakeOrderedAndProject (count > 1 rows only); no global sort, no
+    * second scan. Non-orderable columns (maps) are excluded from the
+    * tie-break like the sample section's ordering. */
+  def duplicateRowValues(df: DataFrame, topN: Int = 10): DataFrame = {
+    require(topN > 0, s"topN must be > 0, got $topN")
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "duplicateRowValues needs at least one column")
+    val tieBreak = fields.filter(f => org.apache.spark.sql.catalyst
+        .expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => q(f.name).asc_nulls_first).toSeq
+    df.groupBy(fields.map(f => q(f.name)).toSeq: _*)
+      .agg(count(lit(1)).as("n_dup"))
+      .filter(col("n_dup") > 1)
+      .orderBy(col("n_dup").desc +: tieBreak: _*)
+      .limit(topN)
+  }
+
   /** `associations = true` adds the ydata report's OTHER correlation
     * tabs on top of PR6's one-pass Pearson: Spearman over numeric pairs
     * (≤ `maxAssocCols` numeric columns — each pair is its own
@@ -147,7 +175,8 @@ object Profile {
     * re-partitioning. */
   def profile(df: DataFrame, table: String = "df", exact: Boolean = false,
               topFrequent: Int = 5, associations: Boolean = true,
-              maxAssocCols: Int = 8, sampleN: Int = 10): TableProfile = {
+              maxAssocCols: Int = 8, sampleN: Int = 10,
+              duplicatesN: Int = 10, phikTab: Boolean = false): TableProfile = {
     val fields  = df.schema.fields
     val numeric = fields.filter(f => isNumeric(f.dataType)).map(_.name)
 
@@ -277,12 +306,17 @@ object Profile {
     }
 
     // PR6 — pairwise correlations over numeric columns, one pass.
+    // Zero-variance columns are EXCLUDED up front (pass 1 already
+    // measured stddev): their ρ is undefined, and under ANSI mode
+    // (the Spark 4 default) `corr` against a constant column throws
+    // DIVIDE_BY_ZERO instead of returning null.
+    val corrCols = numeric.filter(c => getD(s"$c::std").exists(_ > 0))
     val corrs: Map[(String, String), Double] =
-      if (numeric.length < 2) Map.empty
+      if (corrCols.length < 2) Map.empty
       else {
         val pairs = for {
-          i <- numeric.indices; j <- (i + 1) until numeric.length
-        } yield (numeric(i), numeric(j))
+          i <- corrCols.indices; j <- (i + 1) until corrCols.length
+        } yield (corrCols(i), corrCols(j))
         val corrAggs = pairs.map { case (a, b) => corr(q(a), q(b)).as(s"$a::$b") }
         val crow = df.agg(corrAggs.head, corrAggs.tail: _*).head()
         pairs.zipWithIndex.collect {
@@ -303,11 +337,27 @@ object Profile {
     val spearmans =
       if (!associations || numeric.length < 2 ||
           numeric.length > maxAssocCols) Map.empty[(String, String), Double]
-      else pairStats(numeric.toSeq, (a, b) => {
-        val r = spearman(df, a, b).head()
-        val out = if (r.isNullAt(1)) None else Some(r.getDouble(1))
-        out
-      })
+      else {
+        // O(columns) rank builds, not O(pairs): null-free columns (pass
+        // 1 already measured `missing`, so the routing is free) share
+        // per-column rank maps through ONE joined scan
+        // ([[spearmanSharedRanks]]); a pair touching a null-bearing
+        // column keeps the per-pair pairwise-complete form, whose ranks
+        // genuinely depend on the partner column's nulls.
+        val nullFree = numeric.toSeq.filter(c => getL(s"$c::missing") == 0L)
+        val shared =
+          if (nullFree.length >= 2) spearmanSharedRanks(df, nullFree)
+          else Map.empty[(String, String), Double]
+        val fallbackPairs = for {
+          i <- numeric.indices; j <- (i + 1) until numeric.length
+          if !(nullFree.contains(numeric(i)) && nullFree.contains(numeric(j)))
+        } yield (numeric(i), numeric(j))
+        val fallback = fallbackPairs.flatMap { case (a, b) =>
+          val r = spearman(df, a, b).head()
+          if (r.isNullAt(1)) None else Some((a, b) -> r.getDouble(1))
+        }.toMap
+        shared ++ fallback
+      }
     val lowCardString = fields.filter(f => f.dataType == StringType)
       .map(_.name).filter(c => getL(s"$c::distinct") <= 25)
     val cramers =
@@ -319,19 +369,57 @@ object Profile {
         val i = r.fieldIndex("cramers_v")
         if (r.isNullAt(i)) None else Some(r.getDouble(i))
       })
-    // first-N row preview, deterministically ordered by every column
+    // φk — ydata v4's DEFAULT association matrix; OPT-IN here because
+    // each pair pays its own contingency pass + driver inversion, and
+    // the deterministic Cramér's V tab already covers the same pairs
+    val phiks =
+      if (!phikTab || !associations || lowCardString.length < 2 ||
+          lowCardString.length > maxAssocCols)
+        Map.empty[(String, String), Double]
+      else pairStats(lowCardString.toSeq, (a, b) => {
+        val r = phik(df, a, b).head()
+        val i = r.fieldIndex("phik")
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      })
+    // first-N row preview, deterministically ordered by every ORDERABLE
+    // column — a map-typed column has no ordering and would fail the
+    // analysis; such columns still render, they just don't participate
+    // in the sort (an all-non-orderable frame degrades to an arbitrary
+    // but valid first-N)
     val sampled =
       if (sampleN <= 0) Seq.empty[Seq[String]]
-      else df
-        .orderBy(fields.map(f => q(f.name).asc_nulls_first).toSeq: _*)
-        .limit(sampleN)
-        .select(fields.map(f => q(f.name).cast(StringType)).toSeq: _*)
+      else {
+        val orderable = fields.filter(f => org.apache.spark.sql.catalyst
+          .expressions.RowOrdering.isOrderable(f.dataType))
+        val ordered =
+          if (orderable.isEmpty) df
+          else df.orderBy(
+            orderable.map(f => q(f.name).asc_nulls_first).toSeq: _*)
+        ordered
+          .limit(sampleN)
+          .select(fields.map(f => q(f.name).cast(StringType)).toSeq: _*)
+          .collect().toSeq
+          .map(r => fields.indices.map(i =>
+            if (r.isNullAt(i)) "null" else r.getString(i)))
+      }
+    // "Duplicates" listing — gated on pass 1's duplicate COUNT, so the
+    // all-columns groupBy only runs when duplicates actually exist
+    // (exact mode; the approximate count can be sketch noise, so
+    // approximate profiles list duplicates only when the estimate is
+    // decisively nonzero anyway — same gate)
+    val dupList: Seq[(Seq[String], Long)] =
+      if (duplicatesN <= 0 || rows - getL("__distinct_rows") <= 0) Seq.empty
+      else duplicateRowValues(df, duplicatesN)
+        .select(fields.map(f => q(f.name).cast(StringType)).toSeq
+          :+ col("n_dup"): _*)
         .collect().toSeq
-        .map(r => fields.indices.map(i =>
-          if (r.isNullAt(i)) "null" else r.getString(i)))
+        .map(r => (fields.indices.map(i =>
+          if (r.isNullAt(i)) "null" else r.getString(i)),
+          r.getLong(fields.length)))
     TableProfile(table, rows, fields.length, rows - getL("__distinct_rows"),
       profiles, corrs, spearmans, cramers,
-      if (sampleN <= 0) Seq.empty else fields.map(_.name).toSeq, sampled)
+      if (sampleN <= 0) Seq.empty else fields.map(_.name).toSeq, sampled,
+      dupList, phiks)
   }
 
   /** SPEARMAN rank correlation for one column pair — the second
@@ -407,8 +495,109 @@ object Profile {
     }
   }
 
+  /** SHARED-RANK Spearman over every pair of `cols` — the O(columns)
+    * form [[profile]]'s association tab runs: each column's doubled-rank
+    * map ([[spearman]]'s histogram + distributed prefix scan) is built
+    * ONCE, all maps join onto one shared row stream, and a SINGLE
+    * aggregation computes every pair's sufficient sums together (per
+    * pair only Σrᵢrⱼ is pair-specific; n, Σrᵢ, Σrᵢ² amortize across
+    * pairs). For `maxAssocCols = 8` that is 8 rank builds + 1 joined
+    * scan where the per-pair loop paid up to 56 rank builds + 28 scans
+    * — measured on sf0.1 lineitem's 8 numeric columns (28 pairs):
+    * 21.9 s shared vs 81.7 s per-pair, all 28 ρ values identical.
+    * ρ per pair is evaluated from the sums row by the LITERAL SAME
+    * Catalyst expressions as [[spearman]] — equivalence is expression
+    * identity, not reimplementation (ProfileSpec pins it).
+    *
+    * CONTRACT: every column in `cols` must be NULL-FREE — shared ranks
+    * are global ranks, and [[spearman]]'s pairwise-complete semantics
+    * re-rank within each pair's co-non-null subset, so the two agree
+    * exactly iff no rows drop per pair. [[profile]] routes only
+    * missing = 0 columns here (it has the counts from pass 1) and falls
+    * back to per-pair [[spearman]] otherwise; direct callers own the
+    * same check. (NaN is fine: both paths rank it as a greatest value —
+    * Spark normalizes NaN in group and join keys.) Returns the defined
+    * ρ entries keyed (colᵢ, colⱼ), i < j in `cols` order. */
+  def spearmanSharedRanks(df: DataFrame, cols: Seq[String])
+      : Map[(String, String), Double] = {
+    val out = spearmanSharedRanksFrame(df, cols)
+    val row = out.head()
+    out.unpersist(blocking = true)
+    (for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+      idx = row.fieldIndex(s"rho_${cols(i)}__${cols(j)}")
+      if !row.isNullAt(idx)
+    } yield (cols(i), cols(j)) -> row.getDouble(idx)).toMap
+  }
+
+  /** The distributed ONE-ROW form of [[spearmanSharedRanks]] — the
+    * whole shared-rank matrix as a frame (n, rho_<a>__<b> per pair,
+    * i < j in `cols` order; undefined ρ = NULL), entirely in-plan so
+    * the registry can hash-certify the shared path itself
+    * (`pr18_spearman_matrix`). Same contract (null-free columns) and
+    * same plan (O(columns) rank builds + ONE joined scan). The
+    * returned frame is persisted (the [[spearman]] caller-unpersist
+    * contract). */
+  def spearmanSharedRanksFrame(df: DataFrame, cols: Seq[String])
+      : DataFrame = {
+    require(cols.length >= 2,
+      s"spearmanSharedRanks needs >= 2 columns, got ${cols.length}")
+    require(cols.distinct.length == cols.length,
+      s"spearmanSharedRanks got duplicate columns: $cols")
+    val base = df.select(cols.zipWithIndex.map { case (c, i) =>
+      q(c).as(s"__c$i") }: _*)
+    val maps = cols.indices.map { i =>
+      val cnt = base.groupBy(col(s"__c$i").as("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+      val cum = graft.ops.Scan.prefixSums(cnt, Seq(col("__v").asc),
+        Seq("__cnt"))
+      (cum.select(col("__v").as(s"__c$i"),
+        (lit(2L) * col("__cnt_cum") - col("__cnt") + 1L).as(s"__r$i")), cum)
+    }
+    val handles = maps.map(_._2)
+    graft.util.Caching.releasingOnFailure(handles: _*) {
+      val d19 = DecimalType(19, 0)
+      val d38 = DecimalType(38, 0)
+      val joined = maps.zipWithIndex.foldLeft(base) {
+        case (acc, ((m, _), i)) => acc.join(m, Seq(s"__c$i"))
+      }
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.length
+      } yield (i, j)
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as("__n")) ++
+        cols.indices.flatMap { i => Seq(
+          sum(col(s"__r$i").cast(d19)).as(s"__s$i"),
+          sum(col(s"__r$i").cast(d19) * col(s"__r$i").cast(d19))
+            .as(s"__ss$i")) } ++
+        pairs.map { case (i, j) =>
+          sum(col(s"__r$i").cast(d19) * col(s"__r$j").cast(d19))
+            .as(s"__sp${i}_$j") }
+      val sums = joined.agg(aggs.head, aggs.tail: _*)
+      def vari(i: Int): Column =
+        (col("__n").cast(d38) * col(s"__ss$i") -
+          col(s"__s$i") * col(s"__s$i")).cast(DoubleType)
+      val rhoCols = pairs.map { case (i, j) =>
+        val cov = (col("__n").cast(d38) * col(s"__sp${i}_$j") -
+          col(s"__s$i") * col(s"__s$j")).cast(DoubleType)
+        when(vari(i) > 0 && vari(j) > 0,
+          round(cov / sqrt(vari(i) * vari(j)), 6))
+          .otherwise(lit(null).cast(DoubleType))
+          .as(s"rho_${cols(i)}__${cols(j)}")
+      }
+      graft.util.Caching.materializeAndRelease(
+        sums.select(coalesce(col("__n"), lit(0L)).as("n") +: rhoCols: _*),
+        handles: _*)
+    }
+  }
+
   /** CRAMÉR'S V categorical association for one column pair — the
-    * ydata report's phi-k/Cramér's-V tab analog over the χ² of the full
+    * classical, fully deterministic categorical tab. NOTE: ydata v4's
+    * DEFAULT association matrix is phi-k, not Cramér's V —
+    * [[phik]] implements it (rows-only by its numerical-inversion
+    * nature); this statistic stays the hash-green tab, and the two
+    * share the identical contingency/χ² arithmetic. Computed over the
+    * χ² of the full
     * contingency grid (zero-observed cells included: expected counts
     * come from the margins, which are ≥ 1 wherever a level exists, so
     * no division by zero). Per-cell χ² terms are exact-integer
@@ -422,9 +611,21 @@ object Profile {
     * Scale shape: one (a, b) count with map-side partials is the only
     * table-sized shuffle; margins reduce from the observed cells; the
     * r×c grid is categorical-sized (levels, not rows) and the one-row
-    * total broadcasts. Exact while n⁴ < 10³⁸ (n ≲ 5·10⁹ rows). */
-  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    * total broadcasts. Exact while n⁴ < 10³⁸ (n ≲ 5·10⁹ rows).
+    *
+    * CATEGORICAL CONTRACT: the full r×c grid is materialized (zero
+    * cells included — the χ² definition needs them), so the statistic
+    * is only meaningful — and only affordable — over CATEGORICAL
+    * columns. [[profile]] enforces that by selecting distinct ≤ 25
+    * string pairs; a direct call guards itself: the level counts are
+    * measured FIRST (they reduce from the observed cells — two tiny
+    * aggregates over an already-persisted frame) and the call fails
+    * fast when r·c exceeds `maxGridCells`, instead of silently
+    * building a 10¹²-row grid from two near-key columns. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+               maxGridCells: Long = 4000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    require(maxGridCells >= 1, s"maxGridCells must be >= 1, got $maxGridCells")
     val base = df.select(q(aCol).cast(StringType).as("__a"),
         q(bCol).cast(StringType).as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
@@ -433,6 +634,14 @@ object Profile {
     graft.util.Caching.releasingOnFailure(obs) {
       val ra = obs.groupBy("__a").agg(sum(col("__o")).as("__rt"))
       val cb = obs.groupBy("__b").agg(sum(col("__o")).as("__ct"))
+      val rLevels = ra.count()
+      val cLevels = cb.count()
+      require(rLevels * cLevels <= maxGridCells,
+        s"cramersV('$aCol', '$bCol') would build a $rLevels × $cLevels " +
+          s"contingency grid (${rLevels * cLevels} cells > $maxGridCells) " +
+          "— Cramér's V is a CATEGORICAL association; bucket or recode " +
+          "high-cardinality columns first, or raise maxGridCells " +
+          "deliberately")
       val tot = obs.agg(sum(col("__o")).as("__n"))
       val d19 = DecimalType(19, 0)
       val grid = ra.crossJoin(cb).crossJoin(broadcast(tot))
@@ -463,6 +672,110 @@ object Profile {
           .otherwise(lit(null).cast(DoubleType)).as("cramers_v"))
       graft.util.Caching.materializeAndRelease(out, obs)
     }
+  }
+
+  /** PHI-K categorical/interval association (Baak, Koopman, Snoek &
+    * Klous 2019, "A new correlation coefficient between categorical,
+    * ordinal and interval variables with Pearson characteristics",
+    * Computational Statistics & Data Analysis, arXiv:1811.11440 —
+    * public) — ydata-profiling v4's DEFAULT association matrix
+    * (finalprojectpandasprofiling.py:50 renders a "Phik (φk)" tab;
+    * [[cramersV]] is the classical deterministic stand-in this engine
+    * also ships). φk is defined by inversion: bin a standard bivariate
+    * normal so its marginals match the OBSERVED marginal frequencies
+    * (bin edges at Φ⁻¹ of the cumulative fractions), and solve for the
+    * ρ whose binned-normal χ² equals the observed contingency χ² —
+    * the association value is then interpretable on the Pearson-ρ
+    * scale regardless of level counts. Returns ONE row
+    * (n, r_levels, c_levels, chi2, phik): n/levels/chi2 are the exact
+    * same values [[cramersV]] emits (identical per-cell round-6 +
+    * decimal-sum arithmetic), so the hash-green pr15 face certifies
+    * everything up to the inversion; φk itself needs numerical
+    * bivariate-normal integration, so its face is rows-only with the
+    * inversion spec-pinned in ProfileSpec against the CLOSED-FORM 2×2
+    * equal-margin case (orthant probability: P(X<0, Y<0) =
+    * 1/4 + asin ρ / 2π — Sheppard 1899), independence → 0, perfect
+    * association → 1, and argument symmetry.
+    *
+    * Deliberate deviations from the phik LIBRARY defaults, for
+    * determinism (documented per the certification discipline):
+    * levels map to bins in ASCENDING LABEL order (a fixed convention —
+    * the reference scale depends on bin arrangement, so any replay
+    * needs one pinned order), and NO sample-size "pedestal" noise
+    * correction is applied (the library's statistical-significance
+    * refinement; raw φk is the paper's core definition).
+    *
+    * Scale shape: the contingency reduction is the [[cramersV]]
+    * distributed pass (one table-sized shuffle); the collected grid and
+    * the χ²(ρ) bisection are CATEGORICAL-sized (levels × levels,
+    * guarded by `maxGridCells` — fail-fast like [[cramersV]], default
+    * tighter because the DRIVER iterates the grid ~40× during
+    * inversion: 48-node Gauss–Legendre per row-interval per y-edge).
+    * Model-artifact-sized driver work, never row-scaled. */
+  def phik(df: DataFrame, aCol: String, bCol: String,
+           maxGridCells: Long = 10000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(maxGridCells >= 1, s"maxGridCells must be >= 1, got $maxGridCells")
+    val spark = df.sparkSession
+    val base = df.select(q(aCol).cast(StringType).as("__a"),
+        q(bCol).cast(StringType).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val obs = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = graft.util.Caching.releasingOnFailure(obs) {
+      val c = obs.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      obs.unpersist(blocking = true)
+      c
+    }
+    val aLevels = cells.map(_._1).distinct.sorted
+    val bLevels = cells.map(_._2).distinct.sorted
+    val r = aLevels.length
+    val c = bLevels.length
+    require(r.toLong * c <= maxGridCells,
+      s"phik('$aCol', '$bCol') would invert over a $r × $c grid " +
+        s"(${r.toLong * c} cells > $maxGridCells) — φk is a CATEGORICAL " +
+        "association; bucket or recode high-cardinality columns first, " +
+        "or raise maxGridCells deliberately")
+    val n = cells.map(_._3).sum
+    val out: Row =
+      if (n == 0L || r == 0 || c == 0)
+        Row(0L, r, c, 0.0, null)
+      else {
+        val ai = aLevels.zipWithIndex.toMap
+        val bi = bLevels.zipWithIndex.toMap
+        val o = Array.ofDim[Long](r, c)
+        cells.foreach { case (a, b, cnt) => o(ai(a))(bi(b)) = cnt }
+        val rowTot = o.map(_.sum)
+        val colTot = (0 until c).map(j => (0 until r).map(o(_)(j)).sum).toArray
+        // χ²_obs — the EXACT SAME arithmetic as [[cramersV]]: integer
+        // numerators, IEEE division, ROUND 6 per cell, decimal sum
+        var chi2Dec = BigDecimal(0)
+        for (i <- 0 until r; j <- 0 until c) {
+          val num = BigInt(o(i)(j)) * n - BigInt(rowTot(i)) * colTot(j)
+          val term = (num * num).toDouble /
+            (BigInt(rowTot(i)) * colTot(j) * n).toDouble
+          chi2Dec += BigDecimal(term)
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        }
+        val chi2 = chi2Dec.toDouble
+        val phikVal: Any =
+          if (r < 2 || c < 2) null
+          else {
+            val v = PhikMath.invert(chi2, n,
+              rowTot.map(_.toDouble / n), colTot.map(_.toDouble / n))
+            BigDecimal(v).setScale(6,
+              scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        Row(n, r, c, chi2, phikVal)
+      }
+    val schema = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("r_levels", IntegerType, nullable = false),
+      StructField("c_levels", IntegerType, nullable = false),
+      StructField("chi2", DoubleType, nullable = false),
+      StructField("phik", DoubleType, nullable = true)))
+    spark.createDataFrame(java.util.Arrays.asList(out), schema)
   }
 
   /** ydata-profiling ALERTS synthesis — the "warnings" block a reader of
@@ -650,6 +963,11 @@ object Profile {
       else s"""<h2>Associations (Cramér's V)</h2>
               |<table><tr><th>a</th><th>b</th><th>V</th></tr>
               |${assocRows(p.cramersV)}</table>""".stripMargin
+    val phikBlock =
+      if (p.phik.isEmpty) ""
+      else s"""<h2>Associations (Phik φk)</h2>
+              |<table><tr><th>a</th><th>b</th><th>φk</th></tr>
+              |${assocRows(p.phik)}</table>""".stripMargin
     // first-N sample — cells truncate like frequent values (a TEXT cell
     // must not paste a whole document into the report)
     val sampleBlock =
@@ -667,12 +985,30 @@ object Profile {
            |<table><tr>$head</tr>
            |$body</table>""".stripMargin
       }
+    // the ydata "Duplicates" section: the most-duplicated rows
+    // themselves, cells truncated like the sample
+    val dupBlock =
+      if (p.duplicates.isEmpty) ""
+      else {
+        val head = (p.profiles.map(c => s"<th>${esc(c.name)}</th>") :+
+          "<th>n_dup</th>").mkString
+        val body = p.duplicates.map { case (vals, n) =>
+          (vals.map { v =>
+            val shown = if (v.length > 40) v.take(40) + "…" else v
+            s"<td>${esc(shown)}</td>"
+          } :+ s"<td>$n</td>").mkString("<tr>", "", "</tr>")
+        }.mkString("\n")
+        s"""<h2>Duplicates (top ${p.duplicates.length} most duplicated rows)</h2>
+           |<table><tr>$head</tr>
+           |$body</table>""".stripMargin
+      }
     s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(p.table)} profile</title>
        |<style>body{font-family:sans-serif}table{border-collapse:collapse}
        |td,th{border:1px solid #999;padding:4px 8px}</style></head><body>
        |<h1>Profile: ${esc(p.table)}</h1>
        |<p>${p.rows} rows × ${p.columns} columns; ${p.duplicateRows} duplicate rows</p>
        |$sampleBlock
+       |$dupBlock
        |<h2>Columns</h2>
        |<table><tr><th>column</th><th>type</th><th>count</th><th>missing</th>
        |<th>distinct</th><th>mean</th><th>std</th><th>min</th><th>median</th><th>max</th>
@@ -683,6 +1019,7 @@ object Profile {
        |$corrRows</table>
        |$spearmanBlock
        |$cramersBlock
+       |$phikBlock
        |</body></html>""".stripMargin
   }
 

@@ -1752,11 +1752,22 @@ object ExtensionQueries {
     * stabilizes after ONE round at both sf0.01 and sf0.1 (round 2
     * removes nothing), so the 3-round unrolled oracle replays the exact
     * fixpoint — peel rounds are idempotent past stability. Integer
-    * degrees ⇒ hash-green. */
-  private val grKcore: Q = (s, dir) =>
-    graft.graph.Graph.kCoreNodes(
+    * degrees ⇒ hash-green. The face ASSERTS the measured peel depth
+    * against the oracle's unrolled depth
+    * ([[graft.graph.Graph.kCoreNodesCounted]]): on a fixture whose
+    * k = 60 cascade ever deepens past 3 rounds, the face fails LOUDLY
+    * as a stale-oracle error instead of silently hash-diverging from a
+    * now-truncated replay. */
+  private val grKcore: Q = (s, dir) => {
+    val (core, peelRounds) = graft.graph.Graph.kCoreNodesCounted(
       s.read.parquet(partEdgeBase(s, dir)), "src", "dst",
       k = 60, rounds = 0)
+    require(peelRounds <= 3,
+      s"STALE ORACLE: the gr_kcore fixpoint peel took $peelRounds rounds " +
+        "but the DuckDB replay unrolls only 3 — regenerate the oracle " +
+        "(Graph.kCoreNodesSql rounds) to at least the measured depth")
+    core
+  }
 
   /** Trailing 24-hour rolling volume per event type over the
     * zero-filled hour spine ([[graft.ops.EventAnalytics
@@ -1786,6 +1797,31 @@ object ExtensionQueries {
   private val evtRollingQuantilesSketch: Q = (s, dir) =>
     graft.ops.EventAnalytics.rollingHourlyQuantilesSketch(events(s, dir),
       "event_type", "ts", "value", window = 24)
+
+  /** Stored rolling-quantile sketch layout, built ONCE per JVM from the
+    * events table ([[graft.serve.RollingQuantileService.buildLayout]] —
+    * the one pass over the raw values; probes never pay it again). */
+  private def rollingQuantileBase(s: SparkSession, dir: String): String =
+    storedIndexPath("evt_rolling_q", dir) { out =>
+      graft.serve.RollingQuantileService.buildLayout(events(s, dir),
+        "event_type", "ts", "value", out, k = 200)
+    }
+
+  /** Stored rolling-quantile PROBE — "trailing 24 h p50/p95 per type,
+    * as of the latest stored hour" answered from the stored layout
+    * ([[graft.serve.RollingQuantileService.latestTrailing]]): merges
+    * ≤ 24 constant-size KLL sketch rows per type, never rescans
+    * events. ROWS-ONLY by the KLL contract (engine-local sketch
+    * randomness), twinned by the hash-green exact
+    * `evt_rolling_quantiles` face; n_samples is integer-exact and the
+    * StreamOpsSpec pins stored ≡ in-query within the k = 200
+    * rank-error envelope. Measured at sf0.1: 0.61 s warm (4.7 s cold
+    * including the once-per-JVM layout build) vs 1.1 s for the
+    * in-query sketch face and 3.3 s for the exact face. */
+  private val evtRollingProbe: Q = (s, dir) =>
+    graft.serve.RollingQuantileService
+      .overParquetDir(s, rollingQuantileBase(s, dir))
+      .latestTrailing(window = 24, ps = Seq(0.5, 0.95))
 
   /** Referential-integrity audit with deterministic planted orphans:
     * lineitem's order FK against orders with the mod-97 slice removed
@@ -3291,16 +3327,28 @@ object ExtensionQueries {
   }
 
   /** Matryoshka-truncation evaluation (Kusupati et al. 2022, MRL,
-    * public): recall@5 of ranking by only the FIRST 8 of 64 dimensions
+    * public): recall@5 of ranking by only the FIRST 32 of 64 dimensions
     * vs full-width brute force — the "how much recall does serving the
     * truncated prefix cost" number MRL-style embedding deployments
     * budget by. Truncation is exact (array slice), cosines are the
-    * shared rounded arithmetic, so the whole evaluation hash-checks. */
+    * shared rounded arithmetic, so the whole evaluation hash-checks.
+    *
+    * DEFAULT WIDTH CAVEAT (round-19 adjudication): the synthetic
+    * corpus's embeddings are near-uniform RANDOM vectors — no MRL
+    * training concentrated information in the prefix — so prefix
+    * truncation is inherently weak here and recall falls with corpus
+    * density: measured at sf0.1, dims 8 → 0.00, 16 → 0.12, 32 → 0.16
+    * (and 32 → 0.30 at sf0.01). The face serves the HALF-WIDTH default
+    * (32 of 64) because it clears a nonzero floor at every tested
+    * scale; a dims-8 default would report zero recall at test scale
+    * and mislead anyone copying it. The full trade-off is the
+    * [[simMatryoshkaCurve]] face. On real MRL-trained embeddings the
+    * prefix carries most of the signal and these floors do not apply. */
   private val simMatryoshkaRecall: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
     def trunc(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+      df.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
     Similarity.recallAtK(
       Similarity.bruteForceTopK(trunc(emb), trunc(q), k = 5),
       Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
@@ -3867,6 +3915,7 @@ object ExtensionQueries {
     "evt_rolling" -> evtRolling,
     "evt_rolling_quantiles" -> evtRollingQuantiles,
     "evt_rolling_quantiles_sketch" -> evtRollingQuantilesSketch,
+    "evt_rolling_probe" -> evtRollingProbe,
     "a25_fk_orphans" -> a25FkOrphans,
     "txt_cooccurrence" -> txtCooccurrence,
     "txt_proximity" -> txtProximity,
@@ -6392,7 +6441,10 @@ object ExtensionQueries {
           seedPred = "node % 997 = 0", maxHops = 4),
       // the engine face iterates to FIXPOINT (rounds = 0); the measured
       // fixpoint is 1 round at both SFs, so the 3-round unrolled replay
-      // is exact — peel rounds past stability are no-ops
+      // is exact — peel rounds past stability are no-ops. The face
+      // itself asserts peelRounds <= 3 (kCoreNodesCounted), so a deeper
+      // fixture cascade fails loudly as a stale-oracle error, never a
+      // silent hash mismatch.
       "gr_kcore" ->
         graft.graph.Graph.kCoreNodesSql(partEdgeSql, k = 60, rounds = 3),
       // stored probes replay the SAME integer-exact computation (the
@@ -7003,7 +7055,7 @@ bruteForceCosineOracle,
       "sim_matryoshka_recall" ->
         raw"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |  FROM embeddings),
-             |t AS (SELECT vec_id, v[1:8] AS tv FROM e),
+             |t AS (SELECT vec_id, v[1:32] AS tv FROM e),
              |ann AS (SELECT query_id, cand_id FROM (
              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY

@@ -634,6 +634,85 @@ object RelationalQueries {
     Profile.cramersV(t(s, dir, "orders"), "o_orderstatus",
       "o_orderpriority")
 
+  /** PR16 — the ydata report's "Duplicates" section: the top-10
+    * MOST-DUPLICATED rows themselves
+    * ([[graft.profile.Profile.duplicateRowValues]] — PR5 counts
+    * duplicates, this lists them), over the low-cardinality
+    * (returnflag, linestatus, linenumber) projection where full-row
+    * duplication is the norm. One exact all-columns groupBy + a bounded
+    * TakeOrderedAndProject; integer counts + the all-columns tie-break
+    * make the top-10 SET deterministic ⇒ hash-green. */
+  private val pr16DupRows: Q = (s, dir) =>
+    Profile.duplicateRowValues(
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus",
+        "l_linenumber"),
+      topN = 10)
+
+  /** PR18 — the SHARED-RANK Spearman matrix
+    * ([[graft.profile.Profile.spearmanSharedRanksFrame]] — the
+    * O(columns) path [[graft.profile.Profile.profile]]'s association
+    * tab runs, round 19): each column's doubled-rank map built ONCE,
+    * all maps joined onto one shared row stream, every pair's
+    * sufficient sums in ONE aggregation. This face hash-certifies the
+    * shared path itself over lineitem's 4 headline numerics (6 pairs in
+    * one row) against a replay that mirrors the same O(columns)
+    * structure — per-column rank CTEs, one joined scan, HUGEINT sums.
+    * Measured: the shared plan is 3.7× the per-pair loop on 8 columns
+    * (81.7 → 21.9 s at sf0.1). */
+  private val pr18SpearmanMatrix: Q = (s, dir) =>
+    Profile.spearmanSharedRanksFrame(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** Generated oracle for pr18: the shared-rank replay, structured like
+    * the engine — ONE rank CTE per column (not per pair), one joined
+    * scan, HUGEINT sufficient sums, per-pair ρ with the variance
+    * guard. */
+  private def spearmanMatrixOracle(cols: Seq[String]): String = {
+    val nIdx = cols.indices
+    val b = s"b AS (SELECT ${cols.zipWithIndex.map { case (c, i) =>
+      s"$c AS c$i" }.mkString(", ")} FROM lineitem)"
+    val rankCtes = nIdx.map { i =>
+      s"r$i AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS r2" +
+        s" FROM (SELECT c$i AS v, count(*) AS cnt FROM b GROUP BY 1))"
+    }
+    val joins = nIdx.map(i => s"JOIN r$i m$i ON b.c$i = m$i.v").mkString(" ")
+    val j = s"j AS (SELECT ${nIdx.map(i => s"m$i.r2 AS ra$i")
+      .mkString(", ")} FROM b $joins)"
+    val pairs = for { i <- nIdx; k <- (i + 1) until cols.length } yield (i, k)
+    val sAggs = Seq("CAST(count(*) AS HUGEINT) AS n") ++
+      nIdx.flatMap(i => Seq(s"CAST(SUM(ra$i) AS HUGEINT) AS s$i",
+        s"SUM(CAST(ra$i AS HUGEINT) * ra$i) AS ss$i")) ++
+      pairs.map { case (i, k) =>
+        s"SUM(CAST(ra$i AS HUGEINT) * ra$k) AS sp${i}_$k" }
+    val sCte = s"s AS (SELECT ${sAggs.mkString(", ")} FROM j)"
+    val rhoSelects = pairs.map { case (i, k) =>
+      s"CASE WHEN CAST(n * ss$i - s$i * s$i AS DOUBLE) > 0" +
+        s" AND CAST(n * ss$k - s$k * s$k AS DOUBLE) > 0 THEN" +
+        s" ROUND(CAST(n * sp${i}_$k - s$i * s$k AS DOUBLE)" +
+        s" / SQRT(CAST(n * ss$i - s$i * s$i AS DOUBLE)" +
+        s" * CAST(n * ss$k - s$k * s$k AS DOUBLE)), 6)" +
+        s" ELSE NULL END AS rho_${cols(i)}__${cols(k)}"
+    }
+    s"""WITH $b,
+       |${rankCtes.mkString(",\n")},
+       |$j,
+       |$sCte
+       |SELECT CAST(n AS BIGINT) AS n,
+       |${rhoSelects.mkString(",\n")}
+       |FROM s""".stripMargin
+  }
+
+  /** PR17 — PHI-K association ([[graft.profile.Profile.phik]], Baak et
+    * al. 2019 — ydata v4's DEFAULT association matrix) over the SAME
+    * pair as the hash-green pr15: the row's n/r_levels/c_levels/chi2
+    * are the identical cramersV arithmetic (certified by pr15), and
+    * φk itself is a numerical bivariate-normal χ² inversion that no
+    * SQL engine replays — ROWS-ONLY by contract, twinned by
+    * pr15_cramers_v and spec-pinned in ProfileSpec against Sheppard's
+    * closed-form 2×2 orthant case. */
+  private val pr17Phik: Q = (s, dir) =>
+    Profile.phik(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
+
   // ------------------------------------------- CDC / scale-join extensions
   /** J6 — bloom-pruned semi-join: lineitem rows belonging to high-value
     * orders (~5% selectivity). The big side is pruned by a compact Bloom
@@ -1115,7 +1194,10 @@ object RelationalQueries {
     "pr9_frequent_numeric" -> pr9FrequentNumeric,
     "pr13_alerts" -> pr13Alerts,
     "pr14_spearman" -> pr14Spearman,
-    "pr15_cramers_v" -> pr15CramersV)
+    "pr15_cramers_v" -> pr15CramersV,
+    "pr16_dup_rows" -> pr16DupRows,
+    "pr17_phik" -> pr17Phik,
+    "pr18_spearman_matrix" -> pr18SpearmanMatrix)
 
   val oracle: Map[String, String] = Map(
     "k11_changeset_apply" ->
@@ -1744,6 +1826,17 @@ object RelationalQueries {
         |      / CAST(n * (LEAST(r_levels, c_levels) - 1) AS DOUBLE)), 6)
         |  ELSE NULL END AS cramers_v
         |FROM s""".stripMargin,
+    // duplicates listing: same grouping, count > 1, top-10 by count
+    // desc with the all-columns ascending tie-break — a deterministic
+    // set, so the sorted-rows hash compare is exact
+    "pr16_dup_rows" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber,
+        | CAST(count(*) AS BIGINT) AS n_dup
+        |FROM lineitem GROUP BY 1, 2, 3 HAVING count(*) > 1
+        |ORDER BY n_dup DESC, l_returnflag, l_linestatus, l_linenumber
+        |LIMIT 10""".stripMargin,
+    "pr18_spearman_matrix" -> spearmanMatrixOracle(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "pr8_frequent" ->
       """WITH cells AS (
         | SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value

@@ -309,11 +309,16 @@ object GraphRankService {
 
   /** Build the stored K-CORE layout at `root/kcore` — (node, deg) for
     * the surviving core; `rounds = 0` (default) stores the EXACT
-    * fixpoint core ([[graft.graph.Graph.kCoreNodes]]). */
+    * fixpoint core ([[graft.graph.Graph.kCoreNodes]]). `maxRounds` is
+    * the fixpoint-mode runaway budget, threaded through so an operator
+    * with a legitimately deep cascade (a long chain hanging off a dense
+    * core peels one node per round) can raise it WITHOUT bypassing the
+    * service layer. */
   def buildKCore(edges: DataFrame, srcCol: String, dstCol: String,
                  root: String, k: Int, rounds: Int = 0,
-                 numFiles: Int = 4): Unit =
-    graft.graph.Graph.kCoreNodes(edges, srcCol, dstCol, k, rounds)
+                 numFiles: Int = 4, maxRounds: Int = 64): Unit =
+    graft.graph.Graph.kCoreNodes(edges, srcCol, dstCol, k, rounds,
+        maxRounds = maxRounds)
       .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/kcore")
 
   /** Open a stored triangle layout for serving (crashed swaps healed
@@ -387,17 +392,20 @@ object GraphRankService {
   }
 
   /** REFRESH the k-core layout: full recompute + marker-fenced swap
-    * (core membership is a global fixed point — no per-edge delta). */
+    * (core membership is a global fixed point — no per-edge delta).
+    * `maxRounds` threads to the fixpoint peel like [[buildKCore]]'s. */
   def refreshKCore(spark: SparkSession, root: String, edges: DataFrame,
                    srcCol: String, dstCol: String, k: Int,
-                   rounds: Int = 0, numFiles: Int = 4): Unit = {
+                   rounds: Int = 0, numFiles: Int = 4,
+                   maxRounds: Int = 64): Unit = {
     graft.io.Sinks.recoverCrashedSwap(spark, root)
     graft.io.Sinks.recoverCrashedSwap(spark, s"$root/kcore")
     val tmp = s"$root/kcore-__rebuilding__"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
-    graft.graph.Graph.kCoreNodes(edges, srcCol, dstCol, k, rounds)
+    graft.graph.Graph.kCoreNodes(edges, srcCol, dstCol, k, rounds,
+        maxRounds = maxRounds)
       .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
     graft.io.Sinks.swapDir(spark, s"$root/kcore", tmp)
   }

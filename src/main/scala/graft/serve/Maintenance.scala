@@ -127,12 +127,16 @@ object Maintenance {
 
   /** Stored k-core layout (`root/kcore`): core membership is a global
     * fixed point — the nightly unit is the fixpoint peel (`rounds = 0`
-    * default) + marker-fenced swap. Always returns false. */
+    * default) + marker-fenced swap. `maxRounds` is the fixpoint
+    * runaway budget, threaded through the whole service chain so a
+    * legitimately deep peel cascade (one-node-per-round chains) can be
+    * accommodated from the nightly entry point without bypassing the
+    * service layer. Always returns false. */
   def nightlyKCore(spark: SparkSession, root: String, edges: DataFrame,
                    srcCol: String, dstCol: String, k: Int,
-                   rounds: Int = 0): Boolean = {
+                   rounds: Int = 0, maxRounds: Int = 64): Boolean = {
     GraphRankService.refreshKCore(spark, root, edges, srcCol, dstCol, k,
-      rounds)
+      rounds, maxRounds = maxRounds)
     false
   }
 
@@ -173,6 +177,23 @@ object Maintenance {
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/raw"))
     DsirService.recomputeWeights(spark, root)
+    false
+  }
+
+  /** STREAMED rolling-quantile sketch layout (`root/meta` +
+    * `root/hourly` base + per-micro-batch deltas): uncommitted-batch
+    * orphans are scrubbed first (the quiescence-gated
+    * [[graft.streaming.BatchCommit.scrubUncommitted]] — a live stream
+    * refuses loudly), then the per-(hour, type) sketch rows fold back
+    * to one row each ([[RollingQuantileService.compactHourly]] —
+    * KLL merge IS the fold, marker-fenced swap). Sketch-row
+    * arithmetic, never an event rescan. Always returns false (nothing
+    * trains — k is the layout identity — so nothing can migrate). */
+  def nightlyRollingQuantiles(spark: SparkSession, root: String,
+                              numFiles: Int = 1): Boolean = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/hourly"))
+    RollingQuantileService.compactHourly(spark, root, numFiles)
     false
   }
 

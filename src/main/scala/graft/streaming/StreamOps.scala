@@ -381,6 +381,59 @@ object StreamOps {
     }
   }
 
+  /** Streaming ingest into a stored ROLLING-QUANTILE sketch layout
+    * ([[graft.serve.RollingQuantileService]]) — the TENTH streamed
+    * index family: each micro-batch reduces to one KLL sketch row per
+    * (hour, type) it touches (batch-sized work, constant-size rows
+    * out) and APPENDS as a delta file-set under `root/hourly`; readers
+    * fold deltas by (h, type) with `kll_merge_agg` (mergeability is
+    * the family's entire design), and the nightly
+    * [[graft.serve.Maintenance.nightlyRollingQuantiles]] materializes
+    * the fold. The sketch resolution k is pinned ONCE at stream start
+    * from the layout's own meta — a caller cannot mis-k a delta.
+    *
+    * Delivery: EXACTLY ONCE IN EFFECT via [[BatchCommit.runOnce]] — a
+    * replayed batch scrubs its own partial delta files and redoes (or
+    * is skipped once its ledger marker exists), so the folded counts
+    * always equal single delivery; StreamOpsSpec pins kill-and-replay
+    * plus streamed-folded ≡ batch-built within the KLL rank-error
+    * envelope (sketch blobs carry engine-local randomness, so the
+    * exactness pin is on n and rank error, not bytes). */
+  def rollingQuantileIngestStream(events: DataFrame, typeCol: String,
+                                  tsCol: String, valueCol: String,
+                                  root: String, checkpointDir: String)
+                                 : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    BatchCommit.assertStreamIdentity(spark, root, checkpointDir)
+    val k = graft.serve.RollingQuantileService.kOf(spark, root)
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        rollingQuantileIngestBatch(batch.toDF(), typeCol, tsCol, valueCol,
+          root, batchId, k)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[rollingQuantileIngestStream]] — public for
+    * the replay spec. Returns false when the batch was empty or
+    * already committed. */
+  def rollingQuantileIngestBatch(batch: DataFrame, typeCol: String,
+                                 tsCol: String, valueCol: String,
+                                 root: String, batchId: Long,
+                                 k: Int): Boolean = {
+    if (batch.isEmpty) return false
+    BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      graft.serve.RollingQuantileService
+        .hourlySketches(batch, typeCol, tsCol, valueCol, k)
+        .coalesce(1).write.parquet(s"$staging/hourly")
+      Seq(s"$staging/hourly" -> s"$root/hourly")
+    }
+  }
+
   /** Materialize a small stored frame (centroids, codebooks) as a
     * driver-side literal DataFrame — the PIN that makes "the quantizer is
     * opened once at stream start" literally true: `spark.read.parquet` is

@@ -308,6 +308,31 @@ class GraphSpec extends SparkSpec {
     empty.unpersist(blocking = true)
   }
 
+  test("kCoreNodesCounted: measured peel depth — the stale-oracle gate " +
+      "an unrolled fixed-depth replay asserts against") {
+    // the cascade graph needs exactly 2 removing rounds (5 then 4);
+    // the confirming no-op round is NOT counted
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val (core, peelRounds) = Graph.kCoreNodesCounted(e, "s", "d",
+      k = 2, rounds = 0)
+    assert(peelRounds === 2, s"expected peel depth 2, got $peelRounds")
+    assert(core.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    core.unpersist(blocking = true)
+    // an already-stable graph (the bare triangle) peels in 1 round
+    // (the first survivor set differs from the sentinel, so round 1
+    // counts; round 2 confirms)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val (c2, p2) = Graph.kCoreNodesCounted(tri, "s", "d", k = 2, rounds = 0)
+    assert(p2 === 1 && c2.count() === 3)
+    c2.unpersist(blocking = true)
+    // bounded mode reports the requested rounds verbatim
+    val (c3, p3) = Graph.kCoreNodesCounted(e, "s", "d", k = 2, rounds = 5)
+    assert(p3 === 5)
+    c3.unpersist(blocking = true)
+  }
+
   test("communities: synchronous min-label LPA — hand-computed two-" +
       "triangle graph converges to one label per community, " +
       "deterministically") {

@@ -216,4 +216,27 @@ class EventAnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("rolling quantile label collisions fail at call time, not as an " +
+      "ambiguous-column frame downstream (both exact and sketch paths)") {
+    def hr(h: Int) = new Timestamp(h * 3600000L)
+    val ev = Seq(("a", hr(0), 1.0)).toDF("event_type", "ts", "value")
+    // 0.995 and 1.0 both label "p100"; 0.95 and 0.954 both "p95"
+    for (ps <- Seq(Seq(0.995, 1.0), Seq(0.95, 0.954))) {
+      val e1 = intercept[IllegalArgumentException] {
+        graft.ops.EventAnalytics.rollingHourlyQuantiles(ev, "event_type",
+          "ts", "value", window = 2, ps = ps)
+      }
+      assert(e1.getMessage.contains("collide"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        graft.ops.EventAnalytics.rollingHourlyQuantilesSketch(ev,
+          "event_type", "ts", "value", window = 2, ps = ps)
+      }
+      assert(e2.getMessage.contains("collide"), e2.getMessage)
+    }
+    // distinct-at-percent ranks still pass
+    val ok = graft.ops.EventAnalytics.rollingHourlyQuantiles(ev,
+      "event_type", "ts", "value", window = 2, ps = Seq(0.5, 0.95, 1.0))
+    assert(ok.columns.count(_.startsWith("p")) === 3)
+  }
 }

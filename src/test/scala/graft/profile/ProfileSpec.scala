@@ -280,4 +280,137 @@ class ProfileSpec extends SparkSpec {
       .as[(String, String, Double)].collect().toSet ===
       Set(("v", "constant", 1.0)))
   }
+
+  test("spearmanSharedRanks ≡ per-pair spearman on null-free columns " +
+      "(incl. ties and a dropped constant margin); profile() with a " +
+      "null-bearing column falls back to pairwise-complete per pair") {
+    // 4 null-free numeric columns with ties and mixed monotonicity
+    val d = Seq(
+      (1.0, 1.0, 10.0, 7.0), (2.0, 4.0, 20.0, 7.0),
+      (2.0, 9.0, 30.0, 7.0), (4.0, 16.0, 40.0, 7.0),
+      (5.0, 25.0, 25.0, 7.0))
+      .toDF("a", "b", "c", "k")
+    val cols = Seq("a", "b", "c", "k")
+    val shared = Profile.spearmanSharedRanks(d, cols)
+    val perPair = (for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield {
+      val r = Profile.spearman(d, cols(i), cols(j)).head()
+      (cols(i), cols(j)) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }).toMap
+    // NB: .toSeq first — Map.collect over tuple results would REBUILD a
+    // Map and silently collapse pairs sharing a first element
+    assert(shared.keySet === perPair.toSeq.collect {
+      case (k, Some(_)) => k }.toSet,
+      s"constant-margin pairs drop from both forms; shared=$shared " +
+        s"perPair=$perPair")
+    shared.foreach { case (k, v) =>
+      assert(perPair(k).contains(v),
+        s"pair $k: shared $v != per-pair ${perPair(k)}")
+    }
+    // profile(): the null-bearing column's pairs match the exact
+    // per-pair pairwise-complete form (fallback), the null-free pairs
+    // match the shared form — i.e. every entry equals per-pair
+    val withNull = d.withColumn("g",
+      org.apache.spark.sql.functions.when($"a" < 2,
+        org.apache.spark.sql.functions.lit(null).cast("double"))
+        .otherwise($"b" * 2))
+    val p = Profile.profile(withNull, "t", exact = true)
+    p.spearman.foreach { case ((x, y), v) =>
+      val r = Profile.spearman(withNull, x, y).head()
+      assert(!r.isNullAt(1) && r.getDouble(1) === v,
+        s"profile() pair ($x,$y) diverges from per-pair spearman")
+    }
+    assert(p.spearman.contains(("a", "g")),
+      "null-bearing pair present via fallback")
+  }
+
+  test("duplicateRowValues: most-duplicated rows listed, count desc, " +
+      "all-columns tie-break, count>1 only; profile() populates " +
+      "duplicates and html renders the section (PR16)") {
+    val d = (Seq.fill(3)(("x", 1)) ++ Seq.fill(2)(("y", 2)) ++
+      Seq.fill(2)(("a", 0)) ++ Seq(("z", 9))).toDF("s", "k")
+    val got = Profile.duplicateRowValues(d, topN = 10)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got === Seq(("x", 1, 3L), ("a", 0, 2L), ("y", 2, 2L)),
+      "count desc, then columns ascending; singleton z excluded")
+    val top1 = Profile.duplicateRowValues(d, topN = 1)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(top1 === Seq(("x", 1, 3L)))
+    val p = Profile.profile(d, "t", exact = true)
+    assert(p.duplicates === Seq(
+      (Seq("x", "1"), 3L), (Seq("a", "0"), 2L), (Seq("y", "2"), 2L)))
+    val html = Profile.toHtml(p)
+    assert(html.contains("Duplicates (top 3 most duplicated rows)"))
+    // duplicate-free frame: the listing groupBy is SKIPPED (gated on
+    // pass 1's count) and the section is absent
+    val clean = Profile.profile(Seq(("u", 1), ("v", 2)).toDF("s", "k"),
+      "t", exact = true)
+    assert(clean.duplicates.isEmpty)
+    assert(!Profile.toHtml(clean).contains("Duplicates (top"))
+  }
+
+  test("cramersV fail-fast guard: a high-cardinality pair refuses to " +
+      "build the grid; raising maxGridCells deliberately allows it") {
+    val big = Seq.tabulate(300)(i => (s"a$i", s"b$i")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Profile.cramersV(big, "a", "b", maxGridCells = 1000L).head()
+    }
+    assert(e.getMessage.contains("CATEGORICAL"),
+      s"guard message should name the categorical contract: ${e.getMessage}")
+    // raised bound: runs (300×300 grid is fine at test scale)
+    val ok = Profile.cramersV(big, "a", "b", maxGridCells = 100000L).head()
+    assert(ok.getLong(0) === 300L)
+  }
+
+  test("phik: Sheppard 2×2 closed form recovered, independence → 0, " +
+      "perfect association clamps to 1, single-level margin → null, " +
+      "symmetric in arguments, chi2 ≡ cramersV chi2 (PR17)") {
+    // equal 50/50 margins, diagonal excess 0.10 → the binned bivariate
+    // normal has P(diag cell) = 1/4 + asin(ρ)/2π (Sheppard 1899), so
+    // φk = sin(2π · 0.10) = 0.5877852523 exactly — an end-to-end pin of
+    // the quadrature + inversion against a closed form
+    def table(d: Long, o: Long) = {
+      val rows =
+        Seq.fill(d.toInt)(("x", "p")) ++ Seq.fill(o.toInt)(("x", "q")) ++
+        Seq.fill(o.toInt)(("y", "p")) ++ Seq.fill(d.toInt)(("y", "q"))
+      rows.toDF("a", "b")
+    }
+    val sheppard = table(35, 15)
+    val r = Profile.phik(sheppard, "a", "b").head()
+    assert(r.getLong(0) === 100L && r.getInt(1) === 2 && r.getInt(2) === 2)
+    assert(math.abs(r.getDouble(3) - 16.0) < 1e-9, "chi2 = 16 by hand")
+    assert(math.abs(r.getDouble(4) - 0.587785) < 1e-4,
+      s"phik should recover sin(2π·0.1), got ${r.getDouble(4)}")
+    // chi2 must be the IDENTICAL cramersV arithmetic (the twin claim)
+    val cv = Profile.cramersV(sheppard, "a", "b").head()
+    assert(cv.getDouble(cv.fieldIndex("chi2")) === r.getDouble(3))
+    // symmetry
+    val rSym = Profile.phik(sheppard, "b", "a").head()
+    assert(rSym.getDouble(4) === r.getDouble(4))
+    // independence → 0 exactly (chi2_obs = 0 short-circuits)
+    val indep = table(25, 25)
+    assert(Profile.phik(indep, "a", "b").head().getDouble(4) === 0.0)
+    // perfect association: chi2_obs = n = the ρ→1 reference limit → 1.0
+    val perfect = table(50, 0)
+    assert(Profile.phik(perfect, "a", "b").head().getDouble(4) === 1.0)
+    // single-level margin → null phik
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Profile.phik(one, "a", "b").head().isNullAt(4))
+    // high-cardinality guard (tighter default than cramersV)
+    val big = Seq.tabulate(200)(i => (s"a$i", s"b$i")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Profile.phik(big, "a", "b").head()
+    }
+    assert(e.getMessage.contains("CATEGORICAL"))
+  }
+
+  test("profile() sample ordering skips non-orderable (map) columns " +
+      "instead of failing the analysis") {
+    val d = Seq((2, Map("k" -> 1)), (1, Map("j" -> 2)))
+      .toDF("k", "m")
+    val p = Profile.profile(d, "t", exact = true, sampleN = 2)
+    assert(p.sample.length === 2)
+    assert(p.sample.head.head === "1", "ordered by the orderable column")
+  }
 }

@@ -129,6 +129,24 @@ class GraphServiceSpec extends SparkSpec {
     val re = GraphRankService.overParquetDirKCore(spark, root)
     assert(re.coreDegreeOf(Seq(1L, 2L, 3L, 4L, 5L)) ===
       Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // maxRounds threads through the service layer: a 2-round budget
+    // cannot confirm the cascade's 2-peel fixpoint → loud fail-fast
+    // from build AND refresh, no need to bypass the service
+    intercept[IllegalStateException] {
+      GraphRankService.buildKCore(e, "s", "d",
+        java.nio.file.Files.createTempDirectory("gr_core_mr_").toString,
+        k = 2, maxRounds = 2)
+    }
+    intercept[IllegalStateException] {
+      GraphRankService.refreshKCore(spark, root, e, "s", "d", k = 2,
+        maxRounds = 2)
+    }
+    // ... and a raised budget succeeds through Maintenance's nightly
+    assert(!Maintenance.nightlyKCore(spark, root, e, "s", "d", k = 2,
+      maxRounds = 8))
+    val after = GraphRankService.overParquetDirKCore(spark, root)
+    assert(after.coreDegreeOf(Seq(1L, 2L, 3L)) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
   test("buildCommunities + overParquetDirCommunities: stored labels ≡ " +

@@ -594,6 +594,113 @@ class StreamOpsSpec extends SparkSpec {
     assert(once === direct)
   }
 
+  test("rollingQuantileIngestStream: streamed hourly sketch deltas + " +
+      "nightly fold ≡ batch build — exact n_samples, quantiles within " +
+      "the KLL envelope of the exact twin; probe serves post-fold") {
+    import graft.serve.RollingQuantileService
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("rq_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rq_ckpt_").toString
+    def hr(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // bootstrap: EMPTY layout — everything arrives through the stream
+    RollingQuantileService.buildLayout(
+      Seq.empty[(String, Timestamp, Double)].toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", root, k = 200)
+    // 3 hours × 200 values per hour for type a, sparse type b
+    val all = (for { h <- 0 until 3; i <- 0 until 200 }
+      yield ("a", hr(h, i % 60), (h * 100 + i % 100).toDouble)) ++
+      Seq(("b", hr(1, 5), 7.0), ("b", hr(2, 6), 9.0))
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val q = StreamOps.rollingQuantileIngestStream(
+      mem.toDF().toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", root, ckpt)
+    try {
+      mem.addData(all.take(300): _*); q.processAllAvailable()
+      mem.addData(all.drop(300): _*); q.processAllAvailable()
+    } finally q.stop()
+    // pre-fold: reader-side delta folding already serves correct counts
+    val preFold = RollingQuantileService.overParquetDir(spark, root)
+      .trailingSeries(window = 2).select("hour_us", "event_type",
+        "n_samples", "p50", "p95")
+      .as[(Long, String, Long, Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // nightly fold: sketch-row arithmetic, marker-fenced swap
+    assert(!graft.serve.Maintenance.nightlyRollingQuantiles(spark, root))
+    val hourlyFiles = new java.io.File(s"$root/hourly")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(hourlyFiles <= 2, s"fold should compact delta files, got $hourlyFiles")
+    val folded = RollingQuantileService.overParquetDir(spark, root)
+    val post = folded.trailingSeries(window = 2)
+      .select("hour_us", "event_type", "n_samples", "p50", "p95")
+      .as[(Long, String, Long, Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // exact twin over the SAME events: n_samples must match exactly,
+    // quantiles within a generous rank-error envelope (span ≤ 300)
+    val exact = graft.ops.EventAnalytics.rollingHourlyQuantiles(
+        all.toDF("event_type", "ts", "value"), "event_type", "ts",
+        "value", window = 2)
+      .select("hour_us", "event_type", "n_samples", "p50", "p95")
+      .as[(Long, String, Long, Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(post.keySet === exact.keySet, "same spine as the exact twin")
+    exact.foreach { case (key, (n, ep50, ep95)) =>
+      val (sn, sp50, sp95) = post(key)
+      assert(sn === n, s"$key: streamed-folded n_samples must be exact")
+      assert(preFold(key)._1 === n, s"$key: pre-fold n_samples exact too")
+      for ((e, a) <- Seq((ep50, sp50), (ep95, sp95))) {
+        assert(e.isDefined === a.isDefined, s"$key: presence must match")
+        e.foreach(ev => assert(math.abs(ev - a.get) <= 15.0,
+          s"$key: sketch ${a.get} too far from exact $ev"))
+      }
+    }
+    // the operational probe: one row per type with data in the window,
+    // as-of the latest stored hour
+    val probe = folded.latestTrailing(window = 2)
+      .select("event_type", "n_samples")
+      .as[(String, Long)].collect().toMap
+    assert(probe("a") === 400L, "hours 1-2 carry 2×200 type-a values")
+    assert(probe("b") === 2L)
+  }
+
+  test("rollingQuantileIngestBatch is exactly-once in effect: a replayed " +
+      "batch — committed or crashed mid-append — never double-counts") {
+    import graft.serve.RollingQuantileService
+    val root = java.nio.file.Files.createTempDirectory("rq_replay_").toString
+    def hr(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    RollingQuantileService.buildLayout(
+      Seq.empty[(String, Timestamp, Double)].toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", root, k = 200)
+    val b0 = Seq(("a", hr(0), 1.0), ("a", hr(0), 2.0), ("b", hr(1), 5.0))
+      .toDF("event_type", "ts", "value")
+    val b1 = Seq(("a", hr(1), 3.0)).toDF("event_type", "ts", "value")
+    assert(StreamOps.rollingQuantileIngestBatch(b0, "event_type", "ts",
+      "value", root, 0, 200))
+    assert(StreamOps.rollingQuantileIngestBatch(b1, "event_type", "ts",
+      "value", root, 1, 200))
+    def counts(): Map[(Long, String), Long] =
+      spark.read.parquet(s"$root/hourly")
+        .groupBy("h", "event_type")
+        .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+        .select(org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("h")).as("hus"),
+          $"event_type", $"n")
+        .as[(Long, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val once = counts()
+    assert(once.values.sum === 4L)
+    // replay AFTER the ledger marker landed (post-commit crash): skipped
+    assert(!StreamOps.rollingQuantileIngestBatch(b1, "event_type", "ts",
+      "value", root, 1, 200))
+    assert(counts() === once)
+    // crash BETWEEN delta append and marker commit: marker deleted,
+    // data files in place — the redo must scrub its own files first
+    val marker = new java.io.File(s"$root/_ledger/batch-1")
+    assert(marker.exists()); assert(marker.delete())
+    assert(StreamOps.rollingQuantileIngestBatch(b1, "event_type", "ts",
+      "value", root, 1, 200))
+    assert(counts() === once)
+  }
+
   test("bm25IngestStream: streamed micro-batches ≡ batch rebuild; " +
       "search serves a doc right after it streams in") {
     import graft.serve.SearchService
