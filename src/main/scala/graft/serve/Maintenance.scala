@@ -197,6 +197,21 @@ object Maintenance {
     false
   }
 
+  /** STREAMED bigram-LM model layout (`root/bigrams` + `root/words`
+    * bases + per-micro-batch deltas): uncommitted-batch orphans are
+    * scrubbed first, then both count tables fold back to one row per
+    * key ([[LmService.compactModel]] — integer addition IS the fold,
+    * marker-fenced swaps). Model-sized arithmetic, never a corpus
+    * rescan. Always returns false (counts are the model; nothing can
+    * migrate). */
+  def nightlyLmFold(spark: SparkSession, root: String,
+                    numFiles: Int = 1): Boolean = {
+    graft.streaming.BatchCommit.scrubUncommitted(spark, root,
+      Seq(s"$root/bigrams", s"$root/words"))
+    LmService.compactModel(spark, root, numFiles)
+    false
+  }
+
   /** Near-dup signature layout (`root/signatures` + `root/buckets`):
     * compaction only — the banding parameters are the index identity
     * (like RP's (dimOut, seed)), nothing is trained, so there is no

@@ -434,6 +434,52 @@ object StreamOps {
     }
   }
 
+  /** Streaming ingest into a stored BIGRAM-LM model layout
+    * ([[graft.serve.LmService]]) — the ELEVENTH streamed index family:
+    * each micro-batch reduces to its additive bigram and word count
+    * deltas ([[graft.text.TextOps.lmBatchCounts]] — batch-sized work,
+    * model-sized rows out) and APPENDS them under `root/bigrams` /
+    * `root/words`; readers fold by key with integer sums, so
+    * stream-folded ≡ full retrain BIT-IDENTICAL (counts are additive —
+    * the DSIR-marginal discipline, StreamOpsSpec-pinned), and the
+    * nightly [[graft.serve.Maintenance.nightlyLmFold]] materializes
+    * the fold.
+    *
+    * Delivery: EXACTLY ONCE IN EFFECT via [[BatchCommit.runOnce]] — a
+    * replayed batch scrubs its own partial delta files and redoes (or
+    * is skipped once its ledger marker exists), so the folded model
+    * always equals single delivery of every document. */
+  def lmIngestStream(docs: DataFrame, textCol: String, idCol: String,
+                     root: String, checkpointDir: String)
+                    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    BatchCommit.assertStreamIdentity(spark, root, checkpointDir)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        lmIngestBatch(batch.toDF(), textCol, idCol, root, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[lmIngestStream]] — public for the replay
+    * spec. Returns false when the batch was empty or already
+    * committed. */
+  def lmIngestBatch(batch: DataFrame, textCol: String, idCol: String,
+                    root: String, batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
+    BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      val (bg, w) = graft.text.TextOps.lmBatchCounts(batch, textCol, idCol)
+      bg.coalesce(1).write.parquet(s"$staging/bigrams")
+      w.coalesce(1).write.parquet(s"$staging/words")
+      Seq(s"$staging/bigrams" -> s"$root/bigrams",
+        s"$staging/words" -> s"$root/words")
+    }
+  }
+
   /** Materialize a small stored frame (centroids, codebooks) as a
     * driver-side literal DataFrame — the PIN that makes "the quantizer is
     * opened once at stream start" literally true: `spark.read.parquet` is

@@ -693,6 +693,87 @@ object TextOps {
     * are hot). Lazy: like [[salientTerms]], the token stream feeds model
     * and scoring sides — a one-shot 100 TB run should persist the corpus
     * scan or accept the second derivation. */
+  /** Bigram-LM sufficient counts for a document batch — the ADDITIVE
+    * delta of the stored LM tier ([[graft.serve.LmService]]): bigram
+    * counts (w, nxt, c) and word-occurrence counts (w, c), derived
+    * exactly like [[ngramLmScore]]'s training pass (lowercased
+    * whitespace tokens, per-doc lead window, empty tokens dropped).
+    * Both are plain integer counts, so micro-batch deltas SUM to
+    * exactly the full-corpus model (the DSIR-marginal discipline) —
+    * what makes the LM the engine's ELEVENTH streamed index family —
+    * and the vocabulary size V is the folded word table's ROW COUNT
+    * (word counts are kept, not just the distinct set, precisely so
+    * distinctness survives additive folding). ONE pass over the batch;
+    * model frames are vocab/vocab²-bounded, never corpus-sized. */
+  def lmBatchCounts(df: DataFrame, textCol: String,
+                    idCol: String): (DataFrame, DataFrame) = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val bigrams = words
+      .withColumn("nxt", lead(col("w"), 1).over(wOrd))
+      .filter(col("nxt").isNotNull)
+      .select(col("w"), col("nxt"))
+    (bigrams.groupBy("w", "nxt").agg(count(lit(1)).as("c")),
+      words.groupBy("w").agg(count(lit(1)).as("c")))
+  }
+
+  /** Score a document batch against a STORED bigram model — the
+    * O(batch) serving form of [[ngramLmScore]] (which retrains from
+    * the scored corpus every call): per batch bigram,
+    * logp = ln((cbg + 1) / (cw + V)) with add-one smoothing, where cbg
+    * comes from the stored bigram counts (0 when unseen — smoothing is
+    * exactly what makes out-of-corpus bigrams scoreable), cw is the
+    * context total derived from the model (Σ over nxt of cbg), and V
+    * is the stored vocabulary size. Returns
+    * (doc_id, n_bigrams, lm_logp) like the in-query form.
+    *
+    * CONTRACT: `bgCounts` (w, nxt, c) and `wordCounts` (w, c) must be
+    * FOLDED — one row per key ([[graft.serve.LmService]] folds its
+    * streamed deltas before delegating); V is wordCounts' row count,
+    * which is only the vocabulary size when rows are distinct words.
+    * Scoring the model's own training corpus replays [[ngramLmScore]]
+    * BIT-FOR-BIT (every bigram exists, so the left joins fill exactly
+    * the in-query inner-join values; identical double ops + ROUND 6) —
+    * the hash-green stored-probe discipline (txt_dsir_probe
+    * precedent); the held-out path is hash-certified by the
+    * txt_lm_transfer face.
+    *
+    * Scale shape: batch-sized tokenization; joins against
+    * vocab²-bounded model frames (AQE broadcasts small models); the
+    * one-row V broadcasts. No corpus rescan, ever. */
+  def lmScoreAgainst(docs: DataFrame, textCol: String, idCol: String,
+                     bgCounts: DataFrame,
+                     wordCounts: DataFrame): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val bigrams = words
+      .withColumn("nxt", lead(col("w"), 1).over(wOrd))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("w"), col("nxt"))
+    val cbg = bgCounts.select(col("w"), col("nxt"), col("c").as("cbg"))
+    val cw = bgCounts.groupBy("w").agg(sum(col("c")).as("cw"))
+    val vocab = wordCounts.agg(count(lit(1)).cast(DoubleType).as("V"))
+    val scored = bigrams
+      .join(cbg, Seq("w", "nxt"), "left")
+      .join(cw, Seq("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log((coalesce(col("cbg"), lit(0L)) + 1) /
+        (coalesce(col("cw"), lit(0L)) + col("V"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("lm_logp"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_logp"))
+  }
+
   def ngramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))

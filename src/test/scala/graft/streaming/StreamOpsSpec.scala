@@ -701,6 +701,90 @@ class StreamOpsSpec extends SparkSpec {
     assert(counts() === once)
   }
 
+  test("lmIngestStream: streamed count deltas + nightly fold ≡ full " +
+      "retrain BIT-IDENTICAL; stored scoring ≡ in-query on the corpus") {
+    import graft.serve.LmService
+    import graft.text.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("lm_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lm_ckpt_").toString
+    // bootstrap: EMPTY corpus — everything arrives through the stream
+    LmService.buildLayout(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", root)
+    val all = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat"), (3L, "cat dog cat"), (4L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.lmIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", root, ckpt)
+    try {
+      mem.addData(all.take(2): _*); q.processAllAvailable()
+      mem.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(!graft.serve.Maintenance.nightlyLmFold(spark, root))
+    val allDf = all.toDF("doc_id", "text")
+    // fold ≡ retrain, bit-identical (integer counts are additive)
+    val (bgDirect, wDirect) = TextOps.lmBatchCounts(allDf, "text", "doc_id")
+    def bgSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long)].collect().toSet
+    def wSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toSet
+    assert(bgSet(spark.read.parquet(s"$root/bigrams")) === bgSet(bgDirect))
+    assert(wSet(spark.read.parquet(s"$root/words")) === wSet(wDirect))
+    // scoring the training corpus from the stored model ≡ the in-query
+    // retrain-per-call form, bit-for-bit
+    val svc = LmService.overParquetDir(spark, root)
+    assert(svc.vocabSize === 6L) // the, cat, sat, on, mat, dog
+    val stored = svc.score(allDf, "text", "doc_id")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val direct = TextOps.ngramLmScore(allDf, "text", "doc_id")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(stored === direct)
+  }
+
+  test("lmIngestBatch is exactly-once in effect: a replayed batch — " +
+      "committed or crashed mid-append — never double-counts; unseen " +
+      "bigrams/contexts score at the smoothing floor") {
+    import graft.serve.LmService
+    import graft.text.TextOps
+    val root = java.nio.file.Files.createTempDirectory("lm_replay_").toString
+    LmService.buildLayout(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", root)
+    val b0 = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "a b c")).toDF("doc_id", "text")
+    assert(StreamOps.lmIngestBatch(b0, "text", "doc_id", root, 0))
+    assert(StreamOps.lmIngestBatch(b1, "text", "doc_id", root, 1))
+    def folded(): Map[(String, String), Long] =
+      spark.read.parquet(s"$root/bigrams").groupBy("w", "nxt")
+        .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val once = folded()
+    // hand counts over both batches: ab×3 ba×1 bc×2
+    assert(once === Map(("a", "b") -> 3L, ("b", "a") -> 1L,
+      ("b", "c") -> 2L))
+    // replay AFTER the marker landed (post-commit crash): skipped
+    assert(!StreamOps.lmIngestBatch(b1, "text", "doc_id", root, 1))
+    assert(folded() === once)
+    // crash BETWEEN delta append and marker commit: marker deleted,
+    // data files in place — the redo scrubs its own files first
+    val marker = new java.io.File(s"$root/_ledger/batch-1")
+    assert(marker.exists()); assert(marker.delete())
+    assert(StreamOps.lmIngestBatch(b1, "text", "doc_id", root, 1))
+    assert(folded() === once)
+    // held-out smoothing floor: "z q" has unseen words — cbg = 0 and
+    // cw = 0, so each bigram scores ln(1 / V) with V = 3 (a, b, c);
+    // "a b" scores ln((3+1)/(3+3)): cbg(a,b) = 3, cw(a) = 3
+    val svc = LmService.overParquetDir(spark, root)
+    val got = svc.score(Seq((9L, "z q"), (10L, "a b"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (9L, 1L, Some(r6(math.log(1.0 / 3.0)))),
+      (10L, 1L, Some(r6(math.log(4.0 / 6.0))))))
+  }
+
   test("bm25IngestStream: streamed micro-batches ≡ batch rebuild; " +
       "search serves a doc right after it streams in") {
     import graft.serve.SearchService
