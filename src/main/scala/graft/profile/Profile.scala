@@ -778,6 +778,62 @@ object Profile {
     spark.createDataFrame(java.util.Arrays.asList(out), schema)
   }
 
+  /** PHI-K between INTERVAL (numeric) columns — the paper's binned
+    * form (Baak et al. 2019 §2: interval variables are discretized,
+    * then the categorical machinery applies; ydata's default matrix
+    * does exactly this for numeric pairs). Each column buckets into
+    * `bins` quantile bins by exact interpolated cutpoints, bin labels
+    * are ZERO-PADDED indices so [[phik]]'s ascending-label convention
+    * preserves the NUMERIC bin order — required for interval columns,
+    * where the bivariate-normal reference scale genuinely uses the
+    * ordering (a nominal shuffle of interval bins would understate the
+    * association). Rows where either side is null (or NaN) drop, like
+    * the pairwise-complete convention. Returns [[phik]]'s one-row
+    * frame.
+    *
+    * Scale shape: ONE cutpoint aggregate per call (both columns
+    * together) broadcast back, map-side bucketing — the
+    * activitySegments discipline: never an ntile global window — then
+    * the [[phik]] contingency pass. Ties at a cutpoint land in the
+    * lower bin deterministically (strict-greater bucketing).
+    * `exactCuts = true` (default) uses the exact interpolated
+    * percentile — deterministic, but it gathers every value into one
+    * aggregation buffer, the right trade only at report scale;
+    * `exactCuts = false` is the 100 TB path (GK `percentile_approx`,
+    * the [[graft.quality.Quality.percentileGate]] contract — cutpoint
+    * placement shifts within sketch error, which perturbs bin
+    * populations but not the statistic's meaning). */
+  def phikBinned(df: DataFrame, aCol: String, bCol: String,
+                 bins: Int = 10,
+                 maxGridCells: Long = 10000L,
+                 exactCuts: Boolean = true): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val base = df.select(
+        graft.expr.Exprs.nanToNull(q(aCol).cast(DoubleType)).as("__x"),
+        graft.expr.Exprs.nanToNull(q(bCol).cast(DoubleType)).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val ps = (1 until bins).map(i => s"${i.toDouble / bins}D")
+      .mkString(", ")
+    val pctFn = if (exactCuts) "percentile" else "percentile_approx"
+    val acc = if (exactCuts) "" else ", 10000"
+    val cuts = base.agg(
+      expr(s"$pctFn(__x, array($ps)$acc)").as("__cx"),
+      expr(s"$pctFn(__y, array($ps)$acc)").as("__cy"))
+    def bucket(c: Column, cutsCol: Column): Column = {
+      // bin index = number of cutpoints strictly below the value —
+      // aggregate() over the broadcast cutpoint array, codegen-free but
+      // cutpoint-array-sized (≤ 999 elements), map-side
+      val idx = (1 until bins).map(i =>
+        when(c > element_at(cutsCol, i), 1).otherwise(0))
+        .reduce(_ + _)
+      format_string(s"b%0${math.max(3, bins.toString.length)}d", idx)
+    }
+    val binned = base.crossJoin(broadcast(cuts))
+      .select(bucket(col("__x"), col("__cx")).as("__a"),
+        bucket(col("__y"), col("__cy")).as("__b"))
+    phik(binned, "__a", "__b", maxGridCells)
+  }
+
   /** ydata-profiling ALERTS synthesis — the "warnings" block a reader of
     * the reference's `<table>_report.html` sees first
     * (finalprojectpandasprofiling.py:50: ProfileReport derives per-column

@@ -713,6 +713,18 @@ object RelationalQueries {
   private val pr17Phik: Q = (s, dir) =>
     Profile.phik(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
 
+  /** PR19 — INTERVAL φk ([[graft.profile.Profile.phikBinned]]): the
+    * paper's binned form for numeric pairs (ydata's default matrix
+    * computes φk between numeric columns by discretizing them), over
+    * the PR6/PR14 headline pair at 8 quantile bins. ROWS-ONLY like
+    * pr17 (the inversion is numerical); the binning and contingency
+    * machinery is the same certified pr15 arithmetic, and ProfileSpec
+    * pins the closed-form 2-bin Sheppard case, the monotone → 1
+    * clamp, and the independent split → 0. */
+  private val pr19PhikInterval: Q = (s, dir) =>
+    Profile.phikBinned(t(s, dir, "lineitem"), "l_quantity",
+      "l_extendedprice", bins = 8)
+
   // ------------------------------------------- CDC / scale-join extensions
   /** J6 — bloom-pruned semi-join: lineitem rows belonging to high-value
     * orders (~5% selectivity). The big side is pruned by a compact Bloom
@@ -1197,7 +1209,8 @@ object RelationalQueries {
     "pr15_cramers_v" -> pr15CramersV,
     "pr16_dup_rows" -> pr16DupRows,
     "pr17_phik" -> pr17Phik,
-    "pr18_spearman_matrix" -> pr18SpearmanMatrix)
+    "pr18_spearman_matrix" -> pr18SpearmanMatrix,
+    "pr19_phik_interval" -> pr19PhikInterval)
 
   val oracle: Map[String, String] = Map(
     "k11_changeset_apply" ->

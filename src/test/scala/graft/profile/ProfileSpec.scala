@@ -405,6 +405,50 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("CATEGORICAL"))
   }
 
+  test("phikBinned: interval columns via quantile bins — Sheppard 2×2 " +
+      "closed form recovered, monotone → 1, independent split → 0, " +
+      "NaN/null rows dropped") {
+    // parameterized 100-row construction: x = 1..100, y a permutation
+    // of 1..100 placing exactly d rows in the (low-x, low-y) median
+    // cell — the 2-bin contingency is [[d, 50−d], [50−d, d]] with
+    // equal margins, so φk = sin(2π·(d/100 − 1/4)) by Sheppard
+    def rows(d: Int): Seq[(Double, Double)] = (1 to 100).map { x =>
+      val y =
+        if (x <= d) x
+        else if (x <= 50) x + 50
+        else if (x <= 100 - d) x - (50 - d)
+        else x - (50 - d)
+      (x.toDouble, y.toDouble)
+    }
+    val sheppard = rows(35).toDF("x", "y")
+    val r = Profile.phikBinned(sheppard, "x", "y", bins = 2)
+    assert(r.head().getLong(0) === 100L)
+    assert(math.abs(r.head().getDouble(4) - 0.587785) < 1e-4,
+      s"expected sin(2π·0.1), got ${r.head().getDouble(4)}")
+    // d = 25: every cell 25 → independence → 0 exactly
+    val indep = rows(25).toDF("x", "y")
+    assert(Profile.phikBinned(indep, "x", "y", bins = 2)
+      .head().getDouble(4) === 0.0)
+    // perfectly monotone at 4 bins: diagonal contingency hits the
+    // theoretical χ² max n·(bins−1) → clamps to 1
+    val mono = (1 to 100).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    assert(Profile.phikBinned(mono, "x", "y", bins = 4)
+      .head().getDouble(4) === 1.0)
+    // NaN/null rows drop like the pairwise-complete convention
+    val noisy = (rows(35) ++ Seq((Double.NaN, 1.0), (1.0, Double.NaN)))
+      .toDF("x", "y")
+    assert(Profile.phikBinned(noisy, "x", "y", bins = 2)
+      .head().getLong(0) === 100L)
+    intercept[IllegalArgumentException] {
+      Profile.phikBinned(sheppard, "x", "y", bins = 1)
+    }
+    // the 100 TB cutpoint path (GK sketch): same statistic within
+    // cutpoint-placement tolerance
+    val approx = Profile.phikBinned(sheppard, "x", "y", bins = 2,
+      exactCuts = false).head().getDouble(4)
+    assert(math.abs(approx - 0.587785) < 0.05, s"approx-cuts phik $approx")
+  }
+
   test("profile() sample ordering skips non-orderable (map) columns " +
       "instead of failing the analysis") {
     val d = Seq((2, Map("k" -> 1)), (1, Map("j" -> 2)))
