@@ -371,8 +371,11 @@ object Profile {
       })
     // φk — ydata v4's DEFAULT association matrix; OPT-IN here because
     // each pair pays its own contingency pass + driver inversion, and
-    // the deterministic Cramér's V tab already covers the same pairs
-    val phiks =
+    // the deterministic Cramér's V tab already covers the same pairs.
+    // Categorical pairs go through [[phik]]; numeric pairs through the
+    // paper's binned interval form ([[phikBinned]]) — the two key sets
+    // are disjoint, so one map carries both tabs.
+    val phikCat =
       if (!phikTab || !associations || lowCardString.length < 2 ||
           lowCardString.length > maxAssocCols)
         Map.empty[(String, String), Double]
@@ -381,6 +384,16 @@ object Profile {
         val i = r.fieldIndex("phik")
         if (r.isNullAt(i)) None else Some(r.getDouble(i))
       })
+    val phikNum =
+      if (!phikTab || !associations || numeric.length < 2 ||
+          numeric.length > maxAssocCols)
+        Map.empty[(String, String), Double]
+      else pairStats(numeric.toSeq, (a, b) => {
+        val r = phikBinned(df, a, b).head()
+        val i = r.fieldIndex("phik")
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      })
+    val phiks = phikCat ++ phikNum
     // first-N row preview, deterministically ordered by every ORDERABLE
     // column — a map-typed column has no ordering and would fail the
     // analysis; such columns still render, they just don't participate

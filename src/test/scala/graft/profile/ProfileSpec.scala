@@ -447,6 +447,18 @@ class ProfileSpec extends SparkSpec {
     val approx = Profile.phikBinned(sheppard, "x", "y", bins = 2,
       exactCuts = false).head().getDouble(4)
     assert(math.abs(approx - 0.587785) < 0.05, s"approx-cuts phik $approx")
+    // the opt-in profile() tab carries BOTH categorical and binned
+    // numeric pairs (disjoint key sets) and renders the φk section
+    val wide = (1 to 60).map(i =>
+      (i.toDouble, i.toDouble, if (i % 2 == 0) "x" else "y",
+        if (i % 2 == 0) "p" else "q"))
+      .toDF("n1", "n2", "a", "b")
+    val p = Profile.profile(wide, "w", exact = true, phikTab = true)
+    assert(p.phik.contains(("a", "b")), "categorical pair present")
+    assert(p.phik.contains(("n1", "n2")), "binned numeric pair present")
+    assert(p.phik(("a", "b")) === 1.0, "perfectly associated strings")
+    assert(p.phik(("n1", "n2")) === 1.0, "perfectly monotone numerics")
+    assert(Profile.toHtml(p).contains("Associations (Phik"))
   }
 
   test("profile() sample ordering skips non-orderable (map) columns " +
