@@ -647,8 +647,15 @@ object Profile {
     graft.util.Caching.releasingOnFailure(obs) {
       val ra = obs.groupBy("__a").agg(sum(col("__o")).as("__rt"))
       val cb = obs.groupBy("__b").agg(sum(col("__o")).as("__ct"))
-      val rLevels = ra.count()
-      val cLevels = cb.count()
+      // fail-fast guard: ONE combined level-count action over the
+      // persisted cells (this is also the job that materializes obs,
+      // so the main pass below is pure cache reads — the guard's
+      // marginal cost is one tiny aggregate, measured ~+0.4 s on a
+      // sub-second face at sf0.1)
+      val lv = obs.agg(count_distinct(col("__a")).as("r"),
+        count_distinct(col("__b")).as("c")).head()
+      val rLevels = lv.getLong(0)
+      val cLevels = lv.getLong(1)
       require(rLevels * cLevels <= maxGridCells,
         s"cramersV('$aCol', '$bCol') would build a $rLevels × $cLevels " +
           s"contingency grid (${rLevels * cLevels} cells > $maxGridCells) " +
@@ -736,6 +743,19 @@ object Profile {
     val obs = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cells = graft.util.Caching.releasingOnFailure(obs) {
+      // the level guard fires BEFORE the driver collect — on a
+      // high-cardinality pair the cell set itself is the thing that
+      // must never reach the driver (one combined distinct-count
+      // action over the persisted cells, which also materializes them
+      // for the collect on the success path)
+      val lv = obs.agg(count_distinct(col("__a")).as("r"),
+        count_distinct(col("__b")).as("c")).head()
+      val (rl, cl) = (lv.getLong(0), lv.getLong(1))
+      require(rl * cl <= maxGridCells,
+        s"phik('$aCol', '$bCol') would invert over a $rl × $cl grid " +
+          s"($rl × $cl cells > $maxGridCells) — φk is a CATEGORICAL " +
+          "association; bucket or recode high-cardinality columns " +
+          "first, or raise maxGridCells deliberately")
       val c = obs.collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       obs.unpersist(blocking = true)
@@ -745,11 +765,6 @@ object Profile {
     val bLevels = cells.map(_._2).distinct.sorted
     val r = aLevels.length
     val c = bLevels.length
-    require(r.toLong * c <= maxGridCells,
-      s"phik('$aCol', '$bCol') would invert over a $r × $c grid " +
-        s"(${r.toLong * c} cells > $maxGridCells) — φk is a CATEGORICAL " +
-        "association; bucket or recode high-cardinality columns first, " +
-        "or raise maxGridCells deliberately")
     val n = cells.map(_._3).sum
     val out: Row =
       if (n == 0L || r == 0 || c == 0)
