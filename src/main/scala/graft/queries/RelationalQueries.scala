@@ -658,7 +658,10 @@ object RelationalQueries {
     * one row) against a replay that mirrors the same O(columns)
     * structure — per-column rank CTEs, one joined scan, HUGEINT sums.
     * Measured: the shared plan is 3.7× the per-pair loop on 8 columns
-    * (81.7 → 21.9 s at sf0.1). */
+    * (81.7 → 21.9 s at sf0.1); this 4-column face runs 5.7–6.4 s warm
+    * at sf0.1 and ~2.1× that at 10× lineitem (rank maps for the two
+    * near-unique price/tax columns dominate — the same inherent cost
+    * pr14 pays per pair, amortized here over 6 pairs). */
   private val pr18SpearmanMatrix: Q = (s, dir) =>
     Profile.spearmanSharedRanksFrame(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
