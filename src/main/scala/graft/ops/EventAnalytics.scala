@@ -183,24 +183,47 @@ object EventAnalytics {
                                    tsCol: String, valueCol: String,
                                    window: Int,
                                    ps: Seq[Double] = Seq(0.5, 0.95),
-                                   k: Int = 200): DataFrame = {
+                                   k: Int = 200): DataFrame =
+    trailingSketchWindow(
+      hourlySketches(events, typeCol, tsCol, valueCol, k), window, ps, k)
+
+  /** One KLL sketch row per (hour, type) — the shared derivation of
+    * [[rollingHourlyQuantilesSketch]], the stored
+    * [[graft.serve.RollingQuantileService]] layout, and every streamed
+    * delta: (h, event_type, n, sk), where n counts NON-NULL values and
+    * the sketch skips nulls, but the GROUP rows themselves cover every
+    * event — a type or hour whose values are all null still lands in
+    * the frame (n = 0, empty sketch), so spines derived from this
+    * frame match spines derived from the raw events (the stored tier
+    * and the in-query face answer the same row set by construction).
+    * ONE pass over the events, map-side partial sketch buffers,
+    * constant size per group out. `kll_*` come from GraftExtensions
+    * (spark.sql.extensions) — the session contract every graft entry
+    * point already sets. */
+  def hourlySketches(events: DataFrame, typeCol: String, tsCol: String,
+                     valueCol: String, k: Int): DataFrame =
+    events
+      .select(date_trunc("hour", col(tsCol)).as("h"),
+        col(typeCol).as("event_type"), col(valueCol).as("v"))
+      .groupBy("h", "event_type")
+      .agg(count(col("v")).as("n"),
+        expr(s"kll_sketch_agg(v, $k)").as("sk"))
+
+  /** The trailing-window merge stage over an hourly-sketch frame
+    * ((h, event_type, n, sk) — [[hourlySketches]]' shape): replicate
+    * each sketch row to its ≤ `window` target hours (constant-size
+    * payloads, hours×types rows), merge per (hour, type), join onto
+    * the zero-filled spine. ONE implementation shared by the in-query
+    * face and the stored tier's [[graft.serve.RollingQuantileService
+    * .trailingSeries]], so the two cannot drift. */
+  private[graft] def trailingSketchWindow(hourly: DataFrame, window: Int,
+                                          ps: Seq[Double],
+                                          k: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile ranks must be in [0, 1], got $ps")
     requireDistinctLabels(ps)
-    // kll_* come from GraftExtensions (spark.sql.extensions) — the
-    // session contract every graft entry point already sets
-    val vals = events
-      .select(date_trunc("hour", col(tsCol)).as("h"),
-        col(typeCol).as("event_type"), col(valueCol).as("v"))
-      .filter(col("v").isNotNull)
-    val hourly = vals.groupBy("h", "event_type")
-      .agg(count(lit(1)).as("n"),
-        expr(s"kll_sketch_agg(v, $k)").as("sk"))
-    val bounds = events.agg(date_trunc("hour", min(col(tsCol))).as("lo"),
-      date_trunc("hour", max(col(tsCol))).as("hi"))
-    // sketch rows replicate to their target hours — constant-size
-    // payloads, hours×types rows, trivial data movement
+    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val rep = hourly.crossJoin(broadcast(bounds))
       .select(explode(sequence(col("h"),
           least(col("h") + expr(s"INTERVAL ${window - 1} HOURS"), col("hi")),
@@ -212,7 +235,7 @@ object EventAnalytics {
     val spine = bounds
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("h"))
-      .crossJoin(events.select(col(typeCol).as("event_type")).distinct())
+      .crossJoin(hourly.select("event_type").distinct())
     val qCols = ps.map { p =>
       round(expr(s"kll_quantile(__m, ${p}D)"), 6).as(qLabel(p))
     }

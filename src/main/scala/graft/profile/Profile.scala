@@ -154,6 +154,9 @@ object Profile {
     require(topN > 0, s"topN must be > 0, got $topN")
     val fields = df.schema.fields
     require(fields.nonEmpty, "duplicateRowValues needs at least one column")
+    require(!fields.exists(_.name == "n_dup"),
+      "duplicateRowValues appends an n_dup count column; the input " +
+        "already has a column named n_dup — rename it first")
     val tieBreak = fields.filter(f => org.apache.spark.sql.catalyst
         .expressions.RowOrdering.isOrderable(f.dataType))
       .map(f => q(f.name).asc_nulls_first).toSeq
@@ -309,7 +312,12 @@ object Profile {
     // Zero-variance columns are EXCLUDED up front (pass 1 already
     // measured stddev): their ρ is undefined, and under ANSI mode
     // (the Spark 4 default) `corr` against a constant column throws
-    // DIVIDE_BY_ZERO instead of returning null.
+    // DIVIDE_BY_ZERO instead of returning null. That gate covers only
+    // GLOBALLY constant columns — a pair whose pairwise-complete
+    // (co-non-null) subset happens to be constant still throws inside
+    // the shared one-pass agg, so the rare failure falls back to
+    // per-pair corr with the offending pairs dropped (the pandas
+    // NaN-drop convention), instead of crashing the whole profile.
     val corrCols = numeric.filter(c => getD(s"$c::std").exists(_ > 0))
     val corrs: Map[(String, String), Double] =
       if (corrCols.length < 2) Map.empty
@@ -317,11 +325,26 @@ object Profile {
         val pairs = for {
           i <- corrCols.indices; j <- (i + 1) until corrCols.length
         } yield (corrCols(i), corrCols(j))
-        val corrAggs = pairs.map { case (a, b) => corr(q(a), q(b)).as(s"$a::$b") }
-        val crow = df.agg(corrAggs.head, corrAggs.tail: _*).head()
-        pairs.zipWithIndex.collect {
-          case ((a, b), i) if !crow.isNullAt(i) => (a, b) -> crow.getDouble(i)
-        }.toMap
+        def onePass(): Map[(String, String), Double] = {
+          val corrAggs = pairs.map { case (a, b) =>
+            corr(q(a), q(b)).as(s"$a::$b") }
+          val crow = df.agg(corrAggs.head, corrAggs.tail: _*).head()
+          pairs.zipWithIndex.collect {
+            case ((a, b), i) if !crow.isNullAt(i) => (a, b) -> crow.getDouble(i)
+          }.toMap
+        }
+        try onePass()
+        catch {
+          case _: java.lang.ArithmeticException =>
+            pairs.flatMap { case (a, b) =>
+              try {
+                val r = df.agg(corr(q(a), q(b))).head()
+                if (r.isNullAt(0)) None else Some((a, b) -> r.getDouble(0))
+              } catch {
+                case _: java.lang.ArithmeticException => None
+              }
+            }.toMap
+        }
       }
 
     // the extra ydata correlation tabs: Spearman per numeric pair,
@@ -353,7 +376,12 @@ object Profile {
           if !(nullFree.contains(numeric(i)) && nullFree.contains(numeric(j)))
         } yield (numeric(i), numeric(j))
         val fallback = fallbackPairs.flatMap { case (a, b) =>
-          val r = spearman(df, a, b).head()
+          // spearman returns a PERSISTED one-row frame (its caller-
+          // unpersist contract) — release it or every fallback pair
+          // leaks a cache entry for the session's lifetime
+          val out = spearman(df, a, b)
+          val r = out.head()
+          out.unpersist(blocking = true)
           if (r.isNullAt(1)) None else Some((a, b) -> r.getDouble(1))
         }.toMap
         shared ++ fallback
@@ -365,7 +393,10 @@ object Profile {
           lowCardString.length > maxAssocCols)
         Map.empty[(String, String), Double]
       else pairStats(lowCardString.toSeq, (a, b) => {
-        val r = cramersV(df, a, b).head()
+        // cramersV returns a PERSISTED one-row frame — release it
+        val out = cramersV(df, a, b)
+        val r = out.head()
+        out.unpersist(blocking = true)
         val i = r.fieldIndex("cramers_v")
         if (r.isNullAt(i)) None else Some(r.getDouble(i))
       })
@@ -415,13 +446,17 @@ object Profile {
           .map(r => fields.indices.map(i =>
             if (r.isNullAt(i)) "null" else r.getString(i)))
       }
-    // "Duplicates" listing — gated on pass 1's duplicate COUNT, so the
-    // all-columns groupBy only runs when duplicates actually exist
-    // (exact mode; the approximate count can be sketch noise, so
-    // approximate profiles list duplicates only when the estimate is
-    // decisively nonzero anyway — same gate)
+    // "Duplicates" listing — EXACT MODE ONLY, gated on pass 1's
+    // duplicate count so the all-columns groupBy only runs when
+    // duplicates actually exist. In approximate mode the gate's count
+    // is HLL noise (a duplicate-free billion-row table reads as
+    // millions of "duplicates" at ~2% sketch error), and paying the
+    // exact all-columns shuffle to render an empty section is
+    // precisely what approximate mode exists to avoid — approximate
+    // profiles report the estimated count, no listing.
     val dupList: Seq[(Seq[String], Long)] =
-      if (duplicatesN <= 0 || rows - getL("__distinct_rows") <= 0) Seq.empty
+      if (duplicatesN <= 0 || !exact ||
+          rows - getL("__distinct_rows") <= 0) Seq.empty
       else duplicateRowValues(df, duplicatesN)
         .select(fields.map(f => q(f.name).cast(StringType)).toSeq
           :+ col("n_dup"): _*)
@@ -729,8 +764,9 @@ object Profile {
     * distributed pass (one table-sized shuffle); the collected grid and
     * the χ²(ρ) bisection are CATEGORICAL-sized (levels × levels,
     * guarded by `maxGridCells` — fail-fast like [[cramersV]], default
-    * tighter because the DRIVER iterates the grid ~40× during
-    * inversion: 48-node Gauss–Legendre per row-interval per y-edge).
+    * tighter because the DRIVER iterates the grid ~60× during
+    * inversion: 64-node Gauss–Legendre × 4 composite panels per
+    * row-interval per y-edge — [[PhikMath]]'s constants).
     * Model-artifact-sized driver work, never row-scaled. */
   def phik(df: DataFrame, aCol: String, bCol: String,
            maxGridCells: Long = 10000L): DataFrame = {

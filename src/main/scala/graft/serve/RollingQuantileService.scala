@@ -57,35 +57,17 @@ final class RollingQuantileService(hourly: DataFrame, val k: Int) {
     * output contract as [[graft.ops.EventAnalytics
     * .rollingHourlyQuantilesSketch]] (hour_us, event_type, n_samples,
     * p…), but FROM the stored layout: no event scan, the window stage
-    * merges ≤ `window` stored sketches per output row. */
+    * merges ≤ `window` stored sketches per output row. The window
+    * stage IS the in-query face's
+    * ([[graft.ops.EventAnalytics.trailingSketchWindow]] — one shared
+    * implementation, so stored and in-query answers cannot drift), and
+    * [[graft.ops.EventAnalytics.hourlySketches]] keeps all-null
+    * (h, type) groups as n = 0 rows, so the stored spine matches the
+    * in-query spine by construction even for heartbeat/null-valued
+    * event feeds. */
   def trailingSeries(window: Int, ps: Seq[Double] = Seq(0.5, 0.95))
-      : DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
-      s"quantile ranks must be in [0, 1], got $ps")
-    EventAnalytics.requireDistinctLabels(ps)
-    val f = folded
-    val bounds = f.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-    val rep = f.crossJoin(broadcast(bounds))
-      .select(explode(sequence(col("h"),
-          least(col("h") + expr(s"INTERVAL ${window - 1} HOURS"), col("hi")),
-          expr("INTERVAL 1 HOUR"))).as("h"),
-        col("event_type"), col("n"), col("sk"))
-    val merged = rep.groupBy("h", "event_type")
-      .agg(sum(col("n")).as("n_samples"),
-        expr(s"kll_merge_agg(sk, $k)").as("__m"))
-    val spine = bounds
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("INTERVAL 1 HOUR"))).as("h"))
-      .crossJoin(f.select("event_type").distinct())
-    val qCols = ps.map { p =>
-      round(expr(s"kll_quantile(__m, ${p}D)"), 6)
-        .as(EventAnalytics.qLabel(p))
-    }
-    spine.join(merged, Seq("h", "event_type"), "left")
-      .select(Seq(unix_micros(col("h")).as("hour_us"), col("event_type"),
-        coalesce(col("n_samples"), lit(0L)).as("n_samples")) ++ qCols: _*)
-  }
+      : DataFrame =
+    EventAnalytics.trailingSketchWindow(folded, window, ps, k)
 
   /** The OPERATIONAL probe — "the trailing `window`-hour quantiles per
     * type, as of the latest stored hour": filters the layout to the
@@ -99,7 +81,9 @@ final class RollingQuantileService(hourly: DataFrame, val k: Int) {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile ranks must be in [0, 1], got $ps")
     EventAnalytics.requireDistinctLabels(ps)
-    val hi = folded.agg(max(col("h")).as("hi"))
+    // max over the RAW layout rows — folding first would pay a
+    // (h, type) sketch-merge shuffle just to find the latest hour
+    val hi = hourly.agg(max(col("h")).as("hi"))
     val inWin = hourly.crossJoin(broadcast(hi))
       .filter(col("h") >= col("hi") - expr(s"INTERVAL ${window - 1} HOURS")
         && col("h") <= col("hi"))
@@ -118,20 +102,13 @@ final class RollingQuantileService(hourly: DataFrame, val k: Int) {
 
 object RollingQuantileService {
 
-  /** One sketch row per (hour, type) for an event batch — the shared
-    * derivation of the batch build and every streamed delta
-    * ([[graft.streaming.StreamOps.rollingQuantileIngestBatch]]): ONE
-    * pass over the values, map-side partial sketch buffers, constant
-    * size per group out. */
+  /** One sketch row per (hour, type) for an event batch — delegates to
+    * the shared [[graft.ops.EventAnalytics.hourlySketches]] (the SAME
+    * derivation the in-query face uses, all-null groups kept as n = 0
+    * rows so stored spines match in-query spines). */
   def hourlySketches(events: DataFrame, typeCol: String, tsCol: String,
                      valueCol: String, k: Int): DataFrame =
-    events
-      .select(date_trunc("hour", col(tsCol)).as("h"),
-        col(typeCol).as("event_type"), col(valueCol).as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("h", "event_type")
-      .agg(count(lit(1)).as("n"),
-        expr(s"kll_sketch_agg(v, $k)").as("sk"))
+    EventAnalytics.hourlySketches(events, typeCol, tsCol, valueCol, k)
 
   /** Build the full stored layout at `root` from a batch event frame
     * (an EMPTY frame is fine — bootstrap everything through the

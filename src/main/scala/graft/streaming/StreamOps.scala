@@ -420,12 +420,24 @@ object StreamOps {
 
   /** One micro-batch of [[rollingQuantileIngestStream]] — public for
     * the replay spec. Returns false when the batch was empty or
-    * already committed. */
+    * already committed. The caller-supplied `k` (the stream pins it
+    * once at start) is RE-VALIDATED against the layout's meta before
+    * anything is written: a mis-k'd delta would merge cleanly and
+    * silently degrade every later fold, which is exactly the failure
+    * `root/meta` exists to prevent — one tiny meta read per
+    * micro-batch buys the loud error. */
   def rollingQuantileIngestBatch(batch: DataFrame, typeCol: String,
                                  tsCol: String, valueCol: String,
                                  root: String, batchId: Long,
                                  k: Int): Boolean = {
     if (batch.isEmpty) return false
+    val pinned = graft.serve.RollingQuantileService
+      .kOf(batch.sparkSession, root)
+    require(k == pinned,
+      s"rolling-quantile delta sketched at k = $k but the layout at " +
+        s"$root is pinned to k = $pinned — mixed-resolution sketches " +
+        "merge silently and degrade quantile accuracy; use the " +
+        "layout's k")
     BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
       graft.serve.RollingQuantileService
         .hourlySketches(batch, typeCol, tsCol, valueCol, k)

@@ -747,6 +747,15 @@ object TextOps {
   def lmScoreAgainst(docs: DataFrame, textCol: String, idCol: String,
                      bgCounts: DataFrame,
                      wordCounts: DataFrame): DataFrame = {
+    // an EMPTY model means V = 0 and every smoothed denominator is
+    // exactly zero — under ANSI (the Spark 4 default) that surfaces as
+    // a bare DIVIDE_BY_ZERO mid-job; fail at call time with the cause
+    // instead (the bootstrap-through-the-stream layout is legal to
+    // BUILD empty, but must ingest before it can score)
+    require(!wordCounts.isEmpty,
+      "lmScoreAgainst got an EMPTY model (vocabulary size 0 — the " +
+        "smoothing denominator would be zero for every bigram); train " +
+        "or stream-ingest the model before scoring")
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val words = docs.select(col(idCol).as("doc_id"),

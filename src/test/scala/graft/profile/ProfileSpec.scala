@@ -461,6 +461,35 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.toHtml(p).contains("Associations (Phik"))
   }
 
+  test("PR6 survives a pair whose CO-NON-NULL subset is constant " +
+      "(ANSI divide-by-zero falls back per pair, offending pair " +
+      "dropped); n_dup name collision fails loudly; approximate mode " +
+      "skips the duplicates listing") {
+    // a = [1,1,2], b = [5,7,null]: both globally non-constant, but the
+    // co-non-null subset of (a,b) has a constant — corr's internal
+    // divide throws under ANSI inside the shared one-pass agg
+    val tricky = Seq((Some(1.0), Some(5.0), 1.0),
+      (Some(1.0), Some(7.0), 2.0), (Some(2.0), None, 3.0))
+      .toDF("a", "b", "c")
+    val p = Profile.profile(tricky, "t", exact = true)
+    assert(!p.correlations.contains(("a", "b")),
+      "degenerate pair dropped, not crashed")
+    assert(p.correlations.contains(("a", "c")),
+      "healthy pairs survive the fallback")
+    // n_dup collision: loud analysis-time error, not ambiguity later
+    val clash = Seq(("x", 1L), ("x", 1L)).toDF("s", "n_dup")
+    val e = intercept[IllegalArgumentException] {
+      Profile.duplicateRowValues(clash)
+    }
+    assert(e.getMessage.contains("n_dup"))
+    // approximate mode never pays the exact all-columns listing: the
+    // gate count is sketch noise at scale, so the listing is
+    // exact-mode only
+    val dups = (Seq.fill(3)(("x", 1)) :+ (("y", 2))).toDF("s", "k")
+    assert(Profile.profile(dups, "t", exact = false).duplicates.isEmpty)
+    assert(Profile.profile(dups, "t", exact = true).duplicates.nonEmpty)
+  }
+
   test("profile() sample ordering skips non-orderable (map) columns " +
       "instead of failing the analysis") {
     val d = Seq((2, Map("k" -> 1)), (1, Map("j" -> 2)))

@@ -699,6 +699,51 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.rollingQuantileIngestBatch(b1, "event_type", "ts",
       "value", root, 1, 200))
     assert(counts() === once)
+    // a mis-k'd delta is refused BEFORE anything lands: mixed-resolution
+    // sketches would merge silently and degrade every later fold
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.rollingQuantileIngestBatch(b1, "event_type", "ts",
+        "value", root, 2, 100)
+    }
+    assert(e.getMessage.contains("pinned to k = 200"))
+    assert(counts() === once)
+  }
+
+  test("rolling-quantile stored spine matches the in-query face for " +
+      "null-valued/heartbeat events (all-null groups kept as n = 0); " +
+      "empty LM model refuses to score with the real cause") {
+    import graft.serve.{LmService, RollingQuantileService}
+    def hr(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // type b exists ONLY via a null-valued heartbeat at the LAST hour:
+    // it must still appear in the spine, and the bounds must extend to
+    // its hour — on both the in-query and the stored path
+    val ev = Seq(("a", hr(0), Option(5.0)), ("a", hr(1), Option(7.0)),
+      ("b", hr(2), Option.empty[Double]))
+      .toDF("event_type", "ts", "value")
+    val inQuery = graft.ops.EventAnalytics.rollingHourlyQuantilesSketch(
+        ev, "event_type", "ts", "value", window = 2, ps = Seq(0.5))
+      .select("hour_us", "event_type", "n_samples")
+      .as[(Long, String, Long)].collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("rq_spine_").toString
+    RollingQuantileService.buildLayout(ev, "event_type", "ts", "value",
+      root, k = 200)
+    val stored = RollingQuantileService.overParquetDir(spark, root)
+      .trailingSeries(window = 2, ps = Seq(0.5))
+      .select("hour_us", "event_type", "n_samples")
+      .as[(Long, String, Long)].collect().toSet
+    assert(stored === inQuery, "stored spine ≡ in-query spine")
+    assert(inQuery.exists { case (_, t, n) => t == "b" && n == 0 },
+      "heartbeat-only type present with n = 0")
+    assert(inQuery.map(_._1).size === 3, "bounds extend to the null hour")
+    // empty LM model: loud call-time refusal, not a mid-job ANSI error
+    val lmRoot = java.nio.file.Files.createTempDirectory("lm_empty_").toString
+    LmService.buildLayout(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", lmRoot)
+    val err = intercept[IllegalArgumentException] {
+      LmService.overParquetDir(spark, lmRoot)
+        .score(Seq((1L, "a b")).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(err.getMessage.contains("EMPTY model"))
   }
 
   test("lmIngestStream: streamed count deltas + nightly fold ≡ full " +
