@@ -23,6 +23,28 @@ trait SparkSpec extends AnyFunSuite {
       q +: allPlanNodes(q.plan)
     case other => other +: other.children.flatMap(allPlanNodes)
   }
+
+  /** Residency assertion for "the call under test leaked no cached
+    * frames": wait (bounded) until none of `created` — the DELTA of
+    * persisted-RDD ids snapshotted around the call — remains registered.
+    * Residency tests must NEVER assert on the registry's global SIZE:
+    * the asynchronous ContextCleaner and concurrently-running suites on
+    * the shared session mutate the global map underneath the test (the
+    * round-19 at-HEAD `sbt test` flake). The id-set delta is immune to
+    * the cleaner reaping OLD entries, and the bounded retry drains a
+    * sibling suite's transient persist that happened to land inside this
+    * test's snapshot window; a genuine leak stays registered forever and
+    * still fails after the timeout. */
+  def assertReleased(created: Set[Int], timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet & created
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet & created
+    }
+    assert(leaked.isEmpty,
+      s"persisted RDD ids leaked by the call under test: $leaked")
+  }
 }
 
 object SparkSpec {

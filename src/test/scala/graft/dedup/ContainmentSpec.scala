@@ -70,9 +70,12 @@ class ContainmentSpec extends SparkSpec {
   }
 
   test("containment: no cached frames left behind (residency contract)") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // id-set delta, not global size — the global registry races the
+    // async ContextCleaner and sibling suites (the ScanSpec flake class)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val out = Dedup.containmentPairs(docs, "text", "doc_id", n = 2)
+    val created = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     out.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.size === before)
+    assertReleased(created)
   }
 }
