@@ -46,7 +46,9 @@ final case class TableProfile(
     sampleColumns: Seq[String] = Seq.empty,
     sample: Seq[Seq[String]] = Seq.empty,
     duplicates: Seq[(Seq[String], Long)] = Seq.empty,
-    phik: Map[(String, String), Double] = Map.empty)
+    phik: Map[(String, String), Double] = Map.empty,
+    nullity: Map[(String, String), Double] = Map.empty,
+    interactions: Map[(String, String), Seq[(Int, Int, Long)]] = Map.empty)
 
 object Profile {
 
@@ -65,6 +67,23 @@ object Profile {
   // from a spreadsheet) would crash every aggregation pass. Embedded
   // backticks are doubled per Spark's quoting rule.
   private def q(c: String): Column = col("`" + c.replace("`", "``") + "`")
+
+  // ANSI `corr` against a pair whose co-non-null subset is constant
+  // throws DIVIDE_BY_ZERO. In local mode that surfaces as a bare
+  // java.lang.ArithmeticException; on a real cluster the DAGScheduler
+  // wraps the executor task failure in (possibly nested) SparkException
+  // layers — so the fallback match must walk the CAUSE CHAIN, or it
+  // would never fire on exactly the deployments it exists for.
+  private def hasArithmeticCause(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (cur.isInstanceOf[java.lang.ArithmeticException]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** PR1–PR5 (counts, missing, distinct, moments incl. skewness/kurtosis,
     * quantiles, duplicates) in one aggregation pass, histograms in a second
@@ -148,8 +167,11 @@ object Profile {
     * Scale shape: ONE exact all-columns groupBy — the same shuffle the
     * exact PR5 duplicate COUNT already pays — then a bounded
     * TakeOrderedAndProject (count > 1 rows only); no global sort, no
-    * second scan. Non-orderable columns (maps) are excluded from the
-    * tie-break like the sample section's ordering. */
+    * second scan. The determinism claim above holds for ALL-ORDERABLE
+    * schemas (every column then participates in the tie-break); a
+    * non-orderable (map-typed) column cannot be grouped OR ordered by,
+    * so such frames are rejected up front — encode maps (to_json) or
+    * drop them before listing duplicates. */
   def duplicateRowValues(df: DataFrame, topN: Int = 10): DataFrame = {
     require(topN > 0, s"topN must be > 0, got $topN")
     val fields = df.schema.fields
@@ -157,9 +179,17 @@ object Profile {
     require(!fields.exists(_.name == "n_dup"),
       "duplicateRowValues appends an n_dup count column; the input " +
         "already has a column named n_dup — rename it first")
-    val tieBreak = fields.filter(f => org.apache.spark.sql.catalyst
-        .expressions.RowOrdering.isOrderable(f.dataType))
-      .map(f => q(f.name).asc_nulls_first).toSeq
+    // a map-typed column can neither be grouped by (Spark rejects
+    // non-orderable grouping keys) nor tie-break the top-N boundary —
+    // fail fast with the remedy instead of letting the groupBy throw
+    val nonOrderable = fields.filterNot(f => org.apache.spark.sql.catalyst
+      .expressions.RowOrdering.isOrderable(f.dataType))
+    require(nonOrderable.isEmpty,
+      s"duplicateRowValues needs orderable columns; " +
+        s"${nonOrderable.map(_.name).mkString(", ")} are not (map types " +
+        "cannot be grouped or ordered) — encode them (to_json) or drop " +
+        "them first")
+    val tieBreak = fields.map(f => q(f.name).asc_nulls_first).toSeq
     df.groupBy(fields.map(f => q(f.name)).toSeq: _*)
       .agg(count(lit(1)).as("n_dup"))
       .filter(col("n_dup") > 1)
@@ -175,11 +205,24 @@ object Profile {
     * string pairs (distinct ≤ 25 per the main pass's counts).
     * `sampleN > 0` adds the report's first-N row preview, ordered by
     * every column ascending so the preview is deterministic under
-    * re-partitioning. */
+    * re-partitioning.
+    *
+    * `phikTab` defaults ON for ydata v4 report parity (a plain
+    * `ProfileReport(df)` renders the φk matrix by default). The tab
+    * carries [[phik]]'s two DOCUMENTED determinism deviations from the
+    * phik library (ascending-label bin order, no pedestal noise
+    * correction) and a numerically-inverted value that no SQL engine
+    * replays — set `phikTab = false` in hash-strict replay contexts
+    * where Cramér's V / Spearman must remain the only association
+    * surface. `interactionBins > 0` (default 6) adds the report's
+    * Interactions section ([[interactions]] 2-D histograms);
+    * [[nullityPairs]] adds the nullity-correlation section over the
+    * partially-missing columns pass 1 measured. */
   def profile(df: DataFrame, table: String = "df", exact: Boolean = false,
               topFrequent: Int = 5, associations: Boolean = true,
               maxAssocCols: Int = 8, sampleN: Int = 10,
-              duplicatesN: Int = 10, phikTab: Boolean = false): TableProfile = {
+              duplicatesN: Int = 10, phikTab: Boolean = true,
+              interactionBins: Int = 6): TableProfile = {
     val fields  = df.schema.fields
     val numeric = fields.filter(f => isNumeric(f.dataType)).map(_.name)
 
@@ -335,13 +378,13 @@ object Profile {
         }
         try onePass()
         catch {
-          case _: java.lang.ArithmeticException =>
+          case e: Exception if hasArithmeticCause(e) =>
             pairs.flatMap { case (a, b) =>
               try {
                 val r = df.agg(corr(q(a), q(b))).head()
                 if (r.isNullAt(0)) None else Some((a, b) -> r.getDouble(0))
               } catch {
-                case _: java.lang.ArithmeticException => None
+                case e2: Exception if hasArithmeticCause(e2) => None
               }
             }.toMap
         }
@@ -400,9 +443,10 @@ object Profile {
         val i = r.fieldIndex("cramers_v")
         if (r.isNullAt(i)) None else Some(r.getDouble(i))
       })
-    // φk — ydata v4's DEFAULT association matrix; OPT-IN here because
-    // each pair pays its own contingency pass + driver inversion, and
-    // the deterministic Cramér's V tab already covers the same pairs.
+    // φk — ydata v4's DEFAULT association matrix, rendered BY DEFAULT
+    // here too (report parity; phikTab = false opts out for
+    // hash-strict replay contexts — each pair pays a contingency pass
+    // + a driver-side numerical inversion that no SQL engine replays).
     // Categorical pairs go through [[phik]]; numeric pairs through the
     // paper's binned interval form ([[phikBinned]]) — the two key sets
     // are disjoint, so one map carries both tabs.
@@ -425,6 +469,36 @@ object Profile {
         if (r.isNullAt(i)) None else Some(r.getDouble(i))
       })
     val phiks = phikCat ++ phikNum
+    // nullity correlation — pairwise missingness association over the
+    // columns pass 1 already measured as PARTIALLY missing (no extra
+    // counting scan; the pass-2 indicator aggregate is the only job)
+    val nullityM: Map[(String, String), Double] =
+      if (!associations) Map.empty
+      else {
+        val cands = fields.map(_.name)
+          .filter(c => getL(s"$c::missing") > 0 && getL(s"$c::missing") < rows)
+          .toSeq
+        if (cands.length < 2 || cands.length > maxAssocCols) Map.empty
+        else nullityPairs(df, cands).collect().toSeq
+          .filter(!_.isNullAt(3))
+          .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+          .toMap
+      }
+    // interactions — 2-D histograms over the numeric columns WITH
+    // spread (histTargets measured them in pass 1); collected result
+    // bounded by pairs × bins² cells
+    val interactionsM: Map[(String, String), Seq[(Int, Int, Long)]] =
+      if (!associations || interactionBins <= 0) Map.empty
+      else {
+        val cands = histTargets.map(_._1)
+        if (cands.length < 2 || cands.length > maxAssocCols) Map.empty
+        else interactions(df, cands, interactionBins).collect().toSeq
+          .groupBy(r => (r.getString(0), r.getString(1)))
+          .map { case (k, rs) =>
+            k -> rs.sortBy(r => (r.getInt(2), r.getInt(3)))
+              .map(r => (r.getInt(2), r.getInt(3), r.getLong(4)))
+          }
+      }
     // first-N row preview, deterministically ordered by every ORDERABLE
     // column — a map-typed column has no ordering and would fail the
     // analysis; such columns still render, they just don't participate
@@ -467,7 +541,7 @@ object Profile {
     TableProfile(table, rows, fields.length, rows - getL("__distinct_rows"),
       profiles, corrs, spearmans, cramers,
       if (sampleN <= 0) Seq.empty else fields.map(_.name).toSeq, sampled,
-      dupList, phiks)
+      dupList, phiks, nullityM, interactionsM)
   }
 
   /** SPEARMAN rank correlation for one column pair — the second
@@ -872,6 +946,26 @@ object Profile {
                  maxGridCells: Long = 10000L,
                  exactCuts: Boolean = true): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    // the grid size is bins² BY CONSTRUCTION — reject a doomed call at
+    // require-time instead of paying the full bucketing + contingency
+    // shuffle just to throw in phik's level guard afterwards
+    require(bins.toLong * bins <= maxGridCells,
+      s"phikBinned with bins = $bins builds a $bins × $bins grid " +
+        s"(${bins.toLong * bins} cells > maxGridCells = $maxGridCells) — " +
+        "lower bins or raise maxGridCells deliberately")
+    phik(quantileBinnedPair(df, aCol, bCol, bins, exactCuts),
+      "__a", "__b", maxGridCells)
+  }
+
+  /** The quantile-binned (__a, __b) label frame that [[phikBinned]] and
+    * [[phikBinnedContingency]] SHARE — one implementation, so the
+    * rows-only interval-φk face and its hash-green contingency
+    * certificate can never bin differently: exact (or GK-approximate)
+    * cutpoints from ONE aggregate broadcast back, strict-greater
+    * bucketing (cutpoint ties land in the lower bin), zero-padded
+    * ascending labels, pairwise-complete null/NaN drop. */
+  private def quantileBinnedPair(df: DataFrame, aCol: String, bCol: String,
+                                 bins: Int, exactCuts: Boolean): DataFrame = {
     val base = df.select(
         graft.expr.Exprs.nanToNull(q(aCol).cast(DoubleType)).as("__x"),
         graft.expr.Exprs.nanToNull(q(bCol).cast(DoubleType)).as("__y"))
@@ -892,10 +986,174 @@ object Profile {
         .reduce(_ + _)
       format_string(s"b%0${math.max(3, bins.toString.length)}d", idx)
     }
-    val binned = base.crossJoin(broadcast(cuts))
+    base.crossJoin(broadcast(cuts))
       .select(bucket(col("__x"), col("__cx")).as("__a"),
         bucket(col("__y"), col("__cy")).as("__b"))
-    phik(binned, "__a", "__b", maxGridCells)
+  }
+
+  /** The HASH-CERTIFIABLE layer of [[phikBinned]]: the SAME quantile
+    * binning ([[quantileBinnedPair]] — shared code, not a re-derivation)
+    * pushed through [[cramersV]]'s deterministic contingency machinery —
+    * ONE row (n, r_levels, c_levels, chi2, cramers_v). Everything the
+    * interval-φk face does up to [[PhikMath.invert]] — cutpoint
+    * placement, strict-greater bucketing, zero-padded label order, the
+    * r×c grid, the per-cell round-6 χ² DECIMAL sum — is exact and
+    * ANSI-SQL-replayable here, so the rows-only surface of
+    * `pr19_phik_interval` shrinks to the bivariate-normal inversion
+    * alone (`pr20_binned_chi2` hash-certifies this layer). Returns
+    * [[cramersV]]'s PERSISTED one-row frame (caller-unpersist
+    * contract). */
+  def phikBinnedContingency(df: DataFrame, aCol: String, bCol: String,
+                            bins: Int = 10, maxGridCells: Long = 10000L,
+                            exactCuts: Boolean = true): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    require(bins.toLong * bins <= maxGridCells,
+      s"phikBinnedContingency with bins = $bins builds a $bins × $bins " +
+        s"grid (${bins.toLong * bins} cells > maxGridCells = " +
+        s"$maxGridCells) — lower bins or raise maxGridCells deliberately")
+    cramersV(quantileBinnedPair(df, aCol, bCol, bins, exactCuts),
+      "__a", "__b", maxGridCells)
+  }
+
+  /** Pairwise MISSINGNESS association — ydata-profiling's nullity
+    * correlation matrix (the default report's "Missing values" section,
+    * finalprojectpandasprofiling.py:50): Pearson φ over the per-column
+    * isNull indicators, one row per (col_a, col_b) pair (input order,
+    * a before b) where BOTH columns are PARTIALLY missing — an all-null
+    * or null-free column has a zero-variance indicator, so its pairs
+    * are undefined and excluded (the ydata convention). Returns
+    * (col_a, col_b, n, nullity_corr): φ from the exact integer
+    * sufficient sums (n, Σa, Σb, Σab; for 0/1 indicators Σa² = Σa)
+    * pushed through a handful of IEEE double ops at ROUND 6 —
+    * deterministic and engine-replayable (the pr3_moments discipline).
+    *
+    * Scale shape: pass 1 is one per-column null-count aggregate (one
+    * scan); pass 2 computes EVERY kept pair's co-null count in ONE
+    * aggregate over the indicator projection (map-side partials, pair
+    * count column-bounded); the φ derivation runs in-plan over the one
+    * sums row through DECIMAL(19,0) products (exact while n² < 10³⁸,
+    * the [[spearman]] envelope). `maxCols` bounds the quadratic pair
+    * fan-out like [[profile]]'s maxAssocCols. */
+  def nullityCorrelation(df: DataFrame, maxCols: Int = 16): DataFrame = {
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "nullityCorrelation needs at least one column")
+    val cntAggs: Seq[Column] = count(lit(1)).as("__n") +:
+      fields.toSeq.map(f => sum(when(q(f.name).isNull, 1L).otherwise(0L))
+        .as(s"__m_${f.name}"))
+    val crow = df.agg(cntAggs.head, cntAggs.tail: _*).head()
+    val n = crow.getLong(0)
+    val cands = fields.map(_.name).filter { c =>
+      val m = crow.getLong(crow.fieldIndex(s"__m_$c")); m > 0 && m < n
+    }.toSeq
+    require(cands.length <= maxCols,
+      s"nullityCorrelation over ${cands.length} partially-missing " +
+        s"columns exceeds maxCols = $maxCols (quadratic pair fan-out) — " +
+        "pass a column subset or raise maxCols deliberately")
+    nullityPairs(df, cands)
+  }
+
+  /** The pass-2 pair aggregation of [[nullityCorrelation]] over a KNOWN
+    * candidate set — [[profile]] calls this directly with the
+    * partially-missing columns its pass 1 already measured, skipping
+    * the counting scan. Fewer than two candidates yields the empty
+    * frame (no pairs to associate). */
+  private[profile] def nullityPairs(df: DataFrame, cols: Seq[String])
+      : DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("col_a", StringType, nullable = false),
+      StructField("col_b", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("nullity_corr", DoubleType, nullable = true)))
+    if (cols.length < 2)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+    val ind = df.select(cols.zipWithIndex.map { case (c, i) =>
+      when(q(c).isNull, 1L).otherwise(0L).as(s"__i$i") }: _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (i, j)
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++
+      cols.indices.map(i => sum(col(s"__i$i")).as(s"__s$i")) ++
+      pairs.map { case (i, j) =>
+        sum(col(s"__i$i") * col(s"__i$j")).as(s"__p${i}_$j") }
+    val sums = ind.agg(aggs.head, aggs.tail: _*)
+    val d19 = DecimalType(19, 0)
+    // var(indicator i) · n² = n·Σa − Σa² = n·Σa − Σa·Σa (Σa² = Σa for
+    // 0/1 values is NOT used — the generic form keeps the expression
+    // identical to the SQL replay)
+    def vari(i: Int): Column =
+      (col("__n").cast(d19) * col(s"__s$i").cast(d19) -
+        col(s"__s$i").cast(d19) * col(s"__s$i").cast(d19)).cast(DoubleType)
+    val entries = pairs.map { case (i, j) =>
+      val cov = (col("__n").cast(d19) * col(s"__p${i}_$j").cast(d19) -
+        col(s"__s$i").cast(d19) * col(s"__s$j").cast(d19)).cast(DoubleType)
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("__n").as("n"),
+        when(vari(i) > 0 && vari(j) > 0,
+          round(cov / sqrt(vari(i) * vari(j)), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("nullity_corr"))
+    }
+    sums.select(explode(array(entries: _*)).as("__e")).select("__e.*")
+  }
+
+  /** ydata-profiling's "Interactions" section as data — the 2-D
+    * histogram per numeric column pair that the default report renders
+    * as scatter/hexbin grids (finalprojectpandasprofiling.py:50): a
+    * bins × bins equal-width grid between each column's [min, max],
+    * OCCUPIED cells only: (col_a, col_b, bx, by, cnt) with bx/by ∈
+    * [0, bins−1] (the max value folds into the top bin), pairs in
+    * `cols` order. Rows where either side is null/NaN drop
+    * (pairwise-complete). Bucketing is plain IEEE arithmetic —
+    * floor((x − lo)/(hi − lo)·bins) capped at bins−1 — so the integer
+    * counts replay exactly in ANSI SQL (width_bucket is not a portable
+    * primitive). A zero-spread column (min == max) has no 2-D extent:
+    * its pairs are excluded, like PR6's zero-variance exclusions.
+    *
+    * Scale shape: ONE min/max aggregate over all columns broadcast back
+    * as a one-row frame (no driver collect), then ONE exploded cell
+    * projection + groupBy count with map-side partials — the output is
+    * bounded by pairs · bins², never row-scaled. */
+  def interactions(df: DataFrame, cols: Seq[String], bins: Int = 10)
+      : DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    require(cols.length >= 2,
+      s"interactions needs >= 2 columns, got ${cols.length}")
+    require(cols.distinct.length == cols.length,
+      s"interactions got duplicate columns: $cols")
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    cols.foreach { c =>
+      require(byName.contains(c), s"no such column: $c")
+      require(isNumeric(byName(c).dataType),
+        s"interactions needs numeric columns; $c is " +
+          byName(c).dataType.simpleString)
+    }
+    val base = df.select(cols.zipWithIndex.map { case (c, i) =>
+      graft.expr.Exprs.nanToNull(q(c).cast(DoubleType)).as(s"__x$i") }: _*)
+    val mmAggs = cols.indices.flatMap(i => Seq(
+      min(col(s"__x$i")).as(s"__lo$i"), max(col(s"__x$i")).as(s"__hi$i")))
+    val mm = base.agg(mmAggs.head, mmAggs.tail: _*)
+    def bucket(i: Int): Column =
+      least(floor((col(s"__x$i") - col(s"__lo$i"))
+          / (col(s"__hi$i") - col(s"__lo$i")) * lit(bins.toDouble)),
+        lit((bins - 1).toLong)).cast(IntegerType)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (i, j)
+    val cells = pairs.map { case (i, j) =>
+      // a pair cell exists only when both sides are present and both
+      // columns have spread — the `when` guard also keeps the bucket
+      // division from ever evaluating 0/0 (NaN would crash the ANSI
+      // floor-to-long cast)
+      when(col(s"__x$i").isNotNull && col(s"__x$j").isNotNull &&
+          col(s"__hi$i") > col(s"__lo$i") && col(s"__hi$j") > col(s"__lo$j"),
+        struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+          bucket(i).as("bx"), bucket(j).as("by")))
+    }
+    base.crossJoin(broadcast(mm))
+      .select(explode(array(cells: _*)).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select("__c.*")
+      .groupBy("col_a", "col_b", "bx", "by")
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** ydata-profiling ALERTS synthesis — the "warnings" block a reader of
@@ -1088,6 +1346,26 @@ object Profile {
       else s"""<h2>Associations (Phik φk)</h2>
               |<table><tr><th>a</th><th>b</th><th>φk</th></tr>
               |${assocRows(p.phik)}</table>""".stripMargin
+    // nullity correlation — the ydata "Missing values" association grid
+    val nullityBlock =
+      if (p.nullity.isEmpty) ""
+      else s"""<h2>Nullity correlation</h2>
+              |<table><tr><th>a</th><th>b</th><th>φ</th></tr>
+              |${assocRows(p.nullity)}</table>""".stripMargin
+    // interactions — one row per pair, its occupied (bx,by):cnt cells
+    // inline (the report stays a dependency-free single file; a reader
+    // gets the joint-distribution shape without a plotting library)
+    val interactionsBlock =
+      if (p.interactions.isEmpty) ""
+      else {
+        val body = p.interactions.toSeq.sortBy(_._1).map { case ((a, b), cells) =>
+          val grid = cells.map { case (x, y, n) => s"($x,$y):$n" }.mkString(" ")
+          s"<tr><td>${esc(a)}</td><td>${esc(b)}</td><td>$grid</td></tr>"
+        }.mkString("\n")
+        s"""<h2>Interactions (2-D histograms)</h2>
+           |<table><tr><th>a</th><th>b</th><th>occupied cells (bx,by):count</th></tr>
+           |$body</table>""".stripMargin
+      }
     // first-N sample — cells truncate like frequent values (a TEXT cell
     // must not paste a whole document into the report)
     val sampleBlock =
@@ -1140,6 +1418,8 @@ object Profile {
        |$spearmanBlock
        |$cramersBlock
        |$phikBlock
+       |$nullityBlock
+       |$interactionsBlock
        |</body></html>""".stripMargin
   }
 

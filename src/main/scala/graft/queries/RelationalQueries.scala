@@ -728,6 +728,150 @@ object RelationalQueries {
     Profile.phikBinned(t(s, dir, "lineitem"), "l_quantity",
       "l_extendedprice", bins = 8)
 
+  /** PR20 — the HASH-GREEN certificate of pr19's binning
+    * ([[graft.profile.Profile.phikBinnedContingency]]): the SAME
+    * quantile binning (shared `quantileBinnedPair` code — one
+    * implementation, zero drift surface) pushed through the pr15
+    * contingency/χ² machinery over the SAME pair and bin count, so the
+    * interval-φk face's rows-only surface shrinks to
+    * [[graft.profile.PhikMath.invert]] alone: cutpoint placement,
+    * strict-greater bucketing, zero-padded label order, the 8×8 grid
+    * and the per-cell round-6 DECIMAL χ² sum are all hash-checked
+    * here. */
+  private val pr20BinnedChi2: Q = (s, dir) =>
+    Profile.phikBinnedContingency(t(s, dir, "lineitem"), "l_quantity",
+      "l_extendedprice", bins = 8)
+
+  /** Generated oracle for pr20: quantile-bin replay — quantile_cont ≡
+    * Spark's exact interpolated percentile (the f11/a13 precedent; the
+    * 1/8-grid fractions are binary-exact literals on both sides),
+    * strict-greater bucketing, zero-padded labels — feeding the exact
+    * pr15 contingency replay over the binned labels. */
+  private def binnedChi2Oracle(xCol: String, yCol: String,
+                               bins: Int): String = {
+    val fr = (1 until bins).map(i => s"CAST(${i.toDouble / bins} AS DOUBLE)")
+      .mkString(", ")
+    def bucket(v: String, cuts: String): String = {
+      val idx = (1 until bins)
+        .map(i => s"(CASE WHEN $v > $cuts[$i] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"'b' || lpad(CAST($idx AS VARCHAR), 3, '0')"
+    }
+    s"""WITH v AS (SELECT CAST($xCol AS DOUBLE) AS x,
+       |  CAST($yCol AS DOUBLE) AS y FROM lineitem
+       |  WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL),
+       |cuts AS (SELECT quantile_cont(x, [$fr]) AS cx,
+       |  quantile_cont(y, [$fr]) AS cy FROM v),
+       |base AS (SELECT ${bucket("x", "cx")} AS a,
+       |  ${bucket("y", "cy")} AS b FROM v CROSS JOIN cuts),
+       |obs AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+       |ra AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1),
+       |cb AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1),
+       |tot AS (SELECT sum(o) AS n FROM obs),
+       |grid AS (SELECT ra.a, cb.b, rt, ct, n, COALESCE(o, 0) AS o0
+       |  FROM ra CROSS JOIN cb CROSS JOIN tot
+       |  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+       |terms AS (SELECT n,
+       |  CAST(ROUND(CAST((CAST(o0 AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+       |      * (CAST(o0 AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct) AS DOUBLE)
+       |    / CAST(CAST(rt AS HUGEINT) * ct * n AS DOUBLE), 6)
+       |    AS DECIMAL(28, 6)) AS term
+       |  FROM grid),
+       |s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+       |  CAST((SELECT count(*) FROM ra) AS INTEGER) AS r_levels,
+       |  CAST((SELECT count(*) FROM cb) AS INTEGER) AS c_levels,
+       |  SUM(term) AS chi2 FROM terms)
+       |SELECT n, r_levels, c_levels, CAST(chi2 AS DOUBLE) AS chi2,
+       |  CASE WHEN LEAST(r_levels, c_levels) > 1 AND n > 0 THEN
+       |    ROUND(SQRT(CAST(chi2 AS DOUBLE)
+       |      / CAST(n * (LEAST(r_levels, c_levels) - 1) AS DOUBLE)), 6)
+       |  ELSE NULL END AS cramers_v
+       |FROM s""".stripMargin
+  }
+
+  /** PR21 — NULLITY CORRELATION
+    * ([[graft.profile.Profile.nullityCorrelation]]): ydata's
+    * missing-values association matrix, over three deterministically
+    * gapped order columns (nulls planted at key mod 5 / 7 / 10, so
+    * co-missingness is exactly the lcm overlap). Pearson φ over the
+    * isNull indicators from exact integer sufficient sums at ROUND 6 ⇒
+    * hash-green; the never-null key column drops out via the
+    * zero-variance gate (the ydata convention). */
+  private val pr21Nullity: Q = (s, dir) =>
+    Profile.nullityCorrelation(t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 5 === 0, lit(null).cast(DoubleType))
+        .otherwise(col("o_totalprice")).as("price_gappy"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast(StringType))
+        .otherwise(col("o_orderpriority")).as("prio_gappy"),
+      when(col("o_orderkey") % 10 === 0, lit(null).cast(LongType))
+        .otherwise(col("o_custkey").cast(LongType)).as("cust_gappy")))
+
+  /** Generated oracle for pr21: indicator sums in HUGEINT, per-pair φ
+    * through the same few double ops at ROUND 6. */
+  private def nullityOracle: String = {
+    val cols = Seq("price_gappy" -> 5, "prio_gappy" -> 7, "cust_gappy" -> 10)
+    val inds = cols.zipWithIndex.map { case ((_, m), i) =>
+      s"CASE WHEN o_orderkey % $m = 0 THEN 1 ELSE 0 END AS i$i" }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length } yield (i, j)
+    val sums = Seq("CAST(count(*) AS HUGEINT) AS n") ++
+      cols.indices.map(i => s"CAST(sum(i$i) AS HUGEINT) AS s$i") ++
+      pairs.map { case (i, j) =>
+        s"CAST(sum(i$i * i$j) AS HUGEINT) AS p${i}_$j" }
+    val arms = pairs.map { case (i, j) =>
+      s"""SELECT '${cols(i)._1}' AS col_a, '${cols(j)._1}' AS col_b,
+         | CAST(n AS BIGINT) AS n,
+         | CASE WHEN CAST(n * s$i - s$i * s$i AS DOUBLE) > 0
+         |   AND CAST(n * s$j - s$j * s$j AS DOUBLE) > 0 THEN
+         |   ROUND(CAST(n * p${i}_$j - s$i * s$j AS DOUBLE)
+         |     / SQRT(CAST(n * s$i - s$i * s$i AS DOUBLE)
+         |       * CAST(n * s$j - s$j * s$j AS DOUBLE)), 6)
+         | ELSE NULL END AS nullity_corr FROM s""".stripMargin
+    }
+    s"""WITH src AS (SELECT ${inds.mkString(",\n  ")} FROM orders),
+       |s AS (SELECT ${sums.mkString(",\n  ")} FROM src)
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** PR22 — INTERACTIONS 2-D histograms
+    * ([[graft.profile.Profile.interactions]]): the ydata report's
+    * pairwise scatter-grid section as data, over three lineitem
+    * numerics at 6 equal-width bins. Bucket ids are plain IEEE floor
+    * arithmetic (portable, unlike width_bucket) and the cell counts are
+    * integers ⇒ hash-green. */
+  private val pr22Interactions: Q = (s, dir) =>
+    Profile.interactions(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_discount", "l_tax"), bins = 6)
+
+  /** Generated oracle for pr22: min/max CTE broadcast back, the same
+    * floor((x−lo)/(hi−lo)·bins) capped-at-top bucket arithmetic, one
+    * grouped count per occupied cell. */
+  private def interactionsOracle(cols: Seq[String], bins: Int): String = {
+    val sel = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST($c AS DOUBLE) AS x$i" }
+    val mm = cols.indices.flatMap(i =>
+      Seq(s"min(x$i) AS lo$i", s"max(x$i) AS hi$i"))
+    def bx(i: Int): String =
+      s"LEAST(CAST(FLOOR((x$i - lo$i) / (hi$i - lo$i) " +
+        s"* CAST($bins AS DOUBLE)) AS BIGINT), ${bins - 1})"
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length } yield (i, j)
+    val arms = pairs.map { case (i, j) =>
+      s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+         | ${bx(i)} AS bx, ${bx(j)} AS by
+         |FROM v CROSS JOIN mm
+         |WHERE x$i IS NOT NULL AND x$j IS NOT NULL
+         |  AND hi$i > lo$i AND hi$j > lo$j""".stripMargin
+    }
+    s"""WITH v AS (SELECT ${sel.mkString(", ")} FROM lineitem),
+       |mm AS (SELECT ${mm.mkString(", ")} FROM v),
+       |cells AS (${arms.mkString("\nUNION ALL\n")})
+       |SELECT col_a, col_b, CAST(bx AS INTEGER) AS bx,
+       | CAST(by AS INTEGER) AS by, CAST(count(*) AS BIGINT) AS cnt
+       |FROM cells GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   // ------------------------------------------- CDC / scale-join extensions
   /** J6 — bloom-pruned semi-join: lineitem rows belonging to high-value
     * orders (~5% selectivity). The big side is pruned by a compact Bloom
@@ -1213,7 +1357,10 @@ object RelationalQueries {
     "pr16_dup_rows" -> pr16DupRows,
     "pr17_phik" -> pr17Phik,
     "pr18_spearman_matrix" -> pr18SpearmanMatrix,
-    "pr19_phik_interval" -> pr19PhikInterval)
+    "pr19_phik_interval" -> pr19PhikInterval,
+    "pr20_binned_chi2" -> pr20BinnedChi2,
+    "pr21_nullity" -> pr21Nullity,
+    "pr22_interactions" -> pr22Interactions)
 
   val oracle: Map[String, String] = Map(
     "k11_changeset_apply" ->
@@ -1853,6 +2000,11 @@ object RelationalQueries {
         |LIMIT 10""".stripMargin,
     "pr18_spearman_matrix" -> spearmanMatrixOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "pr20_binned_chi2" -> binnedChi2Oracle("l_quantity", "l_extendedprice",
+      bins = 8),
+    "pr21_nullity" -> nullityOracle,
+    "pr22_interactions" -> interactionsOracle(
+      Seq("l_quantity", "l_discount", "l_tax"), bins = 6),
     "pr8_frequent" ->
       """WITH cells AS (
         | SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value

@@ -46,8 +46,12 @@ final class LmService(bigrams: DataFrame, words: DataFrame) {
     TextOps.lmScoreAgainst(docs, textCol, idCol, foldedBigrams, foldedWords)
 
   /** The model's vocabulary size (folded distinct words) — the V of
-    * the smoothing denominator; a health number for the nightly. */
-  def vocabSize: Long = foldedWords.count()
+    * the smoothing denominator; a health number for the nightly.
+    * MEMOIZED per service instance: the folded count is immutable for
+    * the layout snapshot this instance opened, so repeated health reads
+    * (a nightly loop, a dashboard) must not re-run the fold job — open
+    * a fresh service after a layout swap for a fresh read. */
+  lazy val vocabSize: Long = foldedWords.count()
 }
 
 object LmService {

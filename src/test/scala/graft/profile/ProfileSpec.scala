@@ -498,4 +498,115 @@ class ProfileSpec extends SparkSpec {
     assert(p.sample.length === 2)
     assert(p.sample.head.head === "1", "ordered by the orderable column")
   }
+
+  test("phikBinnedContingency: SAME binning as phikBinned (chi2/levels " +
+      "identical), and the bins² guard fires at require-time") {
+    val rows = (1 to 100).map { x =>
+      val y = if (x <= 35) x else if (x <= 50) x + 50
+              else if (x <= 65) x - 15 else x - 15
+      (x.toDouble, y.toDouble)
+    }
+    val df = rows.toDF("x", "y")
+    val pk = Profile.phikBinned(df, "x", "y", bins = 4).head()
+    val ct = Profile.phikBinnedContingency(df, "x", "y", bins = 4)
+    val c = ct.head()
+    ct.unpersist(blocking = true)
+    // shared quantileBinnedPair ⇒ the contingency layer cannot drift
+    assert(c.getLong(0) === pk.getLong(0), "n identical")
+    assert(c.getInt(1) === pk.getInt(1) && c.getInt(2) === pk.getInt(2),
+      "levels identical")
+    assert(c.getDouble(c.fieldIndex("chi2")) === pk.getDouble(3),
+      "chi2 identical — same binning, same per-cell round-6 DECIMAL sum")
+    // a doomed grid is rejected BEFORE any distributed work, in both
+    // the rows-only face and its certificate
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.phikBinned(df, "x", "y", bins = 200)
+    }
+    assert(e1.getMessage.contains("maxGridCells"))
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.phikBinnedContingency(df, "x", "y", bins = 200)
+    }
+    assert(e2.getMessage.contains("maxGridCells"))
+  }
+
+  test("nullityCorrelation: hand-computed φ over planted co-missingness; " +
+      "null-free and all-null columns excluded; < 2 candidates → empty; " +
+      "maxCols guard") {
+    // 10 rows: a null on i < 5 (5), b null on i % 2 == 0 (5, overlap 3:
+    // i = 0,2,4), c never null, d always null
+    val d = (0 until 10).map { i =>
+      (if (i < 5) None else Some(i.toDouble),
+       if (i % 2 == 0) None else Some(s"v$i"),
+       i.toLong,
+       None: Option[Double])
+    }.toDF("a", "b", "c", "d")
+    val out = Profile.nullityCorrelation(d).collect()
+    assert(out.length === 1, "only the (a, b) pair is partially missing")
+    val r = out.head
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    assert(r.getLong(2) === 10L)
+    // φ = (n·Σab − Σa·Σb)/√((n·Σa − Σa²)(n·Σb − Σb²))
+    //   = (30 − 25)/√(25 · 25) = 0.2
+    assert(r.getDouble(3) === 0.2)
+    // fewer than two partially-missing columns → empty frame, not a crash
+    val clean = Seq((1, "x"), (2, "y")).toDF("k", "s")
+    assert(Profile.nullityCorrelation(clean).collect().isEmpty)
+    // quadratic fan-out guard
+    val wide = (0 until 3).map(i =>
+      (Option.when(i == 0)(1), Option.when(i == 1)(1), Option.when(i == 2)(1)))
+      .toDF("x", "y", "z")
+    val e = intercept[IllegalArgumentException] {
+      Profile.nullityCorrelation(wide, maxCols = 2)
+    }
+    assert(e.getMessage.contains("maxCols"))
+  }
+
+  test("interactions: hand-computed 2-D cells, max folds into the top " +
+      "bin, null/NaN rows drop, zero-spread columns excluded") {
+    // the noise rows keep y inside [0, 18] — min/max are computed over
+    // the whole column, so an out-of-range y on a dropped row would
+    // silently stretch the grid
+    val d = ((0 to 9).map(i => (Some(i.toDouble), Some(i * 2.0), 1.0)) :+
+      ((None: Option[Double], Some(4.0), 1.0)) :+
+      ((Some(Double.NaN), Some(1.0), 1.0)))
+      .toDF("x", "y", "k")
+    val out = Profile.interactions(d, Seq("x", "y", "k"), bins = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+    // x, y perfectly linear over 10 clean rows: buckets 0,0,0,1,1,1,2,2,2
+    // and x = 9 (the max) folds into bin 2 → diagonal (3, 3, 4);
+    // k is constant (zero spread) → its pairs are absent entirely
+    assert(out === Set(
+      ("x", "y", 0, 0, 3L), ("x", "y", 1, 1, 3L), ("x", "y", 2, 2, 4L)))
+    intercept[IllegalArgumentException] {
+      Profile.interactions(d, Seq("x"), bins = 3)
+    }
+  }
+
+  test("profile() report parity defaults: φk tab ON (ydata v4 default), " +
+      "nullity + interactions sections computed and rendered") {
+    val wide = (1 to 60).map(i =>
+      (i.toDouble, i * 2.0,
+       if (i % 2 == 0) "x" else "y", if (i % 2 == 0) "p" else "q",
+       if (i % 5 == 0) None else Some(i.toDouble),
+       if (i % 3 == 0) None else Some(s"s$i")))
+      .toDF("n1", "n2", "a", "b", "g1", "g2")
+    val p = Profile.profile(wide, "w", exact = true)
+    assert(p.phik.nonEmpty, "φk renders by DEFAULT (ydata v4 parity)")
+    assert(p.nullity.contains(("g1", "g2")),
+      "partially-missing pair in the nullity section")
+    assert(p.interactions.nonEmpty, "interactions grid present")
+    // every (n1, n2) joint cell lies on the diagonal — they are linear
+    assert(p.interactions(("n1", "n2")).forall { case (bx, by, _) => bx == by })
+    val html = Profile.toHtml(p)
+    assert(html.contains("Nullity correlation"))
+    assert(html.contains("Interactions (2-D histograms)"))
+    // duplicateRowValues rejects non-orderable (map) columns loudly
+    val withMap = Seq((1, Map("k" -> 1))).toDF("k", "m")
+    val e = intercept[IllegalArgumentException] {
+      Profile.duplicateRowValues(withMap)
+    }
+    assert(e.getMessage.contains("orderable"))
+  }
 }
