@@ -82,6 +82,26 @@ object Bench {
     // before the warm sweep was not enough — caches re-accumulated ACROSS
     // the warm pass itself and inverted warm vs cold for the second half
     // of the alphabet).
+    // Close-sweep artifact: with REPS > 1, ALSO emit a per-face WARM
+    // MEDIAN over reps 2..N (rep 1 carries the first-touch costs) —
+    // single-sweep warm numbers on this machine flag a different
+    // rotating block of co-tenant-inflated faces every run, and every
+    // round since 13 has paid a page of adjudication for it; medians
+    // across reps kill the placement noise at the artifact level. Use
+    // an EVEN REPS (e.g. 4 → 3 warm reps, true middle element) for the
+    // close sweep.
+    val warmMedian: Map[String, Double] =
+      if (reps <= 1) Map.empty
+      else results
+        .collect { case (k, v, None) if !k.endsWith("#1") =>
+          (k.substring(0, k.lastIndexOf('#')), v) }
+        .groupBy(_._1).map { case (n, vs) =>
+          val s = vs.map(_._2).sorted
+          val m =
+            if (s.length % 2 == 1) s(s.length / 2)
+            else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+          n -> m
+        }
     val warmOn = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") == "1" && reps == 1
     // Warm failures carry a #warm suffix in "failed": a query failing in
     // both passes is listed twice otherwise, indistinguishable from two
@@ -106,9 +126,14 @@ object Bench {
     // driver's log-tail parser ("parsed": null).
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     val warmField = if (warmOn) s""","warm":$warmQs""" else ""
+    val warmMedField =
+      if (warmMedian.isEmpty) ""
+      else warmMedian.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+        .mkString(""","warm_median":{""", ",", "}")
     val loadField =
       s""","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}""""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmField$loadField,"failed":$failed,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmField$warmMedField$loadField,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver's log tail truncates the stdout line on big registries, so
     // ALSO write the complete per-query map to a stable file — cross-round

@@ -2146,6 +2146,35 @@ object ExtensionQueries {
         col("margin").cast("long").as("margin"))
   }
 
+  /** Stored curation-policy layout (LM model + DSIR weights + exact
+    * median thresholds), built ONCE per JVM from the full corpus with
+    * `src0` as the DSIR target
+    * ([[graft.serve.CurationService.buildLayout]]). */
+  private def curationPolicyBase(s: SparkSession, dir: String): String =
+    storedIndexPath("curation_policy", dir) { out =>
+      val docs = t(s, dir, "documents")
+      graft.serve.CurationService.buildLayout(docs,
+        docs.filter(col("source") === "src0"), "text", "doc_id", out)
+    }
+
+  /** SERVING CAPSTONE — gate + mix a document batch against STORED
+    * artifacts only ([[graft.serve.CurationService.curate]]): stored
+    * bigram-LM score ≥ the stored corpus-median threshold AND stored
+    * DSIR margin ≥ the stored margin-median threshold, reported per
+    * source. ONE lazy plan, NO retrain — every other pipe_* capstone
+    * retrains its gates in-query; this face is the 100 TB
+    * nightly-train / per-batch-score shape. The batch is the mod-3
+    * document slice; every component has an exact stored form
+    * (txt_lm_probe / txt_dsir_probe certifications), so the WHOLE
+    * composition — model, margins, medians, gate, mixture — is
+    * hash-green against the full SQL replay. */
+  private val pipeServedCurate: Q = (s, dir) => {
+    val root = curationPolicyBase(s, dir)
+    val batch = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+    graft.serve.CurationService.overParquetDir(s, root)
+      .curate(batch, "text", "doc_id", "source")
+  }
+
   /** Capstone near-dedup pipeline: ORGANIC similarity pairs (consecutive
     * docs with token-Jaccard ≥ 0.7 — the corpus has real runs of similar
     * neighbors, largest component 10 docs / diameter 9 at sf0.01) →
@@ -3912,6 +3941,7 @@ object ExtensionQueries {
     "txt_lm_probe" -> txtLmProbe,
     "txt_lm_transfer" -> txtLmTransfer,
     "pipe_gopher_curate" -> pipeGopherCurate,
+    "pipe_served_curate" -> pipeServedCurate,
     "txt_domains" -> txtDomains,
     "txt_normalize" -> txtNormalize,
     "w8_scd2" -> w8Scd2,
@@ -5837,6 +5867,35 @@ object ExtensionQueries {
              |GROUP BY 1""".stripMargin
           .replace("$GOPHER$", gopherRulesSql)
           .replace("$LM$", lmScoreSql),
+      // served-curation capstone: the stored LM model ≡ the in-query
+      // model on the training corpus (txt_lm_probe) and the stored DSIR
+      // weights ≡ a retrain (txt_dsir_probe), so the replay recomputes
+      // BOTH models in SQL, takes the same exact interpolated medians
+      // the stored policy row carries, and replays gate + mixture over
+      // the mod-3 batch — the whole served composition hash-checks.
+      "pipe_served_curate" ->
+        raw"""WITH lm_all AS ($$LM$$),
+             | mg_all AS ($$DSIR$$),
+             | th AS (SELECT
+             |   (SELECT quantile_cont(lm_logp, 0.5) FROM lm_all) AS lm_min,
+             |   (SELECT quantile_cont(margin, 0.5) FROM mg_all) AS margin_min),
+             | tok AS (SELECT doc_id, source,
+             |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+             |     AS n_tokens FROM documents WHERE doc_id % 3 = 0)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             | ROUND(AVG(lm_logp), 6) AS avg_lm_logp,
+             | CAST(MIN(margin) AS BIGINT) AS min_margin
+             |FROM tok
+             | JOIN lm_all USING (doc_id)
+             | JOIN mg_all USING (doc_id)
+             | CROSS JOIN th
+             |WHERE lm_logp IS NOT NULL AND lm_logp >= lm_min
+             |  AND margin >= margin_min
+             |GROUP BY 1""".stripMargin
+          .replace("$LM$", lmScoreSql)
+          .replace("$DSIR$", dsirStatsOracleSql("")),
       "txt_domains" ->
         """WITH d AS (SELECT doc_id, unnest(regexp_extract_all(
           |   text || ' see https://site' || (doc_id % 7) ||

@@ -1,0 +1,96 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored-artifact CURATION tier — the serving capstone: gate + mix a
+  * document batch using ONLY stored layouts (the trained bigram-LM
+  * model, the trained DSIR bucket weights, and a stored one-row policy
+  * threshold), composed in ONE lazy plan with NO retrain. Every other
+  * `pipe_*` capstone face retrains its gates in-query; at 100 TB the
+  * gates are trained nightly (or streamed into — both component layouts
+  * are streamed index families) and each incoming batch pays O(batch)
+  * feature extraction + model-sized broadcast joins. This class is that
+  * serving shape in one place.
+  *
+  * Layout at `root`:
+  *   - `root/lm`          an [[LmService]] layout (bigrams + words);
+  *   - `root/dsir`        a [[DsirService]] weight layout;
+  *   - `root/thresholds`  ONE row (lm_min DOUBLE, margin_min DOUBLE):
+  *     the stored curation policy — exact interpolated medians of the
+  *     training corpus's LM score and DSIR margin, measured AGAINST THE
+  *     STORED ARTIFACTS at build time. Stored scoring of the training
+  *     corpus replays the in-query recompute bit-for-bit (the
+  *     txt_lm_probe / txt_dsir_probe certifications), so the policy row
+  *     itself is SQL-replayable and the whole served gate hash-greens
+  *     (`pipe_served_curate`).
+  *
+  * Reference anchor: the reference pipeline's dag retrains nothing and
+  * serves nothing trained; this tier exists for the 100 TB
+  * training-data path, where re-deriving corpus-global gates per scored
+  * batch is the difference between O(batch) and O(corpus). */
+final class CurationService(val lm: LmService, val dsir: DsirService,
+                            thresholds: DataFrame) {
+
+  /** Gate + mix: per source, the docs whose stored-LM score AND stored
+    * DSIR margin both clear the stored policy thresholds. Returns
+    * (source, n_docs, total_tokens, avg_lm_logp, min_margin) — the
+    * mixture report plus the worst admitted margin (min, not sum: a
+    * margin sum can overflow BIGINT at corpus scale and adds nothing a
+    * mixture reader uses). ONE lazy plan: batch-sized features,
+    * model-sized joins, a broadcast one-row policy attach, one final
+    * aggregate. Docs with no score (empty text → NULL lm_logp) fail
+    * the gate, the pipe_gopher_curate convention. */
+  def curate(docs: DataFrame, textCol: String, idCol: String,
+             sourceCol: String): DataFrame = {
+    val lmScores = lm.score(docs, textCol, idCol)
+      .select(col(idCol), col("lm_logp"))
+    val margins = dsir.scoreStats(docs, textCol, idCol)
+      .select(col(idCol), col("margin").cast("long").as("__margin"))
+    docs.select(col(idCol), col(sourceCol).as("source"),
+        graft.text.TextOps.tokenCount(col(textCol)).as("__n_tokens"))
+      .join(lmScores, idCol)
+      .join(margins, idCol)
+      .crossJoin(broadcast(thresholds))
+      .filter(col("lm_logp").isNotNull && col("lm_logp") >= col("lm_min")
+        && col("__margin") >= col("margin_min"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n_tokens")).as("total_tokens"),
+        round(avg(col("lm_logp")), 6).as("avg_lm_logp"),
+        min(col("__margin")).as("min_margin"))
+  }
+}
+
+object CurationService {
+
+  /** Train and store the full curation-policy layout at `root`: the LM
+    * model and the DSIR weights (one corpus pass each), then the
+    * one-row threshold policy measured by scoring the TRAINING corpus
+    * against the just-stored artifacts — exact interpolated medians,
+    * replayable because stored scoring of the training corpus ≡ the
+    * in-query recompute bit-for-bit. */
+  def buildLayout(docs: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, root: String): Unit = {
+    val spark = docs.sparkSession
+    LmService.buildLayout(docs, textCol, idCol, s"$root/lm")
+    DsirService.buildWeights(docs, target, textCol, idCol, s"$root/dsir")
+    val lmSvc = LmService.overParquetDir(spark, s"$root/lm")
+    val dsSvc = DsirService.overParquetDir(spark, s"$root/dsir")
+    val lmMed = lmSvc.score(docs, textCol, idCol)
+      .agg(expr("percentile(lm_logp, 0.5D)").as("lm_min"))
+    val mgMed = dsSvc.scoreStats(docs, textCol, idCol)
+      .select(col("margin").cast("long").as("m"))
+      .agg(expr("percentile(m, 0.5D)").as("margin_min"))
+    lmMed.crossJoin(mgMed).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/thresholds")
+  }
+
+  /** Open a stored curation layout for serving (crashed swaps healed
+    * first — the family contract, delegated per component layout). */
+  def overParquetDir(spark: SparkSession, root: String): CurationService =
+    new CurationService(
+      LmService.overParquetDir(spark, s"$root/lm"),
+      DsirService.overParquetDir(spark, s"$root/dsir"),
+      spark.read.parquet(s"$root/thresholds"))
+}

@@ -208,7 +208,19 @@ object Maintenance {
                     numFiles: Int = 1): Boolean = {
     graft.streaming.BatchCommit.scrubUncommitted(spark, root,
       Seq(s"$root/bigrams", s"$root/words"))
+    // health invariant around the fold: integer-sum folding is
+    // key-preserving, so the folded vocabulary size must equal the
+    // reader-side folded size measured before — a collapse here means
+    // lost model keys and must fail the nightly, not the next scoring
+    // request. vocabSize is memoized per service instance, so each side
+    // of the invariant is exactly ONE model-sized count.
+    val before = LmService.overParquetDir(spark, root).vocabSize
     LmService.compactModel(spark, root, numFiles)
+    val after = LmService.overParquetDir(spark, root).vocabSize
+    require(after == before,
+      s"LM fold changed the vocabulary size ($before -> $after) — the " +
+        "groupBy-sum fold must be key-preserving; the layout may be " +
+        "corrupt, investigate before serving")
     false
   }
 

@@ -28,11 +28,21 @@ import graft.ops.EventAnalytics
   *     sketch at the same k or merges would silently degrade, so k is
   *     pinned in the layout and recovered, never passed per call;
   *   - `root/hourly`  (h TIMESTAMP, event_type STRING, n BIGINT,
-  *     sk BINARY) — one base file-set plus one delta file-set per
-  *     streamed micro-batch; READERS fold by (h, type) with
-  *     `kll_merge_agg` + `sum(n)`, and the nightly [[compactHourly]]
-  *     materializes that fold back to one row per (h, type) behind a
-  *     marker-fenced swap.
+  *     sk BINARY) PARTITIONED BY d = to_date(h) — one base file-set
+  *     plus one delta file-set per streamed micro-batch (deltas land
+  *     inside the same date directories); READERS fold by (h, type)
+  *     with `kll_merge_agg` + `sum(n)`, and the nightly
+  *     [[compactHourly]] materializes that fold back to one row per
+  *     (h, type) behind a marker-fenced swap. The date partitioning is
+  *     what keeps [[latestTrailing]] output-sized under streaming
+  *     RETENTION: the layout grows without bound (years × types of
+  *     hourly rows) while a probe's window does not, so the probe scan
+  *     must prune to ⌈window/24⌉ + 1 partitions instead of listing and
+  *     reading every retained file;
+  *   - `root/schema`  a zero-row parquet pinning the hourly schema
+  *     (incl. the d partition column) — a freshly-bootstrapped EMPTY
+  *     partitioned layout has no data files to infer a schema from,
+  *     and readers with a pinned schema also skip inference.
   *
   * Certification: n_samples is integer-exact end-to-end (hash-grade);
   * quantile estimates are KLL rank-error approximations with
@@ -73,29 +83,58 @@ final class RollingQuantileService(hourly: DataFrame, val k: Int) {
     * type, as of the latest stored hour": filters the layout to the
     * last `window` hours (partition-prunable at scale) and merges
     * ≤ `window` sketches per type. Returns one row per type with data
-    * in the window: (hour_us — the answered as-of hour, event_type,
-    * n_samples, p…). Output-sized: |types| rows, sketch-sized work. */
+    * in the window: (hour_us — the answered as-of hour, GLOBAL across
+    * types; event_type; last_data_us — the type's OWN latest hour with
+    * n > 0 sketch mass inside the window, NULL for a type whose window
+    * rows are all empty-spine heartbeats, so a stalled feed is visible
+    * next to the fresh global stamp instead of masked by it;
+    * n_samples; p…). Output-sized: |types| rows, sketch-sized work. */
   def latestTrailing(window: Int, ps: Seq[Double] = Seq(0.5, 0.95))
       : DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile ranks must be in [0, 1], got $ps")
     EventAnalytics.requireDistinctLabels(ps)
-    // max over the RAW layout rows — folding first would pay a
-    // (h, type) sketch-merge shuffle just to find the latest hour
-    val hi = hourly.agg(max(col("h")).as("hi"))
-    val inWin = hourly.crossJoin(broadcast(hi))
-      .filter(col("h") >= col("hi") - expr(s"INTERVAL ${window - 1} HOURS")
-        && col("h") <= col("hi"))
+    // stored layouts carry the DATE partition column d; a frame handed
+    // to the constructor directly may not — derive it (same values,
+    // just not partition-prunable)
+    val hdf =
+      if (hourly.columns.contains("d")) hourly
+      else hourly.withColumn("d", to_date(col("h")))
+    // Find the as-of hour in two partition-pruned driver steps instead
+    // of one whole-layout max(h): under streaming retention the layout
+    // grows without bound while the probe's window does not — max(d)
+    // touches partition values + footers only, max(h) reads ONE date
+    // partition, and the window filter below prunes the data scan to
+    // ≤ ⌈window/24⌉ + 1 partitions (PartitionFilters, plan-pinned in
+    // StreamOpsSpec).
+    val maxDRow = hdf.agg(max(col("d"))).head()
+    val inWin =
+      if (maxDRow.isNullAt(0))
+        // empty layout → empty result with the contract schema
+        hdf.filter(lit(false))
+          .withColumn("__hi", lit(null).cast("timestamp"))
+      else {
+        val maxD = maxDRow.getDate(0)
+        val hi = hdf.filter(col("d") === lit(maxD))
+          .agg(max(col("h"))).head().getTimestamp(0)
+        val hiLit = lit(hi)
+        val loTs = hiLit - expr(s"INTERVAL ${window - 1} HOURS")
+        hdf.filter(col("d") >= to_date(loTs) && col("d") <= lit(maxD)
+            && col("h") >= loTs && col("h") <= hiLit)
+          .withColumn("__hi", hiLit)
+      }
     val qCols = ps.map { p =>
       round(expr(s"kll_quantile(__m, ${p}D)"), 6)
         .as(EventAnalytics.qLabel(p))
     }
     inWin.groupBy("event_type")
-      .agg(max(unix_micros(col("hi"))).as("hour_us"),
+      .agg(max(unix_micros(col("__hi"))).as("hour_us"),
+        max(when(col("n") > 0, unix_micros(col("h"))))
+          .as("last_data_us"),
         sum(col("n")).as("n_samples"),
         expr(s"kll_merge_agg(sk, $k)").as("__m"))
-      .select(Seq(col("hour_us"), col("event_type"),
+      .select(Seq(col("hour_us"), col("event_type"), col("last_data_us"),
         col("n_samples")) ++ qCols: _*)
   }
 }
@@ -112,7 +151,8 @@ object RollingQuantileService {
 
   /** Build the full stored layout at `root` from a batch event frame
     * (an EMPTY frame is fine — bootstrap everything through the
-    * stream). */
+    * stream; the schema sidecar keeps the fileless partitioned layout
+    * readable). */
   def buildLayout(events: DataFrame, typeCol: String, tsCol: String,
                   valueCol: String, root: String, k: Int = 200,
                   numFiles: Int = 1): Unit = {
@@ -121,13 +161,33 @@ object RollingQuantileService {
     import spark.implicits._
     Seq(k).toDF("k").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/meta")
-    hourlySketches(events, typeCol, tsCol, valueCol, k)
-      .coalesce(numFiles).write.mode("overwrite").parquet(s"$root/hourly")
+    val sk = hourlySketches(events, typeCol, tsCol, valueCol, k)
+      .withColumn("d", to_date(col("h")))
+    // zero-row schema sidecar (limit(0) folds to an empty local
+    // relation — no event scan)
+    sk.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/schema")
+    sk.coalesce(numFiles).write.mode("overwrite")
+      .partitionBy("d").parquet(s"$root/hourly")
   }
 
   /** The layout's pinned sketch resolution. */
   def kOf(spark: SparkSession, root: String): Int =
     spark.read.parquet(s"$root/meta").head().getInt(0)
+
+  /** Read `root/hourly` with the pinned schema sidecar when present: a
+    * freshly-bootstrapped EMPTY partitioned layout has no data files to
+    * infer from, and pinning also spares every probe the inference
+    * pass. Pre-sidecar layouts (a frame built by hand) fall back to
+    * inference. */
+  private def readHourly(spark: SparkSession, root: String): DataFrame = {
+    val sd = new org.apache.hadoop.fs.Path(s"$root/schema")
+    val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sd))
+      spark.read.schema(spark.read.parquet(s"$root/schema").schema)
+        .parquet(s"$root/hourly")
+    else spark.read.parquet(s"$root/hourly")
+  }
 
   /** Open a stored layout for serving (crashed swaps healed first —
     * the family contract). */
@@ -135,8 +195,7 @@ object RollingQuantileService {
       : RollingQuantileService = {
     graft.io.Sinks.recoverCrashedSwap(spark, root)
     graft.io.Sinks.recoverCrashedSwap(spark, s"$root/hourly")
-    new RollingQuantileService(spark.read.parquet(s"$root/hourly"),
-      kOf(spark, root))
+    new RollingQuantileService(readHourly(spark, root), kOf(spark, root))
   }
 
   /** FOLD streamed sketch deltas back to one row per (hour, type) —
@@ -157,11 +216,13 @@ object RollingQuantileService {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
-    spark.read.parquet(s"$root/hourly")
+    readHourly(spark, root)
       .groupBy(col("h"), col("event_type"))
       .agg(sum(col("n")).as("n"),
         expr(s"kll_merge_agg(sk, $k)").as("sk"))
-      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+      .withColumn("d", to_date(col("h")))
+      .coalesce(numFiles).write.mode("overwrite")
+      .partitionBy("d").parquet(tmp)
     graft.io.Sinks.swapDir(spark, s"$root/hourly", tmp)
   }
 }

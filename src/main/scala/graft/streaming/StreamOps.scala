@@ -439,9 +439,14 @@ object StreamOps {
         "merge silently and degrade quantile accuracy; use the " +
         "layout's k")
     BatchCommit.runOnce(batch.sparkSession, root, batchId) { staging =>
+      // deltas carry the layout's d = to_date(h) partitioning —
+      // BatchCommit.moveIn preserves partition subpaths, so streamed
+      // files land inside the same date directories the base fileset
+      // uses and every reader's partition pruning covers them too
       graft.serve.RollingQuantileService
         .hourlySketches(batch, typeCol, tsCol, valueCol, k)
-        .coalesce(1).write.parquet(s"$staging/hourly")
+        .withColumn("d", to_date(col("h")))
+        .coalesce(1).write.partitionBy("d").parquet(s"$staging/hourly")
       Seq(s"$staging/hourly" -> s"$root/hourly")
     }
   }

@@ -624,11 +624,18 @@ class StreamOpsSpec extends SparkSpec {
         "n_samples", "p50", "p95")
       .as[(Long, String, Long, Option[Double], Option[Double])]
       .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
-    // nightly fold: sketch-row arithmetic, marker-fenced swap
+    // nightly fold: sketch-row arithmetic, marker-fenced swap (the
+    // layout is date-partitioned now — count parquet files RECURSIVELY
+    // under the d=... directories)
     assert(!graft.serve.Maintenance.nightlyRollingQuantiles(spark, root))
-    val hourlyFiles = new java.io.File(s"$root/hourly")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(hourlyFiles <= 2, s"fold should compact delta files, got $hourlyFiles")
+    def parquetCount(dir: java.io.File): Int =
+      if (!dir.exists) 0
+      else dir.listFiles.map(f =>
+        if (f.isDirectory) parquetCount(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+    val hourlyFiles = parquetCount(new java.io.File(s"$root/hourly"))
+    assert(hourlyFiles >= 1 && hourlyFiles <= 2,
+      s"fold should compact delta files, got $hourlyFiles")
     val folded = RollingQuantileService.overParquetDir(spark, root)
     val post = folded.trailingSeries(window = 2)
       .select("hour_us", "event_type", "n_samples", "p50", "p95")
@@ -707,6 +714,52 @@ class StreamOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pinned to k = 200"))
     assert(counts() === once)
+  }
+
+  test("rolling-quantile layout is DATE-PARTITIONED and latestTrailing " +
+      "prunes the probe scan to the window's partitions (plan-pinned); " +
+      "per-type last_data_us surfaces staleness") {
+    import graft.serve.RollingQuantileService
+    val root = java.nio.file.Files.createTempDirectory("rq_part_").toString
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // 5 days × 4 early hours of type-a data; type b stalls after day 4
+    val ev = (for { d <- 1 to 5; h <- 0 until 4; i <- 0 until 3 }
+      yield ("a", ts(d, h), (d * 10 + i).toDouble)) ++
+      Seq(("b", ts(4, 23), 1.0))
+    RollingQuantileService.buildLayout(ev.toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", root, k = 200)
+    // physical layout: one d=YYYY-MM-DD directory per day
+    val dirs = new java.io.File(s"$root/hourly").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs === (1 to 5).map(d => f"d=2024-01-$d%02d"),
+      s"expected one date partition per day, got $dirs")
+    val svc = RollingQuantileService.overParquetDir(spark, root)
+    // as-of hour = 2024-01-05 03:00; 24 h window reaches back to
+    // 2024-01-04 04:00 → in-window data: a's 4 day-5 hours (12 values),
+    // b's 23:00 heartbeat on day 4 (1 value, its OWN last data hour)
+    val probe = svc.latestTrailing(window = 24)
+    val rows = probe.collect()
+    val byType = rows.map(r => r.getString(1) -> r).toMap
+    val hiUs = ts(5, 3).getTime * 1000L
+    assert(byType.keySet === Set("a", "b"))
+    assert(byType("a").getLong(0) === hiUs && byType("b").getLong(0) === hiUs,
+      "hour_us is the GLOBAL as-of stamp")
+    assert(byType("a").getLong(3) === 12L, "4 in-window hours × 3 values")
+    assert(byType("b").getLong(3) === 1L)
+    assert(byType("a").getLong(2) === hiUs, "a has data at the as-of hour")
+    assert(byType("b").getLong(2) === ts(4, 23).getTime * 1000L,
+      "b's last_data_us is its OWN latest data hour — the stall is visible")
+    // plan pin: the probe's data scan must carry a PartitionFilter on d
+    // (≤ ⌈window/24⌉ + 1 partitions read, never the whole retention)
+    val scans = allPlanNodes(probe.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan in the probe plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "d")),
+        "probe scan must prune by the d partition column — an unpruned " +
+          "scan reads the layout's entire retention: " + s.partitionFilters)
+    }
   }
 
   test("rolling-quantile stored spine matches the in-query face for " +
