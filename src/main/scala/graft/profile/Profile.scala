@@ -459,15 +459,33 @@ object Profile {
         val i = r.fieldIndex("phik")
         if (r.isNullAt(i)) None else Some(r.getDouble(i))
       })
+    // Numeric pairs bin through SHARED per-column cutpoints — ONE
+    // exact-percentile aggregate for ALL columns + one persisted binned
+    // projection, each pair then paying only a label-pair contingency.
+    // (A per-pair phikBinned loop would recompute both columns' exact
+    // cutpoints for every pair: O(pairs) full-value gathers — the
+    // spearmanSharedRanks lesson.) Binning each column ONCE on its own
+    // marginal is also the phik library's own convention; the
+    // standalone [[phikBinned]] keeps the pairwise-complete form the
+    // pr19/pr20 faces certify (the two agree exactly on null/NaN-free
+    // columns).
     val phikNum =
       if (!phikTab || !associations || numeric.length < 2 ||
           numeric.length > maxAssocCols)
         Map.empty[(String, String), Double]
-      else pairStats(numeric.toSeq, (a, b) => {
-        val r = phikBinned(df, a, b).head()
-        val i = r.fieldIndex("phik")
-        if (r.isNullAt(i)) None else Some(r.getDouble(i))
-      })
+      else {
+        val binned = quantileBinnedColumns(df, numeric.toSeq, 10)
+        try {
+          val idx = numeric.zipWithIndex.toMap
+          pairStats(numeric.toSeq, (a, b) => {
+            val r = phik(binned.select(
+              col(s"__b${idx(a)}").as("__a"),
+              col(s"__b${idx(b)}").as("__b")), "__a", "__b").head()
+            val i = r.fieldIndex("phik")
+            if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          })
+        } finally binned.unpersist(blocking = true)
+      }
     val phiks = phikCat ++ phikNum
     // nullity correlation — pairwise missingness association over the
     // columns pass 1 already measured as PARTIALLY missing (no extra
@@ -940,7 +958,14 @@ object Profile {
     * `exactCuts = false` is the 100 TB path (GK `percentile_approx`,
     * the [[graft.quality.Quality.percentileGate]] contract — cutpoint
     * placement shifts within sketch error, which perturbs bin
-    * populations but not the statistic's meaning). */
+    * populations but not the statistic's meaning).
+    *
+    * NOTE the guard here is A-PRIORI (bins², before any work) while
+    * [[phik]]'s is observed-levels: low-cardinality data collapses tied
+    * cutpoints well below bins² actual levels, so an over-specified
+    * `bins` on 5-distinct data is rejected even though the observed
+    * grid would have been tiny — size `bins` to the data (≤ its
+    * cardinality) or raise `maxGridCells` deliberately. */
   def phikBinned(df: DataFrame, aCol: String, bCol: String,
                  bins: Int = 10,
                  maxGridCells: Long = 10000L,
@@ -989,6 +1014,42 @@ object Profile {
     base.crossJoin(broadcast(cuts))
       .select(bucket(col("__x"), col("__cx")).as("__a"),
         bucket(col("__y"), col("__cy")).as("__b"))
+  }
+
+  /** SHARED-CUTPOINT binned labels over a set of numeric columns — the
+    * O(columns) form [[profile]]'s default φk tab uses: every column's
+    * exact interpolated cutpoints come from ONE aggregate (a per-pair
+    * [[phikBinned]] loop gathers both columns' full value sets for
+    * EVERY pair — O(pairs) percentile jobs), broadcast back once, and
+    * every column binned in one projection. Null/NaN values keep a
+    * NULL label so each pair's [[phik]] contingency drops them
+    * pairwise-complete, like the per-pair form; the cutpoints
+    * themselves are per-column marginals (the phik library's own
+    * binning convention — identical to the pairwise-complete form
+    * whenever the columns are null/NaN-free). Labels are the identical
+    * zero-padded ascending format. Returns the binned frame
+    * (__b0 … __bN in `cols` order), PERSISTED — caller unpersists. */
+  private[profile] def quantileBinnedColumns(df: DataFrame,
+      cols: Seq[String], bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    require(cols.nonEmpty, "quantileBinnedColumns needs columns")
+    val base = df.select(cols.zipWithIndex.map { case (c, i) =>
+      graft.expr.Exprs.nanToNull(q(c).cast(DoubleType)).as(s"__x$i") }: _*)
+    val ps = (1 until bins).map(i => s"${i.toDouble / bins}D")
+      .mkString(", ")
+    val cutAggs = cols.indices.map(i =>
+      expr(s"percentile(__x$i, array($ps))").as(s"__c$i"))
+    def bucket(i: Int): Column = {
+      val idx = (1 until bins).map(j =>
+        when(col(s"__x$i") > element_at(col(s"__c$i"), j), 1).otherwise(0))
+        .reduce(_ + _)
+      when(col(s"__x$i").isNotNull,
+        format_string(s"b%0${math.max(3, bins.toString.length)}d", idx))
+    }
+    val binned = base
+      .crossJoin(broadcast(base.agg(cutAggs.head, cutAggs.tail: _*)))
+      .select(cols.indices.map(i => bucket(i).as(s"__b$i")): _*)
+    binned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The HASH-CERTIFIABLE layer of [[phikBinned]]: the SAME quantile

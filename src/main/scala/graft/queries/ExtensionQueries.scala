@@ -1856,9 +1856,14 @@ object ExtensionQueries {
     * randomness), twinned by the hash-green exact
     * `evt_rolling_quantiles` face; n_samples is integer-exact and the
     * StreamOpsSpec pins stored ≡ in-query within the k = 200
-    * rank-error envelope. Measured at sf0.1: 0.61 s warm (4.7 s cold
-    * including the once-per-JVM layout build) vs 1.1 s for the
-    * in-query sketch face and 3.3 s for the exact face. */
+    * rank-error envelope. Measured at sf0.1 (round 20, date-partitioned
+    * layout — the probe now PRUNES its scan to ≤ ⌈window/24⌉ + 1 date
+    * partitions, so it stays output-sized under unbounded streaming
+    * retention): 0.75 s warm (7.2 s cold including the once-per-JVM
+    * layout build) vs 1.2 s for the in-query sketch face and 3.8 s for
+    * the exact face; the ~0.1 s over the round-19 flat layout is the
+    * two tiny partition-pruned driver steps that find the as-of hour
+    * without listing the whole retention. */
   private val evtRollingProbe: Q = (s, dir) =>
     graft.serve.RollingQuantileService
       .overParquetDir(s, rollingQuantileBase(s, dir))
@@ -2167,7 +2172,13 @@ object ExtensionQueries {
     * document slice; every component has an exact stored form
     * (txt_lm_probe / txt_dsir_probe certifications), so the WHOLE
     * composition — model, margins, medians, gate, mixture — is
-    * hash-green against the full SQL replay. */
+    * hash-green against the full SQL replay. Measured at sf0.1:
+    * 3.3 s warm (13.1 cold incl. the once-per-JVM policy build) ≈ the
+    * two probe costs (1.3 + 1.2 s) plus the joins/mixture — vs the
+    * in-query equivalent of an LM retrain + a DSIR weight retrain
+    * (txt_dsir_weight alone runs 2.8–4.8 s warm), and the gap is the
+    * retrains, so it widens with corpus size while this stays
+    * batch-sized. */
   private val pipeServedCurate: Q = (s, dir) => {
     val root = curationPolicyBase(s, dir)
     val batch = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)

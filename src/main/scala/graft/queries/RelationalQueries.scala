@@ -751,11 +751,14 @@ object RelationalQueries {
                                bins: Int): String = {
     val fr = (1 until bins).map(i => s"CAST(${i.toDouble / bins} AS DOUBLE)")
       .mkString(", ")
+    // pad width mirrors quantileBinnedPair's format_string exactly —
+    // a hardcoded 3 would silently drift from the engine at bins ≥ 1000
+    val pad = math.max(3, bins.toString.length)
     def bucket(v: String, cuts: String): String = {
       val idx = (1 until bins)
         .map(i => s"(CASE WHEN $v > $cuts[$i] THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"'b' || lpad(CAST($idx AS VARCHAR), 3, '0')"
+      s"'b' || lpad(CAST($idx AS VARCHAR), $pad, '0')"
     }
     s"""WITH v AS (SELECT CAST($xCol AS DOUBLE) AS x,
        |  CAST($yCol AS DOUBLE) AS y FROM lineitem

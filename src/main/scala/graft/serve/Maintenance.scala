@@ -213,7 +213,13 @@ object Maintenance {
     // reader-side folded size measured before — a collapse here means
     // lost model keys and must fail the nightly, not the next scoring
     // request. vocabSize is memoized per service instance, so each side
-    // of the invariant is exactly ONE model-sized count.
+    // of the invariant is exactly ONE model-sized count. The invariant
+    // is valid under the SAME quiescence contract every maintenance op
+    // here already demands (scrubUncommitted refuses a mid-commit
+    // stream, and a live stream racing the fold could lose a delta to
+    // the swap regardless) — a batch committed between the two reads
+    // would trip this require, which is the contract violation
+    // surfacing, not a false alarm.
     val before = LmService.overParquetDir(spark, root).vocabSize
     LmService.compactModel(spark, root, numFiles)
     val after = LmService.overParquetDir(spark, root).vocabSize

@@ -189,12 +189,54 @@ object RollingQuantileService {
     else spark.read.parquet(s"$root/hourly")
   }
 
+  /** ONE-TIME migration of a pre-partitioning (flat) layout to the
+    * date-partitioned contract. The sidecar's absence IS the legacy
+    * marker: a flat `root/hourly` always holds ≥ 1 schema-bearing
+    * part-file (even when empty — the old non-partitioned write emitted
+    * one), so its rows rewrite into d = to_date(h) partitions behind
+    * the family's marker-fenced swap, and the schema sidecar is written
+    * LAST — crash ordering: a crash mid-rewrite leaves the flat layout
+    * and no sidecar (re-run redoes everything); a crash between the
+    * swap and the sidecar leaves a partitioned layout and no sidecar
+    * (re-run re-reads it by inference — d is then a real partition
+    * column — and completes; one wasted rewrite, no wrong answer).
+    * Without this migration, the first streamed delta would drop d=...
+    * directories NEXT TO the legacy flat files and Spark's partition
+    * discovery would reject the mixed layout for every subsequent
+    * reader. Idempotent; costs one exists() once migrated. Runs under
+    * the same quiescence contract as the maintenance ops (no live
+    * ingest mid-migration). */
+  private[graft] def migrateLegacyLayout(spark: SparkSession,
+                                         root: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/schema"))) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/hourly"))) return
+    val flat = spark.read.parquet(s"$root/hourly")
+    val withD =
+      if (flat.columns.contains("d")) flat
+      else flat.withColumn("d", to_date(col("h")))
+    // capture the schema NOW — the sidecar writes after the swap, when
+    // the flat source files this plan reads no longer exist
+    val layoutSchema = withD.schema
+    val tmp = s"$root/hourly-__rebuilding__"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed attempt
+    withD.coalesce(1).write.mode("overwrite")
+      .partitionBy("d").parquet(tmp)
+    graft.io.Sinks.swapDir(spark, s"$root/hourly", tmp)
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        layoutSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/schema")
+  }
+
   /** Open a stored layout for serving (crashed swaps healed first —
     * the family contract). */
   def overParquetDir(spark: SparkSession, root: String)
       : RollingQuantileService = {
     graft.io.Sinks.recoverCrashedSwap(spark, root)
     graft.io.Sinks.recoverCrashedSwap(spark, s"$root/hourly")
+    migrateLegacyLayout(spark, root)
     new RollingQuantileService(readHourly(spark, root), kOf(spark, root))
   }
 
@@ -211,6 +253,7 @@ object RollingQuantileService {
                     numFiles: Int = 1): Unit = {
     graft.io.Sinks.recoverCrashedSwap(spark, root)
     graft.io.Sinks.recoverCrashedSwap(spark, s"$root/hourly")
+    migrateLegacyLayout(spark, root)
     val k = kOf(spark, root)
     val tmp = s"$root/hourly-__rebuilding__"
     val fs = new org.apache.hadoop.fs.Path(root)

@@ -431,6 +431,12 @@ object StreamOps {
                                  root: String, batchId: Long,
                                  k: Int): Boolean = {
     if (batch.isEmpty) return false
+    // a pre-partitioning layout must migrate BEFORE the first delta
+    // lands, or the partitioned delta dirs would sit next to the
+    // legacy flat files and partition discovery would reject the mix
+    // (one exists() per batch once migrated)
+    graft.serve.RollingQuantileService
+      .migrateLegacyLayout(batch.sparkSession, root)
     val pinned = graft.serve.RollingQuantileService
       .kOf(batch.sparkSession, root)
     require(k == pinned,

@@ -609,4 +609,24 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("orderable"))
   }
+
+  test("profile() φk tab shared-cutpoint binning ≡ per-pair phikBinned " +
+      "on null-free columns (the O(columns) path is value-identical)") {
+    val wide = (1 to 80).map(i =>
+      (i.toDouble, (i * 37 % 80).toDouble, (81 - i).toDouble))
+      .toDF("a", "b", "c")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val p = Profile.profile(wide, "w", exact = true, sampleN = 0,
+      topFrequent = 0)
+    for ((x, y) <- Seq(("a", "b"), ("a", "c"), ("b", "c"))) {
+      val direct = Profile.phikBinned(wide, x, y, bins = 10).head()
+      val expected = if (direct.isNullAt(4)) None else Some(direct.getDouble(4))
+      assert(p.phik.get((x, y)) === expected,
+        s"shared-cutpoint φk must equal per-pair phikBinned for ($x, $y)")
+    }
+    // profile() releases everything it persisted (incl. the shared
+    // binned frame) — id-set delta, the assertReleased discipline
+    val created = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assertReleased(created)
+  }
 }

@@ -716,6 +716,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(counts() === once)
   }
 
+  test("legacy FLAT rolling-quantile layout migrates on first touch: " +
+      "partitioned rewrite + schema sidecar; old rows AND new deltas " +
+      "serve together; an empty legacy bootstrap migrates too") {
+    import graft.serve.RollingQuantileService
+    def hr(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // fabricate a round-19-style layout BY HAND: flat part-files
+    // directly under root/hourly (no d column), no schema sidecar
+    val root = java.nio.file.Files.createTempDirectory("rq_legacy_").toString
+    Seq(200).toDF("k").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/meta")
+    RollingQuantileService.hourlySketches(
+        Seq(("a", hr(0), 1.0), ("a", hr(1), 2.0))
+          .toDF("event_type", "ts", "value"),
+        "event_type", "ts", "value", 200)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/hourly")
+    assert(!new java.io.File(s"$root/schema").exists)
+    // first streamed delta must migrate FIRST — a partitioned delta
+    // next to flat files would brick partition discovery for good
+    assert(StreamOps.rollingQuantileIngestBatch(
+      Seq(("a", hr(2), 3.0)).toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", root, 0, 200))
+    assert(new java.io.File(s"$root/schema").exists,
+      "migration writes the schema sidecar")
+    val dirs = new java.io.File(s"$root/hourly").listFiles
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("d=")),
+      s"flat files rewritten into date partitions, got $dirs")
+    val probe = RollingQuantileService.overParquetDir(spark, root)
+      .latestTrailing(window = 24).select("event_type", "n_samples")
+      .as[(String, Long)].collect().toMap
+    assert(probe("a") === 3L,
+      "pre-migration rows AND the streamed delta both serve")
+    // empty legacy bootstrap (the old empty flat write DID emit one
+    // schema-bearing part-file): migration must leave a readable layout
+    val root2 = java.nio.file.Files.createTempDirectory("rq_legacy0_").toString
+    Seq(200).toDF("k").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root2/meta")
+    RollingQuantileService.hourlySketches(
+        Seq.empty[(String, Timestamp, Double)]
+          .toDF("event_type", "ts", "value"),
+        "event_type", "ts", "value", 200)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root2/hourly")
+    val svc2 = RollingQuantileService.overParquetDir(spark, root2)
+    assert(svc2.latestTrailing(window = 24).collect().isEmpty)
+    assert(new java.io.File(s"$root2/schema").exists)
+  }
+
   test("rolling-quantile layout is DATE-PARTITIONED and latestTrailing " +
       "prunes the probe scan to the window's partitions (plan-pinned); " +
       "per-type last_data_us surfaces staleness") {
