@@ -821,6 +821,119 @@ object Profile {
     }
   }
 
+  /** COHEN'S KAPPA inter-rater agreement (Cohen 1960, "A coefficient of
+    * agreement for nominal scales", Educ. Psychol. Meas. 20(1); weighted
+    * form Cohen 1968 — both public) — chance-corrected agreement between
+    * two label columns. The labeled-data curation statistic: how far two
+    * quality gates / classifiers / annotators agree beyond what their
+    * marginal label rates would produce by chance (raw percent agreement
+    * rewards degenerate always-majority raters; κ does not). The
+    * reference has no labeled-data ops — this extends the profiling
+    * family the same way PR14/PR15 did (nothing in the reference's
+    * `dag1.py` compares two categorical verdicts).
+    *
+    * Unified weighted form: κ_w = 1 − (n · Σ_ij w_ij·n_ij) /
+    * (Σ_ij w_ij·r_i·c_j) with w from the label ORDER (ascending-label
+    * convention, the [[phik]] discipline): `"none"` → w_ij = 1_{i≠j}
+    * (identical to the classical unweighted κ by the p_o/p_e identity),
+    * `"linear"` → |i−j|, `"quadratic"` → (i−j)² (ordinal labels: near
+    * misses punished less; on 2 levels all three coincide — spec-pinned).
+    * Every sum is over exact integers (weights, cell counts, margins) in
+    * DECIMAL, pushed through ONE IEEE division + subtraction at ROUND 6 ⇒
+    * fully hash-replayable (no per-cell rounding needed, tighter than
+    * [[cramersV]]). Margins live on the UNION of both columns' labels, so
+    * a label one rater never emits carries a zero margin instead of
+    * silently shrinking the chance model. κ is null when the chance
+    * denominator is 0 (both raters constant on one shared label).
+    * Returns ONE row (n, levels, agree, kappa); `agree` = Σ n_ii and
+    * `levels` = union label count ride along for report rendering.
+    *
+    * Scale shape: the one (a, b) cell count with map-side partials is the
+    * only table-sized shuffle (the [[cramersV]] reduction); labels,
+    * ranks, margins and both weighted sums are LEVEL-sized. The
+    * ascending-label ordinal is a level-sized inequality join
+    * (#{m ≤ l}), NOT a global window — nothing unpartitioned touches any
+    * row-scaled frame. Guarded by `maxLevels` with the level count
+    * measured first from the persisted cells (the fail-fast-before-work
+    * discipline; the count is also the job that materializes the cache). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+                 weighting: String = "none",
+                 maxLevels: Int = 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(Seq("none", "linear", "quadratic").contains(weighting),
+      s"weighting must be one of none|linear|quadratic, got '$weighting'")
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    val base = df.select(q(aCol).cast(StringType).as("__a"),
+        q(bCol).cast(StringType).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val obs = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.util.Caching.releasingOnFailure(obs) {
+      val labels = obs.select(col("__a").as("__lab"))
+        .union(obs.select(col("__b").as("__lab"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.util.Caching.releasingOnFailure(labels) {
+        // fail-fast guard action — also materializes obs + labels, so
+        // everything below is pure cache reads (the cramersV pattern)
+        val nLabels = labels.count()
+        require(nLabels <= maxLevels,
+          s"cohenKappa('$aCol', '$bCol') sees $nLabels distinct labels " +
+            s"(> $maxLevels) — κ is a CATEGORICAL agreement statistic; " +
+            "recode high-cardinality verdicts first, or raise maxLevels " +
+            "deliberately")
+        val d19 = DecimalType(19, 0)
+        val d38 = DecimalType(38, 0)
+        // ascending-label ordinal without a global window: rank(l) =
+        // #{m ≤ l} over the level-sized label set (bounded by the guard)
+        val ranked = labels.select(col("__lab").as("__xl"))
+          .join(labels.select(col("__lab").as("__yl")),
+            col("__yl") <= col("__xl"))
+          .groupBy(col("__xl")).agg(count(lit(1)).as("__idx"))
+        def w(i: Column, j: Column): Column = weighting match {
+          case "none"      => when(i === j, lit(0L)).otherwise(lit(1L))
+          case "linear"    => abs(i - j).cast(LongType)
+          case "quadratic" => ((i - j) * (i - j)).cast(LongType)
+        }
+        val ra = obs.groupBy("__a").agg(sum(col("__o")).as("__rt"))
+        val cb = obs.groupBy("__b").agg(sum(col("__o")).as("__ct"))
+        // margins on the union label set: absent labels carry 0
+        val rm = ranked.join(ra, col("__xl") === col("__a"), "left")
+          .select(col("__idx").as("__ia"),
+            coalesce(col("__rt"), lit(0L)).as("__r"))
+        val cm = ranked.join(cb, col("__xl") === col("__b"), "left")
+          .select(col("__idx").as("__ib"),
+            coalesce(col("__ct"), lit(0L)).as("__c"))
+        // chance mass Σ w·r·c over the level² grid (level-sized cross)
+        val wexp = rm.crossJoin(cm)
+          .select((w(col("__ia"), col("__ib")).cast(d19) *
+            col("__r").cast(d19) * col("__c").cast(d19)).cast(d38)
+            .as("__t"))
+          .agg(sum(col("__t")).as("__wexp"))
+        val obsIdx = obs
+          .join(ranked.select(col("__xl").as("__a"),
+            col("__idx").as("__ia")), Seq("__a"))
+          .join(ranked.select(col("__xl").as("__b"),
+            col("__idx").as("__ib")), Seq("__b"))
+        val sums = obsIdx.agg(
+          sum(col("__o")).as("__n"),
+          sum(when(col("__a") === col("__b"), col("__o"))
+            .otherwise(lit(0L))).as("__agree"),
+          sum((w(col("__ia"), col("__ib")).cast(d19) *
+            col("__o").cast(d19)).cast(d38)).as("__wobs"))
+        val out = sums.crossJoin(broadcast(wexp)).select(
+          coalesce(col("__n"), lit(0L)).cast(LongType).as("n"),
+          lit(nLabels).cast(IntegerType).as("levels"),
+          coalesce(col("__agree"), lit(0L)).cast(LongType).as("agree"),
+          when(col("__wexp").isNotNull && col("__wexp") > 0,
+            round(lit(1.0) -
+              (col("__n").cast(d38) * col("__wobs")).cast(DoubleType) /
+                col("__wexp").cast(DoubleType), 6))
+            .otherwise(lit(null).cast(DoubleType)).as("kappa"))
+        graft.util.Caching.materializeAndRelease(out, obs, labels)
+      }
+    }
+  }
+
   /** PHI-K categorical/interval association (Baak, Koopman, Snoek &
     * Klous 2019, "A new correlation coefficient between categorical,
     * ordinal and interval variables with Pearson characteristics",

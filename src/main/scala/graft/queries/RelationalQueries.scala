@@ -837,6 +837,80 @@ object RelationalQueries {
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Shared rater fixture for pr23/pr24: two ordinal 3-level "quality
+    * verdicts" derived from correlated lineitem columns at fixed cut
+    * constants (quantity terciles-ish vs price bands — price grows with
+    * quantity, so agreement is real but imperfect; both deterministic,
+    * both engines derive them identically). */
+  private def kappaRaters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      when(col("l_quantity") <= 16, lit("q1"))
+        .when(col("l_quantity") <= 33, lit("q2"))
+        .otherwise(lit("q3")).as("rater_a"),
+      when(col("l_extendedprice") <= 25000, lit("q1"))
+        .when(col("l_extendedprice") <= 50000, lit("q2"))
+        .otherwise(lit("q3")).as("rater_b"))
+
+  private val kappaRatersSql: String =
+    """SELECT
+      | CASE WHEN l_quantity <= 16 THEN 'q1'
+      |   WHEN l_quantity <= 33 THEN 'q2' ELSE 'q3' END AS a,
+      | CASE WHEN l_extendedprice <= 25000 THEN 'q1'
+      |   WHEN l_extendedprice <= 50000 THEN 'q2' ELSE 'q3' END AS b
+      |FROM lineitem""".stripMargin
+
+  /** PR23/PR24 — COHEN'S KAPPA agreement
+    * ([[graft.profile.Profile.cohenKappa]]): chance-corrected agreement
+    * between two derived quality verdicts; pr23 unweighted, pr24
+    * quadratic-weighted (ordinal near-misses punished less). Exact
+    * integer sums through ONE round-6 division ⇒ hash-green. */
+  private val pr23Kappa: Q = (s, dir) =>
+    Profile.cohenKappa(kappaRaters(s, dir), "rater_a", "rater_b")
+
+  private val pr24KappaWeighted: Q = (s, dir) =>
+    Profile.cohenKappa(kappaRaters(s, dir), "rater_a", "rater_b",
+      weighting = "quadratic")
+
+  /** Generated oracle for pr23/pr24: the same union-label ranks (an
+    * inequality-join rank, no window), HUGEINT weighted sums, one
+    * round-6 division. */
+  private def kappaOracle(weighting: String): String = {
+    val w = weighting match {
+      case "none"      => "CASE WHEN %I = %J THEN 0 ELSE 1 END"
+      case "linear"    => "ABS(%I - %J)"
+      case "quadratic" => "(%I - %J) * (%I - %J)"
+    }
+    def wAt(i: String, j: String): String =
+      w.replace("%I", i).replace("%J", j)
+    s"""WITH src AS ($kappaRatersSql),
+       |obs AS (SELECT a, b, count(*) AS o FROM src
+       |  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
+       |labs AS (SELECT DISTINCT lab FROM
+       |  (SELECT a AS lab FROM obs UNION ALL SELECT b FROM obs)),
+       |ranked AS (SELECT x.lab AS lab, count(*) AS idx
+       |  FROM labs x JOIN labs y ON y.lab <= x.lab GROUP BY 1),
+       |ra AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1),
+       |cb AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1),
+       |rm AS (SELECT r.idx AS ia, CAST(COALESCE(rt, 0) AS HUGEINT) AS r
+       |  FROM ranked r LEFT JOIN ra ON ra.a = r.lab),
+       |cm AS (SELECT r.idx AS ib, CAST(COALESCE(ct, 0) AS HUGEINT) AS c
+       |  FROM ranked r LEFT JOIN cb ON cb.b = r.lab),
+       |wexp AS (SELECT SUM(CAST(${wAt("ia", "ib")} AS HUGEINT) * r * c)
+       |  AS wexp FROM rm CROSS JOIN cm),
+       |sums AS (SELECT CAST(SUM(o) AS HUGEINT) AS n,
+       |  CAST(SUM(CASE WHEN a = b THEN o ELSE 0 END) AS HUGEINT) AS agree,
+       |  SUM(CAST(${wAt("x.idx", "y.idx")} AS HUGEINT) * o) AS wobs
+       |  FROM obs JOIN ranked x ON x.lab = obs.a
+       |  JOIN ranked y ON y.lab = obs.b)
+       |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       |  CAST((SELECT count(*) FROM labs) AS INTEGER) AS levels,
+       |  CAST(COALESCE(agree, 0) AS BIGINT) AS agree,
+       |  CASE WHEN wexp > 0 THEN
+       |    ROUND(1 - CAST(n * wobs AS DOUBLE) / CAST(wexp AS DOUBLE), 6)
+       |  ELSE NULL END AS kappa
+       |FROM sums CROSS JOIN wexp""".stripMargin
+  }
+
   /** PR22 — INTERACTIONS 2-D histograms
     * ([[graft.profile.Profile.interactions]]): the ydata report's
     * pairwise scatter-grid section as data, over three lineitem
@@ -1363,7 +1437,9 @@ object RelationalQueries {
     "pr19_phik_interval" -> pr19PhikInterval,
     "pr20_binned_chi2" -> pr20BinnedChi2,
     "pr21_nullity" -> pr21Nullity,
-    "pr22_interactions" -> pr22Interactions)
+    "pr22_interactions" -> pr22Interactions,
+    "pr23_kappa" -> pr23Kappa,
+    "pr24_kappa_weighted" -> pr24KappaWeighted)
 
   val oracle: Map[String, String] = Map(
     "k11_changeset_apply" ->
@@ -2008,6 +2084,8 @@ object RelationalQueries {
     "pr21_nullity" -> nullityOracle,
     "pr22_interactions" -> interactionsOracle(
       Seq("l_quantity", "l_discount", "l_tax"), bins = 6),
+    "pr23_kappa" -> kappaOracle("none"),
+    "pr24_kappa_weighted" -> kappaOracle("quadratic"),
     "pr8_frequent" ->
       """WITH cells AS (
         | SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value

@@ -180,6 +180,77 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Int, Int, Double, Option[Double])].head()._5 === None)
   }
 
+  test("cohenKappa: hand-computed 2×2 (κ = 0.4), perfect → 1, " +
+      "independence → 0, symmetry (PR23)") {
+    // cells: (x,x)=4 (x,y)=1 (y,x)=2 (y,y)=3 → n=10, po=0.7,
+    // r=(5,5), c=(6,4), pe=0.5, κ = (0.7−0.5)/(1−0.5) = 0.4
+    val hand = (Seq.fill(4)(("x", "x")) ++ Seq.fill(1)(("x", "y")) ++
+      Seq.fill(2)(("y", "x")) ++ Seq.fill(3)(("y", "y"))).toDF("a", "b")
+    assert(Profile.cohenKappa(hand, "a", "b")
+      .as[(Long, Int, Long, Option[Double])].head() ===
+      ((10L, 2, 7L, Some(0.4))))
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    for (wt <- Seq("none", "linear", "quadratic"))
+      assert(Profile.cohenKappa(perfect, "a", "b", weighting = wt)
+        .as[(Long, Int, Long, Option[Double])].head()._4 === Some(1.0),
+        s"perfect agreement under '$wt'")
+    val indep = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("a", "b")
+    assert(Profile.cohenKappa(indep, "a", "b")
+      .as[(Long, Int, Long, Option[Double])].head()._4 === Some(0.0))
+    // symmetric statistic on an asymmetric table
+    val asym = (Seq.fill(4)(("x", "x")) ++ Seq.fill(3)(("x", "y")) ++
+      Seq.fill(1)(("y", "x")) ++ Seq.fill(2)(("y", "y"))).toDF("a", "b")
+    assert(Profile.cohenKappa(asym, "a", "b").select("kappa").head() ===
+      Profile.cohenKappa(asym, "b", "a").select("kappa").head())
+  }
+
+  test("cohenKappa weighted: hand-computed 3-level ordinal case, " +
+      "2-level weighting invariance, union labels, degenerate null, " +
+      "guard (PR24)") {
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // cells: (q1,q1)=2 (q1,q3)=1 (q2,q2)=1 (q3,q3)=1 → n=5, agree=4,
+    // r=(3,1,1), c=(2,1,2); none: κ = 1 − 5·1/16 = 0.6875;
+    // linear: κ = 1 − 5·2/24 = 0.583333…; quadratic: κ = 1 − 5·4/40 = 0.5
+    val ord = (Seq.fill(2)(("q1", "q1")) ++ Seq(("q1", "q3"),
+      ("q2", "q2"), ("q3", "q3"))).toDF("a", "b")
+    // the returned frame is persisted by the family's caller-unpersist
+    // contract — this helper honors it, and the residency assertion at
+    // the bottom proves honoring it suffices
+    def kRow(df: org.apache.spark.sql.DataFrame, wt: String)
+        : (Long, Int, Long, Option[Double]) = {
+      val out = Profile.cohenKappa(df, "a", "b", weighting = wt)
+      val row = out.as[(Long, Int, Long, Option[Double])].head()
+      out.unpersist(blocking = true)
+      row
+    }
+    assert(kRow(ord, "none")._4 === Some(0.6875))
+    assert(kRow(ord, "linear")._4 === Some(0.583333))
+    assert(kRow(ord, "quadratic")._4 === Some(0.5))
+    // on 2 levels |i−j|, (i−j)² and 1_{i≠j} coincide
+    val two = (Seq.fill(4)(("x", "x")) ++ Seq.fill(1)(("x", "y")) ++
+      Seq.fill(2)(("y", "x")) ++ Seq.fill(3)(("y", "y"))).toDF("a", "b")
+    assert(Seq("none", "linear", "quadratic")
+      .map(wt => kRow(two, wt)._4).distinct === Seq(Some(0.4)))
+    // a label rater b never emits still shapes the chance model:
+    // cells (z,x)=1 (x,x)=1 → r=(1,1), c=(2,0) on union {x,z};
+    // κ = 1 − 2·1/(r_x·c_z + r_z·c_x) = 1 − 2/2 = 0
+    val union = Seq(("z", "x"), ("x", "x")).toDF("a", "b")
+    assert(kRow(union, "none") === ((2L, 2, 1L, Some(0.0))))
+    // both raters constant on one shared label: chance mass 0 → null
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(kRow(const, "none") === ((2L, 1, 2L, None)))
+    // level guard fails fast, naming the contract
+    val e = intercept[IllegalArgumentException] {
+      Profile.cohenKappa(ord, "a", "b", maxLevels = 2).head()
+    }
+    assert(e.getMessage.contains("CATEGORICAL"))
+    // nothing left persisted by any of the calls above (incl. the
+    // guard-failure path releasing both intermediates)
+    assertReleased(
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- idsBefore)
+  }
+
   test("profile associations + sample: Spearman/Cramér's V maps " +
       "populated, first-N preview deterministic, html renders the " +
       "new sections") {
