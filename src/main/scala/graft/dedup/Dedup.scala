@@ -191,10 +191,19 @@ object Dedup {
     * hash buckets identically, or index compatibility and the
     * stream ≡ batch equivalence silently break. */
   def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    explode(transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
+    // UNROLLED over the compile-time band count, not a `transform` HOF:
+    // higher-order functions evaluate interpreted, and this constructor
+    // sits on every banded-LSH hot path (3 evaluations per dedup face) —
+    // measured ~30 CPU-seconds per evaluation on the sf0.1 corpus
+    // against ~3 codegen'd. Literal band indices make every slice /
+    // concat_ws / xxhash64 whole-stage-codegen-able; values are
+    // identical (same per-band expressions, same seeds).
+    explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
-          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("bucket"))))
+          slice(sig, b * rowsPerBand + 1, rowsPerBand)), lit(b))
+          .as("bucket"))
+    }: _*))
 
   /** Asserts a signature index was built with the SAME numHashes as the
     * probing operator expects — a mismatched index zips short, caps the
@@ -552,13 +561,34 @@ object Dedup {
       if (d == null) java.math.BigDecimal.ZERO else d
     }
 
-    val edges = pairs.select(col("id_a").cast(LongType).as("a"),
+    // SCALE-ADAPTIVE loop partitioning (guide §2: derive partitioning
+    // from input size, not a constant — and AQE, which would normally do
+    // this, is off inside the loop). The union inherits the caller's
+    // partition counts, so each round's message map stage ran
+    // 3-frames-worth of micro-tasks (measured 128 tasks over ~0.1 MB per
+    // round on the j11 face); instead, size the whole loop's frames from
+    // the materialized edge count — ~2M narrow rows per partition, capped
+    // by the session's shuffle partitions so a production session keeps
+    // its configured width. Partitioning never changes the min/sum
+    // aggregates' results.
+    val edges0 = pairs.select(col("id_a").cast(LongType).as("a"),
         col("id_b").cast(LongType).as("b"))
       .union(pairs.select(col("id_b").cast(LongType).as("a"),
         col("id_a").cast(LongType).as("b")))
       .persist(lvl)
+    val nEdges = releasingOnFailure(edges0) { edges0.count() }
+    val loopParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (nEdges + 1999999L) / 2000000L)).toInt
+    val edges = releasingOnFailure(edges0) {
+      val r = edges0.repartition(loopParts).persist(lvl)
+      r.count()
+      r
+    }
+    edges0.unpersist(blocking = true)
     var labels = truncated(nodes.select(col(idCol).cast(LongType).as("id"),
-        col(idCol).cast(LongType).as("cluster")))
+        col(idCol).cast(LongType).as("cluster"))
+        .repartition(loopParts))
       .persist(lvl)
     // AQE is scoped OFF for the propagation loop: each round is a small
     // fixed-shape DAG executed many times, and AQE's stage-by-stage
@@ -573,9 +603,17 @@ object Dedup {
     // planned during a loop still see AQE off — documented cost of a
     // session-scoped conf; Spark has no per-query override for it.
     val aqeKey = "spark.sql.adaptive.enabled"
+    // shuffle.partitions rides the same save/set/restore under the same
+    // lock: with AQE off nothing coalesces the loop's join/aggregate
+    // exchanges, so they must be sized explicitly from the edge count
+    // (loopParts above) rather than inherit a cluster-wide constant.
+    val sufKey = "spark.sql.shuffle.partitions"
     Dedup.AqeLock.lock()
     val aqeWas = spark.conf.get(aqeKey, "true")
+    val sufWas = spark.conf.get(sufKey,
+      spark.sessionState.conf.numShufflePartitions.toString)
     spark.conf.set(aqeKey, "false")
+    spark.conf.set(sufKey, loopParts.toString)
     // NOT releasingOnFailure: `labels` is reassigned per iteration, so the
     // failure path must release the CURRENT frame, not the one captured at
     // entry.
@@ -627,6 +665,7 @@ object Dedup {
         throw t
     } finally {
       spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(sufKey, sufWas)
       Dedup.AqeLock.unlock()
     }
   }

@@ -70,7 +70,12 @@ object Graph {
     // localCheckpoints just ADD materialization jobs (measured: lazy
     // 5.7 s warm vs eager 7.1 s on the same face; contrast hitsInt,
     // whose two-consumer half-steps DOUBLE the plan per step and
-    // genuinely need the checkpoint). The returned frame carries no
+    // genuinely need the checkpoint). RE-CONFIRMED in the r20
+    // optimization round: caching the invariants pre-partitioned +
+    // pre-sorted on the join keys REGRESSED the face 5.5 → 8.8 s warm —
+    // under AQE the cached plan's partitioning/ordering is not
+    // propagated to consumers, so the persist only added
+    // materialization cost. The returned frame carries no
     // cached state. Many-iteration callers (beyond ~20) should persist
     // the returned ranks and re-enter per segment to bound analysis
     // cost.
@@ -329,6 +334,14 @@ object Graph {
         col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The a-step joins on src, the h-step on dst — keep ONE extra cached
+    // copy per join key (guide §2.4: establish the partitioning once)
+    // so neither half-step re-shuffles the edge frame; only the
+    // node-sized score frames move per half-step. Edge-frame copies are
+    // narrow (two longs) — two cached copies cost less than one
+    // re-shuffle per half-step across 2·iterations half-steps.
+    val eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -348,28 +361,37 @@ object Graph {
     // materialized node-sized leaf — the [[graft.serve.NearDupService]]
     // precedent for iterative frames. */
     def renorm(scores: DataFrame, c: String): DataFrame = {
-      val mx = scores.agg(greatest(max(col(c)), lit(1L)).as("__mx"))
-      val out = scores.crossJoin(broadcast(mx))
+      // The half-step scores feed TWO actions (the max aggregate and the
+      // checkpoint materialization), and each used to recompute the full
+      // edge-join + aggregate subtree — persist them for the duration of
+      // the two reads and release immediately (measured: the double
+      // compute was ~40% of the face's executor time; results unchanged,
+      // the downscale reads the same rows either way).
+      val s = scores.persist(StorageLevel.MEMORY_AND_DISK)
+      val mx = s.agg(greatest(max(col(c)), lit(1L)).as("__mx"))
+      val out = s.crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"$c DIV (1L + (__mx - 1L) DIV ${scale}L)").as(c))
-      if (reliableCheckpoint) out.checkpoint(eager = true)
-      else out.localCheckpoint(true)
+      try {
+        if (reliableCheckpoint) out.checkpoint(eager = true)
+        else out.localCheckpoint(true)
+      } finally s.unpersist(blocking = true)
     }
 
-    graft.util.Caching.releasingOnFailure(e, nodes) {
+    graft.util.Caching.releasingOnFailure(e, eBySrc, eByDst, nodes) {
       var hubs = nodes.withColumn("hub", lit(scale))
       // reassigned from the a-step before any read (iterations >= 1) —
       // the initializer only gives the var a well-typed starting value
       var auths = nodes.withColumn("authority", lit(0L))
       for (_ <- 1 to iterations) {
-        val aRaw = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        val aRaw = eBySrc.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("authority"))
         auths = renorm(
           nodes.join(aRaw, Seq("node"), "left")
             .select(col("node"),
               coalesce(col("authority"), lit(0L)).as("authority")),
           "authority")
-        val hRaw = e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        val hRaw = eByDst.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src").as("node")).agg(sum(col("authority")).as("hub"))
         hubs = renorm(
           nodes.join(hRaw, Seq("node"), "left")
@@ -378,7 +400,7 @@ object Graph {
       }
       val out = auths.join(hubs, Seq("node"))
         .select(col("node"), col("authority"), col("hub"))
-      graft.util.Caching.materializeAndRelease(out, e, nodes)
+      graft.util.Caching.materializeAndRelease(out, e, eBySrc, eByDst, nodes)
     }
   }
 
@@ -505,11 +527,22 @@ object Graph {
     * Directionality of the input is ignored (edges are canonicalized
     * u < v and deduplicated); self-loops drop. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val raw = edges.select(col(srcCol).cast(LongType).as("s"),
         col(dstCol).cast(LongType).as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    // The canonicalized edge frame feeds deg (both unionAll arms) and ed
+    // — and exchange reuse does NOT dedupe those consumers (pruned
+    // projections give each a structurally different exchange; measured
+    // FOUR full edge-projection builds per face at sf0.1, ~2.1 s of CPU
+    // each on the lineitem co-purchase input). Persist it once; same for
+    // `arcs`, which feeds the adjacency aggregate and the closing join's
+    // probe side. Both are released after one materializing action over
+    // the node-sized result (the family's bounded-residency contract —
+    // the operator is now EAGER like hitsInt/kCoreNodes).
     val e = raw.select(least(col("s"), col("d")).as("u"),
-      greatest(col("s"), col("d")).as("v")).distinct()
+        greatest(col("s"), col("d")).as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val ed = e
@@ -520,8 +553,9 @@ object Graph {
     val uFirst = col("__du") < col("__dv") ||
       (col("__du") === col("__dv") && col("u") < col("v"))
     val arcs = ed.select(
-      when(uFirst, col("u")).otherwise(col("v")).as("a"),
-      when(uFirst, col("v")).otherwise(col("u")).as("b"))
+        when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Adjacency-array intersection, NOT a materialized wedge join: the
     // triangle x<y<z (in orientation order) is found ONLY at its base
     // arc (x, y), as each common oriented OUT-neighbor z of x and y.
@@ -549,9 +583,12 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("__t"))
-    deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"),
-        col("deg"), expr("deg * (deg - 1L) DIV 2").as("wedges"))
+    graft.util.Caching.releasingOnFailure(e, arcs) {
+      val out = deg.join(perNode, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"),
+          col("deg"), expr("deg * (deg - 1L) DIV 2").as("wedges"))
+      graft.util.Caching.materializeAndRelease(out, e, arcs)
+    }
   }
 
   /** The ANSI-SQL replay of [[triangleCounts]] — same orientation, same
@@ -609,12 +646,17 @@ object Graph {
       "reliableCheckpoint = true needs a checkpoint directory: call " +
         "spark.sparkContext.setCheckpointDir(<reliable storage path>) first")
     import org.apache.spark.storage.StorageLevel
+    // persisted PRE-PARTITIONED on src (guide §2.4): every level joins
+    // `e` on src, and without this the edge frame re-shuffled per level
+    // (measured ~23 MB exchange write per level at sf0.1) — partitioned
+    // once, each level only moves the frontier.
     val e = edges
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -773,11 +815,14 @@ object Graph {
     * graph.
     *
     * Scale shape: each round is one edge-sized equi-join (bidirected
-    * arcs ⋈ labels on the neighbor key) + one (node, label) count with
-    * map-side partials + one per-node window (partitioned by node, never
-    * global). Labels feed exactly one consumer per round but the chain
-    * compounds — per-round pinning keeps the plan linear
-    * ([[kCoreNodes]] discipline), frames stay node-sized. */
+    * arcs ⋈ labels on the neighbor key — the arcs are persisted
+    * pre-partitioned on that key, so only the node-sized labels move
+    * per round) + one (node, label) count with map-side partials + one
+    * arg-max aggregate (min over (−count, label) structs — the window
+    * form's result without its per-round sort). Labels feed exactly one
+    * consumer per round but the chain compounds — per-round pinning
+    * keeps the plan linear ([[kCoreNodes]] discipline), frames stay
+    * node-sized. */
   def communities(edges: DataFrame, srcCol: String, dstCol: String,
                   rounds: Int,
                   reliableCheckpoint: Boolean = false): DataFrame = {
@@ -792,9 +837,15 @@ object Graph {
       .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
     val e = raw.select(least(col("s"), col("d")).as("u"),
         greatest(col("s"), col("d")).as("v")).distinct()
-    // bidirected arcs: propagation is symmetric over the undirected graph
+    // bidirected arcs: propagation is symmetric over the undirected graph.
+    // Persisted PRE-PARTITIONED on the join key (guide §2.4 — establish
+    // the partitioning once): every round joins `bi` on `src`, and
+    // without this the edge frame re-shuffled EVERY round (measured
+    // 22.5 MB exchange write per round at sf0.1); hash-partitioned and
+    // cached, the per-round join only exchanges the node-sized labels.
     val bi = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def pin(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(eager = true)
@@ -807,12 +858,16 @@ object Graph {
           .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
           .groupBy(col("dst").as("node"), col("label"))
           .agg(count(lit(1)).as("__c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("node").orderBy(col("__c").desc, col("label"))
+        // arg-max by AGGREGATE, not window: min(struct(−count, label))
+        // picks exactly the window's (count DESC, label ASC) head —
+        // most-frequent label, smallest on ties — while replacing the
+        // window's exchange-by-node + full sort with a partially
+        // aggregated min (map-side partials, no sort). Same labels,
+        // one less sort pass per round.
         labels = pin(counts
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("node"), col("label")))
+          .groupBy(col("node"))
+          .agg(min(struct((-col("__c")).as("__nc"), col("label")))
+            .getField("label").as("label")))
       }
       graft.util.Caching.materializeAndRelease(labels, bi)
     }

@@ -600,8 +600,13 @@ object Profile {
       (cum.select(col("__v"),
         (lit(2L) * col("__cnt_cum") - col("__cnt") + 1L).as("__r2")), cum)
     }
-    val (ra, raHandle) = rank2("__x")
-    val (rb, rbHandle) = rank2("__y")
+    // The two rank builds are independent eager pipelines (prefixSums
+    // persists + materializes internally) — overlap them (guide §2.6,
+    // graft.util.Parallel); each build's result is deterministic per
+    // column, only wall-clock overlaps.
+    val Seq((ra, raHandle), (rb, rbHandle)) =
+      graft.util.Parallel.all(df.sparkSession)(
+        () => rank2("__x"), () => rank2("__y"))
     graft.util.Caching.releasingOnFailure(raHandle, rbHandle) {
       val d19 = DecimalType(19, 0)
       val d38 = DecimalType(38, 0)
@@ -686,14 +691,18 @@ object Profile {
       s"spearmanSharedRanks got duplicate columns: $cols")
     val base = df.select(cols.zipWithIndex.map { case (c, i) =>
       q(c).as(s"__c$i") }: _*)
-    val maps = cols.indices.map { i =>
-      val cnt = base.groupBy(col(s"__c$i").as("__v"))
-        .agg(count(lit(1)).as("__cnt"))
-      val cum = graft.ops.Scan.prefixSums(cnt, Seq(col("__v").asc),
-        Seq("__cnt"))
-      (cum.select(col("__v").as(s"__c$i"),
-        (lit(2L) * col("__cnt_cum") - col("__cnt") + 1L).as(s"__r$i")), cum)
-    }
+    // One independent eager rank build per column — run them
+    // concurrently (the [[spearman]] §2.6 overlap; results per column
+    // are deterministic, only wall-clock overlaps).
+    val maps = graft.util.Parallel.all(df.sparkSession)(
+      cols.indices.map { i => () => {
+        val cnt = base.groupBy(col(s"__c$i").as("__v"))
+          .agg(count(lit(1)).as("__cnt"))
+        val cum = graft.ops.Scan.prefixSums(cnt, Seq(col("__v").asc),
+          Seq("__cnt"))
+        (cum.select(col("__v").as(s"__c$i"),
+          (lit(2L) * col("__cnt_cum") - col("__cnt") + 1L).as(s"__r$i")), cum)
+      }}: _*)
     val handles = maps.map(_._2)
     graft.util.Caching.releasingOnFailure(handles: _*) {
       val d19 = DecimalType(19, 0)

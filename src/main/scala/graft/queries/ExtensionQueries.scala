@@ -228,14 +228,19 @@ object ExtensionQueries {
     * broadcast back); every number is rational-over-counts + round-6, so
     * the whole fusion hash-checks. */
   private val txtQualityEnsemble: Q = (s, dir) => {
-    val base = t(s, dir, "documents").select(col("doc_id"),
+    // Spread before the heavy signal expressions (single-row-group scan
+    // = one task otherwise), and PERSIST the scored base: it feeds three
+    // consumers (both rank tables + the final join), which each
+    // recomputed the signal expressions over the whole corpus — nested
+    // groupPercentRank calls were worse still (measured 13.7 s vs ~2 s
+    // at sf0.1 for that shape). Released after the result materializes.
+    val base = graft.util.Spread.forMapWork(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.stopwordRatio(col("text")).as("sw_ratio"))
       .withColumn("g", lit(0))
-    // both rank tables derive from the SAME base frame and join in one
-    // pass — nested groupPercentRank calls re-evaluate the heavy signal
-    // expressions once per internal branch (measured 13.7 s vs ~2 s at
-    // sf0.1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rq = graft.quality.Quality.percentRankTable(base, "g", "quality")
       .withColumnRenamed("pctile", "pct_q")
     val rs = graft.quality.Quality.percentRankTable(base, "g", "sw_ratio")
@@ -245,11 +250,12 @@ object ExtensionQueries {
     // the engines' decimal-rounding of the binary double disagree — the
     // cross-engine boundary hazard. IEEE add/divide on identical inputs
     // is bit-identical, so the raw double IS the stable contract.
-    base.join(broadcast(rq), Seq("g", "quality"))
+    val out = base.join(broadcast(rq), Seq("g", "quality"))
       .join(broadcast(rs), Seq("g", "sw_ratio"))
       .select(col("doc_id"), col("quality"), col("sw_ratio"),
         col("pct_q"), col("pct_sw"),
         ((col("pct_q") + col("pct_sw")) / 2).as("ensemble"))
+    graft.util.Caching.materializeAndRelease(out, base)
   }
 
   /** Per-source percent rank of the quality score via

@@ -46,9 +46,13 @@ object IvfPq {
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  trainFraction: Double = 1.0, seed: Long = 42L,
                  keepCols: Seq[String] = Nil): IvfPqIndex = {
-    val ivf = Ivf.buildIndex(corpus, nlist, idCol, vecCol, seed)
-    val pq = Pq.buildIndex(corpus, m, codebookSize, idCol, vecCol,
-      trainFraction, seed)
+    // The coarse-quantizer fit and the m codebook fits are independent
+    // seeded trainings over the same corpus — overlap them (guide §2.6,
+    // graft.util.Parallel; models unchanged, only wall-clock overlaps).
+    val (ivf, pq) = graft.util.Parallel.par2(corpus.sparkSession)(
+      () => Ivf.buildIndex(corpus, nlist, idCol, vecCol, seed),
+      () => Pq.buildIndex(corpus, m, codebookSize, idCol, vecCol,
+        trainFraction, seed))
     val codes = pq.codes.join(
       ivf.assigned.select(col("cand_id"), col("cell")), "cand_id")
     IvfPqIndex(ivf.centroids, pq.codebooks,

@@ -84,17 +84,27 @@ object Pq {
 
     // 1. TRAIN — m seeded fits; sample the corpus for training at scale
     //    (codebooks need representative structure, not every row).
-    val models = (0 until m).map { j =>
-      val fv = corpus.select(
-        array_to_vector(slice(col(vecCol), j * sub + 1, sub)).as("__fv"))
-      val train = if (trainFraction < 1.0)
-        fv.sample(withReplacement = false, trainFraction, seed + j) else fv
-      // maxIter 10, like Ivf: codebooks converge in a few iterations on
-      // clustered data, and training is the dominant cost of the operator
-      new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(10)
-        .setFeaturesCol("__fv").setPredictionCol("__code")
-        .fit(train)
-    }
+    //    The m fits are INDEPENDENT (separate seeds, separate subvector
+    //    slices), and each is a chain of many small jobs (k-means|| init
+    //    + Lloyd iterations) whose wall time is mostly sequential
+    //    scheduling gaps on an underloaded cluster — run them
+    //    concurrently (guide §2.6; graft.util.Parallel) so later fits
+    //    back-fill cores the earlier ones leave idle. Each model is
+    //    bit-identical to its sequential run: seeds and inputs are
+    //    per-fit, only wall-clock overlaps.
+    val models = graft.util.Parallel.all(spark)((0 until m).map { j =>
+      () => {
+        val fv = corpus.select(
+          array_to_vector(slice(col(vecCol), j * sub + 1, sub)).as("__fv"))
+        val train = if (trainFraction < 1.0)
+          fv.sample(withReplacement = false, trainFraction, seed + j) else fv
+        // maxIter 10, like Ivf: codebooks converge in a few iterations on
+        // clustered data, and training is the dominant cost of the operator
+        new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(10)
+          .setFeaturesCol("__fv").setPredictionCol("__code")
+          .fit(train)
+      }
+    }: _*)
 
     // 2. ENCODE — m map-only transforms; codes stay as m int columns so the
     //    ADC scoring expression is pure codegen (no array HOF). `keepCols`

@@ -1645,13 +1645,6 @@ object TextOps {
     * bigrams) — the DSIR feature space. Returns (doc_id, g: string). */
   private def ngramFeatures(df: DataFrame, textCol: String,
                             idCol: String): DataFrame = {
-    // Materialize the token array in its OWN projection before the bigram
-    // lambda touches it: inlined, every element_at(ts, i) re-evaluates the
-    // whole lower→split→filter chain, making feature extraction
-    // O(tokens²) per document (measured 9.7 s for a 0.5M-feature corpus —
-    // 20× the rest of the DSIR pipeline). CollapseProject keeps the alias
-    // un-inlined because it is referenced many times and is not cheap.
-    val ts = filter(tokens(lower(col(textCol))), t => t =!= "")
     // guard: sequence(0, -1) would yield [0, -1] (step inference), so the
     // bigram arm only fires with ≥ 2 tokens
     val bigrams = when(size(col("__ts")) >= 2,
@@ -1659,7 +1652,24 @@ object TextOps {
         i => concat(element_at(col("__ts"), i + 1), lit(" "),
           element_at(col("__ts"), i + 2))))
       .otherwise(array().cast(ArrayType(StringType)))
-    df.select(col(idCol).as("doc_id"), ts.as("__ts"))
+    // Spread the narrow (id, text) rows before the tokenize/bigram
+    // explosion (the shingleRows discipline): a single-row-group corpus
+    // scans as ONE task, and the whole feature extraction — the dominant
+    // cost of every DSIR operator — single-threaded on one core of 32
+    // (measured 3.5-3.7 s single-task stages per corpus pass on the
+    // sf0.1 faces). Every consumer is an order-independent aggregate, so
+    // results are unchanged; at production file counts the spread is a
+    // no-op.
+    // Materialize the token array in its OWN projection before the bigram
+    // lambda touches it: inlined, every element_at(ts, i) re-evaluates the
+    // whole lower→split→filter chain, making feature extraction
+    // O(tokens²) per document (measured 9.7 s for a 0.5M-feature corpus —
+    // 20× the rest of the DSIR pipeline). CollapseProject keeps the alias
+    // un-inlined because it is referenced many times and is not cheap.
+    graft.util.Spread.forMapWork(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+        filter(tokens(lower(col("__t"))), t => t =!= "").as("__ts"))
       .select(col("doc_id"), explode(concat(col("__ts"), bigrams)).as("g"))
   }
 
@@ -1775,8 +1785,21 @@ object TextOps {
     * broadcast back. */
   def dsirStats(raw: DataFrame, target: DataFrame, textCol: String,
                 idCol: String, buckets: Int = 1024): DataFrame = {
-    val (docB, rawCnt, tgtCnt, totals, spine) =
+    val (docB0, _, tgtCnt, _, spine) =
       dsirCounts(raw, target, textCol, idCol, buckets)
+    // The (doc, bucket) aggregate feeds THREE consumers (the per-doc
+    // score join, the raw marginal, and the totals row), and exchange
+    // reuse does not dedupe them across the AQE stage boundaries —
+    // measured three full feature passes per face (3 × ~0.8 s wall at
+    // sf0.1, 32 cores). Persist the narrow (doc_id, b, c) rows once and
+    // release them after the output materializes (the minHashNearDups
+    // bounded-residency discipline); the operator becomes eager, which
+    // every registry face already treats it as.
+    val docB = docB0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawCnt = docB.groupBy("b").agg(sum(col("c")).as("cr"))
+    val totals = rawCnt.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+      .crossJoin(tgtCnt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
     // The totals ride INSIDE the ≤ buckets-row broadcast subtree (the
@@ -1802,12 +1825,14 @@ object TextOps {
         sum(col("c").cast(d19) * col("ct0").cast(d19)).as("s_tgt"),
         sum(col("c").cast(d19) * col("cr0").cast(d19)).as("s_raw"),
         sum(col("c").cast(d19) * col("diff")).as("margin"))
-    raw.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+    val out = raw.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("s_tgt").cast(d38), lit(0).cast(d38)).as("s_tgt"),
         coalesce(col("s_raw").cast(d38), lit(0).cast(d38)).as("s_raw"),
         coalesce(col("margin").cast(d38), lit(0).cast(d38)).as("margin"))
+    graft.util.Caching.materializeAndRelease(out, docB)
   }
 
   /** The TRAINED DSIR artifact as a standalone per-bucket frame — the
@@ -1966,10 +1991,17 @@ object TextOps {
                  budgetFrac: Double = 0.5): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1.0,
       s"budgetFrac must be in (0, 1], got $budgetFrac")
-    val stats = dsirStats(raw, target, textCol, idCol, buckets)
+    // dsirStats returns a PERSISTED frame (it materializes through its
+    // internal doc-bucket cache) — hold the original handle and release
+    // it as soon as the scan output below is materialized; unpersisting
+    // a projection wrapper would silently leak the underlying cache
+    // entry (the reshapeAndRelease lesson).
+    val statsFull = dsirStats(raw, target, textCol, idCol, buckets)
+    val stats = statsFull
       .select(col("doc_id"), col("n_feats"), col("margin"))
     val cum = graft.ops.Scan.prefixSums(stats,
       Seq(col("margin").desc, col("doc_id").asc), Seq("n_feats"))
+    statsFull.unpersist(blocking = true)
     // the scan's LAST running value IS the corpus total (max works because
     // n_feats ≥ 0 makes the running sum monotone) — read it from the
     // persisted scan output instead of re-running the whole stats

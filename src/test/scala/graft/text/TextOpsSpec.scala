@@ -846,16 +846,33 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(20L) === BigDecimal(0) && byId(21L) === BigDecimal(0))
   }
 
-  test("dsirStats plan: doc-bucket aggregate exchange reused, annotated bucket table broadcast") {
+  test("dsirStats: single feature pass via the doc-bucket persist, bounded residency") {
+    // r20 optimization: the (doc, bucket) aggregate used to rely on
+    // exchange reuse to serve its three consumers, but AQE stage
+    // boundaries defeated the reuse on file-backed corpora (three full
+    // feature passes measured per face). The aggregate is now persisted
+    // for the operator's duration and released before return — pin the
+    // residency contract: the RESULT is the only new cached frame, and
+    // the annotated bucket table still broadcasts inside the cached plan.
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = cachedIds
     val raw = (0L until 40L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3}"))
       .toDF("doc_id", "text")
     val df = TextOps.dsirStats(raw, raw.limit(10), "text", "doc_id")
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"corpus marginal must reuse the (doc,bucket) aggregate exchange:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"annotated bucket table must broadcast onto the doc-bucket counts:\n$plan")
+    assert(df.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "dsirStats result must be persisted (caller-unpersist contract)")
+    assert((cachedIds -- before).size === 1,
+      "the doc-bucket intermediate must be released before return — only " +
+        "the result may stay cached")
+    val inner = df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.mkString("\n")
+    assert(inner.contains("BroadcastHashJoin"),
+      s"annotated bucket table must broadcast onto the doc-bucket counts:\n$inner")
+    df.unpersist(blocking = true)
+    assert((cachedIds -- before).isEmpty, "unpersist must release the result")
   }
 
   test("dsirSelect: greedy budgeted selection replay — target-like kept, off-target dropped") {
