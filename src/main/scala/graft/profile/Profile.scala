@@ -1113,17 +1113,26 @@ object Profile {
     * ascending labels, pairwise-complete null/NaN drop. */
   private def quantileBinnedPair(df: DataFrame, aCol: String, bCol: String,
                                  bins: Int, exactCuts: Boolean): DataFrame = {
-    val base = df.select(
+    // Spread before the cutpoint aggregates: a single-row-group scan
+    // fed the percentile partials from 3 tasks (r20 stage profile), and
+    // the whole pair pipeline above it is map-heavy.
+    val base = graft.util.Spread.forMapWork(df.select(
         graft.expr.Exprs.nanToNull(q(aCol).cast(DoubleType)).as("__x"),
-        graft.expr.Exprs.nanToNull(q(bCol).cast(DoubleType)).as("__y"))
+        graft.expr.Exprs.nanToNull(q(bCol).cast(DoubleType)).as("__y")))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
     val ps = (1 until bins).map(i => s"${i.toDouble / bins}D")
       .mkString(", ")
     val pctFn = if (exactCuts) "percentile" else "percentile_approx"
     val acc = if (exactCuts) "" else ", 10000"
-    val cuts = base.agg(
-      expr(s"$pctFn(__x, array($ps)$acc)").as("__cx"),
-      expr(s"$pctFn(__y, array($ps)$acc)").as("__cy"))
+    // TWO one-row aggregates cross-joined, not one two-column aggregate:
+    // an exact percentile's final merge is a SINGLE task (one-row
+    // aggregate), and with both columns in one Aggregate that serial
+    // task paid both columns' value-sort back to back (1.3-1.6 s at
+    // sf0.1). As independent subtrees of the same lazy plan the two
+    // merges are independent stages and run CONCURRENTLY (guide §2.6).
+    // Cutpoint values are identical — same percentile call per column.
+    val cuts = base.agg(expr(s"$pctFn(__x, array($ps)$acc)").as("__cx"))
+      .crossJoin(base.agg(expr(s"$pctFn(__y, array($ps)$acc)").as("__cy")))
     def bucket(c: Column, cutsCol: Column): Column = {
       // bin index = number of cutpoints strictly below the value —
       // aggregate() over the broadcast cutpoint array, codegen-free but
