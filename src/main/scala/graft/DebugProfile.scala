@@ -25,33 +25,15 @@ object DebugProfile {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    args.tail.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      // cold run, with the planning cost isolated
-      val t0 = System.nanoTime()
-      val dfCold = fn(spark, sfDir)
-      val qe = dfCold.queryExecution
-      qe.executedPlan // analysis + optimization + physical planning
-      val tPlanned = System.nanoTime()
-      qe.toRdd.count()
-      val tCold = System.nanoTime()
-      spark.catalog.clearCache()
-      // warm run with stage capture
-      stages.synchronized(stages.clear())
-      val t1 = System.nanoTime()
-      fn(spark, sfDir).queryExecution.toRdd.count()
-      val tWarm = System.nanoTime()
-      spark.catalog.clearCache()
+    def dumpStages(tag: String, take: Int = 12): Unit = {
       val done = stages.synchronized(stages.values.toList)
         .filter(_.completionTime.isDefined)
       val stageWall = done.map(s =>
         s.completionTime.get - s.submissionTime.getOrElse(s.completionTime.get))
-      println(f"== $name cold=${(tCold - t0) / 1e9}%.2f " +
-        f"(plan=${(tPlanned - t0) / 1e9}%.2f) warm=${(tWarm - t1) / 1e9}%.2f " +
-        f"warmStages=${done.size} stageWallSum=${stageWall.sum / 1e3}%.2f")
+      println(f"   [$tag] stages=${done.size} stageWallSum=${stageWall.sum / 1e3}%.2f")
       done.sortBy(s => -(s.completionTime.get -
           s.submissionTime.getOrElse(s.completionTime.get)))
-        .take(12).foreach { s =>
+        .take(take).foreach { s =>
           val dur = (s.completionTime.get -
             s.submissionTime.getOrElse(s.completionTime.get)) / 1e3
           val m = s.taskMetrics
@@ -62,6 +44,32 @@ object DebugProfile {
             f"sWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
             f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB  ${s.name}")
         }
+    }
+    args.tail.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // cold run, with the planning cost isolated AND its own stage table
+      // (per-JVM stored-layout builds happen here — invisible to the warm
+      // table)
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      val dfCold = fn(spark, sfDir)
+      val qe = dfCold.queryExecution
+      qe.executedPlan // analysis + optimization + physical planning
+      val tPlanned = System.nanoTime()
+      qe.toRdd.count()
+      val tCold = System.nanoTime()
+      spark.catalog.clearCache()
+      println(f"== $name cold=${(tCold - t0) / 1e9}%.2f " +
+        f"(plan=${(tPlanned - t0) / 1e9}%.2f)")
+      dumpStages("cold")
+      // warm run with stage capture
+      stages.synchronized(stages.clear())
+      val t1 = System.nanoTime()
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      val tWarm = System.nanoTime()
+      spark.catalog.clearCache()
+      println(f"== $name warm=${(tWarm - t1) / 1e9}%.2f")
+      dumpStages("warm")
     }
     spark.stop()
   }

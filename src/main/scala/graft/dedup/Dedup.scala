@@ -607,6 +607,12 @@ object Dedup {
     // lock: with AQE off nothing coalesces the loop's join/aggregate
     // exchanges, so they must be sized explicitly from the edge count
     // (loopParts above) rather than inherit a cluster-wide constant.
+    // WIDER HAZARD than the AQE toggle: loopParts can be 1 (any pair
+    // graph under 2M edges), and an unrelated query PLANNED in this
+    // session mid-loop would inherit that width — serialized execution,
+    // not just lost adaptivity. The graft.util.Parallel overlaps never
+    // plan concurrently with this loop today (no operator composes
+    // them); a future caller that does should plan around the lock.
     val sufKey = "spark.sql.shuffle.partitions"
     Dedup.AqeLock.lock()
     val aqeWas = spark.conf.get(aqeKey, "true")

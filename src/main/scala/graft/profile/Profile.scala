@@ -603,9 +603,13 @@ object Profile {
     // The two rank builds are independent eager pipelines (prefixSums
     // persists + materializes internally) — overlap them (guide §2.6,
     // graft.util.Parallel); each build's result is deterministic per
-    // column, only wall-clock overlaps.
+    // column, only wall-clock overlaps. allCleaning releases a completed
+    // sibling's persisted scan handle when the other build fails — the
+    // rethrow bypasses releasingOnFailure below, which never sees the
+    // destructured handles.
     val Seq((ra, raHandle), (rb, rbHandle)) =
-      graft.util.Parallel.all(df.sparkSession)(
+      graft.util.Parallel.allCleaning[(DataFrame, DataFrame)](
+        df.sparkSession, _._2.unpersist(blocking = true))(
         () => rank2("__x"), () => rank2("__y"))
     graft.util.Caching.releasingOnFailure(raHandle, rbHandle) {
       val d19 = DecimalType(19, 0)
@@ -693,8 +697,10 @@ object Profile {
       q(c).as(s"__c$i") }: _*)
     // One independent eager rank build per column — run them
     // concurrently (the [[spearman]] §2.6 overlap; results per column
-    // are deterministic, only wall-clock overlaps).
-    val maps = graft.util.Parallel.all(df.sparkSession)(
+    // are deterministic, only wall-clock overlaps). allCleaning releases
+    // completed siblings' persisted scan handles on a build failure.
+    val maps = graft.util.Parallel.allCleaning[(DataFrame, DataFrame)](
+      df.sparkSession, _._2.unpersist(blocking = true))(
       cols.indices.map { i => () => {
         val cnt = base.groupBy(col(s"__c$i").as("__v"))
           .agg(count(lit(1)).as("__cnt"))

@@ -447,14 +447,38 @@ object ExtensionQueries {
     }
 
   /** Recursive local copy of a stored layout — fixture plumbing only
-    * (registry faces mutate private copies of the shared base index). */
+    * (registry faces mutate private copies of the shared base index).
+    * Files copy CONCURRENTLY (guide §6): the sequential FileUtil.copy
+    * walk was seconds of single-threaded driver I/O per mutating
+    * dd_index face (~130 small partition files copied one at a time);
+    * the copied file set and relative paths are identical. */
   private def copyLayout(s: SparkSession, src: String, dst: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
     val dp = new org.apache.hadoop.fs.Path(dst)
     val fs = sp.getFileSystem(conf)
-    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, conf),
-      s"fixture copy failed: $src -> $dst")
+    val srcUri = sp.toUri.getPath
+    val files = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    val it = fs.listFiles(sp, true)
+    while (it.hasNext) { val st = it.next(); if (st.isFile) files += st.getPath }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, files.size)))
+    try {
+      val futs = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val rel = f.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+            val to = new org.apache.hadoop.fs.Path(dp, rel)
+            require(org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, to, false, conf),
+              s"fixture copy failed: $f -> $to")
+          }
+        })
+      }
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
   }
 
   private val ddIndexMerge: Q = (s, dir) => {

@@ -135,15 +135,29 @@ object NearDupService {
     require(groups > 0, s"groups must be > 0, got $groups")
     val spark = df.sparkSession
     import spark.implicits._
+    // Signatures are computed ONCE into a cache shared by both dataset
+    // writes (guide §5/§6): the previous shape wrote signatures, then
+    // READ THEM BACK from parquet to derive the bucket rows — a full
+    // write→list→scan round trip of the signature dataset per build.
+    // With the frame materialized first, the two writes are independent
+    // jobs and run concurrently (guide §2.6); bucket values are
+    // identical (same rows either way — the parquet round trip preserved
+    // them bit-for-bit).
     val sigs = Dedup.minHashSignatures(df, textCol, idCol,
-      bands * rowsPerBand, shingleK)
-    oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"), groups)), "idgrp")
-      .write.mode("overwrite").partitionBy("idgrp")
-      .parquet(s"$root/signatures")
-    oneFilePerGroup(bucketRows(withBands(
-        spark.read.parquet(s"$root/signatures"), bands, rowsPerBand),
-        groups), "bgrp")
-      .write.mode("overwrite").partitionBy("bgrp").parquet(s"$root/buckets")
+        bands * rowsPerBand, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.queryExecution.toRdd.count() // materialize before the overlap
+      graft.util.Parallel.par2(spark)(
+        () => oneFilePerGroup(
+            sigs.withColumn("idgrp", idGrp(col("id"), groups)), "idgrp")
+          .write.mode("overwrite").partitionBy("idgrp")
+          .parquet(s"$root/signatures"),
+        () => oneFilePerGroup(bucketRows(withBands(sigs, bands, rowsPerBand),
+            groups), "bgrp")
+          .write.mode("overwrite").partitionBy("bgrp")
+          .parquet(s"$root/buckets"))
+    } finally sigs.unpersist(blocking = true)
     Seq((bands, rowsPerBand, shingleK, groups))
       .toDF("bands", "rows_per_band", "shingle_k", "groups")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
@@ -175,11 +189,19 @@ object NearDupService {
       m.bands * m.rowsPerBand, m.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      oneFilePerGroup(sigs.withColumn("idgrp", idGrp(col("id"), m.groups)), "idgrp")
-        .write.mode("append").partitionBy("idgrp").parquet(s"$root/signatures")
-      oneFilePerGroup(bucketRows(withBands(sigs, m.bands, m.rowsPerBand),
-          m.groups), "bgrp")
-        .write.mode("append").partitionBy("bgrp").parquet(s"$root/buckets")
+      // materialize the shared signature cache once, then the two
+      // dataset appends are independent jobs — run them concurrently
+      // (guide §2.6, the buildIndex shape)
+      sigs.queryExecution.toRdd.count()
+      graft.util.Parallel.par2(spark)(
+        () => oneFilePerGroup(
+            sigs.withColumn("idgrp", idGrp(col("id"), m.groups)), "idgrp")
+          .write.mode("append").partitionBy("idgrp")
+          .parquet(s"$root/signatures"),
+        () => oneFilePerGroup(bucketRows(withBands(sigs, m.bands, m.rowsPerBand),
+            m.groups), "bgrp")
+          .write.mode("append").partitionBy("bgrp")
+          .parquet(s"$root/buckets"))
     } finally sigs.unpersist()
   }
 
@@ -362,15 +384,22 @@ object NearDupService {
       val bgrps = bucketRows(withBands(removedSigs, m.bands, m.rowsPerBand),
           m.groups)
         .select("bgrp").distinct().collect().map(_.getInt(0)).sorted
-      rewritePartitions(spark, s"$root/signatures", "idgrp", idgrps,
-        sigScan.join(broadcast(ids), Seq("id"), "left_anti"))
+      // The two dataset rewrites touch disjoint directories and both
+      // read their touched sets from the PRE-REWRITE layout (bgrps was
+      // derived above, before either rewrite) — independent job chains,
+      // run concurrently (guide §2.6). Each keeps its own staging dir
+      // and swap loop, so crash-recovery semantics are unchanged.
+      val rewriteSigs = () => rewritePartitions(spark, s"$root/signatures",
+        "idgrp", idgrps, sigScan.join(broadcast(ids), Seq("id"), "left_anti"))
       if (bgrps.nonEmpty) {
         val bgrpLit = bgrps.map(Int.box)
         val bScan = spark.read.parquet(s"$root/buckets")
           .filter(col("bgrp").isin(bgrpLit: _*))
-        rewritePartitions(spark, s"$root/buckets", "bgrp", bgrps,
-          bScan.join(broadcast(ids), Seq("id"), "left_anti"))
-      }
+        graft.util.Parallel.par2(spark)(
+          rewriteSigs,
+          () => rewritePartitions(spark, s"$root/buckets", "bgrp", bgrps,
+            bScan.join(broadcast(ids), Seq("id"), "left_anti")))
+      } else rewriteSigs()
     } finally ids.unpersist()
   }
 

@@ -30,8 +30,24 @@ object Parallel {
     * reused across callers, so the inheritable thread-local may hold a
     * stale (or no) session, and driver-side planning reads SQLConf
     * through it. Failures rethrow the ORIGINAL cause (fail-fast guard
-    * exceptions must keep their types for callers and specs). */
-  def all[A](session: SparkSession)(thunks: (() => A)*): Seq[A] = {
+    * exceptions must keep their types for callers and specs).
+    *
+    * Failure discipline: EVERY sibling future is awaited before the
+    * first failure rethrows — an early rethrow would leave sibling Spark
+    * jobs running (and their persisted frames materializing) behind the
+    * caller's back, defeating the family's no-cached-frames-on-failure
+    * residency guarantee. Callers whose thunks persist frames pass
+    * `onAbandoned` to release the completed siblings' handles the throw
+    * would otherwise orphan. */
+  def all[A](session: SparkSession)(thunks: (() => A)*): Seq[A] =
+    allCleaning[A](session, _ => ())(thunks: _*)
+
+  /** [[all]] with a disposal hook: when any thunk fails, `onAbandoned`
+    * runs on each sibling result that COMPLETED (so e.g. its persisted
+    * frame can be unpersisted) before the first failure's cause is
+    * rethrown. Never invoked on the success path. */
+  def allCleaning[A](session: SparkSession, onAbandoned: A => Unit)
+                    (thunks: (() => A)*): Seq[A] = {
     val futs = thunks.map { th =>
       pool.submit(new java.util.concurrent.Callable[A] {
         def call(): A = {
@@ -40,12 +56,26 @@ object Parallel {
         }
       })
     }
-    futs.map { f =>
-      try f.get()
+    val results: Seq[Either[Throwable, A]] = futs.map { f =>
+      try Right(f.get())
       catch {
         case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause
+          Left(e.getCause)
+        case e: Throwable => Left(e)
       }
+    }
+    results.collectFirst { case Left(t) => t } match {
+      case Some(first) =>
+        results.foreach {
+          case Right(a) =>
+            // best-effort disposal: a cleanup failure must not mask the
+            // original cause
+            try onAbandoned(a)
+            catch { case scala.util.control.NonFatal(_) => () }
+          case Left(_) => ()
+        }
+        throw first
+      case None => results.collect { case Right(a) => a }
     }
   }
 

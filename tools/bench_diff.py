@@ -9,6 +9,13 @@ import json, sys
 def load(p):
     d = json.load(open(p))
     import re
+    # Driver artifacts (BENCH_r*.json) nest the map under "parsed"; a
+    # bench_full.json has it at top level. Fail with a clear message
+    # rather than a KeyError when neither shape matches.
+    if 'queries' not in d and isinstance(d.get('parsed'), dict):
+        d = d['parsed']
+    if 'queries' not in d:
+        sys.exit(f"{p}: no 'queries' map found (not a bench artifact?)")
     cold, warm = {}, d.get('warm', {})
     for k, v in d['queries'].items():
         m = re.match(r'(.*)#(\d+)$', k)
@@ -24,7 +31,17 @@ def load(p):
 
 a_cold, a_warm = load(sys.argv[1])
 b_cold, b_warm = load(sys.argv[2])
-thr = float(sys.argv[3].split('=')[1]) if len(sys.argv) > 3 else 0.3
+# accept both '--min-delta 0.3' (space) and '--min-delta=0.3'
+thr = 0.3
+rest = sys.argv[3:]
+if rest:
+    if rest[0].startswith('--min-delta='):
+        thr = float(rest[0].split('=', 1)[1])
+    elif rest[0] == '--min-delta' and len(rest) > 1:
+        thr = float(rest[1])
+    else:
+        sys.exit(f"unrecognized arguments: {rest} "
+                 "(expected --min-delta X or --min-delta=X)")
 rows = []
 for k in sorted(set(a_warm) | set(b_warm)):
     aw, bw = a_warm.get(k), b_warm.get(k)
