@@ -536,10 +536,10 @@ object Graph {
     // projections give each a structurally different exchange; measured
     // FOUR full edge-projection builds per face at sf0.1, ~2.1 s of CPU
     // each on the lineitem co-purchase input). Persist it once; same for
-    // `arcs`, which feeds the adjacency aggregate and the closing join's
-    // probe side. Both are released after one materializing action over
-    // the node-sized result (the family's bounded-residency contract —
-    // the operator is now EAGER like hitsInt/kCoreNodes).
+    // `adj`, which feeds both sides of the wedge join below. Both are
+    // released after one materializing action over the node-sized result
+    // (the family's bounded-residency contract — the operator is EAGER
+    // like hitsInt/kCoreNodes).
     val e = raw.select(least(col("s"), col("d")).as("u"),
         greatest(col("s"), col("d")).as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -570,8 +570,17 @@ object Graph {
     // is ever hub-sized. Face warm times, like-for-like machine: 39 s
     // (wedge join, per-corner unions) → 11.8 s (wedge join, one explode
     // pass) → 8.2 s (this shape).
+    //
+    // `adj` is PERSISTED for its two join consumers (the r20 shape
+    // re-ran the collect_list aggregate once per side). An r21 attempt
+    // to also re-derive the probe arcs by exploding `adj` (one wedge
+    // join instead of two) REGRESSED 7.6 → 9.1 s warm-median: dropping
+    // the arcs persist let AQE coalesce the lazy arc projection to ~3
+    // tasks under the adjacency aggregate, serializing it — recorded
+    // negative result, the pageRank precedent.
     val adj = arcs.groupBy(col("a").as("node"))
       .agg(collect_list(col("b")).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = arcs
       .join(adj.select(col("node").as("a"), col("nbrs").as("__na")), Seq("a"))
       .join(adj.select(col("node").as("b"), col("nbrs").as("__nb")), Seq("b"))
@@ -583,11 +592,11 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("__t"))
-    graft.util.Caching.releasingOnFailure(e, arcs) {
+    graft.util.Caching.releasingOnFailure(e, arcs, adj) {
       val out = deg.join(perNode, Seq("node"), "left")
         .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"),
           col("deg"), expr("deg * (deg - 1L) DIV 2").as("wedges"))
-      graft.util.Caching.materializeAndRelease(out, e, arcs)
+      graft.util.Caching.materializeAndRelease(out, e, arcs, adj)
     }
   }
 
@@ -762,12 +771,23 @@ object Graph {
     graft.util.Caching.releasingOnFailure(e0) {
       var e = e0
       var peelRounds = 0
+      // Each round's surviving-edge frame is PINNED alongside the
+      // survivor set: leaving `e` lazy re-derived the accumulated
+      // semi-join chain from e0 in every later round's degree aggregate
+      // AND in the final one — O(depth²) semi-joins total, compounding
+      // with peel depth at scale. The pin costs one edge-sized
+      // materialization per round (same checkpoint knob as the
+      // node-sized survivor pins) and caps every round at one degree
+      // aggregate + two semi-joins over a materialized frame;
+      // GraphSpec's deep-peel path fixture pins the depth-independence.
+      def peel(ein: DataFrame, surv: DataFrame): DataFrame =
+        pin(ein
+          .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
       if (rounds > 0) {
         for (_ <- 1 to rounds) {
           val surv = pin(degrees(e).filter(col("deg") >= k).select("node"))
-          e = e
-            .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-            .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          e = peel(e, surv)
         }
         peelRounds = rounds
       } else {
@@ -787,9 +807,7 @@ object Graph {
           else {
             prev = cnt
             peelRounds = round
-            e = e
-              .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-              .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+            e = peel(e, surv)
           }
         }
       }

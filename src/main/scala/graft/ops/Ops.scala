@@ -100,22 +100,37 @@ object Ops {
   }
 
   /** R2 — drop the last `n` rows under an explicit ordering (footer rows,
-    * dag1.py:38,46). Two-pass: count, then rank-filter. Prefer a semantic
-    * footer predicate when one exists (SURVEY §2.3 R2). */
-  def dropTrailing(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order.map(_.desc): _*)
-    df.withColumn("__rev_rn", row_number().over(w))
-      .filter(col("__rev_rn") > n)
-      .drop("__rev_rn")
-  }
+    * dag1.py:38,46). Prefer a semantic footer predicate when one exists
+    * (SURVEY §2.3 R2). Scale shape: [[dropRanked]] — no single-partition
+    * window. */
+  def dropTrailing(df: DataFrame, n: Int, order: Seq[Column]): DataFrame =
+    dropRanked(df, n, order.map(_.desc))
 
   /** R1 — drop the first `n` rows under an explicit ordering (junk leading
-    * rows in spreadsheet exports, dag1.py:26). */
-  def dropLeading(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order.map(c => c): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > n)
-      .drop("__rn")
+    * rows in spreadsheet exports, dag1.py:26). Scale shape: [[dropRanked]]
+    * — no single-partition window. */
+  def dropLeading(df: DataFrame, n: Int, order: Seq[Column]): DataFrame =
+    dropRanked(df, n, order)
+
+  /** Drop the `n` first rows under `order` with NO unpartitioned window
+    * (previously a global `row_number` — the `WindowExec: No Partition
+    * Defined` single-task funnel if ever applied to a large table; these
+    * ops' declared inputs are header/footer-trimmed exports, but the
+    * operator should not be the thing that breaks when one arrives
+    * corpus-sized). The [[surrogateKeyScalable]] mechanism: range-
+    * partition + sort on the ordering (partition-then-offset order IS
+    * global order), then `zipWithIndex` — one small per-partition count
+    * job plus a map-only filter. Same kept set as the window form under
+    * the family's total-order caller contract (ties at the boundary were
+    * arbitrary in both forms). */
+  private def dropRanked(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val rdd = sorted.rdd.zipWithIndex()
+      .collect { case (r, i) if i >= n => r }
+    spark.createDataFrame(rdd, df.schema)
   }
 
   /** R4 — promote the first row (ordered by `orderCol`) to be the header

@@ -51,9 +51,20 @@ object Scan {
     require(orderBy.nonEmpty, "need at least one ordering expression")
     require(sumCols.nonEmpty, "need at least one column to sum")
     val spark = df.sparkSession
-    val numParts =
-      if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(numParts, orderBy: _*)
+    // SCALE-ADAPTIVE width (guide §2.2): with no explicit `partitions`,
+    // the range exchange is left UNPINNED so AQE coalesces it to the
+    // data's actual size — a KB-scale counts frame runs as one task
+    // instead of `spark.sql.shuffle.partitions` micro-tasks, and a
+    // corpus-sized frame keeps the session width. The construction is
+    // width-independent (per-partition sums + offset frame, `__pid` read
+    // AFTER the exchange and pinned by the persist below), so values are
+    // identical at any partition count. An explicit `partitions` pins
+    // the width as before; with AQE off the unpinned form falls back to
+    // the session width — the previous behavior exactly.
+    val ranged0 =
+      if (partitions > 0) df.repartitionByRange(partitions, orderBy: _*)
+      else df.repartitionByRange(orderBy: _*)
+    val ranged = ranged0
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)

@@ -805,23 +805,6 @@ object Quality {
           .otherwise(lit(0.0)), 6).as("pctile"))
   }
 
-  /** Exact LOWER median per group — the ceil(n/2)-th order statistic, an
-    * ACTUAL data value rather than an interpolated midpoint, which is
-    * what makes it bit-portable across engines (an (a+b)/2 interpolation
-    * is one more derived double to disagree about downstream). Computed
-    * scale-safely: one (group, value) count aggregate, ONE
-    * range-partitioned distributed prefix scan over the whole counts
-    * frame ([[graft.ops.Scan.prefixSums]] — no per-group single-task
-    * window), per-group offsets from a constant-size (|groups|-row)
-    * running sum. The qualifying row is the smallest value whose
-    * within-group cumulative count `cc` satisfies `2·cc ≥ n`. Returns
-    * (group, out) — PERSISTED group-sized frame per the
-    * reshapeAndRelease caller contract. */
-  private def lowerMedians(df: DataFrame, g: String, v: String,
-                           out: String): DataFrame =
-    exactPercentiles(df, g, v, Seq(50))
-      .select(col(g), col("p50").as(out))
-
   /** Exact NEAREST-RANK percentiles per group — for each requested p the
     * smallest value whose within-group cumulative count `cc` satisfies
     * `100·cc ≥ p·n` (pure integer arithmetic; every emitted percentile
@@ -845,28 +828,88 @@ object Quality {
       .groupBy(col(g), col(v)).agg(count(lit(1)).as("__c"))
     val cum = graft.ops.Scan.prefixSums(counts,
       Seq(col(g).asc, col(v).asc), Seq("__c"))
+    graft.util.Caching.reshapeAndRelease(cum) { c =>
+      percentileReport(c, g, v, percentiles)
+    }
+  }
+
+  /** The (group, n, p<p>...) report over an ALREADY-BUILT prefix frame
+    * (`c` = prefixSums output over (g, v, __c) counts) — the body of
+    * [[exactPercentiles]], shared with [[lowerMedianPair]] so the fused
+    * median→MAD operators can run it twice without re-scanning the
+    * corpus. Group totals/offsets derive from the persisted prefix frame
+    * (re-aggregating the raw counts would recompute the corpus groupBy a
+    * second time per pass); the group-offset window runs over |groups|
+    * rows — a documented group-sized contract, not a corpus sort. */
+  private def percentileReport(c: DataFrame, g: String, v: String,
+                               percentiles: Seq[Int]): DataFrame = {
     val wg = org.apache.spark.sql.expressions.Window.orderBy(col(g))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    graft.util.Caching.reshapeAndRelease(cum) { c =>
-      // group totals/offsets derived from the PERSISTED prefix frame —
-      // re-aggregating `counts` here would recompute the corpus groupBy
-      // a second time per pass
-      val offs = c.groupBy(col(g)).agg(sum(col("__c")).as("__n"))
-        .withColumn("__off", coalesce(sum(col("__n")).over(wg), lit(0L)))
-      val joined = c.join(broadcast(offs), g)
-        .withColumn("__gc", col("__c_cum") - col("__off"))
-      val aggs = count(lit(1)).as("__nvals") +:
-        percentiles.map(p => min(when(col("__gc") * 100 >= col("__n") * p,
-          col(v))).as(s"p$p"))
-      joined.groupBy(col(g), col("__n").as("n"))
-        .agg(aggs.head, aggs.tail: _*)
-        .drop("__nvals")
+    val offs = c.groupBy(col(g)).agg(sum(col("__c")).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wg), lit(0L)))
+    val joined = c.join(broadcast(offs), g)
+      .withColumn("__gc", col("__c_cum") - col("__off"))
+    val aggs = count(lit(1)).as("__nvals") +:
+      percentiles.map(p => min(when(col("__gc") * 100 >= col("__n") * p,
+        col(v))).as(s"p$p"))
+    joined.groupBy(col(g), col("__n").as("n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__nvals")
+  }
+
+  /** Fused exact lower median + MAD per group — ONE corpus pass where
+    * [[madOutliers]]/[[robustStats]] previously paid three: the
+    * (group, value) counts aggregate is the only corpus-sized scan; the
+    * MAD pass's deviation multiset {(g, |v − med|) weighted by count} is
+    * derived from the FIRST pass's persisted prefix frame
+    * (value-cardinality rows, never the corpus — the multiset of
+    * deviations is unchanged by pre-aggregation, and `dev` is the same
+    * single IEEE subtract/abs, so both statistics are bit-identical to
+    * the unfused form; QualitySpec pins it). The pass-2 input reads the
+    * pass-1 cache through a lineage-truncating wrapper ([[graft.dedup
+    * .Dedup.duplicateClusters]]'s `truncated` discipline): each eager
+    * sub-operation otherwise re-analyzes the whole accumulated tree, and
+    * the measured a19/a20 warm cost was ~half Catalyst planning of
+    * 40k-line nested plans. Returns (meds(g, med, n), mads(g, mad)) —
+    * persisted group-sized frames under the family's caller-unpersist
+    * contract. */
+  private def lowerMedianPair(df: DataFrame, g: String,
+                              v: String): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    def truncated(d: DataFrame): DataFrame =
+      spark.createDataFrame(d.rdd, d.schema)
+    val counts = df.filter(col(v).isNotNull)
+      .groupBy(col(g), col(v)).agg(count(lit(1)).as("__c"))
+    val cum = graft.ops.Scan.prefixSums(counts,
+      Seq(col(g).asc, col(v).asc), Seq("__c"))
+    graft.util.Caching.releasingOnFailure(cum) {
+      val meds = graft.util.Caching.materializeAndRelease(
+        percentileReport(cum, g, v, Seq(50))
+          .select(col(g), col("p50").as("med"), col("n")))
+      graft.util.Caching.releasingOnFailure(meds) {
+        // weighted deviation counts from the PERSISTED prefix frame —
+        // value-cardinality-sized; the corpus is never re-scanned
+        val devCounts = truncated(cum).select(col(g), col(v), col("__c"))
+          .join(broadcast(truncated(meds).select(col(g), col("med"))), g)
+          .select(col(g), abs(col(v) - col("med")).as("__dev"), col("__c"))
+          .groupBy(col(g), col("__dev")).agg(sum(col("__c")).as("__c"))
+        val cum2 = graft.ops.Scan.prefixSums(devCounts,
+          Seq(col(g).asc, col("__dev").asc), Seq("__c"))
+        cum.unpersist(blocking = true) // cum2 is materialized; pass 1 done
+        val mads = graft.util.Caching.materializeAndRelease(
+          percentileReport(cum2, g, "__dev", Seq(50))
+            .select(col(g), col("p50").as("mad")), cum2)
+        // hand back lineage-truncated views reading the two persisted
+        // frames: the consumers' final plans then analyze two RDD leaves
+        // instead of the full nested eager-pipeline trees
+        (truncated(meds), truncated(mads))
+      }
     }
   }
 
   /** Robust outlier gate on the median/MAD scale (Hampel's rule, public
     * standard): a row is an outlier when `|x − median| > k·MAD`, with
-    * both statistics the exact LOWER median ([[lowerMedians]] — order
+    * both statistics the exact LOWER median ([[lowerMedianPair]] — order
     * statistics, so every emitted number is an input value or one IEEE
     * subtraction/multiplication away from one: fully hash-portable,
     * unlike mean/stddev rules a single extreme value corrupts). Returns
@@ -880,30 +923,26 @@ object Quality {
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 2.0): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
-    val meds = lowerMedians(df, groupCol, valueCol, "med")
-    val withDev = df.filter(col(valueCol).isNotNull)
-      .join(broadcast(meds), groupCol)
+    val (meds, mads) = lowerMedianPair(df, groupCol, valueCol)
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(meds.select(col(groupCol), col("med"))), groupCol)
       .withColumn("dev", abs(col(valueCol) - col("med")))
-    val mads = lowerMedians(withDev, groupCol, "dev", "mad")
-    withDev.join(broadcast(mads), groupCol)
+      .join(broadcast(mads), groupCol)
       .withColumn("outlier", (col("dev") > lit(k) * col("mad"))
         .cast(org.apache.spark.sql.types.IntegerType))
   }
 
   /** Robust per-group location/scale summary: (group, n, med, mad) with
-    * both statistics exact lower medians ([[lowerMedians]]) — the
+    * both statistics exact lower medians ([[lowerMedianPair]]) — the
     * audit-face companion of [[madOutliers]] (same two prefix-scan
     * passes, no per-row output). Unlike mean/stddev, one corrupted
     * extreme value moves neither number. */
   def robustStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val meds = lowerMedians(df, groupCol, valueCol, "med")
-    val withDev = df.filter(col(valueCol).isNotNull)
-      .join(broadcast(meds), groupCol)
-      .withColumn("dev", abs(col(valueCol) - col("med")))
-    val mads = lowerMedians(withDev, groupCol, "dev", "mad")
-    df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-      .join(broadcast(meds), groupCol)
+    val (meds, mads) = lowerMedianPair(df, groupCol, valueCol)
+    // n comes out of the median pass (sum of the per-value counts — the
+    // same non-null row count the previous corpus re-aggregate computed),
+    // so this face never scans the corpus a third time
+    meds.select(col(groupCol), col("n"), col("med"))
       .join(broadcast(mads), groupCol)
   }
 

@@ -73,8 +73,16 @@ object CurationService {
   def buildLayout(docs: DataFrame, target: DataFrame, textCol: String,
                   idCol: String, root: String): Unit = {
     val spark = docs.sparkSession
-    LmService.buildLayout(docs, textCol, idCol, s"$root/lm")
-    DsirService.buildWeights(docs, target, textCol, idCol, s"$root/dsir")
+    // The two component layouts are independent training passes writing
+    // disjoint directories — overlap them (optimization guide §2.6); so
+    // are the two threshold-median scoring scans, which the single
+    // cross-joined write below already runs as independent subtrees of
+    // one plan. Artifacts are byte-identical: each build keeps its own
+    // inputs and seeds, only wall-clock overlaps.
+    graft.util.Parallel.par2(spark)(
+      () => LmService.buildLayout(docs, textCol, idCol, s"$root/lm"),
+      () => DsirService.buildWeights(docs, target, textCol, idCol,
+        s"$root/dsir"))
     val lmSvc = LmService.overParquetDir(spark, s"$root/lm")
     val dsSvc = DsirService.overParquetDir(spark, s"$root/dsir")
     val lmMed = lmSvc.score(docs, textCol, idCol)

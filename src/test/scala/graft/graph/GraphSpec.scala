@@ -333,6 +333,24 @@ class GraphSpec extends SparkSpec {
     c3.unpersist(blocking = true)
   }
 
+  test("kCoreNodes deep peel: a path graph cascades one endpoint pair " +
+      "per round — the per-round edge pin keeps a 12-deep fixpoint from " +
+      "compounding the semi-join chain") {
+    // path 1-2-...-24: every 2-core round removes the two current
+    // endpoints (deg 1), so the peel runs 12 removing rounds before the
+    // survivor set empties. Before the per-round edge pin, round r's
+    // degree aggregate re-derived r-1 stacked semi-joins from the base
+    // edges — this fixture is the depth regression gate.
+    val n = 24
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("s", "d")
+    val (core, peelRounds) = Graph.kCoreNodesCounted(path, "s", "d",
+      k = 2, rounds = 0)
+    assert(core.count() === 0, "a path has no 2-core")
+    assert(peelRounds === n / 2,
+      s"expected ${n / 2} removing rounds, got $peelRounds")
+    core.unpersist(blocking = true)
+  }
+
   test("communities: synchronous min-label LPA — hand-computed two-" +
       "triangle graph converges to one label per community, " +
       "deterministically") {
