@@ -106,14 +106,32 @@ object Dedup {
     *     partial aggregation, so the shuffle carries ONE 64-long row per
     *     document, never the exploded shingles. */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
+                        numHashes: Int = 64, shingleK: Int = 5): DataFrame =
+    signaturesFromHashed(hashedShingleRows(df, textCol, idCol, shingleK),
+      numHashes)
+
+  /** The exploded (id, h = xxhash64(shingle)) rows [[minHashSignatures]]
+    * aggregates. NOTE: a null-text doc yields one h-of-null row here
+    * (the signature convention); the verification kernels exclude such
+    * docs instead ([[hashedShingleSet]]). Persisting this frame to share
+    * it across consumers was MEASURED SLOWER than re-exploding (r21):
+    * the cache write/read breaks the whole-stage-codegen fusion of
+    * explode → partial aggregate — keep consumers re-deriving it. */
+  private[graft] def hashedShingleRows(df: DataFrame, textCol: String,
+                                       idCol: String,
+                                       shingleK: Int): DataFrame =
+    shingleRows(df, textCol, idCol, shingleK)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+
+  /** The 64-permutation minimum aggregate over a pre-hashed shingle
+    * frame — the other half of [[minHashSignatures]] (same expressions,
+    * same seeds; equivalence is by refactor, not reimplementation). */
+  private[graft] def signaturesFromHashed(hashed: DataFrame,
+                                          numHashes: Int): DataFrame = {
     // min over seeded hashes is idempotent under duplicate shingles, so the
     // raw (un-distinct) shingle stream feeds the aggregate directly.
     val aggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))))
-    shingleRows(df, textCol, idCol, shingleK)
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-      .groupBy("id")
-      .agg(array(aggs: _*).as("sig"))
+    hashed.groupBy("id").agg(array(aggs: _*).as("sig"))
   }
 
   /** One-permutation-hashing MinHash (Li/Owen/Zhang 2012, public): each
@@ -933,7 +951,12 @@ object Dedup {
     * contract, and a forked copy would silently diverge it. */
   private def distinctWordGrams(df: DataFrame, textCol: String, n: Int,
                                 outCols: Column*): DataFrame = {
-    val pre = df.select(outCols :+ TextOps.tokens(col(textCol)).as("__ts"): _*)
+    // spread the narrow pre-explosion rows first (the shingleRows
+    // discipline, guide §2.5): a single-row-group input otherwise runs
+    // the tokenize + n-gram explosion as ONE task — no-op at production
+    // file counts
+    val pre = graft.util.Spread.forMapWork(
+      df.select(outCols :+ TextOps.tokens(col(textCol)).as("__ts"): _*))
     pre.select(pre.columns.dropRight(1).map(col) :+
       explode(array_distinct(
         TextOps.wordNgramsFromTokens(col("__ts"), n))).as("g"): _*)

@@ -307,6 +307,13 @@ object NearDupService {
                     maxBucketOccupancy: Long = 100000L): DataFrame = {
     require(threshold > 0, "probeVerified requires a positive threshold")
     val m = readMeta(spark, root)
+    // NOTE (r21 negative result): sharing ONE persisted exploded
+    // (id, shingle-hash) frame between this signature build and the
+    // verification kernel's batch side regressed every dd_index face
+    // ~+1 s warm-median — caching the exploded rows breaks the
+    // whole-stage-codegen fusion of explode → partial aggregate and the
+    // cache write/read costs more than the second explosion it saves.
+    // Both passes deliberately re-explode.
     val deltaSigs = Dedup.minHashSignatures(newBatch, textCol, idCol,
         m.bands * m.rowsPerBand, m.shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
